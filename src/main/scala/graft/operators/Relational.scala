@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational building blocks beyond the reference's surface — the pieces a
+  * complete analytics engine needs (joins, top-k per group, set ops are
+  * Catalyst built-ins; these helpers standardize the scalable idiom).
+  */
+object Relational {
+
+  /** Top-k rows per group. Window row_number over (partition, order) — the
+    * shuffle is on the group key only, and with rank pushdown
+    * (spark.sql.optimizer.windowGroupLimitThreshold, on by default) each
+    * partition keeps only k rows before the exchange, so this scales to
+    * arbitrarily many groups. `order` must be total within a group for
+    * determinism (append a unique tie-break).
+    */
+  def topKPerGroup(df: DataFrame, partitionBy: Seq[Column], order: Seq[Column],
+      k: Int, rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= k)
+  }
+
+  /** Tagged disjoint comparison of two keyed sets: rows in both, only left,
+    * only right. Three hash-aggregated branches over the same two inputs;
+    * Catalyst reuses the exchange across branches.
+    */
+  def setCompare(a: DataFrame, b: DataFrame, tagCol: String = "tag"): DataFrame = {
+    val both = a.intersect(b).withColumn(tagCol, lit("both"))
+    val onlyA = a.except(b).withColumn(tagCol, lit("left_only"))
+    val onlyB = b.except(a).withColumn(tagCol, lit("right_only"))
+    both.unionByName(onlyA).unionByName(onlyB)
+  }
+}

@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsofJoin, Relational}
+import graft.sources.Tables
+
+/** Relational-analytics breadth (joins, windows, grouping sets, set ops,
+  * semi/anti, scalar library, as-of join) over the star schema — operators
+  * the reference lacks but a complete engine must cover. Dimension tables
+  * are broadcast (region/nation/customer are tiny relative to facts at any
+  * scale factor); fact-fact joins shuffle on their keys with AQE deciding
+  * the rest.
+  */
+object AnalyticsQueries {
+
+  private val Ts = "yyyy-MM-dd HH:mm:ss"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Star join: facts shuffle once on l_orderkey; all dims broadcast.
+    "q14_star_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Top-k per group with rank pushdown (WindowGroupLimit).
+    "q15_topk_per_group" -> ((s, d) =>
+      Relational.topKPerGroup(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn").cast("long").as("rn"))),
+
+    // ROLLUP grouping sets; 'ALL' marks the subtotal levels.
+    "q16_rollup_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("n"))),
+
+    // Set operations: customers with open vs finished orders.
+    "q17_set_ops" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val open = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey")).distinct()
+      val fin = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey")).distinct()
+      Relational.setCompare(open, fin)
+    }),
+
+    // Semi/anti join: customers with vs without urgent orders.
+    "q18_semi_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val has = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .withColumn("tag", lit("has_urgent"))
+      val not = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .withColumn("tag", lit("no_urgent"))
+      has.unionByName(not)
+    }),
+
+    // Scalar function library sampler (strings, math, date parts) — every
+    // expression chosen to be bit-deterministic across engines.
+    "q19_scalar_sampler" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        lower(col("o_orderpriority")).as("pri_lower"),
+        substring(col("o_orderpriority"), 3, 20).as("pri_name"),
+        length(col("o_orderpriority")).cast("long").as("pri_len"),
+        concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("status_pri"),
+        regexp_replace(col("o_orderpriority"), "[aA-zZ]+", "X").as("pri_masked"),
+        (col("o_orderkey") % 97).as("key_mod"),
+        abs(col("o_orderkey") - 1000).as("key_absdiff"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        ceil(col("o_totalprice")).cast("long").as("price_ceil"),
+        sqrt(col("o_totalprice")).as("price_sqrt"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow_sun0"))),
+
+    // Window-function sampler: lag/lead/rank/dense_rank/running sum over each
+    // customer's order timeline.
+    "q20_window_funcs" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      val wSeq = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRun = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wByDate = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+      o.select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), Ts).as("order_ts"),
+        col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(wSeq).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(wSeq).as("next_price"),
+        row_number().over(wSeq).cast("long").as("order_seq"),
+        rank().over(wByDate).cast("long").as("date_rank"),
+        dense_rank().over(wByDate).cast("long").as("date_dense_rank"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).over(wRun)
+          .cast("double").as("running_total"))
+    }),
+
+    // As-of join: each event picks up the user's most recent prior order.
+    "q21_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      val r = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"))
+      AsofJoin.backward(e, r, Seq("user_id"), "ts", "o_orderdate",
+          Seq("last_orderkey", "o_orderdate"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), Ts).as("ts"),
+          col("last_orderkey"),
+          date_format(col("o_orderdate"), Ts).as("last_orderdate"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q14_star_join" ->
+      """SELECT r_name, n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
+        |         AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q15_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+
+    "q16_rollup_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q17_set_ops" ->
+      """WITH open AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |fin AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM open INTERSECT SELECT * FROM fin)
+        |UNION ALL
+        |SELECT o_custkey, 'left_only' AS tag FROM (SELECT * FROM open EXCEPT SELECT * FROM fin)
+        |UNION ALL
+        |SELECT o_custkey, 'right_only' AS tag FROM (SELECT * FROM fin EXCEPT SELECT * FROM open)""".stripMargin,
+
+    "q18_semi_anti" ->
+      """SELECT c_custkey, c_mktsegment, 'has_urgent' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, 'no_urgent' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q19_scalar_sampler" ->
+      """SELECT o_orderkey,
+        |       upper(o_orderpriority) AS pri_upper,
+        |       lower(o_orderpriority) AS pri_lower,
+        |       substr(o_orderpriority, 3, 20) AS pri_name,
+        |       length(o_orderpriority) AS pri_len,
+        |       concat_ws('|', o_orderstatus, o_orderpriority) AS status_pri,
+        |       regexp_replace(o_orderpriority, '[aA-zZ]+', 'X', 'g') AS pri_masked,
+        |       o_orderkey % 97 AS key_mod,
+        |       abs(o_orderkey - 1000) AS key_absdiff,
+        |       CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |       CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+        |       sqrt(o_totalprice) AS price_sqrt,
+        |       CAST(year(o_orderdate) AS BIGINT) AS y,
+        |       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |       CAST(month(o_orderdate) AS BIGINT) AS m,
+        |       CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |       CAST(strftime(o_orderdate, '%w') AS BIGINT) AS dow_sun0
+        |FROM orders""".stripMargin,
+
+    "q20_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts,
+        |       o_totalprice,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       lead(o_totalprice, 1) OVER w AS next_price,
+        |       row_number() OVER w AS order_seq,
+        |       rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS date_rank,
+        |       dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate)
+        |         AS date_dense_rank,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q21_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS r_user, o_orderdate,
+        |         max(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT e.event_id, e.user_id,
+        |       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |       r.last_orderkey,
+        |       strftime(r.o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_orderdate
+        |FROM events e
+        |ASOF LEFT JOIN r ON e.user_id = r.r_user AND e.ts >= r.o_orderdate""".stripMargin)
+}
