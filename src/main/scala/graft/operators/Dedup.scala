@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for large-scale text corpora: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Scale design notes:
+  * - Signatures (shingles, minhash, simhash, bands) are computed ROW-LOCALLY
+  *   with array higher-order functions — zero shuffle, embarrassingly
+  *   parallel across executors.
+  * - The only shuffles are (a) the band-bucket self-join for candidate pairs
+  *   (shuffle on (band, band_hash) — the LSH guarantee is that bucket sizes
+  *   stay small, so the join never degenerates to a cross product) and
+  *   (b) the hash-group in exact dedup.
+  * - Hash functions are md5-derived so results are engine-portable (the
+  *   DuckDB oracle reproduces them exactly) and stable across runs/cluster
+  *   sizes — no Random, no seed drift.
+  */
+object Dedup {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word n-gram shingles, order-preserving ("a b c d" → ["a b c", "b c d"]).
+    * Empty when the document has fewer than n tokens.
+    */
+  def shingles(tokensCol: Column, n: Int): Column = {
+    require(n >= 1)
+    when(size(tokensCol) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(tokensCol) - n),
+        i => concat_ws(" ", (1 to n).map(o => element_at(tokensCol, i + o)): _*)))
+  }
+
+  /** MinHash signature: K independent hash functions h_k(s) = md5(k ++ "|" ++ s),
+    * each minimized over the shingle set. Computed per-row with
+    * array_min/transform — no explode, no shuffle.
+    */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    array((0 until k).map(j =>
+      array_min(transform(shinglesCol, s => md5(concat(lit(s"$j|"), s))))): _*)
+
+  /** LSH band hashes over a minhash signature: `bands` buckets of
+    * `rowsPerBand` consecutive signature entries, each band keyed by the md5
+    * of its concatenation. Docs sharing ANY band hash become candidates.
+    */
+  def lshBands(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      md5(concat((1 to rowsPerBand).map(r =>
+        element_at(sigCol, b * rowsPerBand + r)): _*))): _*)
+
+  /** Candidate pairs from banded signatures: explode (band_idx, band_hash),
+    * self-join on equality, keep each unordered pair once. The join shuffles
+    * on (band_idx, band_hash) — uniform unless the corpus is pathological.
+    */
+  def candidatePairs(docs: DataFrame, idCol: String, bandsCol: String): DataFrame = {
+    val exploded = docs.select(col(idCol),
+      posexplode(col(bandsCol)).as(Seq("band", "bh")))
+    val a = exploded.select(col(idCol).as("doc_a"), col("band"), col("bh"))
+    val b = exploded.select(col(idCol).as("doc_b"), col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity of two shingle/token arrays (over distinct
+    * elements). Single float division of exact integers — deterministic.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(array_distinct(a), array_distinct(b)))
+    val union = size(array_distinct(a)) + size(array_distinct(b)) - inter
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** 60-bit SimHash over the distinct-token set. Token hashes come from the
+    * top 15 hex chars of md5 (60 bits, sign-safe in a long); bit j of the
+    * sketch is set iff more token hashes have bit j set than clear. All
+    * row-local array expressions — no shuffle, no UDF.
+    */
+  def simhash(tokensCol: Column): Column = {
+    val hashes = transform(array_distinct(tokensCol),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val bits = (0 until 60).map { j =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1)
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** SimHash band keys for candidate generation: 4 disjoint 15-bit slices.
+    * Near-identical docs (hamming ≤ 3 over 60 bits) share ≥1 exact band by
+    * pigeonhole.
+    */
+  def simhashBands(simhashCol: Column): Column =
+    array((0 until 4).map(b =>
+      shiftright(simhashCol, b * 15).bitwiseAND(lit(0x7FFFL))): _*)
+
+  /** Hamming distance between two simhash sketches. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact dedup: canonical row per duplicate group (min id wins —
+    * deterministic, unlike dropDuplicates' arbitrary row). One shuffle on
+    * the group hash.
+    */
+  def exactDedup(df: DataFrame, groupCols: Seq[Column], idCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCols: _*)
+    df.withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col(idCol) === col("canonical_id"))
+  }
+}

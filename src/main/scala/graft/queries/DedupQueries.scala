@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Deduplication queries (the training-data-pipeline extension suite) over
+  * the `documents` table: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+  * Every hash is md5-derived so the DuckDB oracles reproduce the exact same
+  * signatures, bands, and pair sets.
+  */
+object DedupQueries {
+
+  private def shingled(s: SparkSession, d: String): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col("doc_id"), Dedup.shingles(col("tok"), 3).as("shingles"))
+  }
+
+  private def minhashed(s: SparkSession, d: String): DataFrame =
+    shingled(s, d).select(col("doc_id"),
+      Dedup.minhashSignature(col("shingles"), 8).as("sig"))
+
+  private def simhashed(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("tok"))
+      .select(col("doc_id"), Dedup.simhash(col("tok")).as("simhash"))
+
+  /** Shared DuckDB CTE fragments mirroring the Spark lineage above. */
+  private val ShCte =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         [array_to_string(tok[(i+1):(i+3)], ' ')
+      |          FOR i IN range(0, greatest(len(tok)-2, 0))] AS shingles
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok
+      |        FROM documents)
+      |  WHERE len(tok) >= 3
+      |)""".stripMargin
+
+  private val MhCte =
+    s"""$ShCte, mh AS (
+       |  SELECT doc_id,
+       |         [list_min(list_transform(shingles, s -> md5(k || '|' || s)))
+       |          FOR k IN range(0, 8)] AS sig
+       |  FROM sh
+       |)""".stripMargin
+
+  private val SimCte =
+    """WITH sim AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum([CASE WHEN list_sum(list_transform(hs, x -> ((x >> j) & 1)*2 - 1)) > 0
+      |              THEN (1::BIGINT << j) ELSE 0 END FOR j IN range(0, 60)]) AS BIGINT) AS simhash
+      |  FROM (SELECT doc_id,
+      |          list_transform(list_distinct(string_split_regex(trim(text), '\s+')),
+      |            s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+      |        FROM documents)
+      |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E1: exact dedup with deterministic canonical selection (min doc_id).
+    "q22_dedup_exact" -> ((s, d) =>
+      Dedup.exactDedup(
+        Tables.documents(s, d)
+          .select(col("doc_id"), md5(col("text")).as("text_hash")),
+        Seq(col("text_hash")), "doc_id")
+        .select(col("doc_id"), col("text_hash"), col("canonical_id"),
+          col("group_size"), col("is_canonical"))),
+
+    // MinHash signature (row-local, zero shuffle).
+    "q23_minhash_sig" -> ((s, d) => {
+      val m = minhashed(s, d)
+      m.select(col("doc_id") +:
+        (0 until 8).map(k => element_at(col("sig"), k + 1).as(s"mh$k")): _*)
+    }),
+
+    // MinHash + LSH near-dup pairs (4 bands × 2 rows) with exact Jaccard
+    // verification at threshold 0.5 — the scalable near-dup path.
+    "q24_lsh_near_dup" -> ((s, d) => {
+      val m = minhashed(s, d)
+        .withColumn("bands", Dedup.lshBands(col("sig"), 4, 2))
+      val cand = Dedup.candidatePairs(m, "doc_id", "bands")
+      val sh = shingled(s, d)
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+        .withColumn("jac", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+    }),
+
+    // Brute-force n-gram Jaccard over a deterministic subset — the
+    // exact-similarity reference the LSH path approximates.
+    "q25_ngram_jaccard" -> ((s, d) => {
+      val sub = shingled(s, d).filter(col("doc_id") % 25 === 0)
+      val a = sub.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+      val b = sub.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+      a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+    }),
+
+    // 60-bit SimHash sketch per document.
+    "q26_simhash_sig" -> ((s, d) => simhashed(s, d)),
+
+    // SimHash near-dup pairs: 15-bit band candidates, hamming ≤ 2.
+    "q27_simhash_near_dup" -> ((s, d) => {
+      val sim = simhashed(s, d)
+        .withColumn("bands", Dedup.simhashBands(col("simhash")))
+      val cand = Dedup.candidatePairs(sim, "doc_id", "bands")
+      cand
+        .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), Seq("doc_a"))
+        .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), Seq("doc_b"))
+        .withColumn("hamming", Dedup.hamming(col("sim_a"), col("sim_b")))
+        .filter(col("hamming") <= 2)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q22_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS text_hash,
+        |       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |       count(*) OVER (PARTITION BY md5(text)) AS group_size,
+        |       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+        |FROM documents""".stripMargin,
+
+    "q23_minhash_sig" ->
+      s"""$MhCte
+         |SELECT doc_id, sig[1] AS mh0, sig[2] AS mh1, sig[3] AS mh2,
+         |       sig[4] AS mh3, sig[5] AS mh4, sig[6] AS mh5,
+         |       sig[7] AS mh6, sig[8] AS mh7
+         |FROM mh""".stripMargin,
+
+    "q24_lsh_near_dup" ->
+      s"""$MhCte, bands AS (
+         |  SELECT doc_id, i AS band, md5(sig[2*i+1] || sig[2*i+2]) AS bh
+         |  FROM mh, UNNEST(range(0, 4)) u(i)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b,
+         |       len(list_distinct(list_intersect(x.shingles, y.shingles))) /
+         |       (len(list_distinct(x.shingles)) + len(list_distinct(y.shingles))
+         |        - len(list_distinct(list_intersect(x.shingles, y.shingles)))) AS jac
+         |FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+         |          JOIN sh y ON cand.doc_b = y.doc_id
+         |WHERE len(list_distinct(list_intersect(x.shingles, y.shingles))) /
+         |      (len(list_distinct(x.shingles)) + len(list_distinct(y.shingles))
+         |       - len(list_distinct(list_intersect(x.shingles, y.shingles)))) >= 0.5""".stripMargin,
+
+    "q25_ngram_jaccard" ->
+      s"""$ShCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CASE WHEN (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+         |                  - len(list_distinct(list_intersect(a.shingles, b.shingles)))) = 0
+         |            THEN 0.0
+         |            ELSE len(list_distinct(list_intersect(a.shingles, b.shingles))) /
+         |                 (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+         |                  - len(list_distinct(list_intersect(a.shingles, b.shingles))))
+         |       END AS jac
+         |FROM sh a, sh b
+         |WHERE a.doc_id % 25 = 0 AND b.doc_id % 25 = 0 AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q26_simhash_sig" ->
+      s"""$SimCte SELECT doc_id, simhash FROM sim""".stripMargin,
+
+    "q27_simhash_near_dup" ->
+      s"""$SimCte, sbands AS (
+         |  SELECT doc_id, i AS band, (simhash >> (i*15)) & 32767 AS bh
+         |  FROM sim, UNNEST(range(0, 4)) u(i)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sbands a JOIN sbands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, bit_count(xor(x.simhash, y.simhash)) AS hamming
+         |FROM cand JOIN sim x ON cand.doc_a = x.doc_id
+         |          JOIN sim y ON cand.doc_b = y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2""".stripMargin)
+}
