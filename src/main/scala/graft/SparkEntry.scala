@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.IngestOps
-import graft.queries.{AnalyticsQueries, CoreQueries, DedupQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, DedupQueries, SimilarityQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,8 +25,8 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ AnalyticsQueries.queries ++ DedupQueries.queries
+    CoreQueries.queries ++ AnalyticsQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ AnalyticsQueries.oracles ++ DedupQueries.oracles
+    CoreQueries.oracles ++ AnalyticsQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over embedding columns (`Array[Float]`).
+  *
+  * Vector math uses `zip_with`/`aggregate` higher-order functions — a strict
+  * left-fold in element order, which makes the doubles bit-identical to any
+  * other sequential evaluation (the DuckDB oracle included). All math is done
+  * in double precision after an explicit upcast of the float column.
+  *
+  * Two search paths:
+  * - brute force: exact, O(|Q|·|C|); the correctness baseline. Scales by
+  *   broadcasting the (small) query set against a partitioned corpus — each
+  *   executor scans its corpus slice once.
+  * - IVF: corpus pre-assigned to nearest centroid (broadcast centroid set,
+  *   map-side assignment, no shuffle), queries probe only their centroid's
+  *   bucket. At 100 TB the bucket join shuffles on centroid id — a k-way
+  *   partition of the corpus instead of a full scan per query.
+  */
+object Similarity {
+
+  /** Upcast a float vector column to double for stable arithmetic. */
+  def toDoubleVec(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential-fold dot product (deterministic element order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** Euclidean norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity with explicit precomputed norms (avoids recomputing
+    * the corpus norm per pair).
+    */
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    when(normA === 0.0 || normB === 0.0, 0.0)
+      .otherwise(dot(a, b) / (normA * normB))
+
+  /** Cosine similarity of two raw vectors. */
+  def cosine(a: Column, b: Column): Column =
+    cosineWithNorms(a, b, norm(a), norm(b))
+
+  /** Attach `vec` (double) and `nrm` columns to an embedding table —
+    * row-local, computed once per corpus instead of once per pair.
+    */
+  def prepared(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("vec", toDoubleVec(col(vecCol)))
+      .withColumn("nrm", norm(col("vec")))
+
+  /** Exact brute-force cosine top-k: every query row against every corpus
+    * row. `queries` must be small (it is broadcast); ranking rounds to 6
+    * decimals then tie-breaks on neighbor id so results are stable across
+    * engines and partitionings.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("vec").as("qvec"), col("nrm").as("qnrm"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("vec").as("cvec"), col("nrm").as("cnrm"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(
+        cosineWithNorms(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")), 6))
+    Relational.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("sim"))
+  }
+
+  /** For each vector, its `nprobe` nearest centroids (broadcast centroids,
+    * map-side ranking — zero shuffle). nprobe=1 assigns the corpus; higher
+    * nprobe widens the query-side search to neighboring cells, the standard
+    * IVF recall/latency dial. Ties break on centroid id.
+    */
+  def probeCentroids(corpus: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    val c = centroids.select(col("vec_id").as("centroid_id"),
+      col("vec").as("centvec"), col("nrm").as("centnrm"))
+    val scored = corpus.crossJoin(broadcast(c))
+      .withColumn("csim", round(
+        cosineWithNorms(col("vec"), col("centvec"), col("nrm"), col("centnrm")), 6))
+    Relational.topKPerGroup(scored, Seq(col("vec_id")),
+        Seq(col("csim").desc, col("centroid_id").asc), nprobe, "crank")
+      .select(corpus.columns.map(col) :+ col("centroid_id"): _*)
+  }
+
+  /** Corpus cell assignment: each vector in exactly one centroid cell. */
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    probeCentroids(corpus, centroids, 1)
+}

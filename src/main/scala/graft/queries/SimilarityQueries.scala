@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Relational, Similarity}
+import graft.sources.Tables
+
+/** Similarity-search queries over the `embeddings` table (64-dim float
+  * vectors): exact brute-force top-k, IVF-bucketed approximate top-k, and
+  * embedding-cosine near-dup pairs.
+  */
+object SimilarityQueries {
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Similarity.prepared(Tables.embeddings(s, d), "embedding")
+      .select(col("vec_id"), col("vec"), col("nrm"))
+
+  /** DuckDB mirror of `corpus`: double-cast vectors with precomputed norms. */
+  private val VCte =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v
+      |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact ANN baseline: brute-force cosine top-10 for 5 query vectors.
+    "q28_cosine_topk" -> ((s, d) => {
+      val c = corpus(s, d)
+      Similarity.bruteForceTopK(c.filter(col("vec_id") < 5), c, 10)
+    }),
+
+    // IVF approximate top-k: centroids = every 50th vector; corpus in 1 cell
+    // each, queries probe their 2 nearest cells (nprobe=2).
+    "q29_ivf_topk" -> ((s, d) => {
+      val c = corpus(s, d)
+      val cents = c.filter(col("vec_id") % 50 === 0)
+      val assigned = Similarity.assignToCentroids(c, cents)
+      val q = Similarity.probeCentroids(c.filter(col("vec_id") < 5), cents, 2)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+          col("nrm").as("qnrm"), col("centroid_id"))
+      val bucket = assigned.select(col("vec_id").as("neighbor_id"),
+        col("vec").as("cvec"), col("nrm").as("cnrm"), col("centroid_id"))
+      val scored = q.join(bucket, Seq("centroid_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", round(Similarity.cosineWithNorms(
+          col("qvec"), col("cvec"), col("qnrm"), col("cnrm")), 6))
+      Relational.topKPerGroup(scored, Seq(col("query_id")),
+          Seq(col("sim").desc, col("neighbor_id").asc), 5, "rank")
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), col("sim"))
+    }),
+
+    // Embedding near-dup: all pairs with cosine >= 0.4 (brute force is the
+    // oracle-checkable baseline; the scale path is IVF/LSH bucketing).
+    "q30_embed_near_dup" -> ((s, d) => {
+      val c = corpus(s, d)
+      val a = c.select(col("vec_id").as("id_a"), col("vec").as("va"), col("nrm").as("na"))
+      val b = c.select(col("vec_id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("sim", round(Similarity.cosineWithNorms(
+          col("va"), col("vb"), col("na"), col("nb")), 6))
+        .filter(col("sim") >= 0.4)
+        .select(col("id_a"), col("id_b"), col("sim"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q28_cosine_topk" ->
+      s"""$VCte, scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm), 6) AS sim
+         |  FROM n q, n c
+         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+         |)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 10""".stripMargin,
+
+    "q29_ivf_topk" ->
+      s"""$VCte, cents AS (
+         |  SELECT vec_id AS centroid_id, vec AS centvec, nrm AS centnrm
+         |  FROM n WHERE vec_id % 50 = 0
+         |), assigned AS (
+         |  SELECT vec_id, vec, nrm, centroid_id FROM (
+         |    SELECT n.vec_id, n.vec, n.nrm, c.centroid_id,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.vec, c.centvec)
+         |               / (n.nrm * c.centnrm), 6) DESC, c.centroid_id ASC) AS crank
+         |    FROM n, cents c) t
+         |  WHERE crank = 1
+         |), probes AS (
+         |  SELECT vec_id, vec, nrm, centroid_id FROM (
+         |    SELECT n.vec_id, n.vec, n.nrm, c.centroid_id,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.vec, c.centvec)
+         |               / (n.nrm * c.centnrm), 6) DESC, c.centroid_id ASC) AS crank
+         |    FROM n, cents c WHERE n.vec_id < 5) t
+         |  WHERE crank <= 2
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.vec, b.vec) / (q.nrm * b.nrm), 6) AS sim
+         |  FROM probes q JOIN assigned b ON q.centroid_id = b.centroid_id
+         |  WHERE b.vec_id <> q.vec_id
+         |)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5""".stripMargin,
+
+    "q30_embed_near_dup" ->
+      s"""$VCte
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS sim
+         |FROM n a, n b
+         |WHERE a.vec_id < b.vec_id
+         |  AND round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.4""".stripMargin)
+}
