@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: token statistics, quality
+  * scoring, stopword-vote language ID, and document fingerprinting.
+  * Everything is a row-local column expression (whole-stage codegen, zero
+  * shuffle) — per-document analysis is embarrassingly parallel at any scale.
+  */
+object TextAnalysis {
+
+  /** Language marker words for the stopword-vote classifier. Tiny on
+    * purpose: the operator contract is the vote mechanism; production swaps
+    * in real per-language lexicons (or an n-gram model) without touching the
+    * pipeline shape.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "es", "y"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he"))
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Tokens count of the whitespace tokenization. */
+  def tokenCount(tokensCol: Column): Column = size(tokensCol).cast("long")
+
+  /** Distinct-token count. */
+  def distinctTokenCount(tokensCol: Column): Column =
+    size(array_distinct(tokensCol)).cast("long")
+
+  /** BPE-ish subword count: ceil(len/4) units per token — a cheap stand-in
+    * with the right scaling behavior for budget estimation (real BPE is a
+    * vocabulary lookup; the pipeline shape is identical).
+    */
+  def subwordCount(tokensCol: Column): Column =
+    aggregate(tokensCol, lit(0L),
+      (acc, t) => acc + ceil(length(t) / 4.0).cast("long"))
+
+  /** Count of tokens that appear in `words`. */
+  def wordHits(tokensCol: Column, words: Seq[String]): Column =
+    size(filter(tokensCol, t => t.isin(words: _*))).cast("long")
+
+  /** Ratio of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column = {
+    val stripped = regexp_replace(text, "[a-z0-9A-Z\\s]", "")
+    when(length(text) === 0, 0.0).otherwise(length(stripped) / length(text))
+  }
+
+  /** Composite quality score in [0,1]: length credit, stopword naturalness,
+    * punctuation penalty. Fixed evaluation order keeps it bit-deterministic.
+    */
+  def qualityScore(text: Column, tokensCol: Column): Column = {
+    val nTok = size(tokensCol)
+    val stopRatio = when(nTok === 0, 0.0)
+      .otherwise(wordHits(tokensCol, Stopwords) / nTok)
+    round(least(lit(1.0), nTok / 50.0) * 0.5 + stopRatio * 0.3 +
+      (lit(1.0) - punctRatio(text)) * 0.2, 4)
+  }
+
+  /** Stopword-vote language ID: count marker hits per language, pick the
+    * argmax (ties resolved by LangMarkers order), "und" when no marker hits.
+    */
+  def langId(tokensCol: Column): Column = {
+    val votes = LangMarkers.map { case (lang, words) =>
+      lang -> wordHits(tokensCol, words)
+    }
+    val maxVote = greatest(votes.map(_._2): _*)
+    val picks = votes.foldLeft(when(maxVote === 0, "und")) {
+      case (acc, (lang, v)) => acc.when(v === maxVote, lang)
+    }
+    picks.otherwise("und")
+  }
+
+  /** Canonical-text fingerprint: lowercase, strip non-alphanumerics to
+    * spaces, collapse runs, trim, md5. Robust to case/punct/whitespace
+    * variation — the exact-dedup key for "same modulo formatting".
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "),
+      " +", " ")))
+}

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.Tables
+
+/** Text-analysis queries over `documents`: per-language stats, token
+  * counting, quality scoring, language ID, fingerprinting.
+  */
+object TextQueries {
+
+  private def toks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("tok", Dedup.tokens(col("text")))
+
+  /** DuckDB token CTE mirroring Dedup.tokens. */
+  private val TokCte =
+    """WITH t AS (
+      |  SELECT *, string_split_regex(trim(text), '\s+') AS tok FROM documents
+      |)""".stripMargin
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  private val StopIn = inList(TextAnalysis.Stopwords)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-language corpus stats (counts exact, averages rounded).
+    "q31_lang_stats" -> ((s, d) =>
+      toks(s, d).groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        sum(TextAnalysis.tokenCount(col("tok"))).as("total_tokens"))),
+
+    // Per-document token statistics incl. BPE-ish subword estimate.
+    "q32_token_count" -> ((s, d) =>
+      toks(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("tok")).as("n_tokens"),
+        TextAnalysis.distinctTokenCount(col("tok")).as("n_distinct"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextAnalysis.subwordCount(col("tok")).as("n_subwords"))),
+
+    // Quality scoring: length credit + stopword naturalness - punct noise.
+    "q33_quality_score" -> ((s, d) =>
+      toks(s, d).select(col("doc_id"),
+        round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
+        TextAnalysis.wordHits(col("tok"), TextAnalysis.Stopwords).as("stop_hits"),
+        round(when(size(col("tok")) === 0, 0.0)
+          .otherwise(TextAnalysis.wordHits(col("tok"), TextAnalysis.Stopwords)
+            / size(col("tok"))), 4).as("stop_ratio"),
+        TextAnalysis.qualityScore(col("text"), col("tok")).as("quality"))),
+
+    // Stopword-vote language ID vs the labeled lang column.
+    "q34_lang_id" -> ((s, d) =>
+      toks(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("tok")).as("predicted"))
+        .withColumn("correct", col("lang") === col("predicted"))),
+
+    // Formatting-insensitive document fingerprint.
+    "q35_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+        .withColumn("fp_short", substring(col("fp"), 1, 8))))
+
+  private val langVotesSql: String =
+    TextAnalysis.LangMarkers.map { case (lang, words) =>
+      s"len(list_filter(tok, x -> x IN ${inList(words)})) AS v_$lang"
+    }.mkString(", ")
+
+  private val langPredSql: String = {
+    val votes = TextAnalysis.LangMarkers.map { case (lang, _) => s"v_$lang" }
+    val maxExpr = s"greatest(${votes.mkString(", ")})"
+    val branches = TextAnalysis.LangMarkers.map { case (lang, _) =>
+      s"WHEN v_$lang = $maxExpr THEN '$lang'"
+    }.mkString(" ")
+    s"CASE WHEN $maxExpr = 0 THEN 'und' $branches ELSE 'und' END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q31_lang_stats" ->
+      s"""$TokCte
+         |SELECT lang, count(*) AS n_docs,
+         |       count(DISTINCT source) AS n_sources,
+         |       round(avg(n_chars), 4) AS avg_chars,
+         |       sum(len(tok)) AS total_tokens
+         |FROM t GROUP BY lang""".stripMargin,
+
+    "q32_token_count" ->
+      s"""$TokCte
+         |SELECT doc_id, len(tok) AS n_tokens,
+         |       len(list_distinct(tok)) AS n_distinct,
+         |       length(text) AS n_chars,
+         |       CAST(list_sum(list_transform(tok,
+         |         x -> CAST(ceil(len(x)/4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+         |FROM t""".stripMargin,
+
+    "q33_quality_score" ->
+      s"""$TokCte
+         |SELECT doc_id,
+         |  round(CASE WHEN length(text) = 0 THEN 0.0
+         |        ELSE length(regexp_replace(text, '[a-z0-9A-Z\\s]', '', 'g'))
+         |             / length(text) END, 4) AS punct_ratio,
+         |  len(list_filter(tok, x -> x IN $StopIn)) AS stop_hits,
+         |  round(CASE WHEN len(tok) = 0 THEN 0.0
+         |        ELSE len(list_filter(tok, x -> x IN $StopIn)) / len(tok)
+         |        END, 4) AS stop_ratio,
+         |  round(least(1.0, len(tok)/50.0) * 0.5 +
+         |        (CASE WHEN len(tok) = 0 THEN 0.0
+         |         ELSE len(list_filter(tok, x -> x IN $StopIn)) / len(tok) END) * 0.3 +
+         |        (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE length(regexp_replace(text, '[a-z0-9A-Z\\s]', '', 'g'))
+         |              / length(text) END) * 0.2, 4) AS quality
+         |FROM t""".stripMargin,
+
+    "q34_lang_id" ->
+      s"""$TokCte, v AS (
+         |  SELECT doc_id, lang, $langVotesSql FROM t
+         |)
+         |SELECT doc_id, lang, $langPredSql AS predicted,
+         |       lang = ($langPredSql) AS correct
+         |FROM v""".stripMargin,
+
+    "q35_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+        |  substr(md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))), 1, 8) AS fp_short
+        |FROM documents""".stripMargin)
+}
