@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventTime
+import graft.sources.Tables
+
+/** Event-time window queries over `events` (tumbling is q11): sliding and
+  * session windows, oracle-checked against explicit window arithmetic /
+  * gaps-and-islands SQL in DuckDB.
+  */
+object WindowQueries {
+
+  private val Ts = "yyyy-MM-dd HH:mm:ss"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Sliding windows: 10s duration, 5s slide — every event in exactly 2.
+    "q36_sliding_window" -> ((s, d) =>
+      EventTime.windowedAgg(Tables.events(s, d), "ts", "10 seconds", "5 seconds",
+        Seq(col("event_type")),
+        Seq(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value")))
+        .select(date_format(col("window_start"), Ts).as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))),
+
+    // Session windows per user, 4-hour inactivity gap.
+    "q37_session_window" -> ((s, d) =>
+      EventTime.sessionize(Tables.events(s, d), "ts", "4 hours",
+        Seq(col("user_id")),
+        Seq(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value")))
+        .select(col("user_id"),
+          date_format(col("session_start"), Ts).as("session_start"),
+          date_format(col("session_end"), Ts).as("session_end"),
+          col("n_events"), col("sum_value"))))
+
+  val oracles: Map[String, String] = Map(
+    // Each event belongs to windows starting at bucket5(ts) and bucket5(ts)-5s.
+    "q36_sliding_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '5 seconds', ts)
+        |         - to_seconds(o), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events, UNNEST([0, 5]) u(o)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Gaps-and-islands: new session when >= 4h since previous event; session
+    // end = last event + gap (matches Spark session_window semantics).
+    "q37_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts >= lag(ts) OVER w + INTERVAL '4 hours'
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), numbered AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(max(ts) + INTERVAL '4 hours', '%Y-%m-%d %H:%M:%S')
+        |         AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM numbered
+        |GROUP BY user_id, sid""".stripMargin)
+}
