@@ -1,0 +1,246 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.model.Status
+import graft.operators.IngestOps
+
+/** The live ingestion pipeline — the reference's scheduler loop
+  * (`/root/reference/src/services/ingestService.js:94-154`) re-expressed on
+  * Structured Streaming.
+  *
+  * Semantics reproduced:
+  *  - validation at the edge, invalid requests → rejected side-output (O2)
+  *  - fixed-size batching of each request's ids (O5)
+  *  - priority admission: per trigger, the top `admitPerTrigger` pending
+  *    batches by (priority rank, created_at) — a later HIGH request
+  *    overtakes queued LOW batches because the pending set is re-ranked
+  *    EVERY trigger (O7/O8, the preemption the reference's heap provides)
+  *  - rate limiting: trigger interval == the reference's RATE_LIMIT_MS;
+  *    admission count per trigger == one batch (O10)
+  *  - stale-skip: only batches still yet_to_start are admissible (O15)
+  *  - status machine yet_to_start → triggered → completed/failed, with
+  *    `triggered` persisted before enrichment so concurrent status reads
+  *    observe it (O13/O14)
+  *  - status rollup recomputed from batch state at read time (O17/O20)
+  *
+  * State lives in versioned parquet snapshots under `stateDir` with an
+  * atomically-swapped pointer file — readers always see a complete
+  * consistent version (the scale path swaps this for Delta/Iceberg tables;
+  * the pipeline shape is identical). Every per-trigger step is a
+  * distributed DataFrame op: union, anti-join, TakeOrderedAndProject,
+  * mapPartitions enrichment — nothing collects per-row data to the driver.
+  *
+  * Empty triggers still fire (heartbeat union) so the queue keeps draining
+  * after input pauses — the reference's `setTimeout` re-entry (O16).
+  */
+class IngestPipeline(
+    spark: SparkSession,
+    stateDir: String,
+    batchSize: Int = 3,
+    admitPerTrigger: Int = 1,
+    fetch: Iterator[Long] => Iterator[(Long, String)] =
+      ids => ids.map(id => (id, "processed"))) extends Serializable {
+
+  import IngestPipeline._
+
+  Files.createDirectories(Paths.get(stateDir))
+
+  // ------------------------------------------------------------ state I/O
+
+  private def versionPath(v: Long, table: String) = s"$stateDir/v$v/$table"
+
+  private def pointerFile = Paths.get(s"$stateDir/CURRENT")
+
+  def currentVersion: Long =
+    if (Files.exists(pointerFile)) Files.readString(pointerFile).trim.toLong else -1L
+
+  private def writePointer(v: Long): Unit = {
+    val tmp = Paths.get(s"$stateDir/CURRENT.tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, pointerFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readTable(v: Long, table: String, schema: StructType): DataFrame =
+    if (v < 0 || !Files.exists(Paths.get(versionPath(v, table))))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema).parquet(versionPath(v, table))
+
+  /** Latest batch-state table (ingestion_id, batch_id, batch_idx, ids,
+    * priority, created_at, status). */
+  def batchState: DataFrame = readTable(currentVersion, "batches", BatchStateSchema)
+
+  /** Latest request-state table. */
+  def requestState: DataFrame = readTable(currentVersion, "requests", RequestStateSchema)
+
+  /** Rejected side-output (cumulative). */
+  def rejectedState: DataFrame = readTable(currentVersion, "rejected", RejectedSchema)
+
+  /** Enriched output records (cumulative). */
+  def processedState: DataFrame = readTable(currentVersion, "processed", ProcessedSchema)
+
+  private def persist(v: Long, tables: Map[String, DataFrame]): Unit = {
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(versionPath(v, name))
+    }
+    writePointer(v)
+  }
+
+  // ------------------------------------------------------------ the trigger
+
+  /** One scheduler tick. Public so tests (and batch replays) can drive the
+    * exact per-trigger semantics without streaming machinery.
+    */
+  def processMicroBatch(microBatch: DataFrame, batchId: Long): Unit = {
+    val prevV = currentVersion
+    val prevBatches = readTable(prevV, "batches", BatchStateSchema)
+    val prevRequests = readTable(prevV, "requests", RequestStateSchema)
+    val prevRejected = readTable(prevV, "rejected", RejectedSchema)
+    val prevProcessed = readTable(prevV, "processed", ProcessedSchema)
+
+    val tagged =
+      if (microBatch.columns.contains("is_heartbeat")) microBatch
+      else microBatch.withColumn("is_heartbeat", lit(false))
+    val incoming = tagged
+      .filter(col("is_heartbeat").isNull || !col("is_heartbeat"))
+      .select(col("ingestion_id"), col("ids"), col("priority"), col("created_at"))
+
+    // O2: validate; side-output rejects with reason.
+    val newRejected = IngestOps.rejectedRequests(incoming)
+      .select(col("ingestion_id"), col("error"))
+    val valid = IngestOps.validRequests(incoming)
+
+    // O5: batch explode with deterministic batch ids.
+    val newBatches = IngestOps.explodeBatches(valid, batchSize)
+      .select(col("ingestion_id"),
+        md5(concat_ws("-", col("ingestion_id"), col("batch_idx"))).as("batch_id"),
+        col("batch_idx"), col("ids"), col("priority"), col("created_at"),
+        lit(Status.YetToStart).as("status"))
+    val newRequests = valid.select(col("ingestion_id"), col("priority"),
+      col("created_at"), size(col("ids")).cast("long").as("n_ids"))
+
+    val batches = prevBatches.unionByName(newBatches)
+    val requests = prevRequests.unionByName(newRequests)
+    val rejected = prevRejected.unionByName(newRejected)
+
+    // O7/O8/O15: re-rank ALL still-pending batches, admit the top k.
+    val admitted = IngestOps.dequeue(
+      batches.filter(col("status") === Status.YetToStart), admitPerTrigger,
+      "priority", "created_at", col("ingestion_id"), col("batch_idx"))
+      .select(col("batch_id")).withColumn("_admit", lit(true))
+
+    def mark(df: DataFrame, to: String): DataFrame =
+      df.join(admitted, Seq("batch_id"), "left")
+        .withColumn("status", when(col("_admit"), to).otherwise(col("status")))
+        .drop("_admit")
+
+    // O13: persist `triggered` BEFORE enrichment so concurrent readers see it.
+    val v = batchId.max(prevV + 1)
+    val triggeredBatches = mark(batches, Status.Triggered).cache()
+    persist(v, Map(
+      "batches" -> triggeredBatches,
+      "requests" -> requests,
+      "rejected" -> rejected,
+      "processed" -> prevProcessed))
+
+    // O11: enrichment of admitted ids (mapPartitions — connector-shaped).
+    val admittedIds = triggeredBatches.filter(col("status") === Status.Triggered)
+      .join(admitted, Seq("batch_id"), "left_semi")
+      .select(explode(col("ids")).as("id"))
+    // Force the fetches NOW (cache + count) so a connector failure is caught
+    // here and flips the batch to `failed` instead of escaping the trigger.
+    val (newProcessed, endStatus) =
+      try {
+        val p = IngestOps.enrichWith(admittedIds, "id")(fetch).cache()
+        p.count()
+        (p, Status.Completed)
+      } catch {
+        case _: Throwable =>
+          (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ProcessedSchema),
+            Status.Failed)
+      }
+
+    // O14: completed (or failed) after the fetches.
+    val finalBatches = triggeredBatches
+      .join(admitted, Seq("batch_id"), "left")
+      .withColumn("status", when(col("_admit"), endStatus).otherwise(col("status")))
+      .drop("_admit")
+    persist(v + StatusStep, Map(
+      "batches" -> finalBatches,
+      "requests" -> requests,
+      "rejected" -> rejected,
+      "processed" -> prevProcessed.unionByName(newProcessed.select(col("id"),
+        col("data")))))
+    triggeredBatches.unpersist()
+  }
+
+  // ------------------------------------------------------------ streaming
+
+  /** Wire a streaming request source into the scheduler. `requests` must
+    * have columns (ingestion_id, ids, priority, created_at). A rate-source
+    * heartbeat keeps triggers firing while the queue drains after input
+    * stops.
+    */
+  def start(requests: DataFrame, trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      heartbeatRowsPerSecond: Int = 1): StreamingQuery = {
+    val heartbeat = spark.readStream.format("rate")
+      .option("rowsPerSecond", heartbeatRowsPerSecond).load()
+      .select(lit(null).cast(StringType).as("ingestion_id"),
+        lit(null).cast(ArrayType(LongType)).as("ids"),
+        lit(null).cast(StringType).as("priority"),
+        lit(null).cast(TimestampType).as("created_at"),
+        lit(true).as("is_heartbeat"))
+    val tagged = requests.withColumn("is_heartbeat", lit(false))
+      .unionByName(heartbeat)
+    tagged.writeStream
+      .foreachBatch((mb: DataFrame, id: Long) => processMicroBatch(mb, id))
+      .option("checkpointLocation", s"$stateDir/checkpoint")
+      .trigger(trigger)
+      .start()
+  }
+
+  // ------------------------------------------------------------ read path
+
+  /** O17/O20: overall status per request, recomputed from live batch state. */
+  def overallStatus: DataFrame =
+    IngestOps.rollupAgainstRequests(requestState, batchState)
+
+  /** O18/O19: the status endpoint — overall + per-batch public projection. */
+  def statusOf(ingestionId: String): DataFrame =
+    IngestOps.statusLookup(requestState, batchState, lit(ingestionId))
+}
+
+object IngestPipeline {
+  /** Completed-state versions are odd offsets so triggered snapshots and
+    * final snapshots never collide. */
+  private val StatusStep = 1000000L
+
+  val RequestStateSchema: StructType = StructType(Seq(
+    StructField("ingestion_id", StringType),
+    StructField("priority", StringType),
+    StructField("created_at", TimestampType),
+    StructField("n_ids", LongType)))
+
+  val BatchStateSchema: StructType = StructType(Seq(
+    StructField("ingestion_id", StringType),
+    StructField("batch_id", StringType),
+    StructField("batch_idx", IntegerType),
+    StructField("ids", ArrayType(LongType)),
+    StructField("priority", StringType),
+    StructField("created_at", TimestampType),
+    StructField("status", StringType)))
+
+  val RejectedSchema: StructType = StructType(Seq(
+    StructField("ingestion_id", StringType),
+    StructField("error", StringType)))
+
+  val ProcessedSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("data", StringType)))
+}

@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.model.{Priority, Status}
+import graft.operators.{AsofJoin, Dedup, IngestOps, Similarity, TextAnalysis}
+
+/** Reference-semantics unit tests (fixtures from FIXTURES.md §A — the
+  * reference's own test payloads, `/root/reference/tests/api.test.js`).
+  */
+class IngestOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def req(id: String, ids: Seq[Long], pri: String, created: String) =
+    (id, ids, pri, ts(created))
+
+  private def requestsDf(rows: (String, Seq[Long], String, java.sql.Timestamp)*) =
+    rows.toSeq.toDF("ingestion_id", "ids", "priority", "created_at")
+
+  // ---- O5 batching (reference split assert tests/api.test.js:131-133)
+
+  test("chunkArray splits 4 ids into [1,2,3],[4]") {
+    val out = requestsDf(req("a", Seq(1L, 2L, 3L, 4L), "MEDIUM", "2024-01-01 00:00:00"))
+      .select(IngestOps.chunkArray(col("ids"), 3).as("b"))
+      .as[Seq[Seq[Long]]].head()
+    assert(out == Seq(Seq(1L, 2L, 3L), Seq(4L)))
+  }
+
+  test("explodeBatches preserves order and short last batch") {
+    val out = IngestOps.explodeBatches(
+      requestsDf(req("a", (1L to 7L), "HIGH", "2024-01-01 00:00:00")), 3)
+      .select("batch_idx", "ids").as[(Int, Seq[Long])].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0, Seq(1L, 2L, 3L)), (1, Seq(4L, 5L, 6L)), (2, Seq(7L))))
+  }
+
+  test("chunk property: concat(batches) == ids, all full except last") {
+    val rnd = new scala.util.Random(42)
+    (1 to 25).foreach { _ =>
+      val n = rnd.nextInt(20) + 1
+      val bs = rnd.nextInt(4) + 1
+      val ids = Seq.fill(n)(rnd.nextLong().abs)
+      val batches = requestsDf(req("x", ids, "LOW", "2024-01-01 00:00:00"))
+        .select(IngestOps.chunkArray(col("ids"), bs).as("b"))
+        .as[Seq[Seq[Long]]].head()
+      assert(batches.flatten == ids)
+      assert(batches.init.forall(_.size == bs))
+      assert(batches.last.size <= bs && batches.last.nonEmpty)
+    }
+  }
+
+  // ---- O2 validation (tests/api.test.js:31-99)
+
+  test("validation rejects null/empty ids and bad priority, normalizes case") {
+    val df = requestsDf(
+      req("ok", Seq(1L, 2L, 3L), "high", "2024-01-01 00:00:00"),
+      req("no_ids", null, "HIGH", "2024-01-01 00:00:00"),
+      req("empty_ids", Seq(), "HIGH", "2024-01-01 00:00:00"),
+      req("bad_pri", Seq(1L), "URGENT", "2024-01-01 00:00:00"),
+      req("null_pri", Seq(1L), null, "2024-01-01 00:00:00"))
+    val valid = IngestOps.validRequests(df).select("ingestion_id", "priority")
+      .as[(String, String)].collect().toMap
+    assert(valid == Map("ok" -> "HIGH"))
+    val rejected = IngestOps.rejectedRequests(df)
+      .select("ingestion_id", "error").as[(String, String)].collect().toMap
+    assert(rejected.keySet == Set("no_ids", "empty_ids", "bad_pri", "null_pri"))
+    assert(rejected("empty_ids").contains("ids"))
+    assert(rejected("bad_pri").contains("priority"))
+  }
+
+  // ---- O7/O8 priority + FIFO (tests/api.test.js:194-294)
+
+  test("dequeue: HIGH preempts earlier MEDIUM/LOW; FIFO within priority") {
+    val jobs = requestsDf(
+      req("low1", Seq(1L), "LOW", "2024-01-01 00:00:00"),
+      req("med1", Seq(2L), "MEDIUM", "2024-01-01 00:00:01"),
+      req("med2", Seq(3L), "MEDIUM", "2024-01-01 00:00:02"),
+      req("high1", Seq(4L), "HIGH", "2024-01-01 00:00:03"))
+    val order = IngestOps.priorityOrder(jobs, "priority", "created_at",
+      col("ingestion_id")).select("ingestion_id").as[String].collect().toSeq
+    assert(order == Seq("high1", "med1", "med2", "low1"))
+    val top = IngestOps.dequeue(jobs, 1, "priority", "created_at",
+      col("ingestion_id")).select("ingestion_id").as[String].head()
+    assert(top == "high1")
+  }
+
+  test("globalSequence assigns contiguous ranks in sort order") {
+    val jobs = requestsDf(
+      req("b", Seq(1L), "LOW", "2024-01-01 00:00:00"),
+      req("a", Seq(1L), "HIGH", "2024-01-01 00:00:05"),
+      req("c", Seq(1L), "HIGH", "2024-01-01 00:00:01"))
+    val seq = IngestOps.globalSequence(
+      jobs.withColumn("rank", Priority.rank(col("priority"))),
+      Seq(col("rank"), col("created_at"), col("ingestion_id")))
+      .select("ingestion_id", "admission_seq").as[(String, Long)].collect().toMap
+    assert(seq == Map("c" -> 1L, "a" -> 2L, "b" -> 3L))
+  }
+
+  // ---- O15 stale skip
+
+  test("staleSkip drops batches that already started") {
+    val pending = Seq(("a", 0), ("a", 1), ("b", 0)).toDF("ingestion_id", "batch_idx")
+    val started = Seq(("a", 0)).toDF("ingestion_id", "batch_idx")
+    val left = IngestOps.staleSkip(pending, started, Seq("ingestion_id", "batch_idx"))
+      .as[(String, Int)].collect().toSet
+    assert(left == Set(("a", 1), ("b", 0)))
+  }
+
+  // ---- O17 rollup lattice (ingestService.js:15-35 truth table)
+
+  test("rollup truth table incl. failed and empty request") {
+    val batches = Seq(
+      ("all_yts", Status.YetToStart), ("all_yts", Status.YetToStart),
+      ("all_done", Status.Completed), ("all_done", Status.Completed),
+      ("mixed", Status.YetToStart), ("mixed", Status.Completed),
+      ("with_failed", Status.Completed), ("with_failed", Status.Failed),
+      ("with_triggered", Status.Triggered), ("with_triggered", Status.YetToStart)
+    ).toDF("ingestion_id", "status")
+    val requests = Seq("all_yts", "all_done", "mixed", "with_failed",
+      "with_triggered", "empty").toDF("ingestion_id")
+    val rolled = IngestOps.rollupAgainstRequests(requests, batches)
+      .as[(String, String)].collect().toMap
+    assert(rolled == Map(
+      "all_yts" -> Status.YetToStart,
+      "all_done" -> Status.Completed,
+      "mixed" -> Status.Triggered,
+      "with_failed" -> Status.Triggered,
+      "with_triggered" -> Status.Triggered,
+      "empty" -> Status.YetToStart))
+  }
+
+  // ---- as-of join edges the driver data cannot exercise
+
+  test("asof join: no prior row -> null; boundary tie is inclusive") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 00:00:00")),  // before any right row -> null
+      (2L, "u1", ts("2024-01-02 00:00:00")),  // exactly at right ts -> match
+      (3L, "u2", ts("2024-01-05 00:00:00"))   // no right rows for u2 -> null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(("u1", ts("2024-01-02 00:00:00"), 42L))
+      .toDF("user_id", "rts", "payload")
+    val out = AsofJoin.backward(left, right, Seq("user_id"), "ts", "rts",
+      Seq("payload")).select("event_id", "payload")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out == Map(1L -> None, 2L -> Some(42L), 3L -> None))
+  }
+
+  // ---- text/dedup edges the corpus cannot exercise
+
+  test("punct ratio and quality react to punctuation") {
+    val df = Seq(("clean text here", 1), ("!!! ??? ,,,", 2))
+      .toDF("text", "id").withColumn("tok", Dedup.tokens(col("text")))
+    val ratios = df.select(col("id"),
+      round(TextAnalysis.punctRatio(col("text")), 2).as("pr"))
+      .as[(Int, Double)].collect().toMap
+    assert(ratios(1) == 0.0 && ratios(2) > 0.5)
+  }
+
+  test("langId votes for german markers; und on no hits") {
+    val df = Seq(("der hund und die katze ist", 1), ("zzz qqq", 2))
+      .toDF("text", "id").withColumn("tok", Dedup.tokens(col("text")))
+    val out = df.select(col("id"), TextAnalysis.langId(col("tok")))
+      .as[(Int, String)].collect().toMap
+    assert(out == Map(1 -> "de", 2 -> "und"))
+  }
+
+  test("jaccard: identical=1, disjoint=0") {
+    val df = Seq((Seq("a b c", "b c d"), Seq("a b c", "b c d"), Seq("x y z")))
+      .toDF("s1", "s2", "s3")
+    val Row(j1: Double, j2: Double) = df.select(
+      Dedup.jaccard(col("s1"), col("s2")), Dedup.jaccard(col("s1"), col("s3"))).head()
+    assert(j1 == 1.0 && j2 == 0.0)
+  }
+
+  test("cosine: identical=1, orthogonal=0") {
+    val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 2.0)))
+      .toDF("a", "b", "c")
+    val Row(c1: Double, c2: Double) = df.select(
+      round(Similarity.cosine(col("a"), col("b")), 9),
+      Similarity.cosine(col("a"), col("c"))).head()
+    assert(c1 == 1.0 && c2 == 0.0)
+  }
+}

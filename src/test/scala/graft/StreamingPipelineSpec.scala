@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.{IngestRequest, Status}
+import graft.streaming.{BatchEvent, IngestPipeline, StatusStateMachine}
+
+/** End-to-end scheduler semantics, ported from the reference's E2E suite
+  * (`/root/reference/tests/api.test.js`) onto deterministic manual triggers
+  * plus a real MemoryStream wiring test.
+  */
+class StreamingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newPipeline(admit: Int = 1,
+      fetch: Iterator[Long] => Iterator[(Long, String)] =
+        ids => ids.map(id => (id, "processed"))) =
+    new IngestPipeline(spark,
+      Files.createTempDirectory("graft-state").toString, 3, admit, fetch)
+
+  private def reqs(rows: (String, Seq[Long], String, String)*): DataFrame =
+    rows.toSeq.map { case (id, ids, p, c) => (id, ids, p, ts(c)) }
+      .toDF("ingestion_id", "ids", "priority", "created_at")
+
+  private def emptyTick: DataFrame = reqs().limit(0)
+
+  private def statuses(p: IngestPipeline): Map[(String, Int), String] =
+    p.batchState.select("ingestion_id", "batch_idx", "status")
+      .as[(String, Int, String)].collect()
+      .map { case (i, b, s) => (i, b) -> s }.toMap
+
+  test("ingest -> batch -> admit one per trigger -> complete; status rollup") {
+    val p = newPipeline()
+    // 6 ids => 2 batches (tests/api.test.js:149-191 shape)
+    p.processMicroBatch(reqs(("A", 1L to 6L, "MEDIUM", "2024-01-01 00:00:00")), 0)
+    assert(statuses(p) == Map(("A", 0) -> Status.Completed, ("A", 1) -> Status.YetToStart))
+    assert(p.overallStatus.as[(String, String)].collect().toMap == Map("A" -> Status.Triggered))
+    p.processMicroBatch(emptyTick, 1)
+    assert(statuses(p) == Map(("A", 0) -> Status.Completed, ("A", 1) -> Status.Completed))
+    assert(p.overallStatus.as[(String, String)].collect().toMap == Map("A" -> Status.Completed))
+    assert(p.processedState.count() == 6)
+    assert(p.processedState.select("data").distinct().as[String].collect().toSeq == Seq("processed"))
+  }
+
+  test("priority preemption: late HIGH overtakes queued LOW/MEDIUM") {
+    val p = newPipeline()
+    p.processMicroBatch(reqs(
+      ("low", Seq(101L, 102L, 103L), "LOW", "2024-01-01 00:00:00"),
+      ("med", Seq(201L, 202L, 203L), "MEDIUM", "2024-01-01 00:00:01")), 0)
+    // first trigger admits MEDIUM (highest rank present)
+    assert(statuses(p)(("med", 0)) == Status.Completed)
+    assert(statuses(p)(("low", 0)) == Status.YetToStart)
+    // HIGH arrives after LOW was queued — must run before LOW
+    p.processMicroBatch(reqs(("high", Seq(301L, 302L, 303L), "HIGH",
+      "2024-01-01 00:00:02")), 1)
+    assert(statuses(p)(("high", 0)) == Status.Completed)
+    assert(statuses(p)(("low", 0)) == Status.YetToStart)
+    p.processMicroBatch(emptyTick, 2)
+    assert(statuses(p)(("low", 0)) == Status.Completed)
+  }
+
+  test("FIFO tie-break within same priority (created_at order)") {
+    val p = newPipeline()
+    p.processMicroBatch(reqs(
+      ("m2", Seq(21L, 22L, 23L), "MEDIUM", "2024-01-01 00:00:01"),
+      ("m1", Seq(11L, 12L, 13L), "MEDIUM", "2024-01-01 00:00:00")), 0)
+    assert(statuses(p)(("m1", 0)) == Status.Completed)
+    assert(statuses(p)(("m2", 0)) == Status.YetToStart)
+  }
+
+  test("invalid requests land in rejected side-output, not the queue") {
+    val p = newPipeline()
+    p.processMicroBatch(reqs(
+      ("good", Seq(1L), "HIGH", "2024-01-01 00:00:00"),
+      ("bad", Seq(), "HIGH", "2024-01-01 00:00:00"),
+      ("worse", Seq(1L), "URGENT", "2024-01-01 00:00:00")), 0)
+    val rej = p.rejectedState.select("ingestion_id").as[String].collect().toSet
+    assert(rej == Set("bad", "worse"))
+    assert(p.batchState.select("ingestion_id").distinct().as[String].collect().toSeq == Seq("good"))
+  }
+
+  test("connector failure marks the batch failed; rollup says triggered") {
+    val p = newPipeline(fetch = _ => throw new RuntimeException("connector down"))
+    p.processMicroBatch(reqs(("A", 1L to 6L, "HIGH", "2024-01-01 00:00:00")), 0)
+    assert(statuses(p)(("A", 0)) == Status.Failed)
+    assert(p.overallStatus.as[(String, String)].collect().toMap == Map("A" -> Status.Triggered))
+    assert(p.processedState.count() == 0)
+  }
+
+  test("statusOf projects per-batch rows with overall status") {
+    val p = newPipeline()
+    p.processMicroBatch(reqs(("A", 1L to 4L, "LOW", "2024-01-01 00:00:00")), 0)
+    val rows = p.statusOf("A")
+      .select("ingestion_id", "status", "batch_idx", "batch_status")
+      .as[(String, String, Int, String)].collect().sortBy(_._3)
+    assert(rows.length == 2)
+    assert(rows.forall(r => r._1 == "A" && r._2 == Status.Triggered))
+    assert(rows.map(r => r._3 -> r._4).toSeq ==
+      Seq(0 -> Status.Completed, 1 -> Status.YetToStart))
+  }
+
+  test("streaming wiring: MemoryStream + heartbeat drains the queue") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngestRequest]
+    val p = newPipeline()
+    val query = p.start(input.toDF(), Trigger.ProcessingTime("300 milliseconds"),
+      heartbeatRowsPerSecond = 5)
+    try {
+      input.addData(
+        IngestRequest("S1", 1L to 6L, "MEDIUM", ts("2024-01-01 00:00:00")),
+        IngestRequest("S2", Seq(7L, 8L), "HIGH", ts("2024-01-01 00:00:01")))
+      val deadline = System.currentTimeMillis() + 90000
+      var done = false
+      while (!done && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        val m = p.overallStatus.as[(String, String)].collect().toMap
+        done = m.get("S1").contains(Status.Completed) &&
+          m.get("S2").contains(Status.Completed)
+      }
+      assert(done, s"queue did not drain; state=${p.overallStatus.collect().toSeq}")
+      assert(p.processedState.count() == 8)
+    } finally query.stop()
+  }
+
+  test("mapGroupsWithState status machine tracks the rollup lattice") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[BatchEvent]
+    val out = StatusStateMachine.track(input.toDS())
+    val query = out.writeStream.format("memory").queryName("ssm")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        BatchEvent("A", "b0", Status.YetToStart, ts("2024-01-01 00:00:00")),
+        BatchEvent("A", "b1", Status.YetToStart, ts("2024-01-01 00:00:00")))
+      query.processAllAvailable()
+      input.addData(BatchEvent("A", "b0", Status.Completed, ts("2024-01-01 00:00:05")))
+      query.processAllAvailable()
+      input.addData(BatchEvent("A", "b1", Status.Completed, ts("2024-01-01 00:00:10")))
+      query.processAllAvailable()
+      val hist = spark.table("ssm").as[(String, Long, Long, String)].collect().toSeq
+      assert(hist.map(_._4) == Seq(Status.YetToStart, Status.Triggered, Status.Completed))
+      assert(hist.last == (("A", 2L, 2L, Status.Completed)))
+    } finally query.stop()
+  }
+}
