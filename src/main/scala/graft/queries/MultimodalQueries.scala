@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.sources.Tables
+
+/** Multimodal-column queries. The media table is synthesized
+  * deterministically from `documents` (content = utf8 bytes of text) since
+  * the driver fixtures carry no real binaries; kinds rotate image/audio/
+  * video by doc_id. Byte-level results (lengths, hashes, frame windows) are
+  * oracle-checkable because the bytes are ASCII text; the feature-extract
+  * query has no SQL oracle (stubbed codec) and takes the driver's
+  * rows-only check, with exact-value coverage in MultimodalSpec.
+  */
+object MultimodalQueries {
+
+  /** Deterministic media table: one row per document. */
+  private[graft] def media(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("content"),
+      struct(
+        lit("fake").as("format"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (col("n_chars") * 10).cast("long").as("duration_ms")).as("meta"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary column + typed metadata contract: sizes, hashes, kind split.
+    "q38_multimodal_meta" -> ((s, d) =>
+      media(s, d).select(
+        col("media_id"), col("kind"),
+        length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("content_md5"),
+        col("meta.width").as("width"),
+        col("meta.duration_ms").as("duration_ms"))),
+
+    // Batched stub decode -> 16-dim features (no SQL oracle: codec stub;
+    // driver rows-only + exact values in MultimodalSpec).
+    "q39_media_features" -> ((s, d) => {
+      val f = Multimodal.extractFeatures(media(s, d))
+      f.select(col("media_id"), col("features"))
+        .select(col("media_id") +:
+          (0 until 16).map(i =>
+            round(element_at(col("features"), i + 1).cast("double"), 4)
+              .as(s"f$i")): _*)
+    }),
+
+    // Frame sampling of video-kind media: 32-byte windows, every 2nd frame.
+    "q40_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(media(s, d), 32, 2)
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame")).cast("long").as("frame_len"),
+          md5(col("frame")).as("frame_md5"))))
+
+  val oracles: Map[String, String] = Map(
+    "q38_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |            ELSE 'video' END AS kind,
+        |       length(text) AS n_bytes,
+        |       md5(text) AS content_md5,
+        |       CAST(n_chars % 640 AS INT) AS width,
+        |       n_chars * 10 AS duration_ms
+        |FROM documents""".stripMargin,
+
+    "q40_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+        |       length(substr(text, i*32 + 1, 32)) AS frame_len,
+        |       md5(substr(text, i*32 + 1, 32)) AS frame_md5
+        |FROM documents,
+        |     UNNEST(range(0, CAST(ceil(length(text)/32.0) AS BIGINT))) u(i)
+        |WHERE doc_id % 3 = 2 AND i % 2 = 0""".stripMargin)
+}
