@@ -79,16 +79,23 @@ object Dedup {
     * top 15 hex chars of md5 (60 bits, sign-safe in a long); bit j of the
     * sketch is set iff more token hashes have bit j set than clear. All
     * row-local array expressions — no shuffle, no UDF.
+    *
+    * Single pass over the token hashes: the fold carries a 60-counter vote
+    * array (zip_with against a constant index sequence) instead of walking
+    * the array once per bit — 60× fewer traversals, which matters because
+    * higher-order functions evaluate interpreted (outside codegen).
     */
   def simhash(tokensCol: Column): Column = {
     val hashes = transform(array_distinct(tokensCol),
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-    val bits = (0 until 60).map { j =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1)
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val idx = sequence(lit(0), lit(59))
+    val votes = aggregate(hashes, array_repeat(lit(0L), 60),
+      (acc, h) => zip_with(acc, idx,
+        (a, j) => a + call_function("shiftright", h, j).bitwiseAND(lit(1L)) * 2 - 1))
+    aggregate(
+      zip_with(votes, idx,
+        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), _ + _)
   }
 
   /** SimHash band keys for candidate generation: 4 disjoint 15-bit slices.

@@ -80,10 +80,13 @@ object DedupQueries {
     // MinHash + LSH near-dup pairs (4 bands × 2 rows) with exact Jaccard
     // verification at threshold 0.5 — the scalable near-dup path.
     "q24_lsh_near_dup" -> ((s, d) => {
+      // Signatures and shingles are each consumed by BOTH sides of a
+      // self-join — materialize once (at 100 TB this is a persisted
+      // signature table, not a recomputed lineage).
       val m = minhashed(s, d)
-        .withColumn("bands", Dedup.lshBands(col("sig"), 4, 2))
+        .withColumn("bands", Dedup.lshBands(col("sig"), 4, 2)).cache()
       val cand = Dedup.candidatePairs(m, "doc_id", "bands")
-      val sh = shingled(s, d)
+      val sh = shingled(s, d).cache()
       cand
         .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
         .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
@@ -109,7 +112,7 @@ object DedupQueries {
     // SimHash near-dup pairs: 15-bit band candidates, hamming ≤ 2.
     "q27_simhash_near_dup" -> ((s, d) => {
       val sim = simhashed(s, d)
-        .withColumn("bands", Dedup.simhashBands(col("simhash")))
+        .withColumn("bands", Dedup.simhashBands(col("simhash"))).cache()
       val cand = Dedup.candidatePairs(sim, "doc_id", "bands")
       cand
         .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), Seq("doc_a"))

@@ -14,7 +14,7 @@ object SimilarityQueries {
 
   private def corpus(s: SparkSession, d: String): DataFrame =
     Similarity.prepared(Tables.embeddings(s, d), "embedding")
-      .select(col("vec_id"), col("vec"), col("nrm"))
+      .select(col("vec_id"), col("vec"), col("nrm")).cache()
 
   /** DuckDB mirror of `corpus`: double-cast vectors with precomputed norms. */
   private val VCte =
@@ -55,16 +55,11 @@ object SimilarityQueries {
 
     // Embedding near-dup: all pairs with cosine >= 0.4 (brute force is the
     // oracle-checkable baseline; the scale path is IVF/LSH bucketing).
-    "q30_embed_near_dup" -> ((s, d) => {
-      val c = corpus(s, d)
-      val a = c.select(col("vec_id").as("id_a"), col("vec").as("va"), col("nrm").as("na"))
-      val b = c.select(col("vec_id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .withColumn("sim", round(Similarity.cosineWithNorms(
-          col("va"), col("vb"), col("na"), col("nb")), 6))
+    "q30_embed_near_dup" -> ((s, d) =>
+      Similarity.bruteForcePairs(corpus(s, d), 0.4 - 1e-6)
+        .withColumn("sim", round(col("sim_raw"), 6))
         .filter(col("sim") >= 0.4)
-        .select(col("id_a"), col("id_b"), col("sim"))
-    }))
+        .select(col("id_a"), col("id_b"), col("sim"))))
 
   val oracles: Map[String, String] = Map(
     "q28_cosine_topk" ->
