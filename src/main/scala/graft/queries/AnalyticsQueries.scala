@@ -125,6 +125,41 @@ object AnalyticsQueries {
           .cast("double").as("running_total"))
     }),
 
+    // Exact interpolated percentiles (median/p90) per group.
+    "q41_percentiles" -> ((s, d) =>
+      Tables.orders(s, d).groupBy(col("o_orderstatus")).agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("med"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))),
+
+    // Sketch aggregates (HLL distinct, t-digest percentile): approximate by
+    // design, so no hash oracle — driver rows-only; bounds asserted in
+    // AnalyticsSpec.
+    "q44_sketches" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        round(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)), 2)
+          .as("approx_med_qty"))),
+
+    // Pivot: order counts per linestatus x returnflag.
+    "q42_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(count(lit(1)))
+        .select(col("l_linestatus"), col("A").as("n_a"), col("N").as("n_n"),
+          col("R").as("n_r"))),
+
+    // CUBE grouping sets with grouping_id disambiguation.
+    "q43_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n"), col("gid"))),
+
     // As-of join: each event picks up the user's most recent prior order.
     "q21_asof_join" -> ((s, d) => {
       val e = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
@@ -223,6 +258,29 @@ object AnalyticsQueries {
         |         AS running_total
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q41_percentiles" ->
+      """SELECT o_orderstatus,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS med,
+        |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |       min(o_totalprice) AS min_price,
+        |       max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q42_pivot" ->
+      """SELECT l_linestatus,
+        |       count(*) FILTER (l_returnflag = 'A') AS n_a,
+        |       count(*) FILTER (l_returnflag = 'N') AS n_n,
+        |       count(*) FILTER (l_returnflag = 'R') AS n_r
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "q43_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |       count(*) AS n,
+        |       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "q21_asof_join" ->
       """WITH r AS (

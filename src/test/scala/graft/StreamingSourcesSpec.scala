@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.Status
+import graft.operators.EventTime
+import graft.sources.RequestSource
+import graft.streaming.IngestPipeline
+
+/** File-drop source wiring and event-time watermark semantics. */
+class StreamingSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("json file-drop source feeds the pipeline end-to-end") {
+    val inDir = Files.createTempDirectory("graft-in")
+    Files.writeString(inDir.resolve("r1.json"),
+      """{"ingestion_id":"F1","ids":[1,2,3],"priority":"HIGH","created_at":"2024-01-01T00:00:00.000Z"}""" + "\n" +
+      """{"ingestion_id":"F3","ids":"garbage not an array","priority":7}""" + "\n" +
+      """{"ingestion_id":"F2","ids":[4],"priority":"LOW","created_at":"2024-01-01T00:00:01.000Z"}""")
+    val p = new IngestPipeline(spark,
+      Files.createTempDirectory("graft-state").toString, 3, admitPerTrigger = 2)
+    val query = p.start(RequestSource.jsonFileStream(spark, inDir.toString),
+      Trigger.ProcessingTime("300 milliseconds"), heartbeatRowsPerSecond = 5)
+    try {
+      val deadline = System.currentTimeMillis() + 90000
+      var done = false
+      while (!done && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        val m = p.overallStatus.as[(String, String)].collect().toMap
+        done = m.get("F1").contains(Status.Completed) &&
+          m.get("F2").contains(Status.Completed)
+      }
+      assert(done, s"file-sourced requests did not complete: ${p.overallStatus.collect().toSeq}")
+      assert(p.processedState.count() == 4)
+      // malformed line: schema mismatch -> nulls -> O2 rejected side-output
+      val rejected = p.rejectedState.select("ingestion_id").as[String].collect()
+      assert(rejected.length == 1, s"expected 1 rejected row, got ${rejected.toSeq}")
+    } finally query.stop()
+  }
+
+  test("watermark finalizes windows and drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val windowed = EventTime.windowedAgg(
+      input.toDF().toDF("ts", "value").withWatermark("ts", "10 seconds"),
+      "ts", "5 seconds", "5 seconds", Seq.empty,
+      Seq(count(lit(1)).as("n")))
+      .select(date_format(col("window_start"), "HH:mm:ss").as("ws"), col("n"))
+    val query = windowed.writeStream.format("memory").queryName("wm")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 00:00:01"), 1.0), (ts("2024-01-01 00:00:02"), 2.0))
+      query.processAllAvailable()
+      // watermark still at epoch: nothing finalized yet
+      assert(spark.table("wm").count() == 0)
+      // advance event time far enough to close the first window
+      input.addData((ts("2024-01-01 00:00:30"), 3.0))
+      query.processAllAvailable()
+      val afterAdvance = spark.table("wm").as[(String, Long)].collect().toMap
+      assert(afterAdvance == Map("00:00:00" -> 2L))
+      // late event inside the already-finalized window: dropped
+      input.addData((ts("2024-01-01 00:00:03"), 9.0))
+      query.processAllAvailable()
+      assert(spark.table("wm").as[(String, Long)].collect().toMap ==
+        Map("00:00:00" -> 2L))
+    } finally query.stop()
+  }
+}
