@@ -33,7 +33,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names =
+      if (args.nonEmpty) SparkEntry.queries.keys.toSeq.sorted.filter(args.contains)
+      else SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce) // warmup
     val results = names.map(n => n -> runOnce(n))
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

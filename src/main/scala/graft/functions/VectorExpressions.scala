@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expression for the vector hot path: sequential-fold dot
+  * product over two double arrays.
+  *
+  * Why an Expression and not a UDF: `doGenCode` emits a primitive loop
+  * directly into whole-stage codegen — no row boxing, no Seq conversion, no
+  * codegen fence. The interpreted path (`nullSafeEval`) reads the unsafe
+  * array buffers in place. Accumulation order is strictly left-to-right in
+  * both paths, so results are bit-identical to any sequential evaluation of
+  * the same doubles (the DuckDB oracle, the closure-based loop, and the
+  * `aggregate(zip_with(...))` HOF form all agree).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<DOUBLE> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration of graft's native SQL functions. */
+object GraftFunctions {
+
+  val functions: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("graft_dot", exprs => DotProduct(exprs(0), exprs(1)),
+      "graft_dot(a, b) - dot product of two ARRAY<DOUBLE> vectors"))
+
+  /** Session-scoped registration (temp functions) — used by the query layer
+    * and tests. Idempotent.
+    */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder, _) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** Cluster deployment hook: `--conf spark.sql.extensions=graft.functions.
+  * GraftExtensions` registers the functions permanently in every session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (name, builder, usage) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[DotProduct].getName, name, usage),
+        builder))
+    }
+}

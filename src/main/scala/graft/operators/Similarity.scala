@@ -24,21 +24,13 @@ object Similarity {
   /** Upcast a float vector column to double for stable arithmetic. */
   def toDoubleVec(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Sequential-fold dot product (deterministic element order). Implemented
-    * as a compiled closure rather than zip_with/aggregate: higher-order
-    * functions evaluate interpreted per element, while this JIT'd loop is
-    * ~10× faster on the brute-force pair scans — with bit-identical results
-    * (same left-to-right double accumulation).
+  /** Sequential-fold dot product (deterministic element order), backed by
+    * the native `DotProduct` Catalyst expression (graft.functions): codegen
+    * emits a primitive loop inside whole-stage codegen — no boxing, no UDF
+    * fence — with bit-identical left-to-right accumulation. Requires
+    * `GraftFunctions.register(spark)` (the query layer and SparkSpec do it).
     */
-  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
-    var s = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
-  })
-
-  def dot(a: Column, b: Column): Column = dotUdf(a, b)
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -12,9 +12,11 @@ import graft.sources.Tables
   */
 object SimilarityQueries {
 
-  private def corpus(s: SparkSession, d: String): DataFrame =
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Similarity.prepared(Tables.embeddings(s, d), "embedding")
       .select(col("vec_id"), col("vec"), col("nrm")).cache()
+  }
 
   /** DuckDB mirror of `corpus`: double-cast vectors with precomputed norms. */
   private val VCte =

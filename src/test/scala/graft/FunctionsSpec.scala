@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.functions.{GraftExtensions, GraftFunctions}
+
+/** Native Catalyst function registration + both evaluation paths. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_dot: SQL surface, null safety, length mismatch") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT graft_dot(array(1d,2d,3d), array(4d,5d,6d)) d")
+      .head().getDouble(0) == 32.0)
+    assert(spark.sql("SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1d)) d")
+      .head().isNullAt(0))
+    assert(spark.sql("SELECT graft_dot(array(1d,2d), array(3d)) d")
+      .head().getDouble(0) == 3.0)
+  }
+
+  test("graft_dot through whole-stage codegen over column data") {
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0)), (Seq(0.5, 0.5), Seq(2.0, 2.0)))
+      .toDF("a", "b")
+    val out = df.selectExpr("graft_dot(a, b) AS d").as[Double].collect().toSeq
+    assert(out == Seq(11.0, 2.0))
+  }
+
+  test("GraftExtensions wires injection without error") {
+    new GraftExtensions().apply(new SparkSessionExtensions)
+  }
+}
