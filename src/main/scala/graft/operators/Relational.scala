@@ -24,6 +24,25 @@ object Relational {
       .filter(col(rankCol) <= k)
   }
 
+  /** Skew-resistant equi-join: salt the probe (left) side into `buckets`
+    * sub-keys via a hash of its full row, and replicate the build (right)
+    * side across every bucket value, so one hot key's rows spread over
+    * `buckets` reducers instead of one. Row-identical to
+    * `left.join(right, keys)` — only the physical distribution changes.
+    * Use when a hot key dwarfs the rest and AQE's skew split doesn't apply
+    * (it only rewrites sort-merge joins); cost is `buckets`× replication of
+    * the right side, so keep the right side the smaller input.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val salted = left.withColumn("_salt",
+      pmod(hash(left.columns.map(col): _*), lit(buckets)))
+    val replicated = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, keys :+ "_salt").drop("_salt")
+  }
+
   /** Tagged disjoint comparison of two keyed sets: rows in both, only left,
     * only right. Three hash-aggregated branches over the same two inputs;
     * Catalyst reuses the exchange across branches.

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Status
+import graft.operators.Relational
+import graft.streaming.IngestPipeline
+
+/** Scale-mechanism tests: skew salting, bucketed co-located joins, and
+  * pipeline state recovery — the behaviors that matter at 100 TB but need
+  * deliberate fixtures to observe locally.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin is row-identical to the plain join under heavy skew") {
+    // one hot key (90% of rows) + a long tail
+    val left = ((1 to 900).map(i => (1L, s"row$i")) ++
+      (1 to 100).map(i => (i.toLong + 1, s"tail$i"))).toDF("k", "payload")
+    val right = (1 to 50).map(i => (i.toLong, s"dim$i")).toDF("k", "dim")
+    val plain = left.join(right, Seq("k"))
+      .select("k", "payload", "dim").as[(Long, String, String)].collect().sorted
+    val salted = Relational.saltedJoin(left, right, Seq("k"), 8)
+      .select("k", "payload", "dim").as[(Long, String, String)].collect().sorted
+    assert(salted.toSeq == plain.toSeq)
+    assert(plain.count(_._1 == 1L) == 900)
+  }
+
+  test("bucketed tables sort-merge join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be exchange-free, got:\n$plan")
+      assert(joined.count() == 6000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("pipeline state survives restart (versioned pointer recovery)") {
+    val stateDir = Files.createTempDirectory("graft-state").toString
+    val p1 = new IngestPipeline(spark, stateDir)
+    p1.processMicroBatch(Seq(("R", Seq(1L, 2L, 3L, 4L), "HIGH",
+      ts("2024-01-01 00:00:00"))).toDF("ingestion_id", "ids", "priority", "created_at"), 0)
+    assert(p1.overallStatus.as[(String, String)].collect().toMap ==
+      Map("R" -> Status.Triggered))
+    // fresh instance over the same state dir = process restart
+    val p2 = new IngestPipeline(spark, stateDir)
+    assert(p2.currentVersion == p1.currentVersion)
+    p2.processMicroBatch(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      p1.batchState.schema).limit(0).select(
+      col("ingestion_id"), col("ids"), col("priority"), col("created_at")), 1)
+    assert(p2.overallStatus.as[(String, String)].collect().toMap ==
+      Map("R" -> Status.Completed))
+    assert(p2.processedState.count() == 4)
+  }
+}
