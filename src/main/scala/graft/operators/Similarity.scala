@@ -137,4 +137,53 @@ object Similarity {
   /** Corpus cell assignment: each vector in exactly one centroid cell. */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame =
     probeCentroids(corpus, centroids, 1)
+
+  /** Lloyd k-means over the corpus, deterministic: seeds = the k smallest
+    * vec_ids, fixed iteration count, ties on centroid id. Per iteration:
+    * broadcast-assign (map-side), then element-wise mean via posexplode —
+    * the flat (cluster, dim, value) layout partial-aggregates map-side, so
+    * the shuffle carries k×dims cells no matter the corpus size. This is
+    * the production centroid source for IVF (vs. the arbitrary every-Nth
+    * seeds), trading `iters` extra passes for bucket quality.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    // centroid tables share the corpus contract (vec_id, vec, nrm) so they
+    // plug straight into probeCentroids/assignToCentroids
+    var cents = corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"), col("vec"), col("nrm"))
+    for (_ <- 1 to iters) {
+      val assigned = assignToCentroids(corpus, cents)
+      cents = assigned
+        .select(col("centroid_id"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("_p"))
+        .select(col("centroid_id").as("vec_id"),
+          transform(col("_p"), p => p.getField("m")).as("vec"))
+        .withColumn("nrm", norm(col("vec")))
+    }
+    cents
+  }
+
+  /** IVF search: assign corpus to cells once, probe the query's nprobe
+    * nearest cells, exact-rank within the probed buckets.
+    */
+  def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val assigned = assignToCentroids(corpus, centroids)
+    val q = probeCentroids(queries, centroids, nprobe)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"), col("centroid_id"))
+    val bucket = assigned.select(col("vec_id").as("neighbor_id"),
+      col("vec").as("cvec"), col("nrm").as("cnrm"), col("centroid_id"))
+    val scored = q.join(bucket, Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosineWithNorms(
+        col("qvec"), col("cvec"), col("qnrm"), col("cnrm")), 6))
+    Relational.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("sim"))
+  }
 }

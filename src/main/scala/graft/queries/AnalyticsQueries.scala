@@ -145,6 +145,40 @@ object AnalyticsQueries {
         round(percentile_approx(col("l_quantity"), lit(0.5), lit(100)), 2)
           .as("approx_med_qty"))),
 
+    // Correlated scalar subquery (Catalyst decorrelates to a join):
+    // orders above 2x their customer's average price. All arithmetic
+    // decimal-exact so the comparison is engine-deterministic.
+    "q45_correlated_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM orders_v o
+          |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+          |      (SELECT COUNT(*) FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+          |    > (SELECT 2 * SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          |       FROM orders_v i WHERE i.o_custkey = o.o_custkey)""".stripMargin)
+    }),
+
+    // Null semantics: NULLIF / COALESCE / null-safe equality vs plain
+    // equality (three-valued logic made visible).
+    "q46_null_semantics" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_no_p"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("UNKNOWN"))
+          .as("status_filled"),
+        (nullif(col("o_orderstatus"), lit("P")) <=> lit(null))
+          .as("is_p_nullsafe"),
+        (nullif(col("o_orderstatus"), lit("P")) === lit("O")).as("eq_o_3vl"))),
+
+    // Ordered string aggregation per group.
+    "q47_string_agg" -> ((s, d) =>
+      Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(col("o_orderkey"))), _.cast("string")))
+          .as("order_keys"),
+          count(lit(1)).as("n_orders"))),
+
     // Pivot: order counts per linestatus x returnflag.
     "q42_pivot" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy(col("l_linestatus"))
@@ -268,6 +302,30 @@ object AnalyticsQueries {
         |       min(o_totalprice) AS min_price,
         |       max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q45_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |    > (SELECT 2 * SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin,
+
+    "q46_null_semantics" ->
+      """SELECT o_orderkey,
+        |       nullif(o_orderstatus, 'P') AS status_no_p,
+        |       coalesce(nullif(o_orderstatus, 'P'), 'UNKNOWN') AS status_filled,
+        |       nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM NULL
+        |         AS is_p_nullsafe,
+        |       nullif(o_orderstatus, 'P') = 'O' AS eq_o_3vl
+        |FROM orders""".stripMargin,
+
+    "q47_string_agg" ->
+      """SELECT o_custkey,
+        |       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+        |         AS order_keys,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey""".stripMargin,
 
     "q42_pivot" ->
       """SELECT l_linestatus,

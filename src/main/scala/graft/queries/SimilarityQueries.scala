@@ -55,6 +55,15 @@ object SimilarityQueries {
           col("rank").cast("long").as("rank"), col("sim"))
     }),
 
+    // IVF with k-means centroids (the production centroid path). No SQL
+    // oracle (iterative float means aren't cross-engine stable); driver
+    // rows-only + recall comparison in SimilaritySpec.
+    "q48_ivf_kmeans" -> ((s, d) => {
+      val c = corpus(s, d)
+      val cents = Similarity.kmeansCentroids(c, 10, 3).cache()
+      Similarity.ivfTopK(c, cents, c.filter(col("vec_id") < 5), 5, 2)
+    }),
+
     // Embedding near-dup: all pairs with cosine >= 0.4 (brute force is the
     // oracle-checkable baseline; the scale path is IVF/LSH bucketing).
     "q30_embed_near_dup" -> ((s, d) =>
