@@ -29,9 +29,10 @@ object IngestOps {
     val ids = col(idsCol)
     val pri = col(priorityCol)
     requests.withColumn("error",
-      when(ids.isNull || size(ids) === 0, "ids must be a non-empty array")
+      when(ids.isNull || size(ids) === 0,
+        "Invalid input: ids array is required and cannot be empty.")
         .when(pri.isNull || !upper(pri).isin(Priority.Valid: _*),
-          "priority must be HIGH, MEDIUM or LOW")
+          "Invalid input: priority is required and must be HIGH, MEDIUM, or LOW.")
         .otherwise(lit(null).cast(StringType)))
   }
 

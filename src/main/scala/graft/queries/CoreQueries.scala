@@ -251,10 +251,10 @@ object CoreQueries {
       s"""$ReqCte
          |SELECT ingestion_key,
          |       CASE WHEN ids IS NULL OR len(ids) = 0
-         |              THEN 'ids must be a non-empty array'
+         |              THEN 'Invalid input: ids array is required and cannot be empty.'
          |            WHEN priority IS NULL
          |              OR upper(priority) NOT IN ('HIGH','MEDIUM','LOW')
-         |              THEN 'priority must be HIGH, MEDIUM or LOW'
+         |              THEN 'Invalid input: priority is required and must be HIGH, MEDIUM, or LOW.'
          |       END AS error
          |FROM req
          |WHERE ids IS NULL OR len(ids) = 0 OR priority IS NULL
