@@ -50,6 +50,7 @@ object CoreQueries {
         col("o_orderdate").as("created_at"))
       .join(ids, col("ingestion_key") === col("l_orderkey"), "left")
       .drop("l_orderkey")
+      .cache() // shared by q01-q06, q12; signature-table pattern (SCALE.md §4)
   }
 
   private def valid(spark: SparkSession, dir: String): DataFrame =
@@ -57,7 +58,7 @@ object CoreQueries {
 
   /** Queue jobs: one row per batch of ≤3 ids (O5 explode over O2-valid rows). */
   private[graft] def jobs(spark: SparkSession, dir: String): DataFrame =
-    IngestOps.explodeBatches(valid(spark, dir), BatchSize)
+    IngestOps.explodeBatches(valid(spark, dir), BatchSize).cache()
 
   /** Per-batch progress statuses derived from l_linestatus (row-form O5). */
   private[graft] def batchStatuses(spark: SparkSession, dir: String): DataFrame = {
@@ -75,6 +76,7 @@ object CoreQueries {
         when(col("_ao"), "yet_to_start")
           .when(col("_af"), "completed")
           .otherwise("triggered").as("status"))
+      .cache() // shared by q08-q10 and the flagship entry
   }
 
   // ------------------------------------------------------------ oracle CTEs

@@ -43,6 +43,34 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming session windows merge across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val sessions = EventTime.sessionize(
+      input.toDF().toDF("ts", "user_id").withWatermark("ts", "10 seconds"),
+      "ts", "30 seconds", Seq(col("user_id")),
+      Seq(count(lit(1)).as("n")))
+      .select(col("user_id"), date_format(col("session_start"), "HH:mm:ss").as("s"),
+        date_format(col("session_end"), "HH:mm:ss").as("e"), col("n"))
+    val query = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // two events 20s apart (same 30s-gap session) across separate batches
+      input.addData((ts("2024-01-01 00:00:00"), 7L))
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 00:00:20"), 7L))
+      query.processAllAvailable()
+      // advance watermark far past the session end to finalize it
+      input.addData((ts("2024-01-01 00:05:00"), 8L))
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 00:10:00"), 8L))
+      query.processAllAvailable()
+      val rows = spark.table("sess").as[(Long, String, String, Long)].collect().toSet
+      // the two user-7 events merged into ONE session [00:00:00, 00:00:50)
+      assert(rows.contains((7L, "00:00:00", "00:00:50", 2L)), s"got $rows")
+    } finally query.stop()
+  }
+
   test("watermark finalizes windows and drops late data") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Double)]
