@@ -15,6 +15,18 @@ object WindowQueries {
   private val Ts = "yyyy-MM-dd HH:mm:ss"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Semi-structured: JSON path extraction (string + typed) from
+    // events.props, then an aggregation over the extracted field.
+    "q49_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          count(when(col("k_str").isNull, 1)).as("n_missing"))),
+
     // Sliding windows: 10s duration, 5s slide — every event in exactly 2.
     "q36_sliding_window" -> ((s, d) =>
       EventTime.windowedAgg(Tables.events(s, d), "ts", "10 seconds", "5 seconds",
@@ -36,6 +48,13 @@ object WindowQueries {
           col("n_events"), col("sum_value"))))
 
   val oracles: Map[String, String] = Map(
+    "q49_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |       count(CASE WHEN json_extract_string(props, '$.k') IS NULL
+        |             THEN 1 END) AS n_missing
+        |FROM events GROUP BY event_type""".stripMargin,
+
     // Each event belongs to windows starting at bucket5(ts) and bucket5(ts)-5s.
     "q36_sliding_window" ->
       """SELECT strftime(time_bucket(INTERVAL '5 seconds', ts)
