@@ -57,12 +57,24 @@ class IngestPipeline(
 
   private def pointerFile = Paths.get(s"$stateDir/CURRENT")
 
-  def currentVersion: Long =
-    if (Files.exists(pointerFile)) Files.readString(pointerFile).trim.toLong else -1L
+  /** CURRENT holds "version lastCommittedBatchId" — swapped atomically as
+    * one file so version and replay watermark can never disagree.
+    */
+  private def readPointer: (Long, Long) =
+    if (!Files.exists(pointerFile)) (-1L, -1L)
+    else Files.readString(pointerFile).trim.split("\\s+") match {
+      case Array(v) => (v.toLong, -1L)
+      case Array(v, b, _*) => (v.toLong, b.toLong)
+    }
 
-  private def writePointer(v: Long): Unit = {
+  def currentVersion: Long = readPointer._1
+
+  /** Highest micro-batch id whose effects are fully committed. */
+  def lastCommittedBatchId: Long = readPointer._2
+
+  private def writePointer(v: Long, batchId: Long): Unit = {
     val tmp = Paths.get(s"$stateDir/CURRENT.tmp")
-    Files.writeString(tmp, v.toString)
+    Files.writeString(tmp, s"$v $batchId")
     Files.move(tmp, pointerFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
@@ -85,11 +97,32 @@ class IngestPipeline(
   /** Enriched output records (cumulative). */
   def processedState: DataFrame = readTable(currentVersion, "processed", ProcessedSchema)
 
-  private def persist(v: Long, tables: Map[String, DataFrame]): Unit = {
+  private def persist(v: Long, batchId: Long,
+      tables: Map[String, DataFrame]): Unit = {
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(versionPath(v, name))
     }
-    writePointer(v)
+    writePointer(v, batchId)
+  }
+
+  // Crash recovery: `triggered` is transient within one trigger, so any
+  // persisted triggered batch at construction time belongs to a trigger
+  // that died mid-flight — demote it so the scheduler re-admits it
+  // (the reference would leave it stuck; see SURVEY.md O13 note).
+  locally {
+    val (v, b) = readPointer
+    if (v >= 0) {
+      val batches = readTable(v, "batches", BatchStateSchema)
+      if (!batches.filter(col("status") === Status.Triggered).isEmpty) {
+        persist(v + 1, b, Map(
+          "batches" -> batches.withColumn("status",
+            when(col("status") === Status.Triggered, Status.YetToStart)
+              .otherwise(col("status"))),
+          "requests" -> readTable(v, "requests", RequestStateSchema),
+          "rejected" -> readTable(v, "rejected", RejectedSchema),
+          "processed" -> readTable(v, "processed", ProcessedSchema)))
+      }
+    }
   }
 
   // ------------------------------------------------------------ the trigger
@@ -98,6 +131,10 @@ class IngestPipeline(
     * exact per-trigger semantics without streaming machinery.
     */
   def processMicroBatch(microBatch: DataFrame, batchId: Long): Unit = {
+    // Idempotent replay: Structured Streaming re-delivers the in-flight
+    // micro-batch after a restart; a batch whose effects are already
+    // committed must be a no-op or requests/admissions would double.
+    if (batchId >= 0 && batchId <= lastCommittedBatchId) return
     val prevV = currentVersion
     val prevBatches = readTable(prevV, "batches", BatchStateSchema)
     val prevRequests = readTable(prevV, "requests", RequestStateSchema)
@@ -143,7 +180,10 @@ class IngestPipeline(
     // O13: persist `triggered` BEFORE enrichment so concurrent readers see it.
     val v = batchId.max(prevV + 1)
     val triggeredBatches = mark(batches, Status.Triggered).cache()
-    persist(v, Map(
+    // triggered snapshot commits under the PREVIOUS batch id: if the
+    // process dies before the final persist, the replay re-runs this batch
+    // (and the constructor demotes the orphaned `triggered` rows).
+    persist(v, lastCommittedBatchId, Map(
       "batches" -> triggeredBatches,
       "requests" -> requests,
       "rejected" -> rejected,
@@ -171,7 +211,7 @@ class IngestPipeline(
       .join(admitted, Seq("batch_id"), "left")
       .withColumn("status", when(col("_admit"), endStatus).otherwise(col("status")))
       .drop("_admit")
-    persist(v + StatusStep, Map(
+    persist(v + StatusStep, batchId, Map(
       "batches" -> finalBatches,
       "requests" -> requests,
       "rejected" -> rejected,

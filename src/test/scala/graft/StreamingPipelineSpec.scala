@@ -104,6 +104,36 @@ class StreamingPipelineSpec extends SparkSpec {
       Seq(0 -> Status.Completed, 1 -> Status.YetToStart))
   }
 
+  test("replayed micro-batch is a no-op (idempotent commit)") {
+    val p = newPipeline()
+    val r = reqs(("A", 1L to 6L, "MEDIUM", "2024-01-01 00:00:00"))
+    p.processMicroBatch(r, 0)
+    val before = (statuses(p), p.requestState.count(), p.processedState.count(),
+      p.currentVersion)
+    p.processMicroBatch(r, 0) // Structured Streaming redelivery after restart
+    val after = (statuses(p), p.requestState.count(), p.processedState.count(),
+      p.currentVersion)
+    assert(after == before)
+  }
+
+  test("crashed trigger: orphaned triggered batch demoted and re-admitted") {
+    val stateDir = Files.createTempDirectory("graft-state").toString
+    val p1 = new IngestPipeline(spark, stateDir)
+    p1.processMicroBatch(reqs(("A", 1L to 6L, "MEDIUM", "2024-01-01 00:00:00")), 0)
+    // simulate dying between the triggered persist and the final persist:
+    // rewind CURRENT to the triggered snapshot (version 0, nothing committed)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$stateDir/CURRENT"), "0 -1")
+    val p2 = new IngestPipeline(spark, stateDir) // recovery sweep runs here
+    assert(statuses(p2) ==
+      Map(("A", 0) -> Status.YetToStart, ("A", 1) -> Status.YetToStart))
+    p2.processMicroBatch(reqs(), 0) // replayed trigger id
+    assert(statuses(p2)(("A", 0)) == Status.Completed)
+    p2.processMicroBatch(reqs(), 1)
+    assert(statuses(p2) ==
+      Map(("A", 0) -> Status.Completed, ("A", 1) -> Status.Completed))
+  }
+
   test("streaming wiring: MemoryStream + heartbeat drains the queue") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[IngestRequest]
