@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.model.{Priority, Status}
+import graft.operators.{Dedup, IngestOps}
+
+/** ScalaCheck properties for the algebraic operators (SURVEY.md §5):
+  * chunking is a partition of the input, the rollup lattice matches its
+  * reference definition, dequeue returns the sort-key minimum, jaccard is
+  * a bounded symmetric similarity.
+  */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-props")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def sq = { val s = spark; import s.implicits._; s }
+
+  property("chunkArray partitions ids into full batches + short tail") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(1L, 1000000007L)),
+      Gen.choose(1, 7)) { (ids, bs) =>
+      val s = spark
+      import s.implicits._
+      val batches = Seq(Tuple1(ids)).toDF("ids")
+        .select(IngestOps.chunkArray(col("ids"), bs).as("b"))
+        .as[Seq[Seq[Long]]].head()
+      batches.flatten == ids &&
+        batches.init.forall(_.size == bs) &&
+        batches.last.nonEmpty && batches.last.size <= bs
+    }
+
+  property("rollup lattice matches the reference definition") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf(Status.All))) { statuses =>
+      val s = spark
+      import s.implicits._
+      val rolled = IngestOps.rollupStatus(
+        statuses.map(("req", _)).toDF("ingestion_id", "status"))
+        .as[(String, String)].head()._2
+      val expected =
+        if (statuses.forall(_ == Status.YetToStart)) Status.YetToStart
+        else if (statuses.forall(_ == Status.Completed)) Status.Completed
+        else Status.Triggered
+      rolled == expected
+    }
+
+  private val jobGen = for {
+    id <- Gen.uuid.map(_.toString.take(8))
+    pri <- Gen.oneOf(Priority.Valid)
+    t <- Gen.choose(0L, 1000000L)
+  } yield (id, pri, new java.sql.Timestamp(t))
+
+  property("dequeue returns the (rank, created_at, id) minimum") =
+    forAll(Gen.nonEmptyListOf(jobGen)) { jobs =>
+      val s = spark
+      import s.implicits._
+      val df = jobs.toDF("ingestion_id", "priority", "created_at")
+      val got = IngestOps.dequeue(df, 1, "priority", "created_at",
+        col("ingestion_id")).as[(String, String, java.sql.Timestamp)].head()
+      val rank = Map("HIGH" -> 1, "MEDIUM" -> 2, "LOW" -> 3)
+      val want = jobs.minBy { case (id, p, t) => (rank(p), t.getTime, id) }
+      (got._1, got._2, got._3.getTime) == ((want._1, want._2, want._3.getTime))
+    }
+
+  property("jaccard is bounded, symmetric, 1 on self") =
+    forAll(Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e")),
+      Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e"))) { (xs, ys) =>
+      val s = spark
+      import s.implicits._
+      val Seq(jab, jba, jaa) = Seq((xs, ys), (ys, xs), (xs, xs)).toDF("x", "y")
+        .select(Dedup.jaccard(col("x"), col("y")).as("j"))
+        .as[Double].collect().toSeq
+      jab >= 0.0 && jab <= 1.0 && jab == jba &&
+        (xs.isEmpty || jaa == 1.0)
+    }
+}
