@@ -54,6 +54,6 @@ object AsofJoin {
 
     val leftCols = left.columns.map(col)
     val attached = rightValues.map(c => col("_asof").getField(c).as(c))
-    filled.filter(col("_src") === 1).select(leftCols ++ attached: _*)
+    filled.filter(col("_src") === 1).select(leftCols.toSeq ++ attached: _*)
   }
 }

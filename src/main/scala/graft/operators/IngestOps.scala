@@ -73,7 +73,7 @@ object IngestOps {
       idsCol: String = "ids"): DataFrame = {
     val others = requests.columns.filter(_ != idsCol).map(col)
     requests
-      .select(others :+ posexplode(chunkArray(col(idsCol), batchSize)): _*)
+      .select(others.toSeq :+ posexplode(chunkArray(col(idsCol), batchSize)): _*)
       .withColumnRenamed("pos", "batch_idx")
       .withColumnRenamed("col", idsCol)
   }
@@ -141,7 +141,7 @@ object IngestOps {
     val spark = df.sparkSession
     val sorted = df.orderBy(sortCols: _*)
     val schema = sorted.schema.add(StructField(outCol, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     spark.createDataFrame(rdd, schema)

@@ -37,7 +37,7 @@ object Relational {
       buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val salted = left.withColumn("_salt",
-      pmod(hash(left.columns.map(col): _*), lit(buckets)))
+      pmod(hash(left.columns.toSeq.map(col): _*), lit(buckets)))
     val replicated = right.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, keys :+ "_salt").drop("_salt")

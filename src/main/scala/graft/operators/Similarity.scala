@@ -131,7 +131,7 @@ object Similarity {
         cosineWithNorms(col("vec"), col("centvec"), col("nrm"), col("centnrm")), 6))
     Relational.topKPerGroup(scored, Seq(col("vec_id")),
         Seq(col("csim").desc, col("centroid_id").asc), nprobe, "crank")
-      .select(corpus.columns.map(col) :+ col("centroid_id"): _*)
+      .select(corpus.columns.toSeq.map(col) :+ col("centroid_id"): _*)
   }
 
   /** Corpus cell assignment: each vector in exactly one centroid cell. */

@@ -145,6 +145,58 @@ object AnalyticsQueries {
         round(percentile_approx(col("l_quantity"), lit(0.5), lit(100)), 2)
           .as("approx_med_qty"))),
 
+    // TPC-H Q3 shape: top-10 revenue orders for one market segment with
+    // date predicates (pushed to both fact scans).
+    "q50_shipping_priority" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), Ts).as("o_orderdate"), col("revenue"))
+    }),
+
+    // TPC-H Q5 shape: revenue by nation where customer and supplier share
+    // the nation, one region, one year.
+    "q51_local_supplier_volume" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+          col("l_discount"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val su = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)")))
+          .cast("double").as("revenue"))
+    }),
+
     // Correlated scalar subquery (Catalyst decorrelates to a join):
     // orders above 2x their customer's average price. All arithmetic
     // decimal-exact so the comparison is engine-deterministic.
@@ -302,6 +354,35 @@ object AnalyticsQueries {
         |       min(o_totalprice) AS min_price,
         |       max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q50_shipping_priority" ->
+      """SELECT o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
+        |         AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q51_local_supplier_volume" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
+        |         AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
 
     "q45_correlated_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
