@@ -50,6 +50,21 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned writes prune partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val langs = new java.io.File(dir).list().filter(_.startsWith("lang=")).sorted
+    assert(langs.length == 5, s"expected 5 lang partitions, got ${langs.toSeq}")
+    val q = spark.read.parquet(dir).filter(col("lang") === "en")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter should prune partitions:\n$plan")
+    val total = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("lang") === "en").count()
+    assert(q.count() == total)
+  }
+
   test("pipeline state survives restart (versioned pointer recovery)") {
     val stateDir = Files.createTempDirectory("graft-state").toString
     val p1 = new IngestPipeline(spark, stateDir)
