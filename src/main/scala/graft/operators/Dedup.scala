@@ -109,6 +109,45 @@ object Dedup {
   /** Hamming distance between two simhash sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Connected components over an undirected pair graph (src,dst) — the
+    * dedup end-step that turns near-dup PAIRS into duplicate CLUSTERS with
+    * a deterministic canonical (the minimum id reachable). Iterative
+    * neighbor-min label propagation: converges in O(component diameter)
+    * rounds, and near-dup graphs are unions of near-cliques, so 2–3 rounds
+    * in practice (`maxIter` bounds pathological chains). Each round is one
+    * keyed join + aggregate; at 100 TB the labels/edges tables partition by
+    * node id and the driver only sees the one-row convergence check.
+    * Only nodes that appear in a pair are returned (singletons are their
+    * own canonical by definition).
+    */
+  def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 10): DataFrame = {
+    val sym = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct().cache()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("node").as("dst"), col("label").as("nlabel")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("nlabel")).as("nlabel"))
+      val updated = labels
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      converged = updated
+        .join(labels.withColumnRenamed("label", "_old"), Seq("node"))
+        .filter(col("label") =!= col("_old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
   /** Exact dedup: canonical row per duplicate group (min id wins —
     * deterministic, unlike dropDuplicates' arbitrary row). One shuffle on
     * the group hash.

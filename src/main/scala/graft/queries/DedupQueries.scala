@@ -106,6 +106,23 @@ object DedupQueries {
           Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac"))
     }),
 
+    // Near-dup CLUSTERS: connected components over the verified LSH pair
+    // graph; canonical = min doc_id in the cluster.
+    "q52_dedup_clusters" -> ((s, d) => {
+      val m = minhashed(s, d)
+        .withColumn("bands", Dedup.lshBands(col("sig"), 4, 2)).cache()
+      val cand = Dedup.candidatePairs(m, "doc_id", "bands")
+      val sh = shingled(s, d).cache()
+      val verified = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+        .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.connectedComponents(verified, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("cluster_id"),
+          (col("node") === col("cluster_id")).as("is_canonical"))
+    }),
+
     // 60-bit SimHash sketch per document.
     "q26_simhash_sig" -> ((s, d) => simhashed(s, d)),
 
@@ -168,6 +185,34 @@ object DedupQueries {
          |       END AS jac
          |FROM sh a, sh b
          |WHERE a.doc_id % 25 = 0 AND b.doc_id % 25 = 0 AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q52_dedup_clusters" ->
+      s"""${MhCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS (
+         |  SELECT doc_id, i AS band, md5(sig[2*i+1] || sig[2*i+2]) AS bh
+         |  FROM mh, UNNEST(range(0, 4)) u(i)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |), verified AS (
+         |  SELECT doc_a, doc_b
+         |  FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+         |            JOIN sh y ON cand.doc_b = y.doc_id
+         |  WHERE len(list_distinct(list_intersect(x.shingles, y.shingles))) /
+         |        (len(list_distinct(x.shingles)) + len(list_distinct(y.shingles))
+         |         - len(list_distinct(list_intersect(x.shingles, y.shingles)))) >= 0.5
+         |), edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM verified
+         |  UNION SELECT doc_b, doc_a FROM verified
+         |), reach AS (
+         |  SELECT DISTINCT s AS node, s AS r FROM edges
+         |  UNION
+         |  SELECT reach.node, edges.d
+         |  FROM reach JOIN edges ON reach.r = edges.s
+         |)
+         |SELECT node AS doc_id, min(r) AS cluster_id,
+         |       node = min(r) AS is_canonical
+         |FROM reach GROUP BY node""".stripMargin,
 
     "q26_simhash_sig" ->
       s"""$SimCte SELECT doc_id, simhash FROM sim""".stripMargin,

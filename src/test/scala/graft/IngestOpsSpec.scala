@@ -164,6 +164,16 @@ class IngestOpsSpec extends SparkSpec {
     assert(out == Map(1 -> "de", 2 -> "und"))
   }
 
+  test("connectedComponents: chain, clique, pair -> min-id clusters") {
+    // chain 1-2-3, clique 10-11-12 (all pairs), pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L),
+      (21L, 20L)).toDF("src", "dst")
+    val cc = Dedup.connectedComponents(pairs, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("jaccard: identical=1, disjoint=0") {
     val df = Seq((Seq("a b c", "b c d"), Seq("a b c", "b c d"), Seq("x y z")))
       .toDF("s1", "s2", "s3")
