@@ -23,6 +23,36 @@ object EventTime {
       .withColumn("window_end", col("w.end"))
       .drop("w")
 
+  /** Self range-join: all pairs of rows sharing `key` whose event times lie
+    * within `maxGapMicros` of each other, WITHOUT a quadratic cross join.
+    * The bin trick: bucket rows by floor(time / gap); a qualifying pair's
+    * bins differ by at most 1, so probing each row's bin and its two
+    * neighbors finds every pair exactly once (the probe hits the partner's
+    * concrete bin exactly once). The join is a plain equi-join on
+    * (key, bin) — shuffle-partitioned, 3× replication of one side, no
+    * BroadcastNestedLoop. Pairs are emitted once with idA < idB and the
+    * signed time delta.
+    */
+  def selfRangeJoinBinned(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, maxGapMicros: Long): DataFrame = {
+    require(maxGapMicros > 0)
+    val binned = df.select(col(keyCol), col(idCol),
+      unix_micros(col(tsCol)).as("_us"))
+      .withColumn("_bin", floor(col("_us") / maxGapMicros))
+    val a = binned.select(col(keyCol), col(idCol).as("id_a"),
+      col("_us").as("us_a"), col("_bin"))
+    val b = binned
+      .withColumn("_bin", explode(array(col("_bin") - 1, col("_bin"),
+        col("_bin") + 1)))
+      .select(col(keyCol), col(idCol).as("id_b"), col("_us").as("us_b"),
+        col("_bin"))
+    a.join(b, Seq(keyCol, "_bin"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("us_b") - col("us_a")) <= maxGapMicros)
+      .select(col(keyCol), col("id_a"), col("id_b"),
+        (col("us_b") - col("us_a")).as("dt_us"))
+  }
+
   /** Session windows per key with a fixed inactivity gap: session ends when
     * `gap` passes with no event; session end = last event + gap (Spark
     * semantics: an event at exactly session end opens a NEW session).

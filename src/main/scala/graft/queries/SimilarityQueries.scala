@@ -72,7 +72,39 @@ object SimilarityQueries {
         .filter(col("sim") >= 0.4)
         .select(col("id_a"), col("id_b"), col("sim"))))
 
+  /** Verified embedding near-dup pairs (the q30 lineage). */
+  private def embedPairs(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForcePairs(corpus(s, d), 0.4 - 1e-6)
+      .withColumn("sim", round(col("sim_raw"), 6))
+      .filter(col("sim") >= 0.4)
+      .select(col("id_a"), col("id_b"))
+
+  val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Embedding duplicate clusters: connected components over the cosine
+    // near-dup pair graph, min-id canonical.
+    "q53_embed_dup_clusters" -> ((s, d) =>
+      graft.operators.Dedup.connectedComponents(embedPairs(s, d), "id_a", "id_b")
+        .select(col("node").as("vec_id"), col("cluster_id"),
+          (col("node") === col("cluster_id")).as("is_canonical"))))
+
   val oracles: Map[String, String] = Map(
+    "q53_embed_dup_clusters" ->
+      s"""${VCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM n a, n b
+         |  WHERE a.vec_id < b.vec_id
+         |    AND round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.4
+         |), edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |), reach AS (
+         |  SELECT DISTINCT s AS node, s AS r FROM edges
+         |  UNION
+         |  SELECT reach.node, edges.d FROM reach JOIN edges ON reach.r = edges.s
+         |)
+         |SELECT node AS vec_id, min(r) AS cluster_id,
+         |       node = min(r) AS is_canonical
+         |FROM reach GROUP BY node""".stripMargin,
     "q28_cosine_topk" ->
       s"""$VCte, scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

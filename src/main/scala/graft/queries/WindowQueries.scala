@@ -27,6 +27,15 @@ object WindowQueries {
           sum(col("k")).as("sum_k"),
           count(when(col("k_str").isNull, 1)).as("n_missing"))),
 
+    // Binned self range-join: same-user event pairs within 30 minutes —
+    // the scalable non-equi time join (equi-join on (key, time-bin), 3x
+    // replication, no nested loop).
+    "q54_range_join" -> ((s, d) =>
+      EventTime.selfRangeJoinBinned(
+        Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts")),
+        "user_id", "ts", "event_id", 1800L * 1000000L)
+        .select(col("user_id"), col("id_a"), col("id_b"), col("dt_us"))),
+
     // Sliding windows: 10s duration, 5s slide — every event in exactly 2.
     "q36_sliding_window" -> ((s, d) =>
       EventTime.windowedAgg(Tables.events(s, d), "ts", "10 seconds", "5 seconds",
@@ -48,6 +57,13 @@ object WindowQueries {
           col("n_events"), col("sum_value"))))
 
   val oracles: Map[String, String] = Map(
+    "q54_range_join" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |       epoch_ns(b.ts)//1000 - epoch_ns(a.ts)//1000 AS dt_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_ns(b.ts)//1000 - epoch_ns(a.ts)//1000) <= 1800000000""".stripMargin,
+
     "q49_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,

@@ -31,6 +31,12 @@ class ScaleSpec extends SparkSpec {
   test("bucketed tables sort-merge join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // DROP TABLE on the in-memory catalog leaves orphan dirs behind if a
+    // previous JVM died mid-test — clear the locations too
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, t))
+    }
     graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("b_orders")
