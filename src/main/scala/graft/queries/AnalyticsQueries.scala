@@ -145,6 +145,18 @@ object AnalyticsQueries {
         round(percentile_approx(col("l_quantity"), lit(0.5), lit(100)), 2)
           .as("approx_med_qty"))),
 
+    // Distribution window functions: percent_rank/cume_dist (exact rational
+    // formulas, engine-identical) and ntile.
+    "q55_distribution_windows" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
     // TPC-H Q3 shape: top-10 revenue orders for one market segment with
     // date predicates (pushed to both fact scans).
     "q50_shipping_priority" -> ((s, d) => {
@@ -354,6 +366,15 @@ object AnalyticsQueries {
         |       min(o_totalprice) AS min_price,
         |       max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q55_distribution_windows" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
 
     "q50_shipping_priority" ->
       """SELECT o_orderkey,

@@ -43,6 +43,26 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup suppresses duplicate ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val deduped = input.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "1 minute")
+      .dropDuplicatesWithinWatermark("event_id")
+    val query = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:01")))
+      query.processAllAvailable()
+      // same ids redelivered in a LATER micro-batch, still inside watermark
+      input.addData((1L, ts("2024-01-01 00:00:05")), (3L, ts("2024-01-01 00:00:06")))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"duplicate suppressed once, got $ids")
+    } finally query.stop()
+  }
+
   test("streaming session windows merge across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
