@@ -29,7 +29,22 @@ object AsofJoin {
     */
   def backward(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTime: String, rightTime: String,
-      rightValues: Seq[String]): DataFrame = {
+      rightValues: Seq[String]): DataFrame =
+    asof(left, right, on, leftTime, rightTime, rightValues, forward = false)
+
+  /** Forward as-of: the EARLIEST right row with `rightTime >= leftTime`
+    * (inclusive). Same union-and-fill mechanics with the scan order
+    * reversed: walking time descending, the last right payload seen is the
+    * smallest right time at or after the current left row.
+    */
+  def forward(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTime: String, rightTime: String,
+      rightValues: Seq[String]): DataFrame =
+    asof(left, right, on, leftTime, rightTime, rightValues, forward = true)
+
+  private def asof(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTime: String, rightTime: String,
+      rightValues: Seq[String], forward: Boolean): DataFrame = {
     val payloadType = org.apache.spark.sql.types.StructType(
       right.select(rightValues.map(col): _*).schema.map(_.copy(nullable = true)))
 
@@ -47,8 +62,9 @@ object AsofJoin {
 
     // unionByName with missing-column fill keeps each side's schema minimal.
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    val timeOrder = if (forward) col("_t").desc else col("_t").asc
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("_t").asc, col("_src").asc)
+      .orderBy(timeOrder, col("_src").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn("_asof", last(col("_rv"), ignoreNulls = true).over(w))
 

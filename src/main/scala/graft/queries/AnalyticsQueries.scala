@@ -260,6 +260,22 @@ object AnalyticsQueries {
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
           col("n"), col("gid"))),
 
+    // Forward as-of: each order picks up the customer's next event at or
+    // after the order date (null when the customer has no events).
+    "q56_asof_forward" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey").as("user_id"), col("o_orderdate"))
+      val r = Tables.events(s, d)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(min(col("event_id")).as("next_event"))
+      AsofJoin.forward(o, r, Seq("user_id"), "o_orderdate", "ts",
+          Seq("next_event", "ts"))
+        .select(col("o_orderkey"), col("user_id"),
+          date_format(col("o_orderdate"), Ts).as("o_orderdate"),
+          col("next_event"),
+          date_format(col("ts"), Ts).as("next_ts"))
+    }),
+
     // As-of join: each event picks up the user's most recent prior order.
     "q21_asof_join" -> ((s, d) => {
       val e = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
@@ -443,6 +459,18 @@ object AnalyticsQueries {
         |       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q56_asof_forward" ->
+      """WITH r AS (
+        |  SELECT user_id AS r_user, ts, min(event_id) AS next_event
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT o.o_orderkey, o.o_custkey AS user_id,
+        |       strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        |       r.next_event,
+        |       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS next_ts
+        |FROM orders o
+        |ASOF LEFT JOIN r ON o.o_custkey = r.r_user AND o.o_orderdate <= r.ts""".stripMargin,
 
     "q21_asof_join" ->
       """WITH r AS (
