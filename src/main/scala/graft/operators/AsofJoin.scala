@@ -4,9 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join: for each left row, attach the latest right row with
-  * `rightTime <= leftTime` within the same key group (inclusive, like
-  * DuckDB/kdb ASOF).
+/** As-of joins (backward and forward): for each left row, attach the
+  * closest right row in the same key group — `backward` the latest with
+  * `rightTime <= leftTime`, `forward` the earliest with
+  * `rightTime >= leftTime` (both inclusive, like DuckDB/kdb ASOF). Null
+  * event times never match (SQL semantics): null-time right rows are
+  * dropped, null-time left rows get null payloads.
   *
   * Spark has no native as-of operator, so this uses the scalable
   * union-and-fill pattern instead of a range join: tag both sides, union,
@@ -19,6 +22,9 @@ import org.apache.spark.sql.functions._
   *
   * Right-side rows that tie on (key, time) must be pre-deduplicated by the
   * caller (the reference of "which ties win" is otherwise engine-specific).
+  * Column names `_t`, `_src`, `_rv`, `_asof` are reserved working names and
+  * must not appear in either input; `rightValues` names must not collide
+  * with left columns (both enforced).
   */
 object AsofJoin {
 
@@ -45,6 +51,13 @@ object AsofJoin {
   private def asof(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTime: String, rightTime: String,
       rightValues: Seq[String], forward: Boolean): DataFrame = {
+    val reserved = Seq("_t", "_src", "_rv", "_asof")
+    val collisions = (left.columns ++ right.columns).filter(reserved.contains)
+    require(collisions.isEmpty,
+      s"as-of inputs must not contain reserved columns ${collisions.toSeq}")
+    val overlaps = rightValues.filter(left.columns.contains)
+    require(overlaps.isEmpty,
+      s"rightValues collide with left columns: $overlaps")
     val payloadType = org.apache.spark.sql.types.StructType(
       right.select(rightValues.map(col): _*).schema.map(_.copy(nullable = true)))
 
@@ -54,6 +67,7 @@ object AsofJoin {
       .withColumn("_rv", lit(null).cast(payloadType))
     val keep = (on ++ Seq(rightTime) ++ rightValues).distinct
     val r = right
+      .filter(col(rightTime).isNotNull) // null time never matches
       .select(keep.map(col): _*)
       .withColumn("_t", col(rightTime))
       .withColumn("_src", lit(0))
@@ -69,7 +83,9 @@ object AsofJoin {
     val filled = unioned.withColumn("_asof", last(col("_rv"), ignoreNulls = true).over(w))
 
     val leftCols = left.columns.map(col)
-    val attached = rightValues.map(c => col("_asof").getField(c).as(c))
+    // a null left time matches nothing (SQL comparison semantics)
+    val attached = rightValues.map(c =>
+      when(col("_t").isNotNull, col("_asof").getField(c)).as(c))
     filled.filter(col("_src") === 1).select(leftCols.toSeq ++ attached: _*)
   }
 }

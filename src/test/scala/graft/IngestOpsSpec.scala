@@ -164,6 +164,36 @@ class IngestOpsSpec extends SparkSpec {
     assert(out == Map(1 -> "de", 2 -> "und"))
   }
 
+  test("asof forward: boundary tie inclusive; no later row -> null; null time -> null") {
+    val left = Seq(
+      (1L, "u1", Option(ts("2024-01-02 00:00:00"))), // == right ts -> match
+      (2L, "u1", Option(ts("2024-01-03 00:00:00"))), // after all rights -> null
+      (3L, "u1", Option.empty[java.sql.Timestamp])   // null time -> null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(("u1", ts("2024-01-02 00:00:00"), 42L),
+      ("u1", ts("2024-01-01 00:00:00"), 7L))
+      .toDF("user_id", "rts", "payload")
+    val out = AsofJoin.forward(left, right, Seq("user_id"), "ts", "rts",
+      Seq("payload")).select("event_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out == Map(1L -> Some(42L), 2L -> None, 3L -> None))
+  }
+
+  test("asof rejects reserved and colliding column names") {
+    val left = Seq((1L, "u", ts("2024-01-01 00:00:00")))
+      .toDF("id", "user_id", "ts")
+    val right = Seq(("u", ts("2024-01-01 00:00:00"), 1L))
+      .toDF("user_id", "rts", "id")
+    intercept[IllegalArgumentException] {
+      AsofJoin.backward(left, right, Seq("user_id"), "ts", "rts", Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoin.backward(left.withColumn("_t", lit(1)), right,
+        Seq("user_id"), "ts", "rts", Seq("rts"))
+    }
+  }
+
   test("connectedComponents: chain, clique, pair -> min-id clusters") {
     // chain 1-2-3, clique 10-11-12 (all pairs), pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L),
