@@ -162,9 +162,17 @@ class IngestPipeline(
     val newRequests = valid.select(col("ingestion_id"), col("priority"),
       col("created_at"), size(col("ids")).cast("long").as("n_ids"))
 
-    val batches = prevBatches.unionByName(newBatches)
-    val requests = prevRequests.unionByName(newRequests)
+    // First-wins merge (anti-join on the key, NOT a blind union): a crash
+    // between the triggered persist and the final persist makes Structured
+    // Streaming redeliver the same rows — and clients may resubmit an
+    // ingestion_id — so already-known keys must keep their existing state.
+    val batches = prevBatches.unionByName(
+      newBatches.join(prevBatches.select("batch_id"), Seq("batch_id"), "left_anti"))
+    val requests = prevRequests.unionByName(
+      newRequests.join(prevRequests.select("ingestion_id"), Seq("ingestion_id"),
+        "left_anti"))
     val rejected = prevRejected.unionByName(newRejected)
+      .dropDuplicates("ingestion_id", "error")
 
     // O7/O8/O15: re-rank ALL still-pending batches, admit the top k.
     val admitted = IngestOps.dequeue(
@@ -190,27 +198,42 @@ class IngestPipeline(
       "processed" -> prevProcessed))
 
     // O11: enrichment of admitted ids (mapPartitions — connector-shaped).
-    val admittedIds = triggeredBatches.filter(col("status") === Status.Triggered)
-      .join(admitted, Seq("batch_id"), "left_semi")
-      .select(explode(col("ids")).as("id"))
-    // Force the fetches NOW (cache + count) so a connector failure is caught
-    // here and flips the batch to `failed` instead of escaping the trigger.
-    val (newProcessed, endStatus) =
+    // One enrichment job PER BATCH so a single connector failure marks only
+    // its own batch failed (the reference's semantics) instead of the whole
+    // admission set; k = admitPerTrigger is O(1), so the driver loop is too.
+    // Only NonFatal errors become `failed` — cancellation/OOM must escape so
+    // crash recovery (not a terminal failed state) handles them.
+    val admittedKeys = admitted.select(col("batch_id")).collect().map(_.getString(0))
+    val results = admittedKeys.map { bid =>
+      val ids = triggeredBatches.filter(col("batch_id") === bid)
+        .select(explode(col("ids")).as("id"))
       try {
-        val p = IngestOps.enrichWith(admittedIds, "id")(fetch).cache()
-        p.count()
-        (p, Status.Completed)
+        val p = IngestOps.enrichWith(ids, "id")(fetch).cache()
+        p.count() // force the fetches now
+        bid -> Some(p)
       } catch {
-        case _: Throwable =>
-          (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ProcessedSchema),
-            Status.Failed)
+        case scala.util.control.NonFatal(_) => bid -> None
       }
+    }
+    val newProcessed = results.flatMap(_._2) match {
+      case ps if ps.nonEmpty => ps.reduce(_ unionByName _)
+      case _ => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ProcessedSchema)
+    }
 
-    // O14: completed (or failed) after the fetches.
+    // O14: completed (or failed) per batch after its fetches.
+    val statusRows = results.map { case (bid, r) =>
+      (bid, if (r.isDefined) Status.Completed else Status.Failed)
+    }.toSeq
+    val endStatuses =
+      if (statusRows.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(StructField("batch_id", StringType),
+            StructField("_end", StringType))))
+      else spark.createDataFrame(statusRows).toDF("batch_id", "_end")
     val finalBatches = triggeredBatches
-      .join(admitted, Seq("batch_id"), "left")
-      .withColumn("status", when(col("_admit"), endStatus).otherwise(col("status")))
-      .drop("_admit")
+      .join(endStatuses, Seq("batch_id"), "left")
+      .withColumn("status", coalesce(col("_end"), col("status")))
+      .drop("_end")
     persist(v + StatusStep, batchId, Map(
       "batches" -> finalBatches,
       "requests" -> requests,
@@ -218,6 +241,27 @@ class IngestPipeline(
       "processed" -> prevProcessed.unionByName(newProcessed.select(col("id"),
         col("data")))))
     triggeredBatches.unpersist()
+    results.foreach(_._2.foreach(_.unpersist()))
+    pruneVersions(keepFrom = v)
+  }
+
+  /** Delete snapshot versions more than `RetainedPairs` trigger-pairs old.
+    * The retention window is the grace period for concurrent readers (status
+    * polls pin a version lazily, then read); several pairs cover any
+    * realistic read latency even under sub-second triggers, while disk stays
+    * O(RetainedPairs × state), not O(history).
+    */
+  private def pruneVersions(keepFrom: Long): Unit = {
+    val horizon = keepFrom - RetainedPairs * (1 + StatusStep)
+    val dir = new java.io.File(stateDir)
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.startsWith("v")) {
+        val ver = f.getName.drop(1).toLongOption
+        if (ver.exists(_ < horizon)) {
+          org.apache.commons.io.FileUtils.deleteQuietly(f)
+        }
+      }
+    }
   }
 
   // ------------------------------------------------------------ streaming
@@ -247,19 +291,35 @@ class IngestPipeline(
 
   // ------------------------------------------------------------ read path
 
-  /** O17/O20: overall status per request, recomputed from live batch state. */
-  def overallStatus: DataFrame =
-    IngestOps.rollupAgainstRequests(requestState, batchState)
+  /** O17/O20: overall status per request, recomputed from live batch state.
+    * Both tables are read from ONE pinned version so a concurrent trigger
+    * commit can never produce a mixed-version (torn) view.
+    */
+  def overallStatus: DataFrame = {
+    val v = currentVersion
+    IngestOps.rollupAgainstRequests(
+      readTable(v, "requests", RequestStateSchema),
+      readTable(v, "batches", BatchStateSchema))
+  }
 
-  /** O18/O19: the status endpoint — overall + per-batch public projection. */
-  def statusOf(ingestionId: String): DataFrame =
-    IngestOps.statusLookup(requestState, batchState, lit(ingestionId))
+  /** O18/O19: the status endpoint — overall + per-batch public projection
+    * (single pinned version, same torn-read guarantee as overallStatus).
+    */
+  def statusOf(ingestionId: String): DataFrame = {
+    val v = currentVersion
+    IngestOps.statusLookup(
+      readTable(v, "requests", RequestStateSchema),
+      readTable(v, "batches", BatchStateSchema), lit(ingestionId))
+  }
 }
 
 object IngestPipeline {
   /** Completed-state versions are odd offsets so triggered snapshots and
     * final snapshots never collide. */
   private val StatusStep = 1000000L
+
+  /** Snapshot pairs kept for concurrent readers before pruning. */
+  private val RetainedPairs = 8L
 
   val RequestStateSchema: StructType = StructType(Seq(
     StructField("ingestion_id", StringType),

@@ -41,14 +41,23 @@ object StatusStateMachine {
     import spark.implicits._
     events
       .groupByKey(_.ingestion_id)
-      .mapGroupsWithState[Map[String, String], IngestionStatus](GroupStateTimeout.NoTimeout) {
-        (id: String, evs: Iterator[BatchEvent], state: GroupState[Map[String, String]]) =>
+      // state keeps (status, eventTimeMs) per batch so a LATE or redelivered
+      // older event (normal under at-least-once sources) cannot regress an
+      // already-advanced status — only strictly newer events win.
+      .mapGroupsWithState[Map[String, (String, Long)], IngestionStatus](
+        GroupStateTimeout.NoTimeout) {
+        (id: String, evs: Iterator[BatchEvent],
+            state: GroupState[Map[String, (String, Long)]]) =>
           val merged = evs.toSeq.sortBy(_.ts.getTime)
-            .foldLeft(state.getOption.getOrElse(Map.empty[String, String])) {
-              (acc, e) => acc + (e.batch_id -> e.status)
+            .foldLeft(state.getOption.getOrElse(Map.empty[String, (String, Long)])) {
+              (acc, e) =>
+                acc.get(e.batch_id) match {
+                  case Some((_, seenTs)) if seenTs >= e.ts.getTime => acc
+                  case _ => acc + (e.batch_id -> (e.status, e.ts.getTime))
+                }
             }
           state.update(merged)
-          val st = merged.values.toSeq
+          val st = merged.values.map(_._1).toSeq
           val overall =
             if (st.isEmpty || st.forall(_ == Status.YetToStart)) Status.YetToStart
             else if (st.forall(_ == Status.Completed)) Status.Completed

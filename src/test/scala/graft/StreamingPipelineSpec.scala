@@ -116,10 +116,11 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(after == before)
   }
 
-  test("crashed trigger: orphaned triggered batch demoted and re-admitted") {
+  test("crashed trigger: redelivered DATA does not duplicate state") {
     val stateDir = Files.createTempDirectory("graft-state").toString
+    val r = reqs(("A", 1L to 6L, "MEDIUM", "2024-01-01 00:00:00"))
     val p1 = new IngestPipeline(spark, stateDir)
-    p1.processMicroBatch(reqs(("A", 1L to 6L, "MEDIUM", "2024-01-01 00:00:00")), 0)
+    p1.processMicroBatch(r, 0)
     // simulate dying between the triggered persist and the final persist:
     // rewind CURRENT to the triggered snapshot (version 0, nothing committed)
     java.nio.file.Files.writeString(
@@ -127,11 +128,53 @@ class StreamingPipelineSpec extends SparkSpec {
     val p2 = new IngestPipeline(spark, stateDir) // recovery sweep runs here
     assert(statuses(p2) ==
       Map(("A", 0) -> Status.YetToStart, ("A", 1) -> Status.YetToStart))
-    p2.processMicroBatch(reqs(), 0) // replayed trigger id
-    assert(statuses(p2)(("A", 0)) == Status.Completed)
+    // Structured Streaming redelivers the SAME rows under the same trigger id
+    p2.processMicroBatch(r, 0)
+    assert(statuses(p2) ==
+      Map(("A", 0) -> Status.Completed, ("A", 1) -> Status.YetToStart))
+    assert(p2.requestState.count() == 1, "request must not duplicate on replay")
+    assert(p2.batchState.count() == 2, "batches must not duplicate on replay")
     p2.processMicroBatch(reqs(), 1)
     assert(statuses(p2) ==
       Map(("A", 0) -> Status.Completed, ("A", 1) -> Status.Completed))
+    assert(p2.processedState.count() == 6, "no double enrichment")
+  }
+
+  test("resubmitted ingestion_id keeps the first request (no duplication)") {
+    val p = newPipeline()
+    p.processMicroBatch(reqs(("A", Seq(1L, 2L, 3L), "HIGH", "2024-01-01 00:00:00")), 0)
+    p.processMicroBatch(reqs(("A", Seq(9L, 9L, 9L), "LOW", "2024-01-02 00:00:00")), 1)
+    assert(p.requestState.count() == 1)
+    assert(statuses(p) == Map(("A", 0) -> Status.Completed))
+    assert(p.processedState.count() == 3) // first submission's ids only
+  }
+
+  test("admitPerTrigger>1: one batch's connector failure does not fail the others") {
+    val p = newPipeline(admit = 2,
+      fetch = ids => ids.map { id =>
+        if (id >= 100L) throw new RuntimeException("connector down for id " + id)
+        (id, "processed")
+      })
+    p.processMicroBatch(reqs(
+      ("ok", Seq(1L, 2L, 3L), "HIGH", "2024-01-01 00:00:00"),
+      ("boom", Seq(100L, 101L), "HIGH", "2024-01-01 00:00:01")), 0)
+    assert(statuses(p) ==
+      Map(("ok", 0) -> Status.Completed, ("boom", 0) -> Status.Failed))
+    assert(p.processedState.count() == 3, "successful batch's records kept")
+  }
+
+  test("version pruning bounds state-dir growth past the retention window") {
+    val stateDir = Files.createTempDirectory("graft-state").toString
+    val p = new IngestPipeline(spark, stateDir)
+    p.processMicroBatch(reqs(("A", Seq(1L), "HIGH", "2024-01-01 00:00:00")), 0)
+    (1 to 11).foreach(i => p.processMicroBatch(reqs(), i))
+    val dirs = new java.io.File(stateDir).list().count(_.startsWith("v"))
+    // 12 pairs written; retention keeps 8 pairs (16 dirs) + the current pair
+    assert(dirs <= 20, s"expected pruning to bound versions, got $dirs dirs")
+    assert(dirs < 24, "all 24 snapshot dirs still present - pruning inert")
+    // state still fully readable after pruning
+    assert(p.overallStatus.as[(String, String)].collect().toMap ==
+      Map("A" -> Status.Completed))
   }
 
   test("streaming wiring: MemoryStream + heartbeat drains the queue") {
@@ -175,6 +218,13 @@ class StreamingPipelineSpec extends SparkSpec {
       val hist = spark.table("ssm").as[(String, Long, Long, String)].collect().toSeq
       assert(hist.map(_._4) == Seq(Status.YetToStart, Status.Triggered, Status.Completed))
       assert(hist.last == (("A", 2L, 2L, Status.Completed)))
+      // late redelivery of an OLDER event must not regress the status
+      input.addData(BatchEvent("A", "b0", Status.Triggered, ts("2024-01-01 00:00:01")))
+      query.processAllAvailable()
+      val afterLate = spark.table("ssm").as[(String, Long, Long, String)]
+        .collect().toSeq
+      assert(afterLate.last == (("A", 2L, 2L, Status.Completed)),
+        s"late event regressed status: $afterLate")
     } finally query.stop()
   }
 }
