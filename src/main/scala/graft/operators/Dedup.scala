@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Whitespace tokens of a text column. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokens of a text column. Empty/whitespace-only text yields
+    * an EMPTY array (split would yield [""], giving blank docs a phantom
+    * token that distorts counts and signatures).
+    */
+  def tokens(text: Column): Column =
+    array_remove(split(trim(text), "\\s+"), "")
 
   /** Word n-gram shingles, order-preserving ("a b c d" → ["a b c", "b c d"]).
     * Empty when the document has fewer than n tokens.
@@ -56,8 +60,12 @@ object Dedup {
     * on (band_idx, band_hash) — uniform unless the corpus is pathological.
     */
   def candidatePairs(docs: DataFrame, idCol: String, bandsCol: String): DataFrame = {
+    // null band hashes (signature shorter than bands×rowsPerBand, or an
+    // empty shingle set) can never equi-join — drop them explicitly so the
+    // exclusion is a visible rule, not a join artifact
     val exploded = docs.select(col(idCol),
       posexplode(col(bandsCol)).as(Seq("band", "bh")))
+      .filter(col("bh").isNotNull)
     val a = exploded.select(col(idCol).as("doc_a"), col("band"), col("bh"))
     val b = exploded.select(col(idCol).as("doc_b"), col("band"), col("bh"))
     a.join(b, Seq("band", "bh"))
@@ -148,6 +156,11 @@ object Dedup {
       labels = updated
       i += 1
     }
+    // silent wrong clusters are worse than a loud failure: a component with
+    // diameter > maxIter would report one real cluster as several
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds - a component's " +
+        "diameter exceeds maxIter; raise it")
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 

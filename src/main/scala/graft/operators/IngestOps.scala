@@ -86,6 +86,7 @@ object IngestOps {
     */
   def chunkRows(df: DataFrame, keyCol: String, orderCol: String,
       idCol: String, batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
     df.withColumn("_rn", row_number().over(w))
       .withColumn("batch_idx", floor((col("_rn") - 1) / batchSize).cast(IntegerType))
@@ -139,7 +140,10 @@ object IngestOps {
   def globalSequence(df: DataFrame, sortCols: Seq[Column],
       outCol: String = "admission_seq"): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.orderBy(sortCols: _*)
+    // localCheckpoint materializes the sort once: zipWithIndex's internal
+    // count job and the downstream action would otherwise each run the full
+    // range-sort
+    val sorted = df.orderBy(sortCols: _*).localCheckpoint()
     val schema = sorted.schema.add(StructField(outCol, LongType, nullable = false))
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))

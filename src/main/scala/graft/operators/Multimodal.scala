@@ -95,10 +95,12 @@ object Multimodal {
       .rdd.mapPartitions { rows =>
         rows.map { r =>
           val meta = r.getStruct(3)
-          val newMeta = Row(meta.get(0),
-            Option(meta.get(1)).map(w => (w.asInstanceOf[Int] * scale).toInt).orNull,
-            Option(meta.get(2)).map(h => (h.asInstanceOf[Int] * scale).toInt).orNull,
-            meta.get(3), meta.get(4))
+          val newMeta =
+            if (meta == null) null
+            else Row(meta.get(0),
+              Option(meta.get(1)).map(w => (w.asInstanceOf[Int] * scale).toInt).orNull,
+              Option(meta.get(2)).map(h => (h.asInstanceOf[Int] * scale).toInt).orNull,
+              meta.get(3), meta.get(4))
           Row(r.getLong(0), r.getString(1),
             resizeStub(r.getAs[Array[Byte]](2), scale * scale), newMeta)
         }
@@ -111,6 +113,8 @@ object Multimodal {
     * select). Output is exploded — one row per sampled frame.
     */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(stride > 0, s"stride must be positive, got $stride")
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),

@@ -87,10 +87,19 @@ object Similarity {
     * At 100 TB the single broadcast block becomes a grid of blocks
     * (block-ids crossed, same inner loop) — the shape is unchanged.
     */
+  /** Hard cap on the broadcast block: above this, use the block-grid plan
+    * (split the corpus into blocks, cross block pairs as tasks) — the
+    * driver-side collect here is the single-block special case. */
+  val MaxBlockRows = 2000000
+
   def bruteForcePairs(corpus: DataFrame, lowerBound: Double): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val spark = corpus.sparkSession
+    val n = corpus.count()
+    require(n <= MaxBlockRows,
+      s"bruteForcePairs collects the corpus as one broadcast block ($n rows > " +
+        s"$MaxBlockRows); shard into a block grid for larger corpora")
     val block = corpus.select(col("vec_id"), col("vec"), col("nrm")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
@@ -145,6 +154,9 @@ object Similarity {
     * the shuffle carries k×dims cells no matter the corpus size. This is
     * the production centroid source for IVF (vs. the arbitrary every-Nth
     * seeds), trading `iters` extra passes for bucket quality.
+    * Standard Lloyd caveat: a centroid whose cluster empties out drops from
+    * the result, so fewer than k centroids may return (k-means|| style
+    * re-seeding is the production mitigation).
     */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     // centroid tables share the corpus contract (vec_id, vec, nrm) so they

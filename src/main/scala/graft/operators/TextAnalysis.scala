@@ -43,9 +43,12 @@ object TextAnalysis {
   def wordHits(tokensCol: Column, words: Seq[String]): Column =
     size(filter(tokensCol, t => t.isin(words: _*))).cast("long")
 
-  /** Ratio of non-alphanumeric, non-space characters. */
+  /** Ratio of non-letter, non-digit, non-space characters. Unicode classes
+    * so accented/CJK letters count as letters, not punctuation — otherwise
+    * clean non-English documents get floored by the quality score.
+    */
   def punctRatio(text: Column): Column = {
-    val stripped = regexp_replace(text, "[a-z0-9A-Z\\s]", "")
+    val stripped = regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")
     when(length(text) === 0, 0.0).otherwise(length(stripped) / length(text))
   }
 

@@ -36,7 +36,7 @@ object DedupQueries {
       |  SELECT doc_id,
       |         [array_to_string(tok[(i+1):(i+3)], ' ')
       |          FOR i IN range(0, greatest(len(tok)-2, 0))] AS shingles
-      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tok
       |        FROM documents)
       |  WHERE len(tok) >= 3
       |)""".stripMargin
@@ -55,7 +55,7 @@ object DedupQueries {
       |    CAST(list_sum([CASE WHEN list_sum(list_transform(hs, x -> ((x >> j) & 1)*2 - 1)) > 0
       |              THEN (1::BIGINT << j) ELSE 0 END FOR j IN range(0, 60)]) AS BIGINT) AS simhash
       |  FROM (SELECT doc_id,
-      |          list_transform(list_distinct(string_split_regex(trim(text), '\s+')),
+      |          list_transform(list_distinct(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')),
       |            s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
       |        FROM documents)
       |)""".stripMargin

@@ -17,7 +17,7 @@ object TextQueries {
   /** DuckDB token CTE mirroring Dedup.tokens. */
   private val TokCte =
     """WITH t AS (
-      |  SELECT *, string_split_regex(trim(text), '\s+') AS tok FROM documents
+      |  SELECT *, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tok FROM documents
       |)""".stripMargin
 
   private def inList(words: Seq[String]): String =
@@ -100,7 +100,7 @@ object TextQueries {
       s"""$TokCte
          |SELECT doc_id,
          |  round(CASE WHEN length(text) = 0 THEN 0.0
-         |        ELSE length(regexp_replace(text, '[a-z0-9A-Z\\s]', '', 'g'))
+         |        ELSE length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
          |             / length(text) END, 4) AS punct_ratio,
          |  len(list_filter(tok, x -> x IN $StopIn)) AS stop_hits,
          |  round(CASE WHEN len(tok) = 0 THEN 0.0
@@ -110,7 +110,7 @@ object TextQueries {
          |        (CASE WHEN len(tok) = 0 THEN 0.0
          |         ELSE len(list_filter(tok, x -> x IN $StopIn)) / len(tok) END) * 0.3 +
          |        (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-         |         ELSE length(regexp_replace(text, '[a-z0-9A-Z\\s]', '', 'g'))
+         |         ELSE length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
          |              / length(text) END) * 0.2, 4) AS quality
          |FROM t""".stripMargin,
 

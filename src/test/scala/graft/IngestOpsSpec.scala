@@ -147,13 +147,19 @@ class IngestOpsSpec extends SparkSpec {
 
   // ---- text/dedup edges the corpus cannot exercise
 
-  test("punct ratio and quality react to punctuation") {
-    val df = Seq(("clean text here", 1), ("!!! ??? ,,,", 2))
+  test("punct ratio: punctuation counts, unicode letters do not") {
+    val df = Seq(("clean text here", 1), ("!!! ??? ,,,", 2),
+      ("Über die Brücke ist schön", 3), ("", 4))
       .toDF("text", "id").withColumn("tok", Dedup.tokens(col("text")))
     val ratios = df.select(col("id"),
       round(TextAnalysis.punctRatio(col("text")), 2).as("pr"))
       .as[(Int, Double)].collect().toMap
     assert(ratios(1) == 0.0 && ratios(2) > 0.5)
+    assert(ratios(3) == 0.0, s"unicode letters misread as punct: ${ratios(3)}")
+    assert(ratios(4) == 0.0)
+    // empty text -> zero tokens (not a phantom "" token)
+    assert(df.filter(col("id") === 4).select(size(col("tok")))
+      .head().getInt(0) == 0)
   }
 
   test("langId votes for german markers; und on no hits") {
@@ -202,6 +208,18 @@ class IngestOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents refuses to return wrong clusters past maxIter") {
+    val chain = (1L to 12L).sliding(2).map(p => (p.head, p.last)).toSeq
+      .toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, "src", "dst", maxIter = 3)
+    }
+    // and converges fine when given enough rounds
+    val ok = Dedup.connectedComponents(chain, "src", "dst", maxIter = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet == Set(1L))
   }
 
   test("jaccard: identical=1, disjoint=0") {
