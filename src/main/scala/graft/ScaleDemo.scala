@@ -50,7 +50,6 @@ object ScaleDemo {
     graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("demo_b_lineitem")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val joined = spark.table("demo_b_lineitem").join(spark.table("demo_b_orders"),
       col("l_orderkey") === col("o_orderkey"))
     val plan = joined.queryExecution.executedPlan.toString

@@ -37,15 +37,28 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // the result can be NULL even for non-null inputs (length mismatch, null
+  // element) — without this override codegen would hardwire isNull=false
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
+  // Mismatched lengths or null elements yield NULL — the same answer the
+  // aggregate(zip_with(...)) HOF form gives (zip_with pads with null, null
+  // poisons the sum). A truncated partial dot product would be a plausible
+  // but wrong similarity; NULL is a visible one.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -55,10 +68,15 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -73,8 +91,11 @@ case class DotProduct(left: Expression, right: Expression)
 object GraftFunctions {
 
   val functions: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
-    ("graft_dot", exprs => DotProduct(exprs(0), exprs(1)),
-      "graft_dot(a, b) - dot product of two ARRAY<DOUBLE> vectors"))
+    ("graft_dot", exprs => {
+      require(exprs.length == 2,
+        s"graft_dot requires exactly 2 arguments, got ${exprs.length}")
+      DotProduct(exprs(0), exprs(1))
+    }, "graft_dot(a, b) - dot product of two ARRAY<DOUBLE> vectors"))
 
   /** Session-scoped registration (temp functions) — used by the query layer
     * and tests. Idempotent.

@@ -118,7 +118,7 @@ object DedupQueries {
         .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
         .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.5)
         .select(col("doc_a"), col("doc_b"))
-      Dedup.connectedComponents(verified, "doc_a", "doc_b")
+      Dedup.connectedComponents(verified, "doc_a", "doc_b", maxIter = 50)
         .select(col("node").as("doc_id"), col("cluster_id"),
           (col("node") === col("cluster_id")).as("is_canonical"))
     }),

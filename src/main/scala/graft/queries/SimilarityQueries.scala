@@ -83,7 +83,8 @@ object SimilarityQueries {
     // Embedding duplicate clusters: connected components over the cosine
     // near-dup pair graph, min-id canonical.
     "q53_embed_dup_clusters" -> ((s, d) =>
-      graft.operators.Dedup.connectedComponents(embedPairs(s, d), "id_a", "id_b")
+      graft.operators.Dedup.connectedComponents(embedPairs(s, d), "id_a", "id_b",
+        maxIter = 50)
         .select(col("node").as("vec_id"), col("cluster_id"),
           (col("node") === col("cluster_id")).as("is_canonical"))))
 

@@ -26,12 +26,24 @@ object Tables {
     * component, so the conversion is lossless.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integral `div`, NOT `/`: double division of an epoch-ns long loses
-    // precision (2^53 < 1.7e18) and can round the microsecond up by one
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    // scope the legacy conf to this read (schema conversion is eager at
+    // load): other parquet reads in the session must not silently see
+    // nanos columns as LongType
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      // integral `div`, NOT `/`: double division of an epoch-ns long loses
+      // precision (2^53 < 1.7e18) and can round the microsecond up by one
+      val df = table(spark, dir, "events")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      df.schema // force eager schema resolution under the scoped conf
+      df
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -8,14 +8,19 @@ import graft.functions.{GraftExtensions, GraftFunctions}
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("graft_dot: SQL surface, null safety, length mismatch") {
+  test("graft_dot: SQL surface, null safety, mismatch/null-element -> NULL") {
     GraftFunctions.register(spark)
     assert(spark.sql("SELECT graft_dot(array(1d,2d,3d), array(4d,5d,6d)) d")
       .head().getDouble(0) == 32.0)
     assert(spark.sql("SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1d)) d")
       .head().isNullAt(0))
+    // mismatched lengths and null elements poison to NULL (same as the
+    // aggregate(zip_with(...)) HOF form), never a truncated partial sum
     assert(spark.sql("SELECT graft_dot(array(1d,2d), array(3d)) d")
-      .head().getDouble(0) == 3.0)
+      .head().isNullAt(0))
+    assert(spark.sql(
+      "SELECT graft_dot(array(1d, CAST(NULL AS DOUBLE)), array(2d,3d)) d")
+      .head().isNullAt(0))
   }
 
   test("graft_dot through whole-stage codegen over column data") {
