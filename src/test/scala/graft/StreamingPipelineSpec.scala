@@ -200,6 +200,40 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("transformWithState (StatefulProcessor) tracks the lattice on RocksDB") {
+    implicit val sqlCtx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[BatchEvent]
+    val query = graft.streaming.StatusProcessorV2.track(input.toDS())
+      .writeStream.format("memory").queryName("ssm2")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        BatchEvent("A", "b0", Status.YetToStart, ts("2024-01-01 00:00:00")),
+        BatchEvent("A", "b1", Status.YetToStart, ts("2024-01-01 00:00:00")))
+      query.processAllAvailable()
+      input.addData(BatchEvent("A", "b0", Status.Completed, ts("2024-01-01 00:00:05")))
+      query.processAllAvailable()
+      input.addData(BatchEvent("A", "b1", Status.Completed, ts("2024-01-01 00:00:10")))
+      query.processAllAvailable()
+      // late older event must not regress (same protection as v1)
+      input.addData(BatchEvent("A", "b0", Status.Triggered, ts("2024-01-01 00:00:01")))
+      query.processAllAvailable()
+      val hist = spark.table("ssm2").as[(String, Long, Long, String)].collect().toSeq
+      assert(hist.map(_._4) == Seq(Status.YetToStart, Status.Triggered,
+        Status.Completed, Status.Completed))
+      assert(hist.last == (("A", 2L, 2L, Status.Completed)))
+    } finally {
+      query.stop()
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState status machine tracks the rollup lattice") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[BatchEvent]
