@@ -145,6 +145,20 @@ object AnalyticsQueries {
         round(percentile_approx(col("l_quantity"), lit(0.5), lit(100)), 2)
           .as("approx_med_qty"))),
 
+    // Skew-salted join proven result-identical through the oracle gate:
+    // the salted physical plan must hash-match DuckDB's PLAIN join.
+    "q57_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Relational.saltedJoin(li, o, Seq("l_orderkey"), 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+            .as("sum_qty"))
+    }),
+
     // Distribution window functions: percent_rank/cume_dist (exact rational
     // formulas, engine-identical) and ntile.
     "q55_distribution_windows" -> ((s, d) => {
@@ -382,6 +396,12 @@ object AnalyticsQueries {
         |       min(o_totalprice) AS min_price,
         |       max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q57_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q55_distribution_windows" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,

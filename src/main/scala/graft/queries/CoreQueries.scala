@@ -141,6 +141,22 @@ object CoreQueries {
         concat_ws(",", transform(col("ids"), _.cast("string"))).as("batch_ids"),
         size(col("ids")).cast("long").as("n_ids"))),
 
+    // O5 row-form: chunkRows over normalized (one row per id) input must
+    // produce the SAME batches as the array form (q03) — two physical
+    // strategies, one logical result, both oracle-checked against the same
+    // SQL.
+    "q58_chunk_rows" -> ((s, d) =>
+      IngestOps.chunkRows(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ingestion_key"),
+            (col("l_linenumber").cast("long") * 10000000 + col("l_partkey"))
+              .as("ord"),
+            col("l_partkey")),
+        "ingestion_key", "ord", "l_partkey", BatchSize)
+        .select(col("ingestion_key"), col("batch_idx"),
+          concat_ws(",", transform(col("ids"), _.cast("string"))).as("batch_ids"),
+          size(col("ids")).cast("long").as("n_ids"))),
+
     // O7: exact global admission order (rank, created_at, key) as a
     // distributed sequence (sort + zipWithIndex, no single-task window).
     "q04_admission_seq" -> ((s, d) => {
@@ -268,6 +284,17 @@ object CoreQueries {
          |       array_to_string(batch_ids, ',') AS batch_ids,
          |       len(batch_ids) AS n_ids
          |FROM batches""".stripMargin,
+
+    "q58_chunk_rows" ->
+      """WITH ids AS (
+        |  SELECT l_orderkey AS ingestion_key,
+        |         list(l_partkey ORDER BY l_linenumber, l_partkey) AS ids
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT ingestion_key, CAST(i AS INT) AS batch_idx,
+        |       array_to_string(list_slice(ids, i*3+1, i*3+3), ',') AS batch_ids,
+        |       len(list_slice(ids, i*3+1, i*3+3)) AS n_ids
+        |FROM ids, UNNEST(range(0, CAST(ceil(len(ids)/3.0) AS BIGINT))) AS u(i)""".stripMargin,
 
     "q04_admission_seq" ->
       s"""$ReqCte
