@@ -145,6 +145,15 @@ object AnalyticsQueries {
         round(percentile_approx(col("l_quantity"), lit(0.5), lit(100)), 2)
           .as("approx_med_qty"))),
 
+    // Conditional/selective aggregates: max_by/min_by (unique key so ties
+    // cannot differ across engines), count_if.
+    "q59_conditional_agg" -> ((s, d) =>
+      Tables.orders(s, d).groupBy(col("o_orderstatus")).agg(
+        max_by(col("o_orderpriority"), col("o_orderkey")).as("latest_pri"),
+        min_by(col("o_orderpriority"), col("o_orderkey")).as("first_pri"),
+        count_if(col("o_orderpriority") === "1-URGENT").as("n_urgent"),
+        count_if(col("o_totalprice") > 250000).as("n_big"))),
+
     // Skew-salted join proven result-identical through the oracle gate:
     // the salted physical plan must hash-match DuckDB's PLAIN join.
     "q57_salted_join" -> ((s, d) => {
@@ -395,6 +404,14 @@ object AnalyticsQueries {
         |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
         |       min(o_totalprice) AS min_price,
         |       max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q59_conditional_agg" ->
+      """SELECT o_orderstatus,
+        |       arg_max(o_orderpriority, o_orderkey) AS latest_pri,
+        |       arg_min(o_orderpriority, o_orderkey) AS first_pri,
+        |       count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+        |       count(*) FILTER (o_totalprice > 250000) AS n_big
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q57_salted_join" ->
