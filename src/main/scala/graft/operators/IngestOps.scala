@@ -85,14 +85,24 @@ object IngestOps {
     * (one exchange, not two).
     */
   def chunkRows(df: DataFrame, keyCol: String, orderCol: String,
+      idCol: String, batchSize: Int): DataFrame =
+    chunkRows(df, keyCol, Seq(col(orderCol)), idCol, batchSize)
+
+  /** Multi-column-order form: order within a key by a tuple of columns
+    * (compared lexicographically, no lossy numeric composite — a
+    * `a*10^7 + b` key silently mis-sorts once b outgrows the multiplier).
+    * Struct ordering is exact for any column count/type.
+    */
+  def chunkRows(df: DataFrame, keyCol: String, orderCols: Seq[Column],
       idCol: String, batchSize: Int): DataFrame = {
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
     df.withColumn("_rn", row_number().over(w))
       .withColumn("batch_idx", floor((col("_rn") - 1) / batchSize).cast(IntegerType))
       .groupBy(col(keyCol), col("batch_idx"))
-      .agg(array_sort(collect_list(struct(col(orderCol).as("o"), col(idCol).as("i"))))
-        .as("_pairs"))
+      .agg(array_sort(collect_list(struct(struct(orderCols: _*).as("o"),
+        col(idCol).as("i")))).as("_pairs"))
       .withColumn("ids", transform(col("_pairs"), p => p.getField("i")))
       .drop("_pairs")
   }

@@ -149,10 +149,9 @@ object CoreQueries {
       IngestOps.chunkRows(
         Tables.lineitem(s, d)
           .select(col("l_orderkey").as("ingestion_key"),
-            (col("l_linenumber").cast("long") * 10000000 + col("l_partkey"))
-              .as("ord"),
-            col("l_partkey")),
-        "ingestion_key", "ord", "l_partkey", BatchSize)
+            col("l_linenumber"), col("l_partkey")),
+        "ingestion_key", Seq(col("l_linenumber"), col("l_partkey")),
+        "l_partkey", BatchSize)
         .select(col("ingestion_key"), col("batch_idx"),
           concat_ws(",", transform(col("ids"), _.cast("string"))).as("batch_ids"),
           size(col("ids")).cast("long").as("n_ids"))),

@@ -96,9 +96,13 @@ object DedupQueries {
     }),
 
     // Brute-force n-gram Jaccard over a deterministic subset — the
-    // exact-similarity reference the LSH path approximates.
+    // exact-similarity reference the LSH path approximates. The subset is
+    // pinned to an ABSOLUTE bound (doc_id < 5000, i.e. at most 200 docs /
+    // 19.9k pairs) so the quadratic verification cost stays constant as the
+    // corpus grows — a %-only filter would scale the subset with the data.
     "q25_ngram_jaccard" -> ((s, d) => {
-      val sub = shingled(s, d).filter(col("doc_id") % 25 === 0)
+      val sub = shingled(s, d)
+        .filter(col("doc_id") % 25 === 0 && col("doc_id") < 5000)
       val a = sub.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
       val b = sub.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
       a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
@@ -184,7 +188,9 @@ object DedupQueries {
          |                  - len(list_distinct(list_intersect(a.shingles, b.shingles))))
          |       END AS jac
          |FROM sh a, sh b
-         |WHERE a.doc_id % 25 = 0 AND b.doc_id % 25 = 0 AND a.doc_id < b.doc_id""".stripMargin,
+         |WHERE a.doc_id % 25 = 0 AND a.doc_id < 5000
+         |  AND b.doc_id % 25 = 0 AND b.doc_id < 5000
+         |  AND a.doc_id < b.doc_id""".stripMargin,
 
     "q52_dedup_clusters" ->
       s"""${MhCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS (

@@ -84,7 +84,7 @@ object TextQueries {
          |SELECT lang, count(*) AS n_docs,
          |       count(DISTINCT source) AS n_sources,
          |       round(avg(n_chars), 4) AS avg_chars,
-         |       sum(len(tok)) AS total_tokens
+         |       CAST(sum(len(tok)) AS BIGINT) AS total_tokens
          |FROM t GROUP BY lang""".stripMargin,
 
     "q32_token_count" ->

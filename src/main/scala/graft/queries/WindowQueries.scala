@@ -66,7 +66,7 @@ object WindowQueries {
 
     "q49_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(CASE WHEN json_extract_string(props, '$.k') IS NULL
         |             THEN 1 END) AS n_missing
         |FROM events GROUP BY event_type""".stripMargin,

@@ -14,17 +14,26 @@ import glob
 import os
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
 
+    # Type-tagged canonicalization: the driver hashes exact typed values, so
+    # an integral Spark column vs a float oracle column (e.g. DuckDB HUGEINT
+    # sums coerced to float64 by .df()) must FAIL here too. Tagging "i:" vs
+    # "f:" stops %.9g from flattening 3549.0 == 3549 (the r1 q31/q49 escape).
     def norm(v):
-        if v is None or (isinstance(v, float) and pd.isna(v)):
+        if v is None or (isinstance(v, (float, np.floating)) and pd.isna(v)):
             return "NULL"
-        if isinstance(v, float):
-            return f"{v:.9g}"
+        if isinstance(v, (bool, np.bool_)):
+            return f"b:{bool(v)}"
+        if isinstance(v, (float, np.floating)):
+            return f"f:{float(v):.9g}"
+        if isinstance(v, (int, np.integer)):
+            return f"i:{int(v)}"
         return str(v)
 
     out = df.map(norm)
