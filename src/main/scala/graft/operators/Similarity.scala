@@ -10,14 +10,18 @@ import org.apache.spark.sql.functions._
   * other sequential evaluation (the DuckDB oracle included). All math is done
   * in double precision after an explicit upcast of the float column.
   *
-  * Two search paths:
-  * - brute force: exact, O(|Q|·|C|); the correctness baseline. Scales by
-  *   broadcasting the (small) query set against a partitioned corpus — each
-  *   executor scans its corpus slice once.
+  * Search/pairing paths:
+  * - brute-force top-k: exact, O(|Q|·|C|); the correctness baseline. Scales
+  *   by broadcasting the (small) query set against a partitioned corpus —
+  *   each executor scans its corpus slice once.
   * - IVF: corpus pre-assigned to nearest centroid (broadcast centroid set,
   *   map-side assignment, no shuffle), queries probe only their centroid's
   *   bucket. At 100 TB the bucket join shuffles on centroid id — a k-way
   *   partition of the corpus instead of a full scan per query.
+  * - all-pairs exact: `blockGridPairs` — distributed block grid, no driver
+  *   collect, quadratic compute spread over B(B+1)/2 independent cells.
+  * - all-pairs approximate: `rhBands` + `Dedup.candidatePairs` — random-
+  *   hyperplane LSH banding, sub-quadratic, tunable recall.
   */
 object Similarity {
 
@@ -73,57 +77,100 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("sim"))
   }
 
-  /** All-pairs cosine above a lower bound: broadcast block-nested-loop.
-    * The corpus block (id, vec, norm) is broadcast once; each partition
-    * scans its rows against the block with primitive double loops — no
-    * per-pair array shuffling, no boxing, ~memory-bandwidth speed. The
-    * left-to-right accumulation matches the `dot` fold bit-for-bit, and
-    * rounding/thresholding stay in Catalyst so engine-parity semantics are
-    * identical to the expression form. Emits each unordered pair once
-    * (id_a < id_b) with the RAW sim; callers round + filter.
+  /** Exact all-pairs cosine above a lower bound — DISTRIBUTED block grid,
+    * no driver-side collect and no corpus-size cap.
     *
-    * `lowerBound` prunes emission only — set it slightly below the real
-    * threshold so the exact (rounded) filter upstairs decides membership.
-    * At 100 TB the single broadcast block becomes a grid of blocks
-    * (block-ids crossed, same inner loop) — the shape is unchanged.
+    * Each vector lands in one of `nBlocks` blocks (id mod nBlocks); the
+    * nBlocks·(nBlocks+1)/2 unordered block pairs form a grid of join cells.
+    * Both corpus copies are replicated across their grid row/column via a
+    * broadcast join with the (tiny) grid table, then equi-joined on the
+    * composite (blk_a, blk_b) cell key — every cell is an independent task
+    * of ~(n/B)² codegen'd dot products (`graft_dot` primitive loop), so
+    * parallelism is B(B+1)/2 even cells, not one broadcast block.
+    *
+    * Cost model: each row is shuffled ~(B+1)/2 times (the block-grid trade:
+    * O(n·B) replication buys O(n²/B²) per-task work). B defaults to 16;
+    * at cluster scale pick B ≈ sqrt(2·cores) so cells ≈ cores. The compute
+    * is inherently quadratic — this is the EXACT path; `rhBands` +
+    * `Dedup.candidatePairs` is the sub-quadratic approximate path.
+    *
+    * Emits each unordered pair once (id_a < id_b) with the RAW sim; callers
+    * round + filter (`lowerBound` prunes emission only — set it slightly
+    * below the real threshold so the exact rounded filter decides
+    * membership). Accumulation order matches `dot` bit-for-bit.
     */
-  /** Hard cap on the broadcast block: above this, use the block-grid plan
-    * (split the corpus into blocks, cross block pairs as tasks) — the
-    * driver-side collect here is the single-block special case. */
-  val MaxBlockRows = 2000000
-
-  def bruteForcePairs(corpus: DataFrame, lowerBound: Double): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+  def blockGridPairs(corpus: DataFrame, lowerBound: Double,
+      nBlocks: Int = 16): DataFrame = {
+    require(nBlocks >= 1, s"nBlocks must be positive, got $nBlocks")
     val spark = corpus.sparkSession
-    val n = corpus.count()
-    require(n <= MaxBlockRows,
-      s"bruteForcePairs collects the corpus as one broadcast block ($n rows > " +
-        s"$MaxBlockRows); shard into a block grid for larger corpora")
-    val block = corpus.select(col("vec_id"), col("vec"), col("nrm")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-      .sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(block)
-    val outSchema = StructType(Seq(StructField("id_a", LongType),
-      StructField("id_b", LongType), StructField("sim_raw", DoubleType)))
-    val rdd = corpus.select(col("vec_id"), col("vec"), col("nrm")).rdd
-      .mapPartitions { rows =>
-        val entries = bc.value
-        rows.flatMap { r =>
-          val ida = r.getLong(0)
-          val va = r.getSeq[Double](1).toArray
-          val na = r.getDouble(2)
-          entries.iterator.filter(_._1 > ida).flatMap { case (idb, vb, nb) =>
-            var s = 0.0
-            var i = 0
-            val n = math.min(va.length, vb.length)
-            while (i < n) { s += va(i) * vb(i); i += 1 }
-            val sim = if (na == 0.0 || nb == 0.0) 0.0 else s / (na * nb)
-            if (sim >= lowerBound) Some(Row(ida, idb, sim)) else None
-          }
-        }
-      }
-    spark.createDataFrame(rdd, outSchema)
+    val grid = spark.range(nBlocks.toLong)
+      .select(col("id").cast("int").as("blk_a"))
+      .crossJoin(spark.range(nBlocks.toLong)
+        .select(col("id").cast("int").as("blk_b")))
+      .filter(col("blk_a") <= col("blk_b"))
+    val a = corpus
+      .select(col("vec_id").as("id_a"), col("vec").as("vec_a"),
+        col("nrm").as("nrm_a"),
+        pmod(col("vec_id"), lit(nBlocks)).cast("int").as("blk_a"))
+      .join(broadcast(grid), Seq("blk_a"))
+    val b = corpus
+      .select(col("vec_id").as("id_b"), col("vec").as("vec_b"),
+        col("nrm").as("nrm_b"),
+        pmod(col("vec_id"), lit(nBlocks)).cast("int").as("blk_b"))
+      .join(broadcast(grid), Seq("blk_b"))
+    a.join(b, Seq("blk_a", "blk_b"))
+      // same-block cell: dedupe by id order; cross-block cell: every pair
+      // appears exactly once (its blocks pin it to one cell), either order
+      .filter((col("blk_a") === col("blk_b") && col("id_a") < col("id_b")) ||
+        col("blk_a") < col("blk_b"))
+      .withColumn("sim_raw",
+        cosineWithNorms(col("vec_a"), col("vec_b"), col("nrm_a"), col("nrm_b")))
+      .filter(col("sim_raw") >= lowerBound)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("sim_raw"))
+  }
+
+  // ------------------------------------------------------- RH-LSH banding
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Deterministic pseudo-random hyperplanes, engine-portable: component
+    * (p, j) = ((int(md5("rh:p:j")[0:8], 16) mod 2001) - 1000) / 1000.0,
+    * i.e. md5-derived uniform in [-1, 1] — the same recipe the minhash
+    * oracle uses, so DuckDB reproduces the planes exactly. Pure function of
+    * (p, j): computed driver-side as CONSTANTS (no data touched) and shipped
+    * as literals.
+    */
+  def rhPlane(p: Int, dim: Int): Array[Double] =
+    (0 until dim).map { j =>
+      ((java.lang.Long.parseLong(md5hex(s"rh:$p:$j").substring(0, 8), 16)
+        % 2001) - 1000) / 1000.0
+    }.toArray
+
+  /** Random-hyperplane LSH band keys over an embedding column — the
+    * SUB-QUADRATIC candidate path for vector near-dup (the vector analogue
+    * of `Dedup.lshBands`). Bit i of band g is the sign of vec · plane
+    * (g·bits + i); vectors sharing any band value become candidates via
+    * `Dedup.candidatePairs` (shuffle keyed on (band, value) — bucketed,
+    * never all-pairs). Everything is row-local codegen (`graft_dot` against
+    * plane literals): zero shuffle to compute signatures.
+    *
+    * Collision probability per plane is 1 - θ/π (θ = pair angle), so recall
+    * is tunable via (nPlanes, bits): more/shorter bands = higher recall,
+    * weaker pruning. This is an APPROXIMATE path — pairs can be missed;
+    * `blockGridPairs` is the exact one.
+    */
+  def rhBands(vec: Column, nPlanes: Int, bits: Int, dim: Int): Column = {
+    require(nPlanes > 0 && bits > 0 && nPlanes % bits == 0,
+      s"nPlanes ($nPlanes) must be a positive multiple of bits ($bits)")
+    require(bits <= 62, s"band value must fit a long, got $bits bits")
+    array((0 until nPlanes / bits).map { g =>
+      (0 until bits).map { i =>
+        when(dot(vec, lit(rhPlane(g * bits + i, dim))) > 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
   }
 
   /** For each vector, its `nprobe` nearest centroids (broadcast centroids,

@@ -64,17 +64,43 @@ object SimilarityQueries {
       Similarity.ivfTopK(c, cents, c.filter(col("vec_id") < 5), 5, 2)
     }),
 
-    // Embedding near-dup: all pairs with cosine >= 0.4 (brute force is the
-    // oracle-checkable baseline; the scale path is IVF/LSH bucketing).
+    // Embedding near-dup: all pairs with cosine >= 0.4, EXACT via the
+    // distributed block grid (no driver collect, no corpus cap; each grid
+    // cell is an independent task of codegen'd dot products). q60 is the
+    // sub-quadratic approximate path over the same corpus.
     "q30_embed_near_dup" -> ((s, d) =>
-      Similarity.bruteForcePairs(corpus(s, d), 0.4 - 1e-6)
+      Similarity.blockGridPairs(corpus(s, d), 0.4 - 1e-6)
         .withColumn("sim", round(col("sim_raw"), 6))
         .filter(col("sim") >= 0.4)
-        .select(col("id_a"), col("id_b"), col("sim"))))
+        .select(col("id_a"), col("id_b"), col("sim"))),
 
-  /** Verified embedding near-dup pairs (the q30 lineage). */
+    // Embedding near-dup via random-hyperplane LSH: 64 md5-derived
+    // hyperplanes → 16 bands × 4 sign bits (row-local codegen, zero
+    // shuffle), candidates from the band equi-join (the vector analogue of
+    // q24's text LSH), then exact cosine verification. The oracle mirrors
+    // the ALGORITHM (same planes, bands, join) so the hash compare is exact
+    // — recall vs the exact q30 pairs is measured in SimilaritySpec, the
+    // honest statement of the approximate path's tradeoff.
+    "q60_embed_near_dup_lsh" -> ((s, d) => {
+      val c = corpus(s, d)
+        .withColumn("bands", Similarity.rhBands(col("vec"), 64, 4, 64))
+        .cache()
+      val cand = graft.operators.Dedup.candidatePairs(c, "vec_id", "bands")
+      cand
+        .join(c.select(col("vec_id").as("doc_a"), col("vec").as("vec_a"),
+          col("nrm").as("nrm_a")), Seq("doc_a"))
+        .join(c.select(col("vec_id").as("doc_b"), col("vec").as("vec_b"),
+          col("nrm").as("nrm_b")), Seq("doc_b"))
+        .withColumn("sim", round(Similarity.cosineWithNorms(
+          col("vec_a"), col("vec_b"), col("nrm_a"), col("nrm_b")), 6))
+        .filter(col("sim") >= 0.4)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("sim"))
+    }))
+
+  /** Verified embedding near-dup pairs (the q30 lineage) — block-grid
+    * exact, scale-safe. */
   private def embedPairs(s: SparkSession, d: String): DataFrame =
-    Similarity.bruteForcePairs(corpus(s, d), 0.4 - 1e-6)
+    Similarity.blockGridPairs(corpus(s, d), 0.4 - 1e-6)
       .withColumn("sim", round(col("sim_raw"), 6))
       .filter(col("sim") >= 0.4)
       .select(col("id_a"), col("id_b"))
@@ -159,5 +185,28 @@ object SimilarityQueries {
          |       round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS sim
          |FROM n a, n b
          |WHERE a.vec_id < b.vec_id
-         |  AND round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.4""".stripMargin)
+         |  AND round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.4""".stripMargin,
+
+    // Mirrors the RH-LSH algorithm exactly: same md5-derived planes, same
+    // 16×4-bit sign bands, same candidate equi-join, same verification.
+    "q60_embed_near_dup_lsh" ->
+      s"""$VCte, planes AS (
+         |  SELECT p, list_transform(range(0, 64), j ->
+         |    ((('0x' || substr(md5('rh:' || p || ':' || j), 1, 8))::BIGINT
+         |      % 2001) - 1000) / 1000.0) AS plane
+         |  FROM range(0, 64) t(p)
+         |), sig AS (
+         |  SELECT n.vec_id, p.p // 4 AS band,
+         |         CAST(sum(CASE WHEN list_dot_product(n.vec, p.plane) > 0
+         |                  THEN 1 << (p.p % 4) ELSE 0 END) AS BIGINT) AS bh
+         |  FROM n, planes p GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sig a JOIN sig b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id
+         |)
+         |SELECT c.id_a, c.id_b,
+         |       round(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6) AS sim
+         |FROM cand c JOIN n x ON c.id_a = x.vec_id JOIN n y ON c.id_b = y.vec_id
+         |WHERE round(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6) >= 0.4""".stripMargin)
 }

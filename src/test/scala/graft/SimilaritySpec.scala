@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 import graft.sources.Tables
 
 /** IVF quality: k-means centroids must not be worse than the arbitrary
@@ -37,5 +37,88 @@ class SimilaritySpec extends SparkSpec {
     assert(kmeansCents.count() == 10)
     assert(kmeansRecall >= moduloRecall - 1e-9,
       s"kmeans recall $kmeansRecall < modulo recall $moduloRecall")
+  }
+
+  // The block grid must emit exactly the pairs a naive cross join emits —
+  // every unordered pair exactly once, any block geometry. Small corpus so
+  // the cross-join truth is cheap; nBlocks values cover degenerate (1),
+  // non-dividing (7), and more-blocks-than-rows (97) geometries.
+  test("blockGridPairs == cross-join truth for any block count") {
+    val c = corpus.filter(col("vec_id") < 60).cache()
+    val truth = c.select(col("vec_id").as("id_a"), col("vec").as("va"), col("nrm").as("na"))
+      .crossJoin(c.select(col("vec_id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb")))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")), 6).as("sim"))
+      .filter(col("sim") >= 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    for (b <- Seq(1, 7, 97)) {
+      val got = Similarity.blockGridPairs(c, 0.2 - 1e-6, nBlocks = b)
+        .select(col("id_a"), col("id_b"), round(col("sim_raw"), 6).as("sim"))
+        .filter(col("sim") >= 0.2)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == truth, s"nBlocks=$b: ${got.size} pairs vs truth ${truth.size}")
+    }
+  }
+
+  // RH-LSH tradeoff, side 1: at q60's LOW threshold (0.4 — chosen so the
+  // random synthetic corpus yields a non-trivial oracle-checkable pair set)
+  // the 16×4-bit bands keep recall near-perfect, but pruning is weak
+  // (~36%): random 64-dim pairs sit at |sim|≈0.1, only ~84° from the 66°
+  // threshold, so short bands collide often. That is a property of the
+  // threshold, not the method — side 2 (next test) shows the design point.
+  test("rh-lsh at threshold 0.4: high recall, weak pruning (documented)") {
+    val c = corpus.withColumn("bands", Similarity.rhBands(col("vec"), 64, 4, 64)).cache()
+    val n = c.count()
+    val cand = Dedup.candidatePairs(c, "vec_id", "bands")
+      .as[(Long, Long)].collect().toSet
+    val exact = Similarity.blockGridPairs(corpus, 0.4 - 1e-6)
+      .select(col("id_a"), col("id_b"), round(col("sim_raw"), 6).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val recall = (exact & cand).size.toDouble / exact.size
+    val allPairs = n * (n - 1) / 2.0
+    assert(recall >= 0.9, s"recall $recall < 0.9 (${exact.size} exact pairs)")
+    assert(cand.size < allPairs * 0.8,
+      s"candidates ${cand.size} vs all ${allPairs.toLong} pairs - worse than no banding")
+  }
+
+  // RH-LSH tradeoff, side 2: the production near-dup regime (sim >= ~0.99,
+  // e.g. crawl dups / boilerplate). Plant 20 dups by deterministic <=5%
+  // relative perturbation; with 8 bands x 16 bits every planted pair
+  // collides (per-plane agreement ~0.98 -> miss prob ~4e-5) while random
+  // pairs (agreement ~0.53, band hit 0.53^16) almost never do — candidates
+  // collapse to ~0.1% of the quadratic pair space. THIS is the operating
+  // point that makes banding the 100 TB path.
+  test("rh-lsh at the high-sim operating point: planted dups found, strong pruning") {
+    val base = corpus.filter(col("vec_id") < 200)
+    val planted = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("vec"), (x, j) =>
+          x * (lit(1.0) + (pmod(hash(concat(col("vec_id"), lit(":"), j)), lit(2001))
+            - 1000) / 1000.0 * 0.05)).as("vec"))
+      .withColumn("nrm", Similarity.norm(col("vec")))
+    val c = base.unionByName(planted)
+      .withColumn("bands", Similarity.rhBands(col("vec"), 128, 16, 64)).cache()
+    val n = c.count()
+    val cand = Dedup.candidatePairs(c, "vec_id", "bands")
+      .as[(Long, Long)].collect().toSet
+    val plantedPairs = (0L until 20L).map(i => (i, i + 10000)).toSet
+    assert((plantedPairs & cand) == plantedPairs,
+      s"missed planted pairs: ${plantedPairs -- cand}")
+    val allPairs = n * (n - 1) / 2.0
+    assert(cand.size < allPairs * 0.02,
+      s"candidates ${cand.size} vs all ${allPairs.toLong} pairs - pruning too weak")
+  }
+
+  // Engine-portability invariant the q60 oracle relies on: the plane
+  // constants must be the md5 recipe exactly (DuckDB recomputes them).
+  test("rh planes are deterministic md5-derived constants in [-1, 1]") {
+    val p0 = Similarity.rhPlane(0, 64)
+    assert(p0.toSeq == Similarity.rhPlane(0, 64).toSeq)
+    assert(Similarity.rhPlane(1, 64).toSeq != p0.toSeq)
+    assert(p0.forall(v => v >= -1.0 && v <= 1.0))
+    // md5('rh:0:0') = dd3d1fbf... -> 0xdd3d1fbf % 2001 spot-check
+    assert(p0(0) == ((java.lang.Long.parseLong("dd3d1fbf", 16) % 2001) - 1000) / 1000.0)
   }
 }
