@@ -43,6 +43,43 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("kafka-shaped value bytes drive the pipeline like the file source") {
+    implicit val sqlCtx = spark.sqlContext
+    // Kafka wire shape: (topic, partition, offset, value BINARY) — the same
+    // columns format("kafka") emits, fed from MemoryStream for determinism.
+    val input = MemoryStream[(String, Int, Long, String)]
+    val kafkaShaped = input.toDF()
+      .toDF("topic", "partition", "offset", "json")
+      .select(col("topic"), col("partition"), col("offset"),
+        col("json").cast("binary").as("value"))
+    val p = new IngestPipeline(spark,
+      Files.createTempDirectory("graft-state").toString, 3, admitPerTrigger = 2)
+    val query = p.start(RequestSource.fromKafkaValue(kafkaShaped),
+      Trigger.ProcessingTime("300 milliseconds"), heartbeatRowsPerSecond = 5)
+    try {
+      input.addData(
+        ("ingest", 0, 0L,
+          """{"ingestion_id":"K1","ids":[1,2,3],"priority":"HIGH","created_at":"2024-01-01T00:00:00.000Z"}"""),
+        ("ingest", 0, 1L, """not json at all {{{"""),
+        ("ingest", 0, 2L,
+          """{"ingestion_id":"K2","ids":[4],"priority":"LOW","created_at":"2024-01-01T00:00:01.000Z"}"""))
+      val deadline = System.currentTimeMillis() + 90000
+      var done = false
+      while (!done && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        val m = p.overallStatus.as[(String, String)].collect().toMap
+        done = m.get("K1").contains(Status.Completed) &&
+          m.get("K2").contains(Status.Completed)
+      }
+      assert(done, s"kafka-sourced requests did not complete: ${p.overallStatus.collect().toSeq}")
+      assert(p.processedState.count() == 4)
+      // corrupt payload -> dead-letter id from wire position, O2-rejected
+      val rejected = p.rejectedState.select("ingestion_id").as[String].collect()
+      assert(rejected.toSeq == Seq("kafka:ingest:0:1"),
+        s"expected the corrupt offset dead-lettered, got ${rejected.toSeq}")
+    } finally query.stop()
+  }
+
   test("streaming dedup suppresses duplicate ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
