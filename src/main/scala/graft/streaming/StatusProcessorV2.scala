@@ -16,7 +16,7 @@ import graft.model.Status
   * `...state.RocksDBStateStoreProvider`), which is also the right store at
   * 100 TB: state lives off-heap and spills to disk per partition.
   */
-class StatusProcessorV2
+class StatusProcessorV2(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, BatchEvent, IngestionStatus] {
 
   @transient private var batches: ValueState[Map[String, (String, Long)]] = _
@@ -24,37 +24,43 @@ class StatusProcessorV2
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     implicit val enc: Encoder[Map[String, (String, Long)]] =
       Encoders.kryo[Map[String, (String, Long)]]
-    batches = getHandle.getValueState("batches", enc, TTLConfig.NONE)
+    batches = getHandle.getValueState("batches", enc, ttl)
   }
 
   override def handleInputRows(key: String, rows: Iterator[BatchEvent],
       timerValues: TimerValues): Iterator[IngestionStatus] = {
-    val merged = rows.toSeq.sortBy(_.ts.getTime)
-      .foldLeft(Option(batches.get()).getOrElse(Map.empty[String, (String, Long)])) {
-        (acc, e) =>
-          acc.get(e.batch_id) match {
-            case Some((_, seenTs)) if seenTs >= e.ts.getTime => acc
-            case _ => acc + (e.batch_id -> (e.status, e.ts.getTime))
-          }
-      }
+    // an expired (TTL-evicted) key reads as null -> fresh state; a later
+    // event cannot resurrect the evicted lattice
+    val merged = StatusStateMachine.merge(
+      Option(batches.get()).getOrElse(Map.empty), rows.toSeq)
     batches.update(merged)
-    val st = merged.values.map(_._1).toSeq
-    val overall =
-      if (st.isEmpty || st.forall(_ == Status.YetToStart)) Status.YetToStart
-      else if (st.forall(_ == Status.Completed)) Status.Completed
-      else Status.Triggered
-    Iterator.single(IngestionStatus(key, merged.size.toLong,
-      st.count(_ == Status.Completed).toLong, overall))
+    Iterator.single(StatusStateMachine.rollup(key, merged))
   }
 }
 
 object StatusProcessorV2 {
-  /** Wire the processor onto a batch-event stream (update output mode). */
+  /** Wire the processor onto a batch-event stream (update output mode),
+    * unbounded state — bounded replays/tests. */
   def track(events: Dataset[BatchEvent]): Dataset[IngestionStatus] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_.ingestion_id)
       .transformWithState(new StatusProcessorV2,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Production form with BOUNDED state: native per-state TTL (RocksDB
+    * enforces it store-side). transformWithState TTL is processing-time
+    * based, so it requires `TimeMode.ProcessingTime`; `ttl` counts from each
+    * key's last state UPDATE — an active key never expires, an idle one is
+    * dropped without a timer per key.
+    */
+  def trackWithTtl(events: Dataset[BatchEvent],
+      ttl: java.time.Duration): Dataset[IngestionStatus] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.ingestion_id)
+      .transformWithState(new StatusProcessorV2(TTLConfig(ttl)),
+        TimeMode.ProcessingTime(), OutputMode.Update())
   }
 }

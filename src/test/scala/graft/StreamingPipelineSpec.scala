@@ -234,6 +234,83 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("event-time eviction drops idle keys; a revival starts fresh (v1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[BatchEvent]
+    val out = StatusStateMachine.trackWithEviction(input.toDS(),
+      watermarkDelay = "0 seconds", retentionMs = 10000)
+    val query = out.writeStream.format("memory").queryName("ssm_evict")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        BatchEvent("A", "b0", Status.Completed, ts("2024-01-01 00:00:00")),
+        BatchEvent("A", "b1", Status.YetToStart, ts("2024-01-01 00:00:00")))
+      query.processAllAvailable() // A=(2,1,triggered); watermark -> 00:00:00
+      input.addData(BatchEvent("B", "b0", Status.YetToStart, ts("2024-01-01 00:01:00")))
+      query.processAllAvailable() // watermark -> 00:01:00 after this batch
+      // next batch runs with watermark 00:01:00 > A's timeout (00:00:10):
+      // A is evicted (state removed, no tombstone row)
+      input.addData(BatchEvent("B", "b0", Status.Triggered, ts("2024-01-01 00:01:30")))
+      query.processAllAvailable()
+      // revival AFTER eviction: must start fresh — were stale state
+      // resurrected, this would read (A, 3, 1, triggered)
+      input.addData(BatchEvent("A", "b9", Status.YetToStart, ts("2024-01-01 00:02:00")))
+      query.processAllAvailable()
+      val aRows = spark.table("ssm_evict").as[(String, Long, Long, String)]
+        .collect().toSeq.filter(_._1 == "A")
+      assert(aRows.head == (("A", 2L, 1L, Status.Triggered)), s"got $aRows")
+      assert(aRows.last == (("A", 1L, 0L, Status.YetToStart)),
+        s"evicted state resurrected: $aRows")
+    } finally query.stop()
+  }
+
+  test("TTL evicts idle keys; a revival starts fresh (transformWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    val priorStore = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // TimeMode.ProcessingTime keeps the engine running micro-batches on the
+    // clock (TTL sweep), so processAllAvailable never settles — this test
+    // POLLS the sink under a deadline instead, and trims state partitions
+    // so each continuous batch commits 2 RocksDB stores, not 32.
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val input = MemoryStream[BatchEvent]
+    val query = graft.streaming.StatusProcessorV2
+      .trackWithTtl(input.toDS(), java.time.Duration.ofMillis(1000))
+      .writeStream.format("memory").queryName("ssm2_ttl")
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    def aRows: Seq[(String, Long, Long, String)] =
+      spark.table("ssm2_ttl").as[(String, Long, Long, String)]
+        .collect().toSeq.filter(_._1 == "A")
+    def awaitRow(expect: (String, Long, Long, String)): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!aRows.lastOption.contains(expect) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+    }
+    try {
+      input.addData(
+        BatchEvent("A", "b0", Status.Completed, ts("2024-01-01 00:00:00")),
+        BatchEvent("A", "b1", Status.YetToStart, ts("2024-01-01 00:00:00")))
+      awaitRow(("A", 2L, 1L, Status.Triggered))
+      assert(aRows.last == (("A", 2L, 1L, Status.Triggered)), s"got $aRows")
+      Thread.sleep(3000) // processing-time TTL (1 s) expires A's state
+      input.addData(BatchEvent("A", "b9", Status.YetToStart, ts("2024-01-01 00:00:10")))
+      awaitRow(("A", 1L, 0L, Status.YetToStart))
+      assert(aRows.last == (("A", 1L, 0L, Status.YetToStart)),
+        s"expired state resurrected: $aRows")
+    } finally {
+      query.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", priorParts)
+      priorStore match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState status machine tracks the rollup lattice") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[BatchEvent]
