@@ -41,12 +41,64 @@ object Multimodal {
     * executor memory for big payloads. */
   val DecodeBatchSize = 64
 
+  // ------------------------------------------------------- REAL image codec
+  // The image kind uses the JDK's javax.imageio (PNG/JPEG/BMP/GIF — no
+  // external deps). Audio/video remain stubbed: no codec libraries exist in
+  // this container.
+
+  /** REAL image decode: bytes → (width, height, mean R/G/B over all
+    * pixels). None when the payload is not a decodable image — callers fall
+    * back rather than crash, so a corrupt blob in 100 TB of media is a
+    * skipped row, not a dead stage.
+    */
+  def decodeImageMeta(content: Array[Byte]): Option[(Int, Int, Double, Double, Double)] = {
+    if (content == null || content.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** REAL PNG encode: a width×height image uniformly filled with `rgb`
+    * (0xRRGGBB). PNG is lossless, so decodeImageMeta roundtrips exactly —
+    * the basis of the oracle-checked q61 codec proof. */
+  def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------------ STUBS
-  // A real build links an image/audio codec here. The fakes are
+  // A real build links an audio/video codec here. The fakes are
   // deterministic functions of the bytes so tests and oracles are stable.
 
-  /** STUB decoder: real impl would decode image bytes to pixels. The fake
-    * "decodes" to a 16-bin byte histogram normalized to [0,1]. */
+  /** STUB decoder (audio/video, and the fallback for non-decodable image
+    * bytes): "decodes" to a 16-bin byte histogram normalized to [0,1]. */
   private[operators] def decodeToFeaturesStub(content: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     if (content != null && content.nonEmpty) {
@@ -70,19 +122,77 @@ object Multimodal {
   /** Batched decode/feature-extract: binary → ARRAY<FLOAT> feature vector.
     * mapPartitions + grouped(DecodeBatchSize) gives the codec a batch of
     * payloads per call (the real-world shape for GPU/native decoders).
+    *
+    * Image-kind rows decode for REAL (javax.imageio): features =
+    * [width, height, meanR/255, meanG/255, meanB/255, 0...] (16 dims, same
+    * width as the stub histogram so the schema contract is kind-independent).
+    * Non-decodable image bytes and the audio/video kinds take the stub.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("features", ArrayType(FloatType, containsNull = false))))
-    val rdd = media.select(col("media_id"), col("content")).rdd
+    val rdd = media.select(col("media_id"), col("kind"), col("content")).rdd
       .mapPartitions { rows =>
         rows.grouped(DecodeBatchSize).flatMap { batch =>
           // one codec invocation per batch in a real implementation
           batch.map { r =>
-            Row(r.getLong(0), decodeToFeaturesStub(r.getAs[Array[Byte]](1)).toSeq)
+            val content = r.getAs[Array[Byte]](2)
+            val feats = (if (r.getString(1) == "image") decodeImageMeta(content)
+                         else None) match {
+              case Some((w, h, mr, mg, mb)) =>
+                Array[Float](w.toFloat, h.toFloat, (mr / 255.0).toFloat,
+                  (mg / 255.0).toFloat, (mb / 255.0).toFloat,
+                  0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+              case None => decodeToFeaturesStub(content)
+            }
+            Row(r.getLong(0), feats.toSeq)
           }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Real-decode stage: image rows → (media_id, width, height, mean R/G/B).
+    * Non-decodable rows are skipped (logged downstream via count deltas).
+    * Row-local mapPartitions — binaries never shuffle.
+    */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))
+    val rdd = media.select(col("media_id"), col("content")).rdd
+      .mapPartitions { rows =>
+        rows.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.flatMap { r =>
+            decodeImageMeta(r.getAs[Array[Byte]](1)).map {
+              case (w, h, mr, mg, mb) => Row(r.getLong(0), w, h, mr, mg, mb)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic PNG synthesis: (media_id, width, height, rgb) →
+    * (media_id, content BINARY). The encode side of the q61 roundtrip proof;
+    * also how tests materialize real image bytes without fixture files.
+    */
+  def synthesizePng(spec: DataFrame): DataFrame = {
+    val spark = spec.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType)))
+    val rdd = spec.select(col("media_id"), col("width"), col("height"), col("rgb"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), encodePng(r.getInt(1), r.getInt(2), r.getInt(3)))
         }
       }
     spark.createDataFrame(rdd, outSchema)

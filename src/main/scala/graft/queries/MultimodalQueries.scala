@@ -56,7 +56,24 @@ object MultimodalQueries {
       Multimodal.sampleFrames(media(s, d), 32, 2)
         .select(col("media_id"), col("frame_idx"),
           length(col("frame")).cast("long").as("frame_len"),
-          md5(col("frame")).as("frame_md5"))))
+          md5(col("frame")).as("frame_md5"))),
+
+    // REAL image codec roundtrip (javax.imageio): synthesize a uniform-fill
+    // PNG per document (dims/color derived from table columns), decode the
+    // BYTES back, emit dims + channel means. PNG is lossless and the fill
+    // uniform, so the oracle recomputes every output arithmetically — a
+    // wrong decoder (or a stub) cannot hash-match.
+    "q61_image_decode" -> ((s, d) => {
+      val spec = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        (col("n_chars") % 48 + 8).cast("int").as("width"),
+        (col("n_chars") % 32 + 8).cast("int").as("height"),
+        ((col("doc_id") % 256) * 65536 + (col("doc_id") * 7 % 256) * 256
+          + col("doc_id") * 13 % 256).cast("int").as("rgb"))
+      Multimodal.decodeImages(Multimodal.synthesizePng(spec))
+        .select(col("media_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "q38_multimodal_meta" ->
@@ -75,5 +92,14 @@ object MultimodalQueries {
         |       md5(substr(text, i*32 + 1, 32)) AS frame_md5
         |FROM documents,
         |     UNNEST(range(0, CAST(ceil(length(text)/32.0) AS BIGINT))) u(i)
-        |WHERE doc_id % 3 = 2 AND i % 2 = 0""".stripMargin)
+        |WHERE doc_id % 3 = 2 AND i % 2 = 0""".stripMargin,
+
+    "q61_image_decode" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(n_chars % 48 + 8 AS INT) AS width,
+        |       CAST(n_chars % 32 + 8 AS INT) AS height,
+        |       CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |       CAST(doc_id * 7 % 256 AS DOUBLE) AS mean_g,
+        |       CAST(doc_id * 13 % 256 AS DOUBLE) AS mean_b
+        |FROM documents""".stripMargin)
 }

@@ -42,6 +42,46 @@ class MultimodalSpec extends SparkSpec {
     assert(r(3L)._2 == 0)                // empty content stays empty
   }
 
+  test("real image decode: PNG roundtrip recovers dims and exact fill") {
+    // encode side: 5x3 solid orange (0xFF8000); decode side must read the
+    // REAL pixels back — a histogram stub cannot produce these values
+    val png = Multimodal.encodePng(5, 3, 0xFF8000)
+    assert(png.length > 8 &&
+      (png.take(8).map(_ & 0xFF).toSeq == Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)),
+      "not a PNG signature")
+    assert(Multimodal.decodeImageMeta(png).contains((5, 3, 255.0, 128.0, 0.0)))
+    // non-image bytes refuse politely
+    assert(Multimodal.decodeImageMeta("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImageMeta(Array.emptyByteArray).isEmpty)
+  }
+
+  test("extractFeatures: image kind takes the real decoder, others the stub") {
+    val png = Multimodal.encodePng(4, 2, 0x406080)
+    val df = Seq(
+      (10L, "image", png),              // real decode
+      (11L, "audio", png),              // audio kind: stub even for PNG bytes
+      (12L, "image", "junk".getBytes)   // undecodable image: stub fallback
+    ).toDF("media_id", "kind", "content")
+    val f = Multimodal.extractFeatures(df)
+      .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
+    assert(f(10L).take(5) == Seq(4f, 2f, (0x40 / 255.0).toFloat,
+      (0x60 / 255.0).toFloat, (0x80 / 255.0).toFloat), s"got ${f(10L)}")
+    assert(f(10L).drop(5).forall(_ == 0f))
+    assert(f(11L).sum == 1.0f && f(11L)(0) != 4f) // histogram, not dims
+    assert(f(12L).sum == 1.0f)                    // fallback histogram
+    assert(f.values.forall(_.length == 16))
+  }
+
+  test("decodeImages skips undecodable rows, keeps real ones") {
+    val df = Seq(
+      (1L, Multimodal.encodePng(7, 7, 0x010203)),
+      (2L, "garbage".getBytes)
+    ).toDF("media_id", "content")
+    val out = Multimodal.decodeImages(df)
+      .as[(Long, Int, Int, Double, Double, Double)].collect().toSeq
+    assert(out == Seq((1L, 7, 7, 1.0, 2.0, 3.0)), s"got $out")
+  }
+
   test("sampleFrames: only video, stride windows, last frame short") {
     val frames = Multimodal.sampleFrames(mediaDf, 32, 2)
       .select(col("media_id"), col("frame_idx"), length(col("frame")))
