@@ -32,7 +32,10 @@ import graft.operators.IngestOps
   * State lives in versioned parquet snapshots under `stateDir` with an
   * atomically-swapped pointer file — readers always see a complete
   * consistent version (the scale path swaps this for Delta/Iceberg tables;
-  * the pipeline shape is identical). Every per-trigger step is a
+  * the pipeline shape is identical). Commits are INCREMENTAL: tables are
+  * hash-partitioned on their key, a trigger rewrites only partitions with
+  * changed rows and hard-links the rest from the previous version —
+  * per-trigger write cost is O(changed), not O(state). Every per-trigger step is a
   * distributed DataFrame op: union, anti-join, TakeOrderedAndProject,
   * mapPartitions enrichment — nothing collects per-row data to the driver.
   *
@@ -82,7 +85,9 @@ class IngestPipeline(
   private def readTable(v: Long, table: String, schema: StructType): DataFrame =
     if (v < 0 || !Files.exists(Paths.get(versionPath(v, table))))
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema).parquet(versionPath(v, table))
+    else // select drops the `_part` layout column partition discovery adds
+      spark.read.schema(schema).parquet(versionPath(v, table))
+        .select(schema.fieldNames.toSeq.map(col): _*)
 
   /** Latest batch-state table (ingestion_id, batch_id, batch_idx, ids,
     * priority, created_at, status). */
@@ -97,11 +102,63 @@ class IngestPipeline(
   /** Enriched output records (cumulative). */
   def processedState: DataFrame = readTable(currentVersion, "processed", ProcessedSchema)
 
-  private def persist(v: Long, batchId: Long,
-      tables: Map[String, DataFrame]): Unit = {
-    tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(versionPath(v, name))
+  /** Hash-partition key for incremental state commits. */
+  private def partOf(key: org.apache.spark.sql.Column) =
+    pmod(xxhash64(key), lit(NumStateParts)).cast("int")
+
+  /** One table's write instruction: which key column partitions it, and
+    * which partitions this trigger changed (None = full rewrite, the
+    * recovery/bootstrap path). */
+  private case class TableWrite(df: DataFrame, keyCol: String,
+      changed: Option[Set[Int]])
+
+  /** Incremental state commit: each table is laid out as `_part=<hash(key)
+    * mod NumStateParts>` partitions. Partitions containing changed rows are
+    * rewritten by a Spark job; every other partition is HARD-LINKED from the
+    * previous version — byte-identical, no data IO, O(parts) metadata ops.
+    * Per-trigger write amplification is O(changed rows), not O(state): the
+    * cumulative `processed` table, for example, writes only the ids enriched
+    * THIS trigger. This is the local-FS analogue of a Delta/Iceberg MERGE
+    * (new files for touched data, manifest reuse for the rest) — the
+    * pipeline shape is what carries to the lakehouse deployment.
+    */
+  private def writeTable(prevV: Long, v: Long, name: String, tw: TableWrite): Unit = {
+    val dest = versionPath(v, name)
+    val withPart = tw.df.withColumn("_part", partOf(col(tw.keyCol)))
+    val prevDir = new java.io.File(versionPath(prevV, name))
+    val prevPartitioned = prevV >= 0 && prevDir.isDirectory &&
+      Option(prevDir.list()).exists(_.exists(_.startsWith("_part=")))
+    tw.changed match {
+      case Some(parts) if prevPartitioned =>
+        if (parts.nonEmpty)
+          withPart.filter(col("_part").isin(parts.toSeq: _*))
+            .write.partitionBy("_part").mode("overwrite").parquet(dest)
+        else Files.createDirectories(Paths.get(dest))
+        (0 until NumStateParts).filterNot(parts).foreach { p =>
+          val src = new java.io.File(versionPath(prevV, s"$name/_part=$p"))
+          if (src.isDirectory) {
+            val dst = Paths.get(s"$dest/_part=$p")
+            Files.createDirectories(dst)
+            src.listFiles().foreach { f =>
+              if (f.isFile && !f.getName.startsWith(".") && f.getName != "_SUCCESS") {
+                val target = dst.resolve(f.getName)
+                try Files.createLink(target, f.toPath)
+                catch { // cross-device or FS without links: plain copy
+                  case _: UnsupportedOperationException | _: java.io.IOException =>
+                    Files.copy(f.toPath, target, StandardCopyOption.REPLACE_EXISTING)
+                }
+              }
+            }
+          }
+        }
+      case _ =>
+        withPart.write.partitionBy("_part").mode("overwrite").parquet(dest)
     }
+  }
+
+  private def persist(prevV: Long, v: Long, batchId: Long,
+      tables: Map[String, TableWrite]): Unit = {
+    tables.foreach { case (name, tw) => writeTable(prevV, v, name, tw) }
     writePointer(v, batchId)
   }
 
@@ -114,13 +171,17 @@ class IngestPipeline(
     if (v >= 0) {
       val batches = readTable(v, "batches", BatchStateSchema)
       if (!batches.filter(col("status") === Status.Triggered).isEmpty) {
-        persist(v + 1, b, Map(
-          "batches" -> batches.withColumn("status",
+        // recovery is rare: full rewrite (changed = None), no link bookkeeping
+        persist(v, v + 1, b, Map(
+          "batches" -> TableWrite(batches.withColumn("status",
             when(col("status") === Status.Triggered, Status.YetToStart)
-              .otherwise(col("status"))),
-          "requests" -> readTable(v, "requests", RequestStateSchema),
-          "rejected" -> readTable(v, "rejected", RejectedSchema),
-          "processed" -> readTable(v, "processed", ProcessedSchema)))
+              .otherwise(col("status"))), "batch_id", None),
+          "requests" -> TableWrite(
+            readTable(v, "requests", RequestStateSchema), "ingestion_id", None),
+          "rejected" -> TableWrite(
+            readTable(v, "rejected", RejectedSchema), "ingestion_id", None),
+          "processed" -> TableWrite(
+            readTable(v, "processed", ProcessedSchema), "id", None)))
       }
     }
   }
@@ -188,14 +249,28 @@ class IngestPipeline(
     // O13: persist `triggered` BEFORE enrichment so concurrent readers see it.
     val v = batchId.max(prevV + 1)
     val triggeredBatches = mark(batches, Status.Triggered).cache()
+    // Changed-partition sets for the incremental commit, ONE tiny tagged job
+    // for all tables: parts touched by new rows and by the admission marks.
+    // Supersets are fine (an untouched part rewritten is correct, just
+    // wasted IO); missing a changed part would corrupt state — every row
+    // source that can differ from the previous version is unioned here.
+    val changed: Map[String, Set[Int]] =
+      newBatches.select(lit("batches").as("t"), partOf(col("batch_id")).as("p"))
+        .union(admitted.select(lit("batches"), partOf(col("batch_id"))))
+        .union(newRequests.select(lit("requests"), partOf(col("ingestion_id"))))
+        .union(newRejected.select(lit("rejected"), partOf(col("ingestion_id"))))
+        .distinct().collect()
+        .groupBy(_.getString(0)).map { case (t, rows) =>
+          t -> rows.map(_.getInt(1)).toSet
+        }.withDefaultValue(Set.empty)
     // triggered snapshot commits under the PREVIOUS batch id: if the
     // process dies before the final persist, the replay re-runs this batch
     // (and the constructor demotes the orphaned `triggered` rows).
-    persist(v, lastCommittedBatchId, Map(
-      "batches" -> triggeredBatches,
-      "requests" -> requests,
-      "rejected" -> rejected,
-      "processed" -> prevProcessed))
+    persist(prevV, v, lastCommittedBatchId, Map(
+      "batches" -> TableWrite(triggeredBatches, "batch_id", Some(changed("batches"))),
+      "requests" -> TableWrite(requests, "ingestion_id", Some(changed("requests"))),
+      "rejected" -> TableWrite(rejected, "ingestion_id", Some(changed("rejected"))),
+      "processed" -> TableWrite(prevProcessed, "id", Some(Set.empty))))
 
     // O11: enrichment of admitted ids (mapPartitions — connector-shaped).
     // One enrichment job PER BATCH so a single connector failure marks only
@@ -234,12 +309,23 @@ class IngestPipeline(
       .join(endStatuses, Seq("batch_id"), "left")
       .withColumn("status", coalesce(col("_end"), col("status")))
       .drop("_end")
-    persist(v + StatusStep, batchId, Map(
-      "batches" -> finalBatches,
-      "requests" -> requests,
-      "rejected" -> rejected,
-      "processed" -> prevProcessed.unionByName(newProcessed.select(col("id"),
-        col("data")))))
+    // final-commit deltas: only admitted batches changed status, and only
+    // this trigger's enriched ids are new in `processed`
+    val finalChanged: Map[String, Set[Int]] =
+      admitted.select(lit("batches").as("t"), partOf(col("batch_id")).as("p"))
+        .union(newProcessed.select(lit("processed"), partOf(col("id"))))
+        .distinct().collect()
+        .groupBy(_.getString(0)).map { case (t, rows) =>
+          t -> rows.map(_.getInt(1)).toSet
+        }.withDefaultValue(Set.empty)
+    persist(v, v + StatusStep, batchId, Map(
+      "batches" -> TableWrite(finalBatches, "batch_id",
+        Some(finalChanged("batches"))),
+      "requests" -> TableWrite(requests, "ingestion_id", Some(Set.empty)),
+      "rejected" -> TableWrite(rejected, "ingestion_id", Some(Set.empty)),
+      "processed" -> TableWrite(
+        prevProcessed.unionByName(newProcessed.select(col("id"), col("data"))),
+        "id", Some(finalChanged("processed")))))
     triggeredBatches.unpersist()
     results.foreach(_._2.foreach(_.unpersist()))
     pruneVersions(keepFrom = v)
@@ -320,6 +406,12 @@ object IngestPipeline {
 
   /** Snapshot pairs kept for concurrent readers before pruning. */
   private val RetainedPairs = 8L
+
+  /** Hash partitions per state table for incremental commits. Local tests
+    * keep this small; a cluster deployment sizes it so one partition ≈ one
+    * comfortable rewrite unit (hundreds of MB), since per-trigger write cost
+    * is O(changed partitions × partition size). */
+  private[streaming] val NumStateParts = 16
 
   val RequestStateSchema: StructType = StructType(Seq(
     StructField("ingestion_id", StringType),

@@ -6,7 +6,7 @@ import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
 import graft.model.{Priority, Status}
-import graft.operators.{Dedup, IngestOps}
+import graft.operators.{AsofJoin, Dedup, IngestOps}
 
 /** ScalaCheck properties for the algebraic operators (SURVEY.md §5):
   * chunking is a partition of the input, the rollup lattice matches its
@@ -77,6 +77,43 @@ object GraftProperties extends Properties("graft") {
       val rank = Map("HIGH" -> 1, "MEDIUM" -> 2, "LOW" -> 3)
       val want = jobs.minBy { case (id, p, t) => (rank(p), t.getTime, id) }
       (got._1, got._2, got._3.getTime) == ((want._1, want._2, want._3.getTime))
+    }
+
+  // The trickiest hand-rolled operator: union-and-fill as-of vs a brute
+  // nested-loop reference on random data — both directions, null times on
+  // both sides, tie times (inclusive bounds), keys with no match.
+  private val asofKeyGen = Gen.oneOf("a", "b", "c")
+  private val asofTimeGen = Gen.frequency(
+    9 -> Gen.choose(0L, 20L).map(Option(_)), // small range forces ties
+    1 -> Gen.const(Option.empty[Long]))      // null event times
+
+  property("as-of joins match the nested-loop reference (both directions)") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(asofKeyGen, asofTimeGen)),
+      Gen.nonEmptyListOf(Gen.zip(asofKeyGen, asofTimeGen))) { (lRows, rRows0) =>
+      val s = spark
+      import s.implicits._
+      // contract: right side pre-deduplicated on (key, time)
+      val rRows = rRows0.zipWithIndex.map { case ((k, t), i) => (k, t, s"v$i") }
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val left = lRows.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "lt")
+      val right = rRows.toDF("k", "rt", "v")
+
+      def reference(fwd: Boolean): Map[Long, Option[String]] =
+        lRows.zipWithIndex.map { case ((k, t), i) =>
+          i.toLong -> t.flatMap { lt =>
+            val cands = rRows.filter(r => r._1 == k && r._2.exists(rt =>
+              if (fwd) rt >= lt else rt <= lt))
+            if (cands.isEmpty) None
+            else Some((if (fwd) cands.minBy(_._2.get) else cands.maxBy(_._2.get))._3)
+          }
+        }.toMap
+
+      val back = AsofJoin.backward(left, right, Seq("k"), "lt", "rt", Seq("v"))
+        .select("lid", "v").as[(Long, Option[String])].collect().toMap
+      val fwd = AsofJoin.forward(left, right, Seq("k"), "lt", "rt", Seq("v"))
+        .select("lid", "v").as[(Long, Option[String])].collect().toMap
+      back == reference(fwd = false) && fwd == reference(fwd = true)
     }
 
   property("jaccard is bounded, symmetric, 1 on self") =
