@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: deterministic splits/sampling,
+  * benchmark decontamination, sequence packing, vocabulary building.
+  * These are the steps between "deduped corpus" and "training shards" in
+  * an LLM data pipeline.
+  *
+  * Determinism stance: every assignment is a pure function of row CONTENT
+  * (md5-derived buckets), never of partitioning, row order, or a seed
+  * carried in the session — so a 1000-executor run, a local run, and the
+  * DuckDB oracle all agree row-for-row, and re-running a pipeline after
+  * adding data never reshuffles previously-assigned rows.
+  *
+  * Scale: split/sample/pack are row-local or one-keyed-window ops;
+  * decontamination shuffles on the gram hash (bounded by the benchmark's
+  * gram count, not the corpus); vocabulary is a partial-aggregated count.
+  */
+object Curation {
+
+  /** Stable hash bucket in [0, buckets): first 8 md5 hex chars of the id's
+    * string form, mod buckets. Engine-portable (DuckDB:
+    * ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT % buckets).
+    */
+  def hashBucket(id: Column, buckets: Int): Column = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
+  }
+
+  /** Deterministic named split (train/val/test...): `splits` are
+    * (name, percent) with percents summing to 100. A row's split is decided
+    * by its id bucket alone — adding rows later never moves existing rows
+    * between splits (the reproducibility property random splits lack).
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split percents must sum to 100, got $splits")
+    val b = hashBucket(col(idCol), 100)
+    val cuts = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    // CASE over ascending cuts, built inside-out so the FIRST matching
+    // range wins: when(b < cut1, s1).when(b < cut2, s2)...
+    val caseExpr = splits.zip(cuts).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), cut)) =>
+        when(b < cut, name).otherwise(acc)
+      }
+    df.withColumn("split", caseExpr)
+  }
+
+  /** Deterministic downsample: keep ids whose bucket < `keep` of `outOf`
+    * (e.g. 10 of 100 = a stable 10% sample). Per-stratum rates compose by
+    * filtering within groups upstream.
+    */
+  def hashSample(df: DataFrame, idCol: String, keep: Int, outOf: Int): DataFrame = {
+    require(keep >= 0 && keep <= outOf,
+      s"keep ($keep) must be within [0, $outOf]")
+    df.filter(hashBucket(col(idCol), outOf) < keep)
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing ANY word n-gram
+    * with the benchmark set. Grams travel as md5 HASHES so the shuffle
+    * carries 32-char keys, not raw text; the benchmark gram set is tiny
+    * relative to the corpus → Catalyst broadcasts it (no corpus shuffle).
+    * Returns (doc_id, n_shared) for contaminated docs; clean docs are the
+    * anti-join of the corpus against this (see q63).
+    */
+  def contaminatedDocs(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    // tokens materialize as a named column FIRST: inlining the tokenizer
+    // into the shingle lambda would re-split the text once per element_at
+    // (n per position — O(len²) interpreted work; measured 25 s -> 2 s)
+    def grams(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.withColumn("_tok", Dedup.tokens(col(textCol)))
+        .select(keep :+ explode(Dedup.shingles(col("_tok"), n)).as("_gram"): _*)
+        .select(keep :+ md5(col("_gram")).as("gram_h"): _*)
+    val benchGrams = grams(bench, Seq.empty).distinct()
+    grams(corpus, Seq(col(idCol)))
+      .join(benchGrams, Seq("gram_h"))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("gram_h")).as("n_shared"))
+  }
+
+  /** Sequence packing, the deterministic distributed form: within each
+    * group (ordered by `orderCol`), bin = floor(exclusive-running-sum of
+    * sizes / capacity). Every bin except possibly the last reaches at
+    * least `capacity` before closing, and overflows by at most one item —
+    * the standard streaming-pack bound. One keyed window; the groupBy that
+    * usually follows reuses the same exchange.
+    */
+  def packBins(df: DataFrame, groupCols: Seq[Column], orderCol: Column,
+      sizeCol: Column, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val w = Window.partitionBy(groupCols: _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_prior", coalesce(sum(sizeCol).over(w), lit(0L)))
+      .withColumn("bin", floor(col("_prior") / capacity).cast("int"))
+      .drop("_prior")
+  }
+
+  /** Vocabulary: global token frequencies, deterministic top-k
+    * (count desc, token asc). Partial-aggregated map-side; the exchange
+    * carries one row per distinct token, then TakeOrderedAndProject.
+    */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(Dedup.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+}

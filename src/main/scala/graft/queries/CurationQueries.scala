@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup}
+import graft.sources.Tables
+
+/** Training-data curation queries over `documents`: deterministic
+  * train/val/test split, benchmark n-gram decontamination, sequence
+  * packing, and vocabulary building — the corpus → training-shards steps
+  * of an LLM data pipeline, each with a DuckDB oracle.
+  */
+object CurationQueries {
+
+  /** DuckDB mirror of Curation.hashBucket. */
+  private def bucketSql(id: String, buckets: Int): String =
+    s"(('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 8))::BIGINT % $buckets)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic 90/5/5 split with per-(lang, split) accounting. The
+    // assignment is a pure function of doc_id — stable across cluster
+    // sizes, reruns, and corpus growth.
+    "q62_hash_split" -> ((s, d) =>
+      Curation.hashSplit(Tables.documents(s, d), "doc_id",
+        Seq(("train", 90), ("val", 5), ("test", 5)))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))),
+
+    // Benchmark decontamination: docs with doc_id % 97 == 0 stand in for
+    // the benchmark; any corpus doc sharing an 8-gram with them is flagged
+    // with its shared-gram count. Grams join as md5 hashes.
+    "q63_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      Curation.contaminatedDocs(docs, bench, "doc_id", "text", 8)
+        .select(col("doc_id"), col("n_shared").cast("long").as("n_shared"))
+    }),
+
+    // Sequence packing: per source, docs ordered by doc_id are packed into
+    // 4096-token bins by exclusive running sum (the deterministic
+    // distributed packing). Emits per-doc bin assignment.
+    "q64_pack_bins" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+      Curation.packBins(toks, Seq(col("source")), col("doc_id"),
+        col("n_tokens"), 4096)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))
+    }),
+
+    // Vocabulary: deterministic global top-100 tokens (count desc, token
+    // asc) — the frequency table a tokenizer build starts from.
+    "q65_vocab_topk" -> ((s, d) =>
+      Curation.topTokens(Tables.documents(s, d), "text", 100)
+        .select(col("token"), col("n"))))
+
+  val oracles: Map[String, String] = Map(
+    "q62_hash_split" ->
+      s"""WITH split AS (
+         |  SELECT lang, n_chars,
+         |         CASE WHEN ${bucketSql("doc_id", 100)} < 90 THEN 'train'
+         |              WHEN ${bucketSql("doc_id", 100)} < 95 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM documents
+         |)
+         |SELECT lang, split, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM split GROUP BY 1, 2""".stripMargin,
+
+    "q63_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'),
+        |                     x -> x <> '') AS tok
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(tok[i+1:i+8], ' ')) AS gram_h
+        |  FROM tok, UNNEST(range(0, greatest(len(tok) - 7, 0))) u(i)
+        |), bench AS (
+        |  SELECT DISTINCT gram_h FROM grams WHERE doc_id % 97 = 0
+        |)
+        |SELECT g.doc_id, count(DISTINCT g.gram_h) AS n_shared
+        |FROM grams g JOIN bench b USING (gram_h)
+        |GROUP BY 1""".stripMargin,
+
+    "q64_pack_bins" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                         x -> x <> '')) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |              AND 1 PRECEDING), 0) / 4096) AS INT) AS bin
+        |FROM toks""".stripMargin,
+
+    "q65_vocab_topk" ->
+      """SELECT tok AS token, count(*) AS n
+        |FROM documents,
+        |     UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+        |                        x -> x <> '')) t(tok)
+        |GROUP BY 1
+        |ORDER BY n DESC, token ASC
+        |LIMIT 100""".stripMargin)
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+import graft.sources.Tables
+
+/** Invariants of the curation family that the per-row oracles can't
+  * express: split stability under corpus growth, packing capacity bounds,
+  * sample determinism.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("hashSplit is stable under corpus growth and ~matches requested rates") {
+    val docs = Tables.documents(spark, dir)
+    val full = Curation.hashSplit(docs, "doc_id",
+      Seq(("train", 90), ("val", 5), ("test", 5)))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // adding data must NOT move existing rows between splits: the split of
+    // a doc in a half corpus equals its split in the full corpus
+    val half = Curation.hashSplit(docs.filter(col("doc_id") % 2 === 0), "doc_id",
+      Seq(("train", 90), ("val", 5), ("test", 5)))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(half.forall { case (id, s) => full(id) == s })
+    // rates land near the request (hash noise at n=500: generous margins)
+    val n = full.size.toDouble
+    val frac = full.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(frac("train") > 0.84 && frac("train") < 0.96, s"train ${frac("train")}")
+    assert(frac.getOrElse("val", 0.0) < 0.10 && frac.getOrElse("test", 0.0) < 0.10)
+  }
+
+  test("hashSample keeps a stable subset at the requested rate") {
+    val docs = Tables.documents(spark, dir)
+    val s10 = Curation.hashSample(docs, "doc_id", 10, 100)
+      .select("doc_id").as[Long].collect().toSet
+    val s20 = Curation.hashSample(docs, "doc_id", 20, 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s10.subsetOf(s20), "raising the rate must only ADD rows")
+    val n = docs.count().toDouble
+    assert(s10.size / n > 0.05 && s10.size / n < 0.16, s"10% got ${s10.size / n}")
+  }
+
+  test("packBins: bins fill to capacity and overflow by at most one item") {
+    val capacity = 4096L
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(graft.operators.Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+    val packed = Curation.packBins(toks, Seq(col("source")), col("doc_id"),
+      col("n_tokens"), capacity)
+      .groupBy(col("source"), col("bin"))
+      .agg(sum(col("n_tokens")).as("fill"), max(col("n_tokens")).as("max_item"),
+        count(lit(1)).as("n_docs"))
+      .as[(String, Int, Long, Long, Long)].collect()
+    assert(packed.nonEmpty)
+    val byGroup = packed.groupBy(_._1)
+    byGroup.foreach { case (_, bins) =>
+      val lastBin = bins.map(_._2).max
+      bins.foreach { case (_, bin, fill, maxItem, _) =>
+        // closed bins reached capacity before their last item landed
+        if (bin < lastBin) assert(fill >= capacity,
+          s"closed bin $bin underfull: $fill")
+        assert(fill < capacity + maxItem || fill == maxItem,
+          s"bin $bin overflows by more than one item: $fill (max item $maxItem)")
+      }
+    }
+    // bins are contiguous 0..last within each group
+    byGroup.foreach { case (src, bins) =>
+      val ids = bins.map(_._2).sorted.toSeq
+      assert(ids == (0 to ids.max).toSeq, s"$src bins not contiguous: $ids")
+    }
+  }
+}
