@@ -38,8 +38,9 @@ object Curation {
     */
   def hashSplit(df: DataFrame, idCol: String,
       splits: Seq[(String, Int)]): DataFrame = {
-    require(splits.nonEmpty && splits.map(_._2).sum == 100,
-      s"split percents must sum to 100, got $splits")
+    require(splits.nonEmpty && splits.map(_._2).sum == 100 &&
+      splits.forall(_._2 > 0),
+      s"split percents must be positive and sum to 100, got $splits")
     val b = hashBucket(col(idCol), 100)
     val cuts = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
     // CASE over ascending cuts, built inside-out so the FIRST matching

@@ -72,7 +72,10 @@ object Multimodal {
         val n = w.toLong * h
         Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
       }
-    } catch { case _: java.io.IOException => None }
+      // NonFatal, not just IOException: imageio readers throw unchecked
+      // exceptions (AIOOBE, NegativeArraySize, IllegalArgument) on corrupt
+      // containers — any of them must mean "skipped row", not a dead stage
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** REAL PNG encode: a width×height image uniformly filled with `rgb`

@@ -236,10 +236,22 @@ class IngestPipeline(
       .dropDuplicates("ingestion_id", "error")
 
     // O7/O8/O15: re-rank ALL still-pending batches, admit the top k.
-    val admitted = IngestOps.dequeue(
+    // Evaluated EXACTLY ONCE (k = admitPerTrigger = O(1) rows to the
+    // driver); the admission set is then rebuilt as a literal DataFrame so
+    // the marks, both persists, and the changed-part bookkeeping all see
+    // the same admissions — no reliance on independent re-evaluations of
+    // the sort agreeing, and no repeated execution of the admission DAG.
+    val admittedRows = IngestOps.dequeue(
       batches.filter(col("status") === Status.YetToStart), admitPerTrigger,
       "priority", "created_at", col("ingestion_id"), col("batch_idx"))
-      .select(col("batch_id")).withColumn("_admit", lit(true))
+      .select(col("batch_id"), partOf(col("batch_id")).as("_p"))
+      .collect()
+    val admittedKeys = admittedRows.map(_.getString(0))
+    val admittedParts = admittedRows.map(_.getInt(1)).toSet
+    val admitted = spark.createDataFrame(
+      spark.sparkContext.parallelize(admittedKeys.toSeq.map(Row(_)), 1),
+      StructType(Seq(StructField("batch_id", StringType))))
+      .withColumn("_admit", lit(true))
 
     def mark(df: DataFrame, to: String): DataFrame =
       df.join(admitted, Seq("batch_id"), "left")
@@ -250,13 +262,12 @@ class IngestPipeline(
     val v = batchId.max(prevV + 1)
     val triggeredBatches = mark(batches, Status.Triggered).cache()
     // Changed-partition sets for the incremental commit, ONE tiny tagged job
-    // for all tables: parts touched by new rows and by the admission marks.
-    // Supersets are fine (an untouched part rewritten is correct, just
-    // wasted IO); missing a changed part would corrupt state — every row
-    // source that can differ from the previous version is unioned here.
+    // for the new-row tables (the admission marks' parts are already on the
+    // driver). Supersets are fine (an untouched part rewritten is correct,
+    // just wasted IO); missing a changed part would corrupt state — every
+    // row source that can differ from the previous version is covered here.
     val changed: Map[String, Set[Int]] =
       newBatches.select(lit("batches").as("t"), partOf(col("batch_id")).as("p"))
-        .union(admitted.select(lit("batches"), partOf(col("batch_id"))))
         .union(newRequests.select(lit("requests"), partOf(col("ingestion_id"))))
         .union(newRejected.select(lit("rejected"), partOf(col("ingestion_id"))))
         .distinct().collect()
@@ -267,7 +278,8 @@ class IngestPipeline(
     // process dies before the final persist, the replay re-runs this batch
     // (and the constructor demotes the orphaned `triggered` rows).
     persist(prevV, v, lastCommittedBatchId, Map(
-      "batches" -> TableWrite(triggeredBatches, "batch_id", Some(changed("batches"))),
+      "batches" -> TableWrite(triggeredBatches, "batch_id",
+        Some(changed("batches") ++ admittedParts)),
       "requests" -> TableWrite(requests, "ingestion_id", Some(changed("requests"))),
       "rejected" -> TableWrite(rejected, "ingestion_id", Some(changed("rejected"))),
       "processed" -> TableWrite(prevProcessed, "id", Some(Set.empty))))
@@ -278,7 +290,6 @@ class IngestPipeline(
     // admission set; k = admitPerTrigger is O(1), so the driver loop is too.
     // Only NonFatal errors become `failed` — cancellation/OOM must escape so
     // crash recovery (not a terminal failed state) handles them.
-    val admittedKeys = admitted.select(col("batch_id")).collect().map(_.getString(0))
     val results = admittedKeys.map { bid =>
       val ids = triggeredBatches.filter(col("batch_id") === bid)
         .select(explode(col("ids")).as("id"))
@@ -309,23 +320,20 @@ class IngestPipeline(
       .join(endStatuses, Seq("batch_id"), "left")
       .withColumn("status", coalesce(col("_end"), col("status")))
       .drop("_end")
-    // final-commit deltas: only admitted batches changed status, and only
-    // this trigger's enriched ids are new in `processed`
-    val finalChanged: Map[String, Set[Int]] =
-      admitted.select(lit("batches").as("t"), partOf(col("batch_id")).as("p"))
-        .union(newProcessed.select(lit("processed"), partOf(col("id"))))
-        .distinct().collect()
-        .groupBy(_.getString(0)).map { case (t, rows) =>
-          t -> rows.map(_.getInt(1)).toSet
-        }.withDefaultValue(Set.empty)
+    // final-commit deltas: only admitted batches changed status (their
+    // parts are already on the driver), and only this trigger's enriched
+    // ids are new in `processed` (cached — one cheap distinct-parts select)
+    val processedParts: Set[Int] =
+      if (results.forall(_._2.isEmpty)) Set.empty
+      else newProcessed.select(partOf(col("id")).as("p")).distinct()
+        .collect().map(_.getInt(0)).toSet
     persist(v, v + StatusStep, batchId, Map(
-      "batches" -> TableWrite(finalBatches, "batch_id",
-        Some(finalChanged("batches"))),
+      "batches" -> TableWrite(finalBatches, "batch_id", Some(admittedParts)),
       "requests" -> TableWrite(requests, "ingestion_id", Some(Set.empty)),
       "rejected" -> TableWrite(rejected, "ingestion_id", Some(Set.empty)),
       "processed" -> TableWrite(
         prevProcessed.unionByName(newProcessed.select(col("id"), col("data"))),
-        "id", Some(finalChanged("processed")))))
+        "id", Some(processedParts))))
     triggeredBatches.unpersist()
     results.foreach(_._2.foreach(_.unpersist()))
     pruneVersions(keepFrom = v)
