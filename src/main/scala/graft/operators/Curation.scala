@@ -111,4 +111,46 @@ object Curation {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
+
+  /** Dataset profile: per-column null count, distinct count, min/max (as
+    * strings, type-agnostic) — the QA pass before training shards ship.
+    * ONE scan, one reduce: all columns aggregate in a single `agg`, then
+    * `stack` unpivots to a (col_name, stats...) row per column driver-free.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("_n") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$c"),
+        count_distinct(col(c)).as(s"_dist_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val stackArgs = cols.map(c =>
+      s"'$c', _n, _nulls_$c, _dist_$c, _min_$c, _max_$c").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)")
+  }
+
+  /** Balanced resampling: upsample under-represented groups toward the
+    * largest one by an integral repetition factor (floor(max/n), capped) —
+    * the deterministic form of language-balancing a training mix. Emits
+    * each row `rep` times with rep_idx 1..rep; factors derive from group
+    * counts alone, so the expansion is stable across partitionings. The
+    * count aggregate is one narrow shuffle; the explode is row-local.
+    */
+  def balancedRepeat(df: DataFrame, groupCol: String, maxRep: Int): DataFrame = {
+    require(maxRep >= 1, s"maxRep must be >= 1, got $maxRep")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    // global max via broadcast cross join, not an empty-partition window
+    // (which would funnel rows through one task)
+    val factors = counts
+      .crossJoin(broadcast(counts.agg(max(col("_n")).as("_max_n"))))
+      .withColumn("rep", least(lit(maxRep.toLong),
+        greatest(lit(1L), floor(col("_max_n") / col("_n")))))
+      .select(col(groupCol), col("rep"))
+    df.join(broadcast(factors), Seq(groupCol))
+      .withColumn("rep_idx", explode(sequence(lit(1L), col("rep"))))
+  }
 }

@@ -54,7 +54,20 @@ object CurationQueries {
     // asc) — the frequency table a tokenizer build starts from.
     "q65_vocab_topk" -> ((s, d) =>
       Curation.topTokens(Tables.documents(s, d), "text", 100)
-        .select(col("token"), col("n"))))
+        .select(col("token"), col("n"))),
+
+    // One-scan dataset profile: null/distinct/min/max per column — the QA
+    // pass before shards ship.
+    "q66_profile" -> ((s, d) =>
+      Curation.profile(Tables.documents(s, d),
+        Seq("lang", "source", "n_chars"))),
+
+    // Language-balanced resample: upsample smaller languages toward the
+    // largest by floor(max/n) capped at 4; per-(lang, rep_idx) accounting.
+    "q67_balanced_resample" -> ((s, d) =>
+      Curation.balancedRepeat(Tables.documents(s, d), "lang", 4)
+        .groupBy(col("lang"), col("rep_idx"))
+        .agg(count(lit(1)).as("n_docs"))))
 
   val oracles: Map[String, String] = Map(
     "q62_hash_split" ->
@@ -106,5 +119,38 @@ object CurationQueries {
         |                        x -> x <> '')) t(tok)
         |GROUP BY 1
         |ORDER BY n DESC, token ASC
-        |LIMIT 100""".stripMargin)
+        |LIMIT 100""".stripMargin,
+
+    "q66_profile" ->
+      """SELECT 'lang' AS col_name, count(*) AS n_rows,
+        |       count(*) - count(lang) AS n_nulls,
+        |       count(DISTINCT lang) AS n_distinct,
+        |       CAST(min(lang) AS VARCHAR) AS min_val,
+        |       CAST(max(lang) AS VARCHAR) AS max_val
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*), count(*) - count(source),
+        |       count(DISTINCT source),
+        |       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |       count(DISTINCT n_chars),
+        |       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |FROM documents""".stripMargin,
+
+    "q67_balanced_resample" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+        |), factors AS (
+        |  SELECT lang,
+        |         least(4, greatest(1, CAST(floor(
+        |           (SELECT max(n) FROM counts) * 1.0 / n) AS BIGINT))) AS rep
+        |  FROM counts
+        |)
+        |SELECT d.lang, CAST(i AS BIGINT) AS rep_idx, count(*) AS n_docs
+        |FROM documents d
+        |JOIN factors f ON d.lang = f.lang,
+        |     UNNEST(range(1, f.rep + 1)) u(i)
+        |GROUP BY 1, 2""".stripMargin)
 }
