@@ -67,7 +67,36 @@ object CurationQueries {
     "q67_balanced_resample" -> ((s, d) =>
       Curation.balancedRepeat(Tables.documents(s, d), "lang", 4)
         .groupBy(col("lang"), col("rep_idx"))
-        .agg(count(lit(1)).as("n_docs"))))
+        .agg(count(lit(1)).as("n_docs"))),
+
+    // THE COMPOSED PIPELINE: exact dedup -> benchmark decontamination ->
+    // deterministic split -> sequence packing, end to end, summarized per
+    // (split, source). Every stage is an already-oracled operator; this
+    // query proves they COMPOSE (the actual corpus -> training-shards
+    // workflow), mirrored stage-for-stage by one CTE-chain oracle.
+    "q68_corpus_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val deduped = graft.operators.Dedup.exactDedup(
+        docs.withColumn("text_hash", md5(col("text"))),
+        Seq(col("text_hash")), "doc_id")
+        .filter(col("is_canonical"))
+        .select(col("doc_id"), col("text"), col("source"))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val contaminated = Curation
+        .contaminatedDocs(docs, bench, "doc_id", "text", 8)
+        .select(col("doc_id"))
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      val split = Curation.hashSplit(clean, "doc_id",
+        Seq(("train", 90), ("val", 5), ("test", 5)))
+      val toks = split.select(col("doc_id"), col("split"), col("source"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+      Curation.packBins(toks, Seq(col("split"), col("source")),
+        col("doc_id"), col("n_tokens"), 4096)
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          (max(col("bin")) + 1).cast("long").as("n_bins"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "q62_hash_split" ->
@@ -152,5 +181,46 @@ object CurationQueries {
         |FROM documents d
         |JOIN factors f ON d.lang = f.lang,
         |     UNNEST(range(1, f.rep + 1)) u(i)
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q68_corpus_pipeline" ->
+      s"""WITH dedup AS (
+         |  SELECT doc_id, text, source FROM (
+         |    SELECT doc_id, text, source,
+         |           min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+         |    FROM documents) WHERE doc_id = canon
+         |), tok AS (
+         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+         |                             x -> x <> '') AS tok
+         |  FROM documents
+         |), grams AS (
+         |  SELECT doc_id, md5(array_to_string(tok[i+1:i+8], ' ')) AS gram_h
+         |  FROM tok, UNNEST(range(0, greatest(len(tok) - 7, 0))) u(i)
+         |), bench AS (
+         |  SELECT DISTINCT gram_h FROM grams WHERE doc_id % 97 = 0
+         |), contaminated AS (
+         |  SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram_h)
+         |), clean AS (
+         |  SELECT d.* FROM dedup d
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |), split AS (
+         |  SELECT *, CASE WHEN ${bucketSql("doc_id", 100)} < 90 THEN 'train'
+         |                 WHEN ${bucketSql("doc_id", 100)} < 95 THEN 'val'
+         |                 ELSE 'test' END AS split
+         |  FROM clean
+         |), toks AS (
+         |  SELECT s.doc_id, s.split, s.source, len(t.tok) AS n_tokens
+         |  FROM split s JOIN tok t USING (doc_id)
+         |), packed AS (
+         |  SELECT doc_id, split, source, n_tokens,
+         |         CAST(floor(coalesce(sum(n_tokens) OVER (
+         |              PARTITION BY split, source ORDER BY doc_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |              0) / 4096) AS INT) AS bin
+         |  FROM toks
+         |)
+         |SELECT split, source, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |       CAST(max(bin) + 1 AS BIGINT) AS n_bins
+         |FROM packed GROUP BY 1, 2""".stripMargin)
 }
