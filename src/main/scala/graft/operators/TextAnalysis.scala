@@ -24,6 +24,28 @@ object TextAnalysis {
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Canonical text normalization for dedup/signature robustness:
+    * lowercase, strip control characters, collapse whitespace runs to one
+    * space, trim. Row-local regexp chain in codegen; the regex subset
+    * (classes + quantifiers) evaluates identically in Java and RE2-family
+    * engines, which keeps it oracle-checkable.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\x00-\\x1F\\x7F]", " "),
+      "\\s+", " "))
+
+  /** PII redaction: emails → <EMAIL>, long digit runs (8+, phone/account
+    * numbers) → <NUM>. Deliberately simple patterns — the operator contract
+    * is the redaction pass (row-local, composable before signatures);
+    * production swaps in its compliance-grade pattern set.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9]{8,}", "<NUM>")
+
   /** Tokens count of the whitespace tokenization. */
   def tokenCount(tokensCol: Column): Column = size(tokensCol).cast("long")
 

@@ -62,7 +62,18 @@ object TextQueries {
     "q35_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
-        .withColumn("fp_short", substring(col("fp"), 1, 8))))
+        .withColumn("fp_short", substring(col("fp"), 1, 8))),
+
+    // Canonical normalization + PII redaction — the cleaning pass that
+    // runs before signatures/shingles in a real corpus pipeline. Output
+    // keeps md5 of each stage so the oracle hash-checks the exact bytes.
+    "q69_normalize_redact" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        md5(TextAnalysis.normalize(col("text"))).as("norm_md5"),
+        length(TextAnalysis.normalize(col("text"))).cast("long").as("norm_len"),
+        md5(TextAnalysis.redactPii(col("text"))).as("redact_md5"),
+        (length(col("text")) - length(TextAnalysis.redactPii(col("text"))))
+          .cast("long").as("len_delta"))))
 
   private val langVotesSql: String =
     TextAnalysis.LangMarkers.map { case (lang, words) =>
@@ -128,5 +139,22 @@ object TextQueries {
         |      '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
         |  substr(md5(trim(regexp_replace(regexp_replace(lower(text),
         |      '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))), 1, 8) AS fp_short
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    "q69_normalize_redact" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |         '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')) AS norm,
+        |    regexp_replace(regexp_replace(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |         '<EMAIL>', 'g'), '[0-9]{8,}', '<NUM>', 'g') AS redacted,
+        |    text
+        |  FROM documents
+        |)
+        |SELECT doc_id, md5(norm) AS norm_md5,
+        |       length(norm) AS norm_len,
+        |       md5(redacted) AS redact_md5,
+        |       length(text) - length(redacted) AS len_delta
+        |FROM n""".stripMargin)
 }

@@ -43,6 +43,24 @@ class CurationSpec extends SparkSpec {
     assert(s10.size / n > 0.05 && s10.size / n < 0.16, s"10% got ${s10.size / n}")
   }
 
+  // The synthetic corpus contains no emails, digit runs, control chars,
+  // uppercase, or whitespace runs — q69's oracle only proves the identity
+  // path there, so the actual transformations are pinned here.
+  test("normalize and redactPii handle the cases the fixtures lack") {
+    val df = Seq(
+      (1L, "  Hello\tWORLD  mixed   Case "),
+      (2L, "contact me at john.doe+spam@example.co.uk or 12345678901"),
+      (3L, "short 1234567 stays")) // 7 digits: below the 8+ run threshold
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+      graft.operators.TextAnalysis.normalize(col("text")).as("n"),
+      graft.operators.TextAnalysis.redactPii(col("text")).as("r"))
+      .as[(Long, String, String)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(1L)._1 == "hello world mixed case", s"got '${out(1L)._1}'")
+    assert(out(2L)._2 == "contact me at <EMAIL> or <NUM>", s"got '${out(2L)._2}'")
+    assert(out(3L)._2 == "short 1234567 stays")
+  }
+
   test("packBins: bins fill to capacity and overflow by at most one item") {
     val capacity = 4096L
     val toks = Tables.documents(spark, dir)
