@@ -119,15 +119,23 @@ object Curation {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = count(lit(1)).as("_n") +: cols.flatMap { c =>
+    require(cols.distinct.size == cols.size,
+      s"profile columns must be distinct, got $cols")
+    // df(c) resolves exact column names (a bare col("a.b") would parse as
+    // struct-field access); aliases/literals are quoted so dotted or odd
+    // names can't corrupt the generated stack() SQL
+    val aggs = count(lit(1)).as("_n") +: cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$c"),
-        count_distinct(col(c)).as(s"_dist_$c"),
-        min(col(c)).cast("string").as(s"_min_$c"),
-        max(col(c)).cast("string").as(s"_max_$c"))
+        // count(_n) - count(c), not sum(when(isNull)): over ZERO rows sum
+        // is NULL while the count form gives 0 — the oracle's semantics
+        (count(lit(1)) - count(df(c))).as(s"_nulls_$i"),
+        count_distinct(df(c)).as(s"_dist_$i"),
+        min(df(c)).cast("string").as(s"_min_$i"),
+        max(df(c)).cast("string").as(s"_max_$i"))
     }
-    val stackArgs = cols.map(c =>
-      s"'$c', _n, _nulls_$c, _dist_$c, _min_$c, _max_$c").mkString(", ")
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      s"'${c.replace("'", "''")}', _n, _nulls_$i, _dist_$i, _min_$i, _max_$i"
+    }.mkString(", ")
     df.agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
         "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)")
@@ -150,7 +158,14 @@ object Curation {
       .withColumn("rep", least(lit(maxRep.toLong),
         greatest(lit(1L), floor(col("_max_n") / col("_n")))))
       .select(col(groupCol), col("rep"))
-    df.join(broadcast(factors), Seq(groupCol))
-      .withColumn("rep_idx", explode(sequence(lit(1L), col("rep"))))
+    // LEFT join + coalesce: a NULL group key never equi-joins, and a
+    // balancer's contract is to repeat rows, never delete them — NULL-keyed
+    // rows keep rep=1. No forced broadcast: factors has one row per
+    // DISTINCT group, which is small for languages but can be huge for
+    // e.g. domains — let Catalyst pick from actual size.
+    df.join(factors, Seq(groupCol), "left")
+      .withColumn("rep_idx",
+        explode(sequence(lit(1L), coalesce(col("rep"), lit(1L)))))
+      .drop("rep")
   }
 }
