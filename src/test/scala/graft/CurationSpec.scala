@@ -43,6 +43,18 @@ class CurationSpec extends SparkSpec {
     assert(s10.size / n > 0.05 && s10.size / n < 0.16, s"10% got ${s10.size / n}")
   }
 
+  test("balancedRepeat keeps NULL-keyed rows (rep=1) and balances the rest") {
+    val df = Seq(
+      (1L, Some("en")), (2L, Some("en")), (3L, Some("en")), (4L, Some("en")),
+      (5L, Some("de")), (6L, None)).toDF("id", "lang")
+    val out = Curation.balancedRepeat(df, "lang", 4)
+      .select("id", "rep_idx").as[(Long, Long)].collect().toSeq
+    val byId = out.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byId(6L) == 1, "NULL-keyed row must survive exactly once")
+    assert(byId(5L) == 4, s"de (1 of max 4) should repeat 4x, got ${byId(5L)}")
+    assert(Seq(1L, 2L, 3L, 4L).forall(byId(_) == 1), "largest group stays 1x")
+  }
+
   // The synthetic corpus contains no emails, digit runs, control chars,
   // uppercase, or whitespace runs — q69's oracle only proves the identity
   // path there, so the actual transformations are pinned here.
