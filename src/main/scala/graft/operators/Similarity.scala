@@ -194,6 +194,39 @@ object Similarity {
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame =
     probeCentroids(corpus, centroids, 1)
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus, then prune near-identical vectors WITHIN each
+    * cluster only. Pairwise rule, deterministic: a vector is dropped iff
+    * some smaller-id vector in its cell has cosine ≥ `threshold` with it
+    * (pairwise, not transitive — a dropped vector still shields its own
+    * larger-id neighbors, matching the oracle exactly).
+    *
+    * Scale shape: candidate pairs come from the cell equi-join (one shuffle
+    * keyed on centroid_id — bucketed, never corpus×corpus), so quadratic
+    * work is confined to within-cell; with k cells of ~n/k rows the compute
+    * is n²/k dot products spread over k independent cells. The final keep
+    * set is a left-anti join — no collect anywhere.
+    *
+    * Returns the KEPT rows as (vec_id, centroid_id).
+    */
+  def semDedupKeep(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = assignToCentroids(corpus, centroids)
+      .select(col("vec_id"), col("vec"), col("nrm"), col("centroid_id"))
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("id_a"),
+      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("id_b"),
+      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosineWithNorms(col("vec_a"), col("vec_b"),
+        col("nrm_a"), col("nrm_b")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
   /** Lloyd k-means over the corpus, deterministic: seeds = the k smallest
     * vec_ids, fixed iteration count, ties on centroid id. Per iteration:
     * broadcast-assign (map-side), then element-wise mean via posexplode —

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for corpus curation: token statistics, quality
@@ -106,4 +106,42 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "),
       " +", " ")))
+
+  /** Per-document n-gram repetition metrics — the Gopher repetition quality
+    * rules (Rae et al. 2021 §A1.1: "duplicate n-gram fraction" and "top
+    * n-gram fraction"), the standard filter for boilerplate/looping text in
+    * training-data curation.
+    *
+    * `tokCol` must be an already-materialized token array column (never
+    * inline the tokenizer into the gram lambda: interpreted HOFs re-evaluate
+    * their argument per element). Gram formation is row-local; counting is a
+    * (doc, gram) hash aggregate with map-side partial combine — one shuffle
+    * of O(distinct grams), never all-pairs, so the shape survives 100 TB.
+    *
+    * Output per doc (docs with fewer than n tokens have no grams and drop
+    * out): `n_grams` = instance count (n_tok - n + 1), `dup_frac` = fraction
+    * of instances whose gram occurs more than once in-doc, `top_frac` =
+    * frequency share of the most frequent gram.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, tokCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, s"gram size must be positive, got $n")
+    val grams = docs
+      .select(col(idCol), col(tokCol).as("tok"))
+      .filter(size(col("tok")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("tok")) - n),
+        i => concat_ws(" ", (0 until n).map(o => col("tok")(i + o)): _*)))
+        .as("gram"))
+    val counts = grams.groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col(idCol)).agg(
+      sum(col("cnt")).as("n_grams"),
+      sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_cnt"),
+      max(col("cnt")).as("top_cnt"))
+      .select(col(idCol),
+        col("n_grams").cast("long").as("n_grams"),
+        round(col("dup_cnt") / col("n_grams"), 6).as("dup_frac"),
+        round(col("top_cnt") / col("n_grams"), 6).as("top_frac"))
+  }
 }

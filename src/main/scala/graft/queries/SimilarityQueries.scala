@@ -112,7 +112,15 @@ object SimilarityQueries {
       graft.operators.Dedup.connectedComponents(embedPairs(s, d), "id_a", "id_b",
         maxIter = 50)
         .select(col("node").as("vec_id"), col("cluster_id"),
-          (col("node") === col("cluster_id")).as("is_canonical"))))
+          (col("node") === col("cluster_id")).as("is_canonical"))),
+
+    // SemDeDup: cluster (q29's every-50th centroids), then drop vectors with
+    // a smaller-id cosine-near-dup in the SAME cell — quadratic work
+    // confined within cells, candidates from the cell equi-join.
+    "q71_semdedup" -> ((s, d) => {
+      val c = corpus(s, d)
+      Similarity.semDedupKeep(c, c.filter(col("vec_id") % 50 === 0), 0.4)
+    }))
 
   val oracles: Map[String, String] = Map(
     "q53_embed_dup_clusters" ->
@@ -208,5 +216,29 @@ object SimilarityQueries {
          |SELECT c.id_a, c.id_b,
          |       round(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6) AS sim
          |FROM cand c JOIN n x ON c.id_a = x.vec_id JOIN n y ON c.id_b = y.vec_id
-         |WHERE round(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6) >= 0.4""".stripMargin)
+         |WHERE round(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6) >= 0.4""".stripMargin,
+
+    // Mirrors semDedupKeep: q29's centroid assignment (crank = 1), then a
+    // vector is dropped iff a smaller-id vector in the same cell has
+    // rounded cosine >= 0.4 with it (pairwise rule, not transitive).
+    "q71_semdedup" ->
+      s"""$VCte, cents AS (
+         |  SELECT vec_id AS centroid_id, vec AS centvec, nrm AS centnrm
+         |  FROM n WHERE vec_id % 50 = 0
+         |), assigned AS (
+         |  SELECT vec_id, vec, nrm, centroid_id FROM (
+         |    SELECT n.vec_id, n.vec, n.nrm, c.centroid_id,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.vec, c.centvec)
+         |               / (n.nrm * c.centnrm), 6) DESC, c.centroid_id ASC) AS crank
+         |    FROM n, cents c) t
+         |  WHERE crank = 1
+         |), dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.4
+         |)
+         |SELECT vec_id, centroid_id FROM assigned
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin)
 }

@@ -73,7 +73,12 @@ object TextQueries {
         length(TextAnalysis.normalize(col("text"))).cast("long").as("norm_len"),
         md5(TextAnalysis.redactPii(col("text"))).as("redact_md5"),
         (length(col("text")) - length(TextAnalysis.redactPii(col("text"))))
-          .cast("long").as("len_delta"))))
+          .cast("long").as("len_delta"))),
+
+    // Gopher repetition rules: per-doc duplicate-2gram fraction and top-
+    // 2gram frequency share — the boilerplate/looping-text quality filter.
+    "q70_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(toks(s, d), "doc_id", "tok", 2)))
 
   private val langVotesSql: String =
     TextAnalysis.LangMarkers.map { case (lang, words) =>
@@ -156,5 +161,25 @@ object TextQueries {
         |       length(norm) AS norm_len,
         |       md5(redacted) AS redact_md5,
         |       length(text) - length(redacted) AS len_delta
-        |FROM n""".stripMargin)
+        |FROM n""".stripMargin,
+
+    // 1-based list indexing: range(1, len) gives i = 1..len-1, pairing
+    // tok[i] with tok[i+1] — the same len-1 grams as Spark's sequence(0,
+    // size-2). CAST sums to BIGINT (DuckDB sums into HUGEINT, which would
+    // break the driver's exact hash); '/' is float division in DuckDB,
+    // matching Spark's double '/' on longs.
+    "q70_repetition" ->
+      s"""$TokCte, grams AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tok)),
+         |    i -> tok[i] || ' ' || tok[i + 1])) AS gram
+         |  FROM t WHERE len(tok) >= 2
+         |), counts AS (
+         |  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2
+         |)
+         |SELECT doc_id,
+         |  CAST(sum(cnt) AS BIGINT) AS n_grams,
+         |  round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+         |        / CAST(sum(cnt) AS BIGINT), 6) AS dup_frac,
+         |  round(max(cnt) / CAST(sum(cnt) AS BIGINT), 6) AS top_frac
+         |FROM counts GROUP BY doc_id""".stripMargin)
 }

@@ -162,6 +162,25 @@ class IngestOpsSpec extends SparkSpec {
       .head().getInt(0) == 0)
   }
 
+  test("repetitionStats: hand-computed gram fractions; short docs drop") {
+    val df = Seq(
+      (1L, "a b a b a"), // grams: "a b"x2, "b a"x2 -> all duplicated
+      (2L, "x y z"),     // grams: "x y", "y z"     -> none duplicated
+      (3L, "solo")       // < 2 tokens -> no grams -> absent
+    ).toDF("doc_id", "text").withColumn("tok", Dedup.tokens(col("text")))
+    val out = TextAnalysis.repetitionStats(df, "doc_id", "tok", 2)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      1L -> ((4L, 1.0, 0.5)),
+      2L -> ((2L, 0.0, 0.5))), s"got $out")
+    // trigram variant: "a b a b a" -> "a b a"x2, "b a b"x1
+    val tri = TextAnalysis.repetitionStats(df, "doc_id", "tok", 3)
+      .filter(col("doc_id") === 1L)
+      .as[(Long, Long, Double, Double)].head()
+    assert(tri == ((1L, 3L, 0.666667, 0.666667)), s"got $tri")
+  }
+
   test("langId votes for german markers; und on no hits") {
     val df = Seq(("der hund und die katze ist", 1), ("zzz qqq", 2))
       .toDF("text", "id").withColumn("tok", Dedup.tokens(col("text")))

@@ -121,4 +121,25 @@ class SimilaritySpec extends SparkSpec {
     // md5('rh:0:0') = dd3d1fbf... -> 0xdd3d1fbf % 2001 spot-check
     assert(p0(0) == ((java.lang.Long.parseLong("dd3d1fbf", 16) % 2001) - 1000) / 1000.0)
   }
+
+  // SemDeDup on a hand-built 2-cell corpus: within-cell near-dups drop
+  // (smaller id survives), cell boundaries shield cross-cell neighbors,
+  // and the rule is pairwise — every vector near a smaller-id cellmate
+  // drops, even if that cellmate itself dropped.
+  test("semDedupKeep: min-id survives per cell, pairwise rule") {
+    val raw = Seq(
+      (0L, Array(1.0f, 0.0f)),     // cell 0 anchor
+      (1L, Array(0.9f, 0.1f)),     // ~0.994 to id 0 -> dropped
+      (2L, Array(1.0f, 0.05f)),    // ~0.999 to id 0 -> dropped (pairwise)
+      (10L, Array(0.0f, 1.0f)),    // cell 1 anchor
+      (11L, Array(0.05f, 1.0f)),   // ~0.999 to id 10 -> dropped
+      (12L, Array(-1.0f, 0.2f)))   // cell 1 (0.2 > -1.0), far from all -> kept
+      .toDF("vec_id", "embedding")
+    val c = Similarity.prepared(raw, "embedding")
+      .select(col("vec_id"), col("vec"), col("nrm"))
+    val cents = c.filter(col("vec_id") === 0L || col("vec_id") === 10L)
+    val kept = Similarity.semDedupKeep(c, cents, 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 10L, 12L), s"kept $kept")
+  }
 }
