@@ -66,4 +66,35 @@ object EventTime {
       .withColumn("session_start", col("w.start"))
       .withColumn("session_end", col("w.end"))
       .drop("w")
+
+  /** Stream-stream interval join: a left row matches right rows with the
+    * same `key` whose event time lies in [leftTs + lowerSec, leftTs +
+    * upperSec]. Both sides get a `delay` watermark, and the join condition
+    * carries the explicit time interval — TOGETHER these let Spark compute
+    * a state-eviction bound on BOTH join buffers (without the interval the
+    * right buffer grows forever; without watermarks outer results never
+    * emit). One shuffle per side, keyed on `key`.
+    *
+    * `joinType` "inner" emits as matches arrive; "leftOuter" additionally
+    * emits (left, null) once the right watermark passes leftTs + upperSec —
+    * i.e. outer results are delayed by design, not lost (asserted in
+    * `StreamingSourcesSpec`). Batch analogue: the q54 binned range join.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, lowerSec: Long, upperSec: Long,
+      delay: String, joinType: String = "inner"): DataFrame = {
+    require(lowerSec <= upperSec,
+      s"empty interval: lower $lowerSec > upper $upperSec")
+    require(Set("inner", "leftOuter").contains(joinType),
+      s"unsupported interval-join type: $joinType")
+    val l = left.withWatermark(leftTs, delay).alias("l")
+    val r = right.withWatermark(rightTs, delay).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") +
+          expr(s"INTERVAL $lowerSec SECONDS") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") +
+          expr(s"INTERVAL $upperSec SECONDS"),
+      joinType)
+  }
 }

@@ -144,4 +144,109 @@ object TextAnalysis {
         round(col("dup_cnt") / col("n_grams"), 6).as("dup_frac"),
         round(col("top_cnt") / col("n_grams"), 6).as("top_frac"))
   }
+
+  // -------------------------------------------- statistical text modeling
+  //
+  // Cross-engine determinism rule for this family: NO transcendental
+  // functions (log differs across libm implementations by ulps, enough to
+  // flip a rounding boundary). Scores are built from +,*,/ and floor only —
+  // all correctly-rounded per IEEE 754, hence bit-identical in any engine —
+  // with per-token values floored to SCALED BIGINTs so the corpus-level
+  // sums are exact integers (float sums are order-dependent; integer sums
+  // are not, so the shuffle's nondeterministic reduce order is harmless).
+
+  /** Token-instance relation (one row per occurrence) — the base table for
+    * corpus-frequency passes. Row-local explode, no shuffle.
+    */
+  def tokenInstances(docs: DataFrame, idCol: String, tokCol: String): DataFrame =
+    docs.select(col(idCol), explode(col(tokCol)).as("term"))
+
+  /** CCNet-style rarity scoring with a unigram corpus model: a document's
+    * score is the mean inverse relative frequency of its tokens — high for
+    * rare/unnatural text, low for common prose (the no-log stand-in for LM
+    * perplexity filtering). Two passes, both single-shuffle: corpus term
+    * frequencies, then an instance→frequency equi-join aggregated per doc.
+    * The frequency table joins by key (NOT broadcast — vocabulary size is
+    * corpus-dependent and unbounded at 100 TB).
+    *
+    * Per-token rarity is floor(scale · N / freq(term)) — an exact BIGINT —
+    * so the per-doc sum is order-independent; the only float ops are one
+    * IEEE-exact division per distinct term and the final rounded mean.
+    * Docs with zero tokens have no instances and drop out.
+    */
+  def rarityScore(docs: DataFrame, idCol: String, tokCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val inst = tokenInstances(docs, idCol, tokCol)
+    val freq = inst.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val total = freq.agg(sum(col("freq")).cast("long").as("n_total"))
+    val scaled = freq.crossJoin(broadcast(total))
+      .select(col("term"),
+        floor(lit(scale.toDouble) * col("n_total") / col("freq"))
+          .cast("long").as("rarity_scaled"))
+    inst.join(scaled, Seq("term"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("rarity_scaled")).as("rs"))
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        round(col("rs").cast("long") / col("n_tokens") / scale.toDouble, 6)
+          .as("rarity"))
+  }
+
+  /** TF-IDF keyword extraction, ratio-idf variant: per (doc, term) score =
+    * tf · floor(scale · n_docs / df) — exact BIGINTs end to end, so the
+    * top-k ranking has no float ties to break (residual ties break on term).
+    * Two aggregates ((doc, term) then term) and one key join; the heavy
+    * relation (tf) shuffles once on term and once on doc.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, tokCol: String,
+      k: Int, scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val inst = tokenInstances(docs, idCol, tokCol)
+    val tf = inst.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = inst.agg(countDistinct(col(idCol)).as("n_docs"))
+    val idf = df.crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        floor(lit(scale.toDouble) * col("n_docs") / col("df"))
+          .cast("long").as("idf_scaled"))
+    val scored = tf.join(idf, Seq("term"))
+      .withColumn("tfidf", (col("tf") * col("idf_scaled")).cast("long"))
+    Relational.topKPerGroup(scored, Seq(col(idCol)),
+        Seq(col("tfidf").desc, col("term").asc), k, "rank")
+      .select(col(idCol), col("term"), col("rank").cast("long").as("rank"),
+        col("tfidf"))
+  }
+
+  /** Count-based bigram language model — the trainable artifact of the
+    * corpus: P(w2 | w1) as floor(scale · c(w1,w2) / c(w1,·)), where the
+    * prefix marginal c(w1,·) counts bigram instances (self-consistent:
+    * probabilities per prefix sum to ~1). Gram formation is row-local; the
+    * count is one (w1, w2) hash aggregate; the marginal is a window sum
+    * over the (small) model table partitioned by w1. `minCount` prunes the
+    * long tail BEFORE the window pass (standard LM count pruning) — note
+    * the marginal is over the KEPT bigrams, a pruned-model convention the
+    * oracle mirrors.
+    */
+  def bigramModel(docs: DataFrame, tokCol: String, minCount: Long,
+      scale: Long = 1000000L): DataFrame = {
+    val pairs = docs
+      .select(col(tokCol).as("tok"))
+      .filter(size(col("tok")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("tok")) - 2),
+        i => struct(col("tok")(i).as("w1"), col("tok")(i + 1).as("w2"))))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    counts
+      .withColumn("prefix_cnt", sum(col("cnt")).over(w))
+      .select(col("w1"), col("w2"), col("cnt").cast("long").as("cnt"),
+        col("prefix_cnt").cast("long").as("prefix_cnt"),
+        floor(lit(scale.toDouble) * col("cnt") / col("prefix_cnt"))
+          .cast("long").as("cond_scaled"))
+  }
 }

@@ -78,7 +78,19 @@ object TextQueries {
     // Gopher repetition rules: per-doc duplicate-2gram fraction and top-
     // 2gram frequency share — the boilerplate/looping-text quality filter.
     "q70_repetition" -> ((s, d) =>
-      TextAnalysis.repetitionStats(toks(s, d), "doc_id", "tok", 2)))
+      TextAnalysis.repetitionStats(toks(s, d), "doc_id", "tok", 2)),
+
+    // Unigram-corpus rarity scoring (the no-log perplexity-filter proxy).
+    "q72_rarity_score" -> ((s, d) =>
+      TextAnalysis.rarityScore(toks(s, d), "doc_id", "tok")),
+
+    // TF-IDF keyword extraction: top-3 terms per doc, integral scores.
+    "q73_tfidf_topk" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(toks(s, d), "doc_id", "tok", 3)),
+
+    // Count-based bigram LM with pruning — the trained corpus artifact.
+    "q74_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramModel(toks(s, d), "tok", 5)))
 
   private val langVotesSql: String =
     TextAnalysis.LangMarkers.map { case (lang, words) =>
@@ -181,5 +193,66 @@ object TextQueries {
          |  round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
          |        / CAST(sum(cnt) AS BIGINT), 6) AS dup_frac,
          |  round(max(cnt) / CAST(sum(cnt) AS BIGINT), 6) AS top_frac
-         |FROM counts GROUP BY doc_id""".stripMargin)
+         |FROM counts GROUP BY doc_id""".stripMargin,
+
+    // Statistical-modeling family (q72-q74): scores are floor-scaled
+    // BIGINTs built from IEEE-exact ops only (no log), so sums are exact
+    // integers and the final divisions round identically in both engines.
+    "q72_rarity_score" ->
+      s"""$TokCte, inst AS (
+         |  SELECT doc_id, unnest(tok) AS term FROM t
+         |), freq AS (
+         |  SELECT term, count(*) AS freq FROM inst GROUP BY term
+         |), tot AS (
+         |  SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM freq
+         |), scaled AS (
+         |  SELECT term,
+         |         CAST(floor(1000000.0 * n_total / freq) AS BIGINT) AS rarity_scaled
+         |  FROM freq, tot
+         |)
+         |SELECT i.doc_id, count(*) AS n_tokens,
+         |       round(CAST(sum(s.rarity_scaled) AS BIGINT) / count(*)
+         |             / 1000000.0, 6) AS rarity
+         |FROM inst i JOIN scaled s USING (term)
+         |GROUP BY i.doc_id""".stripMargin,
+
+    "q73_tfidf_topk" ->
+      s"""$TokCte, inst AS (
+         |  SELECT doc_id, unnest(tok) AS term FROM t
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM inst GROUP BY 1, 2
+         |), dfreq AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), nd AS (
+         |  SELECT count(DISTINCT doc_id) AS n_docs FROM inst
+         |), idf AS (
+         |  SELECT term, CAST(floor(1000000.0 * n_docs / df) AS BIGINT) AS idf_scaled
+         |  FROM dfreq, nd
+         |), scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         CAST(tf.tf * idf.idf_scaled AS BIGINT) AS tfidf
+         |  FROM tf JOIN idf USING (term)
+         |)
+         |SELECT doc_id, term, rank, tfidf FROM (
+         |  SELECT doc_id, term, tfidf,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY tfidf DESC, term ASC) AS rank
+         |  FROM scored) x
+         |WHERE rank <= 3""".stripMargin,
+
+    "q74_bigram_lm" ->
+      s"""$TokCte, pairs AS (
+         |  SELECT unnest(list_transform(range(1, len(tok)),
+         |    i -> struct_pack(w1 := tok[i], w2 := tok[i + 1]))) AS bg
+         |  FROM t WHERE len(tok) >= 2
+         |), counts AS (
+         |  SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS cnt
+         |  FROM pairs GROUP BY 1, 2
+         |  HAVING count(*) >= 5
+         |)
+         |SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt,
+         |       CAST(sum(cnt) OVER (PARTITION BY w1) AS BIGINT) AS prefix_cnt,
+         |       CAST(floor(1000000.0 * cnt /
+         |            (sum(cnt) OVER (PARTITION BY w1))) AS BIGINT) AS cond_scaled
+         |FROM counts""".stripMargin)
 }

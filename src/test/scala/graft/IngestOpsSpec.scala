@@ -181,6 +181,38 @@ class IngestOpsSpec extends SparkSpec {
     assert(tri == ((1L, 3L, 0.666667, 0.666667)), s"got $tri")
   }
 
+  test("statistical modeling: rarity, tfidf, bigram LM on a tiny corpus") {
+    val df = Seq((1L, "a a b"), (2L, "b c"))
+      .toDF("doc_id", "text").withColumn("tok", Dedup.tokens(col("text")))
+
+    // N=5; freq a=2 b=2 c=1 -> scaled 2.5e6 / 2.5e6 / 5e6
+    val rarity = TextAnalysis.rarityScore(df, "doc_id", "tok")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rarity == Set((1L, 3L, 2.5), (2L, 2L, 3.75)), s"got $rarity")
+
+    // n_docs=2; idf a=2e6 b=1e6 c=2e6; scores (1,a)=4e6 (1,b)=1e6
+    // (2,c)=2e6 (2,b)=1e6
+    val tfidf = TextAnalysis.tfidfTopTerms(df, "doc_id", "tok", 2)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(tfidf == Set((1L, "a", 1L, 4000000L), (1L, "b", 2L, 1000000L),
+      (2L, "c", 1L, 2000000L), (2L, "b", 2L, 1000000L)), s"got $tfidf")
+
+    // bigrams (a,a)=1 (a,b)=1 (b,c)=1; prefix a=2 b=1
+    val lm = TextAnalysis.bigramModel(df, "tok", 1)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(lm == Set(("a", "a", 1L, 2L, 500000L), ("a", "b", 1L, 2L, 500000L),
+      ("b", "c", 1L, 1L, 1000000L)), s"got $lm")
+
+    // minCount prunes BEFORE the prefix marginal (pruned-model convention)
+    val pruned = TextAnalysis.bigramModel(
+      Seq((3L, "x y x y x z")).toDF("doc_id", "text")
+        .withColumn("tok", Dedup.tokens(col("text"))), "tok", 2)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    // bigrams: (x,y)=2 (y,x)=2 (x,z)=1 -> (x,z) pruned, prefix x=2 not 3
+    assert(pruned == Set(("x", "y", 2L, 2L, 1000000L),
+      ("y", "x", 2L, 2L, 1000000L)), s"got $pruned")
+  }
+
   test("langId votes for german markers; und on no hits") {
     val df = Seq(("der hund und die katze ist", 1), ("zzz qqq", 2))
       .toDF("text", "id").withColumn("tok", Dedup.tokens(col("text")))

@@ -100,6 +100,40 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("interval join: inner matches in-window; outer null after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val reqs = MemoryStream[(Long, String, Timestamp)]
+    val enrich = MemoryStream[(String, Timestamp, Long)]
+    val joined = EventTime.intervalJoin(
+      reqs.toDF().toDF("req_id", "k", "lts"),
+      enrich.toDF().toDF("k", "rts", "v"),
+      "k", "lts", "rts", 0L, 10L, "10 seconds", "leftOuter")
+      .select(col("req_id"), col("v"))
+    val query = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      reqs.addData((1L, "k1", ts("2024-01-01 00:00:00")),
+        (2L, "k2", ts("2024-01-01 00:00:00")))
+      enrich.addData(("k1", ts("2024-01-01 00:00:05"), 42L), // in [lts, lts+10s]
+        ("k1", ts("2024-01-01 00:00:20"), 99L))              // outside window
+      query.processAllAvailable()
+      val inner = spark.table("ivj").as[(Long, Option[Long])].collect().toSet
+      assert(inner == Set((1L, Some(42L))), s"inner got $inner")
+      // outer results are DELAYED, not lost: req 2 emits (2, null) only
+      // once BOTH watermarks pass lts + upper. Advance via dummy keys.
+      reqs.addData((90L, "wmL", ts("2024-01-01 00:05:00")))
+      enrich.addData(("wmR", ts("2024-01-01 00:05:00"), 0L))
+      query.processAllAvailable()
+      reqs.addData((91L, "wmL", ts("2024-01-01 00:10:00")))
+      enrich.addData(("wmR", ts("2024-01-01 00:10:00"), 0L))
+      query.processAllAvailable()
+      val rows = spark.table("ivj").as[(Long, Option[Long])].collect().toSet
+      assert(rows.contains((2L, None)), s"outer row missing: $rows")
+      // the out-of-window enrichment never joined anything
+      assert(!rows.exists(_._2.contains(99L)), s"out-of-window joined: $rows")
+    } finally query.stop()
+  }
+
   test("streaming session windows merge across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
