@@ -178,7 +178,11 @@ object TextAnalysis {
       scale: Long = 1000000L): DataFrame = {
     val inst = tokenInstances(docs, idCol, tokCol)
     val freq = inst.groupBy(col("term")).agg(count(lit(1)).as("freq"))
-    val total = freq.agg(sum(col("freq")).cast("long").as("n_total"))
+    // N from a narrow pre-explode scan (sum of token-array sizes == total
+    // instances): avoids re-deriving the whole frequency aggregate — a
+    // second corpus explode + exchange — just to sum it into one number
+    val total = docs.agg(
+      coalesce(sum(size(col(tokCol)).cast("long")), lit(0L)).as("n_total"))
     val scaled = freq.crossJoin(broadcast(total))
       .select(col("term"),
         floor(lit(scale.toDouble) * col("n_total") / col("freq"))
@@ -205,7 +209,10 @@ object TextAnalysis {
     val tf = inst.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = inst.agg(countDistinct(col(idCol)).as("n_docs"))
+    // docs with >= 1 token == docs that appear in inst, via a narrow
+    // pre-explode scan instead of countDistinct over the instance relation
+    val nDocs = docs.filter(size(col(tokCol)) > 0)
+      .agg(count(lit(1)).as("n_docs"))
     val idf = df.crossJoin(broadcast(nDocs))
       .select(col("term"),
         floor(lit(scale.toDouble) * col("n_docs") / col("df"))

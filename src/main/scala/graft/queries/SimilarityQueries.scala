@@ -120,6 +120,21 @@ object SimilarityQueries {
     "q71_semdedup" -> ((s, d) => {
       val c = corpus(s, d)
       Similarity.semDedupKeep(c, c.filter(col("vec_id") % 50 === 0), 0.4)
+    }),
+
+    // Composed retrieval: metadata filter (lang='en') BEFORE the similarity
+    // scan — the corpus shrinks at the join, not after scoring — then exact
+    // top-5 per query, then the (cheap, post-top-k) metadata join back.
+    "q75_filtered_retrieval" -> ((s, d) => {
+      val c = corpus(s, d)
+      val en = Tables.documents(s, d).filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val filtered = c.join(en, c("vec_id") === en("doc_id"))
+        .select(c("vec_id"), col("vec"), col("nrm"))
+      val topk = Similarity.bruteForceTopK(c.filter(col("vec_id") < 5), filtered, 5)
+      topk.join(en, topk("neighbor_id") === en("doc_id"))
+        .select(col("query_id"), col("doc_id"), col("rank"), col("sim"),
+          col("lang"), col("n_chars"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -240,5 +255,25 @@ object SimilarityQueries {
          |  WHERE round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.4
          |)
          |SELECT vec_id, centroid_id FROM assigned
-         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin)
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+
+    "q75_filtered_retrieval" ->
+      s"""$VCte, en AS (
+         |  SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+         |), fc AS (
+         |  SELECT n.vec_id, n.vec, n.nrm FROM n JOIN en ON n.vec_id = en.doc_id
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm), 6) AS sim
+         |  FROM n q, fc c
+         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT r.query_id, e.doc_id, r.rank, r.sim, e.lang, e.n_chars
+         |FROM ranked r JOIN en e ON r.neighbor_id = e.doc_id
+         |WHERE r.rank <= 5""".stripMargin)
 }
