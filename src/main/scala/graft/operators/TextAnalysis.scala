@@ -123,8 +123,12 @@ object TextAnalysis {
     * of instances whose gram occurs more than once in-doc, `top_frac` =
     * frequency share of the most frequent gram.
     */
-  def repetitionStats(docs: DataFrame, idCol: String, tokCol: String,
-      n: Int = 2): DataFrame = {
+  /** Raw per-doc n-gram counts: (id, n_grams, dup_cnt, top_cnt) as exact
+    * BIGINTs — shared by `repetitionStats` (fractions) and `gopherFilter`
+    * (integer threshold flags). Docs with < n tokens emit nothing.
+    */
+  def gramCountStats(docs: DataFrame, idCol: String, tokCol: String,
+      n: Int): DataFrame = {
     require(n >= 1, s"gram size must be positive, got $n")
     val grams = docs
       .select(col(idCol), col(tokCol).as("tok"))
@@ -136,13 +140,50 @@ object TextAnalysis {
     val counts = grams.groupBy(col(idCol), col("gram"))
       .agg(count(lit(1)).as("cnt"))
     counts.groupBy(col(idCol)).agg(
-      sum(col("cnt")).as("n_grams"),
-      sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_cnt"),
-      max(col("cnt")).as("top_cnt"))
-      .select(col(idCol),
-        col("n_grams").cast("long").as("n_grams"),
+      sum(col("cnt")).cast("long").as("n_grams"),
+      sum(when(col("cnt") > 1, col("cnt")).otherwise(0L))
+        .cast("long").as("dup_cnt"),
+      max(col("cnt")).cast("long").as("top_cnt"))
+  }
+
+  def repetitionStats(docs: DataFrame, idCol: String, tokCol: String,
+      n: Int = 2): DataFrame =
+    gramCountStats(docs, idCol, tokCol, n)
+      .select(col(idCol), col("n_grams"),
         round(col("dup_cnt") / col("n_grams"), 6).as("dup_frac"),
         round(col("top_cnt") / col("n_grams"), 6).as("top_frac"))
+
+  /** Composed Gopher-style keep/reject verdict (Rae et al. 2021 §A1.1,
+    * adapted to the implemented metrics): token-count range, mean word
+    * length in [3, 10], at least one stopword, duplicate-2gram fraction
+    * ≤ 0.6, top-2gram share ≤ 0.3. Every flag is an INTEGER comparison
+    * (e.g. mean-length bounds as 3n ≤ Σlen ≤ 10n, fraction thresholds
+    * cross-multiplied) — no float thresholds to drift at a rounding
+    * boundary between engines. Docs with < 2 tokens have no gram row:
+    * LEFT join + the repetition flags default false (they also fail the
+    * token-count flag). Base stats are row-local; the only shuffles are
+    * the gram aggregate and the (id-keyed) join.
+    */
+  def gopherFilter(docs: DataFrame, idCol: String, tokCol: String,
+      minTokens: Long = 10L, maxTokens: Long = 500L): DataFrame = {
+    val g = gramCountStats(docs, idCol, tokCol, 2)
+    val base = docs.select(col(idCol),
+      size(col(tokCol)).cast("long").as("n_tokens"),
+      aggregate(col(tokCol), lit(0L),
+        (acc, x) => acc + length(x).cast("long")).as("sum_len"),
+      wordHits(col(tokCol), Stopwords).cast("long").as("stop_hits"))
+    base.join(g, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_tokens").between(minTokens, maxTokens).as("f_len"),
+        (lit(3L) * col("n_tokens") <= col("sum_len") &&
+          col("sum_len") <= lit(10L) * col("n_tokens")).as("f_wordlen"),
+        (col("stop_hits") >= 1L).as("f_stop"),
+        coalesce(col("dup_cnt") * 10L <= col("n_grams") * 6L, lit(false))
+          .as("f_dup"),
+        coalesce(col("top_cnt") * 10L <= col("n_grams") * 3L, lit(false))
+          .as("f_top"))
+      .withColumn("keep", col("f_len") && col("f_wordlen") &&
+        col("f_stop") && col("f_dup") && col("f_top"))
   }
 
   // -------------------------------------------- statistical text modeling

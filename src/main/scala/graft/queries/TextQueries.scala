@@ -90,7 +90,11 @@ object TextQueries {
 
     // Count-based bigram LM with pruning — the trained corpus artifact.
     "q74_bigram_lm" -> ((s, d) =>
-      TextAnalysis.bigramModel(toks(s, d), "tok", 5)))
+      TextAnalysis.bigramModel(toks(s, d), "tok", 5)),
+
+    // Composed Gopher keep/reject verdict — integer-comparison flags only.
+    "q76_gopher_filter" -> ((s, d) =>
+      TextAnalysis.gopherFilter(toks(s, d), "doc_id", "tok")))
 
   private val langVotesSql: String =
     TextAnalysis.LangMarkers.map { case (lang, words) =>
@@ -254,5 +258,40 @@ object TextQueries {
          |       CAST(sum(cnt) OVER (PARTITION BY w1) AS BIGINT) AS prefix_cnt,
          |       CAST(floor(1000000.0 * cnt /
          |            (sum(cnt) OVER (PARTITION BY w1))) AS BIGINT) AS cond_scaled
-         |FROM counts""".stripMargin)
+         |FROM counts""".stripMargin,
+
+    // Flags are integer comparisons (fraction thresholds cross-multiplied)
+    // so the boolean outputs cannot drift between engines.
+    "q76_gopher_filter" ->
+      s"""$TokCte, grams AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tok)),
+         |    i -> tok[i] || ' ' || tok[i + 1])) AS gram
+         |  FROM t WHERE len(tok) >= 2
+         |), counts AS (
+         |  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2
+         |), g AS (
+         |  SELECT doc_id,
+         |         CAST(sum(cnt) AS BIGINT) AS n_grams,
+         |         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_cnt,
+         |         CAST(max(cnt) AS BIGINT) AS top_cnt
+         |  FROM counts GROUP BY doc_id
+         |), base AS (
+         |  SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+         |         CAST(coalesce(list_sum(list_transform(tok, x -> len(x))), 0)
+         |              AS BIGINT) AS sum_len,
+         |         CAST(len(list_filter(tok, x -> x IN $StopIn)) AS BIGINT) AS stop_hits
+         |  FROM t
+         |)
+         |SELECT b.doc_id,
+         |  b.n_tokens BETWEEN 10 AND 500 AS f_len,
+         |  (3 * b.n_tokens <= b.sum_len AND b.sum_len <= 10 * b.n_tokens) AS f_wordlen,
+         |  b.stop_hits >= 1 AS f_stop,
+         |  coalesce(g.dup_cnt * 10 <= g.n_grams * 6, FALSE) AS f_dup,
+         |  coalesce(g.top_cnt * 10 <= g.n_grams * 3, FALSE) AS f_top,
+         |  (b.n_tokens BETWEEN 10 AND 500)
+         |    AND (3 * b.n_tokens <= b.sum_len AND b.sum_len <= 10 * b.n_tokens)
+         |    AND b.stop_hits >= 1
+         |    AND coalesce(g.dup_cnt * 10 <= g.n_grams * 6, FALSE)
+         |    AND coalesce(g.top_cnt * 10 <= g.n_grams * 3, FALSE) AS keep
+         |FROM base b LEFT JOIN g USING (doc_id)""".stripMargin)
 }

@@ -6,7 +6,7 @@ import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
 import graft.model.{Priority, Status}
-import graft.operators.{AsofJoin, Dedup, IngestOps}
+import graft.operators.{AsofJoin, Dedup, IngestOps, TextAnalysis}
 
 /** ScalaCheck properties for the algebraic operators (SURVEY.md §5):
   * chunking is a partition of the input, the rollup lattice matches its
@@ -126,5 +126,28 @@ object GraftProperties extends Properties("graft") {
         .as[Double].collect().toSeq
       jab >= 0.0 && jab <= 1.0 && jab == jba &&
         (xs.isEmpty || jaa == 1.0)
+    }
+
+  property("gramCountStats matches the in-memory sliding-window reference") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d"))),
+      Gen.choose(1, 3)) { (docs, n) =>
+      val s = spark
+      import s.implicits._
+      val df = docs.zipWithIndex.map { case (toks, i) => (i.toLong, toks) }
+        .toDF("doc_id", "tok")
+      val got = TextAnalysis.gramCountStats(df, "doc_id", "tok", n)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val want = docs.zipWithIndex.flatMap { case (toks, i) =>
+        if (toks.size < n) None
+        else {
+          val counts = toks.sliding(n).map(_.mkString(" ")).toSeq
+            .groupBy(identity).view.mapValues(_.size.toLong).toMap
+          Some(i.toLong -> ((counts.values.sum,
+            counts.values.filter(_ > 1).sum, counts.values.max)))
+        }
+      }.toMap
+      got == want
     }
 }

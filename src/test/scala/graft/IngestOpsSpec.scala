@@ -181,6 +181,23 @@ class IngestOpsSpec extends SparkSpec {
     assert(tri == ((1L, 3L, 0.666667, 0.666667)), s"got $tri")
   }
 
+  test("gopherFilter: each flag fails for its targeted doc; good doc keeps") {
+    val good = "the quick brown fox jumps over one lazy dog near that red barn"
+    val df = Seq(
+      (1L, good),                        // 13 varied tokens + stopwords -> keep
+      (2L, "too short"),                 // f_len false (2 tokens)
+      (3L, "a b " * 6 + "a b"),          // 1-char words, all-dup bigrams
+      (4L, good.replace("the ", "zz "))  // no stopword -> f_stop false
+    ).toDF("doc_id", "text").withColumn("tok", Dedup.tokens(col("text")))
+    val out = TextAnalysis.gopherFilter(df, "doc_id", "tok")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, true, true, true, true, true, true)), s"${out(1L)}")
+    assert(!out(2L)._2 && !out(2L)._7, s"short doc: ${out(2L)}")    // f_len
+    assert(!out(3L)._3 && !out(3L)._5, s"repetitive: ${out(3L)}")   // f_wordlen, f_dup
+    assert(!out(4L)._4 && !out(4L)._7, s"no stopword: ${out(4L)}")  // f_stop
+  }
+
   test("statistical modeling: rarity, tfidf, bigram LM on a tiny corpus") {
     val df = Seq((1L, "a a b"), (2L, "b c"))
       .toDF("doc_id", "text").withColumn("tok", Dedup.tokens(col("text")))
