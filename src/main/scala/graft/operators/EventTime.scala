@@ -96,5 +96,9 @@ object EventTime {
         col(s"r.$rightTs") <= col(s"l.$leftTs") +
           expr(s"INTERVAL $upperSec SECONDS"),
       joinType)
+      // keep ONE key column (the left one — non-null even on outer rows):
+      // returning both sides' `key` under the same name makes the join key
+      // unusable downstream (AMBIGUOUS_REFERENCE on select/groupBy)
+      .drop(col(s"r.$key"))
   }
 }

@@ -107,25 +107,18 @@ object TextAnalysis {
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "),
       " +", " ")))
 
-  /** Per-document n-gram repetition metrics — the Gopher repetition quality
-    * rules (Rae et al. 2021 §A1.1: "duplicate n-gram fraction" and "top
-    * n-gram fraction"), the standard filter for boilerplate/looping text in
-    * training-data curation.
+  /** Raw per-doc n-gram counts: (id, n_grams, dup_cnt, top_cnt) as exact
+    * BIGINTs — shared by `repetitionStats` (fractions) and `gopherFilter`
+    * (integer threshold flags). Docs with < n tokens emit nothing.
     *
+    * Grams are ARRAY-typed (the token sequence itself, grouped as a value),
+    * NOT a separator-joined string: ["a b", "c"] and ["a", "b c"] must stay
+    * distinct grams for any caller whose tokens may contain whitespace.
     * `tokCol` must be an already-materialized token array column (never
     * inline the tokenizer into the gram lambda: interpreted HOFs re-evaluate
     * their argument per element). Gram formation is row-local; counting is a
     * (doc, gram) hash aggregate with map-side partial combine — one shuffle
     * of O(distinct grams), never all-pairs, so the shape survives 100 TB.
-    *
-    * Output per doc (docs with fewer than n tokens have no grams and drop
-    * out): `n_grams` = instance count (n_tok - n + 1), `dup_frac` = fraction
-    * of instances whose gram occurs more than once in-doc, `top_frac` =
-    * frequency share of the most frequent gram.
-    */
-  /** Raw per-doc n-gram counts: (id, n_grams, dup_cnt, top_cnt) as exact
-    * BIGINTs — shared by `repetitionStats` (fractions) and `gopherFilter`
-    * (integer threshold flags). Docs with < n tokens emit nothing.
     */
   def gramCountStats(docs: DataFrame, idCol: String, tokCol: String,
       n: Int): DataFrame = {
@@ -135,7 +128,7 @@ object TextAnalysis {
       .filter(size(col("tok")) >= n)
       .select(col(idCol), explode(transform(
         sequence(lit(0), size(col("tok")) - n),
-        i => concat_ws(" ", (0 until n).map(o => col("tok")(i + o)): _*)))
+        i => array((0 until n).map(o => col("tok")(i + o)): _*)))
         .as("gram"))
     val counts = grams.groupBy(col(idCol), col("gram"))
       .agg(count(lit(1)).as("cnt"))
@@ -146,6 +139,16 @@ object TextAnalysis {
       max(col("cnt")).cast("long").as("top_cnt"))
   }
 
+  /** Per-document n-gram repetition metrics — the Gopher repetition quality
+    * rules (Rae et al. 2021 §A1.1: "duplicate n-gram fraction" and "top
+    * n-gram fraction"), the standard filter for boilerplate/looping text in
+    * training-data curation.
+    *
+    * Output per doc (docs with fewer than n tokens have no grams and drop
+    * out): `n_grams` = instance count (n_tok - n + 1), `dup_frac` = fraction
+    * of instances whose gram occurs more than once in-doc, `top_frac` =
+    * frequency share of the most frequent gram.
+    */
   def repetitionStats(docs: DataFrame, idCol: String, tokCol: String,
       n: Int = 2): DataFrame =
     gramCountStats(docs, idCol, tokCol, n)
@@ -160,9 +163,11 @@ object TextAnalysis {
     * (e.g. mean-length bounds as 3n ≤ Σlen ≤ 10n, fraction thresholds
     * cross-multiplied) — no float thresholds to drift at a rounding
     * boundary between engines. Docs with < 2 tokens have no gram row:
-    * LEFT join + the repetition flags default false (they also fail the
-    * token-count flag). Base stats are row-local; the only shuffles are
-    * the gram aggregate and the (id-keyed) join.
+    * LEFT join + the repetition flags pass VACUOUSLY (a doc with no grams
+    * has no repetition — coalescing to false would let the repetition
+    * filter reject clean short docs whenever minTokens < 2). Base stats
+    * are row-local; the only shuffles are the gram aggregate and the
+    * (id-keyed) join.
     */
   def gopherFilter(docs: DataFrame, idCol: String, tokCol: String,
       minTokens: Long = 10L, maxTokens: Long = 500L): DataFrame = {
@@ -178,9 +183,9 @@ object TextAnalysis {
         (lit(3L) * col("n_tokens") <= col("sum_len") &&
           col("sum_len") <= lit(10L) * col("n_tokens")).as("f_wordlen"),
         (col("stop_hits") >= 1L).as("f_stop"),
-        coalesce(col("dup_cnt") * 10L <= col("n_grams") * 6L, lit(false))
+        coalesce(col("dup_cnt") * 10L <= col("n_grams") * 6L, lit(true))
           .as("f_dup"),
-        coalesce(col("top_cnt") * 10L <= col("n_grams") * 3L, lit(false))
+        coalesce(col("top_cnt") * 10L <= col("n_grams") * 3L, lit(true))
           .as("f_top"))
       .withColumn("keep", col("f_len") && col("f_wordlen") &&
         col("f_stop") && col("f_dup") && col("f_top"))
@@ -195,6 +200,14 @@ object TextAnalysis {
   // with per-token values floored to SCALED BIGINTs so the corpus-level
   // sums are exact integers (float sums are order-dependent; integer sums
   // are not, so the shuffle's nondeterministic reduce order is harmless).
+
+  /** Saturation ceiling for scaled rarity/idf values (10^12): keeps any
+    * per-doc sum / tf product inside BIGINT at ANY corpus size (the uncapped
+    * hapax value scale·N is unbounded and would wrap Spark's non-ANSI sum
+    * silently negative while the DuckDB oracle's checked BIGINT errors).
+    * Oracles mirror the cap with least().
+    */
+  val RarityCap: Long = 1000000000000L
 
   /** Token-instance relation (one row per occurrence) — the base table for
     * corpus-frequency passes. Row-local explode, no shuffle.
@@ -224,10 +237,15 @@ object TextAnalysis {
     // second corpus explode + exchange — just to sum it into one number
     val total = docs.agg(
       coalesce(sum(size(col(tokCol)).cast("long")), lit(0L)).as("n_total"))
+    // RarityCap bounds the per-token value so the per-doc BIGINT sum cannot
+    // overflow at any corpus size (a hapax at N tokens scores scale·N —
+    // unbounded): capped, a 10^6-token doc sums to ≤ 10^18 < Long.Max.
+    // Tokens rarer than 1-in-(cap/scale) all saturate at "max rarity" —
+    // ordering beyond that point carries no signal for a quality filter.
     val scaled = freq.crossJoin(broadcast(total))
       .select(col("term"),
-        floor(lit(scale.toDouble) * col("n_total") / col("freq"))
-          .cast("long").as("rarity_scaled"))
+        least(floor(lit(scale.toDouble) * col("n_total") / col("freq")),
+          lit(RarityCap)).cast("long").as("rarity_scaled"))
     inst.join(scaled, Seq("term"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
@@ -254,10 +272,12 @@ object TextAnalysis {
     // pre-explode scan instead of countDistinct over the instance relation
     val nDocs = docs.filter(size(col(tokCol)) > 0)
       .agg(count(lit(1)).as("n_docs"))
+    // same saturation bound as rarityScore: tf ≤ 10^6 × idf ≤ 10^12 keeps
+    // the product within BIGINT instead of silently wrapping negative
     val idf = df.crossJoin(broadcast(nDocs))
       .select(col("term"),
-        floor(lit(scale.toDouble) * col("n_docs") / col("df"))
-          .cast("long").as("idf_scaled"))
+        least(floor(lit(scale.toDouble) * col("n_docs") / col("df")),
+          lit(RarityCap)).cast("long").as("idf_scaled"))
     val scored = tf.join(idf, Seq("term"))
       .withColumn("tfidf", (col("tf") * col("idf_scaled")).cast("long"))
     Relational.topKPerGroup(scored, Seq(col(idCol)),

@@ -181,13 +181,15 @@ object TextQueries {
 
     // 1-based list indexing: range(1, len) gives i = 1..len-1, pairing
     // tok[i] with tok[i+1] — the same len-1 grams as Spark's sequence(0,
-    // size-2). CAST sums to BIGINT (DuckDB sums into HUGEINT, which would
-    // break the driver's exact hash); '/' is float division in DuckDB,
-    // matching Spark's double '/' on longs.
+    // size-2). Grams are LISTs (mirrors gramCountStats' array grams —
+    // collision-free if tokens ever contain spaces). CAST sums to BIGINT
+    // (DuckDB sums into HUGEINT, which would break the driver's exact
+    // hash); '/' is float division in DuckDB, matching Spark's double '/'
+    // on longs.
     "q70_repetition" ->
       s"""$TokCte, grams AS (
          |  SELECT doc_id, unnest(list_transform(range(1, len(tok)),
-         |    i -> tok[i] || ' ' || tok[i + 1])) AS gram
+         |    i -> [tok[i], tok[i + 1]])) AS gram
          |  FROM t WHERE len(tok) >= 2
          |), counts AS (
          |  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2
@@ -211,7 +213,8 @@ object TextQueries {
          |  SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM freq
          |), scaled AS (
          |  SELECT term,
-         |         CAST(floor(1000000.0 * n_total / freq) AS BIGINT) AS rarity_scaled
+         |         CAST(least(floor(1000000.0 * n_total / freq),
+         |              1000000000000) AS BIGINT) AS rarity_scaled
          |  FROM freq, tot
          |)
          |SELECT i.doc_id, count(*) AS n_tokens,
@@ -230,7 +233,8 @@ object TextQueries {
          |), nd AS (
          |  SELECT count(DISTINCT doc_id) AS n_docs FROM inst
          |), idf AS (
-         |  SELECT term, CAST(floor(1000000.0 * n_docs / df) AS BIGINT) AS idf_scaled
+         |  SELECT term, CAST(least(floor(1000000.0 * n_docs / df),
+         |         1000000000000) AS BIGINT) AS idf_scaled
          |  FROM dfreq, nd
          |), scored AS (
          |  SELECT tf.doc_id, tf.term,
@@ -261,11 +265,13 @@ object TextQueries {
          |FROM counts""".stripMargin,
 
     // Flags are integer comparisons (fraction thresholds cross-multiplied)
-    // so the boolean outputs cannot drift between engines.
+    // so the boolean outputs cannot drift between engines. No-gram docs
+    // pass the repetition flags vacuously (coalesce TRUE); keep references
+    // the flag aliases laterally so the predicates exist in ONE place.
     "q76_gopher_filter" ->
       s"""$TokCte, grams AS (
          |  SELECT doc_id, unnest(list_transform(range(1, len(tok)),
-         |    i -> tok[i] || ' ' || tok[i + 1])) AS gram
+         |    i -> [tok[i], tok[i + 1]])) AS gram
          |  FROM t WHERE len(tok) >= 2
          |), counts AS (
          |  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2
@@ -286,12 +292,8 @@ object TextQueries {
          |  b.n_tokens BETWEEN 10 AND 500 AS f_len,
          |  (3 * b.n_tokens <= b.sum_len AND b.sum_len <= 10 * b.n_tokens) AS f_wordlen,
          |  b.stop_hits >= 1 AS f_stop,
-         |  coalesce(g.dup_cnt * 10 <= g.n_grams * 6, FALSE) AS f_dup,
-         |  coalesce(g.top_cnt * 10 <= g.n_grams * 3, FALSE) AS f_top,
-         |  (b.n_tokens BETWEEN 10 AND 500)
-         |    AND (3 * b.n_tokens <= b.sum_len AND b.sum_len <= 10 * b.n_tokens)
-         |    AND b.stop_hits >= 1
-         |    AND coalesce(g.dup_cnt * 10 <= g.n_grams * 6, FALSE)
-         |    AND coalesce(g.top_cnt * 10 <= g.n_grams * 3, FALSE) AS keep
+         |  coalesce(g.dup_cnt * 10 <= g.n_grams * 6, TRUE) AS f_dup,
+         |  coalesce(g.top_cnt * 10 <= g.n_grams * 3, TRUE) AS f_top,
+         |  f_len AND f_wordlen AND f_stop AND f_dup AND f_top AS keep
          |FROM base b LEFT JOIN g USING (doc_id)""".stripMargin)
 }

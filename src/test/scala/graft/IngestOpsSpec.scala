@@ -196,6 +196,15 @@ class IngestOpsSpec extends SparkSpec {
     assert(!out(2L)._2 && !out(2L)._7, s"short doc: ${out(2L)}")    // f_len
     assert(!out(3L)._3 && !out(3L)._5, s"repetitive: ${out(3L)}")   // f_wordlen, f_dup
     assert(!out(4L)._4 && !out(4L)._7, s"no stopword: ${out(4L)}")  // f_stop
+
+    // no-gram docs pass the repetition flags VACUOUSLY: a clean 1-token
+    // doc must be keepable when minTokens admits it
+    val one = TextAnalysis.gopherFilter(
+      Seq((9L, "the")).toDF("doc_id", "text")
+        .withColumn("tok", Dedup.tokens(col("text"))),
+      "doc_id", "tok", minTokens = 1L)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)].head()
+    assert(one == ((9L, true, true, true, true, true, true)), s"got $one")
   }
 
   test("statistical modeling: rarity, tfidf, bigram LM on a tiny corpus") {

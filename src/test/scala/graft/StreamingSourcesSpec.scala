@@ -108,6 +108,9 @@ class StreamingSourcesSpec extends SparkSpec {
       reqs.toDF().toDF("req_id", "k", "lts"),
       enrich.toDF().toDF("k", "rts", "v"),
       "k", "lts", "rts", 0L, 10L, "10 seconds", "leftOuter")
+      // selecting the bare join key must NOT be ambiguous (one key column
+      // survives the join); proves the r-side duplicate is dropped
+      .select(col("k"), col("req_id"), col("v"))
       .select(col("req_id"), col("v"))
     val query = joined.writeStream.format("memory").queryName("ivj")
       .outputMode("append").start()
