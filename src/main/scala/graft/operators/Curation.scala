@@ -168,4 +168,28 @@ object Curation {
         explode(sequence(lit(1L), coalesce(col("rep"), lit(1L)))))
       .drop("rep")
   }
+
+  /** Temperature-scaled mixture weights at τ = 2 (the multilingual-LM
+    * sampling recipe, weight ∝ n^(1/τ)): per group, token count and its
+    * sampling weight RELATIVE TO THE LARGEST group —
+    * sqrt(n) / sqrt(max n). τ is fixed at 2 because sqrt is correctly
+    * rounded per IEEE 754 (identical in every engine), while pow(x, 1/τ)
+    * for general τ goes through exp/log and drifts by ulps across libm
+    * implementations — the same no-transcendentals rule as the
+    * TextAnalysis statistics. Normalizing by the max instead of the sum
+    * keeps the result a pure function of two exact-rounded sqrts (a float
+    * SUM of weights would be order-dependent). One narrow group-count
+    * shuffle; the max scalar is a broadcast cross join.
+    */
+  def mixtureWeights(df: DataFrame, groupCol: String, tokCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(size(col(tokCol)).cast("long")), lit(0L)).as("n_tokens"))
+    val mx = per.agg(max(col("n_tokens")).as("_max_tokens"))
+    per.crossJoin(broadcast(mx))
+      .select(col(groupCol), col("n_docs").cast("long").as("n_docs"),
+        col("n_tokens"),
+        round(sqrt(col("n_tokens")) / sqrt(col("_max_tokens")), 6)
+          .as("rel_weight"))
+  }
 }

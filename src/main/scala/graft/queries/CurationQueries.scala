@@ -96,7 +96,15 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("sum_tokens"),
           (max(col("bin")) + 1).cast("long").as("n_bins"))
-    }))
+    }),
+
+    // Temperature-2 mixture weights per source: weight ∝ sqrt(tokens),
+    // normalized by the largest source (sqrt is IEEE-exact; a weight SUM
+    // would be float-order-dependent).
+    "q77_mixture_weights" -> ((s, d) =>
+      Curation.mixtureWeights(
+        Tables.documents(s, d).withColumn("tok", Dedup.tokens(col("text"))),
+        "source", "tok")))
 
   val oracles: Map[String, String] = Map(
     "q62_hash_split" ->
@@ -222,5 +230,22 @@ object CurationQueries {
          |SELECT split, source, count(*) AS n_docs,
          |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
          |       CAST(max(bin) + 1 AS BIGINT) AS n_bins
-         |FROM packed GROUP BY 1, 2""".stripMargin)
+         |FROM packed GROUP BY 1, 2""".stripMargin,
+
+    "q77_mixture_weights" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         len(list_filter(string_split_regex(trim(text), '\s+'),
+        |             x -> x <> '')) AS n_tok
+        |  FROM documents
+        |), per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY source
+        |), mx AS (
+        |  SELECT max(n_tokens) AS max_tokens FROM per
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |       round(sqrt(n_tokens) / sqrt(max_tokens), 6) AS rel_weight
+        |FROM per, mx""".stripMargin)
 }

@@ -43,6 +43,17 @@ class CurationSpec extends SparkSpec {
     assert(s10.size / n > 0.05 && s10.size / n < 0.16, s"10% got ${s10.size / n}")
   }
 
+  test("mixtureWeights: sqrt temperature weights relative to largest source") {
+    val df = Seq(
+      ("A", "w x y z"), ("A", "a b c d"), ("A", "e f g h"), ("A", "i j k l"),
+      ("B", "m n o p")).toDF("source", "text")
+      .withColumn("tok", graft.operators.Dedup.tokens(col("text")))
+    val out = Curation.mixtureWeights(df, "source", "tok")
+      .as[(String, Long, Long, Double)].collect().toSet
+    // A: 16 tokens -> sqrt(16)/sqrt(16) = 1; B: 4 -> sqrt(4)/sqrt(16) = 0.5
+    assert(out == Set(("A", 4L, 16L, 1.0), ("B", 1L, 4L, 0.5)), s"got $out")
+  }
+
   test("balancedRepeat keeps NULL-keyed rows (rep=1) and balances the rest") {
     val df = Seq(
       (1L, Some("en")), (2L, Some("en")), (3L, Some("en")), (4L, Some("en")),

@@ -100,6 +100,28 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming content dedup: formatting variants collapse by fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val deduped = input.toDF().toDF("doc_id", "text", "ts")
+      .withColumn("fp", graft.operators.TextAnalysis.fingerprint(col("text")))
+      .withWatermark("ts", "1 minute")
+      .dropDuplicatesWithinWatermark("fp")
+    val query = deduped.writeStream.format("memory").queryName("content_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "Hello, World!", ts("2024-01-01 00:00:00")))
+      query.processAllAvailable()
+      // same canonical form in a LATER micro-batch + a genuinely new doc
+      input.addData((2L, "hello   world", ts("2024-01-01 00:00:05")),
+        (3L, "different text", ts("2024-01-01 00:00:06")))
+      query.processAllAvailable()
+      val ids = spark.table("content_dedup").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 3L), s"formatting variant must dedup, got $ids")
+    } finally query.stop()
+  }
+
   test("interval join: inner matches in-window; outer null after watermark") {
     implicit val sqlCtx = spark.sqlContext
     val reqs = MemoryStream[(Long, String, Timestamp)]
