@@ -43,6 +43,32 @@ object Relational {
     salted.join(replicated, keys :+ "_salt").drop("_salt")
   }
 
+  /** Skew-aware lookup join for Zipf-distributed keys: the `hotCount`
+    * heaviest lookup rows (by `weightCol` — for a term-frequency table the
+    * frequency IS the big side's key skew) join BROADCAST map-side, so the
+    * shuffle never carries a hot key's rows; the cold remainder is a
+    * normal keyed join. Row-identical to `big.join(lookup, key)` (inner,
+    * unique lookup keys) — only the physical distribution changes.
+    *
+    * Complements `saltedJoin`: salting spreads a hot key over N reducers
+    * but still shuffles every row; hot/cold removes the hot rows from the
+    * shuffle entirely, at the cost of scanning `big` twice (both scans are
+    * codegen'd column-pruned passes; the anti filter against the tiny hot
+    * key set is itself broadcast). Use when hotness lives in a bounded
+    * head (Zipf); `hotCount` caps the broadcast at a known size.
+    */
+  def hotColdJoin(big: DataFrame, lookup: DataFrame, key: String,
+      weightCol: String, hotCount: Int): DataFrame = {
+    require(hotCount > 0, s"hotCount must be positive, got $hotCount")
+    val hot = lookup
+      .orderBy(col(weightCol).desc, col(key).asc).limit(hotCount)
+    val hotKeys = hot.select(col(key))
+    val hotSide = big.join(broadcast(hot), Seq(key))
+    val coldSide = big.join(broadcast(hotKeys), Seq(key), "left_anti")
+      .join(lookup.join(broadcast(hotKeys), Seq(key), "left_anti"), Seq(key))
+    hotSide.unionByName(coldSide)
+  }
+
   /** Tagged disjoint comparison of two keyed sets: rows in both, only left,
     * only right. Three hash-aggregated branches over the same two inputs;
     * Catalyst reuses the exchange across branches.

@@ -220,7 +220,9 @@ object TextAnalysis {
     * rare/unnatural text, low for common prose (the no-log stand-in for LM
     * perplexity filtering). Two passes, both single-shuffle: corpus term
     * frequencies, then an instance→frequency equi-join aggregated per doc.
-    * The frequency table joins by key (NOT broadcast — vocabulary size is
+    * The join is a hot/cold split (`Relational.hotColdJoin`): the Zipf head
+    * joins broadcast so hot terms never shuffle; the cold tail joins by key
+    * (the FULL table is never broadcast — vocabulary size is
     * corpus-dependent and unbounded at 100 TB).
     *
     * Per-token rarity is floor(scale · N / freq(term)) — an exact BIGINT —
@@ -243,10 +245,12 @@ object TextAnalysis {
     // Tokens rarer than 1-in-(cap/scale) all saturate at "max rarity" —
     // ordering beyond that point carries no signal for a quality filter.
     val scaled = freq.crossJoin(broadcast(total))
-      .select(col("term"),
+      .select(col("term"), col("freq"),
         least(floor(lit(scale.toDouble) * col("n_total") / col("freq")),
           lit(RarityCap)).cast("long").as("rarity_scaled"))
-    inst.join(scaled, Seq("term"))
+    // hot/cold split on the Zipf head: the corpus frequency IS the join's
+    // key skew, so the heaviest terms join broadcast and never shuffle
+    Relational.hotColdJoin(inst, scaled, "term", "freq", 1000)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("rarity_scaled")).as("rs"))
@@ -275,10 +279,12 @@ object TextAnalysis {
     // same saturation bound as rarityScore: tf ≤ 10^6 × idf ≤ 10^12 keeps
     // the product within BIGINT instead of silently wrapping negative
     val idf = df.crossJoin(broadcast(nDocs))
-      .select(col("term"),
+      .select(col("term"), col("df"),
         least(floor(lit(scale.toDouble) * col("n_docs") / col("df")),
           lit(RarityCap)).cast("long").as("idf_scaled"))
-    val scored = tf.join(idf, Seq("term"))
+    // document frequency is the (doc, term) relation's key skew: hot/cold
+    // split keeps the head terms out of the shuffle
+    val scored = Relational.hotColdJoin(tf, idf, "term", "df", 1000)
       .withColumn("tfidf", (col("tf") * col("idf_scaled")).cast("long"))
     Relational.topKPerGroup(scored, Seq(col(idCol)),
         Seq(col("tfidf").desc, col("term").asc), k, "rank")

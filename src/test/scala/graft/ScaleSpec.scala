@@ -28,6 +28,23 @@ class ScaleSpec extends SparkSpec {
     assert(plain.count(_._1 == 1L) == 900)
   }
 
+  test("hotColdJoin is row-identical to the plain lookup join under Zipf skew") {
+    // Zipf-ish: key 1 dominates the big side; weights mirror that skew
+    val big = ((1 to 800).map(i => (1L, s"row$i")) ++
+      (1 to 200).map(i => ((i % 40).toLong + 2, s"tail$i"))).toDF("k", "payload")
+    val lookup = (1 to 60).map(i => (i.toLong, 1000L / i, s"val$i"))
+      .toDF("k", "w", "v")
+    val plain = big.join(lookup, Seq("k"))
+      .select("k", "payload", "v").as[(Long, String, String)].collect().sorted
+    // hotCount both below and above the distinct-key count (boundary cases)
+    for (hot <- Seq(1, 5, 100)) {
+      val hc = Relational.hotColdJoin(big, lookup, "k", "w", hot)
+        .select("k", "payload", "v").as[(Long, String, String)].collect().sorted
+      assert(hc.toSeq == plain.toSeq, s"hotCount=$hot diverged")
+    }
+    assert(plain.count(_._1 == 1L) == 800)
+  }
+
   test("bucketed tables sort-merge join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
