@@ -104,7 +104,38 @@ object CurationQueries {
     "q77_mixture_weights" -> ((s, d) =>
       Curation.mixtureWeights(
         Tables.documents(s, d).withColumn("tok", Dedup.tokens(col("text"))),
-        "source", "tok")))
+        "source", "tok")),
+
+    // The capstone composition — every curation stage in ONE verified
+    // query: normalize -> fingerprint dedup (formatting-insensitive) ->
+    // Gopher quality filter -> benchmark decontamination -> hash split ->
+    // per-(split, source) shard stats. Each stage is the already-oracled
+    // operator; this proves they COMPOSE.
+    "q78_full_curation" -> ((s, d) => {
+      import graft.operators.TextAnalysis
+      val docs = Tables.documents(s, d)
+        .withColumn("norm", TextAnalysis.normalize(col("text")))
+      val deduped = Dedup.exactDedup(
+          docs.withColumn("fp", TextAnalysis.fingerprint(col("text"))),
+          Seq(col("fp")), "doc_id")
+        .filter(col("is_canonical"))
+        .select(col("doc_id"), col("norm"), col("source"))
+        .withColumn("tok", Dedup.tokens(col("norm")))
+      val kept = deduped.join(
+        TextAnalysis.gopherFilter(deduped, "doc_id", "tok")
+          .filter(col("keep")).select("doc_id"),
+        Seq("doc_id"))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val contaminated = Curation
+        .contaminatedDocs(docs, bench, "doc_id", "text", 8)
+        .select(col("doc_id"))
+      val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+      Curation.hashSplit(clean, "doc_id",
+          Seq(("train", 90), ("val", 5), ("test", 5)))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("tok"))).cast("long").as("sum_tokens"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "q62_hash_split" ->
@@ -231,6 +262,74 @@ object CurationQueries {
          |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
          |       CAST(max(bin) + 1 AS BIGINT) AS n_bins
          |FROM packed GROUP BY 1, 2""".stripMargin,
+
+    "q78_full_curation" -> {
+      val stopIn = graft.operators.TextAnalysis.Stopwords
+        .map(w => s"'$w'").mkString("(", ",", ")")
+      s"""WITH n AS (
+         |  SELECT doc_id, source, text,
+         |    trim(regexp_replace(regexp_replace(lower(text),
+         |         '[\\x00-\\x1F\\x7F]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |        '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+         |  FROM documents
+         |), dedup AS (
+         |  SELECT doc_id, source, norm FROM (
+         |    SELECT doc_id, source, norm,
+         |           min(doc_id) OVER (PARTITION BY fp) AS canon
+         |    FROM n) WHERE doc_id = canon
+         |), ntok AS (
+         |  SELECT doc_id, list_filter(string_split_regex(trim(norm), '\\s+'),
+         |                             x -> x <> '') AS tok
+         |  FROM dedup
+         |), qg AS (
+         |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+         |         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_cnt,
+         |         CAST(max(cnt) AS BIGINT) AS top_cnt
+         |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM (
+         |          SELECT doc_id, unnest(list_transform(range(1, len(tok)),
+         |            i -> [tok[i], tok[i + 1]])) AS gram
+         |          FROM ntok WHERE len(tok) >= 2) GROUP BY 1, 2)
+         |  GROUP BY doc_id
+         |), qbase AS (
+         |  SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+         |         CAST(coalesce(list_sum(list_transform(tok, x -> len(x))), 0)
+         |              AS BIGINT) AS sum_len,
+         |         CAST(len(list_filter(tok, x -> x IN $stopIn)) AS BIGINT) AS stop_hits
+         |  FROM ntok
+         |), qkeep AS (
+         |  SELECT b.doc_id FROM qbase b LEFT JOIN qg g USING (doc_id)
+         |  WHERE b.n_tokens BETWEEN 10 AND 500
+         |    AND 3 * b.n_tokens <= b.sum_len AND b.sum_len <= 10 * b.n_tokens
+         |    AND b.stop_hits >= 1
+         |    AND coalesce(g.dup_cnt * 10 <= g.n_grams * 6, TRUE)
+         |    AND coalesce(g.top_cnt * 10 <= g.n_grams * 3, TRUE)
+         |), tok AS (
+         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+         |                             x -> x <> '') AS tok
+         |  FROM documents
+         |), grams AS (
+         |  SELECT doc_id, md5(array_to_string(tok[i+1:i+8], ' ')) AS gram_h
+         |  FROM tok, UNNEST(range(0, greatest(len(tok) - 7, 0))) u(i)
+         |), bench AS (
+         |  SELECT DISTINCT gram_h FROM grams WHERE doc_id % 97 = 0
+         |), contaminated AS (
+         |  SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram_h)
+         |), clean AS (
+         |  SELECT d.doc_id, d.source FROM dedup d
+         |  JOIN qkeep q USING (doc_id)
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |), split AS (
+         |  SELECT *, CASE WHEN ${bucketSql("doc_id", 100)} < 90 THEN 'train'
+         |                 WHEN ${bucketSql("doc_id", 100)} < 95 THEN 'val'
+         |                 ELSE 'test' END AS split
+         |  FROM clean
+         |)
+         |SELECT split, source, count(*) AS n_docs,
+         |       CAST(sum(len(t.tok)) AS BIGINT) AS sum_tokens
+         |FROM split s JOIN ntok t USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin
+    },
 
     "q77_mixture_weights" ->
       """WITH t AS (
