@@ -323,4 +323,42 @@ object TextAnalysis {
         floor(lit(scale.toDouble) * col("cnt") / col("prefix_cnt"))
           .cast("long").as("cond_scaled"))
   }
+
+  /** Score documents under a trained `bigramModel` — the APPLY side of the
+    * count-based LM (train on the corpus, score each doc's fluency under
+    * it; the no-log analogue of perplexity filtering with an n-gram LM).
+    * Per doc: `n_bigrams` instances, `n_known` found in the (pruned) model,
+    * `coverage` = n_known/n_bigrams, `avg_cond` = mean conditional
+    * probability with unknown bigrams contributing 0 (unsmoothed — docs
+    * full of unseen transitions score low, which is the filter's point).
+    *
+    * The doc→model join is keyed on (w1, w2): the model is O(distinct kept
+    * bigrams) and joins by key, never broadcast wholesale; sums are exact
+    * BIGINTs of the model's scaled values, so the result is
+    * order-independent. Docs with < 2 tokens have no bigrams and drop out.
+    */
+  def bigramScore(docs: DataFrame, idCol: String, tokCol: String,
+      model: DataFrame, scale: Long = 1000000L): DataFrame = {
+    val pairs = docs
+      .select(col(idCol), col(tokCol).as("tok"))
+      .filter(size(col("tok")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("tok")) - 2),
+        i => struct(col("tok")(i).as("w1"), col("tok")(i + 1).as("w2"))))
+        .as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    pairs
+      .join(model.select(col("w1"), col("w2"), col("cond_scaled")),
+        Seq("w1", "w2"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("cond_scaled")).as("n_known"),
+        coalesce(sum(col("cond_scaled")), lit(0L)).as("s"))
+      .select(col(idCol),
+        col("n_bigrams").cast("long").as("n_bigrams"),
+        col("n_known").cast("long").as("n_known"),
+        round(col("n_known") / col("n_bigrams"), 6).as("coverage"),
+        round(col("s").cast("long") / col("n_bigrams") / scale.toDouble, 6)
+          .as("avg_cond"))
+  }
 }

@@ -94,7 +94,15 @@ object TextQueries {
 
     // Composed Gopher keep/reject verdict — integer-comparison flags only.
     "q76_gopher_filter" -> ((s, d) =>
-      TextAnalysis.gopherFilter(toks(s, d), "doc_id", "tok")))
+      TextAnalysis.gopherFilter(toks(s, d), "doc_id", "tok")),
+
+    // Train-then-apply: score every doc under the q74 bigram model
+    // (coverage + mean conditional probability, unknowns count 0).
+    "q79_bigram_score" -> ((s, d) => {
+      val t = toks(s, d)
+      TextAnalysis.bigramScore(t, "doc_id", "tok",
+        TextAnalysis.bigramModel(t, "tok", 5))
+    }))
 
   private val langVotesSql: String =
     TextAnalysis.LangMarkers.map { case (lang, words) =>
@@ -263,6 +271,32 @@ object TextQueries {
          |       CAST(floor(1000000.0 * cnt /
          |            (sum(cnt) OVER (PARTITION BY w1))) AS BIGINT) AS cond_scaled
          |FROM counts""".stripMargin,
+
+    "q79_bigram_score" ->
+      s"""$TokCte, pairs AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tok)),
+         |    i -> struct_pack(w1 := tok[i], w2 := tok[i + 1]))) AS bg
+         |  FROM t WHERE len(tok) >= 2
+         |), inst AS (
+         |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM pairs
+         |), counts AS (
+         |  SELECT w1, w2, count(*) AS cnt
+         |  FROM inst GROUP BY 1, 2
+         |  HAVING count(*) >= 5
+         |), model AS (
+         |  SELECT w1, w2,
+         |         CAST(floor(1000000.0 * cnt /
+         |              (sum(cnt) OVER (PARTITION BY w1))) AS BIGINT) AS cond_scaled
+         |  FROM counts
+         |)
+         |SELECT i.doc_id,
+         |       count(*) AS n_bigrams,
+         |       count(m.cond_scaled) AS n_known,
+         |       round(count(m.cond_scaled) / count(*), 6) AS coverage,
+         |       round(CAST(coalesce(sum(m.cond_scaled), 0) AS BIGINT)
+         |             / count(*) / 1000000.0, 6) AS avg_cond
+         |FROM inst i LEFT JOIN model m USING (w1, w2)
+         |GROUP BY i.doc_id""".stripMargin,
 
     // Flags are integer comparisons (fraction thresholds cross-multiplied)
     // so the boolean outputs cannot drift between engines. No-gram docs

@@ -237,6 +237,19 @@ class IngestOpsSpec extends SparkSpec {
     // bigrams: (x,y)=2 (y,x)=2 (x,z)=1 -> (x,z) pruned, prefix x=2 not 3
     assert(pruned == Set(("x", "y", 2L, 2L, 1000000L),
       ("y", "x", 2L, 2L, 1000000L)), s"got $pruned")
+
+    // apply side: doc1 (a,a)+(a,b) both cond 0.5 -> avg 0.5, full coverage;
+    // doc2 (b,c) cond 1.0. Empty model -> all unknown, scores 0.
+    val score = TextAnalysis.bigramScore(df, "doc_id", "tok",
+      TextAnalysis.bigramModel(df, "tok", 1))
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    assert(score == Set((1L, 2L, 2L, 1.0, 0.5), (2L, 1L, 1L, 1.0, 1.0)),
+      s"got $score")
+    val unknown = TextAnalysis.bigramScore(df, "doc_id", "tok",
+      TextAnalysis.bigramModel(df, "tok", 99))
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    assert(unknown == Set((1L, 2L, 0L, 0.0, 0.0), (2L, 1L, 0L, 0.0, 0.0)),
+      s"got $unknown")
   }
 
   test("langId votes for german markers; und on no hits") {
