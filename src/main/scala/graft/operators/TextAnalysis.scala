@@ -324,6 +324,36 @@ object TextAnalysis {
           .cast("long").as("cond_scaled"))
   }
 
+  /** Hashing-trick document features (Weinberger et al. 2009): each token
+    * hashes to one of `dim` buckets with a ±1 sign, a doc's feature vector
+    * is the signed count per bucket — text becomes a vector with NO
+    * trained embedding model, so documents plug straight into the
+    * `Similarity` stack (cosine over the assembled Array[Double]; proven
+    * in `IngestOpsSpec`). Emitted as the SPARSE (id, bucket, w) relation:
+    * only touched buckets, exact BIGINT weights, one (id, bucket) hash
+    * aggregate — dense assembly is the caller's choice (and pointless to
+    * shuffle at 100 TB when most buckets are 0 for short docs).
+    *
+    * Bucket and sign derive from md5 of the token (first 8 hex chars mod
+    * dim; 9th-char parity), the engine-portable recipe every oracle in
+    * this repo reproduces.
+    */
+  def hashedFeatures(docs: DataFrame, idCol: String, tokCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val inst = tokenInstances(docs, idCol, tokCol)
+      .withColumn("_h", md5(col("term")))
+    inst
+      .select(col(idCol),
+        (conv(substring(col("_h"), 1, 8), 16, 10).cast("long") % dim)
+          .as("bucket"),
+        when(conv(substring(col("_h"), 9, 1), 16, 10).cast("long") % 2 === 0L,
+          lit(1L)).otherwise(lit(-1L)).as("sign"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("sign")).cast("long").as("w"))
+      .filter(col("w") =!= 0L)
+  }
+
   /** Score documents under a trained `bigramModel` — the APPLY side of the
     * count-based LM (train on the corpus, score each doc's fluency under
     * it; the no-log analogue of perplexity filtering with an n-gram LM).

@@ -102,7 +102,12 @@ object TextQueries {
       val t = toks(s, d)
       TextAnalysis.bigramScore(t, "doc_id", "tok",
         TextAnalysis.bigramModel(t, "tok", 5))
-    }))
+    }),
+
+    // Hashing-trick features: text -> sparse signed-count vectors with no
+    // trained model (the bridge from documents into the Similarity stack).
+    "q80_hashed_features" -> ((s, d) =>
+      TextAnalysis.hashedFeatures(toks(s, d), "doc_id", "tok", 64)))
 
   private val langVotesSql: String =
     TextAnalysis.LangMarkers.map { case (lang, words) =>
@@ -297,6 +302,20 @@ object TextQueries {
          |             / count(*) / 1000000.0, 6) AS avg_cond
          |FROM inst i LEFT JOIN model m USING (w1, w2)
          |GROUP BY i.doc_id""".stripMargin,
+
+    "q80_hashed_features" ->
+      s"""$TokCte, inst AS (
+         |  SELECT doc_id, unnest(tok) AS term FROM t
+         |), h AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS bucket,
+         |         CASE WHEN ('0x' || substr(md5(term), 9, 1))::BIGINT % 2 = 0
+         |              THEN 1 ELSE -1 END AS sign
+         |  FROM inst
+         |)
+         |SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS w
+         |FROM h GROUP BY 1, 2
+         |HAVING CAST(sum(sign) AS BIGINT) <> 0""".stripMargin,
 
     // Flags are integer comparisons (fraction thresholds cross-multiplied)
     // so the boolean outputs cannot drift between engines. No-gram docs

@@ -252,6 +252,41 @@ class IngestOpsSpec extends SparkSpec {
       s"got $unknown")
   }
 
+  test("hashedFeatures: md5 recipe, multiset-invariant, bridges to cosine") {
+    val df = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "gamma alpha beta alpha"), // same multiset, different order
+      (3L, "delta epsilon zeta")
+    ).toDF("doc_id", "text").withColumn("tok", Dedup.tokens(col("text")))
+    val f = TextAnalysis.hashedFeatures(df, "doc_id", "tok", 16)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    assert(f(1L) == f(2L), s"order must not matter: ${f(1L)} vs ${f(2L)}")
+    // recompute doc 1's full sparse vector from the md5 recipe in plain
+    // Scala (per-token bucket + sign, summed, zeros dropped)
+    def bs(term: String): (Long, Long) = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h.substring(0, 8), 16) % 16,
+        if (java.lang.Long.parseLong(h.substring(8, 9), 16) % 2 == 0) 1L else -1L)
+    }
+    val expected = Seq("alpha", "beta", "gamma", "alpha").map(bs)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).filter(_._2 != 0L).toMap
+    assert(f(1L) == expected, s"got ${f(1L)}, want $expected")
+    // dense assembly plugs into the Similarity stack
+    def dense(id: Long) = Array.tabulate(16)(b => f(id).getOrElse(b.toLong, 0L).toDouble)
+    val vecs = Seq((1L, dense(1L)), (3L, dense(3L))).toDF("vec_id", "embedding")
+    val c = graft.operators.Similarity.prepared(vecs, "embedding")
+    val self = c.as("a").crossJoin(c.as("b"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        round(graft.operators.Similarity.cosineWithNorms(col("a.vec"),
+          col("b.vec"), col("a.nrm"), col("b.nrm")), 6).as("sim"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(self((1L, 1L)) == 1.0)
+    assert(self((1L, 3L)) < 1.0, s"disjoint docs must not be identical: $self")
+  }
+
   test("langId votes for german markers; und on no hits") {
     val df = Seq(("der hund und die katze ist", 1), ("zzz qqq", 2))
       .toDF("text", "id").withColumn("tok", Dedup.tokens(col("text")))
