@@ -47,8 +47,10 @@ object Relational {
     * heaviest lookup rows (by `weightCol` — for a term-frequency table the
     * frequency IS the big side's key skew) join BROADCAST map-side, so the
     * shuffle never carries a hot key's rows; the cold remainder is a
-    * normal keyed join. Row-identical to `big.join(lookup, key)` (inner,
-    * unique lookup keys) — only the physical distribution changes.
+    * normal keyed join. Row-identical to `big.join(lookup, key)` (inner) —
+    * duplicate lookup keys included, since hotness is chosen per KEY —
+    * only the physical distribution changes. With duplicate keys the
+    * broadcast carries every row of the hot keys; size it accordingly.
     *
     * Complements `saltedJoin`: salting spreads a hot key over N reducers
     * but still shuffles every row; hot/cold removes the hot rows from the
@@ -60,9 +62,14 @@ object Relational {
   def hotColdJoin(big: DataFrame, lookup: DataFrame, key: String,
       weightCol: String, hotCount: Int): DataFrame = {
     require(hotCount > 0, s"hotCount must be positive, got $hotCount")
-    val hot = lookup
-      .orderBy(col(weightCol).desc, col(key).asc).limit(hotCount)
-    val hotKeys = hot.select(col(key))
+    // hotness is decided at KEY granularity (max weight per key), never by
+    // a row limit that could cut through a duplicate key's row group and
+    // silently drop its remaining matches from both the hot and cold side
+    val hotKeys = lookup.groupBy(col(key))
+      .agg(max(col(weightCol)).as("_w"))
+      .orderBy(col("_w").desc, col(key).asc).limit(hotCount)
+      .select(col(key))
+    val hot = lookup.join(broadcast(hotKeys), Seq(key), "left_semi")
     val hotSide = big.join(broadcast(hot), Seq(key))
     val coldSide = big.join(broadcast(hotKeys), Seq(key), "left_anti")
       .join(lookup.join(broadcast(hotKeys), Seq(key), "left_anti"), Seq(key))

@@ -302,17 +302,26 @@ object TextAnalysis {
     * the marginal is over the KEPT bigrams, a pruned-model convention the
     * oracle mirrors.
     */
-  def bigramModel(docs: DataFrame, tokCol: String, minCount: Long,
-      scale: Long = 1000000L): DataFrame = {
-    val pairs = docs
-      .select(col(tokCol).as("tok"))
+  /** Bigram-instance relation — ONE definition of "what is a bigram",
+    * shared by the train (`bigramModel`) and apply (`bigramScore`) sides so
+    * gram formation can never silently diverge between them. `keep` carries
+    * extra columns through (e.g. the doc id on the apply side).
+    */
+  private def bigramPairs(docs: DataFrame, tokCol: String,
+      keep: Seq[Column]): DataFrame =
+    docs
+      .select(keep :+ col(tokCol).as("tok"): _*)
       .filter(size(col("tok")) >= 2)
-      .select(explode(transform(
+      .select(keep :+ explode(transform(
         sequence(lit(0), size(col("tok")) - 2),
         i => struct(col("tok")(i).as("w1"), col("tok")(i + 1).as("w2"))))
-        .as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val counts = pairs.groupBy(col("w1"), col("w2"))
+        .as("bg"): _*)
+      .select(keep :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+
+  def bigramModel(docs: DataFrame, tokCol: String, minCount: Long,
+      scale: Long = 1000000L): DataFrame = {
+    val counts = bigramPairs(docs, tokCol, Seq.empty)
+      .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
@@ -366,18 +375,14 @@ object TextAnalysis {
     * bigrams) and joins by key, never broadcast wholesale; sums are exact
     * BIGINTs of the model's scaled values, so the result is
     * order-independent. Docs with < 2 tokens have no bigrams and drop out.
+    *
+    * `modelScale` MUST equal the `scale` the model was trained with — the
+    * model's cond_scaled values are in those units, and a mismatched
+    * divisor skews every score by the ratio with no error raised.
     */
   def bigramScore(docs: DataFrame, idCol: String, tokCol: String,
-      model: DataFrame, scale: Long = 1000000L): DataFrame = {
-    val pairs = docs
-      .select(col(idCol), col(tokCol).as("tok"))
-      .filter(size(col("tok")) >= 2)
-      .select(col(idCol), explode(transform(
-        sequence(lit(0), size(col("tok")) - 2),
-        i => struct(col("tok")(i).as("w1"), col("tok")(i + 1).as("w2"))))
-        .as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    pairs
+      model: DataFrame, modelScale: Long = 1000000L): DataFrame = {
+    bigramPairs(docs, tokCol, Seq(col(idCol)))
       .join(model.select(col("w1"), col("w2"), col("cond_scaled")),
         Seq("w1", "w2"), "left")
       .groupBy(col(idCol))
@@ -388,7 +393,7 @@ object TextAnalysis {
         col("n_bigrams").cast("long").as("n_bigrams"),
         col("n_known").cast("long").as("n_known"),
         round(col("n_known") / col("n_bigrams"), 6).as("coverage"),
-        round(col("s").cast("long") / col("n_bigrams") / scale.toDouble, 6)
+        round(col("s").cast("long") / col("n_bigrams") / modelScale.toDouble, 6)
           .as("avg_cond"))
   }
 }

@@ -43,6 +43,17 @@ class ScaleSpec extends SparkSpec {
       assert(hc.toSeq == plain.toSeq, s"hotCount=$hot diverged")
     }
     assert(plain.count(_._1 == 1L) == 800)
+
+    // duplicate lookup keys straddling the hot boundary: hotness is per
+    // KEY, so hotCount=1 must keep BOTH rows of the hottest key
+    val dup = Seq((1L, 5L, "a"), (1L, 3L, "b"), (2L, 4L, "c"))
+      .toDF("k", "w", "v")
+    val dupPlain = big.join(dup, Seq("k"))
+      .select("k", "payload", "v").as[(Long, String, String)].collect().sorted
+    val dupHc = Relational.hotColdJoin(big, dup, "k", "w", 1)
+      .select("k", "payload", "v").as[(Long, String, String)].collect().sorted
+    assert(dupHc.toSeq == dupPlain.toSeq,
+      s"duplicate-key rows lost: ${dupHc.size} vs ${dupPlain.size}")
   }
 
   test("bucketed tables sort-merge join without a shuffle exchange") {
