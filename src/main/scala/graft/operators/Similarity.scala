@@ -57,6 +57,26 @@ object Similarity {
     df.withColumn("vec", toDoubleVec(col(vecCol)))
       .withColumn("nrm", norm(col("vec")))
 
+  /** Assemble a sparse (id, index, value) relation into dense
+    * Array[Double] vectors of length `dim` (missing indices are 0) — the
+    * adapter from sparse feature relations (e.g.
+    * `TextAnalysis.hashedFeatures`) into this module's vector contract.
+    * One hash aggregate per id; the per-row map lookup is order-independent
+    * (collect_list order doesn't matter — keys are unique post-aggregation).
+    * Ids with NO surviving entries (all values cancelled/absent) emit no
+    * row, mirroring the sparse relation's own support.
+    */
+  def assembleDense(sparse: DataFrame, idCol: String, idxCol: String,
+      valCol: String, dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    sparse.groupBy(col(idCol))
+      .agg(map_from_entries(
+        collect_list(struct(col(idxCol), col(valCol)))).as("_m"))
+      .select(col(idCol), transform(sequence(lit(0), lit(dim - 1)),
+        b => coalesce(element_at(col("_m"), b.cast("long")), lit(0L))
+          .cast("double")).as("vec"))
+  }
+
   /** Exact brute-force cosine top-k: every query row against every corpus
     * row. `queries` must be small (it is broadcast); ranking rounds to 6
     * decimals then tie-breaks on neighbor id so results are stable across

@@ -107,7 +107,24 @@ object TextQueries {
     // Hashing-trick features: text -> sparse signed-count vectors with no
     // trained model (the bridge from documents into the Similarity stack).
     "q80_hashed_features" -> ((s, d) =>
-      TextAnalysis.hashedFeatures(toks(s, d), "doc_id", "tok", 64)))
+      TextAnalysis.hashedFeatures(toks(s, d), "doc_id", "tok", 64)),
+
+    // The bridge in action: near-dup TEXT pairs by hashed-feature cosine —
+    // similarity search over documents with zero external models. Sparse
+    // q80 features -> dense vectors -> exact block-grid pairs >= 0.9.
+    "q81_hashed_near_dup" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val dense = graft.operators.Similarity.assembleDense(
+        TextAnalysis.hashedFeatures(toks(s, d), "doc_id", "tok", 64),
+        "doc_id", "bucket", "w", 64)
+        .withColumnRenamed("doc_id", "vec_id")
+      val c = graft.operators.Similarity.prepared(dense, "vec")
+        .select(col("vec_id"), col("vec"), col("nrm"))
+      graft.operators.Similarity.blockGridPairs(c, 0.9 - 1e-6)
+        .withColumn("sim", round(col("sim_raw"), 6))
+        .filter(col("sim") >= 0.9)
+        .select(col("id_a"), col("id_b"), col("sim"))
+    }))
 
   private val langVotesSql: String =
     TextAnalysis.LangMarkers.map { case (lang, words) =>
@@ -316,6 +333,41 @@ object TextQueries {
          |SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS w
          |FROM h GROUP BY 1, 2
          |HAVING CAST(sum(sign) AS BIGINT) <> 0""".stripMargin,
+
+    // Dense assembly via the (doc x bucket) grid + list(ORDER BY bucket);
+    // explicit nrm > 0 guards (DuckDB's NaN compares GREATER than
+    // everything, so an unguarded zero-norm doc would emit phantom pairs).
+    "q81_hashed_near_dup" ->
+      s"""$TokCte, inst AS (
+         |  SELECT doc_id, unnest(tok) AS term FROM t
+         |), h AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS bucket,
+         |         CASE WHEN ('0x' || substr(md5(term), 9, 1))::BIGINT % 2 = 0
+         |              THEN 1 ELSE -1 END AS sign
+         |  FROM inst
+         |), sparse AS (
+         |  SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS w
+         |  FROM h GROUP BY 1, 2
+         |  HAVING CAST(sum(sign) AS BIGINT) <> 0
+         |), grid AS (
+         |  SELECT d.doc_id, r.range AS b
+         |  FROM (SELECT DISTINCT doc_id FROM sparse) d, range(0, 64) r
+         |), cells AS (
+         |  SELECT g.doc_id, g.b, CAST(coalesce(s.w, 0) AS DOUBLE) AS v
+         |  FROM grid g LEFT JOIN sparse s
+         |    ON g.doc_id = s.doc_id AND g.b = s.bucket
+         |), dense AS (
+         |  SELECT doc_id, list(v ORDER BY b) AS vec FROM cells GROUP BY doc_id
+         |), n AS (
+         |  SELECT doc_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm
+         |  FROM dense
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS sim
+         |FROM n a, n b
+         |WHERE a.doc_id < b.doc_id AND a.nrm > 0 AND b.nrm > 0
+         |  AND round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.9""".stripMargin,
 
     // Flags are integer comparisons (fraction thresholds cross-multiplied)
     // so the boolean outputs cannot drift between engines. No-gram docs

@@ -122,6 +122,16 @@ class SimilaritySpec extends SparkSpec {
     assert(p0(0) == ((java.lang.Long.parseLong("dd3d1fbf", 16) % 2001) - 1000) / 1000.0)
   }
 
+  test("assembleDense: sparse triples -> zero-filled vectors; empty ids drop") {
+    val sparse = Seq((1L, 0L, 2L), (1L, 3L, -1L), (2L, 2L, 5L))
+      .toDF("id", "idx", "v")
+    val out = Similarity.assembleDense(sparse, "id", "idx", "v", 4)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out == Map(
+      1L -> Seq(2.0, 0.0, 0.0, -1.0),
+      2L -> Seq(0.0, 0.0, 5.0, 0.0)), s"got $out")
+  }
+
   // SemDeDup on a hand-built 2-cell corpus: within-cell near-dups drop
   // (smaller id survives), cell boundaries shield cross-cell neighbors,
   // and the rule is pairwise — every vector near a smaller-id cellmate
