@@ -15,6 +15,27 @@ object WindowQueries {
   private val Ts = "yyyy-MM-dd HH:mm:ss"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Cohort retention matrix: users grouped by first-activity week,
+    // counted per week offset — both engines truncate weeks to ISO Monday,
+    // so offsets are exact multiples of 7 days (the /7 division is
+    // integer-valued by construction).
+    "q82_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(min(date_trunc("week", col("ts"))).as("cohort"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        .distinct()
+      active.join(cohorts, Seq("user_id"))
+        .withColumn("offset_w",
+          (datediff(to_date(col("w")), to_date(col("cohort"))) / 7)
+            .cast("long"))
+        .groupBy(col("cohort"), col("offset_w"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          col("offset_w"), col("n_users"))
+    }),
+
     // Semi-structured: JSON path extraction (string + typed) from
     // events.props, then an aggregation over the extracted field.
     "q49_json_extract" -> ((s, d) =>
@@ -57,6 +78,18 @@ object WindowQueries {
           col("n_events"), col("sum_value"))))
 
   val oracles: Map[String, String] = Map(
+    "q82_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(date_trunc('week', ts)) AS cohort
+        |  FROM events GROUP BY user_id
+        |), a AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+        |)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+        |       CAST(date_diff('day', f.cohort, a.w) // 7 AS BIGINT) AS offset_w,
+        |       count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q54_range_join" ->
       """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
         |       epoch_ns(b.ts)//1000 - epoch_ns(a.ts)//1000 AS dt_us
