@@ -80,6 +80,40 @@ object EventTime {
     * i.e. outer results are delayed by design, not lost (asserted in
     * `StreamingSourcesSpec`). Batch analogue: the q54 binned range join.
     */
+  /** Ordered funnel conversion: how many users performed the steps IN
+    * ORDER, each strictly after the previous one. Greedy min-time
+    * semantics (deterministic): a user's anchor for step k is their
+    * EARLIEST qualifying event after the step k-1 anchor — the standard
+    * product-analytics funnel definition. Each stage is one keyed join +
+    * min-aggregate on the user key (k-1 joins total, all partial-
+    * aggregated map-side); no window over the full event stream, no
+    * per-user event collection.
+    *
+    * Returns one row per step: (step, stage, n_users), n monotonically
+    * non-increasing.
+    */
+  def funnel(ev: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var prev: DataFrame = null
+    val stages = steps.zipWithIndex.map { case (st, i) =>
+      val cur =
+        if (i == 0)
+          ev.filter(col(typeCol) === st)
+            .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+        else
+          ev.filter(col(typeCol) === st)
+            .join(prev.select(col(userCol), col("_t").as("_pt")), Seq(userCol))
+            .filter(col(tsCol) > col("_pt"))
+            .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+      prev = cur
+      cur.agg(count(lit(1)).cast("long").as("n_users"))
+        .select(lit((i + 1).toLong).as("step"), lit(st).as("stage"),
+          col("n_users"))
+    }
+    stages.reduce(_.unionByName(_))
+  }
+
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, lowerSec: Long, upperSec: Long,
       delay: String, joinType: String = "inner"): DataFrame = {

@@ -36,6 +36,12 @@ object WindowQueries {
           col("offset_w"), col("n_users"))
     }),
 
+    // Ordered funnel: signup -> view -> click -> purchase, each step
+    // strictly after the user's previous-step anchor (greedy min-time).
+    "q83_funnel" -> ((s, d) =>
+      EventTime.funnel(Tables.events(s, d), "user_id", "event_type", "ts",
+        Seq("signup", "view", "click", "purchase"))),
+
     // Semi-structured: JSON path extraction (string + typed) from
     // events.props, then an aggregation over the extracted field.
     "q49_json_extract" -> ((s, d) =>
@@ -78,6 +84,25 @@ object WindowQueries {
           col("n_events"), col("sum_value"))))
 
   val oracles: Map[String, String] = Map(
+    "q83_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1
+        |), s4 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1
+        |)
+        |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS stage, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |UNION ALL SELECT 4, 'purchase', count(*) FROM s4""".stripMargin,
+
     "q82_retention" ->
       """WITH f AS (
         |  SELECT user_id, min(date_trunc('week', ts)) AS cohort

@@ -287,6 +287,23 @@ class IngestOpsSpec extends SparkSpec {
     assert(self((1L, 3L)) < 1.0, s"disjoint docs must not be identical: $self")
   }
 
+  test("funnel: order matters; an equal timestamp is not 'after'") {
+    val ev = Seq(
+      ("u1", "signup", ts("2024-01-01 00:00:00")),
+      ("u1", "view", ts("2024-01-01 00:01:00")),
+      ("u1", "click", ts("2024-01-01 00:02:00")),
+      ("u2", "view", ts("2024-01-01 00:00:00")), // view BEFORE signup
+      ("u2", "signup", ts("2024-01-01 00:01:00")),
+      ("u3", "signup", ts("2024-01-01 00:00:00")),
+      ("u3", "view", ts("2024-01-01 00:00:00")) // same instant: excluded
+    ).toDF("user_id", "event_type", "ts")
+    val out = graft.operators.EventTime
+      .funnel(ev, "user_id", "event_type", "ts", Seq("signup", "view", "click"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set((1L, "signup", 3L), (2L, "view", 1L), (3L, "click", 1L)),
+      s"got $out")
+  }
+
   test("langId votes for german markers; und on no hits") {
     val df = Seq(("der hund und die katze ist", 1), ("zzz qqq", 2))
       .toDF("text", "id").withColumn("tok", Dedup.tokens(col("text")))
