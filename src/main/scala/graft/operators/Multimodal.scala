@@ -96,6 +96,68 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** REAL nearest-neighbor image resize: decode (ImageIO), resample with an
+    * explicit integer source-index map (sx = x·srcW/dstW), re-encode PNG
+    * (lossless). Deliberately NOT Graphics2D/AffineTransform — the AWT
+    * rendering pipeline's interpolation is platform-dependent, while the
+    * manual integer map is deterministic everywhere (the property every
+    * oracle in this repo depends on). None on non-decodable payloads,
+    * mirroring decodeImageMeta's skip-not-crash contract.
+    */
+  def resizeImagePng(content: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
+    require(dstW > 0 && dstH > 0, s"bad target ${dstW}x$dstH")
+    if (content == null || content.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(
+          dstW, dstH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < dstH) {
+          val sy = (y.toLong * img.getHeight / dstH).toInt
+          var x = 0
+          while (x < dstW) {
+            val sx = (x.toLong * img.getWidth / dstW).toInt
+            out.setRGB(x, y, img.getRGB(sx, sy))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Batched REAL resize for image payloads: each image is rescaled to
+    * (max(1, w·num/den), max(1, h·num/den)) of its own decoded dimensions.
+    * Same mapPartitions/batch shape as decodeImages; non-decodable rows
+    * are skipped. Binaries stay row-local — nothing shuffles.
+    */
+  def resizeImages(media: DataFrame, num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0, s"bad ratio $num/$den")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType)))
+    val rdd = media.select(col("media_id"), col("content")).rdd
+      .mapPartitions { rows =>
+        rows.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.flatMap { r =>
+            val content = r.getAs[Array[Byte]](1)
+            decodeImageMeta(content).flatMap { case (w, h, _, _, _) =>
+              resizeImagePng(content,
+                math.max(1, (w.toLong * num / den).toInt),
+                math.max(1, (h.toLong * num / den).toInt))
+            }.map(bytes => Row(r.getLong(0), bytes))
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   // ------------------------------------------------------------------ STUBS
   // A real build links an audio/video codec here. The fakes are
   // deterministic functions of the bytes so tests and oracles are stable.

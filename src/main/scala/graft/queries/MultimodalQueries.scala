@@ -73,6 +73,25 @@ object MultimodalQueries {
       Multimodal.decodeImages(Multimodal.synthesizePng(spec))
         .select(col("media_id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
+
+    // REAL resize through the full pipeline: synthesize -> NN-resample to
+    // half dims -> PNG re-encode -> decode AGAIN. Solid fill keeps channel
+    // means invariant under any correct resample, and the halved dims are
+    // integer arithmetic — both oracle-computable. (Pixel-level mapping
+    // correctness of the resampler is pinned separately in MultimodalSpec
+    // with a non-uniform quadrant image.)
+    "q84_image_resize" -> ((s, d) => {
+      val spec = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        (col("n_chars") % 48 + 8).cast("int").as("width"),
+        (col("n_chars") % 32 + 8).cast("int").as("height"),
+        ((col("doc_id") % 256) * 65536 + (col("doc_id") * 7 % 256) * 256
+          + col("doc_id") * 13 % 256).cast("int").as("rgb"))
+      Multimodal.decodeImages(
+          Multimodal.resizeImages(Multimodal.synthesizePng(spec), 1, 2))
+        .select(col("media_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -98,6 +117,17 @@ object MultimodalQueries {
       """SELECT doc_id AS media_id,
         |       CAST(n_chars % 48 + 8 AS INT) AS width,
         |       CAST(n_chars % 32 + 8 AS INT) AS height,
+        |       CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |       CAST(doc_id * 7 % 256 AS DOUBLE) AS mean_g,
+        |       CAST(doc_id * 13 % 256 AS DOUBLE) AS mean_b
+        |FROM documents""".stripMargin,
+
+    // halved dims via integer division (src dims are >= 8 so the max(1, .)
+    // guard in resizeImages never fires); solid fill -> means unchanged
+    "q84_image_resize" ->
+      """SELECT doc_id AS media_id,
+        |       CAST((n_chars % 48 + 8) // 2 AS INT) AS width,
+        |       CAST((n_chars % 32 + 8) // 2 AS INT) AS height,
         |       CAST(doc_id % 256 AS DOUBLE) AS mean_r,
         |       CAST(doc_id * 7 % 256 AS DOUBLE) AS mean_g,
         |       CAST(doc_id * 13 % 256 AS DOUBLE) AS mean_b

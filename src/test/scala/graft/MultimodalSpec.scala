@@ -84,6 +84,35 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Seq((1L, 7, 7, 1.0, 2.0, 3.0)), s"got $out")
   }
 
+  test("resizeImagePng maps pixels by the exact NN integer map") {
+    // non-uniform 2x2 quadrant image: a correct resampler must place each
+    // source pixel, not just preserve aggregate stats
+    val src = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    src.setRGB(0, 0, 0xFF0000); src.setRGB(1, 0, 0x00FF00)
+    src.setRGB(0, 1, 0x0000FF); src.setRGB(1, 1, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val bytes = bos.toByteArray
+
+    // upscale 2x2 -> 4x4: sx = x*2/4 = x/2, so quadrants replicate 2x2
+    val up = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.resizeImagePng(bytes, 4, 4).get))
+    assert((up.getRGB(0, 0) & 0xFFFFFF) == 0xFF0000)
+    assert((up.getRGB(1, 1) & 0xFFFFFF) == 0xFF0000) // still top-left quadrant
+    assert((up.getRGB(3, 0) & 0xFFFFFF) == 0x00FF00)
+    assert((up.getRGB(0, 3) & 0xFFFFFF) == 0x0000FF)
+    assert((up.getRGB(3, 3) & 0xFFFFFF) == 0xFFFFFF)
+
+    // downscale 2x2 -> 1x1: sx = 0, sy = 0 -> exactly the top-left pixel
+    val down = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.resizeImagePng(bytes, 1, 1).get))
+    assert((down.getRGB(0, 0) & 0xFFFFFF) == 0xFF0000)
+
+    // garbage bytes -> None (skip, not crash)
+    assert(Multimodal.resizeImagePng("junk".getBytes, 2, 2).isEmpty)
+  }
+
   test("sampleFrames: only video, stride windows, last frame short") {
     val frames = Multimodal.sampleFrames(mediaDf, 32, 2)
       .select(col("media_id"), col("frame_idx"), length(col("frame")))
