@@ -158,9 +158,112 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  // ------------------------------------------------------- REAL audio codec
+  // WAV/PCM via the JDK's javax.sound.sampled — like imageio, no external
+  // deps, and header parsing needs no audio device (headless-safe).
+
+  /** REAL WAV decode: bytes → (sample rate, channels, frame count, RMS
+    * amplitude). 16-bit little-endian PCM payload; RMS accumulates the
+    * SQUARED samples as exact Longs (≤ 2^53 for any realistic clip), so
+    * the final sqrt is the only float op — deterministic everywhere. None
+    * for undecodable payloads (skip-not-crash, as decodeImageMeta).
+    */
+  def decodeWavMeta(content: Array[Byte]): Option[(Int, Int, Long, Double)] = {
+    if (content == null || content.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+      else {
+        val bytes = ais.readAllBytes()
+        val frameBytes = 2 * fmt.getChannels
+        val n = bytes.length / frameBytes
+        var sumSq = 0L
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val s = ((bytes(i + 1) << 8) | (bytes(i) & 0xFF)).toShort.toLong
+          sumSq += s * s
+          i += 2
+        }
+        val samples = bytes.length / 2
+        val rms = if (samples == 0) 0.0
+          else math.sqrt(sumSq.toDouble / samples)
+        Some((fmt.getSampleRate.toInt, fmt.getChannels, n.toLong, rms))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL WAV encode: mono 16-bit PCM square wave alternating ±amplitude —
+    * RMS is exactly |amplitude|, the arithmetic the q85 oracle recomputes.
+    */
+  def encodeWavPcm16(nSamples: Int, sampleRate: Int, amplitude: Short): Array[Byte] = {
+    require(nSamples > 0 && sampleRate > 0,
+      s"bad wav spec: $nSamples samples at $sampleRate Hz")
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v: Int = if (i % 2 == 0) amplitude else -amplitude
+      data(2 * i) = (v & 0xFF).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Deterministic WAV synthesis: (media_id, n_samples, sample_rate, amp) →
+    * (media_id, content BINARY) — the encode side of the q85 roundtrip. */
+  def synthesizeWav(spec: DataFrame): DataFrame = {
+    val spark = spec.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType)))
+    val rdd = spec
+      .select(col("media_id"), col("n_samples"), col("sample_rate"), col("amp"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0),
+            encodeWavPcm16(r.getInt(1), r.getInt(2), r.getInt(3).toShort))
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Real-decode stage for audio rows: (media_id, sample_rate, channels,
+    * n_frames, rms). Undecodable rows skipped; batched mapPartitions,
+    * binaries never shuffle. */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("rms", DoubleType)))
+    val rdd = media.select(col("media_id"), col("content")).rdd
+      .mapPartitions { rows =>
+        rows.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.flatMap { r =>
+            decodeWavMeta(r.getAs[Array[Byte]](1)).map {
+              case (rate, ch, n, rms) => Row(r.getLong(0), rate, ch, n, rms)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   // ------------------------------------------------------------------ STUBS
-  // A real build links an audio/video codec here. The fakes are
-  // deterministic functions of the bytes so tests and oracles are stable.
+  // A real build links a video codec here (no container demux in the JDK).
+  // The fakes are deterministic functions of the bytes so tests and
+  // oracles are stable.
 
   /** STUB decoder (audio/video, and the fallback for non-decodable image
     * bytes): "decodes" to a 16-bin byte histogram normalized to [0,1]. */

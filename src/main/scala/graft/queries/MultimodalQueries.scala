@@ -92,6 +92,21 @@ object MultimodalQueries {
           Multimodal.resizeImages(Multimodal.synthesizePng(spec), 1, 2))
         .select(col("media_id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
+
+    // REAL audio codec roundtrip (javax.sound.sampled): synthesize a mono
+    // 16-bit PCM square wave per document, decode the BYTES back. A ±amp
+    // square wave's RMS is exactly |amp| (integer square sums, one sqrt),
+    // so the oracle recomputes every output arithmetically.
+    "q85_audio_decode" -> ((s, d) => {
+      val spec = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        (col("n_chars") % 1000 + 100).cast("int").as("n_samples"),
+        lit(8000).cast("int").as("sample_rate"),
+        (col("doc_id") % 1000 + 1).cast("int").as("amp"))
+      Multimodal.decodeAudio(Multimodal.synthesizeWav(spec))
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), round(col("rms"), 6).as("rms"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -120,6 +135,14 @@ object MultimodalQueries {
         |       CAST(doc_id % 256 AS DOUBLE) AS mean_r,
         |       CAST(doc_id * 7 % 256 AS DOUBLE) AS mean_g,
         |       CAST(doc_id * 13 % 256 AS DOUBLE) AS mean_b
+        |FROM documents""".stripMargin,
+
+    "q85_audio_decode" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(8000 AS INT) AS sample_rate,
+        |       CAST(1 AS INT) AS channels,
+        |       CAST(n_chars % 1000 + 100 AS BIGINT) AS n_frames,
+        |       round(CAST(doc_id % 1000 + 1 AS DOUBLE), 6) AS rms
         |FROM documents""".stripMargin,
 
     // halved dims via integer division (src dims are >= 8 so the max(1, .)

@@ -113,6 +113,15 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resizeImagePng("junk".getBytes, 2, 2).isEmpty)
   }
 
+  test("wav roundtrip: square wave decodes to exact rate/frames/rms") {
+    val bytes = Multimodal.encodeWavPcm16(10, 8000, 300)
+    val Some((rate, ch, n, rms)) = Multimodal.decodeWavMeta(bytes)
+    assert((rate, ch, n) == ((8000, 1, 10L)))
+    assert(rms == 300.0, s"square wave rms must be exactly amp, got $rms")
+    // garbage -> None (skip, not crash)
+    assert(Multimodal.decodeWavMeta("not audio".getBytes).isEmpty)
+  }
+
   test("sampleFrames: only video, stride windows, last frame short") {
     val frames = Multimodal.sampleFrames(mediaDf, 32, 2)
       .select(col("media_id"), col("frame_idx"), length(col("frame")))
