@@ -95,17 +95,21 @@ object EventTime {
   def funnel(ev: DataFrame, userCol: String, typeCol: String, tsCol: String,
       steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // narrow AND rename up front: internal names can never collide with
+    // caller columns (a caller-owned "_t" would make the join ambiguous)
+    val e = ev.select(col(userCol).as("_u"), col(typeCol).as("_k"),
+      col(tsCol).as("_ts"))
     var prev: DataFrame = null
     val stages = steps.zipWithIndex.map { case (st, i) =>
       val cur =
         if (i == 0)
-          ev.filter(col(typeCol) === st)
-            .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+          e.filter(col("_k") === st)
+            .groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
         else
-          ev.filter(col(typeCol) === st)
-            .join(prev.select(col(userCol), col("_t").as("_pt")), Seq(userCol))
-            .filter(col(tsCol) > col("_pt"))
-            .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+          e.filter(col("_k") === st)
+            .join(prev.select(col("_u"), col("_t").as("_pt")), Seq("_u"))
+            .filter(col("_ts") > col("_pt"))
+            .groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
       prev = cur
       cur.agg(count(lit(1)).cast("long").as("n_users"))
         .select(lit((i + 1).toLong).as("step"), lit(st).as("stage"),

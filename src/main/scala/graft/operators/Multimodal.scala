@@ -41,6 +41,21 @@ object Multimodal {
     * executor memory for big payloads. */
   val DecodeBatchSize = 64
 
+  /** The one batched codec-stage shape every decode/encode/resize stage
+    * shares: project the needed columns, mapPartitions, hand the codec
+    * `DecodeBatchSize` rows at a time (one codec invocation per batch in a
+    * real implementation), 0-or-more output rows per input row. Binaries
+    * never shuffle — the stage is purely row-local.
+    */
+  private def batchedStage(df: DataFrame, inCols: Seq[String],
+      outSchema: StructType)(f: Row => IterableOnce[Row]): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(inCols.map(col): _*).rdd.mapPartitions { rows =>
+      rows.grouped(DecodeBatchSize).flatMap(_.flatMap(f))
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   // ------------------------------------------------------- REAL image codec
   // The image kind uses the JDK's javax.imageio (PNG/JPEG/BMP/GIF — no
   // external deps). Audio/video remain stubbed: no codec libraries exist in
@@ -104,58 +119,64 @@ object Multimodal {
     * oracle in this repo depends on). None on non-decodable payloads,
     * mirroring decodeImageMeta's skip-not-crash contract.
     */
+  private def resampleToPng(img: java.awt.image.BufferedImage,
+      dstW: Int, dstH: Int): Array[Byte] = {
+    val out = new java.awt.image.BufferedImage(
+      dstW, dstH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < dstH) {
+      val sy = (y.toLong * img.getHeight / dstH).toInt
+      var x = 0
+      while (x < dstW) {
+        val sx = (x.toLong * img.getWidth / dstW).toInt
+        out.setRGB(x, y, img.getRGB(sx, sy))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
   def resizeImagePng(content: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
     require(dstW > 0 && dstH > 0, s"bad target ${dstW}x$dstH")
     if (content == null || content.isEmpty) return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) None else Some(resampleToPng(img, dstW, dstH))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Ratio resize with ONE decode: target dims come from the already-
+    * decoded image (no separate decodeImageMeta pass, whose mean scan
+    * would be discarded anyway). */
+  private def resizeImageByRatio(content: Array[Byte], num: Int,
+      den: Int): Option[Array[Byte]] = {
+    if (content == null || content.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
       if (img == null) None
-      else {
-        val out = new java.awt.image.BufferedImage(
-          dstW, dstH, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < dstH) {
-          val sy = (y.toLong * img.getHeight / dstH).toInt
-          var x = 0
-          while (x < dstW) {
-            val sx = (x.toLong * img.getWidth / dstW).toInt
-            out.setRGB(x, y, img.getRGB(sx, sy))
-            x += 1
-          }
-          y += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, "png", bos)
-        Some(bos.toByteArray)
-      }
+      else Some(resampleToPng(img,
+        math.max(1, (img.getWidth.toLong * num / den).toInt),
+        math.max(1, (img.getHeight.toLong * num / den).toInt)))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Batched REAL resize for image payloads: each image is rescaled to
-    * (max(1, w·num/den), max(1, h·num/den)) of its own decoded dimensions.
-    * Same mapPartitions/batch shape as decodeImages; non-decodable rows
-    * are skipped. Binaries stay row-local — nothing shuffles.
+    * (max(1, w·num/den), max(1, h·num/den)) of its own decoded dimensions —
+    * one decode per row. Same mapPartitions/batch shape as decodeImages;
+    * non-decodable rows are skipped. Binaries stay row-local — nothing
+    * shuffles.
     */
   def resizeImages(media: DataFrame, num: Int, den: Int): DataFrame = {
     require(num > 0 && den > 0, s"bad ratio $num/$den")
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
+    batchedStage(media, Seq("media_id", "content"), StructType(Seq(
       StructField("media_id", LongType),
-      StructField("content", BinaryType)))
-    val rdd = media.select(col("media_id"), col("content")).rdd
-      .mapPartitions { rows =>
-        rows.grouped(DecodeBatchSize).flatMap { batch =>
-          batch.flatMap { r =>
-            val content = r.getAs[Array[Byte]](1)
-            decodeImageMeta(content).flatMap { case (w, h, _, _, _) =>
-              resizeImagePng(content,
-                math.max(1, (w.toLong * num / den).toInt),
-                math.max(1, (h.toLong * num / den).toInt))
-            }.map(bytes => Row(r.getLong(0), bytes))
-          }
-        }
-      }
-    spark.createDataFrame(rdd, outSchema)
+      StructField("content", BinaryType)))) { r =>
+      resizeImageByRatio(r.getAs[Array[Byte]](1), num, den)
+        .map(bytes => Row(r.getLong(0), bytes))
+    }
   }
 
   // ------------------------------------------------------- REAL audio codec
@@ -220,52 +241,35 @@ object Multimodal {
 
   /** Deterministic WAV synthesis: (media_id, n_samples, sample_rate, amp) →
     * (media_id, content BINARY) — the encode side of the q85 roundtrip. */
-  def synthesizeWav(spec: DataFrame): DataFrame = {
-    val spark = spec.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType),
-      StructField("content", BinaryType)))
-    val rdd = spec
-      .select(col("media_id"), col("n_samples"), col("sample_rate"), col("amp"))
-      .rdd.mapPartitions { rows =>
-        rows.map { r =>
-          Row(r.getLong(0),
-            encodeWavPcm16(r.getInt(1), r.getInt(2), r.getInt(3).toShort))
-        }
-      }
-    spark.createDataFrame(rdd, outSchema)
-  }
+  def synthesizeWav(spec: DataFrame): DataFrame =
+    batchedStage(spec, Seq("media_id", "n_samples", "sample_rate", "amp"),
+      StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("content", BinaryType)))) { r =>
+      Some(Row(r.getLong(0),
+        encodeWavPcm16(r.getInt(1), r.getInt(2), r.getInt(3).toShort)))
+    }
 
   /** Real-decode stage for audio rows: (media_id, sample_rate, channels,
-    * n_frames, rms). Undecodable rows skipped; batched mapPartitions,
-    * binaries never shuffle. */
-  def decodeAudio(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
+    * n_frames, rms). Undecodable rows skipped. */
+  def decodeAudio(media: DataFrame): DataFrame =
+    batchedStage(media, Seq("media_id", "content"), StructType(Seq(
       StructField("media_id", LongType),
       StructField("sample_rate", IntegerType),
       StructField("channels", IntegerType),
       StructField("n_frames", LongType),
-      StructField("rms", DoubleType)))
-    val rdd = media.select(col("media_id"), col("content")).rdd
-      .mapPartitions { rows =>
-        rows.grouped(DecodeBatchSize).flatMap { batch =>
-          batch.flatMap { r =>
-            decodeWavMeta(r.getAs[Array[Byte]](1)).map {
-              case (rate, ch, n, rms) => Row(r.getLong(0), rate, ch, n, rms)
-            }
-          }
-        }
+      StructField("rms", DoubleType)))) { r =>
+      decodeWavMeta(r.getAs[Array[Byte]](1)).map {
+        case (rate, ch, n, rms) => Row(r.getLong(0), rate, ch, n, rms)
       }
-    spark.createDataFrame(rdd, outSchema)
-  }
+    }
 
   // ------------------------------------------------------------------ STUBS
   // A real build links a video codec here (no container demux in the JDK).
   // The fakes are deterministic functions of the bytes so tests and
   // oracles are stable.
 
-  /** STUB decoder (audio/video, and the fallback for non-decodable image
+  /** STUB decoder (video, and the fallback for non-decodable image/audio
     * bytes): "decodes" to a 16-bin byte histogram normalized to [0,1]. */
   private[operators] def decodeToFeaturesStub(content: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
@@ -288,83 +292,63 @@ object Multimodal {
   // ------------------------------------------------------------ the stages
 
   /** Batched decode/feature-extract: binary → ARRAY<FLOAT> feature vector.
-    * mapPartitions + grouped(DecodeBatchSize) gives the codec a batch of
-    * payloads per call (the real-world shape for GPU/native decoders).
+    * 16 dims for every kind so the schema contract is kind-independent.
     *
-    * Image-kind rows decode for REAL (javax.imageio): features =
-    * [width, height, meanR/255, meanG/255, meanB/255, 0...] (16 dims, same
-    * width as the stub histogram so the schema contract is kind-independent).
-    * Non-decodable image bytes and the audio/video kinds take the stub.
+    * Image rows decode for REAL (javax.imageio): [w, h, meanR/255,
+    * meanG/255, meanB/255, 0...]. Audio rows decode for REAL
+    * (javax.sound.sampled): [rate, channels, frames, rms/32768, 0...].
+    * Video rows and undecodable payloads take the histogram stub.
     */
-  def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
+  def extractFeatures(media: DataFrame): DataFrame =
+    batchedStage(media, Seq("media_id", "kind", "content"), StructType(Seq(
       StructField("media_id", LongType),
-      StructField("features", ArrayType(FloatType, containsNull = false))))
-    val rdd = media.select(col("media_id"), col("kind"), col("content")).rdd
-      .mapPartitions { rows =>
-        rows.grouped(DecodeBatchSize).flatMap { batch =>
-          // one codec invocation per batch in a real implementation
-          batch.map { r =>
-            val content = r.getAs[Array[Byte]](2)
-            val feats = (if (r.getString(1) == "image") decodeImageMeta(content)
-                         else None) match {
-              case Some((w, h, mr, mg, mb)) =>
-                Array[Float](w.toFloat, h.toFloat, (mr / 255.0).toFloat,
-                  (mg / 255.0).toFloat, (mb / 255.0).toFloat,
-                  0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
-              case None => decodeToFeaturesStub(content)
-            }
-            Row(r.getLong(0), feats.toSeq)
-          }
-        }
+      StructField("features", ArrayType(FloatType, containsNull = false))))) { r =>
+      val content = r.getAs[Array[Byte]](2)
+      val feats = r.getString(1) match {
+        case "image" => decodeImageMeta(content).map {
+          case (w, h, mr, mg, mb) =>
+            Array[Float](w.toFloat, h.toFloat, (mr / 255.0).toFloat,
+              (mg / 255.0).toFloat, (mb / 255.0).toFloat,
+              0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+        }.getOrElse(decodeToFeaturesStub(content))
+        case "audio" => decodeWavMeta(content).map {
+          case (rate, ch, n, rms) =>
+            Array[Float](rate.toFloat, ch.toFloat, n.toFloat,
+              (rms / 32768.0).toFloat,
+              0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+        }.getOrElse(decodeToFeaturesStub(content))
+        case _ => decodeToFeaturesStub(content)
       }
-    spark.createDataFrame(rdd, outSchema)
-  }
+      Some(Row(r.getLong(0), feats.toSeq))
+    }
 
   /** Real-decode stage: image rows → (media_id, width, height, mean R/G/B).
     * Non-decodable rows are skipped (logged downstream via count deltas).
-    * Row-local mapPartitions — binaries never shuffle.
     */
-  def decodeImages(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
+  def decodeImages(media: DataFrame): DataFrame =
+    batchedStage(media, Seq("media_id", "content"), StructType(Seq(
       StructField("media_id", LongType),
       StructField("width", IntegerType),
       StructField("height", IntegerType),
       StructField("mean_r", DoubleType),
       StructField("mean_g", DoubleType),
-      StructField("mean_b", DoubleType)))
-    val rdd = media.select(col("media_id"), col("content")).rdd
-      .mapPartitions { rows =>
-        rows.grouped(DecodeBatchSize).flatMap { batch =>
-          batch.flatMap { r =>
-            decodeImageMeta(r.getAs[Array[Byte]](1)).map {
-              case (w, h, mr, mg, mb) => Row(r.getLong(0), w, h, mr, mg, mb)
-            }
-          }
-        }
+      StructField("mean_b", DoubleType)))) { r =>
+      decodeImageMeta(r.getAs[Array[Byte]](1)).map {
+        case (w, h, mr, mg, mb) => Row(r.getLong(0), w, h, mr, mg, mb)
       }
-    spark.createDataFrame(rdd, outSchema)
-  }
+    }
 
   /** Deterministic PNG synthesis: (media_id, width, height, rgb) →
     * (media_id, content BINARY). The encode side of the q61 roundtrip proof;
     * also how tests materialize real image bytes without fixture files.
     */
-  def synthesizePng(spec: DataFrame): DataFrame = {
-    val spark = spec.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType),
-      StructField("content", BinaryType)))
-    val rdd = spec.select(col("media_id"), col("width"), col("height"), col("rgb"))
-      .rdd.mapPartitions { rows =>
-        rows.map { r =>
-          Row(r.getLong(0), encodePng(r.getInt(1), r.getInt(2), r.getInt(3)))
-        }
-      }
-    spark.createDataFrame(rdd, outSchema)
-  }
+  def synthesizePng(spec: DataFrame): DataFrame =
+    batchedStage(spec, Seq("media_id", "width", "height", "rgb"),
+      StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("content", BinaryType)))) { r =>
+      Some(Row(r.getLong(0), encodePng(r.getInt(1), r.getInt(2), r.getInt(3))))
+    }
 
   /** Resize stage: content + meta rewritten, schema preserved. */
   def resize(media: DataFrame, scale: Double): DataFrame = {

@@ -55,22 +55,27 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImageMeta(Array.emptyByteArray).isEmpty)
   }
 
-  test("extractFeatures: image kind takes the real decoder, others the stub") {
+  test("extractFeatures: image/audio kinds take the real decoders, video the stub") {
     val png = Multimodal.encodePng(4, 2, 0x406080)
+    val wav = Multimodal.encodeWavPcm16(12, 16000, 1024)
     val df = Seq(
-      (10L, "image", png),              // real decode
-      (11L, "audio", png),              // audio kind: stub even for PNG bytes
-      (12L, "image", "junk".getBytes)   // undecodable image: stub fallback
+      (10L, "image", png),              // real image decode
+      (11L, "audio", wav),              // real WAV decode
+      (12L, "image", "junk".getBytes),  // undecodable image: stub fallback
+      (13L, "audio", png),              // non-WAV audio bytes: stub fallback
+      (14L, "video", wav)               // video kind: always the stub
     ).toDF("media_id", "kind", "content")
     val f = Multimodal.extractFeatures(df)
       .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
     assert(f(10L).take(5) == Seq(4f, 2f, (0x40 / 255.0).toFloat,
       (0x60 / 255.0).toFloat, (0x80 / 255.0).toFloat), s"got ${f(10L)}")
     assert(f(10L).drop(5).forall(_ == 0f))
-    // histogram (sum ~1 within float rounding of JDK-dependent PNG bytes),
-    // not dims
-    assert(math.abs(f(11L).sum - 1.0f) <= 1e-5f && f(11L)(0) != 4f)
+    assert(f(11L).take(4) == Seq(16000f, 1f, 12f, (1024 / 32768.0).toFloat),
+      s"got ${f(11L)}")
     assert(f(12L).sum == 1.0f)                    // fallback histogram
+    // histogram (sum ~1 within float rounding), not audio/dim features
+    assert(math.abs(f(13L).sum - 1.0f) <= 1e-5f && f(13L)(0) != 16000f)
+    assert(math.abs(f(14L).sum - 1.0f) <= 1e-5f && f(14L)(0) != 16000f)
     assert(f.values.forall(_.length == 16))
   }
 
