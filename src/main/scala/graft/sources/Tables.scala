@@ -47,4 +47,19 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** SQL-first entry point: register every fixture table as a temp view
+    * (events through its nanos-safe loader) plus graft's native SQL
+    * functions, so the full engine is reachable from `spark.sql(...)`
+    * alone — the catalog mirror of the DataFrame loaders above. Views are
+    * lazy: registration reads schemas only, scans still prune/push down.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { n =>
+      table(spark, dir, n).createOrReplaceTempView(n)
+    }
+    events(spark, dir).createOrReplaceTempView("events")
+  }
 }
