@@ -351,24 +351,38 @@ object Multimodal {
     }
 
   /** Resize stage: content + meta rewritten, schema preserved. */
-  def resize(media: DataFrame, scale: Double): DataFrame = {
-    val spark = media.sparkSession
-    val rdd = media.select(col("media_id"), col("kind"), col("content"), col("meta"))
-      .rdd.mapPartitions { rows =>
-        rows.map { r =>
-          val meta = r.getStruct(3)
-          val newMeta =
-            if (meta == null) null
-            else Row(meta.get(0),
-              Option(meta.get(1)).map(w => (w.asInstanceOf[Int] * scale).toInt).orNull,
-              Option(meta.get(2)).map(h => (h.asInstanceOf[Int] * scale).toInt).orNull,
-              meta.get(3), meta.get(4))
-          Row(r.getLong(0), r.getString(1),
-            resizeStub(r.getAs[Array[Byte]](2), scale * scale), newMeta)
-        }
-      }
-    spark.createDataFrame(rdd, MediaSchema)
+  /** Decodable image content resamples for REAL (one decode, dims from the
+    * decoded frame); everything else — audio/video kinds and undecodable
+    * image bytes — keeps the stub truncation, so the stage stays total
+    * over any media mix. */
+  private def resizeContent(kind: String, content: Array[Byte],
+      scale: Double): Array[Byte] = {
+    val real =
+      if (kind != "image" || content == null || content.isEmpty) None
+      else try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(content))
+        if (img == null) None
+        else Some(resampleToPng(img,
+          math.max(1, (img.getWidth * scale).toInt),
+          math.max(1, (img.getHeight * scale).toInt)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    real.getOrElse(resizeStub(content, scale * scale))
   }
+
+  def resize(media: DataFrame, scale: Double): DataFrame =
+    batchedStage(media, Seq("media_id", "kind", "content", "meta"),
+      MediaSchema) { r =>
+      val meta = r.getStruct(3)
+      val newMeta =
+        if (meta == null) null
+        else Row(meta.get(0),
+          Option(meta.get(1)).map(w => (w.asInstanceOf[Int] * scale).toInt).orNull,
+          Option(meta.get(2)).map(h => (h.asInstanceOf[Int] * scale).toInt).orNull,
+          meta.get(3), meta.get(4))
+      Some(Row(r.getLong(0), r.getString(1),
+        resizeContent(r.getString(1), r.getAs[Array[Byte]](2), scale), newMeta))
+    }
 
   /** Frame sampling for video-kind rows: every `stride`-th fixed-size byte
     * window becomes one frame row (real impl: container demux + keyframe

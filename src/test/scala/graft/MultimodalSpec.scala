@@ -37,9 +37,21 @@ class MultimodalSpec extends SparkSpec {
       .select(col("media_id"), length(col("content")),
         col("meta.width"), col("meta.height"))
       .as[(Long, Int, Int, Int)].collect().map(t => t._1 -> t).toMap
-    assert(r(1L) == ((1L, 2, 50, 25)))   // 8 bytes * 0.25 = 2
+    assert(r(1L) == ((1L, 2, 50, 25)))   // undecodable image bytes: stub
     assert(r(2L) == ((2L, 17, 50, 25)))  // 70 * 0.25 = 17
     assert(r(3L)._2 == 0)                // empty content stays empty
+
+    // a DECODABLE image resamples for real: content re-decodes to halved
+    // dims with the fill intact (not a truncated byte prefix)
+    val png = Seq((9L, "image", Multimodal.encodePng(8, 6, 0x112233)))
+      .toDF("media_id", "kind", "content")
+      .withColumn("meta", struct(lit("png").as("format"), lit(8).as("width"),
+        lit(6).as("height"), lit(0).as("sample_rate"), lit(0L).as("duration_ms")))
+    val out = Multimodal.resize(png, 0.5)
+      .select("content").as[Array[Byte]].head()
+    val Some((w, h, mr, mg, mb)) = Multimodal.decodeImageMeta(out)
+    assert((w, h) == ((4, 3)), s"real resample dims: ${w}x$h")
+    assert((mr, mg, mb) == ((0x11.toDouble, 0x22.toDouble, 0x33.toDouble)))
   }
 
   test("real image decode: PNG roundtrip recovers dims and exact fill") {
