@@ -42,6 +42,26 @@ object WindowQueries {
       EventTime.funnel(Tables.events(s, d), "user_id", "event_type", "ts",
         Seq("signup", "view", "click", "purchase"))),
 
+    // Conversion latency: first signup -> first subsequent purchase, delta
+    // as exact microsecond BIGINTs; percentiles via the q41 recipe
+    // (Spark percentile == DuckDB quantile_cont on exact ints, round 4).
+    "q86_conversion_latency" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "purchase")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id"), col("t1")).agg(min(col("ts")).as("t2"))
+      s2.select((unix_micros(col("t2")) - unix_micros(col("t1"))).as("d_us"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(d_us, 0.5)"), 4).as("med_us"),
+          round(expr("percentile(d_us, 0.9)"), 4).as("p90_us"),
+          min(col("d_us")).as("min_us"),
+          max(col("d_us")).as("max_us"))
+    }),
+
     // Semi-structured: JSON path extraction (string + typed) from
     // events.props, then an aggregation over the extracted field.
     "q49_json_extract" -> ((s, d) =>
@@ -84,6 +104,24 @@ object WindowQueries {
           col("n_events"), col("sum_value"))))
 
   val oracles: Map[String, String] = Map(
+    "q86_conversion_latency" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, s1.t1, min(e.ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1, 2
+        |), d AS (
+        |  SELECT epoch_us(t2) - epoch_us(t1) AS d_us FROM s2
+        |)
+        |SELECT count(*) AS n_converted,
+        |       round(quantile_cont(d_us, 0.5), 4) AS med_us,
+        |       round(quantile_cont(d_us, 0.9), 4) AS p90_us,
+        |       CAST(min(d_us) AS BIGINT) AS min_us,
+        |       CAST(max(d_us) AS BIGINT) AS max_us
+        |FROM d""".stripMargin,
+
     "q83_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t FROM events
