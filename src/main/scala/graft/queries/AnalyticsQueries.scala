@@ -133,6 +133,20 @@ object AnalyticsQueries {
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"))),
 
+    // Co-occurrence mining (market-basket): part pairs ordered together in
+    // >= 2 orders. The self-join is keyed on the ORDER (bounded fan-out:
+    // pairs per order are quadratic in the small per-order item count,
+    // never in the corpus), then one (p1, p2) hash aggregate.
+    "q87_cooccurrence" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val a = li.select(col("ok"), col("l_partkey").as("p1"))
+      val b = li.select(col("ok"), col("l_partkey").as("p2"))
+      a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+    }),
+
     // Sketch aggregates (HLL distinct, t-digest percentile): approximate by
     // design, so no hash oracle — driver rows-only; bounds asserted in
     // AnalyticsSpec.
@@ -405,6 +419,13 @@ object AnalyticsQueries {
         |       min(o_totalprice) AS min_price,
         |       max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q87_cooccurrence" ->
+      """SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin,
 
     "q59_conditional_agg" ->
       """SELECT o_orderstatus,
