@@ -126,7 +126,14 @@ class IngestPipeline(
     val dest = versionPath(v, name)
     val withPart = tw.df.withColumn("_part", partOf(col(tw.keyCol)))
     val prevDir = new java.io.File(versionPath(prevV, name))
-    val prevPartitioned = prevV >= 0 && prevDir.isDirectory &&
+    // Hard-linking a previous partition is only sound if the previous
+    // version was laid out with the SAME partition count — a deployment
+    // that changes NumStateParts would otherwise silently mix old-layout
+    // links with new-layout rewrites (duplicated/misplaced rows). The
+    // count is recorded per version in a PARTS file; absent or different
+    // ⇒ fall back to a full rewrite.
+    val prevPartitioned = prevV >= 0 && readPartsMeta(prevV) == NumStateParts &&
+      prevDir.isDirectory &&
       Option(prevDir.list()).exists(_.exists(_.startsWith("_part=")))
     tw.changed match {
       case Some(parts) if prevPartitioned =>
@@ -156,9 +163,19 @@ class IngestPipeline(
     }
   }
 
+  /** Partition-count metadata for version `v` (-1 = unrecorded). */
+  private def readPartsMeta(v: Long): Int = {
+    val p = Paths.get(s"$stateDir/v$v/PARTS")
+    if (Files.exists(p)) Files.readString(p).trim.toInt else -1
+  }
+
   private def persist(prevV: Long, v: Long, batchId: Long,
       tables: Map[String, TableWrite]): Unit = {
     tables.foreach { case (name, tw) => writeTable(prevV, v, name, tw) }
+    // record the layout BEFORE the pointer swap so a version is never
+    // CURRENT without its partition-count metadata
+    Files.createDirectories(Paths.get(s"$stateDir/v$v"))
+    Files.writeString(Paths.get(s"$stateDir/v$v/PARTS"), NumStateParts.toString)
     writePointer(v, batchId)
   }
 
