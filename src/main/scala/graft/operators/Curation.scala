@@ -192,4 +192,43 @@ object Curation {
         round(sqrt(col("n_tokens")) / sqrt(col("_max_tokens")), 6)
           .as("rel_weight"))
   }
+
+  /** Robust per-group outlier detection via the median/MAD rule — the
+    * numeric-field quality filter of a curation pipeline (trim corrupted
+    * prices/durations before training-statistics are computed), done in
+    * EXACT integer arithmetic so no float threshold can drift between
+    * engines or cluster sizes.
+    *
+    * `cents` must be an integral-valued column (scale fixed-point values
+    * up front, e.g. `round(price*100).cast("long")`). Interpolated medians
+    * over integers are always midpoints, so DOUBLED medians are exactly
+    * integral: with m2 = 2*median(x) and d2 = |2x - m2| (= 2*|x - median|),
+    * MAD satisfies m4 = 2*median(d2) = 4*MAD. The outlier rule
+    * |x - median| > k*MAD is evaluated as the BIGINT comparison
+    * 2*d2 > k*m4 — zero floating-point anywhere past the exact-cast
+    * percentiles.
+    *
+    * Scale shape: two grouped exact-percentile aggregates and two
+    * broadcast joins of the tiny per-group stats back onto the rows; the
+    * row relation is scanned, never windowed or sorted globally.
+    */
+  def madOutliers(df: DataFrame, groupCol: Column, cents: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = df.select(groupCol.as("grp"), cents.as("_c"))
+    val med = base.groupBy(col("grp"))
+      .agg((expr("percentile(_c, 0.5)") * 2).cast("long").as("med2"))
+    val dev = base.join(broadcast(med), Seq("grp"))
+      .withColumn("_d2", abs(col("_c") * 2 - col("med2")))
+    val mad = dev.groupBy(col("grp"))
+      .agg((expr("percentile(_d2, 0.5)") * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), Seq("grp"))
+      .groupBy(col("grp"), col("med2"), col("mad4"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("_d2") * 2 > col("mad4") * k, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("grp"), col("n_rows"), col("n_outliers"),
+        col("med2"), col("mad4"))
+  }
 }

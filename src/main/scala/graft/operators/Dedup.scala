@@ -174,4 +174,50 @@ object Dedup {
       .withColumn("group_size", count(lit(1)).over(w))
       .withColumn("is_canonical", col(idCol) === col("canonical_id"))
   }
+
+  /** Span-level exact dedup (the fixed-length exact-substring variant of
+    * Lee et al. 2021, arXiv:2107.06499): split each document into
+    * consecutive `spanTokens`-token spans, keep only the FIRST corpus-wide
+    * occurrence of each distinct span text (first = lexicographically
+    * smallest (doc id, span index) — deterministic under any partitioning),
+    * and reassemble documents from their surviving spans. Finer-grained
+    * than doc-level `exactDedup`: boilerplate repeated ACROSS otherwise
+    * distinct documents is removed once per corpus, which doc-level hashing
+    * can never see. Documents whose spans all lose vanish from the output
+    * (their duplicated content survives in the earlier keeper docs).
+    *
+    * Scale shape: span formation is row-local (slice over the token array —
+    * no shuffle); the first-occurrence choice is ONE hash aggregate keyed
+    * on span text (`min(struct(id, idx))` — partial-aggregated map-side, so
+    * a span duplicated a million times sends one candidate per map task,
+    * not a million rows); reassembly is one aggregate keyed on doc id over
+    * the surviving spans only. No windows over the corpus, no joins.
+    */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    // guard empty docs: sequence(0, -1) would produce a DESCENDING range
+    val spans = toks
+      .withColumn("_spans", when(size(col("_toks")) === 0,
+          array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0),
+            floor((size(col("_toks")) + lit(spanTokens - 1)) / lit(spanTokens))
+              .cast("int") - 1),
+          i => array_join(
+            slice(col("_toks"), i * spanTokens + 1, lit(spanTokens)), " "))))
+      .select(col(idCol), posexplode(col("_spans")).as(Seq("span_idx", "span_text")))
+    val keepers = spans
+      .groupBy(col("span_text"))
+      .agg(min(struct(col(idCol), col("span_idx"))).as("_k"))
+      .select(col("_k")(idCol).as(idCol),
+        col("_k.span_idx").as("span_idx"), col("span_text"))
+    keepers.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("span_idx"), col("span_text")))),
+          s => s("span_text")), " ").as("dedup_text"),
+        count(lit(1)).as("n_spans_kept"))
+  }
 }

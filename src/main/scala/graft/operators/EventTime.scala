@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time windowing operators — tumbling/sliding/session over an
@@ -67,19 +68,6 @@ object EventTime {
       .withColumn("session_end", col("w.end"))
       .drop("w")
 
-  /** Stream-stream interval join: a left row matches right rows with the
-    * same `key` whose event time lies in [leftTs + lowerSec, leftTs +
-    * upperSec]. Both sides get a `delay` watermark, and the join condition
-    * carries the explicit time interval — TOGETHER these let Spark compute
-    * a state-eviction bound on BOTH join buffers (without the interval the
-    * right buffer grows forever; without watermarks outer results never
-    * emit). One shuffle per side, keyed on `key`.
-    *
-    * `joinType` "inner" emits as matches arrive; "leftOuter" additionally
-    * emits (left, null) once the right watermark passes leftTs + upperSec —
-    * i.e. outer results are delayed by design, not lost (asserted in
-    * `StreamingSourcesSpec`). Batch analogue: the q54 binned range join.
-    */
   /** Ordered funnel conversion: how many users performed the steps IN
     * ORDER, each strictly after the previous one. Greedy min-time
     * semantics (deterministic): a user's anchor for step k is their
@@ -118,6 +106,19 @@ object EventTime {
     stages.reduce(_.unionByName(_))
   }
 
+  /** Stream-stream interval join: a left row matches right rows with the
+    * same `key` whose event time lies in [leftTs + lowerSec, leftTs +
+    * upperSec]. Both sides get a `delay` watermark, and the join condition
+    * carries the explicit time interval — TOGETHER these let Spark compute
+    * a state-eviction bound on BOTH join buffers (without the interval the
+    * right buffer grows forever; without watermarks outer results never
+    * emit). One shuffle per side, keyed on `key`.
+    *
+    * `joinType` "inner" emits as matches arrive; "leftOuter" additionally
+    * emits (left, null) once the right watermark passes leftTs + upperSec —
+    * i.e. outer results are delayed by design, not lost (asserted in
+    * `StreamingSourcesSpec`). Batch analogue: the q54 binned range join.
+    */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, lowerSec: Long, upperSec: Long,
       delay: String, joinType: String = "inner"): DataFrame = {
@@ -138,5 +139,45 @@ object EventTime {
       // returning both sides' `key` under the same name makes the join key
       // unusable downstream (AMBIGUOUS_REFERENCE on select/groupBy)
       .drop(col(s"r.$key"))
+  }
+
+  /** Batch gap sessionization via the lag+cumsum idiom: per key, an event
+    * starts a NEW session when it is the key's first event or arrives more
+    * than `gapSec` after the previous one; the running count of
+    * session-start flags is the session sequence number. Same session
+    * semantics as `sessionize` (session_window) but exposes a stable
+    * per-key ordinal `session_seq` and exact microsecond bounds — the form
+    * downstream joins want (session_window's struct key is opaque).
+    *
+    * All times are exact epoch MICROSECONDS (integers end-to-end; no
+    * timestamp formatting or float seconds can drift between engines).
+    * Tied timestamps are flag-safe: a tie never opens a session (gap 0),
+    * and a tie with the key's first event yields the same session ids
+    * whichever row the sort visits first.
+    *
+    * Scale shape: ONE shuffle on the key, then a within-partition sort for
+    * the two stacked window functions (lag, running sum — same frame, one
+    * sort), then a (key, session) hash aggregate. No global sort, state
+    * bounded per key.
+    */
+  def gapSessionize(ev: DataFrame, userCol: String, tsCol: String,
+      gapSec: Long): DataFrame = {
+    require(gapSec > 0, s"gapSec must be positive, got $gapSec")
+    val w = Window.partitionBy(col("_u")).orderBy(col("_us"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lagUs = lag(col("_us"), 1).over(w)
+    ev.select(col(userCol).as("_u"), unix_micros(col(tsCol)).as("_us"))
+      .withColumn("_new",
+        when(lagUs.isNull || col("_us") - lagUs > gapSec * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("_sid", sum(col("_new")).over(run))
+      .groupBy(col("_u"), col("_sid"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("_us")).as("session_start_us"),
+        max(col("_us")).as("session_end_us"))
+      .select(col("_u").as(userCol), col("_sid").as("session_seq"),
+        col("n_events"), col("session_start_us"), col("session_end_us"),
+        (col("session_end_us") - col("session_start_us")).as("duration_us"))
   }
 }

@@ -57,10 +57,15 @@ object Relational {
     * shuffle entirely, at the cost of scanning `big` twice (both scans are
     * codegen'd column-pruned passes; the anti filter against the tiny hot
     * key set is itself broadcast). Use when hotness lives in a bounded
-    * head (Zipf); `hotCount` caps the broadcast at a known size.
+    * head (Zipf); `hotCount` caps the broadcast at `hotCount` KEYS, and
+    * `maxHotRows` bounds the broadcast ROW count (duplicate lookup keys
+    * can multiply rows past what `hotCount` suggests) — the one cheap
+    * count job on the small side fails fast with a clear message instead
+    * of letting the broadcast blow past executor/driver limits at runtime.
     */
   def hotColdJoin(big: DataFrame, lookup: DataFrame, key: String,
-      weightCol: String, hotCount: Int): DataFrame = {
+      weightCol: String, hotCount: Int,
+      maxHotRows: Long = 5000000L): DataFrame = {
     require(hotCount > 0, s"hotCount must be positive, got $hotCount")
     // hotness is decided at KEY granularity (max weight per key), never by
     // a row limit that could cut through a duplicate key's row group and
@@ -70,6 +75,11 @@ object Relational {
       .orderBy(col("_w").desc, col(key).asc).limit(hotCount)
       .select(col(key))
     val hot = lookup.join(broadcast(hotKeys), Seq(key), "left_semi")
+    val hotRows = hot.count()
+    require(hotRows <= maxHotRows,
+      s"hotColdJoin: hot side has $hotRows rows (> maxHotRows=$maxHotRows) " +
+        s"across $hotCount hot keys — duplicate-key blowup; lower hotCount " +
+        "or use saltedJoin for this lookup table")
     val hotSide = big.join(broadcast(hot), Seq(key))
     val coldSide = big.join(broadcast(hotKeys), Seq(key), "left_anti")
       .join(lookup.join(broadcast(hotKeys), Seq(key), "left_anti"), Seq(key))

@@ -61,17 +61,22 @@ object Similarity {
     * Array[Double] vectors of length `dim` (missing indices are 0) — the
     * adapter from sparse feature relations (e.g.
     * `TextAnalysis.hashedFeatures`) into this module's vector contract.
-    * One hash aggregate per id; the per-row map lookup is order-independent
-    * (collect_list order doesn't matter — keys are unique post-aggregation).
+    * Duplicate (id, index) rows are summed first (one extra partial-agg
+    * pass, map-side combined) — without it, map_from_entries would throw
+    * DUPLICATE_MAP_KEY at runtime under Spark's default EXCEPTION dedup
+    * policy. The per-row map lookup is order-independent (collect_list
+    * order doesn't matter — keys are unique post-aggregation).
     * Ids with NO surviving entries (all values cancelled/absent) emit no
     * row, mirroring the sparse relation's own support.
     */
   def assembleDense(sparse: DataFrame, idCol: String, idxCol: String,
       valCol: String, dim: Int): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
-    sparse.groupBy(col(idCol))
+    sparse.groupBy(col(idCol), col(idxCol))
+      .agg(sum(col(valCol)).as("_v"))
+      .groupBy(col(idCol))
       .agg(map_from_entries(
-        collect_list(struct(col(idxCol), col(valCol)))).as("_m"))
+        collect_list(struct(col(idxCol), col("_v")))).as("_m"))
       .select(col(idCol), transform(sequence(lit(0), lit(dim - 1)),
         b => coalesce(element_at(col("_m"), b.cast("long")), lit(0L))
           .cast("double")).as("vec"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Relational}
+import graft.operators.{AsofJoin, Curation, Relational}
 import graft.sources.Tables
 
 /** Relational-analytics breadth (joins, windows, grouping sets, set ops,
@@ -134,18 +134,32 @@ object AnalyticsQueries {
         max(col("o_totalprice")).as("max_price"))),
 
     // Co-occurrence mining (market-basket): part pairs ordered together in
-    // >= 2 orders. The self-join is keyed on the ORDER (bounded fan-out:
-    // pairs per order are quadratic in the small per-order item count,
-    // never in the corpus), then one (p1, p2) hash aggregate.
+    // >= 2 DISTINCT orders. The self-join is keyed on the ORDER (bounded
+    // fan-out: pairs per order are quadratic in the small per-order item
+    // count, never in the corpus), then one (p1, p2) distinct-aggregate —
+    // count_distinct(ok), not count(*), so a part appearing on multiple
+    // lineitems of ONE order can't multiply that order's contribution.
     "q87_cooccurrence" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey"))
       val a = li.select(col("ok"), col("l_partkey").as("p1"))
       val b = li.select(col("ok"), col("l_partkey").as("p2"))
       a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
-        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_orders"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count_distinct(col("ok")).as("n_orders"))
         .filter(col("n_orders") >= 2)
     }),
+
+    // Robust outlier detection (median/MAD rule, k=3) on order totals per
+    // status — exact integer cents throughout, so the threshold comparison
+    // is a BIGINT inequality that cannot drift between engines.
+    "q89_mad_outliers" -> ((s, d) =>
+      Curation.madOutliers(
+        Tables.orders(s, d),
+        col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long"), 3)
+        .select(col("grp").as("o_orderstatus"), col("n_rows"),
+          col("n_outliers"), col("med2"), col("mad4"))),
 
     // Sketch aggregates (HLL distinct, t-digest percentile): approximate by
     // design, so no hash oracle — driver rows-only; bounds asserted in
@@ -421,11 +435,34 @@ object AnalyticsQueries {
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q87_cooccurrence" ->
-      """SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+      """SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |       count(DISTINCT a.l_orderkey) AS n_orders
         |FROM lineitem a JOIN lineitem b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2
-        |HAVING count(*) >= 2""".stripMargin,
+        |HAVING count(DISTINCT a.l_orderkey) >= 2""".stripMargin,
+
+    "q89_mad_outliers" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS grp,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders
+        |), m AS (
+        |  SELECT grp, CAST(2 * quantile_cont(c, 0.5) AS BIGINT) AS med2
+        |  FROM base GROUP BY grp
+        |), dev AS (
+        |  SELECT base.grp, c, med2, abs(2*c - med2) AS d2
+        |  FROM base JOIN m USING (grp)
+        |), md AS (
+        |  SELECT grp, CAST(2 * quantile_cont(d2, 0.5) AS BIGINT) AS mad4
+        |  FROM dev GROUP BY grp
+        |)
+        |SELECT grp AS o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(*) FILTER (2*d2 > 3*mad4) AS BIGINT) AS n_outliers,
+        |       med2, mad4
+        |FROM dev JOIN md USING (grp)
+        |GROUP BY 1, med2, mad4""".stripMargin,
 
     "q59_conditional_agg" ->
       """SELECT o_orderstatus,

@@ -141,7 +141,14 @@ object DedupQueries {
         .withColumn("hamming", Dedup.hamming(col("sim_a"), col("sim_b")))
         .filter(col("hamming") <= 2)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
-    }))
+    }),
+
+    // Span-level exact dedup (Lee et al. 2021 fixed-span variant): every
+    // distinct 10-token span survives exactly once corpus-wide; docs are
+    // reassembled from their surviving spans. Catches cross-document
+    // boilerplate that doc-level hashing (q22) can never see.
+    "q88_span_dedup" -> ((s, d) =>
+      Dedup.spanDedup(Tables.documents(s, d), "doc_id", "text", 10)))
 
   val oracles: Map[String, String] = Map(
     "q22_dedup_exact" ->
@@ -235,5 +242,29 @@ object DedupQueries {
          |SELECT doc_a, doc_b, bit_count(xor(x.simhash, y.simhash)) AS hamming
          |FROM cand JOIN sim x ON cand.doc_a = x.doc_id
          |          JOIN sim y ON cand.doc_b = y.doc_id
-         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2""".stripMargin)
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2""".stripMargin,
+
+    "q88_span_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id,
+        |         unnest([struct_pack(i := i,
+        |                   t := array_to_string(toks[(i*10+1):(i*10+10)], ' '))
+        |                 FOR i IN range(0, (len(toks)+9)//10)]) AS s
+        |  FROM base WHERE len(toks) > 0
+        |), flat AS (
+        |  SELECT doc_id, s.i AS span_idx, s.t AS span_text FROM sp
+        |), ranked AS (
+        |  SELECT doc_id, span_idx, span_text,
+        |         row_number() OVER (PARTITION BY span_text
+        |                            ORDER BY doc_id, span_idx) AS rn
+        |  FROM flat
+        |)
+        |SELECT doc_id,
+        |       string_agg(span_text, ' ' ORDER BY span_idx) AS dedup_text,
+        |       CAST(count(*) AS BIGINT) AS n_spans_kept
+        |FROM ranked WHERE rn = 1 GROUP BY doc_id""".stripMargin)
 }

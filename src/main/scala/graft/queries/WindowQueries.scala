@@ -101,7 +101,13 @@ object WindowQueries {
         .select(col("user_id"),
           date_format(col("session_start"), Ts).as("session_start"),
           date_format(col("session_end"), Ts).as("session_end"),
-          col("n_events"), col("sum_value"))))
+          col("n_events"), col("sum_value"))),
+
+    // Gap sessionization via lag+cumsum (6-hour gap): per-user session
+    // ordinals and exact microsecond bounds — the join-friendly session
+    // form that session_window's opaque struct key can't provide.
+    "q90_gap_sessionize" -> ((s, d) =>
+      EventTime.gapSessionize(Tables.events(s, d), "user_id", "ts", 21600L)))
 
   val oracles: Map[String, String] = Map(
     "q86_conversion_latency" ->
@@ -198,6 +204,29 @@ object WindowQueries {
         |         AS session_end,
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM numbered
+        |GROUP BY user_id, sid""".stripMargin,
+
+    "q90_gap_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events
+        |), marked AS (
+        |  SELECT user_id, us,
+        |         CASE WHEN lag(us) OVER w IS NULL
+        |              OR us - lag(us) OVER w > 21600000000
+        |              THEN 1 ELSE 0 END AS nf
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        |), numbered AS (
+        |  SELECT user_id, us,
+        |         sum(nf) OVER (PARTITION BY user_id ORDER BY us
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_seq,
+        |       count(*) AS n_events,
+        |       min(us) AS session_start_us,
+        |       max(us) AS session_end_us,
+        |       max(us) - min(us) AS duration_us
         |FROM numbered
         |GROUP BY user_id, sid""".stripMargin)
 }

@@ -1,5 +1,8 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, EventTime}
 import graft.queries.AnalyticsQueries
 
 /** Bounds for the approximate (sketch) aggregates that have no hash oracle. */
@@ -33,5 +36,55 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.getLong(0) > 0 && rows.getLong(1) > 0)
     assert(rows.getLong(2) >= 3, s"langs: ${rows.getLong(2)}")
     assert(rows.getDouble(3) > 0.0, s"graft_dot in SQL: ${rows.getDouble(3)}")
+  }
+
+  test("madOutliers: hand-computed median/MAD on a known group") {
+    import spark.implicits._
+    // group g: cents {100, 110, 120, 130, 10000}; median=120, deviations
+    // {20, 10, 0, 10, 9880}, MAD=10 -> only 10000 exceeds med + 3*MAD
+    val df = Seq(("g", 100L), ("g", 110L), ("g", 120L), ("g", 130L),
+      ("g", 10000L)).toDF("grp0", "cents")
+    val r = Curation.madOutliers(df, col("grp0"), col("cents"), 3).head()
+    assert(r.getAs[Long]("med2") == 240L)   // 2 * 120
+    assert(r.getAs[Long]("mad4") == 40L)    // 4 * 10
+    assert(r.getAs[Long]("n_rows") == 5L)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+  }
+
+  test("madOutliers: even-count group uses the interpolated midpoint exactly") {
+    import spark.implicits._
+    // cents {10, 20, 30, 41}: median=25 (midpoint), deviations
+    // {15, 5, 5, 16} -> MAD = (5+15)/2 = 10; threshold |x-25| > 30 -> none
+    val df = Seq(("e", 10L), ("e", 20L), ("e", 30L), ("e", 41L))
+      .toDF("g", "c")
+    val r = Curation.madOutliers(df, col("g"), col("c"), 3).head()
+    assert(r.getAs[Long]("med2") == 50L)
+    assert(r.getAs[Long]("mad4") == 40L)
+    assert(r.getAs[Long]("n_outliers") == 0L)
+  }
+
+  test("gapSessionize: sessions split exactly past the gap, bounds exact") {
+    import spark.implicits._
+    val base = 1700000000000000L // epoch micros
+    val gap = 60L // seconds
+    val rows = Seq(
+      (1L, base),                      // session 1
+      (1L, base + 60000000L),          // +60s exactly: NOT a new session
+      (1L, base + 120000001L),         // +60.000001s after prev: new session
+      (2L, base))                      // separate user
+    val ev = rows.toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val out = EventTime.gapSessionize(ev, "user_id", "ts", gap)
+      .orderBy("user_id", "session_seq").collect()
+    assert(out.length == 3)
+    val s1 = out(0)
+    assert(s1.getAs[Long]("session_seq") == 1L)
+    assert(s1.getAs[Long]("n_events") == 2L)
+    assert(s1.getAs[Long]("duration_us") == 60000000L)
+    val s2 = out(1)
+    assert(s2.getAs[Long]("n_events") == 1L)
+    assert(s2.getAs[Long]("session_start_us") == base + 120000001L)
+    val u2 = out(2)
+    assert(u2.getAs[Long]("user_id") == 2L && u2.getAs[Long]("n_events") == 1L)
   }
 }

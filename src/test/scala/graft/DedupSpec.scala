@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Invariants for span-level exact dedup (q88). */
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("spanDedup: all-unique corpus passes through unchanged") {
+    val in = docs(
+      1L -> "a b c d e f g h i j k l",
+      2L -> "m n o p q r")
+    val out = Dedup.spanDedup(in, "doc_id", "text", 10)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "a b c d e f g h i j k l", 2L), (2L, "m n o p q r", 1L)))
+  }
+
+  test("spanDedup: duplicated span survives only in the earliest doc") {
+    val span = (1 to 10).map(i => s"w$i").mkString(" ")
+    val in = docs(
+      5L -> s"$span unique tail five",
+      3L -> s"$span other tail three",
+      9L -> "completely different words here")
+    val out = Dedup.spanDedup(in, "doc_id", "text", 10).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 3 (smallest id) keeps the shared span; doc 5 keeps only its tail
+    assert(out(3L) == s"$span other tail three")
+    assert(out(5L) == "unique tail five")
+    assert(out(9L) == "completely different words here")
+  }
+
+  test("spanDedup: doc whose every span is a duplicate vanishes") {
+    val span = (1 to 10).map(i => s"x$i").mkString(" ")
+    val in = docs(1L -> span, 2L -> span)
+    val out = Dedup.spanDedup(in, "doc_id", "text", 10).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("spanDedup: empty and whitespace-only docs emit no rows") {
+    val in = docs(1L -> "", 2L -> "   ", 3L -> "real content")
+    val out = Dedup.spanDedup(in, "doc_id", "text", 10).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("spanDedup: corpus-wide span multiset is preserved exactly once each") {
+    val in = docs(
+      1L -> "a b c a b c",
+      2L -> "a b c d e f",
+      3L -> "d e f a b c")
+    val out = Dedup.spanDedup(in, "doc_id", "text", 3)
+    val keptSpans = out
+      .select(explode(split(col("dedup_text"), " ")).as("tok"))
+      .count()
+    // 6 distinct 3-token spans exist across the corpus:
+    // (a b c), (d e f) at two span alignments each — dedup keeps each once
+    val distinctSpans = Seq("a b c", "d e f").size
+    assert(keptSpans == distinctSpans * 3L)
+  }
+}
