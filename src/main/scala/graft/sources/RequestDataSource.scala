@@ -1,0 +1,207 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The wire schema as this source reports it: same fields as
+  * `Schemas.ingestRequest` but NULLABLE — a wire format can always carry a
+  * malformed or partial line, and those surface as null fields for the O2
+  * validation filter. Reporting non-nullable here would be a lie with
+  * teeth: Catalyst constant-folds `IsNotNull` on non-nullable columns to
+  * true (the filter silently vanishes) and whole-stage codegen NPEs on the
+  * first null it was promised could never happen.
+  */
+private[sources] object RequestWire {
+  val schema: StructType = StructType(Seq(
+    StructField("ingestion_id", StringType),
+    StructField("ids", ArrayType(LongType)),
+    StructField("priority", StringType),
+    StructField("created_at", TimestampType)))
+}
+
+/** DataSource V2 provider for the request wire format (JSONL files of
+  * `{ingestion_id, ids, priority, created_at}` — the same layout
+  * `RequestSource.jsonFileStream` tails): `spark.read.format
+  * ("graft-requests").load(dir)`.
+  *
+  * What V2 buys over a plain `spark.read.json`:
+  * - **Column pruning reaches the parser** ([[SupportsPushDownRequiredColumns]]):
+  *   a `select(ingestion_id)` never materializes the ids array — pruned
+  *   fields are skipped at the JSON-node level, not dropped after the fact.
+  * - **Filter pushdown reaches the parser** ([[SupportsPushDownFilters]]):
+  *   `priority = 'HIGH'` (and any string-equality / IsNotNull predicate) is
+  *   evaluated on the raw node BEFORE row materialization; non-matching
+  *   lines never allocate a row. The scan's `description()` advertises the
+  *   pushed set, so `.explain` shows `PushedFilters` exactly like parquet.
+  * - **Partition-per-file parallelism**: one [[InputPartition]] per file —
+  *   the same unit of work a multi-executor cluster schedules; locality is
+  *   the file's (local FS here, so none claimed).
+  *
+  * Scale honesty: file listing happens once on the driver (as in Spark's own
+  * FileIndex); a production deployment would page very large directories.
+  * Malformed JSON lines yield null fields (not exceptions) — the O2
+  * validation filter downstream owns rejection, same contract as the
+  * schema-enforced `spark.read.json` path.
+  *
+  * Reference analogue: the Express ingest edge
+  * (`/root/reference/src/app.js:7-9`) — the wire format this reads is what
+  * that edge would land on storage.
+  */
+class RequestDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-requests"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RequestWire.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new RequestTable(properties.get("path"))
+}
+
+private[sources] class RequestTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-requests($path)"
+  override def schema(): StructType = RequestWire.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RequestScanBuilder(Option(path).getOrElse(options.get("path")))
+}
+
+private[sources] class RequestScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = RequestWire.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept string-equality and IsNotNull predicates on top-level fields —
+    * the ones the line parser can evaluate before materializing a row.
+    * Everything else is returned to Spark for post-scan evaluation.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case EqualTo(attr, _: String) => SchemaFields.contains(attr)
+      case IsNotNull(attr) => SchemaFields.contains(attr)
+      case _ => false
+    }
+    pushed = accepted
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new RequestScan(path, required, pushed)
+
+  private val SchemaFields =
+    RequestWire.schema.fieldNames.toSet
+}
+
+private[sources] class RequestScan(path: String, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-requests $path, ReadSchema: ${required.simpleString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new java.io.File(path)
+    val files =
+      if (dir.isDirectory)
+        dir.listFiles().filter(f => f.isFile && !f.getName.startsWith("."))
+          .map(_.getAbsolutePath).sorted
+      else Array(path)
+    files.map(f => RequestFilePartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RequestReaderFactory(required.fieldNames, pushed)
+}
+
+private[sources] case class RequestFilePartition(file: String) extends InputPartition
+
+private[sources] class RequestReaderFactory(fields: Array[String],
+    pushed: Array[Filter]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new RequestFileReader(p.asInstanceOf[RequestFilePartition].file, fields, pushed)
+}
+
+/** Line-at-a-time JSONL reader: pushed filters gate BEFORE row
+  * materialization; only `fields` are converted to Catalyst form.
+  */
+private[sources] class RequestFileReader(file: String, fields: Array[String],
+    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val lines = java.nio.file.Files.lines(java.nio.file.Paths.get(file))
+  private val it = lines.iterator()
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    row = null
+    while (row == null && it.hasNext) {
+      val line = it.next()
+      if (line.trim.nonEmpty) {
+        val node = try mapper.readTree(line) catch { case _: Exception => null }
+        if (passes(node)) row = materialize(node)
+      }
+    }
+    row != null
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = lines.close()
+
+  private def text(node: JsonNode, field: String): String = {
+    if (node == null) return null
+    val v = node.get(field)
+    if (v == null || v.isNull || !v.isTextual) null else v.asText()
+  }
+
+  /** Evaluate the pushed predicates on the raw JSON node. Null field +
+    * EqualTo is SQL-false (3VL: unknown rows can't satisfy a pushed
+    * conjunct), matching what Spark's own post-filter would do.
+    */
+  private def passes(node: JsonNode): Boolean = pushed.forall {
+    case EqualTo(attr, v: String) => v == text(node, attr)
+    case IsNotNull(attr) =>
+      node != null && node.get(attr) != null && !node.get(attr).isNull
+    case _ => true
+  }
+
+  private def materialize(node: JsonNode): InternalRow =
+    InternalRow.fromSeq(fields.toSeq.map {
+      case "ingestion_id" => UTF8String.fromString(text(node, "ingestion_id"))
+      case "priority" => UTF8String.fromString(text(node, "priority"))
+      case "ids" =>
+        val v = if (node == null) null else node.get("ids")
+        if (v == null || !v.isArray) null
+        else new GenericArrayData(
+          v.elements().asScala.map(_.asLong()).toArray)
+      case "created_at" =>
+        val s = text(node, "created_at")
+        if (s == null) null
+        else try {
+          val inst = java.time.Instant.parse(s)
+          inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+        } catch { case _: Exception => null }
+      case other =>
+        throw new IllegalArgumentException(s"unknown field $other")
+    })
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** The V2 request source: parity with schema-enforced JSON, pruning and
+  * pushdown visible in the physical plan, malformed-line containment.
+  */
+class RequestDataSourceSpec extends SparkSpec {
+
+  private def writeFixture(): String = {
+    val dir = Files.createTempDirectory("graft-dsv2").toFile
+    Files.writeString(new java.io.File(dir, "a.jsonl").toPath,
+      """{"ingestion_id":"A1","ids":[1,2,3],"priority":"HIGH","created_at":"2024-01-01T00:00:00.000Z"}""" + "\n" +
+      """{"ingestion_id":"A2","ids":[4],"priority":"LOW","created_at":"2024-01-01T00:00:01.000Z"}""" + "\n" +
+      "this line is not json\n")
+    Files.writeString(new java.io.File(dir, "b.jsonl").toPath,
+      """{"ingestion_id":"B1","ids":[5,6],"priority":"HIGH","created_at":"2024-01-01T00:00:02.000Z"}""" + "\n" +
+      """{"ingestion_id":"B2","ids":[7],"created_at":"2024-01-01T00:00:03.000Z"}""" + "\n")
+    dir.getAbsolutePath
+  }
+
+  test("reads the wire format with full parity to the schema-enforced json path") {
+    val dir = writeFixture()
+    // both paths surface the malformed line as an all-null row (PERMISSIVE
+    // containment); the O2-style not-null filter drops it identically
+    val v2 = spark.read.format("graft-requests").load(dir)
+      .filter(col("ingestion_id").isNotNull)
+      .orderBy("ingestion_id")
+    val v1 = graft.sources.RequestSource.jsonBatch(spark, dir)
+      .filter(col("ingestion_id").isNotNull)
+      .orderBy("ingestion_id")
+    val a = v2.collect().map(_.toSeq)
+    val b = v1.collect().map(_.toSeq)
+    assert(a.length == 4)
+    assert(a.toSeq == b.toSeq,
+      s"V2 rows ${a.toSeq} differ from JSON-source rows ${b.toSeq}")
+  }
+
+  test("string-equality filter is pushed into the scan and answers correctly") {
+    val dir = writeFixture()
+    val q = spark.read.format("graft-requests").load(dir)
+      .filter(col("priority") === "HIGH")
+      .select(col("ingestion_id"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [EqualTo(priority,HIGH)") ||
+      plan.contains("PushedFilters: [IsNotNull(priority), EqualTo(priority,HIGH)"),
+      s"pushdown missing from plan:\n$plan")
+    assert(q.collect().map(_.getString(0)).sorted.toSeq == Seq("A1", "B1"))
+  }
+
+  test("column pruning reaches the scan (ReadSchema excludes unselected fields)") {
+    val dir = writeFixture()
+    val q = spark.read.format("graft-requests").load(dir)
+      .select(col("ingestion_id"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<ingestion_id:string>"),
+      s"pruned schema missing from plan:\n$plan")
+    // 4 parseable lines + the malformed line's all-null row
+    assert(q.count() == 5)
+  }
+
+  test("a row with a missing filtered field is excluded at the parser (SQL 3VL)") {
+    val dir = writeFixture()
+    // B2 has no priority field: EqualTo must not match it, IsNotNull must drop it
+    val n = spark.read.format("graft-requests").load(dir)
+      .filter(col("priority").isNotNull).count()
+    assert(n == 3)
+  }
+}
