@@ -193,12 +193,16 @@ object Dedup {
     * not a million rows); reassembly is one aggregate keyed on doc id over
     * the surviving spans only. No windows over the corpus, no joins.
     */
-  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+  /** The span relation underlying `spanDedup`: one row per consecutive
+    * `spanTokens`-token span, `(id, span_idx, span_text)`. Row-local
+    * (tokenize + slice, no shuffle); shared by dedup and the cross-source
+    * overlap diagnostics.
+    */
+  def spanRelation(docs: DataFrame, idCol: String, textCol: String,
       spanTokens: Int): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
-    val toks = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
-    // guard empty docs: sequence(0, -1) would produce a DESCENDING range
-    val spans = toks
+    docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      // guard empty docs: sequence(0, -1) would produce a DESCENDING range
       .withColumn("_spans", when(size(col("_toks")) === 0,
           array().cast("array<string>"))
         .otherwise(transform(
@@ -208,7 +212,11 @@ object Dedup {
           i => array_join(
             slice(col("_toks"), i * spanTokens + 1, lit(spanTokens)), " "))))
       .select(col(idCol), posexplode(col("_spans")).as(Seq("span_idx", "span_text")))
-    val keepers = spans
+  }
+
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    val keepers = spanRelation(docs, idCol, textCol, spanTokens)
       .groupBy(col("span_text"))
       .agg(min(struct(col(idCol), col("span_idx"))).as("_k"))
       .select(col("_k")(idCol).as(idCol),

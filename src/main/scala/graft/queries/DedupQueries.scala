@@ -148,7 +148,24 @@ object DedupQueries {
     // reassembled from their surviving spans. Catches cross-document
     // boilerplate that doc-level hashing (q22) can never see.
     "q88_span_dedup" -> ((s, d) =>
-      Dedup.spanDedup(Tables.documents(s, d), "doc_id", "text", 10)))
+      Dedup.spanDedup(Tables.documents(s, d), "doc_id", "text", 10)),
+
+    // Cross-source duplication matrix: for each unordered source pair, how
+    // many DISTINCT 10-token spans appear in both — the diagnostic that
+    // tells a curation pipeline which feeds copy from each other (and
+    // therefore which pair a near-dup pass should prioritize). Shuffles on
+    // span text; the pair fan-out is bounded by the (small) source count.
+    "q91_source_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sp = Dedup.spanRelation(docs, "doc_id", "text", 10)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), col("span_text")).distinct()
+      val a = sp.select(col("source").as("src_a"), col("span_text"))
+      val b = sp.select(col("source").as("src_b"), col("span_text"))
+      a.join(b, Seq("span_text")).filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared_spans"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "q22_dedup_exact" ->
@@ -266,5 +283,24 @@ object DedupQueries {
         |SELECT doc_id,
         |       string_agg(span_text, ' ' ORDER BY span_idx) AS dedup_text,
         |       CAST(count(*) AS BIGINT) AS n_spans_kept
-        |FROM ranked WHERE rn = 1 GROUP BY doc_id""".stripMargin)
+        |FROM ranked WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+    "q91_source_overlap" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), sp AS (
+        |  SELECT source,
+        |         unnest([array_to_string(toks[(i*10+1):(i*10+10)], ' ')
+        |                 FOR i IN range(0, (len(toks)+9)//10)]) AS span_text
+        |  FROM base WHERE len(toks) > 0
+        |), d AS (
+        |  SELECT DISTINCT source, span_text FROM sp
+        |)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared_spans
+        |FROM d a JOIN d b
+        |  ON a.span_text = b.span_text AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin)
 }

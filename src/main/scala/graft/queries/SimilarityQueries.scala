@@ -28,6 +28,25 @@ object SimilarityQueries {
       |)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // kNN label agreement: each query vector's exact 1-NN, grouped by the
+    // query's label with the fraction whose neighbor agrees — the standard
+    // embedding-quality / label-noise diagnostic (a label whose members'
+    // neighbors disagree is poorly separated in embedding space). Queries
+    // are an absolute-bounded broadcast subset; the corpus side streams.
+    "q92_knn_label_agreement" -> ((s, d) => {
+      val c = corpus(s, d)
+      val emb = Tables.embeddings(s, d)
+      val nn = Similarity.bruteForceTopK(c.filter(col("vec_id") < 200), c, 1)
+      nn.join(emb.select(col("vec_id").as("query_id"),
+          col("label").as("q_label")), Seq("query_id"))
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label")), Seq("neighbor_id"))
+        .groupBy(col("q_label").as("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L))
+            .as("n_matched"))
+    }),
+
     // Exact ANN baseline: brute-force cosine top-10 for 5 query vectors.
     "q28_cosine_topk" -> ((s, d) => {
       val c = corpus(s, d)
@@ -155,6 +174,24 @@ object SimilarityQueries {
          |SELECT node AS vec_id, min(r) AS cluster_id,
          |       node = min(r) AS is_canonical
          |FROM reach GROUP BY node""".stripMargin,
+    "q92_knn_label_agreement" ->
+      s"""$VCte, nn AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY round(list_dot_product(q.vec, c.vec)
+         |               / (q.nrm * c.nrm), 6) DESC, c.vec_id ASC) AS rank
+         |    FROM n q, n c
+         |    WHERE q.vec_id < 200 AND c.vec_id <> q.vec_id) t
+         |  WHERE rank = 1
+         |)
+         |SELECT e1.label AS label,
+         |       CAST(count(*) AS BIGINT) AS n_queries,
+         |       CAST(count(*) FILTER (e1.label = e2.label) AS BIGINT) AS n_matched
+         |FROM nn JOIN embeddings e1 ON nn.query_id = e1.vec_id
+         |        JOIN embeddings e2 ON nn.neighbor_id = e2.vec_id
+         |GROUP BY 1""".stripMargin,
+
     "q28_cosine_topk" ->
       s"""$VCte, scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
