@@ -57,29 +57,45 @@ object Relational {
     * shuffle entirely, at the cost of scanning `big` twice (both scans are
     * codegen'd column-pruned passes; the anti filter against the tiny hot
     * key set is itself broadcast). Use when hotness lives in a bounded
-    * head (Zipf); `hotCount` caps the broadcast at `hotCount` KEYS, and
-    * `maxHotRows` bounds the broadcast ROW count (duplicate lookup keys
-    * can multiply rows past what `hotCount` suggests) — the one cheap
-    * count job on the small side fails fast with a clear message instead
-    * of letting the broadcast blow past executor/driver limits at runtime.
+    * head (Zipf); `hotCount` caps the broadcast at `hotCount` KEYS.
+    *
+    * `maxHotRows >= 0` opts into a broadcast-size guard (duplicate lookup
+    * keys can multiply rows past what `hotCount` suggests): ONE aggregate
+    * job on the small lookup side both picks the hot keys and sums their
+    * exact row counts, failing fast with a clear message instead of letting
+    * the broadcast blow past executor/driver limits at runtime. The
+    * collected key set is re-used as a local relation, so the guard job is
+    * the only extra work. The default (-1) keeps the builder fully lazy —
+    * no Spark job runs until the result is acted on.
     */
   def hotColdJoin(big: DataFrame, lookup: DataFrame, key: String,
       weightCol: String, hotCount: Int,
-      maxHotRows: Long = 5000000L): DataFrame = {
+      maxHotRows: Long = -1L): DataFrame = {
     require(hotCount > 0, s"hotCount must be positive, got $hotCount")
     // hotness is decided at KEY granularity (max weight per key), never by
     // a row limit that could cut through a duplicate key's row group and
     // silently drop its remaining matches from both the hot and cold side
-    val hotKeys = lookup.groupBy(col(key))
-      .agg(max(col(weightCol)).as("_w"))
+    val ranked = lookup.groupBy(col(key))
+      .agg(max(col(weightCol)).as("_w"), count(lit(1)).as("_c"))
       .orderBy(col("_w").desc, col(key).asc).limit(hotCount)
-      .select(col(key))
+    val hotKeys =
+      if (maxHotRows < 0) ranked.select(col(key))
+      else {
+        val top = ranked.select(col(key), col("_c")).collect()
+        val hotRows = top.iterator.map(_.getLong(1)).sum
+        require(hotRows <= maxHotRows,
+          s"hotColdJoin: hot side has $hotRows rows (> maxHotRows=" +
+            s"$maxHotRows) across $hotCount hot keys — duplicate-key " +
+            "blowup; lower hotCount or use saltedJoin for this lookup table")
+        val spark = lookup.sparkSession
+        val keySchema = org.apache.spark.sql.types.StructType(
+          Seq(lookup.schema(key)))
+        spark.createDataFrame(
+          java.util.Arrays.asList(
+            top.map(r => org.apache.spark.sql.Row(r.get(0))): _*),
+          keySchema)
+      }
     val hot = lookup.join(broadcast(hotKeys), Seq(key), "left_semi")
-    val hotRows = hot.count()
-    require(hotRows <= maxHotRows,
-      s"hotColdJoin: hot side has $hotRows rows (> maxHotRows=$maxHotRows) " +
-        s"across $hotCount hot keys — duplicate-key blowup; lower hotCount " +
-        "or use saltedJoin for this lookup table")
     val hotSide = big.join(broadcast(hot), Seq(key))
     val coldSide = big.join(broadcast(hotKeys), Seq(key), "left_anti")
       .join(lookup.join(broadcast(hotKeys), Seq(key), "left_anti"), Seq(key))

@@ -123,32 +123,46 @@ private[sources] class RequestScan(path: String, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new java.io.File(path)
     val files =
-      if (dir.isDirectory)
-        dir.listFiles().filter(f => f.isFile && !f.getName.startsWith("."))
+      if (dir.isDirectory) {
+        val listed = dir.listFiles()
+        if (listed == null)
+          throw new java.io.IOException(
+            s"graft-requests: cannot list directory $path (IO/permission error)")
+        listed.filter(f => f.isFile && !f.getName.startsWith(".") &&
+            (f.getName.endsWith(".jsonl") || f.getName.endsWith(".json")))
           .map(_.getAbsolutePath).sorted
-      else Array(path)
+      } else Array(path)
     files.map(f => RequestFilePartition(f): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RequestReaderFactory(required.fieldNames, pushed)
+    new RequestReaderFactory(required.fieldNames, pushed,
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
 }
 
 private[sources] case class RequestFilePartition(file: String) extends InputPartition
 
 private[sources] class RequestReaderFactory(fields: Array[String],
-    pushed: Array[Filter]) extends PartitionReaderFactory {
+    pushed: Array[Filter], sessionTz: String) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new RequestFileReader(p.asInstanceOf[RequestFilePartition].file, fields, pushed)
+    new RequestFileReader(p.asInstanceOf[RequestFilePartition].file, fields,
+      pushed, sessionTz)
 }
 
 /** Line-at-a-time JSONL reader: pushed filters gate BEFORE row
   * materialization; only `fields` are converted to Catalyst form.
+  *
+  * Pushed `IsNotNull` is evaluated against the MATERIALIZED value of the
+  * field, not raw JSON-node presence — for `created_at` (unparseable
+  * string → null) and `ids` (non-array or non-integral element → null) the
+  * node can be present while the column is null, and an accepted pushed
+  * filter is never re-checked by Spark after the scan.
   */
 private[sources] class RequestFileReader(file: String, fields: Array[String],
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter], sessionTz: String) extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
+  private val zone = java.time.ZoneId.of(sessionTz)
   private val lines = java.nio.file.Files.lines(java.nio.file.Paths.get(file))
   private val it = lines.iterator()
   private var row: InternalRow = _
@@ -174,14 +188,61 @@ private[sources] class RequestFileReader(file: String, fields: Array[String],
     if (v == null || v.isNull || !v.isTextual) null else v.asText()
   }
 
-  /** Evaluate the pushed predicates on the raw JSON node. Null field +
-    * EqualTo is SQL-false (3VL: unknown rows can't satisfy a pushed
+  /** ids as a long array, or null — whole-field null on a non-array value
+    * or ANY non-integral element (matching the PERMISSIVE schema-enforced
+    * `spark.read.json` path, which nulls the field rather than coercing
+    * `"x"`/`true`/`1.5` to a long).
+    */
+  private def idsValue(node: JsonNode): Array[Long] = {
+    if (node == null) return null
+    val v = node.get("ids")
+    if (v == null || !v.isArray) return null
+    val out = new Array[Long](v.size())
+    var i = 0
+    val elems = v.elements()
+    while (elems.hasNext) {
+      val e = elems.next()
+      if (!e.isIntegralNumber || !e.canConvertToLong) return null
+      out(i) = e.asLong()
+      i += 1
+    }
+    out
+  }
+
+  /** created_at as epoch micros, or null. Accepts both offset forms
+    * (`2024-01-01T00:00:00Z`, `+05:30`) and offset-less local timestamps
+    * (`2024-01-01T00:00:00`), the latter interpreted in the SESSION
+    * timezone — the same contract as Spark's own JSON reader default.
+    */
+  private def tsValue(node: JsonNode): java.lang.Long = {
+    val s = text(node, "created_at")
+    if (s == null) return null
+    try {
+      val inst =
+        try java.time.OffsetDateTime.parse(s).toInstant
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            java.time.LocalDateTime.parse(s).atZone(zone).toInstant
+        }
+      java.lang.Long.valueOf(
+        inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+    } catch { case _: Exception => null }
+  }
+
+  private def isNullField(node: JsonNode, field: String): Boolean = field match {
+    case "ingestion_id" | "priority" => text(node, field) == null
+    case "ids" => idsValue(node) == null
+    case "created_at" => tsValue(node) == null
+    case _ => true
+  }
+
+  /** Evaluate the pushed predicates on the materialized field values. Null
+    * field + EqualTo is SQL-false (3VL: unknown rows can't satisfy a pushed
     * conjunct), matching what Spark's own post-filter would do.
     */
   private def passes(node: JsonNode): Boolean = pushed.forall {
     case EqualTo(attr, v: String) => v == text(node, attr)
-    case IsNotNull(attr) =>
-      node != null && node.get(attr) != null && !node.get(attr).isNull
+    case IsNotNull(attr) => !isNullField(node, attr)
     case _ => true
   }
 
@@ -190,17 +251,9 @@ private[sources] class RequestFileReader(file: String, fields: Array[String],
       case "ingestion_id" => UTF8String.fromString(text(node, "ingestion_id"))
       case "priority" => UTF8String.fromString(text(node, "priority"))
       case "ids" =>
-        val v = if (node == null) null else node.get("ids")
-        if (v == null || !v.isArray) null
-        else new GenericArrayData(
-          v.elements().asScala.map(_.asLong()).toArray)
-      case "created_at" =>
-        val s = text(node, "created_at")
-        if (s == null) null
-        else try {
-          val inst = java.time.Instant.parse(s)
-          inst.getEpochSecond * 1000000L + inst.getNano / 1000L
-        } catch { case _: Exception => null }
+        val v = idsValue(node)
+        if (v == null) null else new GenericArrayData(v)
+      case "created_at" => tsValue(node)
       case other =>
         throw new IllegalArgumentException(s"unknown field $other")
     })

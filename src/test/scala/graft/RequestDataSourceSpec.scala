@@ -61,6 +61,38 @@ class RequestDataSourceSpec extends SparkSpec {
     assert(q.count() == 5)
   }
 
+  test("pushed IsNotNull on created_at/ids matches materialized nullness") {
+    val dir = Files.createTempDirectory("graft-dsv2-nn").toFile
+    Files.writeString(new java.io.File(dir, "a.jsonl").toPath,
+      // node PRESENT but materializes null: unparseable timestamp / non-integral id
+      """{"ingestion_id":"N1","ids":[1],"priority":"LOW","created_at":"not-a-time"}""" + "\n" +
+      """{"ingestion_id":"N2","ids":[1,"x"],"priority":"LOW","created_at":"2024-01-01T00:00:00Z"}""" + "\n" +
+      """{"ingestion_id":"N3","ids":[2],"priority":"LOW","created_at":"2024-01-01T00:00:01Z"}""" + "\n")
+    val base = spark.read.format("graft-requests").load(dir.getAbsolutePath)
+    val ts = base.filter(col("created_at").isNotNull)
+      .select("ingestion_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(ts == Seq("N2", "N3"),
+      s"IsNotNull(created_at) must drop the unparseable row, got $ts")
+    val ids = base.filter(col("ids").isNotNull)
+      .select("ingestion_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(ids == Seq("N1", "N3"),
+      s"IsNotNull(ids) must drop the non-integral-element row, got $ids")
+  }
+
+  test("offset-less timestamps parse in the session timezone like spark.read.json") {
+    val dir = Files.createTempDirectory("graft-dsv2-ts").toFile
+    Files.writeString(new java.io.File(dir, "a.jsonl").toPath,
+      """{"ingestion_id":"T1","ids":[1],"priority":"LOW","created_at":"2024-03-05T06:07:08"}""" + "\n" +
+      """{"ingestion_id":"T2","ids":[2],"priority":"LOW","created_at":"2024-03-05T06:07:08+05:30"}""" + "\n")
+    val v2 = spark.read.format("graft-requests").load(dir.getAbsolutePath)
+      .orderBy("ingestion_id").select("created_at").collect().map(_.get(0))
+    val v1 = graft.sources.RequestSource.jsonBatch(spark, dir.getAbsolutePath)
+      .orderBy("ingestion_id").select("created_at").collect().map(_.get(0))
+    assert(v2.toSeq == v1.toSeq,
+      s"timestamp parity broke: v2=${v2.toSeq} json=${v1.toSeq}")
+    assert(!v2.contains(null), "both timestamp forms must parse")
+  }
+
   test("a row with a missing filtered field is excluded at the parser (SQL 3VL)") {
     val dir = writeFixture()
     // B2 has no priority field: EqualTo must not match it, IsNotNull must drop it
