@@ -62,6 +62,27 @@ object Curation {
     df.filter(hashBucket(col(idCol), outOf) < keep)
   }
 
+  /** Stratified deterministic sample: per-stratum keep rates (percent out
+    * of 100) from a small config table, applied as a hash-bucket threshold
+    * on the id. Strata absent from `rates` fall back to `defaultRate`.
+    * The rates table is a handful of rows → broadcast map-side; the big
+    * side is a single filtered scan, zero shuffles. Sampling is a pure
+    * function of (id, stratum-rate), so re-runs and corpus growth never
+    * reshuffle previously-kept rows — the property an LLM data mixture
+    * needs when per-language/per-source rates are tuned between runs.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      rates: Seq[(String, Int)], defaultRate: Int): DataFrame = {
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0 && r <= 100),
+      s"rates must be percents in [0,100], got $rates default=$defaultRate")
+    val spark = df.sparkSession
+    val rateDf = spark.createDataFrame(rates).toDF(stratumCol, "_rate")
+    df.join(broadcast(rateDf), Seq(stratumCol), "left")
+      .withColumn("_rate", coalesce(col("_rate"), lit(defaultRate)))
+      .filter(hashBucket(col(idCol), 100) < col("_rate"))
+      .select(df.columns.map(col).toSeq: _*) // original column order
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing ANY word n-gram
     * with the benchmark set. Grams travel as md5 HASHES so the shuffle
     * carries 32-char keys, not raw text; the benchmark gram set is tiny

@@ -102,6 +102,54 @@ object Relational {
     hotSide.unionByName(coldSide)
   }
 
+  /** Slowly-changing-dimension type 2: turn a history of per-key snapshots
+    * into validity intervals. Each key's rows are ordered by `eventTime`
+    * (ties broken by `tieBreak` — the order MUST be total within a key for
+    * the intervals to be deterministic) and annotated with `version`
+    * (1-based), `valid_from` (= the row's event time), `valid_to` (= the
+    * NEXT version's event time, null on the latest) and `is_current`.
+    *
+    * One window over the key — a single shuffle on the key column(s), each
+    * key's history sorted locally within its partition. No self-join: the
+    * lead() formulation scales linearly where the classic
+    * `a JOIN a ON a.v+1 = b.v` doubles the scan and shuffles twice.
+    */
+  def scd2(df: DataFrame, keys: Seq[String], eventTime: String,
+      tieBreak: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(eventTime) +: tieBreak.map(col)).map(_.asc): _*)
+    df.withColumn("version", row_number().over(w))
+      .withColumn("valid_from", col(eventTime))
+      .withColumn("valid_to", lead(col(eventTime), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Z-order (Morton) value: bit-interleave the low `bits` bits of each
+    * column (column j contributes bit i to output position `i*k + j`), so
+    * rows close in EVERY dimension are close in the one-dimensional sort
+    * order. Sorting/range-partitioning a table by this value co-locates
+    * multi-dimensional neighborhoods in the same files, which turns
+    * per-file min/max statistics into effective data-skipping for
+    * predicates on ANY interleaved dimension — the layout trick behind
+    * Delta/Iceberg OPTIMIZE ZORDER, expressed as a plain codegen'd column.
+    *
+    * Pure bit arithmetic (shifts + masks summed over disjoint bit
+    * positions), entirely inside whole-stage codegen; engine-portable to
+    * the DuckDB oracle as the same shift/mask sum. Caller quantizes
+    * non-integral dimensions first; values must be non-negative.
+    */
+  def zorderValue(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty, "zorderValue needs at least one column")
+    val k = cols.size
+    require(bits > 0 && bits * k <= 63,
+      s"bits*cols must fit a positive long, got $bits*$k")
+    cols.zipWithIndex.flatMap { case (c, j) =>
+      val long = c.cast("long")
+      (0 until bits).map(i =>
+        shiftleft(shiftright(long, i).bitwiseAND(lit(1L)), i * k + j))
+    }.reduce(_ + _) // summing disjoint bit positions == bitwise OR
+  }
+
   /** Tagged disjoint comparison of two keyed sets: rows in both, only left,
     * only right. Three hash-aggregated branches over the same two inputs;
     * Catalyst reuses the exchange across branches.

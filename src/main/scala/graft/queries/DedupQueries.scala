@@ -150,6 +150,34 @@ object DedupQueries {
     "q88_span_dedup" -> ((s, d) =>
       Dedup.spanDedup(Tables.documents(s, d), "doc_id", "text", 10)),
 
+    // Leakage-safe train/val/test split: the q62 hash split keyed on the
+    // near-dup CLUSTER id instead of the doc id, so every member of a
+    // near-dup cluster lands in the SAME split — the assignment a plain
+    // per-doc split violates (a doc and its near-duplicate in train and
+    // test is benchmark leakage). Docs outside the pair graph are
+    // singletons (cluster_id = doc_id). Composition: LSH candidates →
+    // Jaccard-verified pairs → connected components → hash split on the
+    // cluster label; the split stays a pure function of content.
+    "q93_leakage_split" -> ((s, d) => {
+      val m = minhashed(s, d)
+        .withColumn("bands", Dedup.lshBands(col("sig"), 4, 2)).cache()
+      val cand = Dedup.candidatePairs(m, "doc_id", "bands")
+      val sh = shingled(s, d).cache()
+      val verified = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+        .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val labels = Dedup.connectedComponents(verified, "doc_a", "doc_b", maxIter = 50)
+        .select(col("node").as("doc_id"), col("cluster_id"))
+      val withCluster = Tables.documents(s, d).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      graft.operators.Curation.hashSplit(withCluster, "cluster_id",
+        Seq(("train", 90), ("val", 5), ("test", 5)))
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+    }),
+
     // Cross-source duplication matrix: for each unordered source pair, how
     // many DISTINCT 10-token spans appear in both — the diagnostic that
     // tells a curation pipeline which feeds copy from each other (and
@@ -284,6 +312,40 @@ object DedupQueries {
         |       string_agg(span_text, ' ' ORDER BY span_idx) AS dedup_text,
         |       CAST(count(*) AS BIGINT) AS n_spans_kept
         |FROM ranked WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+    "q93_leakage_split" ->
+      s"""${MhCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS (
+         |  SELECT doc_id, i AS band, md5(sig[2*i+1] || sig[2*i+2]) AS bh
+         |  FROM mh, UNNEST(range(0, 4)) u(i)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |), verified AS (
+         |  SELECT doc_a, doc_b
+         |  FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+         |            JOIN sh y ON cand.doc_b = y.doc_id
+         |  WHERE len(list_distinct(list_intersect(x.shingles, y.shingles))) /
+         |        (len(list_distinct(x.shingles)) + len(list_distinct(y.shingles))
+         |         - len(list_distinct(list_intersect(x.shingles, y.shingles)))) >= 0.5
+         |), e AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM verified
+         |  UNION SELECT doc_b, doc_a FROM verified
+         |), reach AS (
+         |  SELECT DISTINCT s AS node, s AS r FROM e
+         |  UNION
+         |  SELECT reach.node, e.d FROM reach JOIN e ON reach.r = e.s
+         |), labels AS (
+         |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+         |), wc AS (
+         |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN (('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 90 THEN 'train'
+         |       WHEN (('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM wc""".stripMargin,
 
     "q91_source_overlap" ->
       """WITH base AS (

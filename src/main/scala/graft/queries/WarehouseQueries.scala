@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{RankedEntry, TopKAggregator}
+import graft.operators.{Curation, Graph, Relational}
+import graft.sources.Tables
+
+/** Warehouse-lifecycle queries: dimension history (SCD2), partial-aggregate
+  * reuse, time-range windows, multi-dimensional layout (Z-order), bounded
+  * top-k aggregation, graph centrality, and stratified sampling.
+  *
+  * Determinism recipe (see graft-project-state memory): money as
+  * floor-scaled BIGINT cents, window orders made total with id tie-breaks,
+  * integer-only iteration arithmetic, md5-derived buckets — so every query
+  * hash-matches its DuckDB oracle bit-for-bit.
+  */
+object WarehouseQueries {
+
+  /** DuckDB mirror of Relational.zorderValue: the same shift/mask sum. */
+  private def zorderSql(cols: Seq[String], bits: Int): String =
+    cols.zipWithIndex.flatMap { case (c, j) =>
+      (0 until bits).map(i =>
+        s"(((CAST($c AS BIGINT) >> $i) & 1) << ${i * cols.size + j})")
+    }.mkString("(", " + ", ")")
+
+  /** One integer-PageRank iteration as a DuckDB CTE (mirrors
+    * Graph.pageRankInt): `//` is DuckDB's integral division = Spark's
+    * `div` for the non-negative values used here.
+    */
+  private def prIterSql(cur: String, prev: String): String =
+    s"""$cur AS (
+       |  SELECT d.src AS node,
+       |         CAST(150000 + (coalesce(m.in_mass, 0) * 85) // 100 AS BIGINT) AS score
+       |  FROM deg d LEFT JOIN (
+       |    SELECT s.dst AS node, CAST(sum(r.score // g.deg) AS BIGINT) AS in_mass
+       |    FROM sym s JOIN $prev r ON s.src = r.node JOIN deg g ON s.src = g.src
+       |    GROUP BY s.dst) m ON d.src = m.node
+       |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SCD type 2: each customer's order history as validity intervals —
+    // version, valid_from/valid_to, is_current. One window, one shuffle.
+    "q94_scd2" -> ((s, d) =>
+      Relational.scd2(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate")),
+        Seq("o_custkey"), "o_orderdate", Seq("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("version").cast("long").as("version"),
+          col("valid_from"), col("valid_to"), col("is_current"))),
+
+    // Partial-aggregate reuse: DAILY partials (sum/count/max) merged into
+    // MONTHLY totals — sum-of-sums, sum-of-counts, max-of-maxes. The
+    // oracle aggregates the base table directly, so a hash match PROVES
+    // the two-level merge is lossless. This is the ingest-time-rollup /
+    // query-time-merge pattern that turns a 100 TB scan into a reread of
+    // tiny partial tables.
+    "q95_rollup_merge" -> ((s, d) => {
+      val daily = Tables.lineitem(s, d)
+        .select(date_trunc("day", col("l_shipdate")).as("day"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy(col("day"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_rows"),
+          max(col("qty")).as("max_qty"))
+      daily
+        .groupBy(date_trunc("month", col("day")).as("month"))
+        .agg(sum(col("sum_qty")).as("sum_qty"), sum(col("n_rows")).as("n_rows"),
+          max(col("max_qty")).as("max_qty"))
+    }),
+
+    // Z-order (Morton) layout key over (partkey, suppkey): the clustering
+    // value a table-layout OPTIMIZE would sort by so per-file min/max
+    // stats skip on either dimension. Pure codegen'd bit arithmetic.
+    "q96_zorder" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          Relational.zorderValue(Seq(col("l_partkey"), col("l_suppkey")), 8)
+            .as("zval"))),
+
+    // 30-day trailing spend per customer: RANGE window over epoch seconds
+    // (identical numeric-range semantics in both engines), money as
+    // floor-scaled BIGINT cents so the moving sum cannot drift.
+    "q97_time_range_agg" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          // NTZ → LTZ (session tz is UTC) → epoch seconds, matching the
+          // oracle's epoch(o_orderdate) on the same naive timestamps
+          col("o_orderdate").cast("timestamp_ltz").cast("long").as("sec"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("sec"))
+        .rangeBetween(-30L * 86400L, 0L)
+      o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        sum(col("cents")).over(w).as("sum_30d"),
+        count(lit(1)).over(w).as("n_30d"))
+    }),
+
+    // Top-3 lineitems per supplier via the typed bounded-state
+    // TopKAggregator — a true partial aggregate (map side keeps ≤ k rows
+    // per group), where the window-function form shuffles every row. The
+    // oracle is that window form, so the hash match proves the bounded
+    // aggregator equals the full sort.
+    "q98_topk_bounded" -> ((s, d) => {
+      import s.implicits._
+      val ds = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("_1"),
+          struct(col("l_quantity").as("rank"), col("l_orderkey").as("id"),
+            col("l_linenumber").cast("long").as("sub")).as("_2"))
+        .as[(Long, RankedEntry)]
+      ds.groupByKey(_._1).mapValues(_._2)
+        .agg(new TopKAggregator(3).toColumn.name("top"))
+        .toDF("l_suppkey", "top")
+        .select(col("l_suppkey"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("l_suppkey"), (col("pos") + 1).cast("long").as("rnk"),
+          col("e.rank").as("l_quantity"), col("e.id").as("l_orderkey"),
+          col("e.sub").as("l_linenumber"))
+    }),
+
+    // PageRank centrality over the part co-occurrence graph (q87's edges,
+    // support >= 2), 3 iterations of exact integer arithmetic — the
+    // "which items anchor the catalog" score, bit-identical at any
+    // parallelism because no float sum ever forms.
+    "q99_pagerank" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val a = li.select(col("ok"), col("l_partkey").as("p1"))
+      val b = li.select(col("ok"), col("l_partkey").as("p2"))
+      val edges = a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count_distinct(col("ok")).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+      Graph.pageRankInt(edges, "p1", "p2", iterations = 3)
+        .select(col("node").as("partkey"), col("score"))
+    }),
+
+    // Stratified deterministic sample: per-language keep rates from a
+    // broadcast config (en 50%, de 25%, default 10%) — the tunable
+    // data-mixture knob, reproducible across runs and cluster sizes.
+    "q100_stratified_sample" -> ((s, d) =>
+      Curation.stratifiedSample(Tables.documents(s, d), "lang", "doc_id",
+        Seq(("en", 50), ("de", 25)), defaultRate = 10)
+        .select(col("doc_id"), col("lang"), col("source"))))
+
+  val oracles: Map[String, String] = Map(
+    "q94_scd2" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(row_number() OVER w AS BIGINT) AS version,
+        |       o_orderdate AS valid_from,
+        |       lead(o_orderdate) OVER w AS valid_to,
+        |       lead(o_orderdate) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q95_rollup_merge" ->
+      """SELECT date_trunc('month', l_shipdate) AS month,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       count(*) AS n_rows,
+        |       CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q96_zorder" ->
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |       l_partkey, l_suppkey,
+         |       ${zorderSql(Seq("l_partkey", "l_suppkey"), 8)} AS zval
+         |FROM lineitem""".stripMargin,
+
+    "q97_time_range_agg" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |       CAST(sum(cents) OVER w AS BIGINT) AS sum_30d,
+        |       count(*) OVER w AS n_30d
+        |FROM (SELECT *, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |             CAST(epoch(o_orderdate) AS BIGINT) AS sec
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY sec
+        |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q98_topk_bounded" ->
+      """SELECT l_suppkey, CAST(rnk AS BIGINT) AS rnk, l_quantity,
+        |       l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber
+        |FROM (SELECT l_suppkey, l_quantity, l_orderkey, l_linenumber,
+        |             row_number() OVER (PARTITION BY l_suppkey
+        |               ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rnk
+        |      FROM lineitem)
+        |WHERE rnk <= 3""".stripMargin,
+
+    "q99_pagerank" ->
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+         |edges AS (
+         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2
+         |),
+         |sym AS (SELECT p1 AS src, p2 AS dst FROM edges
+         |        UNION SELECT p2, p1 FROM edges),
+         |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+         |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS score FROM deg),
+         |${prIterSql("r1", "r0")},
+         |${prIterSql("r2", "r1")},
+         |${prIterSql("r3", "r2")}
+         |SELECT node AS partkey, score FROM r3""".stripMargin,
+
+    "q100_stratified_sample" ->
+      """SELECT doc_id, lang, source
+        |FROM (SELECT d.doc_id, d.lang, d.source,
+        |             coalesce(r.rate, 10) AS rate
+        |      FROM documents d
+        |      LEFT JOIN (VALUES ('en', 50), ('de', 25)) r(lang, rate)
+        |        ON d.lang = r.lang)
+        |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < rate""".stripMargin)
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{RankedEntry, TopKAggregator}
+import graft.operators.{Curation, Graph, Relational}
+
+/** Warehouse-lifecycle operators: SCD2 intervals, Z-order interleave,
+  * bounded top-k aggregation, integer PageRank, stratified sampling.
+  */
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scd2 builds gapless per-key validity chains with one current row") {
+    val snaps = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")),
+      (1L, 11L, ts("2024-02-01 00:00:00")),
+      (1L, 12L, ts("2024-03-01 00:00:00")),
+      (2L, 20L, ts("2024-01-15 00:00:00")),
+      // same event time, distinct tie-break ids -> deterministic order
+      (3L, 31L, ts("2024-01-01 00:00:00")),
+      (3L, 30L, ts("2024-01-01 00:00:00")))
+      .toDF("key", "id", "at")
+    val out = Relational.scd2(snaps, Seq("key"), "at", Seq("id"))
+      .orderBy("key", "version").collect()
+
+    // key 1: versions 1..3, each valid_to = next valid_from, last open
+    val k1 = out.filter(_.getLong(0) == 1L)
+    assert(k1.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+    assert(k1.init.map(_.getTimestamp(5)).toSeq ==
+      k1.tail.map(_.getTimestamp(4)).toSeq, "valid_to must chain to next valid_from")
+    assert(k1.count(_.getBoolean(6)) == 1 && k1.last.getBoolean(6))
+    // tie on event time ordered by the tie-break id
+    val k3 = out.filter(_.getLong(0) == 3L)
+    assert(k3.map(_.getLong(1)).toSeq == Seq(30L, 31L))
+  }
+
+  test("zorderValue interleaves bits (column j at position i*k + j)") {
+    // x=3 (binary 011) -> bits at out positions 0,2 = 5
+    // y=5 (binary 101) -> bits at out positions 1,5 = 34
+    val out = Seq((3L, 5L)).toDF("x", "y")
+      .select(Relational.zorderValue(Seq(col("x"), col("y")), 3).as("z"))
+      .head().getLong(0)
+    assert(out == 39L, s"expected 39 (5 | 34), got $out")
+    // one dimension degenerates to the identity on the masked bits
+    val ident = Seq((13L, 0L)).toDF("x", "y")
+      .select(Relational.zorderValue(Seq(col("x")), 8).as("z"))
+      .head().getLong(0)
+    assert(ident == 13L)
+  }
+
+  test("zorder locality: neighbors in both dims are closer than far rows") {
+    val z = (x: Long, y: Long) =>
+      Seq((x, y)).toDF("x", "y")
+        .select(Relational.zorderValue(Seq(col("x"), col("y")), 8).as("z"))
+        .head().getLong(0)
+    assert(math.abs(z(10, 10) - z(11, 11)) < math.abs(z(10, 10) - z(200, 200)))
+  }
+
+  test("TopKAggregator equals the window-function top-k on skewed groups") {
+    // group 0 is hot (300 rows), groups 1..9 small — the bounded
+    // accumulator must agree with the full-sort window form everywhere
+    val rows = (1 to 500).map { i =>
+      val g = if (i <= 300) 0L else (i % 9 + 1).toLong
+      (g, (i * 37 % 101).toDouble, i.toLong, (i % 7).toLong)
+    }
+    val df = rows.toDF("g", "score", "id", "sub")
+    val agg = df
+      .select(col("g").as("_1"),
+        struct(col("score").as("rank"), col("id"), col("sub")).as("_2"))
+      .as[(Long, RankedEntry)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new TopKAggregator(5).toColumn.name("top"))
+      .toDF("g", "top")
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("g"), (col("pos") + 1).as("rnk"),
+        col("e.rank").as("score"), col("e.id").as("id"), col("e.sub").as("sub"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("score").desc, col("id").asc, col("sub").asc)
+    val win = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("g"), col("rnk"), col("score"), col("id"), col("sub"))
+    assert(agg.except(win).isEmpty && win.except(agg).isEmpty,
+      "bounded aggregator must match the window top-k")
+  }
+
+  test("TopKAggregator runs as a partial aggregate (no full-row shuffle sort)") {
+    val df = (1 to 100).map(i => (i % 4L, i.toDouble, i.toLong, 0L))
+      .toDF("g", "score", "id", "sub")
+    val plan = df
+      .select(col("g").as("_1"),
+        struct(col("score").as("rank"), col("id"), col("sub")).as("_2"))
+      .as[(Long, RankedEntry)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new TopKAggregator(3).toColumn.name("top"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Aggregate") && plan.contains("partial_"),
+      s"expected a partial (map-side) aggregate phase in plan:\n$plan")
+  }
+
+  test("pageRankInt: hub outranks leaves, mass conserved, partitioning-invariant") {
+    // star: 0-1, 0-2, 0-3, 0-4 plus a 5-6 pendant pair
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (5L, 6L))
+      .toDF("a", "b")
+    val r = Graph.pageRankInt(edges, "a", "b", iterations = 3)
+    val scores = r.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(scores.size == 7)
+    assert(scores(0L) > scores(1L), "hub must outrank a leaf")
+    assert(scores(1L) == scores(2L) && scores(2L) == scores(3L),
+      "symmetric leaves must tie exactly (integer arithmetic)")
+    // total mass stays within quantization loss of n*scale (div truncation
+    // loses < 1 unit per edge per iteration, damping redistributes 15%)
+    val total = scores.values.sum
+    assert(total > 0 && total <= 7L * 1000000L)
+    // bit-identical across a different physical distribution
+    val r2 = Graph.pageRankInt(edges.repartition(7), "a", "b", iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2 == scores, "integer PageRank must not depend on partitioning")
+  }
+
+  test("stratifiedSample applies per-stratum rates and is id-pure") {
+    val docs = (1L to 2000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+      .toDF("doc_id", "lang")
+    val out = Curation.stratifiedSample(docs, "lang", "doc_id",
+      Seq(("en", 100), ("de", 0)), defaultRate = 25)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.getOrElse("en", 0L) == docs.filter(col("lang") === "en").count(),
+      "rate 100 keeps every row of the stratum")
+    assert(!byLang.contains("de"), "rate 0 drops the stratum entirely")
+    val fr = byLang.getOrElse("fr", 0L).toDouble /
+      docs.filter(col("lang") === "fr").count()
+    assert(fr > 0.15 && fr < 0.35, s"default rate ~25% expected, got $fr")
+    // same ids survive under a different partitioning (content-pure)
+    val again = Curation.stratifiedSample(docs.repartition(13), "lang", "doc_id",
+      Seq(("en", 100), ("de", 0)), defaultRate = 25)
+    assert(out.select("doc_id").except(again.select("doc_id")).isEmpty &&
+      again.select("doc_id").except(out.select("doc_id")).isEmpty)
+  }
+}
