@@ -42,20 +42,23 @@ object Graph {
     val deg = sym.groupBy(col("src"))
       .agg(count(lit(1)).as("deg")).localCheckpoint()
     val base = (scale * 15L) / 100L
-    var rank = deg.select(col("src").as("node"), lit(scale).as("score"))
+    // degree rides inside the rank frame so each iteration is ONE join
+    // (edges × rank) + one aggregate, not two joins
+    var rank = deg.select(col("src").as("node"), col("deg"),
+      lit(scale).as("score"))
     for (_ <- 1 to iterations) {
       val contrib = sym
-        .join(rank.select(col("node").as("src"), col("score")), Seq("src"))
-        .join(deg, Seq("src"))
+        .join(rank.select(col("node").as("src"),
+          expr("score div deg").as("c")), Seq("src"))
         .groupBy(col("dst").as("node"))
-        .agg(sum(expr("score div deg")).as("in_mass"))
-      rank = deg.select(col("src").as("node"))
+        .agg(sum(col("c")).as("in_mass"))
+      rank = deg.select(col("src").as("node"), col("deg"))
         .join(contrib, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("deg"),
           (lit(base) +
             expr("(coalesce(in_mass, CAST(0 AS BIGINT)) * 85) div 100")).as("score"))
         .localCheckpoint()
     }
-    rank
+    rank.select(col("node"), col("score"))
   }
 }

@@ -150,6 +150,39 @@ object Relational {
     }.reduce(_ + _) // summing disjoint bit positions == bitwise OR
   }
 
+  /** Unordered co-occurring item pairs: for each group, every pair of
+    * DISTINCT items seen together, counted by the number of groups
+    * containing the pair. Returns (item_a, item_b, n_groups) with
+    * item_a < item_b.
+    *
+    * Shape: ONE groupBy collects each group's distinct item set (map-side
+    * partial collect_set, shuffle carries one set per group), then pairs
+    * are generated ROW-LOCALLY from the sorted array (posexplode ×
+    * slice-explode), and a second groupBy counts pairs. Compare the naive
+    * `t JOIN t ON group` formulation: that shuffles the fact table TWICE
+    * and materializes Σk² join rows through the exchange; here the pair
+    * fan-out happens after the shuffle, from an array already in memory.
+    * Within a group each unordered pair occurs exactly once (set + sort),
+    * so count(*) ≡ count(DISTINCT group).
+    *
+    * Skew: a single group with k items fans out k(k-1)/2 pairs in one
+    * task. Fine for bounded carts/orders (k ≤ dozens); for unbounded
+    * groups cap upstream (filter size(set)) or fall back to a salted
+    * pair join.
+    */
+  def coOccurrence(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+    val perGroup = df
+      .groupBy(col(groupCol).as("_g"))
+      .agg(array_sort(collect_set(col(itemCol))).as("_items"))
+    perGroup
+      .select(col("_items"), posexplode(col("_items")).as(Seq("_i", "item_a")))
+      .select(col("item_a"),
+        explode(slice(col("_items"), col("_i") + lit(2),
+          size(col("_items")) - col("_i") - lit(1))).as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_groups"))
+  }
+
   /** Tagged disjoint comparison of two keyed sets: rows in both, only left,
     * only right. Three hash-aggregated branches over the same two inputs;
     * Catalyst reuses the exchange across branches.

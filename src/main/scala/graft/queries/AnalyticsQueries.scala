@@ -134,21 +134,19 @@ object AnalyticsQueries {
         max(col("o_totalprice")).as("max_price"))),
 
     // Co-occurrence mining (market-basket): part pairs ordered together in
-    // >= 2 DISTINCT orders. The self-join is keyed on the ORDER (bounded
-    // fan-out: pairs per order are quadratic in the small per-order item
-    // count, never in the corpus), then one (p1, p2) distinct-aggregate —
-    // count_distinct(ok), not count(*), so a part appearing on multiple
-    // lineitems of ONE order can't multiply that order's contribution.
-    "q87_cooccurrence" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey"))
-      val a = li.select(col("ok"), col("l_partkey").as("p1"))
-      val b = li.select(col("ok"), col("l_partkey").as("p2"))
-      a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
-        .groupBy(col("p1"), col("p2"))
-        .agg(count_distinct(col("ok")).as("n_orders"))
-        .filter(col("n_orders") >= 2)
-    }),
+    // >= 2 DISTINCT orders. Relational.coOccurrence collects each order's
+    // distinct part SET (one shuffle), expands pairs row-locally from the
+    // sorted array, and counts — the set step makes count(*) equal
+    // count(DISTINCT order), and the Σk² pair fan-out never crosses an
+    // exchange (the self-join form it replaced shuffled lineitem twice).
+    "q87_cooccurrence" -> ((s, d) =>
+      graft.operators.Relational.coOccurrence(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey")),
+        "ok", "l_partkey")
+        .select(col("item_a").as("p1"), col("item_b").as("p2"),
+          col("n_groups").as("n_orders"))
+        .filter(col("n_orders") >= 2)),
 
     // Robust outlier detection (median/MAD rule, k=3) on order totals per
     // status — exact integer cents throughout, so the threshold comparison

@@ -124,15 +124,12 @@ object WarehouseQueries {
     // "which items anchor the catalog" score, bit-identical at any
     // parallelism because no float sum ever forms.
     "q99_pagerank" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey"))
-      val a = li.select(col("ok"), col("l_partkey").as("p1"))
-      val b = li.select(col("ok"), col("l_partkey").as("p2"))
-      val edges = a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
-        .groupBy(col("p1"), col("p2"))
-        .agg(count_distinct(col("ok")).as("n_orders"))
-        .filter(col("n_orders") >= 2)
-      Graph.pageRankInt(edges, "p1", "p2", iterations = 3)
+      val edges = Relational.coOccurrence(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey")),
+        "ok", "l_partkey")
+        .filter(col("n_groups") >= 2)
+      Graph.pageRankInt(edges, "item_a", "item_b", iterations = 3)
         .select(col("node").as("partkey"), col("score"))
     }),
 

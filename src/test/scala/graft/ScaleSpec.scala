@@ -15,6 +15,24 @@ import graft.streaming.IngestPipeline
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("coOccurrence equals the self-join form, incl. duplicate items in a group") {
+    // group 10 holds {1,2,3} with item 2 listed TWICE — the pair counts
+    // must still credit group 10 once (set semantics = count DISTINCT group)
+    val rows = Seq((10L, 1L), (10L, 2L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L), (30L, 2L), (30L, 3L), (40L, 5L))
+      .toDF("g", "item")
+    val fast = Relational.coOccurrence(rows, "g", "item")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val a = rows.select(col("g"), col("item").as("ia"))
+    val b = rows.select(col("g"), col("item").as("ib"))
+    val joined = a.join(b, Seq("g")).filter(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count_distinct(col("g")).as("n"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(fast == joined, s"coOccurrence $fast != join form $joined")
+    assert(fast.contains((1L, 2L, 2L)), "pair (1,2) seen in groups 10 and 20")
+    assert(fast.contains((2L, 3L, 2L)), "dup item must not double-count group 10")
+  }
+
   test("saltedJoin is row-identical to the plain join under heavy skew") {
     // one hot key (90% of rows) + a long tail
     val left = ((1 to 900).map(i => (1L, s"row$i")) ++
