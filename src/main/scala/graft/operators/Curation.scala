@@ -83,6 +83,35 @@ object Curation {
       .select(df.columns.map(col).toSeq: _*) // original column order
   }
 
+  /** Shard writer — the training-data output path. Writes `df` as a
+    * partitioned parquet tree (`partitionCols` become directories, so
+    * downstream reads partition-prune for free) with every file bounded
+    * to `maxRecordsPerFile` rows and rows inside each file ordered by
+    * `layoutSort` (pass a `Relational.zorderValue` column to cluster
+    * multi-dimensionally — file-level min/max stats then skip on any
+    * interleaved dimension).
+    *
+    * The repartition-by-partition-columns before the write is the
+    * small-files fix: without it every task holding rows of partition P
+    * opens its own file under P (tasks × partitions files); with it each
+    * partition's rows land in one task, which rolls files only at the
+    * record cap. One shuffle, and it's the shuffle that buys a sane file
+    * count at 1000 executors.
+    */
+  def writeShards(df: DataFrame, outDir: String, partitionCols: Seq[String],
+      maxRecordsPerFile: Long, layoutSort: Seq[Column] = Nil): Unit = {
+    require(partitionCols.nonEmpty, "writeShards needs partition columns")
+    require(maxRecordsPerFile > 0,
+      s"maxRecordsPerFile must be positive, got $maxRecordsPerFile")
+    val pcols = partitionCols.map(col)
+    df.repartition(pcols: _*)
+      .sortWithinPartitions(pcols ++ layoutSort: _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .partitionBy(partitionCols: _*)
+      .parquet(outDir)
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing ANY word n-gram
     * with the benchmark set. Grams travel as md5 HASHES so the shuffle
     * carries 32-char keys, not raw text; the benchmark gram set is tiny

@@ -150,6 +150,40 @@ object Relational {
     }.reduce(_ + _) // summing disjoint bit positions == bitwise OR
   }
 
+  /** MERGE-style upsert: apply a changeset to a base table by key. Rows
+    * present only in `changes` are inserts, present in both take the
+    * change row WHOLESALE (row-level replacement — a change row's null is
+    * an intentional null, never backfilled from base), present only in
+    * base are kept. The `action` column tags each output row
+    * insert/update/keep so downstream audit/CDC consumers don't re-derive
+    * it. Schemas must match on name.
+    *
+    * Physical shape: one full-outer sort-merge join on the key — each side
+    * shuffles once. Presence is detected via per-side indicator literals,
+    * not data-column nullness, so all-null change rows still count as
+    * present. At warehouse scale the changeset is usually ≪ base; the
+    * outer-both-sides semantics rule out a broadcast, but AQE's skew
+    * handling applies, and partitioned/bucketed base tables co-locate the
+    * join. This is the batch analogue of Delta/Iceberg MERGE INTO.
+    */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    require(base.columns.sorted.sameElements(changes.columns.sorted),
+      s"schemas must match: base=${base.columns.toSeq.sorted} " +
+        s"changes=${changes.columns.toSeq.sorted}")
+    val others = base.columns.filter(_ != key).toSeq
+    val b = base.select((col(key) +: others.map(c => col(c).as(s"_b_$c"))) :+
+      lit(1).as("_b_present"): _*)
+    val c = changes.select((col(key) +: others.map(n => col(n).as(s"_c_$n"))) :+
+      lit(1).as("_c_present"): _*)
+    b.join(c, Seq(key), "full_outer")
+      .select((col(key) +:
+        others.map(n => when(col("_c_present").isNotNull, col(s"_c_$n"))
+          .otherwise(col(s"_b_$n")).as(n))) :+
+        when(col("_b_present").isNull, "insert")
+          .when(col("_c_present").isNull, "keep")
+          .otherwise("update").as("action"): _*)
+  }
+
   /** Unordered co-occurring item pairs: for each group, every pair of
     * DISTINCT items seen together, counted by the number of groups
     * containing the pair. Returns (item_a, item_b, n_groups) with

@@ -133,6 +133,22 @@ object WarehouseQueries {
         .select(col("node").as("partkey"), col("score"))
     }),
 
+    // MERGE-style upsert: a deterministic changeset (priority overrides
+    // for every 7th order, synthetic new orders for every 997th) applied
+    // to the base by full-outer join, each row tagged
+    // insert/update/keep — the Delta/Iceberg MERGE INTO shape as a pure
+    // DataFrame operator, provable against a SQL FULL OUTER JOIN oracle.
+    "q101_merge_upsert" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val changes = base.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("X-URGENT").as("o_orderpriority"))
+        .unionByName(base.filter(col("o_orderkey") % 997 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("NEW").as("o_orderpriority")))
+      Relational.mergeUpsert(base, changes, "o_orderkey")
+    }),
+
     // Stratified deterministic sample: per-language keep rates from a
     // broadcast config (en 50%, de 25%, default 10%) — the tunable
     // data-mixture knob, reproducible across runs and cluster sizes.
@@ -198,6 +214,22 @@ object WarehouseQueries {
          |${prIterSql("r2", "r1")},
          |${prIterSql("r3", "r2")}
          |SELECT node AS partkey, score FROM r3""".stripMargin,
+
+    "q101_merge_upsert" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, 'X-URGENT' AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'NEW'
+        |  FROM orders WHERE o_orderkey % 997 = 0
+        |)
+        |SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |       CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderpriority
+        |            ELSE b.o_orderpriority END AS o_orderpriority,
+        |       CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+        |            WHEN c.o_orderkey IS NULL THEN 'keep'
+        |            ELSE 'update' END AS action
+        |FROM orders b FULL OUTER JOIN chg c ON b.o_orderkey = c.o_orderkey""".stripMargin,
 
     "q100_stratified_sample" ->
       """SELECT doc_id, lang, source

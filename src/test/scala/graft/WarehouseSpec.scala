@@ -117,6 +117,49 @@ class WarehouseSpec extends SparkSpec {
     assert(r2 == scores, "integer PageRank must not depend on partitioning")
   }
 
+  test("mergeUpsert: change rows replace wholesale, actions tag the three cases") {
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "name", "v")
+    // update k=2 with an INTENTIONAL null name (must not backfill "b"),
+    // insert k=9, keep k=1 and k=3
+    val changes = Seq((2L, null.asInstanceOf[String], 99), (9L, "new", 1))
+      .toDF("k", "name", "v")
+    val out = Relational.mergeUpsert(base, changes, "k")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a", 10, "keep"),
+      (2L, null, 99, "update"),
+      (3L, "c", 30, "keep"),
+      (9L, "new", 1, "insert")))
+  }
+
+  test("writeShards bounds file size, partitions the tree, sorts within files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val rows = (1 to 500).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de", (i * 131) % 997))
+      .toDF("doc_id", "lang", "n_chars")
+    Curation.writeShards(rows, dir, Seq("lang"),
+      maxRecordsPerFile = 60, layoutSort = Seq(col("n_chars")))
+    // partition directories exist and roundtrip preserves every row
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 500)
+    assert(new java.io.File(s"$dir/lang=en").isDirectory &&
+      new java.io.File(s"$dir/lang=de").isDirectory)
+    for (part <- Seq("en", "de")) {
+      val files = new java.io.File(s"$dir/lang=$part").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      // 250 rows / cap 60 -> exactly ceil(250/60) = 5 files, none over cap
+      assert(files.length == 5, s"$part: expected 5 files, got ${files.length}")
+      files.foreach { f =>
+        val vals = spark.read.parquet(f.getAbsolutePath)
+          .select("n_chars").as[Int].collect()
+        assert(vals.length <= 60, s"file over the record cap: ${vals.length}")
+        assert(vals.sameElements(vals.sorted), "rows inside a file must be sorted")
+      }
+    }
+  }
+
   test("stratifiedSample applies per-stratum rates and is id-pure") {
     val docs = (1L to 2000L).map(i =>
       (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
