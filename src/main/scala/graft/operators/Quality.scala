@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks (the Deequ/dbt-test shape): each check
+  * reduces a table to ONE row — (check_name, n_violations, n_checked) —
+  * and a report is the union of checks.
+  *
+  * Scale: a predicate check is a single partial-aggregated scan (the
+  * exchange carries one row per map task); an FK check is one left-anti
+  * join, broadcast when the parent key set is small, else a keyed
+  * shuffle. Checks against the same table reuse the scan via Catalyst's
+  * exchange/subplan reuse where shapes allow; at 100 TB the win is that
+  * violations COUNT without ever materializing — no violating-row
+  * collect unless a debugging query asks for samples.
+  */
+object Quality {
+
+  /** One predicate check: rows where `violation` is true are defects. */
+  def check(name: String, df: DataFrame, violation: Column): DataFrame =
+    df.select(
+      lit(name).as("check_name"),
+      count(when(violation, lit(1))).as("n_violations"),
+      count(lit(1)).as("n_checked"))
+
+  /** Referential-integrity check: child rows whose key has no parent. */
+  def fkCheck(name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val orphans = child
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .select(count(lit(1)).as("n_violations"))
+    val total = child.select(count(lit(1)).as("n_checked"))
+    orphans.crossJoin(total)
+      .select(lit(name).as("check_name"), col("n_violations"),
+        col("n_checked"))
+  }
+
+  /** Key-uniqueness check: duplicate keys count as violations. */
+  def uniqueCheck(name: String, df: DataFrame, key: String): DataFrame =
+    df.select(
+      lit(name).as("check_name"),
+      (count(lit(1)) - count_distinct(col(key))).as("n_violations"),
+      count(lit(1)).as("n_checked"))
+
+  /** A report is the union of one-row checks. */
+  def report(checks: Seq[DataFrame]): DataFrame = {
+    require(checks.nonEmpty, "report needs at least one check")
+    checks.reduce(_.unionByName(_))
+  }
+}

@@ -150,6 +150,34 @@ object Relational {
     }.reduce(_ + _) // summing disjoint bit positions == bitwise OR
   }
 
+  /** Blocked fuzzy self-match (entity resolution): candidate pairs share a
+    * cheap `blockKey` (phonetic code, token, length band…) and survive if
+    * their full strings are within `maxDist` edits. Returns
+    * (id_a, id_b, txt_a, txt_b, dist) with id_a < id_b.
+    *
+    * The equi-join on the block key is the same bucketing idea as LSH
+    * banding (Dedup.candidatePairs): quadratic work happens inside a
+    * block, never across the corpus, so recall is a function of blocking
+    * quality and cost is Σ|block|². `levenshtein` is a native codegen'd
+    * expression — the distance filter runs inside the join's generated
+    * loop, no UDF fence. Pick block keys so the hottest block stays
+    * task-sized; layer multiple blockings (union + distinct) to trade
+    * cost for recall.
+    */
+  def fuzzyMatch(df: DataFrame, idCol: String, textCol: String,
+      blockKey: Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val t = df.select(blockKey.as("_blk"), col(idCol).as("id"),
+      col(textCol).as("txt"))
+    val a = t.select(col("_blk"), col("id").as("id_a"), col("txt").as("txt_a"))
+    val b = t.select(col("_blk"), col("id").as("id_b"), col("txt").as("txt_b"))
+    a.join(b, Seq("_blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("txt_a"), col("txt_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("txt_a"), col("txt_b"),
+        col("dist").cast("long").as("dist"))
+  }
+
   /** MERGE-style upsert: apply a changeset to a base table by key. Rows
     * present only in `changes` are inserts, present in both take the
     * change row WHOLESALE (row-level replacement — a change row's null is

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{RankedEntry, TopKAggregator}
-import graft.operators.{Curation, Graph, Relational}
+import graft.operators.{Curation, Graph, Quality, Relational}
 import graft.sources.Tables
 
 /** Warehouse-lifecycle queries: dimension history (SCD2), partial-aggregate
@@ -155,7 +155,38 @@ object WarehouseQueries {
     "q100_stratified_sample" -> ((s, d) =>
       Curation.stratifiedSample(Tables.documents(s, d), "lang", "doc_id",
         Seq(("en", 50), ("de", 25)), defaultRate = 10)
-        .select(col("doc_id"), col("lang"), col("source"))))
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // Blocked fuzzy matching (entity resolution): exact-duplicate names
+    // collapse FIRST (min partkey = canonical — fuzzy work then scales
+    // with DISTINCT entities, not corpus rows), then canonical names pair
+    // within 3 edits, candidates blocked on the last name token —
+    // LSH-style bucketing for edit distance, the codegen'd levenshtein
+    // filter inside the block join.
+    "q102_fuzzy_match" -> ((s, d) => {
+      val canon = Tables.part(s, d)
+        .groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("p_partkey"))
+      Relational.fuzzyMatch(canon, "p_partkey", "p_name",
+        element_at(split(col("p_name"), " "), -1), maxDist = 3)
+        .select(col("id_a").as("part_a"), col("id_b").as("part_b"),
+          col("dist"))
+    }),
+
+    // Declarative data-quality report: range, not-null, FK,
+    // key-uniqueness and positivity checks, each one aggregate row —
+    // violations are counted, never materialized.
+    "q103_dq_report" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      Quality.report(Seq(
+        Quality.check("l_quantity_range", li,
+          col("l_quantity") < 1 || col("l_quantity") > 50),
+        Quality.check("l_shipdate_not_null", li, col("l_shipdate").isNull),
+        Quality.fkCheck("l_orderkey_fk", li, "l_orderkey", o, "o_orderkey"),
+        Quality.check("o_totalprice_positive", o, col("o_totalprice") <= 0),
+        Quality.uniqueCheck("o_orderkey_unique", o, "o_orderkey")))
+    }))
 
   val oracles: Map[String, String] = Map(
     "q94_scd2" ->
@@ -230,6 +261,40 @@ object WarehouseQueries {
         |            WHEN c.o_orderkey IS NULL THEN 'keep'
         |            ELSE 'update' END AS action
         |FROM orders b FULL OUTER JOIN chg c ON b.o_orderkey = c.o_orderkey""".stripMargin,
+
+    "q102_fuzzy_match" ->
+      """WITH t AS (
+        |  SELECT min(p_partkey) AS id, p_name AS txt,
+        |         string_split(p_name, ' ')[-1] AS blk
+        |  FROM part GROUP BY p_name
+        |)
+        |SELECT a.id AS part_a, b.id AS part_b,
+        |       CAST(levenshtein(a.txt, b.txt) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+        |WHERE levenshtein(a.txt, b.txt) <= 3""".stripMargin,
+
+    "q103_dq_report" ->
+      """SELECT 'l_quantity_range' AS check_name,
+        |       count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS n_violations,
+        |       count(*) AS n_checked FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate_not_null',
+        |       count(CASE WHEN l_shipdate IS NULL THEN 1 END), count(*)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_orderkey_fk',
+        |       (SELECT count(*) FROM lineitem l
+        |        WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                          WHERE o.o_orderkey = l.l_orderkey)),
+        |       (SELECT count(*) FROM lineitem)
+        |UNION ALL
+        |SELECT 'o_totalprice_positive',
+        |       count(CASE WHEN o_totalprice <= 0 THEN 1 END), count(*)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey_unique',
+        |       count(*) - count(DISTINCT o_orderkey), count(*)
+        |FROM orders""".stripMargin,
 
     "q100_stratified_sample" ->
       """SELECT doc_id, lang, source

@@ -150,4 +150,44 @@ object GraftProperties extends Properties("graft") {
       }.toMap
       got == want
     }
+
+  property("mergeUpsert partitions output into keep/update/insert exactly") =
+    forAll(Gen.listOf(Gen.choose(1L, 40L)), Gen.listOf(Gen.choose(1L, 40L))) {
+      (baseKeys, changeKeys) =>
+      val s = spark
+      import s.implicits._
+      val base = baseKeys.distinct.map(k => (k, s"b$k")).toDF("k", "v")
+      val changes = changeKeys.distinct.map(k => (k, s"c$k")).toDF("k", "v")
+      val out = graft.operators.Relational.mergeUpsert(base, changes, "k")
+        .as[(Long, String, String)].collect()
+      val bk = baseKeys.distinct.toSet
+      val ck = changeKeys.distinct.toSet
+      out.length == (bk ++ ck).size &&
+        out.forall { case (k, v, action) =>
+          action match {
+            case "keep"   => bk(k) && !ck(k) && v == s"b$k"
+            case "update" => bk(k) && ck(k) && v == s"c$k"
+            case "insert" => !bk(k) && ck(k) && v == s"c$k"
+            case _ => false
+          }
+        }
+    }
+
+  property("coOccurrence matches the in-memory pair-count reference") =
+    forAll(Gen.listOf(Gen.zip(Gen.choose(1L, 8L), Gen.choose(1L, 12L)))) {
+      rows =>
+      val s = spark
+      import s.implicits._
+      val want = rows.groupBy(_._1).values
+        .flatMap(g => g.map(_._2).distinct.sorted.combinations(2))
+        .toSeq.groupBy(identity).view
+        .mapValues(_.size.toLong)
+        .map { case (p, n) => (p(0), p(1), n) }.toSet
+      val got =
+        if (rows.isEmpty) Set.empty[(Long, Long, Long)]
+        else graft.operators.Relational.coOccurrence(
+          rows.toDF("g", "item"), "g", "item")
+          .as[(Long, Long, Long)].collect().toSet
+      got == want
+    }
 }

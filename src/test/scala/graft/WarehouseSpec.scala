@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{RankedEntry, TopKAggregator}
-import graft.operators.{Curation, Graph, Relational}
+import graft.operators.{Curation, Graph, Quality, Relational}
 
 /** Warehouse-lifecycle operators: SCD2 intervals, Z-order interleave,
   * bounded top-k aggregation, integer PageRank, stratified sampling.
@@ -158,6 +158,36 @@ class WarehouseSpec extends SparkSpec {
         assert(vals.sameElements(vals.sorted), "rows inside a file must be sorted")
       }
     }
+  }
+
+  test("fuzzyMatch finds within-block near-names and respects maxDist") {
+    val names = Seq((1L, "red ring"), (2L, "bed ring"), (3L, "red wing"),
+      (4L, "blue bolt"), (5L, "glue bolt"), (6L, "totally different"))
+      .toDF("id", "name")
+    val out = Relational.fuzzyMatch(names, "id", "name",
+      element_at(split(col("name"), " "), -1), maxDist = 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)]
+      .collect().sorted.toSeq
+    // (1,2) dist 1 same block "ring"; (4,5) dist 1 same block "bolt";
+    // (1,3) is dist 2 but DIFFERENT blocks (ring vs wing) -> blocked out:
+    // recall is a function of blocking quality, by design
+    assert(out == Seq((1L, 2L, 1L), (4L, 5L, 1L)), s"got $out")
+  }
+
+  test("Quality checks count violations without materializing rows") {
+    val li = Seq((1L, 5.0, "a"), (1L, -2.0, "b"), (2L, 60.0, null),
+      (9L, 10.0, "d")).toDF("fk", "qty", "tag")
+    val parent = Seq((1L, "x"), (2L, "y")).toDF("pk", "p")
+    val rep = Quality.report(Seq(
+      Quality.check("qty_range", li, col("qty") < 0 || col("qty") > 50),
+      Quality.check("tag_not_null", li, col("tag").isNull),
+      Quality.fkCheck("fk_parent", li, "fk", parent, "pk"),
+      Quality.uniqueCheck("pk_unique", parent, "pk")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep("qty_range") == (2L, 4L))
+    assert(rep("tag_not_null") == (1L, 4L))
+    assert(rep("fk_parent") == (1L, 4L), "fk=9 has no parent")
+    assert(rep("pk_unique") == (0L, 2L))
   }
 
   test("stratifiedSample applies per-stratum rates and is id-pure") {
