@@ -49,4 +49,27 @@ object Quality {
     require(checks.nonEmpty, "report needs at least one check")
     checks.reduce(_.unionByName(_))
   }
+
+  /** Split-balance drift: per stratum, how far split `a`'s share diverges
+    * from split `b`'s. The statistic is the cross-multiplied count
+    * imbalance `|n_a * N_b - n_b * N_a|` — zero iff the stratum's share
+    * is identical in both splits, and EXACT BIGINT arithmetic (the
+    * chi-square-style ratio would force engine-divergent floats; the
+    * cross-product orders strata identically without them).
+    *
+    * One groupBy on the stratum (partial-aggregated) + a broadcast of the
+    * two scalar totals: scales to any stratum cardinality.
+    */
+  def splitBalance(df: DataFrame, stratumCol: String, splitCol: String,
+      a: String, b: String): DataFrame = {
+    val perStratum = df.groupBy(col(stratumCol))
+      .agg(count(when(col(splitCol) === a, lit(1))).as("n_a"),
+        count(when(col(splitCol) === b, lit(1))).as("n_b"))
+    val totals = perStratum
+      .select(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"))
+    perStratum.crossJoin(broadcast(totals))
+      .select(col(stratumCol), col("n_a"), col("n_b"),
+        abs(col("n_a") * col("_tb") - col("n_b") * col("_ta"))
+          .as("imbalance"))
+  }
 }

@@ -173,6 +173,16 @@ object WarehouseQueries {
           col("dist"))
     }),
 
+    // Split-balance drift: per-language train-vs-test share imbalance of
+    // the q62 hash split, as the EXACT cross-multiplied count statistic
+    // |n_train*N_test - n_test*N_train| — the release gate that catches
+    // a skewed split before training does.
+    "q104_split_drift" -> ((s, d) =>
+      Quality.splitBalance(
+        Curation.hashSplit(Tables.documents(s, d), "doc_id",
+          Seq(("train", 90), ("val", 5), ("test", 5))),
+        "lang", "split", a = "train", b = "test")),
+
     // Declarative data-quality report: range, not-null, FK,
     // key-uniqueness and positivity checks, each one aggregate row —
     // violations are counted, never materialized.
@@ -272,6 +282,25 @@ object WarehouseQueries {
         |       CAST(levenshtein(a.txt, b.txt) AS BIGINT) AS dist
         |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
         |WHERE levenshtein(a.txt, b.txt) <= 3""".stripMargin,
+
+    "q104_split_drift" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |         CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 90 THEN 'train'
+        |              WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 95 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents
+        |), agg AS (
+        |  SELECT lang,
+        |         count(CASE WHEN split = 'train' THEN 1 END) AS n_a,
+        |         count(CASE WHEN split = 'test' THEN 1 END) AS n_b
+        |  FROM s GROUP BY lang
+        |), tot AS (
+        |  SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+        |  FROM agg
+        |)
+        |SELECT lang, n_a, n_b, abs(n_a * tb - n_b * ta) AS imbalance
+        |FROM agg, tot""".stripMargin,
 
     "q103_dq_report" ->
       """SELECT 'l_quantity_range' AS check_name,

@@ -190,6 +190,23 @@ class WarehouseSpec extends SparkSpec {
     assert(rep("pk_unique") == (0L, 2L))
   }
 
+  test("splitBalance: zero imbalance iff shares match across splits") {
+    // lang x: 6 train / 3 test; lang y: 4 train / 2 test -> both 2:1,
+    // perfectly proportional -> imbalance 0 for both
+    val even = (Seq.fill(6)(("x", "train")) ++ Seq.fill(3)(("x", "test")) ++
+      Seq.fill(4)(("y", "train")) ++ Seq.fill(2)(("y", "test")))
+      .toDF("lang", "split")
+    val ev = Quality.splitBalance(even, "lang", "split", "train", "test")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ev == Map("x" -> 0L, "y" -> 0L), s"proportional split must be 0: $ev")
+    // skew lang y entirely into train -> nonzero imbalance on both strata
+    val skewed = (Seq.fill(6)(("x", "train")) ++ Seq.fill(3)(("x", "test")) ++
+      Seq.fill(6)(("y", "train"))).toDF("lang", "split")
+    val sk = Quality.splitBalance(skewed, "lang", "split", "train", "test")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(sk("y") == 18L && sk("x") == 18L, s"skew must surface: $sk")
+  }
+
   test("stratifiedSample applies per-stratum rates and is id-pure") {
     val docs = (1L to 2000L).map(i =>
       (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
