@@ -24,14 +24,29 @@ case class RankedEntry(rank: Double, id: Long, sub: Long)
   * `ObjectHashAggregate` with map-side combine.
   *
   * Determinism: entries are totally ordered (rank DESC, id ASC, sub ASC),
-  * so reduce/merge order cannot change the result.
+  * so reduce/merge order cannot change the result. The rank comparison
+  * follows SQL `ORDER BY rank DESC` semantics exactly — NaN sorts as the
+  * GREATEST double (kept first, where a naive negate-and-compare would
+  * evict it) and -0.0 equals 0.0 — so the result matches the
+  * window-function form on every input, not just finite ranks.
   */
 class TopKAggregator(k: Int)
     extends Aggregator[RankedEntry, List[RankedEntry], Seq[RankedEntry]] {
   require(k > 0, s"k must be positive, got $k")
 
-  private val ord: Ordering[RankedEntry] =
-    Ordering.by((e: RankedEntry) => (-e.rank, e.id, e.sub))
+  // SQL-faithful: java.lang.Double.compare puts NaN above +Inf; the zero
+  // normalization makes -0.0 == 0.0 as SQL comparison does.
+  private def normZero(d: Double): Double = if (d == 0.0d) 0.0d else d
+  private val ord: Ordering[RankedEntry] = new Ordering[RankedEntry] {
+    override def compare(a: RankedEntry, b: RankedEntry): Int = {
+      val byRank = java.lang.Double.compare(normZero(b.rank), normZero(a.rank))
+      if (byRank != 0) byRank
+      else {
+        val byId = java.lang.Long.compare(a.id, b.id)
+        if (byId != 0) byId else java.lang.Long.compare(a.sub, b.sub)
+      }
+    }
+  }
 
   override def zero: List[RankedEntry] = Nil
 

@@ -75,6 +75,9 @@ object Curation {
       rates: Seq[(String, Int)], defaultRate: Int): DataFrame = {
     require((defaultRate +: rates.map(_._2)).forall(r => r >= 0 && r <= 100),
       s"rates must be percents in [0,100], got $rates default=$defaultRate")
+    require(rates.map(_._1).distinct.size == rates.size,
+      s"duplicate stratum keys in rates (each would duplicate its " +
+        s"stratum's sampled rows through the join): $rates")
     val spark = df.sparkSession
     val rateDf = spark.createDataFrame(rates).toDF(stratumCol, "_rate")
     df.join(broadcast(rateDf), Seq(stratumCol), "left")

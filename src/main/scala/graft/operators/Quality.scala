@@ -17,24 +17,35 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
-  /** One predicate check: rows where `violation` is true are defects. */
+  /** One predicate check: rows where `violation` is true are defects.
+    *
+    * SQL three-valued logic applies: a row where the predicate evaluates
+    * to NULL (e.g. `qty < 0` on a null qty) counts as CLEAN — same as the
+    * `count(CASE WHEN ... THEN 1 END)` oracle form. Pair every range/
+    * comparison check with an explicit `col.isNull` check when nulls are
+    * themselves defects; `violation || col.isNull` folds both into one.
+    */
   def check(name: String, df: DataFrame, violation: Column): DataFrame =
     df.select(
       lit(name).as("check_name"),
       count(when(violation, lit(1))).as("n_violations"),
       count(lit(1)).as("n_checked"))
 
-  /** Referential-integrity check: child rows whose key has no parent. */
+  /** Referential-integrity check: child rows whose key has no parent.
+    * ONE pass over the child: a left join against the distinct parent
+    * keys (broadcast when small) with a conditional count — not an
+    * anti-join branch plus a separate total-count scan.
+    */
   def fkCheck(name: String, child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String): DataFrame = {
-    val orphans = child
-      .join(parent.select(col(parentKey).as(childKey)).distinct(),
-        Seq(childKey), "left_anti")
-      .select(count(lit(1)).as("n_violations"))
-    val total = child.select(count(lit(1)).as("n_checked"))
-    orphans.crossJoin(total)
-      .select(lit(name).as("check_name"), col("n_violations"),
-        col("n_checked"))
+    val pk = parent.select(col(parentKey).as(childKey)).distinct()
+      .withColumn("_present", lit(1))
+    child.select(col(childKey))
+      .join(pk, Seq(childKey), "left")
+      .select(
+        lit(name).as("check_name"),
+        count(when(col("_present").isNull, lit(1))).as("n_violations"),
+        count(lit(1)).as("n_checked"))
   }
 
   /** Key-uniqueness check: duplicate keys count as violations. */

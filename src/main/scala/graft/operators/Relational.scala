@@ -192,16 +192,32 @@ object Relational {
     * present. At warehouse scale the changeset is usually ≪ base; the
     * outer-both-sides semantics rule out a broadcast, but AQE's skew
     * handling applies, and partitioned/bucketed base tables co-locate the
-    * join. This is the batch analogue of Delta/Iceberg MERGE INTO.
+    * join. This is the batch analogue of Delta/Iceberg MERGE INTO —
+    * including its multiple-match rule: a changeset with two rows for one
+    * key would silently DUPLICATE that key in the output, so by default a
+    * plan-level guard (window count + assert_true, no eager job; one
+    * extra shuffle of the small changeset) fails the job loudly instead.
+    * Pass `validateChanges = false` when the changeset is already proven
+    * key-unique upstream.
     */
-  def mergeUpsert(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+  def mergeUpsert(base: DataFrame, changes: DataFrame, key: String,
+      validateChanges: Boolean = true): DataFrame = {
     require(base.columns.sorted.sameElements(changes.columns.sorted),
       s"schemas must match: base=${base.columns.toSeq.sorted} " +
         s"changes=${changes.columns.toSeq.sorted}")
     val others = base.columns.filter(_ != key).toSeq
+    val checked =
+      if (!validateChanges) changes
+      else changes
+        .withColumn("_dup", count(lit(1)).over(Window.partitionBy(col(key))))
+        .filter(coalesce(assert_true(col("_dup") === 1,
+          lit(s"mergeUpsert: changeset has multiple rows for a '$key' value — " +
+            "MERGE semantics require at most one change row per key")),
+          lit(true)))
+        .drop("_dup")
     val b = base.select((col(key) +: others.map(c => col(c).as(s"_b_$c"))) :+
       lit(1).as("_b_present"): _*)
-    val c = changes.select((col(key) +: others.map(n => col(n).as(s"_c_$n"))) :+
+    val c = checked.select((col(key) +: others.map(n => col(n).as(s"_c_$n"))) :+
       lit(1).as("_c_present"): _*)
     b.join(c, Seq(key), "full_outer")
       .select((col(key) +:

@@ -77,10 +77,12 @@ private[sources] class RequestTable(path: String) extends Table with SupportsRea
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RequestScanBuilder(Option(path).getOrElse(options.get("path")))
+    new RequestScanBuilder(Option(path).getOrElse(options.get("path")),
+      Option(options.get("extensions")).getOrElse("jsonl,json"))
 }
 
-private[sources] class RequestScanBuilder(path: String) extends ScanBuilder
+private[sources] class RequestScanBuilder(path: String, extensions: String)
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = RequestWire.schema
@@ -105,14 +107,21 @@ private[sources] class RequestScanBuilder(path: String) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new RequestScan(path, required, pushed)
+  override def build(): Scan = new RequestScan(path, required, pushed, extensions)
 
   private val SchemaFields =
     RequestWire.schema.fieldNames.toSet
 }
 
 private[sources] class RequestScan(path: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], extensions: String) extends Scan with Batch {
+
+  // wire-contract file filter: *.jsonl/*.json by default so stray files
+  // (checksums, editor swap, _SUCCESS) don't parse as all-null rows.
+  // `.option("extensions", "")` disables it (read every non-hidden file —
+  // the spark.read.json parity mode); any comma list narrows it.
+  private val allowedSuffixes: Seq[String] =
+    extensions.split(",").map(_.trim).filter(_.nonEmpty).map("." + _).toSeq
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -129,7 +138,8 @@ private[sources] class RequestScan(path: String, required: StructType,
           throw new java.io.IOException(
             s"graft-requests: cannot list directory $path (IO/permission error)")
         listed.filter(f => f.isFile && !f.getName.startsWith(".") &&
-            (f.getName.endsWith(".jsonl") || f.getName.endsWith(".json")))
+            (allowedSuffixes.isEmpty ||
+              allowedSuffixes.exists(f.getName.endsWith)))
           .map(_.getAbsolutePath).sorted
       } else Array(path)
     files.map(f => RequestFilePartition(f): InputPartition)
@@ -209,20 +219,29 @@ private[sources] class RequestFileReader(file: String, fields: Array[String],
     out
   }
 
-  /** created_at as epoch micros, or null. Accepts both offset forms
-    * (`2024-01-01T00:00:00Z`, `+05:30`) and offset-less local timestamps
-    * (`2024-01-01T00:00:00`), the latter interpreted in the SESSION
-    * timezone — the same contract as Spark's own JSON reader default.
+  /** created_at as epoch micros, or null. Accepts the forms Spark's own
+    * lenient JSON timestamp parser takes: offset forms
+    * (`2024-01-01T00:00:00Z`, `+05:30`), offset-less local timestamps
+    * with either the `T` or space separator (`2024-01-01 00:00:00`), and
+    * bare dates (`2024-01-01`, midnight) — offset-less values interpreted
+    * in the SESSION timezone, matching `spark.read.json`.
     */
   private def tsValue(node: JsonNode): java.lang.Long = {
-    val s = text(node, "created_at")
-    if (s == null) return null
+    val raw = text(node, "created_at")
+    if (raw == null) return null
+    // normalize Spark's accepted space separator to ISO 'T'
+    val s = if (raw.length > 10 && raw.charAt(10) == ' ')
+      raw.substring(0, 10) + "T" + raw.substring(11) else raw
     try {
       val inst =
         try java.time.OffsetDateTime.parse(s).toInstant
         catch {
           case _: java.time.format.DateTimeParseException =>
-            java.time.LocalDateTime.parse(s).atZone(zone).toInstant
+            try java.time.LocalDateTime.parse(s).atZone(zone).toInstant
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                java.time.LocalDate.parse(s).atStartOfDay(zone).toInstant
+            }
         }
       java.lang.Long.valueOf(
         inst.getEpochSecond * 1000000L + inst.getNano / 1000L)

@@ -83,7 +83,9 @@ class RequestDataSourceSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-dsv2-ts").toFile
     Files.writeString(new java.io.File(dir, "a.jsonl").toPath,
       """{"ingestion_id":"T1","ids":[1],"priority":"LOW","created_at":"2024-03-05T06:07:08"}""" + "\n" +
-      """{"ingestion_id":"T2","ids":[2],"priority":"LOW","created_at":"2024-03-05T06:07:08+05:30"}""" + "\n")
+      """{"ingestion_id":"T2","ids":[2],"priority":"LOW","created_at":"2024-03-05T06:07:08+05:30"}""" + "\n" +
+      """{"ingestion_id":"T3","ids":[3],"priority":"LOW","created_at":"2024-03-05 06:07:08"}""" + "\n" +
+      """{"ingestion_id":"T4","ids":[4],"priority":"LOW","created_at":"2024-03-05"}""" + "\n")
     val v2 = spark.read.format("graft-requests").load(dir.getAbsolutePath)
       .orderBy("ingestion_id").select("created_at").collect().map(_.get(0))
     val v1 = graft.sources.RequestSource.jsonBatch(spark, dir.getAbsolutePath)
@@ -91,6 +93,23 @@ class RequestDataSourceSpec extends SparkSpec {
     assert(v2.toSeq == v1.toSeq,
       s"timestamp parity broke: v2=${v2.toSeq} json=${v1.toSeq}")
     assert(!v2.contains(null), "both timestamp forms must parse")
+  }
+
+  test("extensions option controls the file filter (default skips stray files)") {
+    val dir = Files.createTempDirectory("graft-dsv2-ext").toFile
+    Files.writeString(new java.io.File(dir, "a.jsonl").toPath,
+      """{"ingestion_id":"E1","ids":[1],"priority":"LOW","created_at":"2024-01-01T00:00:00Z"}""" + "\n")
+    Files.writeString(new java.io.File(dir, "requests.log").toPath,
+      """{"ingestion_id":"E2","ids":[2],"priority":"LOW","created_at":"2024-01-01T00:00:00Z"}""" + "\n")
+    Files.writeString(new java.io.File(dir, "_SUCCESS").toPath, "")
+    val deflt = spark.read.format("graft-requests").load(dir.getAbsolutePath)
+      .select("ingestion_id").collect().map(_.getString(0)).toSeq
+    assert(deflt == Seq("E1"), s"default must skip .log/_SUCCESS, got $deflt")
+    val all = spark.read.format("graft-requests")
+      .option("extensions", "").load(dir.getAbsolutePath)
+      .filter(col("ingestion_id").isNotNull)
+      .select("ingestion_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(all == Seq("E1", "E2"), s"extensions='' must read every file, got $all")
   }
 
   test("a row with a missing filtered field is excluded at the parser (SQL 3VL)") {

@@ -134,6 +134,43 @@ class WarehouseSpec extends SparkSpec {
       (9L, "new", 1, "insert")))
   }
 
+  test("mergeUpsert rejects a changeset with duplicate keys at execution") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("k", "v")
+    val ex = intercept[Exception] {
+      Relational.mergeUpsert(base, dup, "k").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("mergeUpsert")),
+      s"expected the duplicate-change guard to fire, got $ex")
+    // opt-out keeps the lazy path for pre-validated changesets
+    assert(Relational.mergeUpsert(base, dup, "k", validateChanges = false)
+      .count() == 2)
+  }
+
+  test("TopKAggregator matches the window form on NaN and -0.0 ranks") {
+    val df = Seq(
+      (1L, Double.NaN, 10L, 0L), (1L, 5.0, 11L, 0L), (1L, 7.0, 12L, 0L),
+      (2L, -0.0, 20L, 0L), (2L, 0.0, 21L, 0L), (2L, -1.0, 22L, 0L))
+      .toDF("g", "score", "id", "sub")
+    val agg = df
+      .select(col("g").as("_1"),
+        struct(col("score").as("rank"), col("id"), col("sub")).as("_2"))
+      .as[(Long, RankedEntry)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new TopKAggregator(2).toColumn.name("top"))
+      .toDF("g", "top")
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("g"), (col("pos") + 1).as("rnk"), col("e.id").as("id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("score").desc, col("id").asc, col("sub").asc)
+    val win = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 2)
+      .select(col("g"), col("rnk"), col("id"))
+    assert(agg.except(win).isEmpty && win.except(agg).isEmpty,
+      s"NaN/-0.0 ordering diverged: agg=${agg.collect().toSeq} win=${win.collect().toSeq}")
+  }
+
   test("writeShards bounds file size, partitions the tree, sorts within files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
     val rows = (1 to 500).map(i =>
