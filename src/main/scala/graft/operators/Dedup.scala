@@ -145,15 +145,17 @@ object Dedup {
         .join(labels.select(col("node").as("dst"), col("label").as("nlabel")), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("nlabel")).as("nlabel"))
+      // carry the previous label THROUGH the checkpoint so the
+      // convergence test is a local scan of checkpointed rows, not a
+      // labels-to-labels join job per round
       val updated = labels
         .join(neighborMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          col("label").as("_old"))
         .localCheckpoint()
-      converged = updated
-        .join(labels.withColumnRenamed("label", "_old"), Seq("node"))
-        .filter(col("label") =!= col("_old")).isEmpty
-      labels = updated
+      converged = updated.filter(col("label") =!= col("_old")).isEmpty
+      labels = updated.select(col("node"), col("label"))
       i += 1
     }
     // silent wrong clusters are worse than a loud failure: a component with

@@ -173,6 +173,31 @@ object WarehouseQueries {
           col("dist"))
     }),
 
+    // Nested (semi-structured) processing: denormalize lineitems into a
+    // per-order ARRAY<STRUCT>, then answer from the nested value with
+    // higher-order functions (aggregate / filter) — the document-model
+    // pattern. The groupBy is the only shuffle; the HOFs are row-local
+    // single-traversal lambdas (per the HOF-cost rule: one pass, no
+    // per-element re-evaluation of a building expression). All nested
+    // aggregations are order-independent, so no array sort is needed and
+    // collect_list's nondeterministic order cannot leak into the output.
+    "q105_nested_agg" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          struct(
+            floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+            col("l_returnflag").as("flag")).as("item"))
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(col("item")).as("items"))
+      items.select(
+        col("l_orderkey"),
+        size(col("items")).cast("long").as("n_items"),
+        aggregate(col("items"), lit(0L),
+          (acc, x) => acc + x.getField("cents")).as("total_cents"),
+        size(filter(col("items"),
+          x => x.getField("flag") === "R")).cast("long").as("n_returned"))
+    }),
+
     // Split-balance drift: per-language train-vs-test share imbalance of
     // the q62 hash split, as the EXACT cross-multiplied count statistic
     // |n_train*N_test - n_test*N_train| — the release gate that catches
@@ -282,6 +307,20 @@ object WarehouseQueries {
         |       CAST(levenshtein(a.txt, b.txt) AS BIGINT) AS dist
         |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
         |WHERE levenshtein(a.txt, b.txt) <= 3""".stripMargin,
+
+    "q105_nested_agg" ->
+      """WITH nested AS (
+        |  SELECT l_orderkey,
+        |         list(struct_pack(
+        |           cents := CAST(floor(l_extendedprice * 100) AS BIGINT),
+        |           flag := l_returnflag)) AS items
+        |  FROM lineitem GROUP BY l_orderkey
+        |)
+        |SELECT l_orderkey,
+        |       CAST(len(items) AS BIGINT) AS n_items,
+        |       CAST(list_sum(list_transform(items, x -> x.cents)) AS BIGINT) AS total_cents,
+        |       CAST(len(list_filter(items, x -> x.flag = 'R')) AS BIGINT) AS n_returned
+        |FROM nested""".stripMargin,
 
     "q104_split_drift" ->
       """WITH s AS (
