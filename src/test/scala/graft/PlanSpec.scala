@@ -1,0 +1,56 @@
+package graft
+
+/** Plan-shape regression guard: the physical properties SCALE.md claims
+  * are pinned here, so a refactor that silently de-optimizes a plan
+  * (loses a broadcast, adds an exchange, breaks codegen or the partial
+  * aggregate) fails CI instead of surfacing as a 100 TB incident.
+  * Queries run against the tiny sf0.001 fixture — only the PLAN matters.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q14 star join broadcasts every dimension (no fact-side shuffle join)") {
+    val p = plan("q14_star_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a dimension fell back to sort-merge:\n$p")
+  }
+
+  test("q96 zorder is exchange-free whole-stage codegen") {
+    val p = plan("q96_zorder")
+    assert(!p.contains("Exchange"), s"zorder must not shuffle:\n$p")
+    // the `*(n)` operator prefix is executedPlan.toString's marker for a
+    // whole-stage-codegen stage
+    assert(p.contains("*(1) Project"), s"zorder must codegen:\n$p")
+  }
+
+  test("q97 range window plans exactly one exchange") {
+    val p = plan("q97_time_range_agg")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly one exchange:\n$p")
+  }
+
+  test("q98 bounded top-k runs as a partial ObjectHashAggregate") {
+    val p = plan("q98_topk_bounded")
+    assert(p.contains("ObjectHashAggregate"), s"expected object agg:\n$p")
+    assert(p.contains("partial_topkaggregator"),
+      s"map-side partial aggregation lost:\n$p")
+  }
+
+  test("q13 pricing summary partial-aggregates before its single exchange") {
+    val p = plan("q13_pricing_summary")
+    assert(p.contains("partial_"), s"map-side combine lost:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly one exchange:\n$p")
+  }
+
+  test("q01 validation filter reaches the parquet scan as pushed filters") {
+    val p = plan("q01_validate")
+    assert(p.contains("PushedFilters: [IsNotNull"),
+      s"pushdown missing from scan:\n$p")
+  }
+}

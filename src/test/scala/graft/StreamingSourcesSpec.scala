@@ -80,6 +80,27 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static dimension join enriches map-side in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val dims = Seq((1L, "gold"), (2L, "silver")).toDF("cust", "tier")
+    val input = MemoryStream[(Long, Long)]
+    val joined = input.toDF().toDF("order_id", "cust")
+      .join(broadcast(dims), Seq("cust"), "left")
+    val query = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      input.addData((100L, 1L), (101L, 2L), (102L, 9L))
+      query.processAllAvailable()
+      val rows = spark.table("ss_join")
+        .select("order_id", "tier").as[(Long, Option[String])]
+        .collect().sortBy(_._1).toSeq
+      // static dim enriches every micro-batch; an unknown key survives
+      // the left join with a null tier (no row loss)
+      assert(rows == Seq((100L, Some("gold")), (101L, Some("silver")),
+        (102L, None)), s"got $rows")
+    } finally query.stop()
+  }
+
   test("streaming dedup suppresses duplicate ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
