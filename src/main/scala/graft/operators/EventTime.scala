@@ -180,4 +180,38 @@ object EventTime {
         col("n_events"), col("session_start_us"), col("session_end_us"),
         (col("session_end_us") - col("session_start_us")).as("duration_us"))
   }
+
+  /** Peak interval concurrency per group (sweep line): each half-open
+    * interval [start, end) contributes +1 at its start and -1 at its end;
+    * the running sum of per-timestamp NET deltas is the number of
+    * concurrently open intervals, and the peak is its max (earliest
+    * attaining timestamp as the deterministic tie-break). The
+    * per-timestamp pre-aggregation makes the half-open convention exact:
+    * an interval ending at t closes before one starting at t opens, with
+    * no dependence on row order among ties.
+    *
+    * Scale: the sweep is a keyed window — one shuffle on `groupCol`, each
+    * group's timeline sorted locally. That bounds parallelism at the
+    * group count; for a GLOBAL sweep (one group spanning the cluster),
+    * range-partition by time and prefix-sum the per-partition totals —
+    * the segmented-scan construction — rather than one giant partition.
+    */
+  def peakConcurrency(df: DataFrame, groupCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val deltas = df
+      .select(col(groupCol).as("_g"), col(startCol).as("_t"), lit(1L).as("_d"))
+      .unionByName(df.select(col(groupCol).as("_g"), col(endCol).as("_t"),
+        lit(-1L).as("_d")))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_t"))
+    val conc = deltas
+      .groupBy(col("_g"), col("_t")).agg(sum(col("_d")).as("_net"))
+      .withColumn("_conc", sum(col("_net"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    conc
+      .withColumn("_mx", max(col("_conc")).over(Window.partitionBy(col("_g"))))
+      .filter(col("_conc") === col("_mx"))
+      .groupBy(col("_g"))
+      .agg(max(col("_mx")).as("peak"), min(col("_t")).as("peak_at"))
+      .select(col("_g").as(groupCol), col("peak"), col("peak_at"))
+  }
 }

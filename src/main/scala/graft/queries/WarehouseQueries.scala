@@ -173,6 +173,17 @@ object WarehouseQueries {
           col("dist"))
     }),
 
+    // Interval concurrency (sweep line): treating each order as open for
+    // 30 days, the peak number of simultaneously open orders per
+    // priority and when it was first reached — the resource-utilization
+    // analytic (concurrent sessions, active jobs, overlapping stays).
+    "q106_peak_concurrency" -> ((s, d) =>
+      graft.operators.EventTime.peakConcurrency(
+        Tables.orders(s, d).select(col("o_orderpriority"),
+          col("o_orderdate").as("start_at"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("end_at")),
+        "o_orderpriority", "start_at", "end_at")),
+
     // Nested (semi-structured) processing: denormalize lineitems into a
     // per-order ARRAY<STRUCT>, then answer from the nested value with
     // higher-order functions (aggregate / filter) — the document-model
@@ -307,6 +318,30 @@ object WarehouseQueries {
         |       CAST(levenshtein(a.txt, b.txt) AS BIGINT) AS dist
         |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
         |WHERE levenshtein(a.txt, b.txt) <= 3""".stripMargin,
+
+    "q106_peak_concurrency" ->
+      """WITH iv AS (
+        |  SELECT o_orderpriority AS g, o_orderdate AS s,
+        |         o_orderdate + INTERVAL 30 DAY AS e
+        |  FROM orders
+        |), deltas AS (
+        |  SELECT g, s AS t, 1 AS d FROM iv
+        |  UNION ALL
+        |  SELECT g, e, -1 FROM iv
+        |), net AS (
+        |  SELECT g, t, CAST(sum(d) AS BIGINT) AS net
+        |  FROM deltas GROUP BY g, t
+        |), conc AS (
+        |  SELECT g, t,
+        |         CAST(sum(net) OVER (PARTITION BY g ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+        |  FROM net
+        |), mx AS (
+        |  SELECT g, t, c, max(c) OVER (PARTITION BY g) AS m FROM conc
+        |)
+        |SELECT g AS o_orderpriority, CAST(max(m) AS BIGINT) AS peak,
+        |       min(t) AS peak_at
+        |FROM mx WHERE c = m GROUP BY g""".stripMargin,
 
     "q105_nested_agg" ->
       """WITH nested AS (

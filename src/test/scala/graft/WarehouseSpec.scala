@@ -244,6 +244,19 @@ class WarehouseSpec extends SparkSpec {
     assert(sk("y") == 18L && sk("x") == 18L, s"skew must surface: $sk")
   }
 
+  test("peakConcurrency sweeps half-open intervals correctly") {
+    val iv = Seq(
+      ("a", 0L, 10L), ("a", 5L, 15L), ("a", 9L, 12L),
+      // half-open: [0,5) and [5,10) never overlap
+      ("b", 0L, 5L), ("b", 5L, 10L))
+      .toDF("g", "s", "e")
+    val out = graft.operators.EventTime.peakConcurrency(iv, "g", "s", "e")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("a") == (3L, 9L), s"expected peak 3 first at t=9, got ${out("a")}")
+    assert(out("b") == (1L, 0L),
+      s"touching half-open intervals must not overlap, got ${out("b")}")
+  }
+
   test("stratifiedSample applies per-stratum rates and is id-pure") {
     val docs = (1L to 2000L).map(i =>
       (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
