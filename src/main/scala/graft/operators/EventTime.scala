@@ -198,9 +198,16 @@ object EventTime {
     */
   def peakConcurrency(df: DataFrame, groupCol: String, startCol: String,
       endCol: String): DataFrame = {
-    val deltas = df
+    // a null endpoint would sort NULLS FIRST into the sweep and zero out
+    // the whole group's running sum — fail loudly at execution instead
+    val guarded = df.filter(coalesce(assert_true(
+      col(startCol).isNotNull && col(endCol).isNotNull,
+      lit(s"peakConcurrency: null interval endpoint in ($startCol, $endCol) " +
+        "— filter or repair open-ended intervals before the sweep")),
+      lit(true)))
+    val deltas = guarded
       .select(col(groupCol).as("_g"), col(startCol).as("_t"), lit(1L).as("_d"))
-      .unionByName(df.select(col(groupCol).as("_g"), col(endCol).as("_t"),
+      .unionByName(guarded.select(col(groupCol).as("_g"), col(endCol).as("_t"),
         lit(-1L).as("_d")))
     val w = Window.partitionBy(col("_g")).orderBy(col("_t"))
     val conc = deltas

@@ -69,16 +69,27 @@ object Quality {
     * cross-product orders strata identically without them).
     *
     * One groupBy on the stratum (partial-aggregated) + a broadcast of the
-    * two scalar totals: scales to any stratum cardinality.
+    * two scalar totals: scales to any stratum cardinality. Overflow
+    * bound: the cross products stay exact while per-stratum counts and
+    * split totals are both below ~3·10⁹ (their product must fit a
+    * BIGINT); past that the plan-level guard fails loudly rather than
+    * letting non-ANSI arithmetic wrap into a garbage gate value.
     */
   def splitBalance(df: DataFrame, stratumCol: String, splitCol: String,
       a: String, b: String): DataFrame = {
+    val lim = 3000000000L // sqrt(Long.MaxValue) ≈ 3.037e9
     val perStratum = df.groupBy(col(stratumCol))
       .agg(count(when(col(splitCol) === a, lit(1))).as("n_a"),
         count(when(col(splitCol) === b, lit(1))).as("n_b"))
     val totals = perStratum
       .select(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"))
     perStratum.crossJoin(broadcast(totals))
+      .filter(coalesce(assert_true(
+        col("n_a") < lim && col("n_b") < lim &&
+          col("_ta") < lim && col("_tb") < lim,
+        lit("splitBalance: counts exceed the exact-BIGINT cross-product " +
+          "bound (~3e9) — pre-aggregate strata or sample before gating")),
+        lit(true)))
       .select(col(stratumCol), col("n_a"), col("n_b"),
         abs(col("n_a") * col("_tb") - col("n_b") * col("_ta"))
           .as("imbalance"))

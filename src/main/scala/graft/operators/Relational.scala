@@ -208,13 +208,19 @@ object Relational {
     val others = base.columns.filter(_ != key).toSeq
     val checked =
       if (!validateChanges) changes
-      else changes
-        .withColumn("_dup", count(lit(1)).over(Window.partitionBy(col(key))))
-        .filter(coalesce(assert_true(col("_dup") === 1,
-          lit(s"mergeUpsert: changeset has multiple rows for a '$key' value — " +
-            "MERGE semantics require at most one change row per key")),
-          lit(true)))
-        .drop("_dup")
+      else {
+        // collision-proof internal name: a data column named "_dup" must
+        // survive the guard untouched
+        val dupCol = Iterator.from(0).map(i => s"_graft_dup$i")
+          .find(!changes.columns.contains(_)).get
+        changes
+          .withColumn(dupCol, count(lit(1)).over(Window.partitionBy(col(key))))
+          .filter(coalesce(assert_true(col(dupCol) === 1,
+            lit(s"mergeUpsert: changeset has multiple rows for a '$key' value — " +
+              "MERGE semantics require at most one change row per key")),
+            lit(true)))
+          .drop(dupCol)
+      }
     val b = base.select((col(key) +: others.map(c => col(c).as(s"_b_$c"))) :+
       lit(1).as("_b_present"): _*)
     val c = checked.select((col(key) +: others.map(n => col(n).as(s"_c_$n"))) :+

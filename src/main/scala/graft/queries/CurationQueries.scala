@@ -13,9 +13,8 @@ import graft.sources.Tables
   */
 object CurationQueries {
 
-  /** DuckDB mirror of Curation.hashBucket. */
   private def bucketSql(id: String, buckets: Int): String =
-    s"(('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 8))::BIGINT % $buckets)"
+    OracleSql.bucketSql(id, buckets)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic 90/5/5 split with per-(lang, split) accounting. The

@@ -342,9 +342,7 @@ object DedupQueries {
          |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
          |)
          |SELECT doc_id, cluster_id,
-         |  CASE WHEN (('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 90 THEN 'train'
-         |       WHEN (('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 95 THEN 'val'
-         |       ELSE 'test' END AS split
+         |  ${OracleSql.splitCaseSql("cluster_id")} AS split
          |FROM wc""".stripMargin,
 
     "q91_source_overlap" ->

@@ -358,11 +358,9 @@ object WarehouseQueries {
         |FROM nested""".stripMargin,
 
     "q104_split_drift" ->
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT lang,
-        |         CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 90 THEN 'train'
-        |              WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 95 THEN 'val'
-        |              ELSE 'test' END AS split
+        |         ${OracleSql.splitCaseSql("doc_id")} AS split
         |  FROM documents
         |), agg AS (
         |  SELECT lang,
@@ -400,11 +398,11 @@ object WarehouseQueries {
         |FROM orders""".stripMargin,
 
     "q100_stratified_sample" ->
-      """SELECT doc_id, lang, source
+      s"""SELECT doc_id, lang, source
         |FROM (SELECT d.doc_id, d.lang, d.source,
         |             coalesce(r.rate, 10) AS rate
         |      FROM documents d
         |      LEFT JOIN (VALUES ('en', 50), ('de', 25)) r(lang, rate)
         |        ON d.lang = r.lang)
-        |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < rate""".stripMargin)
+        |WHERE ${OracleSql.bucketSql("doc_id", 100)} < rate""".stripMargin)
 }

@@ -120,8 +120,11 @@ private[sources] class RequestScan(path: String, required: StructType,
   // (checksums, editor swap, _SUCCESS) don't parse as all-null rows.
   // `.option("extensions", "")` disables it (read every non-hidden file —
   // the spark.read.json parity mode); any comma list narrows it.
+  // tolerate a spelled leading dot (".jsonl") and match case-insensitively
   private val allowedSuffixes: Seq[String] =
-    extensions.split(",").map(_.trim).filter(_.nonEmpty).map("." + _).toSeq
+    extensions.split(",").map(_.trim).filter(_.nonEmpty)
+      .map(e => "." + e.stripPrefix(".").toLowerCase(java.util.Locale.ROOT))
+      .toSeq
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -137,10 +140,11 @@ private[sources] class RequestScan(path: String, required: StructType,
         if (listed == null)
           throw new java.io.IOException(
             s"graft-requests: cannot list directory $path (IO/permission error)")
-        listed.filter(f => f.isFile && !f.getName.startsWith(".") &&
-            (allowedSuffixes.isEmpty ||
-              allowedSuffixes.exists(f.getName.endsWith)))
-          .map(_.getAbsolutePath).sorted
+        listed.filter { f =>
+          val lower = f.getName.toLowerCase(java.util.Locale.ROOT)
+          f.isFile && !f.getName.startsWith(".") &&
+            (allowedSuffixes.isEmpty || allowedSuffixes.exists(lower.endsWith))
+        }.map(_.getAbsolutePath).sorted
       } else Array(path)
     files.map(f => RequestFilePartition(f): InputPartition)
   }
@@ -219,33 +223,20 @@ private[sources] class RequestFileReader(file: String, fields: Array[String],
     out
   }
 
-  /** created_at as epoch micros, or null. Accepts the forms Spark's own
-    * lenient JSON timestamp parser takes: offset forms
-    * (`2024-01-01T00:00:00Z`, `+05:30`), offset-less local timestamps
-    * with either the `T` or space separator (`2024-01-01 00:00:00`), and
-    * bare dates (`2024-01-01`, midnight) — offset-less values interpreted
-    * in the SESSION timezone, matching `spark.read.json`.
+  /** created_at as epoch micros, or null. Delegates to Spark's OWN lenient
+    * timestamp parser (`DateTimeUtils.stringToTimestamp` — the fallback
+    * behind the JSON reader's default), so every form that parser accepts
+    * (offsets, `T` or space separator, non-padded segments like
+    * `2024-1-5 6:7:8`, bare dates) parses identically here: the V1/V2
+    * parity is by construction, not by re-implementation.
     */
   private def tsValue(node: JsonNode): java.lang.Long = {
     val raw = text(node, "created_at")
     if (raw == null) return null
-    // normalize Spark's accepted space separator to ISO 'T'
-    val s = if (raw.length > 10 && raw.charAt(10) == ' ')
-      raw.substring(0, 10) + "T" + raw.substring(11) else raw
-    try {
-      val inst =
-        try java.time.OffsetDateTime.parse(s).toInstant
-        catch {
-          case _: java.time.format.DateTimeParseException =>
-            try java.time.LocalDateTime.parse(s).atZone(zone).toInstant
-            catch {
-              case _: java.time.format.DateTimeParseException =>
-                java.time.LocalDate.parse(s).atStartOfDay(zone).toInstant
-            }
-        }
-      java.lang.Long.valueOf(
-        inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
-    } catch { case _: Exception => null }
+    org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .stringToTimestamp(UTF8String.fromString(raw), zone)
+      .map(java.lang.Long.valueOf)
+      .orNull
   }
 
   private def isNullField(node: JsonNode, field: String): Boolean = field match {
