@@ -338,6 +338,119 @@ object Multimodal {
       }
     }
 
+  // --------------------------------------- REAL multi-frame (video-ish) codec
+  // Animated GIF via javax.imageio's sequence writer/reader — the JDK's one
+  // genuinely multi-frame container. This makes the frame-extraction path
+  // REAL end-to-end (encode N frames → decode N frames → per-frame stats);
+  // only true video containers (mp4 etc.) remain stubbed, since the JDK has
+  // no demuxer for them.
+
+  /** REAL animated-GIF encode: one solid-fill frame per color in
+    * `frameColors` (0xRRGGBB each). Solid fills are exact under GIF's
+    * 256-color palette (one color per frame), so the decode side
+    * roundtrips losslessly — the basis of the q107 multi-frame proof.
+    */
+  def encodeGifAnimation(width: Int, height: Int,
+      frameColors: Seq[Int]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(frameColors.nonEmpty, "need at least one frame")
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frameColors.foreach { rgb =>
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** REAL multi-frame decode: GIF bytes → one entry per frame
+    * (frame_idx, width, height, mean R/G/B). Empty on non-decodable
+    * payloads — skip-not-crash, like every codec here.
+    */
+  def decodeGifFrames(content: Array[Byte]): Seq[(Int, Int, Int, Double, Double, Double)] = {
+    if (content == null || content.isEmpty) return Nil
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      (0 until n).map { i =>
+        val img = reader.read(i)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val np = w.toLong * h
+        (i, w, h, sr.toDouble / np, sg.toDouble / np, sb.toDouble / np)
+      }
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+    finally reader.dispose()
+  }
+
+  /** Deterministic animated-GIF synthesis stage:
+    * (media_id, width, height, n_frames, base_rgb) → (media_id, content).
+    * Frame i's color channels are (base_r+29i, base_g+31i, base_b+37i)
+    * mod 256 — arithmetic the oracle reproduces without a codec.
+    */
+  def synthesizeGif(spec: DataFrame): DataFrame =
+    batchedStage(spec, Seq("media_id", "width", "height", "n_frames", "base_rgb"),
+      StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("content", BinaryType)))) { r =>
+      val base = r.getInt(4)
+      val colors = (0 until r.getInt(3)).map { i =>
+        val cr = (((base >> 16) & 0xFF) + 29 * i) % 256
+        val cg = (((base >> 8) & 0xFF) + 31 * i) % 256
+        val cb = ((base & 0xFF) + 37 * i) % 256
+        (cr << 16) | (cg << 8) | cb
+      }
+      Some(Row(r.getLong(0),
+        encodeGifAnimation(r.getInt(1), r.getInt(2), colors)))
+    }
+
+  /** Batched REAL frame extraction: every GIF frame becomes one output row
+    * with its index, dims, and channel means. Exploded output — the
+    * multi-frame analogue of decodeImages; binaries stay row-local.
+    */
+  def decodeFrames(media: DataFrame): DataFrame =
+    batchedStage(media, Seq("media_id", "content"), StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))) { r =>
+      decodeGifFrames(r.getAs[Array[Byte]](1)).map {
+        case (i, w, h, mr, mg, mb) => Row(r.getLong(0), i, w, h, mr, mg, mb)
+      }
+    }
+
   /** Deterministic PNG synthesis: (media_id, width, height, rgb) →
     * (media_id, content BINARY). The encode side of the q61 roundtrip proof;
     * also how tests materialize real image bytes without fixture files.

@@ -94,6 +94,28 @@ object MultimodalQueries {
           col("mean_r"), col("mean_g"), col("mean_b"))
     }),
 
+    // REAL multi-frame codec roundtrip (animated GIF via javax.imageio's
+    // sequence API): synthesize 2-5 solid-fill frames per document with
+    // per-frame colors stepped arithmetically, decode the BYTES back to
+    // one row per frame. Solid fills are exact under GIF's palette, so
+    // the oracle recomputes frame count, dims, and channel means without
+    // a codec — a stub or wrong frame extraction cannot hash-match.
+    "q107_gif_frames" -> ((s, d) => {
+      val spec = Tables.documents(s, d)
+        .filter(col("doc_id") % 5 === 0)
+        .select(
+          col("doc_id").as("media_id"),
+          (col("n_chars") % 24 + 4).cast("int").as("width"),
+          (col("n_chars") % 16 + 4).cast("int").as("height"),
+          (col("doc_id") % 4 + 2).cast("int").as("n_frames"),
+          ((col("doc_id") % 256) * 65536 + (col("doc_id") * 7 % 256) * 256
+            + col("doc_id") * 13 % 256).cast("int").as("base_rgb"))
+      Multimodal.decodeFrames(Multimodal.synthesizeGif(spec))
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
+
     // REAL audio codec roundtrip (javax.sound.sampled): synthesize a mono
     // 16-bit PCM square wave per document, decode the BYTES back. A ±amp
     // square wave's RMS is exactly |amp| (integer square sums, one sqrt),
@@ -136,6 +158,16 @@ object MultimodalQueries {
         |       CAST(doc_id * 7 % 256 AS DOUBLE) AS mean_g,
         |       CAST(doc_id * 13 % 256 AS DOUBLE) AS mean_b
         |FROM documents""".stripMargin,
+
+    "q107_gif_frames" ->
+      """SELECT doc_id AS media_id, i AS frame_idx,
+        |       CAST(n_chars % 24 + 4 AS INT) AS width,
+        |       CAST(n_chars % 16 + 4 AS INT) AS height,
+        |       CAST((doc_id % 256 + 29 * i) % 256 AS DOUBLE) AS mean_r,
+        |       CAST((doc_id * 7 % 256 + 31 * i) % 256 AS DOUBLE) AS mean_g,
+        |       CAST((doc_id * 13 % 256 + 37 * i) % 256 AS DOUBLE) AS mean_b
+        |FROM documents, UNNEST(range(0, doc_id % 4 + 2)) u(i)
+        |WHERE doc_id % 5 = 0""".stripMargin,
 
     "q85_audio_decode" ->
       """SELECT doc_id AS media_id,

@@ -146,4 +146,21 @@ class MultimodalSpec extends SparkSpec {
     // 70 bytes -> windows [32,32,6], stride 2 keeps idx 0 and 2
     assert(frames.toSeq == Seq((2L, 0, 32), (2L, 2, 6)))
   }
+
+  test("animated GIF roundtrip: frame count, order, and exact fills") {
+    val colors = Seq(0xFF0000, 0x00FF00, 0x0000FF, 0x102030)
+    val bytes = Multimodal.encodeGifAnimation(9, 5, colors)
+    val frames = Multimodal.decodeGifFrames(bytes)
+    assert(frames.size == 4, s"expected 4 frames, got ${frames.size}")
+    frames.zip(colors).foreach { case ((i, w, h, mr, mg, mb), rgb) =>
+      assert((w, h) == ((9, 5)))
+      assert((mr, mg, mb) ==
+        (((rgb >> 16) & 0xFF).toDouble, ((rgb >> 8) & 0xFF).toDouble,
+          (rgb & 0xFF).toDouble),
+        s"frame $i fill drifted: got ($mr,$mg,$mb) for ${rgb.toHexString}")
+    }
+    assert(frames.map(_._1) == (0 until 4), "frame order must be encode order")
+    // garbage -> empty (skip, not crash)
+    assert(Multimodal.decodeGifFrames("not a gif".getBytes).isEmpty)
+  }
 }
