@@ -90,12 +90,42 @@ case class DotProduct(left: Expression, right: Expression)
 /** Registration of graft's native SQL functions. */
 object GraftFunctions {
 
+  /** SQL form of `Relational.zorderValue`: graft_zorder(bits, c1, c2, …)
+    * builds the identical shift/mask interleave tree from raw Catalyst
+    * expressions (ShiftLeft/ShiftRight/BitwiseAnd/Add over longs), so the
+    * SQL-first path gets the same codegen'd plan as the Column builder.
+    * `bits` must be a foldable literal — it shapes the expression tree.
+    */
+  private def zorderBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Cast, Literal, ShiftLeft, ShiftRight}
+    import org.apache.spark.sql.types.LongType
+    require(exprs.length >= 2,
+      s"graft_zorder(bits, col1[, col2...]) needs >= 2 arguments, got ${exprs.length}")
+    val bitsE = exprs.head
+    require(bitsE.foldable, "graft_zorder: bits must be a literal")
+    val bits = bitsE.eval().asInstanceOf[Number].intValue()
+    val cols = exprs.tail
+    val k = cols.size
+    require(bits > 0 && bits * k <= 63,
+      s"graft_zorder: bits*cols must fit a positive long, got $bits*$k")
+    cols.zipWithIndex.flatMap { case (c, j) =>
+      val longC = Cast(c, LongType)
+      (0 until bits).map { i =>
+        ShiftLeft(BitwiseAnd(ShiftRight(longC, Literal(i)), Literal(1L)),
+          Literal(i * k + j)): Expression
+      }
+    }.reduce(Add(_, _))
+  }
+
   val functions: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("graft_dot", exprs => {
       require(exprs.length == 2,
         s"graft_dot requires exactly 2 arguments, got ${exprs.length}")
       DotProduct(exprs(0), exprs(1))
-    }, "graft_dot(a, b) - dot product of two ARRAY<DOUBLE> vectors"))
+    }, "graft_dot(a, b) - dot product of two ARRAY<DOUBLE> vectors"),
+    ("graft_zorder", zorderBuilder,
+      "graft_zorder(bits, c1, c2, ...) - Z-order (Morton) bit-interleave " +
+        "of the low `bits` bits of each column"))
 
   /** Session-scoped registration (temp functions) — used by the query layer
     * and tests. Idempotent.

@@ -30,6 +30,22 @@ class FunctionsSpec extends SparkSpec {
     assert(out == Seq(11.0, 2.0))
   }
 
+  test("graft_zorder SQL form equals the Column builder bit-for-bit") {
+    GraftFunctions.register(spark)
+    // known value: x=3 (bits at 0,2), y=5 (bits at 1,5) -> 39
+    assert(spark.sql("SELECT graft_zorder(3, 3L, 5L) z").head().getLong(0) == 39L)
+    val df = (1L to 200L).map(i => (i, (i * 37) % 97)).toDF("x", "y")
+    val viaSql = df.selectExpr("x", "graft_zorder(8, x, y) AS z")
+    val viaCol = df.select(org.apache.spark.sql.functions.col("x"),
+      graft.operators.Relational.zorderValue(
+        Seq(org.apache.spark.sql.functions.col("x"),
+          org.apache.spark.sql.functions.col("y")), 8).as("z"))
+    assert(viaSql.except(viaCol).isEmpty && viaCol.except(viaSql).isEmpty)
+    // bits must be a literal (it shapes the expression tree)
+    val ex = intercept[Exception](spark.sql("SELECT graft_zorder(x, x, x) FROM VALUES (1L) t(x)").collect())
+    assert(ex.getMessage.contains("literal") || ex.getMessage.contains("graft_zorder"))
+  }
+
   test("GraftExtensions wires injection without error") {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
