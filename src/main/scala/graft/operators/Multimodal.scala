@@ -297,7 +297,9 @@ object Multimodal {
     * Image rows decode for REAL (javax.imageio): [w, h, meanR/255,
     * meanG/255, meanB/255, 0...]. Audio rows decode for REAL
     * (javax.sound.sampled): [rate, channels, frames, rms/32768, 0...].
-    * Video rows and undecodable payloads take the histogram stub.
+    * Video rows try the REAL multi-frame GIF decoder first
+    * ([n_frames, w, h, first/mid/last-frame mean luma/255, 0...]);
+    * non-GIF containers and undecodable payloads take the histogram stub.
     */
   def extractFeatures(media: DataFrame): DataFrame =
     batchedStage(media, Seq("media_id", "kind", "content"), StructType(Seq(
@@ -317,6 +319,18 @@ object Multimodal {
               (rms / 32768.0).toFloat,
               0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
         }.getOrElse(decodeToFeaturesStub(content))
+        case "video" =>
+          val frames = decodeGifFrames(content)
+          if (frames.isEmpty) decodeToFeaturesStub(content)
+          else {
+            def luma(f: (Int, Int, Int, Double, Double, Double)): Float =
+              ((0.299 * f._4 + 0.587 * f._5 + 0.114 * f._6) / 255.0).toFloat
+            val (first, mid, last) =
+              (frames.head, frames(frames.size / 2), frames.last)
+            Array[Float](frames.size.toFloat, first._2.toFloat,
+              first._3.toFloat, luma(first), luma(mid), luma(last),
+              0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+          }
         case _ => decodeToFeaturesStub(content)
       }
       Some(Row(r.getLong(0), feats.toSeq))

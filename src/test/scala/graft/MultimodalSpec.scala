@@ -147,6 +147,23 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.toSeq == Seq((2L, 0, 32), (2L, 2, 6)))
   }
 
+  test("extractFeatures: GIF-payload video rows take the real frame decoder") {
+    val gif = Multimodal.encodeGifAnimation(6, 4,
+      Seq(0x000000, 0xFFFFFF, 0x000000)) // luma 0, 1, 0
+    val rows = Seq(
+      (1L, "video", gif),
+      (2L, "video", "not a container".getBytes)) // falls back to the stub
+      .toDF("media_id", "kind", "content")
+    val feats = Multimodal.extractFeatures(rows)
+      .as[(Long, Seq[Float])].collect().toMap
+    val real = feats(1L)
+    assert(real.take(3) == Seq(3f, 6f, 4f), s"n_frames/dims wrong: $real")
+    assert(real(3) == 0f && real(5) == 0f, "first/last frame luma must be 0")
+    assert(real(4) > 0.99f, "middle frame luma must be ~1")
+    assert(feats(2L) != real && feats(2L).size == 16,
+      "non-GIF video keeps the 16-dim stub contract")
+  }
+
   test("animated GIF roundtrip: frame count, order, and exact fills") {
     val colors = Seq(0xFF0000, 0x00FF00, 0x0000FF, 0x102030)
     val bytes = Multimodal.encodeGifAnimation(9, 5, colors)
