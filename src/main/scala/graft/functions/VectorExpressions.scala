@@ -106,7 +106,8 @@ object GraftFunctions {
     val bits = bitsE.eval().asInstanceOf[Number].intValue()
     val cols = exprs.tail
     val k = cols.size
-    require(bits > 0 && bits * k <= 63,
+    // bits.toLong: an Int product could wrap negative and bypass the check
+    require(bits > 0 && bits.toLong * k <= 63,
       s"graft_zorder: bits*cols must fit a positive long, got $bits*$k")
     cols.zipWithIndex.flatMap { case (c, j) =>
       val longC = Cast(c, LongType)
@@ -143,8 +144,12 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftFunctions.functions.foreach { case (name, builder, usage) =>
+      // per-function class attribution: DESCRIBE FUNCTION EXTENDED must not
+      // claim every graft function is DotProduct
+      val clazz = if (name == "graft_dot") classOf[DotProduct].getName
+        else GraftFunctions.getClass.getName
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(classOf[DotProduct].getName, name, usage),
+        new ExpressionInfo(clazz, name, usage),
         builder))
     }
 }

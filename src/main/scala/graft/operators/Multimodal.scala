@@ -72,20 +72,8 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
       if (img == null) None
       else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        var (sr, sg, sb) = (0L, 0L, 0L)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = img.getRGB(x, y)
-            sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-            x += 1
-          }
-          y += 1
-        }
-        val n = w.toLong * h
-        Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+        val (mr, mg, mb) = meanRgb(img)
+        Some((img.getWidth, img.getHeight, mr, mg, mb))
       }
       // NonFatal, not just IOException: imageio readers throw unchecked
       // exceptions (AIOOBE, NegativeArraySize, IllegalArgument) on corrupt
@@ -98,16 +86,8 @@ object Multimodal {
     * the basis of the oracle-checked q61 codec proof. */
   def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
-    val img = new java.awt.image.BufferedImage(
-      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
-      y += 1
-    }
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    javax.imageio.ImageIO.write(solidImage(width, height, rgb), "png", out)
     out.toByteArray
   }
 
@@ -319,18 +299,13 @@ object Multimodal {
               (rms / 32768.0).toFloat,
               0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
         }.getOrElse(decodeToFeaturesStub(content))
-        case "video" =>
-          val frames = decodeGifFrames(content)
-          if (frames.isEmpty) decodeToFeaturesStub(content)
-          else {
-            def luma(f: (Int, Int, Int, Double, Double, Double)): Float =
-              ((0.299 * f._4 + 0.587 * f._5 + 0.114 * f._6) / 255.0).toFloat
-            val (first, mid, last) =
-              (frames.head, frames(frames.size / 2), frames.last)
-            Array[Float](frames.size.toFloat, first._2.toFloat,
-              first._3.toFloat, luma(first), luma(mid), luma(last),
+        case "video" => decodeGifSummary(content).map {
+          case (n, w, h, l0, lMid, lLast) =>
+            Array[Float](n.toFloat, w.toFloat, h.toFloat,
+              (l0 / 255.0).toFloat, (lMid / 255.0).toFloat,
+              (lLast / 255.0).toFloat,
               0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
-          }
+        }.getOrElse(decodeToFeaturesStub(content))
         case _ => decodeToFeaturesStub(content)
       }
       Some(Row(r.getLong(0), feats.toSeq))
@@ -359,6 +334,46 @@ object Multimodal {
   // only true video containers (mp4 etc.) remain stubbed, since the JDK has
   // no demuxer for them.
 
+  /** One x/y pixel scan shared by every decoder in this file. */
+  private def meanRgb(img: java.awt.image.BufferedImage): (Double, Double, Double) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    (sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+  }
+
+  /** One solid-fill constructor shared by every encoder in this file. */
+  private def solidImage(width: Int, height: Int,
+      rgb: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    img
+  }
+
+  /** Cheap container sniff: GIF87a/GIF89a magic. Lets hot paths skip the
+    * reader + disk-cache stream setup for payloads that cannot be GIFs. */
+  def looksLikeGif(content: Array[Byte]): Boolean =
+    content != null && content.length >= 6 &&
+      content(0) == 'G' && content(1) == 'I' && content(2) == 'F' &&
+      content(3) == '8' &&
+      (content(4) == '7' || content(4) == '9') && content(5) == 'a'
+
   /** REAL animated-GIF encode: one solid-fill frame per color in
     * `frameColors` (0xRRGGBB each). Solid fills are exact under GIF's
     * 256-color palette (one color per frame), so the decode side
@@ -375,15 +390,9 @@ object Multimodal {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
       frameColors.foreach { rgb =>
-        val img = new java.awt.image.BufferedImage(
-          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < height) {
-          var x = 0
-          while (x < width) { img.setRGB(x, y, rgb); x += 1 }
-          y += 1
-        }
-        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(solidImage(width, height, rgb), null, null),
+          null)
       }
       writer.endWriteSequence()
     } finally {
@@ -398,32 +407,56 @@ object Multimodal {
     * payloads — skip-not-crash, like every codec here.
     */
   def decodeGifFrames(content: Array[Byte]): Seq[(Int, Int, Int, Double, Double, Double)] = {
-    if (content == null || content.isEmpty) return Nil
+    if (!looksLikeGif(content)) return Nil
     val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(content))
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(content))
       reader.setInput(iis, false, true)
       val n = reader.getNumImages(true)
       (0 until n).map { i =>
         val img = reader.read(i)
-        val (w, h) = (img.getWidth, img.getHeight)
-        var (sr, sg, sb) = (0L, 0L, 0L)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = img.getRGB(x, y)
-            sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-            x += 1
-          }
-          y += 1
-        }
-        val np = w.toLong * h
-        (i, w, h, sr.toDouble / np, sg.toDouble / np, sb.toDouble / np)
+        val (mr, mg, mb) = meanRgb(img)
+        (i, img.getWidth, img.getHeight, mr, mg, mb)
       }
     } catch { case scala.util.control.NonFatal(_) => Nil }
-    finally reader.dispose()
+    finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** Summary decode for the feature path: frame count plus stats of ONLY
+    * the first/middle/last frames — a 200-frame GIF costs 3 pixel scans
+    * here, not 200. None when the payload is not a GIF.
+    */
+  def decodeGifSummary(content: Array[Byte])
+      : Option[(Int, Int, Int, Double, Double, Double)] = {
+    if (!looksLikeGif(content)) return None
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      if (n <= 0) None
+      else {
+        def luma(i: Int): Double = {
+          val (mr, mg, mb) = meanRgb(reader.read(i))
+          0.299 * mr + 0.587 * mg + 0.114 * mb
+        }
+        val first = reader.read(0)
+        val (fr, fg, fb) = meanRgb(first)
+        val l0 = 0.299 * fr + 0.587 * fg + 0.114 * fb
+        Some((n, first.getWidth, first.getHeight,
+          l0, if (n / 2 == 0) l0 else luma(n / 2),
+          if (n - 1 == 0) l0 else luma(n - 1)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally {
+      reader.dispose()
+      iis.close()
+    }
   }
 
   /** Deterministic animated-GIF synthesis stage:

@@ -141,7 +141,8 @@ object Relational {
   def zorderValue(cols: Seq[Column], bits: Int): Column = {
     require(cols.nonEmpty, "zorderValue needs at least one column")
     val k = cols.size
-    require(bits > 0 && bits * k <= 63,
+    // bits.toLong: an Int product could wrap negative and bypass the check
+    require(bits > 0 && bits.toLong * k <= 63,
       s"bits*cols must fit a positive long, got $bits*$k")
     cols.zipWithIndex.flatMap { case (c, j) =>
       val long = c.cast("long")
