@@ -126,7 +126,13 @@ object GraftFunctions {
     }, "graft_dot(a, b) - dot product of two ARRAY<DOUBLE> vectors"),
     ("graft_zorder", zorderBuilder,
       "graft_zorder(bits, c1, c2, ...) - Z-order (Morton) bit-interleave " +
-        "of the low `bits` bits of each column"))
+        "of the low `bits` bits of each column"),
+    ("graft_simhash60", exprs => {
+      require(exprs.length == 1,
+        s"graft_simhash60 requires exactly 1 argument, got ${exprs.length}")
+      SimHash60(exprs(0))
+    }, "graft_simhash60(hashes) - 60-bit SimHash majority-vote sketch " +
+      "over an ARRAY<BIGINT> of token hashes"))
 
   /** Session-scoped registration (temp functions) — used by the query layer
     * and tests. Idempotent.
@@ -146,8 +152,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.functions.foreach { case (name, builder, usage) =>
       // per-function class attribution: DESCRIBE FUNCTION EXTENDED must not
       // claim every graft function is DotProduct
-      val clazz = if (name == "graft_dot") classOf[DotProduct].getName
-        else GraftFunctions.getClass.getName
+      val clazz = name match {
+        case "graft_dot" => classOf[DotProduct].getName
+        case "graft_simhash60" => classOf[SimHash60].getName
+        case _ => GraftFunctions.getClass.getName
+      }
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(clazz, name, usage),
         builder))

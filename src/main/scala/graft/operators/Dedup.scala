@@ -88,22 +88,18 @@ object Dedup {
     * sketch is set iff more token hashes have bit j set than clear. All
     * row-local array expressions — no shuffle, no UDF.
     *
-    * Single pass over the token hashes: the fold carries a 60-counter vote
-    * array (zip_with against a constant index sequence) instead of walking
-    * the array once per bit — 60× fewer traversals, which matters because
-    * higher-order functions evaluate interpreted (outside codegen).
+    * The vote fold is the native `graft_simhash60` Catalyst expression
+    * (graft.functions.SimHash60): a primitive int[60] double loop inside
+    * whole-stage codegen, replacing the interpreted HOF fold that boxed a
+    * 60-counter array per step (callers must have run
+    * `GraftFunctions.register`; the query layer and SparkSpec do). The
+    * md5-hash transform stays a HOF — md5/conv are the cost there, not
+    * the lambda plumbing.
     */
   def simhash(tokensCol: Column): Column = {
     val hashes = transform(array_distinct(tokensCol),
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-    val idx = sequence(lit(0), lit(59))
-    val votes = aggregate(hashes, array_repeat(lit(0L), 60),
-      (acc, h) => zip_with(acc, idx,
-        (a, j) => a + call_function("shiftright", h, j).bitwiseAND(lit(1L)) * 2 - 1))
-    aggregate(
-      zip_with(votes, idx,
-        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), _ + _)
+    call_function("graft_simhash60", hashes)
   }
 
   /** SimHash band keys for candidate generation: 4 disjoint 15-bit slices.

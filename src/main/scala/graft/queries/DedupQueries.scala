@@ -25,10 +25,12 @@ object DedupQueries {
     shingled(s, d).select(col("doc_id"),
       Dedup.minhashSignature(col("shingles"), 8).as("sig"))
 
-  private def simhashed(s: SparkSession, d: String): DataFrame =
+  private def simhashed(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // simhash uses graft_simhash60
     Tables.documents(s, d)
       .select(col("doc_id"), Dedup.tokens(col("text")).as("tok"))
       .select(col("doc_id"), Dedup.simhash(col("tok")).as("simhash"))
+  }
 
   /** Shared DuckDB CTE fragments mirroring the Spark lineage above. */
   private val ShCte =

@@ -46,6 +46,33 @@ class FunctionsSpec extends SparkSpec {
     assert(ex.getMessage.contains("literal") || ex.getMessage.contains("graft_zorder"))
   }
 
+  test("graft_simhash60 equals the HOF vote-fold formulation bit-for-bit") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    // deterministic pseudo-random hash arrays of varying length, 60-bit range
+    val df = (1L to 300L).map { i =>
+      (i, (0 until (i % 7 + 1).toInt).map(j =>
+        ((i * 2654435761L + j * 40503L) & ((1L << 60) - 1))))
+    }.toDF("id", "hashes")
+    val viaExpr = df.select(col("id"),
+      call_function("graft_simhash60", col("hashes")).as("s"))
+    val idx = sequence(lit(0), lit(59))
+    val votes = aggregate(col("hashes"), array_repeat(lit(0L), 60),
+      (acc, h) => zip_with(acc, idx,
+        (a, j) => a + call_function("shiftright", h, j).bitwiseAND(lit(1L)) * 2 - 1))
+    val viaHof = df.select(col("id"),
+      aggregate(zip_with(votes, idx,
+        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+        lit(0L), _ + _).as("s"))
+    assert(viaExpr.except(viaHof).isEmpty && viaHof.except(viaExpr).isEmpty,
+      "native simhash must be bit-identical to the HOF fold")
+    // null element poisons to NULL; empty array -> 0 (no majority anywhere)
+    assert(spark.sql("SELECT graft_simhash60(array(1L, CAST(NULL AS BIGINT)))")
+      .head().isNullAt(0))
+    assert(spark.sql("SELECT graft_simhash60(CAST(array() AS ARRAY<BIGINT>))")
+      .head().getLong(0) == 0L)
+  }
+
   test("GraftExtensions wires injection without error") {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
