@@ -196,6 +196,77 @@ object EventTime {
     * range-partition by time and prefix-sum the per-partition totals —
     * the segmented-scan construction — rather than one giant partition.
     */
+  /** GLOBAL running sum without the single-partition window anti-pattern:
+    * the distributed prefix-sum (segmented scan). Rows are range-
+    * partitioned and locally sorted on `orderCol`; pass 1 computes each
+    * partition's local total (collected to the driver — P numbers, not
+    * rows); the exclusive scan of those totals becomes each partition's
+    * offset, broadcast back for pass 2's local running sums. Both passes
+    * read the SAME checkpointed partitioning, so the scan is consistent.
+    * `Window.orderBy` with no partition key would funnel every row
+    * through one task; this keeps all P partitions busy and moves only P
+    * longs through the driver.
+    *
+    * `orderCol` values must be unique (pre-aggregate duplicates first —
+    * ties would make the within-tie running order partition-dependent).
+    * Returns (orderCol, valueCol, running_sum).
+    */
+  def globalRunningSum(df: DataFrame, orderCol: String,
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = df
+      .select(col(orderCol).as("_t"), col(valueCol).cast("long").as("_v"))
+      .repartitionByRange(col("_t"))
+      .sortWithinPartitions(col("_t"))
+      .localCheckpoint() // pin ONE partitioning for both passes
+    val totals = ranged.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(1))
+        Iterator((i, s))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(totals.scanLeft(0L)(_ + _))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      ranged.schema.fields(0).copy(name = orderCol),
+      org.apache.spark.sql.types.StructField(valueCol,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("running_sum",
+        org.apache.spark.sql.types.LongType)))
+    val rows = ranged.rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = offsets.value(i)
+      it.map { r =>
+        run += r.getLong(1)
+        org.apache.spark.sql.Row(r.get(0), r.getLong(1), run)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Peak concurrency over ONE global timeline (no grouping key to
+    * partition by): the sweep-line deltas pre-aggregated per timestamp,
+    * then [[globalRunningSum]] — the construction peakConcurrency's
+    * Scaladoc promises for the global case. Returns a single row
+    * (peak, peak_at earliest).
+    */
+  def globalPeakConcurrency(df: DataFrame, startCol: String,
+      endCol: String): DataFrame = {
+    val guarded = df.filter(coalesce(assert_true(
+      col(startCol).isNotNull && col(endCol).isNotNull,
+      lit(s"globalPeakConcurrency: null interval endpoint in " +
+        s"($startCol, $endCol)")), lit(true)))
+    val net = guarded
+      .select(col(startCol).as("_t"), lit(1L).as("_d"))
+      .unionByName(guarded.select(col(endCol).as("_t"), lit(-1L).as("_d")))
+      .groupBy(col("_t")).agg(sum(col("_d")).as("_net"))
+    val conc = globalRunningSum(net, "_t", "_net")
+    val peak = conc.agg(max(col("running_sum")).as("peak"))
+    conc.join(broadcast(peak),
+        conc("running_sum") === peak("peak"))
+      .groupBy(col("peak"))
+      .agg(min(col("_t")).as("peak_at"))
+      .select(col("peak"), col("peak_at"))
+  }
+
   def peakConcurrency(df: DataFrame, groupCol: String, startCol: String,
       endCol: String): DataFrame = {
     // a null endpoint would sort NULLS FIRST into the sweep and zero out

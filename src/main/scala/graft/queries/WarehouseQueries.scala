@@ -184,6 +184,17 @@ object WarehouseQueries {
           (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("end_at")),
         "o_orderpriority", "start_at", "end_at")),
 
+    // GLOBAL peak concurrency (no grouping key): the q106 sweep over one
+    // corpus-wide timeline, running on the distributed prefix-sum
+    // (range-partition + per-partition totals + broadcast offsets) instead
+    // of a single-partition window — the segmented-scan construction.
+    "q108_global_concurrency" -> ((s, d) =>
+      graft.operators.EventTime.globalPeakConcurrency(
+        Tables.orders(s, d).select(
+          col("o_orderdate").as("start_at"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("end_at")),
+        "start_at", "end_at")),
+
     // Nested (semi-structured) processing: denormalize lineitems into a
     // per-order ARRAY<STRUCT>, then answer from the nested value with
     // higher-order functions (aggregate / filter) — the document-model
@@ -342,6 +353,25 @@ object WarehouseQueries {
         |SELECT g AS o_orderpriority, CAST(max(m) AS BIGINT) AS peak,
         |       min(t) AS peak_at
         |FROM mx WHERE c = m GROUP BY g""".stripMargin,
+
+    "q108_global_concurrency" ->
+      """WITH iv AS (
+        |  SELECT o_orderdate AS s, o_orderdate + INTERVAL 30 DAY AS e
+        |  FROM orders
+        |), deltas AS (
+        |  SELECT s AS t, 1 AS d FROM iv
+        |  UNION ALL
+        |  SELECT e, -1 FROM iv
+        |), net AS (
+        |  SELECT t, CAST(sum(d) AS BIGINT) AS net FROM deltas GROUP BY t
+        |), conc AS (
+        |  SELECT t, CAST(sum(net) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+        |  FROM net
+        |)
+        |SELECT CAST(max(c) AS BIGINT) AS peak,
+        |       min(t) FILTER (WHERE c = (SELECT max(c) FROM conc)) AS peak_at
+        |FROM conc""".stripMargin,
 
     "q105_nested_agg" ->
       """WITH nested AS (

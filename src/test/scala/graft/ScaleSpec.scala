@@ -33,6 +33,32 @@ class ScaleSpec extends SparkSpec {
     assert(fast.contains((2L, 3L, 2L)), "dup item must not double-count group 10")
   }
 
+  test("globalRunningSum (distributed prefix-sum) equals the one-partition window") {
+    import org.apache.spark.sql.expressions.Window
+    // unique order keys, positive and negative values, enough rows to span
+    // several range partitions
+    val rows = (1 to 5000).map(i => ((i * 37) % 15017, (i % 13) - 6L))
+      .distinctBy(_._1).toDF("t", "v")
+    val fast = graft.operators.EventTime.globalRunningSum(rows, "t", "v")
+      .select("t", "running_sum").as[(Int, Long)].collect().sorted.toSeq
+    val slow = rows
+      .withColumn("running_sum", sum(col("v"))
+        .over(Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("t", "running_sum").as[(Int, Long)].collect().sorted.toSeq
+    assert(fast == slow, "segmented scan must equal the global window")
+  }
+
+  test("globalPeakConcurrency sweeps one timeline without a grouping key") {
+    val iv = Seq((0L, 10L), (5L, 15L), (9L, 12L), (20L, 21L))
+      .toDF("s", "e")
+    val out = graft.operators.EventTime.globalPeakConcurrency(iv, "s", "e")
+      .collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(0), out(0).getLong(1)) == ((3L, 9L)),
+      s"expected peak 3 first at t=9, got ${out(0)}")
+  }
+
   test("saltedJoin is row-identical to the plain join under heavy skew") {
     // one hot key (90% of rows) + a long tail
     val left = ((1 to 900).map(i => (1L, s"row$i")) ++
