@@ -267,6 +267,81 @@ object EventTime {
       .select(col("peak"), col("peak_at"))
   }
 
+  /** Daily gap-fill with EXACT linear interpolation per key: aggregate the
+    * value column to integer cents per (key, epoch-day), build each key's
+    * dense daily spine from its first to its last observed day, and fill
+    * missing days by interpolating between the nearest observed neighbors.
+    * The interpolation is pure BIGINT arithmetic —
+    * `(prev*(next_day-d) + next*(d-prev_day)) div (next_day-prev_day)` —
+    * so the result is bit-identical across engines (no float lerp drift).
+    * Every spine day strictly inside [first, last] has observed neighbors
+    * on both sides by construction, so the fill is total.
+    *
+    * Scale shape: one shuffle to the (key, day) aggregate, one keyed
+    * shuffle for the min/max bounds, spine rows generated ROW-LOCALLY by
+    * `sequence` + `explode` (the spine never crosses an exchange at
+    * spine-size granularity), then one keyed window sort for the
+    * neighbor scan. Parallelism = key count; per-key state = day span.
+    *
+    * Returns (keyCol, day epoch-day BIGINT, is_observed, value_cents).
+    */
+  def gapFillDaily(ev: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val MicrosPerDay = 86400L * 1000000L
+    val daily = ev
+      .select(col(keyCol).as("_k"),
+        expr(s"unix_micros($tsCol) div $MicrosPerDay").as("_d"),
+        floor(col(valueCol) * 100).cast("long").as("_c"))
+      .groupBy(col("_k"), col("_d")).agg(sum(col("_c")).as("_obs"))
+    val spine = daily.groupBy(col("_k"))
+      .agg(min(col("_d")).as("_lo"), max(col("_d")).as("_hi"))
+      .select(col("_k"), explode(sequence(col("_lo"), col("_hi"))).as("_d"))
+    val w = Window.partitionBy(col("_k")).orderBy(col("_d"))
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val after = w.rowsBetween(1, Window.unboundedFollowing)
+    spine.join(daily, Seq("_k", "_d"), "left")
+      .withColumn("_pv", last(col("_obs"), ignoreNulls = true).over(before))
+      .withColumn("_pd", last(when(col("_obs").isNotNull, col("_d")),
+        ignoreNulls = true).over(before))
+      .withColumn("_nv", first(col("_obs"), ignoreNulls = true).over(after))
+      .withColumn("_nd", first(when(col("_obs").isNotNull, col("_d")),
+        ignoreNulls = true).over(after))
+      .select(col("_k").as(keyCol), col("_d").as("day"),
+        col("_obs").isNotNull.as("is_observed"),
+        when(col("_obs").isNotNull, col("_obs"))
+          .otherwise(
+            expr("(_pv * (_nd - _d) + _nv * (_d - _pd)) div (_nd - _pd)"))
+          .as("value_cents"))
+  }
+
+  /** Event-type transition matrix (first-order Markov counts): per key,
+    * order events by (time, id) — the id tie-break makes the sequence
+    * deterministic under equal timestamps — pair each event with its
+    * successor via `lead`, and count (src, dst) transitions. Probabilities
+    * are exact parts-per-million: `cnt * 1000000 div row_total` (integer
+    * division, no float normalization to drift between engines).
+    *
+    * Scale shape: one shuffle on the key, a within-partition sort for the
+    * single `lead` window, then a partial-aggregated (src, dst) count —
+    * the transition matrix is |types|² rows regardless of event volume.
+    */
+  def transitions(ev: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("_k")).orderBy(col("_ts"), col("_id"))
+    val pairs = ev
+      .select(col(keyCol).as("_k"), col(typeCol).as("_t"),
+        col(tsCol).as("_ts"), col(idCol).as("_id"))
+      .withColumn("_next", lead(col("_t"), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col("_t").as("src_type"), col("_next").as("dst_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val wSrc = Window.partitionBy(col("src_type"))
+    pairs
+      .withColumn("_tot", sum(col("cnt")).over(wSrc))
+      .select(col("src_type"), col("dst_type"), col("cnt"),
+        expr("cnt * 1000000 div _tot").as("ppm"))
+  }
+
   def peakConcurrency(df: DataFrame, groupCol: String, startCol: String,
       endCol: String): DataFrame = {
     // a null endpoint would sort NULLS FIRST into the sweep and zero out

@@ -107,7 +107,18 @@ object WindowQueries {
     // ordinals and exact microsecond bounds — the join-friendly session
     // form that session_window's opaque struct key can't provide.
     "q90_gap_sessionize" -> ((s, d) =>
-      EventTime.gapSessionize(Tables.events(s, d), "user_id", "ts", 21600L)))
+      EventTime.gapSessionize(Tables.events(s, d), "user_id", "ts", 21600L)),
+
+    // Time-series gap-fill: dense per-user daily spend spine, missing days
+    // linearly interpolated in exact BIGINT cents (no float lerp).
+    "q109_gap_fill" -> ((s, d) =>
+      EventTime.gapFillDaily(Tables.events(s, d), "user_id", "ts", "value")),
+
+    // First-order Markov transition matrix over each user's event-type
+    // sequence, with exact parts-per-million row normalization.
+    "q113_transitions" -> ((s, d) =>
+      EventTime.transitions(Tables.events(s, d), "user_id", "event_type",
+        "ts", "event_id")))
 
   val oracles: Map[String, String] = Map(
     "q86_conversion_latency" ->
@@ -206,6 +217,54 @@ object WindowQueries {
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM numbered
         |GROUP BY user_id, sid""".stripMargin,
+
+    // The spine is generate_series(first, last) per user; interpolation is
+    // the same BIGINT expression Spark evaluates (// == div on nonnegative
+    // numerators, and daily cent sums here are nonnegative).
+    "q109_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id AS k, epoch_us(ts) // 86400000000 AS d,
+        |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS obs
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT k, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1
+        |), spine AS (
+        |  SELECT k, unnest(generate_series(lo, hi)) AS d FROM bounds
+        |), j AS (
+        |  SELECT s.k, s.d, daily.obs,
+        |    last_value(obs IGNORE NULLS) OVER w_before AS pv,
+        |    last_value(CASE WHEN obs IS NOT NULL THEN s.d END IGNORE NULLS)
+        |      OVER w_before AS pd,
+        |    first_value(obs IGNORE NULLS) OVER w_after AS nv,
+        |    first_value(CASE WHEN obs IS NOT NULL THEN s.d END IGNORE NULLS)
+        |      OVER w_after AS nd
+        |  FROM spine s LEFT JOIN daily ON s.k = daily.k AND s.d = daily.d
+        |  WINDOW
+        |    w_before AS (PARTITION BY s.k ORDER BY s.d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    w_after AS (PARTITION BY s.k ORDER BY s.d
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT k AS user_id, d AS day, obs IS NOT NULL AS is_observed,
+        |       CAST(CASE WHEN obs IS NOT NULL THEN obs
+        |            ELSE (pv * (nd - d) + nv * (d - pd)) // (nd - pd)
+        |       END AS BIGINT) AS value_cents
+        |FROM j""".stripMargin,
+
+    "q113_transitions" ->
+      """WITH nexted AS (
+        |  SELECT event_type AS src,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS dst
+        |  FROM events
+        |), cnts AS (
+        |  SELECT src AS src_type, dst AS dst_type, count(*) AS cnt
+        |  FROM nexted WHERE dst IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT src_type, dst_type, cnt,
+        |       CAST(cnt * 1000000 // sum(cnt) OVER (PARTITION BY src_type)
+        |            AS BIGINT) AS ppm
+        |FROM cnts""".stripMargin,
 
     "q90_gap_sessionize" ->
       """WITH e AS (

@@ -63,6 +63,53 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_outliers") == 0L)
   }
 
+  test("gapFillDaily: dense spine, exact integer interpolation, sums per day") {
+    import spark.implicits._
+    val day = 86400000000L
+    // user 1: 0.60 + 0.40 on day 0 (sums to 100 cents), 4.00 on day 3;
+    // days 1 and 2 must interpolate between 100 and 400 in BIGINT math.
+    // user 2: a single observed day -> a one-row spine, nothing to fill.
+    val ev = Seq(
+      (1L, 0L * day, 0.60), (1L, 0L * day + 5L, 0.40), (1L, 3L * day, 4.00),
+      (2L, 7L * day, 9.99))
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("value"))
+    val out = EventTime.gapFillDaily(ev, "user_id", "ts", "value")
+      .orderBy("user_id", "day").collect()
+    assert(out.length == 5)
+    val u1 = out.take(4).map(r => (r.getAs[Long]("day"),
+      r.getAs[Boolean]("is_observed"), r.getAs[Long]("value_cents")))
+    assert(u1(0) == ((0L, true, 100L)))
+    assert(u1(1) == ((1L, false, (100L * 2 + 400L * 1) / 3))) // 266
+    assert(u1(2) == ((2L, false, (100L * 1 + 400L * 2) / 3))) // 300
+    assert(u1(3) == ((3L, true, 400L)))
+    val u2 = out(4)
+    assert(u2.getAs[Long]("day") == 7L && u2.getAs[Boolean]("is_observed"))
+    assert(u2.getAs[Long]("value_cents") == 999L)
+  }
+
+  test("transitions: deterministic id tie-break and exact ppm shares") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: a -> b -> a (ordered by ts)
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "a"),
+      // user 2: two events at the SAME timestamp — event_id breaks the tie,
+      // so the transition is a -> c, never c -> a
+      (2L, 4L, 10L, "a"), (2L, 5L, 10L, "c"))
+      .toDF("user_id", "event_id", "us", "event_type")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("us")).as("ts"), col("event_type"))
+    val out = EventTime.transitions(ev, "user_id", "event_type", "ts",
+      "event_id")
+      .orderBy("src_type", "dst_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // src a: one a->b and one a->c, 500000 ppm each; src b: b->a at 1000000
+    assert(out.toSeq == Seq(
+      ("a", "b", 1L, 500000L), ("a", "c", 1L, 500000L),
+      ("b", "a", 1L, 1000000L)))
+  }
+
   test("gapSessionize: sessions split exactly past the gap, bounds exact") {
     import spark.implicits._
     val base = 1700000000000000L // epoch micros
