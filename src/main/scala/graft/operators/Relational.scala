@@ -255,6 +255,71 @@ object Relational {
     * groups cap upstream (filter size(set)) or fall back to a salted
     * pair join.
     */
+  /** Exclusive distributed running MIN over a globally-ordered column —
+    * the segmented-scan construction `EventTime.globalRunningSum` uses for
+    * sums, with min as the combine and an EXCLUSIVE frame (each row sees
+    * the min of everything strictly before it; the first row sees
+    * Long.MaxValue). Range-partition + local sort, pass 1 collects P
+    * partition minima (P longs, not rows), their exclusive scan is
+    * broadcast back as pass 2's per-partition seed. `orderCol` values must
+    * be unique (pre-aggregate duplicates first). Returns
+    * (orderCol, valueCol, prefix_min).
+    */
+  def exclusiveRunningMin(df: DataFrame, orderCol: String,
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = df
+      .select(col(orderCol).as("_t"), col(valueCol).cast("long").as("_v"))
+      .repartitionByRange(col("_t"))
+      .sortWithinPartitions(col("_t"))
+      .localCheckpoint() // pin ONE partitioning for both passes
+    val totals = ranged.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var m = Long.MaxValue
+        it.foreach(r => m = math.min(m, r.getLong(1)))
+        Iterator((i, m))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(
+      totals.scanLeft(Long.MaxValue)(math.min))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      ranged.schema.fields(0).copy(name = orderCol),
+      org.apache.spark.sql.types.StructField(valueCol,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("prefix_min",
+        org.apache.spark.sql.types.LongType)))
+    val rows = ranged.rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = offsets.value(i)
+      it.map { r =>
+        val out = org.apache.spark.sql.Row(r.get(0), r.getLong(1), run)
+        run = math.min(run, r.getLong(1))
+        out
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** 2-D skyline (Pareto frontier): rows not dominated on (x, y) — no other
+    * row is <= on both dimensions and < on at least one. The naive form is
+    * the O(n²) NOT EXISTS self-join (the oracle); the sorted form is
+    * linear: a row is on the skyline iff its y equals the min y within its
+    * own x group AND every strictly-smaller-x group has min y strictly
+    * greater than its y. That second condition is an exclusive running min
+    * over x-groups — [[exclusiveRunningMin]], so the scan parallelizes
+    * across range partitions instead of funneling through one sorted task.
+    * Shuffles: one (x) group-by, the range exchange, one equi-join back on
+    * x. Ties on both dims are all kept (neither dominates the other).
+    */
+  def skyline2D(df: DataFrame, idCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val pts = df.select(col(idCol).as("_id"), col(xCol).cast("long").as("_x"),
+      col(yCol).cast("long").as("_y"))
+    val grp = pts.groupBy(col("_x")).agg(min(col("_y")).as("_gmin"))
+    val scan = exclusiveRunningMin(grp, "_x", "_gmin")
+    pts.join(scan, Seq("_x"))
+      .filter(col("_y") === col("_gmin") && col("_y") < col("prefix_min"))
+      .select(col("_id").as(idCol), col("_x").as(xCol), col("_y").as(yCol))
+  }
+
   def coOccurrence(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
     val perGroup = df
       .groupBy(col(groupCol).as("_g"))

@@ -184,6 +184,19 @@ object WarehouseQueries {
           (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("end_at")),
         "o_orderpriority", "start_at", "end_at")),
 
+    // 2-D skyline (Pareto frontier) of parts on (price, size): the rows no
+    // other part beats on both dimensions. The oracle is the O(n²)
+    // NOT EXISTS self-join; the engine form is linear — per-price-group
+    // min + an exclusive distributed running min over price order
+    // (the q108 segmented scan with min as the combine) — so the hash
+    // match is a physical-strategy equivalence proof.
+    "q110_skyline" -> ((s, d) =>
+      Relational.skyline2D(
+        Tables.part(s, d).select(col("p_partkey"),
+          floor(col("p_retailprice") * 100).cast("long").as("price_cents"),
+          col("p_size").cast("long").as("p_size")),
+        "p_partkey", "price_cents", "p_size")),
+
     // GLOBAL peak concurrency (no grouping key): the q106 sweep over one
     // corpus-wide timeline, running on the distributed prefix-sum
     // (range-partition + per-partition totals + broadcast offsets) instead
@@ -246,6 +259,21 @@ object WarehouseQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // Dominance spelled directly: <= on both dims, < on at least one.
+    "q110_skyline" ->
+      """WITH pts AS (
+        |  SELECT p_partkey,
+        |         CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |         CAST(p_size AS BIGINT) AS p_size
+        |  FROM part
+        |)
+        |SELECT p.p_partkey, p.price_cents, p.p_size
+        |FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.price_cents <= p.price_cents AND q.p_size <= p.p_size
+        |    AND (q.price_cents < p.price_cents OR q.p_size < p.p_size))""".stripMargin,
+
     "q94_scd2" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(row_number() OVER w AS BIGINT) AS version,

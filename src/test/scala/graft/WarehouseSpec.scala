@@ -257,6 +257,40 @@ class WarehouseSpec extends SparkSpec {
       s"touching half-open intervals must not overlap, got ${out("b")}")
   }
 
+  test("skyline2D: domination edges — equal points kept, equal-one-dim dominated") {
+    val pts = Seq(
+      (1L, 10L, 50L),  // skyline
+      (2L, 10L, 50L),  // exact duplicate of 1: neither dominates -> kept
+      (3L, 10L, 60L),  // same x as 1, worse y -> dominated
+      (4L, 20L, 50L),  // same y as 1, worse x -> dominated
+      (5L, 20L, 40L),  // skyline (cheaper on y than anything at x<20)
+      (6L, 30L, 40L),  // y ties 5 at higher x -> dominated
+      (7L, 5L, 90L))   // lowest x -> skyline regardless of y
+      .toDF("id", "x", "y")
+    val got = Relational.skyline2D(pts, "id", "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 5L, 7L), s"skyline ids: $got")
+  }
+
+  test("skyline2D matches the naive quadratic definition on random points") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1L to 300L).map(i =>
+      (i, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .toDF("id", "x", "y").cache()
+    val fast = Relational.skyline2D(pts, "id", "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val a = pts.select(col("id"), col("x"), col("y"))
+    val b = pts.select(col("id").as("qid"), col("x").as("qx"),
+      col("y").as("qy"))
+    val dominated = a.join(b,
+        col("qx") <= col("x") && col("qy") <= col("y") &&
+          (col("qx") < col("x") || col("qy") < col("y")), "left_semi")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val naive = pts.select("id").collect().map(_.getLong(0)).toSet -- dominated
+    assert(fast == naive,
+      s"missing=${naive -- fast} extra=${fast -- naive}")
+  }
+
   test("stratifiedSample applies per-stratum rates and is id-pure") {
     val docs = (1L to 2000L).map(i =>
       (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
