@@ -255,6 +255,64 @@ object Relational {
     * groups cap upstream (filter size(set)) or fall back to a salted
     * pair join.
     */
+  /** CDC between two snapshots of a keyed table: one full-outer sort-merge
+    * join on the keys, classifying each key as insert (new only), delete
+    * (old only), or update (both sides present, any compare column
+    * null-safely different); unchanged keys are dropped. Presence is
+    * tracked with explicit `_in_old`/`_in_new` markers, so null compare
+    * values never masquerade as missing rows. Returns
+    * (keys..., old_<c>..., new_<c>..., change_type) — the changeset shape
+    * [[mergeUpsert]] consumes and [[applyAggDelta]] folds into aggregates.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && compareCols.nonEmpty,
+      "snapshotDiff needs at least one key and one compare column")
+    val o = oldSnap.select(keys.map(col) ++
+      compareCols.map(c => col(c).as(s"old_$c")) :+
+      lit(true).as("_in_old"): _*)
+    val n = newSnap.select(keys.map(col) ++
+      compareCols.map(c => col(c).as(s"new_$c")) :+
+      lit(true).as("_in_new"): _*)
+    val changed = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_in_old").isNull, "insert")
+          .when(col("_in_new").isNull, "delete")
+          .when(changed, "update")
+          .otherwise("unchanged"))
+      .filter(col("change_type") =!= "unchanged")
+      .drop("_in_old", "_in_new")
+  }
+
+  /** Incremental view maintenance for a (group, n_rows, sum_val) aggregate:
+    * fold a [[snapshotDiff]] changeset into the stored aggregate WITHOUT
+    * rescanning the base table — deletes/update-olds contribute (-1, -v)
+    * to their OLD group, inserts/update-news (+1, +v) to their NEW group
+    * (so updates that move a row between groups maintain both sides), and
+    * groups whose count reaches zero vanish exactly as a recompute would
+    * drop them. Cost: O(|changes| + |groups|), never O(|base|) — at 100 TB
+    * the base is re-read never, the aggregate table always.
+    */
+  def applyAggDelta(baseAgg: DataFrame, diff: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val minus = diff.filter(col("change_type").isin("delete", "update"))
+      .select(col(s"old_$groupCol").as(groupCol), lit(-1L).as("_n"),
+        (-col(s"old_$valueCol")).as("_s"))
+    val plus = diff.filter(col("change_type").isin("insert", "update"))
+      .select(col(s"new_$groupCol").as(groupCol), lit(1L).as("_n"),
+        col(s"new_$valueCol").as("_s"))
+    baseAgg
+      .select(col(groupCol), col("n_rows").cast("long").as("_n"),
+        col("sum_val").cast("long").as("_s"))
+      .unionByName(minus).unionByName(plus)
+      .groupBy(col(groupCol))
+      .agg(sum(col("_n")).as("n_rows"), sum(col("_s")).as("sum_val"))
+      .filter(col("n_rows") > 0)
+  }
+
   /** Exclusive distributed running MIN over a globally-ordered column —
     * the segmented-scan construction `EventTime.globalRunningSum` uses for
     * sums, with min as the combine and an EXCLUSIVE frame (each row sees

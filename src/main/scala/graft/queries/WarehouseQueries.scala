@@ -40,6 +40,39 @@ object WarehouseQueries {
        |    GROUP BY s.dst) m ON d.src = m.node
        |)""".stripMargin
 
+  /** The deterministic old/new order snapshots q111/q112 diff: old drops
+    * keys ≡ 3 (mod 10), new drops keys ≡ 7 (mod 10) and bumps every 5th
+    * key's price by 500 cents — yielding inserts, deletes, and updates
+    * from the same base table in both engines.
+    */
+  private[queries] def cdcSnapshots(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val base = Tables.orders(s, d).select(col("o_orderkey"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderstatus"))
+    val old = base.filter(col("o_orderkey") % 10 =!= 3)
+    val neu = base.filter(col("o_orderkey") % 10 =!= 7)
+      .withColumn("cents", when(col("o_orderkey") % 5 === 0,
+        col("cents") + 500).otherwise(col("cents")))
+    (old, neu)
+  }
+
+  /** DuckDB mirror of [[cdcSnapshots]] as CTE text, shared by q111/q112. */
+  private val CdcCte =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |         o_orderstatus
+      |  FROM orders
+      |), old AS (
+      |  SELECT * FROM base WHERE o_orderkey % 10 <> 3
+      |), new AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 5 = 0 THEN cents + 500 ELSE cents END
+      |           AS cents,
+      |         o_orderstatus
+      |  FROM base WHERE o_orderkey % 10 <> 7
+      |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SCD type 2: each customer's order history as validity intervals —
     // version, valid_from/valid_to, is_current. One window, one shuffle.
@@ -184,6 +217,30 @@ object WarehouseQueries {
           (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("end_at")),
         "o_orderpriority", "start_at", "end_at")),
 
+    // CDC snapshot diff: two deterministic snapshots derived from orders
+    // (old drops keys ending in 3; new drops keys ending in 7 and bumps
+    // every 5th price by 500 cents) — the diff classifies every key as
+    // insert / delete / update in ONE full-outer sort-merge join.
+    "q111_snapshot_diff" -> ((s, d) => {
+      val (o, n) = WarehouseQueries.cdcSnapshots(s, d)
+      Relational.snapshotDiff(o, n, Seq("o_orderkey"),
+        Seq("cents", "o_orderstatus"))
+    }),
+
+    // Incremental aggregate maintenance: the per-status (count, sum) table
+    // computed on the OLD snapshot, advanced to the NEW snapshot by folding
+    // in only the q111 changeset — O(changes), the base never rescanned.
+    // The oracle aggregates the new snapshot directly, so the hash match
+    // PROVES delta maintenance equals recomputation.
+    "q112_agg_delta" -> ((s, d) => {
+      val (o, n) = WarehouseQueries.cdcSnapshots(s, d)
+      val baseAgg = o.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_val"))
+      val diff = Relational.snapshotDiff(o, n, Seq("o_orderkey"),
+        Seq("cents", "o_orderstatus"))
+      Relational.applyAggDelta(baseAgg, diff, "o_orderstatus", "cents")
+    }),
+
     // 2-D skyline (Pareto frontier) of parts on (price, size): the rows no
     // other part beats on both dimensions. The oracle is the O(n²)
     // NOT EXISTS self-join; the engine form is linear — per-price-group
@@ -259,6 +316,26 @@ object WarehouseQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q111_snapshot_diff" ->
+      s"""$CdcCte
+         |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         |       o.cents AS old_cents, n.cents AS new_cents,
+         |       o.o_orderstatus AS old_o_orderstatus,
+         |       n.o_orderstatus AS new_o_orderstatus,
+         |       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+         |            WHEN n.o_orderkey IS NULL THEN 'delete'
+         |            ELSE 'update' END AS change_type
+         |FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+         |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+         |   OR o.cents IS DISTINCT FROM n.cents
+         |   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus""".stripMargin,
+
+    "q112_agg_delta" ->
+      s"""$CdcCte
+         |SELECT o_orderstatus, count(*) AS n_rows,
+         |       CAST(sum(cents) AS BIGINT) AS sum_val
+         |FROM new GROUP BY 1""".stripMargin,
+
     // Dominance spelled directly: <= on both dims, < on at least one.
     "q110_skyline" ->
       """WITH pts AS (

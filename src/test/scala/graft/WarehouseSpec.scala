@@ -257,6 +257,40 @@ class WarehouseSpec extends SparkSpec {
       s"touching half-open intervals must not overlap, got ${out("b")}")
   }
 
+  test("snapshotDiff: null-safe compares, presence not inferred from values") {
+    val old = Seq((1L, Option(10L), "a"), (2L, None: Option[Long], "b"),
+      (3L, Option(30L), "c"), (4L, Option(40L), "d"))
+      .toDF("k", "v", "g")
+    val neu = Seq((1L, Option(10L), "a"),      // unchanged -> dropped
+      (2L, None: Option[Long], "b"),           // null == null -> unchanged
+      (3L, None: Option[Long], "c"),           // 30 -> null: an update
+      (5L, Option(50L), "e"))                  // insert; 4 deleted
+      .toDF("k", "v", "g")
+    val out = Relational.snapshotDiff(old, neu, Seq("k"), Seq("v", "g"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("change_type")).toMap
+    assert(out == Map(3L -> "update", 4L -> "delete", 5L -> "insert"),
+      s"got $out")
+  }
+
+  test("applyAggDelta: group-moving update and vanishing group match recompute") {
+    val old = Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"))
+      .toDF("k", "v", "g")
+    val neu = Seq((1L, 10L, "a"),   // unchanged
+      (2L, 25L, "b"),               // update that MOVES group a -> b
+      (4L, 40L, "c"))               // insert; 3 (group b) deleted
+      .toDF("k", "v", "g")
+    val baseAgg = old.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_val"))
+    val diff = Relational.snapshotDiff(old, neu, Seq("k"), Seq("v", "g"))
+    val got = Relational.applyAggDelta(baseAgg, diff, "g", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = neu.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, s"delta=$got recompute=$want")
+    assert(got.keySet == Set("a", "b", "c"))
+  }
+
   test("skyline2D: domination edges — equal points kept, equal-one-dim dominated") {
     val pts = Seq(
       (1L, 10L, 50L),  // skyline
