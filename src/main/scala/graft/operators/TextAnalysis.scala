@@ -396,4 +396,88 @@ object TextAnalysis {
         round(col("s").cast("long") / col("n_bigrams") / modelScale.toDouble, 6)
           .as("avg_cond"))
   }
+
+  /** One greedy left-to-right BPE merge of the adjacent pair (a, b) over a
+    * symbol array, as a row-local fold: append each symbol unless it is `b`
+    * and the last appended symbol is `a`, in which case the two fuse into
+    * `a+b`. The fold naturally enforces non-overlapping merges — after
+    * [a,a,a] merges (a,a) the result is [aa, a], because the fused "aa"
+    * no longer string-equals the pattern's left side.
+    */
+  private def mergeFold(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Byte-pair-encoding trainer (Sennrich et al. 2016): start from
+    * characters, repeatedly fuse the corpus-wide most frequent adjacent
+    * symbol pair (count ties broken lexicographically, so training is
+    * deterministic). Classic BPE counting: pair frequencies are weighted
+    * by WORD frequency and count overlapping occurrences; merges apply
+    * greedily left-to-right.
+    *
+    * Scale shape: the corpus collapses to its word-frequency table in one
+    * shuffle (vocabulary-sized from then on — Heaps' law, not corpus-
+    * sized); each round is a row-local pair explode + one aggregation,
+    * ONE driver-collected row (the argmax pair), and a row-local rewrite
+    * fold, with `localCheckpoint` truncating the per-round lineage the
+    * same way connectedComponents does. Returns the merge table
+    * (iteration, pair_a, pair_b, cnt) — `nMerges` rows unless the corpus
+    * exhausts first.
+    */
+  def bpeMerges(docs: DataFrame, tokCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(col(tokCol)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"), col("freq"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      // guard size >= 2 BEFORE sequence(0, size-2): Spark's sequence
+      // defaults to step -1 when stop < start, so a 1-symbol word would
+      // generate [0, -1] instead of no pairs
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(0, size(syms) - 2),
+            |  i -> struct(element_at(syms, i + 1) AS a,
+            |              element_at(syms, i + 2) AS b))""".stripMargin))
+          .as("p"), col("freq"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((i + 1L, a, b, top(0).getLong(2)))
+        vocab = vocab
+          .select(mergeFold(col("syms"), a, b).as("syms"), col("freq"))
+          .localCheckpoint()
+      }
+      i += 1
+    }
+    merges.result().toDF("iteration", "pair_a", "pair_b", "cnt")
+  }
+
+  /** Tokenizer INFERENCE for a trained merge table: segment one word into
+    * the subwords `merges` produce, by replaying the merges in training
+    * order as row-local folds. O(nMerges) chained expressions — fine for
+    * the vocabulary sizes the trainer above produces in tests; a
+    * production tokenizer compiles the merges into a trie lookup.
+    */
+  def bpeSegment(wordColName: String, merges: Seq[(String, String)]): Column = {
+    val charSyms = expr(
+      s"transform(sequence(1, length($wordColName)), " +
+        s"i -> substring($wordColName, i, 1))")
+    merges.foldLeft(charSyms) { case (syms, (a, b)) => mergeFold(syms, a, b) }
+  }
 }

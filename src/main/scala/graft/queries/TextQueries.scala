@@ -124,7 +124,15 @@ object TextQueries {
         .withColumn("sim", round(col("sim_raw"), 6))
         .filter(col("sim") >= 0.9)
         .select(col("id_a"), col("id_b"), col("sim"))
-    }))
+    }),
+
+    // BPE tokenizer training: the first 12 character-pair merges learned
+    // from the corpus word-frequency table. No SQL oracle (the iterative
+    // greedy rewrite isn't expressible as one DuckDB query) — TextSpec
+    // verifies the merge table exactly against an in-memory reference
+    // trainer on the same corpus.
+    "q114_bpe_merges" -> ((s, d) =>
+      TextAnalysis.bpeMerges(toks(s, d), "tok", 12)))
 
   private val langVotesSql: String =
     TextAnalysis.LangMarkers.map { case (lang, words) =>

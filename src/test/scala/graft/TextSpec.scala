@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.Tables
+
+/** BPE trainer checks: a hand-computed corpus, an independent in-memory
+  * reference trainer run against the real corpus (the oracle stand-in for
+  * the iterative rewrite no single SQL query can express), and segmenter
+  * consistency.
+  */
+class TextSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Independent reference BPE trainer (plain Scala, no Spark): classic
+    * Sennrich counting — pair frequencies weighted by word frequency,
+    * overlapping occurrences counted, merges applied greedily
+    * left-to-right, ties broken (count desc, a asc, b asc).
+    */
+  private def refBpe(words: Map[String, Long],
+      n: Int): Seq[(Long, String, String, Long)] = {
+    def rewrite(syms: Vector[String], a: String,
+        b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var last: Option[String] = None
+      syms.foreach { x =>
+        if (last.contains(a) && x == b) { last = Some(a + b) }
+        else { last.foreach(out += _); last = Some(x) }
+      }
+      last.foreach(out += _)
+      out.result()
+    }
+    var vocab = words.toVector.map { case (w, f) =>
+      (w.map(_.toString).toVector, f)
+    }
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < n && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((i + 1L, a, b, c))
+        vocab = vocab.map { case (syms, f) => (rewrite(syms, a, b), f) }
+      }
+      i += 1
+    }
+    merges.result()
+  }
+
+  test("bpeMerges: hand-computed merges, overlap counting, early exhaustion") {
+    // vocab {aaab: 2, ab: 1}:
+    //   round 1: (a,a) appears twice per aaab (overlap counted) -> cnt 4
+    //   round 2: (a,b) in [aa,a,b]x2 and [a,b] -> cnt 3
+    //   round 3: (aa,ab) -> cnt 2; then no pairs remain -> stops at 3 rows
+    val docs = Seq(Seq("aaab", "aaab", "ab")).toDF("tok")
+    val got = TextAnalysis.bpeMerges(docs, "tok", 10)
+      .orderBy("iteration").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", 4L), (2L, "a", "b", 3L), (3L, "aa", "ab", 2L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("bpeMerges matches the independent reference trainer on the corpus") {
+    val toks = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("tok", Dedup.tokens(col("text")))
+    val words = toks.select(explode(col("tok")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = refBpe(words, 12)
+    val got = TextAnalysis.bpeMerges(toks, "tok", 12)
+      .orderBy("iteration").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == want, s"spark=$got\nref=$want")
+  }
+
+  test("bpeSegment replays training merges: trained words re-fuse, rest split") {
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val out = Seq("aaab", "ab", "ba", "xaab")
+      .toDF("w")
+      .select(col("w"), TextAnalysis.bpeSegment("w", merges).as("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(out("aaab") == List("aaab"))      // full merge chain applies
+    assert(out("ab") == List("ab"))          // round-2 merge applies
+    assert(out("ba") == List("b", "a"))      // no merge matches
+    assert(out("xaab") == List("x", "aa", "b")) // (a,a) fuses; "aab" != ab
+  }
+}
