@@ -206,6 +206,36 @@ object WarehouseQueries {
           col("dist"))
     }),
 
+    // Entity-resolution capstone: exact-dup canonicalization -> blocked
+    // fuzzy pairs (q102) -> connected components over the match graph ->
+    // one GOLDEN RECORD per entity cluster (min-id representative name,
+    // member/row counts, exact price range). Singleton entities — no fuzzy
+    // match — keep their own id as cluster id via the left join, so the
+    // output partitions the whole catalog, not just the matched part.
+    "q115_entity_resolution" -> ((s, d) => {
+      val canon = Tables.part(s, d)
+        .groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("id"),
+          count(lit(1)).as("n_rows_name"),
+          min(floor(col("p_retailprice") * 100).cast("long")).as("min_c"),
+          max(floor(col("p_retailprice") * 100).cast("long")).as("max_c"))
+      val pairs = Relational.fuzzyMatch(canon, "id", "p_name",
+        element_at(split(col("p_name"), " "), -1), maxDist = 3)
+      val cc = graft.operators.Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")), "id_a", "id_b", maxIter = 20)
+      val labeled = canon.join(cc, canon("id") === cc("node"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+      val golden = labeled.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_entities"),
+          sum(col("n_rows_name")).as("n_rows"),
+          min(col("min_c")).as("min_cents"),
+          max(col("max_c")).as("max_cents"))
+      golden.join(canon.select(col("id"), col("p_name").as("rep_name")),
+          golden("cluster_id") === col("id"))
+        .select(col("cluster_id"), col("rep_name"), col("n_entities"),
+          col("n_rows"), col("min_cents"), col("max_cents"))
+    }),
+
     // Interval concurrency (sweep line): treating each order as open for
     // 30 days, the peak number of simultaneously open orders per
     // priority and when it was first reached — the resource-utilization
@@ -434,6 +464,41 @@ object WarehouseQueries {
         |       CAST(levenshtein(a.txt, b.txt) AS BIGINT) AS dist
         |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
         |WHERE levenshtein(a.txt, b.txt) <= 3""".stripMargin,
+
+    "q115_entity_resolution" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT min(p_partkey) AS id, p_name AS txt,
+        |         string_split(p_name, ' ')[-1] AS blk,
+        |         count(*) AS n_rows_name,
+        |         CAST(min(floor(p_retailprice * 100)) AS BIGINT) AS min_c,
+        |         CAST(max(floor(p_retailprice * 100)) AS BIGINT) AS max_c
+        |  FROM part GROUP BY p_name
+        |), pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.txt, b.txt) <= 3
+        |), edges AS (
+        |  SELECT id_a AS s, id_b AS d FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT DISTINCT s AS node, s AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, edges.d FROM reach JOIN edges ON reach.r = edges.s
+        |), cc AS (
+        |  SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+        |), labeled AS (
+        |  SELECT t.*, coalesce(cc.cluster_id, t.id) AS cluster_id
+        |  FROM t LEFT JOIN cc ON t.id = cc.node
+        |), golden AS (
+        |  SELECT cluster_id, count(*) AS n_entities,
+        |         CAST(sum(n_rows_name) AS BIGINT) AS n_rows,
+        |         CAST(min(min_c) AS BIGINT) AS min_cents,
+        |         CAST(max(max_c) AS BIGINT) AS max_cents
+        |  FROM labeled GROUP BY cluster_id
+        |)
+        |SELECT g.cluster_id, t.txt AS rep_name, g.n_entities, g.n_rows,
+        |       g.min_cents, g.max_cents
+        |FROM golden g JOIN t ON g.cluster_id = t.id""".stripMargin,
 
     "q106_peak_concurrency" ->
       """WITH iv AS (

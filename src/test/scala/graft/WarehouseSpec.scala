@@ -325,6 +325,22 @@ class WarehouseSpec extends SparkSpec {
       s"missing=${naive -- fast} extra=${fast -- naive}")
   }
 
+  test("q115 entity resolution conserves rows and entities across clustering") {
+    val dir = "/root/testdata/sf0.001"
+    val part = graft.sources.Tables.part(spark, dir)
+    val out = graft.queries.WarehouseQueries
+      .queries("q115_entity_resolution")(spark, dir).cache()
+    val sums = out.agg(sum("n_rows"), sum("n_entities")).head()
+    assert(sums.getLong(0) == part.count(),
+      "every part row lands in exactly one cluster")
+    assert(sums.getLong(1) == part.select("p_name").distinct().count(),
+      "every canonical entity lands in exactly one cluster")
+    // representative id is the cluster min -> cluster ids are member ids
+    val ids = part.groupBy("p_name").agg(min("p_partkey").as("id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out.select("cluster_id").collect().map(_.getLong(0)).forall(ids))
+  }
+
   test("stratifiedSample applies per-stratum rates and is id-pure") {
     val docs = (1L to 2000L).map(i =>
       (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
