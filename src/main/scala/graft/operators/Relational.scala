@@ -298,16 +298,23 @@ object Relational {
     */
   def applyAggDelta(baseAgg: DataFrame, diff: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
-    val minus = diff.filter(col("change_type").isin("delete", "update"))
-      .select(col(s"old_$groupCol").as(groupCol), lit(-1L).as("_n"),
-        (-col(s"old_$valueCol")).as("_s"))
-    val plus = diff.filter(col("change_type").isin("insert", "update"))
-      .select(col(s"new_$groupCol").as(groupCol), lit(1L).as("_n"),
-        col(s"new_$valueCol").as("_s"))
+    // each diff row expands ROW-LOCALLY into its ≤2 signed delta rows (the
+    // old group loses the row, the new group gains it) — one explode, so
+    // the changeset lineage executes ONCE; a filter-union of +/- branches
+    // would replay the (expensive) diff join per branch
+    val deltas = diff.select(explode(array(
+        when(col("change_type").isin("delete", "update"),
+          struct(col(s"old_$groupCol").as(groupCol), lit(-1L).as("_n"),
+            (-col(s"old_$valueCol")).as("_s"))),
+        when(col("change_type").isin("insert", "update"),
+          struct(col(s"new_$groupCol").as(groupCol), lit(1L).as("_n"),
+            col(s"new_$valueCol").as("_s"))))).as("d"))
+      .filter(col("d").isNotNull)
+      .select(col(s"d.$groupCol"), col("d._n"), col("d._s"))
     baseAgg
       .select(col(groupCol), col("n_rows").cast("long").as("_n"),
         col("sum_val").cast("long").as("_s"))
-      .unionByName(minus).unionByName(plus)
+      .unionByName(deltas)
       .groupBy(col(groupCol))
       .agg(sum(col("_n")).as("n_rows"), sum(col("_s")).as("sum_val"))
       .filter(col("n_rows") > 0)
@@ -389,6 +396,52 @@ object Relational {
           size(col("_items")) - col("_i") - lit(1))).as("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_groups"))
+  }
+
+  /** Per-group ordinary-least-squares fit in EXACT integer arithmetic.
+    *
+    * `xCol`/`yCol` must be integral; emits the sufficient statistics plus
+    * the slope as the BIGINT rational `slope_num / slope_den`
+    * (n·Σxy − Σx·Σy over n·Σx² − (Σx)²) — no float ever forms, so the
+    * result is bit-identical across partition counts and engines, and the
+    * caller divides (or compares cross-multiplied) at the precision it
+    * wants. One partial-aggregated shuffle on the group key; the five Σs
+    * are codegen'd running sums.
+    *
+    * Overflow headroom: |n·Σxy| ≤ n²·max|x|·max|y| — with day-scale x
+    * (~10⁴) and cent-scale y (~10⁸), exact below ~10⁶ rows per group;
+    * rescale x (e.g. days not seconds) before widening groups past that.
+    */
+  def olsExact(df: DataFrame, groupCols: Seq[Column], xCol: Column,
+      yCol: Column): DataFrame = {
+    val x = xCol.cast("long")
+    val y = yCol.cast("long")
+    df.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"), sum(x).as("sum_x"), sum(y).as("sum_y"),
+        sum(x * y).as("sum_xy"), sum(x * x).as("sum_xx"))
+      .select(groupCols ++ Seq(col("n"), col("sum_x"), col("sum_y"),
+        (col("n") * col("sum_xy") - col("sum_x") * col("sum_y")).as("slope_num"),
+        (col("n") * col("sum_xx") - col("sum_x") * col("sum_x")).as("slope_den")): _*)
+  }
+
+  /** Equi-width histogram over an integral column: `nBins` buckets spanning
+    * [min, max], bin = ((v − min) · nBins) div (max − min + 1) — pure
+    * integer arithmetic, so bin edges cannot drift between engines.
+    *
+    * Two passes: a 2-value global (min, max) aggregate broadcast into the
+    * binning scan, then one aggregate on bin id — O(nBins) output rows
+    * regardless of input size. Empty bins are absent (not zero-filled);
+    * each emitted bin carries its actual value range, which is more
+    * informative than the theoretical edges.
+    */
+  def equiWidthHistogram(df: DataFrame, valueCol: Column, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val v = df.select(valueCol.cast("long").as("v"))
+    val mm = v.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    v.crossJoin(broadcast(mm))
+      .select(expr(s"((v - mn) * $nBins) div (mx - mn + 1)").as("bin"), col("v"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"), max(col("v")).as("hi"))
   }
 
   /** Tagged disjoint comparison of two keyed sets: rows in both, only left,

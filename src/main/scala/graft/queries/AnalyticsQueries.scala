@@ -337,7 +337,57 @@ object AnalyticsQueries {
           date_format(col("ts"), Ts).as("ts"),
           col("last_orderkey"),
           date_format(col("o_orderdate"), Ts).as("last_orderdate"))
-    }))
+    }),
+
+    // Per-customer spend-over-time OLS fit, slope as a BIGINT rational
+    // (num/den) — exact regression statistics with no float sum anywhere,
+    // so the result is bit-identical at any parallelism. x = epoch day,
+    // y = cents.
+    "q118_group_ols" -> ((s, d) =>
+      Relational.olsExact(
+        Tables.orders(s, d).select(col("o_custkey"),
+          expr("CAST(CAST(o_orderdate AS TIMESTAMP_LTZ) AS LONG) div 86400")
+            .as("day"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents")),
+        Seq(col("o_custkey")), col("day"), col("cents"))),
+
+    // Trailing-7-row exact median of order value per customer, kept in
+    // BIGINT as median×2 (odd frame → 2·mid, even → mid₁+mid₂) so the
+    // half-cent case cannot force a float. One sort per customer; the
+    // collect_list frame holds ≤ 7 values — O(1) state per row.
+    "q119_rolling_median" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey")).rowsBetween(-6, 0)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("win", array_sort(collect_list(col("cents")).over(w)))
+        .select(col("o_orderkey"), col("o_custkey"),
+          size(col("win")).cast("long").as("n_win"),
+          (element_at(col("win"), expr("CAST((size(win) + 1) div 2 AS INT)")) +
+            element_at(col("win"), expr("CAST(size(win) div 2 + 1 AS INT)")))
+            .as("med2x"))
+    }),
+
+    // Unpivot (melt): the wide per-status aggregate flipped to long
+    // (status, metric, value) form — Spark's native Unpivot operator, a
+    // row-local Expand with no shuffle beyond the aggregate's own.
+    "q120_unpivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+          max(floor(col("o_totalprice") * 100).cast("long")).as("max_cents"))
+        .unpivot(Array(col("o_orderstatus")),
+          Array(col("n_orders"), col("sum_cents"), col("max_cents")),
+          "metric", "value")),
+
+    // Equi-width histogram of order value in cents, 20 integer-edged bins:
+    // a 2-value (min,max) broadcast then one O(bins)-output aggregate.
+    "q121_histogram" -> ((s, d) =>
+      Relational.equiWidthHistogram(
+        Tables.orders(s, d),
+        floor(col("o_totalprice") * 100).cast("long"), 20)))
 
   val oracles: Map[String, String] = Map(
     "q14_star_join" ->
@@ -576,5 +626,63 @@ object AnalyticsQueries {
         |       r.last_orderkey,
         |       strftime(r.o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_orderdate
         |FROM events e
-        |ASOF LEFT JOIN r ON e.user_id = r.r_user AND e.ts >= r.o_orderdate""".stripMargin)
+        |ASOF LEFT JOIN r ON e.user_id = r.r_user AND e.ts >= r.o_orderdate""".stripMargin,
+
+    "q118_group_ols" ->
+      """WITH t AS (
+        |  SELECT o_custkey,
+        |         CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS x,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders
+        |), s AS (
+        |  SELECT o_custkey, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sum_x,
+        |         CAST(sum(y) AS BIGINT) AS sum_y,
+        |         CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |         CAST(sum(x * x) AS BIGINT) AS sum_xx
+        |  FROM t GROUP BY 1
+        |)
+        |SELECT o_custkey, n, sum_x, sum_y,
+        |       n * sum_xy - sum_x * sum_y AS slope_num,
+        |       n * sum_xx - sum_x * sum_x AS slope_den
+        |FROM s""".stripMargin,
+
+    "q119_rolling_median" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(len(win) AS BIGINT) AS n_win,
+        |       CAST(win[(len(win) + 1) // 2] + win[len(win) // 2 + 1]
+        |         AS BIGINT) AS med2x
+        |FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |         list_sort(list(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |           OVER (PARTITION BY o_custkey
+        |                 ORDER BY o_orderdate, o_orderkey
+        |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+        |  FROM orders)""".stripMargin,
+
+    "q120_unpivot" ->
+      """WITH agg AS (
+        |  SELECT o_orderstatus, count(*) AS n_orders,
+        |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS sum_cents,
+        |         CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS max_cents
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM agg
+        |UNION ALL
+        |SELECT o_orderstatus, 'sum_cents', sum_cents FROM agg
+        |UNION ALL
+        |SELECT o_orderstatus, 'max_cents', max_cents FROM agg""".stripMargin,
+
+    "q121_histogram" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders
+        |), mm AS (
+        |  SELECT min(v) AS mn, max(v) AS mx FROM v
+        |)
+        |SELECT ((v - mn) * 20) // (mx - mn + 1) AS bin,
+        |       count(*) AS n_rows,
+        |       CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi
+        |FROM v, mm GROUP BY 1""".stripMargin)
 }

@@ -236,6 +236,41 @@ object WarehouseQueries {
           col("n_rows"), col("min_cents"), col("max_cents"))
     }),
 
+    // Per-node triangle counts over the part co-occurrence graph (q99's
+    // edges): the local-clustering primitive. Degree-ordered orientation
+    // bounds wedge fan-out at O(|E|^1.5) even on hub-skewed graphs; the
+    // oracle is the direct u<v<w triple self-join, so the hash match
+    // proves orientation counts every triangle exactly once.
+    "q116_triangles" -> ((s, d) => {
+      val edges = Relational.coOccurrence(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey")),
+        "ok", "l_partkey")
+        .filter(col("n_groups") >= 2)
+      Graph.triangleCounts(edges, "item_a", "item_b")
+        .select(col("node").as("partkey"), col("n_triangles"))
+    }),
+
+    // Multi-source BFS: minimum hop distance (<= 3) from the seed set
+    // (partkeys ending in 00) over the co-occurrence graph — reachability /
+    // blast-radius analysis. Level-synchronous frontier joins; the oracle
+    // is a bounded recursive CTE, so the hash match proves the iterative
+    // frontier algorithm equals the declarative fixpoint.
+    "q117_bfs_hops" -> ((s, d) => {
+      val edges = Relational.coOccurrence(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey")),
+        "ok", "l_partkey")
+        .filter(col("n_groups") >= 2)
+        .localCheckpoint()
+      val seeds = edges
+        .select(explode(array(col("item_a"), col("item_b"))).as("node"))
+        .distinct()
+        .filter(col("node") % 100 === 0)
+      Graph.bfsHops(edges, "item_a", "item_b", seeds, maxHops = 3)
+        .select(col("node").as("partkey"), col("hops"))
+    }),
+
     // Interval concurrency (sweep line): treating each order as open for
     // 30 days, the peak number of simultaneously open orders per
     // priority and when it was first reached — the resource-utilization
@@ -345,7 +380,47 @@ object WarehouseQueries {
         Quality.uniqueCheck("o_orderkey_unique", o, "o_orderkey")))
     }))
 
+  /** The q99/q116/q117 co-occurrence edge list as DuckDB CTE text:
+    * part pairs sharing >= 2 distinct orders, canonical p1 < p2.
+    */
+  private val CoocEdgesCte =
+    """li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+      |edges AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Triangles spelled directly: x<y<z triple self-join on the canonical
+    // edge list; per-node counts by unnesting the three corners.
+    "q116_triangles" ->
+      s"""WITH $CoocEdgesCte,
+         |tri AS (
+         |  SELECT a.p1 AS x, a.p2 AS y, b.p2 AS z
+         |  FROM edges a JOIN edges b ON a.p2 = b.p1
+         |  JOIN edges c ON c.p1 = a.p1 AND c.p2 = b.p2
+         |)
+         |SELECT node AS partkey, count(*) AS n_triangles
+         |FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+         |GROUP BY 1""".stripMargin,
+
+    // The declarative fixpoint the frontier iteration must equal.
+    "q117_bfs_hops" ->
+      s"""WITH RECURSIVE $CoocEdgesCte,
+         |sym AS (SELECT p1 AS src, p2 AS dst FROM edges
+         |        UNION SELECT p2, p1 FROM edges),
+         |seeds AS (SELECT DISTINCT src AS node FROM sym WHERE src % 100 = 0),
+         |reach AS (
+         |  SELECT node, 0 AS hop FROM seeds
+         |  UNION
+         |  SELECT sym.dst, reach.hop + 1
+         |  FROM reach JOIN sym ON reach.node = sym.src
+         |  WHERE reach.hop < 3
+         |)
+         |SELECT node AS partkey, CAST(min(hop) AS BIGINT) AS hops
+         |FROM reach GROUP BY node""".stripMargin,
+
     "q111_snapshot_diff" ->
       s"""$CdcCte
          |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
