@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, EventTime}
+import graft.operators.{Curation, EventTime, Relational}
 import graft.queries.AnalyticsQueries
 
 /** Bounds for the approximate (sketch) aggregates that have no hash oracle. */
@@ -133,5 +133,64 @@ class AnalyticsSpec extends SparkSpec {
     assert(s2.getAs[Long]("session_start_us") == base + 120000001L)
     val u2 = out(2)
     assert(u2.getAs[Long]("user_id") == 2L && u2.getAs[Long]("n_events") == 1L)
+  }
+
+  test("olsExact: rational slope is exact on a perfect line and constant") {
+    import spark.implicits._
+    // y = 2x + 7 -> slope_num/slope_den == 2 exactly
+    val line = Seq((1L, 10L, 27L), (1L, 20L, 47L), (1L, 30L, 67L),
+      // constant y -> slope_num == 0; single-point group -> den == 0
+      (2L, 5L, 9L), (2L, 15L, 9L), (3L, 100L, 42L))
+      .toDF("g", "x", "y")
+    val got = Relational.olsExact(line, Seq(col("g")), col("x"), col("y"))
+      .collect().map(r => r.getAs[Long]("g") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("slope_num"), r.getAs[Long]("slope_den")))
+      .toMap
+    val (n1, num1, den1) = got(1L)
+    assert(n1 == 3L && den1 != 0L && num1 == 2L * den1,
+      s"perfect line slope must be exactly 2, got $num1/$den1")
+    assert(got(2L)._2 == 0L, "constant y must give slope_num == 0")
+    assert(got(3L)._3 == 0L, "single point must give slope_den == 0 (undefined)")
+  }
+
+  test("equiWidthHistogram: bins partition rows, edges integer-exact") {
+    import spark.implicits._
+    val vals = (0L until 1000L).map(i => Tuple1(i * 7 % 501)).toDF("v")
+    val bins = Relational.equiWidthHistogram(vals, col("v"), 20).collect()
+    assert(bins.map(_.getAs[Long]("n_rows")).sum == 1000L,
+      "every row lands in exactly one bin")
+    // values 0..500, span 501: bin(v) = v*20 div 501
+    bins.foreach { r =>
+      val (bin, lo, hi) = (r.getAs[Long]("bin"), r.getAs[Long]("lo"), r.getAs[Long]("hi"))
+      assert(bin >= 0 && bin < 20)
+      assert(lo * 20 / 501 == bin && hi * 20 / 501 == bin,
+        s"bin $bin range [$lo,$hi] must respect integer edges")
+    }
+    // extremes occupy the first and last bin
+    assert(bins.map(_.getAs[Long]("bin")).min == 0L)
+    assert(bins.map(_.getAs[Long]("bin")).max == 19L)
+  }
+
+  test("rolling median (q119 form) matches a brute-force frame scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 200L).map(i => (i % 5, i, rnd.nextInt(1000).toLong))
+    val df = rows.toDF("k", "seq", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("seq")).rowsBetween(-6, 0)
+    val got = df
+      .withColumn("win", array_sort(collect_list(col("v")).over(w)))
+      .select(col("k"), col("seq"),
+        (element_at(col("win"), expr("CAST((size(win) + 1) div 2 AS INT)")) +
+          element_at(col("win"), expr("CAST(size(win) div 2 + 1 AS INT)")))
+          .as("med2x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (((k, seq), med2x) <- got) {
+      val frame = rows.filter(r => r._1 == k && r._2 <= seq && r._2 > seq - 5 * 7)
+        .sortBy(_._2).takeRight(7).map(_._3).sorted
+      val n = frame.length
+      val expect = frame((n + 1) / 2 - 1) + frame(n / 2)
+      assert(med2x == expect, s"k=$k seq=$seq: $med2x != $expect (frame $frame)")
+    }
   }
 }

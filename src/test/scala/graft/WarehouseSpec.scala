@@ -361,4 +361,33 @@ class WarehouseSpec extends SparkSpec {
     assert(out.select("doc_id").except(again.select("doc_id")).isEmpty &&
       again.select("doc_id").except(out.select("doc_id")).isEmpty)
   }
+
+  test("triangleCounts: each triangle credited once per corner node") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 4-5
+    // and an isolated edge 6-7 (no triangles); duplicate + reversed edges
+    // must not double-count
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 3L), (4L, 5L), (6L, 7L), (2L, 1L))
+      .toDF("s", "d")
+    val got = Graph.triangleCounts(edges, "s", "d").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"K4 per-node triangle counts, got $got")
+  }
+
+  test("bfsHops: min hop wins, maxHops caps, unreachable absent") {
+    // chain 1-2-3-4-5-6 plus shortcut 1-4; seeds {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 4L)).toDF("s", "d")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.bfsHops(edges, "s", "d", seeds, maxHops = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 4 is 1 hop via the shortcut (not 3); 6 is 3 hops -> cut by maxHops
+    assert(got == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L),
+      s"expected capped BFS distances, got $got")
+    // isolated seed explores nothing but reports itself
+    val iso = Graph.bfsHops(edges, "s", "d", Seq(9L).toDF("node"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iso == Map(9L -> 0L))
+  }
 }
