@@ -367,4 +367,55 @@ object EventTime {
       .agg(max(col("_mx")).as("peak"), min(col("_t")).as("peak_at"))
       .select(col("_g").as(groupCol), col("peak"), col("peak_at"))
   }
+
+  /** Merge overlapping-or-touching intervals per key (interval union): the
+    * gaps-and-islands construction. A row opens a new island iff its start
+    * is strictly past the running max end of every EARLIER row (exclusive
+    * 1-PRECEDING frame — the inclusive frame would compare a row against
+    * itself and never open one); islands are the running count of openers.
+    *
+    * `tieCol` makes the sort total (rows tying on start AND end would
+    * otherwise island nondeterministically only in id assignment, not in
+    * membership — but a total order keeps the window single-valued under
+    * AQE re-plans too). One shuffle on `keyCol`; both windows and the
+    * final aggregate share its sort.
+    */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String, tieCol: String): DataFrame = {
+    val order = Seq(col(startCol), col(endCol), col(tieCol))
+    val before = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("_pmax", max(col(endCol)).over(before))
+      .withColumn("_nf",
+        when(col("_pmax").isNull || col(startCol) > col("_pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("_island", sum(col("_nf")).over(run))
+      .groupBy(col(keyCol), col("_island").as("island"))
+      .agg(min(col(startCol)).as("merged_start"),
+        max(col(endCol)).as("merged_end"),
+        count(lit(1)).as("n_merged"))
+  }
+
+  /** Run-length encoding of consecutive equal values per key: each maximal
+    * run of identical `valueCol` (in `orderCols` order) collapses to one
+    * row with its length and start. Same lag+cumsum island shape as
+    * [[gapSessionize]]; one shuffle on `keyCol`, runs never cross keys.
+    */
+  def runLength(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col(valueCol), 1).over(w)
+    df
+      .withColumn("_nf",
+        when(prev.isNull || col(valueCol) =!= prev, 1L).otherwise(0L))
+      .withColumn("_run", sum(col("_nf")).over(run))
+      .groupBy(col(keyCol), col("_run").as("run_id"))
+      .agg(min(col(valueCol)).as("run_value"),
+        count(lit(1)).as("run_len"),
+        min(orderCols.head).as("run_start"))
+  }
 }

@@ -444,6 +444,20 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"), max(col("v")).as("hi"))
   }
 
+  /** Per-group mode (most frequent value) with a deterministic tie-break:
+    * among equally-frequent values the smallest wins. Two hash aggregates
+    * (rows → per-value counts → per-group argmax); the second operates on
+    * distinct (group, value) pairs only, so the heavy shuffle is the first
+    * — and it partial-aggregates map-side.
+    */
+  def modeExact(df: DataFrame, groupCols: Seq[Column], valueCol: Column): DataFrame = {
+    val counts = df.groupBy(groupCols :+ valueCol.as("mode_value"): _*)
+      .agg(count(lit(1)).as("n_occurrences"))
+    topKPerGroup(counts, groupCols,
+      Seq(col("n_occurrences").desc, col("mode_value").asc), 1, "_rnk")
+      .drop("_rnk")
+  }
+
   /** Tagged disjoint comparison of two keyed sets: rows in both, only left,
     * only right. Three hash-aggregated branches over the same two inputs;
     * Catalyst reuses the exchange across branches.

@@ -118,7 +118,40 @@ object WindowQueries {
     // sequence, with exact parts-per-million row normalization.
     "q113_transitions" -> ((s, d) =>
       EventTime.transitions(Tables.events(s, d), "user_id", "event_type",
-        "ts", "event_id")))
+        "ts", "event_id")),
+
+    // Interval union: each order open for 30 days, overlapping spans per
+    // customer merged to coverage islands — the gaps-and-islands
+    // construction with an exclusive running-max-end window.
+    "q122_interval_merge" -> ((s, d) =>
+      EventTime.mergeIntervals(
+        Tables.orders(s, d).select(col("o_custkey"),
+          col("o_orderdate").as("start_at"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("end_at"),
+          col("o_orderkey")),
+        "o_custkey", "start_at", "end_at", "o_orderkey")
+        .select(col("o_custkey"), col("island"),
+          date_format(col("merged_start"), Ts).as("merged_start"),
+          date_format(col("merged_end"), Ts).as("merged_end"),
+          col("n_merged"))),
+
+    // Per-user modal event type, deterministic tie-break (most frequent,
+    // then lexicographically smallest) — the categorical summary aggregate.
+    "q123_mode" -> ((s, d) =>
+      graft.operators.Relational.modeExact(
+        Tables.events(s, d), Seq(col("user_id")), col("event_type"))),
+
+    // Run-length encoding of each user's event-type sequence: maximal
+    // consecutive runs with exact lengths and start micros — the sequence
+    // compression / dwell-analysis primitive.
+    "q124_rle" -> ((s, d) =>
+      EventTime.runLength(
+        Tables.events(s, d).select(col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_id"), col("event_type")),
+        "user_id", Seq(col("us"), col("event_id")), "event_type")
+        .select(col("user_id"), col("run_id"),
+          col("run_value").as("event_type"), col("run_len"),
+          col("run_start").as("run_start_us"))))
 
   val oracles: Map[String, String] = Map(
     "q86_conversion_latency" ->
@@ -287,5 +320,64 @@ object WindowQueries {
         |       max(us) AS session_end_us,
         |       max(us) - min(us) AS duration_us
         |FROM numbered
-        |GROUP BY user_id, sid""".stripMargin)
+        |GROUP BY user_id, sid""".stripMargin,
+
+    "q122_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT o_custkey, o_orderdate AS s,
+        |         o_orderdate + INTERVAL 30 DAY AS e, o_orderkey AS tie
+        |  FROM orders
+        |), marked AS (
+        |  SELECT o_custkey, s, e, tie,
+        |         CASE WHEN max(e) OVER (PARTITION BY o_custkey
+        |                ORDER BY s, e, tie
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              IS NULL
+        |           OR s > max(e) OVER (PARTITION BY o_custkey
+        |                ORDER BY s, e, tie
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         THEN 1 ELSE 0 END AS nf
+        |  FROM iv
+        |), numbered AS (
+        |  SELECT o_custkey, s, e,
+        |         sum(nf) OVER (PARTITION BY o_custkey ORDER BY s, e, tie
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM marked
+        |)
+        |SELECT o_custkey, CAST(island AS BIGINT) AS island,
+        |       strftime(min(s), '%Y-%m-%d %H:%M:%S') AS merged_start,
+        |       strftime(max(e), '%Y-%m-%d %H:%M:%S') AS merged_end,
+        |       count(*) AS n_merged
+        |FROM numbered GROUP BY o_custkey, island""".stripMargin,
+
+    "q123_mode" ->
+      """SELECT user_id, event_type AS mode_value,
+        |       CAST(n_occurrences AS BIGINT) AS n_occurrences
+        |FROM (
+        |  SELECT user_id, event_type, count(*) AS n_occurrences,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY count(*) DESC, event_type ASC) AS rnk
+        |  FROM events GROUP BY user_id, event_type)
+        |WHERE rnk = 1""".stripMargin,
+
+    "q124_rle" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        |  FROM events
+        |), marked AS (
+        |  SELECT user_id, us, event_id, event_type,
+        |         CASE WHEN lag(event_type) OVER w IS NULL
+        |              OR event_type <> lag(event_type) OVER w
+        |         THEN 1 ELSE 0 END AS nf
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), numbered AS (
+        |  SELECT user_id, us, event_type,
+        |         sum(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+        |  FROM marked
+        |)
+        |SELECT user_id, CAST(rid AS BIGINT) AS run_id,
+        |       min(event_type) AS event_type, count(*) AS run_len,
+        |       min(us) AS run_start_us
+        |FROM numbered GROUP BY user_id, rid""".stripMargin)
 }

@@ -135,6 +135,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(u2.getAs[Long]("user_id") == 2L && u2.getAs[Long]("n_events") == 1L)
   }
 
+  test("mergeIntervals: overlap and touch merge, gaps split, ids total-order") {
+    import spark.implicits._
+    val iv = Seq(
+      // key 1: [0,10] + [5,12] overlap; [12,20] touches (merges); [25,30] gaps
+      (1L, 0L, 10L, 1L), (1L, 5L, 12L, 2L), (1L, 12L, 20L, 3L),
+      (1L, 25L, 30L, 4L),
+      // key 2: duplicate intervals collapse into one island of 2
+      (2L, 0L, 5L, 5L), (2L, 0L, 5L, 6L))
+      .toDF("k", "s", "e", "id")
+      .select(col("k"), timestamp_micros(col("s")).as("s"),
+        timestamp_micros(col("e")).as("e"), col("id"))
+    val out = EventTime.mergeIntervals(iv, "k", "s", "e", "id")
+      .select(col("k"), col("island"),
+        unix_micros(col("merged_start")).as("ms"),
+        unix_micros(col("merged_end")).as("me"), col("n_merged"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      (1L, 1L) -> (0L, 20L, 3L), (1L, 2L) -> (25L, 30L, 1L),
+      (2L, 1L) -> (0L, 5L, 2L)), s"got $out")
+  }
+
+  test("runLength: maximal runs with exact lengths and starts") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "b"), (1L, 4L, "a"),
+      (1L, 5L, "a"), (1L, 6L, "a"), (2L, 1L, "x"))
+      .toDF("k", "seq", "v")
+    val out = EventTime.runLength(ev, "k", Seq(col("seq")), "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      (1L, 1L) -> ("a", 2L, 1L), (1L, 2L) -> ("b", 1L, 3L),
+      (1L, 3L) -> ("a", 3L, 4L), (2L, 1L) -> ("x", 1L, 1L)), s"got $out")
+  }
+
+  test("modeExact: most frequent wins, ties break to smallest value") {
+    import spark.implicits._
+    val df = Seq((1L, "b"), (1L, "b"), (1L, "a"), (2L, "z"), (2L, "y"))
+      .toDF("g", "v")
+    val out = Relational.modeExact(df, Seq(col("g")), col("v"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> ("b", 2L), 2L -> ("y", 1L)), s"got $out")
+  }
+
   test("olsExact: rational slope is exact on a perfect line and constant") {
     import spark.implicits._
     // y = 2x + 7 -> slope_num/slope_den == 2 exactly
