@@ -132,7 +132,13 @@ object GraftFunctions {
         s"graft_simhash60 requires exactly 1 argument, got ${exprs.length}")
       SimHash60(exprs(0))
     }, "graft_simhash60(hashes) - 60-bit SimHash majority-vote sketch " +
-      "over an ARRAY<BIGINT> of token hashes"))
+      "over an ARRAY<BIGINT> of token hashes"),
+    ("graft_jaro_winkler", exprs => {
+      require(exprs.length == 2,
+        s"graft_jaro_winkler requires exactly 2 arguments, got ${exprs.length}")
+      JaroWinklerSimilarity(exprs(0), exprs(1))
+    }, "graft_jaro_winkler(a, b) - Jaro-Winkler similarity of two strings " +
+      "(DuckDB-compatible: prefix boost above 0.7, empty string -> 0)"))
 
   /** Session-scoped registration (temp functions) — used by the query layer
     * and tests. Idempotent.
@@ -155,6 +161,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       val clazz = name match {
         case "graft_dot" => classOf[DotProduct].getName
         case "graft_simhash60" => classOf[SimHash60].getName
+        case "graft_jaro_winkler" => classOf[JaroWinklerSimilarity].getName
         case _ => GraftFunctions.getClass.getName
       }
       ext.injectFunction((FunctionIdentifier(name),

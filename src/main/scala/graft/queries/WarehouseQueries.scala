@@ -206,6 +206,27 @@ object WarehouseQueries {
           col("dist"))
     }),
 
+    // Jaro-Winkler fuzzy pairs over canonical part names (q102's blocking,
+    // different similarity): the native codegen'd graft_jaro_winkler
+    // expression scores candidates inside the block join — no UDF fence.
+    // Oracled against DuckDB's jaro_winkler_similarity at 6dp.
+    "q125_jaro_match" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val canon = Tables.part(s, d)
+        .groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("id"))
+        .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      val a = canon.select(col("blk"), col("id").as("part_a"),
+        col("p_name").as("name_a"))
+      val b = canon.select(col("blk"), col("id").as("part_b"),
+        col("p_name").as("name_b"))
+      a.join(b, Seq("blk")).filter(col("part_a") < col("part_b"))
+        .withColumn("sim", round(
+          call_function("graft_jaro_winkler", col("name_a"), col("name_b")), 6))
+        .filter(col("sim") >= 0.85)
+        .select(col("part_a"), col("part_b"), col("sim"))
+    }),
+
     // Entity-resolution capstone: exact-dup canonicalization -> blocked
     // fuzzy pairs (q102) -> connected components over the match graph ->
     // one GOLDEN RECORD per entity cluster (min-id representative name,
@@ -528,6 +549,17 @@ object WarehouseQueries {
         |            WHEN c.o_orderkey IS NULL THEN 'keep'
         |            ELSE 'update' END AS action
         |FROM orders b FULL OUTER JOIN chg c ON b.o_orderkey = c.o_orderkey""".stripMargin,
+
+    "q125_jaro_match" ->
+      """WITH t AS (
+        |  SELECT min(p_partkey) AS id, p_name AS txt,
+        |         string_split(p_name, ' ')[-1] AS blk
+        |  FROM part GROUP BY p_name
+        |)
+        |SELECT a.id AS part_a, b.id AS part_b,
+        |       round(jaro_winkler_similarity(a.txt, b.txt), 6) AS sim
+        |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+        |WHERE round(jaro_winkler_similarity(a.txt, b.txt), 6) >= 0.85""".stripMargin,
 
     "q102_fuzzy_match" ->
       """WITH t AS (

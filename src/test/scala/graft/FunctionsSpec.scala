@@ -76,4 +76,32 @@ class FunctionsSpec extends SparkSpec {
   test("GraftExtensions wires injection without error") {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
+
+  test("graft_jaro_winkler: textbook vectors, empty rule, null safety") {
+    GraftFunctions.register(spark)
+    def jw(a: String, b: String): Double =
+      spark.sql(s"SELECT round(graft_jaro_winkler('$a', '$b'), 6) j")
+        .head().getDouble(0)
+    // classic Winkler test vectors
+    assert(jw("MARTHA", "MARHTA") == 0.961111)
+    assert(jw("DWAYNE", "DUANE") == 0.84)
+    assert(jw("DIXON", "DICKSONX") == 0.813333)
+    assert(jw("same", "same") == 1.0)
+    // below the 0.7 boost threshold the prefix bonus must NOT apply:
+    // jaro(abcdef, abzzzz) = (2/6 + 2/6 + 2/2)/3 = 0.555556 exactly
+    assert(jw("abcdef", "abzzzz") == 0.555556)
+    // DuckDB rule: either side empty -> 0, even for both-empty
+    assert(jw("", "") == 0.0)
+    assert(jw("", "x") == 0.0)
+    assert(spark.sql("SELECT graft_jaro_winkler(CAST(NULL AS STRING), 'x') j")
+      .head().isNullAt(0))
+  }
+
+  test("graft_jaro_winkler through whole-stage codegen over column data") {
+    val df = Seq(("MARTHA", "MARHTA"), ("CRATE", "TRACE"), ("a", "b"))
+      .toDF("a", "b")
+    val out = df.selectExpr("round(graft_jaro_winkler(a, b), 6) AS j")
+      .as[Double].collect().toSeq
+    assert(out == Seq(0.961111, 0.733333, 0.0))
+  }
 }
