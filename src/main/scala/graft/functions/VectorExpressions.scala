@@ -154,7 +154,8 @@ object GraftFunctions {
   * GraftExtensions` registers the functions permanently in every session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     GraftFunctions.functions.foreach { case (name, builder, usage) =>
       // per-function class attribution: DESCRIBE FUNCTION EXTENDED must not
       // claim every graft function is DotProduct
@@ -168,4 +169,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(clazz, name, usage),
         builder))
     }
+  }
 }

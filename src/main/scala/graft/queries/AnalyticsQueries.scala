@@ -339,6 +339,23 @@ object AnalyticsQueries {
           date_format(col("o_orderdate"), Ts).as("last_orderdate"))
     }),
 
+    // q21's as-of join through the NATIVE physical operator (custom
+    // LogicalPlan -> AsofJoinStrategy -> merge-walk AsofJoinExec): same
+    // DuckDB ASOF oracle, so the hash match proves the custom exec equals
+    // both the composition form and the declarative semantics.
+    "q126_asof_native" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      val r = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"))
+      graft.plans.NativeAsof.backward(e, r, Seq("user_id"),
+          "ts", "o_orderdate", Seq("last_orderkey", "o_orderdate"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), Ts).as("ts"),
+          col("last_orderkey"),
+          date_format(col("o_orderdate"), Ts).as("last_orderdate"))
+    }),
+
     // Per-customer spend-over-time OLS fit, slope as a BIGINT rational
     // (num/den) — exact regression statistics with no float sum anywhere,
     // so the result is bit-identical at any parallelism. x = epoch day,
@@ -616,6 +633,19 @@ object AnalyticsQueries {
         |ASOF LEFT JOIN r ON o.o_custkey = r.r_user AND o.o_orderdate <= r.ts""".stripMargin,
 
     "q21_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS r_user, o_orderdate,
+        |         max(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT e.event_id, e.user_id,
+        |       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |       r.last_orderkey,
+        |       strftime(r.o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_orderdate
+        |FROM events e
+        |ASOF LEFT JOIN r ON e.user_id = r.r_user AND e.ts >= r.o_orderdate""".stripMargin,
+
+    "q126_asof_native" ->
       """WITH r AS (
         |  SELECT o_custkey AS r_user, o_orderdate,
         |         max(o_orderkey) AS last_orderkey

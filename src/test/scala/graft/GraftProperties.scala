@@ -116,6 +116,39 @@ object GraftProperties extends Properties("graft") {
       back == reference(fwd = false) && fwd == reference(fwd = true)
     }
 
+  // Same reference, native physical operator (custom LogicalPlan +
+  // Strategy + merge-walk SparkPlan): the two as-of implementations must
+  // be row-identical on the same adversarial inputs.
+  property("native as-of exec matches the nested-loop reference") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(asofKeyGen, asofTimeGen)),
+      Gen.nonEmptyListOf(Gen.zip(asofKeyGen, asofTimeGen))) { (lRows, rRows0) =>
+      val s = spark
+      import s.implicits._
+      val rRows = rRows0.zipWithIndex.map { case ((k, t), i) => (k, t, s"v$i") }
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val left = lRows.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "lt")
+      val right = rRows.toDF("k", "rt", "v")
+
+      def reference(fwd: Boolean): Map[Long, Option[String]] =
+        lRows.zipWithIndex.map { case ((k, t), i) =>
+          i.toLong -> t.flatMap { lt =>
+            val cands = rRows.filter(r => r._1 == k && r._2.exists(rt =>
+              if (fwd) rt >= lt else rt <= lt))
+            if (cands.isEmpty) None
+            else Some((if (fwd) cands.minBy(_._2.get) else cands.maxBy(_._2.get))._3)
+          }
+        }.toMap
+
+      val back = graft.plans.NativeAsof.backward(
+        left, right, Seq("k"), "lt", "rt", Seq("v"))
+        .select("lid", "v").as[(Long, Option[String])].collect().toMap
+      val fwd = graft.plans.NativeAsof.forward(
+        left, right, Seq("k"), "lt", "rt", Seq("v"))
+        .select("lid", "v").as[(Long, Option[String])].collect().toMap
+      back == reference(fwd = false) && fwd == reference(fwd = true)
+    }
+
   property("jaccard is bounded, symmetric, 1 on self") =
     forAll(Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e")),
       Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e"))) { (xs, ys) =>

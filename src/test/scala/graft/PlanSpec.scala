@@ -53,4 +53,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull"),
       s"pushdown missing from scan:\n$p")
   }
+
+  test("q126 plans the native AsofJoin exec, one exchange+sort per side") {
+    val p = plan("q126_asof_native")
+    assert(p.contains("AsofJoin"), s"custom exec not planned:\n$p")
+    assert(!p.contains("Window"), s"must not fall back to union-and-fill:\n$p")
+    // left side: scan -> exchange -> sort; right adds one aggregate
+    // exchange before its sort (3 total, never more)
+    assert("Exchange".r.findAllIn(p).size == 3,
+      s"expected exactly three exchanges:\n$p")
+    assert("Sort".r.findAllIn(p).size == 2,
+      s"expected exactly one sort per side:\n$p")
+  }
 }
