@@ -108,6 +108,49 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core decomposition for a fixed k: the maximal subgraph in which
+    * every node has degree ≥ k, found by iterative peeling (drop nodes
+    * under degree k, recompute, repeat to fixpoint). Returns the surviving
+    * nodes with their in-core degree.
+    *
+    * Each round is one degree aggregate + two key-local semi-joins over
+    * the shrinking edge set, `localCheckpoint`ed so round N never replays
+    * round N−1's lineage; convergence is detected by edge count (peeling
+    * is monotone, so an unchanged count IS the fixpoint). Throws if
+    * `maxIter` rounds don't converge — a silently partial core would
+    * be a plausible-but-wrong answer, and the unrolled-CTE oracle is only
+    * valid at the fixpoint.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIter: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var cur = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .distinct().localCheckpoint()
+    var curCount = cur.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("_keep"))
+      val next = cur
+        .join(keep, cur("src") === col("_keep"), "left_semi")
+        .join(keep, cur("dst") === col("_keep"), "left_semi")
+        .localCheckpoint()
+      val nextCount = next.count()
+      converged = nextCount == curCount
+      cur = next
+      curCount = nextCount
+      i += 1
+    }
+    if (!converged && curCount > 0)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not converge in $maxIter rounds " +
+          s"($curCount edges remain) — raise maxIter")
+    cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Multi-source BFS: minimum hop distance (≤ `maxHops`) from any seed
     * node over an undirected edge list. `seeds` is a single-column
     * DataFrame named `node`.

@@ -444,6 +444,29 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"), max(col("v")).as("hi"))
   }
 
+  /** Exact weighted median per group: the smallest value v with
+    * 2·Σ weight(≤ v) ≥ Σ weight — pure BIGINT comparisons, no float.
+    *
+    * Rows first collapse to (group, value) weight sums (the heavy,
+    * map-side-combined shuffle), then one keyed window cumsum over the
+    * distinct values finds the crossing — so the sort runs on distinct
+    * values per group, not raw rows.
+    */
+  def weightedMedian(df: DataFrame, groupCols: Seq[Column], valueCol: Column,
+      weightCol: Column): DataFrame = {
+    val byValue = df.groupBy(groupCols :+ valueCol.cast("long").as("_v"): _*)
+      .agg(sum(weightCol.cast("long")).as("_w"))
+    val part = Window.partitionBy(groupCols: _*)
+    val cum = part.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byValue
+      .withColumn("_cum", sum(col("_w")).over(cum))
+      .withColumn("_tot", sum(col("_w")).over(part))
+      .filter(col("_cum") * 2 >= col("_tot"))
+      .groupBy(groupCols: _*)
+      .agg(min(col("_v")).as("wmedian"), max(col("_tot")).as("total_weight"))
+  }
+
   /** Per-group mode (most frequent value) with a deterministic tie-break:
     * among equally-frequent values the smallest wins. Two hash aggregates
     * (rows → per-value counts → per-group argmax); the second operates on

@@ -356,6 +356,40 @@ object AnalyticsQueries {
           date_format(col("o_orderdate"), Ts).as("last_orderdate"))
     }),
 
+    // Last-touch attribution with a 7-day lookback: every purchase event
+    // attributed to the user's most recent click at most 7 days older —
+    // the native as-of join plus a tolerance filter (the latest click
+    // being out-of-window implies every older one is too, so the
+    // post-filter IS merge_asof's tolerance semantics).
+    "q127_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // dedup click ties on (user, ts): deterministic max event id wins.
+      // The grouping alias mints fresh attribute ids, so the two sides of
+      // the self-derived as-of don't share attributes.
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("user_id"), col("ts").as("click_ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val joined = graft.plans.NativeAsof.backward(purchases, clicks,
+        Seq("user_id"), "ts", "click_ts", Seq("click_id", "click_ts"))
+      val inWindow = col("click_ts").isNotNull &&
+        col("click_ts") >= col("ts") - expr("INTERVAL 7 DAYS")
+      joined.select(col("event_id"), col("user_id"),
+        date_format(col("ts"), Ts).as("ts"),
+        when(inWindow, col("click_id")).as("click_id"),
+        when(inWindow, date_format(col("click_ts"), Ts)).as("click_ts"))
+    }),
+
+    // Exact weighted median of line price (weight = quantity) per return
+    // flag: BIGINT cumsum crossing over per-value weight sums — the sort
+    // touches distinct values, never raw rows.
+    "q128_weighted_median" -> ((s, d) =>
+      Relational.weightedMedian(
+        Tables.lineitem(s, d), Seq(col("l_returnflag")),
+        floor(col("l_extendedprice") * 100).cast("long"),
+        col("l_quantity").cast("long"))),
+
     // Per-customer spend-over-time OLS fit, slope as a BIGINT rational
     // (num/den) — exact regression statistics with no float sum anywhere,
     // so the result is bit-identical at any parallelism. x = epoch day,
@@ -644,6 +678,40 @@ object AnalyticsQueries {
         |       strftime(r.o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_orderdate
         |FROM events e
         |ASOF LEFT JOIN r ON e.user_id = r.r_user AND e.ts >= r.o_orderdate""".stripMargin,
+
+    "q127_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id AS c_user, ts AS click_ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |)
+        |SELECT p.event_id, p.user_id,
+        |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |       CASE WHEN c.click_ts >= p.ts - INTERVAL 7 DAY
+        |            THEN c.click_id END AS click_id,
+        |       CASE WHEN c.click_ts >= p.ts - INTERVAL 7 DAY
+        |            THEN strftime(c.click_ts, '%Y-%m-%d %H:%M:%S')
+        |       END AS click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.c_user AND p.ts >= c.click_ts""".stripMargin,
+
+    "q128_weighted_median" ->
+      """WITH byv AS (
+        |  SELECT l_returnflag,
+        |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2
+        |), c AS (
+        |  SELECT l_returnflag, v,
+        |         sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM byv
+        |)
+        |SELECT l_returnflag, CAST(min(v) AS BIGINT) AS wmedian,
+        |       CAST(max(tot) AS BIGINT) AS total_weight
+        |FROM c WHERE cum * 2 >= tot GROUP BY 1""".stripMargin,
 
     "q126_asof_native" ->
       """WITH r AS (

@@ -292,6 +292,21 @@ object WarehouseQueries {
         .select(col("node").as("partkey"), col("hops"))
     }),
 
+    // k-core decomposition (k=3) of the co-occurrence graph: iterative
+    // peeling to the fixpoint (loud failure if unconverged), surviving
+    // nodes with in-core degree. The oracle unrolls 30 peeling rounds as
+    // CTEs — at the fixpoint extra rounds are no-ops, so the hash match
+    // proves the iterative peel equals the declarative unrolling.
+    "q129_kcore" -> ((s, d) => {
+      val edges = Relational.coOccurrence(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey")),
+        "ok", "l_partkey")
+        .filter(col("n_groups") >= 2)
+      Graph.kCore(edges, "item_a", "item_b", k = 3, maxIter = 30)
+        .select(col("node").as("partkey"), col("core_deg"))
+    }),
+
     // Interval concurrency (sweep line): treating each order as open for
     // 30 days, the peak number of simultaneously open orders per
     // priority and when it was first reached — the resource-utilization
@@ -412,7 +427,29 @@ object WarehouseQueries {
       |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2
       |)""".stripMargin
 
+  /** One k-core peeling round as two DuckDB CTEs (degree filter + edge
+    * restriction), chained `rounds` times from `e0`.
+    */
+  private def kcorePeelSql(k: Int, rounds: Int): String =
+    // MATERIALIZED is load-bearing: each round references the previous
+    // round's edges three times, so CTE inlining would expand the chain
+    // 3^rounds times (observed as fd exhaustion on the base scan)
+    (1 to rounds).map { i =>
+      s"""n$i AS MATERIALIZED (
+         |  SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN n$i a ON e.src = a.src JOIN n$i b ON e.dst = b.src)""".stripMargin
+    }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "q129_kcore" ->
+      s"""WITH $CoocEdgesCte,
+         |e0 AS (SELECT p1 AS src, p2 AS dst FROM edges
+         |       UNION SELECT p2, p1 FROM edges),
+         |${kcorePeelSql(3, 30)}
+         |SELECT src AS partkey, count(*) AS core_deg
+         |FROM e30 GROUP BY src""".stripMargin,
+
     // Triangles spelled directly: x<y<z triple self-join on the canonical
     // edge list; per-node counts by unnesting the three corners.
     "q116_triangles" ->

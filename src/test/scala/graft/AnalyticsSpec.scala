@@ -179,6 +179,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> ("b", 2L), 2L -> ("y", 1L)), s"got $out")
   }
 
+  test("weightedMedian: cumulative-weight crossing, exact at even splits") {
+    import spark.implicits._
+    val df = Seq(
+      // group 1: weights 1,1,2 over values 10,20,30 -> tot 4, crossing at
+      // cum*2 >= 4 first happens at value 20 (cum 2)
+      (1L, 10L, 1L), (1L, 20L, 1L), (1L, 30L, 2L),
+      // group 2: single heavy value dominates
+      (2L, 5L, 1L), (2L, 7L, 10L), (2L, 9L, 1L),
+      // group 3: duplicate values collapse before the cumsum
+      (3L, 4L, 1L), (3L, 4L, 1L), (3L, 8L, 1L))
+      .toDF("g", "v", "w")
+    val got = Relational.weightedMedian(df, Seq(col("g")), col("v"), col("w"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (20L, 4L), 2L -> (7L, 12L), 3L -> (4L, 3L)),
+      s"got $got")
+  }
+
   test("olsExact: rational slope is exact on a perfect line and constant") {
     import spark.implicits._
     // y = 2x + 7 -> slope_num/slope_den == 2 exactly

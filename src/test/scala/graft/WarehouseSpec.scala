@@ -375,6 +375,30 @@ class WarehouseSpec extends SparkSpec {
       s"K4 per-node triangle counts, got $got")
   }
 
+  test("kCore: peels to the maximal subgraph, throws when not converged") {
+    // 4-clique {1,2,3,4} + chain 4-5-6 + triangle {7,8,9}:
+    // 3-core = the clique only (the triangle's nodes have degree 2)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (7L, 8L), (8L, 9L), (7L, 9L))
+      .toDF("s", "d")
+    val core3 = Graph.kCore(edges, "s", "d", k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"3-core must be exactly the clique, got $core3")
+    // 2-core keeps the triangle, drops the chain
+    val core2 = Graph.kCore(edges, "s", "d", k = 2).collect()
+      .map(_.getLong(0)).toSet
+    assert(core2 == Set(1L, 2L, 3L, 4L, 7L, 8L, 9L), s"got $core2")
+    // k above max degree empties cleanly (converges at zero edges)
+    assert(Graph.kCore(edges, "s", "d", k = 5).isEmpty)
+    // chain 1-2-3-4-5 under k=2 needs several peel rounds; maxIter=1 must
+    // fail loudly rather than return a partial core
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    intercept[IllegalStateException] {
+      Graph.kCore(chain, "s", "d", k = 2, maxIter = 1).collect()
+    }
+  }
+
   test("bfsHops: min hop wins, maxHops caps, unreachable absent") {
     // chain 1-2-3-4-5-6 plus shortcut 1-4; seeds {1}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
