@@ -212,31 +212,52 @@ object EventTime {
     * Returns (orderCol, valueCol, running_sum).
     */
   def globalRunningSum(df: DataFrame, orderCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String): DataFrame =
+    globalRunningSums(df, orderCol, Seq(valueCol))
+      .withColumnRenamed(s"running_$valueCol", "running_sum")
+
+  /** Multi-column form of [[globalRunningSum]]: one range partitioning,
+    * one pair of passes, k running sums (columns `running_<name>`) — the
+    * k-statistic segmented scan (e.g. the two empirical CDFs of a KS
+    * test) costs the same two passes as one.
+    */
+  def globalRunningSums(df: DataFrame, orderCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "valueCols must not be empty")
     val spark = df.sparkSession
+    val k = valueCols.size
     val ranged = df
-      .select(col(orderCol).as("_t"), col(valueCol).cast("long").as("_v"))
+      .select(col(orderCol).as("_t") +:
+        valueCols.map(c => col(c).cast("long").as(s"_$c")): _*)
       .repartitionByRange(col("_t"))
       .sortWithinPartitions(col("_t"))
       .localCheckpoint() // pin ONE partitioning for both passes
     val totals = ranged.rdd
       .mapPartitionsWithIndex { (i, it) =>
-        var s = 0L
-        it.foreach(r => s += r.getLong(1))
+        val s = new Array[Long](k)
+        it.foreach { r =>
+          var j = 0
+          while (j < k) { s(j) += r.getLong(j + 1); j += 1 }
+        }
         Iterator((i, s))
       }.collect().sortBy(_._1).map(_._2)
-    val offsets = spark.sparkContext.broadcast(totals.scanLeft(0L)(_ + _))
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      ranged.schema.fields(0).copy(name = orderCol),
-      org.apache.spark.sql.types.StructField(valueCol,
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("running_sum",
-        org.apache.spark.sql.types.LongType)))
+    val offsets = spark.sparkContext.broadcast(
+      totals.scanLeft(new Array[Long](k)) { (acc, t) =>
+        Array.tabulate(k)(j => acc(j) + t(j))
+      })
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields(0).copy(name = orderCol) +:
+        (valueCols.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.LongType)) ++
+          valueCols.map(c => org.apache.spark.sql.types.StructField(
+            s"running_$c", org.apache.spark.sql.types.LongType))))
     val rows = ranged.rdd.mapPartitionsWithIndex { (i, it) =>
-      var run = offsets.value(i)
+      val run = offsets.value(i).clone()
       it.map { r =>
-        run += r.getLong(1)
-        org.apache.spark.sql.Row(r.get(0), r.getLong(1), run)
+        var j = 0
+        while (j < k) { run(j) += r.getLong(j + 1); j += 1 }
+        org.apache.spark.sql.Row.fromSeq(
+          r.get(0) +: (Seq.tabulate(k)(j => r.getLong(j + 1)) ++ run.toSeq))
       }
     }
     spark.createDataFrame(rows, schema)

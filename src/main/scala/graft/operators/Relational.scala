@@ -467,6 +467,22 @@ object Relational {
       .agg(min(col("_v")).as("wmedian"), max(col("_tot")).as("total_weight"))
   }
 
+  /** Replay a [[snapshotDiff]] change log onto the base snapshot: deletes
+    * and updates remove their old row (one left-anti on the key), inserts
+    * and updates add their new values — the CDC time-travel primitive.
+    * Cost is O(|base| + |changes|) with the anti-join's single key
+    * shuffle; the hash match against the target snapshot proves
+    * replay == snapshot (no drift, no lost or resurrected rows).
+    */
+  def applyChangeLog(base: DataFrame, diff: DataFrame, keyCols: Seq[String],
+      valCols: Seq[String]): DataFrame = {
+    val removed = diff.filter(col("change_type").isin("delete", "update"))
+      .select(keyCols.map(col): _*)
+    val added = diff.filter(col("change_type").isin("insert", "update"))
+      .select(keyCols.map(col) ++ valCols.map(c => col(s"new_$c").as(c)): _*)
+    base.join(removed, keyCols, "left_anti").unionByName(added)
+  }
+
   /** Per-group mode (most frequent value) with a deterministic tie-break:
     * among equally-frequent values the smallest wins. Two hash aggregates
     * (rows → per-value counts → per-group argmax); the second operates on

@@ -342,6 +342,40 @@ object WarehouseQueries {
       Relational.applyAggDelta(baseAgg, diff, "o_orderstatus", "cents")
     }),
 
+    // CDC time travel: replay the q111 change log onto the OLD snapshot;
+    // the oracle is the NEW snapshot directly, so the hash match proves
+    // log replay reconstructs the target state row-for-row.
+    "q130_time_travel" -> ((s, d) => {
+      val (o, n) = WarehouseQueries.cdcSnapshots(s, d)
+      val diff = Relational.snapshotDiff(o, n, Seq("o_orderkey"),
+        Seq("cents", "o_orderstatus"))
+      Relational.applyChangeLog(o, diff, Seq("o_orderkey"),
+        Seq("cents", "o_orderstatus"))
+    }),
+
+    // Exact two-sample Kolmogorov-Smirnov drift statistic between the
+    // train and test hash splits of order value: the two empirical CDFs
+    // as ONE multi-column distributed prefix-sum (the q108 segmented
+    // scan), the sup-distance as the cross-multiplied BIGINT
+    // |cum_a·n_b − cum_b·n_a| — no float, no single-partition window.
+    "q131_ks_drift" -> ((s, d) => {
+      val split = Curation.hashSplit(
+        Tables.orders(s, d).select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents")),
+        "o_orderkey", Seq(("train", 90), ("val", 5), ("test", 5)))
+      val counts = split.filter(col("split").isin("train", "test"))
+        .groupBy(col("cents"))
+        .agg(count(when(col("split") === "train", 1)).as("c_a"),
+          count(when(col("split") === "test", 1)).as("c_b"))
+      val runs = graft.operators.EventTime.globalRunningSums(
+        counts, "cents", Seq("c_a", "c_b"))
+      val tot = counts.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+      runs.crossJoin(broadcast(tot))
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          max(abs(col("running_c_a") * col("n_b") -
+            col("running_c_b") * col("n_a"))).as("d_num"))
+    }),
+
     // 2-D skyline (Pareto frontier) of parts on (price, size): the rows no
     // other part beats on both dimensions. The oracle is the O(n²)
     // NOT EXISTS self-join; the engine form is linear — per-price-group
@@ -442,6 +476,36 @@ object WarehouseQueries {
     }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    // replay == target snapshot
+    "q130_time_travel" ->
+      s"""$CdcCte
+         |SELECT o_orderkey, cents, o_orderstatus FROM new""".stripMargin,
+
+    "q131_ks_drift" ->
+      s"""WITH split AS (
+         |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         |         ${OracleSql.splitCaseSql("o_orderkey")} AS split
+         |  FROM orders
+         |), counts AS (
+         |  SELECT cents,
+         |         count(CASE WHEN split = 'train' THEN 1 END) AS c_a,
+         |         count(CASE WHEN split = 'test' THEN 1 END) AS c_b
+         |  FROM split WHERE split IN ('train', 'test') GROUP BY cents
+         |), runs AS (
+         |  SELECT cents, c_a, c_b,
+         |         sum(c_a) OVER w AS cum_a, sum(c_b) OVER w AS cum_b
+         |  FROM counts
+         |  WINDOW w AS (ORDER BY cents
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), tot AS (
+         |  SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+         |         CAST(sum(c_b) AS BIGINT) AS n_b
+         |  FROM counts
+         |)
+         |SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+         |       CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num
+         |FROM runs, tot""".stripMargin,
+
     "q129_kcore" ->
       s"""WITH $CoocEdgesCte,
          |e0 AS (SELECT p1 AS src, p2 AS dst FROM edges

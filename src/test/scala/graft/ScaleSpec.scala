@@ -47,6 +47,19 @@ class ScaleSpec extends SparkSpec {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select("t", "running_sum").as[(Int, Long)].collect().sorted.toSeq
     assert(fast == slow, "segmented scan must equal the global window")
+    // multi-column form: k sums in the same two passes
+    val two = (1 to 4000).map(i => ((i * 41) % 9103, (i % 7).toLong, (i % 5).toLong))
+      .distinctBy(_._1).toDF("t", "a", "b")
+    val multi = graft.operators.EventTime.globalRunningSums(two, "t", Seq("a", "b"))
+      .select("t", "running_a", "running_b").as[(Int, Long, Long)]
+      .collect().sorted.toSeq
+    val ref = two
+      .withColumn("ra", sum(col("a")).over(Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rb", sum(col("b")).over(Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("t", "ra", "rb").as[(Int, Long, Long)].collect().sorted.toSeq
+    assert(multi == ref, "multi-column scan must equal two global windows")
   }
 
   test("globalPeakConcurrency sweeps one timeline without a grouping key") {

@@ -362,6 +362,18 @@ class WarehouseSpec extends SparkSpec {
       again.select("doc_id").except(out.select("doc_id")).isEmpty)
   }
 
+  test("applyChangeLog replays a snapshotDiff back to the target state") {
+    val base = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("k", "v", "s")
+    val target = Seq((1L, 10L, "a"), (2L, 25L, "b"), (4L, 40L, "d"))
+      .toDF("k", "v", "s")
+    val diff = Relational.snapshotDiff(base, target, Seq("k"), Seq("v", "s"))
+    val replayed = Relational.applyChangeLog(base, diff, Seq("k"), Seq("v", "s"))
+    assert(replayed.except(target).isEmpty && target.except(replayed).isEmpty,
+      "replay must reconstruct the target snapshot exactly")
+    assert(replayed.count() == 3)
+  }
+
   test("triangleCounts: each triangle credited once per corner node") {
     // K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 4-5
     // and an isolated edge 6-7 (no triangles); duplicate + reversed edges
