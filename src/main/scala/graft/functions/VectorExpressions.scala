@@ -156,6 +156,7 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
     GraftFunctions.functions.foreach { case (name, builder, usage) =>
       // per-function class attribution: DESCRIBE FUNCTION EXTENDED must not
       // claim every graft function is DotProduct

@@ -168,6 +168,9 @@ object Relational {
   def fuzzyMatch(df: DataFrame, idCol: String, textCol: String,
       blockKey: Column, maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    // the LevenshteinBandRule rewrite (length-band prefilter + thresholded
+    // early-exit DP) applies to the dist cutoff below
+    graft.plans.GraftRules.register(df.sparkSession)
     val t = df.select(blockKey.as("_blk"), col(idCol).as("id"),
       col(textCol).as("txt"))
     val a = t.select(col("_blk"), col("id").as("id_a"), col("txt").as("txt_a"))

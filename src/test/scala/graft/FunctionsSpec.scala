@@ -97,6 +97,39 @@ class FunctionsSpec extends SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("LevenshteinBandRule preserves semantics on adversarial pairs") {
+    graft.plans.GraftRules.register(spark)
+    val pairs = Seq(
+      ("kitten", "sitting"), ("abc", "abc"), ("", ""), ("", "abc"),
+      ("aaaa", "aaab"), ("short", "muchlongerstring"), ("xy", "yx"),
+      (null, "x"), ("x", null))
+    // RDD-backed, NOT a LocalRelation: ConvertToLocalRelation would
+    // otherwise evaluate the filter before extraOptimizations run and the
+    // rule under test would never see the predicate
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(pairs.map(p =>
+        org.apache.spark.sql.Row(p._1, p._2))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.StringType))))
+    // reference: compute the raw distance (projection — untouched by the
+    // rule), then cut off in Scala
+    val raw = df.selectExpr("a", "b", "levenshtein(a, b) AS d").collect()
+      .filter(r => !r.isNullAt(2) && r.getInt(2) <= 3)
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // rule path: the filter predicate gets rewritten to band + threshold
+    val fast = df.filter("levenshtein(a, b) <= 3").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fast == raw, s"rewrite changed results: $fast vs $raw")
+    // sanity: the rewrite actually fired in the optimized plan
+    val opt = df.filter("levenshtein(a, b) <= 3")
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("Some(3)") && opt.contains("length("),
+      s"rule did not fire:\n$opt")
+  }
+
   test("graft_jaro_winkler through whole-stage codegen over column data") {
     val df = Seq(("MARTHA", "MARHTA"), ("CRATE", "TRACE"), ("a", "b"))
       .toDF("a", "b")

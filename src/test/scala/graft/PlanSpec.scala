@@ -54,6 +54,14 @@ class PlanSpec extends SparkSpec {
       s"pushdown missing from scan:\n$p")
   }
 
+  test("q102 levenshtein cutoff is rewritten to band + thresholded DP") {
+    val p = plan("q102_fuzzy_match")
+    assert(p.contains("abs((length("),
+      s"length-band prefilter missing:\n$p")
+    assert(p.contains(", Some(3)) >= 0"),
+      s"thresholded (early-exit) levenshtein missing:\n$p")
+  }
+
   test("q126 plans the native AsofJoin exec, one exchange+sort per side") {
     val p = plan("q126_asof_native")
     assert(p.contains("AsofJoin"), s"custom exec not planned:\n$p")
