@@ -25,7 +25,7 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ AnalyticsQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++ SimilarityQueries.extraQueries ++ TextQueries.queries ++ WindowQueries.queries ++ MultimodalQueries.queries ++ CurationQueries.queries ++ WarehouseQueries.queries
+    CoreQueries.queries ++ AnalyticsQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++ SimilarityQueries.extraQueries ++ TextQueries.queries ++ TextQueries.extraQueries ++ WindowQueries.queries ++ MultimodalQueries.queries ++ CurationQueries.queries ++ WarehouseQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ AnalyticsQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++ TextQueries.oracles ++ WindowQueries.oracles ++ MultimodalQueries.oracles ++ CurationQueries.oracles ++ WarehouseQueries.oracles

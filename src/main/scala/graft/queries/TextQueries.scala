@@ -148,7 +148,34 @@ object TextQueries {
     s"CASE WHEN $maxExpr = 0 THEN 'und' $branches ELSE 'und' END"
   }
 
+  val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Inverted index build (the search/retrieval primitive): token ->
+    // sorted posting list of doc:position pairs, document frequency, and
+    // total occurrences. Postings serialize to one deterministic string
+    // (byte-sorted "doc:pos" entries) so the result hash-compares across
+    // engines. One shuffle on token; the posting sort is per-token local.
+    "q132_inverted_index" -> ((s, d) =>
+      toks(s, d)
+        .select(col("doc_id"), posexplode(col("tok")).as(Seq("pos", "token")))
+        .groupBy(col("token"))
+        .agg(countDistinct(col("doc_id")).as("doc_freq"),
+          count(lit(1)).as("n_postings"),
+          array_join(sort_array(collect_list(
+            concat(col("doc_id"), lit(":"), col("pos")))), ",").as("postings"))))
+
   val oracles: Map[String, String] = Map(
+    "q132_inverted_index" ->
+      s"""$TokCte, p AS (
+         |  SELECT doc_id, unnest(tok) AS token,
+         |         unnest(range(len(tok))) AS pos
+         |  FROM t
+         |)
+         |SELECT token, count(DISTINCT doc_id) AS doc_freq,
+         |       count(*) AS n_postings,
+         |       array_to_string(list_sort(list(doc_id || ':' || pos)), ',')
+         |         AS postings
+         |FROM p GROUP BY token""".stripMargin,
+
     "q31_lang_stats" ->
       s"""$TokCte
          |SELECT lang, count(*) AS n_docs,

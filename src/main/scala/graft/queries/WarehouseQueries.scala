@@ -342,6 +342,34 @@ object WarehouseQueries {
       Relational.applyAggDelta(baseAgg, diff, "o_orderstatus", "cents")
     }),
 
+    // Decile lift table over per-customer spend WITHOUT a global-window
+    // ntile: rank = the distributed prefix-sum of per-row counts over a
+    // composite total order, decile = ((rank-1)·10) div n — Bresenham
+    // bucketing, identical formula mirrored in the oracle. Share in exact
+    // ppm. The single-partition Window.orderBy anti-pattern never appears.
+    "q134_decile_lift" -> ((s, d) => {
+      val per = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+        // composite total order as one BIGINT: custkey < 10^7 disambiguates
+        .select(col("o_custkey"), col("cents"),
+          (col("cents") * 10000000L + col("o_custkey")).as("ord"),
+          lit(1L).as("one"))
+      val ranked = graft.operators.EventTime.globalRunningSum(per, "ord", "one")
+        .withColumnRenamed("running_sum", "rank")
+      val tot = per.agg(count(lit(1)).as("n"), sum(col("cents")).as("tot_cents"))
+      ranked
+        .join(per.select(col("ord"), col("cents")), Seq("ord"))
+        .crossJoin(broadcast(tot))
+        .select(expr("((rank - 1) * 10) div n").as("decile"),
+          col("cents"), col("n"), col("tot_cents"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("sum_cents"),
+          expr("CAST(sum(cents) * 1000000 div max(tot_cents) AS BIGINT)")
+            .as("share_ppm"))
+    }),
+
     // CDC time travel: replay the q111 change log onto the OLD snapshot;
     // the oracle is the NEW snapshot directly, so the hash match proves
     // log replay reconstructs the target state row-for-row.
@@ -476,6 +504,27 @@ object WarehouseQueries {
     }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    "q134_decile_lift" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |), ranked AS (
+        |  SELECT cents,
+        |         row_number() OVER (ORDER BY cents, o_custkey) AS rnk
+        |  FROM per
+        |), tot AS (
+        |  SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS tot_cents
+        |  FROM per
+        |)
+        |SELECT ((rnk - 1) * 10) // n AS decile,
+        |       count(*) AS n_customers,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       CAST(sum(cents) * 1000000 // max(tot_cents) AS BIGINT)
+        |         AS share_ppm
+        |FROM ranked, tot GROUP BY 1""".stripMargin,
+
     // replay == target snapshot
     "q130_time_travel" ->
       s"""$CdcCte

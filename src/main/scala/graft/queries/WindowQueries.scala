@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.EventTime
@@ -140,6 +141,25 @@ object WindowQueries {
     "q123_mode" -> ((s, d) =>
       graft.operators.Relational.modeExact(
         Tables.events(s, d), Seq(col("user_id")), col("event_type"))),
+
+    // User-journey mining: each user's first 5 event types as one path
+    // string, counted across users — the funnel-discovery analytic. The
+    // path builds from a per-user sorted struct array (row-local), so
+    // collect_list's nondeterministic order cannot leak into the output.
+    "q133_top_paths" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("seq", row_number().over(w))
+        .filter(col("seq") <= 5)
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("seq"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
 
     // Run-length encoding of each user's event-type sequence: maximal
     // consecutive runs with exact lengths and start micros — the sequence
@@ -321,6 +341,19 @@ object WindowQueries {
         |       max(us) - min(us) AS duration_us
         |FROM numbered
         |GROUP BY user_id, sid""".stripMargin,
+
+    "q133_top_paths" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS seq
+        |  FROM events
+        |), paths AS (
+        |  SELECT user_id,
+        |         string_agg(event_type, '>' ORDER BY seq) AS path
+        |  FROM ranked WHERE seq <= 5 GROUP BY user_id
+        |)
+        |SELECT path, count(*) AS n_users FROM paths GROUP BY path""".stripMargin,
 
     "q122_interval_merge" ->
       """WITH iv AS (
