@@ -223,4 +223,80 @@ object GraftProperties extends Properties("graft") {
           .as[(Long, Long, Long)].collect().toSet
       got == want
     }
+
+  property("mergeIntervals covers exactly the input's point-set union") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 3L),
+      Gen.choose(0L, 40L), Gen.choose(0L, 12L)))) { raw =>
+      val s = spark
+      import s.implicits._
+      val iv = raw.zipWithIndex.map { case ((k, st, len), i) =>
+        (k, st, st + len, i.toLong)
+      }
+      val out = graft.operators.EventTime.mergeIntervals(
+        iv.toDF("k", "s", "e", "id")
+          .select(col("k"), timestamp_micros(col("s")).as("s"),
+            timestamp_micros(col("e")).as("e"), col("id")),
+        "k", "s", "e", "id")
+        .select(col("k"), unix_micros(col("merged_start")),
+          unix_micros(col("merged_end")), col("n_merged"))
+        .as[(Long, Long, Long, Long)].collect()
+      // 1) merged intervals per key are disjoint, non-touching, ordered
+      val disjoint = out.groupBy(_._1).values.forall { g =>
+        val sorted = g.sortBy(_._2)
+        sorted.zip(sorted.drop(1)).forall { case (a, b) => a._3 < b._2 }
+      }
+      // 2) covered integer point-set equals the union of inputs per key
+      val wantPts = iv.groupBy(_._1).view.mapValues(
+        _.flatMap(r => r._2 to r._3).toSet).toMap
+      val gotPts = out.groupBy(_._1).view.mapValues(
+        _.flatMap(r => r._2 to r._3).toSet).toMap
+      // 3) every input interval is counted exactly once
+      val counts = out.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+      val wantCounts = iv.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      disjoint && gotPts == wantPts && counts == wantCounts
+    }
+
+  property("weightedMedian equals the brute-force crossing definition") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 3L),
+      Gen.choose(-20L, 20L), Gen.choose(1L, 9L)))) { rows =>
+      val s = spark
+      import s.implicits._
+      val got = graft.operators.Relational.weightedMedian(
+        rows.toDF("g", "v", "w"), Seq(col("g")), col("v"), col("w"))
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val tot = rs.map(_._3).sum
+        val byV = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+          .toSeq.sortBy(_._1)
+        var cum = 0L
+        val med = byV.collectFirst {
+          case (v, w) if { cum += w; cum * 2 >= tot } => v
+        }.get
+        g -> (med, tot)
+      }
+      got == want
+    }
+
+  property("triangleCounts matches the naive triple-loop reference") =
+    forAll(Gen.listOf(Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 12L)))) {
+      raw =>
+      val s = spark
+      import s.implicits._
+      val edges = raw.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val eset = edges.toSet
+      val want = (for {
+        a <- nodes; b <- nodes if a < b && eset((a, b))
+        c <- nodes if b < c && eset((b, c)) && eset((a, c))
+      } yield Seq(a, b, c)).flatten
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got =
+        if (edges.isEmpty) Map.empty[Long, Long]
+        else graft.operators.Graph.triangleCounts(
+          edges.toDF("s", "d"), "s", "d")
+          .as[(Long, Long)].collect().toMap
+      got == want
+    }
 }
