@@ -74,6 +74,30 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental LSH candidates: pairs where at least one side comes from
+    * `newDocs` — new×new and new×old form; old×old NEVER does. This is
+    * the daily-ingest shape at 100 TB: the historical corpus was already
+    * deduped against itself, so today's batch joins the persisted
+    * signature table with work ∝ |new| × collision rate (and the new
+    * side's exploded bands are typically broadcastable), instead of
+    * re-running the quadratic-candidate self-join over the full corpus.
+    * Output is canonicalized `doc_a < doc_b` like [[candidatePairs]].
+    */
+  def incrementalCandidatePairs(oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, bandsCol: String): DataFrame = {
+    def exploded(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), posexplode(col(bandsCol)).as(Seq("band", "bh")))
+      .filter(col("bh").isNotNull)
+    val newSide = exploded(newDocs, "doc_n")
+    val allSide = exploded(oldDocs, "doc_x")
+      .unionByName(exploded(newDocs, "doc_x"))
+    newSide.join(allSide, Seq("band", "bh"))
+      .filter(col("doc_n") =!= col("doc_x"))
+      .select(least(col("doc_n"), col("doc_x")).as("doc_a"),
+        greatest(col("doc_n"), col("doc_x")).as("doc_b"))
+      .distinct()
+  }
+
   /** Exact Jaccard similarity of two shingle/token arrays (over distinct
     * elements). Single float division of exact integers — deterministic.
     */

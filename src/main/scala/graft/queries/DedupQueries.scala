@@ -97,6 +97,27 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"), col("jac"))
     }),
 
+    // Incremental dedup: docs ending in 7 are "today's batch", the rest
+    // the already-deduped historical corpus. Candidates form only where a
+    // NEW doc participates (new×new, new×old — never old×old), then exact
+    // Jaccard verification as in q24. The oracle is q24's full self-join
+    // restricted to new-involving pairs, so the hash match proves the
+    // incremental join finds exactly the full recompute's new pairs.
+    "q135_incremental_dedup" -> ((s, d) => {
+      val m = minhashed(s, d)
+        .withColumn("bands", Dedup.lshBands(col("sig"), 4, 2)).cache()
+      val cand = Dedup.incrementalCandidatePairs(
+        m.filter(col("doc_id") % 10 =!= 7),
+        m.filter(col("doc_id") % 10 === 7), "doc_id", "bands")
+      val sh = shingled(s, d).cache()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+        .withColumn("jac", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+    }),
+
     // Brute-force n-gram Jaccard over a deterministic subset — the
     // exact-similarity reference the LSH path approximates. The subset is
     // pinned to an ABSOLUTE bound (doc_id < 5000, i.e. at most 200 docs /
@@ -220,6 +241,26 @@ object DedupQueries {
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b,
+         |       len(list_distinct(list_intersect(x.shingles, y.shingles))) /
+         |       (len(list_distinct(x.shingles)) + len(list_distinct(y.shingles))
+         |        - len(list_distinct(list_intersect(x.shingles, y.shingles)))) AS jac
+         |FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+         |          JOIN sh y ON cand.doc_b = y.doc_id
+         |WHERE len(list_distinct(list_intersect(x.shingles, y.shingles))) /
+         |      (len(list_distinct(x.shingles)) + len(list_distinct(y.shingles))
+         |       - len(list_distinct(list_intersect(x.shingles, y.shingles)))) >= 0.5""".stripMargin,
+
+    "q135_incremental_dedup" ->
+      s"""$MhCte, bands AS (
+         |  SELECT doc_id, i AS band, md5(sig[2*i+1] || sig[2*i+2]) AS bh
+         |  FROM mh, UNNEST(range(0, 4)) u(i)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 10 = 7 OR b.doc_id % 10 = 7
          |)
          |SELECT doc_a, doc_b,
          |       len(list_distinct(list_intersect(x.shingles, y.shingles))) /

@@ -63,4 +63,21 @@ class DedupSpec extends SparkSpec {
     val distinctSpans = Seq("a b c", "d e f").size
     assert(keptSpans == distinctSpans * 3L)
   }
+
+  test("incrementalCandidatePairs: new x new and new x old form, old x old never") {
+    import spark.implicits._
+    // every doc shares band hash "h" in band 0 — all pairs collide
+    def docs(ids: Long*) = ids.map(i => (i, Seq("h"))).toDF("id", "bands")
+    val old = docs(1L, 2L)
+    val neu = docs(3L, 4L)
+    val got = Dedup.incrementalCandidatePairs(old, neu, "id", "bands")
+      .as[(Long, Long)].collect().toSet
+    // 1-2 (old x old) must be absent; every new-involving pair present
+    assert(got == Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)),
+      s"got $got")
+    // null band hashes never join
+    val withNull = Seq((9L, Seq[String](null))).toDF("id", "bands")
+    assert(Dedup.incrementalCandidatePairs(withNull, neu, "id", "bands")
+      .as[(Long, Long)].collect().toSet == Set((3L, 4L)))
+  }
 }
