@@ -101,6 +101,28 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming incremental dedup: arriving docs band-join the static signature table") {
+    implicit val sqlCtx = spark.sqlContext
+    // persisted historical signature table: doc -> exploded (band, hash)
+    val corpus = Seq((10L, 0, "ha"), (11L, 0, "hb"), (12L, 1, "hc"))
+      .toDF("doc_id", "band", "bh")
+    val input = MemoryStream[(Long, Int, String)]
+    // the q135 incremental join, streaming form: stream-static inner join
+    // on (band, bh) — only NEW docs probe; the corpus never self-joins
+    val cand = input.toDF().toDF("new_id", "band", "bh")
+      .join(broadcast(corpus), Seq("band", "bh"))
+      .select(col("new_id"), col("doc_id").as("dup_of"))
+    val query = cand.writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((100L, 0, "ha"), (101L, 0, "hz"), (102L, 1, "hc"))
+      query.processAllAvailable()
+      val got = spark.table("inc_dedup").as[(Long, Long)].collect().toSet
+      // 100 collides with historical 10, 102 with 12; 101 is novel
+      assert(got == Set((100L, 10L), (102L, 12L)), s"got $got")
+    } finally query.stop()
+  }
+
   test("streaming dedup suppresses duplicate ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
