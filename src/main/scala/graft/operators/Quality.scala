@@ -61,6 +61,35 @@ object Quality {
     checks.reduce(_.unionByName(_))
   }
 
+  /** Per-bucket table checksums (anti-entropy / Merkle-style digests):
+    * rows hash to md5-derived BIGINTs, bucketed by key hash; each bucket
+    * reduces to (n_rows, checksum = Σ row-hash). Two replicas compare
+    * bucket lists and re-sync only mismatched buckets — O(buckets)
+    * comparison for any table size. Order-independent by construction
+    * (sum is commutative), exact (no float), and engine-portable: the
+    * row digest is md5 over a '|'-joined canonical string, mirrored
+    * verbatim in SQL oracles.
+    *
+    * One partial-aggregated shuffle of `buckets` groups; the md5s are
+    * row-local codegen. Null columns render as empty strings in the
+    * canonical form — callers needing null-vs-empty distinction should
+    * pre-encode.
+    */
+  def tableChecksum(df: DataFrame, keyCol: String, cols: Seq[Column],
+      buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    // 8 hex chars = 32 bits per row digest: the bucket sum stays exact
+    // BIGINT below ~2^31 rows per bucket (a 60-bit digest would overflow
+    // the sum at ~8 rows and wrap differently per engine)
+    val rowHash = conv(substring(md5(
+      concat_ws("|", cols.map(_.cast("string")): _*)), 1, 8), 16, 10)
+      .cast("long")
+    df.select(Curation.hashBucket(col(keyCol), buckets).as("bucket"),
+        rowHash.as("_h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("_h")).as("checksum"))
+  }
+
   /** Split-balance drift: per stratum, how far split `a`'s share diverges
     * from split `b`'s. The statistic is the cross-multiplied count
     * imbalance `|n_a * N_b - n_b * N_a|` — zero iff the stratum's share

@@ -463,6 +463,36 @@ object WarehouseQueries {
           Seq(("train", 90), ("val", 5), ("test", 5))),
         "lang", "split", a = "train", b = "test")),
 
+    // Anti-entropy table checksums: 64 Merkle-style bucket digests of the
+    // orders table — replicas compare O(buckets) rows to find divergent
+    // ranges regardless of table size. Order-independent (commutative
+    // sum), exact BIGINT, md5 canonical form mirrored in the oracle.
+    "q136_table_checksum" -> ((s, d) =>
+      Quality.tableChecksum(
+        Tables.orders(s, d).select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderstatus")),
+        "o_orderkey",
+        Seq(col("o_orderkey"), col("cents"), col("o_orderstatus")), 64)),
+
+    // Month-over-month revenue growth: monthly cents, absolute delta vs
+    // the previous month, cumulative revenue, and exact ppm growth rate
+    // (delta·10⁶ div previous) — the growth-analytics staple with no
+    // float anywhere.
+    "q137_mom_growth" -> ((s, d) => {
+      val monthly = Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w = Window.orderBy(col("month"))
+      monthly
+        .withColumn("prev", lag(col("cents"), 1).over(w))
+        .withColumn("delta", col("cents") - col("prev"))
+        .withColumn("growth_ppm",
+          expr("CAST(delta * 1000000 div prev AS BIGINT)"))
+        .withColumn("cum_cents", sum(col("cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }),
+
     // Declarative data-quality report: range, not-null, FK,
     // key-uniqueness and positivity checks, each one aggregate row —
     // violations are counted, never materialized.
@@ -504,6 +534,40 @@ object WarehouseQueries {
     }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    "q136_table_checksum" ->
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |         o_orderstatus
+        |  FROM orders
+        |)
+        |SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+        |         % 64 AS bucket,
+        |       count(*) AS n_rows,
+        |       CAST(sum(('0x' || substr(md5(
+        |         o_orderkey || '|' || cents || '|' || o_orderstatus), 1, 8))
+        |         ::BIGINT) AS BIGINT) AS checksum
+        |FROM t GROUP BY 1""".stripMargin,
+
+    // both engines' integral division truncates toward zero, so negative
+    // growth months agree
+    "q137_mom_growth" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT month, cents,
+        |       lag(cents) OVER w AS prev,
+        |       cents - lag(cents) OVER w AS delta,
+        |       CAST((cents - lag(cents) OVER w) * 1000000
+        |         // lag(cents) OVER w AS BIGINT) AS growth_ppm,
+        |       CAST(sum(cents) OVER (ORDER BY month
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cum_cents
+        |FROM m WINDOW w AS (ORDER BY month)""".stripMargin,
+
     "q134_decile_lift" ->
       """WITH per AS (
         |  SELECT o_custkey,

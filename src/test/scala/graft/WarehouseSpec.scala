@@ -362,6 +362,25 @@ class WarehouseSpec extends SparkSpec {
       again.select("doc_id").except(out.select("doc_id")).isEmpty)
   }
 
+  test("tableChecksum: permutation-invariant, localizes a single-row change") {
+    val base = (1L to 500L).map(i => (i, i * 7, s"s${i % 3}"))
+      .toDF("k", "v", "s")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Quality.tableChecksum(df, "k", Seq(col("k"), col("v"), col("s")), 16)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val a = sums(base)
+    assert(a.keySet.subsetOf((0L until 16L).toSet) && a.values.map(_._1).sum == 500L)
+    // row order / partitioning must not change any digest
+    assert(sums(base.repartition(13)) == a)
+    // one tampered value flips exactly its own bucket's checksum
+    val tampered = base.withColumn("v",
+      when(col("k") === 250L, lit(999999L)).otherwise(col("v")))
+    val b = sums(tampered)
+    val diff = a.keySet.filter(k => a(k) != b(k))
+    assert(diff.size == 1, s"exactly one bucket must diverge, got $diff")
+    assert(a(diff.head)._1 == b(diff.head)._1, "row count unchanged")
+  }
+
   test("applyChangeLog replays a snapshotDiff back to the target state") {
     val base = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
       .toDF("k", "v", "s")
