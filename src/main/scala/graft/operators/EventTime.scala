@@ -226,9 +226,14 @@ object EventTime {
     require(valueCols.nonEmpty, "valueCols must not be empty")
     val spark = df.sparkSession
     val k = valueCols.size
+    // positional working aliases (_v0, _v1, …): deriving them from value
+    // column NAMES would collide with the _t order alias for a column
+    // literally named "t"
     val ranged = df
       .select(col(orderCol).as("_t") +:
-        valueCols.map(c => col(c).cast("long").as(s"_$c")): _*)
+        valueCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("long").as(s"_v$i")
+        }: _*)
       .repartitionByRange(col("_t"))
       .sortWithinPartitions(col("_t"))
       .localCheckpoint() // pin ONE partitioning for both passes

@@ -80,9 +80,12 @@ object Quality {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     // 8 hex chars = 32 bits per row digest: the bucket sum stays exact
     // BIGINT below ~2^31 rows per bucket (a 60-bit digest would overflow
-    // the sum at ~8 rows and wrap differently per engine)
-    val rowHash = conv(substring(md5(
-      concat_ws("|", cols.map(_.cast("string")): _*)), 1, 8), 16, 10)
+    // the sum at ~8 rows and wrap differently per engine).
+    // coalesce-to-"" is load-bearing: concat_ws SKIPS nulls, so without it
+    // (1, null, "x") and (1, "x", null) would digest identically and the
+    // SQL mirror ('||' null-propagates) would diverge on any null row
+    val rowHash = conv(substring(md5(concat_ws("|",
+      cols.map(c => coalesce(c.cast("string"), lit(""))): _*)), 1, 8), 16, 10)
       .cast("long")
     df.select(Curation.hashBucket(col(keyCol), buckets).as("bucket"),
         rowHash.as("_h"))

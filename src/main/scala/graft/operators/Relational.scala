@@ -495,8 +495,11 @@ object Relational {
   def modeExact(df: DataFrame, groupCols: Seq[Column], valueCol: Column): DataFrame = {
     val counts = df.groupBy(groupCols :+ valueCol.as("mode_value"): _*)
       .agg(count(lit(1)).as("n_occurrences"))
+    // asc_nulls_last: SQL ORDER BY ... ASC puts nulls last (the oracle
+    // form), while Spark's bare .asc puts them first — a null tying with a
+    // real value must lose the tie-break in both engines
     topKPerGroup(counts, groupCols,
-      Seq(col("n_occurrences").desc, col("mode_value").asc), 1, "_rnk")
+      Seq(col("n_occurrences").desc, col("mode_value").asc_nulls_last), 1, "_rnk")
       .drop("_rnk")
   }
 

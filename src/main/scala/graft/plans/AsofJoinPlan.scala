@@ -200,6 +200,17 @@ object NativeAsof {
     val clash = lPlan.outputSet.intersect(rPlan.outputSet)
     require(clash.isEmpty,
       s"as-of sides share attributes $clash — re-alias one side first")
+    // the merge exec compares both sides with comparators generated from
+    // the LEFT side's types; the custom node bypasses analyzer coercion,
+    // so a type mismatch must fail loudly here, not corrupt silently
+    on.foreach { k =>
+      val (lt, rt) = (attr(lPlan, k, "left").dataType, attr(rPlan, k, "right").dataType)
+      require(lt == rt, s"as-of key '$k' types differ: $lt vs $rt — cast first")
+    }
+    require(attr(lPlan, leftTime, "left").dataType ==
+      attr(rPlan, rightTime, "right").dataType,
+      s"as-of time types differ: ${attr(lPlan, leftTime, "left").dataType} vs " +
+        s"${attr(rPlan, rightTime, "right").dataType} — cast first")
     val overlaps = rightValues.filter(left.columns.contains)
     require(overlaps.isEmpty, s"rightValues collide with left columns: $overlaps")
     val node = AsofJoinNode(lPlan, rPlan,

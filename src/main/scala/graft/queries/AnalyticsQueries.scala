@@ -345,8 +345,12 @@ object AnalyticsQueries {
     // both the composition form and the declarative semantics.
     "q126_asof_native" -> ((s, d) => {
       val e = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      // NTZ -> LTZ (session tz is UTC, values unchanged): the native exec
+      // requires identical time types on both sides and fails loudly on
+      // the mismatch rather than comparing micros across semantics
       val r = Tables.orders(s, d)
-        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .groupBy(col("o_custkey").as("user_id"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate"))
         .agg(max(col("o_orderkey")).as("last_orderkey"))
       graft.plans.NativeAsof.backward(e, r, Seq("user_id"),
           "ts", "o_orderdate", Seq("last_orderkey", "o_orderdate"))

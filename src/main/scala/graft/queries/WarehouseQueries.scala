@@ -348,6 +348,8 @@ object WarehouseQueries {
     // bucketing, identical formula mirrored in the oracle. Share in exact
     // ppm. The single-partition Window.orderBy anti-pattern never appears.
     "q134_decile_lift" -> ((s, d) => {
+      // cached: `per` feeds the scan, the join-back, AND the totals — three
+      // consumers that would each replay the orders aggregate uncached
       val per = Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
@@ -355,6 +357,7 @@ object WarehouseQueries {
         .select(col("o_custkey"), col("cents"),
           (col("cents") * 10000000L + col("o_custkey")).as("ord"),
           lit(1L).as("one"))
+        .cache()
       val ranked = graft.operators.EventTime.globalRunningSum(per, "ord", "one")
         .withColumnRenamed("running_sum", "rank")
       val tot = per.agg(count(lit(1)).as("n"), sum(col("cents")).as("tot_cents"))
@@ -545,7 +548,9 @@ object WarehouseQueries {
         |         % 64 AS bucket,
         |       count(*) AS n_rows,
         |       CAST(sum(('0x' || substr(md5(
-        |         o_orderkey || '|' || cents || '|' || o_orderstatus), 1, 8))
+        |         coalesce(CAST(o_orderkey AS VARCHAR), '') || '|' ||
+        |         coalesce(CAST(cents AS VARCHAR), '') || '|' ||
+        |         coalesce(o_orderstatus, '')), 1, 8))
         |         ::BIGINT) AS BIGINT) AS checksum
         |FROM t GROUP BY 1""".stripMargin,
 
