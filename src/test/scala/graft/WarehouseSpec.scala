@@ -362,6 +362,31 @@ class WarehouseSpec extends SparkSpec {
       again.select("doc_id").except(out.select("doc_id")).isEmpty)
   }
 
+  test("HLL sketches merge without losing accuracy (rollup pattern)") {
+    // the q95 partial-aggregate pattern at the SKETCH level: per-day HLL
+    // sketches hll_union_agg'd to a month estimate the same cardinality
+    // (within HLL error) as one direct month-level sketch, so 100 TB
+    // distinct-count rollups can read tiny persisted sketch tables
+    // instead of rescanning raw data. NOTE the union is NOT bit-identical
+    // to the direct sketch (sparse vs dense internal modes) — mergeability
+    // preserves ACCURACY, not sketch bytes; both must sit within the
+    // configured error of exact
+    val rows = (1L to 5000L).map(i => (i % 30, i % 997)).toDF("day", "uid")
+    val daily = rows.groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(uid)").as("sk"))
+    val merged = daily
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .head().getLong(0)
+    val direct = rows
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(uid))").as("est"))
+      .head().getLong(0)
+    val exact = rows.select(col("uid")).distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged estimate $merged should be within 5% of exact $exact")
+    assert(math.abs(direct - exact).toDouble / exact < 0.05,
+      s"direct estimate $direct should be within 5% of exact $exact")
+  }
+
   test("tableChecksum: permutation-invariant, localizes a single-row change") {
     val base = (1L to 500L).map(i => (i, i * 7, s"s${i % 3}"))
       .toDF("k", "v", "s")
