@@ -466,6 +466,24 @@ object WarehouseQueries {
           Seq(("train", 90), ("val", 5), ("test", 5))),
         "lang", "split", a = "train", b = "test")),
 
+    // Recency-weighted customer score with EXACT exponential decay:
+    // half-life = 180 days as a power-of-2 bit shift (cents >> halflives)
+    // — the decay curve engines usually compute in drifting floats,
+    // quantized to shifts so the score is a BIGINT that cannot diverge.
+    // Anchor = max order date (2-value broadcast, like q121's min/max).
+    "q138_decayed_score" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderdate"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
+      o.crossJoin(broadcast(anchor))
+        .select(col("o_custkey"), col("cents"),
+          expr("shiftright(cents, CAST(least(datediff(anchor, o_orderdate) div 180, 40) AS INT))")
+            .as("decayed"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("raw_cents"),
+          sum(col("decayed")).as("decayed_score"))
+    }),
+
     // Anti-entropy table checksums: 64 Merkle-style bucket digests of the
     // orders table — replicas compare O(buckets) rows to find divergent
     // ranges regardless of table size. Order-independent (commutative
@@ -537,6 +555,19 @@ object WarehouseQueries {
     }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    "q138_decayed_score" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), a AS (SELECT max(o_orderdate) AS anchor FROM o)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |       CAST(sum(cents) AS BIGINT) AS raw_cents,
+        |       CAST(sum(cents >> CAST(least(
+        |         date_diff('day', o_orderdate, anchor) // 180, 40) AS INT))
+        |         AS BIGINT) AS decayed_score
+        |FROM o, a GROUP BY o_custkey""".stripMargin,
+
     "q136_table_checksum" ->
       """WITH t AS (
         |  SELECT o_orderkey,
