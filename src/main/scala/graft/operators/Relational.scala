@@ -486,6 +486,29 @@ object Relational {
     base.join(removed, keyCols, "left_anti").unionByName(added)
   }
 
+  /** Exact discrete quantile per group, generalizing [[weightedMedian]]:
+    * the smallest value v with `cum(v) · den ≥ num · total` (weights all
+    * 1 when `weightCol` is a literal 1). Pure BIGINT comparisons; the
+    * sort runs over distinct values per group. Returns one row per group
+    * with the requested quantile as `q_value`.
+    */
+  def exactQuantile(df: DataFrame, groupCols: Seq[Column], valueCol: Column,
+      num: Long, den: Long): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den,
+      s"quantile must satisfy 0 <= num/den <= 1, got $num/$den")
+    val byValue = df.groupBy(groupCols :+ valueCol.cast("long").as("_v"): _*)
+      .agg(count(lit(1)).as("_w"))
+    val part = Window.partitionBy(groupCols: _*)
+    val cum = part.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byValue
+      .withColumn("_cum", sum(col("_w")).over(cum))
+      .withColumn("_tot", sum(col("_w")).over(part))
+      .filter(col("_cum") * den >= col("_tot") * num)
+      .groupBy(groupCols: _*)
+      .agg(min(col("_v")).as("q_value"))
+  }
+
   /** Per-group mode (most frequent value) with a deterministic tie-break:
     * among equally-frequent values the smallest wins. Two hash aggregates
     * (rows → per-value counts → per-group argmax); the second operates on

@@ -466,6 +466,28 @@ object WarehouseQueries {
           Seq(("train", 90), ("val", 5), ("test", 5))),
         "lang", "split", a = "train", b = "test")),
 
+    // Winsorized robust stats per status: exact discrete p05/p95 bounds
+    // (cumsum crossing — no float percentile interpolation), values
+    // clipped to the bounds, clipped sum + clip counts. The outlier-
+    // robust aggregate for metrics pipelines, BIGINT end to end.
+    "q139_winsorize" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val lo = Relational.exactQuantile(o, Seq(col("o_orderstatus")),
+        col("cents"), 5, 100).withColumnRenamed("q_value", "p05")
+      val hi = Relational.exactQuantile(o, Seq(col("o_orderstatus")),
+        col("cents"), 95, 100).withColumnRenamed("q_value", "p95")
+      o.join(broadcast(lo), Seq("o_orderstatus"))
+        .join(broadcast(hi), Seq("o_orderstatus"))
+        .groupBy(col("o_orderstatus"))
+        .agg(max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+          count(lit(1)).as("n_rows"),
+          sum(greatest(least(col("cents"), col("p95")), col("p05")))
+            .as("winsorized_sum"),
+          count(when(col("cents") < col("p05"), 1)).as("n_clipped_lo"),
+          count(when(col("cents") > col("p95"), 1)).as("n_clipped_hi"))
+    }),
+
     // Recency-weighted customer score with EXACT exponential decay:
     // half-life = 180 days as a power-of-2 bit shift (cents >> halflives)
     // — the decay curve engines usually compute in drifting floats,
@@ -555,6 +577,35 @@ object WarehouseQueries {
     }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    "q139_winsorize" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus AS st,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), byv AS (
+        |  SELECT st, cents AS v, count(*) AS w FROM o GROUP BY 1, 2
+        |), c AS (
+        |  SELECT st, v,
+        |         sum(w) OVER (PARTITION BY st ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(w) OVER (PARTITION BY st) AS tot
+        |  FROM byv
+        |), lo AS (
+        |  SELECT st, CAST(min(v) AS BIGINT) AS p05 FROM c
+        |  WHERE cum * 100 >= tot * 5 GROUP BY st
+        |), hi AS (
+        |  SELECT st, CAST(min(v) AS BIGINT) AS p95 FROM c
+        |  WHERE cum * 100 >= tot * 95 GROUP BY st
+        |)
+        |SELECT o.st AS o_orderstatus, max(lo.p05) AS p05, max(hi.p95) AS p95,
+        |       count(*) AS n_rows,
+        |       CAST(sum(greatest(least(o.cents, hi.p95), lo.p05)) AS BIGINT)
+        |         AS winsorized_sum,
+        |       count(CASE WHEN o.cents < lo.p05 THEN 1 END) AS n_clipped_lo,
+        |       count(CASE WHEN o.cents > hi.p95 THEN 1 END) AS n_clipped_hi
+        |FROM o JOIN lo ON o.st = lo.st JOIN hi ON o.st = hi.st
+        |GROUP BY 1""".stripMargin,
+
     "q138_decayed_score" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate,

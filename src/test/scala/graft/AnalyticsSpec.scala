@@ -196,6 +196,23 @@ class AnalyticsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("exactQuantile: discrete crossing for p0, median, p100, small groups") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (1L, i)).toDF("g", "v")
+      .unionByName(Seq((2L, 7L)).toDF("g", "v"))
+    def q(num: Long, den: Long): Map[Long, Long] =
+      Relational.exactQuantile(df, Seq(col("g")), col("v"), num, den)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // group 1 = 1..100: p05 -> 5 (cum 5*100 >= 100*5), p50 -> 50, p100 -> 100
+    assert(q(5, 100)(1L) == 5L)
+    assert(q(1, 2)(1L) == 50L)
+    assert(q(1, 1)(1L) == 100L)
+    // p0 -> smallest value (cum*den >= 0 always)
+    assert(q(0, 1)(1L) == 1L)
+    // single-element group: every quantile is that element
+    assert(q(5, 100)(2L) == 7L && q(1, 1)(2L) == 7L)
+  }
+
   test("olsExact: rational slope is exact on a perfect line and constant") {
     import spark.implicits._
     // y = 2x + 7 -> slope_num/slope_den == 2 exactly
