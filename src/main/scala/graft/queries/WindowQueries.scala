@@ -142,6 +142,21 @@ object WindowQueries {
       graft.operators.Relational.modeExact(
         Tables.events(s, d), Seq(col("user_id")), col("event_type"))),
 
+    // Trending entities: top-3 most active users per sliding 1-day window
+    // (12 h slide) — the leaderboard-over-time analytic composed from the
+    // sliding-window aggregate + bounded top-k per window, deterministic
+    // tie-break (count desc, user asc).
+    "q140_trending" -> ((s, d) => {
+      val win = EventTime.windowedAgg(Tables.events(s, d), "ts",
+        "1 day", "12 hours", Seq(col("user_id")),
+        Seq(count(lit(1)).as("n")))
+      graft.operators.Relational.topKPerGroup(win,
+          Seq(col("window_start")),
+          Seq(col("n").desc, col("user_id").asc), 3, "rnk")
+        .select(date_format(col("window_start"), Ts).as("window_start"),
+          col("user_id"), col("n"), col("rnk").cast("long").as("rnk"))
+    }),
+
     // User-journey mining: each user's first 5 event types as one path
     // string, counted across users — the funnel-discovery analytic. The
     // path builds from a per-user sorted struct array (row-local), so
@@ -341,6 +356,19 @@ object WindowQueries {
         |       max(us) - min(us) AS duration_us
         |FROM numbered
         |GROUP BY user_id, sid""".stripMargin,
+
+    "q140_trending" ->
+      """WITH w AS (
+        |  SELECT strftime(time_bucket(INTERVAL '12 hours', ts)
+        |           - to_seconds(o), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |         user_id, count(*) AS n
+        |  FROM events, UNNEST([0, 43200]) u(o)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT window_start, user_id, n, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY window_start
+        |        ORDER BY n DESC, user_id) AS rnk FROM w)
+        |WHERE rnk <= 3""".stripMargin,
 
     "q133_top_paths" ->
       """WITH ranked AS (

@@ -278,6 +278,36 @@ object GraftProperties extends Properties("graft") {
       got == want
     }
 
+  property("bfsHops matches the in-memory level-BFS reference") =
+    forAll(Gen.listOf(Gen.zip(Gen.choose(1L, 10L), Gen.choose(1L, 10L))),
+      Gen.nonEmptyListOf(Gen.choose(1L, 10L)), Gen.choose(0, 3)) {
+      (raw, seedsRaw, maxHops) =>
+      val s = spark
+      import s.implicits._
+      val edges = raw.filter(e => e._1 != e._2).distinct
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val seeds = seedsRaw.distinct
+      // reference: level-synchronous BFS capped at maxHops
+      var dist = seeds.map(_ -> 0L).toMap
+      var frontier = seeds.toSet
+      var hop = 0L
+      while (hop < maxHops && frontier.nonEmpty) {
+        hop += 1
+        val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .diff(dist.keySet)
+        dist = dist ++ next.map(_ -> hop)
+        frontier = next
+      }
+      val edgeDf =
+        if (edges.isEmpty) Seq((-1L, -2L)).toDF("s", "d") // disconnected stub
+        else edges.toDF("s", "d")
+      val got = graft.operators.Graph.bfsHops(edgeDf, "s", "d",
+        seeds.toDF("node"), maxHops)
+        .as[(Long, Long)].collect().toMap
+      got == dist
+    }
+
   property("triangleCounts matches the naive triple-loop reference") =
     forAll(Gen.listOf(Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 12L)))) {
       raw =>
