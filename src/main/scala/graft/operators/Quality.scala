@@ -75,6 +75,15 @@ object Quality {
     * canonical form — callers needing null-vs-empty distinction should
     * pre-encode.
     */
+  /** The canonical row digest [[tableChecksum]] sums: 32-bit md5 prefix of
+    * the '|'-joined, null-coalesced column renderings (see tableChecksum
+    * for why 32 bits and why coalesce).
+    */
+  private def rowDigest(cols: Seq[Column]): Column =
+    conv(substring(md5(concat_ws("|",
+      cols.map(c => coalesce(c.cast("string"), lit(""))): _*)), 1, 8), 16, 10)
+      .cast("long")
+
   def tableChecksum(df: DataFrame, keyCol: String, cols: Seq[Column],
       buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
@@ -84,13 +93,42 @@ object Quality {
     // coalesce-to-"" is load-bearing: concat_ws SKIPS nulls, so without it
     // (1, null, "x") and (1, "x", null) would digest identically and the
     // SQL mirror ('||' null-propagates) would diverge on any null row
-    val rowHash = conv(substring(md5(concat_ws("|",
-      cols.map(c => coalesce(c.cast("string"), lit(""))): _*)), 1, 8), 16, 10)
-      .cast("long")
     df.select(Curation.hashBucket(col(keyCol), buckets).as("bucket"),
-        rowHash.as("_h"))
+        rowDigest(cols).as("_h"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"), sum(col("_h")).as("checksum"))
+  }
+
+  /** Advance [[tableChecksum]] digests by a [[graft.operators.Relational.snapshotDiff]]
+    * change log WITHOUT rescanning the table: the checksum sum is
+    * commutative, so each changed row contributes a signed delta —
+    * deletes/updates subtract the OLD row's digest, inserts/updates add
+    * the NEW row's — folded into the stored bucket table in
+    * O(|changes| + buckets). `valCols` are the diff's value column base
+    * names (prefixed old_/new_ there); the checksummed canonical form is
+    * (key, values...) in that order, matching a tableChecksum over
+    * (keyCol +: valCols). A hash match against the direct checksum of the
+    * new snapshot proves maintenance == recompute.
+    */
+  def applyChecksumDelta(baseChecksum: DataFrame, diff: DataFrame,
+      keyCol: String, valCols: Seq[String], buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val oldDigest = rowDigest(col(keyCol) +: valCols.map(c => col(s"old_$c")))
+    val newDigest = rowDigest(col(keyCol) +: valCols.map(c => col(s"new_$c")))
+    val deltas = diff.select(Curation.hashBucket(col(keyCol), buckets)
+        .as("bucket"), explode(array(
+        when(col("change_type").isin("delete", "update"),
+          struct(lit(-1L).as("_n"), (-oldDigest).as("_h"))),
+        when(col("change_type").isin("insert", "update"),
+          struct(lit(1L).as("_n"), newDigest.as("_h"))))).as("d"))
+      .filter(col("d").isNotNull)
+      .select(col("bucket"), col("d._n").as("_n"), col("d._h").as("_h"))
+    baseChecksum
+      .select(col("bucket"), col("n_rows").as("_n"), col("checksum").as("_h"))
+      .unionByName(deltas)
+      .groupBy(col("bucket"))
+      .agg(sum(col("_n")).as("n_rows"), sum(col("_h")).as("checksum"))
+      .filter(col("n_rows") > 0)
   }
 
   /** Split-balance drift: per stratum, how far split `a`'s share diverges

@@ -466,6 +466,22 @@ object WarehouseQueries {
           Seq(("train", 90), ("val", 5), ("test", 5))),
         "lang", "split", a = "train", b = "test")),
 
+    // Incremental checksum maintenance: q136's bucket digests advanced to
+    // the NEW snapshot by folding only the q111 change log — signed
+    // digest deltas, O(changes + buckets), base never rescanned. The
+    // oracle checksums the new snapshot directly, so the hash match
+    // proves maintenance == recompute (the q112 pattern lifted to the
+    // integrity layer).
+    "q141_incremental_checksum" -> ((s, d) => {
+      val (o, n) = WarehouseQueries.cdcSnapshots(s, d)
+      val base = Quality.tableChecksum(o, "o_orderkey",
+        Seq(col("o_orderkey"), col("cents"), col("o_orderstatus")), 64)
+      val diff = Relational.snapshotDiff(o, n, Seq("o_orderkey"),
+        Seq("cents", "o_orderstatus"))
+      Quality.applyChecksumDelta(base, diff, "o_orderkey",
+        Seq("cents", "o_orderstatus"), 64)
+    }),
+
     // Winsorized robust stats per status: exact discrete p05/p95 bounds
     // (cumsum crossing — no float percentile interpolation), values
     // clipped to the bounds, clipped sum + clip counts. The outlier-
@@ -577,6 +593,19 @@ object WarehouseQueries {
     }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    // the DIRECT checksum of the new snapshot — maintenance must equal it
+    "q141_incremental_checksum" ->
+      s"""$CdcCte
+         |SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+         |         % 64 AS bucket,
+         |       count(*) AS n_rows,
+         |       CAST(sum(('0x' || substr(md5(
+         |         coalesce(CAST(o_orderkey AS VARCHAR), '') || '|' ||
+         |         coalesce(CAST(cents AS VARCHAR), '') || '|' ||
+         |         coalesce(o_orderstatus, '')), 1, 8))
+         |         ::BIGINT) AS BIGINT) AS checksum
+         |FROM new GROUP BY 1""".stripMargin,
+
     "q139_winsorize" ->
       """WITH o AS (
         |  SELECT o_orderstatus AS st,
