@@ -55,19 +55,24 @@ object Dedup {
       md5(concat((1 to rowsPerBand).map(r =>
         element_at(sigCol, b * rowsPerBand + r)): _*))): _*)
 
+  /** One doc row → one (id-as-`as`, band, bh) row per band. Null band
+    * hashes (signature shorter than bands×rowsPerBand, or an empty shingle
+    * set) can never equi-join — dropped explicitly so the exclusion is a
+    * visible rule shared by BOTH candidate generators, not a join
+    * artifact.
+    */
+  private def explodeBands(df: DataFrame, idCol: String, bandsCol: String,
+      as: String): DataFrame = df
+    .select(col(idCol).as(as), posexplode(col(bandsCol)).as(Seq("band", "bh")))
+    .filter(col("bh").isNotNull)
+
   /** Candidate pairs from banded signatures: explode (band_idx, band_hash),
     * self-join on equality, keep each unordered pair once. The join shuffles
     * on (band_idx, band_hash) — uniform unless the corpus is pathological.
     */
   def candidatePairs(docs: DataFrame, idCol: String, bandsCol: String): DataFrame = {
-    // null band hashes (signature shorter than bands×rowsPerBand, or an
-    // empty shingle set) can never equi-join — drop them explicitly so the
-    // exclusion is a visible rule, not a join artifact
-    val exploded = docs.select(col(idCol),
-      posexplode(col(bandsCol)).as(Seq("band", "bh")))
-      .filter(col("bh").isNotNull)
-    val a = exploded.select(col(idCol).as("doc_a"), col("band"), col("bh"))
-    val b = exploded.select(col(idCol).as("doc_b"), col("band"), col("bh"))
+    val a = explodeBands(docs, idCol, bandsCol, "doc_a")
+    val b = explodeBands(docs, idCol, bandsCol, "doc_b")
     a.join(b, Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
@@ -85,12 +90,9 @@ object Dedup {
     */
   def incrementalCandidatePairs(oldDocs: DataFrame, newDocs: DataFrame,
       idCol: String, bandsCol: String): DataFrame = {
-    def exploded(df: DataFrame, as: String) = df
-      .select(col(idCol).as(as), posexplode(col(bandsCol)).as(Seq("band", "bh")))
-      .filter(col("bh").isNotNull)
-    val newSide = exploded(newDocs, "doc_n")
-    val allSide = exploded(oldDocs, "doc_x")
-      .unionByName(exploded(newDocs, "doc_x"))
+    val newSide = explodeBands(newDocs, idCol, bandsCol, "doc_n")
+    val allSide = explodeBands(oldDocs, idCol, bandsCol, "doc_x")
+      .unionByName(explodeBands(newDocs, idCol, bandsCol, "doc_x"))
     newSide.join(allSide, Seq("band", "bh"))
       .filter(col("doc_n") =!= col("doc_x"))
       .select(least(col("doc_n"), col("doc_x")).as("doc_a"),

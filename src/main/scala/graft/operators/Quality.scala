@@ -61,6 +61,15 @@ object Quality {
     checks.reduce(_.unionByName(_))
   }
 
+  /** The canonical row digest [[tableChecksum]] sums: 32-bit md5 prefix of
+    * the '|'-joined, null-coalesced column renderings (see tableChecksum
+    * for why 32 bits and why coalesce).
+    */
+  private def rowDigest(cols: Seq[Column]): Column =
+    conv(substring(md5(concat_ws("|",
+      cols.map(c => coalesce(c.cast("string"), lit(""))): _*)), 1, 8), 16, 10)
+      .cast("long")
+
   /** Per-bucket table checksums (anti-entropy / Merkle-style digests):
     * rows hash to md5-derived BIGINTs, bucketed by key hash; each bucket
     * reduces to (n_rows, checksum = Σ row-hash). Two replicas compare
@@ -75,15 +84,6 @@ object Quality {
     * canonical form — callers needing null-vs-empty distinction should
     * pre-encode.
     */
-  /** The canonical row digest [[tableChecksum]] sums: 32-bit md5 prefix of
-    * the '|'-joined, null-coalesced column renderings (see tableChecksum
-    * for why 32 bits and why coalesce).
-    */
-  private def rowDigest(cols: Seq[Column]): Column =
-    conv(substring(md5(concat_ws("|",
-      cols.map(c => coalesce(c.cast("string"), lit(""))): _*)), 1, 8), 16, 10)
-      .cast("long")
-
   def tableChecksum(df: DataFrame, keyCol: String, cols: Seq[Column],
       buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")

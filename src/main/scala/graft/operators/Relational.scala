@@ -457,7 +457,10 @@ object Relational {
     */
   def weightedMedian(df: DataFrame, groupCols: Seq[Column], valueCol: Column,
       weightCol: Column): DataFrame = {
-    val byValue = df.groupBy(groupCols :+ valueCol.cast("long").as("_v"): _*)
+    // null values are excluded from the distribution (SQL percentile
+    // semantics), mirroring exactQuantiles
+    val byValue = df.filter(valueCol.isNotNull)
+      .groupBy(groupCols :+ valueCol.cast("long").as("_v"): _*)
       .agg(sum(weightCol.cast("long")).as("_w"))
     val part = Window.partitionBy(groupCols: _*)
     val cum = part.orderBy(col("_v"))
@@ -486,28 +489,43 @@ object Relational {
     base.join(removed, keyCols, "left_anti").unionByName(added)
   }
 
-  /** Exact discrete quantile per group, generalizing [[weightedMedian]]:
-    * the smallest value v with `cum(v) · den ≥ num · total` (weights all
-    * 1 when `weightCol` is a literal 1). Pure BIGINT comparisons; the
-    * sort runs over distinct values per group. Returns one row per group
-    * with the requested quantile as `q_value`.
+  /** Exact discrete quantiles per group: for each requested
+    * `(name, num, den)`, the smallest value v with
+    * `cum(v) · den ≥ num · total`. Null values are EXCLUDED from the
+    * distribution (SQL percentile semantics — bare nulls-first ordering
+    * would otherwise inflate the cumulative counts invisibly). Pure
+    * BIGINT comparisons; the per-value collapse + ONE shared cumulative
+    * frame serve every requested quantile (the conditional `min` ignores
+    * rows below each threshold), so k quantiles cost the same shuffle and
+    * sort as one. Returns one row per group with one column per name.
     */
-  def exactQuantile(df: DataFrame, groupCols: Seq[Column], valueCol: Column,
-      num: Long, den: Long): DataFrame = {
-    require(num >= 0 && den > 0 && num <= den,
-      s"quantile must satisfy 0 <= num/den <= 1, got $num/$den")
-    val byValue = df.groupBy(groupCols :+ valueCol.cast("long").as("_v"): _*)
+  def exactQuantiles(df: DataFrame, groupCols: Seq[Column], valueCol: Column,
+      quantiles: Seq[(String, Long, Long)]): DataFrame = {
+    require(quantiles.nonEmpty, "at least one quantile required")
+    quantiles.foreach { case (n, num, den) =>
+      require(num >= 0 && den > 0 && num <= den,
+        s"quantile $n must satisfy 0 <= num/den <= 1, got $num/$den")
+    }
+    val byValue = df.filter(valueCol.isNotNull)
+      .groupBy(groupCols :+ valueCol.cast("long").as("_v"): _*)
       .agg(count(lit(1)).as("_w"))
     val part = Window.partitionBy(groupCols: _*)
     val cum = part.orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val aggs = quantiles.map { case (name, num, den) =>
+      min(when(col("_cum") * den >= col("_tot") * num, col("_v"))).as(name)
+    }
     byValue
       .withColumn("_cum", sum(col("_w")).over(cum))
       .withColumn("_tot", sum(col("_w")).over(part))
-      .filter(col("_cum") * den >= col("_tot") * num)
       .groupBy(groupCols: _*)
-      .agg(min(col("_v")).as("q_value"))
+      .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Single-quantile convenience form of [[exactQuantiles]] (`q_value`). */
+  def exactQuantile(df: DataFrame, groupCols: Seq[Column], valueCol: Column,
+      num: Long, den: Long): DataFrame =
+    exactQuantiles(df, groupCols, valueCol, Seq(("q_value", num, den)))
 
   /** Per-group mode (most frequent value) with a deterministic tie-break:
     * among equally-frequent values the smallest wins. Two hash aggregates

@@ -354,9 +354,14 @@ object WarehouseQueries {
         .groupBy(col("o_custkey"))
         .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
         // composite total order as one BIGINT: custkey < 10^7 disambiguates
+        // — enforced as a plan-level guard (TPC-H custkey crosses 10^7 at
+        // sf >= 67; silent wrap would corrupt ranks, so fail loudly)
         .select(col("o_custkey"), col("cents"),
           (col("cents") * 10000000L + col("o_custkey")).as("ord"),
           lit(1L).as("one"))
+        .filter(coalesce(assert_true(col("o_custkey") < 10000000L,
+          lit("q134: o_custkey >= 10^7 breaks the composite order key — " +
+            "widen the multiplier")), lit(true)))
         .cache()
       val ranked = graft.operators.EventTime.globalRunningSum(per, "ord", "one")
         .withColumnRenamed("running_sum", "rank")
@@ -489,12 +494,10 @@ object WarehouseQueries {
     "q139_winsorize" -> ((s, d) => {
       val o = Tables.orders(s, d).select(col("o_orderstatus"),
         floor(col("o_totalprice") * 100).cast("long").as("cents"))
-      val lo = Relational.exactQuantile(o, Seq(col("o_orderstatus")),
-        col("cents"), 5, 100).withColumnRenamed("q_value", "p05")
-      val hi = Relational.exactQuantile(o, Seq(col("o_orderstatus")),
-        col("cents"), 95, 100).withColumnRenamed("q_value", "p95")
-      o.join(broadcast(lo), Seq("o_orderstatus"))
-        .join(broadcast(hi), Seq("o_orderstatus"))
+      // both bounds from ONE shared cumulative frame (one shuffle + sort)
+      val bounds = Relational.exactQuantiles(o, Seq(col("o_orderstatus")),
+        col("cents"), Seq(("p05", 5, 100), ("p95", 95, 100)))
+      o.join(broadcast(bounds), Seq("o_orderstatus"))
         .groupBy(col("o_orderstatus"))
         .agg(max(col("p05")).as("p05"), max(col("p95")).as("p95"),
           count(lit(1)).as("n_rows"),
