@@ -287,12 +287,119 @@ object Similarity {
     * nearest cells, exact-rank within the probed buckets.
     */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame =
+    ivfTopKFromIndex(buildIvfIndex(corpus, centroids), queries, k, nprobe)
+
+  // ------------------------------------------------- persisted IVF index
+
+  /** A materialized IVF index: the `centroids` table (vec_id, vec, nrm) and
+    * the `assignments` inverted-list table (vec_id, vec, nrm, centroid_id)
+    * — one row per indexed vector, keyed by its nearest centroid. Searches
+    * run from these two tables alone; the raw corpus is never rescanned.
+    *
+    * This is the q135/q141 incremental pattern applied to similarity
+    * search: at 100 TB the index BUILD (one pass assigning every corpus
+    * vector) dominates, so it runs once, persists, and daily batches fold
+    * in via [[applyIndexDelta]] — O(|new| × k) map-side work instead of a
+    * full-corpus rebuild. [[driftStats]] is the rebuild trigger: centroids
+    * frozen at build time slowly stop describing a drifting corpus, and
+    * the per-cell member→centroid cosine is the measurable symptom.
+    */
+  final case class IvfIndex(centroids: DataFrame, assignments: DataFrame)
+
+  /** Build the index: one broadcast-assign pass over the corpus (map-side,
+    * zero shuffle — see [[assignToCentroids]]).
+    */
+  def buildIvfIndex(corpus: DataFrame, centroids: DataFrame): IvfIndex =
+    IvfIndex(
+      centroids.select(col("vec_id"), col("vec"), col("nrm")),
+      assignToCentroids(corpus, centroids)
+        .select(col("vec_id"), col("vec"), col("nrm"), col("centroid_id")))
+
+  /** Persist the index under `dir`: a single-file centroid table and the
+    * assignment table laid out as TRUE inverted lists — hash-partitioned
+    * and directory-partitioned by centroid_id via [[Curation.writeShards]],
+    * so a search that probes `nprobe` cells prunes to nprobe directories
+    * at the scan (partition pruning, no full-index read) and each cell's
+    * rows are contiguous, vec_id-sorted files.
+    */
+  def saveIvfIndex(index: IvfIndex, dir: String,
+      maxRecordsPerFile: Long = 1L << 20): Unit = {
+    index.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/centroids")
+    Curation.writeShards(index.assignments, s"$dir/assignments",
+      Seq("centroid_id"), maxRecordsPerFile, Seq(col("vec_id")))
+  }
+
+  /** Load a persisted index. Column order is re-pinned (partitionBy moved
+    * centroid_id to the directory level).
+    */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$dir/centroids")
+        .select(col("vec_id"), col("vec"), col("nrm")),
+      spark.read.parquet(s"$dir/assignments")
+        .select(col("vec_id"), col("vec"), col("nrm"), col("centroid_id")))
+
+  /** Fold a batch of new vectors into an existing index WITHOUT rebuilding:
+    * the new vectors broadcast-assign to the FROZEN centroid set (map-side,
+    * O(|new| × k) dot products, zero shuffle) and append to the inverted
+    * lists. Because assignment is per-row against the same centroids,
+    * delta-maintained assignments are bit-identical to a full rebuild over
+    * old ∪ new — the hash-match proof is q142. Centroids do NOT move here
+    * (that is what makes it cheap); [[driftStats]] tells you when the
+    * frozen centroids have decayed enough to warrant a real rebuild.
+    */
+  def applyIndexDelta(index: IvfIndex, newVecs: DataFrame): IvfIndex =
+    IvfIndex(
+      index.centroids,
+      index.assignments.unionByName(
+        assignToCentroids(newVecs, index.centroids)
+          .select(col("vec_id"), col("vec"), col("nrm"), col("centroid_id"))))
+
+  /** Index-health statistic, per cell: member count and mean
+    * member→centroid cosine (rounded, deterministic). One broadcast join
+    * against the centroid table + one partial-aggregated groupBy on
+    * centroid_id — O(index) map-side work, shuffle carries k rows.
+    * Interpretation: `mean_sim` falling (vs. its build-time value) means
+    * the frozen centroid no longer sits in the middle of its cell —
+    * corpus drift; `n_members` skew means one cell degenerates toward a
+    * full scan. [[driftTriggersRebuild]] is the scalar decision rule.
+    */
+  def driftStats(index: IvfIndex): DataFrame = {
+    val c = index.centroids.select(col("vec_id").as("centroid_id"),
+      col("vec").as("centvec"), col("nrm").as("centnrm"))
+    index.assignments.join(broadcast(c), Seq("centroid_id"))
+      .withColumn("csim", round(cosineWithNorms(
+        col("vec"), col("centvec"), col("nrm"), col("centnrm")), 6))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("csim")), 6).as("mean_sim"))
+  }
+
+  /** Rebuild trigger: true when the index-wide mean member→centroid cosine
+    * has fallen below `minMeanSim`. Collects ONE scalar (the per-cell
+    * stats never leave the cluster).
+    */
+  def driftTriggersRebuild(index: IvfIndex, minMeanSim: Double): Boolean = {
+    val row = driftStats(index)
+      .agg((sum(col("mean_sim") * col("n_members")) / sum(col("n_members")))
+        .as("overall")).head()
+    row.isNullAt(0) || row.getDouble(0) < minMeanSim
+  }
+
+  /** IVF search served from a (possibly delta-maintained) index: probe the
+    * query's nprobe nearest cells, exact-rank within the probed inverted
+    * lists. The bucket join shuffles on centroid_id only — a k-way
+    * partition of the index instead of a full scan per query.
+    */
+  def ivfTopKFromIndex(index: IvfIndex, queries: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
-    val assigned = assignToCentroids(corpus, centroids)
-    val q = probeCentroids(queries, centroids, nprobe)
+    val q = probeCentroids(queries, index.centroids, nprobe)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
         col("nrm").as("qnrm"), col("centroid_id"))
-    val bucket = assigned.select(col("vec_id").as("neighbor_id"),
+    val bucket = index.assignments.select(col("vec_id").as("neighbor_id"),
       col("vec").as("cvec"), col("nrm").as("cnrm"), col("centroid_id"))
     val scored = q.join(bucket, Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))

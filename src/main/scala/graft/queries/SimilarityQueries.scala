@@ -141,6 +141,29 @@ object SimilarityQueries {
       Similarity.semDedupKeep(c, c.filter(col("vec_id") % 50 === 0), 0.4)
     }),
 
+    // Persisted, incrementally-maintained IVF index — the q135/q141
+    // incremental pattern applied to similarity search. Build the index on
+    // the historical corpus (vec_id % 10 != 7), SAVE it to parquet
+    // (centroid table + centroid_id-partitioned inverted lists), LOAD it
+    // back, fold in the "daily batch" (vec_id % 10 == 7) via
+    // applyIndexDelta — O(new) broadcast assignment, centroids frozen —
+    // and serve a search from the delta-maintained index. The DuckDB
+    // oracle is the FULL REBUILD (assign old ∪ new from scratch against
+    // the same centroids): the hash match proves maintenance == recompute,
+    // through a real disk round-trip.
+    "q142_ivf_delta_index" -> ((s, d) => {
+      val c = corpus(s, d)
+      val old = c.filter(col("vec_id") % 10 =!= 7)
+      val fresh = c.filter(col("vec_id") % 10 === 7)
+      val cents = old.filter(col("vec_id") % 40 === 0)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Similarity.saveIvfIndex(Similarity.buildIvfIndex(old, cents), dir)
+      val updated = Similarity.applyIndexDelta(
+        Similarity.loadIvfIndex(s, dir), fresh)
+      Similarity.ivfTopKFromIndex(updated, c.filter(col("vec_id") < 8), 4, 2)
+    }),
+
     // Composed retrieval: metadata filter (lang='en') BEFORE the similarity
     // scan — the corpus shrinks at the join, not after scoring — then exact
     // top-5 per query, then the (cheap, post-top-k) metadata join back.
@@ -293,6 +316,45 @@ object SimilarityQueries {
          |)
          |SELECT vec_id, centroid_id FROM assigned
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+
+    // FULL-REBUILD oracle for the delta-maintained index: centroids are
+    // the same frozen set (vec_id % 40 = 0 — every such id is in the
+    // historical corpus since % 40 = 0 implies % 10 = 0 != 7), but the
+    // assignment is recomputed from scratch over the WHOLE corpus. The
+    // hash match against the Spark side's save→load→delta path is the
+    // maintenance == recompute proof.
+    "q142_ivf_delta_index" ->
+      s"""$VCte, cents AS (
+         |  SELECT vec_id AS centroid_id, vec AS centvec, nrm AS centnrm
+         |  FROM n WHERE vec_id % 40 = 0
+         |), assigned AS (
+         |  SELECT vec_id, vec, nrm, centroid_id FROM (
+         |    SELECT n.vec_id, n.vec, n.nrm, c.centroid_id,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.vec, c.centvec)
+         |               / (n.nrm * c.centnrm), 6) DESC, c.centroid_id ASC) AS crank
+         |    FROM n, cents c) t
+         |  WHERE crank = 1
+         |), probes AS (
+         |  SELECT vec_id, vec, nrm, centroid_id FROM (
+         |    SELECT n.vec_id, n.vec, n.nrm, c.centroid_id,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.vec, c.centvec)
+         |               / (n.nrm * c.centnrm), 6) DESC, c.centroid_id ASC) AS crank
+         |    FROM n, cents c WHERE n.vec_id < 8) t
+         |  WHERE crank <= 2
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.vec, b.vec) / (q.nrm * b.nrm), 6) AS sim
+         |  FROM probes q JOIN assigned b ON q.centroid_id = b.centroid_id
+         |  WHERE b.vec_id <> q.vec_id
+         |)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 4""".stripMargin,
 
     "q75_filtered_retrieval" ->
       s"""$VCte, en AS (
