@@ -238,6 +238,77 @@ object Dedup {
       .select(col(idCol), posexplode(col("_spans")).as(Seq("span_idx", "span_text")))
   }
 
+  /** VARIABLE-LENGTH maximal duplicated spans (the full Lee et al. 2021
+    * exact-substring result, arXiv:2107.06499 §4.1 — [[spanRelation]] is
+    * the fixed-length approximation): every maximal token run of length >=
+    * `minTokens` that occurs at two places in the corpus (across documents
+    * OR repeated within one), reported with both positions and the exact
+    * length. "Maximal" is exact: extending any reported span by one token
+    * on either side breaks the match.
+    *
+    * Distributed shape (seed-and-extend, the shuffle-friendly equivalent
+    * of a suffix array's sort-then-scan):
+    * 1. SEEDS: every overlapping `minTokens`-token window, hashed —
+    *    row-local, no shuffle; the md5 plays the role of the suffix
+    *    bucket key (suffixes sharing an L-token prefix collide).
+    * 2. BUCKET JOIN: seeds equi-join on the hash — ONE shuffle keyed on
+    *    span content, work confined to genuinely-repeated seeds (never
+    *    all-pairs; a corpus with no duplication joins to nothing).
+    * 3. DIAGONAL MERGE: a run of length M >= L between (a at p, b at q)
+    *    appears as M-L+1 CONSECUTIVE seed matches on the diagonal
+    *    d = q - p; the gaps-and-islands window over (doc_a, doc_b, diag)
+    *    collapses each run to one row with its exact extent. Maximality
+    *    follows: one more matching token either side would extend the
+    *    island. This replaces the suffix array's left/right extension
+    *    scan with a window over the match relation — same result, no
+    *    per-partition imperative code, and the window key (pair, diag)
+    *    partitions the corpus-wide work evenly.
+    *
+    * Skew note (inherited from the problem, not the plan): a boilerplate
+    * seed shared by D documents forms D² matches — the same quadratic
+    * blowup suffix-array implementations hit on heavily duplicated data.
+    * At 100 TB, pre-filter seeds by document frequency (the q65 vocab
+    * pass) and handle the filtered mega-spans at doc level (q22).
+    *
+    * Output: (doc_a, doc_b, start_a, start_b, span_len, span_text), one
+    * row per maximal span occurrence pair; token positions are 0-based.
+    */
+  def maximalSpans(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    val toked = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val seeds = toked.filter(size(col("_toks")) >= minTokens)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("_toks")) - minTokens),
+        i => md5(array_join(slice(col("_toks"), i + 1, lit(minTokens)), " "))))
+        .as(Seq("pos", "wh")))
+    val a = seeds.select(col(idCol).as("doc_a"), col("pos").as("pos_a"),
+      col("wh"))
+    val b = seeds.select(col(idCol).as("doc_b"), col("pos").as("pos_b"),
+      col("wh"))
+    val matches = a.join(b, Seq("wh"))
+      .filter(col("doc_a") < col("doc_b") ||
+        (col("doc_a") === col("doc_b") && col("pos_a") < col("pos_b")))
+      .withColumn("diag", col("pos_b") - col("pos_a"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    val spans = matches
+      .withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pos_a")).as("start_a"),
+        (max(col("pos_a")) - min(col("pos_a")) + minTokens).as("span_len"))
+      // long positions: matches the BIGINT the SQL mirror produces, and
+      // survives document offsets past 2^31
+      .select(col("doc_a"), col("doc_b"),
+        col("start_a").cast("long").as("start_a"),
+        (col("start_a") + col("diag")).cast("long").as("start_b"),
+        col("span_len").cast("long").as("span_len"))
+    spans.join(toked.select(col(idCol).as("doc_a"), col("_toks")), Seq("doc_a"))
+      .withColumn("span_text", array_join(
+        slice(col("_toks"), col("start_a") + 1, col("span_len")), " "))
+      .drop("_toks")
+  }
+
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,
       spanTokens: Int): DataFrame = {
     val keepers = spanRelation(docs, idCol, textCol, spanTokens)

@@ -173,6 +173,14 @@ object DedupQueries {
     "q88_span_dedup" -> ((s, d) =>
       Dedup.spanDedup(Tables.documents(s, d), "doc_id", "text", 10)),
 
+    // VARIABLE-LENGTH maximal duplicated spans (the q88 relation without
+    // the fixed-grid restriction): every maximal >= 10-token run occurring
+    // twice in the corpus, with exact extent. Seeds bucket-join on content
+    // hash; the diagonal gaps-and-islands window recovers suffix-array
+    // maximality (see Dedup.maximalSpans).
+    "q143_maximal_spans" -> ((s, d) =>
+      Dedup.maximalSpans(Tables.documents(s, d), "doc_id", "text", 10)),
+
     // Leakage-safe train/val/test split: the q62 hash split keyed on the
     // near-dup CLUSTER id instead of the doc id, so every member of a
     // near-dup cluster lands in the SAME split — the assignment a plain
@@ -355,6 +363,44 @@ object DedupQueries {
         |       string_agg(span_text, ' ' ORDER BY span_idx) AS dedup_text,
         |       CAST(count(*) AS BIGINT) AS n_spans_kept
         |FROM ranked WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+    // Mirrors maximalSpans exactly: sliding md5 seed windows, seed
+    // equi-join, islands by (pair, diagonal), slice back for the text.
+    "q143_maximal_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id,
+        |         unnest([struct_pack(p := i,
+        |                   h := md5(array_to_string(toks[(i+1):(i+10)], ' ')))
+        |                 FOR i IN range(0, len(toks) - 10 + 1)]) AS s
+        |  FROM base WHERE len(toks) >= 10
+        |), seeds AS (
+        |  SELECT doc_id, s.p AS pos, s.h AS wh FROM sp
+        |), m AS (
+        |  SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+        |         b.doc_id AS doc_b, b.pos AS pos_b,
+        |         b.pos - a.pos AS diag
+        |  FROM seeds a JOIN seeds b ON a.wh = b.wh
+        |  WHERE a.doc_id < b.doc_id
+        |     OR (a.doc_id = b.doc_id AND a.pos < b.pos)
+        |), isl AS (
+        |  SELECT doc_a, doc_b, diag, pos_a,
+        |         pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+        |                                    ORDER BY pos_a) AS grp
+        |  FROM m
+        |), spans AS (
+        |  SELECT doc_a, doc_b, min(pos_a) AS start_a,
+        |         min(pos_a) + diag AS start_b,
+        |         max(pos_a) - min(pos_a) + 10 AS span_len
+        |  FROM isl GROUP BY doc_a, doc_b, diag, grp
+        |)
+        |SELECT s.doc_a, s.doc_b, s.start_a, s.start_b, s.span_len,
+        |       array_to_string(t.toks[(s.start_a+1):(s.start_a+s.span_len)], ' ')
+        |         AS span_text
+        |FROM spans s JOIN base t ON s.doc_a = t.doc_id""".stripMargin,
 
     "q93_leakage_split" ->
       s"""${MhCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS (

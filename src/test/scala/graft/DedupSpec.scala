@@ -80,4 +80,53 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.incrementalCandidatePairs(withNull, neu, "id", "bands")
       .as[(Long, Long)].collect().toSet == Set((3L, 4L)))
   }
+
+  private def spanRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_a", "doc_b", "start_a", "start_b", "span_len")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+  // Constructed overlapping-boilerplate fixture: a 14-token boilerplate
+  // block shared by two docs at different offsets must come back as ONE
+  // span with the exact 14-token extent (not five fixed 10-grams), and
+  // extending it by one token on either side must break the match.
+  test("maximalSpans: exact variable-length extent, maximality both ends") {
+    val boiler = (1 to 14).map(i => s"b$i").mkString(" ")
+    val in = docs(
+      1L -> s"intro one two $boiler tail1 tail2",
+      2L -> s"$boiler closing words here now")
+    val got = spanRows(Dedup.maximalSpans(in, "doc_id", "text", 10))
+    // doc 1: boilerplate starts at token 3; doc 2: at token 0
+    assert(got == Set((1L, 2L, 3L, 0L, 14L)), s"got $got")
+    val text = Dedup.maximalSpans(in, "doc_id", "text", 10)
+      .select("span_text").collect().head.getString(0)
+    assert(text == boiler)
+  }
+
+  test("maximalSpans: exactly-10-token run reported; 9-token run is not") {
+    val run10 = (1 to 10).map(i => s"r$i").mkString(" ")
+    val run9 = (1 to 9).map(i => s"s$i").mkString(" ")
+    val in = docs(
+      1L -> s"$run10 filler also $run9 endone",
+      2L -> s"prefix $run10 and $run9 endtwo")
+    val got = spanRows(Dedup.maximalSpans(in, "doc_id", "text", 10))
+    assert(got == Set((1L, 2L, 0L, 1L, 10L)), s"got $got")
+  }
+
+  test("maximalSpans: within-document repeat reported with doc_a == doc_b") {
+    val run = (1 to 11).map(i => s"w$i").mkString(" ")
+    val in = docs(1L -> s"$run middle gap words $run")
+    val got = spanRows(Dedup.maximalSpans(in, "doc_id", "text", 10))
+    // second occurrence starts after the 11-token run + 3 middle tokens
+    assert(got == Set((1L, 1L, 0L, 14L, 11L)), s"got $got")
+  }
+
+  test("maximalSpans: no duplication -> empty; short docs emit nothing") {
+    val in = docs(
+      1L -> "all these words appear exactly once in this corpus today",
+      2L -> "and none of them repeat across any of the two documents",
+      3L -> "tiny")
+    assert(Dedup.maximalSpans(in, "doc_id", "text", 10).count() == 0)
+  }
 }
