@@ -138,7 +138,26 @@ object GraftFunctions {
         s"graft_jaro_winkler requires exactly 2 arguments, got ${exprs.length}")
       JaroWinklerSimilarity(exprs(0), exprs(1))
     }, "graft_jaro_winkler(a, b) - Jaro-Winkler similarity of two strings " +
-      "(DuckDB-compatible: prefix boost above 0.7, empty string -> 0)"))
+      "(DuckDB-compatible: prefix boost above 0.7, empty string -> 0)"),
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its own
+    // runtime row-level filtering but leaves them out of the public
+    // registry; exposing them gives the decontamination prefilter (q144) a
+    // fully declarative bloom path — partial-aggregated sketch build, no
+    // UDF fence on the probe side.
+    ("graft_bloom_agg", exprs => {
+      require(exprs.length == 3,
+        s"graft_bloom_agg requires exactly 3 arguments, got ${exprs.length}")
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+    }, "graft_bloom_agg(xxhash64_value, est_items, num_bits) - build a " +
+      "bloom filter sketch (BINARY) over a BIGINT hash column"),
+    ("graft_might_contain", exprs => {
+      require(exprs.length == 2,
+        s"graft_might_contain requires exactly 2 arguments, got ${exprs.length}")
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1))
+    }, "graft_might_contain(bloom, xxhash64_value) - probe a bloom filter " +
+      "sketch; false means definitely absent"))
 
   /** Session-scoped registration (temp functions) — used by the query layer
     * and tests. Idempotent.

@@ -122,17 +122,55 @@ object Curation {
     * Returns (doc_id, n_shared) for contaminated docs; clean docs are the
     * anti-join of the corpus against this (see q63).
     */
+  // tokens materialize as a named column FIRST: inlining the tokenizer
+  // into the shingle lambda would re-split the text once per element_at
+  // (n per position — O(len²) interpreted work; measured 25 s -> 2 s)
+  private def gramRelation(df: DataFrame, textCol: String, n: Int,
+      keep: Seq[Column]): DataFrame =
+    df.withColumn("_tok", Dedup.tokens(col(textCol)))
+      .select(keep :+ explode(Dedup.shingles(col("_tok"), n)).as("_gram"): _*)
+      .select(keep :+ md5(col("_gram")).as("gram_h"): _*)
+
   def contaminatedDocs(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
-    // tokens materialize as a named column FIRST: inlining the tokenizer
-    // into the shingle lambda would re-split the text once per element_at
-    // (n per position — O(len²) interpreted work; measured 25 s -> 2 s)
-    def grams(df: DataFrame, keep: Seq[Column]): DataFrame =
-      df.withColumn("_tok", Dedup.tokens(col(textCol)))
-        .select(keep :+ explode(Dedup.shingles(col("_tok"), n)).as("_gram"): _*)
-        .select(keep :+ md5(col("_gram")).as("gram_h"): _*)
-    val benchGrams = grams(bench, Seq.empty).distinct()
-    grams(corpus, Seq(col(idCol)))
+    val benchGrams = gramRelation(bench, textCol, n, Seq.empty).distinct()
+    gramRelation(corpus, textCol, n, Seq(col(idCol)))
+      .join(benchGrams, Seq("gram_h"))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("gram_h")).as("n_shared"))
+  }
+
+  /** [[contaminatedDocs]] with a bloom prefilter on the corpus gram
+    * stream. The benchmark gram set folds into ONE bloom sketch
+    * (`graft_bloom_agg` — partial-aggregated map-side; only the final
+    * `numBits/8`-byte sketch reaches the driver, and it ships back as a
+    * broadcast literal, never the gram rows). Corpus grams then probe the
+    * sketch row-locally (`graft_might_contain`, codegen'd) BEFORE the
+    * join: at 100 TB the corpus gram stream is the dominant shuffle-ahead
+    * volume, and the bloom drops the overwhelmingly-clean majority at the
+    * map side — only (actual hits + fpp · |corpus grams|) rows reach the
+    * exchange. Determinism is untouched: the bloom only PRUNES — every
+    * surviving gram still passes the exact equi-join, so false positives
+    * are removed and the output is bit-identical to the exact path (q144
+    * hash-matches q63's oracle verbatim).
+    */
+  def contaminatedDocsBloom(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    require(expectedItems > 0 && numBits > 0,
+      s"bloom sizing must be positive, got $expectedItems items / $numBits bits")
+    val benchGrams = gramRelation(bench, textCol, n, Seq.empty).distinct()
+    val sketchRow = benchGrams
+      .agg(call_function("graft_bloom_agg", xxhash64(col("gram_h")),
+        lit(expectedItems), lit(numBits)).as("_bf")).head()
+    if (sketchRow.isNullAt(0)) {
+      // empty benchmark -> nothing can be contaminated; keep the schema
+      return corpus.select(col(idCol), lit(0L).as("n_shared")).limit(0)
+    }
+    val sketch = lit(sketchRow.getAs[Array[Byte]](0))
+    gramRelation(corpus, textCol, n, Seq(col(idCol)))
+      .filter(call_function("graft_might_contain", sketch,
+        xxhash64(col("gram_h"))))
       .join(benchGrams, Seq("gram_h"))
       .groupBy(col(idCol))
       .agg(count_distinct(col("gram_h")).as("n_shared"))

@@ -37,6 +37,19 @@ object CurationQueries {
         .select(col("doc_id"), col("n_shared").cast("long").as("n_shared"))
     }),
 
+    // q63 with the bloom prefilter: the benchmark gram set folds into one
+    // bloom sketch, corpus grams probe it map-side before the exact
+    // confirm join. The bloom only prunes — the oracle is q63's verbatim,
+    // and the hash match proves the prefilter changes nothing but the
+    // shuffle volume.
+    "q144_decontaminate_bloom" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      Curation.contaminatedDocsBloom(docs, bench, "doc_id", "text", 8)
+        .select(col("doc_id"), col("n_shared").cast("long").as("n_shared"))
+    }),
+
     // Sequence packing: per source, docs ordered by doc_id are packed into
     // 4096-token bins by exclusive running sum (the deterministic
     // distributed packing). Emits per-doc bin assignment.
@@ -150,6 +163,25 @@ object CurationQueries {
          |FROM split GROUP BY 1, 2""".stripMargin,
 
     "q63_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'),
+        |                     x -> x <> '') AS tok
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(tok[i+1:i+8], ' ')) AS gram_h
+        |  FROM tok, UNNEST(range(0, greatest(len(tok) - 7, 0))) u(i)
+        |), bench AS (
+        |  SELECT DISTINCT gram_h FROM grams WHERE doc_id % 97 = 0
+        |)
+        |SELECT g.doc_id, count(DISTINCT g.gram_h) AS n_shared
+        |FROM grams g JOIN bench b USING (gram_h)
+        |GROUP BY 1""".stripMargin,
+
+    // The bloom prefilter is pruning-only, so the oracle is exactly q63's:
+    // the exact gram join decides membership in both engines.
+    "q144_decontaminate_bloom" ->
       """WITH tok AS (
         |  SELECT doc_id,
         |         list_filter(string_split_regex(trim(text), '\s+'),

@@ -113,4 +113,48 @@ class CurationSpec extends SparkSpec {
       assert(ids == (0 to ids.max).toSeq, s"$src bins not contiguous: $ids")
     }
   }
+
+  // The bloom prefilter may only PRUNE: identical output to the exact
+  // path on real data, a might_contain filter in the physical plan ahead
+  // of the confirm join, and a measurably smaller gram stream entering it.
+  test("contaminatedDocsBloom: exact-identical output, measurable pruning") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("n_shared").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val exact = rows(Curation.contaminatedDocs(docs, bench, "doc_id", "text", 8))
+    val bloomed = Curation.contaminatedDocsBloom(docs, bench, "doc_id", "text", 8)
+    assert(rows(bloomed) == exact)
+    assert(exact.nonEmpty, "fixture has no contamination - test is vacuous")
+    // plan pin: the probe really is in the plan (not optimized away)
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+
+    // pruning measurement: corpus grams surviving the sketch vs all grams
+    def grams(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("_tok", Dedup.tokens(col("text")))
+        .select(explode(Dedup.shingles(col("_tok"), 8)).as("_g"))
+        .select(md5(col("_g")).as("gram_h"))
+    val sketch = grams(bench).distinct()
+      .agg(call_function("graft_bloom_agg", xxhash64(col("gram_h")),
+        lit(1L << 20), lit(1L << 23))).head().getAs[Array[Byte]](0)
+    val total = grams(docs).count()
+    val surviving = grams(docs)
+      .filter(call_function("graft_might_contain", lit(sketch),
+        xxhash64(col("gram_h")))).count()
+    assert(surviving < total / 2,
+      s"bloom passed $surviving of $total grams - no real pruning")
+  }
+
+  test("contaminatedDocsBloom: empty benchmark yields empty result") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val out = Curation.contaminatedDocsBloom(docs,
+      docs.filter(col("doc_id") < 0), "doc_id", "text", 8)
+    assert(out.columns.toSeq == Seq("doc_id", "n_shared"))
+    assert(out.count() == 0)
+  }
 }
