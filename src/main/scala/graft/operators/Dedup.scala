@@ -79,6 +79,38 @@ object Dedup {
       .distinct()
   }
 
+  /** MULTI-PROBE candidate pairs over sign-bit band signatures (Lv et al.
+    * 2007, multi-probe LSH): a pair is a candidate iff some band's values
+    * agree exactly OR differ in exactly one bit (Hamming <= 1). One side
+    * explodes each band value into its `bits`+1 probe keys (the value and
+    * its single-bit flips — row-local bitwiseXOR against constants); the
+    * other side keeps exact keys; the same (band, bh) equi-join as
+    * [[candidatePairs]] then finds all Hamming<=1 collisions, because
+    * a XOR bit = b  <=>  b XOR bit = a (one-sided probing is symmetric).
+    *
+    * The scale trade vs adding bands: probes replicate ONE side of the
+    * join (bits+1)x with zero extra dot products, while more/shorter
+    * bands replicate BOTH sides and recompute plane signatures. For a
+    * near-miss pair (one flipped sign bit in an otherwise-matching band —
+    * the dominant miss mode at high band width) probing recovers the
+    * collision that exact banding loses, so recall rises at a FIXED
+    * pruning geometry. Same canonical output as [[candidatePairs]].
+    */
+  def multiProbeCandidatePairs(docs: DataFrame, idCol: String,
+      bandsCol: String, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+    val exact = explodeBands(docs, idCol, bandsCol, "doc_x")
+    val probes = explodeBands(docs, idCol, bandsCol, "doc_n")
+      .select(col("doc_n"), col("band"), explode(array(
+        col("bh") +: (0 until bits).map(i =>
+          col("bh").bitwiseXOR(lit(1L << i))): _*)).as("bh"))
+    probes.join(exact, Seq("band", "bh"))
+      .filter(col("doc_n") =!= col("doc_x"))
+      .select(least(col("doc_n"), col("doc_x")).as("doc_a"),
+        greatest(col("doc_n"), col("doc_x")).as("doc_b"))
+      .distinct()
+  }
+
   /** Incremental LSH candidates: pairs where at least one side comes from
     * `newDocs` — new×new and new×old form; old×old NEVER does. This is
     * the daily-ingest shape at 100 TB: the historical corpus was already

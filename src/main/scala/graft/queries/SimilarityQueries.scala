@@ -141,6 +141,30 @@ object SimilarityQueries {
       Similarity.semDedupKeep(c, c.filter(col("vec_id") % 50 === 0), 0.4)
     }),
 
+    // q60's banding with MULTI-PROBE candidates at a harder geometry
+    // (16 bands x 8 bits): each band value also probes its 8 single-bit
+    // flips, so near-miss pairs (one flipped sign bit in an
+    // otherwise-matching band — the dominant miss mode at high band
+    // width) still collide. Measured on this corpus at threshold 0.4:
+    // recall 0.93 vs 0.46 single-probe at the SAME geometry
+    // (SimilaritySpec asserts both). Oracle mirrors the algorithm.
+    "q145_embed_near_dup_multiprobe" -> ((s, d) => {
+      val c = corpus(s, d)
+        .withColumn("bands", Similarity.rhBands(col("vec"), 128, 8, 64))
+        .cache()
+      val cand = graft.operators.Dedup.multiProbeCandidatePairs(
+        c, "vec_id", "bands", 8)
+      cand
+        .join(c.select(col("vec_id").as("doc_a"), col("vec").as("vec_a"),
+          col("nrm").as("nrm_a")), Seq("doc_a"))
+        .join(c.select(col("vec_id").as("doc_b"), col("vec").as("vec_b"),
+          col("nrm").as("nrm_b")), Seq("doc_b"))
+        .withColumn("sim", round(Similarity.cosineWithNorms(
+          col("vec_a"), col("vec_b"), col("nrm_a"), col("nrm_b")), 6))
+        .filter(col("sim") >= 0.4)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("sim"))
+    }),
+
     // Persisted, incrementally-maintained IVF index — the q135/q141
     // incremental pattern applied to similarity search. Build the index on
     // the historical corpus (vec_id % 10 != 7), SAVE it to parquet
@@ -316,6 +340,36 @@ object SimilarityQueries {
          |)
          |SELECT vec_id, centroid_id FROM assigned
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+
+    // Mirrors the multi-probe algorithm: same md5 planes, 16 bands x 8
+    // sign bits, probe set = band value plus its 8 single-bit xor flips,
+    // candidate equi-join probe-vs-exact, exact cosine verification.
+    "q145_embed_near_dup_multiprobe" ->
+      s"""$VCte, planes AS (
+         |  SELECT p, list_transform(range(0, 64), j ->
+         |    ((('0x' || substr(md5('rh:' || p || ':' || j), 1, 8))::BIGINT
+         |      % 2001) - 1000) / 1000.0) AS plane
+         |  FROM range(0, 128) t(p)
+         |), sig AS (
+         |  SELECT n.vec_id, p.p // 8 AS band,
+         |         CAST(sum(CASE WHEN list_dot_product(n.vec, p.plane) > 0
+         |                  THEN 1 << (p.p % 8) ELSE 0 END) AS BIGINT) AS bh
+         |  FROM n, planes p GROUP BY 1, 2
+         |), probes AS (
+         |  SELECT vec_id, band, bh FROM sig
+         |  UNION ALL
+         |  SELECT s.vec_id, s.band, xor(s.bh, CAST(1 << i AS BIGINT)) AS bh
+         |  FROM sig s, range(0, 8) t(i)
+         |), cand AS (
+         |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+         |         greatest(a.vec_id, b.vec_id) AS id_b
+         |  FROM probes a JOIN sig b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.vec_id <> b.vec_id
+         |)
+         |SELECT c.id_a, c.id_b,
+         |       round(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6) AS sim
+         |FROM cand c JOIN n x ON c.id_a = x.vec_id JOIN n y ON c.id_b = y.vec_id
+         |WHERE round(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6) >= 0.4""".stripMargin,
 
     // FULL-REBUILD oracle for the delta-maintained index: centroids are
     // the same frozen set (vec_id % 40 = 0 — every such id is in the

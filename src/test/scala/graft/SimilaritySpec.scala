@@ -111,6 +111,44 @@ class SimilaritySpec extends SparkSpec {
       s"candidates ${cand.size} vs all ${allPairs.toLong} pairs - pruning too weak")
   }
 
+  // Multi-probe at the harder 16x8-bit geometry: probing each band's
+  // single-bit flips must recover the recall exact banding loses there —
+  // >= 0.9 vs the exact block-grid pairs, at a geometry where
+  // single-probe demonstrably fails (so the probes, not the bands, do
+  // the work). Deterministic: md5-derived planes, fixed corpus.
+  test("multi-probe rh-lsh: recall >= 0.9 where single-probe fails") {
+    val c = corpus.withColumn("bands",
+      Similarity.rhBands(col("vec"), 128, 8, 64)).cache()
+    val exact = Similarity.blockGridPairs(corpus, 0.4 - 1e-6)
+      .withColumn("sim", round(col("sim_raw"), 6))
+      .filter(col("sim") >= 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val single = Dedup.candidatePairs(c, "vec_id", "bands")
+      .as[(Long, Long)].collect().toSet
+    val multi = Dedup.multiProbeCandidatePairs(c, "vec_id", "bands", 8)
+      .as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(multi), "multi-probe must only ADD candidates")
+    def recall(cand: Set[(Long, Long)]) =
+      (exact & cand).size.toDouble / exact.size
+    assert(recall(multi) >= 0.9, s"multi-probe recall ${recall(multi)} < 0.9")
+    assert(recall(single) < 0.9,
+      s"single-probe recall ${recall(single)} already >= 0.9 - geometry too easy")
+  }
+
+  // Probe semantics pinned on hand-built signatures: Hamming <= 1 within
+  // some band collides, Hamming >= 2 in every band does not.
+  test("multiProbeCandidatePairs: exactly Hamming <= 1 per band") {
+    val rows = Seq(
+      (1L, Seq(java.lang.Long.valueOf(0x01L))), // 0b0001
+      (2L, Seq(java.lang.Long.valueOf(0x03L))), // 0b0011: H1 from 1
+      (3L, Seq(java.lang.Long.valueOf(0x07L))), // 0b0111: H2 from 1, H1 from 2
+      (4L, Seq(java.lang.Long.valueOf(0x0cL)))) // 0b1100: H2+ from all above
+      .toDF("id", "bands")
+    val got = Dedup.multiProbeCandidatePairs(rows, "id", "bands", 8)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (2L, 3L)), s"got $got")
+  }
+
   // Engine-portability invariant the q60 oracle relies on: the plane
   // constants must be the md5 recipe exactly (DuckDB recomputes them).
   test("rh planes are deterministic md5-derived constants in [-1, 1]") {
