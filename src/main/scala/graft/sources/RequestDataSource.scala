@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -41,10 +41,11 @@ private[sources] object RequestWire {
   *   a `select(ingestion_id)` never materializes the ids array — pruned
   *   fields are skipped at the JSON-node level, not dropped after the fact.
   * - **Filter pushdown reaches the parser** ([[SupportsPushDownFilters]]):
-  *   `priority = 'HIGH'` (and any string-equality / IsNotNull predicate) is
-  *   evaluated on the raw node BEFORE row materialization; non-matching
-  *   lines never allocate a row. The scan's `description()` advertises the
-  *   pushed set, so `.explain` shows `PushedFilters` exactly like parquet.
+  *   `priority = 'HIGH'`, `priority IN ('HIGH','MEDIUM')` and IsNotNull
+  *   predicates are evaluated on the raw node BEFORE row materialization;
+  *   non-matching lines never allocate a row. The scan's `description()`
+  *   advertises the pushed set, so `.explain` shows `PushedFilters`
+  *   exactly like parquet.
   * - **Partition-per-file parallelism**: one [[InputPartition]] per file —
   *   the same unit of work a multi-executor cluster schedules; locality is
   *   the file's (local FS here, so none claimed).
@@ -91,13 +92,19 @@ private[sources] class RequestScanBuilder(path: String, extensions: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Accept string-equality and IsNotNull predicates on top-level fields —
-    * the ones the line parser can evaluate before materializing a row.
-    * Everything else is returned to Spark for post-scan evaluation.
+  /** Accept string-equality, string-IN and IsNotNull predicates on
+    * top-level fields — the ones the line parser can evaluate before
+    * materializing a row. IN lists may carry nulls (Catalyst forwards
+    * them); a null element can never equal a non-null field, so it only
+    * matters for the SQL-3VL non-match case the reader already gets
+    * right. Everything else is returned to Spark for post-scan
+    * evaluation.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rest) = filters.partition {
       case EqualTo(attr, _: String) => SchemaFields.contains(attr)
+      case In(attr, vs) => SchemaFields.contains(attr) &&
+        vs.forall(v => v == null || v.isInstanceOf[String])
       case IsNotNull(attr) => SchemaFields.contains(attr)
       case _ => false
     }
@@ -252,6 +259,10 @@ private[sources] class RequestFileReader(file: String, fields: Array[String],
     */
   private def passes(node: JsonNode): Boolean = pushed.forall {
     case EqualTo(attr, v: String) => v == text(node, attr)
+    // null field never matches (3VL); null list elements match nothing
+    case In(attr, vs) =>
+      val t = text(node, attr)
+      t != null && vs.contains(t)
     case IsNotNull(attr) => !isNullField(node, attr)
     case _ => true
   }

@@ -50,6 +50,38 @@ class RequestDataSourceSpec extends SparkSpec {
     assert(q.collect().map(_.getString(0)).sorted.toSeq == Seq("A1", "B1"))
   }
 
+  test("IN-list filter is pushed into the scan and matches the unpushed result") {
+    val dir = writeFixture()
+    val pushed = spark.read.format("graft-requests").load(dir)
+      .filter(col("priority").isin("HIGH", "LOW"))
+      .select(col("ingestion_id"))
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains("In(priority"),
+      s"IN pushdown missing from plan:\n$plan")
+    // parity: the V1 json path evaluates the same predicate post-scan
+    val unpushed = graft.sources.RequestSource.jsonBatch(spark, dir)
+      .filter(col("priority").isin("HIGH", "LOW"))
+      .select(col("ingestion_id"))
+    assert(pushed.collect().map(_.getString(0)).sorted.toSeq ==
+      unpushed.collect().map(_.getString(0)).sorted.toSeq)
+    assert(pushed.count() == 3) // A1, A2, B1; B2 has no priority at all
+    // IN on the other string field pushes too
+    val byId = spark.read.format("graft-requests").load(dir)
+      .filter(col("ingestion_id").isin("A1", "B2"))
+    assert(byId.queryExecution.executedPlan.toString.contains("In(ingestion_id"))
+    assert(byId.collect().map(_.getString(0)).sorted.toSeq == Seq("A1", "B2"))
+  }
+
+  test("IN list with a null element: matches non-null hits, never null rows (3VL)") {
+    val dir = writeFixture()
+    val q = spark.read.format("graft-requests").load(dir)
+      .filter(col("priority").isin("HIGH", null))
+      .select(col("ingestion_id"))
+    // SQL: priority IN ('HIGH', NULL) is true only for HIGH rows —
+    // the missing-priority row (B2) and LOW rows are unknown/false
+    assert(q.collect().map(_.getString(0)).sorted.toSeq == Seq("A1", "B1"))
+  }
+
   test("column pruning reaches the scan (ReadSchema excludes unselected fields)") {
     val dir = writeFixture()
     val q = spark.read.format("graft-requests").load(dir)
