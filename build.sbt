@@ -9,6 +9,14 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Live Kafka ingestion (RequestSource.kafkaStream) needs the connector at
+// DEPLOY time; this sandbox is zero-egress so the coordinate stays
+// commented. On a cluster, uncomment (matching the Spark version) or pass
+// `--packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2` to
+// spark-submit. The adapter logic (RequestSource.fromKafkaValue*) is fully
+// tested against the connector's exact row shape without it — see
+// StreamingSourcesSpec and README "Kafka seam".
+// libraryDependencies += "org.apache.spark" %% "spark-sql-kafka-0-10" % "4.1.2"
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -53,6 +53,36 @@ object RequestSource {
       parsed.getField("created_at").as("created_at"))
   }
 
+  /** [[fromKafkaValue]] plus the broker-metadata columns of the FULL kafka
+    * row shape (key, value, topic, partition, offset, timestamp,
+    * timestampType, headers — what `format("kafka")` emits with
+    * `includeHeaders=true`):
+    * - `created_at` falls back to the broker `timestamp` when the payload
+    *   carries none — the standard event-time fallback (log-append time
+    *   is the only time a malformed/legacy producer leaves you);
+    * - `kafka_timestamp` passes through for latency accounting
+    *   (broker-landing vs payload event time);
+    * - `kafka_headers` decodes the header array's binary values to UTF-8
+    *   strings, KEEPING array<struct<key,value>> form: Kafka allows
+    *   duplicate header keys, so a map would either throw
+    *   (map_from_entries on duplicates) or silently drop records.
+    * All row-local expressions — the adapter adds zero shuffle.
+    */
+  def fromKafkaValueWithMeta(kafka: DataFrame): DataFrame = {
+    val parsed = from_json(col("value").cast("string"), Schemas.ingestRequest)
+    kafka.select(
+      coalesce(parsed.getField("ingestion_id"),
+        concat_ws(":", lit("kafka"), col("topic"), col("partition"),
+          col("offset"))).as("ingestion_id"),
+      parsed.getField("ids").as("ids"),
+      parsed.getField("priority").as("priority"),
+      coalesce(parsed.getField("created_at"), col("timestamp")).as("created_at"),
+      col("timestamp").as("kafka_timestamp"),
+      transform(col("headers"), h => struct(
+        h.getField("key").as("key"),
+        h.getField("value").cast("string").as("value"))).as("kafka_headers"))
+  }
+
   /** Live Kafka source (BASELINE.json's "REST/Kafka source" shape): the API
     * gateway lands POST bodies on a topic; this subscribes and adapts. The
     * spark-sql-kafka connector is a deploy-time dependency (`--packages

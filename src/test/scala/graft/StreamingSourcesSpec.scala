@@ -80,6 +80,52 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  // The FULL kafka row shape — every column format("kafka") emits with
+  // includeHeaders=true, exact names and types. The adapter must (a) be
+  // indifferent to the extra columns (parity with the 4-column shape),
+  // (b) fall back to broker timestamp for payloads without created_at,
+  // (c) decode headers preserving duplicate keys, (d) keep the
+  // dead-letter id rule.
+  test("full kafka row shape: adapter parity, timestamp fallback, headers") {
+    val ts0 = java.sql.Timestamp.from(java.time.Instant.parse("2024-02-02T10:00:00Z"))
+    val base = Seq(
+      ("""{"ingestion_id":"F1","ids":[1],"priority":"HIGH","created_at":"2024-01-01T00:00:00.000Z"}""",
+        "ingest", 0, 0L, ts0),
+      ("""{"ingestion_id":"F2","ids":[2],"priority":"LOW"}""",
+        "ingest", 0, 1L, ts0),
+      ("""corrupt {{ payload""", "ingest", 0, 2L, ts0))
+      .toDF("json", "topic", "partition", "offset", "timestamp")
+    val full = base.select(
+      lit("k".getBytes).as("key"),
+      col("json").cast("binary").as("value"),
+      col("topic"), col("partition"), col("offset"), col("timestamp"),
+      lit(0).as("timestampType"),
+      when(col("offset") === 0L, array(
+        struct(lit("trace").as("key"), lit("abc".getBytes).as("value")),
+        struct(lit("trace").as("key"), lit("def".getBytes).as("value"))))
+        .otherwise(lit(null)).as("headers"))
+
+    // (a) extra columns change nothing for the narrow adapter
+    val narrow = full.select("value", "topic", "partition", "offset")
+    assert(RequestSource.fromKafkaValue(full).collect().map(_.toSeq).toSeq ==
+      RequestSource.fromKafkaValue(narrow).collect().map(_.toSeq).toSeq)
+
+    val meta = RequestSource.fromKafkaValueWithMeta(full)
+      .orderBy("ingestion_id").collect()
+    assert(meta.map(_.getString(0)).toSeq ==
+      Seq("F1", "F2", "kafka:ingest:0:2")) // (d) dead-letter id intact
+    // (b) F1 keeps payload event time; F2 falls back to broker time
+    assert(meta(0).getTimestamp(3) ==
+      java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")))
+    assert(meta(1).getTimestamp(3) == ts0)
+    assert(meta.forall(_.getTimestamp(4) == ts0)) // kafka_timestamp passthrough
+    // (c) duplicate header keys survive, binary values decode to UTF-8
+    val hdrs = meta(0).getSeq[org.apache.spark.sql.Row](5)
+      .map(h => (h.getString(0), h.getString(1)))
+    assert(hdrs == Seq(("trace", "abc"), ("trace", "def")), s"got $hdrs")
+    assert(meta(1).isNullAt(5))
+  }
+
   test("stream-static dimension join enriches map-side in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val dims = Seq((1L, "gold"), (2L, "silver")).toDF("cust", "tier")
