@@ -199,6 +199,159 @@ class ScaleSpec extends SparkSpec {
     assert(p.processedState.count() == 4)
   }
 
+  // The round-7 capstone: ONE live IngestPipeline run over sf0.1 content —
+  // file-drop source → validate (O2) → chunk (O5) → priority admission
+  // (O7/O8) → enrichment with the real document texts (O11) → rollup
+  // (O17) — KILLED mid-stream and resumed from the checkpoint + versioned
+  // state, with the second request wave arriving while the pipeline is
+  // down. Exactly-once is then asserted three ways: the pipeline's own
+  // versioned rollup, BOTH keyed state APIs (mapGroupsWithState and
+  // transformWithState) replaying the final batch events, and the q135
+  // incremental-dedup join over the enriched output matching a full batch
+  // recompute.
+  test("capstone: sf0.1 e2e with kill-and-resume, exactly-once on both state APIs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Dedup
+    import graft.sources.{RequestSource, Tables}
+    import graft.streaming.{BatchEvent, StatusStateMachine, StatusProcessorV2}
+
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id"), col("text"))
+    def withBands(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.shingles(col("tok"), 3), 8).as("sig"))
+      .withColumn("bands", Dedup.lshBands(col("sig"), 4, 2))
+    val allBands = withBands(docs).cache()
+    // seed the request set with one KNOWN near-dup candidate pair so the
+    // dedup stage below can't pass vacuously
+    val pair = Dedup.candidatePairs(allBands, "doc_id", "bands")
+      .orderBy("doc_a", "doc_b").head()
+    val (pa, pb) = (pair.getLong(0), pair.getLong(1))
+    val allIds = docs.select("doc_id").as[Long].collect().sorted
+    val reqIds = (Seq(pa, pb) ++ allIds.filterNot(i => i == pa || i == pb))
+      .take(48)
+    val fetchMap = docs.filter(col("doc_id").isin(reqIds: _*))
+      .as[(Long, String)].collect().toMap
+    val groups = reqIds.grouped(4).toSeq // 12 requests x 4 ids
+    def reqJson(name: String, ids: Seq[Long], prio: String): String =
+      s"""{"ingestion_id":"$name","ids":[${ids.mkString(",")}],""" +
+        s""""priority":"$prio","created_at":"2024-01-01T00:00:00.000Z"}"""
+    val names = groups.indices.map(i => f"C$i%02d")
+
+    val inDir = Files.createTempDirectory("graft-capstone-in")
+    // wave 1: 6 requests, plus an invalid-priority request and a corrupt
+    // line for the rejected side-output
+    Files.writeString(inDir.resolve("w1.json"),
+      (groups.take(6).zipWithIndex.map { case (g, i) => reqJson(names(i), g, "HIGH") } :+
+        """{"ingestion_id":"BAD","ids":[1],"priority":7}""" :+
+        "corrupt {{ not json").mkString("\n"))
+
+    val stateDir = Files.createTempDirectory("graft-capstone-state").toString
+    def mkPipeline() = new IngestPipeline(spark, stateDir, batchSize = 2,
+      admitPerTrigger = 4, fetch = ids => ids.map(id => (id, fetchMap(id))))
+
+    // ---- phase 1: run until real progress, then KILL mid-stream
+    val p1 = mkPipeline()
+    val q1 = p1.start(RequestSource.jsonFileStream(spark, inDir.toString),
+      Trigger.ProcessingTime("300 milliseconds"), heartbeatRowsPerSecond = 5)
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (p1.processedState.count() < 8 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(p1.processedState.count() >= 8,
+        "pipeline made no progress before the kill")
+    } finally q1.stop() // kill: in-flight trigger may orphan `triggered` rows
+    assert(p1.processedState.count() <= 24, "kill landed after wave 1 finished")
+
+    // wave 2 arrives while the pipeline is DOWN — 6 more requests plus a
+    // RESUBMISSION of C00 with different ids (first-wins must ignore it)
+    Files.writeString(inDir.resolve("w2.json"),
+      (groups.drop(6).zipWithIndex.map { case (g, i) =>
+        reqJson(names(i + 6), g, "LOW") } :+
+        reqJson(names(0), Seq(999999L), "LOW")).mkString("\n"))
+
+    // ---- phase 2: RESUME from checkpoint + versioned state
+    val p2 = mkPipeline() // constructor demotes orphaned `triggered` rows
+    val q2 = p2.start(RequestSource.jsonFileStream(spark, inDir.toString),
+      Trigger.ProcessingTime("300 milliseconds"), heartbeatRowsPerSecond = 5)
+    try {
+      val deadline = System.currentTimeMillis() + 180000
+      var done = false
+      while (!done && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        val m = p2.overallStatus.as[(String, String)].collect().toMap
+        done = names.forall(n => m.get(n).contains(Status.Completed))
+      }
+      assert(done, s"not all completed: ${p2.overallStatus.collect().toSeq}")
+    } finally q2.stop()
+
+    // ---- exactly-once, API 0: the pipeline's own versioned state
+    val processed = p2.processedState.select("id", "data")
+      .as[(Long, String)].collect()
+    assert(processed.length == 48, s"enriched ${processed.length} ids, want 48")
+    assert(processed.map(_._1).toSet == reqIds.toSet,
+      "enriched id set != requested id set (resubmitted ids must not appear)")
+    assert(processed.toMap == fetchMap, "enriched payloads != source documents")
+    val rejected = p2.rejectedState.collect()
+    assert(rejected.length == 2, s"want 2 rejected rows, got ${rejected.toSeq}")
+
+    // ---- exactly-once, APIs 1+2: both keyed state machines replay the
+    // final batch events and must agree: 2 batches per request, all done
+    val events = p2.batchState.select(col("ingestion_id"), col("batch_id"),
+      col("status"), col("created_at").as("ts")).as[BatchEvent].collect()
+    implicit val sqlCtx = spark.sqlContext
+    def finalRollup(table: String): Map[String, (Long, Long, String)] =
+      spark.table(table).as[(String, Long, Long, String)].collect()
+        .map { case (k, nb, nc, st) => k -> ((nb, nc, st)) }.toMap
+    val in1 = MemoryStream[BatchEvent]
+    val s1 = StatusStateMachine.track(in1.toDS())
+      .writeStream.format("memory").queryName("cap_ssm1")
+      .outputMode("update").start()
+    val v1 = try {
+      in1.addData(events.toIndexedSeq: _*); s1.processAllAvailable()
+      finalRollup("cap_ssm1")
+    } finally s1.stop()
+    val priorStore = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in2 = MemoryStream[BatchEvent]
+    val s2 = StatusProcessorV2.track(in2.toDS())
+      .writeStream.format("memory").queryName("cap_ssm2")
+      .outputMode("update").start()
+    val v2 = try {
+      in2.addData(events.toIndexedSeq: _*); s2.processAllAvailable()
+      finalRollup("cap_ssm2")
+    } finally {
+      s2.stop()
+      priorStore match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val expected = names.map(n => n -> ((2L, 2L, Status.Completed))).toMap
+    assert(v1 == expected, s"mapGroupsWithState rollup diverged: $v1")
+    assert(v2 == expected, s"transformWithState rollup diverged: $v2")
+
+    // ---- exactly-once, stage 3: q135 incremental dedup over the ENRICHED
+    // output vs a full batch recompute — identical pairs, seeded non-empty
+    val newDocs = p2.processedState.toDF("doc_id", "text")
+    val hist = docs.join(newDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+    val inc = Dedup.incrementalCandidatePairs(
+      withBands(hist), withBands(newDocs), "doc_id", "bands")
+      .as[(Long, Long)].collect().toSet
+    val newIdSet = reqIds.toSet
+    val truth = Dedup.candidatePairs(allBands, "doc_id", "bands")
+      .as[(Long, Long)].collect().toSet
+      .filter(p => newIdSet(p._1) || newIdSet(p._2))
+    assert(inc == truth, s"incremental dedup != batch recompute " +
+      s"(${inc.size} vs ${truth.size} pairs)")
+    assert(inc((math.min(pa, pb), math.max(pa, pb))),
+      "seeded near-dup pair missing - dedup stage vacuous")
+  }
+
   test("pipeline state survives restart (versioned pointer recovery)") {
     val stateDir = Files.createTempDirectory("graft-state").toString
     val p1 = new IngestPipeline(spark, stateDir)
