@@ -374,17 +374,24 @@ object Similarity {
       .withColumn("csim", round(cosineWithNorms(
         col("vec"), col("centvec"), col("nrm"), col("centnrm")), 6))
       .groupBy(col("centroid_id"))
+      // sum_sim_e6 is the EXACT form: each rounded cosine scaled to an
+      // integer micro-unit and summed as BIGINT, so the statistic is
+      // bit-identical under any partitioning/engine (a float mean would
+      // drift with summation order); mean_sim derives from it
       .agg(count(lit(1)).as("n_members"),
-        round(avg(col("csim")), 6).as("mean_sim"))
+        sum(round(col("csim") * 1e6).cast("long")).as("sum_sim_e6"))
+      .withColumn("mean_sim",
+        round(col("sum_sim_e6") / col("n_members") / 1e6, 6))
   }
 
   /** Rebuild trigger: true when the index-wide mean member→centroid cosine
     * has fallen below `minMeanSim`. Collects ONE scalar (the per-cell
-    * stats never leave the cluster).
+    * stats never leave the cluster); the division happens on two exact
+    * BIGINTs, so the decision is deterministic too.
     */
   def driftTriggersRebuild(index: IvfIndex, minMeanSim: Double): Boolean = {
     val row = driftStats(index)
-      .agg((sum(col("mean_sim") * col("n_members")) / sum(col("n_members")))
+      .agg((sum(col("sum_sim_e6")) / 1e6 / sum(col("n_members")))
         .as("overall")).head()
     row.isNullAt(0) || row.getDouble(0) < minMeanSim
   }

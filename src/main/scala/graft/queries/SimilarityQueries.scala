@@ -188,6 +188,17 @@ object SimilarityQueries {
       Similarity.ivfTopKFromIndex(updated, c.filter(col("vec_id") < 8), 4, 2)
     }),
 
+    // Index-health drift statistic over a deterministic IVF index: per
+    // cell, member count and the EXACT integer-scaled sum of member ->
+    // centroid cosines (each rounded cosine x 1e6 as BIGINT — summation-
+    // order-proof, so the rebuild trigger's input is oracled exactly).
+    "q146_index_drift" -> ((s, d) => {
+      val c = corpus(s, d)
+      val index = Similarity.buildIvfIndex(c, c.filter(col("vec_id") % 40 === 0))
+      Similarity.driftStats(index)
+        .select(col("centroid_id"), col("n_members"), col("sum_sim_e6"))
+    }),
+
     // Composed retrieval: metadata filter (lang='en') BEFORE the similarity
     // scan — the corpus shrinks at the join, not after scoring — then exact
     // top-5 per query, then the (cheap, post-top-k) metadata join back.
@@ -409,6 +420,29 @@ object SimilarityQueries {
          |           ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM scored) t
          |WHERE rank <= 4""".stripMargin,
+
+    // Mirrors driftStats over the same deterministic index: assignment is
+    // q142's crank=1 rule, the statistic sums round(csim*1e6) as BIGINT.
+    "q146_index_drift" ->
+      s"""$VCte, cents AS (
+         |  SELECT vec_id AS centroid_id, vec AS centvec, nrm AS centnrm
+         |  FROM n WHERE vec_id % 40 = 0
+         |), assigned AS (
+         |  SELECT vec_id, vec, nrm, centroid_id FROM (
+         |    SELECT n.vec_id, n.vec, n.nrm, c.centroid_id,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.vec, c.centvec)
+         |               / (n.nrm * c.centnrm), 6) DESC, c.centroid_id ASC) AS crank
+         |    FROM n, cents c) t
+         |  WHERE crank = 1
+         |)
+         |SELECT a.centroid_id,
+         |       CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(sum(CAST(round(round(list_dot_product(a.vec, c.centvec)
+         |         / (a.nrm * c.centnrm), 6) * 1000000) AS BIGINT)) AS BIGINT)
+         |         AS sum_sim_e6
+         |FROM assigned a JOIN cents c ON a.centroid_id = c.centroid_id
+         |GROUP BY 1""".stripMargin,
 
     "q75_filtered_retrieval" ->
       s"""$VCte, en AS (
