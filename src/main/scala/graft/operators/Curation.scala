@@ -176,6 +176,57 @@ object Curation {
       .agg(count_distinct(col("gram_h")).as("n_shared"))
   }
 
+  /** SPAN-LEVEL decontamination: instead of dropping whole contaminated
+    * documents (the [[contaminatedDocs]] / q63 policy — wasteful when one
+    * boilerplate quote poisons an otherwise-good document), cut ONLY the
+    * tokens lying inside an n-gram run shared with the benchmark set, and
+    * reassemble the rest. A token is removed iff it is covered by any
+    * matching n-token window; the union of matching windows equals the
+    * union of MAXIMAL shared spans (see [[Dedup.maximalSpans]] — every
+    * maximal run of length M >= n is exactly the union of its M-n+1 seed
+    * windows), so this is maximal-span surgery without needing the island
+    * merge.
+    *
+    * Scale shape: both gram relations are row-local; the only shuffle is
+    * the (tiny) benchmark gram set's equi-join against the corpus gram
+    * stream — Catalyst broadcasts the bench side — plus one groupBy on
+    * doc id for reassembly. Documents whose every token is covered (pure
+    * benchmark copies) vanish from the output, the [[Dedup.spanDedup]]
+    * convention.
+    *
+    * Output: (idCol, clean_text, n_kept, n_removed) for every corpus doc
+    * with at least one surviving token.
+    */
+  def spanDecontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def seeds(df: DataFrame): DataFrame =
+      df.select(col(idCol), Dedup.tokens(col(textCol)).as("_toks"))
+        .filter(size(col("_toks")) >= n)
+        .select(col(idCol), posexplode(transform(
+          sequence(lit(0), size(col("_toks")) - n),
+          i => md5(array_join(slice(col("_toks"), i + 1, lit(n)), " "))))
+          .as(Seq("spos", "wh")))
+    val benchGrams = seeds(bench).select(col("wh")).distinct()
+    val covered = seeds(corpus).join(benchGrams, Seq("wh"))
+      .select(col(idCol),
+        explode(sequence(col("spos"), col("spos") + n - 1)).as("pos"))
+      .distinct()
+    val toks = corpus.select(col(idCol),
+      posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val totals = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_n_total"))
+    toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .join(totals, Seq(idCol))
+      .select(col(idCol), col("clean_text"), col("n_kept"),
+        (col("_n_total") - col("n_kept")).as("n_removed"))
+  }
+
   /** Sequence packing, the deterministic distributed form: within each
     * group (ordered by `orderCol`), bin = floor(exclusive-running-sum of
     * sizes / capacity). Every bin except possibly the last reaches at

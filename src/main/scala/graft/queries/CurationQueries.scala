@@ -50,6 +50,16 @@ object CurationQueries {
         .select(col("doc_id"), col("n_shared").cast("long").as("n_shared"))
     }),
 
+    // Span-LEVEL decontamination: q63's benchmark set again, but instead
+    // of dropping contaminated docs, only the tokens inside shared 8-gram
+    // runs are cut and the rest reassembled (n_kept/n_removed audited).
+    "q147_span_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      Curation.spanDecontaminate(docs.filter(col("doc_id") % 97 =!= 0),
+        bench, "doc_id", "text", 8)
+    }),
+
     // Sequence packing: per source, docs ordered by doc_id are packed into
     // 4096-token bins by exclusive running sum (the deterministic
     // distributed packing). Emits per-doc bin assignment.
@@ -196,6 +206,46 @@ object CurationQueries {
         |)
         |SELECT g.doc_id, count(DISTINCT g.gram_h) AS n_shared
         |FROM grams g JOIN bench b USING (gram_h)
+        |GROUP BY 1""".stripMargin,
+
+    // Mirrors spanDecontaminate: sliding md5 seed windows on both sides,
+    // covered = union of matching windows' positions, anti-join, repack.
+    "q147_span_decontaminate" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), corpus AS (
+        |  SELECT * FROM base WHERE doc_id % 97 <> 0
+        |), bench_seeds AS (
+        |  SELECT DISTINCT md5(array_to_string(toks[i+1:i+8], ' ')) AS wh
+        |  FROM base, UNNEST(range(0, greatest(len(toks) - 7, 0))) u(i)
+        |  WHERE doc_id % 97 = 0
+        |), corpus_seeds AS (
+        |  SELECT doc_id, i AS spos,
+        |         md5(array_to_string(toks[i+1:i+8], ' ')) AS wh
+        |  FROM corpus, UNNEST(range(0, greatest(len(toks) - 7, 0))) u(i)
+        |), covered AS (
+        |  SELECT DISTINCT s.doc_id, s.spos + j AS pos
+        |  FROM corpus_seeds s JOIN bench_seeds b USING (wh),
+        |       UNNEST(range(0, 8)) v(j)
+        |), tokpos AS (
+        |  SELECT doc_id, i AS pos, toks[i+1] AS tok
+        |  FROM corpus, UNNEST(range(0, len(toks))) u(i)
+        |), kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok
+        |  FROM tokpos t LEFT JOIN covered c
+        |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.doc_id IS NULL
+        |), totals AS (
+        |  SELECT doc_id, count(*) AS n_total FROM tokpos GROUP BY 1
+        |)
+        |SELECT k.doc_id,
+        |       string_agg(k.tok, ' ' ORDER BY k.pos) AS clean_text,
+        |       CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(any_value(t.n_total) - count(*) AS BIGINT) AS n_removed
+        |FROM kept k JOIN totals t ON k.doc_id = t.doc_id
         |GROUP BY 1""".stripMargin,
 
     "q64_pack_bins" ->

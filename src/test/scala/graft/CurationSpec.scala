@@ -149,6 +149,28 @@ class CurationSpec extends SparkSpec {
       s"bloom passed $surviving of $total grams - no real pruning")
   }
 
+  // Span surgery on a constructed fixture: exactly the benchmark-shared
+  // run is cut (both flanks survive), clean docs pass through with
+  // n_removed = 0, and a pure benchmark copy vanishes entirely.
+  test("spanDecontaminate: cuts exactly the shared span, keeps the flanks") {
+    val quote = (1 to 10).map(i => s"q$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"left flank words here $quote right flank words there"),
+      (2L, "completely clean document with no benchmark overlap at all"),
+      (3L, quote)) // pure benchmark copy -> vanishes
+      .toDF("doc_id", "text")
+    val bench = Seq((97L, s"benchmark context $quote more benchmark"))
+      .toDF("doc_id", "text")
+    val out = Curation.spanDecontaminate(corpus, bench, "doc_id", "text", 8)
+      .select("doc_id", "clean_text", "n_kept", "n_removed")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet == Set(1L, 2L), s"got ${out.keySet}")
+    assert(out(1L) == (("left flank words here right flank words there", 8L, 10L)),
+      s"got ${out(1L)}")
+    assert(out(2L)._1.startsWith("completely clean") && out(2L)._3 == 0L)
+  }
+
   test("contaminatedDocsBloom: empty benchmark yields empty result") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
