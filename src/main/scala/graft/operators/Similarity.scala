@@ -155,6 +155,53 @@ object Similarity {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("sim_raw"))
   }
 
+  // --------------------------------------------------- scalar quantization
+
+  /** Symmetric int8 scalar quantization of unit-normalized vectors — the
+    * index-MEMORY scale lever: a 100 TB float32 embedding corpus becomes
+    * 25 TB of int8 codes (plus one scale per vector), and the inverted
+    * lists of [[IvfIndex]] shrink 4x with it. Adds `qvec` (integral
+    * values in [-127, 127], kept as ARRAY<DOUBLE> so the codegen'd
+    * `graft_dot` primitive loop serves the quantized path unchanged) and
+    * `qscale`; `dot(qvec_a, qvec_b) * qscale_a * qscale_b` approximates
+    * the cosine of the original vectors. Everything is row-local and
+    * engine-exact: the quantized components are integers, so the dot
+    * product is exact and the score is two IEEE multiplies — bit-identical
+    * across engines and partitionings (q148's oracle is a hash match, not
+    * a tolerance check).
+    */
+  def quantized(df: DataFrame): DataFrame =
+    df.withColumn("_unit", when(col("nrm") === 0.0, col("vec"))
+        .otherwise(transform(col("vec"), x => x / col("nrm"))))
+      .withColumn("qscale",
+        array_max(transform(col("_unit"), x => abs(x))) / 127.0)
+      .withColumn("qvec", when(col("qscale") === 0.0,
+          transform(col("_unit"), x => lit(0.0)))
+        .otherwise(transform(col("_unit"), x => round(x / col("qscale")))))
+      .drop("_unit")
+
+  /** Brute-force top-k over the QUANTIZED codes: same shape as
+    * [[bruteForceTopK]] (broadcast queries, corpus streams) but each
+    * pair costs an integer dot product over int8 codes — the memory-
+    * bandwidth-bound form that scales to corpora whose float vectors
+    * don't fit the cluster. Approximate by construction; recall vs the
+    * float path is measured in SimilaritySpec.
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = quantized(queries).select(col("vec_id").as("query_id"),
+      col("qvec").as("qv_a"), col("qscale").as("qs_a"))
+    val c = quantized(corpus).select(col("vec_id").as("neighbor_id"),
+      col("qvec").as("qv_b"), col("qscale").as("qs_b"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        round(dot(col("qv_a"), col("qv_b")) * col("qs_a") * col("qs_b"), 6))
+    Relational.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("sim"))
+  }
+
   // ------------------------------------------------------- RH-LSH banding
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

@@ -188,6 +188,16 @@ object SimilarityQueries {
       Similarity.ivfTopKFromIndex(updated, c.filter(col("vec_id") < 8), 4, 2)
     }),
 
+    // int8-quantized brute-force top-k: unit-normalize, symmetric scalar
+    // quantization to [-127,127], integer dot x two scale multiplies —
+    // the 4x-smaller-index memory path. Engine-exact (integer dot, IEEE
+    // multiplies), so the oracle is a hash match; recall vs the float
+    // path is measured in SimilaritySpec.
+    "q148_quantized_topk" -> ((s, d) => {
+      val c = corpus(s, d)
+      Similarity.quantizedTopK(c.filter(col("vec_id") < 5), c, 10)
+    }),
+
     // Index-health drift statistic over a deterministic IVF index: per
     // cell, member count and the EXACT integer-scaled sum of member ->
     // centroid cosines (each rounded cosine x 1e6 as BIGINT — summation-
@@ -420,6 +430,36 @@ object SimilarityQueries {
          |           ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM scored) t
          |WHERE rank <= 4""".stripMargin,
+
+    // Mirrors the quantization recipe expression-for-expression: the
+    // quantized components are exact integers, so only the two scale
+    // multiplies are floats — same IEEE ops in both engines.
+    "q148_quantized_topk" ->
+      s"""$VCte, u AS (
+         |  SELECT vec_id,
+         |         CASE WHEN nrm = 0 THEN vec
+         |              ELSE list_transform(vec, x -> x / nrm) END AS unit
+         |  FROM n
+         |), qz AS (
+         |  SELECT vec_id, s AS qscale,
+         |         CASE WHEN s = 0 THEN list_transform(unit, x -> 0.0)
+         |              ELSE list_transform(unit, x -> round(x / s)) END AS qvec
+         |  FROM (SELECT vec_id, unit,
+         |          list_max(list_transform(unit, x -> abs(x))) / 127.0 AS s
+         |        FROM u) t
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.qvec, c.qvec) * q.qscale * c.qscale, 6)
+         |           AS sim
+         |  FROM qz q, qz c
+         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+         |)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 10""".stripMargin,
 
     // Mirrors driftStats over the same deterministic index: assignment is
     // q142's crank=1 rule, the statistic sums round(csim*1e6) as BIGINT.

@@ -149,6 +149,40 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Set((1L, 2L), (2L, 3L)), s"got $got")
   }
 
+  // int8 quantization: codes stay in [-127,127], the quantized score
+  // tracks the true cosine closely, and quantized top-10 recall vs the
+  // exact float path stays high — the 4x-memory-reduction trade, measured.
+  test("quantizedTopK: bounded codes, small score error, high recall@10") {
+    val c = corpus
+    val qz = Similarity.quantized(c)
+    val bounds = qz.select(array_max(transform(col("qvec"), abs(_))).as("m"))
+      .agg(max(col("m"))).as[Double].head()
+    assert(bounds <= 127.0, s"quantized code out of range: $bounds")
+
+    val queries = c.filter(col("vec_id") < 5)
+    def topkMap(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = topkMap(Similarity.bruteForceTopK(queries, c, 10))
+    val quant = topkMap(Similarity.quantizedTopK(queries, c, 10))
+    val recall = exact.map { case (q, t) =>
+      (t & quant.getOrElse(q, Set.empty)).size / 10.0 }.sum / exact.size
+    assert(recall >= 0.8, s"quantized recall@10 $recall < 0.8")
+
+    // score error vs the true cosine on a bounded pair sample
+    val qq = Similarity.quantized(c.filter(col("vec_id") < 40))
+    val pairs = qq.select(col("vec_id").as("ida"), col("vec").as("va"),
+        col("nrm").as("na"), col("qvec").as("qa"), col("qscale").as("sa"))
+      .crossJoin(qq.select(col("vec_id").as("idb"), col("vec").as("vb"),
+        col("nrm").as("nb"), col("qvec").as("qb"), col("qscale").as("sb")))
+      .filter(col("ida") < col("idb"))
+      .select(abs(
+        Similarity.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")) -
+        Similarity.dot(col("qa"), col("qb")) * col("sa") * col("sb")).as("err"))
+      .agg(max(col("err"))).as[Double].head()
+    assert(pairs < 0.05, s"max quantization score error $pairs >= 0.05")
+  }
+
   // Engine-portability invariant the q60 oracle relies on: the plane
   // constants must be the md5 recipe exactly (DuckDB recomputes them).
   test("rh planes are deterministic md5-derived constants in [-1, 1]") {
