@@ -23,6 +23,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     selected(SparkEntry.queries).foreach { case (name, fn) =>
+      // cold cache per query (same isolation as Bench): several queries
+      // .cache() intermediates and never unpersist, and 146 queries of
+      // accumulated cached partitions tax the late ones' GC
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -318,5 +318,15 @@ class SimilaritySpec extends SparkSpec {
       (104L, Array(-0.72f, -0.7f))))
     val after = Similarity.applyIndexDelta(index, drifted)
     assert(Similarity.driftTriggersRebuild(after, 0.8))
+
+    // the full lifecycle: the trip triggers a k-means rebuild over the
+    // CURRENT population (old ∪ drifted), and the rebuilt index is
+    // healthy again at the same bar — centroids follow the corpus
+    val population = base.unionByName(drifted)
+    val rebuilt = Similarity.buildIvfIndex(population,
+      Similarity.kmeansCentroids(population, 3, 3))
+    assert(!Similarity.driftTriggersRebuild(rebuilt, 0.8),
+      "k-means rebuild did not restore index health")
+    assert(rebuilt.assignments.count() == population.count())
   }
 }
