@@ -292,6 +292,64 @@ object TextAnalysis {
         col("tfidf"))
   }
 
+  /** BM25 retrieval scoring (Robertson's k1 = 1.2, b = 0.75) under the
+    * family's no-transcendental rule:
+    * - idf is the ratio variant as an exact scaled BIGINT:
+    *   floor(scale · (2N − 2df + 1) / (2df + 1)) — the textbook
+    *   (N − df + 0.5) / (df + 0.5) with the halves cleared by doubling —
+    *   capped at [[RarityCap]] like every idf in this family.
+    * - the tf-saturation term is an exact integer rational: with
+    *   avgdl = S/N (S = total corpus tokens), multiplying numerator and
+    *   denominator by 20·S clears k1 = 6/5 and b = 3/4 into
+    *   44·S·tf / (20·S·tf + 6S + 18·dl·N). All factors are integers and
+    *   exact as doubles below 2^53 (rescale the 20S clearing at corpora
+    *   past ~10^14 tokens); past that the ops stay IEEE-correctly-rounded
+    *   and therefore still engine-identical.
+    * - per (term, doc): score = round(idf_scaled · num / den / scale, 6) —
+    *   left-associated, mirrored exactly by the oracle. Scores stay
+    *   per-TERM rows: a cross-term float SUM would reintroduce
+    *   summation-order dependence, the one thing round(·, 6) can't always
+    *   absorb.
+    *
+    * Shuffles: the instance→tf aggregate keyed on (doc, term) — but the
+    * instance stream is pre-filtered to the query terms by a broadcast
+    * semi-join, so the exchange carries only matching occurrences — plus
+    * one doc-keyed join for dl. Corpus scalars (S, N) ride a broadcast.
+    *
+    * Output: per query term, top-k docs by (score desc, doc asc).
+    */
+  def bm25TopDocs(docs: DataFrame, idCol: String, tokCol: String,
+      queryTerms: DataFrame, k: Int, scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val inst = tokenInstances(docs, idCol, tokCol)
+    val dl = docs.filter(size(col(tokCol)) > 0)
+      .select(col(idCol), size(col(tokCol)).cast("long").as("dl"))
+    val stats = docs.agg(
+      coalesce(sum(size(col(tokCol)).cast("long")), lit(0L)).as("s_total"),
+      sum(when(size(col(tokCol)) > 0, 1L).otherwise(0L)).as("n_docs"))
+    val tf = inst.join(broadcast(queryTerms.select(col("term"))), Seq("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), least(floor(lit(scale.toDouble) *
+          (lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)) /
+          (lit(2) * col("df") + lit(1))), lit(RarityCap))
+        .cast("long").as("idf_scaled"))
+    val scored = tf.join(broadcast(idf), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("score", round(
+        col("idf_scaled") *
+          (lit(44.0) * col("s_total") * col("tf")) /
+          (lit(20.0) * col("s_total") * col("tf") + lit(6.0) * col("s_total")
+            + lit(18.0) * col("dl") * col("n_docs")) /
+          lit(scale.toDouble), 6))
+    Relational.topKPerGroup(scored, Seq(col("term")),
+        Seq(col("score").desc, col(idCol).asc), k, "rank")
+      .select(col("term"), col(idCol), col("rank").cast("long").as("rank"),
+        col("score"))
+  }
+
   /** Count-based bigram language model — the trainable artifact of the
     * corpus: P(w2 | w1) as floor(scale · c(w1,w2) / c(w1,·)), where the
     * prefix marginal c(w1,·) counts bigram instances (self-consistent:

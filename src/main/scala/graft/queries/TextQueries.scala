@@ -92,6 +92,18 @@ object TextQueries {
     "q74_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramModel(toks(s, d), "tok", 5)),
 
+    // BM25 retrieval (k1=1.2, b=0.75) in the family's no-transcendental
+    // form: ratio idf as exact scaled BIGINT, tf-saturation as an exact
+    // integer rational (x20S clears the constants), one IEEE division per
+    // (term, doc). Query = the corpus's top-3 terms, derived in-plan.
+    "q149_bm25_topk" -> ((s, d) => {
+      val docs = toks(s, d)
+      val inst = TextAnalysis.tokenInstances(docs, "doc_id", "tok")
+      val qterms = inst.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(3)
+      TextAnalysis.bm25TopDocs(docs, "doc_id", "tok", qterms, 10)
+    }),
+
     // Composed Gopher keep/reject verdict — integer-comparison flags only.
     "q76_gopher_filter" -> ((s, d) =>
       TextAnalysis.gopherFilter(toks(s, d), "doc_id", "tok")),
@@ -312,6 +324,44 @@ object TextQueries {
          |           ORDER BY tfidf DESC, term ASC) AS rank
          |  FROM scored) x
          |WHERE rank <= 3""".stripMargin,
+
+    // Mirrors bm25TopDocs expression-for-expression (same association
+    // order in the float division, same scaled-integer idf).
+    "q149_bm25_topk" ->
+      s"""$TokCte, inst AS (
+         |  SELECT doc_id, unnest(tok) AS term FROM t
+         |), qterms AS (
+         |  SELECT term FROM (
+         |    SELECT term, count(*) AS cnt FROM inst
+         |    GROUP BY 1 ORDER BY cnt DESC, term ASC LIMIT 3) z
+         |), stats AS (
+         |  SELECT CAST(sum(len(tok)) AS BIGINT) AS s_total,
+         |         CAST(count(*) FILTER (len(tok) > 0) AS BIGINT) AS n_docs
+         |  FROM t
+         |), dl AS (
+         |  SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl
+         |  FROM t WHERE len(tok) > 0
+         |), tf AS (
+         |  SELECT i.doc_id, i.term, count(*) AS tf
+         |  FROM inst i JOIN qterms q USING (term) GROUP BY 1, 2
+         |), idf AS (
+         |  SELECT d.term,
+         |         CAST(least(floor(1000000.0 * (2 * s.n_docs - 2 * d.df + 1)
+         |           / (2 * d.df + 1)), 1000000000000) AS BIGINT) AS idf_scaled
+         |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1) d, stats s
+         |), scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         round(idf.idf_scaled * (44.0 * s.s_total * tf.tf)
+         |           / (20.0 * s.s_total * tf.tf + 6.0 * s.s_total
+         |              + 18.0 * dl.dl * s.n_docs) / 1000000.0, 6) AS score
+         |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats s
+         |)
+         |SELECT term, doc_id, rank, score FROM (
+         |  SELECT term, doc_id, score,
+         |         row_number() OVER (PARTITION BY term
+         |           ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM scored) x
+         |WHERE rank <= 10""".stripMargin,
 
     "q74_bigram_lm" ->
       s"""$TokCte, pairs AS (

@@ -96,4 +96,26 @@ class TextSpec extends SparkSpec {
     assert(out("ba") == List("b", "a"))      // no merge matches
     assert(out("xaab") == List("x", "aa", "b")) // (a,a) fuses; "aab" != ab
   }
+
+  // BM25 behavioral pins on a hand-built corpus: term frequency raises
+  // the score, document length lowers it, and a rarer term out-scores a
+  // common one in the same document (idf ordering).
+  test("bm25TopDocs: tf monotone, length-normalized, idf-ordered") {
+    val docs = Seq(
+      (1L, "a a b c"),            // tf(a)=2, dl=4
+      (2L, "a b c d"),            // tf(a)=1, dl=4
+      (3L, "a x y z w v u t s r q p"), // tf(a)=1, dl=12
+      (4L, "b c d e"))            // no 'a'; makes df(a)=3 of 4
+      .toDF("doc_id", "text")
+      .withColumn("tok", Dedup.tokens(col("text")))
+    val qterms = Seq("a", "x").toDF("term") // x is a hapax: rarer than a
+    val out = TextAnalysis.bm25TopDocs(docs, "doc_id", "tok", qterms, 10)
+      .select("term", "doc_id", "score").as[(String, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("a", 1L)) > out(("a", 2L)), "higher tf must score higher")
+    assert(out(("a", 2L)) > out(("a", 3L)), "longer doc must score lower")
+    assert(out(("x", 3L)) > out(("a", 3L)),
+      "rarer term must out-score common term in the same doc")
+    assert(!out.contains(("a", 4L)), "doc without the term must not appear")
+  }
 }
