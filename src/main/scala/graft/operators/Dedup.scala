@@ -141,6 +141,20 @@ object Dedup {
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
+  /** Asymmetric CONTAINMENT of two shingle/token sets: |A ∩ B| / |A| —
+    * near 1 when A is (almost) a subset of B, regardless of how much
+    * larger B is. This is the statistic Jaccard structurally cannot see:
+    * a short document wholly quoted inside a long one has tiny Jaccard
+    * (the union is dominated by the long doc) but containment ≈ 1 — the
+    * partial-plagiarism / quote-detection case in corpus curation.
+    * Exact integer division, deterministic; empty A scores 0.
+    */
+  def containment(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val inter = size(array_intersect(da, array_distinct(b)))
+    when(size(da) === 0, lit(0.0)).otherwise(inter / size(da))
+  }
+
   /** 60-bit SimHash over the distinct-token set. Token hashes come from the
     * top 15 hex chars of md5 (60 bits, sign-safe in a long); bit j of the
     * sketch is set iff more token hashes have bit j set than clear. All

@@ -97,6 +97,25 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"), col("jac"))
     }),
 
+    // Asymmetric containment over the LSH candidate pairs: |A∩B|/|A| and
+    // |A∩B|/|B| — catches a short doc quoted inside a long one, which
+    // Jaccard structurally under-scores (union dominated by the long
+    // side). Flagged when EITHER direction >= 0.5; rounded for the
+    // cross-engine hash.
+    "q150_containment" -> ((s, d) => {
+      val m = minhashed(s, d)
+        .withColumn("bands", Dedup.lshBands(col("sig"), 4, 2)).cache()
+      val cand = Dedup.candidatePairs(m, "doc_id", "bands")
+      val sh = shingled(s, d).cache()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+        .withColumn("cont_ab", round(Dedup.containment(col("sh_a"), col("sh_b")), 6))
+        .withColumn("cont_ba", round(Dedup.containment(col("sh_b"), col("sh_a")), 6))
+        .filter(col("cont_ab") >= 0.5 || col("cont_ba") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("cont_ab"), col("cont_ba"))
+    }),
+
     // Incremental dedup: docs ending in 7 are "today's batch", the rest
     // the already-deduped historical corpus. Candidates form only where a
     // NEW doc participates (new×new, new×old — never old×old), then exact
@@ -259,6 +278,29 @@ object DedupQueries {
          |WHERE len(list_distinct(list_intersect(x.shingles, y.shingles))) /
          |      (len(list_distinct(x.shingles)) + len(list_distinct(y.shingles))
          |       - len(list_distinct(list_intersect(x.shingles, y.shingles)))) >= 0.5""".stripMargin,
+
+    // Same candidate generation as q24; containment both ways, rounded.
+    "q150_containment" ->
+      s"""$MhCte, bands AS (
+         |  SELECT doc_id, i AS band, md5(sig[2*i+1] || sig[2*i+2]) AS bh
+         |  FROM mh, UNNEST(range(0, 4)) u(i)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |), scored AS (
+         |  SELECT doc_a, doc_b,
+         |         round(CASE WHEN len(list_distinct(x.shingles)) = 0 THEN 0.0
+         |           ELSE len(list_distinct(list_intersect(x.shingles, y.shingles)))
+         |                / len(list_distinct(x.shingles)) END, 6) AS cont_ab,
+         |         round(CASE WHEN len(list_distinct(y.shingles)) = 0 THEN 0.0
+         |           ELSE len(list_distinct(list_intersect(y.shingles, x.shingles)))
+         |                / len(list_distinct(y.shingles)) END, 6) AS cont_ba
+         |  FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+         |            JOIN sh y ON cand.doc_b = y.doc_id
+         |)
+         |SELECT doc_a, doc_b, cont_ab, cont_ba FROM scored
+         |WHERE cont_ab >= 0.5 OR cont_ba >= 0.5""".stripMargin,
 
     "q135_incremental_dedup" ->
       s"""$MhCte, bands AS (

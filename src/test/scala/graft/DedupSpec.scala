@@ -81,6 +81,23 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet == Set((3L, 4L)))
   }
 
+  // The quote case Jaccard under-scores: a short token set wholly inside
+  // a much larger one has containment 1.0 forward, small backward, and a
+  // Jaccard equal to the size ratio.
+  test("containment: asymmetric, sees full quoting; empty set scores 0") {
+    import spark.implicits._
+    val rows = Seq(
+      (Seq("a", "b"), Seq("a", "b", "c", "d", "e", "f", "g", "h")),
+      (Seq.empty[String], Seq("a")))
+      .toDF("sa", "sb")
+      .select(Dedup.containment(col("sa"), col("sb")).as("ab"),
+        Dedup.containment(col("sb"), col("sa")).as("ba"),
+        Dedup.jaccard(col("sa"), col("sb")).as("jac"))
+      .as[(Double, Double, Double)].collect()
+    assert(rows(0) == ((1.0, 0.25, 0.25)), s"got ${rows(0)}")
+    assert(rows(1) == ((0.0, 0.0, 0.0)), s"got ${rows(1)}")
+  }
+
   private def spanRows(df: org.apache.spark.sql.DataFrame) =
     df.select("doc_a", "doc_b", "start_a", "start_b", "span_len")
       .collect()
