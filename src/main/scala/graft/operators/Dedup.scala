@@ -185,6 +185,67 @@ object Dedup {
   /** Hamming distance between two simhash sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** EXACT Jaccard-threshold similarity self-join via PREFIX FILTERING —
+    * the AllPairs/PPJoin family (Bayardo et al., WWW 2007): the third
+    * pillar of the near-dup stack next to LSH (approximate, q24) and the
+    * brute-force scan (exact but quadratic, q25). Unlike LSH it misses
+    * NOTHING — output equals the all-pairs scan by construction — and
+    * unlike the scan it never forms the n² pairs.
+    *
+    * How: order every set by GLOBAL token frequency (rare first; ties on
+    * the token itself make the order total and engine-portable). If
+    * J(x,y) >= t then |x ∩ y| >= ceil(t·|x|), and since any |x|-a+1
+    * leading elements of x must contain one of ANY a common elements, the
+    * first |x| - ceil(t·|x|) + 1 tokens of BOTH sets share at least one
+    * token. So: equi-join on prefix tokens only, prune by the size bound
+    * t·|x| <= |y| <= |x|/t, then verify exact Jaccard. The prefix is the
+    * RAREST slice of each set, so join buckets stay small exactly where
+    * the data is hot — the frequency ordering is what makes this scale.
+    *
+    * Shuffle ledger at 100 TB: one aggregate for the frequency table, one
+    * join+aggregate to reorder sets, one equi-join on prefix tokens
+    * (bucketed by rare tokens), one verification join — all keyed, no
+    * cartesian anywhere. The epsilon in the ceil/size bounds only ever
+    * LENGTHENS prefixes / LOOSENS pruning under float rounding, so
+    * losslessness never depends on floating-point luck.
+    */
+  def prefixFilteredPairs(docs: DataFrame, idCol: String, setCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sets = docs
+      .select(col(idCol).as("_pfid"), array_distinct(col(setCol)).as("_pfset"))
+      .filter(size(col("_pfset")) > 0)
+    val tok = sets.select(col("_pfid"), explode(col("_pfset")).as("tok"))
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ordered = tok.join(dfreq, Seq("tok"))
+      .groupBy(col("_pfid"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .select(col("_pfid"),
+        transform(col("ord"), x => x.getField("tok")).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .withColumn("plen", (col("sz")
+        - ceil(col("sz") * lit(threshold) - lit(1e-9)) + 1).cast("int"))
+    val pre = ordered.select(col("_pfid"), col("sz"),
+      explode(slice(col("toks"), lit(1), col("plen"))).as("tok"))
+    val cand = pre
+      .select(col("_pfid").as("doc_a"), col("sz").as("sz_a"), col("tok"))
+      .join(pre.select(col("_pfid").as("doc_b"), col("sz").as("sz_b"),
+        col("tok")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b")
+        && col("sz_b") >= col("sz_a") * lit(threshold) - lit(1e-9)
+        && col("sz_a") >= col("sz_b") * lit(threshold) - lit(1e-9))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(sets.select(col("_pfid").as("doc_a"), col("_pfset").as("sh_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("_pfid").as("doc_b"), col("_pfset").as("sh_b")),
+        Seq("doc_b"))
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
   /** Connected components over an undirected pair graph (src,dst) — the
     * dedup end-step that turns near-dup PAIRS into duplicate CLUSTERS with
     * a deterministic canonical (the minimum id reachable). Iterative

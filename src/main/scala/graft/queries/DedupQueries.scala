@@ -152,6 +152,17 @@ object DedupQueries {
           Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac"))
     }),
 
+    // EXACT similarity self-join WITHOUT the n² scan: prefix filtering
+    // (AllPairs/PPJoin family). Sets ordered by global shingle frequency;
+    // only the first |x| - ceil(0.5|x|) + 1 (rarest) shingles of each doc
+    // are indexed; candidates come from the prefix equi-join + size bound;
+    // exact Jaccard verifies. The oracle is the BRUTE-FORCE all-pairs scan
+    // over the whole corpus — the hash match PROVES the filter lossless
+    // (same pairs, same scores), which is the property that lets the exact
+    // path replace q25's quadratic scan at scale.
+    "q151_prefix_join" -> ((s, d) =>
+      Dedup.prefixFilteredPairs(shingled(s, d), "doc_id", "shingles", 0.5)),
+
     // Near-dup CLUSTERS: connected components over the verified LSH pair
     // graph; canonical = min doc_id in the cluster.
     "q52_dedup_clusters" -> ((s, d) => {
@@ -336,6 +347,19 @@ object DedupQueries {
          |WHERE a.doc_id % 25 = 0 AND a.doc_id < 5000
          |  AND b.doc_id % 25 = 0 AND b.doc_id < 5000
          |  AND a.doc_id < b.doc_id""".stripMargin,
+
+    // Deliberately NOT the algorithm: the all-pairs quadratic scan. A hash
+    // match against it proves the prefix filter drops no pair.
+    "q151_prefix_join" ->
+      s"""$ShCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       len(list_distinct(list_intersect(a.shingles, b.shingles))) /
+         |       (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+         |        - len(list_distinct(list_intersect(a.shingles, b.shingles)))) AS jac
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_distinct(list_intersect(a.shingles, b.shingles))) /
+         |      (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+         |       - len(list_distinct(list_intersect(a.shingles, b.shingles)))) >= 0.5""".stripMargin,
 
     "q52_dedup_clusters" ->
       s"""${MhCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS (

@@ -12,6 +12,39 @@ class DedupSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("prefixFilteredPairs is lossless: equals the brute-force all-pairs " +
+      "scan on the real corpus") {
+    val sh = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col("doc_id"), Dedup.shingles(col("tok"), 3).as("shingles"))
+    val fast = Dedup.prefixFilteredPairs(sh, "doc_id", "shingles", 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(brute.nonEmpty, "fixture must exercise the join")
+    assert(fast == brute)
+  }
+
+  test("prefixFilteredPairs keeps boundary pairs the size filter could " +
+      "wrongly prune") {
+    import spark.implicits._
+    // |x|=2, |y|=4, x ⊂ y: J = 2/4 = 0.5 exactly — sits ON the threshold
+    // AND on the size bound |y| = |x|/t. Must survive.
+    val in = Seq(
+      (1L, Seq("a", "b")),
+      (2L, Seq("a", "b", "c", "d")),
+      (3L, Seq("z", "q"))).toDF("doc_id", "s")
+    val out = Dedup.prefixFilteredPairs(in, "doc_id", "s", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set((1L, 2L, 0.5)))
+  }
+
   test("spanDedup: all-unique corpus passes through unchanged") {
     val in = docs(
       1L -> "a b c d e f g h i j k l",
