@@ -202,6 +202,124 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("sim"))
   }
 
+  // ------------------------------------------------- product quantization
+
+  /** Unit-normalize and snap each component onto the 1e-6 lattice as a
+    * BIGINT ("micro-units"). Everything downstream of this column is pure
+    * integer arithmetic — squared distances, codeword argmins, ADC sums —
+    * so PQ results are summation-order-proof and engine-exact (the q146
+    * integer-statistics recipe applied to a whole index family). On unit
+    * vectors, squared L2 is monotone in cosine (||x-y||² = 2 - 2cosθ), so
+    * ascending ADC distance IS descending approximate cosine.
+    */
+  def microUnit(df: DataFrame): DataFrame =
+    df.withColumn("_u", when(col("nrm") === 0.0, col("vec"))
+        .otherwise(transform(col("vec"), x => x / col("nrm"))))
+      .withColumn("uq", transform(col("_u"),
+        x => round(x * lit(1e6)).cast("long")))
+      .drop("_u")
+
+  /** Deterministic PQ codebook: the `k` corpus vectors ranked first by
+    * md5(vec_id) (id tie-break) are the codewords — k-means++-style seeding
+    * WITHOUT Lloyd refinement, chosen so the codebook is a pure, oracle-
+    * reproducible function of the corpus (the iterative-float-refinement
+    * variant exists as `kmeansCentroids`/q48 and would drop in here, at the
+    * price of rows-only verification). Collects k rows — O(1) control data,
+    * like every centroid table in this file. Returns cb(m)(c)(j): subspace
+    * m, codeword c, in-subspace dim j.
+    */
+  def pqCodebook(corpusUq: DataFrame, subspaces: Int, k: Int,
+      dims: Int): Array[Array[Array[Long]]] = {
+    val pivots = corpusUq
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select(col("uq")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(pivots.length == k,
+      s"corpus has ${pivots.length} vectors, need >= $k for the codebook")
+    val sub = dims / subspaces
+    Array.tabulate(subspaces, k, sub)((m, c, j) => pivots(c)(m * sub + j))
+  }
+
+  /** Integer squared L2 between a subvector of `uq` and codeword `cw`. */
+  private def pqSubDist(uq: Column, m: Int, sub: Int,
+      cw: Array[Long]): Column =
+    (0 until sub).map { j =>
+      val d = element_at(uq, m * sub + j + 1) - lit(cw(j))
+      d * d
+    }.reduce(_ + _)
+
+  /** Product-quantized ANN top-k (Jégou et al., PAMI 2011) — the 100 TB
+    * memory ladder's last rung: int8 scalar quantization (q148) shrinks
+    * vectors 4x, PQ shrinks them to `subspaces` CODE BYTES per vector
+    * (64x here: 64 floats → 8 codes), the compression that makes a
+    * trillion-vector index fit a cluster at all.
+    *
+    * Encode: corpus vectors are cut into `subspaces` subvectors; each maps
+    * to its nearest codeword id (integer argmin, first-min tie-break —
+    * row-local, zero shuffle). Search: each query precomputes its distance
+    * TABLE (distance to every codeword of every subspace — `subspaces`×k
+    * integers); scoring a corpus vector is then `subspaces` table lookups
+    * summed (Asymmetric Distance Computation), never a float op. The
+    * broadcast side carries the tables; the corpus side streams only its
+    * codes. Approximate by construction; recall vs the exact float path is
+    * measured in SimilaritySpec.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, subspaces: Int,
+      codewords: Int, dims: Int, k: Int): DataFrame = {
+    require(dims % subspaces == 0,
+      s"dims ($dims) must split evenly into $subspaces subspaces")
+    val sub = dims / subspaces
+    val corpusUq = microUnit(corpus)
+    val cb = pqCodebook(corpusUq, subspaces, codewords, dims)
+    val enc = corpusUq.withColumn("codes", array((0 until subspaces).map { m =>
+      val dists = array(cb(m).map(cw => pqSubDist(col("uq"), m, sub, cw)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*))
+    val qtab = microUnit(queries).withColumn("qtab",
+      array((for { m <- 0 until subspaces; cw <- cb(m) }
+        yield pqSubDist(col("uq"), m, sub, cw)): _*))
+    val scored = broadcast(qtab.select(col("vec_id").as("query_id"),
+        col("qtab")))
+      .crossJoin(enc.select(col("vec_id").as("neighbor_id"), col("codes")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", (0 until subspaces).map { m =>
+        element_at(col("qtab"), (lit(m * codewords)
+          + element_at(col("codes"), m + 1) + lit(1)).cast("int"))
+      }.reduce(_ + _))
+      .select(col("query_id"), col("neighbor_id"), col("adc"))
+    Relational.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("adc").asc, col("neighbor_id").asc), k, "rank")
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("adc"))
+  }
+
+  /** PQ search the way a production index actually serves it: ADC scans
+    * the compressed codes for a `shortlist` of candidates (cheap, integer,
+    * over 8-byte codes), then ONLY the shortlist's full float vectors are
+    * fetched and exactly re-ranked — the two-tier memory design that lets
+    * the hot scan touch 64x-compressed data while the exact distances come
+    * from cold storage for `shortlist` rows per query, not the corpus.
+    * Recall is the probability the true neighbors survive the ADC cut,
+    * measured in SimilaritySpec; the re-rank itself is exact.
+    */
+  def pqRerankTopK(queries: DataFrame, corpus: DataFrame, subspaces: Int,
+      codewords: Int, dims: Int, shortlist: Int, k: Int): DataFrame = {
+    val cand = pqTopK(queries, corpus, subspaces, codewords, dims, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = cand
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("vec").as("qvec"), col("nrm").as("qnrm")), Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("vec").as("cvec"), col("nrm").as("cnrm")), Seq("neighbor_id"))
+      .withColumn("sim", round(
+        cosineWithNorms(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")), 6))
+    Relational.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("sim"))
+  }
+
   // ------------------------------------------------------- RH-LSH banding
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

@@ -198,6 +198,18 @@ object SimilarityQueries {
       Similarity.quantizedTopK(c.filter(col("vec_id") < 5), c, 10)
     }),
 
+    // Product-quantized ANN, full production shape: 64-dim unit vectors
+    // on the 1e-6 integer lattice, 16 subspaces x 32 md5-pivot codewords
+    // (64 floats -> 16 code bytes), integer ADC scan for a shortlist of
+    // 100, then exact float re-rank of the shortlist only — the two-tier
+    // scan past q148's int8 rung. Encode/ADC are all-integer so the
+    // oracle mirrors them exactly; recall (0.88 here) is the probability
+    // the true top-10 survives the ADC cut, measured in SimilaritySpec.
+    "q152_pq_topk" -> ((s, d) => {
+      val c = corpus(s, d)
+      Similarity.pqRerankTopK(c.filter(col("vec_id") < 5), c, 16, 32, 64, 100, 10)
+    }),
+
     // Index-health drift statistic over a deterministic IVF index: per
     // cell, member count and the EXACT integer-scaled sum of member ->
     // centroid cosines (each rounded cosine x 1e6 as BIGINT — summation-
@@ -459,6 +471,64 @@ object SimilarityQueries {
          |         row_number() OVER (PARTITION BY query_id
          |           ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM scored) t
+         |WHERE rank <= 10""".stripMargin,
+
+    // Mirrors PQ encode + ADC + re-rank exactly: micro-unit lattice,
+    // md5-ranked pivot codebook, integer argmin encode (first-min tie),
+    // per-query distance table, lookup-sum shortlist, exact cosine
+    // re-rank of the shortlist. Everything between lattice snap and
+    // re-rank is integer, so this is a hash match, not a tolerance check.
+    "q152_pq_topk" ->
+      s"""$VCte, u AS (
+         |  SELECT vec_id,
+         |         CASE WHEN nrm = 0 THEN vec
+         |              ELSE list_transform(vec, x -> x / nrm) END AS unit
+         |  FROM n
+         |), uq AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(unit, x -> CAST(round(x * 1000000) AS BIGINT)) AS uq
+         |  FROM u
+         |), piv AS (
+         |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+         |         uq
+         |  FROM uq ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32
+         |), dist AS MATERIALIZED (
+         |  SELECT x.vec_id, m.m, p.c,
+         |         CAST(list_sum([(x.uq[m.m*4+j+1] - p.uq[m.m*4+j+1])
+         |                        * (x.uq[m.m*4+j+1] - p.uq[m.m*4+j+1])
+         |                        FOR j IN range(0, 4)]) AS BIGINT) AS dist
+         |  FROM uq x, range(0, 16) m(m), piv p
+         |), enc AS (
+         |  SELECT vec_id, m, c AS code FROM (
+         |    SELECT vec_id, m, c,
+         |           row_number() OVER (PARTITION BY vec_id, m
+         |             ORDER BY dist ASC, c ASC) AS rn
+         |    FROM dist) z
+         |  WHERE rn = 1
+         |), adc AS (
+         |  SELECT qd.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |         CAST(sum(qd.dist) AS BIGINT) AS adc
+         |  FROM enc e JOIN dist qd ON qd.m = e.m AND qd.c = e.code
+         |  WHERE qd.vec_id < 5 AND e.vec_id <> qd.vec_id
+         |  GROUP BY 1, 2
+         |), shortlist AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY adc ASC, neighbor_id ASC) AS srank
+         |    FROM adc) z
+         |  WHERE srank <= 100
+         |), rr AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |         round(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm), 6) AS sim
+         |  FROM shortlist s JOIN n q ON s.query_id = q.vec_id
+         |                   JOIN n c ON s.neighbor_id = c.vec_id
+         |)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM rr) z
          |WHERE rank <= 10""".stripMargin,
 
     // Mirrors driftStats over the same deterministic index: assignment is
