@@ -24,6 +24,29 @@ object Relational {
       .filter(col(rankCol) <= k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two ranked
+    * retrieval lists — the standard hybrid-search combiner (lexical BM25 +
+    * embedding cosine) because it needs NO score calibration between the
+    * systems: each list contributes 1/(kConst + rank), items missing from
+    * a list contribute 0, and kConst (=60 in the literature) damps the
+    * head. One full-outer join on (query, id) + one window — both keyed on
+    * the query id, so fusion cost is |lists|, independent of corpus size.
+    * The fused score is a fixed two-term IEEE sum of exact rationals —
+    * deterministic, engine-portable.
+    */
+  def rrfFuse(listA: DataFrame, listB: DataFrame, queryCol: String,
+      idCol: String, rankACol: String, rankBCol: String, kConst: Int,
+      k: Int): DataFrame = {
+    val fused = listA.join(listB, Seq(queryCol, idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(kConst) + col(rankACol)), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(kConst) + col(rankBCol)), lit(0.0)), 6))
+    topKPerGroup(fused, Seq(col(queryCol)),
+        Seq(col("rrf").desc, col(idCol).asc), k, "rank")
+      .select(col(queryCol), col(idCol),
+        col("rank").cast("long").as("rank"), col("rrf"))
+  }
+
   /** Skew-resistant equi-join: salt the probe (left) side into `buckets`
     * sub-keys via a hash of its full row, and replicate the build (right)
     * side across every bucket value, so one hot key's rows spread over

@@ -350,6 +350,46 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** Multi-query BM25 scoring for retrieval FUSION: `queryTerms` maps each
+    * query_id to its terms; the result is one summed score per (query,
+    * doc) instead of q149's per-term ranking. Same idf / tf-saturation
+    * arithmetic as [[bm25TopDocs]], with one determinism upgrade: the
+    * per-(term, doc) score is snapped to integer micro-units BEFORE the
+    * per-query sum (round(idf·num/den) as BIGINT), so the multi-term sum
+    * is integer and summation-order-proof — a float sum over 3+ terms
+    * would hash-drift between engines. Term statistics (df, idf) are
+    * computed once per DISTINCT term across all queries, not per query.
+    */
+  def bm25QueryScores(docs: DataFrame, idCol: String, tokCol: String,
+      queryTerms: DataFrame, scale: Long = 1000000L): DataFrame = {
+    val inst = tokenInstances(docs, idCol, tokCol)
+    val dl = docs.filter(size(col(tokCol)) > 0)
+      .select(col(idCol), size(col(tokCol)).cast("long").as("dl"))
+    val stats = docs.agg(
+      coalesce(sum(size(col(tokCol)).cast("long")), lit(0L)).as("s_total"),
+      sum(when(size(col(tokCol)) > 0, 1L).otherwise(0L)).as("n_docs"))
+    val terms = queryTerms.select(col("term")).distinct()
+    val tf = inst.join(broadcast(terms), Seq("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), least(floor(lit(scale.toDouble) *
+          (lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)) /
+          (lit(2) * col("df") + lit(1))), lit(RarityCap))
+        .cast("long").as("idf_scaled"))
+    val scored = tf.join(broadcast(idf), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("score_e6", round(
+        col("idf_scaled") *
+          (lit(44.0) * col("s_total") * col("tf")) /
+          (lit(20.0) * col("s_total") * col("tf") + lit(6.0) * col("s_total")
+            + lit(18.0) * col("dl") * col("n_docs"))).cast("long"))
+    scored.join(broadcast(queryTerms), Seq("term"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("score_e6")).as("lex_e6"))
+  }
+
   /** Count-based bigram language model — the trainable artifact of the
     * corpus: P(w2 | w1) as floor(scale · c(w1,w2) / c(w1,·)), where the
     * prefix marginal c(w1,·) counts bigram instances (self-consistent:

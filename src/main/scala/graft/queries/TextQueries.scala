@@ -173,9 +173,128 @@ object TextQueries {
         .agg(countDistinct(col("doc_id")).as("doc_freq"),
           count(lit(1)).as("n_postings"),
           array_join(sort_array(collect_list(
-            concat(col("doc_id"), lit(":"), col("pos")))), ",").as("postings"))))
+            concat(col("doc_id"), lit(":"), col("pos")))), ",").as("postings"))),
+
+    // HYBRID retrieval with reciprocal-rank fusion: for each query
+    // document (ids < 3), (a) a lexical ranking — BM25 over the query's
+    // own top-3 TF-IDF terms, per-term scores in integer micro-units
+    // summed per doc — and (b) a semantic ranking — exact cosine top-20
+    // over the embeddings (vec_id == doc_id) — fused by RRF
+    // (1/(60+rank), missing list contributes 0). The standard hybrid
+    // search stack: no score calibration between the two systems, each
+    // leg independently scale-safe (q149's BM25, q28's broadcast top-k),
+    // fusion keyed on (query, doc).
+    "q153_rrf_hybrid" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = toks(s, d)
+      val qterms = TextAnalysis.tfidfTopTerms(docs, "doc_id", "tok", 3)
+        .filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("term"))
+      val lex = graft.operators.Relational.topKPerGroup(
+        TextAnalysis.bm25QueryScores(docs, "doc_id", "tok", qterms)
+          .filter(col("doc_id") =!= col("query_id")),
+        Seq(col("query_id")), Seq(col("lex_e6").desc, col("doc_id").asc),
+        20, "rank_lex")
+        .select(col("query_id"), col("doc_id"), col("rank_lex"))
+      val c = graft.operators.Similarity.prepared(
+        Tables.embeddings(s, d), "embedding")
+        .select(col("vec_id"), col("vec"), col("nrm"))
+      val sem = graft.operators.Similarity
+        .bruteForceTopK(c.filter(col("vec_id") < 3), c, 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("rank_sem"))
+      graft.operators.Relational.rrfFuse(lex, sem, "query_id", "doc_id",
+        "rank_lex", "rank_sem", 60, 10)
+    }))
 
   val oracles: Map[String, String] = Map(
+    // Mirrors each fusion leg expression-for-expression (q73's tfidf for
+    // the query terms, q149's BM25 arithmetic with the micro-unit snap
+    // before the per-query sum, q28's cosine ranking), then the RRF
+    // full-outer join. Exclusion of the query doc happens before ranking
+    // in both engines.
+    "q153_rrf_hybrid" ->
+      s"""$TokCte, inst AS (
+         |  SELECT doc_id, unnest(tok) AS term FROM t
+         |), tfall AS MATERIALIZED (
+         |  SELECT doc_id, term, count(*) AS tf FROM inst GROUP BY 1, 2
+         |), nd AS (
+         |  SELECT count(DISTINCT doc_id) AS n_docs FROM inst
+         |), idf73 AS (
+         |  SELECT term, CAST(least(floor(1000000.0 * n_docs / df),
+         |         1000000000000) AS BIGINT) AS idf_scaled
+         |  FROM (SELECT term, count(*) AS df FROM tfall GROUP BY 1), nd
+         |), qterms AS MATERIALIZED (
+         |  SELECT query_id, term FROM (
+         |    SELECT tfall.doc_id AS query_id, tfall.term,
+         |           row_number() OVER (PARTITION BY tfall.doc_id
+         |             ORDER BY CAST(tfall.tf * idf73.idf_scaled AS BIGINT) DESC,
+         |                      tfall.term ASC) AS rank
+         |    FROM tfall JOIN idf73 USING (term)) x
+         |  WHERE rank <= 3 AND query_id < 3
+         |), stats AS (
+         |  SELECT CAST(sum(len(tok)) AS BIGINT) AS s_total,
+         |         CAST(count(*) FILTER (len(tok) > 0) AS BIGINT) AS n_docs
+         |  FROM t
+         |), dl AS (
+         |  SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl
+         |  FROM t WHERE len(tok) > 0
+         |), tf AS MATERIALIZED (
+         |  SELECT i.doc_id, i.term, count(*) AS tf
+         |  FROM inst i JOIN (SELECT DISTINCT term FROM qterms) q USING (term)
+         |  GROUP BY 1, 2
+         |), idf AS (
+         |  SELECT d.term,
+         |         CAST(least(floor(1000000.0 * (2 * s.n_docs - 2 * d.df + 1)
+         |           / (2 * d.df + 1)), 1000000000000) AS BIGINT) AS idf_scaled
+         |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1) d, stats s
+         |), scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         CAST(round(idf.idf_scaled * (44.0 * s.s_total * tf.tf)
+         |           / (20.0 * s.s_total * tf.tf + 6.0 * s.s_total
+         |              + 18.0 * dl.dl * s.n_docs)) AS BIGINT) AS score_e6
+         |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats s
+         |), lexscore AS (
+         |  SELECT q.query_id, s.doc_id, CAST(sum(s.score_e6) AS BIGINT) AS lex_e6
+         |  FROM scored s JOIN qterms q USING (term)
+         |  WHERE s.doc_id <> q.query_id
+         |  GROUP BY 1, 2
+         |), lex AS (
+         |  SELECT query_id, doc_id, rank_lex FROM (
+         |    SELECT query_id, doc_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY lex_e6 DESC, doc_id ASC) AS rank_lex
+         |    FROM lexscore) x
+         |  WHERE rank_lex <= 20
+         |), v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |  FROM embeddings
+         |), nn AS (
+         |  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v
+         |), sem AS (
+         |  SELECT query_id, doc_id, rank_sem FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY round(list_dot_product(q.vec, c.vec)
+         |               / (q.nrm * c.nrm), 6) DESC, c.vec_id ASC) AS rank_sem
+         |    FROM nn q, nn c
+         |    WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id) x
+         |  WHERE rank_sem <= 20
+         |), fused AS (
+         |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         |         coalesce(l.doc_id, s.doc_id) AS doc_id,
+         |         round(coalesce(1.0 / (60 + l.rank_lex), 0.0)
+         |             + coalesce(1.0 / (60 + s.rank_sem), 0.0), 6) AS rrf
+         |  FROM lex l FULL OUTER JOIN sem s
+         |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+         |)
+         |SELECT query_id, doc_id, rank, rrf FROM (
+         |  SELECT query_id, doc_id, rrf,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY rrf DESC, doc_id ASC) AS rank
+         |  FROM fused) x
+         |WHERE rank <= 10""".stripMargin,
+
     "q132_inverted_index" ->
       s"""$TokCte, p AS (
          |  SELECT doc_id, unnest(tok) AS token,

@@ -10,6 +10,23 @@ class AnalyticsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("rrfFuse: both-list docs beat single-list docs at equal ranks; " +
+      "missing side contributes zero") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // query 1: doc 10 is rank 1 in BOTH lists; doc 20 only lexical rank 2;
+    // doc 30 only semantic rank 2
+    val lex = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("q", "id", "ra")
+    val sem = Seq((1L, 10L, 1L), (1L, 30L, 2L)).toDF("q", "id", "rb")
+    val out = Relational.rrfFuse(lex, sem, "q", "id", "ra", "rb", 60, 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(10L, 20L, 30L))
+    // doc 10: 2/61; docs 20/30: exactly 1/62 each (tie broken by id)
+    assert(math.abs(out(0)._3 - math.rint(2.0 / 61 * 1e6) / 1e6) < 1e-12)
+    assert(out(1)._3 == out(2)._3)
+  }
+
   test("q44 sketches: HLL within 5% of exact, approx median within data range") {
     val row = AnalyticsQueries.queries("q44_sketches")(spark, dir).head()
     val approx = row.getLong(0).toDouble
