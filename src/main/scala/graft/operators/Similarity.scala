@@ -265,6 +265,34 @@ object Similarity {
     * codes. Approximate by construction; recall vs the exact float path is
     * measured in SimilaritySpec.
     */
+  /** Attach the `codes` column (one codeword id per subspace): integer
+    * argmin over the codebook, first-min tie-break — row-local encode.
+    */
+  def pqEncode(corpusUq: DataFrame,
+      cb: Array[Array[Array[Long]]], sub: Int): DataFrame =
+    corpusUq.withColumn("codes", array(cb.indices.map { m =>
+      val dists = array(cb(m).map(cw => pqSubDist(col("uq"), m, sub, cw)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*))
+
+  /** Attach the per-query ADC distance TABLE `qtab`: distance to every
+    * codeword of every subspace, flattened subspace-major — row-local.
+    */
+  def pqQueryTable(queriesUq: DataFrame,
+      cb: Array[Array[Array[Long]]], sub: Int): DataFrame =
+    queriesUq.withColumn("qtab",
+      array((for { m <- cb.indices; cw <- cb(m) }
+        yield pqSubDist(col("uq"), m, sub, cw)): _*))
+
+  /** ADC score of a `codes` row against a `qtab` row: one table lookup
+    * per subspace, summed — all integer.
+    */
+  private def adcExpr(subspaces: Int, codewords: Int): Column =
+    (0 until subspaces).map { m =>
+      element_at(col("qtab"), (lit(m * codewords)
+        + element_at(col("codes"), m + 1) + lit(1)).cast("int"))
+    }.reduce(_ + _)
+
   def pqTopK(queries: DataFrame, corpus: DataFrame, subspaces: Int,
       codewords: Int, dims: Int, k: Int): DataFrame = {
     require(dims % subspaces == 0,
@@ -272,26 +300,67 @@ object Similarity {
     val sub = dims / subspaces
     val corpusUq = microUnit(corpus)
     val cb = pqCodebook(corpusUq, subspaces, codewords, dims)
-    val enc = corpusUq.withColumn("codes", array((0 until subspaces).map { m =>
-      val dists = array(cb(m).map(cw => pqSubDist(col("uq"), m, sub, cw)): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }: _*))
-    val qtab = microUnit(queries).withColumn("qtab",
-      array((for { m <- 0 until subspaces; cw <- cb(m) }
-        yield pqSubDist(col("uq"), m, sub, cw)): _*))
+    val enc = pqEncode(corpusUq, cb, sub)
+    val qtab = pqQueryTable(microUnit(queries), cb, sub)
     val scored = broadcast(qtab.select(col("vec_id").as("query_id"),
         col("qtab")))
       .crossJoin(enc.select(col("vec_id").as("neighbor_id"), col("codes")))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("adc", (0 until subspaces).map { m =>
-        element_at(col("qtab"), (lit(m * codewords)
-          + element_at(col("codes"), m + 1) + lit(1)).cast("int"))
-      }.reduce(_ + _))
+      .withColumn("adc", adcExpr(subspaces, codewords))
       .select(col("query_id"), col("neighbor_id"), col("adc"))
     Relational.topKPerGroup(scored, Seq(col("query_id")),
         Seq(col("adc").asc, col("neighbor_id").asc), k, "rank")
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), col("adc"))
+  }
+
+  /** IVF-PQ: the two 100 TB levers composed the way production vector
+    * indexes (FAISS IVFPQ, SCaNN) actually ship. The IVF side prunes WORK
+    * (a query ADC-scans only its `nprobe` nearest cells' inverted lists,
+    * not the corpus); the PQ side prunes MEMORY (those lists store
+    * `subspaces`-byte codes, not floats); the exact re-rank then touches
+    * full vectors for `shortlist` rows only. Every stage is the oracled
+    * deterministic primitive it came from: q142's crank=1 cell assignment,
+    * q152's codebook/encode/ADC, q28's cosine re-rank. Cells partition the
+    * corpus (each vector lives in exactly one list), so probing never
+    * double-scores a neighbor; recall compounds the IVF probe miss rate
+    * and the ADC cut, measured in SimilaritySpec.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      subspaces: Int, codewords: Int, dims: Int, nprobe: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    require(dims % subspaces == 0,
+      s"dims ($dims) must split evenly into $subspaces subspaces")
+    val sub = dims / subspaces
+    val corpusUq = microUnit(corpus)
+    val cb = pqCodebook(corpusUq, subspaces, codewords, dims)
+    val lists = assignToCentroids(corpus, centroids)
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
+      .join(pqEncode(corpusUq, cb, sub)
+        .select(col("vec_id").as("neighbor_id"), col("codes")),
+        Seq("neighbor_id"))
+    val probes = probeCentroids(queries, centroids, nprobe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+      .join(pqQueryTable(microUnit(queries), cb, sub)
+        .select(col("vec_id").as("query_id"), col("qtab")), Seq("query_id"))
+    val scored = broadcast(probes).join(lists, Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", adcExpr(subspaces, codewords))
+      .select(col("query_id"), col("neighbor_id"), col("adc"))
+    val sl = Relational.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("adc").asc, col("neighbor_id").asc), shortlist, "srank")
+      .select(col("query_id"), col("neighbor_id"))
+    val rr = sl
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("vec").as("qvec"), col("nrm").as("qnrm")), Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("vec").as("cvec"), col("nrm").as("cnrm")), Seq("neighbor_id"))
+      .withColumn("sim", round(
+        cosineWithNorms(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")), 6))
+    Relational.topKPerGroup(rr, Seq(col("query_id")),
+        Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("sim"))
   }
 
   /** PQ search the way a production index actually serves it: ADC scans

@@ -27,6 +27,39 @@ object SimilarityQueries {
       |  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v
       |)""".stripMargin
 
+  /** Shared PQ mirror (q152/q154 geometry: 16 subspaces x 4 dims, 32
+    * md5-pivot codewords): micro-unit lattice -> codebook -> integer
+    * subspace distances -> argmin codes. Appends to `VCte` (needs `n`).
+    */
+  private val PqCte =
+    """u AS (
+      |  SELECT vec_id,
+      |         CASE WHEN nrm = 0 THEN vec
+      |              ELSE list_transform(vec, x -> x / nrm) END AS unit
+      |  FROM n
+      |), uq AS MATERIALIZED (
+      |  SELECT vec_id,
+      |         list_transform(unit, x -> CAST(round(x * 1000000) AS BIGINT)) AS uq
+      |  FROM u
+      |), piv AS (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+      |         uq
+      |  FROM uq ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32
+      |), dist AS MATERIALIZED (
+      |  SELECT x.vec_id, m.m, p.c,
+      |         CAST(list_sum([(x.uq[m.m*4+j+1] - p.uq[m.m*4+j+1])
+      |                        * (x.uq[m.m*4+j+1] - p.uq[m.m*4+j+1])
+      |                        FOR j IN range(0, 4)]) AS BIGINT) AS dist
+      |  FROM uq x, range(0, 16) m(m), piv p
+      |), enc AS (
+      |  SELECT vec_id, m, c AS code FROM (
+      |    SELECT vec_id, m, c,
+      |           row_number() OVER (PARTITION BY vec_id, m
+      |             ORDER BY dist ASC, c ASC) AS rn
+      |    FROM dist) z
+      |  WHERE rn = 1
+      |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // kNN label agreement: each query vector's exact 1-NN, grouped by the
     // query's label with the fraction whose neighbor agrees — the standard
@@ -208,6 +241,19 @@ object SimilarityQueries {
     "q152_pq_topk" -> ((s, d) => {
       val c = corpus(s, d)
       Similarity.pqRerankTopK(c.filter(col("vec_id") < 5), c, 16, 32, 64, 100, 10)
+    }),
+
+    // IVF-PQ: the production composition (FAISS IVFPQ shape). IVF cells
+    // (q142's every-40th centroids, crank=1 assignment) prune WORK — each
+    // query ADC-scans only its 2 probed cells' inverted lists; PQ codes
+    // (q152's 16x32 geometry) prune MEMORY — those lists hold 16-byte
+    // codes; the exact re-rank touches full floats for the 50-row
+    // shortlist only. Deterministic end to end, oracle hash match;
+    // compound recall (probe miss x ADC cut) measured in SimilaritySpec.
+    "q154_ivfpq_topk" -> ((s, d) => {
+      val c = corpus(s, d)
+      Similarity.ivfPqTopK(c.filter(col("vec_id") < 5), c,
+        c.filter(col("vec_id") % 40 === 0), 16, 32, 64, 2, 50, 10)
     }),
 
     // Index-health drift statistic over a deterministic IVF index: per
@@ -479,33 +525,7 @@ object SimilarityQueries {
     // re-rank of the shortlist. Everything between lattice snap and
     // re-rank is integer, so this is a hash match, not a tolerance check.
     "q152_pq_topk" ->
-      s"""$VCte, u AS (
-         |  SELECT vec_id,
-         |         CASE WHEN nrm = 0 THEN vec
-         |              ELSE list_transform(vec, x -> x / nrm) END AS unit
-         |  FROM n
-         |), uq AS MATERIALIZED (
-         |  SELECT vec_id,
-         |         list_transform(unit, x -> CAST(round(x * 1000000) AS BIGINT)) AS uq
-         |  FROM u
-         |), piv AS (
-         |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
-         |         uq
-         |  FROM uq ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32
-         |), dist AS MATERIALIZED (
-         |  SELECT x.vec_id, m.m, p.c,
-         |         CAST(list_sum([(x.uq[m.m*4+j+1] - p.uq[m.m*4+j+1])
-         |                        * (x.uq[m.m*4+j+1] - p.uq[m.m*4+j+1])
-         |                        FOR j IN range(0, 4)]) AS BIGINT) AS dist
-         |  FROM uq x, range(0, 16) m(m), piv p
-         |), enc AS (
-         |  SELECT vec_id, m, c AS code FROM (
-         |    SELECT vec_id, m, c,
-         |           row_number() OVER (PARTITION BY vec_id, m
-         |             ORDER BY dist ASC, c ASC) AS rn
-         |    FROM dist) z
-         |  WHERE rn = 1
-         |), adc AS (
+      s"""$VCte, $PqCte, adc AS (
          |  SELECT qd.vec_id AS query_id, e.vec_id AS neighbor_id,
          |         CAST(sum(qd.dist) AS BIGINT) AS adc
          |  FROM enc e JOIN dist qd ON qd.m = e.m AND qd.c = e.code
@@ -518,6 +538,57 @@ object SimilarityQueries {
          |             ORDER BY adc ASC, neighbor_id ASC) AS srank
          |    FROM adc) z
          |  WHERE srank <= 100
+         |), rr AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |         round(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm), 6) AS sim
+         |  FROM shortlist s JOIN n q ON s.query_id = q.vec_id
+         |                   JOIN n c ON s.neighbor_id = c.vec_id
+         |)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM rr) z
+         |WHERE rank <= 10""".stripMargin,
+
+    // q142's cell assignment/probing CTEs + q152's PQ CTEs, composed: ADC
+    // restricted to probed cells, shortlist 50, exact cosine re-rank.
+    "q154_ivfpq_topk" ->
+      s"""$VCte, $PqCte, cents AS (
+         |  SELECT vec_id AS centroid_id, vec AS centvec, nrm AS centnrm
+         |  FROM n WHERE vec_id % 40 = 0
+         |), assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT n.vec_id, c.centroid_id,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.vec, c.centvec)
+         |               / (n.nrm * c.centnrm), 6) DESC, c.centroid_id ASC) AS crank
+         |    FROM n, cents c) t
+         |  WHERE crank = 1
+         |), probes AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT n.vec_id, c.centroid_id,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.vec, c.centvec)
+         |               / (n.nrm * c.centnrm), 6) DESC, c.centroid_id ASC) AS crank
+         |    FROM n, cents c WHERE n.vec_id < 5) t
+         |  WHERE crank <= 2
+         |), adc AS (
+         |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |         CAST(sum(qd.dist) AS BIGINT) AS adc
+         |  FROM probes p
+         |  JOIN assigned a ON a.centroid_id = p.centroid_id
+         |                 AND a.vec_id <> p.vec_id
+         |  JOIN enc e ON e.vec_id = a.vec_id
+         |  JOIN dist qd ON qd.vec_id = p.vec_id AND qd.m = e.m AND qd.c = e.code
+         |  GROUP BY 1, 2
+         |), shortlist AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY adc ASC, neighbor_id ASC) AS srank
+         |    FROM adc) z
+         |  WHERE srank <= 50
          |), rr AS (
          |  SELECT s.query_id, s.neighbor_id,
          |         round(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm), 6) AS sim

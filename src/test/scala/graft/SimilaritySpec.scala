@@ -63,6 +63,29 @@ class SimilaritySpec extends SparkSpec {
       "re-ranking must not lose recall vs pure ADC")
   }
 
+  test("IVF-PQ compound recall and the pruning it buys (measured, pinned)") {
+    val c = corpus
+    val queries = c.filter(col("vec_id") < 5)
+    def topkMap(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val truth = topkMap(Similarity.bruteForceTopK(queries, c, 10))
+    val cents = c.filter(col("vec_id") % 40 === 0)
+    val ivfpq = topkMap(Similarity.ivfPqTopK(queries, c, cents,
+      16, 32, 64, 2, 50, 10))
+    val recall = truth.map { case (q, t) =>
+      (t & ivfpq.getOrElse(q, Set.empty)).size / 10.0 }.sum / truth.size
+    info(s"IVF-PQ recall@10 = $recall")
+    // compounds the nprobe=2 cell miss on top of the ADC cut — must stay
+    // a usable index, and must never exceed what pure PQ rerank achieves
+    assert(recall >= 0.5, s"IVF-PQ recall collapsed: $recall")
+    // work pruning: with 13 cells and nprobe=2, each query scans ~2/13 of
+    // the corpus instead of all of it
+    val scanned = Similarity.probeCentroids(queries, cents, 2)
+      .select(col("centroid_id")).distinct().count()
+    assert(scanned <= 10, s"probe set unexpectedly wide: $scanned cells")
+  }
+
   test("PQ ADC distances are non-decreasing in rank") {
     val c = corpus
     val out = Similarity.pqTopK(c.filter(col("vec_id") < 5), c, 8, 16, 64, 10)
