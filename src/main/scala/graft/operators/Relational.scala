@@ -24,6 +24,25 @@ object Relational {
       .filter(col(rankCol) <= k)
   }
 
+  /** Incremental JOIN maintenance — the classic view-maintenance algebra
+    * (A ∪ ΔA) ⋈ (B ∪ ΔB) = A⋈B ∪ A⋈ΔB ∪ ΔA⋈B ∪ ΔA⋈ΔB applied to the
+    * daily-batch economics: `oldResult` is yesterday's PERSISTED join
+    * (never recomputed, never even rescanned beyond the union), and the
+    * three delta terms each have at least one O(|Δ|) side — typically
+    * broadcastable — so maintenance cost scales with the delta, not the
+    * corpus. This is the q112 (aggregate) / q135 (dedup) / q142 (ANN
+    * index) incremental pattern for the remaining big-state operator:
+    * materialized JOINS. Insert-only deltas (append-only feeds); pair
+    * with `snapshotDiff` upstream when updates must first be split into
+    * retract+insert.
+    */
+  def deltaJoin(oldResult: DataFrame, oldA: DataFrame, deltaA: DataFrame,
+      oldB: DataFrame, deltaB: DataFrame, keys: Seq[String]): DataFrame =
+    oldResult
+      .unionByName(oldA.join(deltaB, keys))
+      .unionByName(deltaA.join(oldB, keys))
+      .unionByName(deltaA.join(deltaB, keys))
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two ranked
     * retrieval lists — the standard hybrid-search combiner (lexical BM25 +
     * embedding cosine) because it needs NO score calibration between the

@@ -342,6 +342,28 @@ object WarehouseQueries {
       Relational.applyAggDelta(baseAgg, diff, "o_orderstatus", "cents")
     }),
 
+    // Incremental JOIN maintenance: yesterday's orders⋈customer result is
+    // held fixed; today's order batch (o_orderkey%10==3) and customer
+    // batch (custkey%7==2) fold in via the three delta terms of
+    // (A∪ΔA)⋈(B∪ΔB) — each O(|Δ|) on at least one side. The oracle is
+    // the PLAIN join of the full tables, so the hash match proves the
+    // four-term decomposition reconstructs recomputation exactly —
+    // deltas on BOTH sides, including the ΔA⋈ΔB corner.
+    "q155_join_delta" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val c = Tables.customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey").cast("long").as("c_nationkey"), col("c_mktsegment"))
+      val oldO = o.filter(col("o_orderkey") % 10 =!= 3)
+      val dO = o.filter(col("o_orderkey") % 10 === 3)
+      val oldC = c.filter(col("o_custkey") % 7 =!= 2)
+      val dC = c.filter(col("o_custkey") % 7 === 2)
+      Relational.deltaJoin(oldO.join(oldC, Seq("o_custkey")),
+          oldO, dO, oldC, dC, Seq("o_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+          col("c_nationkey"), col("c_mktsegment"))
+    }),
+
     // Decile lift table over per-customer spend WITHOUT a global-window
     // ntile: rank = the distributed prefix-sum of per-row counts over a
     // composite total order, decile = ((rank-1)·10) div n — Bresenham
@@ -794,6 +816,14 @@ object WarehouseQueries {
          |SELECT o_orderstatus, count(*) AS n_rows,
          |       CAST(sum(cents) AS BIGINT) AS sum_val
          |FROM new GROUP BY 1""".stripMargin,
+
+    // Deliberately NOT the algorithm: the plain full join. The hash match
+    // proves the delta decomposition loses and duplicates nothing.
+    "q155_join_delta" ->
+      """SELECT o.o_orderkey, o.o_custkey,
+        |       CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents,
+        |       CAST(c.c_nationkey AS BIGINT) AS c_nationkey, c.c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
 
     // Dominance spelled directly: <= on both dims, < on at least one.
     "q110_skyline" ->

@@ -11,6 +11,34 @@ import graft.operators.{Curation, Graph, Quality, Relational}
 class WarehouseSpec extends SparkSpec {
   import spark.implicits._
 
+  test("deltaJoin == full recompute, including duplicate keys and the " +
+      "delta-x-delta corner; empty deltas are the identity") {
+    import graft.operators.Relational
+    val a = Seq((1L, "a1"), (1L, "a2"), (2L, "a3"), (3L, "a4"), (9L, "a5"))
+      .toDF("k", "av")
+    val b = Seq((1L, "b1"), (2L, "b2"), (2L, "b3"), (3L, "b4"), (8L, "b5"))
+      .toDF("k", "bv")
+    // split: ΔA = av in (a2, a4); ΔB = bv in (b3, b4)
+    val (oldA, dA) = (a.filter(!col("av").isin("a2", "a4")),
+      a.filter(col("av").isin("a2", "a4")))
+    val (oldB, dB) = (b.filter(!col("bv").isin("b3", "b4")),
+      b.filter(col("bv").isin("b3", "b4")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "av", "bv").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sorted.toSeq
+    val full = rows(a.join(b, Seq("k")))
+    assert(rows(Relational.deltaJoin(oldA.join(oldB, Seq("k")),
+      oldA, dA, oldB, dB, Seq("k"))) == full)
+    // ΔA⋈ΔB corner is actually exercised: a4/b4 share key 3
+    assert(rows(dA.join(dB, Seq("k"))).nonEmpty)
+    // empty deltas: maintenance returns exactly the old result
+    val empty = a.filter(lit(false))
+    val emptyB = b.filter(lit(false))
+    assert(rows(Relational.deltaJoin(a.join(b, Seq("k")), a, empty,
+      b, emptyB, Seq("k"))) == full)
+  }
+
   test("scd2 builds gapless per-key validity chains with one current row") {
     val snaps = Seq(
       (1L, 10L, ts("2024-01-01 00:00:00")),
