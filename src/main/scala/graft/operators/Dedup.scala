@@ -246,6 +246,52 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** EXACT containment-threshold join, |x ∩ y| / |x| >= t — the one-sided
+    * sibling of [[prefixFilteredPairs]] for the quote/plagiarism case q150
+    * scores approximately (over LSH candidates, which can miss): here
+    * every containing pair is found, by the same prefix argument applied
+    * one-sidedly. |x∩y| >= ceil(t·|x|) forces the first
+    * |x| - ceil(t·|x|) + 1 frequency-ordered tokens of x to intersect y
+    * SOMEWHERE — y carries no size or prefix constraint (a tiny doc can be
+    * contained in a huge one, exactly the pairs Jaccard's size bound
+    * discards) — so x is indexed by its rarest prefix slice and y by ALL
+    * its tokens (the inverted-index join). Candidates verify with the
+    * exact containment count. Emits (doc_a=contained, doc_b=container,
+    * cont) for distinct ids, both directions when both hold.
+    */
+  def containmentJoin(docs: DataFrame, idCol: String, setCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sets = docs
+      .select(col(idCol).as("_cjid"), array_distinct(col(setCol)).as("_cjset"))
+      .filter(size(col("_cjset")) > 0)
+    val tok = sets.select(col("_cjid"), explode(col("_cjset")).as("tok"))
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val prefix = tok.join(dfreq, Seq("tok"))
+      .groupBy(col("_cjid"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .select(col("_cjid"),
+        transform(col("ord"), x => x.getField("tok")).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .withColumn("plen", (col("sz")
+        - ceil(col("sz") * lit(threshold) - lit(1e-9)) + 1).cast("int"))
+      .select(col("_cjid").as("doc_a"),
+        explode(slice(col("toks"), lit(1), col("plen"))).as("tok"))
+    val cand = prefix
+      .join(tok.select(col("_cjid").as("doc_b"), col("tok")), Seq("tok"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(sets.select(col("_cjid").as("doc_a"), col("_cjset").as("sh_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("_cjid").as("doc_b"), col("_cjset").as("sh_b")),
+        Seq("doc_b"))
+      .withColumn("cont", containment(col("sh_a"), col("sh_b")))
+      .filter(col("cont") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cont"))
+  }
+
   /** Connected components over an undirected pair graph (src,dst) — the
     * dedup end-step that turns near-dup PAIRS into duplicate CLUSTERS with
     * a deterministic canonical (the minimum id reachable). Iterative

@@ -163,6 +163,16 @@ object DedupQueries {
     "q151_prefix_join" -> ((s, d) =>
       Dedup.prefixFilteredPairs(shingled(s, d), "doc_id", "shingles", 0.5)),
 
+    // EXACT containment join, the guaranteed version of q150: q150 scores
+    // containment only on LSH candidate pairs (a short doc quoted in a
+    // long one rarely minhash-collides — the union dominates the
+    // signature, so exactly the interesting pairs get missed); here the
+    // contained side indexes its rarest prefix slice, the container side
+    // its full token set, and every pair with |A∩B|/|A| >= 0.7 is found.
+    // Brute-force oracle over all ordered pairs proves losslessness.
+    "q156_containment_join" -> ((s, d) =>
+      Dedup.containmentJoin(shingled(s, d), "doc_id", "shingles", 0.7)),
+
     // Near-dup CLUSTERS: connected components over the verified LSH pair
     // graph; canonical = min doc_id in the cluster.
     "q52_dedup_clusters" -> ((s, d) => {
@@ -360,6 +370,16 @@ object DedupQueries {
          |WHERE len(list_distinct(list_intersect(a.shingles, b.shingles))) /
          |      (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
          |       - len(list_distinct(list_intersect(a.shingles, b.shingles)))) >= 0.5""".stripMargin,
+
+    // Deliberately NOT the algorithm: brute force over ordered pairs.
+    "q156_containment_join" ->
+      s"""$ShCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       len(list_distinct(list_intersect(a.shingles, b.shingles)))
+         |         / len(list_distinct(a.shingles)) AS cont
+         |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+         |WHERE len(list_distinct(list_intersect(a.shingles, b.shingles)))
+         |        / len(list_distinct(a.shingles)) >= 0.7""".stripMargin,
 
     "q52_dedup_clusters" ->
       s"""${MhCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS (

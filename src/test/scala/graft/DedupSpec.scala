@@ -45,6 +45,37 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L, 0.5)))
   }
 
+  test("containmentJoin is lossless and one-sided: subset pairs survive " +
+      "that Jaccard's size bound would discard") {
+    import spark.implicits._
+    // doc 1 (3 tokens) wholly inside doc 2 (12 tokens): cont(1→2) = 1.0
+    // but J = 3/12 = 0.25 — the pair q151@0.5 must NOT emit
+    val in = Seq(
+      (1L, Seq("q", "r", "s")),
+      (2L, Seq("q", "r", "s", "d", "e", "f", "g", "h", "i", "j", "k", "l")),
+      (3L, Seq("x", "y", "z"))).toDF("doc_id", "s")
+    val out = Dedup.containmentJoin(in, "doc_id", "s", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set((1L, 2L, 1.0)))
+    assert(Dedup.prefixFilteredPairs(in, "doc_id", "s", 0.5).count() == 0)
+    // corpus-level losslessness vs brute force
+    val sh = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col("doc_id"), Dedup.shingles(col("tok"), 3).as("shingles"))
+    val fast = Dedup.containmentJoin(sh, "doc_id", "shingles", 0.7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    val brute = a.crossJoin(b).filter(col("doc_a") =!= col("doc_b"))
+      .filter(Dedup.containment(col("sh_a"), col("sh_b")) >= 0.7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(brute.nonEmpty, "fixture must exercise the join")
+    assert(fast == brute)
+  }
+
   test("spanDedup: all-unique corpus passes through unchanged") {
     val in = docs(
       1L -> "a b c d e f g h i j k l",
