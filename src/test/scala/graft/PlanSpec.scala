@@ -13,6 +13,35 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("q151/q156 prefix-filtered joins never plan a cartesian or " +
+      "nested-loop product") {
+    for (q <- Seq("q151_prefix_join", "q156_containment_join")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went quadratic:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q planned a nested loop:\n$p")
+    }
+  }
+
+  test("q154 IVF-PQ streams the inverted lists against broadcast " +
+      "query probes — no corpus-side cross product") {
+    val p = plan("q154_ivfpq_topk")
+    // the only cross joins allowed are the tiny broadcast centroid/stat
+    // products; the cell-list scan itself must be a broadcast hash join
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell scan lost its broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"cell scan fell back to sort-merge:\n$p")
+  }
+
+  test("q155 delta-join terms all broadcast the delta side") {
+    val p = plan("q155_join_delta")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"delta term went quadratic:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast delta joins:\n$p")
+  }
+
   test("q14 star join broadcasts every dimension (no fact-side shuffle join)") {
     val p = plan("q14_star_join")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
