@@ -151,6 +151,57 @@ object Graph {
     cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Single-source shortest paths over an UNDIRECTED weighted edge list,
+    * in exact BIGINT arithmetic (Bellman-Ford by rounds).
+    *
+    * Each round relaxes every edge once — `dist' = min(dist, min over
+    * incoming edges of dist(src) + w)` — as ONE node-keyed join plus one
+    * min-aggregate, with map-side partial mins, so a round's shuffle
+    * carries one row per reached node, never per edge. Distances are
+    * BIGINT sums of BIGINT weights: no float ever forms, so results are
+    * bit-identical at any parallelism (the q99 integer-PageRank
+    * discipline). `localCheckpoint` per round truncates lineage, and the
+    * loop stops at the FIXPOINT (a round that changes nothing), throwing
+    * loudly if `maxIter` rounds don't converge — a silently partial
+    * distance table would be a plausible-but-wrong answer, and the
+    * unrolled-CTE oracle is only valid at the fixpoint.
+    *
+    * Only reached nodes appear in the output (the frontier grows from
+    * `source`); weights must be non-negative for the fixpoint to be the
+    * true shortest-path table within `maxIter` rounds.
+    */
+  def ssspInt(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, source: Long, maxIter: Int = 16): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val sym = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+      .union(edges.select(col(dstCol).cast("long").as("src"),
+        col(srcCol).cast("long").as("dst"), col(wCol).cast("long").as("w")))
+      .distinct().localCheckpoint()
+    var dist = sym.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val relaxed = dist.join(sym, dist("node") === sym("src"))
+        .select(sym("dst").as("node"), (dist("dist") + sym("w")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      converged = next
+        .join(dist.withColumnRenamed("dist", "_old"), Seq("node"), "left")
+        .filter(col("_old").isNull || col("_old") =!= col("dist"))
+        .isEmpty
+      dist = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ssspInt did not reach a fixpoint in $maxIter rounds — raise maxIter")
+    dist
+  }
+
   /** Multi-source BFS: minimum hop distance (≤ `maxHops`) from any seed
     * node over an undirected edge list. `seeds` is a single-column
     * DataFrame named `node`.

@@ -566,6 +566,42 @@ object TextAnalysis {
     merges.result().toDF("iteration", "pair_a", "pair_b", "cnt")
   }
 
+  /** Exact phrase search over whitespace tokens: documents containing the
+    * consecutive token sequence `phrase`, with the exact occurrence count.
+    *
+    * Positional-postings intersection (the q132 inverted index's query
+    * path): slot i of the phrase contributes its positions re-keyed to
+    * `anchor = pos - i`, so every occurrence of the full phrase is one
+    * anchor value shared by ALL slots — the k-term phrase becomes k−1
+    * equi-joins on (doc, anchor), each over a single term's posting list.
+    * Scale shape: the per-term filters cut the exploded token stream to
+    * the queried terms' postings BEFORE anything shuffles, so each join
+    * exchanges only those postings — the standard inverted-index phrase
+    * plan, never a full-corpus scan-join. (Against a pre-materialized
+    * q132-style postings table the same joins prune at the scan; here the
+    * index is built inline from the raw text.)
+    * Repeated words in the phrase work because each slot filters
+    * independently ("join join" at positions p,p+1 intersects to the
+    * single anchor p).
+    *
+    * Each slot frame is duplicate-free by construction (one token per
+    * position), so the k-way join yields exactly one row per phrase
+    * occurrence and the final count is exact.
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val toks = df.select(col(idCol),
+      posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val slots = phrase.zipWithIndex.map { case (w, i) =>
+      toks.filter(col("tok") === w)
+        .select(col(idCol), (col("pos") - i).as("anchor"))
+    }
+    slots.reduce((a, b) => a.join(b, Seq(idCol, "anchor")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Tokenizer INFERENCE for a trained merge table: segment one word into
     * the subwords `merges` produce, by replaying the merges in training
     * order as row-local folds. O(nMerges) chained expressions — fine for

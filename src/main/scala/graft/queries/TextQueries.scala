@@ -205,7 +205,44 @@ object TextQueries {
           col("rank").as("rank_sem"))
       graft.operators.Relational.rrfFuse(lex, sem, "query_id", "doc_id",
         "rank_lex", "rank_sem", 60, 10)
-    }))
+    }),
+
+    // φ-frequent tokens (φ = 1/30) via a merged Misra-Gries summary with
+    // 29 counters + an EXACT confirm re-count of the ≤ 29 candidates
+    // (broadcast join). MG guarantees candidates ⊇ every token with count
+    // > n/30 under ANY partitioning, and the exact re-count drops false
+    // positives, so the result is partition-invariant and equals the
+    // plain GROUP BY HAVING oracle — the hash match proves the bounded
+    // sketch lossless for the φ-threshold. At 100 TB the exact groupBy
+    // shuffles one row per DISTINCT token (billions); the sketch ships
+    // ≤ 29 counters per map task and the confirm pass aggregates a
+    // 29-key space. Threshold is cross-multiplied BIGINT (count*30 > n).
+    "q157_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val tk = toks(s, d).select(explode(col("tok")).as("token"))
+      val mg = new graft.functions.MisraGriesAggregator(29)
+      val summary = tk.as[String].groupByKey(_ => 0)
+        .agg(mg.toColumn.name("mg")).toDF("g", "mg")
+      val cand = summary.select(
+        explode(map_keys(col("mg.counts"))).as("token"),
+        col("mg.n").as("total"))
+      tk.join(broadcast(cand), Seq("token"))
+        .groupBy(col("token"), col("total"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") * lit(30L) > col("total"))
+        .select(col("token"), col("n"))
+    }),
+
+    // Exact phrase search ("hash join") via positional-postings
+    // intersection — the q132 inverted index's query path: per-term
+    // position lists re-keyed to a shared anchor, k−1 equi-joins, exact
+    // per-document occurrence counts. The oracle counts the phrase in the
+    // RAW TEXT by whitespace-normalized substring arithmetic (a fully
+    // independent formulation), so the hash match proves the token-space
+    // join equals string-space phrase matching.
+    "q158_phrase_search" -> ((s, d) =>
+      TextAnalysis.phraseSearch(Tables.documents(s, d), "doc_id", "text",
+        Seq("hash", "join"))))
 
   val oracles: Map[String, String] = Map(
     // Mirrors each fusion leg expression-for-expression (q73's tfidf for
@@ -294,6 +331,37 @@ object TextQueries {
          |           ORDER BY rrf DESC, doc_id ASC) AS rank
          |  FROM fused) x
          |WHERE rank <= 10""".stripMargin,
+
+    // The plain exact form the MG-sketch-prefiltered plan must equal:
+    // every token whose count clears the cross-multiplied 1/30 threshold.
+    "q157_heavy_hitters" ->
+      s"""$TokCte, inst AS (
+         |  SELECT unnest(tok) AS token FROM t
+         |), tot AS (
+         |  SELECT count(*) AS total FROM inst
+         |)
+         |SELECT token, count(*) AS n FROM inst GROUP BY token
+         |HAVING count(*) * 30 > (SELECT total FROM tot)""".stripMargin,
+
+    // Phrase occurrences counted in the RAW STRING, independently of the
+    // token-join implementation: normalize runs of whitespace to single
+    // spaces, pad, then DOUBLE every space so adjacent occurrences each
+    // own boundary spaces on both sides (" hash  join " can then be
+    // removed non-overlappingly), and divide the removed length by the
+    // pattern length. Word-boundary-safe ("hash joins" cannot match
+    // because the pattern demands a space immediately after "join").
+    "q158_phrase_search" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         replace(' ' || regexp_replace(trim(text), '\s+', ' ', 'g')
+        |                 || ' ', ' ', '  ') AS s2
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST((len(s2) - len(replace(s2, ' hash  join ', ''))) // 12
+        |            AS BIGINT) AS n_occurrences
+        |FROM d
+        |WHERE len(s2) <> len(replace(s2, ' hash  join ', ''))""".stripMargin,
 
     "q132_inverted_index" ->
       s"""$TokCte, p AS (

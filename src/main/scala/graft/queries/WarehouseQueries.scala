@@ -40,6 +40,19 @@ object WarehouseQueries {
        |    GROUP BY s.dst) m ON d.src = m.node
        |)""".stripMargin
 
+  /** One Bellman-Ford relaxation round as SQL: dist' = min over (keep,
+    * relax-across-every-edge). Mirrors `Graph.ssspInt`'s loop body.
+    */
+  private def ssspIterSql(cur: String, prev: String): String =
+    s"""$cur AS MATERIALIZED (
+       |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+       |    SELECT node, dist FROM $prev
+       |    UNION ALL
+       |    SELECT e.dst AS node, p.dist + e.w AS dist
+       |    FROM $prev p JOIN wsym e ON e.src = p.node
+       |  ) GROUP BY node
+       |)""".stripMargin
+
   /** The deterministic old/new order snapshots q111/q112 diff: old drops
     * keys ≡ 3 (mod 10), new drops keys ≡ 7 (mod 10) and bumps every 5th
     * key's price by 500 cents — yielding inserts, deletes, and updates
@@ -164,6 +177,30 @@ object WarehouseQueries {
         .filter(col("n_groups") >= 2)
       Graph.pageRankInt(edges, "item_a", "item_b", iterations = 3)
         .select(col("node").as("partkey"), col("score"))
+    }),
+
+    // Single-source shortest paths over the weighted co-occurrence graph
+    // (edge weight = 1000000 DIV support, so strongly co-purchased parts
+    // are "close"), from the smallest part in the graph — Bellman-Ford in
+    // exact BIGINT arithmetic, iterated to the FIXPOINT with a loud
+    // non-convergence guard. The oracle unrolls the same relaxation as a
+    // 16-round MATERIALIZED-CTE chain (the q129 proof shape): at the
+    // fixpoint extra rounds are no-ops, so iterative == declarative
+    // unroll, and the integer distances are bit-identical by
+    // construction.
+    "q159_sssp" -> ((s, d) => {
+      val edges = Relational.coOccurrence(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey")),
+        "ok", "l_partkey")
+        .filter(col("n_groups") >= 2)
+        .select(col("item_a"), col("item_b"),
+          expr("1000000 DIV n_groups").as("w"))
+      // O(1) control row (the BPE-argmax discipline): the deterministic
+      // source = smallest node in the edge set.
+      val source = edges.agg(min(col("item_a"))).first().getLong(0)
+      Graph.ssspInt(edges, "item_a", "item_b", "w", source, maxIter = 16)
+        .select(col("node").as("partkey"), col("dist"))
     }),
 
     // MERGE-style upsert: a deterministic changeset (priority overrides
@@ -896,6 +933,26 @@ object WarehouseQueries {
          |${prIterSql("r2", "r1")},
          |${prIterSql("r3", "r2")}
          |SELECT node AS partkey, score FROM r3""".stripMargin,
+
+    // q99's edge derivation + integer weights, then 16 unrolled
+    // relaxation rounds. Valid because the Spark side PROVES fixpoint
+    // within 16 rounds (ssspInt throws otherwise), and at the fixpoint
+    // extra unrolled rounds are identity.
+    "q159_sssp" ->
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+         |wedges AS (
+         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         |         CAST(1000000 // count(DISTINCT a.ok) AS BIGINT) AS w
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2
+         |),
+         |wsym AS (SELECT p1 AS src, p2 AS dst, w FROM wedges
+         |         UNION ALL SELECT p2, p1, w FROM wedges),
+         |d0 AS (SELECT CAST((SELECT min(p1) FROM wedges) AS BIGINT) AS node,
+         |              CAST(0 AS BIGINT) AS dist),
+         |${(1 to 16).map(i => ssspIterSql(s"d$i", s"d${i - 1}"))
+           .mkString(",\n")}
+         |SELECT node AS partkey, dist FROM d16""".stripMargin,
 
     "q101_merge_upsert" ->
       """WITH chg AS (

@@ -329,4 +329,31 @@ object GraftProperties extends Properties("graft") {
           .as[(Long, Long)].collect().toMap
       got == want
     }
+
+  property("Misra-Gries merge tree: superset of n/(m+1)-heavy items, ≤ m " +
+    "counters, bounded undercount") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 12)), Gen.choose(1, 8),
+      Gen.choose(1, 5)) { (raw, m, nSplits) =>
+      val agg = new graft.functions.MisraGriesAggregator(m)
+      val items = raw.map(i => s"t$i")
+      // deterministic round-robin split into nSplits streams, each reduced
+      // independently then merged left-to-right — exercises reduce AND the
+      // (m+1)-th-largest-subtraction merge on every run
+      val chunks = items.zipWithIndex.groupBy(_._2 % nSplits)
+        .toSeq.sortBy(_._1).map(_._2.map(_._1))
+      val merged = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = items.size.toLong
+      val heavy = exact.collect {
+        case (k, c) if c * (m + 1) > n => k
+      }.toSet
+      merged.n == n &&
+      merged.counts.size <= m &&
+      heavy.subsetOf(merged.counts.keySet) &&
+      merged.counts.forall { case (k, est) =>
+        val t = exact.getOrElse(k, 0L)
+        est >= 1L && est <= t && (t - est) * (m + 1) <= n
+      }
+    }
 }

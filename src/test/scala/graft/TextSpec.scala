@@ -118,4 +118,63 @@ class TextSpec extends SparkSpec {
       "rarer term must out-score common term in the same doc")
     assert(!out.contains(("a", 4L)), "doc without the term must not appear")
   }
+
+  test("phraseSearch: adjacency exact, boundaries, repeats, no partials") {
+    val docs = Seq(
+      (1L, "hash join hash join"),    // 2 occurrences
+      (2L, "fast  hash   join scan"), // whitespace runs still adjacent
+      (3L, "hash joins"),             // partial word must not match
+      (4L, "join hash"),              // wrong order
+      (5L, "hash join"),              // whole doc is the phrase
+      (6L, "  hash join  "),          // leading/trailing whitespace
+      (7L, "hash x join"),            // gap breaks adjacency
+      (8L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .phraseSearch(docs, "doc_id", "text", Seq("hash", "join"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 5L -> 1L, 6L -> 1L))
+
+    // repeated-word phrase: "join join" in "join join join" occurs at
+    // positions (0,1) and (1,2) — the anchor intersection must find both
+    val rep = TextAnalysis.phraseSearch(
+      Seq((1L, "join join join")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("join", "join"))
+      .as[(Long, Long)].collect().toMap
+    assert(rep == Map(1L -> 2L))
+
+    // single-term phrase degenerates to plain term occurrence counting
+    val single = TextAnalysis.phraseSearch(docs, "doc_id", "text",
+      Seq("hash"))
+      .as[(Long, Long)].collect().toMap
+    assert(single == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L, 7L -> 1L))
+  }
+
+  test("Misra-Gries confirmed heavy hitters equal the exact set at any " +
+    "partitioning, with bounded candidate width") {
+    // Zipf-ish: token t_i appears 600/i times for i in 1..40 → n = Σ …;
+    // heavy set for φ=1/30 is whatever clears n/30, computed exactly below
+    val items = (1 to 40).flatMap(i => Seq.fill(600 / i)(s"t$i"))
+    val n = items.size.toLong
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = exact.filter { case (_, c) => c * 30L > n }
+    assert(want.nonEmpty && want.size < 10, s"fixture sanity: ${want.size}")
+    for (parts <- Seq(1, 4, 13)) {
+      val tk = items.toDF("token").repartition(parts)
+      val mg = new graft.functions.MisraGriesAggregator(29)
+      val summary = tk.as[String].groupByKey(_ => 0)
+        .agg(mg.toColumn.name("mg")).toDF("g", "mg")
+      val cand = summary.select(
+        explode(map_keys(col("mg.counts"))).as("token"),
+        col("mg.n").as("total"))
+      assert(cand.count() <= 29, "summary must never exceed m counters")
+      val got = tk.join(broadcast(cand), Seq("token"))
+        .groupBy(col("token"), col("total"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") * lit(30L) > col("total"))
+        .select(col("token"), col("n"))
+        .as[(String, Long)].collect().toMap
+      assert(got == want, s"parts=$parts")
+    }
+  }
 }

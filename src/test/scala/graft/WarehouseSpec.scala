@@ -145,6 +145,50 @@ class WarehouseSpec extends SparkSpec {
     assert(r2 == scores, "integer PageRank must not depend on partitioning")
   }
 
+  test("ssspInt: weighted detour beats direct edge, unreachable absent, " +
+    "partitioning-invariant") {
+    // 1-2 (1), 2-3 (1), 1-3 (5): the 2-hop detour to 3 costs 2, beating
+    // the direct weight-5 edge; 3-4 (2) extends it; 5-6 is unreachable.
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (3L, 4L, 2L),
+      (5L, 6L, 1L)).toDF("s", "d", "w")
+    val got = Graph.ssspInt(edges, "s", "d", "w", source = 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 4L))
+    val got2 = Graph.ssspInt(edges.repartition(7), "s", "d", "w", source = 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == got, "integer SSSP must not depend on partitioning")
+  }
+
+  test("ssspInt matches an in-memory Floyd-Warshall on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 8
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n if rnd.nextDouble() < 0.35
+      } yield (a.toLong, b.toLong, (rnd.nextInt(9) + 1).toLong)).toSeq
+      if (edges.nonEmpty) {
+        val inf = Long.MaxValue / 4
+        val dist = Array.fill(n, n)(inf)
+        (0 until n).foreach(i => dist(i)(i) = 0L)
+        edges.foreach { case (a, b, w) =>
+          dist(a.toInt)(b.toInt) = math.min(dist(a.toInt)(b.toInt), w)
+          dist(b.toInt)(a.toInt) = math.min(dist(b.toInt)(a.toInt), w)
+        }
+        for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+          if (dist(i)(k) + dist(k)(j) < dist(i)(j))
+            dist(i)(j) = dist(i)(k) + dist(k)(j)
+        val src = edges.map(_._1).min.toInt
+        val want = (0 until n)
+          .filter(dist(src)(_) < inf)
+          .map(j => j.toLong -> dist(src)(j)).toMap
+        val got = Graph.ssspInt(edges.toDF("s", "d", "w"), "s", "d", "w",
+          source = src.toLong)
+          .as[(Long, Long)].collect().toMap
+        assert(got == want, s"edges=$edges src=$src")
+      }
+    }
+  }
+
   test("mergeUpsert: change rows replace wholesale, actions tag the three cases") {
     val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
       .toDF("k", "name", "v")
