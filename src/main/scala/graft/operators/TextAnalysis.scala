@@ -602,6 +602,28 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** Conjunctive (AND) boolean retrieval: documents containing EVERY term
+    * in `terms`, with the total occurrence count of query terms.
+    *
+    * Not a k-way postings join: the token stream filters to the query
+    * terms first (a tiny fraction of the corpus at any scale), then ONE
+    * doc-keyed aggregate checks `countDistinct(term) == k`. The single
+    * shuffle carries only matched postings — strictly less data than any
+    * join cascade, and the count-distinct state is bounded by k.
+    */
+  def booleanRetrieval(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    require(terms.distinct.size == terms.size, s"terms must be distinct: $terms")
+    df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("tok")).as("n_terms"),
+        count(lit(1)).as("n_hits"))
+      .filter(col("n_terms") === terms.size)
+      .select(col(idCol), col("n_hits"))
+  }
+
   /** Tokenizer INFERENCE for a trained merge table: segment one word into
     * the subwords `merges` produce, by replaying the merges in training
     * order as row-local folds. O(nMerges) chained expressions — fine for

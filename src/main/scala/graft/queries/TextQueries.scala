@@ -242,7 +242,41 @@ object TextQueries {
     // join equals string-space phrase matching.
     "q158_phrase_search" -> ((s, d) =>
       TextAnalysis.phraseSearch(Tables.documents(s, d), "doc_id", "text",
-        Seq("hash", "join"))))
+        Seq("hash", "join"))),
+
+    // q157's sketch composed with GROUPING: per-language φ-frequent
+    // tokens (φ = 1/30), one bounded MG summary per language key — the
+    // accumulator bound now holds per (task × group), so the exchange
+    // carries ≤ 29 counters per language per task no matter how many
+    // distinct tokens a language has. Same lossless-confirm proof shape
+    // as q157, per group.
+    "q160_group_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val tk = toks(s, d).select(col("lang"), explode(col("tok")).as("token"))
+      val mg = new graft.functions.MisraGriesAggregator(29)
+      val summaries = tk.as[(String, String)].groupByKey(_._1)
+        .mapValues(_._2).agg(mg.toColumn.name("mg")).toDF("lang", "mg")
+      val cand = summaries.select(col("lang"),
+        explode(map_keys(col("mg.counts"))).as("token"),
+        col("mg.n").as("total"))
+      tk.join(broadcast(cand), Seq("lang", "token"))
+        .groupBy(col("lang"), col("token"), col("total"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") * lit(30L) > col("total"))
+        .select(col("lang"), col("token"), col("n"))
+    }),
+
+    // Conjunctive boolean retrieval (terms AND-ed): documents containing
+    // ALL query terms, with the total query-term occurrence count. The
+    // Spark shape is deliberately NOT a k-way postings join: filter the
+    // token stream to the query terms (tiny fraction of the corpus),
+    // then ONE doc-keyed aggregate counting distinct matched terms —
+    // one shuffle whose rows are only the matched postings. The oracle
+    // counts each term in the RAW STRING (q158's space-doubling
+    // arithmetic), fully independent of tokenization-side joins.
+    "q161_boolean_retrieval" -> ((s, d) =>
+      TextAnalysis.booleanRetrieval(Tables.documents(s, d), "doc_id",
+        "text", Seq("hash", "join", "scan"))))
 
   val oracles: Map[String, String] = Map(
     // Mirrors each fusion leg expression-for-expression (q73's tfidf for
@@ -362,6 +396,36 @@ object TextQueries {
         |            AS BIGINT) AS n_occurrences
         |FROM d
         |WHERE len(s2) <> len(replace(s2, ' hash  join ', ''))""".stripMargin,
+
+    "q160_group_heavy_hitters" ->
+      s"""$TokCte, inst AS (
+         |  SELECT lang, unnest(tok) AS token FROM t
+         |), cnt AS (
+         |  SELECT lang, token, count(*) AS n FROM inst GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT lang, CAST(sum(n) AS BIGINT) AS total FROM cnt GROUP BY 1
+         |)
+         |SELECT c.lang, c.token, c.n
+         |FROM cnt c JOIN tot t ON c.lang = t.lang
+         |WHERE c.n * 30 > t.total""".stripMargin,
+
+    // Each term counted independently in the space-doubled string (the
+    // q158 arithmetic); conjunction = every per-term count positive.
+    "q161_boolean_retrieval" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         replace(' ' || regexp_replace(trim(text), '\s+', ' ', 'g')
+        |                 || ' ', ' ', '  ') AS s2
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST((len(s2) - len(replace(s2, ' hash ', ''))) // 6
+        |          + (len(s2) - len(replace(s2, ' join ', ''))) // 6
+        |          + (len(s2) - len(replace(s2, ' scan ', ''))) // 6
+        |            AS BIGINT) AS n_hits
+        |FROM d
+        |WHERE contains(s2, ' hash ') AND contains(s2, ' join ')
+        |  AND contains(s2, ' scan ')""".stripMargin,
 
     "q132_inverted_index" ->
       s"""$TokCte, p AS (

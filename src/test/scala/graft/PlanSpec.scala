@@ -70,6 +70,16 @@ class PlanSpec extends SparkSpec {
       s"map-side partial aggregation lost:\n$p")
   }
 
+  test("q157 MG sketch partial-aggregates map-side and broadcasts the " +
+    "candidate confirm join") {
+    val p = plan("q157_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate"), s"expected object agg:\n$p")
+    assert(p.contains("partial_misragriesaggregator"),
+      s"map-side bounded-sketch partial lost:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate confirm join must broadcast the <= m candidates:\n$p")
+  }
+
   test("q13 pricing summary partial-aggregates before its single exchange") {
     val p = plan("q13_pricing_summary")
     assert(p.contains("partial_"), s"map-side combine lost:\n$p")

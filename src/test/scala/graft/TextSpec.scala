@@ -150,6 +150,23 @@ class TextSpec extends SparkSpec {
       6L -> 1L, 7L -> 1L))
   }
 
+  test("booleanRetrieval: AND semantics, occurrence totals, duplicates") {
+    val docs = Seq(
+      (1L, "hash join scan"),        // all three, 3 hits
+      (2L, "hash hash join scan x"), // duplicate term still one distinct
+      (3L, "hash join"),             // missing 'scan'
+      (4L, "scan scan scan"),        // only one term
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.booleanRetrieval(docs, "doc_id", "text",
+      Seq("hash", "join", "scan"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 4L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.booleanRetrieval(docs, "doc_id", "text",
+        Seq("hash", "hash"))
+    }
+  }
+
   test("Misra-Gries confirmed heavy hitters equal the exact set at any " +
     "partitioning, with bounded candidate width") {
     // Zipf-ish: token t_i appears 600/i times for i in 1..40 → n = Σ …;
