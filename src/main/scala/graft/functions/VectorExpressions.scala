@@ -151,6 +151,14 @@ object GraftFunctions {
         .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
     }, "graft_bloom_agg(xxhash64_value, est_items, num_bits) - build a " +
       "bloom filter sketch (BINARY) over a BIGINT hash column"),
+    ("graft_pq_encode", PqExpressions.encodeBuilder _,
+      "graft_pq_encode(uq, cbflat, subspaces, codewords) - nearest " +
+        "codeword id per subspace (integer squared-L2 argmin) of a " +
+        "micro-unit ARRAY<BIGINT> vector against a flattened PQ codebook"),
+    ("graft_pq_qtab", PqExpressions.qtabBuilder _,
+      "graft_pq_qtab(uq, cbflat, subspaces, codewords) - per-query ADC " +
+        "distance table: squared L2 to every codeword of every subspace, " +
+        "flattened subspace-major"),
     ("graft_might_contain", exprs => {
       require(exprs.length == 2,
         s"graft_might_contain requires exactly 2 arguments, got ${exprs.length}")
@@ -183,6 +191,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case "graft_dot" => classOf[DotProduct].getName
         case "graft_simhash60" => classOf[SimHash60].getName
         case "graft_jaro_winkler" => classOf[JaroWinklerSimilarity].getName
+        case "graft_pq_encode" => classOf[PqEncodeCodes].getName
+        case "graft_pq_qtab" => classOf[PqQueryTable].getName
         case _ => GraftFunctions.getClass.getName
       }
       ext.injectFunction((FunctionIdentifier(name),

@@ -213,8 +213,15 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    // Materialize the distinct sets BEFORE the size filter, and cache: the
+    // relation is read 4x (token explode, both sides of the candidate
+    // self-join's lineage, both verification joins), and a size filter
+    // placed under the cache gets pushed into the caller's scan where it
+    // re-inlines the (interpreted, HOF-built) set expression and
+    // re-evaluates it per row — measured 9 s vs 0.6 s per pass at sf0.1.
     val sets = docs
       .select(col(idCol).as("_pfid"), array_distinct(col(setCol)).as("_pfset"))
+      .cache()
       .filter(size(col("_pfset")) > 0)
     val tok = sets.select(col("_pfid"), explode(col("_pfset")).as("tok"))
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -226,8 +233,11 @@ object Dedup {
       .withColumn("sz", size(col("toks")))
       .withColumn("plen", (col("sz")
         - ceil(col("sz") * lit(threshold) - lit(1e-9)) + 1).cast("int"))
+    // cached: the candidate self-join otherwise recomputes the whole
+    // dfreq-join + per-doc reorder pipeline once per side
     val pre = ordered.select(col("_pfid"), col("sz"),
       explode(slice(col("toks"), lit(1), col("plen"))).as("tok"))
+      .cache()
     val cand = pre
       .select(col("_pfid").as("doc_a"), col("sz").as("sz_a"), col("tok"))
       .join(pre.select(col("_pfid").as("doc_b"), col("sz").as("sz_b"),
@@ -263,8 +273,12 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    // same materialize-before-filter + cache rationale as
+    // [[prefixFilteredPairs]]: the relation is read by the token explode,
+    // the inverted-index side, and both verification joins
     val sets = docs
       .select(col(idCol).as("_cjid"), array_distinct(col(setCol)).as("_cjset"))
+      .cache()
       .filter(size(col("_cjset")) > 0)
     val tok = sets.select(col("_cjid"), explode(col("_cjset")).as("tok"))
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))

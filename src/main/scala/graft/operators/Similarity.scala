@@ -241,13 +241,9 @@ object Similarity {
     Array.tabulate(subspaces, k, sub)((m, c, j) => pivots(c)(m * sub + j))
   }
 
-  /** Integer squared L2 between a subvector of `uq` and codeword `cw`. */
-  private def pqSubDist(uq: Column, m: Int, sub: Int,
-      cw: Array[Long]): Column =
-    (0 until sub).map { j =>
-      val d = element_at(uq, m * sub + j + 1) - lit(cw(j))
-      d * d
-    }.reduce(_ + _)
+  /** Flatten a codebook (m)(c)(j) for the native kernels' literal arg. */
+  private def cbFlat(cb: Array[Array[Array[Long]]]): Column =
+    lit(cb.flatten.flatten)
 
   /** Product-quantized ANN top-k (Jégou et al., PAMI 2011) — the 100 TB
     * memory ladder's last rung: int8 scalar quantization (q148) shrinks
@@ -266,23 +262,25 @@ object Similarity {
     * measured in SimilaritySpec.
     */
   /** Attach the `codes` column (one codeword id per subspace): integer
-    * argmin over the codebook, first-min tie-break — row-local encode.
+    * argmin over the codebook, first-min tie-break — row-local encode via
+    * the native `graft_pq_encode` kernel (graft.functions.PqEncodeCodes):
+    * ONE codegen'd Catalyst node instead of a ~subspaces × codewords ×
+    * subdim expression tree whose planning and double-evaluated argmin
+    * dominated q152/q154 wall time. Requires `GraftFunctions.register`.
     */
   def pqEncode(corpusUq: DataFrame,
       cb: Array[Array[Array[Long]]], sub: Int): DataFrame =
-    corpusUq.withColumn("codes", array(cb.indices.map { m =>
-      val dists = array(cb(m).map(cw => pqSubDist(col("uq"), m, sub, cw)): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }: _*))
+    corpusUq.withColumn("codes", call_function("graft_pq_encode",
+      col("uq"), cbFlat(cb), lit(cb.length), lit(cb.head.length)))
 
   /** Attach the per-query ADC distance TABLE `qtab`: distance to every
-    * codeword of every subspace, flattened subspace-major — row-local.
+    * codeword of every subspace, flattened subspace-major — row-local,
+    * same native-kernel rationale as [[pqEncode]].
     */
   def pqQueryTable(queriesUq: DataFrame,
       cb: Array[Array[Array[Long]]], sub: Int): DataFrame =
-    queriesUq.withColumn("qtab",
-      array((for { m <- cb.indices; cw <- cb(m) }
-        yield pqSubDist(col("uq"), m, sub, cw)): _*))
+    queriesUq.withColumn("qtab", call_function("graft_pq_qtab",
+      col("uq"), cbFlat(cb), lit(cb.length), lit(cb.head.length)))
 
   /** ADC score of a `codes` row against a `qtab` row: one table lookup
     * per subspace, summed — all integer.
@@ -298,7 +296,13 @@ object Similarity {
     require(dims % subspaces == 0,
       s"dims ($dims) must split evenly into $subspaces subspaces")
     val sub = dims / subspaces
-    val corpusUq = microUnit(corpus)
+    // cache the micro-unit corpus: the encode expression reads `uq` with
+    // ~subspaces x codewords x subdim element_at calls per row, and an
+    // UNmaterialized uq (an interpreted transform chain) would be
+    // re-evaluated per element_at — measured as the difference between a
+    // ~1 s and a ~15 s encode at sf0.1. The codebook collect below reads
+    // the same cached relation.
+    val corpusUq = microUnit(corpus).cache()
     val cb = pqCodebook(corpusUq, subspaces, codewords, dims)
     val enc = pqEncode(corpusUq, cb, sub)
     val qtab = pqQueryTable(microUnit(queries), cb, sub)
@@ -332,7 +336,9 @@ object Similarity {
     require(dims % subspaces == 0,
       s"dims ($dims) must split evenly into $subspaces subspaces")
     val sub = dims / subspaces
-    val corpusUq = microUnit(corpus)
+    // cached for the same element_at-over-unmaterialized-uq reason as
+    // pqTopK (encode + codebook collect both read it)
+    val corpusUq = microUnit(corpus).cache()
     val cb = pqCodebook(corpusUq, subspaces, codewords, dims)
     val lists = assignToCentroids(corpus, centroids)
       .select(col("vec_id").as("neighbor_id"), col("centroid_id"))

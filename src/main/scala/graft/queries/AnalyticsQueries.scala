@@ -309,6 +309,28 @@ object AnalyticsQueries {
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
           col("n"), col("gid"))),
 
+    // Arbitrary GROUPING SETS — the general form rollup (q16) and cube
+    // (q43) are special cases of: a cherry-picked set list that neither
+    // produces ((flag, status), (shipmode), ()). One Expand (3x row
+    // replication, one per set) feeding ONE hash aggregate — at scale
+    // this beats three separate scans+aggregates because the input is
+    // read once and the partials combine map-side per set. grouping_id
+    // bit order matches DuckDB's grouping(a, b, c) (q43-established).
+    "q162_grouping_sets" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("l_shipmonth", month(col("l_shipdate")).cast("long"))
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_shipmonth")), Seq.empty[org.apache.spark.sql.Column]),
+          col("l_returnflag"), col("l_linestatus"), col("l_shipmonth"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+            .as("sum_qty"),
+          count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          coalesce(col("l_shipmonth"), lit(-1L)).as("l_shipmonth"),
+          col("sum_qty"), col("n"), col("gid"))),
+
     // Forward as-of: each order picks up the customer's next event at or
     // after the order date (null when the customer has no events).
     "q56_asof_forward" -> ((s, d) => {
@@ -657,6 +679,20 @@ object AnalyticsQueries {
         |       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q162_grouping_sets" ->
+      """WITH li AS (
+        |  SELECT *, CAST(month(l_shipdate) AS BIGINT) AS l_shipmonth
+        |  FROM lineitem
+        |)
+        |SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |       coalesce(l_shipmonth, -1) AS l_shipmonth,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n,
+        |       CAST(grouping(l_returnflag, l_linestatus, l_shipmonth) AS BIGINT) AS gid
+        |FROM li
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_shipmonth), ())""".stripMargin,
 
     "q56_asof_forward" ->
       """WITH r AS (

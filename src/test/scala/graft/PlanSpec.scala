@@ -13,6 +13,17 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("q162 grouping sets: ONE Expand into ONE aggregate pair — the " +
+    "input is scanned once, not once per set") {
+    val p = plan("q162_grouping_sets")
+    assert(p.contains("Expand"), s"grouping sets lost its Expand:\n$p")
+    assert("Expand".r.findAllIn(p).size == 1,
+      s"expected a single Expand (one scan for all sets):\n$p")
+    assert(p.contains("partial_"), s"map-side partial aggregation lost:\n$p")
+    assert(!p.contains("Union"),
+      s"grouping sets degenerated into per-set scans unioned:\n$p")
+  }
+
   test("q151/q156 prefix-filtered joins never plan a cartesian or " +
       "nested-loop product") {
     for (q <- Seq("q151_prefix_join", "q156_containment_join")) {
