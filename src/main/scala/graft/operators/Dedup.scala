@@ -234,17 +234,32 @@ object Dedup {
       .withColumn("plen", (col("sz")
         - ceil(col("sz") * lit(threshold) - lit(1e-9)) + 1).cast("int"))
     // cached: the candidate self-join otherwise recomputes the whole
-    // dfreq-join + per-doc reorder pipeline once per side
+    // dfreq-join + per-doc reorder pipeline once per side. Positions are
+    // kept (0-based, in global frequency order) for the PPJoin position
+    // filter below.
     val pre = ordered.select(col("_pfid"), col("sz"),
-      explode(slice(col("toks"), lit(1), col("plen"))).as("tok"))
+      posexplode(slice(col("toks"), lit(1), col("plen")))
+        .as(Seq("pos", "tok")))
       .cache()
+    // Jaccard >= t  <=>  overlap >= t/(1+t)·(|x|+|y|); at a matched token
+    // sitting at positions (pos_a, pos_b) the overlap is bounded by
+    // 1 + min(remaining_a, remaining_b) (PPJoin, Xiao et al.). The pair's
+    // FIRST shared token in frequency order lies in both prefixes and
+    // satisfies the bound when the pair truly qualifies, so keeping pairs
+    // where ANY matched row passes is lossless — late frequent-token-only
+    // collisions drop before the distinct and the verify join.
     val cand = pre
-      .select(col("_pfid").as("doc_a"), col("sz").as("sz_a"), col("tok"))
+      .select(col("_pfid").as("doc_a"), col("sz").as("sz_a"),
+        col("pos").as("pos_a"), col("tok"))
       .join(pre.select(col("_pfid").as("doc_b"), col("sz").as("sz_b"),
-        col("tok")), Seq("tok"))
+        col("pos").as("pos_b"), col("tok")), Seq("tok"))
       .filter(col("doc_a") < col("doc_b")
         && col("sz_b") >= col("sz_a") * lit(threshold) - lit(1e-9)
         && col("sz_a") >= col("sz_b") * lit(threshold) - lit(1e-9))
+      .filter(lit(1) + least(col("sz_a") - 1 - col("pos_a"),
+          col("sz_b") - 1 - col("pos_b"))
+        >= ceil((col("sz_a") + col("sz_b"))
+          * lit(threshold / (1.0 + threshold)) - lit(1e-9)))
       .select(col("doc_a"), col("doc_b")).distinct()
     cand
       .join(sets.select(col("_pfid").as("doc_a"), col("_pfset").as("sh_a")),
@@ -282,19 +297,40 @@ object Dedup {
       .filter(size(col("_cjset")) > 0)
     val tok = sets.select(col("_cjid"), explode(col("_cjset")).as("tok"))
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val prefix = tok.join(dfreq, Seq("tok"))
+    // cached: both explode sides below re-derive it otherwise
+    val ordered = tok.join(dfreq, Seq("tok"))
       .groupBy(col("_cjid"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
       .select(col("_cjid"),
         transform(col("ord"), x => x.getField("tok")).as("toks"))
       .withColumn("sz", size(col("toks")))
+      .cache()
+    val prefix = ordered
       .withColumn("plen", (col("sz")
         - ceil(col("sz") * lit(threshold) - lit(1e-9)) + 1).cast("int"))
-      .select(col("_cjid").as("doc_a"),
-        explode(slice(col("toks"), lit(1), col("plen"))).as("tok"))
+      .select(col("_cjid").as("doc_a"), col("sz").as("sz_a"),
+        posexplode(slice(col("toks"), lit(1), col("plen")))
+          .as(Seq("pos_a", "tok")))
+    // container side: ALL tokens, WITH their frequency-order positions —
+    // fuel for the PPJoin-style position filter below
+    val ytok = ordered.select(col("_cjid").as("doc_b"), col("sz").as("sz_b"),
+      posexplode(col("toks")).as(Seq("pos_b", "tok")))
+    // Position filter (Xiao et al., PPJoin, applied one-sidedly): at a
+    // matched token sitting at 0-based frequency-order positions
+    // (pos_a, pos_b), the overlap can be at most
+    // 1 + min(remaining_a, remaining_b). A truly containing pair's FIRST
+    // shared token in frequency order satisfies
+    // 1 + min(...) >= actual overlap >= ceil(t·|x|), so keeping pairs
+    // where ANY matched row passes is lossless — but pairs whose only
+    // collisions are late frequent tokens (the dominant false-candidate
+    // mode on dense corpora) drop before the distinct and the verify join
+    // ever see them.
     val cand = prefix
-      .join(tok.select(col("_cjid").as("doc_b"), col("tok")), Seq("tok"))
+      .join(ytok, Seq("tok"))
       .filter(col("doc_a") =!= col("doc_b"))
+      .filter(lit(1) + least(col("sz_a") - 1 - col("pos_a"),
+          col("sz_b") - 1 - col("pos_b"))
+        >= ceil(col("sz_a") * lit(threshold) - lit(1e-9)))
       .select(col("doc_a"), col("doc_b")).distinct()
     cand
       .join(sets.select(col("_cjid").as("doc_a"), col("_cjset").as("sh_a")),
