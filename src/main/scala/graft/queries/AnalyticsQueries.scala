@@ -68,6 +68,57 @@ object AnalyticsQueries {
       Relational.setCompare(open, fin)
     }),
 
+    // BAG (multiset) set operations — the ALL variants q17's DISTINCT
+    // forms silently differ from: INTERSECT ALL keeps min(multiplicity)
+    // per key, EXCEPT ALL keeps the positive multiplicity excess. A
+    // classic engine-correctness trap (bag vs set semantics); Spark plans
+    // both as one count-aggregate + replicate per side — keyed shuffles,
+    // no distinct-then-join approximation.
+    "q163_bag_ops" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val fin = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      open.intersectAll(fin).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n")).withColumn("tag", lit("common_min"))
+        .unionByName(open.exceptAll(fin).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n")).withColumn("tag", lit("open_excess")))
+    }),
+
+    // TPC-H Q7 shape (volume shipping between two nations): the 6-table
+    // join where every dimension chain (supplier->nation, customer->
+    // nation) broadcasts and ONLY lineitem JOIN orders shuffles — the
+    // canonical star-to-snowflake plan at 100 TB. Exact decimal revenue
+    // (q50 idiom), grouped by nation pair x ship year.
+    "q164_nation_volume" -> ((s, d) => {
+      val n1 = Tables.nation(s, d).select(col("n_nationkey").as("s_nationkey"),
+        col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).select(col("n_nationkey").as("c_nationkey"),
+        col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), Seq("s_nationkey"))
+        .join(broadcast(n2), Seq("c_nationkey"))
+        .filter((col("supp_nation") === "NATION_1"
+            && col("cust_nation") === "NATION_2")
+          || (col("supp_nation") === "NATION_2"
+            && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
     // Semi/anti join: customers with vs without urgent orders.
     "q18_semi_anti" -> ((s, d) => {
       val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
@@ -626,6 +677,30 @@ object AnalyticsQueries {
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey ASC
         |LIMIT 10""".stripMargin,
+
+    "q163_bag_ops" ->
+      """WITH open AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |fin AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |ia AS (SELECT o_custkey FROM open INTERSECT ALL SELECT o_custkey FROM fin),
+        |ea AS (SELECT o_custkey FROM open EXCEPT ALL SELECT o_custkey FROM fin)
+        |SELECT o_custkey, count(*) AS n, 'common_min' AS tag FROM ia GROUP BY 1
+        |UNION ALL
+        |SELECT o_custkey, count(*) AS n, 'open_excess' AS tag FROM ea GROUP BY 1""".stripMargin,
+
+    "q164_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
+        |         AS DOUBLE) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem, orders, supplier, customer, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |  AND o_custkey = c_custkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q51_local_supplier_volume" ->
       """SELECT n_name,

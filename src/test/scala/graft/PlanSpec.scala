@@ -60,6 +60,15 @@ class PlanSpec extends SparkSpec {
       s"a dimension fell back to sort-merge:\n$p")
   }
 
+  test("q164 snowflake join: every dimension chain broadcasts (the fact-" +
+    "fact join may also broadcast at tiny SF under AQE)") {
+    val p = plan("q164_nation_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"expected supplier/customer/nation/nation to broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"join degenerated:\n$p")
+  }
+
   test("q96 zorder is exchange-free whole-stage codegen") {
     val p = plan("q96_zorder")
     assert(!p.contains("Exchange"), s"zorder must not shuffle:\n$p")
