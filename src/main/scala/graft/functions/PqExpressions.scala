@@ -229,10 +229,13 @@ object PqExpressions {
         s"got ${exprs.length}")
     require(exprs.tail.forall(_.foldable),
       s"$name: cbflat/subspaces/codewords must be literals")
-    val cb = exprs(1).eval() match {
-      case a: ArrayData => a.toLongArray()
-      case other => throw new IllegalArgumentException(
-        s"$name: cbflat must be ARRAY<BIGINT>, got $other")
+    // SQL-surface integer literals arrive as ARRAY<INT>; widen to long
+    val cb = (exprs(1).eval(), exprs(1).dataType) match {
+      case (a: ArrayData, ArrayType(LongType, _)) => a.toLongArray()
+      case (a: ArrayData, ArrayType(IntegerType, _)) =>
+        a.toIntArray().map(_.toLong)
+      case (_, dt) => throw new IllegalArgumentException(
+        s"$name: cbflat must be ARRAY<BIGINT>, got ${dt.catalogString}")
     }
     val subspaces = exprs(2).eval().asInstanceOf[Number].intValue()
     val codewords = exprs(3).eval().asInstanceOf[Number].intValue()

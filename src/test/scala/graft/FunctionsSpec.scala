@@ -77,6 +77,64 @@ class FunctionsSpec extends SparkSpec {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
 
+  test("graft_pq_encode / graft_pq_qtab equal an in-memory reference on " +
+    "pseudo-random lattices (codegen path), null/short poison") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val subspaces = 4
+    val codewords = 5
+    val sub = 3
+    val dims = subspaces * sub
+    // deterministic pseudo-random codebook and vectors on the micro lattice
+    def lcg(seed: Long): Long = (seed * 6364136223846793005L + 1442695040888963407L)
+    val cb = Array.tabulate(subspaces * codewords * sub)(i =>
+      (lcg(i + 7L) % 2000001L + 2000001L) % 2000001L - 1000000L)
+    val rows = (1L to 200L).map { i =>
+      (i, (0 until dims).map(j =>
+        (lcg(i * 131 + j) % 2000001L + 2000001L) % 2000001L - 1000000L))
+    }
+    // in-memory reference: integer squared-L2 argmin, first-min tie-break
+    def refCodes(v: Seq[Long]): Seq[Int] = (0 until subspaces).map { m =>
+      (0 until codewords).minBy { c =>
+        (0 until sub).map { j =>
+          val d = v(m * sub + j) - cb((m * codewords + c) * sub + j); d * d
+        }.sum
+      }
+    }
+    def refTab(v: Seq[Long]): Seq[Long] =
+      for { m <- 0 until subspaces; c <- 0 until codewords } yield
+        (0 until sub).map { j =>
+          val d = v(m * sub + j) - cb((m * codewords + c) * sub + j); d * d
+        }.sum
+    val df = rows.toDF("id", "uq")
+    val got = df.select(col("id"),
+        call_function("graft_pq_encode", col("uq"), lit(cb),
+          lit(subspaces), lit(codewords)).as("codes"),
+        call_function("graft_pq_qtab", col("uq"), lit(cb),
+          lit(subspaces), lit(codewords)).as("qtab"))
+      .as[(Long, Seq[Int], Seq[Long])].collect()
+    got.foreach { case (i, codes, qtab) =>
+      val v = rows(i.toInt - 1)._2
+      assert(codes == refCodes(v), s"codes mismatch for row $i")
+      assert(qtab == refTab(v), s"qtab mismatch for row $i")
+    }
+    // ties break to the FIRST minimum: duplicate codeword 0 as codeword 1
+    val cbTie = cb.clone()
+    for (m <- 0 until subspaces; j <- 0 until sub)
+      cbTie((m * codewords + 1) * sub + j) = cbTie(m * codewords * sub + j)
+    val tied = Seq((1L, cbTie.grouped(codewords * sub).toSeq.flatMap(
+      _.take(sub)))).toDF("id", "uq")
+    val tcodes = tied.select(call_function("graft_pq_encode", col("uq"),
+      lit(cbTie), lit(subspaces), lit(codewords))).as[Seq[Int]].head()
+    assert(tcodes.forall(_ == 0), s"tie must pick the first min, got $tcodes")
+    // too-short and null-element inputs poison to NULL
+    assert(spark.sql(s"SELECT graft_pq_encode(array(1L, 2L), " +
+      s"array(${cb.mkString(",")}), $subspaces, $codewords)").head().isNullAt(0))
+    assert(spark.sql(s"SELECT graft_pq_qtab(" +
+      s"array(${Seq.fill(dims)("CAST(NULL AS BIGINT)").mkString(",")}), " +
+      s"array(${cb.mkString(",")}), $subspaces, $codewords)").head().isNullAt(0))
+  }
+
   test("graft_jaro_winkler: textbook vectors, empty rule, null safety") {
     GraftFunctions.register(spark)
     def jw(a: String, b: String): Double =
