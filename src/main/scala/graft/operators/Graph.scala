@@ -152,19 +152,27 @@ object Graph {
   }
 
   /** Single-source shortest paths over an UNDIRECTED weighted edge list,
-    * in exact BIGINT arithmetic (Bellman-Ford by rounds).
+    * in exact BIGINT arithmetic (frontier-based Bellman-Ford).
     *
-    * Each round relaxes every edge once — `dist' = min(dist, min over
-    * incoming edges of dist(src) + w)` — as ONE node-keyed join plus one
-    * min-aggregate, with map-side partial mins, so a round's shuffle
-    * carries one row per reached node, never per edge. Distances are
-    * BIGINT sums of BIGINT weights: no float ever forms, so results are
-    * bit-identical at any parallelism (the q99 integer-PageRank
-    * discipline). `localCheckpoint` per round truncates lineage, and the
-    * loop stops at the FIXPOINT (a round that changes nothing), throwing
-    * loudly if `maxIter` rounds don't converge — a silently partial
-    * distance table would be a plausible-but-wrong answer, and the
-    * unrolled-CTE oracle is only valid at the fixpoint.
+    * Each round relaxes ONLY the frontier — the nodes whose distance
+    * improved last round — not every reached node: `cand = min over
+    * frontier edges of dist(src) + w`, then `improved = cand < dist`.
+    * That is the delta Bellman-Ford recurrence (the [[bfsHops]] frontier
+    * discipline with weights): per-round join work is proportional to the
+    * frontier's edge neighborhood, which peaks mid-propagation and decays
+    * to zero, instead of |reached| × degree every round. The fixpoint is
+    * identical to full relaxation — a node re-enters the frontier iff its
+    * distance improves, and with non-negative weights every improvement
+    * propagates from some frontier node — so the unrolled full-relax CTE
+    * oracle still matches bit-for-bit.
+    *
+    * Distances are BIGINT sums of BIGINT weights: no float ever forms, so
+    * results are bit-identical at any parallelism (the q99 integer-
+    * PageRank discipline). `localCheckpoint` per round truncates lineage.
+    * Convergence IS the empty frontier (no separate change-detection
+    * join); the loop throws loudly if `maxIter` rounds don't drain it — a
+    * silently partial distance table would be a plausible-but-wrong
+    * answer.
     *
     * Only reached nodes appear in the output (the frontier grows from
     * `source`); weights must be non-negative for the fixpoint to be the
@@ -181,19 +189,24 @@ object Graph {
       .distinct().localCheckpoint()
     var dist = sym.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = dist
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val relaxed = dist.join(sym, dist("node") === sym("src"))
-        .select(sym("dst").as("node"), (dist("dist") + sym("w")).as("dist"))
-      val next = dist.unionByName(relaxed)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val cand = frontier.join(sym, frontier("node") === sym("src"))
+        .select(sym("dst").as("node"),
+          (frontier("dist") + sym("w")).as("cand"))
+        .groupBy(col("node")).agg(min(col("cand")).as("cand"))
+      val improved = cand.join(dist, Seq("node"), "left")
+        .filter(col("dist").isNull || col("cand") < col("dist"))
+        .select(col("node"), col("cand").as("dist"))
         .localCheckpoint()
-      converged = next
-        .join(dist.withColumnRenamed("dist", "_old"), Seq("node"), "left")
-        .filter(col("_old").isNull || col("_old") =!= col("dist"))
-        .isEmpty
-      dist = next
+      converged = improved.isEmpty
+      if (!converged) {
+        dist = dist.join(improved, Seq("node"), "left_anti")
+          .unionByName(improved).localCheckpoint()
+        frontier = improved
+      }
       i += 1
     }
     if (!converged)

@@ -40,8 +40,10 @@ object WarehouseQueries {
        |    GROUP BY s.dst) m ON d.src = m.node
        |)""".stripMargin
 
-  /** One Bellman-Ford relaxation round as SQL: dist' = min over (keep,
-    * relax-across-every-edge). Mirrors `Graph.ssspInt`'s loop body.
+  /** One FULL Bellman-Ford relaxation round as SQL: dist' = min over
+    * (keep, relax-across-every-edge). `Graph.ssspInt` relaxes only the
+    * frontier, but the two recurrences share the same fixpoint, which is
+    * where the comparison happens (ssspInt throws before convergence).
     */
   private def ssspIterSql(cur: String, prev: String): String =
     s"""$cur AS MATERIALIZED (
