@@ -391,6 +391,81 @@ object Dedup {
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 
+  /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et al.
+    * 2014, "Connected Components in MapReduce and Beyond" — the
+    * large-star/small-star algorithm): same contract and output as
+    * [[connectedComponents]] (node → minimum reachable id), different
+    * convergence law. Neighbor-min label propagation needs O(component
+    * diameter) rounds — fine for near-dup graphs (near-cliques, 2–3
+    * rounds), ruinous for long chains at 100 TB, where a diameter-10⁴
+    * component means 10⁴ shuffles. Star contraction converges in
+    * O(log n) rounds REGARDLESS of diameter: each round rewires every
+    * node toward its neighborhood minimum, so component trees halve in
+    * height per large+small pair.
+    *
+    * One round = large-star (every node's strictly-LARGER neighbors
+    * reconnect to min({u} ∪ N(u))) then small-star (every node and its
+    * smaller-or-equal neighbors reconnect to min({u} ∪ N⁻(u)) over the
+    * SMALLER neighbors only). Both phases preserve connectivity exactly
+    * (paper, Lemmas 1–2) and strictly shrink the edge partial order, so
+    * the fixpoint — edge set unchanged by a full round — is the star
+    * forest (v → component min). Each phase is one groupBy-min plus one
+    * node-keyed join on the canonicalized edge set; nothing ever leaves
+    * the cluster, and the driver sees only the one-row fixpoint check.
+    * `localCheckpoint` per phase truncates lineage (the
+    * [[connectedComponents]] discipline).
+    */
+  def connectedComponentsStar(pairs: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int = 25): DataFrame = {
+    // canonical undirected edge set: (hi a, lo b), self-loops dropped
+    def canon(df: DataFrame): DataFrame = df
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("b").as("a"), col("a").as("b")))
+
+    var edges = canon(pairs.select(col(srcCol).as("a"), col(dstCol).as("b")))
+      .localCheckpoint()
+    var converged = edges.isEmpty // an edgeless graph is already a star forest
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: (v, min({u} ∪ N(u))) for every neighbor v > u
+      val nbr = sym(edges) // (u = a, v = b)
+      val mAll = nbr.groupBy(col("a").as("u"))
+        .agg(min(col("b")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = canon(nbr.filter(col("b") > col("a"))
+          .join(mAll, col("a") === col("u"))
+          .select(col("b").as("a"), col("m").as("b")))
+        .localCheckpoint()
+      // small-star: m over the SMALLER neighbors ∪ self; reconnect them
+      // and u itself to m
+      val smaller = sym(large).filter(col("b") < col("a")) // (u = a, v = b)
+      val mSmall = smaller.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val small = canon(smaller.join(mSmall, Seq("a"))
+          .select(col("b").as("a"), col("m").as("b"))
+          .union(mSmall.select(col("a"), col("m").as("b"))))
+        .localCheckpoint()
+      // fixpoint: a full round changed nothing (set equality via counts +
+      // one-sided except — both sets are distinct canonical rows)
+      converged = small.count() == edges.count() &&
+        small.except(edges).isEmpty
+      edges = small
+      i += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds — " +
+        "raise maxIter")
+    // at the fixpoint every edge is (node, component-min); nodes that only
+    // ever paired with themselves fall back to self-labels
+    val nodes = pairs.select(col(srcCol).as("node"))
+      .union(pairs.select(col(dstCol).as("node"))).distinct()
+    nodes.join(edges.select(col("a").as("node"), col("b").as("root")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("root"), col("node")).as("cluster_id"))
+  }
+
   /** Exact dedup: canonical row per duplicate group (min id wins —
     * deterministic, unlike dropDuplicates' arbitrary row). One shuffle on
     * the group hash.

@@ -62,6 +62,22 @@ object DedupQueries {
       |        FROM documents)
       |)""".stripMargin
 
+  /** q52/q165's shared pair graph: LSH candidates verified at Jaccard ≥
+    * 0.5. Cached because the band table feeds both sides of the candidate
+    * self-join.
+    */
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val m = minhashed(s, d)
+      .withColumn("bands", Dedup.lshBands(col("sig"), 4, 2)).cache()
+    val cand = Dedup.candidatePairs(m, "doc_id", "bands")
+    val sh = shingled(s, d).cache()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E1: exact dedup with deterministic canonical selection (min doc_id).
     "q22_dedup_exact" -> ((s, d) =>
@@ -175,20 +191,23 @@ object DedupQueries {
 
     // Near-dup CLUSTERS: connected components over the verified LSH pair
     // graph; canonical = min doc_id in the cluster.
-    "q52_dedup_clusters" -> ((s, d) => {
-      val m = minhashed(s, d)
-        .withColumn("bands", Dedup.lshBands(col("sig"), 4, 2)).cache()
-      val cand = Dedup.candidatePairs(m, "doc_id", "bands")
-      val sh = shingled(s, d).cache()
-      val verified = cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
-        .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.5)
-        .select(col("doc_a"), col("doc_b"))
-      Dedup.connectedComponents(verified, "doc_a", "doc_b", maxIter = 50)
+    "q52_dedup_clusters" -> ((s, d) =>
+      Dedup.connectedComponents(verifiedPairs(s, d), "doc_a", "doc_b",
+          maxIter = 50)
         .select(col("node").as("doc_id"), col("cluster_id"),
-          (col("node") === col("cluster_id")).as("is_canonical"))
-    }),
+          (col("node") === col("cluster_id")).as("is_canonical"))),
+
+    // The SAME clusters via alternating large-star/small-star contraction
+    // (Kiveris et al. 2014): O(log n) rounds regardless of component
+    // diameter, where q52's neighbor-min propagation pays O(diameter).
+    // Near-dup graphs are near-cliques so both are fast HERE; at 100 TB a
+    // boilerplate-chain component (A~B~C~... with no A~C edge) can have
+    // huge diameter, and this is the variant that survives it. Identical
+    // output by construction — same oracle as q52 proves it.
+    "q165_cc_star" -> ((s, d) =>
+      Dedup.connectedComponentsStar(verifiedPairs(s, d), "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("cluster_id"),
+          (col("node") === col("cluster_id")).as("is_canonical"))),
 
     // 60-bit SimHash sketch per document.
     "q26_simhash_sig" -> ((s, d) => simhashed(s, d)),
@@ -265,6 +284,39 @@ object DedupQueries {
         .groupBy(col("src_a"), col("src_b"))
         .agg(count(lit(1)).as("n_shared_spans"))
     }))
+
+  /** The near-dup cluster oracle (recursive reachability + min-id label),
+    * shared verbatim by q52 (neighbor-min CC) and q165 (star-contraction
+    * CC): both must hash-match the same DuckDB answer, which is the
+    * cross-algorithm equivalence proof on real data.
+    */
+  private lazy val ClusterOracle: String =
+    s"""${MhCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS (
+       |  SELECT doc_id, i AS band, md5(sig[2*i+1] || sig[2*i+2]) AS bh
+       |  FROM mh, UNNEST(range(0, 4)) u(i)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |), verified AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+       |            JOIN sh y ON cand.doc_b = y.doc_id
+       |  WHERE len(list_distinct(list_intersect(x.shingles, y.shingles))) /
+       |        (len(list_distinct(x.shingles)) + len(list_distinct(y.shingles))
+       |         - len(list_distinct(list_intersect(x.shingles, y.shingles)))) >= 0.5
+       |), edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM verified
+       |  UNION SELECT doc_b, doc_a FROM verified
+       |), reach AS (
+       |  SELECT DISTINCT s AS node, s AS r FROM edges
+       |  UNION
+       |  SELECT reach.node, edges.d
+       |  FROM reach JOIN edges ON reach.r = edges.s
+       |)
+       |SELECT node AS doc_id, min(r) AS cluster_id,
+       |       node = min(r) AS is_canonical
+       |FROM reach GROUP BY node""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q22_dedup_exact" ->
@@ -381,33 +433,12 @@ object DedupQueries {
          |WHERE len(list_distinct(list_intersect(a.shingles, b.shingles)))
          |        / len(list_distinct(a.shingles)) >= 0.7""".stripMargin,
 
-    "q52_dedup_clusters" ->
-      s"""${MhCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS (
-         |  SELECT doc_id, i AS band, md5(sig[2*i+1] || sig[2*i+2]) AS bh
-         |  FROM mh, UNNEST(range(0, 4)) u(i)
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-         |), verified AS (
-         |  SELECT doc_a, doc_b
-         |  FROM cand JOIN sh x ON cand.doc_a = x.doc_id
-         |            JOIN sh y ON cand.doc_b = y.doc_id
-         |  WHERE len(list_distinct(list_intersect(x.shingles, y.shingles))) /
-         |        (len(list_distinct(x.shingles)) + len(list_distinct(y.shingles))
-         |         - len(list_distinct(list_intersect(x.shingles, y.shingles)))) >= 0.5
-         |), edges AS (
-         |  SELECT doc_a AS s, doc_b AS d FROM verified
-         |  UNION SELECT doc_b, doc_a FROM verified
-         |), reach AS (
-         |  SELECT DISTINCT s AS node, s AS r FROM edges
-         |  UNION
-         |  SELECT reach.node, edges.d
-         |  FROM reach JOIN edges ON reach.r = edges.s
-         |)
-         |SELECT node AS doc_id, min(r) AS cluster_id,
-         |       node = min(r) AS is_canonical
-         |FROM reach GROUP BY node""".stripMargin,
+    "q52_dedup_clusters" -> ClusterOracle,
+
+    // Same clusters, computed by star contraction on the Spark side —
+    // the oracle is deliberately identical to q52's: the hash match IS
+    // the proof the two CC algorithms agree on real data.
+    "q165_cc_star" -> ClusterOracle,
 
     "q26_simhash_sig" ->
       s"""$SimCte SELECT doc_id, simhash FROM sim""".stripMargin,

@@ -364,6 +364,42 @@ class IngestOpsSpec extends SparkSpec {
     assert(ok.values.toSet == Set(1L))
   }
 
+  test("connectedComponentsStar: chain, clique, pair, self-loop -> " +
+      "identical clusters to neighbor-min CC") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L),
+      (21L, 20L), (30L, 30L)).toDF("src", "dst")
+    val star = Dedup.connectedComponentsStar(pairs, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L))
+  }
+
+  test("connectedComponentsStar converges on a diameter-40 chain well " +
+      "under the diameter (the O(log n) claim) and matches neighbor-min") {
+    val chain = (1L to 41L).sliding(2).map(p => (p.head, p.last)).toSeq
+      .toDF("src", "dst")
+    // neighbor-min needs ~40 rounds for this graph; star needs O(log 41)
+    val star = Dedup.connectedComponentsStar(chain, "src", "dst", maxIter = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(star.keySet == (1L to 41L).toSet && star.values.toSet == Set(1L))
+  }
+
+  test("connectedComponentsStar equals connectedComponents on random " +
+      "graphs at any parallelism") {
+    val rnd = new scala.util.Random(20260813L)
+    (0 until 3).foreach { _ =>
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val df = edges.toDF("src", "dst").repartition(7)
+      val a = Dedup.connectedComponents(df, "src", "dst", maxIter = 50)
+        .as[(Long, Long)].collect().toMap
+      val b = Dedup.connectedComponentsStar(df, "src", "dst")
+        .as[(Long, Long)].collect().toMap
+      assert(a == b)
+    }
+  }
+
   test("jaccard: identical=1, disjoint=0") {
     val df = Seq((Seq("a b c", "b c d"), Seq("a b c", "b c d"), Seq("x y z")))
       .toDF("s1", "s2", "s3")
