@@ -224,6 +224,53 @@ object Relational {
         col("dist").cast("long").as("dist"))
   }
 
+  /** SORTED-NEIGHBORHOOD entity-resolution blocking (Hernández &
+    * Stolfo 1995, the merge/purge method): sort all records by a
+    * similarity-preserving key and compare only records within `w`
+    * positions of each other — O(n·w) comparisons instead of the
+    * quadratic all-pairs, and unlike equality blocking ([[fuzzyMatch]]'s
+    * `_blk`) it tolerates typos in the BLOCK KEY itself, because sort
+    * order keeps near-misses adjacent rather than sending them to
+    * different blocks.
+    *
+    * Scale shape: the global rank comes from range-sort +
+    * `zipWithIndex` ([[graft.operators.IngestOps.globalSequence]] — no
+    * single-partition window), and the neighborhood join is an
+    * EQUI-join on rank buckets of width `w`: a pair at distance ≤ w
+    * spans at most adjacent buckets, so the lower side fans out to
+    * (bucket, bucket+1) and each qualifying pair meets in EXACTLY one
+    * bucket (the upper rank's) — no distinct needed, no range join, no
+    * skew beyond the key distribution itself. Candidates are verified
+    * with `levenshtein(txt) <= maxDist` under the LevenshteinBandRule
+    * rewrite (length-band prefilter + early-exit DP).
+    *
+    * Returns (id_a, id_b, txt_a, txt_b, dist) with id_a/id_b ordered by
+    * rank (sort position), one row per verified pair.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
+      sortKey: Column, w: Int, maxDist: Int): DataFrame = {
+    require(w >= 1, s"window w must be positive, got $w")
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    graft.plans.GraftRules.register(df.sparkSession)
+    // (sortKey, id) is total because id is unique — rank is deterministic
+    val ranked = IngestOps.globalSequence(
+      df.select(col(idCol).as("id"), col(textCol).as("txt"),
+        sortKey.as("_sk")),
+      Seq(col("_sk"), col("id")), "_rnk")
+    val lower = ranked.select(col("id").as("id_a"), col("txt").as("txt_a"),
+        col("_rnk").as("_ra"),
+        explode(array(floor(col("_rnk") / w),
+          floor(col("_rnk") / w) + 1)).as("_bkt"))
+    val upper = ranked.select(col("id").as("id_b"), col("txt").as("txt_b"),
+      col("_rnk").as("_rb"), floor(col("_rnk") / w).as("_bkt"))
+    lower.join(upper, Seq("_bkt"))
+      .filter(col("_rb") > col("_ra") && col("_rb") <= col("_ra") + w)
+      .withColumn("dist", levenshtein(col("txt_a"), col("txt_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("txt_a"), col("txt_b"),
+        col("dist").cast("long").as("dist"))
+  }
+
   /** MERGE-style upsert: apply a changeset to a base table by key. Rows
     * present only in `changes` are inserts, present in both take the
     * change row WHOLESALE (row-level replacement — a change row's null is

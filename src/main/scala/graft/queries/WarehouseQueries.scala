@@ -245,6 +245,20 @@ object WarehouseQueries {
           col("dist"))
     }),
 
+    // SORTED-NEIGHBORHOOD blocking (merge/purge): global rank over
+    // p_name (range-sort + zipWithIndex, never a single-partition
+    // window), rank-bucket equi-join of width 5, Levenshtein <= 2
+    // verify. The third blocking strategy next to q102 (equality
+    // blocks) and q125 (same blocks, Jaro-Winkler): O(n*w)
+    // comparisons, and a typo in the block key itself only shifts a
+    // record a few sort positions instead of exiling it to another
+    // block.
+    "q166_sorted_neighborhood" -> ((s, d) =>
+      Relational.sortedNeighborhoodPairs(Tables.part(s, d), "p_partkey",
+          "p_name", col("p_name"), w = 5, maxDist = 2)
+        .select(col("id_a").as("part_a"), col("id_b").as("part_b"),
+          col("dist"))),
+
     // Jaro-Winkler fuzzy pairs over canonical part names (q102's blocking,
     // different similarity): the native codegen'd graft_jaro_winkler
     // expression scores candidates inside the block join — no UDF fence.
@@ -993,6 +1007,19 @@ object WarehouseQueries {
         |       CAST(levenshtein(a.txt, b.txt) AS BIGINT) AS dist
         |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
         |WHERE levenshtein(a.txt, b.txt) <= 3""".stripMargin,
+
+    // The oracle ranks with a plain window row_number — the single-node
+    // formulation the distributed rank must equal exactly.
+    "q166_sorted_neighborhood" ->
+      """WITH r AS (
+        |  SELECT p_partkey AS id, p_name AS k,
+        |         row_number() OVER (ORDER BY p_name, p_partkey) AS rnk
+        |  FROM part
+        |)
+        |SELECT a.id AS part_a, b.id AS part_b,
+        |       CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+        |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5
+        |WHERE levenshtein(a.k, b.k) <= 2""".stripMargin,
 
     "q115_entity_resolution" ->
       """WITH RECURSIVE t AS (

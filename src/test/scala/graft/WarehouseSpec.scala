@@ -283,6 +283,39 @@ class WarehouseSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 1L), (4L, 5L, 1L)), s"got $out")
   }
 
+  test("sortedNeighborhoodPairs: window-local near-names found across " +
+      "block-key typos, matches a brute-force rank-window reference") {
+    // "bed ring" vs "red ring": a typo in the FIRST character — equality
+    // blocking on the first word would separate them; sort adjacency
+    // keeps them neighbors
+    val names = Seq((1L, "red ring"), (2L, "bed ring"), (3L, "red wing"),
+      (4L, "blue bolt"), (5L, "glue bolt"), (6L, "totally different"))
+      .toDF("id", "name")
+    val out = Relational.sortedNeighborhoodPairs(names.repartition(3), "id",
+        "name", col("name"), w = 3, maxDist = 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)]
+      .collect().toSet
+    // brute-force reference over the same total order
+    val ranked = names.collect().map(r => (r.getString(1), r.getLong(0)))
+      .sorted.zipWithIndex
+    val want = (for {
+      ((ka, a), ra) <- ranked; ((kb, b), rb) <- ranked
+      if rb > ra && rb <= ra + 3
+      d = {
+        val dp = Array.tabulate(ka.length + 1, kb.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to ka.length; j <- 1 to kb.length)
+          dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+            dp(i - 1)(j - 1) + (if (ka(i - 1) == kb(j - 1)) 0 else 1))
+        dp(ka.length)(kb.length).toLong
+      }
+      if d <= 2
+    } yield (a, b, d)).toSet
+    assert(out == want, s"got $out want $want")
+    assert(out.contains((2L, 1L, 1L)) || out.contains((1L, 2L, 1L)),
+      "cross-block typo pair must be found")
+  }
+
   test("Quality checks count violations without materializing rows") {
     val li = Seq((1L, 5.0, "a"), (1L, -2.0, "b"), (2L, 60.0, null),
       (9L, 10.0, "d")).toDF("fk", "qty", "tag")
