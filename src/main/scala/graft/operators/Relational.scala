@@ -224,6 +224,40 @@ object Relational {
         col("dist").cast("long").as("dist"))
   }
 
+  /** RELATIONAL DIVISION (Codd's ÷): the `a`-groups of `dividend` related
+    * to EVERY row of `divisor` — "suppliers who stock ALL these parts",
+    * "parts ordered under ALL priorities". The one classical operator SQL
+    * never got a keyword for; the textbook double-NOT-EXISTS formulation
+    * hides a nested anti-join pair the optimizer rarely unnests, so this
+    * plans the counting formulation instead: distinct (a, b) pairs
+    * restricted to divisor b's, grouped by a, kept where the per-group
+    * distinct-b count equals the divisor's count. Two hash aggregates and
+    * one equi-join; the divisor count rides along as a broadcast
+    * single-row frame (no driver action, stays one lazy plan).
+    *
+    * Empty divisor follows the algebra: division by ∅ returns ALL
+    * distinct `a` groups (vacuous truth), via a plan-level branch that
+    * is empty whenever the divisor isn't.
+    */
+  def divide(dividend: DataFrame, aCols: Seq[String], bCols: Seq[String],
+      divisor: DataFrame): DataFrame = {
+    require(aCols.nonEmpty && bCols.nonEmpty,
+      "divide needs at least one group column and one divisor column")
+    val dv = divisor.select(bCols.map(col): _*).distinct()
+    val total = broadcast(dv.agg(count(lit(1)).as("_total")))
+    val full = dividend
+      .select((aCols ++ bCols).map(col): _*).distinct()
+      .join(dv, bCols) // b's outside the divisor don't count toward it
+      .groupBy(aCols.map(col): _*).agg(count(lit(1)).as("_n"))
+      .crossJoin(total)
+      .filter(col("_n") === col("_total"))
+      .select(aCols.map(col): _*)
+    val vacuous = dividend.select(aCols.map(col): _*).distinct()
+      .crossJoin(total).filter(col("_total") === 0)
+      .select(aCols.map(col): _*)
+    full.unionByName(vacuous)
+  }
+
   /** SORTED-NEIGHBORHOOD entity-resolution blocking (Hernández &
     * Stolfo 1995, the merge/purge method): sort all records by a
     * similarity-preserving key and compare only records within `w`

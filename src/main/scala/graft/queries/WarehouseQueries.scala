@@ -245,6 +245,19 @@ object WarehouseQueries {
           col("dist"))
     }),
 
+    // RELATIONAL DIVISION: parts ordered under EVERY order priority —
+    // Codd's ÷ in its counting formulation (two hash aggregates + one
+    // equi-join; the divisor cardinality broadcasts as a one-row frame).
+    "q167_relational_division" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_orderkey"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      Relational.divide(
+        li.join(ord, col("l_orderkey") === col("o_orderkey")),
+        Seq("l_partkey"), Seq("o_orderpriority"), ord)
+    }),
+
     // SORTED-NEIGHBORHOOD blocking (merge/purge): global rank over
     // p_name (range-sort + zipWithIndex, never a single-partition
     // window), rank-bucket equi-join of width 5, Levenshtein <= 2
@@ -1007,6 +1020,13 @@ object WarehouseQueries {
         |       CAST(levenshtein(a.txt, b.txt) AS BIGINT) AS dist
         |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
         |WHERE levenshtein(a.txt, b.txt) <= 3""".stripMargin,
+
+    "q167_relational_division" ->
+      """SELECT l.l_partkey
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY l.l_partkey
+        |HAVING count(DISTINCT o.o_orderpriority) =
+        |       (SELECT count(DISTINCT o_orderpriority) FROM orders)""".stripMargin,
 
     // The oracle ranks with a plain window row_number — the single-node
     // formulation the distributed rank must equal exactly.

@@ -53,6 +53,18 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast delta joins:\n$p")
   }
 
+  test("q166 sorted-neighborhood blocking joins on rank buckets — " +
+      "never a cartesian, nested loop, or single-partition window") {
+    val p = plan("q166_sorted_neighborhood")
+    assert(!p.contains("CartesianProduct"), s"q166 went quadratic:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q166 planned a nested loop:\n$p")
+    // the global rank must come from the zipWithIndex path, not a
+    // Window.orderBy with no partition key (one-task funnel)
+    assert(!p.contains("Window"),
+      s"q166 regressed to a window-function global rank:\n$p")
+  }
+
   test("q14 star join broadcasts every dimension (no fact-side shuffle join)") {
     val p = plan("q14_star_join")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")

@@ -283,6 +283,24 @@ class WarehouseSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 1L), (4L, 5L, 1L)), s"got $out")
   }
 
+  test("relational divide: full coverage qualifies, partial doesn't, " +
+      "extra non-divisor b's don't help, empty divisor is vacuous truth") {
+    val dividend = Seq(
+      ("s1", "p1"), ("s1", "p2"), ("s1", "p3"), // all of divisor
+      ("s2", "p1"), ("s2", "p2"),               // missing p3
+      ("s3", "p1"), ("s3", "p2"), ("s3", "p9"), // p9 not in divisor
+      ("s1", "p1")                              // duplicate pair
+    ).toDF("sup", "part")
+    val divisor = Seq("p1", "p2", "p3").toDF("part")
+    val got = Relational.divide(dividend, Seq("sup"), Seq("part"), divisor)
+      .as[String].collect().toSet
+    assert(got == Set("s1"), s"got $got")
+    val vac = Relational.divide(dividend, Seq("sup"), Seq("part"),
+        divisor.filter(lit(false)))
+      .as[String].collect().toSet
+    assert(vac == Set("s1", "s2", "s3"), s"empty divisor must return all groups, got $vac")
+  }
+
   test("sortedNeighborhoodPairs: window-local near-names found across " +
       "block-key typos, matches a brute-force rank-window reference") {
     // "bed ring" vs "red ring": a typo in the FIRST character — equality
