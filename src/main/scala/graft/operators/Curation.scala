@@ -86,6 +86,39 @@ object Curation {
       .select(df.columns.map(col).toSeq: _*) // original column order
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (bottom-k /
+    * priority sampling): the k rows with the smallest md5-draw/weight
+    * ratio, so inclusion probability scales with `weightCol` but the
+    * sample is a PURE FUNCTION of the data — reruns, retries, and
+    * cluster-size changes reproduce it bit-for-bit, the property
+    * [[hashSample]]/[[stratifiedSample]] give uniform sampling, extended
+    * here to arbitrary weights (sample long documents more, or apply
+    * q77's mixture weights at the document level).
+    *
+    * One pass, bounded state: the [[graft.functions.WeightedSampleAggregator]]
+    * holds ≤ k candidates per map task and merges associatively
+    * (ObjectHashAggregate with map-side combine), so nothing resembling
+    * a global sort or a full shuffle ever forms. Ratio comparisons are
+    * exact 128-bit cross-multiplications — no float, no merge-order
+    * sensitivity. Returns (idCol, h, w), ascending by draw ratio.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+      k: Int, salt: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = conv(substring(md5(concat(lit(salt + "|"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val items = df.select(h.as("h"), weightCol.cast("long").as("w"),
+        col(idCol).cast("long").as("id"))
+      .as[graft.functions.WeightedItem]
+    val agg = new graft.functions.WeightedSampleAggregator(k)
+    items.groupByKey(_ => 0)
+      .agg(agg.toColumn.name("sample"))
+      .flatMap(_._2)
+      .toDF("h", "w", "id")
+      .select(col("id").as(idCol), col("h"), col("w"))
+  }
+
   /** Shard writer — the training-data output path. Writes `df` as a
     * partitioned parquet tree (`partitionCols` become directories, so
     * downstream reads partition-prune for free) with every file bounded

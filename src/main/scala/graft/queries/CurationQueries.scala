@@ -157,7 +157,20 @@ object CurationQueries {
         .groupBy(col("split"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(col("tok"))).cast("long").as("sum_tokens"))
-    }))
+    }),
+
+    // Deterministic weighted sampling without replacement (priority /
+    // bottom-k sampling): 50 documents drawn with probability rising in
+    // token count (w = tokens + 1), as ONE bounded-state aggregate with
+    // exact 128-bit ratio comparisons. The oracle is the O(n²) counting
+    // formulation of the same total order in HUGEINT arithmetic — the
+    // hash match proves the distributed bounded-heap selection picks
+    // exactly the k smallest h/w.
+    "q168_weighted_sample" -> ((s, d) =>
+      Curation.weightedSample(
+        Tables.documents(s, d)
+          .withColumn("w", size(Dedup.tokens(col("text"))) + 1),
+        "doc_id", col("w"), k = 50, salt = "ws")))
 
   val oracles: Map[String, String] = Map(
     "q62_hash_split" ->
@@ -427,5 +440,23 @@ object CurationQueries {
         |)
         |SELECT source, n_docs, n_tokens,
         |       round(sqrt(n_tokens) / sqrt(max_tokens), 6) AS rel_weight
-        |FROM per, mx""".stripMargin)
+        |FROM per, mx""".stripMargin,
+
+    // Counting formulation of the same total order (smallest h/w first,
+    // ties on doc_id), cross-multiplied in HUGEINT so the comparison is
+    // exact — a row is in the sample iff fewer than k rows precede it.
+    "q168_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5('ws|' || doc_id), 1, 15))::BIGINT AS h,
+        |         len(list_filter(string_split_regex(trim(text), '\s+'),
+        |             x -> x <> '')) + 1 AS w
+        |  FROM documents
+        |)
+        |SELECT a.doc_id, a.h, CAST(a.w AS BIGINT) AS w
+        |FROM t a
+        |WHERE (SELECT count(*) FROM t b
+        |       WHERE b.h::HUGEINT * a.w < a.h::HUGEINT * b.w
+        |          OR (b.h::HUGEINT * a.w = a.h::HUGEINT * b.w
+        |              AND b.doc_id < a.doc_id)) < 50""".stripMargin)
 }

@@ -171,6 +171,37 @@ class CurationSpec extends SparkSpec {
     assert(out(2L)._1.startsWith("completely clean") && out(2L)._3 == 0L)
   }
 
+  test("weightedSample equals an exact BigInt reference at any " +
+      "parallelism, and k >= n returns everything") {
+    val df = (1L to 200L).map(i => (i, 1L + i % 17)).toDF("id", "w")
+    // exact reference: same md5 draw, ratios compared as BigInt fractions
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): Long = {
+      val hex = md.digest(s"ws|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = (1L to 200L).map(i => (i, h(i), 1L + i % 17))
+      .sortBy { case (id, hv, w) => (BigDecimal(BigInt(hv)) / BigDecimal(w), id) }
+      .take(20).map(t => (t._1, t._2, t._3)).toSet
+    for (parts <- Seq(1, 7)) {
+      val got = Curation.weightedSample(df.repartition(parts), "id",
+          col("w"), k = 20, salt = "ws")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want, s"parts=$parts: got $got want $want")
+    }
+    val all = Curation.weightedSample(df, "id", col("w"), k = 500, salt = "ws")
+    assert(all.count() == 200)
+  }
+
+  test("weightedSample fails loudly on non-positive weights") {
+    val df = Seq((1L, 3L), (2L, 0L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Curation.weightedSample(df, "id", col("w"), k = 2, salt = "ws").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("contaminatedDocsBloom: empty benchmark yields empty result") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
