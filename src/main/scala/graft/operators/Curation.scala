@@ -119,6 +119,29 @@ object Curation {
       .select(col("id").as(idCol), col("h"), col("w"))
   }
 
+  /** Per-group [[weightedSample]]: k rows per group (the mixture-
+    * sampling shape — "10 documents per source, weighted by length").
+    * Same bounded-state aggregator, keyed by the group instead of a
+    * constant, so state is ≤ k × groups × tasks and the single shuffle
+    * carries only sketches. Returns (groupCol, idCol, h, w).
+    */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: Column, k: Int, salt: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = conv(substring(md5(concat(lit(salt + "|"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val items = df.select(col(groupCol).cast("string").as("_1"),
+        struct(h.as("h"), weightCol.cast("long").as("w"),
+          col(idCol).cast("long").as("id")).as("_2"))
+      .as[(String, graft.functions.WeightedItem)]
+    val agg = new graft.functions.WeightedSampleAggregator(k)
+    items.groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("sample"))
+      .flatMap { case (g, s) => s.map(e => (g, e.id, e.h, e.w)) }
+      .toDF(groupCol, idCol, "h", "w")
+  }
+
   /** Shard writer — the training-data output path. Writes `df` as a
     * partitioned parquet tree (`partitionCols` become directories, so
     * downstream reads partition-prune for free) with every file bounded

@@ -170,7 +170,16 @@ object CurationQueries {
       Curation.weightedSample(
         Tables.documents(s, d)
           .withColumn("w", size(Dedup.tokens(col("text"))) + 1),
-        "doc_id", col("w"), k = 50, salt = "ws")))
+        "doc_id", col("w"), k = 50, salt = "ws")),
+
+    // Per-source mixture sampling: 10 length-weighted documents per
+    // source, one keyed bounded-state aggregate (state <= k x sources x
+    // tasks). The per-group version of q168's priority sample.
+    "q169_weighted_sample_per_source" -> ((s, d) =>
+      Curation.weightedSamplePerGroup(
+        Tables.documents(s, d)
+          .withColumn("w", size(Dedup.tokens(col("text"))) + 1),
+        "source", "doc_id", col("w"), k = 10, salt = "ws")))
 
   val oracles: Map[String, String] = Map(
     "q62_hash_split" ->
@@ -458,5 +467,22 @@ object CurationQueries {
         |WHERE (SELECT count(*) FROM t b
         |       WHERE b.h::HUGEINT * a.w < a.h::HUGEINT * b.w
         |          OR (b.h::HUGEINT * a.w = a.h::HUGEINT * b.w
-        |              AND b.doc_id < a.doc_id)) < 50""".stripMargin)
+        |              AND b.doc_id < a.doc_id)) < 50""".stripMargin,
+
+    // q168's counting oracle, partitioned by source.
+    "q169_weighted_sample_per_source" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         ('0x' || substr(md5('ws|' || doc_id), 1, 15))::BIGINT AS h,
+        |         len(list_filter(string_split_regex(trim(text), '\s+'),
+        |             x -> x <> '')) + 1 AS w
+        |  FROM documents
+        |)
+        |SELECT a.source, a.doc_id, a.h, CAST(a.w AS BIGINT) AS w
+        |FROM t a
+        |WHERE (SELECT count(*) FROM t b
+        |       WHERE b.source = a.source
+        |         AND (b.h::HUGEINT * a.w < a.h::HUGEINT * b.w
+        |          OR (b.h::HUGEINT * a.w = a.h::HUGEINT * b.w
+        |              AND b.doc_id < a.doc_id))) < 10""".stripMargin)
 }

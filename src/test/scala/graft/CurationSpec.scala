@@ -194,6 +194,23 @@ class CurationSpec extends SparkSpec {
     assert(all.count() == 200)
   }
 
+  test("weightedSamplePerGroup: each group independently equals the " +
+      "single-group sampler run on that group alone") {
+    val df = (1L to 120L).map(i => (s"g${i % 3}", i, 1L + i % 11))
+      .toDF("grp", "id", "w")
+    val per = Curation.weightedSamplePerGroup(df.repartition(5), "grp",
+        "id", col("w"), k = 7, salt = "ws")
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (g, rs) => g -> rs.map(r => (r._2, r._3, r._4)).toSet }
+    assert(per.keySet == Set("g0", "g1", "g2"))
+    for (g <- per.keys) {
+      val solo = Curation.weightedSample(df.filter(col("grp") === g), "id",
+          col("w"), k = 7, salt = "ws")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(per(g) == solo, s"group $g diverged: ${per(g)} vs $solo")
+    }
+  }
+
   test("weightedSample fails loudly on non-positive weights") {
     val df = Seq((1L, 3L), (2L, 0L)).toDF("id", "w")
     val e = intercept[Exception] {
