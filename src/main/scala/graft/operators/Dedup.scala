@@ -271,6 +271,121 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** EXACT WEIGHTED-Jaccard similarity self-join — [[prefixFilteredPairs]]
+    * generalized to IDF-weighted sets: J_w(x,y) = W(x∩y) / W(x∪y) with
+    * per-token weight floor(scale·N/df) capped at
+    * [[TextAnalysis.RarityCap]] (the family's ratio-idf convention), so a
+    * shared rare shingle counts for more than a shared boilerplate one —
+    * the similarity that matches how near-dup documents actually read.
+    *
+    * The threshold is the RATIONAL tNum/tDen and every comparison is
+    * cross-multiplied BIGINT — thresholding can never drift between
+    * engines or merge orders. Losslessness of the weighted prefix: order
+    * each set canonically (df asc, token — rare first, same as the
+    * unweighted join, which also keeps join buckets small exactly where
+    * data is hot) and index the shortest head whose TAIL weight falls
+    * below t·W(x). J_w ≥ t implies W(x∩y) ≥ t·W(x) (union ⊇ x), so the
+    * first common token in canonical order cannot lie wholly in the tail
+    * of either set — it sits in BOTH prefixes, and the prefix-token
+    * equi-join finds it. Size pruning: t·W(x) ≤ W(y) ≤ W(x)/t, again
+    * cross-multiplied.
+    *
+    * Shuffle ledger matches the unweighted join: frequency aggregate,
+    * per-doc reorder, prefix equi-join, verification join — all keyed.
+    * Returns (doc_a, doc_b, inter_w, union_w).
+    */
+  def weightedPrefixFilteredPairs(docs: DataFrame, idCol: String,
+      setCol: String, tNum: Long, tDen: Long,
+      scale: Long = 1000000L): DataFrame = {
+    require(tNum > 0 && tNum <= tDen,
+      s"threshold tNum/tDen must be in (0, 1], got $tNum/$tDen")
+    val sets = docs
+      .select(col(idCol).as("_wpid"), array_distinct(col(setCol)).as("_wpset"))
+      .cache()
+      .filter(size(col("_wpset")) > 0)
+    val tok = sets.select(col("_wpid"), explode(col("_wpset")).as("tok"))
+    val nDocs = broadcast(sets.agg(count(lit(1)).as("_n")))
+    val wt = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs)
+      .select(col("tok"), col("df"),
+        least(floor(lit(scale.toDouble) * col("_n") / col("df")),
+          lit(TextAnalysis.RarityCap)).cast("long").as("iw"))
+    val tw = tok.join(wt, Seq("tok"))
+    // canonical (df, tok) order; W and the weighted prefix length are
+    // row-local folds over the per-doc weight array
+    val ordered = tw.groupBy(col("_wpid"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"), col("iw"))))
+        .as("ord"))
+      .select(col("_wpid"),
+        transform(col("ord"), x => x.getField("tok")).as("toks"),
+        transform(col("ord"), x => x.getField("iw")).as("ws"))
+      .withColumn("W", aggregate(col("ws"), lit(0L), (a, w) => a + w))
+      // position i is in the prefix iff the suffix starting at i could
+      // still hold the whole required overlap: (W - cum(i))·tDen ≥ tNum·W
+      .withColumn("plen", aggregate(col("ws"),
+        struct(lit(0L).as("cum"), lit(0).as("p")),
+        (acc, w) => struct(
+          (acc.getField("cum") + w).as("cum"),
+          (acc.getField("p") +
+            when((col("W") - acc.getField("cum")) * lit(tDen)
+              >= lit(tNum) * col("W"), 1).otherwise(0)).as("p")),
+        acc => acc.getField("p")))
+      // rem(i) = W − cum(i): the weight of the suffix STARTING at prefix
+      // position i — the weighted PPJoin position bound below
+      .withColumn("rems", transform(sequence(lit(0), col("plen") - 1),
+        i => col("W") - aggregate(slice(col("ws"), lit(1), i),
+          lit(0L), (a, w) => a + w)))
+      .cache()
+    val pre = ordered.select(col("_wpid"), col("W"),
+        explode(zip_with(slice(col("toks"), lit(1), col("plen")),
+          col("rems"),
+          (t, r) => struct(t.as("tok"), r.as("rem")))).as("z"))
+      .select(col("_wpid"), col("W"), col("z.tok").as("tok"),
+        col("z.rem").as("rem"))
+    // Weighted position filter (PPJoin, Xiao et al., carried to weights):
+    // at the pair's FIRST shared token in canonical order the overlap is
+    // confined to both suffixes, so W(x∩y) ≤ min(rem_a, rem_b) on that
+    // matched row — and a qualifying pair satisfies
+    // inter·(tDen+tNum) ≥ tNum·(W_a+W_b), so its first-shared-token row
+    // passes the bound. Keeping pairs where ANY matched row passes is
+    // therefore lossless; frequent-token-only collisions with thin
+    // suffixes drop here, before the distinct and the verify join.
+    val cand = pre
+      .select(col("_wpid").as("doc_a"), col("W").as("w_a"),
+        col("rem").as("rem_a"), col("tok"))
+      .join(pre.select(col("_wpid").as("doc_b"), col("W").as("w_b"),
+        col("rem").as("rem_b"), col("tok")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b")
+        && col("w_b") * lit(tDen) >= col("w_a") * lit(tNum)
+        && col("w_a") * lit(tDen) >= col("w_b") * lit(tNum)
+        && least(col("rem_a"), col("rem_b")) * lit(tDen + tNum)
+          >= lit(tNum) * (col("w_a") + col("w_b")))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // Row-local verify: the weight is GLOBAL per token, so both docs hold
+    // the identical (tok, iw) struct for a shared token — array_intersect
+    // on the struct arrays returns exactly the shared tokens WITH their
+    // weights, and the intersection weight is one native fold. The
+    // alternative (re-join candidates against the exploded token
+    // relation) shuffles |cand|·|set| rows; this joins |cand| rows
+    // against the 1-row-per-doc cached arrays and never explodes.
+    val zipped = ordered.select(col("_wpid"), col("W"),
+      zip_with(col("toks"), col("ws"),
+        (tk, w) => struct(tk.as("tok"), w.as("iw"))).as("zt"))
+    // J_w ≥ t  <=>  inter·(tDen + tNum) ≥ tNum·(W_a + W_b)
+    cand
+      .join(zipped.select(col("_wpid").as("doc_a"), col("W").as("w_a"),
+        col("zt").as("zt_a")), Seq("doc_a"))
+      .join(zipped.select(col("_wpid").as("doc_b"), col("W").as("w_b"),
+        col("zt").as("zt_b")), Seq("doc_b"))
+      .withColumn("inter_w", aggregate(array_intersect(col("zt_a"),
+        col("zt_b")), lit(0L), (a, x) => a + x.getField("iw")))
+      .filter(col("inter_w") * lit(tDen + tNum)
+        >= lit(tNum) * (col("w_a") + col("w_b")))
+      .select(col("doc_a"), col("doc_b"),
+        col("inter_w").cast("long").as("inter_w"),
+        (col("w_a") + col("w_b") - col("inter_w")).cast("long").as("union_w"))
+  }
+
   /** EXACT containment-threshold join, |x ∩ y| / |x| >= t — the one-sided
     * sibling of [[prefixFilteredPairs]] for the quote/plagiarism case q150
     * scores approximately (over LSH candidates, which can miss): here

@@ -189,6 +189,14 @@ object DedupQueries {
     "q156_containment_join" -> ((s, d) =>
       Dedup.containmentJoin(shingled(s, d), "doc_id", "shingles", 0.7)),
 
+    // WEIGHTED exact similarity join: IDF-weighted Jaccard >= 1/2 via the
+    // weighted prefix filter — shared rare shingles count for more than
+    // shared boilerplate, thresholds cross-multiplied BIGINT, oracle is
+    // the brute-force relational formulation (losslessness proof).
+    "q170_weighted_jaccard_join" -> ((s, d) =>
+      Dedup.weightedPrefixFilteredPairs(shingled(s, d), "doc_id",
+        "shingles", tNum = 1, tDen = 2)),
+
     // Near-dup CLUSTERS: connected components over the verified LSH pair
     // graph; canonical = min doc_id in the cluster.
     "q52_dedup_clusters" -> ((s, d) =>
@@ -434,6 +442,33 @@ object DedupQueries {
          |        / len(list_distinct(a.shingles)) >= 0.7""".stripMargin,
 
     "q52_dedup_clusters" -> ClusterOracle,
+
+    // Brute-force weighted-Jaccard over all ordered pairs: the weighted
+    // prefix filter must lose nothing against this.
+    "q170_weighted_jaccard_join" ->
+      s"""$ShCte, wtok AS (
+         |  SELECT doc_id, unnest(list_distinct(shingles)) AS tok FROM sh
+         |), n AS (SELECT count(*) AS n_docs FROM sh),
+         |wt AS (
+         |  SELECT tok,
+         |         least(CAST(floor(1000000.0 * n.n_docs /
+         |                          count(DISTINCT doc_id)) AS BIGINT),
+         |               1000000000000) AS iw
+         |  FROM wtok, n GROUP BY tok, n.n_docs
+         |), tw AS (SELECT t.doc_id, t.tok, w.iw FROM wtok t JOIN wt w USING (tok)),
+         |tot AS (SELECT doc_id, CAST(sum(iw) AS BIGINT) AS W FROM tw GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(sum(a.iw) AS BIGINT) AS inter_w
+         |  FROM tw a JOIN tw b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT i.doc_a, i.doc_b, i.inter_w,
+         |       ta.W + tb.W - i.inter_w AS union_w
+         |FROM inter i
+         |JOIN tot ta ON i.doc_a = ta.doc_id
+         |JOIN tot tb ON i.doc_b = tb.doc_id
+         |WHERE i.inter_w * 3 >= 1 * (ta.W + tb.W)""".stripMargin,
 
     // Same clusters, computed by star contraction on the Spark side —
     // the oracle is deliberately identical to q52's: the hash match IS

@@ -45,6 +45,66 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L, 0.5)))
   }
 
+  test("weightedPrefixFilteredPairs is lossless vs the brute-force " +
+      "weighted scan on the real corpus, at two thresholds") {
+    import spark.implicits._
+    val sh = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col("doc_id"), Dedup.shingles(col("tok"), 3).as("shingles"))
+    // brute force sharing the operator's exact weight definition
+    val tok = sh.select(col("doc_id"),
+      explode(array_distinct(col("shingles"))).as("tok"))
+    val n = sh.count()
+    val wt = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .select(col("tok"), least(floor(lit(1000000.0) * lit(n) / col("df")),
+        lit(graft.operators.TextAnalysis.RarityCap)).cast("long").as("iw"))
+    val tw = tok.join(wt, Seq("tok"))
+    val tot = tw.groupBy(col("doc_id")).agg(sum(col("iw")).as("w"))
+    val inter = tw.select(col("doc_id").as("doc_a"), col("tok"), col("iw"))
+      .join(tw.select(col("doc_id").as("doc_b"), col("tok")),
+        Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("iw")).as("i"))
+      .join(tot.select(col("doc_id").as("doc_a"), col("w").as("wa")), Seq("doc_a"))
+      .join(tot.select(col("doc_id").as("doc_b"), col("w").as("wb")), Seq("doc_b"))
+    for ((tn, td) <- Seq((1L, 2L), (7L, 10L))) {
+      val fast = Dedup.weightedPrefixFilteredPairs(sh, "doc_id", "shingles",
+          tn, td)
+        .select("doc_a", "doc_b", "inter_w", "union_w")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val brute = inter
+        .filter(col("i") * lit(td + tn) >= lit(tn) * (col("wa") + col("wb")))
+        .select(col("doc_a"), col("doc_b"), col("i"),
+          (col("wa") + col("wb") - col("i")).as("u"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(fast == brute, s"t=$tn/$td mismatch")
+      if (tn == 1L) assert(fast.nonEmpty, "fixture must exercise the join")
+    }
+  }
+
+  test("weightedPrefixFilteredPairs: rare shared tokens outrank an equal " +
+      "count of boilerplate shared tokens") {
+    import spark.implicits._
+    // docs 1,2 share two RARE tokens; docs 3,4 share the two BOILERPLATE
+    // tokens present in every doc. Same overlap cardinality, different
+    // weighted similarity.
+    val in = Seq(
+      (1L, Seq("rareA", "rareB", "common1", "common2")),
+      (2L, Seq("rareA", "rareB", "x1", "x2")),
+      (3L, Seq("common1", "common2", "y1", "y2")),
+      (4L, Seq("common1", "common2", "z1", "z2")),
+      (5L, Seq("common1", "common2", "w1", "w2")))
+      .toDF("doc_id", "s")
+    // weights: rare df=2 -> 2.5e6, common df=5 -> 1e6, unique df=1 -> 5e6.
+    // J_w(1,2) = 5/17 ~ 0.29; J_w(3,4) = 2/22 ~ 0.09; t = 1/4 splits them.
+    val out = Dedup.weightedPrefixFilteredPairs(in, "doc_id", "s", 1L, 4L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L)), s"rare-overlap pair missing: $out")
+    assert(!out.contains((3L, 4L)),
+      s"boilerplate-only overlap must fall below the weighted threshold: $out")
+  }
+
   test("containmentJoin is lossless and one-sided: subset pairs survive " +
       "that Jaccard's size bound would discard") {
     import spark.implicits._
