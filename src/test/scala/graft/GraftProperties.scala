@@ -356,4 +356,34 @@ object GraftProperties extends Properties("graft") {
         est >= 1L && est <= t && (t - est) * (m + 1) <= n
       }
     }
+
+  property("weighted prefix-filter join is lossless vs the exact " +
+    "in-memory weighted-Jaccard scan") =
+    forAll(
+      Gen.listOfN(8, Gen.nonEmptyListOf(Gen.choose(0, 9))),
+      Gen.oneOf((1L, 3L), (1L, 2L), (7L, 10L))) { (rawSets, t) =>
+      val s = sq
+      import s.implicits._
+      val (tn, td) = t
+      val docs = rawSets.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.map(x => s"t$x").distinct) }
+      val df = docs.toDF("doc_id", "s").repartition(3)
+      val got = Dedup.weightedPrefixFilteredPairs(df, "doc_id", "s", tn, td)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      // exact reference with the operator's weight definition
+      val n = docs.count(_._2.nonEmpty).toLong
+      val dfreq = docs.flatMap(_._2.distinct).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      def iw(tok: String): Long =
+        math.min(math.floor(1000000.0 * n / dfreq(tok)).toLong,
+          TextAnalysis.RarityCap)
+      def w(ts: Seq[String]): Long = ts.map(iw).sum
+      val want = (for {
+        (a, sa) <- docs; (b, sb) <- docs
+        if a < b && sa.nonEmpty && sb.nonEmpty
+        i = w(sa.intersect(sb))
+        if i * (td + tn) >= tn * (w(sa) + w(sb))
+      } yield (a, b)).toSet
+      got == want
+    }
 }

@@ -53,6 +53,25 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast delta joins:\n$p")
   }
 
+  test("q170 weighted similarity join: candidates and verify are all " +
+      "equi-joins — the only nested loop is the 1-row corpus-count " +
+      "broadcast") {
+    val p = plan("q170_weighted_jaccard_join")
+    assert(!p.contains("CartesianProduct"), s"q170 went quadratic:\n$p")
+    // The only nested loop allowed is the 1-row corpus-count broadcast
+    // (BuildRight, Inner) — it reprints once per cached-subtree
+    // reference. A LeftOuter/Cross/BuildLeft nested loop, or one feeding
+    // the candidate or verify joins, would change the shape string.
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).toSeq
+    assert(bnlj.forall(s => s.contains("BuildRight, Cross")
+        || s.contains("BuildRight, Inner")),
+      s"q170 planned a non-stat nested loop: $bnlj\n$p")
+    // the heavy joins themselves must be equi (hash or sort-merge)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"),
+      s"q170 lost its equi-joins:\n$p")
+  }
+
   test("q166 sorted-neighborhood blocking joins on rank buckets — " +
       "never a cartesian, nested loop, or single-partition window") {
     val p = plan("q166_sorted_neighborhood")
