@@ -147,6 +147,28 @@ object SimilarityQueries {
           col("vec_a"), col("vec_b"), col("nrm_a"), col("nrm_b")), 6))
         .filter(col("sim") >= 0.4)
         .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("sim"))
+    }),
+
+    // SEMANTIC decontamination — the embedding-space sibling of q63's
+    // n-gram anti-join: corpus vectors whose cosine against ANY benchmark
+    // vector (vec_id % 97 == 0, the q63 convention) reaches 0.3 — the
+    // paraphrase leak an n-gram overlap can't see. The benchmark side is
+    // small BY NATURE (eval suites are thousands of rows, the corpus is
+    // the 100 TB side), so it broadcasts and the corpus never shuffles:
+    // one map-side pass, dot products in the codegen'd graft_dot kernel,
+    // then a corpus-keyed aggregate.
+    "q171_semantic_decontaminate" -> ((s, d) => {
+      val c = corpus(s, d)
+      val bench = c.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("bench_id"), col("vec").as("bvec"),
+          col("nrm").as("bnrm"))
+      c.filter(col("vec_id") % 97 =!= 0)
+        .crossJoin(broadcast(bench))
+        .withColumn("sim", round(Similarity.cosineWithNorms(
+          col("vec"), col("bvec"), col("nrm"), col("bnrm")), 6))
+        .filter(col("sim") >= 0.3)
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_flagged"), max(col("sim")).as("max_sim"))
     }))
 
   /** Verified embedding near-dup pairs (the q30 lineage) — block-grid
@@ -317,6 +339,15 @@ object SimilarityQueries {
          |FROM nn JOIN embeddings e1 ON nn.query_id = e1.vec_id
          |        JOIN embeddings e2 ON nn.neighbor_id = e2.vec_id
          |GROUP BY 1""".stripMargin,
+
+    "q171_semantic_decontaminate" ->
+      s"""$VCte, sims AS (
+         |  SELECT t.vec_id,
+         |         round(list_dot_product(t.vec, b.vec) / (t.nrm * b.nrm), 6) AS sim
+         |  FROM n t JOIN n b ON b.vec_id % 97 = 0 AND t.vec_id % 97 <> 0
+         |)
+         |SELECT vec_id, count(*) AS n_flagged, max(sim) AS max_sim
+         |FROM sims WHERE sim >= 0.3 GROUP BY vec_id""".stripMargin,
 
     "q28_cosine_topk" ->
       s"""$VCte, scored AS (
