@@ -57,6 +57,74 @@ object Similarity {
     df.withColumn("vec", toDoubleVec(col(vecCol)))
       .withColumn("nrm", norm(col("vec")))
 
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein 1998):
+    * from a bounded candidate set, greedily pick k results maximizing
+    * `rel(c) − λ·max_{s∈selected} sim(c, s)` — relevance traded against
+    * redundancy, the standard diversification step between ANN retrieval
+    * and the user.
+    *
+    * Distribution contract: candidate GENERATION is the distributed part
+    * (exact or ANN top-N per query — q28/q29/q154); the re-rank set is
+    * ≤ `maxCandidates` BY CONSTRUCTION, so the greedy loop runs
+    * driver-side on a bounded collect (the BPE-argmax discipline:
+    * O(bounded-constant) control rows, never corpus rows). Throws loudly
+    * if the candidate frame exceeds the bound rather than silently
+    * collecting an unbounded set.
+    *
+    * Determinism: `rel`/`sim` are pre-rounded to 6 decimals before any
+    * arithmetic (the q28 convention), λ multiplies exactly (pass a
+    * dyadic λ like 0.5), and ties break on id ascending — the greedy
+    * trace is a pure function of the data, reproducible by an unrolled
+    * per-step SQL oracle.
+    *
+    * `candidates`: (id, rel, vec, nrm). Returns (rank 1..k, id, score).
+    */
+  def mmrSelect(candidates: DataFrame, k: Int, lambda: Double,
+      maxCandidates: Int = 1000): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val rows = candidates
+      .select(col("id").cast("long").as("id"),
+        round(col("rel"), 6).as("rel"), col("vec"), col("nrm"))
+      .collect()
+    require(rows.length <= maxCandidates,
+      s"mmrSelect got ${rows.length} candidates (> $maxCandidates) — " +
+        "bound the candidate set upstream (top-N by relevance)")
+    val ids = rows.map(_.getLong(0))
+    val rel = rows.map(_.getDouble(1))
+    val vecs = rows.map(_.getSeq[Double](2).toArray)
+    val nrms = rows.map(_.getDouble(3))
+    def sim(i: Int, j: Int): Double = {
+      if (nrms(i) == 0.0 || nrms(j) == 0.0) 0.0
+      else {
+        var s = 0.0; var d = 0
+        while (d < vecs(i).length) { s += vecs(i)(d) * vecs(j)(d); d += 1 }
+        BigDecimal(s / (nrms(i) * nrms(j)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    // the SELECTION criterion is the 6-decimal-rounded score (not the raw
+    // double), so the greedy trace is exactly what the per-step SQL
+    // oracle — which orders by the rounded score — reproduces
+    def score6(i: Int, sel: Seq[Int]): Double = {
+      val pen = if (sel.isEmpty) 0.0 else sel.map(s => sim(i, s)).max
+      BigDecimal(rel(i) - lambda * pen)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val remaining = scala.collection.mutable.LinkedHashSet(rows.indices: _*)
+    while (selected.length < math.min(k, rows.length)) {
+      val best = remaining.minBy(i => (-score6(i, selected.toSeq), ids(i)))
+      selected += best
+      remaining -= best
+    }
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    selected.toSeq.zipWithIndex.map { case (i, r) =>
+      (r + 1L, ids(i), score6(i, selected.take(r).toSeq))
+    }.toDF("rank", "id", "score")
+  }
+
   /** Assemble a sparse (id, index, value) relation into dense
     * Array[Double] vectors of length `dim` (missing indices are 0) — the
     * adapter from sparse feature relations (e.g.

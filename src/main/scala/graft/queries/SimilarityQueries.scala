@@ -169,6 +169,22 @@ object SimilarityQueries {
         .filter(col("sim") >= 0.3)
         .groupBy(col("vec_id"))
         .agg(count(lit(1)).as("n_flagged"), max(col("sim")).as("max_sim"))
+    }),
+
+    // MMR diversified top-k: exact top-20 by relevance to query vector 0
+    // (the distributed part), then the greedy
+    // rel − λ·max-sim-to-selected re-rank on the bounded candidate set
+    // (driver-side on ≤20 rows — the BPE-argmax discipline). Oracle is
+    // the same greedy UNROLLED as five SQL selection steps.
+    "q172_mmr_diverse" -> ((s, d) => {
+      val c = corpus(s, d)
+      val top = Similarity.bruteForceTopK(
+        c.filter(col("vec_id") === 0), c, 20)
+      val cand = top
+        .select(col("neighbor_id").as("vec_id"), col("sim").as("rel"))
+        .join(c, Seq("vec_id"))
+        .select(col("vec_id").as("id"), col("rel"), col("vec"), col("nrm"))
+      Similarity.mmrSelect(cand, k = 5, lambda = 0.5)
     }))
 
   /** Verified embedding near-dup pairs (the q30 lineage) — block-grid
@@ -339,6 +355,42 @@ object SimilarityQueries {
          |FROM nn JOIN embeddings e1 ON nn.query_id = e1.vec_id
          |        JOIN embeddings e2 ON nn.neighbor_id = e2.vec_id
          |GROUP BY 1""".stripMargin,
+
+    // The greedy MMR trace unrolled: one CTE per selection step, each
+    // ordering the remaining candidates by the ROUNDED score (the
+    // operator selects on the same rounded value, so the traces match
+    // exactly).
+    "q172_mmr_diverse" -> {
+      def step(n: Int): String = {
+        val prev = (1 until n).map(i => s"SELECT id FROM s$i")
+          .mkString(" UNION ALL ")
+        s"""s$n AS (
+           |  SELECT c.id, round(c.rel - 0.5 * max(p.s), 6) AS score
+           |  FROM cand c JOIN ps p ON p.ia = c.id AND p.ib IN ($prev)
+           |  WHERE c.id NOT IN ($prev)
+           |  GROUP BY c.id, c.rel
+           |  ORDER BY score DESC, c.id ASC LIMIT 1
+           |)""".stripMargin
+      }
+      s"""$VCte, qv AS (
+         |  SELECT vec, nrm FROM n WHERE vec_id = 0
+         |), cand AS (
+         |  SELECT c.vec_id AS id,
+         |         round(list_dot_product(qv.vec, c.vec) / (qv.nrm * c.nrm), 6) AS rel,
+         |         c.vec, c.nrm
+         |  FROM n c, qv WHERE c.vec_id <> 0
+         |  ORDER BY rel DESC, id ASC LIMIT 20
+         |), ps AS (
+         |  SELECT a.id AS ia, b.id AS ib,
+         |         round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS s
+         |  FROM cand a JOIN cand b ON a.id <> b.id
+         |), s1 AS (
+         |  SELECT id, rel AS score FROM cand ORDER BY rel DESC, id ASC LIMIT 1
+         |), ${(2 to 5).map(step).mkString(", ")}
+         |${(1 to 5).map(i =>
+             s"SELECT CAST($i AS BIGINT) AS rank, id, score FROM s$i")
+           .mkString(" UNION ALL ")}""".stripMargin
+    },
 
     "q171_semantic_decontaminate" ->
       s"""$VCte, sims AS (

@@ -387,4 +387,27 @@ class SimilaritySpec extends SparkSpec {
       "k-means rebuild did not restore index health")
     assert(rebuilt.assignments.count() == population.count())
   }
+
+  test("mmrSelect: near-duplicate of the top pick is demoted below a " +
+      "diverse candidate; lambda=0 is pure relevance; bound throws") {
+    import spark.implicits._
+    // id 1: most relevant. id 2: near-copy of 1 (sim ~1). id 3: orthogonal,
+    // slightly less relevant than 2. MMR(λ=0.5) must pick 1 then 3.
+    val cand = Seq(
+      (1L, 0.90, Seq(1.0, 0.0)),
+      (2L, 0.89, Seq(1.0, 0.001)),
+      (3L, 0.80, Seq(0.0, 1.0)))
+      .toDF("id", "rel", "v")
+      .select(col("id"), col("rel"), col("v").as("vec"),
+        sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
+    val picked = Similarity.mmrSelect(cand, k = 2, lambda = 0.5)
+      .select("rank", "id").as[(Long, Long)].collect().toSeq.sorted
+    assert(picked == Seq((1L, 1L), (2L, 3L)), s"got $picked")
+    val pure = Similarity.mmrSelect(cand, k = 3, lambda = 0.0)
+      .select("rank", "id").as[(Long, Long)].collect().toSeq.sorted
+    assert(pure == Seq((1L, 1L), (2L, 2L), (3L, 3L)), s"got $pure")
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(cand, k = 1, lambda = 0.5, maxCandidates = 2)
+    }
+  }
 }
