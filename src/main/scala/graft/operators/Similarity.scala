@@ -125,6 +125,64 @@ object Similarity {
     }.toDF("rank", "id", "score")
   }
 
+  /** FARTHEST-POINT (k-center / Gonzalez 1985) seeding: greedily pick k
+    * corpus vectors, each maximizing the distance to its nearest
+    * already-selected seed — the deterministic 2-approximation to the
+    * k-center cover, and the standard high-quality initializer for
+    * [[kmeansCentroids]] (random/modulo seeds collapse clusters that
+    * farthest-point spreads).
+    *
+    * Unlike [[mmrSelect]] (bounded candidate set → driver greedy), the
+    * argmax here ranges over the WHOLE corpus, so each round is a
+    * distributed job: the ≤ k selected seeds broadcast, every vector
+    * computes its max similarity to them map-side (codegen'd dot), and
+    * one TakeOrdered returns the single farthest row. k rounds → k
+    * scans, nothing corpus-sized ever moves — the seeding you can run on
+    * 10⁹ vectors. Driver state is the k seed rows (bounded control rows,
+    * the BPE-argmax discipline).
+    *
+    * Determinism: similarity rounds to 6 decimals (q28 convention), ties
+    * break on vec_id ascending, seed 1 is the minimum vec_id. Returns
+    * (rank 1..k, vec_id, max_sim) where max_sim is the selected row's
+    * similarity to its nearest prior seed (null for rank 1).
+    */
+  def kcenterSeeds(corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col("vec_id"), col("vec"), col("nrm"))
+      .localCheckpoint() // k rounds re-read this; pin one materialization
+    val first = c.orderBy(col("vec_id").asc).limit(1)
+      .collect().toSeq.map(r =>
+        (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    require(first.nonEmpty, "kcenterSeeds needs a non-empty corpus")
+    // (id, vec, nrm, sim-to-nearest-prior-seed) — bounded driver state
+    var seeds = first.map(s => (s._1, s._2, s._3, Option.empty[Double])).toVector
+    var exhausted = false
+    while (seeds.length < k && !exhausted) {
+      val selDf = broadcast(seeds.map(s => (s._1, s._2, s._3))
+        .toDF("sid", "svec", "snrm"))
+      val next = c
+        .filter(!col("vec_id").isInCollection(seeds.map(_._1)))
+        .crossJoin(selDf)
+        .withColumn("sim", round(cosineWithNorms(col("vec"), col("svec"),
+          col("nrm"), col("snrm")), 6))
+        .groupBy(col("vec_id"), col("vec"), col("nrm"))
+        .agg(max(col("sim")).as("max_sim"))
+        .orderBy(col("max_sim").asc, col("vec_id").asc)
+        .limit(1).collect()
+      if (next.isEmpty) exhausted = true // corpus smaller than k
+      else {
+        val r = next(0)
+        seeds = seeds :+ ((r.getLong(0), r.getSeq[Double](1),
+          r.getDouble(2), Some(r.getDouble(3))))
+      }
+    }
+    seeds.zipWithIndex
+      .map { case ((id, _, _, ms), i) => (i + 1L, id, ms) }
+      .toDF("rank", "vec_id", "max_sim")
+  }
+
   /** Assemble a sparse (id, index, value) relation into dense
     * Array[Double] vectors of length `dim` (missing indices are 0) — the
     * adapter from sparse feature relations (e.g.

@@ -185,7 +185,14 @@ object SimilarityQueries {
         .join(c, Seq("vec_id"))
         .select(col("vec_id").as("id"), col("rel"), col("vec"), col("nrm"))
       Similarity.mmrSelect(cand, k = 5, lambda = 0.5)
-    }))
+    }),
+
+    // Farthest-point (k-center) seeding over the whole corpus: each of
+    // the 4 greedy rounds is a distributed map-side pass against the
+    // broadcast selected seeds + one TakeOrdered — the k-means
+    // initializer that still runs when the corpus is 10^9 vectors.
+    "q173_kcenter_seeds" -> ((s, d) =>
+      Similarity.kcenterSeeds(corpus(s, d), 4)))
 
   /** Verified embedding near-dup pairs (the q30 lineage) — block-grid
     * exact, scale-safe. */
@@ -355,6 +362,32 @@ object SimilarityQueries {
          |FROM nn JOIN embeddings e1 ON nn.query_id = e1.vec_id
          |        JOIN embeddings e2 ON nn.neighbor_id = e2.vec_id
          |GROUP BY 1""".stripMargin,
+
+    // Farthest-point greedy unrolled: seed 1 is the min vec_id; each
+    // later seed is the row MINIMIZING its max similarity to the prior
+    // seeds (= farthest), rounded sims, id tie-breaks.
+    "q173_kcenter_seeds" -> {
+      def step(n: Int): String = {
+        val prev = (1 until n).map(i => s"SELECT vec_id FROM k$i")
+          .mkString(" UNION ALL ")
+        s"""k$n AS (
+           |  SELECT c.vec_id,
+           |         max(round(list_dot_product(c.vec, s.vec)
+           |             / (c.nrm * s.nrm), 6)) AS max_sim
+           |  FROM n c JOIN n s ON s.vec_id IN ($prev)
+           |  WHERE c.vec_id NOT IN ($prev)
+           |  GROUP BY c.vec_id
+           |  ORDER BY max_sim ASC, c.vec_id ASC LIMIT 1
+           |)""".stripMargin
+      }
+      s"""$VCte, k1 AS (
+         |  SELECT vec_id, CAST(NULL AS DOUBLE) AS max_sim
+         |  FROM n ORDER BY vec_id ASC LIMIT 1
+         |), ${(2 to 4).map(step).mkString(", ")}
+         |${(1 to 4).map(i =>
+             s"SELECT CAST($i AS BIGINT) AS rank, vec_id, max_sim FROM k$i")
+           .mkString(" UNION ALL ")}""".stripMargin
+    },
 
     // The greedy MMR trace unrolled: one CTE per selection step, each
     // ordering the remaining candidates by the ROUNDED score (the

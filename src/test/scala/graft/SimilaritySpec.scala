@@ -388,6 +388,31 @@ class SimilaritySpec extends SparkSpec {
     assert(rebuilt.assignments.count() == population.count())
   }
 
+  test("kcenterSeeds: one seed per directional cluster, partitioning-" +
+      "invariant; corpus smaller than k returns everything") {
+    import spark.implicits._
+    // three tight direction bundles; farthest-point must pick one from
+    // each before ever doubling up inside a bundle
+    val vs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.99, 0.01, 0.0)),
+      (10L, Seq(0.0, 1.0, 0.0)), (11L, Seq(0.0, 0.99, 0.01)),
+      (20L, Seq(0.0, 0.0, 1.0)), (21L, Seq(0.01, 0.0, 0.99)))
+      .toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").as("vec"),
+        sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
+    for (parts <- Seq(1, 5)) {
+      val seeds = graft.operators.Similarity
+        .kcenterSeeds(vs.repartition(parts), 3)
+        .select("rank", "vec_id").as[(Long, Long)].collect().toMap
+      assert(seeds(1L) == 1L, s"seed 1 must be min id, got $seeds")
+      val bundles = seeds.values.map(id => id / 10).toSet
+      assert(bundles == Set(0L, 1L, 2L),
+        s"seeds must cover all three bundles, got $seeds")
+    }
+    val tiny = graft.operators.Similarity.kcenterSeeds(vs.limit(2), 5)
+    assert(tiny.count() == 2, "corpus < k must return the whole corpus")
+  }
+
   test("mmrSelect: near-duplicate of the top pick is demoted below a " +
       "diverse candidate; lambda=0 is pure relevance; bound throws") {
     import spark.implicits._
