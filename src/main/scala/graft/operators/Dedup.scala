@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate._
 
 /** Deduplication suite for large-scale text corpora: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard.
@@ -475,9 +476,9 @@ object Dedup {
     // costs grow superlinearly (measured: 114 s -> ~2 s on a 10-round graph).
     val sym = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().ckpt()
     var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+      .withColumn("label", col("node")).ckpt()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -493,7 +494,7 @@ object Dedup {
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           col("label").as("_old"))
-        .localCheckpoint()
+        .ckpt()
       converged = updated.filter(col("label") =!= col("_old")).isEmpty
       labels = updated.select(col("node"), col("label"))
       i += 1
@@ -541,7 +542,7 @@ object Dedup {
       e.union(e.select(col("b").as("a"), col("a").as("b")))
 
     var edges = canon(pairs.select(col(srcCol).as("a"), col(dstCol).as("b")))
-      .localCheckpoint()
+      .ckpt()
     var converged = edges.isEmpty // an edgeless graph is already a star forest
     var i = 0
     while (!converged && i < maxIter) {
@@ -553,7 +554,7 @@ object Dedup {
       val large = canon(nbr.filter(col("b") > col("a"))
           .join(mAll, col("a") === col("u"))
           .select(col("b").as("a"), col("m").as("b")))
-        .localCheckpoint()
+        .ckpt()
       // small-star: m over the SMALLER neighbors ∪ self; reconnect them
       // and u itself to m
       val smaller = sym(large).filter(col("b") < col("a")) // (u = a, v = b)
@@ -561,7 +562,7 @@ object Dedup {
       val small = canon(smaller.join(mSmall, Seq("a"))
           .select(col("b").as("a"), col("m").as("b"))
           .union(mSmall.select(col("a"), col("m").as("b"))))
-        .localCheckpoint()
+        .ckpt()
       // fixpoint: a full round changed nothing (set equality via counts +
       // one-sided except — both sets are distinct canonical rows)
       converged = small.count() == edges.count() &&

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate._
 
 /** Iterative graph computations over edge DataFrames. Companion to
   * [[Dedup.connectedComponents]] (label propagation); this file holds the
@@ -38,9 +39,9 @@ object Graph {
     val sym = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().ckpt()
     val deg = sym.groupBy(col("src"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
+      .agg(count(lit(1)).as("deg")).ckpt()
     val base = (scale * 15L) / 100L
     // degree rides inside the rank frame so each iteration is ONE join
     // (edges × rank) + one aggregate, not two joins
@@ -57,7 +58,7 @@ object Graph {
         .select(col("node"), col("deg"),
           (lit(base) +
             expr("(coalesce(in_mass, CAST(0 AS BIGINT)) * 85) div 100")).as("score"))
-        .localCheckpoint()
+        .ckpt()
     }
     rank.select(col("node"), col("score"))
   }
@@ -96,7 +97,7 @@ object Graph {
           .otherwise(struct(col("v").as("a"), col("u").as("b"), col("du").as("db")))
           .as("o"))
       .select(col("o.a").as("a"), col("o.b").as("b"), col("o.db").as("db"))
-      .localCheckpoint()
+      .ckpt()
     val wedges = oriented.select(col("a"), col("b").as("w1"), col("db").as("d1"))
       .join(oriented.select(col("a"), col("b").as("w2"), col("db").as("d2")), Seq("a"))
       .filter(col("d1") < col("d2") || (col("d1") === col("d2") && col("w1") < col("w2")))
@@ -127,7 +128,7 @@ object Graph {
     var cur = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().ckpt()
     var curCount = cur.count()
     var converged = false
     var i = 0
@@ -137,7 +138,7 @@ object Graph {
       val next = cur
         .join(keep, cur("src") === col("_keep"), "left_semi")
         .join(keep, cur("dst") === col("_keep"), "left_semi")
-        .localCheckpoint()
+        .ckpt()
       val nextCount = next.count()
       converged = nextCount == curCount
       cur = next
@@ -186,9 +187,9 @@ object Graph {
         col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
       .union(edges.select(col(dstCol).cast("long").as("src"),
         col(srcCol).cast("long").as("dst"), col(wCol).cast("long").as("w")))
-      .distinct().localCheckpoint()
+      .distinct().ckpt()
     var dist = sym.sparkSession.range(1)
-      .select(lit(source).as("node"), lit(0L).as("dist")).localCheckpoint()
+      .select(lit(source).as("node"), lit(0L).as("dist")).ckpt()
     var frontier = dist
     var converged = false
     var i = 0
@@ -200,11 +201,11 @@ object Graph {
       val improved = cand.join(dist, Seq("node"), "left")
         .filter(col("dist").isNull || col("cand") < col("dist"))
         .select(col("node"), col("cand").as("dist"))
-        .localCheckpoint()
+        .ckpt()
       converged = improved.isEmpty
       if (!converged) {
         dist = dist.join(improved, Seq("node"), "left_anti")
-          .unionByName(improved).localCheckpoint()
+          .unionByName(improved).ckpt()
         frontier = improved
       }
       i += 1
@@ -233,9 +234,9 @@ object Graph {
     val sym = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().ckpt()
     var visited = seeds.select(col("node").cast("long").as("node"))
-      .distinct().withColumn("hops", lit(0L)).localCheckpoint()
+      .distinct().withColumn("hops", lit(0L)).ckpt()
     var frontier = visited.select(col("node"))
     var hop = 0L
     var exhausted = frontier.isEmpty
@@ -245,13 +246,275 @@ object Graph {
         .select(sym("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("hops", lit(hop))
-        .localCheckpoint()
+        .ckpt()
       exhausted = next.isEmpty
       if (!exhausted) {
-        visited = visited.unionByName(next).localCheckpoint()
+        visited = visited.unionByName(next).ckpt()
         frontier = next.select(col("node"))
       }
     }
     visited
+  }
+
+  /** STRONGLY connected components of a DIRECTED edge list.
+    *
+    * Two-level decomposition (the block-centric pattern — Blogel, Yan et
+    * al. VLDB 2014; Giraph++ "think like a graph"): directed SCCs can
+    * never span two WEAKLY connected components, so one
+    * [[Dedup.connectedComponentsStar]] pass (O(log n) rounds) partitions
+    * the edge set by WCC id, and each component whose edge count fits an
+    * executor runs a LOCAL iterative Tarjan (1972) inside
+    * `flatMapGroups` — one shuffle keyed by component, all components in
+    * parallel, exact answers. Components larger than
+    * `maxLocalComponent` edges (the web-scale giant-component case) fall
+    * back automatically to the distributed pair-label peeling of
+    * [[stronglyConnectedComponentsIterative]] — nothing ever silently
+    * truncates.
+    *
+    * Scale rationale: real corpora (per-order item chains, per-domain
+    * link graphs) decompose into many memory-sized WCCs, so the hybrid
+    * turns an inherently multi-round global fixpoint into ONE grouped
+    * map over components — ~4 jobs total instead of rounds×jobs. The
+    * giant-component fallback keeps the operator total: correctness
+    * never depends on the memory guard. `flatMapGroups` (not an
+    * expression) is justified here: within-component SCC is genuine
+    * per-group imperative logic, the documented last-resort case.
+    *
+    * Returns (node, scc_id), scc_id = minimum member id (the
+    * [[Dedup.connectedComponents]] canonical convention, deterministic
+    * under any traversal order). Nodes on no cycle are singletons.
+    */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int = 30,
+      maxLocalComponent: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().ckpt()
+    // WCC id per node; component edge counts gate the local path
+    val wcc = Dedup.connectedComponentsStar(e, "src", "dst")
+    val eComp = e
+      .join(wcc.select(col("node").as("src"), col("cluster_id").as("comp")),
+        Seq("src"))
+      .ckpt()
+    val sizes = eComp.groupBy(col("comp")).agg(count(lit(1)).as("_n"))
+    val sized = eComp.join(sizes, Seq("comp")).ckpt()
+    val local = sized.filter(col("_n") <= maxLocalComponent)
+      .select(col("comp"), col("src"), col("dst"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups((_: Long, it: Iterator[(Long, Long, Long)]) =>
+        tarjanScc(it.map(t => (t._2, t._3))))
+      .toDF("node", "scc_id")
+    val big = sized.filter(col("_n") > maxLocalComponent)
+      .select(col("src"), col("dst"))
+    if (big.isEmpty) local
+    else local.unionByName(
+      stronglyConnectedComponentsIterative(big, "src", "dst", maxIter))
+  }
+
+  /** Exact single-component Tarjan over an edge iterator — the local leaf
+    * of [[stronglyConnectedComponents]]. Iterative (explicit DFS frame
+    * stack — component diameter would overflow the JVM call stack), one
+    * pass, O(V+E). Emits (node, min member id per SCC).
+    */
+  private def tarjanScc(edges: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    val nodes = mutable.LinkedHashSet.empty[Long]
+    edges.foreach { case (s, d) =>
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
+      nodes += s
+      nodes += d
+    }
+    val index = mutable.HashMap.empty[Long, Int]
+    val low = mutable.HashMap.empty[Long, Int]
+    val onStack = mutable.HashSet.empty[Long]
+    val stack = mutable.ArrayBuffer.empty[Long]
+    var counter = 0
+    val out = mutable.ArrayBuffer.empty[(Long, Long)]
+    val empty = mutable.ArrayBuffer.empty[Long]
+    for (root <- nodes if !index.contains(root)) {
+      val frames = mutable.ArrayBuffer.empty[(Long, Int)]
+      frames += ((root, 0))
+      index(root) = counter; low(root) = counter; counter += 1
+      stack += root; onStack += root
+      while (frames.nonEmpty) {
+        val (v, ci) = frames.last
+        val succ = adj.getOrElse(v, empty)
+        if (ci < succ.length) {
+          frames(frames.length - 1) = (v, ci + 1)
+          val w = succ(ci)
+          if (!index.contains(w)) {
+            index(w) = counter; low(w) = counter; counter += 1
+            stack += w; onStack += w
+            frames += ((w, 0))
+          } else if (onStack(w)) {
+            low(v) = math.min(low(v), index(w))
+          }
+        } else {
+          frames.remove(frames.length - 1)
+          if (frames.nonEmpty) {
+            val p = frames.last._1
+            low(p) = math.min(low(p), low(v))
+          }
+          if (low(v) == index(v)) {
+            var members = List.empty[Long]
+            var w = -1L
+            while (w != v) {
+              w = stack.remove(stack.length - 1)
+              onStack -= w
+              members ::= w
+            }
+            val id = members.min
+            members.foreach(m => out += ((m, id)))
+          }
+        }
+      }
+    }
+    out.iterator
+  }
+
+  /** Distributed SCC by iterative peeling — the giant-component fallback
+    * of [[stronglyConnectedComponents]], usable standalone when no
+    * component fits an executor.
+    *
+    * (F,B) pair-label scheme (the multi-pivot FW-BW family — Fleischer
+    * et al. 2000, Hong et al. 2013): cycles of mutual reachability, the
+    * structure [[Dedup.connectedComponents]] cannot see because it
+    * symmetrizes.
+    *
+    * Each outer round runs two UNCONFINED max-label fixpoints with
+    * POINTER JUMPING (label(v) ← max(label(v), label(label(v))) — sound
+    * because label(v) is always a node known to reach / be reachable
+    * from v, so its own label composes transitively), which cuts rounds
+    * from O(diameter) to O(log diameter):
+    * (1) FORWARD:  F(v) = the largest id that reaches v (incl. v);
+    * (2) BACKWARD: B(v) = the largest id v reaches (incl. v) — same
+    *     fixpoint over reversed edges; independent of (1).
+    * Peel: F(v) = B(v) = r  ⟺  v ↔ r  ⟺  v ∈ SCC(r) — and every member
+    * of SCC(r) shares the pair (r, r), so only COMPLETE SCCs leave.
+    * Shrink: mutual reachability forces EQUAL PAIRS, so no SCC crosses a
+    * pair-class boundary — every surviving edge whose endpoints disagree
+    * on (F, B) can never be inside an SCC and is dropped. This is what
+    * makes DAG-heavy graphs fast: a pure DAG loses all its edges after
+    * one round (every path passes a label change) and the second round
+    * peels everything as singletons — where root-peeling colorings
+    * (Orzan 2004) need O(chain length) rounds against descending ids.
+    * Progress guarantee: each pair class contains its own maximum m with
+    * F(m) = B(m) = m, so every class peels ≥ 1 SCC per round; the loud
+    * `maxIter` guard turns pathology into a failure, not a wrong answer.
+    *
+    * Scale shape: everything is node-keyed equi-joins and map-side-
+    * partial max-aggregations over the (shrinking) edge and label
+    * tables; per-round [[Iterate.ckpt]] truncates lineage AND resets
+    * cost stats (plain localCheckpoint compounds sizeInBytes ~5× per
+    * round here — see [[Iterate]]). The driver sees only one-row
+    * convergence checks.
+    *
+    * Returns (node, scc_id) with scc_id = the minimum member id
+    * (the [[Dedup.connectedComponents]] canonical convention). Nodes on
+    * no cycle are singleton SCCs of themselves.
+    */
+  def stronglyConnectedComponentsIterative(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int = 30): DataFrame = {
+    var rem = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().ckpt()
+    var nodes = rem.select(col("src").as("node"))
+      .union(rem.select(col("dst").as("node"))).distinct().ckpt()
+    val spark = edges.sparkSession
+    var result = spark.range(0)
+      .select(col("id").as("node"), col("id").as("scc_id"))
+
+    // one double-jump per node per round: lab ← max(lab, lab(lab(lab(v))))
+    // (edge step, then two pointer-jump compositions — identical exchange
+    // subtrees dedupe via ReuseExchange, so jumps cost broadcast joins,
+    // not recomputation)
+    def jump(df: DataFrame): DataFrame = {
+      val fj = df.select(col("node").as("f"), col("f").as("_ff"))
+      val bj = df.select(col("node").as("b"), col("b").as("_bb"))
+      df.join(fj, Seq("f"), "left").join(bj, Seq("b"), "left")
+        .select(col("node"),
+          greatest(col("f"), coalesce(col("_ff"), col("f"))).as("f"),
+          greatest(col("b"), coalesce(col("_bb"), col("b"))).as("b"))
+    }
+
+    var outer = 0
+    var done = nodes.isEmpty
+    while (!done && outer < maxIter) {
+      // both fixpoints in ONE loop over a (node, f, b) table — half the
+      // materializations of running them separately
+      var lab = nodes.select(col("node"), col("node").as("f"),
+        col("node").as("b")).ckpt()
+      var stable = false
+      var inner = 0
+      while (!stable && inner < maxIter) {
+        val fEdge = rem
+          .join(lab.select(col("node").as("src"), col("f").as("_fc")), "src")
+          .groupBy(col("dst").as("node")).agg(max(col("_fc")).as("_fe"))
+        val bEdge = rem
+          .join(lab.select(col("node").as("dst"), col("b").as("_bc")), "dst")
+          .groupBy(col("src").as("node")).agg(max(col("_bc")).as("_be"))
+        val stepped = lab
+          .join(fEdge, Seq("node"), "left")
+          .join(bEdge, Seq("node"), "left")
+          .select(col("node"),
+            greatest(col("f"), coalesce(col("_fe"), col("f"))).as("f"),
+            greatest(col("b"), coalesce(col("_be"), col("b"))).as("b"))
+        val next = jump(jump(stepped))
+          .join(lab.select(col("node"), col("f").as("_of"),
+            col("b").as("_ob")), Seq("node"))
+          .ckpt()
+        stable = next
+          .filter(col("f") =!= col("_of") || col("b") =!= col("_ob")).isEmpty
+        lab = next.select(col("node"), col("f"), col("b"))
+        inner += 1
+      }
+      require(stable, s"SCC label propagation did not stabilize in " +
+        s"$maxIter rounds — raise maxIter")
+      if (sys.env.contains("GRAFT_SCC_DEBUG")) println(s"[scc] inner=$inner")
+      // F(v) = B(v) = r ⟺ v ↔ r: peel SCC(r), canonical = min member
+      val members = lab.filter(col("f") === col("b"))
+        .select(col("node"), col("f"))
+      val labeled = members
+        .join(members.groupBy(col("f")).agg(min(col("node")).as("scc_id")),
+          Seq("f"))
+        .select(col("node"), col("scc_id"))
+      // keep only edges whose endpoints agree on BOTH labels (no SCC
+      // crosses a pair boundary); same-pair member↔member edges are the
+      // peeled SCCs' internal edges — one anti-join on src removes them
+      val remNext = rem
+        .join(lab.select(col("node").as("src"), col("f").as("_fs"),
+          col("b").as("_bs")), Seq("src"))
+        .join(lab.select(col("node").as("dst"), col("f").as("_fd"),
+          col("b").as("_bd")), Seq("dst"))
+        .filter(col("_fs") === col("_fd") && col("_bs") === col("_bd"))
+        .join(members.select(col("node").as("src")), Seq("src"), "left_anti")
+        .select(col("src"), col("dst")).ckpt()
+      // a non-member that lost ALL its edges can never rejoin a cycle —
+      // peel it as a singleton now instead of spending a later round
+      val orphaned = nodes
+        .join(members.select("node"), Seq("node"), "left_anti")
+        .join(remNext.select(col("src").as("node"))
+          .union(remNext.select(col("dst").as("node"))).distinct(),
+          Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("scc_id"))
+      // lazy accumulation: every input is ckpt-rooted (lab, remNext), so
+      // the union's lineage stays flat without materializing per round
+      result = result.unionByName(labeled).unionByName(orphaned)
+      rem = remNext
+      nodes = remNext.select(col("src").as("node"))
+        .union(remNext.select(col("dst").as("node"))).distinct().ckpt()
+      done = nodes.isEmpty
+      outer += 1
+      if (sys.env.contains("GRAFT_SCC_DEBUG")) println(s"[scc] outer=$outer done=$done")
+    }
+    require(done, s"SCC peeling did not finish in $maxIter rounds — " +
+      "raise maxIter")
+    result
   }
 }

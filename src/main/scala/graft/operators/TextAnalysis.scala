@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate._
 
 /** Text-analysis operators for corpus curation: token statistics, quality
   * scoring, stopword-vote language ID, and document fingerprinting.
@@ -535,7 +536,7 @@ object TextAnalysis {
       .select(expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("syms"), col("freq"))
-      .localCheckpoint()
+      .ckpt()
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var i = 0
     var exhausted = false
@@ -559,7 +560,7 @@ object TextAnalysis {
         merges += ((i + 1L, a, b, top(0).getLong(2)))
         vocab = vocab
           .select(mergeFold(col("syms"), a, b).as("syms"), col("freq"))
-          .localCheckpoint()
+          .ckpt()
       }
       i += 1
     }

@@ -358,6 +358,27 @@ object WarehouseQueries {
         .select(col("node").as("partkey"), col("hops"))
     }),
 
+    // STRONGLY connected components of the DIRECTED line-order part
+    // graph (edge: consecutive lines of one order, earlier part ->
+    // later part): mutual-reachability cycles, invisible to the
+    // symmetrizing CC family. Coloring algorithm (forward max-label
+    // fixpoint + backward same-color confinement, complete-SCC peeling);
+    // the oracle is the recursive-closure definition itself — scc(v) =
+    // min u with reach(v,u) AND reach(u,v).
+    "q174_scc" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      val e = li.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey").as("s"))
+        .join(li.select(col("l_orderkey"),
+          (col("l_linenumber") - 1).as("l_linenumber"),
+          col("l_partkey").as("d")), Seq("l_orderkey", "l_linenumber"))
+        .filter(col("s") =!= col("d"))
+        .select(col("s"), col("d")).distinct()
+      Graph.stronglyConnectedComponents(e, "s", "d")
+    }),
+
     // k-core decomposition (k=3) of the co-occurrence graph: iterative
     // peeling to the fixpoint (loud failure if unconverged), surviving
     // nodes with in-core degree. The oracle unrolls 30 peeling rounds as
@@ -825,6 +846,26 @@ object WarehouseQueries {
          |SELECT max(n_a) AS n_a, max(n_b) AS n_b,
          |       CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num
          |FROM runs, tot""".stripMargin,
+
+    "q174_scc" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+        |  WHERE a.l_partkey <> b.l_partkey AND a.l_orderkey % 7 = 0
+        |), nd AS (
+        |  SELECT DISTINCT s AS node FROM e UNION SELECT DISTINCT d FROM e
+        |), reach AS (
+        |  SELECT s AS v, d AS r FROM e
+        |  UNION
+        |  SELECT reach.v, e.d FROM reach JOIN e ON reach.r = e.s
+        |), mutual AS (
+        |  SELECT a.v AS x, a.r AS y FROM reach a JOIN reach b
+        |    ON a.v = b.r AND a.r = b.v
+        |)
+        |SELECT node, CAST(least(node, coalesce(min(y), node)) AS BIGINT) AS scc_id
+        |FROM nd LEFT JOIN mutual ON nd.node = mutual.x
+        |GROUP BY node""".stripMargin,
 
     "q129_kcore" ->
       s"""WITH $CoocEdgesCte,

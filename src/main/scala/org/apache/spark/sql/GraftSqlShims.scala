@@ -13,4 +13,42 @@ object GraftSqlShims {
   /** Wrap an analyzed custom logical plan as a DataFrame of `spark`. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** `localCheckpoint()` that also RESETS the plan's cost statistics.
+    *
+    * Spark ≥3.4 propagates the origin plan's `Statistics` through a
+    * checkpoint (`LogicalRDD.originStats`), and the size-only estimator
+    * MULTIPLIES child sizes at every join. In an iterative fixpoint whose
+    * round-k plan joins the round-(k−1) checkpoint r times, the propagated
+    * `sizeInBytes` therefore grows as sizeᵣᵏ — the bit-LENGTH of the
+    * BigInt triples-to-quintuples per round, and after ~15 rounds the
+    * planner spends minutes in `BigInteger.multiply` inside
+    * `canBroadcastBySize` (measured: 23→71→216→651→1956→5870 bits over 6
+    * rounds of a 2-row label table; at sf0.01 the SCC fixpoint wedged the
+    * driver for >10 min of pure planning). Truncating the LINEAGE without
+    * truncating the STATS is what `localCheckpoint()` alone does — this
+    * helper rebuilds the checkpointed [[execution.LogicalRDD]] with
+    * `originStats = None`, so each round re-plans from the honest
+    * "unknown size" default and planning cost stays constant per round.
+    */
+  def statsTruncatedLocalCheckpoint(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint().asInstanceOf[classic.Dataset[Row]]
+    ck.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD =>
+        // The checkpoint is eager, so the block manager knows the TRUE
+        // materialized size — a bounded measurement, not a compounded
+        // estimate. Feeding it back keeps small label/edge tables
+        // eligible for static broadcast joins inside the loop.
+        val session = ck.sparkSession.asInstanceOf[classic.SparkSession]
+        val measured = session.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id)
+          .map(i => BigInt(i.memSize + i.diskSize)).filter(_ > 0)
+          .map(sz => catalyst.plans.logical.Statistics(sizeInBytes = sz))
+        val fresh = new execution.LogicalRDD(lr.output, lr.rdd,
+          lr.outputPartitioning, lr.outputOrdering, lr.isStreaming,
+          lr.stream)(session, measured, None)
+        classic.Dataset.ofRows(ck.sparkSession, fresh)
+      case _ => ck // not a plain checkpoint plan — keep Spark's behavior
+    }
+  }
 }

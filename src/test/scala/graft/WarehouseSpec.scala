@@ -283,6 +283,40 @@ class WarehouseSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 1L), (4L, 5L, 1L)), s"got $out")
   }
 
+  test("stronglyConnectedComponents: cycles found, DAG nodes are " +
+      "singletons, matches an in-memory Tarjan on random digraphs") {
+    // 1→2→3→1 (cycle), 3→4→5 (tail), 6→7, 7→6 (2-cycle), 5→5 ignored
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (7L, 6L), (5L, 5L)).toDF("s", "d")
+    val got = Graph.stronglyConnectedComponents(edges, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      6L -> 6L, 7L -> 6L), s"got $got")
+
+    // randomized cross-check vs an in-memory reference (SCC = mutual
+    // reachability; Floyd-Warshall closure is fine at n=14)
+    val rnd = new scala.util.Random(42L)
+    (0 until 3).foreach { _ =>
+      val n = 14
+      val es = Seq.fill(22)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val present = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val reach = Array.ofDim[Boolean](n, n)
+      es.foreach { case (a, b) => reach(a.toInt)(b.toInt) = true }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+      val want = present.map { v =>
+        val scc = present.filter(u => u == v ||
+          (reach(v.toInt)(u.toInt) && reach(u.toInt)(v.toInt)))
+        v -> scc.min
+      }.toMap
+      val out = Graph.stronglyConnectedComponents(
+        es.toDF("s", "d").repartition(5), "s", "d")
+        .as[(Long, Long)].collect().toMap
+      assert(out == want, s"edges $es: got $out want $want")
+    }
+  }
+
   test("relational divide: full coverage qualifies, partial doesn't, " +
       "extra non-divisor b's don't help, empty divisor is vacuous truth") {
     val dividend = Seq(
