@@ -25,19 +25,32 @@ object Tables {
     * TimestampType column. The synthetic data has no sub-microsecond
     * component, so the conversion is lossless.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    // scope the legacy conf to this read (schema conversion is eager at
-    // load): other parquet reads in the session must not silently see
-    // nanos columns as LongType
+  def events(spark: SparkSession, dir: String): DataFrame = Tables.synchronized {
+    // The driver has shipped `events.ts` in two parquet encodings across
+    // rounds: nanosecond INT64 (read as LongType under the legacy
+    // nanosAsLong conf) and, since round 7, plain timestamp[us] NTZ.
+    // Dispatch on the READ schema so both load to the same contract: a
+    // session-timezone TimestampType column with microsecond epoch values
+    // (sessions here run UTC, so the NTZ→LTZ cast is the identity on the
+    // epoch). The set→analyze→restore window is serialized — two
+    // concurrent calls otherwise race (A restores the conf while B is
+    // still analyzing under it; seen as parallel-suite flakes).
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, "true")
     try {
-      // integral `div`, NOT `/`: double division of an epoch-ns long loses
-      // precision (2^53 < 1.7e18) and can round the microsecond up by one
-      val df = table(spark, dir, "events")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = table(spark, dir, "events")
+      val df = raw.schema("ts").dataType match {
+        case LongType =>
+          // integral `div`, NOT `/`: double division of an epoch-ns long
+          // loses precision (2^53 < 1.7e18) and can round the
+          // microsecond up by one
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType => raw
+        case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+      }
       df.schema // force eager schema resolution under the scoped conf
       df
     } finally prior match {
