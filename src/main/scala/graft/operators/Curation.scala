@@ -21,6 +21,30 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** TOKEN-BUDGET corpus selection: per group (source/language/domain),
+    * keep the best-quality prefix whose cumulative token count fits
+    * `budget` — the "n tokens per source, best first" knob every training
+    * mixture spec ends in. The kept set is the strict prefix of the
+    * (score desc, id asc) ordering with running-sum ≤ budget: the first
+    * overflowing doc excludes itself AND everything after it (prefix
+    * rule — deterministic, mirrorable as one SQL window, and what
+    * production mixtures do; knapsack-style backfilling would make the
+    * selection depend on global optimization, not a stable ordering).
+    *
+    * One shuffle on the group key; the per-group sort is the window's.
+    * Emits the input columns + `cum_tokens`. At 100 TB the group key is
+    * the mixture source (dozens of values) — for a skew-heavy grouping,
+    * pre-aggregate per (group, score-band) before the window.
+    */
+  def tokenBudgetSelect(df: DataFrame, groupCol: String, idCol: String,
+      tokCol: String, scoreCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("cum_tokens", sum(col(tokCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Stable hash bucket in [0, buckets): first 8 md5 hex chars of the id's
     * string form, mod buckets. Engine-portable (DuckDB:
     * ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT % buckets).

@@ -24,6 +24,45 @@ object EventTime {
       .withColumn("window_end", col("w.end"))
       .drop("w")
 
+  /** EXACT distinct-key count over a trailing `windowDays`-day window, for
+    * every day that has activity. Spark's window functions cannot express
+    * `COUNT(DISTINCT) OVER (RANGE ...)` at all, and the textbook
+    * days×window self-join rescans every raw event W times; this
+    * linearizes the problem with the SPAN trick:
+    *
+    * 1. dedupe to (key, active-day) pairs — at 100 TB this frame is
+    *    |keys × active days|, orders of magnitude under the raw events;
+    * 2. per key, each active day covers the window-end days
+    *    `[day, min(day + W−1, next_active_day − 1)]` — exactly the ends
+    *    where THIS activity is the key's latest in-window one, so every
+    *    (key, window-end) is claimed by exactly one span;
+    * 3. explode the spans (bounded by min(W, gap) rows each — a key
+    *    active daily expands 1×, not W×) and count per end day.
+    *
+    * One distinct shuffle, one per-key window, one count shuffle; no
+    * self-join, no re-scan. `dayCol` is an integral epoch-day column
+    * (the q109 convention); output is (day, n_distinct) for days present
+    * in the input.
+    */
+  def slidingDistinct(df: DataFrame, keyCol: Column, dayCol: Column,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val dp = df.select(keyCol.as("_k"), dayCol.cast("long").as("_day"))
+      .distinct()
+    val wnd = Window.partitionBy(col("_k")).orderBy(col("_day"))
+    val spans = dp
+      .withColumn("_next", lead(col("_day"), 1).over(wnd))
+      .withColumn("_end",
+        least(col("_day") + (windowDays - 1),
+          coalesce(col("_next") - 1, col("_day") + (windowDays - 1))))
+    val contrib = spans
+      .select(explode(sequence(col("_day"), col("_end"))).as("day"))
+    contrib.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_distinct"))
+      .join(dp.select(col("_day").as("day")).distinct(), Seq("day"),
+        "left_semi")
+  }
+
   /** Self range-join: all pairs of rows sharing `key` whose event times lie
     * within `maxGapMicros` of each other, WITHOUT a quadratic cross join.
     * The bin trick: bucket rows by floor(time / gap); a qualifying pair's

@@ -550,6 +550,43 @@ object Relational {
         (col("n") * col("sum_xx") - col("sum_x") * col("sum_x")).as("slope_den")): _*)
   }
 
+  /** ONE-PASS exact covariance-matrix sufficient statistics: for every
+    * unordered pair (incl. diagonals) of the integerized `vars`, emits
+    * (var_a, var_b, n, sum_a, sum_b, sum_ab) — the caller composes
+    * covariance numerators (n·Σab − Σa·Σb), correlation ratios, or a Gram
+    * matrix from them exactly, at whatever precision it wants. The
+    * feature-correlation / redundancy screen over p metrics costs ONE scan
+    * with p(p+1)/2 map-side-combined sums, one aggregated row total
+    * shuffled — never p² passes, never a row-matrix collect.
+    *
+    * All sums are BIGINT over BIGINT-cast inputs — no float forms, so the
+    * statistics are bit-identical at any parallelism ([[olsExact]]'s
+    * contract, widened to a matrix). Overflow headroom: Σ|a·b| must stay
+    * under 2⁶³ — scale the inputs (dollars not cents, percent not ppm)
+    * so max|a|·max|b|·rows ≲ 9·10¹⁸; past that, cast the products to
+    * DECIMAL(38,0) at +30% shuffle width.
+    */
+  def covarianceStats(df: DataFrame, vars: Seq[(String, Column)]): DataFrame = {
+    require(vars.nonEmpty, "vars must be non-empty")
+    require(vars.map(_._1).distinct.size == vars.size,
+      s"duplicate var names in ${vars.map(_._1)}")
+    val named = vars.map { case (n, c) => n -> c.cast("long") }
+    val pairs = for {
+      i <- named.indices; j <- i until named.size
+    } yield (named(i), named(j))
+    val aggs = named.map { case (n, c) => sum(c).as(s"_s_$n") } ++
+      pairs.map { case ((na, ca), (nb, cb)) =>
+        sum(ca * cb).as(s"_p_${na}_${nb}") } :+
+      count(lit(1)).as("_n")
+    val one = df.groupBy().agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case ((na, _), (nb, _)) =>
+      struct(lit(na).as("var_a"), lit(nb).as("var_b"), col("_n").as("n"),
+        col(s"_s_$na").as("sum_a"), col(s"_s_$nb").as("sum_b"),
+        col(s"_p_${na}_${nb}").as("sum_ab"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Equi-width histogram over an integral column: `nBins` buckets spanning
     * [min, max], bin = ((v − min) · nBins) div (max − min + 1) — pure
     * integer arithmetic, so bin edges cannot drift between engines.

@@ -281,6 +281,45 @@ object Similarity {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("sim_raw"))
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training: for every anchor, the
+    * top-`k` most-similar vectors carrying a DIFFERENT label — the pairs
+    * that teach an encoder the most (high-similarity, wrong-class;
+    * the in-batch-negatives literature, e.g. Xiong et al. ANCE, ICLR
+    * 2021). Emits (anchor_id, negative_id, rank, sim) for cross-label
+    * pairs with rounded sim ≥ `minSim`.
+    *
+    * Candidate generation is the exact [[blockGridPairs]] grid (quadratic
+    * compute, distributed over B(B+1)/2 cells, no driver data); labels
+    * join AFTER the grid on the pair ids, so the vectors themselves are
+    * never re-shuffled by label. At 100 TB the same shape runs with the
+    * approximate candidate paths (rhBands / IVF probes) swapped in for
+    * the grid — the label filter + per-anchor top-k are candidate-source
+    * agnostic. Determinism: sims round to 6 before the threshold and the
+    * ranking (the q28 convention), ties break on negative id ascending;
+    * the grid's raw-emission lowerBound sits just under `minSim` so the
+    * rounded filter decides membership.
+    */
+  def hardNegatives(corpus: DataFrame, labels: DataFrame, k: Int,
+      minSim: Double, nBlocks: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = blockGridPairs(corpus, minSim - 1e-6, nBlocks)
+      .withColumn("sim", round(col("sim_raw"), 6))
+      .filter(col("sim") >= minSim)
+    // each unordered pair serves both directions
+    val directed = pairs
+      .select(col("id_a").as("anchor_id"), col("id_b").as("negative_id"), col("sim"))
+      .unionByName(pairs
+        .select(col("id_b").as("anchor_id"), col("id_a").as("negative_id"), col("sim")))
+    val la = labels.select(col("vec_id").as("anchor_id"), col("label").as("_al"))
+    val lb = labels.select(col("vec_id").as("negative_id"), col("label").as("_nl"))
+    val cross = directed.join(la, Seq("anchor_id")).join(lb, Seq("negative_id"))
+      .filter(col("_al") =!= col("_nl"))
+    Relational.topKPerGroup(cross, Seq(col("anchor_id")),
+        Seq(col("sim").desc, col("negative_id").asc), k, "rank")
+      .select(col("anchor_id"), col("negative_id"),
+        col("rank").cast("long").as("rank"), col("sim"))
+  }
+
   // --------------------------------------------------- scalar quantization
 
   /** Symmetric int8 scalar quantization of unit-normalized vectors — the

@@ -19,6 +19,16 @@ object AnalyticsQueries {
   private val Ts = "yyyy-MM-dd HH:mm:ss"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // One-pass exact covariance-matrix statistics over 4 lineitem
+    // measures (integerized: dollars/percent so Σ|a·b| stays far under
+    // 2^63 at any sf) — 10 pair rows from a single scan, no float sums.
+    "q180_cov_matrix" -> ((s, d) =>
+      Relational.covarianceStats(Tables.lineitem(s, d), Seq(
+        "qty" -> col("l_quantity"),
+        "price_usd" -> floor(col("l_extendedprice")),
+        "disc_pct" -> floor(col("l_discount") * 100),
+        "tax_pct" -> floor(col("l_tax") * 100)))),
+
     // Star join: facts shuffle once on l_orderkey; all dims broadcast.
     "q14_star_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -518,6 +528,30 @@ object AnalyticsQueries {
         floor(col("o_totalprice") * 100).cast("long"), 20)))
 
   val oracles: Map[String, String] = Map(
+    "q180_cov_matrix" -> {
+      val vars = Seq("qty", "price_usd", "disc_pct", "tax_pct")
+      val sums = vars.map(v => s"CAST(sum($v) AS BIGINT) AS s_$v")
+      val prods = for {
+        i <- vars.indices; j <- i until vars.size
+      } yield s"CAST(sum(${vars(i)} * ${vars(j)}) AS BIGINT) AS p_${vars(i)}_${vars(j)}"
+      val rows = (for {
+        i <- vars.indices; j <- i until vars.size
+      } yield s"SELECT '${vars(i)}' AS var_a, '${vars(j)}' AS var_b, n, " +
+        s"s_${vars(i)} AS sum_a, s_${vars(j)} AS sum_b, " +
+        s"p_${vars(i)}_${vars(j)} AS sum_ab FROM s").mkString("\nUNION ALL ")
+      s"""WITH x AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         |         CAST(floor(l_extendedprice) AS BIGINT) AS price_usd,
+         |         CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct,
+         |         CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct
+         |  FROM lineitem
+         |), s AS (
+         |  SELECT count(*) AS n, ${(sums ++ prods).mkString(",\n    ")}
+         |  FROM x
+         |)
+         |$rows""".stripMargin
+    },
+
     "q14_star_join" ->
       """SELECT r_name, n_name,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

@@ -126,6 +126,15 @@ object SimilarityQueries {
         .filter(col("sim") >= 0.4)
         .select(col("id_a"), col("id_b"), col("sim"))),
 
+    // Hard-negative mining: every anchor's top-5 most-similar vectors
+    // with a DIFFERENT label (sim >= 0.2) — the contrastive-training pair
+    // generator. Candidates from the exact block grid; labels join on the
+    // pair ids after the grid.
+    "q177_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(corpus(s, d),
+        Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+        k = 5, minSim = 0.2)),
+
     // Embedding near-dup via random-hyperplane LSH: 64 md5-derived
     // hyperplanes → 16 bands × 4 sign bits (row-local codegen, zero
     // shuffle), candidates from the band equi-join (the vector analogue of
@@ -345,6 +354,23 @@ object SimilarityQueries {
          |SELECT node AS vec_id, min(r) AS cluster_id,
          |       node = min(r) AS is_canonical
          |FROM reach GROUP BY node""".stripMargin,
+    "q177_hard_negatives" ->
+      s"""$VCte, scored AS (
+         |  SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+         |         round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS sim
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+         |), ranked AS (
+         |  SELECT s.anchor_id, s.negative_id, s.sim,
+         |         row_number() OVER (PARTITION BY s.anchor_id
+         |           ORDER BY s.sim DESC, s.negative_id ASC) AS rank
+         |  FROM scored s
+         |  JOIN embeddings ea ON s.anchor_id = ea.vec_id
+         |  JOIN embeddings eb ON s.negative_id = eb.vec_id
+         |  WHERE ea.label <> eb.label AND s.sim >= 0.2
+         |)
+         |SELECT anchor_id, negative_id, CAST(rank AS BIGINT) AS rank, sim
+         |FROM ranked WHERE rank <= 5""".stripMargin,
+
     "q92_knn_label_agreement" ->
       s"""$VCte, nn AS (
          |  SELECT query_id, neighbor_id FROM (

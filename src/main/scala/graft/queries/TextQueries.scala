@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, TextAnalysis}
 import graft.sources.Tables
 
 /** Text-analysis queries over `documents`: per-language stats, token
@@ -41,6 +41,16 @@ object TextQueries {
         TextAnalysis.distinctTokenCount(col("tok")).as("n_distinct"),
         length(col("text")).cast("long").as("n_chars"),
         TextAnalysis.subwordCount(col("tok")).as("n_subwords"))),
+
+    // Token-budget selection: per source, the best-quality prefix that
+    // fits 20k tokens — the "n tokens per source, best first" mixture
+    // knob (quality ordering from q33, doc_id tie-break, prefix rule).
+    "q179_token_budget" -> ((s, d) =>
+      Curation.tokenBudgetSelect(
+        toks(s, d).select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("tok")).as("n_tokens"),
+          TextAnalysis.qualityScore(col("text"), col("tok")).as("quality")),
+        "source", "doc_id", "n_tokens", "quality", budget = 20000L)),
 
     // Quality scoring: length credit + stopword naturalness - punct noise.
     "q33_quality_score" -> ((s, d) =>
@@ -455,6 +465,25 @@ object TextQueries {
          |       CAST(list_sum(list_transform(tok,
          |         x -> CAST(ceil(len(x)/4.0) AS BIGINT))) AS BIGINT) AS n_subwords
          |FROM t""".stripMargin,
+
+    "q179_token_budget" ->
+      s"""$TokCte, scored AS (
+         |  SELECT doc_id, source, CAST(len(tok) AS BIGINT) AS n_tokens,
+         |    round(least(1.0, len(tok)/50.0) * 0.5 +
+         |          (CASE WHEN len(tok) = 0 THEN 0.0
+         |           ELSE len(list_filter(tok, x -> x IN $StopIn)) / len(tok) END) * 0.3 +
+         |          (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
+         |                / length(text) END) * 0.2, 4) AS quality
+         |  FROM t
+         |)
+         |SELECT doc_id, source, n_tokens, quality, cum_tokens
+         |FROM (
+         |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY quality DESC, doc_id ASC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM scored)
+         |WHERE cum_tokens <= 20000""".stripMargin,
 
     "q33_quality_score" ->
       s"""$TokCte

@@ -40,6 +40,21 @@ object WarehouseQueries {
        |    GROUP BY s.dst) m ON d.src = m.node
        |)""".stripMargin
 
+  /** One personalized-PageRank iteration as a DuckDB CTE (mirrors
+    * Graph.personalizedPageRankInt): identical to [[prIterSql]] except the
+    * teleport term is gated on the seed flag carried by the `sd` CTE.
+    */
+  private def pprIterSql(cur: String, prev: String): String =
+    s"""$cur AS (
+       |  SELECT sd.node,
+       |         CAST(sd.is_seed * 150000 +
+       |              (coalesce(m.in_mass, 0) * 85) // 100 AS BIGINT) AS score
+       |  FROM sd LEFT JOIN (
+       |    SELECT s.dst AS node, CAST(sum(r.score // g.deg) AS BIGINT) AS in_mass
+       |    FROM sym s JOIN $prev r ON s.src = r.node JOIN deg g ON s.src = g.src
+       |    GROUP BY s.dst) m ON sd.node = m.node
+       |)""".stripMargin
+
   /** One FULL Bellman-Ford relaxation round as SQL: dist' = min over
     * (keep, relax-across-every-edge). `Graph.ssspInt` relaxes only the
     * frontier, but the two recurrences share the same fixpoint, which is
@@ -179,6 +194,42 @@ object WarehouseQueries {
         .filter(col("n_groups") >= 2)
       Graph.pageRankInt(edges, "item_a", "item_b", iterations = 3)
         .select(col("node").as("partkey"), col("score"))
+    }),
+
+    // Personalized PageRank from the partkeys divisible by 97 (a
+    // deterministic stand-in for a vetted seed set): teleport mass lands
+    // only on seeds, so the score ranks the catalog by proximity to the
+    // trusted core — the TrustRank curation primitive, in the same exact
+    // integer arithmetic as q99 (bit-identical at any parallelism).
+    "q175_ppr" -> ((s, d) => {
+      val edges = Relational.coOccurrence(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey")),
+        "ok", "l_partkey")
+        .filter(col("n_groups") >= 2)
+      val seeds = edges.select(col("item_a").as("node"))
+        .union(edges.select(col("item_b").as("node")))
+        .distinct().filter(col("node") % 97 === 0)
+      Graph.personalizedPageRankInt(edges, "item_a", "item_b", seeds,
+        iterations = 3)
+        .select(col("node").as("partkey"), col("score"))
+    }),
+
+    // Link prediction on the co-occurrence graph: resource-allocation
+    // index (shared RARE neighbors beat shared hubs) over non-adjacent
+    // pairs, hub centers dropped before the quadratic wedge join — the
+    // "which items SHOULD co-occur" recommender signal in exact integer
+    // arithmetic.
+    "q176_link_predict" -> ((s, d) => {
+      val edges = Relational.coOccurrence(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey")),
+        "ok", "l_partkey")
+        .filter(col("n_groups") >= 2)
+      Graph.linkPredictRA(edges, "item_a", "item_b")
+        .filter(col("common_n") >= 2)
+        .select(col("a").as("part_a"), col("b").as("part_b"),
+          col("ra_score"), col("common_n"))
     }),
 
     // Single-source shortest paths over the weighted co-occurrence graph
@@ -1003,6 +1054,52 @@ object WarehouseQueries {
          |${prIterSql("r2", "r1")},
          |${prIterSql("r3", "r2")}
          |SELECT node AS partkey, score FROM r3""".stripMargin,
+
+    "q175_ppr" ->
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+         |edges AS (
+         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2
+         |),
+         |sym AS (SELECT p1 AS src, p2 AS dst FROM edges
+         |        UNION SELECT p2, p1 FROM edges),
+         |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+         |sd AS (SELECT src AS node,
+         |              CASE WHEN src % 97 = 0 THEN 1 ELSE 0 END AS is_seed
+         |       FROM deg),
+         |r0 AS (SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS score FROM sd),
+         |${pprIterSql("r1", "r0")},
+         |${pprIterSql("r2", "r1")},
+         |${pprIterSql("r3", "r2")}
+         |SELECT node AS partkey, score FROM r3""".stripMargin,
+
+    "q176_link_predict" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2
+        |),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY u),
+        |spokes AS (
+        |  SELECT s.u AS w, s.v AS spoke,
+        |         CAST(1000000 // d.deg AS BIGINT) AS contrib
+        |  FROM sym s JOIN deg d ON s.u = d.node WHERE d.deg <= 10000
+        |),
+        |agg AS (
+        |  SELECT x.spoke AS a, y.spoke AS b,
+        |         CAST(sum(x.contrib) AS BIGINT) AS ra_score,
+        |         count(*) AS common_n
+        |  FROM spokes x JOIN spokes y
+        |    ON x.w = y.w AND x.spoke < y.spoke
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a AS part_a, b AS part_b, ra_score, common_n
+        |FROM agg
+        |WHERE common_n >= 2
+        |  AND NOT EXISTS (SELECT 1 FROM e WHERE e.u = agg.a AND e.v = agg.b)""".stripMargin,
 
     // q99's edge derivation + integer weights, then 16 unrolled
     // relaxation rounds. Valid because the Spark side PROVES fixpoint

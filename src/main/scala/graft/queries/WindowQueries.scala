@@ -115,6 +115,15 @@ object WindowQueries {
     "q109_gap_fill" -> ((s, d) =>
       EventTime.gapFillDaily(Tables.events(s, d), "user_id", "ts", "value")),
 
+    // Exact trailing-7-day distinct users per active day — the DAU/WAU
+    // family's sliding cardinality, inexpressible as a Spark window
+    // function, linearized by the span trick (each (user, active day)
+    // claims the window-ends where it is the user's latest in-window
+    // activity; see EventTime.slidingDistinct).
+    "q178_sliding_distinct" -> ((s, d) =>
+      EventTime.slidingDistinct(Tables.events(s, d), col("user_id"),
+        expr("unix_micros(ts) div 86400000000"), windowDays = 7)),
+
     // First-order Markov transition matrix over each user's event-type
     // sequence, with exact parts-per-million row normalization.
     "q113_transitions" -> ((s, d) =>
@@ -289,6 +298,15 @@ object WindowQueries {
     // The spine is generate_series(first, last) per user; interpolation is
     // the same BIGINT expression Spark evaluates (// == div on nonnegative
     // numerators, and daily cent sums here are nonnegative).
+    "q178_sliding_distinct" ->
+      """WITH dp AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events
+        |), days AS (SELECT DISTINCT day FROM dp)
+        |SELECT d.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_distinct
+        |FROM days d JOIN dp p ON p.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day""".stripMargin,
+
     "q109_gap_fill" ->
       """WITH daily AS (
         |  SELECT user_id AS k, epoch_us(ts) // 86400000000 AS d,

@@ -80,6 +80,66 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_outliers") == 0L)
   }
 
+  test("tokenBudgetSelect: strict prefix rule — the first overflowing doc " +
+      "excludes itself and everything after, even a later doc that fits") {
+    import spark.implicits._
+    // source A ordered by quality: d1(5 tok), d2(4), d3(10 — overflows at
+    // budget 12), d4(1 — would fit, must still be excluded)
+    val df = Seq(
+      ("A", 1L, 5L, 0.9), ("A", 2L, 4L, 0.8), ("A", 3L, 10L, 0.7),
+      ("A", 4L, 1L, 0.6), ("B", 5L, 12L, 0.5), ("B", 6L, 1L, 0.4))
+      .toDF("source", "doc_id", "n_tokens", "quality")
+    val got = Curation.tokenBudgetSelect(df, "source", "doc_id", "n_tokens",
+      "quality", budget = 12L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 5L, 2L -> 9L, 5L -> 12L))
+  }
+
+  test("covarianceStats matches direct sums; diagonal pairs included") {
+    import spark.implicits._
+    val data = Seq((1L, 10L, 3L), (2L, 20L, 5L), (3L, 35L, 2L), (4L, 45L, 7L))
+    val df = data.toDF("x", "y", "z")
+    val got = Relational.covarianceStats(df, Seq(
+      "x" -> col("x"), "y" -> col("y"), "z" -> col("z")))
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got.size == 6)
+    def s(f: ((Long, Long, Long)) => Long) = data.map(f).sum
+    val (sx, sy, sz) = (s(_._1), s(_._2), s(_._3))
+    assert(got(("x", "y")) == ((4L, sx, sy, s(t => t._1 * t._2))))
+    assert(got(("x", "x")) == ((4L, sx, sx, s(t => t._1 * t._1))))
+    assert(got(("y", "z")) == ((4L, sy, sz, s(t => t._2 * t._3))))
+    // covariance numerator composes exactly: n*Σxy − Σx·Σy
+    val (n, sa, sb, sab) = got(("x", "y"))
+    assert(n * sab - sa * sb == 4L * s(t => t._1 * t._2) - sx * sy)
+  }
+
+  test("slidingDistinct matches brute force on random activity; " +
+      "daily-active keys expand 1x not Wx") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (for {
+      k <- 1 to 20
+      d <- 1 to 30 if rnd.nextInt(3) == 0
+    } yield (k.toLong, d.toLong)) ++
+      // duplicates within a day and one always-on key
+      Seq((1L, 5L), (1L, 5L)) ++ (1 to 30).map(d => (99L, d.toLong))
+    val df = rows.toDF("k", "day")
+    val got = EventTime.slidingDistinct(df, col("k"), col("day"), 7)
+      .as[(Long, Long)].collect().toMap
+    val activeDays = rows.map(_._2).distinct
+    val expect = activeDays.map(e =>
+      e -> rows.filter(r => r._2 <= e && r._2 > e - 7).map(_._1)
+        .distinct.size.toLong).toMap
+    assert(got == expect)
+    // span compression: the always-on key contributes exactly one
+    // window-end per active day (end capped at next-1), never W per day
+    val spans = df.filter(col("k") === 99L)
+    val expanded = EventTime.slidingDistinct(spans, col("k"), col("day"), 7)
+      .agg(sum(col("n_distinct"))).as[Long].head()
+    assert(expanded == 30L, s"daily-active key must expand 1x, got $expanded")
+  }
+
   test("gapFillDaily: dense spine, exact integer interpolation, sums per day") {
     import spark.implicits._
     val day = 86400000000L

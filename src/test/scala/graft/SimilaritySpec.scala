@@ -20,6 +20,40 @@ class SimilaritySpec extends SparkSpec {
     truth.map { case (q, t) => (t & result.getOrElse(q, Set.empty)).size / 5.0 }
       .sum / truth.size
 
+  test("hardNegatives matches a brute-force cross-label top-k in memory") {
+    val c = corpus.filter(col("vec_id") < 120)
+    val labels = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 120).select(col("vec_id"), col("label"))
+    val got = Similarity.hardNegatives(c, labels, k = 3, minSim = 0.1)
+      .select("anchor_id", "negative_id", "rank", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    val vecs = c.select("vec_id", "vec").as[(Long, Seq[Double])]
+      .collect().toMap
+    val lab = labels.as[(Long, Int)].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(d / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val expect = (for {
+      (a, va) <- vecs.toSeq
+      cands = vecs.toSeq
+        .filter { case (b, _) => b != a && lab(b) != lab(a) }
+        .map { case (b, vb) => (b, cos(va, vb)) }
+        .filter(_._2 >= 0.1)
+        .sortBy { case (b, s) => (-s, b) }
+        .take(3)
+      ((b, s), i) <- cands.zipWithIndex
+    } yield (a, b, (i + 1).toLong, s)).toSet
+    assert(got == expect,
+      s"diff got-expect=${got -- expect}\nexpect-got=${expect -- got}")
+    // every emitted pair crosses labels
+    assert(got.forall { case (a, b, _, _) => lab(a) != lab(b) })
+  }
+
   test("kmeans-centroid IVF recall >= modulo-centroid IVF recall") {
     val c = corpus
     val queries = c.filter(col("vec_id") < 5)

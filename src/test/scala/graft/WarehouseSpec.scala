@@ -145,6 +145,62 @@ class WarehouseSpec extends SparkSpec {
     assert(r2 == scores, "integer PageRank must not depend on partitioning")
   }
 
+  test("personalizedPageRankInt: mass concentrates near seeds, " +
+    "non-seed components drain, partitioning-invariant") {
+    // two disjoint triangles (odd cycle — APERIODIC, so scores don't
+    // oscillate the way a bipartite even cycle's do); seed only node 0 —
+    // the second triangle must drain to zero score
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("a", "b")
+    val seeds = Seq(0L).toDF("node")
+    val r = Graph.personalizedPageRankInt(edges, "a", "b", seeds,
+      iterations = 3)
+    val scores = r.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(scores.size == 6)
+    assert(scores(0L) > scores(1L), "seed must outrank its neighbors")
+    assert(scores(1L) == scores(2L), "symmetric neighbors tie exactly")
+    assert(Seq(10L, 11L, 12L).forall(scores(_) == 0L),
+      "an unseeded component has no teleport source and must drain to 0")
+    val r2 = Graph.personalizedPageRankInt(edges.repartition(7), "a", "b",
+      seeds, iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2 == scores, "integer PPR must not depend on partitioning")
+  }
+
+  test("linkPredictRA: scores match brute force, adjacent pairs excluded, " +
+    "hub cap drops wedges") {
+    // square 1-2-3-4-1 plus center 5 wired to 1 and 3
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (5L, 1L), (5L, 3L))
+    val edges = raw.toDF("a", "b")
+    val got = Graph.linkPredictRA(edges, "a", "b")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // brute force in memory with the same floor(scale/deg) contributions
+    val sym = raw.flatMap { case (u, v) => Seq(u -> v, v -> u) }.distinct
+    val nbr = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val deg = nbr.map { case (k, v) => k -> v.size.toLong }
+    val nodes = nbr.keys.toSeq.sorted
+    val expect = (for {
+      a <- nodes; b <- nodes if a < b && !nbr(a).contains(b)
+      common = nbr(a).intersect(nbr(b)) if common.nonEmpty
+    } yield (a, b) -> (common.toSeq.map(w => 1000000L / deg(w)).sum,
+      common.size.toLong)).toMap
+    assert(got == expect, s"got $got\nexpect $expect")
+    // (1,3) share low-degree 5 AND high-degree... all degrees small here;
+    // now verify the maxDeg cap: with maxDeg=2 the degree-3 centers 1 and
+    // 3 stop generating wedges, so only center-2/4/5 wedges survive
+    val capped = Graph.linkPredictRA(edges, "a", "b", maxDeg = 2L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val expectCapped = (for {
+      a <- nodes; b <- nodes if a < b && !nbr(a).contains(b)
+      common = nbr(a).intersect(nbr(b)).filter(w => deg(w) <= 2L)
+      if common.nonEmpty
+    } yield (a, b) -> (common.toSeq.map(w => 1000000L / deg(w)).sum,
+      common.size.toLong)).toMap
+    assert(capped == expectCapped)
+  }
+
   test("ssspInt: weighted detour beats direct edge, unreachable absent, " +
     "partitioning-invariant") {
     // 1-2 (1), 2-3 (1), 1-3 (5): the 2-hop detour to 3 costs 2, beating
