@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate._
 
 /** Vector similarity search over embedding columns (`Array[Float]`).
   *
@@ -318,6 +319,62 @@ object Similarity {
         Seq(col("sim").desc, col("negative_id").asc), k, "rank")
       .select(col("anchor_id"), col("negative_id"),
         col("rank").cast("long").as("rank"), col("sim"))
+  }
+
+  /** DBSCAN-style DENSITY CLUSTERING in cosine-similarity space (Ester et
+    * al. KDD 1996, ε-neighborhood = rounded sim ≥ `eps`): core points have
+    * ≥ `minPts` neighbors (self included), clusters are the connected
+    * components of the core-core ε-graph, border points (non-core with a
+    * core neighbor) attach to the smallest core-neighbor cluster, noise is
+    * absent from the output. The curation use: density clusters find the
+    * boilerplate/template families that similarity THRESHOLDING alone
+    * fragments, while noise points survive dedup untouched.
+    *
+    * Every stage is a bounded relational op: ε-pairs from the exact
+    * [[blockGridPairs]] grid (swap in rhBands candidates at 100 TB — the
+    * downstream stages are candidate-source agnostic), degree = one count
+    * on the symmetrized pairs, components via
+    * [[Dedup.connectedComponentsStar]] (O(log n) rounds), border attach =
+    * one join + min-aggregate. Deterministic: cluster id = smallest member
+    * id, border ties to the smallest cluster id; no seeds, no iteration
+    * order dependence (classic DBSCAN's border assignment depends on visit
+    * order — taking the MIN makes it a pure function of the data).
+    */
+  def densityClusters(corpus: DataFrame, eps: Double, minPts: Int,
+      nBlocks: Int = 16): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val pairs = blockGridPairs(corpus, eps - 1e-6, nBlocks)
+      .withColumn("sim", round(col("sim_raw"), 6))
+      .filter(col("sim") >= eps)
+      .select(col("id_a"), col("id_b")).ckpt()
+    val sym = pairs.unionByName(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    // +1: the point itself is in its own ε-neighborhood. Count over the
+    // FULL corpus (left join), not the pairs frame — a zero-neighbor
+    // point must still qualify as a (singleton) core when minPts = 1.
+    val nbrCounts = sym.groupBy(col("id_a").as("vec_id"))
+      .agg(count(lit(1)).as("_nbrs"))
+    val core = corpus.select(col("vec_id"))
+      .join(nbrCounts, Seq("vec_id"), "left")
+      .filter(coalesce(col("_nbrs"), lit(0L)) + 1 >= minPts)
+      .select(col("vec_id"))
+    val coreEdges = pairs
+      .join(core.select(col("vec_id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(core.select(col("vec_id").as("id_b")), Seq("id_b"), "left_semi")
+    val linked = Dedup.connectedComponentsStar(coreEdges, "id_a", "id_b")
+      .select(col("node").as("vec_id"), col("cluster_id"))
+    // a core point with no core neighbor is still a (singleton) cluster
+    val coreClusters = linked.unionByName(
+      core.join(linked, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("vec_id").as("cluster_id")))
+    val border = sym
+      .join(core.select(col("vec_id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(coreClusters.select(col("vec_id").as("id_b"), col("cluster_id")),
+        Seq("id_b"))
+      .groupBy(col("id_a").as("vec_id"))
+      .agg(min(col("cluster_id")).as("cluster_id"))
+    coreClusters.withColumn("role", lit("core"))
+      .unionByName(border.withColumn("role", lit("border")))
   }
 
   // --------------------------------------------------- scalar quantization

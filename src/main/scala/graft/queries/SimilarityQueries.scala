@@ -126,6 +126,36 @@ object SimilarityQueries {
         .filter(col("sim") >= 0.4)
         .select(col("id_a"), col("id_b"), col("sim"))),
 
+    // DBSCAN density clusters in cosine space (eps = sim 0.35, minPts 3):
+    // core = >=3 in-neighborhood points (self included), clusters = CC of
+    // the core-core graph, border attaches to its smallest core-neighbor
+    // cluster, noise absent — the template-family finder thresholding
+    // fragments.
+    "q181_density_clusters" -> ((s, d) =>
+      Similarity.densityClusters(corpus(s, d), eps = 0.35, minPts = 3)),
+
+    // Mutual (reciprocal) nearest neighbors: pairs where each is the
+    // other's exact top-1 — the high-precision duplicate signal (a one-
+    // directional NN is often a hub artifact; mutuality filters hubs).
+    // Per-anchor top-1 from the symmetrized block grid, then a self-join
+    // on the reversed pair.
+    "q182_mutual_nn" -> ((s, d) => {
+      val pairs = Similarity.blockGridPairs(corpus(s, d), -1.0)
+        .withColumn("sim", round(col("sim_raw"), 6))
+      val directed = pairs
+        .select(col("id_a").as("a"), col("id_b").as("b"), col("sim"))
+        .unionByName(pairs
+          .select(col("id_b").as("a"), col("id_a").as("b"), col("sim")))
+      val nn1 = Relational.topKPerGroup(directed, Seq(col("a")),
+          Seq(col("sim").desc, col("b").asc), 1, "rank")
+        .select(col("a"), col("b"), col("sim"))
+      nn1.alias("x").join(nn1.alias("y"),
+          col("x.a") === col("y.b") && col("x.b") === col("y.a"))
+        .filter(col("x.a") < col("x.b"))
+        .select(col("x.a").as("id_a"), col("x.b").as("id_b"),
+          col("x.sim").as("sim"))
+    }),
+
     // Hard-negative mining: every anchor's top-5 most-similar vectors
     // with a DIFFERENT label (sim >= 0.2) — the contrastive-training pair
     // generator. Candidates from the exact block grid; labels join on the
@@ -354,6 +384,65 @@ object SimilarityQueries {
          |SELECT node AS vec_id, min(r) AS cluster_id,
          |       node = min(r) AS is_canonical
          |FROM reach GROUP BY node""".stripMargin,
+    "q182_mutual_nn" ->
+      s"""$VCte, scored AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |         round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS sim
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+         |), nn AS (
+         |  SELECT ia, ib, sim FROM (
+         |    SELECT ia, ib, sim, row_number() OVER (PARTITION BY ia
+         |      ORDER BY sim DESC, ib ASC) AS rn
+         |    FROM scored) z
+         |  WHERE rn = 1
+         |)
+         |SELECT x.ia AS id_a, x.ib AS id_b, x.sim AS sim
+         |FROM nn x JOIN nn y ON x.ia = y.ib AND x.ib = y.ia
+         |WHERE x.ia < x.ib""".stripMargin,
+
+    "q181_density_clusters" ->
+      s"""${VCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM n a, n b
+         |  WHERE a.vec_id < b.vec_id
+         |    AND round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.35
+         |), sym AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |), core AS (
+         |  SELECT x.vec_id FROM n x LEFT JOIN (
+         |    SELECT s AS vec_id, count(*) AS nb FROM sym GROUP BY s) c
+         |    ON x.vec_id = c.vec_id
+         |  WHERE coalesce(c.nb, 0) + 1 >= 3
+         |), cedges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairs
+         |  WHERE id_a IN (SELECT vec_id FROM core)
+         |    AND id_b IN (SELECT vec_id FROM core)
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs
+         |  WHERE id_a IN (SELECT vec_id FROM core)
+         |    AND id_b IN (SELECT vec_id FROM core)
+         |), reach AS (
+         |  SELECT DISTINCT s AS node, s AS r FROM cedges
+         |  UNION
+         |  SELECT reach.node, cedges.d FROM reach JOIN cedges ON reach.r = cedges.s
+         |), linked AS (
+         |  SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node
+         |), core_clusters AS (
+         |  SELECT vec_id, cluster_id FROM linked
+         |  UNION ALL
+         |  SELECT vec_id, vec_id FROM core
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM linked)
+         |), border AS (
+         |  SELECT y.s AS vec_id, min(cc.cluster_id) AS cluster_id
+         |  FROM sym y JOIN core_clusters cc ON y.d = cc.vec_id
+         |  WHERE y.s NOT IN (SELECT vec_id FROM core)
+         |  GROUP BY y.s
+         |)
+         |SELECT vec_id, cluster_id, 'core' AS role FROM core_clusters
+         |UNION ALL
+         |SELECT vec_id, cluster_id, 'border' AS role FROM border""".stripMargin,
+
     "q177_hard_negatives" ->
       s"""$VCte, scored AS (
          |  SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,

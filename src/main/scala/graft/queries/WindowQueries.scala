@@ -115,6 +115,28 @@ object WindowQueries {
     "q109_gap_fill" -> ((s, d) =>
       EventTime.gapFillDaily(Tables.events(s, d), "user_id", "ts", "value")),
 
+    // Burst detection: per event type, active days whose count more than
+    // doubles the trailing-28-day daily average, as the exact integer
+    // cross-multiplication cnt·28 > 2·Σtrailing (no float average ever
+    // forms); requires ≥7 days of trailing history so a series' first
+    // week can't self-declare a burst. One keyed range-window pass.
+    "q183_burst_days" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-28, -1)
+      daily
+        .withColumn("trail_sum", sum(col("cnt")).over(w))
+        .withColumn("trail_days", count(col("cnt")).over(w))
+        .filter(col("trail_days") >= 7 &&
+          col("cnt") * 28 > col("trail_sum") * 2)
+        .select(col("event_type"), col("day"), col("cnt"),
+          col("trail_sum"), col("trail_days"))
+    }),
+
     // Exact trailing-7-day distinct users per active day — the DAU/WAU
     // family's sliding cardinality, inexpressible as a Spark window
     // function, linearized by the span trick (each (user, active day)
@@ -298,6 +320,23 @@ object WindowQueries {
     // The spine is generate_series(first, last) per user; interpolation is
     // the same BIGINT expression Spark evaluates (// == div on nonnegative
     // numerators, and daily cent sums here are nonnegative).
+    "q183_burst_days" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), trail AS (
+        |  SELECT event_type, day, cnt,
+        |         CAST(sum(cnt) OVER w AS BIGINT) AS trail_sum,
+        |         CAST(count(cnt) OVER w AS BIGINT) AS trail_days
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, day, cnt, trail_sum, trail_days
+        |FROM trail
+        |WHERE trail_days >= 7 AND cnt * 28 > trail_sum * 2""".stripMargin,
+
     "q178_sliding_distinct" ->
       """WITH dp AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day

@@ -20,6 +20,84 @@ class SimilaritySpec extends SparkSpec {
     truth.map { case (q, t) => (t & result.getOrElse(q, Set.empty)).size / 5.0 }
       .sum / truth.size
 
+  test("densityClusters: hand-built geometry — two dense families, one " +
+      "border, noise absent, singleton core kept") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // 2-d unit-ish vectors: family A = 3 near-identical vectors around
+    // (1,0); family B = 3 around (0,1); a mid-angle point seeing neither
+    // family at eps=0.97 (noise); a far-out noise point; and an isolated
+    // tight PAIR — mutual neighbors but only 2-dense, so with minPts=3
+    // neither is core and neither has a core neighbor -> noise
+    def v(x: Double, y: Double) = Seq(x, y)
+    val rows = Seq(
+      1L -> v(1.0, 0.0), 2L -> v(0.999, 0.04), 3L -> v(0.998, 0.06),
+      10L -> v(0.0, 1.0), 11L -> v(0.04, 0.999), 12L -> v(0.06, 0.998),
+      20L -> v(0.76, 0.65),               // 40° out: sees no one at 0.97
+      30L -> v(-1.0, 0.0),                // noise
+      40L -> v(-0.70, 0.71), 41L -> v(-0.71, 0.70)) // tight pair, not core
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("vec", ArrayType(DoubleType)),
+      StructField("nrm", DoubleType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, xy) =>
+        Row(id, xy, math.sqrt(xy.map(a => a * a).sum)) }),
+      schema)
+    val got = Similarity.densityClusters(df, eps = 0.97, minPts = 3, nBlocks = 4)
+      .as[(Long, Long, String)].collect().toSet
+    // A: {1,2,3} all within cos 0.97 of each other -> all core, cluster 1
+    // B: {10,11,12} likewise, cluster 10
+    // 20: cos(20,1)=0.76 < eps... must be absent unless near a core.
+    val clusters = got.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(clusters.contains(1L) && clusters(1L).map(identity) == Set(1L, 2L, 3L),
+      s"family A wrong: $got")
+    assert(clusters.contains(10L) && clusters(10L) == Set(10L, 11L, 12L),
+      s"family B wrong: $got")
+    assert(!got.exists(r => Set(20L, 30L, 40L, 41L).contains(r._1)),
+      s"noise leaked into output: $got")
+    assert(got.forall(_._3 == "core"))
+  }
+
+  test("densityClusters: a core bridge merges families; an isolated " +
+      "core is its own singleton cluster; borders take the min cluster") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // Two identical-vector families 22.5° apart (cos 0.9239 < eps, so
+    // they never see each other directly); point 5 sits ~11° from BOTH
+    // (cos ≈ 0.981 ≥ eps) and bridges them; 99 is orthogonal to all.
+    def v(x: Double, y: Double, z: Double) = Seq(x, y, z)
+    val rows = Seq(
+      1L -> v(1, 0, 0), 2L -> v(1, 0, 0), 3L -> v(1, 0, 0),
+      7L -> v(0.9239, 0.3827, 0), 8L -> v(0.9239, 0.3827, 0),
+      9L -> v(0.9239, 0.3827, 0),
+      5L -> v(0.981, 0.196, 0),
+      99L -> v(0, 0, 1))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("vec", ArrayType(DoubleType)),
+      StructField("nrm", DoubleType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, xy) =>
+        Row(id, xy, math.sqrt(xy.map(a => a * a).sum)) }), schema)
+    // minPts=1: every point is core, so 5 is a core bridge -> one merged
+    // cluster (id 1), and isolated 99 is a singleton core cluster
+    val got = Similarity.densityClusters(df, eps = 0.97, minPts = 1,
+        nBlocks = 4)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got.contains((99L, 99L, "core")), s"singleton core missing: $got")
+    val ids = got.filter(r => Seq(1L, 2L, 3L, 5L, 7L, 8L, 9L).contains(r._1))
+    assert(ids.forall(_._2 == 1L), s"bridged families must merge: $got")
+    // minPts=5: families of 3 + the bridge give each family member
+    // 4 in-neighborhood points + self = 5 -> core only for members seeing
+    // both the family AND the bridge... family members see {fam(3) + 5}
+    // = 4 + self = 5 -> core; 5 sees {both families} = 6 + self -> core;
+    // 99 sees only itself -> NOT core (needs 5) -> absent entirely
+    val strict = Similarity.densityClusters(df, eps = 0.97, minPts = 5,
+        nBlocks = 4)
+      .as[(Long, Long, String)].collect().toSet
+    assert(!strict.exists(_._1 == 99L), s"under-dense point kept: $strict")
+    assert(strict.map(_._1) == Set(1L, 2L, 3L, 5L, 7L, 8L, 9L))
+  }
+
   test("hardNegatives matches a brute-force cross-label top-k in memory") {
     val c = corpus.filter(col("vec_id") < 120)
     val labels = Tables.embeddings(spark, dir)
