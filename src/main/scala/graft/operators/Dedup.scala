@@ -582,6 +582,54 @@ object Dedup {
       .select(col("node"), coalesce(col("root"), col("node")).as("cluster_id"))
   }
 
+  /** INCREMENTAL connected-components maintenance: fold a batch of NEW
+    * edges into an existing (node, cluster_id) labeling without touching
+    * the old edge set — the q135/q142 delta pattern applied to
+    * clustering. Edges only ever ADD (near-dup graphs never retract), so
+    * components only merge, and merging is exact at LABEL granularity:
+    *
+    * 1. label each delta endpoint with its existing cluster id (unseen
+    *    nodes label themselves);
+    * 2. run components over the CONTRACTED label graph — its size is
+    *    bounded by the labels the delta touches, not the corpus;
+    * 3. map affected labels to their merged minimum and left-join the
+    *    relabeling back (untouched labels — the overwhelming majority at
+    *    100 TB — keep their id and never re-shuffle).
+    *
+    * Exactness: every existing label IS its component's minimum node id
+    * ([[connectedComponentsStar]]'s convention) and fresh nodes label
+    * themselves, so the contracted graph's component minima equal the
+    * full graph's — `applyCcDelta(cc(base), delta) == cc(base ∪ delta)`
+    * bit-for-bit (q184 proves the hash match against the full-rebuild
+    * oracle). This is the re-ingest economics argument: daily batches pay
+    * O(delta + touched labels), never O(corpus) — old×old edges never
+    * re-form.
+    */
+  def applyCcDelta(existing: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val e = newEdges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val lab = existing.select(col("node").cast("long").as("node"),
+      col("cluster_id").cast("long").as("lab"))
+    val labeled = e
+      .join(lab.select(col("node").as("a"), col("lab").as("la")), Seq("a"), "left")
+      .join(lab.select(col("node").as("b"), col("lab").as("lb")), Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("la"),
+        coalesce(col("lb"), col("b")).as("lb"))
+      .filter(col("la") =!= col("lb"))
+    val merged = connectedComponentsStar(labeled, "la", "lb")
+      .select(col("node").as("lab"), col("cluster_id").as("merged"))
+    val deltaNodes = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct()
+    val fresh = deltaNodes.join(lab, Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("lab"))
+    lab.unionByName(fresh)
+      .join(merged, Seq("lab"), "left")
+      .select(col("node"),
+        coalesce(col("merged"), col("lab")).as("cluster_id"))
+  }
+
   /** Exact dedup: canonical row per duplicate group (min id wins —
     * deterministic, unlike dropDuplicates' arbitrary row). One shuffle on
     * the group hash.

@@ -250,6 +250,25 @@ object SimilarityQueries {
         .select(col("node").as("vec_id"), col("cluster_id"),
           (col("node") === col("cluster_id")).as("is_canonical"))),
 
+    // Incremental CC maintenance: near-dup pairs split into a base batch
+    // (no endpoint divisible by 7) and a delta batch (the rest); the
+    // delta folds into the base labeling at LABEL granularity — the
+    // q135/q142 incremental pattern applied to clustering. The oracle is
+    // the FULL-graph recompute (q53's recursive closure), so the hash
+    // match IS the delta==rebuild proof.
+    "q184_cc_delta" -> ((s, d) => {
+      val pairs = embedPairs(s, d).cache()
+      val base = pairs
+        .filter(col("id_a") % 7 =!= 0 && col("id_b") % 7 =!= 0)
+      val delta = pairs
+        .filter(col("id_a") % 7 === 0 || col("id_b") % 7 === 0)
+      val baseCc = graft.operators.Dedup.connectedComponentsStar(
+        base, "id_a", "id_b")
+      graft.operators.Dedup.applyCcDelta(baseCc, delta, "id_a", "id_b")
+        .select(col("node").as("vec_id"), col("cluster_id"),
+          (col("node") === col("cluster_id")).as("is_canonical"))
+    }),
+
     // SemDeDup: cluster (q29's every-50th centroids), then drop vectors with
     // a smaller-id cosine-near-dup in the SAME cell — quadratic work
     // confined within cells, candidates from the cell equi-join.
@@ -442,6 +461,26 @@ object SimilarityQueries {
          |SELECT vec_id, cluster_id, 'core' AS role FROM core_clusters
          |UNION ALL
          |SELECT vec_id, cluster_id, 'border' AS role FROM border""".stripMargin,
+
+    // Identical to q53's full-graph closure: the incremental result must
+    // hash-match the ground-up rebuild — that equality IS the proof.
+    "q184_cc_delta" ->
+      s"""${VCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM n a, n b
+         |  WHERE a.vec_id < b.vec_id
+         |    AND round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.4
+         |), edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |), reach AS (
+         |  SELECT DISTINCT s AS node, s AS r FROM edges
+         |  UNION
+         |  SELECT reach.node, edges.d FROM reach JOIN edges ON reach.r = edges.s
+         |)
+         |SELECT node AS vec_id, min(r) AS cluster_id,
+         |       node = min(r) AS is_canonical
+         |FROM reach GROUP BY node""".stripMargin,
 
     "q177_hard_negatives" ->
       s"""$VCte, scored AS (

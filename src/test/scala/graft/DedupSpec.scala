@@ -12,6 +12,30 @@ class DedupSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("applyCcDelta == full rebuild on random graphs under random " +
+      "base/delta splits (components only merge, never split)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val n = 30
+      val edges = (1 to 45).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val (base, delta) = edges.partition(_ => rnd.nextBoolean())
+      if (base.nonEmpty && delta.nonEmpty) {
+        val baseCc = Dedup.connectedComponentsStar(
+          base.toDF("a", "b"), "a", "b")
+        val got = Dedup.applyCcDelta(baseCc, delta.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+        val want = Dedup.connectedComponentsStar(
+          edges.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+        assert(got == want, s"trial $trial: delta result diverged from " +
+          s"rebuild\nbase=$base\ndelta=$delta")
+      }
+    }
+  }
+
   test("prefixFilteredPairs is lossless: equals the brute-force all-pairs " +
       "scan on the real corpus") {
     val sh = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
