@@ -13,6 +13,33 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("q180 covariance matrix: ONE lineitem scan feeding partial " +
+      "(map-side) product sums — never p^2 passes") {
+    val p = plan("q180_cov_matrix")
+    val scans = p.split("Scan parquet").length - 1
+    assert(scans == 1, s"expected exactly one scan, got $scans:\n$p")
+    assert(p.contains("partial_sum"),
+      s"product sums lost their map-side partial phase:\n$p")
+  }
+
+  test("q178 sliding distinct: span expansion, no self-join — the " +
+      "days-by-window rescan shape is pinned OUT") {
+    val p = plan("q178_sliding_distinct")
+    assert(p.contains("Generate") && p.contains("explode"),
+      s"span expansion (explode(sequence)) missing:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"sliding distinct went quadratic:\n$p")
+  }
+
+  test("q176 link prediction: wedges form by equi-join on the center " +
+      "node — no cartesian, no nested loop") {
+    val p = plan("q176_link_predict")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge join went quadratic:\n$p")
+  }
+
   test("q162 grouping sets: ONE Expand into ONE aggregate pair — the " +
     "input is scanned once, not once per set") {
     val p = plan("q162_grouping_sets")
