@@ -211,6 +211,29 @@ object Curation {
       .select(keep :+ explode(Dedup.shingles(col("_tok"), n)).as("_gram"): _*)
       .select(keep :+ md5(col("_gram")).as("gram_h"): _*)
 
+  /** Per-document n-gram NOVELTY against everything that came before it
+    * (in id order): of a doc's distinct n-grams, how many were already
+    * introduced by a smaller-id doc. High `seen_ppm` = the doc is mostly
+    * recombined boilerplate — the soft-redundancy score between exact
+    * span dedup (all-or-nothing) and near-dup (whole-doc granularity),
+    * and a memorization-risk proxy for training mixes.
+    *
+    * Two keyed shuffles, both bounded: min-id per gram (gram-keyed,
+    * map-side combined), then per-doc counts (doc-keyed). "First" =
+    * smallest doc id — a pure function of the data, not of arrival or
+    * partition order, so the score is reproducible anywhere.
+    */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val grams = gramRelation(df, textCol, n, Seq(col(idCol))).distinct()
+    val first = grams.groupBy(col("gram_h")).agg(min(col(idCol)).as("_first"))
+    grams.join(first, Seq("gram_h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_first") < col(idCol), 1L).otherwise(0L)).as("n_seen"))
+      .withColumn("seen_ppm", expr("n_seen * 1000000 div n_grams"))
+  }
+
   def contaminatedDocs(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     val benchGrams = gramRelation(bench, textCol, n, Seq.empty).distinct()

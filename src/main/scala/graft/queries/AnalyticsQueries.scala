@@ -29,6 +29,33 @@ object AnalyticsQueries {
         "disc_pct" -> floor(col("l_discount") * 100),
         "tax_pct" -> floor(col("l_tax") * 100)))),
 
+    // Benford first-significant-digit audit over order amounts — the
+    // fabricated-data / unit-mix smell test. First digit via the integer
+    // string head (no float log10, engine-exact); observed shares in ppm
+    // against the Benford constants ⌊10⁶·log10(1+1/d)⌋ as literals.
+    "q186_benford" -> ((s, d) => {
+      val benford = Map(1 -> 301029L, 2 -> 176091L, 3 -> 124938L,
+        4 -> 96910L, 5 -> 79181L, 6 -> 66946L, 7 -> 57991L,
+        8 -> 51152L, 9 -> 45757L)
+      val v = Tables.lineitem(s, d)
+        .select(floor(col("l_extendedprice")).cast("long").as("v"))
+        .filter(col("v") > 0)
+      val counts = v
+        .withColumn("digit", substring(col("v").cast("string"), 1, 1)
+          .cast("long"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val total = v.agg(count(lit(1)).as("_total"))
+      val bppm = benford.foldLeft(lit(null).cast("long")) {
+        case (acc, (dg, ppm)) =>
+          when(col("digit") === dg.toLong, lit(ppm)).otherwise(acc)
+      }
+      counts.crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 div _total").as("obs_ppm"),
+          bppm.as("benford_ppm"),
+          abs(expr("n * 1000000 div _total") - bppm).as("dev_ppm"))
+    }),
+
     // Star join: facts shuffle once on l_orderkey; all dims broadcast.
     "q14_star_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -528,6 +555,28 @@ object AnalyticsQueries {
         floor(col("o_totalprice") * 100).cast("long"), 20)))
 
   val oracles: Map[String, String] = Map(
+    "q186_benford" -> {
+      val cases = Seq(1 -> 301029L, 2 -> 176091L, 3 -> 124938L,
+        4 -> 96910L, 5 -> 79181L, 6 -> 66946L, 7 -> 57991L,
+        8 -> 51152L, 9 -> 45757L)
+        .map { case (dg, ppm) => s"WHEN digit = $dg THEN $ppm" }
+        .mkString(" ")
+      s"""WITH v AS (
+         |  SELECT CAST(floor(l_extendedprice) AS BIGINT) AS v
+         |  FROM lineitem WHERE floor(l_extendedprice) > 0
+         |), c AS (
+         |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |         count(*) AS n
+         |  FROM v GROUP BY 1
+         |), t AS (SELECT count(*) AS total FROM v)
+         |SELECT digit, n,
+         |       CAST(n * 1000000 // total AS BIGINT) AS obs_ppm,
+         |       CAST(CASE $cases END AS BIGINT) AS benford_ppm,
+         |       CAST(abs(n * 1000000 // total -
+         |                CASE $cases END) AS BIGINT) AS dev_ppm
+         |FROM c, t""".stripMargin
+    },
+
     "q180_cov_matrix" -> {
       val vars = Seq("qty", "price_usd", "disc_pct", "tax_pct")
       val sums = vars.map(v => s"CAST(sum($v) AS BIGINT) AS s_$v")

@@ -37,6 +37,13 @@ object CurationQueries {
         .select(col("doc_id"), col("n_shared").cast("long").as("n_shared"))
     }),
 
+    // n-gram novelty: per doc, the share of its distinct 3-grams already
+    // introduced by a smaller-id doc (parts-per-million, integer div) —
+    // the soft-redundancy score between exact span dedup and whole-doc
+    // near-dup.
+    "q185_novelty" -> ((s, d) =>
+      Curation.noveltyScores(Tables.documents(s, d), "doc_id", "text", 3)),
+
     // q63 with the bloom prefilter: the benchmark gram set folds into one
     // bloom sketch, corpus grams probe it map-side before the exact
     // confirm join. The bloom only prunes — the oracle is q63's verbatim,
@@ -193,6 +200,28 @@ object CurationQueries {
          |SELECT lang, split, count(*) AS n_docs,
          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM split GROUP BY 1, 2""".stripMargin,
+
+    "q185_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'),
+        |                     x -> x <> '') AS tok
+        |  FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         md5(array_to_string(tok[i+1:i+3], ' ')) AS gram_h
+        |  FROM tok, UNNEST(range(0, greatest(len(tok) - 2, 0))) u(i)
+        |), first AS (
+        |  SELECT gram_h, min(doc_id) AS f FROM grams GROUP BY 1
+        |), agg AS (
+        |  SELECT g.doc_id, count(*) AS n_grams,
+        |         sum(CASE WHEN f.f < g.doc_id THEN 1 ELSE 0 END) AS n_seen
+        |  FROM grams g JOIN first f USING (gram_h)
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id, n_grams, CAST(n_seen AS BIGINT) AS n_seen,
+        |       CAST(n_seen * 1000000 // n_grams AS BIGINT) AS seen_ppm
+        |FROM agg""".stripMargin,
 
     "q63_decontaminate" ->
       """WITH tok AS (

@@ -14,6 +14,22 @@ class CurationSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
 
+  test("noveltyScores: later doc sees earlier grams, first doc all-novel, " +
+      "duplicate grams inside one doc count once") {
+    val docs = Seq(
+      (1L, "a b c d"),        // grams: "a b c", "b c d" — all novel
+      (2L, "a b c x a b c x"),// distinct grams: abc(seen), bcx, cxa, xab
+      (3L, "b c d"))          // one gram, seen (doc 1 introduced it)
+      .toDF("doc_id", "text")
+    val got = Curation.noveltyScores(docs, "doc_id", "text", 3)
+      .select("doc_id", "n_grams", "n_seen", "seen_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 0L, 0L)))
+    assert(got(2L) == ((4L, 1L, 250000L)), s"got ${got(2L)}")
+    assert(got(3L) == ((1L, 1L, 1000000L)))
+  }
+
   test("hashSplit is stable under corpus growth and ~matches requested rates") {
     val docs = Tables.documents(spark, dir)
     val full = Curation.hashSplit(docs, "doc_id",
