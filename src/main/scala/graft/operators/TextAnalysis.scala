@@ -603,6 +603,44 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** PROXIMITY search: documents where `termA` and `termB` occur within
+    * `window` token positions of each other (unordered), with the pair
+    * count and the closest distance — the "NEAR/n" retrieval operator,
+    * ranking co-mention tightness where [[booleanRetrieval]] only tests
+    * co-presence.
+    *
+    * Postings filter to the two query terms BEFORE any shuffle (the
+    * [[phraseSearch]] discipline), then meet by the bin trick
+    * ([[EventTime.selfRangeJoinBinned]]'s): positions bucket by
+    * floor(pos/window); a qualifying pair's bins differ by ≤ 1, so
+    * replicating one side to its 3 neighbor bins makes the join a plain
+    * (doc, bin) equi-join — candidates ∝ matched postings, never the
+    * |A-postings|×|B-postings| per-document product a bare doc-join
+    * forms on a term-heavy document.
+    */
+  def proximityPairs(df: DataFrame, idCol: String, textCol: String,
+      termA: String, termB: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(termA != termB, "proximity terms must differ")
+    val toks = df.select(col(idCol),
+      posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val pa = toks.filter(col("tok") === termA)
+      .select(col(idCol), col("pos").cast("long").as("pa"))
+      .withColumn("bin", explode(array(
+        expr(s"pa div $window") - 1, expr(s"pa div $window"),
+        expr(s"pa div $window") + 1)))
+    val pb = toks.filter(col("tok") === termB)
+      .select(col(idCol), col("pos").cast("long").as("pb"),
+        expr(s"pb div $window").as("bin"))
+    // each (pa, pb) pair meets exactly once: pb carries ONE bin and pa's
+    // three replicas have distinct bins — no dedup pass needed
+    pa.join(pb, Seq(idCol, "bin"))
+      .filter(abs(col("pa") - col("pb")) <= window)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("pa") - col("pb"))).as("min_dist"))
+  }
+
   /** Conjunctive (AND) boolean retrieval: documents containing EVERY term
     * in `terms`, with the total occurrence count of query terms.
     *

@@ -254,6 +254,13 @@ object TextQueries {
       TextAnalysis.phraseSearch(Tables.documents(s, d), "doc_id", "text",
         Seq("hash", "join"))),
 
+    // NEAR/5 proximity retrieval: docs where "hash" and "data" co-occur
+    // within 5 token positions, pair count + closest distance — postings
+    // filter before any shuffle, bin-trick candidate join.
+    "q187_proximity" -> ((s, d) =>
+      TextAnalysis.proximityPairs(Tables.documents(s, d), "doc_id", "text",
+        "hash", "data", window = 5)),
+
     // q157's sketch composed with GROUPING: per-language φ-frequent
     // tokens (φ = 1/30), one bounded MG summary per language key — the
     // accumulator bound now holds per (task × group), so the exchange
@@ -465,6 +472,22 @@ object TextQueries {
          |       CAST(list_sum(list_transform(tok,
          |         x -> CAST(ceil(len(x)/4.0) AS BIGINT))) AS BIGINT) AS n_subwords
          |FROM t""".stripMargin,
+
+    "q187_proximity" ->
+      s"""$TokCte, pa AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS p
+         |  FROM t, UNNEST(range(0, len(tok))) u(i)
+         |  WHERE tok[i+1] = 'hash'
+         |), pb AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS p
+         |  FROM t, UNNEST(range(0, len(tok))) u(i)
+         |  WHERE tok[i+1] = 'data'
+         |)
+         |SELECT pa.doc_id, count(*) AS n_pairs,
+         |       CAST(min(abs(pa.p - pb.p)) AS BIGINT) AS min_dist
+         |FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+         |              AND abs(pa.p - pb.p) <= 5
+         |GROUP BY 1""".stripMargin,
 
     "q179_token_budget" ->
       s"""$TokCte, scored AS (

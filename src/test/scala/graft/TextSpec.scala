@@ -14,6 +14,34 @@ class TextSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("proximityPairs matches brute force on the real corpus (bin-join " +
+      "losslessness) and on a window-boundary fixture") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = TextAnalysis.proximityPairs(docs, "doc_id", "text",
+        "hash", "data", window = 5)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val expect = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().flatMap { case (id, text) =>
+        val tok = text.trim.split("\\s+").filter(_.nonEmpty)
+        val pa = tok.zipWithIndex.collect { case ("hash", i) => i.toLong }
+        val pb = tok.zipWithIndex.collect { case ("data", i) => i.toLong }
+        val pairs = for (a <- pa; b <- pb if math.abs(a - b) <= 5)
+          yield math.abs(a - b)
+        if (pairs.isEmpty) None
+        else Some(id -> ((pairs.length.toLong, pairs.min)))
+      }.toMap
+    assert(got == expect)
+    assert(got.nonEmpty, "fixture terms produced no matches — pick new terms")
+    // boundary: distance EXACTLY window qualifies, window+1 does not
+    val edge = Seq((1L, "hash x x x x data"), (2L, "hash x x x x x data"))
+      .toDF("doc_id", "text")
+    val e = TextAnalysis.proximityPairs(edge, "doc_id", "text",
+        "hash", "data", window = 5)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(e == Map(1L -> ((1L, 5L))))
+  }
+
   /** Independent reference BPE trainer (plain Scala, no Spark): classic
     * Sennrich counting — pair frequencies weighted by word frequency,
     * overlapping occurrences counted, merges applied greedily
