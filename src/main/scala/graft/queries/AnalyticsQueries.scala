@@ -29,6 +29,26 @@ object AnalyticsQueries {
         "disc_pct" -> floor(col("l_discount") * 100),
         "tax_pct" -> floor(col("l_tax") * 100)))),
 
+    // Quantile (percentile-rank) normalization per group — the
+    // distribution-free feature transform: each customer's balance maps
+    // to its within-nation percentile in exact ppm, (rank−1)·10⁶ div
+    // (n−1), RANK so exact ties share a value. One keyed window pass.
+    "q188_quantile_norm" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("bal_cents"))
+      c.withColumn("rnk", rank().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("c_nationkey"))))
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+          col("bal_cents"),
+          when(col("n") === 1, 0L)
+            .otherwise(expr("(rnk - 1) * 1000000 div (n - 1)"))
+            .as("pr_ppm"))
+    }),
+
     // Benford first-significant-digit audit over order amounts — the
     // fabricated-data / unit-mix smell test. First digit via the integer
     // string head (no float log10, engine-exact); observed shares in ppm
@@ -555,6 +575,22 @@ object AnalyticsQueries {
         floor(col("o_totalprice") * 100).cast("long"), 20)))
 
   val oracles: Map[String, String] = Map(
+    "q188_quantile_norm" ->
+      """WITH c AS (
+        |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+        |         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer
+        |), r AS (
+        |  SELECT c_custkey, nation, bal_cents,
+        |         rank() OVER (PARTITION BY nation ORDER BY bal_cents) AS rnk,
+        |         count(*) OVER (PARTITION BY nation) AS n
+        |  FROM c
+        |)
+        |SELECT c_custkey, nation, bal_cents,
+        |       CAST(CASE WHEN n = 1 THEN 0
+        |            ELSE (rnk - 1) * 1000000 // (n - 1) END AS BIGINT) AS pr_ppm
+        |FROM r""".stripMargin,
+
     "q186_benford" -> {
       val cases = Seq(1 -> 301029L, 2 -> 176091L, 3 -> 124938L,
         4 -> 96910L, 5 -> 79181L, 6 -> 66946L, 7 -> 57991L,

@@ -154,7 +154,28 @@ object TextQueries {
     // verifies the merge table exactly against an in-memory reference
     // trainer on the same corpus.
     "q114_bpe_merges" -> ((s, d) =>
-      TextAnalysis.bpeMerges(toks(s, d), "tok", 12)))
+      TextAnalysis.bpeMerges(toks(s, d), "tok", 12)),
+
+    // Tokenizer INFERENCE at corpus scale: train q114's 12 merges, then
+    // encode every DISTINCT word once (the corpus collapses to its word
+    // table first — at 100 TB that's the vocabulary, not the token
+    // stream) by replaying the merges as row-local folds. The collected
+    // merge table is O(12) control rows (the BPE-argmax discipline); no
+    // SQL oracle can replay an iterative rewrite, so like q114 this is
+    // rows-only for the driver and EXACTLY verified against the
+    // independent in-memory encoder in TextSpec.
+    "q189_bpe_encode" -> ((s, d) => {
+      val t = toks(s, d)
+      val merges = TextAnalysis.bpeMerges(t, "tok", 12)
+        .orderBy(col("iteration"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      t.select(explode(col("tok")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .withColumn("syms", TextAnalysis.bpeSegment("word", merges))
+        .select(col("word"), col("freq"),
+          size(col("syms")).cast("long").as("n_subwords"),
+          concat_ws("|", col("syms")).as("segmentation"))
+    }))
 
   private val langVotesSql: String =
     TextAnalysis.LangMarkers.map { case (lang, words) =>

@@ -14,6 +14,38 @@ class TextSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("q189 corpus encode: Spark bpeSegment == independent in-memory " +
+      "rewrite chain for every distinct word of the real corpus") {
+    val t = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("tok", Dedup.tokens(col("text")))
+    val merges = TextAnalysis.bpeMerges(t, "tok", 12)
+      .orderBy(col("iteration"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    val got = t.select(explode(col("tok")).as("word")).distinct()
+      .withColumn("syms", TextAnalysis.bpeSegment("word", merges))
+      .select(col("word"), concat_ws("|", col("syms")))
+      .as[(String, String)].collect().toMap
+    // the same rewrite the trainer spec uses, replayed per word
+    def rewrite(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var last: Option[String] = None
+      syms.foreach { x =>
+        if (last.contains(a) && x == b) { last = Some(a + b) }
+        else { last.foreach(out += _); last = Some(x) }
+      }
+      last.foreach(out += _)
+      out.result()
+    }
+    got.keys.foreach { w =>
+      val ref = merges.foldLeft(w.map(_.toString).toVector) {
+        case (s, (a, b)) => rewrite(s, a, b)
+      }
+      assert(got(w) == ref.mkString("|"),
+        s"word '$w': spark=${got(w)} ref=${ref.mkString("|")}")
+    }
+  }
+
   test("proximityPairs matches brute force on the real corpus (bin-join " +
       "losslessness) and on a window-boundary fixture") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
