@@ -29,6 +29,33 @@ object AnalyticsQueries {
         "disc_pct" -> floor(col("l_discount") * 100),
         "tax_pct" -> floor(col("l_tax") * 100)))),
 
+    // Point-in-time feature spine (the feature-store training-matrix
+    // contract): for every order, only STRICTLY-PRIOR history may leak in
+    // — previous order price via lag, trailing-90-day prior order count
+    // via an exclusive range window (same-day rows excluded by the
+    // day-granularity bound), static dims broadcast. One keyed exchange
+    // serves both windows; label rides along for the export.
+    "q191_feature_spine" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("day"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      val wLag = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day"), col("o_orderkey"))
+      val wRange = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-90, -1)
+      val c = Tables.customer(s, d).select(col("c_custkey"),
+        floor(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+        col("c_mktsegment"))
+      o.withColumn("prev_price_cents", lag(col("price_cents"), 1).over(wLag))
+        .withColumn("n_prior_90d", count(lit(1)).over(wRange))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("day"),
+          col("prev_price_cents"), col("n_prior_90d"),
+          col("bal_cents"), col("c_mktsegment"),
+          col("price_cents").as("label_cents"))
+    }),
+
     // Quantile (percentile-rank) normalization per group — the
     // distribution-free feature transform: each customer's balance maps
     // to its within-nation percentile in exact ppm, (rank−1)·10⁶ div
@@ -575,6 +602,27 @@ object AnalyticsQueries {
         floor(col("o_totalprice") * 100).cast("long"), 20)))
 
   val oracles: Map[String, String] = Map(
+    "q191_feature_spine" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         epoch_us(o_orderdate) // 86400000000 AS day,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders
+        |), f AS (
+        |  SELECT o_orderkey, o_custkey, day, price_cents,
+        |         lag(price_cents, 1) OVER (PARTITION BY o_custkey
+        |           ORDER BY day, o_orderkey) AS prev_price_cents,
+        |         CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY day
+        |           RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING) AS BIGINT)
+        |           AS n_prior_90d
+        |  FROM o
+        |)
+        |SELECT f.o_orderkey, f.o_custkey, f.day, f.prev_price_cents,
+        |       f.n_prior_90d,
+        |       CAST(floor(c.c_acctbal * 100) AS BIGINT) AS bal_cents,
+        |       c.c_mktsegment, f.price_cents AS label_cents
+        |FROM f JOIN customer c ON f.o_custkey = c.c_custkey""".stripMargin,
+
     "q188_quantile_norm" ->
       """WITH c AS (
         |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,

@@ -275,6 +275,28 @@ object TextQueries {
       TextAnalysis.phraseSearch(Tables.documents(s, d), "doc_id", "text",
         Seq("hash", "join"))),
 
+    // Collocation mining by exact LIFT: for each adjacent bigram,
+    // lift_ppm = n_ab·N·10⁶ div (n_a•·n_•b) over the bigram event space
+    // (first-slot and second-slot marginals) — the PMI ordering without
+    // the log, in pure integer arithmetic. High lift = the pair sticks
+    // together far above chance (multiword expressions, templates).
+    "q190_collocations" -> ((s, d) => {
+      val grams = toks(s, d)
+        .select(explode(Dedup.shingles(col("tok"), 2)).as("gram"))
+        .select(split(col("gram"), " ").getItem(0).as("w1"),
+          split(col("gram"), " ").getItem(1).as("w2"))
+      val ab = grams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_ab"))
+      val aFirst = grams.groupBy(col("w1")).agg(count(lit(1)).as("n_a"))
+      val bSecond = grams.groupBy(col("w2")).agg(count(lit(1)).as("n_b"))
+      val total = grams.agg(count(lit(1)).as("_n"))
+      ab.join(aFirst, Seq("w1")).join(bSecond, Seq("w2"))
+        .crossJoin(broadcast(total))
+        .filter(col("n_ab") >= 3)
+        .select(col("w1"), col("w2"), col("n_ab"),
+          expr("n_ab * _n * 1000000 div (n_a * n_b)").as("lift_ppm"))
+    }),
+
     // NEAR/5 proximity retrieval: docs where "hash" and "data" co-occur
     // within 5 token positions, pair count + closest distance — postings
     // filter before any shuffle, bin-trick candidate join.
@@ -493,6 +515,21 @@ object TextQueries {
          |       CAST(list_sum(list_transform(tok,
          |         x -> CAST(ceil(len(x)/4.0) AS BIGINT))) AS BIGINT) AS n_subwords
          |FROM t""".stripMargin,
+
+    "q190_collocations" ->
+      s"""$TokCte, grams AS (
+         |  SELECT tok[i+1] AS w1, tok[i+2] AS w2
+         |  FROM t, UNNEST(range(0, greatest(len(tok) - 1, 0))) u(i)
+         |), ab AS (
+         |  SELECT w1, w2, count(*) AS n_ab FROM grams GROUP BY 1, 2
+         |), af AS (SELECT w1, count(*) AS n_a FROM grams GROUP BY 1),
+         |bs AS (SELECT w2, count(*) AS n_b FROM grams GROUP BY 1),
+         |t2 AS (SELECT count(*) AS n FROM grams)
+         |SELECT ab.w1, ab.w2, ab.n_ab,
+         |       CAST(ab.n_ab * t2.n * 1000000 // (af.n_a * bs.n_b) AS BIGINT)
+         |         AS lift_ppm
+         |FROM ab JOIN af USING (w1) JOIN bs USING (w2), t2
+         |WHERE ab.n_ab >= 3""".stripMargin,
 
     "q187_proximity" ->
       s"""$TokCte, pa AS (
