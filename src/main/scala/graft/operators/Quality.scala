@@ -61,6 +61,47 @@ object Quality {
     checks.reduce(_.unionByName(_))
   }
 
+  /** Functional-dependency check det → dep: violations are DETERMINANT
+    * values mapping to more than one distinct dependent (so `n_checked`
+    * counts determinant groups, not rows). The schema-discovery /
+    * dirty-join-key audit: an FD that "should" hold but doesn't is how a
+    * dimension join silently fans out. Shape: one group-aggregate on the
+    * determinant, one-row summary — countDistinct state is per-group.
+    */
+  def fdCheck(name: String, df: DataFrame, det: Seq[Column],
+      dep: Column): DataFrame =
+    df.groupBy(det: _*)
+      .agg(count_distinct(dep).as("_nd"))
+      .select(
+        lit(name).as("check_name"),
+        count(when(col("_nd") > 1, lit(1))).as("n_violations"),
+        count(lit(1)).as("n_checked"))
+
+  /** k-anonymity audit over quasi-identifier columns: violations are
+    * equivalence CLASSES smaller than k — any row in one is
+    * re-identifiable to fewer than k candidates (Sweeney 2002). One
+    * group-aggregate; `n_checked` counts classes. Pair with the class
+    * listing (`kAnonymityClasses`) when the offending combinations
+    * themselves must ship to a reviewer.
+    */
+  def kAnonymityCheck(name: String, df: DataFrame, quasiIds: Seq[Column],
+      k: Long): DataFrame =
+    df.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("_n"))
+      .select(
+        lit(name).as("check_name"),
+        count(when(col("_n") < k, lit(1))).as("n_violations"),
+        count(lit(1)).as("n_checked"))
+
+  /** The violating equivalence classes of [[kAnonymityCheck]], with
+    * sizes — bounded output (only under-k classes), deterministic.
+    */
+  def kAnonymityClasses(df: DataFrame, quasiIds: Seq[Column],
+      k: Long): DataFrame =
+    df.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < k)
+
   /** The canonical row digest [[tableChecksum]] sums: 32-bit md5 prefix of
     * the '|'-joined, null-coalesced column renderings (see tableChecksum
     * for why 32 bits and why coalesce).

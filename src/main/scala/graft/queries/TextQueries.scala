@@ -275,6 +275,23 @@ object TextQueries {
       TextAnalysis.phraseSearch(Tables.documents(s, d), "doc_id", "text",
         Seq("hash", "join"))),
 
+    // Vocabulary-growth (Heaps-law) curve: each token is credited to the
+    // smallest doc id that introduces it, then the running total over doc
+    // order IS the vocabulary size after each doc — one gram-keyed min,
+    // one doc-keyed count, one DISTRIBUTED prefix-sum (no single-task
+    // Window.orderBy funnel).
+    "q193_vocab_growth" -> ((s, d) => {
+      val firstDoc = toks(s, d)
+        .select(col("doc_id"), explode(col("tok")).as("w"))
+        .groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+      val perDoc = firstDoc.groupBy(col("first_doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_new_tokens"))
+      graft.operators.EventTime.globalRunningSum(perDoc, "doc_id",
+          "n_new_tokens")
+        .select(col("doc_id"), col("n_new_tokens"),
+          col("running_sum").as("vocab_size"))
+    }),
+
     // Collocation mining by exact LIFT: for each adjacent bigram,
     // lift_ppm = n_ab·N·10⁶ div (n_a•·n_•b) over the bigram event space
     // (first-slot and second-slot marginals) — the PMI ordering without
@@ -515,6 +532,20 @@ object TextQueries {
          |       CAST(list_sum(list_transform(tok,
          |         x -> CAST(ceil(len(x)/4.0) AS BIGINT))) AS BIGINT) AS n_subwords
          |FROM t""".stripMargin,
+
+    "q193_vocab_growth" ->
+      s"""$TokCte, fd AS (
+         |  SELECT w, min(doc_id) AS first_doc FROM (
+         |    SELECT doc_id, UNNEST(tok) AS w FROM t) z
+         |  GROUP BY w
+         |), pd AS (
+         |  SELECT first_doc AS doc_id, count(*) AS n_new_tokens
+         |  FROM fd GROUP BY 1
+         |)
+         |SELECT doc_id, n_new_tokens,
+         |       CAST(sum(n_new_tokens) OVER (ORDER BY doc_id
+         |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+         |FROM pd""".stripMargin,
 
     "q190_collocations" ->
       s"""$TokCte, grams AS (

@@ -232,6 +232,30 @@ object WarehouseQueries {
           col("ra_score"), col("common_n"))
     }),
 
+    // Degree assortativity sufficient statistics: covariance of endpoint
+    // degrees over the symmetric edge list (Newman 2002) in exact BIGINT
+    // sums — positive numerator = hubs link hubs. Composes the degree
+    // aggregate with the q180 one-pass covariance statistics.
+    "q192_assortativity" -> ((s, d) => {
+      val edges = Relational.coOccurrence(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey")),
+        "ok", "l_partkey")
+        .filter(col("n_groups") >= 2)
+        .select(col("item_a"), col("item_b"))
+      val sym = edges.unionByName(edges.select(col("item_b").as("item_a"),
+        col("item_a").as("item_b")))
+      val deg = sym.groupBy(col("item_a").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val endpointDegs = sym
+        .join(deg.select(col("node").as("item_a"), col("deg").as("deg_src")),
+          Seq("item_a"))
+        .join(deg.select(col("node").as("item_b"), col("deg").as("deg_dst")),
+          Seq("item_b"))
+      Relational.covarianceStats(endpointDegs, Seq(
+        "deg_src" -> col("deg_src"), "deg_dst" -> col("deg_dst")))
+    }),
+
     // Single-source shortest paths over the weighted co-occurrence graph
     // (edge weight = 1000000 DIV support, so strongly co-purchased parts
     // are "close"), from the smallest part in the graph — Bellman-Ford in
@@ -718,6 +742,33 @@ object WarehouseQueries {
     // Declarative data-quality report: range, not-null, FK,
     // key-uniqueness and positivity checks, each one aggregate row —
     // violations are counted, never materialized.
+    // Schema-discovery audit: functional dependencies that SHOULD hold
+    // (key → attribute) vs ones expected to fail, plus a k-anonymity
+    // check over the (nation, segment) quasi-identifier — one
+    // group-aggregate per check, one-row summaries unioned (q103's
+    // report shape).
+    "q194_fd_kanon" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      Quality.report(Seq(
+        Quality.fdCheck("nation_to_region", n,
+          Seq(col("n_nationkey")), col("n_regionkey")),
+        Quality.fdCheck("custkey_to_priority", o,
+          Seq(col("o_custkey")), col("o_orderpriority")),
+        Quality.fdCheck("orderkey_to_status", o,
+          Seq(col("o_orderkey")), col("o_orderstatus")),
+        Quality.kAnonymityCheck("cust_quasi_k10", c,
+          Seq(col("c_nationkey"), col("c_mktsegment")), 10L)))
+    }),
+
+    // The re-identifiable classes behind q194's k-anonymity count: every
+    // (nation, segment) combination with fewer than 10 customers.
+    "q195_kanon_classes" -> ((s, d) =>
+      Quality.kAnonymityClasses(Tables.customer(s, d),
+        Seq(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment")), 10L)),
+
     "q103_dq_report" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
@@ -1055,6 +1106,32 @@ object WarehouseQueries {
          |${prIterSql("r3", "r2")}
          |SELECT node AS partkey, score FROM r3""".stripMargin,
 
+    "q192_assortativity" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2
+        |),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY u),
+        |x AS (
+        |  SELECT CAST(ds.deg AS BIGINT) AS a, CAST(dd.deg AS BIGINT) AS b
+        |  FROM sym JOIN deg ds ON sym.u = ds.node
+        |           JOIN deg dd ON sym.v = dd.node
+        |), s AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+        |         CAST(sum(a*a) AS BIGINT) AS paa,
+        |         CAST(sum(a*b) AS BIGINT) AS pab,
+        |         CAST(sum(b*b) AS BIGINT) AS pbb
+        |  FROM x
+        |)
+        |SELECT 'deg_src' AS var_a, 'deg_src' AS var_b, n,
+        |       sa AS sum_a, sa AS sum_b, paa AS sum_ab FROM s
+        |UNION ALL SELECT 'deg_src', 'deg_dst', n, sa, sb, pab FROM s
+        |UNION ALL SELECT 'deg_dst', 'deg_dst', n, sb, sb, pbb FROM s""".stripMargin,
+
     "q175_ppr" ->
       s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
          |edges AS (
@@ -1287,6 +1364,36 @@ object WarehouseQueries {
         |)
         |SELECT lang, n_a, n_b, abs(n_a * tb - n_b * ta) AS imbalance
         |FROM agg, tot""".stripMargin,
+
+    "q194_fd_kanon" ->
+      """WITH f1 AS (
+        |  SELECT count(DISTINCT n_regionkey) AS nd FROM nation
+        |  GROUP BY n_nationkey
+        |), f2 AS (
+        |  SELECT count(DISTINCT o_orderpriority) AS nd FROM orders
+        |  GROUP BY o_custkey
+        |), f3 AS (
+        |  SELECT count(DISTINCT o_orderstatus) AS nd FROM orders
+        |  GROUP BY o_orderkey
+        |), ka AS (
+        |  SELECT count(*) AS n FROM customer
+        |  GROUP BY c_nationkey, c_mktsegment
+        |)
+        |SELECT 'nation_to_region' AS check_name,
+        |       count(CASE WHEN nd > 1 THEN 1 END) AS n_violations,
+        |       count(*) AS n_checked FROM f1
+        |UNION ALL SELECT 'custkey_to_priority',
+        |       count(CASE WHEN nd > 1 THEN 1 END), count(*) FROM f2
+        |UNION ALL SELECT 'orderkey_to_status',
+        |       count(CASE WHEN nd > 1 THEN 1 END), count(*) FROM f3
+        |UNION ALL SELECT 'cust_quasi_k10',
+        |       count(CASE WHEN n < 10 THEN 1 END), count(*) FROM ka""".stripMargin,
+
+    "q195_kanon_classes" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment,
+        |       count(*) AS class_size
+        |FROM customer
+        |GROUP BY 1, 2 HAVING count(*) < 10""".stripMargin,
 
     "q103_dq_report" ->
       """SELECT 'l_quantity_range' AS check_name,
