@@ -377,6 +377,47 @@ object Similarity {
       .unionByName(border.withColumn("role", lit("border")))
   }
 
+  /** NEAREST-CLASS-MEAN (prototype) classifier eval: assign every vector
+    * to its most-cosine-similar class prototype and emit the confusion
+    * matrix (label, pred_label, n) — the standard embedding-quality probe
+    * (Rebuffi et al. iCaRL; a space where class means separate is a space
+    * worth training on), and the q92 label-agreement diagnostic upgraded
+    * from 1-NN to class level.
+    *
+    * Determinism without float means: the prototype is the exact BIGINT
+    * SUM of micro-unit vectors per label — never divided by n, because
+    * cosine is scale-invariant, so the mean's float division (and the
+    * order-dependent double sum a naive mean would use) never happens.
+    * Sum → double is exact below 2⁵³. Scoring rounds to 6 decimals with
+    * label-ascending tie-break (the q28 convention).
+    *
+    * Shape: one (label, dim)-keyed sum (map-side combined), prototypes
+    * broadcast (#labels rows), scoring map-side over the corpus, one
+    * top-1-per-vector reduction, one confusion aggregate. The corpus
+    * never shuffles for scoring.
+    */
+  def prototypeConfusion(corpus: DataFrame, labels: DataFrame,
+      dim: Int): DataFrame = {
+    val uq = microUnit(corpus).join(labels, Seq("vec_id"))
+    val sums = uq.select(col("label"), posexplode(col("uq")).as(Seq("idx", "q")))
+      .groupBy(col("label"), col("idx")).agg(sum(col("q")).as("s"))
+      .withColumnRenamed("label", "proto_label")
+    val protos = assembleDense(sums, "proto_label", "idx", "s", dim)
+      .select(col("proto_label"), col("vec").as("pvec"),
+        norm(col("vec")).as("pnrm"))
+    val scored = uq
+      .select(col("vec_id"), col("label"),
+        transform(col("uq"), _.cast("double")).as("qvec"))
+      .withColumn("qnrm", norm(col("qvec")))
+      .crossJoin(broadcast(protos))
+      .withColumn("sim", round(cosineWithNorms(col("qvec"), col("pvec"),
+        col("qnrm"), col("pnrm")), 6))
+    Relational.topKPerGroup(scored, Seq(col("vec_id")),
+        Seq(col("sim").desc, col("proto_label").asc), 1, "rank")
+      .groupBy(col("label"), col("proto_label").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   // --------------------------------------------------- scalar quantization
 
   /** Symmetric int8 scalar quantization of unit-normalized vectors — the

@@ -134,6 +134,15 @@ object SimilarityQueries {
     "q181_density_clusters" -> ((s, d) =>
       Similarity.densityClusters(corpus(s, d), eps = 0.35, minPts = 3)),
 
+    // Nearest-class-mean confusion matrix: every vector vs the exact
+    // integer-sum prototypes of each label (cosine is scale-invariant,
+    // so the prototype never divides by n and no float mean forms) —
+    // the embedding-quality probe at class granularity.
+    "q196_prototype_eval" -> ((s, d) =>
+      Similarity.prototypeConfusion(corpus(s, d),
+        Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+        dim = 64)),
+
     // Mutual (reciprocal) nearest neighbors: pairs where each is the
     // other's exact top-1 — the high-precision duplicate signal (a one-
     // directional NN is often a hub artifact; mutuality filters hubs).
@@ -403,6 +412,53 @@ object SimilarityQueries {
          |SELECT node AS vec_id, min(r) AS cluster_id,
          |       node = min(r) AS is_canonical
          |FROM reach GROUP BY node""".stripMargin,
+    "q196_prototype_eval" ->
+      s"""$VCte, u AS (
+         |  SELECT vec_id,
+         |         CASE WHEN nrm = 0 THEN vec
+         |              ELSE list_transform(vec, x -> x / nrm) END AS unit
+         |  FROM n
+         |), uq AS (
+         |  SELECT vec_id,
+         |         list_transform(unit, x -> CAST(round(x * 1000000) AS BIGINT)) AS uq
+         |  FROM u
+         |), sums AS (
+         |  SELECT e.label AS proto_label, i.i AS idx,
+         |         CAST(sum(uq.uq[i.i]) AS BIGINT) AS s
+         |  FROM uq JOIN embeddings e USING (vec_id),
+         |       UNNEST(range(1, 65)) i(i)
+         |  GROUP BY 1, 2
+         |), protos AS (
+         |  SELECT proto_label,
+         |         list(CAST(s AS DOUBLE) ORDER BY idx) AS pvec
+         |  FROM sums GROUP BY 1
+         |), pn AS (
+         |  SELECT proto_label, pvec,
+         |         sqrt(list_dot_product(pvec, pvec)) AS pnrm
+         |  FROM protos
+         |), q AS (
+         |  SELECT uq.vec_id, e.label,
+         |         list_transform(uq.uq, x -> CAST(x AS DOUBLE)) AS qvec
+         |  FROM uq JOIN embeddings e USING (vec_id)
+         |), scored AS (
+         |  SELECT q.vec_id, q.label, pn.proto_label,
+         |         round(CASE WHEN sqrt(list_dot_product(q.qvec, q.qvec)) = 0
+         |                      OR pn.pnrm = 0 THEN 0.0
+         |               ELSE list_dot_product(q.qvec, pn.pvec)
+         |                    / (sqrt(list_dot_product(q.qvec, q.qvec)) * pn.pnrm)
+         |               END, 6) AS sim
+         |  FROM q CROSS JOIN pn
+         |), pred AS (
+         |  SELECT vec_id, label, proto_label FROM (
+         |    SELECT vec_id, label, proto_label,
+         |           row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY sim DESC, proto_label ASC) AS rn
+         |    FROM scored) z
+         |  WHERE rn = 1
+         |)
+         |SELECT label, proto_label AS pred_label, count(*) AS n
+         |FROM pred GROUP BY 1, 2""".stripMargin,
+
     "q182_mutual_nn" ->
       s"""$VCte, scored AS (
          |  SELECT a.vec_id AS ia, b.vec_id AS ib,
