@@ -1,5 +1,10 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// Sources are UTF-8 (Scaladoc uses em-dashes etc.); without this the
+// compiler falls back to the platform charset, which depends on the
+// invoking shell's locale (LANG is unset in this sandbox) — the same
+// file then compiles or fails depending on who launched sbt.
+ThisBuild / scalacOptions ++= Seq("-encoding", "utf8")
 name := "dataingestionapisystemloopaispark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

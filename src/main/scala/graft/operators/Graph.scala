@@ -116,6 +116,88 @@ object Graph {
     rank.select(col("node"), col("score"))
   }
 
+  /** Edge-WEIGHTED PageRank in exact integer arithmetic: mass leaves a
+    * node proportionally to edge weight — `score' = 0.15·scale + 0.85 ·
+    * Σ_in (score(src)·w div wdeg(src))`, where wdeg is the node's total
+    * outgoing weight. [[pageRankInt]] is the w≡1 special case; the same
+    * one-shuffle-per-round shape and the same bit-identical-at-any-
+    * parallelism argument (BIGINT +, *, div only).
+    *
+    * Overflow: the per-edge product score·w must clear 2⁶³ — with total
+    * mass n·scale and weights ≤ wMax that is n·scale·wMax ≲ 9·10¹⁸;
+    * rescale weights (they only matter relatively) before widening.
+    */
+  def pageRankWeightedInt(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, iterations: Int, scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(scale >= 100, s"scale must be >= 100, got $scale")
+    val sym = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+      .union(edges.select(col(dstCol).cast("long").as("src"),
+        col(srcCol).cast("long").as("dst"), col(wCol).cast("long").as("w")))
+      .distinct().ckpt()
+    val wdeg = sym.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+    val base = (scale * 15L) / 100L
+    var rank = wdeg.select(col("src").as("node"), col("wdeg"),
+      lit(scale).as("score"))
+    for (_ <- 1 to iterations) {
+      val contrib = sym
+        .join(rank.select(col("node").as("src"), col("score"), col("wdeg")),
+          Seq("src"))
+        .select(col("dst"), expr("(score * w) div wdeg").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("in_mass"))
+      rank = wdeg.select(col("src").as("node"), col("wdeg"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), col("wdeg"),
+          (lit(base) +
+            expr("(coalesce(in_mass, CAST(0 AS BIGINT)) * 85) div 100")).as("score"))
+        .ckpt()
+    }
+    rank.select(col("node"), col("score"))
+  }
+
+  /** GNN-style neighbor-mean feature propagation in exact integers: round
+    * r's feature is the integral mean of the neighbors' round-(r−1)
+    * features, `h_r(v) = Σ_{u∈N(v)} h_{r−1}(u) div deg(v)` — the GCN /
+    * GraphSAGE-mean aggregation step as a relational operator, giving
+    * every node a deterministic summary of its r-hop neighborhood
+    * WITHOUT materializing the r-hop neighbor sets (each round is one
+    * edge join + one aggregate; the k-hop blowup never forms). Returns
+    * (node, h0, h1, …, h_rounds).
+    *
+    * Nodes absent from `features` default to 0; integral division per
+    * round keeps everything BIGINT (bit-identical at any parallelism),
+    * quantization loss < 1 unit per round — scale features (cents, ppm)
+    * accordingly.
+    */
+  def neighborMeanInt(edges: DataFrame, srcCol: String, dstCol: String,
+      features: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val sym = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .distinct().ckpt()
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    var acc = deg
+      .join(features.select(col("node").cast("long").as("node"),
+        col("f").cast("long").as("h0")), Seq("node"), "left")
+      .select(col("node"), col("deg"), coalesce(col("h0"), lit(0L)).as("h0"))
+      .ckpt()
+    for (r <- 1 to rounds) {
+      val prev = s"h${r - 1}"
+      val mean = sym
+        .join(acc.select(col("node").as("src"), col(prev).as("_f")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("_f")).as("_s"))
+      acc = acc.join(mean, Seq("node"), "left")
+        .withColumn(s"h$r", expr("coalesce(_s, CAST(0 AS BIGINT)) div deg"))
+        .drop("_s")
+        .ckpt()
+    }
+    acc.drop("deg")
+  }
+
   /** Link prediction by the resource-allocation index (Zhou, Lü &
     * Zhang, Eur. Phys. J. B 2009): for each NON-adjacent pair (a,b),
     * `score = Σ_{w ∈ N(a)∩N(b)} floor(scale / deg(w))` — shared rare

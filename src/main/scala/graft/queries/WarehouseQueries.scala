@@ -232,6 +232,36 @@ object WarehouseQueries {
           col("ra_score"), col("common_n"))
     }),
 
+    // Edge-weighted PageRank: mass flows proportionally to co-purchase
+    // support, same exact-integer recurrence as q99 (its w≡1 special
+    // case) — hubs by VOLUME of shared orders, not just edge count.
+    "q197_pagerank_weighted" -> ((s, d) => {
+      val edges = Relational.coOccurrence(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey")),
+        "ok", "l_partkey")
+        .filter(col("n_groups") >= 2)
+        .select(col("item_a"), col("item_b"), col("n_groups").as("w"))
+      Graph.pageRankWeightedInt(edges, "item_a", "item_b", "w",
+        iterations = 3)
+        .select(col("node").as("partkey"), col("score"))
+    }),
+
+    // GNN-style neighbor-mean propagation: each part's price summarized
+    // with its 1-hop and 2-hop neighborhood means in exact integer
+    // arithmetic — graph feature engineering without materializing k-hop
+    // neighbor sets (one edge join + one aggregate per round).
+    "q198_neighbor_agg" -> ((s, d) => {
+      val edges = Relational.coOccurrence(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey")),
+        "ok", "l_partkey")
+        .filter(col("n_groups") >= 2)
+      val feats = Tables.part(s, d).select(col("p_partkey").as("node"),
+        floor(col("p_retailprice") * 100).cast("long").as("f"))
+      Graph.neighborMeanInt(edges, "item_a", "item_b", feats, rounds = 2)
+    }),
+
     // Degree assortativity sufficient statistics: covariance of endpoint
     // degrees over the symmetric edge list (Newman 2002) in exact BIGINT
     // sums — positive numerator = hubs link hubs. Composes the degree
@@ -1105,6 +1135,65 @@ object WarehouseQueries {
          |${prIterSql("r2", "r1")},
          |${prIterSql("r3", "r2")}
          |SELECT node AS partkey, score FROM r3""".stripMargin,
+
+    "q197_pagerank_weighted" -> {
+      def iter(cur: String, prev: String): String =
+        s"""$cur AS (
+           |  SELECT d.src AS node,
+           |         CAST(150000 + (coalesce(m.in_mass, 0) * 85) // 100 AS BIGINT) AS score
+           |  FROM wdeg d LEFT JOIN (
+           |    SELECT s.dst AS node,
+           |           CAST(sum((r.score * s.w) // g.wdeg) AS BIGINT) AS in_mass
+           |    FROM wsym s JOIN $prev r ON s.src = r.node
+           |                JOIN wdeg g ON s.src = g.src
+           |    GROUP BY s.dst) m ON d.src = m.node
+           |)""".stripMargin
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+         |wedges AS (
+         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         |         CAST(count(DISTINCT a.ok) AS BIGINT) AS w
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2
+         |),
+         |wsym AS (SELECT p1 AS src, p2 AS dst, w FROM wedges
+         |         UNION ALL SELECT p2, p1, w FROM wedges),
+         |wdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg
+         |         FROM wsym GROUP BY src),
+         |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS score FROM wdeg),
+         |${iter("r1", "r0")},
+         |${iter("r2", "r1")},
+         |${iter("r3", "r2")}
+         |SELECT node AS partkey, score FROM r3""".stripMargin
+    },
+
+    "q198_neighbor_agg" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2
+        |),
+        |sym AS (SELECT p1 AS src, p2 AS dst FROM e
+        |        UNION SELECT p2, p1 FROM e),
+        |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+        |f AS (
+        |  SELECT d.src AS node, d.deg,
+        |         CAST(coalesce(floor(p.p_retailprice * 100), 0) AS BIGINT) AS h0
+        |  FROM deg d LEFT JOIN part p ON d.src = p.p_partkey
+        |), m1 AS (
+        |  SELECT s.dst AS node, CAST(sum(f2.h0) AS BIGINT) AS s1
+        |  FROM sym s JOIN f f2 ON s.src = f2.node GROUP BY 1
+        |), g1 AS (
+        |  SELECT f.node, f.deg, f.h0,
+        |         CAST(coalesce(m1.s1, 0) // f.deg AS BIGINT) AS h1
+        |  FROM f LEFT JOIN m1 ON f.node = m1.node
+        |), m2 AS (
+        |  SELECT s.dst AS node, CAST(sum(g.h1) AS BIGINT) AS s2
+        |  FROM sym s JOIN g1 g ON s.src = g.node GROUP BY 1
+        |)
+        |SELECT g1.node, g1.h0, g1.h1,
+        |       CAST(coalesce(m2.s2, 0) // g1.deg AS BIGINT) AS h2
+        |FROM g1 LEFT JOIN m2 ON g1.node = m2.node""".stripMargin,
 
     "q192_assortativity" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),

@@ -167,6 +167,42 @@ class WarehouseSpec extends SparkSpec {
     assert(r2 == scores, "integer PPR must not depend on partitioning")
   }
 
+  test("pageRankWeightedInt: w≡1 reduces exactly to pageRankInt; " +
+      "heavier edge pulls more mass") {
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (5L, 6L))
+      .toDF("a", "b")
+    val unweighted = Graph.pageRankInt(edges, "a", "b", iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val w1 = Graph.pageRankWeightedInt(edges.withColumn("w", lit(1L)),
+        "a", "b", "w", iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(w1 == unweighted, "weighted PR with unit weights must equal " +
+      "the unweighted recurrence bit-for-bit")
+    // triangle with one heavy edge: 1-2 weight 10, others weight 1 — the
+    // heavy edge's endpoints exchange more mass than node 0 receives
+    val tri = Seq((0L, 1L, 1L), (0L, 2L, 1L), (1L, 2L, 10L))
+      .toDF("a", "b", "w")
+    val r = Graph.pageRankWeightedInt(tri, "a", "b", "w", iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == r(2L), "symmetric heavy endpoints tie exactly")
+    assert(r(1L) > r(0L), "heavy-edge endpoints must outrank the light node")
+  }
+
+  test("neighborMeanInt: hand-computed two rounds on a path graph") {
+    // path 1-2-3 with features 100, 200, 600
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val feats = Seq((1L, 100L), (2L, 200L), (3L, 600L)).toDF("node", "f")
+    val got = Graph.neighborMeanInt(edges, "a", "b", feats, rounds = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // h1: n1 = 200/1, n2 = (100+600)/2 = 350, n3 = 200/1
+    // h2: n1 = 350/1, n2 = (200+200)/2 = 200, n3 = 350/1
+    assert(got == Map(
+      1L -> ((100L, 200L, 350L)),
+      2L -> ((200L, 350L, 200L)),
+      3L -> ((600L, 200L, 350L))))
+  }
+
   test("linkPredictRA: scores match brute force, adjacent pairs excluded, " +
     "hub cap drops wedges") {
     // square 1-2-3-4-1 plus center 5 wired to 1 and 3
