@@ -37,6 +37,31 @@ object CurationQueries {
         .select(col("doc_id"), col("n_shared").cast("long").as("n_shared"))
     }),
 
+    // Curation v2 capstone — the round-7 operators COMPOSED: fingerprint
+    // exact dedup → novelty filter (≤50% recycled 3-grams) → quality
+    // scoring → per-source 10k-token budget, all stages proven to
+    // compose under one CTE-chain oracle (the q78 proof shape with the
+    // new soft-redundancy and budget stages swapped in).
+    "q199_curation_v2" -> ((s, d) => {
+      import graft.operators.TextAnalysis
+      val docs = Tables.documents(s, d)
+      val canon = Dedup.exactDedup(
+          docs.withColumn("fp", TextAnalysis.fingerprint(col("text"))),
+          Seq(col("fp")), "doc_id")
+        .filter(col("is_canonical"))
+        .select(col("doc_id"), col("text"), col("source"))
+      val novel = canon.join(
+        Curation.noveltyScores(canon, "doc_id", "text", 3)
+          .filter(col("seen_ppm") <= 500000).select(col("doc_id")),
+        Seq("doc_id"))
+      val scored = novel.withColumn("tok", Dedup.tokens(col("text")))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("tok")).as("n_tokens"),
+          TextAnalysis.qualityScore(col("text"), col("tok")).as("quality"))
+      Curation.tokenBudgetSelect(scored, "source", "doc_id", "n_tokens",
+        "quality", budget = 10000L)
+    }),
+
     // n-gram novelty: per doc, the share of its distinct 3-grams already
     // introduced by a smaller-id doc (parts-per-million, integer div) —
     // the soft-redundancy score between exact span dedup and whole-doc
@@ -200,6 +225,57 @@ object CurationQueries {
          |SELECT lang, split, count(*) AS n_docs,
          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM split GROUP BY 1, 2""".stripMargin,
+
+    "q199_curation_v2" -> {
+      val stopIn = graft.operators.TextAnalysis.Stopwords
+        .map(w => s"'$w'").mkString("(", ",", ")")
+      val quality =
+        s"""round(least(1.0, len(tok)/50.0) * 0.5 +
+           |      (CASE WHEN len(tok) = 0 THEN 0.0
+           |       ELSE len(list_filter(tok, x -> x IN $stopIn)) / len(tok) END) * 0.3 +
+           |      (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+           |       ELSE length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
+           |            / length(text) END) * 0.2, 4)""".stripMargin
+      s"""WITH fp AS (
+         |  SELECT doc_id, text, source,
+         |         md5(trim(regexp_replace(regexp_replace(lower(text),
+         |             '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+         |  FROM documents
+         |), canon AS (
+         |  SELECT doc_id, text, source FROM (
+         |    SELECT doc_id, text, source,
+         |           min(doc_id) OVER (PARTITION BY fp) AS cid
+         |    FROM fp) z
+         |  WHERE doc_id = cid
+         |), ct AS (
+         |  SELECT doc_id, text, source,
+         |         list_filter(string_split_regex(trim(text), '\\s+'),
+         |                     x -> x <> '') AS tok
+         |  FROM canon
+         |), grams AS (
+         |  SELECT DISTINCT doc_id,
+         |         md5(array_to_string(tok[i+1:i+3], ' ')) AS gram_h
+         |  FROM ct, UNNEST(range(0, greatest(len(tok) - 2, 0))) u(i)
+         |), fg AS (SELECT gram_h, min(doc_id) AS f FROM grams GROUP BY 1),
+         |nov AS (
+         |  SELECT g.doc_id, count(*) AS n_grams,
+         |         sum(CASE WHEN fg.f < g.doc_id THEN 1 ELSE 0 END) AS n_seen
+         |  FROM grams g JOIN fg USING (gram_h) GROUP BY 1
+         |), keepn AS (
+         |  SELECT doc_id FROM nov WHERE n_seen * 1000000 // n_grams <= 500000
+         |), scored AS (
+         |  SELECT ct.doc_id, ct.source, CAST(len(tok) AS BIGINT) AS n_tokens,
+         |         $quality AS quality
+         |  FROM ct JOIN keepn USING (doc_id)
+         |)
+         |SELECT doc_id, source, n_tokens, quality, cum_tokens
+         |FROM (
+         |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY quality DESC, doc_id ASC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM scored)
+         |WHERE cum_tokens <= 10000""".stripMargin
+    },
 
     "q185_novelty" ->
       """WITH tok AS (

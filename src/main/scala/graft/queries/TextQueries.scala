@@ -238,6 +238,38 @@ object TextQueries {
         "rank_lex", "rank_sem", 60, 10)
     }),
 
+    // Retrieval capstone — the full modern stack COMPOSED for query 0:
+    // BM25 lexical top-20 + exact semantic top-20 → RRF fusion top-10 →
+    // MMR diversified top-5. Every stage is an already-oracled operator
+    // (q149, q28, q153, q172); this proves they compose under ONE
+    // CTE-chain oracle ending in the unrolled greedy trace.
+    "q200_retrieval_capstone" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = toks(s, d)
+      val qterms = TextAnalysis.tfidfTopTerms(docs, "doc_id", "tok", 3)
+        .filter(col("doc_id") === 0)
+        .select(col("doc_id").as("query_id"), col("term"))
+      val lex = graft.operators.Relational.topKPerGroup(
+        TextAnalysis.bm25QueryScores(docs, "doc_id", "tok", qterms)
+          .filter(col("doc_id") =!= col("query_id")),
+        Seq(col("query_id")), Seq(col("lex_e6").desc, col("doc_id").asc),
+        20, "rank_lex")
+        .select(col("query_id"), col("doc_id"), col("rank_lex"))
+      val c = graft.operators.Similarity.prepared(
+        Tables.embeddings(s, d), "embedding")
+        .select(col("vec_id"), col("vec"), col("nrm"))
+      val sem = graft.operators.Similarity
+        .bruteForceTopK(c.filter(col("vec_id") === 0), c, 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("rank_sem"))
+      val fused = graft.operators.Relational.rrfFuse(lex, sem, "query_id",
+        "doc_id", "rank_lex", "rank_sem", 60, 10)
+      val cand = fused.select(col("doc_id").as("vec_id"), col("rrf").as("rel"))
+        .join(c, Seq("vec_id"))
+        .select(col("vec_id").as("id"), col("rel"), col("vec"), col("nrm"))
+      graft.operators.Similarity.mmrSelect(cand, k = 5, lambda = 0.5)
+    }),
+
     // φ-frequent tokens (φ = 1/30) via a merged Misra-Gries summary with
     // 29 counters + an EXACT confirm re-count of the ≤ 29 candidates
     // (broadcast join). MG guarantees candidates ⊇ every token with count
@@ -355,14 +387,13 @@ object TextQueries {
       TextAnalysis.booleanRetrieval(Tables.documents(s, d), "doc_id",
         "text", Seq("hash", "join", "scan"))))
 
-  val oracles: Map[String, String] = Map(
-    // Mirrors each fusion leg expression-for-expression (q73's tfidf for
-    // the query terms, q149's BM25 arithmetic with the micro-unit snap
-    // before the per-query sum, q28's cosine ranking), then the RRF
-    // full-outer join. Exclusion of the query doc happens before ranking
-    // in both engines.
-    "q153_rrf_hybrid" ->
-      s"""$TokCte, inst AS (
+  /** The q153 hybrid-retrieval chain (BM25 lexical + exact semantic +
+    * RRF fusion) up to the `fused` CTE, with the query-id predicate
+    * parametrized so q153 (three queries) and the q200 capstone (query
+    * 0 + MMR) share one definition instead of drifting copies.
+    */
+  private def hybridFusedSql(qpred: String): String =
+    s"""$TokCte, inst AS (
          |  SELECT doc_id, unnest(tok) AS term FROM t
          |), tfall AS MATERIALIZED (
          |  SELECT doc_id, term, count(*) AS tf FROM inst GROUP BY 1, 2
@@ -379,7 +410,7 @@ object TextQueries {
          |             ORDER BY CAST(tfall.tf * idf73.idf_scaled AS BIGINT) DESC,
          |                      tfall.term ASC) AS rank
          |    FROM tfall JOIN idf73 USING (term)) x
-         |  WHERE rank <= 3 AND query_id < 3
+         |  WHERE rank <= 3 AND query_id $qpred
          |), stats AS (
          |  SELECT CAST(sum(len(tok)) AS BIGINT) AS s_total,
          |         CAST(count(*) FILTER (len(tok) > 0) AS BIGINT) AS n_docs
@@ -426,7 +457,7 @@ object TextQueries {
          |             ORDER BY round(list_dot_product(q.vec, c.vec)
          |               / (q.nrm * c.nrm), 6) DESC, c.vec_id ASC) AS rank_sem
          |    FROM nn q, nn c
-         |    WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id) x
+         |    WHERE q.vec_id $qpred AND c.vec_id <> q.vec_id) x
          |  WHERE rank_sem <= 20
          |), fused AS (
          |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
@@ -436,12 +467,58 @@ object TextQueries {
          |  FROM lex l FULL OUTER JOIN sem s
          |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
          |)
-         |SELECT query_id, doc_id, rank, rrf FROM (
+|""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // Mirrors each fusion leg expression-for-expression (q73's tfidf for
+    // the query terms, q149's BM25 arithmetic with the micro-unit snap
+    // before the per-query sum, q28's cosine ranking), then the RRF
+    // full-outer join. Exclusion of the query doc happens before ranking
+    // in both engines.
+    "q153_rrf_hybrid" ->
+      s"""${hybridFusedSql("< 3")}
+                  |SELECT query_id, doc_id, rank, rrf FROM (
          |  SELECT query_id, doc_id, rrf,
          |         row_number() OVER (PARTITION BY query_id
          |           ORDER BY rrf DESC, doc_id ASC) AS rank
          |  FROM fused) x
          |WHERE rank <= 10""".stripMargin,
+
+    // The q153 chain for query 0 only, then the q172 greedy-MMR trace
+    // unrolled over the fused top-10 (rel = the 6-dp RRF score).
+    "q200_retrieval_capstone" -> {
+      def step(n: Int): String = {
+        val prev = (1 until n).map(i => s"SELECT id FROM s$i")
+          .mkString(" UNION ALL ")
+        s"""s$n AS (
+           |  SELECT c.id, round(c.rel - 0.5 * max(p.s), 6) AS score
+           |  FROM cand c JOIN ps p ON p.ia = c.id AND p.ib IN ($prev)
+           |  WHERE c.id NOT IN ($prev)
+           |  GROUP BY c.id, c.rel
+           |  ORDER BY score DESC, c.id ASC LIMIT 1
+           |)""".stripMargin
+      }
+      s"""${hybridFusedSql("= 0")}
+         |, cand0 AS (
+         |  SELECT doc_id AS id, rrf AS rel FROM (
+         |    SELECT doc_id, rrf,
+         |           row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+         |    FROM fused) z
+         |  WHERE rank <= 10
+         |), cand AS (
+         |  SELECT c0.id, c0.rel, nn.vec, nn.nrm
+         |  FROM cand0 c0 JOIN nn ON nn.vec_id = c0.id
+         |), ps AS (
+         |  SELECT a.id AS ia, b.id AS ib,
+         |         round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS s
+         |  FROM cand a JOIN cand b ON a.id <> b.id
+         |), s1 AS (
+         |  SELECT id, rel AS score FROM cand ORDER BY rel DESC, id ASC LIMIT 1
+         |), ${(2 to 5).map(step).mkString(", ")}
+         |${(1 to 5).map(i =>
+             s"SELECT CAST($i AS BIGINT) AS rank, id, score FROM s$i")
+           .mkString(" UNION ALL ")}""".stripMargin
+    },
 
     // The plain exact form the MG-sketch-prefiltered plan must equal:
     // every token whose count clears the cross-multiplied 1/30 threshold.
