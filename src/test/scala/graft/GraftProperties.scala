@@ -47,6 +47,50 @@ object GraftProperties extends Properties("graft") {
         batches.last.nonEmpty && batches.last.size <= bs
     }
 
+  property("tokenBudgetSelect keeps exactly the maximal in-budget prefix " +
+    "of the (score desc, id asc) ordering, per group") =
+    forAll(Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b", "c")
+      tok <- Gen.choose(1L, 40L)
+      q <- Gen.choose(0, 100)
+    } yield (g, tok, q / 100.0)), Gen.choose(0L, 150L)) { (rows, budget) =>
+      val s = spark
+      import s.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((g, t, q), i) => (g, i.toLong, t, q) }
+        .toDF("source", "doc_id", "n_tokens", "quality")
+      val got = graft.operators.Curation
+        .tokenBudgetSelect(df, "source", "doc_id", "n_tokens", "quality",
+          budget)
+        .select("doc_id").as[Long].collect().toSet
+      val expect = rows.zipWithIndex
+        .map { case ((g, t, q), i) => (g, i.toLong, t, q) }
+        .groupBy(_._1).flatMap { case (_, grp) =>
+          val ordered = grp.sortBy { case (_, id, _, q) => (-q, id) }
+          val cums = ordered.scanLeft(0L)(_ + _._3).tail
+          ordered.zip(cums).takeWhile(_._2 <= budget).map(_._1._2)
+        }.toSet
+      got == expect
+    }
+
+  property("slidingDistinct equals the brute-force window count on " +
+    "random (key, day) activity") =
+    forAll(Gen.nonEmptyListOf(for {
+      k <- Gen.choose(1L, 8L)
+      d <- Gen.choose(1L, 25L)
+    } yield (k, d)), Gen.choose(1, 9)) { (rows, w) =>
+      val s = spark
+      import s.implicits._
+      val got = graft.operators.EventTime
+        .slidingDistinct(rows.toDF("k", "day"), col("k"), col("day"), w)
+        .as[(Long, Long)].collect().toMap
+      val days = rows.map(_._2).distinct
+      val expect = days.map(e =>
+        e -> rows.filter(r => r._2 <= e && r._2 > e - w).map(_._1)
+          .distinct.size.toLong).toMap
+      got == expect
+    }
+
   property("rollup lattice matches the reference definition") =
     forAll(Gen.nonEmptyListOf(Gen.oneOf(Status.All))) { statuses =>
       val s = spark
