@@ -47,7 +47,11 @@ object EventTime {
   def slidingDistinct(df: DataFrame, keyCol: Column, dayCol: Column,
       windowDays: Int): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    // NULL keys are excluded, matching COUNT(DISTINCT key) semantics —
+    // .distinct() alone would keep one NULL row per active day and count
+    // it as a key, one higher than any SQL oracle forever after
     val dp = df.select(keyCol.as("_k"), dayCol.cast("long").as("_day"))
+      .filter(col("_k").isNotNull)
       .distinct()
     val wnd = Window.partitionBy(col("_k")).orderBy(col("_day"))
     val spans = dp

@@ -93,9 +93,13 @@ object Graph {
     val base = (scale * 15L) / 100L
     // seed flag rides inside the rank frame (the pageRankInt degree
     // trick) so each iteration stays ONE join + one aggregate
+    // distinct(): a duplicated seed id would fan the left join out to two
+    // rank rows and double that node's teleport mass and contributions.
+    // Seeds absent from the edge list carry no graph mass and are
+    // dropped (the scores are graph-restricted by construction).
     var rank = deg
       .join(seeds.select(col("node").cast("long").as("src"),
-        lit(1L).as("is_seed")), Seq("src"), "left")
+        lit(1L).as("is_seed")).distinct(), Seq("src"), "left")
       .select(col("src").as("node"), col("deg"),
         coalesce(col("is_seed"), lit(0L)).as("is_seed"))
       .withColumn("score", col("is_seed") * scale)
@@ -131,12 +135,21 @@ object Graph {
       wCol: String, iterations: Int, scale: Long = 1000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(scale >= 100, s"scale must be >= 100, got $scale")
-    val sym = edges
-      .select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
-      .union(edges.select(col(dstCol).cast("long").as("src"),
-        col(srcCol).cast("long").as("dst"), col(wCol).cast("long").as("w")))
-      .distinct().ckpt()
+    // canonicalize FIRST (u < v, parallel-edge weights summed), THEN
+    // symmetrize: a distinct() over (src, dst, w) would keep parallel
+    // edges whose weights differ — (a,b,3) and (b,a,4) in a "directed"
+    // input would both survive and double-count mass, silently diverging
+    // from pageRankInt's one-edge-per-pair semantics
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+    val sym = canon
+      .select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .union(canon.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      .ckpt()
     val wdeg = sym.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
     val base = (scale * 15L) / 100L
     var rank = wdeg.select(col("src").as("node"), col("wdeg"),

@@ -571,18 +571,23 @@ object Relational {
     require(vars.map(_._1).distinct.size == vars.size,
       s"duplicate var names in ${vars.map(_._1)}")
     val named = vars.map { case (n, c) => n -> c.cast("long") }
+    // internal aliases are INDEX-based: name-concatenation ("_p_a_b_c")
+    // would collide for distinct-but-underscore-ambiguous names like
+    // ("a","b_c") vs ("a_b","c"), failing analysis on valid input
     val pairs = for {
       i <- named.indices; j <- i until named.size
-    } yield (named(i), named(j))
-    val aggs = named.map { case (n, c) => sum(c).as(s"_s_$n") } ++
-      pairs.map { case ((na, ca), (nb, cb)) =>
-        sum(ca * cb).as(s"_p_${na}_${nb}") } :+
+    } yield (i, j)
+    val aggs = named.zipWithIndex.map { case ((_, c), i) =>
+      sum(c).as(s"_s_$i") } ++
+      pairs.map { case (i, j) =>
+        sum(named(i)._2 * named(j)._2).as(s"_p_${i}_$j") } :+
       count(lit(1)).as("_n")
     val one = df.groupBy().agg(aggs.head, aggs.tail: _*)
-    val rows = pairs.map { case ((na, _), (nb, _)) =>
-      struct(lit(na).as("var_a"), lit(nb).as("var_b"), col("_n").as("n"),
-        col(s"_s_$na").as("sum_a"), col(s"_s_$nb").as("sum_b"),
-        col(s"_p_${na}_${nb}").as("sum_ab"))
+    val rows = pairs.map { case (i, j) =>
+      struct(lit(named(i)._1).as("var_a"), lit(named(j)._1).as("var_b"),
+        col("_n").as("n"),
+        col(s"_s_$i").as("sum_a"), col(s"_s_$j").as("sum_b"),
+        col(s"_p_${i}_$j").as("sum_ab"))
     }
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }

@@ -50,10 +50,15 @@ object CurationQueries {
           Seq(col("fp")), "doc_id")
         .filter(col("is_canonical"))
         .select(col("doc_id"), col("text"), col("source"))
+      // LEFT join + coalesce: a doc too short to have any 3-gram is 100%
+      // novel (seen_ppm 0), not silently droppable — an inner join on
+      // noveltyScores' output would exclude it from the corpus entirely
       val novel = canon.join(
         Curation.noveltyScores(canon, "doc_id", "text", 3)
-          .filter(col("seen_ppm") <= 500000).select(col("doc_id")),
-        Seq("doc_id"))
+          .select(col("doc_id"), col("seen_ppm")),
+        Seq("doc_id"), "left")
+        .filter(coalesce(col("seen_ppm"), lit(0L)) <= 500000)
+        .drop("seen_ppm")
       val scored = novel.withColumn("tok", Dedup.tokens(col("text")))
         .select(col("doc_id"), col("source"),
           TextAnalysis.tokenCount(col("tok")).as("n_tokens"),
@@ -227,15 +232,7 @@ object CurationQueries {
          |FROM split GROUP BY 1, 2""".stripMargin,
 
     "q199_curation_v2" -> {
-      val stopIn = graft.operators.TextAnalysis.Stopwords
-        .map(w => s"'$w'").mkString("(", ",", ")")
-      val quality =
-        s"""round(least(1.0, len(tok)/50.0) * 0.5 +
-           |      (CASE WHEN len(tok) = 0 THEN 0.0
-           |       ELSE len(list_filter(tok, x -> x IN $stopIn)) / len(tok) END) * 0.3 +
-           |      (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-           |       ELSE length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
-           |            / length(text) END) * 0.2, 4)""".stripMargin
+      val quality = OracleSql.qualitySql
       s"""WITH fp AS (
          |  SELECT doc_id, text, source,
          |         md5(trim(regexp_replace(regexp_replace(lower(text),
@@ -261,12 +258,11 @@ object CurationQueries {
          |  SELECT g.doc_id, count(*) AS n_grams,
          |         sum(CASE WHEN fg.f < g.doc_id THEN 1 ELSE 0 END) AS n_seen
          |  FROM grams g JOIN fg USING (gram_h) GROUP BY 1
-         |), keepn AS (
-         |  SELECT doc_id FROM nov WHERE n_seen * 1000000 // n_grams <= 500000
          |), scored AS (
          |  SELECT ct.doc_id, ct.source, CAST(len(tok) AS BIGINT) AS n_tokens,
          |         $quality AS quality
-         |  FROM ct JOIN keepn USING (doc_id)
+         |  FROM ct LEFT JOIN nov USING (doc_id)
+         |  WHERE coalesce(nov.n_seen * 1000000 // nov.n_grams, 0) <= 500000
          |)
          |SELECT doc_id, source, n_tokens, quality, cum_tokens
          |FROM (

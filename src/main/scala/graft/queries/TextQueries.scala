@@ -339,11 +339,17 @@ object TextQueries {
       val aFirst = grams.groupBy(col("w1")).agg(count(lit(1)).as("n_a"))
       val bSecond = grams.groupBy(col("w2")).agg(count(lit(1)).as("n_b"))
       val total = grams.agg(count(lit(1)).as("_n"))
+      // DECIMAL(38,0) intermediates: n_ab·N·10⁶ clears 2⁶³ once the
+      // corpus passes ~3e6 bigrams (a silent wrap in Spark, an error in
+      // DuckDB — an engine divergence either way); the quotient itself
+      // is ≤ 10⁶·N/3 and returns to BIGINT
       ab.join(aFirst, Seq("w1")).join(bSecond, Seq("w2"))
         .crossJoin(broadcast(total))
         .filter(col("n_ab") >= 3)
         .select(col("w1"), col("w2"), col("n_ab"),
-          expr("n_ab * _n * 1000000 div (n_a * n_b)").as("lift_ppm"))
+          expr("""CAST(CAST(n_ab AS DECIMAL(38,0)) * _n * 1000000
+                  div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""")
+            .as("lift_ppm"))
     }),
 
     // NEAR/5 proximity retrieval: docs where "hash" and "data" co-occur
@@ -634,7 +640,8 @@ object TextQueries {
          |bs AS (SELECT w2, count(*) AS n_b FROM grams GROUP BY 1),
          |t2 AS (SELECT count(*) AS n FROM grams)
          |SELECT ab.w1, ab.w2, ab.n_ab,
-         |       CAST(ab.n_ab * t2.n * 1000000 // (af.n_a * bs.n_b) AS BIGINT)
+         |       CAST(CAST(ab.n_ab AS HUGEINT) * t2.n * 1000000
+         |            // (CAST(af.n_a AS HUGEINT) * bs.n_b) AS BIGINT)
          |         AS lift_ppm
          |FROM ab JOIN af USING (w1) JOIN bs USING (w2), t2
          |WHERE ab.n_ab >= 3""".stripMargin,
@@ -658,12 +665,7 @@ object TextQueries {
     "q179_token_budget" ->
       s"""$TokCte, scored AS (
          |  SELECT doc_id, source, CAST(len(tok) AS BIGINT) AS n_tokens,
-         |    round(least(1.0, len(tok)/50.0) * 0.5 +
-         |          (CASE WHEN len(tok) = 0 THEN 0.0
-         |           ELSE len(list_filter(tok, x -> x IN $StopIn)) / len(tok) END) * 0.3 +
-         |          (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-         |           ELSE length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
-         |                / length(text) END) * 0.2, 4) AS quality
+         |    ${OracleSql.qualitySql} AS quality
          |  FROM t
          |)
          |SELECT doc_id, source, n_tokens, quality, cum_tokens
@@ -684,12 +686,7 @@ object TextQueries {
          |  round(CASE WHEN len(tok) = 0 THEN 0.0
          |        ELSE len(list_filter(tok, x -> x IN $StopIn)) / len(tok)
          |        END, 4) AS stop_ratio,
-         |  round(least(1.0, len(tok)/50.0) * 0.5 +
-         |        (CASE WHEN len(tok) = 0 THEN 0.0
-         |         ELSE len(list_filter(tok, x -> x IN $StopIn)) / len(tok) END) * 0.3 +
-         |        (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-         |         ELSE length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
-         |              / length(text) END) * 0.2, 4) AS quality
+         |  ${OracleSql.qualitySql} AS quality
          |FROM t""".stripMargin,
 
     "q34_lang_id" ->

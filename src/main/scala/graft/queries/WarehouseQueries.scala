@@ -19,6 +19,17 @@ import graft.sources.Tables
   */
 object WarehouseQueries {
 
+  /** The shared co-purchase graph: part pairs sharing >= 2 distinct
+    * orders (the q99/q116/q159/q175-q176/q192/q197-q198 edge list) —
+    * ONE definition so the edge contract cannot drift between queries.
+    */
+  private def coEdges(s: SparkSession, d: String): DataFrame =
+    Relational.coOccurrence(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey")),
+      "ok", "l_partkey")
+      .filter(col("n_groups") >= 2)
+
   /** DuckDB mirror of Relational.zorderValue: the same shift/mask sum. */
   private def zorderSql(cols: Seq[String], bits: Int): String =
     cols.zipWithIndex.flatMap { case (c, j) =>
@@ -187,11 +198,7 @@ object WarehouseQueries {
     // "which items anchor the catalog" score, bit-identical at any
     // parallelism because no float sum ever forms.
     "q99_pagerank" -> ((s, d) => {
-      val edges = Relational.coOccurrence(
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey")),
-        "ok", "l_partkey")
-        .filter(col("n_groups") >= 2)
+      val edges = coEdges(s, d)
       Graph.pageRankInt(edges, "item_a", "item_b", iterations = 3)
         .select(col("node").as("partkey"), col("score"))
     }),
@@ -202,11 +209,10 @@ object WarehouseQueries {
     // trusted core — the TrustRank curation primitive, in the same exact
     // integer arithmetic as q99 (bit-identical at any parallelism).
     "q175_ppr" -> ((s, d) => {
-      val edges = Relational.coOccurrence(
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey")),
-        "ok", "l_partkey")
-        .filter(col("n_groups") >= 2)
+      // ckpt: seeds AND the rank iteration both consume the quadratic
+      // co-occurrence join — materialize it once instead of re-running
+      // the query's dominant stage for the seed derivation
+      val edges = { import graft.operators.Iterate._; coEdges(s, d).ckpt() }
       val seeds = edges.select(col("item_a").as("node"))
         .union(edges.select(col("item_b").as("node")))
         .distinct().filter(col("node") % 97 === 0)
@@ -221,11 +227,7 @@ object WarehouseQueries {
     // "which items SHOULD co-occur" recommender signal in exact integer
     // arithmetic.
     "q176_link_predict" -> ((s, d) => {
-      val edges = Relational.coOccurrence(
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey")),
-        "ok", "l_partkey")
-        .filter(col("n_groups") >= 2)
+      val edges = coEdges(s, d)
       Graph.linkPredictRA(edges, "item_a", "item_b")
         .filter(col("common_n") >= 2)
         .select(col("a").as("part_a"), col("b").as("part_b"),
@@ -236,11 +238,7 @@ object WarehouseQueries {
     // support, same exact-integer recurrence as q99 (its w≡1 special
     // case) — hubs by VOLUME of shared orders, not just edge count.
     "q197_pagerank_weighted" -> ((s, d) => {
-      val edges = Relational.coOccurrence(
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey")),
-        "ok", "l_partkey")
-        .filter(col("n_groups") >= 2)
+      val edges = coEdges(s, d)
         .select(col("item_a"), col("item_b"), col("n_groups").as("w"))
       Graph.pageRankWeightedInt(edges, "item_a", "item_b", "w",
         iterations = 3)
@@ -252,11 +250,7 @@ object WarehouseQueries {
     // arithmetic — graph feature engineering without materializing k-hop
     // neighbor sets (one edge join + one aggregate per round).
     "q198_neighbor_agg" -> ((s, d) => {
-      val edges = Relational.coOccurrence(
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey")),
-        "ok", "l_partkey")
-        .filter(col("n_groups") >= 2)
+      val edges = coEdges(s, d)
       val feats = Tables.part(s, d).select(col("p_partkey").as("node"),
         floor(col("p_retailprice") * 100).cast("long").as("f"))
       Graph.neighborMeanInt(edges, "item_a", "item_b", feats, rounds = 2)
@@ -267,11 +261,7 @@ object WarehouseQueries {
     // sums — positive numerator = hubs link hubs. Composes the degree
     // aggregate with the q180 one-pass covariance statistics.
     "q192_assortativity" -> ((s, d) => {
-      val edges = Relational.coOccurrence(
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey")),
-        "ok", "l_partkey")
-        .filter(col("n_groups") >= 2)
+      val edges = coEdges(s, d)
         .select(col("item_a"), col("item_b"))
       val sym = edges.unionByName(edges.select(col("item_b").as("item_a"),
         col("item_a").as("item_b")))
@@ -296,11 +286,7 @@ object WarehouseQueries {
     // unroll, and the integer distances are bit-identical by
     // construction.
     "q159_sssp" -> ((s, d) => {
-      val edges = Relational.coOccurrence(
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey")),
-        "ok", "l_partkey")
-        .filter(col("n_groups") >= 2)
+      val edges = coEdges(s, d)
         .select(col("item_a"), col("item_b"),
           expr("1000000 DIV n_groups").as("w"))
       // O(1) control row (the BPE-argmax discipline): the deterministic
@@ -434,11 +420,7 @@ object WarehouseQueries {
     // oracle is the direct u<v<w triple self-join, so the hash match
     // proves orientation counts every triangle exactly once.
     "q116_triangles" -> ((s, d) => {
-      val edges = Relational.coOccurrence(
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey")),
-        "ok", "l_partkey")
-        .filter(col("n_groups") >= 2)
+      val edges = coEdges(s, d)
       Graph.triangleCounts(edges, "item_a", "item_b")
         .select(col("node").as("partkey"), col("n_triangles"))
     }),
@@ -449,11 +431,7 @@ object WarehouseQueries {
     // is a bounded recursive CTE, so the hash match proves the iterative
     // frontier algorithm equals the declarative fixpoint.
     "q117_bfs_hops" -> ((s, d) => {
-      val edges = Relational.coOccurrence(
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey")),
-        "ok", "l_partkey")
-        .filter(col("n_groups") >= 2)
+      val edges = coEdges(s, d)
         .localCheckpoint()
       val seeds = edges
         .select(explode(array(col("item_a"), col("item_b"))).as("node"))
@@ -490,11 +468,7 @@ object WarehouseQueries {
     // CTEs — at the fixpoint extra rounds are no-ops, so the hash match
     // proves the iterative peel equals the declarative unrolling.
     "q129_kcore" -> ((s, d) => {
-      val edges = Relational.coOccurrence(
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey")),
-        "ok", "l_partkey")
-        .filter(col("n_groups") >= 2)
+      val edges = coEdges(s, d)
       Graph.kCore(edges, "item_a", "item_b", k = 3, maxIter = 30)
         .select(col("node").as("partkey"), col("core_deg"))
     }),

@@ -20,8 +20,8 @@ class SimilaritySpec extends SparkSpec {
     truth.map { case (q, t) => (t & result.getOrElse(q, Set.empty)).size / 5.0 }
       .sum / truth.size
 
-  test("densityClusters: hand-built geometry — two dense families, one " +
-      "border, noise absent, singleton core kept") {
+  test("densityClusters: hand-built geometry — two dense families stay " +
+      "separate clusters, under-dense points are absent") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     // 2-d unit-ish vectors: family A = 3 near-identical vectors around
