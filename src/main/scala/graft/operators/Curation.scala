@@ -476,4 +476,44 @@ object Curation {
       .select(col("grp"), col("n_rows"), col("n_outliers"),
         col("med2"), col("mad4"))
   }
+
+  /** Largest-remainder (Hamilton) apportionment: split an integer budget
+    * of `seats` (sampling slots, token quota, shard count) across groups
+    * proportionally to an integer weight, EXACTLY — Σ quota == seats
+    * always, each quota is within 1 of the real-valued ideal share, and
+    * everything is BIGINT arithmetic (`seats·w div W` floors + the
+    * largest fractional remainders each get one of the leftover seats,
+    * remainder ties broken toward the smaller group key). This is the
+    * integer-quota companion to [[mixtureWeights]]: weights say WHAT
+    * proportion, this says exactly HOW MANY — the knob a mixture sampler
+    * actually executes.
+    *
+    * Scale shape: one partial-aggregated shuffle over the rows builds the
+    * per-group weights; everything after operates on O(groups) rows — the
+    * two 1-row scalars broadcast, and the remainder-rank window is a
+    * single-partition sort of the GROUP table, not the data (groups are a
+    * categorical dimension: sources, languages, shards).
+    *
+    * Overflow headroom: seats·w_g must fit BIGINT — exact while
+    * seats·W < 9.2e18 (e.g. a 1e9-token budget over a 1e9-token corpus
+    * needs the weights rescaled; divide both first, proportions survive).
+    */
+  def largestRemainderQuota(df: DataFrame, groupCol: Column,
+      weightCol: Column, seats: Long): DataFrame = {
+    require(seats > 0, s"seats must be positive, got $seats")
+    val per = df.groupBy(groupCol.as("group"))
+      .agg(sum(weightCol.cast("long")).as("weight"))
+    val tot = per.agg(sum(col("weight")).as("_w_total"))
+    val based = per.crossJoin(broadcast(tot))
+      .select(col("group"), col("weight"),
+        expr(s"(${seats}L * weight) div _w_total").as("base"),
+        expr(s"(${seats}L * weight) % _w_total").as("rem"))
+    val leftover = based.agg((lit(seats) - sum(col("base"))).as("_extra"))
+    val rnk = Window.orderBy(col("rem").desc, col("group").asc)
+    based.crossJoin(broadcast(leftover))
+      .withColumn("_r", row_number().over(rnk))
+      .select(col("group"), col("weight"), col("base"),
+        (col("base") + when(col("_r") <= col("_extra"), 1L).otherwise(0L))
+          .as("quota"))
+  }
 }

@@ -714,4 +714,149 @@ object Graph {
       "raise maxIter")
     result
   }
+
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan,
+    * Albert & Kumara 2007), made deterministic: every node starts with
+    * its own id as label, and each round adopts the most frequent label
+    * among its neighbors, ties broken toward the SMALLEST label. The
+    * update is synchronous (round t+1 reads only round-t labels) and the
+    * tie-break is total, so the result after a fixed number of rounds is
+    * a pure function of the edge set — bit-identical across partition
+    * counts, shuffle orders, and engines, unlike the randomized
+    * asynchronous LPA of the paper. Fixed `rounds` rather than
+    * convergence detection: synchronous LPA can 2-cycle on bipartite
+    * structures, so a convergence loop may never exit; a fixed horizon is
+    * both deterministic and oracle-able (unrolled SQL rounds).
+    *
+    * Complements [[Dedup.connectedComponents]] (which finds CONNECTED
+    * components): LPA splits a connected graph into densely-linked
+    * communities — the corpus-clustering / topic-bucketing primitive.
+    *
+    * Scale shape: per round, ONE join (symmetric edges × labels, both
+    * sides keyed on the node) + one count aggregate + one per-node argmax
+    * via window row_number on (node) — rank pushdown keeps only the top
+    * row per node before the exchange. `localCheckpoint` per round keeps
+    * round N's plan one iteration deep. No driver data, no collect.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val sym = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .distinct().ckpt()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).ckpt()
+    for (_ <- 1 to rounds) {
+      val votes = sym
+        .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("n_votes"))
+      labels = Relational.topKPerGroup(votes, Seq(col("node")),
+          Seq(col("n_votes").desc, col("label").asc), 1, "_rnk")
+        .select(col("node"), col("label"))
+        .ckpt()
+    }
+    labels
+  }
+
+  /** Per-community modularity contributions in EXACT integer arithmetic.
+    *
+    * Newman's modularity Q = Σ_c [ e_c/m − (d_c/2m)² ] over communities c
+    * (e_c = internal edges, d_c = degree sum, m = total edges) is a sum
+    * of rationals with common denominator 4m² — so 4m²·Q is the INTEGER
+    * Σ_c [ 4m·e_c − d_c² ]. This emits that integer per community
+    * (`contrib_4m2`) alongside the raw counts: no float division ever
+    * forms, the result is bit-identical at any parallelism, and the
+    * caller divides by 4m² at whatever precision it reports in.
+    *
+    * Scale shape: one canonical-edge distinct, one degree aggregate, two
+    * label joins keyed on the edge endpoints, one per-label aggregate;
+    * the 1-row m scalar broadcasts. Communities with no internal edges
+    * still appear (left join from the membership side).
+    *
+    * Overflow headroom: |contrib| ≤ max(4m·e_c, d_c²) with d_c ≤ 2m, so
+    * BIGINT is exact below ~1.5e9 edges; past that, evaluate the same
+    * two terms in DECIMAL(38,0) — the counts themselves stay BIGINT far
+    * beyond any real graph.
+    */
+  def modularityInt(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct().ckpt()
+    val lab = labels.select(col("node").cast("long").as("node"),
+      col("label").cast("long").as("label"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val internal = e
+      .join(lab.select(col("node").as("u"), col("label").as("_lu")), Seq("u"))
+      .join(lab.select(col("node").as("v"), col("label").as("_lv")), Seq("v"))
+      .filter(col("_lu") === col("_lv"))
+      .groupBy(col("_lu").as("label"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val perComm = deg.join(lab, Seq("node"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("degree_sum"))
+    perComm
+      .join(internal, Seq("label"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("degree_sum"),
+        (lit(4L) * col("m") * coalesce(col("internal_edges"), lit(0L)) -
+          col("degree_sum") * col("degree_sum")).as("contrib_4m2"))
+  }
+
+  /** DeepWalk-style random-walk corpus (Perozzi et al., KDD 2014) with a
+    * DETERMINISTIC coin: one walk starts at every node, and at step t the
+    * walk at `walk_id` moves to neighbor rank
+    * `md5("walk_id:t") mod deg(cur)` — neighbors ranked by ascending id.
+    * The hash plays the RNG's role (uniform-ish, independent across walks
+    * and steps) while keeping the corpus a pure function of the edge set:
+    * reproducible across runs, partition counts, and engines, and exactly
+    * mirrorable in SQL (the q62 md5-bucket recipe applied per step).
+    * Emits (walk_id, step, node) — the sentence corpus a skip-gram
+    * embedding trains on.
+    *
+    * Scale shape: the neighbor ranking is one per-node window (keyed
+    * exchange, rank local); each step is two equi-joins — frontier×degree
+    * on the current node, then (cur, pick)×(src, rnk) — so a full corpus
+    * of n walks × L steps costs L bounded join rounds, never a fan-out.
+    * Walk state never visits the driver; `ckpt` per step keeps plans
+    * flat. Walk count scales by seeding from a node subset upstream.
+    */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      steps: Int): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val sym = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .distinct().ckpt()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val nbr = sym.select(col("src"), col("dst"),
+      (row_number().over(w) - lit(1)).cast("long").as("rnk")).ckpt()
+    val deg = nbr.groupBy(col("src").as("cur")).agg(count(lit(1)).as("deg"))
+      .ckpt()
+    var frontier = deg.select(col("cur").as("walk_id"), col("cur"))
+    var out = frontier.select(col("walk_id"), lit(0L).as("step"),
+      col("cur").as("node"))
+    for (t <- 1 to steps) {
+      val pick = conv(substring(md5(concat(col("walk_id").cast("string"),
+        lit(s":$t"))), 1, 8), 16, 10).cast("long") % col("deg")
+      frontier = frontier
+        .join(deg, Seq("cur"))
+        .withColumn("_pick", pick)
+        .join(nbr.select(col("src").as("cur"), col("dst").as("_nxt"),
+          col("rnk").as("_pick")), Seq("cur", "_pick"))
+        .select(col("walk_id"), col("_nxt").as("cur"))
+        .ckpt()
+      out = out.unionByName(frontier.select(col("walk_id"),
+        lit(t.toLong).as("step"), col("cur").as("node")))
+    }
+    out
+  }
 }

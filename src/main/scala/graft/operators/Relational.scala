@@ -719,4 +719,42 @@ object Relational {
     val onlyB = b.except(a).withColumn(tagCol, lit("right_only"))
     both.unionByName(onlyA).unionByName(onlyB)
   }
+
+  /** Item-based collaborative-filtering top-k (Sarwar et al., WWW 2001;
+    * the Amazon item-to-item shape): `owned` is the distinct (user, item)
+    * interaction set, `coEdges` the canonical co-occurrence relation
+    * (item_a < item_b, integer weight). Each user's candidate items are
+    * the co-neighbors of items they already hold, scored by the INTEGER
+    * sum of co-occurrence weights over their held items (plus the count
+    * of distinct held items contributing — the support), already-held
+    * items anti-joined away, top-k per user by (score desc, item asc).
+    * All-integer scoring → bit-identical at any parallelism.
+    *
+    * Scale shape: candidates form by ONE equi-join of the interaction set
+    * against the symmetric co-edge list on the held item — fan-out is
+    * Σ_held deg(item), the same bounded wedge economics as
+    * [[graft.operators.Graph.linkPredictRA]] (cap hub items upstream via
+    * a weight floor when degrees skew). Then one (user, candidate)
+    * aggregate, one anti-join on the same key pair, and the rank-pushdown
+    * top-k window. No driver data, no cartesian anywhere.
+    */
+  def itemCfRecommend(owned: DataFrame, userCol: String, itemCol: String,
+      coEdges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val held = owned
+      .select(col(userCol).cast("long").as("user"),
+        col(itemCol).cast("long").as("item")).distinct()
+    val sym = coEdges.select(col("item_a").as("item"),
+        col("item_b").as("cand"), col("n_groups").as("w"))
+      .union(coEdges.select(col("item_b").as("item"),
+        col("item_a").as("cand"), col("n_groups").as("w")))
+    val scored = held.join(sym, Seq("item"))
+      .groupBy(col("user"), col("cand").as("item"))
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_sources"))
+      .join(held, Seq("user", "item"), "left_anti")
+    topKPerGroup(scored, Seq(col("user")),
+        Seq(col("score").desc, col("item").asc), k, "rnk")
+      .select(col("user"), col("item"), col("score"), col("n_sources"),
+        col("rnk").cast("long").as("rnk"))
+  }
 }

@@ -216,7 +216,18 @@ object CurationQueries {
       Curation.weightedSamplePerGroup(
         Tables.documents(s, d)
           .withColumn("w", size(Dedup.tokens(col("text"))) + 1),
-        "source", "doc_id", col("w"), k = 10, salt = "ws")))
+        "source", "doc_id", col("w"), k = 10, salt = "ws")),
+
+    // Largest-remainder (Hamilton) apportionment of a 100k-slot sampling
+    // budget across sources, weighted by corpus chars: Σ quota == budget
+    // EXACTLY and every quota is within 1 of its ideal share, all in
+    // BIGINT arithmetic — the integer companion to q77's mixture weights
+    // (proportions a sampler can actually execute).
+    "q205_lr_quota" -> ((s, d) =>
+      Curation.largestRemainderQuota(Tables.documents(s, d),
+          col("source"), col("n_chars"), seats = 100000L)
+        .select(col("group").as("source"), col("weight"), col("base"),
+          col("quota"))))
 
   val oracles: Map[String, String] = Map(
     "q62_hash_split" ->
@@ -585,5 +596,32 @@ object CurationQueries {
         |       WHERE b.source = a.source
         |         AND (b.h::HUGEINT * a.w < a.h::HUGEINT * b.w
         |          OR (b.h::HUGEINT * a.w = a.h::HUGEINT * b.w
-        |              AND b.doc_id < a.doc_id))) < 10""".stripMargin)
+        |              AND b.doc_id < a.doc_id))) < 10""".stripMargin,
+
+    // Mirrors Curation.largestRemainderQuota: `//` floor division ==
+    // Spark `div` on the nonnegative products used here; remainder ties
+    // break toward the smaller source.
+    "q205_lr_quota" ->
+      """WITH per AS (
+        |  SELECT source AS grp, CAST(sum(n_chars) AS BIGINT) AS weight
+        |  FROM documents GROUP BY 1
+        |),
+        |tot AS (SELECT CAST(sum(weight) AS BIGINT) AS wt FROM per),
+        |based AS (
+        |  SELECT grp, weight,
+        |         CAST((100000 * weight) // wt AS BIGINT) AS base,
+        |         CAST((100000 * weight) % wt AS BIGINT) AS rem
+        |  FROM per CROSS JOIN tot
+        |),
+        |ex AS (SELECT CAST(100000 - sum(base) AS BIGINT) AS extra
+        |       FROM based),
+        |rnk AS (
+        |  SELECT grp, weight, base, rem,
+        |         row_number() OVER (ORDER BY rem DESC, grp ASC) AS r
+        |  FROM based
+        |)
+        |SELECT grp AS source, weight, base,
+        |       CAST(base + CASE WHEN r <= ex.extra THEN 1 ELSE 0 END
+        |            AS BIGINT) AS quota
+        |FROM rnk CROSS JOIN ex""".stripMargin)
 }

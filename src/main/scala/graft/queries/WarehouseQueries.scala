@@ -51,6 +51,22 @@ object WarehouseQueries {
        |    GROUP BY s.dst) m ON d.src = m.node
        |)""".stripMargin
 
+  /** One synchronous label-propagation round as a DuckDB CTE (mirrors
+    * Graph.labelPropagation): per node, the most frequent neighbor label,
+    * ties broken toward the smallest label.
+    */
+  private def lpaIterSql(cur: String, prev: String): String =
+    s"""$cur AS (
+       |  SELECT node, label FROM (
+       |    SELECT node, label,
+       |           row_number() OVER (PARTITION BY node
+       |             ORDER BY n DESC, label ASC) AS rn
+       |    FROM (SELECT s.dst AS node, r.label, count(*) AS n
+       |          FROM sym s JOIN $prev r ON s.src = r.node
+       |          GROUP BY 1, 2))
+       |  WHERE rn = 1
+       |)""".stripMargin
+
   /** One personalized-PageRank iteration as a DuckDB CTE (mirrors
     * Graph.personalizedPageRankInt): identical to [[prIterSql]] except the
     * teleport term is gated on the seed flag carried by the `sd` CTE.
@@ -255,6 +271,60 @@ object WarehouseQueries {
         floor(col("p_retailprice") * 100).cast("long").as("f"))
       Graph.neighborMeanInt(edges, "item_a", "item_b", feats, rounds = 2)
     }),
+
+    // Community detection by deterministic synchronous label propagation
+    // (3 rounds, most-frequent-neighbor-label with smallest-label
+    // tie-break) over the co-purchase graph — the corpus-clustering
+    // primitive CC can't provide (CC finds connectivity, LPA finds the
+    // densely-linked groups INSIDE one connected blob). The oracle
+    // unrolls the same three synchronous rounds as CTEs.
+    "q201_label_prop" -> ((s, d) =>
+      Graph.labelPropagation(coEdges(s, d), "item_a", "item_b", rounds = 3)
+        .select(col("node").as("partkey"), col("label").as("community"))),
+
+    // Modularity of the q201 communities in EXACT integer arithmetic:
+    // per community, 4m²·(e_c/m − (d_c/2m)²) = 4m·e_c − d_c² is a pure
+    // BIGINT — the community-quality score with no float division, so
+    // the partition quality is bit-identical at any parallelism.
+    "q202_modularity" -> ((s, d) => {
+      // ckpt: the quadratic co-occurrence join feeds BOTH the 3 LPA
+      // rounds and the modularity joins — materialize it once (q175's
+      // discipline)
+      val edges = { import graft.operators.Iterate._; coEdges(s, d).ckpt() }
+      val labels = Graph.labelPropagation(edges, "item_a", "item_b",
+        rounds = 3)
+      Graph.modularityInt(edges, "item_a", "item_b", labels)
+        .select(col("label").as("community"), col("n_nodes"),
+          col("internal_edges"), col("degree_sum"), col("contrib_4m2"))
+    }),
+
+    // Item-based collaborative filtering (the Amazon item-to-item shape):
+    // each customer's top-5 unpurchased parts, scored by the integer sum
+    // of co-purchase support over the parts they already bought — the
+    // recommendation operator composed from the q87 co-occurrence
+    // relation, an anti-join against the interaction set, and the
+    // rank-pushdown top-k.
+    "q203_item_recs" -> ((s, d) => {
+      val owned = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+          Seq("o_orderkey"))
+        .select(col("o_custkey"), col("l_partkey"))
+      Relational.itemCfRecommend(owned, "o_custkey", "l_partkey",
+          coEdges(s, d), k = 5)
+        .select(col("user").as("custkey"), col("item").as("partkey"),
+          col("score"), col("n_sources"), col("rnk"))
+    }),
+
+    // DeepWalk-style walk corpus: one 4-step walk per node over the
+    // co-purchase graph, the per-step neighbor chosen by
+    // md5("walk:step") mod degree over id-ranked neighbors — a
+    // deterministic stand-in for the RNG that keeps the corpus a pure
+    // function of the edge set, exactly mirrored step-by-step in SQL.
+    "q204_random_walks" -> ((s, d) =>
+      Graph.randomWalks(coEdges(s, d), "item_a", "item_b", steps = 4)
+        .select(col("walk_id"), col("step"), col("node").as("partkey"))),
 
     // Degree assortativity sufficient statistics: covariance of endpoint
     // degrees over the symmetric edge list (Newman 2002) in exact BIGINT
@@ -1194,6 +1264,130 @@ object WarehouseQueries {
         |       sa AS sum_a, sa AS sum_b, paa AS sum_ab FROM s
         |UNION ALL SELECT 'deg_src', 'deg_dst', n, sa, sb, pab FROM s
         |UNION ALL SELECT 'deg_dst', 'deg_dst', n, sb, sb, pbb FROM s""".stripMargin,
+
+    "q201_label_prop" ->
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+         |edges AS (
+         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2
+         |),
+         |sym AS (SELECT p1 AS src, p2 AS dst FROM edges
+         |        UNION SELECT p2, p1 FROM edges),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+         |${lpaIterSql("l1", "l0")},
+         |${lpaIterSql("l2", "l1")},
+         |${lpaIterSql("l3", "l2")}
+         |SELECT node AS partkey, label AS community FROM l3""".stripMargin,
+
+    "q202_modularity" ->
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+         |edges AS MATERIALIZED (
+         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2
+         |),
+         |sym AS (SELECT p1 AS src, p2 AS dst FROM edges
+         |        UNION SELECT p2, p1 FROM edges),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+         |${lpaIterSql("l1", "l0")},
+         |${lpaIterSql("l2", "l1")},
+         |${lpaIterSql("l3", "l2")},
+         |lab AS MATERIALIZED (SELECT node, label FROM l3),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+         |inte AS (
+         |  SELECT la.label AS community,
+         |         CAST(count(*) AS BIGINT) AS internal_edges
+         |  FROM edges e JOIN lab la ON e.p1 = la.node
+         |               JOIN lab lb ON e.p2 = lb.node
+         |  WHERE la.label = lb.label GROUP BY 1
+         |),
+         |pc AS (
+         |  SELECT la.label AS community, count(*) AS n_nodes,
+         |         CAST(sum(d.deg) AS BIGINT) AS degree_sum
+         |  FROM deg d JOIN lab la ON d.node = la.node GROUP BY 1
+         |)
+         |SELECT pc.community, pc.n_nodes,
+         |       CAST(coalesce(i.internal_edges, 0) AS BIGINT)
+         |         AS internal_edges,
+         |       pc.degree_sum,
+         |       CAST(4 * mm.m * coalesce(i.internal_edges, 0)
+         |            - pc.degree_sum * pc.degree_sum AS BIGINT)
+         |         AS contrib_4m2
+         |FROM pc LEFT JOIN inte i ON pc.community = i.community
+         |CROSS JOIN mm""".stripMargin,
+
+    "q203_item_recs" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+        |wedges AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |         CAST(count(DISTINCT a.ok) AS BIGINT) AS w
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2
+        |),
+        |wsym AS (SELECT p1 AS item, p2 AS cand, w FROM wedges
+        |         UNION ALL SELECT p2, p1, w FROM wedges),
+        |owned AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |),
+        |scored AS (
+        |  SELECT ow.cust, s.cand AS item, CAST(sum(s.w) AS BIGINT) AS score,
+        |         count(*) AS n_sources
+        |  FROM owned ow JOIN wsym s ON ow.item = s.item
+        |  GROUP BY 1, 2
+        |),
+        |fresh AS (
+        |  SELECT sc.* FROM scored sc
+        |  WHERE NOT EXISTS (SELECT 1 FROM owned ow
+        |                    WHERE ow.cust = sc.cust AND ow.item = sc.item)
+        |),
+        |ranked AS (
+        |  SELECT cust, item, score, n_sources,
+        |         row_number() OVER (PARTITION BY cust
+        |           ORDER BY score DESC, item ASC) AS rnk
+        |  FROM fresh
+        |)
+        |SELECT cust AS custkey, item AS partkey, score, n_sources,
+        |       CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    "q204_random_walks" -> {
+      def step(cur: String, prev: String, t: Int): String =
+        s"""$cur AS (
+           |  SELECT w.walk_id, n.dst AS cur
+           |  FROM $prev w
+           |  JOIN deg d ON w.cur = d.cur
+           |  JOIN nbr n ON n.src = w.cur AND n.rnk =
+           |    ('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) || ':$t'),
+           |     1, 8))::BIGINT % d.deg
+           |)""".stripMargin
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+         |edges AS (
+         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2
+         |),
+         |sym AS (SELECT p1 AS src, p2 AS dst FROM edges
+         |        UNION SELECT p2, p1 FROM edges),
+         |nbr AS (SELECT src, dst,
+         |          CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+         |               - 1 AS BIGINT) AS rnk
+         |        FROM sym),
+         |deg AS (SELECT src AS cur, CAST(count(*) AS BIGINT) AS deg
+         |        FROM sym GROUP BY 1),
+         |w0 AS (SELECT cur AS walk_id, cur FROM deg),
+         |${step("w1", "w0", 1)},
+         |${step("w2", "w1", 2)},
+         |${step("w3", "w2", 3)},
+         |${step("w4", "w3", 4)}
+         |SELECT walk_id, CAST(0 AS BIGINT) AS step, cur AS partkey FROM w0
+         |UNION ALL SELECT walk_id, CAST(1 AS BIGINT), cur FROM w1
+         |UNION ALL SELECT walk_id, CAST(2 AS BIGINT), cur FROM w2
+         |UNION ALL SELECT walk_id, CAST(3 AS BIGINT), cur FROM w3
+         |UNION ALL SELECT walk_id, CAST(4 AS BIGINT), cur FROM w4""".stripMargin
+    },
 
     "q175_ppr" ->
       s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),

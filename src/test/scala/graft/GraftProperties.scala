@@ -430,4 +430,25 @@ object GraftProperties extends Properties("graft") {
       } yield (a, b)).toSet
       got == want
     }
+
+  property("largestRemainderQuota: quotas sum to the budget exactly and " +
+    "each satisfies the Hamilton quota rule (floor ≤ quota ≤ ceil)") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(1L, 5000L)),
+      Gen.choose(1L, 2000L)) { (weights, seats) =>
+      val s = spark
+      import s.implicits._
+      val df = weights.zipWithIndex
+        .map { case (w, i) => (s"g$i", w) }.toDF("src", "w")
+      val got = graft.operators.Curation
+        .largestRemainderQuota(df, col("src"), col("w"), seats)
+        .select("group", "weight", "quota")
+        .as[(String, Long, Long)].collect()
+      val totalW = weights.sum
+      got.map(_._3).sum == seats && got.length == weights.size &&
+        got.forall { case (_, w, q) =>
+          val lo = seats * w / totalW
+          val hi = if (seats * w % totalW == 0) lo else lo + 1
+          q >= lo && q <= hi
+        }
+    }
 }

@@ -719,4 +719,88 @@ class WarehouseSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(iso == Map(9L -> 0L))
   }
+
+  test("labelPropagation: a bridge edge does not merge two triangles; " +
+    "partitioning-invariant") {
+    // triangles {0,1,2} and {10,11,12} joined by the single edge 2-10:
+    // connected components would report ONE blob; LPA must find two
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (2L, 10L)).toDF("a", "b")
+    val got = Graph.labelPropagation(edges, "a", "b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 6)
+    assert(got(0L) == got(1L) && got(1L) == got(2L),
+      s"first triangle must share one label, got $got")
+    assert(got(10L) == got(11L) && got(11L) == got(12L),
+      s"second triangle must share one label, got $got")
+    assert(got(0L) != got(10L),
+      s"the bridge must not merge the triangles, got $got")
+    val got2 = Graph.labelPropagation(edges.repartition(7), "a", "b", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got, "deterministic LPA must not depend on partitioning")
+  }
+
+  test("modularityInt: hand-checked two-community split; " +
+    "one-community partition scores exactly zero") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (2L, 10L)).toDF("a", "b")
+    val twoComm = Seq((0L, 0L), (1L, 0L), (2L, 0L),
+      (10L, 1L), (11L, 1L), (12L, 1L)).toDF("node", "label")
+    // m=7; each community: e_c=3, d_c=2+2+3=7 → 4·7·3 − 49 = 35
+    val got = Graph.modularityInt(edges, "a", "b", twoComm).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == Map(0L -> ((3L, 3L, 7L, 35L)),
+      1L -> ((3L, 3L, 7L, 35L))), s"hand-check failed: $got")
+    // everything in one community: Q = 4m·m − (2m)² = 0 by identity
+    val oneComm = Seq(0L, 1L, 2L, 10L, 11L, 12L)
+      .toDF("node").withColumn("label", lit(0L))
+    val total = Graph.modularityInt(edges, "a", "b", oneComm)
+      .agg(sum("contrib_4m2")).first().getLong(0)
+    assert(total == 0L, s"one-community modularity must be 0, got $total")
+  }
+
+  test("randomWalks: every consecutive pair is an edge, one (L+1)-row " +
+    "walk per node, partitioning-invariant") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (2L, 10L)).toDF("a", "b")
+    val walks = Graph.randomWalks(edges, "a", "b", steps = 4)
+    val rows = walks.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 6 * 5, s"6 walks x 5 rows, got ${rows.length}")
+    val sym = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (2L, 10L)).flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .toSet
+    rows.groupBy(_._1).foreach { case (wid, steps) =>
+      val path = steps.sortBy(_._2).map(_._3)
+      assert(path.length == 5 && steps.map(_._2).sorted.sameElements(0L to 4L))
+      assert(path.head == wid, "walk must start at its seed node")
+      path.sliding(2).foreach { p =>
+        assert(sym.contains(p(0) -> p(1)),
+          s"walk $wid takes non-edge ${p(0)}->${p(1)}")
+      }
+    }
+    val again = Graph.randomWalks(edges.repartition(7), "a", "b", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == rows.toSet,
+      "hash-driven walks must not depend on partitioning")
+  }
+
+  test("itemCfRecommend: owned items never recommended, scores are " +
+    "co-weight sums, rank is bounded and total") {
+    val owned = Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("u", "i")
+    val co = Seq((1L, 2L, 5L), (1L, 3L, 2L), (2L, 3L, 1L))
+      .toDF("item_a", "item_b", "n_groups")
+    val got = Relational.itemCfRecommend(owned, "u", "i", co, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // user 1 owns {1,2}: candidate 3 scores 2+1 from 2 sources; 1 and 2
+    // are co-neighbors of each other but OWNED → suppressed.
+    // user 2 owns {3}: candidates 1 (w2) and 2 (w1), ranked by score.
+    assert(got == Map(
+      (1L, 3L) -> ((3L, 2L, 1L)),
+      (2L, 1L) -> ((2L, 1L, 1L)),
+      (2L, 2L) -> ((1L, 1L, 2L))), s"unexpected recommendations: $got")
+  }
 }
