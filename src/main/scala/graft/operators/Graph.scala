@@ -747,15 +747,18 @@ object Graph {
       .distinct().ckpt()
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label")).ckpt()
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val votes = sym
         .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("n_votes"))
-      labels = Relational.topKPerGroup(votes, Seq(col("node")),
+      val next = Relational.topKPerGroup(votes, Seq(col("node")),
           Seq(col("n_votes").desc, col("label").asc), 1, "_rnk")
         .select(col("node"), col("label"))
-        .ckpt()
+      // intermediate rounds checkpoint (flat lineage); the LAST round
+      // stays lazy so callers compose/inspect the round's actual plan
+      // and Verify/Bench don't pay a redundant materialization
+      labels = if (r < rounds) next.ckpt() else next
     }
     labels
   }

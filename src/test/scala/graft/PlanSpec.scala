@@ -190,4 +190,26 @@ class PlanSpec extends SparkSpec {
     assert("Sort".r.findAllIn(p).size == 2,
       s"expected exactly one sort per side:\n$p")
   }
+
+  test("q201 LPA argmax keeps rank pushdown (WindowGroupLimit) so only " +
+      "the top label per node survives to the exchange") {
+    val p = plan("q201_label_prop")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-node argmax lost its rank pushdown:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"label-vote join went quadratic:\n$p")
+  }
+
+  test("q203 item CF: candidate generation and the owned-item suppression " +
+      "are equi-joins (anti), never a cartesian") {
+    val p = plan("q203_item_recs")
+    assert(p.contains("LeftAnti"),
+      s"owned-item suppression must plan as an anti-join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate join went quadratic:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k per user lost its rank pushdown:\n$p")
+  }
 }
