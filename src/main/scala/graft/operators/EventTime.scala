@@ -124,8 +124,10 @@ object EventTime {
     * non-increasing.
     */
   def funnel(ev: DataFrame, userCol: String, typeCol: String, tsCol: String,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String], maxGapSec: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGapSec.forall(_ > 0),
+      s"maxGapSec must be positive when set, got $maxGapSec")
     // narrow AND rename up front: internal names can never collide with
     // caller columns (a caller-owned "_t" would make the join ambiguous)
     val e = ev.select(col(userCol).as("_u"), col(typeCol).as("_k"),
@@ -136,11 +138,24 @@ object EventTime {
         if (i == 0)
           e.filter(col("_k") === st)
             .groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
-        else
+        else {
+          // greedy strict-funnel semantics: each step anchors on the
+          // EARLIEST qualifying event after the previous step's anchor;
+          // with a window, "qualifying" additionally means within
+          // maxGapSec of that anchor (the standard conversion-window
+          // funnel — deterministic, though not the max-completion
+          // matching, which would need per-user backtracking)
+          val after = col("_ts") > col("_pt")
+          val inWindow = maxGapSec match {
+            case Some(g) => after &&
+              col("_ts") <= col("_pt") + expr(s"INTERVAL $g SECONDS")
+            case None => after
+          }
           e.filter(col("_k") === st)
             .join(prev.select(col("_u"), col("_t").as("_pt")), Seq("_u"))
-            .filter(col("_ts") > col("_pt"))
+            .filter(inWindow)
             .groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
+        }
       prev = cur
       cur.agg(count(lit(1)).cast("long").as("n_users"))
         .select(lit((i + 1).toLong).as("step"), lit(st).as("stage"),

@@ -397,6 +397,19 @@ object Similarity {
     * never shuffles for scoring.
     */
   def prototypeConfusion(corpus: DataFrame, labels: DataFrame,
+      dim: Int): DataFrame =
+    Relational.topKPerGroup(prototypeScores(corpus, labels, dim),
+        Seq(col("vec_id")),
+        Seq(col("sim").desc, col("proto_label").asc), 1, "rank")
+      .groupBy(col("label"), col("proto_label").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Shared scoring stage of the nearest-class-mean family: every vector
+    * against every label prototype (exact BIGINT micro-unit sums, never
+    * float means — see [[prototypeConfusion]]), cosine rounded to 6
+    * decimals. Prototypes broadcast; the corpus never shuffles.
+    */
+  private def prototypeScores(corpus: DataFrame, labels: DataFrame,
       dim: Int): DataFrame = {
     val uq = microUnit(corpus).join(labels, Seq("vec_id"))
     val sums = uq.select(col("label"), posexplode(col("uq")).as(Seq("idx", "q")))
@@ -405,17 +418,47 @@ object Similarity {
     val protos = assembleDense(sums, "proto_label", "idx", "s", dim)
       .select(col("proto_label"), col("vec").as("pvec"),
         norm(col("vec")).as("pnrm"))
-    val scored = uq
-      .select(col("vec_id"), col("label"),
+    uq.select(col("vec_id"), col("label"),
         transform(col("uq"), _.cast("double")).as("qvec"))
       .withColumn("qnrm", norm(col("qvec")))
       .crossJoin(broadcast(protos))
       .withColumn("sim", round(cosineWithNorms(col("qvec"), col("pvec"),
         col("qnrm"), col("pnrm")), 6))
-    Relational.topKPerGroup(scored, Seq(col("vec_id")),
-        Seq(col("sim").desc, col("proto_label").asc), 1, "rank")
-      .groupBy(col("label"), col("proto_label").as("pred_label"))
-      .agg(count(lit(1)).as("n"))
+  }
+
+  /** ACTIVE-LEARNING selection by prototype margin (uncertainty
+    * sampling, Lewis & Gale 1994, in the nearest-class-mean space): per
+    * vector, the gap between its best and second-best class-prototype
+    * cosine; the k smallest-margin vectors are where the classifier is
+    * least certain — the rows a labeling budget buys the most from (and,
+    * in a curation pipeline, the label-noise suspects: a small margin
+    * with a WRONG argmax flags a probable mislabel). Requires ≥ 2
+    * distinct labels (sim2 is null otherwise).
+    *
+    * Determinism: sims are the q196 6-decimal-rounded cosines of exact
+    * integer prototypes; the margin is one IEEE subtraction of those two
+    * doubles (identical in any engine), and selection orders by
+    * (margin asc, vec_id asc) — total, so the selected set is a pure
+    * function of the data.
+    *
+    * Scale shape: the q196 broadcast-scoring stage + a per-vector top-2
+    * (rank pushdown) + the pivot to one row per vector + a global
+    * `TakeOrderedAndProject` for the k selection — per-partition k-heaps,
+    * driver merges partition heads, never a global sort.
+    */
+  def prototypeMargin(corpus: DataFrame, labels: DataFrame, dim: Int,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val top2 = Relational.topKPerGroup(
+      prototypeScores(corpus, labels, dim), Seq(col("vec_id")),
+      Seq(col("sim").desc, col("proto_label").asc), 2, "rn")
+    top2.groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("rn") === 1, col("proto_label"))).as("pred_label"),
+        max(when(col("rn") === 1, col("sim"))).as("sim1"),
+        max(when(col("rn") === 2, col("sim"))).as("sim2"))
+      .withColumn("margin", col("sim1") - col("sim2"))
+      .orderBy(col("margin").asc, col("vec_id").asc)
+      .limit(k)
   }
 
   // --------------------------------------------------- scalar quantization

@@ -143,6 +143,17 @@ object SimilarityQueries {
         Tables.embeddings(s, d).select(col("vec_id"), col("label")),
         dim = 64)),
 
+    // Active-learning selection: the 100 vectors with the smallest gap
+    // between best and second-best prototype cosine (uncertainty
+    // sampling) — where a labeling budget buys the most, and the
+    // label-noise suspect list when the argmax disagrees with the given
+    // label. Same exact-integer prototypes as q196; global k-selection
+    // via TakeOrderedAndProject, never a full sort.
+    "q206_active_margin" -> ((s, d) =>
+      Similarity.prototypeMargin(corpus(s, d),
+        Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+        dim = 64, k = 100)),
+
     // Mutual (reciprocal) nearest neighbors: pairs where each is the
     // other's exact top-1 — the high-precision duplicate signal (a one-
     // directional NN is often a hub artifact; mutuality filters hubs).
@@ -458,6 +469,60 @@ object SimilarityQueries {
          |)
          |SELECT label, proto_label AS pred_label, count(*) AS n
          |FROM pred GROUP BY 1, 2""".stripMargin,
+
+    // q196's scoring chain, then top-2 per vector -> margin -> global
+    // 100-smallest selection with the (margin, vec_id) total order.
+    "q206_active_margin" ->
+      s"""$VCte, u AS (
+         |  SELECT vec_id,
+         |         CASE WHEN nrm = 0 THEN vec
+         |              ELSE list_transform(vec, x -> x / nrm) END AS unit
+         |  FROM n
+         |), uq AS (
+         |  SELECT vec_id,
+         |         list_transform(unit, x -> CAST(round(x * 1000000) AS BIGINT)) AS uq
+         |  FROM u
+         |), sums AS (
+         |  SELECT e.label AS proto_label, i.i AS idx,
+         |         CAST(sum(uq.uq[i.i]) AS BIGINT) AS s
+         |  FROM uq JOIN embeddings e USING (vec_id),
+         |       UNNEST(range(1, 65)) i(i)
+         |  GROUP BY 1, 2
+         |), protos AS (
+         |  SELECT proto_label,
+         |         list(CAST(s AS DOUBLE) ORDER BY idx) AS pvec
+         |  FROM sums GROUP BY 1
+         |), pn AS (
+         |  SELECT proto_label, pvec,
+         |         sqrt(list_dot_product(pvec, pvec)) AS pnrm
+         |  FROM protos
+         |), q AS (
+         |  SELECT uq.vec_id, e.label,
+         |         list_transform(uq.uq, x -> CAST(x AS DOUBLE)) AS qvec
+         |  FROM uq JOIN embeddings e USING (vec_id)
+         |), scored AS (
+         |  SELECT q.vec_id, q.label, pn.proto_label,
+         |         round(CASE WHEN sqrt(list_dot_product(q.qvec, q.qvec)) = 0
+         |                      OR pn.pnrm = 0 THEN 0.0
+         |               ELSE list_dot_product(q.qvec, pn.pvec)
+         |                    / (sqrt(list_dot_product(q.qvec, q.qvec)) * pn.pnrm)
+         |               END, 6) AS sim
+         |  FROM q CROSS JOIN pn
+         |), top2 AS (
+         |  SELECT vec_id, label, proto_label, sim,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY sim DESC, proto_label ASC) AS rn
+         |  FROM scored
+         |), pv AS (
+         |  SELECT vec_id, label,
+         |         max(CASE WHEN rn = 1 THEN proto_label END) AS pred_label,
+         |         max(CASE WHEN rn = 1 THEN sim END) AS sim1,
+         |         max(CASE WHEN rn = 2 THEN sim END) AS sim2
+         |  FROM top2 WHERE rn <= 2 GROUP BY 1, 2
+         |)
+         |SELECT vec_id, label, pred_label, sim1, sim2,
+         |       sim1 - sim2 AS margin
+         |FROM pv ORDER BY sim1 - sim2 ASC, vec_id ASC LIMIT 100""".stripMargin,
 
     "q182_mutual_nn" ->
       s"""$VCte, scored AS (

@@ -43,6 +43,16 @@ object WindowQueries {
       EventTime.funnel(Tables.events(s, d), "user_id", "event_type", "ts",
         Seq("signup", "view", "click", "purchase"))),
 
+    // q83's funnel with a 6-hour CONVERSION WINDOW: each step must land
+    // within 6 h of the previous step's anchor (the product-analytics
+    // "converted within" question q83's unbounded order can't answer) —
+    // same greedy earliest-qualifying-event semantics, same one
+    // user-keyed aggregate per step.
+    "q207_windowed_funnel" -> ((s, d) =>
+      EventTime.funnel(Tables.events(s, d), "user_id", "event_type", "ts",
+        Seq("signup", "view", "click", "purchase"),
+        maxGapSec = Some(21600L))),
+
     // Conversion latency: first signup -> first subsequent purchase, delta
     // as exact microsecond BIGINTs; percentiles via the q41 recipe
     // (Spark percentile == DuckDB quantile_cont on exact ints, round 4).
@@ -251,6 +261,29 @@ object WindowQueries {
         |), s4 AS (
         |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
         |  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1
+        |)
+        |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS stage, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |UNION ALL SELECT 4, 'purchase', count(*) FROM s4""".stripMargin,
+
+    // q83's cascade with the 6 h window bound on each hop.
+    "q207_windowed_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t
+        |    AND e.ts <= s1.t + INTERVAL 21600 SECOND GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s2.t
+        |    AND e.ts <= s2.t + INTERVAL 21600 SECOND GROUP BY 1
+        |), s4 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s3.t
+        |    AND e.ts <= s3.t + INTERVAL 21600 SECOND GROUP BY 1
         |)
         |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS stage, count(*) AS n_users FROM s1
         |UNION ALL SELECT 2, 'view', count(*) FROM s2

@@ -304,6 +304,40 @@ class IngestOpsSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("funnel with conversion window: the window bounds each HOP, not " +
+    "the whole journey; boundary is inclusive; greedy anchor is binding") {
+    val ev = Seq(
+      // u1 converts: each hop exactly at the 60s window edge (inclusive)
+      ("u1", "signup", ts("2024-01-01 00:00:00")),
+      ("u1", "view", ts("2024-01-01 00:01:00")),
+      ("u1", "click", ts("2024-01-01 00:02:00")),
+      // u2's view misses the 60s window by one second
+      ("u2", "signup", ts("2024-01-01 00:00:00")),
+      ("u2", "view", ts("2024-01-01 00:01:01")),
+      ("u2", "click", ts("2024-01-01 00:01:30")),
+      // u3: two views; the GREEDY anchor (first view, in-window) leaves
+      // the click out of range even though view#2 would have caught it —
+      // pins the documented earliest-qualifying semantics
+      ("u3", "signup", ts("2024-01-01 00:00:00")),
+      ("u3", "view", ts("2024-01-01 00:00:10")),
+      ("u3", "view", ts("2024-01-01 00:00:50")),
+      ("u3", "click", ts("2024-01-01 00:01:30"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = graft.operators.EventTime
+      .funnel(ev, "user_id", "event_type", "ts",
+        Seq("signup", "view", "click"), maxGapSec = Some(60L))
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set((1L, "signup", 3L), (2L, "view", 2L), (3L, "click", 1L)),
+      s"got $out")
+    // None reproduces the unbounded funnel exactly
+    val unbounded = graft.operators.EventTime
+      .funnel(ev, "user_id", "event_type", "ts",
+        Seq("signup", "view", "click"), maxGapSec = None)
+      .as[(Long, String, Long)].collect().toSet
+    assert(unbounded ==
+      Set((1L, "signup", 3L), (2L, "view", 3L), (3L, "click", 3L)))
+  }
+
   test("langId votes for german markers; und on no hits") {
     val df = Seq(("der hund und die katze ist", 1), ("zzz qqq", 2))
       .toDF("text", "id").withColumn("tok", Dedup.tokens(col("text")))

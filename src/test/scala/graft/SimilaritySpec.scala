@@ -547,4 +547,37 @@ class SimilaritySpec extends SparkSpec {
       Similarity.mmrSelect(cand, k = 1, lambda = 0.5, maxCandidates = 2)
     }
   }
+
+  test("prototypeMargin: boundary vectors rank as most ambiguous, " +
+      "margins agree with prototype geometry, k truncates") {
+    import spark.implicits._
+    // class 0 hugs the x axis, class 1 the y axis; vec 5 sits on the
+    // diagonal — minimal margin by construction; vec 2 = (1, -0.1)
+    // points furthest from the y prototype — maximal margin (note the
+    // class-0 prototype tilts up toward its diagonal member, so the pure
+    // x-axis vec 6 is NOT the extreme)
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.1f), 0), (2L, Seq(1.0f, -0.1f), 0),
+      (3L, Seq(0.1f, 1.0f), 1), (4L, Seq(-0.1f, 1.0f), 1),
+      (5L, Seq(1.0f, 1.0f), 0), (6L, Seq(1.0f, 0.0f), 0))
+    val corpus = rows.toDF("vec_id", "v", "label")
+      .select(col("vec_id"),
+        transform(col("v"), _.cast("double")).as("vec"))
+      .withColumn("nrm", sqrt(aggregate(col("vec"), lit(0.0),
+        (a, x) => a + x * x)))
+    val labels = rows.map(r => (r._1, r._3)).toDF("vec_id", "label")
+    val out = Similarity.prototypeMargin(corpus, labels, dim = 2, k = 6)
+      .select("vec_id", "margin").as[(Long, Double)].collect()
+    assert(out.length == 6)
+    assert(out.head._1 == 5L,
+      s"the diagonal vector must be the most ambiguous, got ${out.toSeq}")
+    assert(out.last._1 == 2L,
+      s"(1,-0.1) must be the least ambiguous, got ${out.toSeq}")
+    assert(out.forall(_._2 >= 0.0), "margin = top1 - top2 is nonnegative")
+    assert(out.map(_._2).toSeq == out.map(_._2).toSeq.sorted,
+      "rows must come back margin-ascending")
+    val top2 = Similarity.prototypeMargin(corpus, labels, dim = 2, k = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(top2 == out.take(2).map(_._1).toSet, "k must take the prefix")
+  }
 }
