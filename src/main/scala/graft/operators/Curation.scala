@@ -498,6 +498,76 @@ object Curation {
     * seats·W < 9.2e18 (e.g. a 1e9-token budget over a 1e9-token corpus
     * needs the weights rescaled; divide both first, proportions survive).
     */
+  /** Concat-and-chunk SEQUENCE PACKING — the standard pretraining data
+    * layout (GPT-style): documents are deterministically shuffled
+    * (md5-salted order), laid end-to-end on one global token tape, and
+    * cut into fixed `seqLen` training sequences. Emits one row per
+    * (sequence, document) span: `seq_id`, `doc_id`, `offset_in_seq`
+    * (where in the sequence the doc's tokens start) and `tokens_in_seq`
+    * — exactly the manifest a dataloader needs to build attention-mask
+    * boundaries, and the complement of [[packBins]] (which packs WHOLE
+    * docs first-fit; this one splits docs across sequence boundaries so
+    * zero padding exists anywhere).
+    *
+    * Determinism: the tape order is md5(salt|id) (unique — the id rides
+    * in the key), and the tape positions come from the exclusive prefix
+    * sum, so every span is a pure function of the corpus — any engine,
+    * any partitioning, same manifest (the q62 reproducibility story
+    * applied to the training-batch layout itself).
+    *
+    * Scale shape: one [[EventTime.globalRunningSum]] segmented scan
+    * (range exchange + two local passes, P partition totals through the
+    * driver — never a single-partition window), then everything is
+    * row-local: doc_id recovery by splitting the order key, span math,
+    * and a `sequence()` explode bounded by ceil(n_tokens/seqLen) + 1
+    * rows per doc. No joins at all.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokCol: Column,
+      seqLen: Long, salt: String): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val base = df
+      .select(col(idCol).cast("long").as("_id"), tokCol.cast("long").as("_n"))
+      .filter(col("_n") > 0)
+      .select(concat(md5(concat(lit(s"$salt|"), col("_id").cast("string"))),
+        lit("|"), col("_id").cast("string")).as("ord"), col("_n").as("toks"))
+    EventTime.globalRunningSum(base, "ord", "toks")
+      .select(
+        split(col("ord"), "\\|").getItem(1).cast("long").as("doc_id"),
+        col("toks"), (col("running_sum") - col("toks")).as("tape_start"),
+        col("running_sum").as("tape_end"))
+      .select(col("doc_id"), col("tape_start"), col("tape_end"),
+        explode(sequence(expr(s"tape_start div ${seqLen}L"),
+          expr(s"(tape_end - 1) div ${seqLen}L"))).as("seq_id"))
+      .select(col("seq_id"), col("doc_id"),
+        greatest(col("tape_start") - col("seq_id") * seqLen, lit(0L))
+          .as("offset_in_seq"),
+        (least(col("tape_end"), (col("seq_id") + 1) * seqLen) -
+          greatest(col("tape_start"), col("seq_id") * seqLen))
+          .as("tokens_in_seq"))
+  }
+
+  /** Execute a [[largestRemainderQuota]] apportionment: per group, the
+    * first `quota_g` rows of the deterministic md5(salt|id) order are
+    * selected — so exactly `seats` rows come back overall (when every
+    * group holds at least its quota) and the realized sample is a pure
+    * function of the data. The selection rank is a per-GROUP window
+    * (keyed exchange); quotas are O(groups) rows and broadcast.
+    */
+  def quotaSample(df: DataFrame, groupCol: Column, idCol: String,
+      seats: Long, salt: String): DataFrame = {
+    val quotas = largestRemainderQuota(df, groupCol, lit(1L), seats)
+      .select(col("group"), col("quota"))
+    val w = Window.partitionBy(col("group"))
+      .orderBy(col("_ord"), col("_id"))
+    df.select(groupCol.as("group"), col(idCol).cast("long").as("_id"))
+      .withColumn("_ord",
+        md5(concat(lit(s"$salt|"), col("_id").cast("string"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), Seq("group"))
+      .filter(col("rnk") <= col("quota"))
+      .select(col("group"), col("_id").as(idCol), col("rnk"), col("quota"))
+  }
+
   def largestRemainderQuota(df: DataFrame, groupCol: Column,
       weightCol: Column, seats: Long): DataFrame = {
     require(seats > 0, s"seats must be positive, got $seats")

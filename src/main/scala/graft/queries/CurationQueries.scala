@@ -227,7 +227,27 @@ object CurationQueries {
       Curation.largestRemainderQuota(Tables.documents(s, d),
           col("source"), col("n_chars"), seats = 100000L)
         .select(col("group").as("source"), col("weight"), col("base"),
-          col("quota"))))
+          col("quota"))),
+
+    // Concat-and-chunk packing: the corpus md5-shuffled onto one global
+    // token tape and cut into 2048-token training sequences — one
+    // (seq_id, doc_id) manifest row per span, with in-sequence offsets,
+    // the GPT-style dataloader layout with zero padding. The tape
+    // positions come from the segmented-scan prefix sum, never a
+    // single-partition window.
+    "q208_seq_pack" -> ((s, d) =>
+      Curation.packSequences(
+        Tables.documents(s, d)
+          .withColumn("n_tok", size(Dedup.tokens(col("text"))).cast("long")),
+        "doc_id", col("n_tok"), seqLen = 2048L, salt = "ep1")),
+
+    // q205 executed: a 100-document budget apportioned across sources by
+    // doc count (largest remainder), then per source the first quota
+    // docs of the md5 order are taken — exactly 100 rows, reproducible,
+    // the sampler a mixture spec actually runs.
+    "q209_quota_sample" -> ((s, d) =>
+      Curation.quotaSample(Tables.documents(s, d), col("source"),
+        "doc_id", seats = 100L, salt = "qs")))
 
   val oracles: Map[String, String] = Map(
     "q62_hash_split" ->
@@ -623,5 +643,69 @@ object CurationQueries {
         |SELECT grp AS source, weight, base,
         |       CAST(base + CASE WHEN r <= ex.extra THEN 1 ELSE 0 END
         |            AS BIGINT) AS quota
-        |FROM rnk CROSS JOIN ex""".stripMargin)
+        |FROM rnk CROSS JOIN ex""".stripMargin,
+
+    // Mirrors packSequences: same tokenization as q168, same md5 tape
+    // order (id appended for strict uniqueness), window cumsum, and the
+    // span arithmetic over generate_series (inclusive, like Spark's
+    // sequence()).
+    "q208_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(trim(text),
+        |              '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, n_tok,
+        |         md5('ep1|' || doc_id) || '|' || doc_id AS ord
+        |  FROM t WHERE n_tok > 0
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |         CAST(sum(n_tok) OVER (ORDER BY ord
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS run
+        |  FROM o
+        |), s AS (
+        |  SELECT doc_id, run - n_tok AS ts, run AS te FROM c
+        |)
+        |SELECT u.seq AS seq_id, s.doc_id,
+        |       CAST(greatest(s.ts - u.seq * 2048, 0) AS BIGINT)
+        |         AS offset_in_seq,
+        |       CAST(least(s.te, (u.seq + 1) * 2048)
+        |            - greatest(s.ts, u.seq * 2048) AS BIGINT)
+        |         AS tokens_in_seq
+        |FROM s, UNNEST(generate_series(s.ts // 2048, (s.te - 1) // 2048))
+        |     u(seq)""".stripMargin,
+
+    // q205's apportionment chain (weight = doc count, 100 seats), then
+    // the per-source md5 rank executes it.
+    "q209_quota_sample" ->
+      """WITH per AS (
+        |  SELECT source AS grp, CAST(count(*) AS BIGINT) AS weight
+        |  FROM documents GROUP BY 1
+        |),
+        |tot AS (SELECT CAST(sum(weight) AS BIGINT) AS wt FROM per),
+        |based AS (
+        |  SELECT grp, weight,
+        |         CAST((100 * weight) // wt AS BIGINT) AS base,
+        |         CAST((100 * weight) % wt AS BIGINT) AS rem
+        |  FROM per CROSS JOIN tot
+        |),
+        |ex AS (SELECT CAST(100 - sum(base) AS BIGINT) AS extra FROM based),
+        |q AS (
+        |  SELECT grp, CAST(base + CASE WHEN r <= ex.extra THEN 1 ELSE 0 END
+        |              AS BIGINT) AS quota
+        |  FROM (SELECT grp, base, rem,
+        |               row_number() OVER (ORDER BY rem DESC, grp ASC) AS r
+        |        FROM based) CROSS JOIN ex
+        |),
+        |ranked AS (
+        |  SELECT source AS grp, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY md5('qs|' || doc_id), doc_id) AS BIGINT) AS rnk
+        |  FROM documents
+        |)
+        |SELECT r.grp AS "group", r.doc_id, r.rnk, q.quota
+        |FROM ranked r JOIN q ON r.grp = q.grp
+        |WHERE r.rnk <= q.quota""".stripMargin)
 }

@@ -243,4 +243,27 @@ class CurationSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("doc_id", "n_shared"))
     assert(out.count() == 0)
   }
+
+  test("quotaSample realizes the apportionment exactly: seats rows " +
+    "total, per-group count == quota, deterministic across partitioning") {
+    import spark.implicits._
+    // 3 groups with 10/6/4 docs; 10 seats → quotas 5/3/2
+    val docs = ((1 to 10).map(i => ("a", i.toLong)) ++
+      (11 to 16).map(i => ("b", i.toLong)) ++
+      (17 to 20).map(i => ("c", i.toLong))).toDF("src", "id")
+    val out = Curation.quotaSample(docs, col("src"), "id",
+      seats = 10L, salt = "t")
+      .select("group", "id", "rnk", "quota")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length == 10, s"must realize exactly 10 rows, got ${out.length}")
+    val perGroup = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perGroup == Map("a" -> 5, "b" -> 3, "c" -> 2), s"got $perGroup")
+    assert(out.forall { case (_, _, rnk, quota) => rnk >= 1 && rnk <= quota })
+    val again = Curation.quotaSample(docs.repartition(7), col("src"), "id",
+      seats = 10L, salt = "t")
+      .select("group", "id", "rnk", "quota")
+      .as[(String, Long, Long, Long)].collect()
+    assert(again.toSet == out.toSet,
+      "the realized sample must not depend on partitioning")
+  }
 }

@@ -431,6 +431,40 @@ object GraftProperties extends Properties("graft") {
       got == want
     }
 
+  property("packSequences: spans partition every doc's tokens, fill " +
+    "every sequence except the last exactly, and stay in-bounds") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 30L)),
+      Gen.choose(1L, 16L)) { (toks, seqLen) =>
+      val s = spark
+      import s.implicits._
+      val df = toks.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+        .toDF("doc_id", "n_tok")
+      val out = graft.operators.Curation
+        .packSequences(df, "doc_id", col("n_tok"), seqLen, salt = "p")
+        .select("seq_id", "doc_id", "offset_in_seq", "tokens_in_seq")
+        .as[(Long, Long, Long, Long)].collect()
+      val total = toks.filter(_ > 0).sum
+      val perDoc = out.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+      val perSeq = out.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+      val lastSeq = if (total == 0) -1L else (total - 1) / seqLen
+      (total == 0 && out.isEmpty) || (
+        // every positive-token doc fully covered, zero-token docs absent
+        toks.zipWithIndex.forall { case (n, i) =>
+          if (n > 0) perDoc.get(i.toLong).contains(n)
+          else !perDoc.contains(i.toLong)
+        } &&
+        // sequences 0..last-1 full, last holds the remainder
+        perSeq.keySet == (0L to lastSeq).toSet &&
+        perSeq.forall { case (sq, n) =>
+          if (sq < lastSeq) n == seqLen
+          else n == total - lastSeq * seqLen
+        } &&
+        // span bounds: inside the sequence, nonempty
+        out.forall { case (_, _, off, n) =>
+          off >= 0 && n >= 1 && off + n <= seqLen
+        })
+    }
+
   property("largestRemainderQuota: quotas sum to the budget exactly and " +
     "each satisfies the Hamilton quota rule (floor ≤ quota ≤ ceil)") =
     forAll(Gen.nonEmptyListOf(Gen.choose(1L, 5000L)),
