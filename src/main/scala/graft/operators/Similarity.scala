@@ -282,6 +282,41 @@ object Similarity {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("sim_raw"))
   }
 
+  /** Distance-based OUTLIER detection by k-th-nearest-neighbor score
+    * (Ramaswamy, Rastogi & Shim, SIGMOD 2000, in cosine space): a vector
+    * whose 5th-best cosine is still low sits in no neighborhood at all —
+    * in a curation pipeline these are the corrupt/degenerate embeddings
+    * (truncated docs, encoder failures, wrong-modality rows) that no
+    * cluster-level check flags. Emits the `m` most isolated vectors with
+    * their k-th neighbor and its (6-decimal-rounded) cosine, ordered
+    * (kth_sim asc, vec_id asc).
+    *
+    * Candidate generation is the exact [[blockGridPairs]] grid — the
+    * deliberate quadratic EXACT baseline (q25/q53 family); at 100 TB the
+    * rank/selection stages run unchanged over the LSH/IVF candidate
+    * paths (any candidate source that covers each vector's true top-k
+    * preserves the score). Selection is rank-pushdown per anchor
+    * (rn == k row only) + a global `TakeOrderedAndProject` — never a
+    * global sort.
+    */
+  def knnOutliers(corpus: DataFrame, k: Int, m: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(m >= 1, s"m must be >= 1, got $m")
+    val pairs = blockGridPairs(corpus, -1.0)
+      .withColumn("sim", round(col("sim_raw"), 6))
+    val directed = pairs
+      .select(col("id_a").as("vec_id"), col("id_b").as("nbr"), col("sim"))
+      .unionByName(pairs
+        .select(col("id_b").as("vec_id"), col("id_a").as("nbr"), col("sim")))
+    Relational.topKPerGroup(directed, Seq(col("vec_id")),
+        Seq(col("sim").desc, col("nbr").asc), k, "rn")
+      .filter(col("rn") === k)
+      .select(col("vec_id"), col("nbr").as("kth_neighbor"),
+        col("sim").as("kth_sim"))
+      .orderBy(col("kth_sim").asc, col("vec_id").asc)
+      .limit(m)
+  }
+
   /** HARD-NEGATIVE MINING for contrastive training: for every anchor, the
     * top-`k` most-similar vectors carrying a DIFFERENT label — the pairs
     * that teach an encoder the most (high-similarity, wrong-class;

@@ -154,6 +154,13 @@ object SimilarityQueries {
         Tables.embeddings(s, d).select(col("vec_id"), col("label")),
         dim = 64, k = 100)),
 
+    // kNN-distance outliers: the 50 vectors whose 5th-best cosine is
+    // lowest — the corrupt/degenerate-embedding sweep (Ramaswamy et al.
+    // kth-NN score); exact grid candidates, rank pushdown, global
+    // TakeOrderedAndProject selection.
+    "q210_knn_outliers" -> ((s, d) =>
+      Similarity.knnOutliers(corpus(s, d), k = 5, m = 50)),
+
     // Mutual (reciprocal) nearest neighbors: pairs where each is the
     // other's exact top-1 — the high-precision duplicate signal (a one-
     // directional NN is often a hub artifact; mutuality filters hubs).
@@ -523,6 +530,22 @@ object SimilarityQueries {
          |SELECT vec_id, label, pred_label, sim1, sim2,
          |       sim1 - sim2 AS margin
          |FROM pv ORDER BY sim1 - sim2 ASC, vec_id ASC LIMIT 100""".stripMargin,
+
+    // All-pairs rounded cosines -> per-anchor rank -> the rn=k row ->
+    // global 50-smallest selection (total order on (kth_sim, vec_id)).
+    "q210_knn_outliers" ->
+      s"""$VCte, scored AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |         round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS sim
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+         |), r AS (
+         |  SELECT va, vb, sim, row_number() OVER (PARTITION BY va
+         |    ORDER BY sim DESC, vb ASC) AS rn
+         |  FROM scored
+         |)
+         |SELECT va AS vec_id, vb AS kth_neighbor, sim AS kth_sim
+         |FROM r WHERE rn = 5
+         |ORDER BY sim ASC, va ASC LIMIT 50""".stripMargin,
 
     "q182_mutual_nn" ->
       s"""$VCte, scored AS (

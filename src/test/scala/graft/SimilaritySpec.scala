@@ -548,6 +548,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnOutliers: the isolated vector ranks first; scores ascend; " +
+      "m truncates; partitioning-invariant") {
+    import spark.implicits._
+    // five near-collinear vectors + one orthogonal outlier (id 99)
+    val rows = Seq(
+      (1L, Seq(1.0, 0.00)), (2L, Seq(1.0, 0.01)), (3L, Seq(1.0, 0.02)),
+      (4L, Seq(1.0, 0.03)), (5L, Seq(1.0, 0.04)), (99L, Seq(0.0, 1.0)))
+    val corpus = rows.toDF("vec_id", "vec")
+      .withColumn("nrm", sqrt(aggregate(col("vec"), lit(0.0),
+        (a, x) => a + x * x)))
+    val out = Similarity.knnOutliers(corpus, k = 2, m = 3)
+      .select("vec_id", "kth_sim").as[(Long, Double)].collect()
+    assert(out.length == 3)
+    assert(out.head._1 == 99L,
+      s"the orthogonal vector must be most isolated, got ${out.toSeq}")
+    assert(out.map(_._2).toSeq == out.map(_._2).toSeq.sorted,
+      "kth_sim must come back ascending")
+    val again = Similarity.knnOutliers(corpus.repartition(5), k = 2, m = 3)
+      .select("vec_id", "kth_sim").as[(Long, Double)].collect()
+    assert(again.toSeq == out.toSeq, "selection must not depend on partitioning")
+  }
+
   test("prototypeMargin: boundary vectors rank as most ambiguous, " +
       "margins agree with prototype geometry, k truncates") {
     import spark.implicits._
