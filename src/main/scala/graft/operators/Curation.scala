@@ -521,10 +521,20 @@ object Curation {
     * row-local: doc_id recovery by splitting the order key, span math,
     * and a `sequence()` explode bounded by ceil(n_tokens/seqLen) + 1
     * rows per doc. No joins at all.
+    *
+    * INCREMENTAL maintenance (`tapeOffset`): packing is a prefix-sum,
+    * so it is incremental exactly when new docs append at the tape's
+    * END — pass the previous corpus's total token count and only the
+    * delta is packed (O(|delta|)), its first spans topping up the last
+    * partially-filled sequence; the old manifest is never touched.
+    * q211 proves delta-built == full-rebuild by hash match (the
+    * q112/q135/q142 incremental pattern applied to the training-batch
+    * layout).
     */
   def packSequences(df: DataFrame, idCol: String, tokCol: Column,
-      seqLen: Long, salt: String): DataFrame = {
+      seqLen: Long, salt: String, tapeOffset: Long = 0L): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(tapeOffset >= 0, s"tapeOffset must be >= 0, got $tapeOffset")
     val base = df
       .select(col(idCol).cast("long").as("_id"), tokCol.cast("long").as("_n"))
       .filter(col("_n") > 0)
@@ -533,8 +543,9 @@ object Curation {
     EventTime.globalRunningSum(base, "ord", "toks")
       .select(
         split(col("ord"), "\\|").getItem(1).cast("long").as("doc_id"),
-        col("toks"), (col("running_sum") - col("toks")).as("tape_start"),
-        col("running_sum").as("tape_end"))
+        col("toks"),
+        (col("running_sum") + tapeOffset - col("toks")).as("tape_start"),
+        (col("running_sum") + tapeOffset).as("tape_end"))
       .select(col("doc_id"), col("tape_start"), col("tape_end"),
         explode(sequence(expr(s"tape_start div ${seqLen}L"),
           expr(s"(tape_end - 1) div ${seqLen}L"))).as("seq_id"))

@@ -247,7 +247,26 @@ object CurationQueries {
     // the sampler a mixture spec actually runs.
     "q209_quota_sample" -> ((s, d) =>
       Curation.quotaSample(Tables.documents(s, d), col("source"),
-        "doc_id", seats = 100L, salt = "qs")))
+        "doc_id", seats = 100L, salt = "qs")),
+
+    // Incremental pack maintenance: the q208 manifest for the old corpus
+    // (doc_id%10 != 7) plus the DELTA pack of the new batch starting at
+    // the old tape total (one O(1) control row) — union must hash-match
+    // the oracle's FULL two-segment rebuild, proving packing is O(|delta|)
+    // under append-at-end ordering (the q112/q135/q142 incremental
+    // pattern applied to the training-batch layout).
+    "q211_pack_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tok", size(Dedup.tokens(col("text"))).cast("long"))
+      val old = docs.filter(col("doc_id") % 10 =!= 7)
+      val fresh = docs.filter(col("doc_id") % 10 === 7)
+      // O(1) control row (the BPE-argmax discipline): the old tape total
+      val oldTotal = old.filter(col("n_tok") > 0)
+        .agg(coalesce(sum(col("n_tok")), lit(0L))).first().getLong(0)
+      Curation.packSequences(old, "doc_id", col("n_tok"), 2048L, "ep1")
+        .unionByName(Curation.packSequences(fresh, "doc_id", col("n_tok"),
+          2048L, "ep1", tapeOffset = oldTotal))
+    }))
 
   val oracles: Map[String, String] = Map(
     "q62_hash_split" ->
@@ -707,5 +726,37 @@ object CurationQueries {
         |)
         |SELECT r.grp AS "group", r.doc_id, r.rnk, q.quota
         |FROM ranked r JOIN q ON r.grp = q.grp
-        |WHERE r.rnk <= q.quota""".stripMargin)
+        |WHERE r.rnk <= q.quota""".stripMargin,
+
+    // The FULL REBUILD with the append-at-end two-segment order (old
+    // docs' md5 order, then the new batch's): the delta-built Spark
+    // result hash-matching this proves incremental == rebuild.
+    "q211_pack_delta" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(trim(text),
+        |              '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, n_tok,
+        |         CASE WHEN doc_id % 10 = 7 THEN '1' ELSE '0' END
+        |           || md5('ep1|' || doc_id) || '|' || doc_id AS ord
+        |  FROM t WHERE n_tok > 0
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |         CAST(sum(n_tok) OVER (ORDER BY ord
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS run
+        |  FROM o
+        |), s AS (
+        |  SELECT doc_id, run - n_tok AS ts, run AS te FROM c
+        |)
+        |SELECT u.seq AS seq_id, s.doc_id,
+        |       CAST(greatest(s.ts - u.seq * 2048, 0) AS BIGINT)
+        |         AS offset_in_seq,
+        |       CAST(least(s.te, (u.seq + 1) * 2048)
+        |            - greatest(s.ts, u.seq * 2048) AS BIGINT)
+        |         AS tokens_in_seq
+        |FROM s, UNNEST(generate_series(s.ts // 2048, (s.te - 1) // 2048))
+        |     u(seq)""".stripMargin)
 }

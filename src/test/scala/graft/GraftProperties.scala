@@ -465,6 +465,44 @@ object GraftProperties extends Properties("graft") {
         })
     }
 
+  property("packSequences delta-build equals the in-memory tape " +
+    "reference under append-at-end ordering") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 20L), Gen.oneOf(false, true))),
+      Gen.choose(2L, 8L)) { (docs, seqLen) =>
+      val s = spark
+      import s.implicits._
+      def md5hex(x: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val rows = docs.zipWithIndex
+        .map { case ((n, isNew), i) => (i.toLong, n, isNew) }
+      def segment(isNew: Boolean) = rows.filter(_._3 == isNew)
+        .map { case (id, n, _) => (md5hex(s"p|$id") + s"|$id", id, n) }
+        .sortBy(_._1)
+      // in-memory tape: old segment then new segment, contiguous spans
+      var pos = 0L
+      val expect = (segment(false) ++ segment(true)).flatMap {
+        case (_, id, n) =>
+          val start = pos; pos += n
+          (start / seqLen to (pos - 1) / seqLen).map { seq =>
+            (seq, id, math.max(start - seq * seqLen, 0L),
+              math.min(pos, (seq + 1) * seqLen) -
+                math.max(start, seq * seqLen))
+          }
+      }.toSet
+      val df = rows.toDF("doc_id", "n_tok", "is_new")
+      val oldTotal = rows.filter(!_._3).map(_._2).sum
+      val got = graft.operators.Curation
+        .packSequences(df.filter(!col("is_new")), "doc_id", col("n_tok"),
+          seqLen, salt = "p")
+        .unionByName(graft.operators.Curation
+          .packSequences(df.filter(col("is_new")), "doc_id", col("n_tok"),
+            seqLen, salt = "p", tapeOffset = oldTotal))
+        .select("seq_id", "doc_id", "offset_in_seq", "tokens_in_seq")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      got == expect
+    }
+
   property("largestRemainderQuota: quotas sum to the budget exactly and " +
     "each satisfies the Hamilton quota rule (floor ≤ quota ≤ ceil)") =
     forAll(Gen.nonEmptyListOf(Gen.choose(1L, 5000L)),
