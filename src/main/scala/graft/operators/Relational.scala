@@ -687,6 +687,38 @@ object Relational {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-group EQUI-DEPTH histogram: bin edges at the exact type-1
+    * i/nBins quantiles ([[exactQuantiles]] — BIGINT data values, no
+    * interpolated floats), every row assigned to
+    * bin = #{edges strictly below it}, then (count, lo, hi) per bin.
+    * The complement of [[equiWidthHistogram]]: equal POPULATION per bin
+    * instead of equal width — the histogram an optimizer/skew detector
+    * actually wants (a hot key shows up as a bin whose lo == hi).
+    *
+    * Scale shape: the edge table is O(groups · nBins) and broadcast; bin
+    * assignment is a row-local sum of comparisons inside codegen, and
+    * the final aggregate partial-aggregates map-side. The quantile pass
+    * itself windows over DISTINCT (group, value) pairs, not rows.
+    */
+  def equiDepthHistogram(df: DataFrame, groupCol: Column, valueCol: Column,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 64, s"nBins must be in [2, 64], got $nBins")
+    val base = df.select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+    val qs = (1 until nBins).map(i => (s"_e$i", i.toLong, nBins.toLong))
+    val edges = exactQuantiles(base, Seq(col("_g")), col("_v"), qs)
+    val binExpr = (1 until nBins)
+      .map(i => when(col("_v") > col(s"_e$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    base.join(broadcast(edges), Seq("_g"))
+      .withColumn("bin", binExpr)
+      .groupBy(col("_g"), col("bin"))
+      .agg(count(lit(1)).as("n_rows"), min(col("_v")).as("lo"),
+        max(col("_v")).as("hi"))
+      .select(col("_g").as("group"), col("bin"), col("n_rows"),
+        col("lo"), col("hi"))
+  }
+
   /** Single-quantile convenience form of [[exactQuantiles]] (`q_value`). */
   def exactQuantile(df: DataFrame, groupCols: Seq[Column], valueCol: Column,
       num: Long, den: Long): DataFrame =

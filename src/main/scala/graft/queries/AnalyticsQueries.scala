@@ -599,7 +599,18 @@ object AnalyticsQueries {
     "q121_histogram" -> ((s, d) =>
       Relational.equiWidthHistogram(
         Tables.orders(s, d),
-        floor(col("o_totalprice") * 100).cast("long"), 20)))
+        floor(col("o_totalprice") * 100).cast("long"), 20)),
+
+    // Equi-DEPTH histogram per event type: quartile bin edges as exact
+    // type-1 integer quantiles, equal population per bin — the skew
+    // detector q121's equal-width bins can't provide (a hot key is a
+    // bin with lo == hi).
+    "q212_equi_depth" -> ((s, d) =>
+      Relational.equiDepthHistogram(
+        Tables.events(s, d), col("event_type"),
+        floor(col("value") * 100).cast("long"), nBins = 4)
+        .select(col("group").as("event_type"), col("bin"), col("n_rows"),
+          col("lo"), col("hi"))))
 
   val oracles: Map[String, String] = Map(
     "q191_feature_spine" ->
@@ -1064,5 +1075,37 @@ object AnalyticsQueries {
         |SELECT ((v - mn) * 20) // (mx - mn + 1) AS bin,
         |       count(*) AS n_rows,
         |       CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi
-        |FROM v, mm GROUP BY 1""".stripMargin)
+        |FROM v, mm GROUP BY 1""".stripMargin,
+
+    // Mirrors equiDepthHistogram: the same type-1 cum/tot quantile rule
+    // as Relational.exactQuantiles (q41 recipe), edges at i/4, bin =
+    // count of edges strictly below the value.
+    "q212_equi_depth" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), byv AS (
+        |  SELECT g, v, count(*) AS w FROM v GROUP BY 1, 2
+        |), c AS (
+        |  SELECT g, v, w,
+        |         sum(w) OVER (PARTITION BY g ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(w) OVER (PARTITION BY g) AS tot
+        |  FROM byv
+        |), e AS (
+        |  SELECT g,
+        |         min(CASE WHEN cum * 4 >= tot * 1 THEN v END) AS e1,
+        |         min(CASE WHEN cum * 4 >= tot * 2 THEN v END) AS e2,
+        |         min(CASE WHEN cum * 4 >= tot * 3 THEN v END) AS e3
+        |  FROM c GROUP BY 1
+        |), b AS (
+        |  SELECT v.g, v.v,
+        |         CAST(CASE WHEN v.v > e.e1 THEN 1 ELSE 0 END
+        |            + CASE WHEN v.v > e.e2 THEN 1 ELSE 0 END
+        |            + CASE WHEN v.v > e.e3 THEN 1 ELSE 0 END AS BIGINT) AS bin
+        |  FROM v JOIN e ON v.g = e.g
+        |)
+        |SELECT g AS event_type, bin, count(*) AS n_rows,
+        |       CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi
+        |FROM b GROUP BY 1, 2""".stripMargin)
 }

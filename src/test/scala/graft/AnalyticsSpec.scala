@@ -326,6 +326,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(bins.map(_.getAs[Long]("bin")).max == 19L)
   }
 
+  test("equiDepthHistogram: bins partition rows with near-equal depth, " +
+    "ranges are disjoint and ordered, a hot key pins lo == hi") {
+    import spark.implicits._
+    val vals = (0L until 400L).map(i => ("a", i))
+      .toDF("g", "v")
+    val bins = Relational.equiDepthHistogram(vals, col("g"), col("v"), 4)
+      .collect().sortBy(_.getAs[Long]("bin"))
+    assert(bins.map(_.getAs[Long]("n_rows")).sum == 400L)
+    assert(bins.length == 4)
+    assert(bins.forall(r => r.getAs[Long]("n_rows") == 100L),
+      s"uniform data must split 100/100/100/100, got " +
+        bins.map(_.getAs[Long]("n_rows")).toSeq)
+    // ranges disjoint and ascending
+    bins.sliding(2).foreach { p =>
+      assert(p(0).getAs[Long]("hi") < p(1).getAs[Long]("lo"))
+    }
+    // hot key: 90% of rows share one value -> its bin degenerates to a point
+    val skew = ((0L until 360L).map(_ => ("a", 7L)) ++
+      (0L until 40L).map(i => ("a", 100L + i))).toDF("g", "v")
+    val sb = Relational.equiDepthHistogram(skew, col("g"), col("v"), 4)
+      .collect().sortBy(_.getAs[Long]("bin"))
+    assert(sb.head.getAs[Long]("lo") == 7L && sb.head.getAs[Long]("hi") == 7L,
+      s"the hot key must pin its bin to a point, got ${sb.toSeq}")
+    assert(sb.map(_.getAs[Long]("n_rows")).sum == 400L)
+  }
+
   test("rolling median (q119 form) matches a brute-force frame scan") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
