@@ -39,8 +39,13 @@ object Curation {
   def tokenBudgetSelect(df: DataFrame, groupCol: String, idCol: String,
       tokCol: String, scoreCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    // ROWS frame pinned explicitly: the (score desc, id asc) order is only
+    // a total order when ids are unique — under duplicate ids Spark's
+    // default RANGE frame would sum ties together while the oracle's ROWS
+    // frame would not. Pinning ROWS makes both engines agree on any input.
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("cum_tokens", sum(col(tokCol)).over(w))
       .filter(col("cum_tokens") <= budget)
   }
@@ -477,27 +482,6 @@ object Curation {
         col("med2"), col("mad4"))
   }
 
-  /** Largest-remainder (Hamilton) apportionment: split an integer budget
-    * of `seats` (sampling slots, token quota, shard count) across groups
-    * proportionally to an integer weight, EXACTLY — Σ quota == seats
-    * always, each quota is within 1 of the real-valued ideal share, and
-    * everything is BIGINT arithmetic (`seats·w div W` floors + the
-    * largest fractional remainders each get one of the leftover seats,
-    * remainder ties broken toward the smaller group key). This is the
-    * integer-quota companion to [[mixtureWeights]]: weights say WHAT
-    * proportion, this says exactly HOW MANY — the knob a mixture sampler
-    * actually executes.
-    *
-    * Scale shape: one partial-aggregated shuffle over the rows builds the
-    * per-group weights; everything after operates on O(groups) rows — the
-    * two 1-row scalars broadcast, and the remainder-rank window is a
-    * single-partition sort of the GROUP table, not the data (groups are a
-    * categorical dimension: sources, languages, shards).
-    *
-    * Overflow headroom: seats·w_g must fit BIGINT — exact while
-    * seats·W < 9.2e18 (e.g. a 1e9-token budget over a 1e9-token corpus
-    * needs the weights rescaled; divide both first, proportions survive).
-    */
   /** Concat-and-chunk SEQUENCE PACKING — the standard pretraining data
     * layout (GPT-style): documents are deterministically shuffled
     * (md5-salted order), laid end-to-end on one global token tape, and
@@ -579,6 +563,27 @@ object Curation {
       .select(col("group"), col("_id").as(idCol), col("rnk"), col("quota"))
   }
 
+  /** Largest-remainder (Hamilton) apportionment: split an integer budget
+    * of `seats` (sampling slots, token quota, shard count) across groups
+    * proportionally to an integer weight, EXACTLY — Σ quota == seats
+    * always, each quota is within 1 of the real-valued ideal share, and
+    * everything is BIGINT arithmetic (`seats·w div W` floors + the
+    * largest fractional remainders each get one of the leftover seats,
+    * remainder ties broken toward the smaller group key). This is the
+    * integer-quota companion to [[mixtureWeights]]: weights say WHAT
+    * proportion, this says exactly HOW MANY — the knob a mixture sampler
+    * actually executes.
+    *
+    * Scale shape: one partial-aggregated shuffle over the rows builds the
+    * per-group weights; everything after operates on O(groups) rows — the
+    * two 1-row scalars broadcast, and the remainder-rank window is a
+    * single-partition sort of the GROUP table, not the data (groups are a
+    * categorical dimension: sources, languages, shards).
+    *
+    * Overflow headroom: seats·w_g must fit BIGINT — exact while
+    * seats·W < 9.2e18 (e.g. a 1e9-token budget over a 1e9-token corpus
+    * needs the weights rescaled; divide both first, proportions survive).
+    */
   def largestRemainderQuota(df: DataFrame, groupCol: Column,
       weightCol: Column, seats: Long): DataFrame = {
     require(seats > 0, s"seats must be positive, got $seats")

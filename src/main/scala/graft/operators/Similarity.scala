@@ -294,10 +294,16 @@ object Similarity {
     * Candidate generation is the exact [[blockGridPairs]] grid — the
     * deliberate quadratic EXACT baseline (q25/q53 family); at 100 TB the
     * rank/selection stages run unchanged over the LSH/IVF candidate
-    * paths (any candidate source that covers each vector's true top-k
-    * preserves the score). Selection is rank-pushdown per anchor
-    * (rn == k row only) + a global `TakeOrderedAndProject` — never a
-    * global sort.
+    * paths. PRECONDITION for approximate sources: every vector must
+    * receive ≥ k candidates, because the `rn == k` filter drops vectors
+    * with fewer — and under a pruned candidate source those are exactly
+    * the most isolated vectors this operator exists to flag. The grid
+    * always satisfies this (every vector sees all n-1 others);
+    * [[knnOutliersFrom]] takes an explicit candidate frame and falls
+    * back to the max available rank instead, so sparse-candidate vectors
+    * surface as MOST isolated rather than vanishing. Selection is
+    * rank-pushdown per anchor (rn == k row only) + a global
+    * `TakeOrderedAndProject` — never a global sort.
     */
   def knnOutliers(corpus: DataFrame, k: Int, m: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

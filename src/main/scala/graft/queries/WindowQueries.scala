@@ -373,7 +373,7 @@ object WindowQueries {
     "q178_sliding_distinct" ->
       """WITH dp AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
-        |  FROM events
+        |  FROM events WHERE user_id IS NOT NULL
         |), days AS (SELECT DISTINCT day FROM dp)
         |SELECT d.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_distinct
         |FROM days d JOIN dp p ON p.day BETWEEN d.day - 6 AND d.day
