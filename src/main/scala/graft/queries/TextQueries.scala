@@ -391,7 +391,50 @@ object TextQueries {
     // arithmetic), fully independent of tokenization-side joins.
     "q161_boolean_retrieval" -> ((s, d) =>
       TextAnalysis.booleanRetrieval(Tables.documents(s, d), "doc_id",
-        "text", Seq("hash", "join", "scan"))))
+        "text", Seq("hash", "join", "scan"))),
+
+    // Persisted, incrementally-maintained INVERTED INDEX — the q142 IVF
+    // pattern applied to retrieval. Build postings/df/dl/stats on the
+    // historical corpus (doc_id % 10 != 7), SAVE to parquet (postings as
+    // term_bucket-partitioned on-disk inverted lists), LOAD back, fold in
+    // the "daily batch" (doc_id % 10 == 7) via applyIndexDelta — O(delta
+    // postings), old lists never rewrite — and emit the q132 index
+    // surface from the maintained postings. Oracle = the FULL-CORPUS
+    // rebuild (q132's SQL): the hash match proves postings maintenance ==
+    // recompute, through a real disk round-trip.
+    "q213_index_delta" -> ((s, d) => {
+      import graft.operators.Retrieval
+      val docs = toks(s, d)
+      val old = docs.filter(col("doc_id") % 10 =!= 7)
+      val fresh = docs.filter(col("doc_id") % 10 === 7)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_retr_index_q213_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Retrieval.saveIndex(Retrieval.buildIndex(old, "doc_id", "tok"), dir)
+      val updated = Retrieval.applyIndexDelta(
+        Retrieval.loadIndex(s, dir), fresh, "doc_id", "tok")
+      Retrieval.invertedIndexFromIndex(updated)
+    }),
+
+    // q149's BM25 REPRODUCED from the maintained index alone: same
+    // split/save/load/delta as q213, then the query terms (top-3 by total
+    // occurrences) AND every BM25 input — tf from postings, df from the
+    // maintained terms table, dl from docs, (s_total, n_docs) from stats
+    // — come from the index; the corpus is never rescanned. Oracle =
+    // q149's from-scratch SQL, so the hash match proves the df/dl/stats
+    // maintenance is exact, not just the postings.
+    "q214_bm25_from_index" -> ((s, d) => {
+      import graft.operators.Retrieval
+      val docs = toks(s, d)
+      val old = docs.filter(col("doc_id") % 10 =!= 7)
+      val fresh = docs.filter(col("doc_id") % 10 === 7)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_retr_index_q214_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Retrieval.saveIndex(Retrieval.buildIndex(old, "doc_id", "tok"), dir)
+      val updated = Retrieval.applyIndexDelta(
+        Retrieval.loadIndex(s, dir), fresh, "doc_id", "tok")
+      Retrieval.bm25FromIndex(updated,
+        Retrieval.topTermsFromIndex(updated, 3), 10)
+    }))
 
   /** The q153 hybrid-retrieval chain (BM25 lexical + exact semantic +
     * RRF fusion) up to the `fused` CTE, with the query-id predicate
@@ -474,6 +517,63 @@ object TextQueries {
          |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
          |)
 |""".stripMargin
+
+  /** Shared by q132 (from-scratch build) and q213 (the delta-maintained
+    * index's postings surface): the full-corpus inverted index IS the spec
+    * the maintained index must hash-match.
+    */
+  private val InvertedIndexSql: String =
+    s"""$TokCte, p AS (
+       |  SELECT doc_id, unnest(tok) AS token,
+       |         unnest(range(len(tok))) AS pos
+       |  FROM t
+       |)
+       |SELECT token, count(DISTINCT doc_id) AS doc_freq,
+       |       count(*) AS n_postings,
+       |       array_to_string(list_sort(list(doc_id || ':' || pos)), ',')
+       |         AS postings
+       |FROM p GROUP BY token""".stripMargin
+
+  /** Shared by q149 (BM25 from scratch) and q214 (BM25 served from the
+    * delta-maintained df/dl/stats tables): mirrors bm25TopDocs expression-
+    * for-expression (same association order in the float division, same
+    * scaled-integer idf).
+    */
+  private val Bm25TopkSql: String =
+    s"""$TokCte, inst AS (
+       |  SELECT doc_id, unnest(tok) AS term FROM t
+       |), qterms AS (
+       |  SELECT term FROM (
+       |    SELECT term, count(*) AS cnt FROM inst
+       |    GROUP BY 1 ORDER BY cnt DESC, term ASC LIMIT 3) z
+       |), stats AS (
+       |  SELECT CAST(sum(len(tok)) AS BIGINT) AS s_total,
+       |         CAST(count(*) FILTER (len(tok) > 0) AS BIGINT) AS n_docs
+       |  FROM t
+       |), dl AS (
+       |  SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl
+       |  FROM t WHERE len(tok) > 0
+       |), tf AS (
+       |  SELECT i.doc_id, i.term, count(*) AS tf
+       |  FROM inst i JOIN qterms q USING (term) GROUP BY 1, 2
+       |), idf AS (
+       |  SELECT d.term,
+       |         CAST(least(floor(1000000.0 * (2 * s.n_docs - 2 * d.df + 1)
+       |           / (2 * d.df + 1)), 1000000000000) AS BIGINT) AS idf_scaled
+       |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1) d, stats s
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |         round(idf.idf_scaled * (44.0 * s.s_total * tf.tf)
+       |           / (20.0 * s.s_total * tf.tf + 6.0 * s.s_total
+       |              + 18.0 * dl.dl * s.n_docs) / 1000000.0, 6) AS score
+       |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats s
+       |)
+       |SELECT term, doc_id, rank, score FROM (
+       |  SELECT term, doc_id, score,
+       |         row_number() OVER (PARTITION BY term
+       |           ORDER BY score DESC, doc_id ASC) AS rank
+       |  FROM scored) x
+       |WHERE rank <= 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Mirrors each fusion leg expression-for-expression (q73's tfidf for
@@ -587,17 +687,13 @@ object TextQueries {
         |WHERE contains(s2, ' hash ') AND contains(s2, ' join ')
         |  AND contains(s2, ' scan ')""".stripMargin,
 
-    "q132_inverted_index" ->
-      s"""$TokCte, p AS (
-         |  SELECT doc_id, unnest(tok) AS token,
-         |         unnest(range(len(tok))) AS pos
-         |  FROM t
-         |)
-         |SELECT token, count(DISTINCT doc_id) AS doc_freq,
-         |       count(*) AS n_postings,
-         |       array_to_string(list_sort(list(doc_id || ':' || pos)), ',')
-         |         AS postings
-         |FROM p GROUP BY token""".stripMargin,
+    "q132_inverted_index" -> InvertedIndexSql,
+
+    // The maintained-index surfaces must equal the FULL-CORPUS rebuild —
+    // q213/q214's oracles are therefore exactly q132's/q149's SQL: the
+    // from-scratch computation IS the spec the delta path must hash-match.
+    "q213_index_delta" -> InvertedIndexSql,
+    "q214_bm25_from_index" -> Bm25TopkSql,
 
     "q31_lang_stats" ->
       s"""$TokCte
@@ -793,41 +889,7 @@ object TextQueries {
 
     // Mirrors bm25TopDocs expression-for-expression (same association
     // order in the float division, same scaled-integer idf).
-    "q149_bm25_topk" ->
-      s"""$TokCte, inst AS (
-         |  SELECT doc_id, unnest(tok) AS term FROM t
-         |), qterms AS (
-         |  SELECT term FROM (
-         |    SELECT term, count(*) AS cnt FROM inst
-         |    GROUP BY 1 ORDER BY cnt DESC, term ASC LIMIT 3) z
-         |), stats AS (
-         |  SELECT CAST(sum(len(tok)) AS BIGINT) AS s_total,
-         |         CAST(count(*) FILTER (len(tok) > 0) AS BIGINT) AS n_docs
-         |  FROM t
-         |), dl AS (
-         |  SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl
-         |  FROM t WHERE len(tok) > 0
-         |), tf AS (
-         |  SELECT i.doc_id, i.term, count(*) AS tf
-         |  FROM inst i JOIN qterms q USING (term) GROUP BY 1, 2
-         |), idf AS (
-         |  SELECT d.term,
-         |         CAST(least(floor(1000000.0 * (2 * s.n_docs - 2 * d.df + 1)
-         |           / (2 * d.df + 1)), 1000000000000) AS BIGINT) AS idf_scaled
-         |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1) d, stats s
-         |), scored AS (
-         |  SELECT tf.doc_id, tf.term,
-         |         round(idf.idf_scaled * (44.0 * s.s_total * tf.tf)
-         |           / (20.0 * s.s_total * tf.tf + 6.0 * s.s_total
-         |              + 18.0 * dl.dl * s.n_docs) / 1000000.0, 6) AS score
-         |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats s
-         |)
-         |SELECT term, doc_id, rank, score FROM (
-         |  SELECT term, doc_id, score,
-         |         row_number() OVER (PARTITION BY term
-         |           ORDER BY score DESC, doc_id ASC) AS rank
-         |  FROM scored) x
-         |WHERE rank <= 10""".stripMargin,
+    "q149_bm25_topk" -> Bm25TopkSql,
 
     "q74_bigram_lm" ->
       s"""$TokCte, pairs AS (
