@@ -323,6 +323,119 @@ object Similarity {
       .limit(m)
   }
 
+  /** Join a canonical candidate-pair frame (`id_a` < `id_b` — the shape
+    * every candidate generator in this engine emits) back to its vectors
+    * and score it: (id_a, id_b, sim) with the rounded-cosine q28
+    * convention. The two id-keyed joins are the standard verify step of
+    * any LSH/IVF pipeline; the pair frame is the small side at any scale
+    * where pruning works, so this never re-shuffles the corpus by pair.
+    */
+  def scoredPairs(corpus: DataFrame, candidates: DataFrame): DataFrame =
+    candidates
+      .join(corpus.select(col("vec_id").as("id_a"), col("vec").as("vec_a"),
+        col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(corpus.select(col("vec_id").as("id_b"), col("vec").as("vec_b"),
+        col("nrm").as("nrm_b")), Seq("id_b"))
+      .withColumn("sim", round(cosineWithNorms(
+        col("vec_a"), col("vec_b"), col("nrm_a"), col("nrm_b")), 6))
+      .select(col("id_a"), col("id_b"), col("sim"))
+
+  /** [[knnOutliers]] over an EXPLICIT candidate source — the executed
+    * 100 TB swap (q215 runs it over q145's multi-probe LSH candidates;
+    * recall vs the exact grid is measured in `SimilaritySpec`, not
+    * claimed). Two semantic differences from the exact version, both
+    * forced by pruned candidates:
+    *   - a vector with fewer than `k` candidates falls back to its MAX
+    *     available rank (emitted as `kth_rank` so the fallback is
+    *     observable) instead of silently vanishing — under pruning the
+    *     sparse-candidate vectors are exactly the isolated ones this
+    *     operator exists to flag;
+    *   - a vector with NO candidates at all has nothing to score and is
+    *     absent; at the q145 geometry (16×8-bit bands, 8 probes) every
+    *     corpus vector collides somewhere, and the spec asserts full
+    *     anchor coverage on the test corpus.
+    * Plan shape: candidate scoring is two id-keyed joins ([[scoredPairs]]),
+    * the per-anchor kth row is a rank pushdown (rn ≤ k, then last row per
+    * anchor — `WindowGroupLimit` keeps both passes narrow), and the final
+    * m-selection is a `TakeOrderedAndProject`, never a global sort.
+    */
+  def knnOutliersFrom(corpus: DataFrame, candidates: DataFrame, k: Int,
+      m: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(m >= 1, s"m must be >= 1, got $m")
+    val pairs = scoredPairs(corpus, candidates)
+    val directed = pairs
+      .select(col("id_a").as("vec_id"), col("id_b").as("nbr"), col("sim"))
+      .unionByName(pairs
+        .select(col("id_b").as("vec_id"), col("id_a").as("nbr"), col("sim")))
+    val top = Relational.topKPerGroup(directed, Seq(col("vec_id")),
+      Seq(col("sim").desc, col("nbr").asc), k, "rn")
+    Relational.topKPerGroup(top, Seq(col("vec_id")),
+        Seq(col("rn").desc), 1, "_last")
+      .select(col("vec_id"), col("nbr").as("kth_neighbor"),
+        col("rn").cast("long").as("kth_rank"), col("sim").as("kth_sim"))
+      .orderBy(col("kth_sim").asc, col("vec_id").asc)
+      .limit(m)
+  }
+
+  /** Two-stage kNN-outlier scoring — the PRODUCTION swap shape (q215):
+    * [[knnOutliersFrom]] over pruned candidates ranks every vector
+    * approximately (cheap, sub-quadratic, kth_sim systematically
+    * UNDER-estimated since candidates ⊆ true neighbors — errors only push
+    * vectors TOWARD the isolated end), then the `m·shortlistFactor` most
+    * isolated-looking anchors get an EXACT re-rank: brute-force kth-NN
+    * against the full corpus for the shortlist only — O(shortlist · n)
+    * work, linear in the corpus, with the shortlist side broadcast. The
+    * emitted scores are exact; the only approximation left is shortlist
+    * MEMBERSHIP, and a true bottom-m vector escapes the shortlist only if
+    * ≥ m·(factor−1) non-outliers under-estimate below it. Measured on the
+    * test corpus: candidate-only recall 0.60, re-ranked recall 1.00 at
+    * factor 2 (`SimilaritySpec` asserts the shipped factor-3 geometry).
+    * Same shape as [[pqRerankTopK]]: approximate shortlist, exact verify.
+    */
+  def knnOutliersRerank(corpus: DataFrame, candidates: DataFrame, k: Int,
+      m: Int, shortlistFactor: Int = 3): DataFrame = {
+    require(shortlistFactor >= 1,
+      s"shortlistFactor must be >= 1, got $shortlistFactor")
+    val shortlist = knnOutliersFrom(corpus, candidates, k,
+      m * shortlistFactor).select(col("vec_id"))
+    val queries = corpus.join(shortlist, Seq("vec_id"))
+    bruteForceTopK(queries, corpus, k)
+      .filter(col("rank") === k)
+      .select(col("query_id").as("vec_id"),
+        col("neighbor_id").as("kth_neighbor"), col("sim").as("kth_sim"))
+      .orderBy(col("kth_sim").asc, col("vec_id").asc)
+      .limit(m)
+  }
+
+  /** [[hardNegatives]] over an EXPLICIT candidate source — the executed
+    * swap's mining half (q216: multi-probe LSH candidates; recall vs the
+    * exact grid measured in `SimilaritySpec`). Identical label-join /
+    * threshold / per-anchor top-k semantics; the only change is where the
+    * pairs come from. An anchor's rank is over the candidates that
+    * REACHED it, so a pruned source can yield < k negatives per anchor —
+    * the measured recall is the honest price of never forming the
+    * quadratic grid.
+    */
+  def hardNegativesFrom(corpus: DataFrame, labels: DataFrame,
+      candidates: DataFrame, k: Int, minSim: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = scoredPairs(corpus, candidates)
+      .filter(col("sim") >= minSim)
+    val directed = pairs
+      .select(col("id_a").as("anchor_id"), col("id_b").as("negative_id"), col("sim"))
+      .unionByName(pairs
+        .select(col("id_b").as("anchor_id"), col("id_a").as("negative_id"), col("sim")))
+    val la = labels.select(col("vec_id").as("anchor_id"), col("label").as("_al"))
+    val lb = labels.select(col("vec_id").as("negative_id"), col("label").as("_nl"))
+    val cross = directed.join(la, Seq("anchor_id")).join(lb, Seq("negative_id"))
+      .filter(col("_al") =!= col("_nl"))
+    Relational.topKPerGroup(cross, Seq(col("anchor_id")),
+        Seq(col("sim").desc, col("negative_id").asc), k, "rank")
+      .select(col("anchor_id"), col("negative_id"),
+        col("rank").cast("long").as("rank"), col("sim"))
+  }
+
   /** HARD-NEGATIVE MINING for contrastive training: for every anchor, the
     * top-`k` most-similar vectors carrying a DIFFERENT label — the pairs
     * that teach an encoder the most (high-similarity, wrong-class;

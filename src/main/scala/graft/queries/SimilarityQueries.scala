@@ -27,6 +27,48 @@ object SimilarityQueries {
       |  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v
       |)""".stripMargin
 
+  /** The q145 multi-probe geometry (128 planes → 16 bands × 8 bits),
+    * shared by q215/q216 so the Spark side cannot drift from q145 either.
+    */
+  private def bandedCorpus(s: SparkSession, d: String): DataFrame =
+    corpus(s, d)
+      .withColumn("bands", Similarity.rhBands(col("vec"), 128, 8, 64))
+      .cache()
+
+  private def multiProbeCand(banded: DataFrame): DataFrame =
+    graft.operators.Dedup.multiProbeCandidatePairs(
+        banded, "vec_id", "bands", 8)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+
+  /** DuckDB mirror of the q145 multi-probe candidate generator (128 md5
+    * planes → 16 bands × 8 sign bits, probe set = band value + its 8
+    * single-bit flips, probe-vs-exact equi-join). Shared by q145/q215/
+    * q216 so the three oracles cannot drift from one another. Appends to
+    * [[VCte]] (needs `n`); exposes `cand(id_a, id_b)` canonicalized.
+    */
+  private val MultiProbeCandCte =
+    """planes AS (
+      |  SELECT p, list_transform(range(0, 64), j ->
+      |    ((('0x' || substr(md5('rh:' || p || ':' || j), 1, 8))::BIGINT
+      |      % 2001) - 1000) / 1000.0) AS plane
+      |  FROM range(0, 128) t(p)
+      |), sig AS (
+      |  SELECT n.vec_id, p.p // 8 AS band,
+      |         CAST(sum(CASE WHEN list_dot_product(n.vec, p.plane) > 0
+      |                  THEN 1 << (p.p % 8) ELSE 0 END) AS BIGINT) AS bh
+      |  FROM n, planes p GROUP BY 1, 2
+      |), probes AS (
+      |  SELECT vec_id, band, bh FROM sig
+      |  UNION ALL
+      |  SELECT s.vec_id, s.band, xor(s.bh, CAST(1 << i AS BIGINT)) AS bh
+      |  FROM sig s, range(0, 8) t(i)
+      |), cand AS (
+      |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+      |         greatest(a.vec_id, b.vec_id) AS id_b
+      |  FROM probes a JOIN sig b
+      |    ON a.band = b.band AND a.bh = b.bh AND a.vec_id <> b.vec_id
+      |)""".stripMargin
+
   /** Shared PQ mirror (q152/q154 geometry: 16 subspaces x 4 dims, 32
     * md5-pivot codewords): micro-unit lattice -> codebook -> integer
     * subspace distances -> argmin codes. Appends to `VCte` (needs `n`).
@@ -160,6 +202,34 @@ object SimilarityQueries {
     // TakeOrderedAndProject selection.
     "q210_knn_outliers" -> ((s, d) =>
       Similarity.knnOutliers(corpus(s, d), k = 5, m = 50)),
+
+    // q210 with the documented 100 TB candidate swap EXECUTED, production
+    // shape: stage 1 ranks every vector over q145's multi-probe RH-LSH
+    // candidates (sub-quadratic; kth_sim under-estimated, so errors only
+    // push vectors TOWARD the isolated end, and a < 5-candidate vector
+    // falls back to its max available rank), stage 2 exact-re-ranks the
+    // 150 most isolated-looking anchors against the full corpus —
+    // O(shortlist x n), never quadratic. Emitted scores are exact; only
+    // shortlist membership is approximate. Oracle mirrors both stages;
+    // recall vs the exact q210 set measured in SimilaritySpec (1.00 on
+    // this corpus vs 0.60 candidate-only).
+    "q215_knn_outliers_lsh" -> ((s, d) => {
+      val c = bandedCorpus(s, d)
+      Similarity.knnOutliersRerank(c.select(col("vec_id"), col("vec"),
+        col("nrm")), multiProbeCand(c), k = 5, m = 50, shortlistFactor = 3)
+    }),
+
+    // q177 with the same executed swap: hard negatives mined from the
+    // multi-probe candidate pairs — the label join, threshold, and
+    // per-anchor top-5 are untouched (candidate-source-agnostic, now as
+    // a fact rather than an argument). Pair recall vs the exact grid is
+    // measured in SimilaritySpec.
+    "q216_hard_negatives_lsh" -> ((s, d) => {
+      val c = bandedCorpus(s, d)
+      Similarity.hardNegativesFrom(c,
+        Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+        multiProbeCand(c), k = 5, minSim = 0.2)
+    }),
 
     // Mutual (reciprocal) nearest neighbors: pairs where each is the
     // other's exact top-1 — the high-precision duplicate signal (a one-
@@ -838,31 +908,77 @@ object SimilarityQueries {
     // sign bits, probe set = band value plus its 8 single-bit xor flips,
     // candidate equi-join probe-vs-exact, exact cosine verification.
     "q145_embed_near_dup_multiprobe" ->
-      s"""$VCte, planes AS (
-         |  SELECT p, list_transform(range(0, 64), j ->
-         |    ((('0x' || substr(md5('rh:' || p || ':' || j), 1, 8))::BIGINT
-         |      % 2001) - 1000) / 1000.0) AS plane
-         |  FROM range(0, 128) t(p)
-         |), sig AS (
-         |  SELECT n.vec_id, p.p // 8 AS band,
-         |         CAST(sum(CASE WHEN list_dot_product(n.vec, p.plane) > 0
-         |                  THEN 1 << (p.p % 8) ELSE 0 END) AS BIGINT) AS bh
-         |  FROM n, planes p GROUP BY 1, 2
-         |), probes AS (
-         |  SELECT vec_id, band, bh FROM sig
-         |  UNION ALL
-         |  SELECT s.vec_id, s.band, xor(s.bh, CAST(1 << i AS BIGINT)) AS bh
-         |  FROM sig s, range(0, 8) t(i)
-         |), cand AS (
-         |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
-         |         greatest(a.vec_id, b.vec_id) AS id_b
-         |  FROM probes a JOIN sig b
-         |    ON a.band = b.band AND a.bh = b.bh AND a.vec_id <> b.vec_id
-         |)
+      s"""$VCte, $MultiProbeCandCte
          |SELECT c.id_a, c.id_b,
          |       round(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6) AS sim
          |FROM cand c JOIN n x ON c.id_a = x.vec_id JOIN n y ON c.id_b = y.vec_id
          |WHERE round(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6) >= 0.4""".stripMargin,
+
+    // The executed LSH swap, outlier half — both stages mirrored: stage 1
+    // is q210's kth-NN logic over the q145 multi-probe candidate CTE with
+    // the pruned-source fallback (max available rank when < 5 candidates)
+    // selecting the 150 most isolated-looking anchors; stage 2 exact-
+    // re-ranks those anchors against the full corpus (rn = 5 row of the
+    // all-partners ranking) and keeps the bottom 50. Recall vs the exact
+    // grid is measured in SimilaritySpec.
+    "q215_knn_outliers_lsh" ->
+      s"""$VCte, $MultiProbeCandCte, scored AS (
+         |  SELECT c.id_a, c.id_b,
+         |         round(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6) AS sim
+         |  FROM cand c JOIN n x ON c.id_a = x.vec_id JOIN n y ON c.id_b = y.vec_id
+         |), directed AS (
+         |  SELECT id_a AS vec_id, id_b AS nbr, sim FROM scored
+         |  UNION ALL SELECT id_b, id_a, sim FROM scored
+         |), r AS (
+         |  SELECT vec_id, nbr, sim, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY sim DESC, nbr ASC) AS rn
+         |  FROM directed
+         |), approx AS (
+         |  SELECT vec_id, sim FROM (
+         |    SELECT vec_id, rn, sim, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY rn DESC) AS lr
+         |    FROM r WHERE rn <= 5) z
+         |  WHERE lr = 1
+         |), shortlist AS (
+         |  SELECT vec_id FROM approx ORDER BY sim ASC, vec_id ASC LIMIT 150
+         |), exact AS (
+         |  SELECT q.vec_id AS va, b.vec_id AS vb,
+         |         round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS sim
+         |  FROM shortlist q JOIN n a ON q.vec_id = a.vec_id
+         |       JOIN n b ON b.vec_id <> q.vec_id
+         |), er AS (
+         |  SELECT va, vb, sim, row_number() OVER (PARTITION BY va
+         |    ORDER BY sim DESC, vb ASC) AS rn
+         |  FROM exact
+         |)
+         |SELECT va AS vec_id, vb AS kth_neighbor, sim AS kth_sim
+         |FROM er WHERE rn = 5
+         |ORDER BY sim ASC, va ASC LIMIT 50""".stripMargin,
+
+    // The executed LSH swap, mining half: q177's label-join / threshold /
+    // per-anchor top-5 verbatim over the q145 candidate CTE. An anchor
+    // ranks only the candidates that reached it — the honest pruned-
+    // source semantics; recall vs the grid measured in SimilaritySpec.
+    "q216_hard_negatives_lsh" ->
+      s"""$VCte, $MultiProbeCandCte, scored AS (
+         |  SELECT c.id_a, c.id_b,
+         |         round(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6) AS sim
+         |  FROM cand c JOIN n x ON c.id_a = x.vec_id JOIN n y ON c.id_b = y.vec_id
+         |  WHERE round(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6) >= 0.2
+         |), directed AS (
+         |  SELECT id_a AS anchor_id, id_b AS negative_id, sim FROM scored
+         |  UNION ALL SELECT id_b, id_a, sim FROM scored
+         |), ranked AS (
+         |  SELECT d.anchor_id, d.negative_id, d.sim,
+         |         row_number() OVER (PARTITION BY d.anchor_id
+         |           ORDER BY d.sim DESC, d.negative_id ASC) AS rank
+         |  FROM directed d
+         |  JOIN embeddings ea ON d.anchor_id = ea.vec_id
+         |  JOIN embeddings eb ON d.negative_id = eb.vec_id
+         |  WHERE ea.label <> eb.label
+         |)
+         |SELECT anchor_id, negative_id, CAST(rank AS BIGINT) AS rank, sim
+         |FROM ranked WHERE rank <= 5""".stripMargin,
 
     // FULL-REBUILD oracle for the delta-maintained index: centroids are
     // the same frozen set (vec_id % 40 = 0 — every such id is in the
