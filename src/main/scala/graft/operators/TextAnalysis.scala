@@ -567,6 +567,90 @@ object TextAnalysis {
     merges.result().toDF("iteration", "pair_a", "pair_b", "cnt")
   }
 
+  /** BATCHED BPE training — [[bpeMerges]]' scale fix for real vocabularies.
+    * The sequential trainer pays one driver round trip (collect + rewrite
+    * job) per merge; a production tokenizer needs 30k–100k merges = 30k+
+    * sequential Spark jobs, and THAT — not the per-round compute — is the
+    * bottleneck. This variant collects the round's top `candidateWindow`
+    * pairs once and accepts up to `batchSize` of them greedily in sorted
+    * order (count desc, a asc, b asc — the sequential tie-break), subject
+    * to SYMBOL DISJOINTNESS: a candidate is skipped if its left, right, or
+    * fused symbol string-equals any symbol of an earlier acceptance in the
+    * round. Disjoint merges touch disjoint positions of every word, so the
+    * one chained rewrite pass that applies the whole batch is exactly the
+    * sequential application of its members — one collect + one checkpoint
+    * per ROUND, ~batchSize× fewer driver round trips.
+    *
+    * Batched-greedy is a DIFFERENT (deterministic, documented) training
+    * order than fully-sequential BPE: a merge can create new pairs (x, ab)
+    * whose count exceeds a later batch member's, which a per-merge
+    * recount would have ranked first (new-pair counts are bounded by the
+    * CREATING merge's count, not the batch tail's). This is the standard
+    * trade of every batched/parallel BPE trainer; `TextSpec` verifies the
+    * distributed implementation EXACTLY (100+ merges) against an
+    * independent in-memory trainer of the same spec, pins batchSize=1 ==
+    * [[bpeMerges]], and measures the sequential-vs-batched agreement on
+    * the real corpus. q114/q189 keep the sequential trainer.
+    */
+  def bpeMergesBatched(docs: DataFrame, tokCol: String, nMerges: Int,
+      batchSize: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
+    require(batchSize >= 1, s"batchSize must be positive, got $batchSize")
+    val candidateWindow = batchSize * 4
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(col(tokCol)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"), col("freq"))
+      .ckpt()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(0, size(syms) - 2),
+            |  i -> struct(element_at(syms, i + 1) AS a,
+            |              element_at(syms, i + 2) AS b))""".stripMargin))
+          .as("p"), col("freq"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(candidateWindow).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val want = math.min(batchSize, nMerges - i)
+        val used = scala.collection.mutable.Set.empty[String]
+        val batch = Seq.newBuilder[(String, String, Long)]
+        var taken = 0
+        val it = top.iterator
+        while (taken < want && it.hasNext) {
+          val r = it.next()
+          val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
+          if (!used(a) && !used(b) && !used(a + b)) {
+            batch += ((a, b, c))
+            used += a; used += b; used += (a + b)
+            taken += 1
+          }
+        }
+        val accepted = batch.result()
+        accepted.zipWithIndex.foreach { case ((a, b, c), j) =>
+          merges += ((i + j + 1L, a, b, c))
+        }
+        vocab = vocab
+          .select(accepted.foldLeft(col("syms")) {
+            case (s, (a, b, _)) => mergeFold(s, a, b)
+          }.as("syms"), col("freq"))
+          .ckpt()
+        i += accepted.size
+      }
+    }
+    merges.result().toDF("iteration", "pair_a", "pair_b", "cnt")
+  }
+
   /** Exact phrase search over whitespace tokens: documents containing the
     * consecutive token sequence `phrase`, with the exact occurrence count.
     *

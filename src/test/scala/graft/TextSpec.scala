@@ -117,6 +117,112 @@ class TextSpec extends SparkSpec {
     merges.result()
   }
 
+  /** In-memory mirror of [[TextAnalysis.bpeMergesBatched]]: same candidate
+    * ordering and window (batchSize·4), same symbol-disjointness
+    * acceptance, same chained left-to-right rewrite per round.
+    */
+  private def refBpeBatched(words: Map[String, Long], n: Int,
+      batchSize: Int): Seq[(Long, String, String, Long)] = {
+    val window = batchSize * 4
+    def rewrite(syms: Vector[String], a: String,
+        b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var last: Option[String] = None
+      syms.foreach { x =>
+        if (last.contains(a) && x == b) { last = Some(a + b) }
+        else { last.foreach(out += _); last = Some(x) }
+      }
+      last.foreach(out += _)
+      out.result()
+    }
+    var vocab = words.toVector.map { case (w, f) =>
+      (w.map(_.toString).toVector, f)
+    }
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < n && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val top = counts.toVector
+          .sortBy { case ((a, b), c) => (-c, a, b) }.take(window)
+        val want = math.min(batchSize, n - i)
+        val used = scala.collection.mutable.Set.empty[String]
+        val batch = Vector.newBuilder[(String, String, Long)]
+        var taken = 0
+        val it = top.iterator
+        while (taken < want && it.hasNext) {
+          val ((a, b), c) = it.next()
+          if (!used(a) && !used(b) && !used(a + b)) {
+            batch += ((a, b, c)); used += a; used += b; used += (a + b)
+            taken += 1
+          }
+        }
+        val accepted = batch.result()
+        accepted.zipWithIndex.foreach { case ((a, b, c), j) =>
+          merges += ((i + j + 1L, a, b, c))
+        }
+        vocab = vocab.map { case (syms, f) =>
+          (accepted.foldLeft(syms) { case (s, (a, b, _)) =>
+            rewrite(s, a, b) }, f)
+        }
+        i += accepted.size
+      }
+    }
+    merges.result()
+  }
+
+  test("bpeMergesBatched == in-memory batched reference at 120 merges, " +
+      "batch 8 (one driver round trip per ~8 merges)") {
+    // the corpus's closed word vocabulary fully fuses after 89 merges, so
+    // train char-level over whole documents (each doc one long "word",
+    // tokens joined by "_") — the merge space is then effectively
+    // unbounded and 120 merges genuinely exercises the batching
+    val toks = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("tok",
+        array(concat_ws("_", Dedup.tokens(col("text")))))
+    val words = toks.select(explode(col("tok")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = refBpeBatched(words, 120, 8)
+    val got = TextAnalysis.bpeMergesBatched(toks, "tok", 120, 8)
+      .orderBy("iteration").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got.size >= 100, s"corpus exhausted at ${got.size} merges")
+    assert(got == want,
+      s"first divergence: ${got.zip(want).indexWhere(p => p._1 != p._2)}")
+    // batched-greedy vs fully-sequential: a DIFFERENT documented order —
+    // measure the agreement rather than pretend equality (the first
+    // merges of any corpus are the high-count ones where the orders
+    // coincide; divergence creeps in from batch-created pairs)
+    val seq = refBpe(words, 120).map(m => (m._2, m._3)).toSet
+    val agree = got.map(m => (m._2, m._3)).toSet
+    info(f"batched/sequential merge-set agreement: " +
+      f"${(seq & agree).size.toDouble / seq.size}%.3f at 120 merges")
+  }
+
+  test("bpeMergesBatched with batchSize=1 degenerates to bpeMerges exactly") {
+    val toks = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("tok", Dedup.tokens(col("text")))
+    val got = TextAnalysis.bpeMergesBatched(toks, "tok", 12, 1)
+      .orderBy("iteration").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val want = TextAnalysis.bpeMerges(toks, "tok", 12)
+      .orderBy("iteration").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+  }
+
   test("bpeMerges: hand-computed merges, overlap counting, early exhaustion") {
     // vocab {aaab: 2, ab: 1}:
     //   round 1: (a,a) appears twice per aaab (overlap counted) -> cnt 4
