@@ -719,22 +719,38 @@ object Dedup {
       minTokens: Int): DataFrame = {
     require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
     val toked = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
-    val seeds = toked.filter(size(col("_toks")) >= minTokens)
+    val seeds = spanSeeds(toked, idCol, minTokens)
+    val matches = seeds.select(col(idCol).as("doc_a"),
+        col("pos").as("pos_a"), col("wh"))
+      .join(seeds.select(col(idCol).as("doc_b"), col("pos").as("pos_b"),
+        col("wh")), Seq("wh"))
+      .filter(col("doc_a") < col("doc_b") ||
+        (col("doc_a") === col("doc_b") && col("pos_a") < col("pos_b")))
+    diagonalSpans(matches, toked, idCol, minTokens)
+  }
+
+  /** Overlapping `minTokens`-token seed windows of a tokenized frame —
+    * the persisted table of the incremental path ([[incrementalMaximalSpans]]):
+    * (id, pos, wh) with wh = md5 of the window text. Row-local.
+    */
+  private def spanSeeds(toked: DataFrame, idCol: String,
+      minTokens: Int): DataFrame =
+    toked.filter(size(col("_toks")) >= minTokens)
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), size(col("_toks")) - minTokens),
         i => md5(array_join(slice(col("_toks"), i + 1, lit(minTokens)), " "))))
         .as(Seq("pos", "wh")))
-    val a = seeds.select(col(idCol).as("doc_a"), col("pos").as("pos_a"),
-      col("wh"))
-    val b = seeds.select(col(idCol).as("doc_b"), col("pos").as("pos_b"),
-      col("wh"))
-    val matches = a.join(b, Seq("wh"))
-      .filter(col("doc_a") < col("doc_b") ||
-        (col("doc_a") === col("doc_b") && col("pos_a") < col("pos_b")))
-      .withColumn("diag", col("pos_b") - col("pos_a"))
+
+  /** Diagonal gaps-and-islands + text slice-back over a canonical match
+    * relation (doc_a, doc_b, pos_a, pos_b) — shared by the full and
+    * incremental builds so their maximality semantics cannot diverge.
+    */
+  private def diagonalSpans(matches: DataFrame, toked: DataFrame,
+      idCol: String, minTokens: Int): DataFrame = {
+    val diag = matches.withColumn("diag", col("pos_b") - col("pos_a"))
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pos_a"))
-    val spans = matches
+    val spans = diag
       .withColumn("grp", col("pos_a") - row_number().over(w))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
       .agg(min(col("pos_a")).as("start_a"),
@@ -749,6 +765,51 @@ object Dedup {
       .withColumn("span_text", array_join(
         slice(col("_toks"), col("start_a") + 1, col("span_len")), " "))
       .drop("_toks")
+  }
+
+  /** INCREMENTAL maximal-span dedup — [[maximalSpans]] with the q135
+    * daily-ingest economics: the historical corpus was already span-deduped
+    * against itself, so today's batch forms only the spans IT participates
+    * in. New seeds join the persisted seed table (old ∪ new sides), so
+    * new×new and new×old matches form and old×old NEVER re-forms — work is
+    * |new seeds| × collision rate, not a corpus re-scan (and the new side
+    * of the bucket join is typically broadcastable).
+    *
+    * Equality guarantee (the q217 hash proof): a span pair's island is
+    * built from the COMPLETE seed sets of its two documents, which are both
+    * present here whenever at least one side is new — so the output is
+    * exactly the full [[maximalSpans]] rebuild restricted to rows where
+    * doc_a or doc_b is in the new batch, maximality included. Canonical
+    * coverage without double-counting: join 1 (new left, all right,
+    * canonical filter) yields every pair whose canonical LEFT is new —
+    * including all new×new; join 2 (old left, new right) adds the pairs
+    * where the new doc sits canonically RIGHT of an old one.
+    *
+    * The persisted-table contract mirrors [[Retrieval.applyIndexDelta]]:
+    * seeds are append-only under disjoint new doc ids, so the "old" side
+    * here is exactly what yesterday's run persisted.
+    */
+  def incrementalMaximalSpans(oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, minTokens: Int): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    val oldToked = oldDocs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val newToked = newDocs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val oldSeeds = spanSeeds(oldToked, idCol, minTokens)
+    val newSeeds = spanSeeds(newToked, idCol, minTokens)
+    val allSeeds = oldSeeds.unionByName(newSeeds)
+    val newLeft = newSeeds.select(col(idCol).as("doc_a"),
+        col("pos").as("pos_a"), col("wh"))
+      .join(allSeeds.select(col(idCol).as("doc_b"), col("pos").as("pos_b"),
+        col("wh")), Seq("wh"))
+      .filter(col("doc_a") < col("doc_b") ||
+        (col("doc_a") === col("doc_b") && col("pos_a") < col("pos_b")))
+    val newRight = oldSeeds.select(col(idCol).as("doc_a"),
+        col("pos").as("pos_a"), col("wh"))
+      .join(newSeeds.select(col(idCol).as("doc_b"), col("pos").as("pos_b"),
+        col("wh")), Seq("wh"))
+      .filter(col("doc_a") < col("doc_b"))
+    diagonalSpans(newLeft.unionByName(newRight),
+      oldToked.unionByName(newToked), idCol, minTokens)
   }
 
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,

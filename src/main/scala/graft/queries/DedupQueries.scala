@@ -248,6 +248,19 @@ object DedupQueries {
     "q143_maximal_spans" -> ((s, d) =>
       Dedup.maximalSpans(Tables.documents(s, d), "doc_id", "text", 10)),
 
+    // q143 with the q135 daily-ingest economics: the batch (doc_id % 10
+    // == 7) forms only the spans it participates in — new seeds join the
+    // persisted seed table, old×old never re-forms. Oracle = the FULL
+    // q143 recompute restricted to new-involving pairs: the hash match
+    // proves the incremental build loses no span and no maximality.
+    "q217_maximal_spans_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalMaximalSpans(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", 10)
+    }),
+
     // Leakage-safe train/val/test split: the q62 hash split keyed on the
     // near-dup CLUSTER id instead of the doc id, so every member of a
     // near-dup cluster lands in the SAME split — the assignment a plain
@@ -325,6 +338,46 @@ object DedupQueries {
        |SELECT node AS doc_id, min(r) AS cluster_id,
        |       node = min(r) AS is_canonical
        |FROM reach GROUP BY node""".stripMargin
+
+  /** Shared by q143 (full build) and q217 (incremental build restricted
+    * to new-involving pairs): one definition, so the delta proof's two
+    * sides cannot drift.
+    */
+  private val MaximalSpansSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents
+      |), sp AS (
+      |  SELECT doc_id,
+      |         unnest([struct_pack(p := i,
+      |                   h := md5(array_to_string(toks[(i+1):(i+10)], ' ')))
+      |                 FOR i IN range(0, len(toks) - 10 + 1)]) AS s
+      |  FROM base WHERE len(toks) >= 10
+      |), seeds AS (
+      |  SELECT doc_id, s.p AS pos, s.h AS wh FROM sp
+      |), m AS (
+      |  SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+      |         b.doc_id AS doc_b, b.pos AS pos_b,
+      |         b.pos - a.pos AS diag
+      |  FROM seeds a JOIN seeds b ON a.wh = b.wh
+      |  WHERE a.doc_id < b.doc_id
+      |     OR (a.doc_id = b.doc_id AND a.pos < b.pos)
+      |), isl AS (
+      |  SELECT doc_a, doc_b, diag, pos_a,
+      |         pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+      |                                    ORDER BY pos_a) AS grp
+      |  FROM m
+      |), spans AS (
+      |  SELECT doc_a, doc_b, min(pos_a) AS start_a,
+      |         min(pos_a) + diag AS start_b,
+      |         max(pos_a) - min(pos_a) + 10 AS span_len
+      |  FROM isl GROUP BY doc_a, doc_b, diag, grp
+      |)
+      |SELECT s.doc_a, s.doc_b, s.start_a, s.start_b, s.span_len,
+      |       array_to_string(t.toks[(s.start_a+1):(s.start_a+s.span_len)], ' ')
+      |         AS span_text
+      |FROM spans s JOIN base t ON s.doc_a = t.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q22_dedup_exact" ->
@@ -518,41 +571,13 @@ object DedupQueries {
 
     // Mirrors maximalSpans exactly: sliding md5 seed windows, seed
     // equi-join, islands by (pair, diagonal), slice back for the text.
-    "q143_maximal_spans" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
-        |  FROM documents
-        |), sp AS (
-        |  SELECT doc_id,
-        |         unnest([struct_pack(p := i,
-        |                   h := md5(array_to_string(toks[(i+1):(i+10)], ' ')))
-        |                 FOR i IN range(0, len(toks) - 10 + 1)]) AS s
-        |  FROM base WHERE len(toks) >= 10
-        |), seeds AS (
-        |  SELECT doc_id, s.p AS pos, s.h AS wh FROM sp
-        |), m AS (
-        |  SELECT a.doc_id AS doc_a, a.pos AS pos_a,
-        |         b.doc_id AS doc_b, b.pos AS pos_b,
-        |         b.pos - a.pos AS diag
-        |  FROM seeds a JOIN seeds b ON a.wh = b.wh
-        |  WHERE a.doc_id < b.doc_id
-        |     OR (a.doc_id = b.doc_id AND a.pos < b.pos)
-        |), isl AS (
-        |  SELECT doc_a, doc_b, diag, pos_a,
-        |         pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
-        |                                    ORDER BY pos_a) AS grp
-        |  FROM m
-        |), spans AS (
-        |  SELECT doc_a, doc_b, min(pos_a) AS start_a,
-        |         min(pos_a) + diag AS start_b,
-        |         max(pos_a) - min(pos_a) + 10 AS span_len
-        |  FROM isl GROUP BY doc_a, doc_b, diag, grp
-        |)
-        |SELECT s.doc_a, s.doc_b, s.start_a, s.start_b, s.span_len,
-        |       array_to_string(t.toks[(s.start_a+1):(s.start_a+s.span_len)], ' ')
-        |         AS span_text
-        |FROM spans s JOIN base t ON s.doc_a = t.doc_id""".stripMargin,
+    "q143_maximal_spans" -> MaximalSpansSql,
+
+    // The incremental build must equal the FULL recompute restricted to
+    // new-involving pairs — so the oracle IS q143's SQL plus that
+    // restriction; the hash match is the delta==rebuild proof.
+    "q217_maximal_spans_delta" ->
+      (MaximalSpansSql + "\nWHERE s.doc_a % 10 = 7 OR s.doc_b % 10 = 7"),
 
     "q93_leakage_split" ->
       s"""${MhCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS (

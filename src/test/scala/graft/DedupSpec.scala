@@ -294,4 +294,23 @@ class DedupSpec extends SparkSpec {
       3L -> "tiny")
     assert(Dedup.maximalSpans(in, "doc_id", "text", 10).count() == 0)
   }
+
+  // The q217 proof within Spark, on the real corpus: the incremental
+  // build over (old, new) must equal the full rebuild restricted to
+  // pairs involving a new doc — including span_text and maximality —
+  // and must contain NO old×old rows.
+  test("incrementalMaximalSpans == full rebuild restricted to new-involving pairs") {
+    val all = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val old = all.filter(col("doc_id") % 10 =!= 7)
+    val fresh = all.filter(col("doc_id") % 10 === 7)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val inc = Dedup.incrementalMaximalSpans(old, fresh, "doc_id", "text", 10)
+    val full = Dedup.maximalSpans(all, "doc_id", "text", 10)
+      .filter(col("doc_a") % 10 === 7 || col("doc_b") % 10 === 7)
+    assert(rows(inc) == rows(full))
+    assert(inc.filter(col("doc_a") % 10 =!= 7 && col("doc_b") % 10 =!= 7)
+      .count() == 0, "old×old pair leaked into the incremental build")
+    assert(inc.count() > 0, "fixture produced no new-involving spans")
+  }
 }
