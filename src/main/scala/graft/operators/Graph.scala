@@ -862,4 +862,119 @@ object Graph {
     }
     out
   }
+
+  /** One Louvain-style refinement pass (Blondel et al. 2008, phase 1) over
+    * an existing labeling, in EXACT integer arithmetic and with a
+    * CONFLICT-FREE synchronous move rule that PROVABLY never decreases
+    * modularity.
+    *
+    * For node i in community a with degree k_i, moving to neighbor
+    * community b changes 4m²·Q by the integer
+    *
+    *   gain = 4m·(k_i→b − k_i→a) + 2·k_i·(d_a − d_b) − 2·k_i²
+    *
+    * where k_i→c counts i's edges into community c, d_a is a's degree sum
+    * INCLUDING i, and d_b is b's EXCLUDING i (i ∉ b) — the standard ΔQ
+    * scaled by 4m² so no float ever forms (same convention as
+    * [[modularityInt]]'s `contrib_4m2`).
+    *
+    * Synchronous simultaneous moves can conflict (two gains computed
+    * against the same old labeling stop being additive when the moves
+    * touch a shared community), so a naive "every node takes its best
+    * move" pass can DECREASE Q. This pass instead accepts a move
+    * (i, a→b) only when it is the best candidate move — by (gain desc,
+    * node asc) — within BOTH community a and community b. Any two
+    * accepted moves therefore touch disjoint {source, target} community
+    * pairs; gains over disjoint community sets are additive, so
+    *
+    *   Q(after)·4m² = Q(before)·4m² + Σ accepted gains  >  Q(before)·4m²
+    *
+    * exactly (every accepted gain is > 0). The rule is a per-community
+    * argmax — two keyed aggregates, NO global sort — and the tie-break is
+    * total (node ids are unique per move), so the accepted set is a pure
+    * function of the edge set: bit-identical at any parallelism, and
+    * exactly mirrorable in SQL (two role-partitioned row_numbers).
+    *
+    * Returns the accepted moves `(node, from_label, to_label, gain_4m2)`;
+    * [[refineLabels]] applies them. Run to fixpoint by re-calling —
+    * per pass at least one move (the globally best one always wins both
+    * its communities) is accepted while any positive-gain move exists,
+    * so iteration terminates at a local optimum like sequential Louvain.
+    *
+    * Scale shape: one symmetric-edge distinct, one degree aggregate, one
+    * (node, neighbor-label) count (the only quadratic-looking step — it is
+    * Σ_i deg(i) = 2m rows before the group), two membership joins, two
+    * per-community argmax aggregates. The 1-row m scalar broadcasts.
+    * Everything keys on node or label — no global window anywhere.
+    */
+  def refineMoves(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct().ckpt()
+    val sym = e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst")))
+    val lab = labels.select(col("node").cast("long").as("node"),
+      col("label").cast("long").as("label")).ckpt()
+    val m = e.agg(count(lit(1)).as("m"))
+    val ki = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("k_i"))
+    val dComm = ki.join(lab, Seq("node"))
+      .groupBy(col("label")).agg(sum(col("k_i")).as("d_c")).ckpt()
+    // k_i→c: i's edge count into each adjacent community (old labels)
+    val kTo = sym
+      .join(lab.select(col("node").as("dst"), col("label").as("c")), Seq("dst"))
+      .groupBy(col("src").as("node"), col("c"))
+      .agg(count(lit(1)).as("k_to"))
+    // per node: own community a, k_i, d_a, and k_i→a (0 when i has no
+    // neighbor inside its own community)
+    val self = lab.select(col("node"), col("label").as("a"))
+      .join(ki, Seq("node"))
+      .join(dComm.select(col("label").as("a"), col("d_c").as("d_a")), Seq("a"))
+      .join(kTo.select(col("node"), col("c").as("a"), col("k_to").as("k_ia")),
+        Seq("node", "a"), "left")
+      .na.fill(0L, Seq("k_ia"))
+    val cand = kTo
+      .join(self, Seq("node"))
+      .filter(col("c") =!= col("a"))
+      .join(dComm.select(col("label").as("c"), col("d_c").as("d_b")),
+        Seq("c"))
+      .crossJoin(broadcast(m))
+      .select(col("node"), col("a"), col("c").as("b"),
+        (lit(4L) * col("m") * (col("k_to") - col("k_ia")) +
+          lit(2L) * col("k_i") * (col("d_a") - col("d_b")) -
+          lit(2L) * col("k_i") * col("k_i")).as("gain_4m2"))
+      .filter(col("gain_4m2") > 0)
+    // best candidate per node (rank pushdown: one row per node survives)
+    val best = Relational.topKPerGroup(cand, Seq(col("node")),
+        Seq(col("gain_4m2").desc, col("b").asc), 1, "_rnk")
+      .select(col("node"), col("a"), col("b"), col("gain_4m2")).ckpt()
+    // conflict-free accept: the move must be the (gain desc, node asc)
+    // argmax within BOTH its source and its target community
+    val roles = best.select(col("a").as("comm"), col("gain_4m2"), col("node"))
+      .unionByName(best.select(col("b").as("comm"), col("gain_4m2"),
+        col("node")))
+    val bestPerComm = roles.groupBy(col("comm"))
+      .agg(min(struct((-col("gain_4m2")).as("ng"), col("node").as("node")))
+        .as("best"))
+    val moveKey = struct((-col("gain_4m2")).as("ng"), col("node").as("node"))
+    best
+      .join(bestPerComm.select(col("comm").as("a"), col("best").as("_ba")),
+        Seq("a"))
+      .join(bestPerComm.select(col("comm").as("b"), col("best").as("_bb")),
+        Seq("b"))
+      .filter(moveKey === col("_ba") && moveKey === col("_bb"))
+      .select(col("node"), col("a").as("from_label"), col("b").as("to_label"),
+        col("gain_4m2"))
+  }
+
+  /** Applies [[refineMoves]] to a labeling: moved nodes adopt their target
+    * community, everyone else keeps their label. One left join on node.
+    */
+  def refineLabels(labels: DataFrame, moves: DataFrame): DataFrame =
+    labels.select(col("node").cast("long").as("node"),
+        col("label").cast("long").as("label"))
+      .join(moves.select(col("node"), col("to_label")), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("to_label"), col("label")).as("label"))
 }

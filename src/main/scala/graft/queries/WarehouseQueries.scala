@@ -326,6 +326,34 @@ object WarehouseQueries {
       Graph.randomWalks(coEdges(s, d), "item_a", "item_b", steps = 4)
         .select(col("walk_id"), col("step"), col("node").as("partkey"))),
 
+    // Louvain-style refinement on top of LPA (q201 finds labels, q202
+    // scores them — this IMPROVES them): one conflict-free synchronous
+    // pass of best-positive-gain moves in exact 4m²-scaled integers
+    // (Graph.refineMoves), where a move is accepted only if it is the
+    // argmax within BOTH its source and target community, so accepted
+    // gains are additive and Q can only go up. Output = the exact-integer
+    // audit trail: total modularity before, total accepted gain, total
+    // after — the oracle exhibits q_after = q_before + gain ≥ q_before.
+    "q218_louvain_refine" -> ((s, d) => {
+      import graft.operators.Iterate._
+      val edges = coEdges(s, d).ckpt()
+      val labels0 = Graph.labelPropagation(edges, "item_a", "item_b",
+        rounds = 3).ckpt()
+      val moves = Graph.refineMoves(edges, "item_a", "item_b", labels0)
+        .ckpt()
+      val refined = Graph.refineLabels(labels0, moves).ckpt()
+      def total(lab: DataFrame, stage: String): DataFrame =
+        Graph.modularityInt(edges, "item_a", "item_b", lab)
+          .agg(count(lit(1)).as("n"), sum(col("contrib_4m2")).as("q_4m2"))
+          .select(lit(stage).as("stage"), col("n"), col("q_4m2"))
+      total(labels0, "before")
+        .unionByName(moves
+          .agg(count(lit(1)).as("n"), sum(col("gain_4m2")).as("q_4m2"))
+          .select(lit("moves").as("stage"), col("n"),
+            coalesce(col("q_4m2"), lit(0L)).as("q_4m2")))
+        .unionByName(total(refined, "after"))
+    }),
+
     // Degree assortativity sufficient statistics: covariance of endpoint
     // degrees over the symmetric edge list (Newman 2002) in exact BIGINT
     // sums — positive numerator = hubs link hubs. Composes the degree
@@ -1317,6 +1345,102 @@ object WarehouseQueries {
          |         AS contrib_4m2
          |FROM pc LEFT JOIN inte i ON pc.community = i.community
          |CROSS JOIN mm""".stripMargin,
+
+    // Mirrors Graph.refineMoves + refineLabels exactly: gains in
+    // 4m²-scaled BIGINTs, best-per-node via (gain DESC, b ASC)
+    // row_number, conflict-free accept via per-community rank-1 in BOTH
+    // roles, then modularity totals before/after. The output itself
+    // exhibits q_after = q_before + Σ gains ≥ q_before in exact integers.
+    "q218_louvain_refine" ->
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+         |edges AS MATERIALIZED (
+         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2
+         |),
+         |sym AS (SELECT p1 AS src, p2 AS dst FROM edges
+         |        UNION SELECT p2, p1 FROM edges),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+         |${lpaIterSql("l1", "l0")},
+         |${lpaIterSql("l2", "l1")},
+         |${lpaIterSql("l3", "l2")},
+         |lab AS MATERIALIZED (SELECT node, label FROM l3),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+         |ki AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS k_i
+         |       FROM sym GROUP BY 1),
+         |dc AS (SELECT la.label, CAST(sum(k.k_i) AS BIGINT) AS d_c
+         |       FROM ki k JOIN lab la ON k.node = la.node GROUP BY 1),
+         |kto AS (SELECT s.src AS node, la.label AS c,
+         |               CAST(count(*) AS BIGINT) AS k_to
+         |        FROM sym s JOIN lab la ON s.dst = la.node GROUP BY 1, 2),
+         |self AS (
+         |  SELECT la.node, la.label AS a, k.k_i, da.d_c AS d_a,
+         |         coalesce(ka.k_to, 0) AS k_ia
+         |  FROM lab la JOIN ki k ON la.node = k.node
+         |  JOIN dc da ON la.label = da.label
+         |  LEFT JOIN kto ka ON ka.node = la.node AND ka.c = la.label
+         |),
+         |cand AS (
+         |  SELECT t.node, s.a, t.c AS b,
+         |         CAST(4 * mm.m * (t.k_to - s.k_ia)
+         |              + 2 * s.k_i * (s.d_a - db.d_c)
+         |              - 2 * s.k_i * s.k_i AS BIGINT) AS gain
+         |  FROM kto t JOIN self s ON t.node = s.node AND t.c <> s.a
+         |  JOIN dc db ON t.c = db.label
+         |  CROSS JOIN mm
+         |),
+         |best AS MATERIALIZED (
+         |  SELECT node, a, b, gain FROM (
+         |    SELECT node, a, b, gain,
+         |           row_number() OVER (PARTITION BY node
+         |             ORDER BY gain DESC, b ASC) AS rn
+         |    FROM cand WHERE gain > 0)
+         |  WHERE rn = 1
+         |),
+         |roles AS (SELECT a AS comm, gain, node FROM best
+         |          UNION ALL SELECT b, gain, node FROM best),
+         |rr AS (SELECT comm, node,
+         |              row_number() OVER (PARTITION BY comm
+         |                ORDER BY gain DESC, node ASC) AS rn
+         |       FROM roles),
+         |acc AS MATERIALIZED (
+         |  SELECT m.node, m.b AS to_label, m.gain
+         |  FROM best m
+         |  JOIN rr ra ON ra.comm = m.a AND ra.node = m.node AND ra.rn = 1
+         |  JOIN rr rb ON rb.comm = m.b AND rb.node = m.node AND rb.rn = 1
+         |),
+         |lab2 AS MATERIALIZED (
+         |  SELECT la.node, coalesce(ac.to_label, la.label) AS label
+         |  FROM lab la LEFT JOIN acc ac ON la.node = ac.node
+         |)
+         |SELECT 'before' AS stage,
+         |       (SELECT CAST(count(DISTINCT label) AS BIGINT) FROM lab) AS n,
+         |       CAST(4 * (SELECT m FROM mm) *
+         |              (SELECT count(*) FROM edges e
+         |                 JOIN lab x ON e.p1 = x.node
+         |                 JOIN lab y ON e.p2 = y.node
+         |                WHERE x.label = y.label)
+         |            - (SELECT sum(ds * ds) FROM (
+         |                 SELECT CAST(sum(k.k_i) AS BIGINT) AS ds
+         |                 FROM ki k JOIN lab la ON k.node = la.node
+         |                 GROUP BY la.label))
+         |         AS BIGINT) AS q_4m2
+         |UNION ALL
+         |SELECT 'moves', (SELECT CAST(count(*) AS BIGINT) FROM acc),
+         |       (SELECT CAST(coalesce(sum(gain), 0) AS BIGINT) FROM acc)
+         |UNION ALL
+         |SELECT 'after',
+         |       (SELECT CAST(count(DISTINCT label) AS BIGINT) FROM lab2),
+         |       CAST(4 * (SELECT m FROM mm) *
+         |              (SELECT count(*) FROM edges e
+         |                 JOIN lab2 x ON e.p1 = x.node
+         |                 JOIN lab2 y ON e.p2 = y.node
+         |                WHERE x.label = y.label)
+         |            - (SELECT sum(ds * ds) FROM (
+         |                 SELECT CAST(sum(k.k_i) AS BIGINT) AS ds
+         |                 FROM ki k JOIN lab2 la ON k.node = la.node
+         |                 GROUP BY la.label))
+         |         AS BIGINT)""".stripMargin,
 
     "q203_item_recs" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),

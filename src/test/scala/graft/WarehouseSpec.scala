@@ -760,6 +760,69 @@ class WarehouseSpec extends SparkSpec {
     assert(total == 0L, s"one-community modularity must be 0, got $total")
   }
 
+  test("refineMoves: mislabeled clique node rejoins with the exact " +
+    "hand-computed gain; Q(after) = Q(before) + Σ gains always; accepted " +
+    "moves are community-disjoint; partitioning-invariant") {
+    // 5-clique with node 4 mislabeled into its own community 99:
+    // m=10, moving 4→0 gains 4m·k_4→0 + 2k_4(d_99 − d_0) − 2k_4²
+    // = 160 − 96 − 32 = 32; every reverse move is negative, so the
+    // accepted set is exactly {4 → 0}.
+    val clique = (for (i <- 0 to 4; j <- 0 to 4 if i < j)
+      yield (i.toLong, j.toLong)).toDF("a", "b")
+    val lab0 = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 99L))
+      .toDF("node", "label")
+    val moves = Graph.refineMoves(clique, "a", "b", lab0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(moves.toSeq == Seq((4L, 99L, 0L, 32L)), s"got ${moves.toSeq}")
+    val refined = Graph.refineLabels(lab0,
+      Graph.refineMoves(clique, "a", "b", lab0))
+    val after = Graph.modularityInt(clique, "a", "b", refined)
+      .agg(sum("contrib_4m2")).first().getLong(0)
+    assert(after == 0L, s"one-community clique must score 0, got $after")
+
+    // randomized invariants: for random graphs and random labelings,
+    // (1) every accepted gain is > 0; (2) accepted moves touch pairwise
+    // disjoint {from, to} community pairs; (3) each single gain is
+    // EXACTLY the modularity delta of applying that move alone; (4) the
+    // full accepted set satisfies Q(after) = Q(before) + Σ gains; and
+    // (5) the accepted set is partitioning-invariant.
+    val rnd = new scala.util.Random(7L)
+    (0 until 3).foreach { _ =>
+      val n = 12
+      val es = Seq.fill(20)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val lab = nodes.map(v => (v, rnd.nextInt(4).toLong)).toDF("node", "label")
+      val edges = es.toDF("a", "b")
+      def q(l: org.apache.spark.sql.DataFrame): Long =
+        Graph.modularityInt(edges, "a", "b", l)
+          .agg(coalesce(sum("contrib_4m2"), lit(0L))).first().getLong(0)
+      val mv = Graph.refineMoves(edges, "a", "b", lab).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(mv.forall(_._4 > 0), s"non-positive accepted gain in ${mv.toSeq}")
+      val comms = mv.flatMap(m => Seq(m._2, m._3))
+      assert(comms.distinct.length == comms.length,
+        s"accepted moves share a community: ${mv.toSeq}")
+      val before = q(lab)
+      mv.foreach { case (node, _, to, gain) =>
+        val one = lab.withColumn("label",
+          when(col("node") === node, to).otherwise(col("label")))
+        assert(q(one) - before == gain,
+          s"single-move delta mismatch for node $node: " +
+            s"${q(one) - before} vs claimed $gain")
+      }
+      val refinedR = Graph.refineLabels(lab,
+        Graph.refineMoves(edges, "a", "b", lab))
+      assert(q(refinedR) == before + mv.map(_._4).sum,
+        s"Q(after) must equal Q(before) + sum of gains")
+      val mv2 = Graph.refineMoves(edges.repartition(7), "a", "b",
+          lab.repartition(3)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(mv2.sorted.toSeq == mv.sorted.toSeq,
+        "accepted set must not depend on partitioning")
+    }
+  }
+
   test("randomWalks: every consecutive pair is an edge, one (L+1)-row " +
     "walk per node, partitioning-invariant") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
