@@ -201,6 +201,40 @@ class PlanSpec extends SparkSpec {
       s"label-vote join went quadratic:\n$p")
   }
 
+  test("AQE FINAL plans keep the pinned shapes: the salted join still " +
+      "joins on the salt key behind its explode, and sorted-neighborhood " +
+      "keeps the windowless global rank — executed, not just planned") {
+    // the other pins read the INITIAL physical plan; at real scale AQE
+    // re-plans at runtime, so the shapes must also hold in the final
+    // adaptive plan. collect() finalizes this Dataset's own
+    // QueryExecution (a writer would execute a separate one).
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "Spark 4 defaults AQE on; this pin must run under it")
+    def finalPlan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val p57 = finalPlan("q57_salted_join")
+    assert(p57.contains("isFinalPlan=true"),
+      s"q57 did not go adaptive — pin is not testing AQE:\n$p57")
+    assert(p57.contains("_salt"),
+      s"AQE re-plan lost the salt join key:\n$p57")
+    assert(p57.contains("Generate") && p57.contains("explode"),
+      s"salt replication (explode(sequence)) missing from final plan:\n$p57")
+    assert(!p57.contains("CartesianProduct") &&
+      !p57.contains("BroadcastNestedLoopJoin"),
+      s"salted join degenerated under AQE:\n$p57")
+    val p166 = finalPlan("q166_sorted_neighborhood")
+    assert(p166.contains("isFinalPlan=true"),
+      s"q166 did not go adaptive — pin is not testing AQE:\n$p166")
+    assert(!p166.contains("Window"),
+      s"AQE final plan regressed to a window-function global rank:\n$p166")
+    assert(!p166.contains("CartesianProduct") &&
+      !p166.contains("BroadcastNestedLoopJoin"),
+      s"q166 went quadratic under AQE:\n$p166")
+  }
+
   test("q203 item CF: candidate generation and the owned-item suppression " +
       "are equi-joins (anti), never a cartesian") {
     val p = plan("q203_item_recs")

@@ -138,6 +138,15 @@ class ScaleSpec extends SparkSpec {
       assert(!plan.contains("Exchange"),
         s"bucketed join should be exchange-free, got:\n$plan")
       assert(joined.count() == 6000)
+      // AQE pin: with adaptive on (session default), an exchange-free
+      // plan must STAY exchange-free after execution — AQE only re-plans
+      // at exchange boundaries, so the co-located join must not acquire
+      // one. collect() finalizes this Dataset's own QueryExecution.
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(!finalPlan.contains("Exchange"),
+        s"bucketed join acquired an exchange under AQE:\n$finalPlan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
