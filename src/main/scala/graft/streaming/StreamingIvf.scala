@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Similarity
+import graft.operators.Similarity.IvfIndex
+
+/** Streaming ANN ingestion: the q142 delta-maintained IVF index wired into
+  * Structured Streaming. Arriving vectors are (1) PROBED against the index
+  * as of the previous committed state — the serve path: "what does the
+  * corpus already hold that looks like this?" — and then (2) FOLDED into
+  * the inverted lists via the same frozen-centroid assignment
+  * [[Similarity.applyIndexDelta]] proves equal to a full rebuild.
+  *
+  * On-disk layout (all parquet):
+  * {{{
+  *   dir/centroids/          frozen centroid table, written once at init
+  *   dir/assign/d=base/      the initial corpus assignment
+  *   dir/assign/d=b<id>/     one inverted-list delta per folded micro-batch
+  *   dir/commits/<name>      marker: delta <name> is fully written
+  * }}}
+  *
+  * Crash safety is commit-marker-last: a fold killed mid-write leaves an
+  * uncommitted directory that [[loadIndex]] ignores; Structured Streaming
+  * replays the batch (same batchId) and the fold overwrites the partial
+  * directory with identical content (assignment against frozen centroids
+  * is deterministic), so kill-and-resume converges to exactly the batch
+  * rebuild — the capstone assertion in `ScaleSpec`. The probe step loads
+  * the index EXCLUDING the current batch's own delta, so a replay after a
+  * committed fold still probes the same pre-batch state (idempotent
+  * output, and a vector never matches itself).
+  *
+  * Scale shape: per micro-batch, probe is O(|batch| × k) broadcast-
+  * centroid ranking plus a bucket join that shuffles on centroid_id only;
+  * fold is O(|batch| × k) map-side assignment and an O(|batch|) parquet
+  * append — the full index is never rewritten, mirroring the
+  * O(delta)-maintenance economics of the batch path (q142).
+  */
+object StreamingIvf {
+
+  private def commitDir(dir: String) = s"$dir/commits"
+
+  private def commit(dir: String, name: String): Unit = {
+    Files.createDirectories(Paths.get(commitDir(dir)))
+    val marker = Paths.get(commitDir(dir), name)
+    if (!Files.exists(marker)) Files.createFile(marker)
+  }
+
+  /** Names of fully-written deltas, sorted for deterministic plans. */
+  def committedDeltas(dir: String): Seq[String] =
+    Option(new java.io.File(commitDir(dir)).list())
+      .map(_.toSeq.sorted).getOrElse(Seq.empty)
+
+  /** One-time index bootstrap: freeze the centroids, assign the historical
+    * corpus, commit it as the `base` delta.
+    */
+  def init(spark: SparkSession, dir: String, corpus: DataFrame,
+      centroids: DataFrame): Unit = {
+    val idx = Similarity.buildIvfIndex(corpus, centroids)
+    idx.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/centroids")
+    idx.assignments.write.mode("overwrite").parquet(s"$dir/assign/d=base")
+    commit(dir, "base")
+  }
+
+  /** The index as of the committed deltas (optionally excluding one —
+    * the probe path excludes the in-flight batch's own name so replays
+    * see the identical pre-batch state).
+    */
+  def loadIndex(spark: SparkSession, dir: String,
+      excluding: Option[String] = None): IvfIndex = {
+    val deltas = committedDeltas(dir).filterNot(excluding.contains)
+    require(deltas.nonEmpty, s"no committed deltas under $dir — run init()")
+    IvfIndex(
+      spark.read.parquet(s"$dir/centroids")
+        .select(col("vec_id"), col("vec"), col("nrm")),
+      spark.read.parquet(deltas.map(n => s"$dir/assign/d=$n"): _*)
+        .select(col("vec_id"), col("vec"), col("nrm"), col("centroid_id")))
+  }
+
+  /** Fold one batch of prepared vectors (vec_id, vec, nrm) into the
+    * inverted lists: frozen-centroid assignment, delta-only write, marker
+    * last. Idempotent per `name` — a replay overwrites the same directory
+    * with the same rows.
+    */
+  def foldBatch(spark: SparkSession, dir: String, batch: DataFrame,
+      name: String): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("vec_id"), col("vec"), col("nrm"))
+    Similarity.assignToCentroids(batch, cents)
+      .select(col("vec_id"), col("vec"), col("nrm"), col("centroid_id"))
+      .write.mode("overwrite").parquet(s"$dir/assign/d=$name")
+    commit(dir, name)
+  }
+
+  /** Start the maintenance stream: each micro-batch of prepared vectors is
+    * probed against the pre-batch index (top-`k`, `nprobe` cells; results
+    * land under `outDir/d=b<batchId>` with the same marker-last commit) and
+    * then folded in. `stream` must carry (vec_id, vec, nrm) — row-local
+    * prep like [[Similarity.prepared]] composes upstream of this call.
+    */
+  def start(spark: SparkSession, dir: String, stream: DataFrame,
+      outDir: String, checkpoint: String, k: Int, nprobe: Int,
+      trigger: Trigger = Trigger.ProcessingTime("200 milliseconds"))
+      : StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val name = s"b$batchId"
+        val idx = loadIndex(spark, dir, excluding = Some(name))
+        Similarity.ivfTopKFromIndex(idx, batch, k, nprobe)
+          .write.mode("overwrite").parquet(s"$outDir/d=$name")
+        commit(outDir, name)
+        foldBatch(spark, dir, batch, name)
+      }
+      .start()
+}

@@ -361,6 +361,111 @@ class ScaleSpec extends SparkSpec {
       "seeded near-dup pair missing - dedup stage vacuous")
   }
 
+  // The round-8 streaming-ANN capstone: arriving vectors PROBE the
+  // persisted IVF index (stream-static, pre-batch state) and then FOLD in
+  // via the frozen-centroid delta (q142's applyIndexDelta economics),
+  // with a KILL mid-stream and a resume from the checkpoint + commit
+  // markers, and a wave arriving while the stream is down. Final index
+  // must equal the from-scratch batch rebuild exactly; the first wave's
+  // probe results must equal a batch IVF search against the base index.
+  test("streaming ANN capstone: stream-probed, delta-folded IVF index " +
+      "survives kill-and-resume and equals the batch rebuild") {
+    import graft.operators.Similarity
+    import graft.streaming.StreamingIvf
+    import org.apache.spark.sql.streaming.Trigger
+
+    val raw = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      Similarity.prepared(df, "embedding")
+        .select(col("vec_id"), col("vec"), col("nrm"))
+    val corpus = prep(raw)
+    val base = corpus.filter(col("vec_id") % 10 < 7)
+    val cents = base.filter(col("vec_id") % 40 === 0) // q142's every-40th
+    val dir = Files.createTempDirectory("graft-sivf-idx").toString
+    StreamingIvf.init(spark, dir, base, cents)
+    assert(StreamingIvf.committedDeltas(dir) == Seq("base"))
+
+    // arriving waves land as single parquet files in a watched directory —
+    // the file source replays uncommitted files across the restart
+    val streamDir = Files.createTempDirectory("graft-sivf-in")
+    def dropWave(tag: Int): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-sivf-w$tag").toString
+      raw.filter(col("vec_id") % 10 === tag).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, streamDir.resolve(s"wave$tag.parquet"))
+    }
+    val outDir = Files.createTempDirectory("graft-sivf-out").toString
+    val ckpt = Files.createTempDirectory("graft-sivf-ckpt").toString
+    def startStream() = StreamingIvf.start(spark, dir,
+      prep(spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)),
+      outDir, ckpt, k = 4, nprobe = 2,
+      Trigger.ProcessingTime("200 milliseconds"))
+
+    // ---- phase 1: wave 7 arrives, gets probed + folded; then KILL
+    dropWave(7)
+    val q1 = startStream()
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (!StreamingIvf.committedDeltas(dir).contains("b0") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q1.stop()
+    assert(StreamingIvf.committedDeltas(dir).contains("b0"),
+      "wave 7 never folded before the kill")
+    val midCount = StreamingIvf.loadIndex(spark, dir).assignments.count()
+    assert(midCount == base.count() + raw.filter(col("vec_id") % 10 === 7).count(),
+      s"mid-stream index holds $midCount rows")
+
+    // wave 8 arrives while the stream is DOWN; wave 9 after the resume
+    dropWave(8)
+    val q2 = startStream()
+    try {
+      dropWave(9)
+      val total = corpus.count()
+      val deadline = System.currentTimeMillis() + 180000
+      while (StreamingIvf.loadIndex(spark, dir).assignments.count() < total &&
+        System.currentTimeMillis() < deadline) Thread.sleep(300)
+      assert(StreamingIvf.loadIndex(spark, dir).assignments.count() == total,
+        "index never reached the full corpus after resume")
+    } finally q2.stop()
+
+    // ---- the capstone equality: delta-maintained index == batch rebuild
+    val got = StreamingIvf.loadIndex(spark, dir).assignments
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toSet
+    val want = Similarity.buildIvfIndex(corpus, cents).assignments
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toSet
+    assert(got == want,
+      s"streamed index != batch rebuild (${got.size} vs ${want.size} rows)")
+    assert(got.size == 500, s"every corpus vector indexed once, got ${got.size}")
+
+    // ---- probe outputs: wave 7 (batch 0, pre-kill) must equal a batch
+    // IVF search against the BASE index — the stream-static serve path
+    val p0 = spark.read.parquet(s"$outDir/d=b0")
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val w0 = Similarity.ivfTopKFromIndex(
+        Similarity.buildIvfIndex(base, cents),
+        prep(raw.filter(col("vec_id") % 10 === 7)), 4, 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(p0 == w0, s"wave-7 probe diverged from the batch IVF search " +
+      s"(${p0.size} vs ${w0.size} rows)")
+    // every arriving vector was served k results, never itself
+    val served = StreamingIvf.committedDeltas(outDir)
+      .map(n => spark.read.parquet(s"$outDir/d=$n"))
+      .reduce(_ unionByName _)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(served.forall { case (q, n) => q != n }, "a vector matched itself")
+    val perQuery = served.groupBy(_._1).map { case (_, v) => v.length }.toSet
+    assert(perQuery == Set(4), s"expected 4 neighbors per query: $perQuery")
+    assert(served.map(_._1).toSet ==
+      corpus.filter(col("vec_id") % 10 >= 7).select("vec_id")
+        .as[Long].collect().toSet,
+      "served query set != arriving vector set")
+  }
+
   test("pipeline state survives restart (versioned pointer recovery)") {
     val stateDir = Files.createTempDirectory("graft-state").toString
     val p1 = new IngestPipeline(spark, stateDir)
