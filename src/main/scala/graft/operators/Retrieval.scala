@@ -172,7 +172,17 @@ object Retrieval {
   def bm25FromIndex(index: RetrievalIndex, queryTerms: DataFrame, k: Int,
       scale: Long = 1000000L): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    val q = queryTerms.select(col("term"))
+    val scored = termDocScores(index, queryTerms, scale)
+    Relational.topKPerGroup(scored, Seq(col("term")),
+        Seq(col("score").desc, col("doc_id").asc), k, "rank")
+      .select(col("term"), col("doc_id"), col("rank").cast("long").as("rank"),
+        col("score"))
+  }
+
+  /** The per-(term, doc) BM25 relation both serve paths rank over. */
+  private def termDocScores(index: RetrievalIndex, queryTerms: DataFrame,
+      scale: Long): DataFrame = {
+    val q = queryTerms.select(col("term")).distinct()
     val tf = index.postings.join(broadcast(q), Seq("term"))
       .select(col("term"), col("doc_id"), col("tf"))
     val idf = index.terms.join(broadcast(q), Seq("term"))
@@ -181,7 +191,7 @@ object Retrieval {
           (lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)) /
           (lit(2) * col("df") + lit(1))), lit(TextAnalysis.RarityCap))
         .cast("long").as("idf_scaled"))
-    val scored = tf.join(broadcast(idf), Seq("term"))
+    tf.join(broadcast(idf), Seq("term"))
       .join(index.docs, Seq("doc_id"))
       .crossJoin(broadcast(index.stats))
       .withColumn("score", round(
@@ -190,10 +200,41 @@ object Retrieval {
           (lit(20.0) * col("s_total") * col("tf") + lit(6.0) * col("s_total")
             + lit(18.0) * col("dl") * col("n_docs")) /
           lit(scale.toDouble), 6))
-    Relational.topKPerGroup(scored, Seq(col("term")),
+  }
+
+  /** Per-DOCUMENT BM25 for a multi-term query, served from the maintained
+    * tables: Σ over the query's terms of the per-(term, doc) score, then
+    * the top-`k` documents (score desc, doc asc). This is the serve-path
+    * shape a search frontend calls per query — the postings read prunes to
+    * the query's terms (broadcast semi-join; term_bucket partition pruning
+    * on a loaded index), so per-query cost is O(matched postings), never
+    * O(index).
+    */
+  def bm25QueryFromIndex(index: RetrievalIndex, queryTerms: DataFrame,
+      k: Int, scale: Long = 1000000L): DataFrame =
+    bm25QueriesFromIndex(index,
+      queryTerms.select(lit(0L).as("_q"), col("term")), "_q", k, scale)
+      .drop("_q")
+
+  /** The BATCH serve path: many queries at once — `queryTerms` carries
+    * (queryCol, term) — amortizing job scheduling across the whole query
+    * set; per-query work is unchanged (postings prune to the union of the
+    * queries' terms, scoring keys on (query, doc)). One job serves the
+    * fleet: this is how a Spark retrieval layer actually serves load, with
+    * the one-query form above as the latency path.
+    */
+  def bm25QueriesFromIndex(index: RetrievalIndex, queryTerms: DataFrame,
+      queryCol: String, k: Int, scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val q = queryTerms.select(col(queryCol), col("term")).distinct()
+    val perDoc = termDocScores(index, q.select(col("term")), scale)
+      .join(broadcast(q), Seq("term"))
+      .groupBy(col(queryCol), col("doc_id"))
+      .agg(round(sum(col("score")), 6).as("score"))
+    Relational.topKPerGroup(perDoc, Seq(col(queryCol)),
         Seq(col("score").desc, col("doc_id").asc), k, "rank")
-      .select(col("term"), col("doc_id"), col("rank").cast("long").as("rank"),
-        col("score"))
+      .select(col(queryCol), col("doc_id"),
+        col("rank").cast("long").as("rank"), col("score"))
   }
 
   /** Total-occurrence top terms from the index (the q149 query-derivation
