@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation metrics over labeled/scored rows, in exact integer
+  * arithmetic — the "is this classifier/labeler any good" leg of a
+  * training-data pipeline (complementing the data-quality leg in
+  * [[Quality]] and the selection leg in [[Curation]]).
+  *
+  * Everything here returns BIGINT parts-per-million so results are
+  * bit-identical across partition counts and engines: a float AUC differs
+  * between a 32-partition and a 1000-partition run whenever the rank sum
+  * is accumulated as a double; an integer rank sum cannot. (Reference
+  * analogue: the reference has no evaluation surface at all — its closest
+  * notion of "quality" is the boolean validation filter,
+  * `ingestService.js:16-24`; these operators are north-star additions.)
+  */
+object Eval {
+
+  /** Per-group ROC-AUC via the Mann–Whitney rank-sum identity, exact to
+    * 1e-6: `AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻)` where `R⁺` is the sum of
+    * the AVERAGE ranks of the positives under ascending score order (ties
+    * share their group's average rank — the standard mid-rank convention,
+    * equal to counting tied pos/neg pairs as half-concordant).
+    *
+    * Halves never materialize: with min-rank `r = rank()` and tie-group
+    * size `c`, twice the average rank is the integer `2r + c − 1`, so the
+    * result is `(2R⁺ − n⁺(n⁺+1)) · 10⁶ div (2 n⁺ n⁻)` — BIGINT `+ * div`
+    * only. Groups with no positives or no negatives yield NULL (AUC is
+    * undefined there), not a silent 0.
+    *
+    * Scale shape: one keyed window pass (rank + tie size share the single
+    * (group, score) sort exchange) and one aggregate — no self-join over
+    * pos×neg pairs, which is the naive O(n²) formulation. Overflow
+    * headroom: `2R⁺ ≤ 2n²` stays below 2⁶³ for per-group n up to ~2·10⁹.
+    *
+    * @param df     input rows
+    * @param group  grouping column (model variant / slice)
+    * @param label  boolean-ish column, true = positive
+    * @param score  integral score column (higher = predicted positive)
+    */
+  def rocAucPpm(df: DataFrame, group: Column, label: Column,
+      score: Column): DataFrame = {
+    val g = df.select(group.as("grp"), label.cast("boolean").as("y"),
+      score.cast("long").as("s"))
+    val wRank = Window.partitionBy(col("grp")).orderBy(col("s"))
+    val wTie = Window.partitionBy(col("grp"), col("s"))
+    g.withColumn("r2",
+        lit(2L) * rank().over(wRank) + count(lit(1)).over(wTie) - lit(1L))
+      .groupBy(col("grp"))
+      .agg(
+        sum(when(col("y"), col("r2")).otherwise(lit(0L))).as("r2pos"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        count(lit(1)).as("n"))
+      .select(col("grp"), col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+        when(col("n_pos") > 0 && col("n") > col("n_pos"),
+          expr("""(r2pos - n_pos * (n_pos + 1)) * 1000000
+                  div (2 * n_pos * (n - n_pos))"""))
+          .as("auc_ppm"))
+  }
+
+  /** Reliability-diagram bins for a probabilistic classifier, exact in
+    * ppm: rows carry a predicted probability in ppm (`[0, 10⁶]`) and a
+    * boolean outcome; each of `bins` equal-width bins reports its count,
+    * mean confidence `conf_ppm = Σp div n`, empirical accuracy
+    * `acc_ppm = n⁺·10⁶ div n`, and `gap_ppm = |acc − conf|`. The expected
+    * calibration error is then `Σ_b n_b·gap_b div N` — computable from
+    * this output by one more aggregate (asserted in `EvalSpec`), kept out
+    * of the row shape so the bins stay a per-bin table.
+    *
+    * Scale shape: one map-side bin assignment + one aggregate on ≤ `bins`
+    * keys — no window, no join. `p = 10⁶` lands in the top bin (closed
+    * upper edge), mirroring the usual [0,1] reliability diagram.
+    */
+  def calibrationBins(df: DataFrame, probPpm: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    df.select(probPpm.cast("long").as("p"), label.cast("boolean").as("y"))
+      .withColumn("bin", least(lit(bins - 1L),
+        expr(s"p * $bins div 1000000")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("p")).as("p_sum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("p_sum div n").as("conf_ppm"),
+        expr("n_pos * 1000000 div n").as("acc_ppm"),
+        abs(expr("n_pos * 1000000 div n") - expr("p_sum div n"))
+          .as("gap_ppm"))
+  }
+
+  /** Per-group Cohen's kappa between two categorical raters, exact to
+    * 1e-6: with `N` rows, `A` agreements, and `pe·N² = Σ_k nA_k·nB_k`
+    * (the chance-agreement numerator from the rater marginals),
+    * `κ = (po − pe)/(1 − pe) = (A·N − Σ nA·nB)/(N² − Σ nA·nB)`, emitted
+    * as `kappa_ppm = num·10⁶ div den` — BIGINT only, and both engines
+    * truncate integral division toward zero, so the mirror is exact even
+    * for negative κ (worse-than-chance raters). Degenerate groups where
+    * both raters are constant and identical (den = 0) yield NULL.
+    *
+    * Scale shape: one aggregate for (N, A), one per-rater marginal
+    * aggregate each, and a join of the two marginals on (group, label) —
+    * all keyed by group, no window. Overflow: N² < 2⁶³ holds to per-group
+    * N ≈ 3·10⁹.
+    */
+  def cohenKappaPpm(df: DataFrame, group: Column, raterA: Column,
+      raterB: Column): DataFrame = {
+    val g = df.select(group.as("grp"), raterA.cast("string").as("a"),
+      raterB.cast("string").as("b"))
+    val totals = g.groupBy(col("grp")).agg(count(lit(1)).as("n"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+    val margA = g.groupBy(col("grp"), col("a").as("lbl"))
+      .agg(count(lit(1)).as("na"))
+    val margB = g.groupBy(col("grp"), col("b").as("lbl"))
+      .agg(count(lit(1)).as("nb"))
+    // inner join: a label one rater never uses contributes nA·nB = 0
+    val pe = margA.join(margB, Seq("grp", "lbl"))
+      .groupBy(col("grp"))
+      .agg(sum(col("na") * col("nb")).as("pe_num"))
+    totals.join(pe, Seq("grp"))
+      .select(col("grp"), col("n"), col("agree"),
+        when(col("n") * col("n") =!= col("pe_num"),
+          expr("(agree * n - pe_num) * 1000000 div (n * n - pe_num)"))
+          .as("kappa_ppm"))
+  }
+}

@@ -502,4 +502,46 @@ object EventTime {
         count(lit(1)).as("run_len"),
         min(orderCols.head).as("run_start"))
   }
+
+  /** One-sided CUSUM change-point detection per key, in exact integer
+    * arithmetic. The textbook recurrence `S_i = max(0, S_{i−1} + x_i − μ
+    * − k)` looks inherently sequential, but it has a closed prefix form:
+    * with drifts `d_i = x_i − μ − k` and prefix sums `P_i = Σ_{j≤i} d_j`
+    * (P₀ = 0), `S_i = P_i − min_{0≤j≤i} P_j` — a cumulative sum plus a
+    * running min, i.e. two frames over ONE keyed window sort. That turns
+    * the per-key scan into a standard distributed window pass instead of
+    * a driver loop or a `mapGroups` over collected series.
+    *
+    * Division never happens: the per-key mean μ = total/n is kept as a
+    * rational by scaling every drift by n — `n·d_i = n·x_i − total −
+    * n·k` — so `s_scaled` is `n · S_i` exactly and the alarm test
+    * `S_i ≥ h` becomes `s_scaled ≥ h·n`. BIGINT `+ * −` only:
+    * bit-identical at any parallelism and in any engine. Overflow
+    * headroom: |n·d_i| ≤ n·(max x + total), safe past 10⁹ rows per key
+    * for count-like x.
+    *
+    * Output: one row per input row with `s_scaled`, the key's scale `n`,
+    * and the alarm flag — downstream keeps alarms or joins back as it
+    * pleases.
+    *
+    * @param k allowance (slack) in x units: drift below `μ + k` resets
+    * @param h alarm threshold in x units
+    */
+  def cusum(df: DataFrame, keyCol: Column, orderCol: Column, xCol: Column,
+      k: Long, h: Long): DataFrame = {
+    require(h >= 1, s"alarm threshold h must be >= 1, got $h")
+    val g = df.select(keyCol.as("key"), orderCol.as("t"),
+      xCol.cast("long").as("x"))
+    val wAll = Window.partitionBy(col("key"))
+    val wCum = Window.partitionBy(col("key")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("x")).over(wAll))
+      .withColumn("p",
+        sum(col("n") * col("x") - col("total") - col("n") * lit(k))
+          .over(wCum))
+      .withColumn("s_scaled", col("p") - least(lit(0L), min(col("p")).over(wCum)))
+      .select(col("key"), col("t"), col("x"), col("n"), col("s_scaled"),
+        (col("s_scaled") >= col("n") * lit(h)).as("alarm"))
+  }
 }

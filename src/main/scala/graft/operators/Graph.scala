@@ -977,4 +977,58 @@ object Graph {
       .join(moves.select(col("node"), col("to_label")), Seq("node"), "left")
       .select(col("node"),
         coalesce(col("to_label"), col("label")).as("label"))
+
+  /** HITS hubs-and-authorities over a DIRECTED edge list (Kleinberg,
+    * JACM 1999), in exact integer arithmetic. Per iteration: authority
+    * mass `a'(v) = Σ_{u→v} h(u)` then hub mass `h'(u) = Σ_{u→v} a(v)`,
+    * each half-step renormalized by the GLOBAL max — `x·scale div
+    * max(x')` — instead of the textbook L2 norm, because an integer max
+    * is exactly computable and engine-portable where a float √Σx² is
+    * neither. The fixpoint direction is identical (normalization choice
+    * never changes the ranking within an iteration), and every score is
+    * a BIGINT in [0, scale] with the top hub/authority pinned at
+    * exactly `scale`.
+    *
+    * On the natural bipartite buyer→item graph this yields the
+    * "discerning buyers vs consensus items" decomposition that degree
+    * counts miss: an authority is an item bought by HIGH-SCORE buyers,
+    * recursively.
+    *
+    * Output: one row per node and side — (`side` ∈ hub|auth, `node`,
+    * `score`) — after `iterations` full rounds.
+    *
+    * Scale shape: two keyed join+aggregate shuffles per iteration (the
+    * same economics as [[pageRankInt]] — never an all-pairs form); the
+    * max is a 1-row aggregate broadcast back. Overflow headroom:
+    * `Σ h ≤ n·scale` and the renormalizing multiply peaks at
+    * `n·scale²` ⇒ safe below ~9·10⁶ hub nodes at the default scale;
+    * pass a smaller `scale` for larger graphs (documented trade:
+    * quantization 1/scale).
+    */
+  def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(scale >= 100, s"scale must be >= 100, got $scale")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().ckpt()
+    var hub = e.select(col("src")).distinct()
+      .withColumn("h", lit(scale))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val aRaw = e.join(hub, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+      val maxA = aRaw.agg(max(col("ar")).as("mxa"))
+      auth = aRaw.crossJoin(broadcast(maxA))
+        .select(col("dst"), expr(s"ar * $scale div mxa").as("a")).ckpt()
+      val hRaw = e.join(auth, Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("hr"))
+      val maxH = hRaw.agg(max(col("hr")).as("mxh"))
+      hub = hRaw.crossJoin(broadcast(maxH))
+        .select(col("src"), expr(s"hr * $scale div mxh").as("h")).ckpt()
+    }
+    hub.select(lit("hub").as("side"), col("src").as("node"),
+        col("h").as("score"))
+      .unionByName(auth.select(lit("auth").as("side"),
+        col("dst").as("node"), col("a").as("score")))
+  }
 }

@@ -102,6 +102,75 @@ object Quality {
       .agg(count(lit(1)).as("class_size"))
       .filter(col("class_size") < k)
 
+  /** l-diversity audit: the equivalence classes (by quasi-identifier)
+    * whose SENSITIVE attribute takes fewer than `l` distinct values —
+    * the classic complement to k-anonymity (Machanavajjhala et al., ICDE
+    * 2006): a class can hold k=50 people and still leak the diagnosis if
+    * all 50 share it. Bounded output (violating classes only); one
+    * group-aggregate, `countDistinct` expands to the usual two-phase
+    * distinct aggregation — no row ever leaves its class's partition
+    * twice.
+    */
+  def lDiversityClasses(df: DataFrame, quasiIds: Seq[Column],
+      sensitive: Column, l: Long): DataFrame =
+    df.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(sensitive).as("n_distinct"))
+      .filter(col("n_distinct") < l)
+
+  /** t-closeness audit for an ORDERED sensitive attribute bucketed into
+    * `m` ordinal categories (Li et al., ICDE 2007): per quasi-identifier
+    * class, the earth-mover's distance between the class's bucket
+    * distribution and the global one, under the ordered-distance ground
+    * metric — `EMD = (1/(m−1)) Σ_{i<m−1} |Σ_{j≤i} (p_j − q_j)|`.
+    *
+    * Exact rational arithmetic: with class counts `c_i` (size `n`) and
+    * global counts `g_i` (size `N`), each prefix difference is kept over
+    * the common denominator `n·N` as the integer `d_i = Σ_{j≤i} (c_j·N −
+    * g_j·n)`, and `emd_ppm = 10⁶·Σ|d_i| div ((m−1)·n·N)` — BIGINT only,
+    * engine-exact. Overflow headroom: Σ|d_i| ≤ (m−1)·n·N, so the 10⁶
+    * scaling needs `(m−1)·n·N < 2⁶³/10⁶ ≈ 9·10¹²` — fine for per-class
+    * sizes into the millions at 10⁹ total rows; beyond that, drop to a
+    * pre-floored ppm distribution (documented trade, not needed here).
+    *
+    * Scale shape: one (quasi, bucket) aggregate, one m-key global
+    * aggregate broadcast, and an m-row-per-class spine built with
+    * `explode(sequence(...))` so empty buckets participate — the cumsum
+    * runs on a window keyed by class, partition-local after one
+    * exchange. `bucket` must already be an integral 0..m−1 column.
+    */
+  def tClosenessEmd(df: DataFrame, quasiIds: Seq[Column], bucket: Column,
+      m: Int): DataFrame = {
+    require(m >= 2, s"need at least 2 ordered buckets, got $m")
+    val base = df.select((quasiIds :+ bucket.cast("long").as("_b")): _*)
+    val qNames = base.columns.dropRight(1).toSeq
+    val qCols = qNames.map(col)
+    val cls = base.groupBy((qCols :+ col("_b")): _*)
+      .agg(count(lit(1)).as("c"))
+    val glob = base.groupBy(col("_b")).agg(count(lit(1)).as("g"))
+    val totals = base.groupBy(qCols: _*).agg(count(lit(1)).as("n"))
+    val bigN = base.agg(count(lit(1)).as("N_total"))
+    // class x bucket spine: every class sees all m buckets, absent = 0
+    val spine = totals
+      .withColumn("_b", explode(sequence(lit(0L), lit(m - 1L))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qCols: _*).orderBy(col("_b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine
+      .join(cls, qNames :+ "_b", "left")
+      .join(broadcast(glob), Seq("_b"), "left")
+      .crossJoin(broadcast(bigN))
+      .withColumn("d", sum(
+        coalesce(col("c"), lit(0L)) * col("N_total")
+          - coalesce(col("g"), lit(0L)) * col("n")).over(w))
+      .filter(col("_b") < m - 1)
+      .groupBy((qCols :+ col("n") :+ col("N_total")): _*)
+      .agg(sum(abs(col("d"))).as("emd_num"))
+      .select((qCols :+ col("n").as("class_size") :+
+        expr(s"emd_num * 1000000 div ((${m - 1}) * n * N_total)")
+          .as("emd_ppm")): _*)
+  }
+
   /** The canonical row digest [[tableChecksum]] sums: 32-bit md5 prefix of
     * the '|'-joined, null-coalesced column renderings (see tableChecksum
     * for why 32 bits and why coalesce).

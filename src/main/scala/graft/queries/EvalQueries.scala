@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Eval, EventTime}
+import graft.sources.Tables
+
+/** Model/labeler-evaluation metrics and change-point monitoring — the
+  * "measure the pipeline's own quality" family ([[graft.operators.Eval]],
+  * [[graft.operators.EventTime.cusum]]). All exact integer ppm: the
+  * oracles mirror the arithmetic term for term, no float tolerance
+  * anywhere.
+  */
+object EvalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ROC-AUC of a length-based English-detector per source: how well
+    // does n_chars rank lang='en' docs above the rest, slice by slice?
+    // Mann-Whitney rank-sum form — one window pass, no pos x neg pair
+    // join. Sources with 0 or 25/25 positives yield NULL (undefined),
+    // exercising the degenerate-slice path.
+    "q219_auc" -> ((s, d) =>
+      Eval.rocAucPpm(Tables.documents(s, d),
+        col("source"), col("lang") === "en", col("n_chars"))
+        .select(col("grp").as("source"), col("n_pos"), col("n_neg"),
+          col("auc_ppm"))),
+
+    // Reliability-diagram bins for a pseudo-probability p = min(1,
+    // n_chars * 1800 ppm) predicting lang='en' — per-bin confidence vs
+    // accuracy in exact ppm; ECE is one more aggregate over this output
+    // (asserted in EvalSpec). One map-side bin assign + one 10-key
+    // aggregate: no shuffle wider than the bin count.
+    "q220_calibration" -> ((s, d) =>
+      Eval.calibrationBins(Tables.documents(s, d),
+        least(lit(1000000L), col("n_chars") * 1800L),
+        col("lang") === "en", bins = 10)),
+
+    // Cohen's kappa between two deterministic length annotators (char
+    // quintile vs whitespace-stripped-char quintile) per language —
+    // the inter-annotator-agreement gate a labeling pipeline runs
+    // before trusting a batch of labels. Exact ppm, NULL only when
+    // both raters are constant and identical.
+    "q221_kappa" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .withColumn("len_ns",
+          length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+      Eval.cohenKappaPpm(g, col("lang"),
+        expr("least(4, n_chars div 120)"),
+        expr("least(4, len_ns div 100)"))
+        .select(col("grp").as("lang"), col("n"), col("agree"),
+          col("kappa_ppm"))
+    }),
+
+    // CUSUM drift alarms over per-user daily event counts: the
+    // sequential max(0, S+d) recurrence in its closed prefix-sum +
+    // running-min form — two frames on ONE keyed window sort, exact
+    // integers via mean-denominator scaling (s_scaled = n * S_i).
+    // Allowance k=1 event, alarm at h=5 events of accumulated drift.
+    "q225_cusum" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("x"))
+      EventTime.cusum(daily, col("user_id"), col("day"), col("x"),
+        k = 1L, h = 5L)
+        .select(col("key").as("user_id"), col("t").as("day"), col("x"),
+          col("n"), col("s_scaled"), col("alarm"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q219_auc" ->
+      """WITH g AS (
+        |  SELECT source AS grp, (lang = 'en') AS y, n_chars AS s
+        |  FROM documents
+        |), r AS (
+        |  SELECT grp, y,
+        |         2 * rank() OVER (PARTITION BY grp ORDER BY s)
+        |           + count(*) OVER (PARTITION BY grp, s) - 1 AS r2
+        |  FROM g
+        |), a AS (
+        |  SELECT grp,
+        |         CAST(sum(CASE WHEN y THEN r2 ELSE 0 END) AS BIGINT) AS r2pos,
+        |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |         count(*) AS n
+        |  FROM r GROUP BY grp
+        |)
+        |SELECT grp AS source, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg,
+        |       CASE WHEN n_pos > 0 AND n > n_pos THEN
+        |         CAST((r2pos - n_pos * (n_pos + 1)) * 1000000
+        |              // (2 * n_pos * (n - n_pos)) AS BIGINT)
+        |       END AS auc_ppm
+        |FROM a""".stripMargin,
+
+    "q220_calibration" ->
+      """WITH g AS (
+        |  SELECT least(1000000, n_chars * 1800) AS p, (lang = 'en') AS y
+        |  FROM documents
+        |), a AS (
+        |  SELECT least(9, p * 10 // 1000000) AS bin, count(*) AS n,
+        |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |         CAST(sum(p) AS BIGINT) AS p_sum
+        |  FROM g GROUP BY 1
+        |)
+        |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+        |       CAST(p_sum // n AS BIGINT) AS conf_ppm,
+        |       CAST(n_pos * 1000000 // n AS BIGINT) AS acc_ppm,
+        |       CAST(abs(n_pos * 1000000 // n - p_sum // n) AS BIGINT)
+        |         AS gap_ppm
+        |FROM a""".stripMargin,
+
+    "q221_kappa" ->
+      """WITH g AS (
+        |  SELECT lang AS grp,
+        |         least(4, n_chars // 120) AS a,
+        |         least(4, length(regexp_replace(text, '\s', '', 'g')) // 100)
+        |           AS b
+        |  FROM documents
+        |), t AS (
+        |  SELECT grp, count(*) AS n,
+        |         CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS agree
+        |  FROM g GROUP BY grp
+        |), ma AS (SELECT grp, a AS lbl, count(*) AS na FROM g GROUP BY 1, 2),
+        |mb AS (SELECT grp, b AS lbl, count(*) AS nb FROM g GROUP BY 1, 2),
+        |pe AS (
+        |  SELECT ma.grp, CAST(sum(na * nb) AS BIGINT) AS pe_num
+        |  FROM ma JOIN mb ON ma.grp = mb.grp AND ma.lbl = mb.lbl
+        |  GROUP BY ma.grp
+        |)
+        |SELECT t.grp AS lang, t.n, t.agree,
+        |       CASE WHEN t.n * t.n <> pe.pe_num THEN
+        |         CAST((t.agree * t.n - pe_num) * 1000000
+        |              // (t.n * t.n - pe_num) AS BIGINT)
+        |       END AS kappa_ppm
+        |FROM t JOIN pe ON t.grp = pe.grp""".stripMargin,
+
+    "q225_cusum" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+        |), st AS (
+        |  SELECT user_id, day, x,
+        |         count(*) OVER (PARTITION BY user_id) AS n,
+        |         CAST(sum(x) OVER (PARTITION BY user_id) AS BIGINT) AS total
+        |  FROM daily
+        |), pr AS (
+        |  SELECT user_id, day, x, n,
+        |         CAST(sum(n * x - total - n * 1) OVER (
+        |           PARTITION BY user_id ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS p
+        |  FROM st
+        |), sm AS (
+        |  SELECT user_id, day, x, n, p,
+        |         CAST(p - least(0, min(p) OVER (
+        |           PARTITION BY user_id ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |           AS BIGINT) AS s_scaled
+        |  FROM pr
+        |)
+        |SELECT user_id, day, x, n, s_scaled,
+        |       (s_scaled >= n * 5) AS alarm
+        |FROM sm""".stripMargin)
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quality
+import graft.sources.Tables
+
+/** Privacy-governance audits over the release-candidate tables —
+  * l-diversity and t-closeness ([[graft.operators.Quality]]), the two
+  * classical strengthenings of the k-anonymity checks q194/q195 already
+  * run. Quasi-identifier: (nation, market segment); sensitive attribute:
+  * the account-balance bracket (a 10-bucket ordinal "income band").
+  */
+object GovernanceQueries {
+
+  /** The shared sensitive-attribute bucketing, 0..9: floor(balance)
+    * shifted positive (min balance ≈ −995 ⇒ numerator ≥ 5 > 0, so
+    * truncating and flooring division agree in both engines) then
+    * 1200-wide bands, top band closed.
+    */
+  private val BucketExpr = "least(9, (cast(floor(c_acctbal) as bigint) + 1000) div 1200)"
+  private val BucketSql = "least(9, (CAST(floor(c_acctbal) AS BIGINT) + 1000) // 1200)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // l-diversity: (nation, segment) classes whose members span fewer
+    // than 8 of the 10 balance brackets — k-anonymous classes that STILL
+    // leak the sensitive attribute because everyone in them is alike.
+    "q222_ldiversity" -> ((s, d) =>
+      Quality.lDiversityClasses(Tables.customer(s, d),
+        Seq(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment")),
+        expr(BucketExpr), l = 8L)),
+
+    // t-closeness: per-class earth-mover's distance (ordered ground
+    // metric) between the class's bracket distribution and the global
+    // one, in exact ppm over the common denominator n*N — no float ever
+    // forms, so the audit is bit-identical at any parallelism.
+    "q223_tcloseness" -> ((s, d) =>
+      Quality.tClosenessEmd(Tables.customer(s, d),
+        Seq(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment")),
+        expr(BucketExpr), m = 10)))
+
+  val oracles: Map[String, String] = Map(
+    "q222_ldiversity" ->
+      s"""SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         |       c_mktsegment AS segment,
+         |       count(*) AS class_size,
+         |       CAST(count(DISTINCT $BucketSql) AS BIGINT) AS n_distinct
+         |FROM customer
+         |GROUP BY 1, 2
+         |HAVING count(DISTINCT $BucketSql) < 8""".stripMargin,
+
+    "q223_tcloseness" ->
+      s"""WITH b AS (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         |         c_mktsegment AS segment, $BucketSql AS bkt
+         |  FROM customer
+         |), cls AS (SELECT nation, segment, bkt, count(*) AS c
+         |           FROM b GROUP BY 1, 2, 3),
+         |tot AS (SELECT nation, segment, count(*) AS n FROM b GROUP BY 1, 2),
+         |gcnt AS (SELECT bkt, count(*) AS g FROM b GROUP BY 1),
+         |nn AS (SELECT count(*) AS N_total FROM b),
+         |spine AS (
+         |  SELECT t.nation, t.segment, t.n, gs.i AS bkt
+         |  FROM tot t CROSS JOIN
+         |    (SELECT unnest(generate_series(0, 9)) AS i) gs
+         |), j AS (
+         |  SELECT s.nation, s.segment, s.n, s.bkt,
+         |         coalesce(c.c, 0) AS c, coalesce(g.g, 0) AS g, nn.N_total
+         |  FROM spine s
+         |  LEFT JOIN cls c ON s.nation = c.nation
+         |    AND s.segment = c.segment AND s.bkt = c.bkt
+         |  LEFT JOIN gcnt g ON s.bkt = g.bkt
+         |  CROSS JOIN nn
+         |), pd AS (
+         |  SELECT nation, segment, n, N_total, bkt,
+         |         CAST(sum(c * N_total - g * n) OVER (
+         |           PARTITION BY nation, segment ORDER BY bkt
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS dd
+         |  FROM j
+         |)
+         |SELECT nation, segment, CAST(n AS BIGINT) AS class_size,
+         |       CAST(sum(abs(dd)) * 1000000 // (9 * n * N_total) AS BIGINT)
+         |         AS emd_ppm
+         |FROM pd WHERE bkt < 9
+         |GROUP BY nation, segment, n, N_total""".stripMargin)
+}

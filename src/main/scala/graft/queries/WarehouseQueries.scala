@@ -209,6 +209,20 @@ object WarehouseQueries {
           col("e.sub").as("l_linenumber"))
     }),
 
+    // HITS hubs/authorities on the DIRECTED buyer->item graph (2 exact
+    // integer iterations, global-max renormalization): authorities are
+    // items bought by high-score buyers RECURSIVELY — the mutual-
+    // reinforcement ranking plain degree can't express. Oracle unrolls
+    // the same half-steps as CTEs (the q99 pattern).
+    "q224_hits" -> ((s, d) => {
+      val e = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+      Graph.hitsInt(e, "o_custkey", "l_partkey", iterations = 2)
+    }),
+
     // PageRank centrality over the part co-occurrence graph (q87's edges,
     // support >= 2), 3 iterations of exact integer arithmetic — the
     // "which items anchor the catalog" score, bit-identical at any
@@ -1191,6 +1205,44 @@ object WarehouseQueries {
         |               ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rnk
         |      FROM lineitem)
         |WHERE rnk <= 3""".stripMargin,
+
+    "q224_hits" -> {
+      // one authority half-step then one hub half-step, each renormalized
+      // by its global max — mirrors Graph.hitsInt term for term
+      def authStep(out: String, hubs: String): String =
+        s"""${out}r AS (
+           |  SELECT e.dst, CAST(sum($hubs.h) AS BIGINT) AS m
+           |  FROM e JOIN $hubs ON e.src = $hubs.src GROUP BY e.dst
+           |), $out AS (
+           |  SELECT dst,
+           |         CAST(m * 1000000 // (SELECT max(m) FROM ${out}r)
+           |           AS BIGINT) AS a
+           |  FROM ${out}r
+           |)""".stripMargin
+      def hubStep(out: String, auths: String): String =
+        s"""${out}r AS (
+           |  SELECT e.src, CAST(sum($auths.a) AS BIGINT) AS m
+           |  FROM e JOIN $auths ON e.dst = $auths.dst GROUP BY e.src
+           |), $out AS (
+           |  SELECT src,
+           |         CAST(m * 1000000 // (SELECT max(m) FROM ${out}r)
+           |           AS BIGINT) AS h
+           |  FROM ${out}r
+           |)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |), h0 AS (
+         |  SELECT DISTINCT src, CAST(1000000 AS BIGINT) AS h FROM e
+         |),
+         |${authStep("a1", "h0")},
+         |${hubStep("h1", "a1")},
+         |${authStep("a2", "h1")},
+         |${hubStep("h2", "a2")}
+         |SELECT 'hub' AS side, src AS node, h AS score FROM h2
+         |UNION ALL
+         |SELECT 'auth' AS side, dst AS node, a AS score FROM a2""".stripMargin
+    },
 
     "q99_pagerank" ->
       s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),

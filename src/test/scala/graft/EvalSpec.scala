@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Eval, EventTime, Graph, Quality}
+
+/** Unit checks for the evaluation-metric, change-point, privacy-audit,
+  * and HITS operators — each against a hand-computed or independently
+  * simulated reference, not just shape.
+  */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- AUC
+
+  test("rocAucPpm is 1e6 on perfect separation and 0 on inverted") {
+    val df = Seq(
+      ("g", false, 1L), ("g", false, 2L), ("g", true, 3L), ("g", true, 4L),
+      ("b", true, 1L), ("b", true, 2L), ("b", false, 3L), ("b", false, 4L))
+      .toDF("grp", "y", "s")
+    val out = Eval.rocAucPpm(df, col("grp"), col("y"), col("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("g") == 1000000L)
+    assert(out("b") == 0L)
+  }
+
+  test("rocAucPpm mid-ranks ties: one tied pos/neg pair = half credit") {
+    // pos at 2, neg at 2 (tied), neg at 1: pairs = (2,2)->0.5, (2,1)->1
+    // AUC = 1.5/2 = 0.75
+    val df = Seq(("g", true, 2L), ("g", false, 2L), ("g", false, 1L))
+      .toDF("grp", "y", "s")
+    val out = Eval.rocAucPpm(df, col("grp"), col("y"), col("s")).collect()
+    assert(out.head.getLong(3) == 750000L)
+  }
+
+  test("rocAucPpm yields NULL on single-class groups") {
+    val df = Seq(("g", true, 1L), ("g", true, 2L)).toDF("grp", "y", "s")
+    val out = Eval.rocAucPpm(df, col("grp"), col("y"), col("s")).collect()
+    assert(out.head.isNullAt(3))
+  }
+
+  test("rocAucPpm equals the O(n^2) pair-counting definition on a seeded sample") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 60).map { i =>
+      ("g", rnd.nextBoolean(), rnd.nextInt(10).toLong) }
+    val out = Eval.rocAucPpm(rows.toDF("grp", "y", "s"),
+      col("grp"), col("y"), col("s")).collect().head.getLong(3)
+    val pos = rows.filter(_._2).map(_._3)
+    val neg = rows.filterNot(_._2).map(_._3)
+    // 2x pair credit: win=2, tie=1 — integer, no float comparison
+    val credit2 = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(out == credit2 * 1000000L / (2L * pos.size * neg.size))
+  }
+
+  // -------------------------------------------------------- calibration
+
+  test("calibrationBins: bin edges, counts, and the derived ECE") {
+    val df = Seq(
+      (50000L, false), (150000L, false), (150000L, true),
+      (950000L, true), (1000000L, true)).toDF("p", "y")
+    val bins = Eval.calibrationBins(df, col("p"), col("y"), bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    // p=1e6 joins bin 9 (closed top edge), not a phantom bin 10
+    assert(bins.keySet == Set(0L, 1L, 9L))
+    assert(bins(0L) == ((1L, 50000L, 0L)))
+    assert(bins(1L) == ((2L, 150000L, 500000L)))
+    assert(bins(9L) == ((2L, 975000L, 1000000L)))
+    // ECE = sum n_b * gap_b / N over the output rows
+    val eceNum = Eval.calibrationBins(df, col("p"), col("y"), bins = 10)
+      .agg(sum(col("n") * col("gap_ppm"))).collect().head.getLong(0)
+    assert(eceNum == 800000L)       // 1*50000 + 2*350000 + 2*25000
+    assert(eceNum / 5L == 160000L)  // ECE = 0.16
+  }
+
+  // -------------------------------------------------------------- kappa
+
+  test("cohenKappaPpm: perfect=1e6, independent~0, worse-than-chance<0") {
+    val perfect = Seq(("g", "a", "a"), ("g", "b", "b"))
+      .toDF("grp", "ra", "rb")
+    assert(Eval.cohenKappaPpm(perfect, col("grp"), col("ra"), col("rb"))
+      .collect().head.getLong(3) == 1000000L)
+    // 2x2 balanced marginals, zero agreement: po=0, pe=1/2, kappa=-1
+    val anti = Seq(("g", "a", "b"), ("g", "b", "a"),
+      ("g", "a", "b"), ("g", "b", "a")).toDF("grp", "ra", "rb")
+    assert(Eval.cohenKappaPpm(anti, col("grp"), col("ra"), col("rb"))
+      .collect().head.getLong(3) == -1000000L)
+  }
+
+  test("cohenKappaPpm hand case: po=0.6 pe=0.5 => kappa=0.2") {
+    // 10 rows, balanced binary marginals for both raters, 6 agreements
+    val rows = Seq(
+      ("g", "x", "x"), ("g", "x", "x"), ("g", "x", "x"),
+      ("g", "y", "y"), ("g", "y", "y"), ("g", "y", "y"),
+      ("g", "x", "y"), ("g", "x", "y"),
+      ("g", "y", "x"), ("g", "y", "x")).toDF("grp", "ra", "rb")
+    val out = Eval.cohenKappaPpm(rows, col("grp"), col("ra"), col("rb"))
+      .collect().head
+    assert(out.getLong(1) == 10L && out.getLong(2) == 6L)
+    assert(out.getLong(3) == 200000L)
+  }
+
+  test("cohenKappaPpm: both raters constant-identical yields NULL") {
+    val df = Seq(("g", "a", "a"), ("g", "a", "a")).toDF("grp", "ra", "rb")
+    assert(Eval.cohenKappaPpm(df, col("grp"), col("ra"), col("rb"))
+      .collect().head.isNullAt(3))
+  }
+
+  // -------------------------------------------------------------- CUSUM
+
+  test("cusum matches the sequential max(0, S + d) recurrence exactly") {
+    val rnd = new scala.util.Random(11)
+    val series = (1 to 40).map(i => (i.toLong,
+      (rnd.nextInt(5) + (if (i > 30) 4 else 0)).toLong))
+    val df = series.map { case (t, x) => ("k", t, x) }.toDF("key", "t", "x")
+    val out = EventTime.cusum(df, col("key"), col("t"), col("x"),
+      k = 1L, h = 5L)
+      .orderBy("t").collect()
+      .map(r => (r.getLong(1), r.getLong(4), r.getBoolean(5)))
+    // independent in-memory reference on the SAME scaled integers
+    val n = series.size.toLong
+    val total = series.map(_._2).sum
+    var s = 0L
+    val ref = series.map { case (t, x) =>
+      s = math.max(0L, s + (n * x - total - n * 1L))
+      (t, s, s >= 5L * n)
+    }
+    assert(out.toSeq == ref)
+    // the late level shift must actually alarm, and the start must not
+    assert(ref.takeWhile(_._1 <= 20).forall(!_._3))
+    assert(ref.exists(_._3))
+  }
+
+  // ------------------------------------------------------------ privacy
+
+  test("lDiversityClasses flags exactly the under-l classes") {
+    val df = Seq(
+      ("n1", "s1", 1L), ("n1", "s1", 1L), ("n1", "s1", 2L),
+      ("n2", "s1", 1L), ("n2", "s1", 2L), ("n2", "s1", 3L))
+      .toDF("nation", "seg", "sens")
+    val out = Quality.lDiversityClasses(df,
+      Seq(col("nation"), col("seg")), col("sens"), l = 3L).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "n1" && out.head.getLong(3) == 2L)
+  }
+
+  test("tClosenessEmd: class == global gives 0; concentrated class is exact") {
+    // global: 4 rows in bucket 0, 4 in bucket 2 (m=3); class A mirrors
+    // the global mix, class B sits entirely in bucket 0
+    val df = Seq(
+      ("A", 0L), ("A", 0L), ("A", 2L), ("A", 2L),
+      ("B", 0L), ("B", 0L), ("B", 2L), ("B", 2L))
+      .toDF("cls", "b")
+    val mirror = Quality.tClosenessEmd(df, Seq(col("cls")), col("b"), m = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(mirror("A") == 0L && mirror("B") == 0L)
+    val skew = Seq(
+      ("A", 0L), ("A", 0L), ("A", 2L), ("A", 2L),
+      ("B", 0L), ("B", 0L), ("B", 0L), ("B", 0L))
+      .toDF("cls", "b")
+    val out = Quality.tClosenessEmd(skew, Seq(col("cls")), col("b"), m = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // global p=(6/8, 0, 2/8); B=(1,0,0): prefixes |1-3/4|=1/4, |1-3/4|=1/4
+    // EMD = (1/2)(1/4+1/4) = 1/4
+    assert(out("B") == 250000L)
+    // A=(1/2,0,1/2): prefixes |1/2-3/4|=1/4 twice -> EMD = 1/4
+    assert(out("A") == 250000L)
+  }
+
+  // --------------------------------------------------------------- HITS
+
+  test("hitsInt: authority ranking follows recursive hub quality, max==scale") {
+    // u1 buys {p1, p2}; u2 buys {p1}; u3 buys {p3} and nothing else.
+    // Round 1: a(p1)=2, a(p2)=1, a(p3)=1 -> p1 is top authority;
+    // hubs: h(u1)=a(p1)+a(p2) > h(u2)=a(p1) > h(u3)=a(p3).
+    val e = Seq((1L, 101L), (1L, 102L), (2L, 101L), (3L, 103L))
+      .toDF("u", "p")
+    val out = Graph.hitsInt(e, "u", "p", iterations = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out(("auth", 101L)) == 1000000L) // top authority pinned at scale
+    assert(out(("hub", 1L)) == 1000000L)    // top hub pinned at scale
+    assert(out(("auth", 101L)) > out(("auth", 102L)))
+    assert(out(("hub", 2L)) > out(("hub", 3L)))
+    // p2 (bought only by the best hub) outranks p3 (bought by a weak hub)
+    assert(out(("auth", 102L)) > out(("auth", 103L)))
+    assert(out.keys.count(_._1 == "auth") == 3)
+    assert(out.keys.count(_._1 == "hub") == 3)
+  }
+}
