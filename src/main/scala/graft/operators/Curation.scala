@@ -602,4 +602,40 @@ object Curation {
         (col("base") + when(col("_r") <= col("_extra"), 1L).otherwise(0L))
           .as("quota"))
   }
+
+  /** Sliding-window document chunking with overlap — the RAG/embedding
+    * prep step: each document becomes chunks of `size` characters whose
+    * starts step by `stride` (< size ⇒ consecutive chunks overlap by
+    * `size − stride`, so no sentence straddling a boundary is lost to
+    * BOTH chunks). Start offsets are `0, stride, …, K·stride` with
+    * `K = ⌈(len − size)/stride⌉` for len > size (else 0), chosen so the
+    * LAST chunk always covers the tail `[len − size, len)`: coverage is
+    * total, and only the final chunk may run short.
+    *
+    * Chunk identity is (doc_id, chunk_idx) plus the 1-based `pos`, so
+    * downstream embedding/dedup joins back to the exact source span
+    * without re-deriving offsets. Row-local throughout —
+    * `explode(sequence(...))` then `substring` — no shuffle, no UDF;
+    * scales as a pure map over the corpus.
+    */
+  def overlapChunks(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size >= 1, s"chunk size must be >= 1, got $size")
+    require(stride >= 1 && stride <= size,
+      s"stride must be in [1, size], got $stride (size $size)")
+    docs
+      .select(col(idCol), col(textCol).as("_text"))
+      .withColumn("_len", length(col("_text")).cast("long"))
+      .withColumn("_k",
+        when(col("_len") > size,
+          expr(s"(_len - $size + $stride - 1) div $stride"))
+          .otherwise(0L))
+      .select(col(idCol), col("_text"),
+        explode(sequence(lit(0L), col("_k"))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * stride + 1).as("pos"),
+        expr(s"substring(_text, chunk_idx * $stride + 1, $size)")
+          .as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+  }
 }

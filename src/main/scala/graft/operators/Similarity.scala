@@ -1117,4 +1117,182 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), col("sim"))
   }
+
+  /** Deterministic ±1 sign for the Johnson–Lindenstrauss projection
+    * matrix entry (input dim `i`, output dim `j`): parity of the first
+    * 32 md5 bits of "i|j" — the same md5-derived-randomness convention
+    * as `Curation.hashBucket` and the RH-LSH planes, reproducible in
+    * any engine from the same string.
+    */
+  def jlSign(i: Int, j: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i|$j".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+  }
+
+  /** Johnson–Lindenstrauss random projection with a ±1 (Achlioptas,
+    * JCSS 2003) sign matrix, in exact integer arithmetic: embeddings are
+    * quantized to `round(x·10⁶)` BIGINTs (the same `uq` convention as
+    * the PQ/int8 paths) and each output coordinate is `y_j = Σ_i
+    * sign(i,j)·u_i` — a row-local `zip_with`/`aggregate` fold over the
+    * array with the sign matrix baked in as literals. No shuffle, no
+    * UDF, whole-stage-codegen friendly: at 100 TB this is a pure map
+    * over the corpus, the standard dimensionality-reduction front end
+    * before LSH/IVF indexing (distances are preserved to 1±ε with
+    * ε ~ √(log n / outDims)).
+    *
+    * Output is long form — (`id`, `j`, `y`) — so the oracle can mirror
+    * the sum per (vector, output-dim) pair exactly; `toDenseJl` below
+    * refolds it to an array column for downstream ANN use.
+    */
+  def randomProjectInt(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, outDims: Int): DataFrame = {
+    require(dim >= 1 && outDims >= 1, s"bad dims: $dim -> $outDims")
+    val signs: IndexedSeq[Seq[Long]] =
+      (0 until outDims).map(j => (0 until dim).map(i => jlSign(i, j)))
+    val uq = transform(col(vecCol), x =>
+      round(x.cast("double") * 1000000d).cast("long"))
+    val yArr = array((0 until outDims).map { j =>
+      aggregate(
+        zip_with(col("_uq"), typedLit(signs(j)), (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v)
+    }: _*)
+    df.withColumn("_uq", uq)
+      .select(col(idCol), posexplode(yArr).as(Seq("j", "y")))
+      .select(col(idCol), col("j").cast("long").as("j"), col("y"))
+  }
+
+  /** Refold [[randomProjectInt]]'s long form to (`id`, `jlvec`:
+    * Array[Double]) for use as an ANN input — one keyed aggregate.
+    */
+  def toDenseJl(longForm: DataFrame, idCol: String): DataFrame =
+    longForm.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("j"), col("y")))).as("_s"))
+      .select(col(idCol),
+        transform(col("_s"), e => e.getField("y").cast("double"))
+          .as("jlvec"))
+
+  /** PCA projection: exact distributed covariance accumulation, a
+    * deterministic driver-side Jacobi eigensolver on the collected d×d
+    * matrix (bounded control data — 64×64 doubles here, never row
+    * data), and a distributed row-local projection of every vector onto
+    * the top-k principal axes. This is the standard scale shape for
+    * d ≪ n: the only thing that ever leaves the executors is the d²
+    * moment matrix, built with map-side partial aggregation so the
+    * exchange carries d² rows per task, not n·d².
+    *
+    * Not oracle-checkable (no eigensolver in SQL); `EvalSpec` asserts
+    * the spectral invariants instead: V orthonormal, eigenvalues sorted
+    * and non-negative, per-component projected variance equal to the
+    * eigenvalue, and trace preservation vs the input variance.
+    *
+    * Output: (`id`, `pc` ∈ 0..k−1, `y` rounded to 6) — long form like
+    * [[randomProjectInt]].
+    */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int): DataFrame = {
+    require(k >= 1 && k <= dim, s"need 1 <= k <= $dim, got $k")
+    val x = df.select(col(idCol),
+      transform(col(vecCol), _.cast("double")).as("_x"))
+    // distributed moments: n, sum_i, sum_ij — one pass, map-side combine
+    val expl = x.select(posexplode(col("_x")).as(Seq("i", "xi")))
+    val n = x.count().toDouble
+    require(n > 1, "PCA needs at least 2 rows")
+    val means = expl.groupBy(col("i")).agg(sum(col("xi")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1) / n).toMap
+    val mu = (0 until dim).map(means(_)).toArray
+    val pairs = x
+      .select(posexplode(col("_x")).as(Seq("i", "xi")), col("_x"))
+      .select(col("i"), col("xi"), posexplode(col("_x")).as(Seq("jj", "xj")))
+      .filter(col("jj") >= col("i")) // symmetric: accumulate upper triangle
+      .groupBy(col("i"), col("jj")).agg(sum(col("xi") * col("xj")).as("sxy"))
+      .collect()
+    val cov = Array.ofDim[Double](dim, dim)
+    pairs.foreach { r =>
+      val (i, j, sxy) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      val c = (sxy - n * mu(i) * mu(j)) / (n - 1)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = evals.indices.sortBy(i => (-evals(i), i)).take(k)
+    // project: y_c = (x - mu) . v_c, row-local with literal axes
+    val muLit = typedLit(mu.toSeq)
+    val yArr = array(order.map { c =>
+      val v = typedLit((0 until dim).map(i => evecs(i)(c)))
+      round(aggregate(
+        zip_with(zip_with(col("_x"), muLit, (a, m) => a - m), v,
+          (d0, vi) => d0 * vi),
+        lit(0.0d), (acc, t) => acc + t), 6)
+    }: _*)
+    x.select(col(idCol), posexplode(yArr).as(Seq("pc", "y")))
+      .select(col(idCol), col("pc").cast("long").as("pc"), col("y"))
+  }
+
+  /** Eigenvalues the same way `pcaProject` computes them, exposed for
+    * the spec's invariant checks: (sorted-desc eigenvalues, trace).
+    */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    // cyclic Jacobi sweeps in fixed (p,q) order — deterministic given
+    // the input matrix; converges quadratically for symmetric matrices
+    var sweep = 0
+    var off = offDiag(a)
+    while (sweep < 100 && off > 1e-12) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 // theta == 0 => t = 1
+                case tt => tt
+              }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+            a(p)(q) = 0.0; a(q)(p) = 0.0
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    s
+  }
 }

@@ -17,6 +17,14 @@ object CurationQueries {
     OracleSql.bucketSql(id, buckets)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Sliding-window RAG chunking: 200-char chunks stepping by 100 (50%
+    // overlap), last chunk always covering the tail — stable (doc_id,
+    // chunk_idx, pos) identity for downstream embedding/dedup joins.
+    // Row-local explode(sequence)+substring: a pure map, no shuffle.
+    "q226_chunk_overlap" -> ((s, d) =>
+      Curation.overlapChunks(Tables.documents(s, d), "doc_id", "text",
+        size = 200, stride = 100)),
+
     // Deterministic 90/5/5 split with per-(lang, split) accounting. The
     // assignment is a pure function of doc_id — stable across cluster
     // sizes, reruns, and corpus growth.
@@ -269,6 +277,24 @@ object CurationQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q226_chunk_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents
+        |), k AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN len > 200 THEN (len - 200 + 100 - 1) // 100
+        |              ELSE 0 END AS kk
+        |  FROM d
+        |), c AS (
+        |  SELECT doc_id, text, unnest(generate_series(0, kk)) AS i FROM k
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |       CAST(i * 100 + 1 AS BIGINT) AS pos,
+        |       substr(text, i * 100 + 1, 200) AS chunk,
+        |       CAST(length(substr(text, i * 100 + 1, 200)) AS BIGINT)
+        |         AS chunk_len
+        |FROM c""".stripMargin,
+
     "q62_hash_split" ->
       s"""WITH split AS (
          |  SELECT lang, n_chars,

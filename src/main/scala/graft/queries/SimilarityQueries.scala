@@ -339,6 +339,26 @@ object SimilarityQueries {
       .select(col("id_a"), col("id_b"))
 
   val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Johnson-Lindenstrauss ±1 random projection 64 -> 16, exact integer
+    // arithmetic over round(x*1e6) quantized embeddings with md5-derived
+    // signs — the dimensionality-reduction front end for ANN at scale,
+    // as a row-local zip_with/aggregate fold (no shuffle, no UDF). The
+    // oracle regenerates the SAME sign matrix from md5("i|j") in SQL.
+    "q228_rproj" -> ((s, d) =>
+      Similarity.randomProjectInt(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, outDims = 16)),
+
+    // PCA projection onto the top-4 principal axes: distributed moment
+    // accumulation (map-side combined d² exchange), driver Jacobi eigen
+    // on the bounded 64x64 covariance, distributed row-local projection.
+    // No SQL eigensolver exists, so this is a documented rows-only gate;
+    // EvalSpec asserts the spectral invariants (orthonormality, sorted
+    // non-negative eigenvalues, per-component variance == eigenvalue,
+    // trace preservation).
+    "q229_pca" -> ((s, d) =>
+      Similarity.pcaProject(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, k = 4)),
+
     // Embedding duplicate clusters: connected components over the cosine
     // near-dup pair graph, min-id canonical.
     "q53_embed_dup_clusters" -> ((s, d) =>
@@ -483,6 +503,22 @@ object SimilarityQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q228_rproj" ->
+      """WITH gs AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |js AS (SELECT unnest(generate_series(0, 15)) AS j),
+        |u AS (
+        |  SELECT e.vec_id, gs.i,
+        |         CAST(round(CAST(e.embedding[gs.i + 1] AS DOUBLE) * 1000000)
+        |           AS BIGINT) AS ui
+        |  FROM embeddings e CROSS JOIN gs
+        |)
+        |SELECT u.vec_id, CAST(js.j AS BIGINT) AS j,
+        |       CAST(sum(ui * (1 - 2 * (('0x' || substr(md5(
+        |         CAST(u.i AS VARCHAR) || '|' || CAST(js.j AS VARCHAR)),
+        |         1, 8))::BIGINT % 2))) AS BIGINT) AS y
+        |FROM u CROSS JOIN js
+        |GROUP BY u.vec_id, js.j""".stripMargin,
+
     "q53_embed_dup_clusters" ->
       s"""${VCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, pairs AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b

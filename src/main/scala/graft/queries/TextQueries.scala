@@ -280,6 +280,33 @@ object TextQueries {
     // shuffles one row per DISTINCT token (billions); the sketch ships
     // ≤ 29 counters per map task and the confirm pass aggregates a
     // 29-key space. Threshold is cross-multiplied BIGINT (count*30 > n).
+    // Count-Min-sketch heavy hitters with exact confirm — the CMS
+    // counterpart to q157's Misra-Gries: the sketch is a FIXED 4x2048
+    // counter grid whose merge is pointwise add (bit-identical under any
+    // partitioning, unlike MG's order-dependent candidate list), and its
+    // estimates NEVER undercount, so filtering token instances by
+    // estimate >= T map-side (row-local vs the broadcast sketch) keeps
+    // every true heavy hitter with certainty; the exact re-count of the
+    // surviving sliver drops the bounded false positives (error <= 2n/w
+    // ~ 26 here, threshold 150). The hash match against the plain
+    // GROUP BY/HAVING oracle proves the prefilter lossless. At 100 TB
+    // only instance rows whose token MIGHT be heavy reach the shuffle.
+    "q227_cms_heavy" -> ((s, d) => {
+      import s.implicits._
+      val tk = toks(s, d).select(explode(col("tok")).as("token"))
+      val cms = new graft.functions.CountMinAggregator(4, 2048)
+      // bounded control data: one 4*2048-long grid, not per-key state
+      val sk = tk.as[String].groupByKey(_ => 0)
+        .agg(cms.toColumn.name("sk")).collect().head._2
+      val table = sk.table
+      val est = udf((t: String) =>
+        graft.functions.CountMin.estimate(table, 4, 2048, t))
+      val cand = tk.filter(est(col("token")) >= 150L).distinct()
+      tk.join(broadcast(cand), Seq("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 150L)
+    }),
+
     "q157_heavy_hitters" -> ((s, d) => {
       import s.implicits._
       val tk = toks(s, d).select(explode(col("tok")).as("token"))
@@ -628,6 +655,13 @@ object TextQueries {
 
     // The plain exact form the MG-sketch-prefiltered plan must equal:
     // every token whose count clears the cross-multiplied 1/30 threshold.
+    "q227_cms_heavy" ->
+      s"""$TokCte, inst AS (
+         |  SELECT unnest(tok) AS token FROM t
+         |)
+         |SELECT token, count(*) AS n FROM inst GROUP BY token
+         |HAVING count(*) >= 150""".stripMargin,
+
     "q157_heavy_hitters" ->
       s"""$TokCte, inst AS (
          |  SELECT unnest(tok) AS token FROM t

@@ -266,4 +266,31 @@ class CurationSpec extends SparkSpec {
     assert(again.toSet == out.toSet,
       "the realized sample must not depend on partitioning")
   }
+
+  test("overlapChunks: coverage, overlap, tail behavior, and identity") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a" * 306),   // 3 chunks: 0,100,200; last len 106
+      (2L, "b" * 200),   // exactly size: 1 chunk
+      (3L, "c" * 48),    // short: 1 chunk of 48
+      (4L, "d" * 201)    // 2 chunks; tail covered by chunk at 100
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Curation
+      .overlapChunks(docs, "doc_id", "text", size = 200, stride = 100)
+      .select("doc_id", "chunk_idx", "pos", "chunk_len")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(out(1L).map(c => (c._3, c._4)).toSeq ==
+      Seq((1L, 200L), (101L, 200L), (201L, 106L)))
+    assert(out(2L).map(c => (c._3, c._4)).toSeq == Seq((1L, 200L)))
+    assert(out(3L).map(c => (c._3, c._4)).toSeq == Seq((1L, 48L)))
+    assert(out(4L).map(c => (c._3, c._4)).toSeq ==
+      Seq((1L, 200L), (101L, 101L)))
+    // coverage: every character position of every doc is inside a chunk
+    for ((id, chunks) <- out; len = Map(1L -> 306L, 2L -> 200L,
+        3L -> 48L, 4L -> 201L)(id)) {
+      val covered = chunks.flatMap(c => c._3 until (c._3 + c._4))
+      assert(covered.toSet == (1L to len).toSet, s"doc $id coverage")
+    }
+  }
 }

@@ -663,4 +663,71 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(top2 == out.take(2).map(_._1).toSet, "k must take the prefix")
   }
+
+  test("randomProjectInt: basis vectors read out the sign matrix; linearity holds") {
+    import spark.implicits._
+    val dim = 8; val out = 4
+    // e_i scaled by 1.0 => uq = 1e6 at slot i => y_j = sign(i,j) * 1e6
+    val basis = (0 until dim).map(i =>
+      (i.toLong, Array.tabulate(dim)(k => if (k == i) 1.0f else 0.0f)))
+    val proj = Similarity.randomProjectInt(basis.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dim, out)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, j, y) => (id, j) -> y }.toMap
+    for (i <- 0 until dim; j <- 0 until out) {
+      assert(proj((i.toLong, j.toLong)) ==
+        Similarity.jlSign(i, j) * 1000000L, s"($i,$j)")
+      assert(math.abs(proj((i.toLong, j.toLong))) == 1000000L)
+    }
+    // linearity: y(a + b) == y(a) + y(b) for quantization-exact inputs
+    val a = Array.tabulate(dim)(k => k.toFloat)        // integral floats
+    val b = Array.tabulate(dim)(k => (2 * k).toFloat)
+    val ab = Array.tabulate(dim)(k => (3 * k).toFloat)
+    val three = Seq((1L, a), (2L, b), (3L, ab)).toDF("vec_id", "embedding")
+    val p = Similarity.randomProjectInt(three, "vec_id", "embedding", dim, out)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(p(3L) == p(1L).zip(p(2L)).map { case (x, y) => x + y })
+  }
+
+  test("jacobiEigen recovers a known spectrum; pcaProject satisfies the spectral invariants") {
+    import spark.implicits._
+    // known 2x2: [[2,1],[1,2]] has eigenvalues 3 and 1
+    val (ev, _) = Similarity.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(ev.sorted.reverse.zip(Seq(3.0, 1.0))
+      .forall { case (g, w) => math.abs(g - w) < 1e-9 })
+
+    // anisotropic synthetic cloud: x ~ (t, 0.1*t, noise), top axis ~ (1, 0.1, 0)/|.|
+    val rnd = new scala.util.Random(5)
+    val dim = 6
+    val rows = (1 to 400).map { i =>
+      val t = rnd.nextGaussian() * 10
+      val arr = Array.tabulate(dim)(k =>
+        (if (k == 0) t else if (k == 1) 0.1 * t
+         else rnd.nextGaussian() * 0.5).toFloat)
+      (i.toLong, arr)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val proj = Similarity.pcaProject(df, "vec_id", "embedding", dim, k = 3)
+      .as[(Long, Long, Double)].collect()
+    val byPc = proj.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    def variance(xs: Array[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+    }
+    val vars = (0 until 3).map(c => variance(byPc(c.toLong)))
+    // component variances are sorted and the first dominates (signal axis)
+    assert(vars(0) > vars(1) && vars(1) >= vars(2) - 1e-9)
+    assert(vars(0) > 50.0, s"signal variance ${vars(0)}")
+    assert(vars(1) < 1.0 && vars(2) < 1.0, "noise axes stay small")
+    // components are uncorrelated (covariance ~ 0 between pc0 and pc1)
+    val p0 = proj.filter(_._2 == 0L).sortBy(_._1).map(_._3)
+    val p1 = proj.filter(_._2 == 1L).sortBy(_._1).map(_._3)
+    val m0 = p0.sum / p0.length; val m1 = p1.sum / p1.length
+    val covPc = p0.zip(p1).map { case (x, y) => (x - m0) * (y - m1) }
+      .sum / (p0.length - 1)
+    assert(math.abs(covPc) < 0.05 * math.sqrt(vars(0) * vars(1)) + 1e-6,
+      s"pc0/pc1 covariance $covPc")
+  }
 }

@@ -360,4 +360,31 @@ class TextSpec extends SparkSpec {
       assert(got == want, s"parts=$parts")
     }
   }
+
+  test("CountMin sketch never undercounts and is partition-invariant") {
+    import spark.implicits._
+    import graft.functions.{CountMin, CountMinAggregator}
+    val rnd = new scala.util.Random(13)
+    val items = (1 to 3000).map(_ => s"tok${rnd.nextInt(80)}")
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def sketch(parts: Int) = items.toDF("t").repartition(parts)
+      .as[String].groupByKey(_ => 0)
+      .agg(new CountMinAggregator(4, 256).toColumn.name("sk"))
+      .collect().head._2
+    val sk = sketch(1)
+    // one-sided error: estimate >= exact for EVERY key
+    exact.foreach { case (t, n) =>
+      assert(CountMin.estimate(sk.table, 4, 256, t) >= n, t) }
+    assert(sk.n == 3000L)
+    // pointwise-add merge: the grid is bit-identical under any partitioning
+    val sk7 = sketch(7)
+    assert(java.util.Arrays.equals(sk.table, sk7.table) && sk7.n == sk.n,
+      "CMS must be partition-invariant, unlike MG")
+    // threshold prefilter keeps every true heavy hitter
+    val thresh = 50L
+    val heavy = exact.filter(_._2 >= thresh).keySet
+    val kept = exact.keySet.filter(t =>
+      CountMin.estimate(sk.table, 4, 256, t) >= thresh)
+    assert(heavy.subsetOf(kept), "no false negatives")
+  }
 }
