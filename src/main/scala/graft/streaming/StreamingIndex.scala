@@ -1,0 +1,144 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Retrieval
+import graft.operators.Retrieval.RetrievalIndex
+
+/** Streaming retrieval-index ingestion: the q213/q214 delta-maintained
+  * inverted index wired into Structured Streaming — [[StreamingIvf]]'s
+  * probe-then-fold contract applied to lexical search. Each arriving
+  * document batch is (1) PROBED against the index as of the previous
+  * committed state — the serve path: "what does the corpus already hold
+  * that reads like this?", the lexical arrival-novelty check — and then
+  * (2) FOLDED into the index as a new posting segment.
+  *
+  * On-disk layout is LOG-STRUCTURED (all parquet): every index table is a
+  * directory of per-delta segments, because every piece of BM25 state is
+  * ADDITIVE —
+  * {{{
+  *   dir/postings/d=<name>/   posting rows (disjoint doc ids ⇒ pure append)
+  *   dir/terms/d=<name>/      the delta's OWN per-term df contribution
+  *   dir/docs/d=<name>/       new (doc_id, dl) rows
+  *   dir/stats/d=<name>/      the delta's (s_total, n_docs) one-row frame
+  *   dir/commits/<name>       marker: segment <name> is fully written
+  * }}}
+  * [[loadIndex]] merges on read: postings/docs union, df sums per term,
+  * the scalars sum — exact BIGINT adds, so the merged view is bit-identical
+  * to a from-scratch [[Retrieval.buildIndex]] over everything ingested
+  * (the ScaleSpec capstone equality). A fold therefore writes O(|batch|)
+  * rows and NEVER rewrites existing segments — the LSM economics; read
+  * amplification from many small segments is reclaimed by [[compact]],
+  * which rewrites the merged view as a single `base` segment (same
+  * marker-last protocol, same bit-identical contract).
+  *
+  * Crash safety is commit-marker-last, exactly [[StreamingIvf]]'s
+  * protocol: a fold killed mid-write leaves an uncommitted segment that
+  * loadIndex ignores; Structured Streaming replays the batch (same
+  * batchId) and the rewrite is deterministic (buildIndex of the same
+  * rows), so kill-and-resume converges to the batch rebuild. The probe
+  * loads the index EXCLUDING the current batch's own segment, so a
+  * replay after a committed fold probes the same pre-batch state and a
+  * document never matches itself.
+  */
+object StreamingIndex {
+
+  private def commitDir(dir: String) = s"$dir/commits"
+
+  private def commit(dir: String, name: String): Unit = {
+    Files.createDirectories(Paths.get(commitDir(dir)))
+    val marker = Paths.get(commitDir(dir), name)
+    if (!Files.exists(marker)) Files.createFile(marker)
+  }
+
+  /** Names of fully-written segments, sorted for deterministic plans. */
+  def committedDeltas(dir: String): Seq[String] =
+    Option(new java.io.File(commitDir(dir)).list())
+      .map(_.toSeq.sorted).getOrElse(Seq.empty)
+
+  private def writeSegment(dir: String, idx: RetrievalIndex,
+      name: String): Unit = {
+    idx.postings.write.mode("overwrite").parquet(s"$dir/postings/d=$name")
+    idx.terms.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/terms/d=$name")
+    idx.docs.write.mode("overwrite").parquet(s"$dir/docs/d=$name")
+    idx.stats.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/stats/d=$name")
+    commit(dir, name)
+  }
+
+  /** One-time bootstrap: index the historical corpus as segment `base`. */
+  def init(spark: SparkSession, dir: String, corpus: DataFrame,
+      idCol: String, tokCol: String): Unit =
+    writeSegment(dir, Retrieval.buildIndex(corpus, idCol, tokCol), "base")
+
+  /** The index as of the committed segments (optionally excluding one —
+    * the probe path excludes the in-flight batch's own name so replays
+    * see the identical pre-batch state). df/stats merge by exact BIGINT
+    * sums; postings/docs by union — additivity is what makes the
+    * log-structured layout equal the monolithic rebuild.
+    */
+  def loadIndex(spark: SparkSession, dir: String,
+      excluding: Option[String] = None): RetrievalIndex = {
+    val deltas = committedDeltas(dir).filterNot(excluding.contains)
+    require(deltas.nonEmpty, s"no committed segments under $dir — run init()")
+    def read(table: String) =
+      spark.read.parquet(deltas.map(n => s"$dir/$table/d=$n"): _*)
+    RetrievalIndex(
+      read("postings").select(col("term_bucket"), col("term"),
+        col("doc_id"), col("tf"), col("positions")),
+      read("terms").groupBy(col("term")).agg(sum(col("df")).as("df")),
+      read("docs").select(col("doc_id"), col("dl")),
+      read("stats").agg(sum(col("s_total")).as("s_total"),
+        sum(col("n_docs")).as("n_docs")))
+  }
+
+  /** Fold one tokenized document batch as segment `name` — O(|batch|)
+    * postings written, existing segments untouched, marker last.
+    * Idempotent per `name`: a replay overwrites the same directories
+    * with the same rows.
+    */
+  def foldBatch(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, tokCol: String, name: String): Unit =
+    writeSegment(dir, Retrieval.buildIndex(batch, idCol, tokCol), name)
+
+  /** Rewrite the maintained index as a single fresh `base` segment in
+    * `intoDir` — the LSM compaction step reclaiming per-segment read
+    * amplification. The compacted index is bit-identical to the
+    * multi-segment view (exact-integer merges commute with the rewrite).
+    */
+  def compact(spark: SparkSession, dir: String, intoDir: String): Unit =
+    writeSegment(intoDir, loadIndex(spark, dir), "base")
+
+  /** Start the maintenance stream over tokenized documents (`idCol`,
+    * `tokCol`): each micro-batch is probed against the pre-batch index —
+    * per arriving doc, its top-`k` BM25-closest indexed documents, the
+    * lexical novelty/near-dup serve path; results land under
+    * `outDir/d=b<batchId>` with the same marker-last commit — and then
+    * folded in as segment `b<batchId>`.
+    */
+  def start(spark: SparkSession, dir: String, stream: DataFrame,
+      idCol: String, tokCol: String, outDir: String, checkpoint: String,
+      k: Int, trigger: Trigger = Trigger.ProcessingTime("200 milliseconds"))
+      : StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val name = s"b$batchId"
+          val idx = loadIndex(spark, dir, excluding = Some(name))
+          val queryTerms = batch.select(col(idCol).as("query_doc"),
+            explode(col(tokCol)).as("term"))
+          Retrieval.bm25QueriesFromIndex(idx, queryTerms, "query_doc", k)
+            .write.mode("overwrite").parquet(s"$outDir/d=$name")
+          commit(outDir, name)
+          foldBatch(spark, dir, batch, idCol, tokCol, name)
+        }
+      }
+      .start()
+}

@@ -466,6 +466,123 @@ class ScaleSpec extends SparkSpec {
       "served query set != arriving vector set")
   }
 
+  // The round-8 streaming-retrieval capstone: the q213/q214 delta-
+  // maintained inverted index wired into Structured Streaming with the
+  // StreamingIvf probe-then-fold contract — arriving docs are BM25-probed
+  // against the pre-batch index (lexical arrival-novelty serve path),
+  // then folded in as log-structured segments; KILLED between waves and
+  // resumed from the checkpoint; finally COMPACTED. Equality asserted
+  // against the monolithic batch rebuild at every observable: postings
+  // surface, BM25 scores, and the pre-kill probe output.
+  test("streaming retrieval capstone: stream-probed, segment-folded inverted " +
+      "index survives kill-and-resume, equals the batch rebuild, compacts") {
+    import graft.operators.{Dedup, Retrieval}
+    import graft.streaming.StreamingIndex
+    import org.apache.spark.sql.streaming.Trigger
+
+    val raw = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text"))
+    def toks(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("tok"))
+    val all = toks(raw)
+    val base = all.filter(col("doc_id") % 10 < 7)
+    val dir = Files.createTempDirectory("graft-sidx").toString
+    StreamingIndex.init(spark, dir, base, "doc_id", "tok")
+    assert(StreamingIndex.committedDeltas(dir) == Seq("base"))
+
+    val streamDir = Files.createTempDirectory("graft-sidx-in")
+    def dropWave(tag: Int): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-sidx-w$tag").toString
+      raw.filter(col("doc_id") % 10 === tag).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, streamDir.resolve(s"wave$tag.parquet"))
+    }
+    val outDir = Files.createTempDirectory("graft-sidx-out").toString
+    val ckpt = Files.createTempDirectory("graft-sidx-ckpt").toString
+    def startStream() = StreamingIndex.start(spark, dir,
+      toks(spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)),
+      "doc_id", "tok", outDir, ckpt, k = 5,
+      Trigger.ProcessingTime("200 milliseconds"))
+
+    // ---- phase 1: wave 7 arrives, gets probed + folded; then KILL
+    dropWave(7)
+    val q1 = startStream()
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (!StreamingIndex.committedDeltas(dir).contains("b0") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q1.stop()
+    assert(StreamingIndex.committedDeltas(dir).contains("b0"),
+      "wave 7 never folded before the kill")
+    val midDocs = StreamingIndex.loadIndex(spark, dir).docs.count()
+    assert(midDocs == base.count() +
+      all.filter(col("doc_id") % 10 === 7).count(),
+      s"mid-stream index holds $midDocs doc rows")
+
+    // wave 8 arrives while the stream is DOWN; wave 9 after the resume
+    dropWave(8)
+    val q2 = startStream()
+    try {
+      dropWave(9)
+      val total = all.count()
+      val deadline = System.currentTimeMillis() + 180000
+      while (StreamingIndex.loadIndex(spark, dir).docs.count() < total &&
+        System.currentTimeMillis() < deadline) Thread.sleep(300)
+      assert(StreamingIndex.loadIndex(spark, dir).docs.count() == total,
+        "index never reached the full corpus after resume")
+    } finally q2.stop()
+
+    // ---- capstone equality 1: the postings SURFACE of the maintained
+    // index equals the monolithic rebuild (token, df, n_postings,
+    // serialized postings string — every field, every term)
+    val maintained = StreamingIndex.loadIndex(spark, dir)
+    val rebuilt = Retrieval.buildIndex(all, "doc_id", "tok")
+    def surface(ix: Retrieval.RetrievalIndex) =
+      Retrieval.invertedIndexFromIndex(ix)
+        .as[(String, Long, Long, String)].collect().toSet
+    assert(surface(maintained) == surface(rebuilt),
+      "maintained postings surface != batch rebuild")
+
+    // ---- capstone equality 2: BM25 scores served from the maintained
+    // tables equal the rebuild's (df/dl/stats maintenance is exact)
+    val queryTerms = Retrieval.topTermsFromIndex(rebuilt, 8)
+    def scores(ix: Retrieval.RetrievalIndex) =
+      Retrieval.bm25FromIndex(ix, queryTerms, k = 10)
+        .as[(String, Long, Long, Double)].collect().toSet
+    assert(scores(maintained) == scores(rebuilt),
+      "maintained BM25 != rebuild BM25")
+
+    // ---- probe output: wave 7 (batch 0, pre-kill) must equal the batch
+    // BM25 search of those docs against the BASE index
+    val p0 = spark.read.parquet(s"$outDir/d=b0")
+      .select("query_doc", "doc_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val w7 = all.filter(col("doc_id") % 10 === 7)
+    val want0 = Retrieval.bm25QueriesFromIndex(
+        Retrieval.buildIndex(base, "doc_id", "tok"),
+        w7.select(col("doc_id").as("query_doc"),
+          explode(col("tok")).as("term")),
+        "query_doc", k = 5)
+      .select("query_doc", "doc_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(p0 == want0, s"wave-7 probe diverged from the batch BM25 " +
+      s"search (${p0.size} vs ${want0.size} rows)")
+    // a document never probes into itself (disjoint-ids contract)
+    assert(p0.forall { case (q, d, _) => q != d })
+
+    // ---- compaction: rewrite the 4-segment index as one base segment;
+    // the compacted view must stay bit-identical on both observables
+    val cdir = Files.createTempDirectory("graft-sidx-compact").toString
+    StreamingIndex.compact(spark, dir, cdir)
+    assert(StreamingIndex.committedDeltas(cdir) == Seq("base"))
+    val compacted = StreamingIndex.loadIndex(spark, cdir)
+    assert(surface(compacted) == surface(rebuilt), "compaction changed postings")
+    assert(scores(compacted) == scores(rebuilt), "compaction changed BM25")
+  }
+
   test("pipeline state survives restart (versioned pointer recovery)") {
     val stateDir = Files.createTempDirectory("graft-state").toString
     val p1 = new IngestPipeline(spark, stateDir)
