@@ -52,6 +52,20 @@ object EvalQueries {
           col("kappa_ppm"))
     }),
 
+    // Rank agreement (Spearman footrule, exact — no sqrt) per source
+    // between ordering docs by raw length vs by whitespace-stripped
+    // length: the "do two quality signals rank the corpus the same way"
+    // diagnostic, 1e6 = identical order, 0 = reversed.
+    "q230_footrule" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .withColumn("len_ns",
+          length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+      Eval.footruleAgreementPpm(g, col("source"), col("n_chars"),
+        col("len_ns"))
+        .select(col("grp").as("source"), col("n"), col("d2"),
+          col("agreement_ppm"))
+    }),
+
     // CUSUM drift alarms over per-user daily event counts: the
     // sequential max(0, S+d) recurrence in its closed prefix-sum +
     // running-min form — two frames on ONE keyed window sort, exact
@@ -136,6 +150,29 @@ object EvalQueries {
         |              // (t.n * t.n - pe_num) AS BIGINT)
         |       END AS kappa_ppm
         |FROM t JOIN pe ON t.grp = pe.grp""".stripMargin,
+
+    "q230_footrule" ->
+      """WITH g AS (
+        |  SELECT source AS grp, n_chars AS u,
+        |         length(regexp_replace(text, '\s', '', 'g')) AS v
+        |  FROM documents
+        |), r AS (
+        |  SELECT grp,
+        |         2 * rank() OVER (PARTITION BY grp ORDER BY u)
+        |           + count(*) OVER (PARTITION BY grp, u) - 1 AS r2u,
+        |         2 * rank() OVER (PARTITION BY grp ORDER BY v)
+        |           + count(*) OVER (PARTITION BY grp, v) - 1 AS r2v
+        |  FROM g
+        |), a AS (
+        |  SELECT grp, count(*) AS n,
+        |         CAST(sum(abs(r2u - r2v)) AS BIGINT) AS d2
+        |  FROM r GROUP BY grp
+        |)
+        |SELECT grp AS source, n, d2,
+        |       CASE WHEN n > 1 THEN
+        |         CAST(1000000 - d2 * 1000000 // (n * n - n % 2) AS BIGINT)
+        |       END AS agreement_ppm
+        |FROM a""".stripMargin,
 
     "q225_cusum" ->
       """WITH daily AS (

@@ -523,4 +523,100 @@ object GraftProperties extends Properties("graft") {
           q >= lo && q <= hi
         }
     }
+
+  property("rocAucPpm matches the pair-counting reference and respects " +
+      "label inversion") =
+    forAll(Gen.listOfN(30, Gen.zip(Gen.oneOf(true, false),
+        Gen.choose(0L, 8L)))) { rows =>
+      val s = sq; import s.implicits._
+      import graft.operators.Eval
+      val pos = rows.filter(_._1).map(_._2)
+      val neg = rows.filterNot(_._1).map(_._2)
+      (pos.isEmpty || neg.isEmpty) || {
+        val df = rows.map { case (y, x) => ("g", y, x) }.toDF("g", "y", "x")
+        val auc = Eval.rocAucPpm(df, col("g"), col("y"), col("x"))
+          .collect().head.getLong(3)
+        val inv = Eval.rocAucPpm(df, col("g"), !col("y"), col("x"))
+          .collect().head.getLong(3)
+        val credit2 = (for (p <- pos; n <- neg)
+          yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+        val want = credit2 * 1000000L / (2L * pos.size * neg.size)
+        // inversion: pair credit complements, up to the shared div floors
+        auc == want && auc >= 0L && auc <= 1000000L &&
+          math.abs((auc + inv) - 1000000L) <= 1L
+      }
+    }
+
+  property("cusum equals the sequential recurrence and alarms are " +
+      "monotone in the threshold") =
+    forAll(Gen.listOfN(25, Gen.choose(0L, 9L)), Gen.choose(0L, 2L),
+        Gen.choose(1L, 6L)) { (xs, k, h) =>
+      val s = sq; import s.implicits._
+      import graft.operators.EventTime
+      val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+        .toDF("key", "t", "x")
+      val out = EventTime.cusum(df, col("key"), col("t"), col("x"), k, h)
+        .orderBy("t").collect()
+        .map(r => (r.getLong(4), r.getBoolean(5)))
+      val n = xs.size.toLong
+      val total = xs.sum
+      var acc = 0L
+      val ref = xs.map { x =>
+        acc = math.max(0L, acc + (n * x - total - n * k)); acc }
+      out.map(_._1).toSeq == ref &&
+        out.forall { case (sv, a) => sv >= 0L && a == (sv >= h * n) }
+    }
+
+  property("footruleAgreementPpm: 1e6 on identical order, 0 on exact " +
+      "reversal, bounded in between") =
+    forAll(Gen.choose(2, 20)) { n =>
+      val s = sq; import s.implicits._
+      import graft.operators.Eval
+      // distinct values 1..n: v = u gives identity; v = -u gives reversal
+      val df = (1 to n).map(i => ("g", i.toLong, i.toLong, -i.toLong))
+        .toDF("g", "u", "same", "rev")
+      def agree(c: String) = Eval.footruleAgreementPpm(df, col("g"),
+        col("u"), col(c)).collect().head.getLong(3)
+      val id = agree("same"); val rv = agree("rev")
+      id == 1000000L && rv == 0L
+    }
+
+  property("overlapChunks covers every character exactly once per " +
+      "covering chunk set, tail included") =
+    forAll(Gen.choose(1, 400), Gen.choose(1, 50), Gen.choose(1, 50)) {
+      (len, size0, stride0) =>
+      val s = sq; import s.implicits._
+      import graft.operators.Curation
+      val size = math.max(size0, stride0); val stride = math.min(size0, stride0)
+      val text = ("ab" * 200).take(len)
+      val chunks = Curation.overlapChunks(
+          Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+          size, stride)
+        .select("pos", "chunk").as[(Long, String)].collect().sortBy(_._1)
+      val covered = chunks.flatMap { case (p, c) =>
+        (p until p + c.length) }.toSet
+      // total coverage, chunk content matches the source span, and only
+      // the final chunk may run short
+      covered == (1L to len.toLong).toSet &&
+        chunks.forall { case (p, c) =>
+          c == text.substring((p - 1).toInt,
+            math.min(len, p - 1 + size).toInt) } &&
+        chunks.init.forall(_._2.length == size)
+    }
+
+  property("CountMin estimate >= exact for every key, under any " +
+      "partitioning") =
+    forAll(Gen.listOfN(200, Gen.choose(0, 25)), Gen.choose(1, 6)) {
+      (keys, parts) =>
+      val s = sq; import s.implicits._
+      import graft.functions.{CountMin, CountMinAggregator}
+      val items = keys.map(k => s"k$k")
+      val sk = items.toDF("t").repartition(parts).as[String]
+        .groupByKey(_ => 0)
+        .agg(new CountMinAggregator(3, 64).toColumn.name("sk"))
+        .collect().head._2
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong)
+      exact.forall { case (t, c) =>
+        CountMin.estimate(sk.table, 3, 64, t) >= c } && sk.n == items.size
+    }
 }

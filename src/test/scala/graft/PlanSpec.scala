@@ -246,4 +246,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       s"top-k per user lost its rank pushdown:\n$p")
   }
+
+  test("q219 AUC: rank and tie-size share ONE sort exchange — no pair " +
+      "join, no second sort") {
+    val p = plan("q219_auc")
+    assert(!p.contains("Join"), s"AUC must not join pos x neg pairs:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, // one for the window sort, one for the final agg
+      s"expected <= 2 exchanges (window + aggregate), got $exchanges:\n$p")
+    assert(p.contains("partial_"),
+      s"rank-sum aggregate lost its map-side partial phase:\n$p")
+  }
+
+  test("q226 chunking is exchange-free: explode + substring is a pure map " +
+      "over the scan") {
+    val p = plan("q226_chunk_overlap")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate") && p.contains("explode"),
+      s"chunk spine (explode(sequence)) missing:\n$p")
+  }
+
+  test("q228 JL projection is exchange-free whole-stage codegen — the " +
+      "sign-matrix fold never becomes a join or shuffle") {
+    val p = plan("q228_rproj")
+    assert(!p.contains("Exchange"), s"JL projection must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"sign matrix must ride as literals:\n$p")
+    // codegen spans print as "*(n)" in executedPlan.toString
+    assert(p.contains("*("), s"projection fell out of codegen:\n$p")
+  }
+
+  test("q227 CMS exact-confirm broadcasts the candidate set; q220 " +
+      "calibration aggregates straight to the bin space") {
+    val cms = plan("q227_cms_heavy")
+    assert(cms.contains("BroadcastHashJoin"),
+      s"CMS candidates must broadcast into the confirm join:\n$cms")
+    val cal = plan("q220_calibration")
+    assert(!cal.contains("Join") && cal.contains("partial_"),
+      s"calibration must be one partial-aggregated bin rollup:\n$cal")
+    assert("Exchange hashpartitioning".r.findAllIn(cal).size == 1,
+      s"calibration should shuffle once, on <= 10 bin keys:\n$cal")
+  }
 }
