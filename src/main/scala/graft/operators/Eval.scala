@@ -91,6 +91,84 @@ object Eval {
           .as("gap_ppm"))
   }
 
+  /** Cumulative-probability thresholds of Poisson(1) in ppm —
+    * ⌊10⁶·P(X ≤ k)⌋ for k = 0..3 (mass above 3 is capped into w = 4;
+    * P(X > 4) ≈ 0.0037 at λ=1, a documented truncation like the Benford
+    * constants). Literals so both engines draw the identical weight from
+    * the identical md5 uniform.
+    */
+  val PoissonPpm: Seq[Long] = Seq(367879L, 735758L, 919698L, 981011L)
+
+  /** Deterministic Poisson bootstrap (Chamandy et al., "Estimating
+    * uncertainty for massive data streams", Google TR 2012) for a
+    * per-group mean: each row gets, per replica `b`, a weight drawn as
+    * Poisson(1) from the md5("id|b") uniform — the resampling that needs
+    * NO data movement, because every replica is a weighted aggregate of
+    * the same pass. Output: one row per (group, replica) with `n_eff`
+    * (Σw), `sum_v` (Σ w·v) and the exact integer `mean_v = sum_v div
+    * n_eff` — the replica spread IS the sampling distribution of the
+    * mean; a percentile CI is one more aggregate over it (asserted in
+    * `EvalSpec`).
+    *
+    * Everything is BIGINT and md5 — deterministic across engines,
+    * partitionings, and reruns (a seeded `rand()` bootstrap is none of
+    * those). Scale shape: a `replicas`-way row-local explode feeding one
+    * partial-aggregated (group, b) rollup — the shuffle carries
+    * groups×replicas rows, never the data; 100 TB of rows bootstrap in
+    * one scan. Replicas with n_eff = 0 (possible only for tiny groups)
+    * yield NULL means.
+    */
+  def poissonBootstrapMeans(df: DataFrame, group: Column, id: Column,
+      value: Column, replicas: Int): DataFrame = {
+    require(replicas >= 2 && replicas <= 1024,
+      s"need 2 <= replicas <= 1024, got $replicas")
+    val u = conv(substring(md5(concat(col("_id").cast("string"),
+      lit("|"), col("b").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    val wExpr = when(u < PoissonPpm(0), 0L).when(u < PoissonPpm(1), 1L)
+      .when(u < PoissonPpm(2), 2L).when(u < PoissonPpm(3), 3L)
+      .otherwise(4L)
+    df.select(group.as("grp"), id.as("_id"), value.cast("long").as("v"))
+      .withColumn("b", explode(sequence(lit(0L), lit(replicas - 1L))))
+      .withColumn("w", wExpr)
+      .groupBy(col("grp"), col("b"))
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("v")).as("sum_v"))
+      .select(col("grp"), col("b"), col("n_eff"), col("sum_v"),
+        when(col("n_eff") > 0, expr("sum_v div n_eff")).as("mean_v"))
+  }
+
+  /** Per-group 2×2 chi-square statistic — the A/B-experiment readout:
+    * with contingency cells a,b,c,d (treatment×outcome), `χ² = N(ad −
+    * bc)² / ((a+b)(c+d)(a+c)(b+d))`. Cells and the determinant are
+    * exact BIGINTs (|ad − bc| ≤ N²/4 stays double-exact below ~10⁸ rows
+    * per group); the final ratio is one fixed-shape IEEE expression —
+    * identical operation order in both engines, rounded to 6 — because
+    * the four-margin product overflows 2⁶³ long before the counts do.
+    * Degenerate groups (an empty margin) yield NULL, not a division
+    * error. One keyed aggregate; no window, no join.
+    */
+  def chiSquare2x2(df: DataFrame, group: Column, treatment: Column,
+      outcome: Column): DataFrame = {
+    val g = df.select(group.as("grp"), treatment.cast("boolean").as("t"),
+      outcome.cast("boolean").as("y"))
+    g.groupBy(col("grp"))
+      .agg(
+        sum(when(col("t") && col("y"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("t") && !col("y"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("t") && col("y"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("t") && !col("y"), 1L).otherwise(0L)).as("d"))
+      .select(col("grp"), col("a"), col("b"), col("c"), col("d"),
+        when(col("a") + col("b") > 0 && col("c") + col("d") > 0 &&
+            col("a") + col("c") > 0 && col("b") + col("d") > 0,
+          expr("""round(
+            (cast(a + b + c + d as double) *
+             (cast(a * d - b * c as double) * cast(a * d - b * c as double)))
+            / (((cast(a + b as double) * cast(c + d as double))
+                * cast(a + c as double)) * cast(b + d as double)), 6)"""))
+          .as("chi2"))
+  }
+
   /** Per-group rank agreement between two numeric orderings by
     * Spearman's footrule (Diaconis & Graham, JRSS-B 1977): with mid-rank
     * ties, `D = Σ|rank_u(i) − rank_v(i)|`, normalized against the

@@ -52,6 +52,30 @@ object EvalQueries {
           col("kappa_ppm"))
     }),
 
+    // Deterministic Poisson bootstrap of mean order value per priority:
+    // 32 replicas, each an md5-weighted aggregate of the SAME single
+    // pass — uncertainty quantification with no data movement (the
+    // shuffle carries groups x replicas rows). Replica spread = the
+    // sampling distribution of the mean; the CI is one aggregate away.
+    "q232_bootstrap" -> ((s, d) =>
+      Eval.poissonBootstrapMeans(Tables.orders(s, d),
+        col("o_orderpriority"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long"), replicas = 32)
+        .select(col("grp").as("priority"), col("b"), col("n_eff"),
+          col("sum_v"), col("mean_v"))),
+
+    // 2x2 chi-square per event_type: treatment = even user_id (the
+    // deterministic A/B arm), outcome = value >= 35 — "did the arm move
+    // the conversion rate" with exact BIGINT cells and one fixed-shape
+    // IEEE ratio (the margin product overflows 2^63 long before the
+    // counts do).
+    "q231_chi2" -> ((s, d) =>
+      Eval.chiSquare2x2(
+        Tables.events(s, d).filter(col("user_id").isNotNull),
+        col("event_type"), col("user_id") % 2 === 0, col("value") >= 35.0)
+        .select(col("grp").as("event_type"), col("a"), col("b"), col("c"),
+          col("d"), col("chi2"))),
+
     // Rank agreement (Spearman footrule, exact — no sqrt) per source
     // between ordering docs by raw length vs by whitespace-stripped
     // length: the "do two quality signals rank the corpus the same way"
@@ -150,6 +174,57 @@ object EvalQueries {
         |              // (t.n * t.n - pe_num) AS BIGINT)
         |       END AS kappa_ppm
         |FROM t JOIN pe ON t.grp = pe.grp""".stripMargin,
+
+    "q232_bootstrap" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority AS grp, o_orderkey AS id,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders
+        |), r AS (
+        |  SELECT grp, id, v, unnest(generate_series(0, 31)) AS b FROM g
+        |), u AS (
+        |  SELECT grp, b, v,
+        |         (('0x' || substr(md5(CAST(id AS VARCHAR) || '|'
+        |            || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 1000000) AS uu
+        |  FROM r
+        |), w AS (
+        |  SELECT grp, b, v,
+        |         CASE WHEN uu < 367879 THEN 0 WHEN uu < 735758 THEN 1
+        |              WHEN uu < 919698 THEN 2 WHEN uu < 981011 THEN 3
+        |              ELSE 4 END AS w
+        |  FROM u
+        |), a AS (
+        |  SELECT grp, b, CAST(sum(w) AS BIGINT) AS n_eff,
+        |         CAST(sum(w * v) AS BIGINT) AS sum_v
+        |  FROM w GROUP BY 1, 2
+        |)
+        |SELECT grp AS priority, CAST(b AS BIGINT) AS b, n_eff, sum_v,
+        |       CASE WHEN n_eff > 0 THEN CAST(sum_v // n_eff AS BIGINT)
+        |       END AS mean_v
+        |FROM a""".stripMargin,
+
+    "q231_chi2" ->
+      """WITH g AS (
+        |  SELECT event_type AS grp, (user_id % 2 = 0) AS t,
+        |         (value >= 35.0) AS y
+        |  FROM events WHERE user_id IS NOT NULL
+        |), cells AS (
+        |  SELECT grp,
+        |         CAST(sum(CASE WHEN t AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |         CAST(sum(CASE WHEN t AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |         CAST(sum(CASE WHEN NOT t AND y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |         CAST(sum(CASE WHEN NOT t AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM g GROUP BY grp
+        |)
+        |SELECT grp AS event_type, a, b, c, d,
+        |       CASE WHEN a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0
+        |       THEN round(
+        |         (CAST(a + b + c + d AS DOUBLE) *
+        |          (CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)))
+        |         / (((CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE))
+        |             * CAST(a + c AS DOUBLE)) * CAST(b + d AS DOUBLE)), 6)
+        |       END AS chi2
+        |FROM cells""".stripMargin,
 
     "q230_footrule" ->
       """WITH g AS (

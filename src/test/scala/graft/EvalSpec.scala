@@ -107,6 +107,61 @@ class EvalSpec extends SparkSpec {
       .collect().head.isNullAt(3))
   }
 
+  // ---------------------------------------------------------- bootstrap
+
+  test("poissonBootstrapMeans equals an independent md5 reference and " +
+      "the replica band covers the true mean") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 300).map(i => ("g", i.toLong, (rnd.nextInt(1000) + 500).toLong))
+    val out = Eval.poissonBootstrapMeans(rows.toDF("g", "id", "v"),
+        col("g"), col("id"), col("v"), replicas = 16)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // independent reference: java MessageDigest, not Spark's md5
+    def weight(id: Long, b: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id|$b".getBytes("UTF-8"))
+        .take(4).map(x => f"${x & 0xff}%02x").mkString
+      val u = java.lang.Long.parseLong(hex, 16) % 1000000L
+      Eval.PoissonPpm.indexWhere(u < _) match {
+        case -1 => 4L
+        case k => k.toLong
+      }
+    }
+    val ref = (0L until 16L).map { b =>
+      val ws = rows.map { case (_, id, v) => (weight(id, b), v) }
+      val nEff = ws.map(_._1).sum
+      val sumV = ws.map { case (w, v) => w * v }.sum
+      b -> ((nEff, sumV, sumV / nEff))
+    }.toMap
+    assert(out == ref, "operator diverged from the independent md5 reference")
+    // statistical sanity: every replica resamples ~n rows, and the true
+    // mean sits inside the replica min..max band
+    val trueMean = rows.map(_._3).sum / rows.size
+    val means = out.values.map(_._3)
+    assert(out.values.forall { case (n, _, _) =>
+      n > 200 && n < 400 }, "Poisson(1) resample size far from n")
+    assert(means.min <= trueMean && trueMean <= means.max,
+      s"true mean $trueMean outside replica band [${means.min}, ${means.max}]")
+  }
+
+  // --------------------------------------------------------- chi-square
+
+  test("chiSquare2x2: zero on independence, N on perfect association, hand case") {
+    def cells(a: Int, b: Int, c: Int, d: Int) = {
+      val rows = Seq.fill(a)((true, true)) ++ Seq.fill(b)((true, false)) ++
+        Seq.fill(c)((false, true)) ++ Seq.fill(d)((false, false))
+      val df = rows.map { case (t, y) => ("g", t, y) }.toDF("g", "t", "y")
+      Eval.chiSquare2x2(df, col("g"), col("t"), col("y")).collect().head
+    }
+    assert(cells(10, 10, 10, 10).getDouble(5) == 0.0)
+    assert(cells(20, 0, 0, 20).getDouble(5) == 40.0) // chi2 == N
+    // a=10 b=20 c=20 d=10: 60 * 300^2 / 30^4 = 6.666667
+    assert(cells(10, 20, 20, 10).getDouble(5) == 6.666667)
+    // empty margin (no positive outcomes anywhere) => NULL, not a crash
+    assert(cells(0, 15, 0, 15).isNullAt(5))
+  }
+
   // -------------------------------------------------------------- CUSUM
 
   test("cusum matches the sequential max(0, S + d) recurrence exactly") {
