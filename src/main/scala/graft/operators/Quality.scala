@@ -171,6 +171,54 @@ object Quality {
           .as("emd_ppm")): _*)
   }
 
+  /** Cumulative ppm thresholds of the TWO-SIDED GEOMETRIC distribution
+    * with α = e^−ε at ε = 0.5, support clamped to [−8, 8] (the tail mass
+    * beyond ±8, ≈1.14%, folds into the extremes — a documented truncation
+    * like the Benford/Poisson literal tables). P(Z = z) ∝ α^|z| is the
+    * integer-valued analogue of the Laplace mechanism (Ghosh, Roughgarden
+    * & Sundararajan, STOC 2009: universally utility-maximizing for
+    * counts), and unlike Laplace it needs NO logarithm — the draw is a
+    * threshold scan over an md5 uniform, exact in integers in any engine.
+    */
+  val TwoSidedGeomPpm: Seq[(Long, Long)] = Seq(
+    -8L -> 11400L, -7L -> 18796L, -6L -> 30990L, -5L -> 51094L,
+    -4L -> 84240L, -3L -> 138889L, -2L -> 228989L, -1L -> 377540L,
+    0L -> 622459L, 1L -> 771010L, 2L -> 861110L, 3L -> 915759L,
+    4L -> 948905L, 5L -> 969009L, 6L -> 981203L, 7L -> 988599L,
+    8L -> 1000000L)
+
+  /** ε-differentially-private count release (ε = 0.5, sensitivity 1) via
+    * the two-sided geometric mechanism: per key-group, `noisy = max(0,
+    * count + Z)` with `Z` drawn from [[TwoSidedGeomPpm]] on the md5
+    * uniform of the group key and a caller-chosen release tag — the same
+    * md5-derived-randomness convention as every sampler here, so the
+    * release is deterministic per (key, tag): re-running the job CANNOT
+    * leak extra budget by re-rolling the noise, and both engines draw the
+    * identical value (a seeded `rand()` or a float Laplace has neither
+    * property). Distinct tags = distinct releases = additive ε spend,
+    * which is the caller's ledger to keep (documented, not enforced).
+    *
+    * Output keeps the true count alongside the noisy one because the
+    * driver oracle re-derives both; a production release would project
+    * the true column away.
+    *
+    * Scale shape: one keyed count + a row-local when-chain over ≤ 17
+    * literal thresholds — no second pass, no collect.
+    */
+  def dpNoisyCounts(df: DataFrame, keys: Seq[Column],
+      releaseTag: String): DataFrame = {
+    val counted = df.groupBy(keys: _*).agg(count(lit(1)).as("true_n"))
+    val keyNames = counted.columns.dropRight(1)
+    val u = conv(substring(md5(concat_ws("|",
+      keyNames.map(c => col(c).cast("string")) :+ lit(releaseTag): _*)),
+      1, 8), 16, 10).cast("long") % 1000000L
+    val z = TwoSidedGeomPpm.reverse.foldLeft[Column](lit(8L)) {
+      case (acc, (zv, cumPpm)) => when(u < cumPpm, zv).otherwise(acc)
+    }
+    counted.withColumn("z", z)
+      .withColumn("noisy_n", greatest(lit(0L), col("true_n") + col("z")))
+  }
+
   /** The canonical row digest [[tableChecksum]] sums: 32-bit md5 prefix of
     * the '|'-joined, null-coalesced column renderings (see tableChecksum
     * for why 32 bits and why coalesce).

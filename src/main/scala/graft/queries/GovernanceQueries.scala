@@ -32,6 +32,17 @@ object GovernanceQueries {
           col("c_mktsegment").as("segment")),
         expr(BucketExpr), l = 8L)),
 
+    // epsilon-DP count release (two-sided geometric mechanism, eps=0.5):
+    // per-(nation, segment) customer counts with md5-deterministic
+    // integer noise — re-running cannot re-roll the draw (no silent
+    // budget leak), and the oracle regenerates the identical noise from
+    // the same literal threshold table.
+    "q233_dp_counts" -> ((s, d) =>
+      Quality.dpNoisyCounts(Tables.customer(s, d),
+        Seq(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment")),
+        releaseTag = "release1")),
+
     // t-closeness: per-class earth-mover's distance (ordered ground
     // metric) between the class's bracket distribution and the global
     // one, in exact ppm over the common denominator n*N — no float ever
@@ -42,7 +53,32 @@ object GovernanceQueries {
           col("c_mktsegment").as("segment")),
         expr(BucketExpr), m = 10)))
 
+  /** The q233 noise CASE, generated from the SAME literal table the
+    * operator uses ([[Quality.TwoSidedGeomPpm]]) — one source of truth.
+    */
+  private val GeomCaseSql: String =
+    Quality.TwoSidedGeomPpm.init.map { case (z, cum) =>
+      s"WHEN uu < $cum THEN ($z)" }.mkString("CASE ", " ", " ELSE 8 END")
+
   val oracles: Map[String, String] = Map(
+    "q233_dp_counts" ->
+      s"""WITH c AS (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         |         c_mktsegment AS segment, count(*) AS true_n
+         |  FROM customer GROUP BY 1, 2
+         |), u AS (
+         |  SELECT nation, segment, true_n,
+         |         (('0x' || substr(md5(CAST(nation AS VARCHAR) || '|'
+         |            || segment || '|' || 'release1'), 1, 8))::BIGINT
+         |          % 1000000) AS uu
+         |  FROM c
+         |)
+         |SELECT nation, segment, true_n,
+         |       CAST($GeomCaseSql AS BIGINT) AS z,
+         |       CAST(greatest(0, true_n + $GeomCaseSql) AS BIGINT)
+         |         AS noisy_n
+         |FROM u""".stripMargin,
+
     "q222_ldiversity" ->
       s"""SELECT CAST(c_nationkey AS BIGINT) AS nation,
          |       c_mktsegment AS segment,

@@ -223,6 +223,33 @@ class EvalSpec extends SparkSpec {
     assert(out("A") == 250000L)
   }
 
+  test("dpNoisyCounts: noise matches an independent md5 reference, is " +
+      "bounded, and changes with the release tag") {
+    val df = (1 to 200).map(i => (s"k${i % 10}", i)).toDF("key", "x")
+    def release(tag: String) =
+      Quality.dpNoisyCounts(df, Seq(col("key")), tag)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val r1 = release("t1")
+    def refZ(key: String, tag: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key|$tag".getBytes("UTF-8"))
+        .take(4).map(x => f"${x & 0xff}%02x").mkString
+      val u = java.lang.Long.parseLong(hex, 16) % 1000000L
+      Quality.TwoSidedGeomPpm.find(u < _._2).map(_._1).getOrElse(8L)
+    }
+    r1.foreach { case (k, (n, z, noisy)) =>
+      assert(n == 20L)
+      assert(z == refZ(k, "t1"), s"noise draw diverged for $k")
+      assert(z >= -8L && z <= 8L && noisy == math.max(0L, n + z))
+    }
+    // deterministic per (key, tag); a new tag is a NEW release draw
+    assert(release("t1") == r1, "release must be re-run-stable")
+    val r2 = release("t2")
+    assert(r1.keys.exists(k => r1(k)._2 != r2(k)._2),
+      "distinct tags should draw distinct noise somewhere")
+  }
+
   // --------------------------------------------------------------- HITS
 
   test("hitsInt: authority ranking follows recursive hub quality, max==scale") {
