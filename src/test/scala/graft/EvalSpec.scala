@@ -117,12 +117,14 @@ class EvalSpec extends SparkSpec {
         col("g"), col("id"), col("v"), replicas = 16)
       .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3),
         r.getLong(4))).toMap
-    // independent reference: java MessageDigest, not Spark's md5
+    // independent reference: java MessageDigest, not Spark's md5 —
+    // replica b reads hex window (b % 4) of md5("id|" + b/4)
     def weight(id: Long, b: Long): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$id|$b".getBytes("UTF-8"))
-        .take(4).map(x => f"${x & 0xff}%02x").mkString
-      val u = java.lang.Long.parseLong(hex, 16) % 1000000L
+        .digest(s"$id|${b / 4}".getBytes("UTF-8"))
+        .map(x => f"${x & 0xff}%02x").mkString
+      val win = hex.substring((b % 4).toInt * 8, (b % 4).toInt * 8 + 8)
+      val u = java.lang.Long.parseLong(win, 16) % 1000000L
       Eval.PoissonPpm.indexWhere(u < _) match {
         case -1 => 4L
         case k => k.toLong
