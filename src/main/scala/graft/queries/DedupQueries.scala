@@ -95,6 +95,32 @@ object DedupQueries {
         (0 until 8).map(k => element_at(col("sig"), k + 1).as(s"mh$k")): _*)
     }),
 
+    // Precision/recall of the LSH CANDIDATE stage against the exact
+    // Jaccard >= 0.5 truth — q145's measured-recall discipline as a
+    // first-class oracled query. Truth comes from the prefix-filtered
+    // EXACT join (q151's lossless AllPairs path — both sides scale-safe,
+    // no brute force in the engine); predicted is q24's band-collision
+    // set BEFORE verification. One row: the dedup-stage scorecard.
+    "q234_dedup_eval" -> ((s, d) => {
+      val sh = shingled(s, d).cache()
+      val truth = Dedup.prefixFilteredPairs(sh, "doc_id", "shingles", 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val m = minhashed(s, d)
+        .withColumn("bands", Dedup.lshBands(col("sig"), 4, 2))
+      val pred = Dedup.candidatePairs(m, "doc_id", "bands")
+        .select(col("doc_a"), col("doc_b"))
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nP = pred.agg(count(lit(1)).as("n_pred"))
+      val nH = pred.join(truth, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_hit"))
+      nT.crossJoin(nP).crossJoin(nH)
+        .select(col("n_truth"), col("n_pred"), col("n_hit"),
+          when(col("n_pred") > 0, expr("n_hit * 1000000 div n_pred"))
+            .otherwise(lit(0L)).as("precision_ppm"),
+          when(col("n_truth") > 0, expr("n_hit * 1000000 div n_truth"))
+            .otherwise(lit(0L)).as("recall_ppm"))
+    }),
+
     // MinHash + LSH near-dup pairs (4 bands × 2 rows) with exact Jaccard
     // verification at threshold 0.5 — the scalable near-dup path.
     "q24_lsh_near_dup" -> ((s, d) => {
@@ -393,6 +419,41 @@ object DedupQueries {
          |       sig[4] AS mh3, sig[5] AS mh4, sig[6] AS mh5,
          |       sig[7] AS mh6, sig[8] AS mh7
          |FROM mh""".stripMargin,
+
+    // Truth = the brute-force exact-Jaccard pairs (proving q151's filter
+    // lossless is q151's own gate; here brute force IS the oracle's job);
+    // predicted = the band-collision candidates reproduced as in q24.
+    "q234_dedup_eval" ->
+      s"""$MhCte, bands AS (
+         |  SELECT doc_id, i AS band, md5(sig[2*i+1] || sig[2*i+2]) AS bh
+         |  FROM mh, UNNEST(range(0, 4)) u(i)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |), truth AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+         |         - len(list_distinct(list_intersect(a.shingles, b.shingles)))) > 0
+         |    AND len(list_distinct(list_intersect(a.shingles, b.shingles))) /
+         |        (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+         |         - len(list_distinct(list_intersect(a.shingles, b.shingles)))) >= 0.5
+         |), m AS (SELECT count(*) AS n_pred FROM cand),
+         |t AS (SELECT count(*) AS n_truth FROM truth),
+         |h AS (SELECT count(*) AS n_hit
+         |      FROM cand JOIN truth USING (doc_a, doc_b))
+         |SELECT CAST(t.n_truth AS BIGINT) AS n_truth,
+         |       CAST(m.n_pred AS BIGINT) AS n_pred,
+         |       CAST(h.n_hit AS BIGINT) AS n_hit,
+         |       CAST(CASE WHEN m.n_pred > 0
+         |            THEN h.n_hit * 1000000 // m.n_pred ELSE 0 END AS BIGINT)
+         |         AS precision_ppm,
+         |       CAST(CASE WHEN t.n_truth > 0
+         |            THEN h.n_hit * 1000000 // t.n_truth ELSE 0 END AS BIGINT)
+         |         AS recall_ppm
+         |FROM m, t, h""".stripMargin,
 
     "q24_lsh_near_dup" ->
       s"""$MhCte, bands AS (

@@ -114,6 +114,44 @@ object TextQueries {
       TextAnalysis.bm25TopDocs(docs, "doc_id", "tok", qterms, 10)
     }),
 
+    // Retrieval-quality eval of q149's BM25 ranking against an
+    // independent relevance notion (doc contains the query term >= 3
+    // times): per query term, the first-relevant rank (reciprocal rank
+    // in ppm), precision@10, and recall@10 — the IR scorecard computed
+    // WITHOUT floats (ranks and counts only). The ranking side is the
+    // exact q149 pipeline; only the judgment layer is new.
+    "q235_retrieval_eval" -> ((s, d) => {
+      val docs = toks(s, d)
+      val inst = TextAnalysis.tokenInstances(docs, "doc_id", "tok")
+      val qterms = inst.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(3)
+        .select(col("term"))
+      val ranked = TextAnalysis.bm25TopDocs(docs, "doc_id", "tok",
+        qterms, 10)
+      val rel = inst.join(broadcast(qterms), Seq("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf")).filter(col("tf") >= 3L)
+        .select(col("term"), col("doc_id"))
+      val relTot = rel.groupBy(col("term")).agg(count(lit(1)).as("n_rel"))
+      ranked
+        .join(rel.withColumn("is_rel", lit(1L)), Seq("term", "doc_id"),
+          "left")
+        .groupBy(col("term"))
+        .agg(
+          min(when(col("is_rel") === 1L, col("rank"))).as("first_rel_rank"),
+          sum(coalesce(col("is_rel"), lit(0L))).as("n_rel_top10"))
+        .join(relTot, Seq("term"), "left")
+        .select(col("term"),
+          coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+          col("n_rel_top10"), col("first_rel_rank"),
+          coalesce(expr("1000000 div first_rel_rank"), lit(0L))
+            .as("rr_ppm"),
+          expr("n_rel_top10 * 1000000 div 10").as("p10_ppm"),
+          when(coalesce(col("n_rel"), lit(0L)) > 0,
+            expr("n_rel_top10 * 1000000 div n_rel")).otherwise(lit(0L))
+            .as("recall10_ppm"))
+    }),
+
     // Composed Gopher keep/reject verdict — integer-comparison flags only.
     "q76_gopher_filter" -> ((s, d) =>
       TextAnalysis.gopherFilter(toks(s, d), "doc_id", "tok")),
@@ -566,7 +604,11 @@ object TextQueries {
     * for-expression (same association order in the float division, same
     * scaled-integer idf).
     */
-  private val Bm25TopkSql: String =
+  /** The q149 CTE chain through per-term BM25 ranking (`ranked`), shared
+    * verbatim by q149/q214 and the q235 retrieval-quality eval — ONE copy
+    * of the BM25 arithmetic, per the OracleSql single-source rule.
+    */
+  private val Bm25RankedCte: String =
     s"""$TokCte, inst AS (
        |  SELECT doc_id, unnest(tok) AS term FROM t
        |), qterms AS (
@@ -594,13 +636,18 @@ object TextQueries {
        |           / (20.0 * s.s_total * tf.tf + 6.0 * s.s_total
        |              + 18.0 * dl.dl * s.n_docs) / 1000000.0, 6) AS score
        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats s
-       |)
-       |SELECT term, doc_id, rank, score FROM (
-       |  SELECT term, doc_id, score,
-       |         row_number() OVER (PARTITION BY term
-       |           ORDER BY score DESC, doc_id ASC) AS rank
-       |  FROM scored) x
-       |WHERE rank <= 10""".stripMargin
+       |), ranked AS (
+       |  SELECT term, doc_id, rank, score FROM (
+       |    SELECT term, doc_id, score,
+       |           row_number() OVER (PARTITION BY term
+       |             ORDER BY score DESC, doc_id ASC) AS rank
+       |    FROM scored) x
+       |  WHERE rank <= 10
+       |)""".stripMargin
+
+  private val Bm25TopkSql: String =
+    s"""$Bm25RankedCte
+       |SELECT term, doc_id, rank, score FROM ranked""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Mirrors each fusion leg expression-for-expression (q73's tfidf for
@@ -924,6 +971,34 @@ object TextQueries {
     // Mirrors bm25TopDocs expression-for-expression (same association
     // order in the float division, same scaled-integer idf).
     "q149_bm25_topk" -> Bm25TopkSql,
+
+    "q235_retrieval_eval" ->
+      s"""$Bm25RankedCte, rel AS (
+         |  SELECT i.term, i.doc_id FROM inst i JOIN qterms USING (term)
+         |  GROUP BY 1, 2 HAVING count(*) >= 3
+         |), reltot AS (
+         |  SELECT term, count(*) AS n_rel FROM rel GROUP BY 1
+         |), marked AS (
+         |  SELECT r.term, r.rank,
+         |         CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+         |  FROM ranked r LEFT JOIN rel
+         |    ON r.term = rel.term AND r.doc_id = rel.doc_id
+         |), agg AS (
+         |  SELECT term,
+         |         min(CASE WHEN is_rel = 1 THEN rank END) AS first_rel_rank,
+         |         CAST(sum(is_rel) AS BIGINT) AS n_rel_top10
+         |  FROM marked GROUP BY term
+         |)
+         |SELECT a.term, CAST(coalesce(t.n_rel, 0) AS BIGINT) AS n_rel,
+         |       a.n_rel_top10,
+         |       CAST(a.first_rel_rank AS BIGINT) AS first_rel_rank,
+         |       CAST(coalesce(1000000 // a.first_rel_rank, 0) AS BIGINT)
+         |         AS rr_ppm,
+         |       CAST(a.n_rel_top10 * 1000000 // 10 AS BIGINT) AS p10_ppm,
+         |       CAST(CASE WHEN coalesce(t.n_rel, 0) > 0
+         |            THEN a.n_rel_top10 * 1000000 // t.n_rel ELSE 0 END
+         |            AS BIGINT) AS recall10_ppm
+         |FROM agg a LEFT JOIN reltot t USING (term)""".stripMargin,
 
     "q74_bigram_lm" ->
       s"""$TokCte, pairs AS (
