@@ -148,6 +148,60 @@ object Eval {
         when(col("n_eff") > 0, expr("sum_v div n_eff")).as("mean_v"))
   }
 
+  /** Split-conformal prediction intervals with measured test coverage
+    * (Vovk et al.; Lei et al., JASA 2018) — distribution-free
+    * uncertainty for a point predictor, in exact integer arithmetic end
+    * to end. The md5 id bucket partitions rows into train/calibration/
+    * test (the [[Curation.hashBucket]] convention: deterministic,
+    * growth-stable); the "model" is the floored per-group train mean
+    * (`sum div n` — any deterministic integer predictor slots in); the
+    * conformal radius is the `⌈(n_cal+1)(1−α)⌉`-th smallest calibration
+    * |residual| (type-1 quantile — an ORDER STATISTIC, so no float
+    * quantile estimator), and the output row per group reports that
+    * radius plus the measured test-set coverage in ppm. The split
+    * guarantee says expected coverage ≥ 1−α; the measured number makes
+    * the guarantee auditable per group.
+    *
+    * Scale shape: one keyed aggregate for the means, one keyed window
+    * sort over the CALIBRATION slice only (the small split) for the
+    * order statistic, and a broadcast of the O(groups) radius table into
+    * a row-local test filter — the full data crosses one exchange.
+    *
+    * @param alphaPpm miscoverage level in ppm (100000 = 90% intervals)
+    */
+  def conformalCoverage(df: DataFrame, group: Column, id: Column,
+      value: Column, alphaPpm: Long = 100000L): DataFrame = {
+    require(alphaPpm > 0 && alphaPpm < 1000000L,
+      s"alphaPpm must be in (0, 1e6), got $alphaPpm")
+    val g = df.select(group.as("grp"), Curation.hashBucket(id, 100)
+      .as("bkt"), value.cast("long").as("v"))
+    val train = g.filter(col("bkt") < 60)
+    val cal = g.filter(col("bkt") >= 60 && col("bkt") < 80)
+    val test = g.filter(col("bkt") >= 80)
+    val model = train.groupBy(col("grp"))
+      .agg(expr("sum(v) div count(1)").as("pred"))
+    val calRes = cal.join(broadcast(model), Seq("grp"))
+      .select(col("grp"), abs(col("v") - col("pred")).as("r"))
+    val wR = Window.partitionBy(col("grp")).orderBy(col("r"))
+    // ceil((n+1)(1-alpha)) as integers: (n+1)(1e6-alpha) ceil-div 1e6
+    val radius = calRes
+      .withColumn("rnk", row_number().over(wR))
+      .withColumn("n_cal", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .filter(col("rnk") ===
+        least(col("n_cal"), expr(
+          s"((n_cal + 1) * ${1000000L - alphaPpm} + 999999) div 1000000")))
+      .select(col("grp"), col("n_cal"), col("r").as("q_hat"))
+    test.join(broadcast(model), Seq("grp"))
+      .join(broadcast(radius), Seq("grp"))
+      .groupBy(col("grp"), col("pred"), col("n_cal"), col("q_hat"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("v") - col("pred")) <= col("q_hat"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .select(col("grp"), col("pred"), col("n_cal"), col("q_hat"),
+        col("n_test"), col("n_covered"),
+        expr("n_covered * 1000000 div n_test").as("coverage_ppm"))
+  }
+
   /** Per-group 2×2 chi-square statistic — the A/B-experiment readout:
     * with contingency cells a,b,c,d (treatment×outcome), `χ² = N(ad −
     * bc)² / ((a+b)(c+d)(a+c)(b+d))`. Cells and the determinant are

@@ -52,6 +52,19 @@ object EvalQueries {
           col("kappa_ppm"))
     }),
 
+    // Split-conformal prediction intervals for order value per priority
+    // (train 60 / cal 20 / test 20 by md5 bucket): the conformal radius
+    // is an exact order statistic of calibration residuals and the test
+    // coverage is MEASURED per group — distribution-free uncertainty,
+    // integers end to end.
+    "q236_conformal" -> ((s, d) =>
+      Eval.conformalCoverage(Tables.orders(s, d),
+        col("o_orderpriority"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long"))
+        .select(col("grp").as("priority"), col("pred"), col("n_cal"),
+          col("q_hat"), col("n_test"), col("n_covered"),
+          col("coverage_ppm"))),
+
     // Deterministic Poisson bootstrap of mean order value per priority:
     // 32 replicas, each an md5-weighted aggregate of the SAME single
     // pass — uncertainty quantification with no data movement (the
@@ -174,6 +187,44 @@ object EvalQueries {
         |              // (t.n * t.n - pe_num) AS BIGINT)
         |       END AS kappa_ppm
         |FROM t JOIN pe ON t.grp = pe.grp""".stripMargin,
+
+    "q236_conformal" ->
+      s"""WITH g AS (
+         |  SELECT o_orderpriority AS grp,
+         |         ${OracleSql.bucketSql("o_orderkey", 100)} AS bkt,
+         |         CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+         |  FROM orders
+         |), model AS (
+         |  SELECT grp, CAST(sum(v) // count(*) AS BIGINT) AS pred
+         |  FROM g WHERE bkt < 60 GROUP BY grp
+         |), calres AS (
+         |  SELECT g.grp, abs(g.v - m.pred) AS r
+         |  FROM g JOIN model m ON g.grp = m.grp
+         |  WHERE g.bkt >= 60 AND g.bkt < 80
+         |), ranked AS (
+         |  SELECT grp, r,
+         |         row_number() OVER (PARTITION BY grp ORDER BY r) AS rnk,
+         |         count(*) OVER (PARTITION BY grp) AS n_cal
+         |  FROM calres
+         |), radius AS (
+         |  SELECT grp, CAST(n_cal AS BIGINT) AS n_cal,
+         |         CAST(r AS BIGINT) AS q_hat
+         |  FROM ranked
+         |  WHERE rnk = least(n_cal,
+         |    ((n_cal + 1) * 900000 + 999999) // 1000000)
+         |), t AS (
+         |  SELECT g.grp, m.pred, rad.n_cal, rad.q_hat,
+         |         CASE WHEN abs(g.v - m.pred) <= rad.q_hat
+         |              THEN 1 ELSE 0 END AS c
+         |  FROM g JOIN model m ON g.grp = m.grp
+         |       JOIN radius rad ON g.grp = rad.grp
+         |  WHERE g.bkt >= 80
+         |)
+         |SELECT grp AS priority, pred, n_cal, q_hat,
+         |       count(*) AS n_test, CAST(sum(c) AS BIGINT) AS n_covered,
+         |       CAST(sum(c) * 1000000 // count(*) AS BIGINT)
+         |         AS coverage_ppm
+         |FROM t GROUP BY grp, pred, n_cal, q_hat""".stripMargin,
 
     "q232_bootstrap" ->
       """WITH g AS (

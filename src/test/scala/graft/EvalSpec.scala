@@ -107,6 +107,39 @@ class EvalSpec extends SparkSpec {
       .collect().head.isNullAt(3))
   }
 
+  // ---------------------------------------------------------- conformal
+
+  test("conformalCoverage: radius is the exact order statistic and the " +
+      "guarantee holds within binomial noise") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 3000).map(i =>
+      ("g", i.toLong, (5000 + rnd.nextGaussian() * 300).toLong))
+    val out = Eval.conformalCoverage(rows.toDF("g", "id", "v"),
+      col("g"), col("id"), col("v"), alphaPpm = 100000L).collect().head
+    val (pred, nCal, qHat, nTest, covPpm) = (out.getLong(1), out.getLong(2),
+      out.getLong(3), out.getLong(4), out.getLong(6))
+    // reproduce the split + order statistic in memory from the same md5
+    def bkt(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(x => f"${x & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 100L
+    }
+    val train = rows.filter(r => bkt(r._2) < 60).map(_._3)
+    val refPred = train.sum / train.size
+    assert(pred == refPred)
+    val calR = rows.filter(r => { val b = bkt(r._2); b >= 60 && b < 80 })
+      .map(r => math.abs(r._3 - refPred)).sorted
+    assert(nCal == calR.size)
+    val k = math.min(calR.size.toLong,
+      ((calR.size + 1L) * 900000L + 999999L) / 1000000L).toInt
+    assert(qHat == calR(k - 1), "radius must be the k-th smallest residual")
+    // split-conformal coverage ~ 90%: allow 4 binomial sigmas
+    val sigmaPpm = (4 * math.sqrt(0.9 * 0.1 / nTest) * 1e6).toLong
+    assert(math.abs(covPpm - 900000L) <= sigmaPpm,
+      s"coverage $covPpm ppm too far from 900000 (n_test=$nTest)")
+  }
+
   // ---------------------------------------------------------- bootstrap
 
   test("poissonBootstrapMeans equals an independent md5 reference and " +
