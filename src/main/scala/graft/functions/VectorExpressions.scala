@@ -159,6 +159,13 @@ object GraftFunctions {
       "graft_pq_qtab(uq, cbflat, subspaces, codewords) - per-query ADC " +
         "distance table: squared L2 to every codeword of every subspace, " +
         "flattened subspace-major"),
+    ("graft_cms_estimate", exprs => {
+      require(exprs.length == 4,
+        s"graft_cms_estimate requires exactly 4 arguments, got ${exprs.length}")
+      CmsEstimate(exprs(0), exprs(1), exprs(2), exprs(3))
+    }, "graft_cms_estimate(item, table, d, w) - Count-Min sketch point " +
+      "estimate of a STRING item against a foldable flattened d*w " +
+      "ARRAY<BIGINT> counter grid; never undercounts"),
     ("graft_might_contain", exprs => {
       require(exprs.length == 2,
         s"graft_might_contain requires exactly 2 arguments, got ${exprs.length}")

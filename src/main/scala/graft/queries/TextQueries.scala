@@ -336,10 +336,13 @@ object TextQueries {
       // bounded control data: one 4*2048-long grid, not per-key state
       val sk = tk.as[String].groupByKey(_ => 0)
         .agg(cms.toColumn.name("sk")).collect().head._2
-      val table = sk.table
-      val est = udf((t: String) =>
-        graft.functions.CountMin.estimate(table, 4, 2048, t))
-      val cand = tk.filter(est(col("token")) >= 150L).distinct()
+      // native codegen'd estimate (graft.functions.CmsEstimate): the
+      // per-instance filter stays inside whole-stage codegen instead of
+      // paying a UDF fence on the 100 TB hot path
+      graft.functions.GraftFunctions.register(s)
+      val est = call_function("graft_cms_estimate", col("token"),
+        typedLit(sk.table.toSeq), lit(4), lit(2048))
+      val cand = tk.filter(est >= 150L).distinct()
       tk.join(broadcast(cand), Seq("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= 150L)

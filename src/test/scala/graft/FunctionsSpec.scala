@@ -195,4 +195,32 @@ class FunctionsSpec extends SparkSpec {
       .as[Double].collect().toSeq
     assert(out == Seq(0.961111, 0.733333, 0.0))
   }
+
+  test("graft_cms_estimate: codegen'd point estimates match the kernel, " +
+      "null-safe, rejects a non-foldable sketch") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{CountMin, CountMinAggregator}
+    val items = Seq("a", "a", "a", "b", "b", "c")
+    val sk = items.toDF("t").as[String].groupByKey(_ => 0)
+      .agg(new CountMinAggregator(3, 32).toColumn.name("sk"))
+      .collect().head._2
+    val probe = Seq("a", "b", "c", "zz", null.asInstanceOf[String]).toDF("t")
+    val est = call_function("graft_cms_estimate", col("t"),
+      typedLit(sk.table.toSeq), lit(3), lit(32))
+    val out = probe.select(est.as("e")).collect().map(r =>
+      if (r.isNullAt(0)) -1L else r.getLong(0))
+    // estimates >= exact per key; null item -> null out
+    assert(out(0) >= 3L && out(1) >= 2L && out(2) >= 1L && out(3) >= 0L)
+    assert(out(4) == -1L)
+    // same numbers as the direct kernel call (eval and codegen agree)
+    assert(out(0) == CountMin.estimate(sk.table, 3, 32, "a"))
+    assert(out(3) == CountMin.estimate(sk.table, 3, 32, "zz"))
+    // a non-foldable table column must be rejected at analysis
+    val bad = intercept[Exception] {
+      probe.withColumn("tbl", array(lit(1L)))
+        .select(call_function("graft_cms_estimate", col("t"), col("tbl"),
+          lit(1), lit(1))).collect()
+    }
+    assert(bad.getMessage.toLowerCase.contains("foldable"))
+  }
 }
