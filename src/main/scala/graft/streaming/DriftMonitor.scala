@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming CUSUM drift monitoring — [[graft.operators.EventTime.cusum]]'s
+  * recurrence as LIVE keyed state instead of a batch window pass. The
+  * batch form derives the per-key mean internally; a stream cannot (the
+  * mean would drift with the thing being monitored), so the caller pins
+  * the reference `mu` — the classical control-chart contract: target from
+  * history, monitor against it (same reason q225's scaled form exists:
+  * no division, BIGINTs only, here trivially so since mu is a constant).
+  *
+  * Per key: `S := max(0, S + x − mu − k)` folds over arriving
+  * observations, one BIGINT of state per key in the state store —
+  * `mapGroupsWithState` economics, bounded regardless of stream length.
+  * Each observation emits its post-update S and alarm flag; the state
+  * survives restarts through the checkpoint, so a kill-and-resume
+  * continues the SAME accumulation (asserted against the batch recurrence
+  * in `ScaleSpec`).
+  *
+  * Ordering: observations are folded in event-time order WITHIN a
+  * micro-batch; across batches the fold follows arrival order (exactly
+  * the state-store contract every keyed stateful operator has). An
+  * upstream watermark+sort stage tightens this when out-of-order arrival
+  * matters.
+  */
+object DriftMonitor {
+
+  case class Obs(key: String, t: Long, x: Long)
+  case class CusumState(s: Long)
+  case class Alarm(key: String, t: Long, x: Long, s: Long, alarm: Boolean)
+
+  def monitor(events: Dataset[Obs], mu: Long, k: Long, h: Long)
+      : Dataset[Alarm] = {
+    require(h >= 1, s"alarm threshold h must be >= 1, got $h")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Obs], state: GroupState[CusumState]) =>
+          var s = state.getOption.map(_.s).getOrElse(0L)
+          val out = it.toSeq.sortBy(_.t).map { e =>
+            s = math.max(0L, s + e.x - mu - k)
+            Alarm(key, e.t, e.x, s, s >= h)
+          }
+          state.update(CusumState(s))
+          out.iterator
+      }
+  }
+}

@@ -583,6 +583,77 @@ class ScaleSpec extends SparkSpec {
     assert(scores(compacted) == scores(rebuilt), "compaction changed BM25")
   }
 
+  // Streaming CUSUM: the q225 recurrence as live keyed state — killed
+  // between waves, resumed from the checkpoint, and the full emitted
+  // series must equal the in-memory sequential recurrence over the
+  // concatenated waves (state really survived; nothing double-counted).
+  test("streaming drift monitor continues the CUSUM fold across " +
+      "kill-and-resume, equal to the batch recurrence") {
+    import graft.streaming.DriftMonitor
+    import graft.streaming.DriftMonitor.{Alarm, Obs}
+    import org.apache.spark.sql.streaming.Trigger
+
+    val rnd = new scala.util.Random(23)
+    // level shift at t > 30 on key A only
+    val series = (1L to 45L).map(t => Obs("A", t,
+      rnd.nextInt(4).toLong + (if (t > 30) 5L else 0L))) ++
+      (1L to 45L).map(t => Obs("B", t, rnd.nextInt(4).toLong))
+    val (w1, w2) = series.partition(_.t <= 25)
+
+    val streamDir = Files.createTempDirectory("graft-drift-in")
+    def drop(tag: String, obs: Seq[Obs]): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-drift-$tag").toString
+      obs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, streamDir.resolve(s"$tag.parquet"))
+    }
+    val outDir = Files.createTempDirectory("graft-drift-out").toString
+    val ckpt = Files.createTempDirectory("graft-drift-ckpt").toString
+    val schema = Seq.empty[Obs].toDF().schema
+    def startStream() = DriftMonitor.monitor(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+          .as[Obs],
+        mu = 1L, k = 1L, h = 8L)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+
+    drop("w1", w1)
+    val q1 = startStream()
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (spark.read.schema(Seq.empty[Alarm].toDF().schema)
+        .parquet(outDir).count() < w1.size &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q1.stop() // KILL between waves
+    drop("w2", w2) // arrives while the monitor is down
+    val q2 = startStream()
+    try {
+      val deadline = System.currentTimeMillis() + 180000
+      while (spark.read.parquet(outDir).count() < series.size &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q2.stop()
+
+    val got = spark.read.parquet(outDir).as[Alarm].collect()
+      .map(a => (a.key, a.t) -> (a.s, a.alarm)).toMap
+    assert(got.size == series.size, s"expected ${series.size} rows, got ${got.size}")
+    // in-memory sequential reference over each key's full ordered series
+    val ref = series.groupBy(_.key).flatMap { case (key, obs) =>
+      var s = 0L
+      obs.sortBy(_.t).map { e =>
+        s = math.max(0L, s + e.x - 1L - 1L)
+        (key, e.t) -> (s, s >= 8L)
+      }
+    }.toMap
+    assert(got == ref, "streamed CUSUM diverged from the batch recurrence")
+    // the level shift must alarm on A after the kill boundary, never on B
+    assert(got.exists { case ((k, t), (_, a)) => k == "A" && t > 30 && a })
+    assert(!got.exists { case ((k, _), (_, a)) => k == "B" && a })
+  }
+
   test("pipeline state survives restart (versioned pointer recovery)") {
     val stateDir = Files.createTempDirectory("graft-state").toString
     val p1 = new IngestPipeline(spark, stateDir)
