@@ -527,6 +527,38 @@ object EventTime {
     * @param k allowance (slack) in x units: drift below `μ + k` resets
     * @param h alarm threshold in x units
     */
+  /** Two-sided [[cusum]]: the upward chart catches level RISES, a
+    * mirrored chart with drift `μ − k − x` catches DROPS (traffic loss,
+    * silent upstream filters) — both folds in their closed prefix form
+    * over the SAME keyed window sort (four frames, one exchange, one
+    * sort). `alarm` fires when either side crosses `h`.
+    */
+  def cusumTwoSided(df: DataFrame, keyCol: Column, orderCol: Column,
+      xCol: Column, k: Long, h: Long): DataFrame = {
+    require(h >= 1, s"alarm threshold h must be >= 1, got $h")
+    val g = df.select(keyCol.as("key"), orderCol.as("t"),
+      xCol.cast("long").as("x"))
+    val wAll = Window.partitionBy(col("key"))
+    val wCum = Window.partitionBy(col("key")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("x")).over(wAll))
+      .withColumn("p_hi",
+        sum(col("n") * col("x") - col("total") - col("n") * lit(k))
+          .over(wCum))
+      .withColumn("p_lo",
+        sum(col("total") - col("n") * col("x") - col("n") * lit(k))
+          .over(wCum))
+      .withColumn("s_hi",
+        col("p_hi") - least(lit(0L), min(col("p_hi")).over(wCum)))
+      .withColumn("s_lo",
+        col("p_lo") - least(lit(0L), min(col("p_lo")).over(wCum)))
+      .select(col("key"), col("t"), col("x"), col("n"),
+        col("s_hi"), col("s_lo"),
+        (col("s_hi") >= col("n") * lit(h) ||
+          col("s_lo") >= col("n") * lit(h)).as("alarm"))
+  }
+
   def cusum(df: DataFrame, keyCol: Column, orderCol: Column, xCol: Column,
       k: Long, h: Long): DataFrame = {
     require(h >= 1, s"alarm threshold h must be >= 1, got $h")

@@ -511,6 +511,43 @@ object Relational {
       .select(col("_id").as(idCol), col("_x").as(xCol), col("_y").as(yCol))
   }
 
+  /** Frequent item TRIPLES by Apriori candidate generation (Agrawal &
+    * Srikant, VLDB 1994): frequent pairs self-join on their first item
+    * to propose (a,b,c), the third side (b,c) must itself be frequent
+    * (anti-monotonicity — the prune that makes level-wise mining
+    * feasible), and surviving candidates get their EXACT support from
+    * three equi-joins against the distinct (group, item) instance table
+    * keyed on (group, item) — never an array-containment nested loop.
+    *
+    * Scale shape: the candidate set after both prunes is tiny relative
+    * to the data (it broadcasts into the first instance join); support
+    * counting shuffles on (group ⋈ item) equi-keys only. The naive
+    * 3-way basket self-join this replaces is the oracle's job.
+    */
+  def frequentTriples(df: DataFrame, groupCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val inst = df.select(col(groupCol).as("_g"),
+      col(itemCol).cast("long").as("_it")).distinct()
+    val f2 = coOccurrence(df, groupCol, itemCol)
+      .filter(col("n_groups") >= minSupport)
+      .select(col("item_a").cast("long").as("pa"),
+        col("item_b").cast("long").as("pb"))
+    val cand = f2.as("x")
+      .join(f2.as("y"), col("x.pa") === col("y.pa") &&
+        col("x.pb") < col("y.pb"))
+      .select(col("x.pa").as("a"), col("x.pb").as("b"), col("y.pb").as("c"))
+      .join(f2.select(col("pa").as("b"), col("pb").as("c")), Seq("b", "c"))
+      .select(col("a"), col("b"), col("c"))
+    cand
+      .join(inst.select(col("_g"), col("_it").as("a")), Seq("a"))
+      .join(inst.select(col("_g"), col("_it").as("b")), Seq("b", "_g"))
+      .join(inst.select(col("_g"), col("_it").as("c")), Seq("c", "_g"))
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
   def coOccurrence(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
     val perGroup = df
       .groupBy(col(groupCol).as("_g"))

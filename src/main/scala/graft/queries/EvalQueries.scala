@@ -103,6 +103,22 @@ object EvalQueries {
           col("agreement_ppm"))
     }),
 
+    // Two-sided CUSUM over the same per-user daily counts: the mirrored
+    // chart catches DROPS (traffic loss) that q225's upward chart never
+    // sees — four frames, still one keyed sort exchange.
+    "q238_cusum_two_sided" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("x"))
+      EventTime.cusumTwoSided(daily, col("user_id"), col("day"), col("x"),
+        k = 1L, h = 5L)
+        .select(col("key").as("user_id"), col("t").as("day"), col("x"),
+          col("n"), col("s_hi"), col("s_lo"), col("alarm"))
+    }),
+
     // CUSUM drift alarms over per-user daily event counts: the
     // sequential max(0, S+d) recurrence in its closed prefix-sum +
     // running-min form — two frames on ONE keyed window sort, exact
@@ -304,6 +320,35 @@ object EvalQueries {
         |         CAST(1000000 - d2 * 1000000 // (n * n - n % 2) AS BIGINT)
         |       END AS agreement_ppm
         |FROM a""".stripMargin,
+
+    "q238_cusum_two_sided" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+        |), st AS (
+        |  SELECT user_id, day, x,
+        |         count(*) OVER (PARTITION BY user_id) AS n,
+        |         CAST(sum(x) OVER (PARTITION BY user_id) AS BIGINT) AS total
+        |  FROM daily
+        |), pr AS (
+        |  SELECT user_id, day, x, n,
+        |         CAST(sum(n * x - total - n * 1) OVER w AS BIGINT) AS p_hi,
+        |         CAST(sum(total - n * x - n * 1) OVER w AS BIGINT) AS p_lo
+        |  FROM st
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), sm AS (
+        |  SELECT user_id, day, x, n,
+        |         CAST(p_hi - least(0, min(p_hi) OVER w2) AS BIGINT) AS s_hi,
+        |         CAST(p_lo - least(0, min(p_lo) OVER w2) AS BIGINT) AS s_lo
+        |  FROM pr
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, day, x, n, s_hi, s_lo,
+        |       (s_hi >= n * 5 OR s_lo >= n * 5) AS alarm
+        |FROM sm""".stripMargin,
 
     "q225_cusum" ->
       """WITH daily AS (

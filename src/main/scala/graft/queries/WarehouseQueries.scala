@@ -209,6 +209,14 @@ object WarehouseQueries {
           col("e.sub").as("l_linenumber"))
     }),
 
+    // Frequent item TRIPLES by Apriori: frequent-pair self-join proposes
+    // (a,b,c), anti-monotone prune requires (b,c) frequent too, exact
+    // support from three equi-joins on the instance table. The oracle is
+    // the naive 3-way basket self-join the pruning replaces.
+    "q237_frequent_triples" -> ((s, d) =>
+      Relational.frequentTriples(Tables.lineitem(s, d), "l_orderkey",
+        "l_partkey", minSupport = 2L)),
+
     // HITS hubs/authorities on the DIRECTED buyer->item graph (2 exact
     // integer iterations, global-max renormalization): authorities are
     // items bought by high-score buyers RECURSIVELY — the mutual-
@@ -1205,6 +1213,15 @@ object WarehouseQueries {
         |               ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rnk
         |      FROM lineitem)
         |WHERE rnk <= 3""".stripMargin,
+
+    "q237_frequent_triples" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS it FROM lineitem
+        |)
+        |SELECT a.it AS a, b.it AS b, c.it AS c, count(*) AS support
+        |FROM li a JOIN li b ON a.g = b.g AND a.it < b.it
+        |          JOIN li c ON b.g = c.g AND b.it < c.it
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
 
     "q224_hits" -> {
       // one authority half-step then one hub half-step, each renormalized

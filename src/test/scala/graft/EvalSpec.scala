@@ -222,6 +222,47 @@ class EvalSpec extends SparkSpec {
     assert(ref.exists(_._3))
   }
 
+  test("cusumTwoSided: a level DROP alarms on the low side only, both " +
+      "sides match the sequential recurrences") {
+    val series = (1L to 40L).map(t => (t, if (t > 30) 0L else 4L))
+    val df = series.map { case (t, x) => ("k", t, x) }.toDF("key", "t", "x")
+    val out = EventTime.cusumTwoSided(df, col("key"), col("t"), col("x"),
+        k = 1L, h = 5L)
+      .orderBy("t").collect()
+      .map(r => (r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    val n = series.size.toLong
+    val total = series.map(_._2).sum
+    var hi = 0L; var lo = 0L
+    val ref = series.map { case (_, x) =>
+      hi = math.max(0L, hi + (n * x - total - n))
+      lo = math.max(0L, lo + (total - n * x - n))
+      (hi, lo, hi >= 5L * n || lo >= 5L * n)
+    }
+    assert(out.toSeq == ref)
+    // the drop fires the LOW chart; the high chart never alarms
+    assert(out.exists { case (_, sl, a) => a && sl >= 5L * n })
+    assert(out.forall { case (sh, _, _) => sh < 5L * n })
+  }
+
+  test("frequentTriples equals the brute-force 3-way basket join") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 60).flatMap { g =>
+      (1 to 4).map(_ => (g.toLong, rnd.nextInt(12).toLong)) }
+    val df = rows.toDF("g", "it")
+    val got = graft.operators.Relational
+      .frequentTriples(df, "g", "it", minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val baskets = rows.distinct.groupBy(_._1)
+      .view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val want = baskets.values.flatMap(items =>
+        items.combinations(3).map(c => (c(0), c(1), c(2))))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2L)
+      .map { case ((a, b, c), s) => (a, b, c, s) }.toSet
+    assert(got == want)
+  }
+
   // ------------------------------------------------------------ privacy
 
   test("lDiversityClasses flags exactly the under-l classes") {
