@@ -148,6 +148,58 @@ object Eval {
         when(col("n_eff") > 0, expr("sum_v div n_eff")).as("mean_v"))
   }
 
+  /** Exact decision-stump training per group: the threshold on an
+    * integral feature minimizing weighted Gini impurity of the binary
+    * label, found WITHOUT a float ever forming. With left counts
+    * (n_L, pos_L) from one cumulative window over the per-value
+    * aggregate, minimizing `n_L·g_L + n_R·g_R` is equivalent to
+    * maximizing `(ssq_L·n_R + ssq_R·n_L) / (n_L·n_R)` where
+    * `ssq = pos² + neg²` — a RATIONAL, ranked by its floored ppm (both
+    * engines floor identically, deterministic argmax with threshold
+    * tie-break asc). The winning row per group is the trained stump:
+    * split at `f ≤ threshold`.
+    *
+    * Scale shape: one per-(group, value) aggregate (the only data-sized
+    * shuffle — candidate thresholds are the DISTINCT values, the exact
+    * sweep a histogram-split approximation would approximate), one keyed
+    * window pass, rank-1 selection with WindowGroupLimit pushdown.
+    * Overflow: the ppm scaling needs `2n³·10⁶ < 2⁶³` ⇒ per-group
+    * n ≲ 16 000; larger groups drop the scale or pre-bin the feature
+    * (documented trade).
+    */
+  def giniStump(df: DataFrame, group: Column, label: Column,
+      feature: Column): DataFrame = {
+    val g = df.select(group.as("grp"), label.cast("boolean").as("y"),
+      feature.cast("long").as("f"))
+    val per = g.groupBy(col("grp"), col("f"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("p"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("f"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+    val scored = per
+      .withColumn("n_left", sum(col("c")).over(wCum))
+      .withColumn("pos_left", sum(col("p")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("pt", sum(col("p")).over(wAll))
+      .filter(col("n_left") < col("n")) // right side must be nonempty
+      .withColumn("n_right", col("n") - col("n_left"))
+      .withColumn("pos_right", col("pt") - col("pos_left"))
+      .withColumn("score_ppm", expr(
+        """((pos_left * pos_left
+            + (n_left - pos_left) * (n_left - pos_left)) * n_right
+           + (pos_right * pos_right
+              + (n_right - pos_right) * (n_right - pos_right)) * n_left)
+           * 1000000 div (n_left * n_right)"""))
+    val wBest = Window.partitionBy(col("grp"))
+      .orderBy(col("score_ppm").desc, col("f").asc)
+    scored.withColumn("_rk", row_number().over(wBest))
+      .filter(col("_rk") === 1)
+      .select(col("grp"), col("f").as("threshold"), col("n_left"),
+        col("n_right"), col("pos_left"), col("pos_right"),
+        col("score_ppm"))
+  }
+
   /** Split-conformal prediction intervals with measured test coverage
     * (Vovk et al.; Lei et al., JASA 2018) — distribution-free
     * uncertainty for a point predictor, in exact integer arithmetic end

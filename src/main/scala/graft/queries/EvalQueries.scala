@@ -52,6 +52,18 @@ object EvalQueries {
           col("kappa_ppm"))
     }),
 
+    // Exact Gini decision stump per source: the n_chars threshold best
+    // separating lang='en' — stump training as a pure rational argmax
+    // over the cumulative-count sweep, no floats, deterministic
+    // tie-break. The trained per-slice rule a labeling pipeline would
+    // deploy as its cheap first-pass filter.
+    "q239_gini_stump" -> ((s, d) =>
+      Eval.giniStump(Tables.documents(s, d), col("source"),
+        col("lang") === "en", col("n_chars"))
+        .select(col("grp").as("source"), col("threshold"), col("n_left"),
+          col("n_right"), col("pos_left"), col("pos_right"),
+          col("score_ppm"))),
+
     // Split-conformal prediction intervals for order value per priority
     // (train 60 / cal 20 / test 20 by md5 bucket): the conformal radius
     // is an exact order statistic of calibration residuals and the test
@@ -203,6 +215,42 @@ object EvalQueries {
         |              // (t.n * t.n - pe_num) AS BIGINT)
         |       END AS kappa_ppm
         |FROM t JOIN pe ON t.grp = pe.grp""".stripMargin,
+
+    "q239_gini_stump" ->
+      """WITH g AS (
+        |  SELECT source AS grp, (lang = 'en') AS y, n_chars AS f
+        |  FROM documents
+        |), per AS (
+        |  SELECT grp, f, count(*) AS c,
+        |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM g GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT grp, f,
+        |         CAST(sum(c) OVER w AS BIGINT) AS n_left,
+        |         CAST(sum(p) OVER w AS BIGINT) AS pos_left,
+        |         CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n,
+        |         CAST(sum(p) OVER (PARTITION BY grp) AS BIGINT) AS pt
+        |  FROM per
+        |  WINDOW w AS (PARTITION BY grp ORDER BY f
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), sc AS (
+        |  SELECT grp, f, n_left, n - n_left AS n_right, pos_left,
+        |         pt - pos_left AS pos_right,
+        |         CAST(((pos_left * pos_left
+        |             + (n_left - pos_left) * (n_left - pos_left))
+        |               * (n - n_left)
+        |             + ((pt - pos_left) * (pt - pos_left)
+        |               + ((n - n_left) - (pt - pos_left))
+        |                 * ((n - n_left) - (pt - pos_left))) * n_left)
+        |             * 1000000 // (n_left * (n - n_left)) AS BIGINT)
+        |           AS score_ppm
+        |  FROM cum WHERE n_left < n
+        |)
+        |SELECT grp AS source, f AS threshold, n_left, n_right,
+        |       pos_left, pos_right, score_ppm
+        |FROM (SELECT *, row_number() OVER (PARTITION BY grp
+        |        ORDER BY score_ppm DESC, f ASC) AS rk FROM sc) z
+        |WHERE rk = 1""".stripMargin,
 
     "q236_conformal" ->
       s"""WITH g AS (

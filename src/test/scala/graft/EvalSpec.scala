@@ -107,6 +107,37 @@ class EvalSpec extends SparkSpec {
       .collect().head.isNullAt(3))
   }
 
+  // -------------------------------------------------------------- stump
+
+  test("giniStump: perfect split scores n*1e6 and picks the boundary; " +
+      "random case matches brute force") {
+    // perfectly separable: y = (f >= 10) over f = 1..20
+    val sep = (1L to 20L).map(f => ("g", f >= 10L, f)).toDF("g", "y", "f")
+    val best = Eval.giniStump(sep, col("g"), col("y"), col("f"))
+      .collect().head
+    assert(best.getLong(1) == 9L)          // split at f <= 9
+    assert(best.getLong(6) == 20L * 1000000L) // pure children: score = n
+    // random labels: exact match with the brute-force sweep
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 100).map(_ => ("g", rnd.nextBoolean(),
+      rnd.nextInt(10).toLong))
+    val got = Eval.giniStump(rows.toDF("g", "y", "f"),
+      col("g"), col("y"), col("f")).collect().head
+    val n = rows.size.toLong
+    val pt = rows.count(_._2).toLong
+    val cands = rows.map(_._3).distinct.sorted.init.map { t =>
+      val (l, r) = rows.partition(_._3 <= t)
+      val (nl, pl) = (l.size.toLong, l.count(_._2).toLong)
+      val (nr, pr) = (r.size.toLong, r.count(_._2).toLong)
+      val ssl = pl * pl + (nl - pl) * (nl - pl)
+      val ssr = pr * pr + (nr - pr) * (nr - pr)
+      (t, (ssl * nr + ssr * nl) * 1000000L / (nl * nr))
+    }
+    val (wantT, wantS) = cands.maxBy { case (t, s) => (s, -t) }
+    assert(got.getLong(1) == wantT && got.getLong(6) == wantS)
+    assert(pt > 0 && pt < n) // the random case was non-degenerate
+  }
+
   // ---------------------------------------------------------- conformal
 
   test("conformalCoverage: radius is the exact order statistic and the " +
