@@ -99,6 +99,28 @@ object Eval {
     */
   val PoissonPpm: Seq[Long] = Seq(367879L, 735758L, 919698L, 981011L)
 
+  /** Adds Poisson(1) bootstrap columns (`b` replica id, `w` weight) to a
+    * frame carrying `_id`: one digest per BLOCK of 4 replicas,
+    * materialized between the two explodes so each md5 is computed once
+    * and its value rides through the window Generate — not re-derived
+    * per replica row.
+    */
+  private def poissonReplicas(df: DataFrame, replicas: Int): DataFrame = {
+    require(replicas >= 4 && replicas <= 1024 && replicas % 4 == 0,
+      s"need replicas in [4, 1024] divisible by 4, got $replicas")
+    val u = conv(expr("substring(_hex, cast(win as int) * 8 + 1, 8)"),
+      16, 10).cast("long") % 1000000L
+    val wExpr = when(u < PoissonPpm(0), 0L).when(u < PoissonPpm(1), 1L)
+      .when(u < PoissonPpm(2), 2L).when(u < PoissonPpm(3), 3L)
+      .otherwise(4L)
+    df.withColumn("blk", explode(sequence(lit(0L), lit(replicas / 4 - 1L))))
+      .withColumn("_hex", md5(concat(col("_id").cast("string"), lit("|"),
+        col("blk").cast("string"))))
+      .withColumn("win", explode(sequence(lit(0L), lit(3L))))
+      .withColumn("b", col("blk") * 4L + col("win"))
+      .withColumn("w", wExpr)
+  }
+
   /** Deterministic Poisson bootstrap (Chamandy et al., "Estimating
     * uncertainty for massive data streams", Google TR 2012) for a
     * per-group mean: each row gets, per replica `b`, a weight drawn as
@@ -124,23 +146,9 @@ object Eval {
     */
   def poissonBootstrapMeans(df: DataFrame, group: Column, id: Column,
       value: Column, replicas: Int): DataFrame = {
-    require(replicas >= 4 && replicas <= 1024 && replicas % 4 == 0,
-      s"need replicas in [4, 1024] divisible by 4, got $replicas")
-    // digest per BLOCK of 4 replicas, materialized between the two
-    // explodes so each md5 is computed once and its value rides through
-    // the window Generate — not re-derived per replica row
-    val u = conv(expr("substring(_hex, cast(win as int) * 8 + 1, 8)"),
-      16, 10).cast("long") % 1000000L
-    val wExpr = when(u < PoissonPpm(0), 0L).when(u < PoissonPpm(1), 1L)
-      .when(u < PoissonPpm(2), 2L).when(u < PoissonPpm(3), 3L)
-      .otherwise(4L)
-    df.select(group.as("grp"), id.as("_id"), value.cast("long").as("v"))
-      .withColumn("blk", explode(sequence(lit(0L), lit(replicas / 4 - 1L))))
-      .withColumn("_hex", md5(concat(col("_id").cast("string"), lit("|"),
-        col("blk").cast("string"))))
-      .withColumn("win", explode(sequence(lit(0L), lit(3L))))
-      .withColumn("b", col("blk") * 4L + col("win"))
-      .withColumn("w", wExpr)
+    poissonReplicas(
+      df.select(group.as("grp"), id.as("_id"), value.cast("long").as("v")),
+      replicas)
       .groupBy(col("grp"), col("b"))
       .agg(sum(col("w")).as("n_eff"),
         sum(col("w") * col("v")).as("sum_v"))
@@ -168,12 +176,24 @@ object Eval {
     * (documented trade).
     */
   def giniStump(df: DataFrame, group: Column, label: Column,
-      feature: Column): DataFrame = {
+      feature: Column): DataFrame =
+    giniStumpWeighted(df, group, label, feature, lit(1L))
+
+  /** [[giniStump]] over WEIGHTED rows (integral weights — e.g. the
+    * Poisson bootstrap's resample multiplicities): `c`/`p` become Σw and
+    * Σw·[y], everything downstream is unchanged because the sweep only
+    * ever consumed counts. Zero-weight rows are dropped up front (they
+    * are "not in the resample", and would otherwise emit duplicate
+    * thresholds that only tie-breaks disambiguate).
+    */
+  def giniStumpWeighted(df: DataFrame, group: Column, label: Column,
+      feature: Column, weight: Column): DataFrame = {
     val g = df.select(group.as("grp"), label.cast("boolean").as("y"),
-      feature.cast("long").as("f"))
+      feature.cast("long").as("f"), weight.cast("long").as("w"))
+      .filter(col("w") > 0)
     val per = g.groupBy(col("grp"), col("f"))
-      .agg(count(lit(1)).as("c"),
-        sum(when(col("y"), 1L).otherwise(0L)).as("p"))
+      .agg(sum(col("w")).as("c"),
+        sum(when(col("y"), col("w")).otherwise(0L)).as("p"))
     val wCum = Window.partitionBy(col("grp")).orderBy(col("f"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("grp"))
@@ -196,6 +216,26 @@ object Eval {
     scored.withColumn("_rk", row_number().over(wBest))
       .filter(col("_rk") === 1)
       .select(col("grp"), col("f").as("threshold"), col("n_left"),
+        col("n_right"), col("pos_left"), col("pos_right"),
+        col("score_ppm"))
+  }
+
+  /** Bootstrap-aggregated stumps — [[poissonReplicas]] composed with
+    * [[giniStumpWeighted]]: each of `replicas` Poisson(1) resamples
+    * trains its OWN exact stump (the integral weights fold straight into
+    * the sweep's counts, so every replica stays float-free), and the
+    * spread of the B thresholds is the stability diagnostic a single
+    * stump can't give — a threshold that jumps across resamples is noise,
+    * not signal. Still one pass over the data: the replica explode is
+    * row-local and the sweep aggregates per (replica, value).
+    */
+  def baggedGiniStumps(df: DataFrame, id: Column, label: Column,
+      feature: Column, replicas: Int): DataFrame = {
+    val base = df.select(id.as("_id"), label.cast("boolean").as("_y"),
+      feature.cast("long").as("_f"))
+    giniStumpWeighted(poissonReplicas(base, replicas), col("b"),
+        col("_y"), col("_f"), col("w"))
+      .select(col("grp").as("b"), col("threshold"), col("n_left"),
         col("n_right"), col("pos_left"), col("pos_right"),
         col("score_ppm"))
   }

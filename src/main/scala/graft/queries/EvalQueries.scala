@@ -52,6 +52,48 @@ object EvalQueries {
           col("kappa_ppm"))
     }),
 
+    // Bagged stumps: 8 Poisson resamples each train their own exact
+    // stump in one pass — the threshold SPREAD across replicas is the
+    // stability diagnostic (a jumpy threshold is noise, not signal).
+    "q240_bagged_stumps" -> ((s, d) =>
+      Eval.baggedGiniStumps(Tables.documents(s, d), col("doc_id"),
+        col("lang") === "en", col("n_chars"), replicas = 8)),
+
+    // Train -> apply -> report in ONE declarative query: stump trained
+    // on the md5 train split (70), side classes by training majority,
+    // confusion counts + accuracy/precision/recall measured on the
+    // held-out 30 — the complete supervised loop, exact integers.
+    "q241_train_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), (col("lang") === "en").as("y"),
+          col("n_chars").cast("long").as("f"))
+        .withColumn("bkt",
+          graft.operators.Curation.hashBucket(col("doc_id"), 100))
+      val stump = Eval.giniStump(docs.filter(col("bkt") < 70),
+        lit("all"), col("y"), col("f"))
+        .select(col("threshold"), col("n_left"), col("pos_left"),
+          col("n_right"), col("pos_right"))
+      docs.filter(col("bkt") >= 70).crossJoin(broadcast(stump))
+        .withColumn("pred",
+          when(col("f") <= col("threshold"),
+            col("pos_left") * 2 > col("n_left"))
+            .otherwise(col("pos_right") * 2 > col("n_right")))
+        .groupBy(col("threshold"))
+        .agg(
+          sum(when(col("pred") && col("y"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred") && !col("y"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("pred") && col("y"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("pred") && !col("y"), 1L).otherwise(0L)).as("tn"))
+        .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+          col("tn"),
+          expr("(tp + tn) * 1000000 div (tp + fp + fn + tn)")
+            .as("acc_ppm"),
+          when(col("tp") + col("fp") > 0,
+            expr("tp * 1000000 div (tp + fp)")).as("prec_ppm"),
+          when(col("tp") + col("fn") > 0,
+            expr("tp * 1000000 div (tp + fn)")).as("rec_ppm"))
+    }),
+
     // Exact Gini decision stump per source: the n_chars threshold best
     // separating lang='en' — stump training as a pure rational argmax
     // over the cumulative-count sweep, no floats, deterministic
@@ -149,6 +191,36 @@ object EvalQueries {
           col("n"), col("s_scaled"), col("alarm"))
     }))
 
+  /** The q239 stump sweep as two CTEs (cumulative left counts + the
+    * floored-ppm rational score), parameterized by the partition key —
+    * ONE copy of the Gini-score formula shared by q239/q240/q241's
+    * oracles (the OracleSql single-source rule). Expects a `per` CTE
+    * with columns ($part, f, c, p).
+    */
+  private def stumpSweepSql(part: String): String =
+    s"""cum AS (
+       |  SELECT $part, f,
+       |         CAST(sum(c) OVER w AS BIGINT) AS n_left,
+       |         CAST(sum(p) OVER w AS BIGINT) AS pos_left,
+       |         CAST(sum(c) OVER (PARTITION BY $part) AS BIGINT) AS n,
+       |         CAST(sum(p) OVER (PARTITION BY $part) AS BIGINT) AS pt
+       |  FROM per
+       |  WINDOW w AS (PARTITION BY $part ORDER BY f
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), sc AS (
+       |  SELECT $part, f, n_left, n - n_left AS n_right, pos_left,
+       |         pt - pos_left AS pos_right,
+       |         CAST(((pos_left * pos_left
+       |             + (n_left - pos_left) * (n_left - pos_left))
+       |               * (n - n_left)
+       |             + ((pt - pos_left) * (pt - pos_left)
+       |               + ((n - n_left) - (pt - pos_left))
+       |                 * ((n - n_left) - (pt - pos_left))) * n_left)
+       |             * 1000000 // (n_left * (n - n_left)) AS BIGINT)
+       |           AS score_ppm
+       |  FROM cum WHERE n_left < n
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q219_auc" ->
       """WITH g AS (
@@ -217,40 +289,92 @@ object EvalQueries {
         |FROM t JOIN pe ON t.grp = pe.grp""".stripMargin,
 
     "q239_gini_stump" ->
-      """WITH g AS (
-        |  SELECT source AS grp, (lang = 'en') AS y, n_chars AS f
-        |  FROM documents
-        |), per AS (
-        |  SELECT grp, f, count(*) AS c,
-        |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
-        |  FROM g GROUP BY 1, 2
-        |), cum AS (
-        |  SELECT grp, f,
-        |         CAST(sum(c) OVER w AS BIGINT) AS n_left,
-        |         CAST(sum(p) OVER w AS BIGINT) AS pos_left,
-        |         CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n,
-        |         CAST(sum(p) OVER (PARTITION BY grp) AS BIGINT) AS pt
-        |  FROM per
-        |  WINDOW w AS (PARTITION BY grp ORDER BY f
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |), sc AS (
-        |  SELECT grp, f, n_left, n - n_left AS n_right, pos_left,
-        |         pt - pos_left AS pos_right,
-        |         CAST(((pos_left * pos_left
-        |             + (n_left - pos_left) * (n_left - pos_left))
-        |               * (n - n_left)
-        |             + ((pt - pos_left) * (pt - pos_left)
-        |               + ((n - n_left) - (pt - pos_left))
-        |                 * ((n - n_left) - (pt - pos_left))) * n_left)
-        |             * 1000000 // (n_left * (n - n_left)) AS BIGINT)
-        |           AS score_ppm
-        |  FROM cum WHERE n_left < n
-        |)
-        |SELECT grp AS source, f AS threshold, n_left, n_right,
-        |       pos_left, pos_right, score_ppm
-        |FROM (SELECT *, row_number() OVER (PARTITION BY grp
-        |        ORDER BY score_ppm DESC, f ASC) AS rk FROM sc) z
-        |WHERE rk = 1""".stripMargin,
+      s"""WITH g AS (
+         |  SELECT source AS grp, (lang = 'en') AS y, n_chars AS f
+         |  FROM documents
+         |), per AS (
+         |  SELECT grp, f, count(*) AS c,
+         |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+         |  FROM g GROUP BY 1, 2
+         |), ${stumpSweepSql("grp")}
+         |SELECT grp AS source, f AS threshold, n_left, n_right,
+         |       pos_left, pos_right, score_ppm
+         |FROM (SELECT *, row_number() OVER (PARTITION BY grp
+         |        ORDER BY score_ppm DESC, f ASC) AS rk FROM sc) z
+         |WHERE rk = 1""".stripMargin,
+
+    "q240_bagged_stumps" ->
+      s"""WITH g AS (
+         |  SELECT doc_id AS id, (lang = 'en') AS y, n_chars AS f
+         |  FROM documents
+         |), r AS (
+         |  SELECT id, y, f, unnest(generate_series(0, 1)) AS blk FROM g
+         |), h AS (
+         |  SELECT y, f, blk,
+         |         md5(CAST(id AS VARCHAR) || '|' || CAST(blk AS VARCHAR))
+         |           AS hex
+         |  FROM r
+         |), u AS (
+         |  SELECT y, f, blk * 4 + win AS b,
+         |         (('0x' || substr(hex, CAST(win AS INT) * 8 + 1, 8))::BIGINT
+         |          % 1000000) AS uu
+         |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS win) ws
+         |), wt AS (
+         |  SELECT b, y, f,
+         |         CASE WHEN uu < 367879 THEN 0 WHEN uu < 735758 THEN 1
+         |              WHEN uu < 919698 THEN 2 WHEN uu < 981011 THEN 3
+         |              ELSE 4 END AS w
+         |  FROM u
+         |), per AS (
+         |  SELECT b, f, CAST(sum(w) AS BIGINT) AS c,
+         |         CAST(sum(CASE WHEN y THEN w ELSE 0 END) AS BIGINT) AS p
+         |  FROM wt WHERE w > 0 GROUP BY 1, 2
+         |), ${stumpSweepSql("b")}
+         |SELECT CAST(b AS BIGINT) AS b, f AS threshold, n_left, n_right,
+         |       pos_left, pos_right, score_ppm
+         |FROM (SELECT *, row_number() OVER (PARTITION BY b
+         |        ORDER BY score_ppm DESC, f ASC) AS rk FROM sc) z
+         |WHERE rk = 1""".stripMargin,
+
+    "q241_train_eval" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, (lang = 'en') AS y,
+         |         CAST(n_chars AS BIGINT) AS f,
+         |         ${OracleSql.bucketSql("doc_id", 100)} AS bkt
+         |  FROM documents
+         |), per AS (
+         |  SELECT 'all' AS grp, f, count(*) AS c,
+         |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+         |  FROM d0 WHERE bkt < 70 GROUP BY 1, 2
+         |), ${stumpSweepSql("grp")}, stump AS (
+         |  SELECT f AS threshold, n_left, pos_left, n_right, pos_right
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY grp
+         |          ORDER BY score_ppm DESC, f ASC) AS rk FROM sc) z
+         |  WHERE rk = 1
+         |), applied AS (
+         |  SELECT s.threshold, t.y,
+         |         CASE WHEN t.f <= s.threshold
+         |              THEN s.pos_left * 2 > s.n_left
+         |              ELSE s.pos_right * 2 > s.n_right END AS pred
+         |  FROM d0 t CROSS JOIN stump s WHERE t.bkt >= 70
+         |), cf AS (
+         |  SELECT threshold,
+         |         CAST(sum(CASE WHEN pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(sum(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(sum(CASE WHEN NOT pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |         CAST(sum(CASE WHEN NOT pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM applied GROUP BY threshold
+         |)
+         |SELECT threshold, tp, fp, fn, tn,
+         |       CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT)
+         |         AS acc_ppm,
+         |       CASE WHEN tp + fp > 0
+         |            THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT)
+         |       END AS prec_ppm,
+         |       CASE WHEN tp + fn > 0
+         |            THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT)
+         |       END AS rec_ppm
+         |FROM cf""".stripMargin,
 
     "q236_conformal" ->
       s"""WITH g AS (
