@@ -61,6 +61,37 @@ object Eval {
           .as("auc_ppm"))
   }
 
+  /** Per-group precision-recall curve, exact in ppm: one point per
+    * DISTINCT score value `t` — the operating point "predict positive
+    * when score ≥ t" — with its true-positive count, predicted-positive
+    * count, and floored-ppm precision/recall. The descending cumulative
+    * window gives every operating point from one keyed sort (the same
+    * single-pass economics as [[rocAucPpm]]; a thresholds×rows join is
+    * the naive form this replaces). Average precision / PR-AUC is one
+    * more aggregate over the output; groups with no positives emit
+    * NULL recall rather than a fake curve.
+    */
+  def prCurvePpm(df: DataFrame, group: Column, label: Column,
+      score: Column): DataFrame = {
+    val g = df.select(group.as("grp"), label.cast("boolean").as("y"),
+      score.cast("long").as("s"))
+    val per = g.groupBy(col("grp"), col("s"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("p"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+    per
+      .withColumn("tp", sum(col("p")).over(wCum))
+      .withColumn("n_pred", sum(col("c")).over(wCum))
+      .withColumn("pos_total", sum(col("p")).over(wAll))
+      .select(col("grp"), col("s").as("threshold"), col("tp"),
+        col("n_pred"),
+        expr("tp * 1000000 div n_pred").as("precision_ppm"),
+        when(col("pos_total") > 0,
+          expr("tp * 1000000 div pos_total")).as("recall_ppm"))
+  }
+
   /** Reliability-diagram bins for a probabilistic classifier, exact in
     * ppm: rows carry a predicted probability in ppm (`[0, 10⁶]`) and a
     * boolean outcome; each of `bins` equal-width bins reports its count,

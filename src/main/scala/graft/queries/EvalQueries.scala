@@ -52,6 +52,16 @@ object EvalQueries {
           col("kappa_ppm"))
     }),
 
+    // Precision-recall curve of the length ranker per language-pair
+    // slice: every distinct n_chars value is an operating point, one
+    // keyed sort yields the whole curve — the PR companion to q219's
+    // ROC-AUC, exact ppm.
+    "q242_pr_curve" -> ((s, d) =>
+      Eval.prCurvePpm(Tables.documents(s, d), col("source"),
+        col("lang") === "en", col("n_chars"))
+        .select(col("grp").as("source"), col("threshold"), col("tp"),
+          col("n_pred"), col("precision_ppm"), col("recall_ppm"))),
+
     // Bagged stumps: 8 Poisson resamples each train their own exact
     // stump in one pass — the threshold SPREAD across replicas is the
     // stability diagnostic (a jumpy threshold is noise, not signal).
@@ -287,6 +297,31 @@ object EvalQueries {
         |              // (t.n * t.n - pe_num) AS BIGINT)
         |       END AS kappa_ppm
         |FROM t JOIN pe ON t.grp = pe.grp""".stripMargin,
+
+    "q242_pr_curve" ->
+      """WITH g AS (
+        |  SELECT source AS grp, (lang = 'en') AS y, n_chars AS s
+        |  FROM documents
+        |), per AS (
+        |  SELECT grp, s, count(*) AS c,
+        |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM g GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT grp, s,
+        |         CAST(sum(p) OVER w AS BIGINT) AS tp,
+        |         CAST(sum(c) OVER w AS BIGINT) AS n_pred,
+        |         CAST(sum(p) OVER (PARTITION BY grp) AS BIGINT)
+        |           AS pos_total
+        |  FROM per
+        |  WINDOW w AS (PARTITION BY grp ORDER BY s DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT grp AS source, s AS threshold, tp, n_pred,
+        |       CAST(tp * 1000000 // n_pred AS BIGINT) AS precision_ppm,
+        |       CASE WHEN pos_total > 0
+        |            THEN CAST(tp * 1000000 // pos_total AS BIGINT)
+        |       END AS recall_ppm
+        |FROM cum""".stripMargin,
 
     "q239_gini_stump" ->
       s"""WITH g AS (

@@ -53,6 +53,24 @@ class EvalSpec extends SparkSpec {
     assert(out == credit2 * 1000000L / (2L * pos.size * neg.size))
   }
 
+  test("prCurvePpm: monotone recall, hand-checked operating points") {
+    // scores desc: 5(pos), 4(neg), 3(pos), 2(pos), 1(neg)
+    val df = Seq(("g", true, 5L), ("g", false, 4L), ("g", true, 3L),
+      ("g", true, 2L), ("g", false, 1L)).toDF("g", "y", "s")
+    val pts = Eval.prCurvePpm(df, col("g"), col("y"), col("s"))
+      .orderBy(col("threshold").desc).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(pts.toSeq == Seq(
+      (5L, 1L, 1L, 1000000L, 333333L),   // t=5: P=1, R=1/3
+      (4L, 1L, 2L, 500000L, 333333L),    // t=4: P=1/2
+      (3L, 2L, 3L, 666666L, 666666L),
+      (2L, 3L, 4L, 750000L, 1000000L),   // full recall
+      (1L, 3L, 5L, 600000L, 1000000L)))
+    // recall is monotone non-decreasing as the threshold drops
+    assert(pts.map(_._5).toSeq == pts.map(_._5).sorted.toSeq)
+  }
+
   // -------------------------------------------------------- calibration
 
   test("calibrationBins: bin edges, counts, and the derived ECE") {
