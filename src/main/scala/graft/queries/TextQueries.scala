@@ -152,6 +152,39 @@ object TextQueries {
             .as("recall10_ppm"))
     }),
 
+    // Expected Reciprocal Rank of the BM25 top-10 under the cascade
+    // user model (Chapelle et al., CIKM 2009) with q235's binary
+    // relevance: a relevant hit at position i, being the r-th relevant
+    // so far, contributes (1/i)·(1/2)^r — every term divides
+    // lcm(1..10)·2^10 = 2580480 exactly, so ERR is an EXACT integer
+    // numerator over that constant (err_ppm floors once at the end).
+    // The graded-relevance ranking metric nDCG's log makes impossible
+    // to do exactly.
+    "q243_err" -> ((s, d) => {
+      val docs = toks(s, d)
+      val inst = TextAnalysis.tokenInstances(docs, "doc_id", "tok")
+      val qterms = inst.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(3)
+        .select(col("term"))
+      val ranked = TextAnalysis.bm25TopDocs(docs, "doc_id", "tok",
+        qterms, 10)
+      val rel = inst.join(broadcast(qterms), Seq("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf")).filter(col("tf") >= 3L)
+        .select(col("term"), col("doc_id"))
+      val hits = ranked.join(rel, Seq("term", "doc_id"))
+      val wRel = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term")).orderBy(col("rank"))
+      hits.withColumn("r", row_number().over(wRel))
+        .withColumn("contrib",
+          expr("2580480 div (rank * shiftleft(cast(1 as bigint), cast(r as int)))"))
+        .groupBy(col("term"))
+        .agg(sum(col("contrib")).as("err_num"),
+          count(lit(1)).as("n_rel_top10"))
+        .select(col("term"), col("n_rel_top10"), col("err_num"),
+          expr("err_num * 1000000 div 2580480").as("err_ppm"))
+    }),
+
     // Composed Gopher keep/reject verdict — integer-comparison flags only.
     "q76_gopher_filter" -> ((s, d) =>
       TextAnalysis.gopherFilter(toks(s, d), "doc_id", "tok")),
@@ -974,6 +1007,24 @@ object TextQueries {
     // Mirrors bm25TopDocs expression-for-expression (same association
     // order in the float division, same scaled-integer idf).
     "q149_bm25_topk" -> Bm25TopkSql,
+
+    "q243_err" ->
+      s"""$Bm25RankedCte, rel AS (
+         |  SELECT i.term, i.doc_id FROM inst i JOIN qterms USING (term)
+         |  GROUP BY 1, 2 HAVING count(*) >= 3
+         |), hits AS (
+         |  SELECT r.term, r.rank,
+         |         row_number() OVER (PARTITION BY r.term
+         |           ORDER BY r.rank) AS rr
+         |  FROM ranked r JOIN rel
+         |    ON r.term = rel.term AND r.doc_id = rel.doc_id
+         |)
+         |SELECT term, count(*) AS n_rel_top10,
+         |       CAST(sum(2580480 // (rank * (1::BIGINT << rr)))
+         |         AS BIGINT) AS err_num,
+         |       CAST(sum(2580480 // (rank * (1::BIGINT << rr)))
+         |         * 1000000 // 2580480 AS BIGINT) AS err_ppm
+         |FROM hits GROUP BY term""".stripMargin,
 
     "q235_retrieval_eval" ->
       s"""$Bm25RankedCte, rel AS (

@@ -387,4 +387,16 @@ class TextSpec extends SparkSpec {
       CountMin.estimate(sk.table, 4, 256, t) >= thresh)
     assert(heavy.subsetOf(kept), "no false negatives")
   }
+
+  test("ERR arithmetic: lcm(1..10)*2^10 scaling is exact for hand cases") {
+    // relevant at ranks 1 and 3: ERR = 1/2 + (1/3)(1/4) = 7/12
+    val num = 2580480L / (1L * 2L) + 2580480L / (3L * 4L)
+    assert(num == 1505280L)
+    assert(num * 1000000L / 2580480L == 583333L)
+    // all-10-relevant: ERR = sum 1/(i*2^i) -> the ln(2) series prefix
+    val full = (1 to 10).map(i => 2580480L / (i.toLong * (1L << i))).sum
+    assert(full == 1788440L) // matches q243's observed err_num
+    assert((1 to 10).forall(i => 2580480L % (i.toLong * (1L << i)) == 0L),
+      "every cascade term must divide the scaling constant exactly")
+  }
 }
