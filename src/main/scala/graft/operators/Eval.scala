@@ -61,6 +61,63 @@ object Eval {
           .as("auc_ppm"))
   }
 
+  /** [[rocAucPpm]] over WEIGHTED rows — each integral weight unit is a
+    * pseudo-row occupying one rank slot, and the mid-rank convention
+    * gives every unit in a tied score group the group-average rank:
+    * with cumulative weight `cumB` strictly below the group and group
+    * weights (W, W⁺), twice the positive rank sum gains
+    * `W⁺·(2·cumB + W + 1)` per group — the same integer the row form's
+    * `2r + c − 1` telescopes to at w ≡ 1 (spec-asserted), and invariant
+    * under uniform weight scaling (AUC is a probability). This is what
+    * lets the Poisson bootstrap resample an AUC without materializing
+    * resampled rows: weights fold into the per-score aggregate.
+    *
+    * Scale shape: per-(group, score) aggregate (smaller than the row
+    * set), one keyed cumulative window, one final aggregate reusing the
+    * window partitioning.
+    */
+  def rocAucWeightedPpm(df: DataFrame, group: Column, label: Column,
+      score: Column, weight: Column): DataFrame = {
+    val g = df.select(group.as("grp"), label.cast("boolean").as("y"),
+      score.cast("long").as("s"), weight.cast("long").as("w"))
+      .filter(col("w") > 0)
+    val per = g.groupBy(col("grp"), col("s"))
+      .agg(sum(col("w")).as("c"),
+        sum(when(col("y"), col("w")).otherwise(0L)).as("p"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("cumb", sum(col("c")).over(wCum) - col("c"))
+      .groupBy(col("grp"))
+      .agg(sum(col("p") * (lit(2L) * col("cumb") + col("c") + lit(1L)))
+          .as("r2pos"),
+        sum(col("p")).as("n_pos"),
+        sum(col("c")).as("n"))
+      .select(col("grp"), col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+        when(col("n_pos") > 0 && col("n") > col("n_pos"),
+          expr("""(r2pos - n_pos * (n_pos + 1)) * 1000000
+                  div (2 * n_pos * (n - n_pos))"""))
+          .as("auc_ppm"))
+  }
+
+  /** Bootstrap confidence band for the AUC itself: `replicas` Poisson
+    * resamples, each scored by [[rocAucWeightedPpm]] with the resample
+    * multiplicities as weights — the headline eval metric gets an
+    * uncertainty estimate from ONE pass over the data, exact per
+    * replica, no resampled rows ever materialized. The replica spread
+    * is the sampling distribution of the AUC; the band-contains-the-
+    * point-estimate invariant is asserted in `EvalSpec`.
+    */
+  def rocAucBootstrapPpm(df: DataFrame, id: Column, label: Column,
+      score: Column, replicas: Int): DataFrame = {
+    val base = df.select(id.as("_id"), label.cast("boolean").as("_y"),
+      score.cast("long").as("_s"))
+    rocAucWeightedPpm(poissonReplicas(base, replicas), col("b"),
+        col("_y"), col("_s"), col("w"))
+      .select(col("grp").as("b"), col("n_pos"), col("n_neg"),
+        col("auc_ppm"))
+  }
+
   /** Per-group precision-recall curve, exact in ppm: one point per
     * DISTINCT score value `t` — the operating point "predict positive
     * when score ≥ t" — with its true-positive count, predicted-positive

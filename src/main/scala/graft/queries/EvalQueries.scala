@@ -62,6 +62,15 @@ object EvalQueries {
         .select(col("grp").as("source"), col("threshold"), col("tp"),
           col("n_pred"), col("precision_ppm"), col("recall_ppm"))),
 
+    // Bootstrap confidence band for the AUC itself: 16 Poisson
+    // resamples, each scored by the WEIGHTED rank-sum AUC (multiplicity
+    // folds into the per-score aggregate — resampled rows never
+    // materialize), from ONE pass over the corpus. The replica spread
+    // is the sampling distribution of the headline eval metric.
+    "q244_auc_bootstrap" -> ((s, d) =>
+      Eval.rocAucBootstrapPpm(Tables.documents(s, d), col("doc_id"),
+        col("lang") === "en", col("n_chars"), replicas = 16)),
+
     // Bagged stumps: 8 Poisson resamples each train their own exact
     // stump in one pass — the threshold SPREAD across replicas is the
     // stability diagnostic (a jumpy threshold is noise, not signal).
@@ -201,6 +210,15 @@ object EvalQueries {
           col("n"), col("s_scaled"), col("alarm"))
     }))
 
+  /** The Poisson(1) weight CASE over an md5 ppm uniform `uu`, generated
+    * from the SAME literal table the operators use ([[Eval.PoissonPpm]])
+    * — one source of truth for q232/q240/q244's oracles.
+    */
+  private val PoissonCaseSql: String =
+    graft.operators.Eval.PoissonPpm.zipWithIndex
+      .map { case (t, k) => s"WHEN uu < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 4 END")
+
   /** The q239 stump sweep as two CTEs (cumulative left counts + the
     * floored-ppm rational score), parameterized by the partition key —
     * ONE copy of the Gini-score formula shared by q239/q240/q241's
@@ -298,6 +316,49 @@ object EvalQueries {
         |       END AS kappa_ppm
         |FROM t JOIN pe ON t.grp = pe.grp""".stripMargin,
 
+    "q244_auc_bootstrap" ->
+      s"""WITH g AS (
+         |  SELECT doc_id AS id, (lang = 'en') AS y, n_chars AS s
+         |  FROM documents
+         |), r AS (
+         |  SELECT id, y, s, unnest(generate_series(0, 3)) AS blk FROM g
+         |), h AS (
+         |  SELECT y, s, blk,
+         |         md5(CAST(id AS VARCHAR) || '|' || CAST(blk AS VARCHAR))
+         |           AS hex
+         |  FROM r
+         |), u AS (
+         |  SELECT y, s, blk * 4 + win AS b,
+         |         (('0x' || substr(hex, CAST(win AS INT) * 8 + 1, 8))::BIGINT
+         |          % 1000000) AS uu
+         |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS win) ws
+         |), wt AS (
+         |  SELECT b, y, s, $PoissonCaseSql AS w FROM u
+         |), per AS (
+         |  SELECT b, s, CAST(sum(w) AS BIGINT) AS c,
+         |         CAST(sum(CASE WHEN y THEN w ELSE 0 END) AS BIGINT) AS p
+         |  FROM wt WHERE w > 0 GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT b, s, c, p,
+         |         CAST(sum(c) OVER (PARTITION BY b ORDER BY s
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+         |           AS BIGINT) AS cumb
+         |  FROM per
+         |), a AS (
+         |  SELECT b,
+         |         CAST(sum(p * (2 * cumb + c + 1)) AS BIGINT) AS r2pos,
+         |         CAST(sum(p) AS BIGINT) AS n_pos,
+         |         CAST(sum(c) AS BIGINT) AS n
+         |  FROM cum GROUP BY b
+         |)
+         |SELECT CAST(b AS BIGINT) AS b, n_pos,
+         |       CAST(n - n_pos AS BIGINT) AS n_neg,
+         |       CASE WHEN n_pos > 0 AND n > n_pos THEN
+         |         CAST((r2pos - n_pos * (n_pos + 1)) * 1000000
+         |              // (2 * n_pos * (n - n_pos)) AS BIGINT)
+         |       END AS auc_ppm
+         |FROM a""".stripMargin,
+
     "q242_pr_curve" ->
       """WITH g AS (
         |  SELECT source AS grp, (lang = 'en') AS y, n_chars AS s
@@ -356,9 +417,7 @@ object EvalQueries {
          |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS win) ws
          |), wt AS (
          |  SELECT b, y, f,
-         |         CASE WHEN uu < 367879 THEN 0 WHEN uu < 735758 THEN 1
-         |              WHEN uu < 919698 THEN 2 WHEN uu < 981011 THEN 3
-         |              ELSE 4 END AS w
+         |         $PoissonCaseSql AS w
          |  FROM u
          |), per AS (
          |  SELECT b, f, CAST(sum(w) AS BIGINT) AS c,
@@ -450,7 +509,7 @@ object EvalQueries {
          |FROM t GROUP BY grp, pred, n_cal, q_hat""".stripMargin,
 
     "q232_bootstrap" ->
-      """WITH g AS (
+      s"""WITH g AS (
         |  SELECT o_orderpriority AS grp, o_orderkey AS id,
         |         CAST(floor(o_totalprice * 100) AS BIGINT) AS v
         |  FROM orders
@@ -468,9 +527,7 @@ object EvalQueries {
         |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS win) ws
         |), w AS (
         |  SELECT grp, b, v,
-        |         CASE WHEN uu < 367879 THEN 0 WHEN uu < 735758 THEN 1
-        |              WHEN uu < 919698 THEN 2 WHEN uu < 981011 THEN 3
-        |              ELSE 4 END AS w
+        |         $PoissonCaseSql AS w
         |  FROM u
         |), a AS (
         |  SELECT grp, b, CAST(sum(w) AS BIGINT) AS n_eff,

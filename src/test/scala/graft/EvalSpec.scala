@@ -53,6 +53,29 @@ class EvalSpec extends SparkSpec {
     assert(out == credit2 * 1000000L / (2L * pos.size * neg.size))
   }
 
+  test("rocAucWeightedPpm: w=1 equals the row form, uniform scaling is " +
+      "invariant, and the bootstrap band covers the point estimate") {
+    val rnd = new scala.util.Random(37)
+    val rows = (1 to 200).map { i =>
+      val y = rnd.nextBoolean()
+      ("g", i.toLong, y, (rnd.nextInt(20) + (if (y) 6 else 0)).toLong)
+    }
+    val df = rows.toDF("g", "id", "y", "s")
+    val point = Eval.rocAucPpm(df, col("g"), col("y"), col("s"))
+      .collect().head.getLong(3)
+    def weighted(w: Long) = Eval.rocAucWeightedPpm(df, col("g"), col("y"),
+      col("s"), lit(w)).collect().head.getLong(3)
+    assert(weighted(1L) == point, "w=1 must telescope to the row form")
+    assert(weighted(3L) == point, "AUC is invariant under uniform weights")
+    val band = Eval.rocAucBootstrapPpm(df, col("id"), col("y"), col("s"),
+        replicas = 16)
+      .collect().map(_.getLong(3))
+    assert(band.length == 16)
+    assert(band.min <= point && point <= band.max,
+      s"point AUC $point outside bootstrap band [${band.min}, ${band.max}]")
+    assert(band.min > 600000L, "separable data: every replica must beat chance")
+  }
+
   test("prCurvePpm: monotone recall, hand-checked operating points") {
     // scores desc: 5(pos), 4(neg), 3(pos), 2(pos), 1(neg)
     val df = Seq(("g", true, 5L), ("g", false, 4L), ("g", true, 3L),
