@@ -171,6 +171,32 @@ object Quality {
           .as("emd_ppm")): _*)
   }
 
+  /** Total-variation distance between two slices' CATEGORY distributions,
+    * exact in ppm — the categorical drift gauge next to the continuous KS
+    * check (q131): `TVD = ½ Σ_cat |p_cat − q_cat|`, kept over the common
+    * denominator `N_a·N_b` as `Σ|a_cat·N_b − b_cat·N_a| · 10⁶ div
+    * (2·N_a·N_b)` — BIGINT only, engine-exact, and unlike PSI/KL it
+    * needs no logarithm and tolerates empty categories (a category seen
+    * in only one slice just contributes its full mass). One category
+    * aggregate + a broadcast of the two totals; an empty slice yields
+    * NULL rather than a fake 0.
+    */
+  def tvdPpm(df: DataFrame, category: Column, inA: Column): DataFrame = {
+    val g = df.select(category.as("cat"), inA.cast("boolean").as("ia"))
+    val per = g.groupBy(col("cat"))
+      .agg(sum(when(col("ia"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("ia"), 1L).otherwise(0L)).as("b"))
+    val tot = per.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    per.crossJoin(broadcast(tot))
+      .groupBy(col("na"), col("nb"))
+      .agg(sum(abs(col("a") * col("nb") - col("b") * col("na")))
+        .as("num"), count(lit(1)).as("n_categories"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("n_categories"),
+        when(col("na") > 0 && col("nb") > 0,
+          expr("num * 1000000 div (2 * na * nb)")).as("tvd_ppm"))
+  }
+
   /** Cumulative ppm thresholds of the TWO-SIDED GEOMETRIC distribution
     * with α = e^−ε at ε = 0.5, support clamped to [−8, 8] (the tail mass
     * beyond ±8, ≈1.14%, folds into the extremes — a documented truncation

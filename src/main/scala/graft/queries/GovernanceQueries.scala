@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Quality
+import graft.operators.{Curation, Quality}
 import graft.sources.Tables
 
 /** Privacy-governance audits over the release-candidate tables —
@@ -31,6 +31,15 @@ object GovernanceQueries {
         Seq(col("c_nationkey").cast("long").as("nation"),
           col("c_mktsegment").as("segment")),
         expr(BucketExpr), l = 8L)),
+
+    // Categorical drift between the md5 train split (70) and the rest:
+    // total-variation distance over the language distribution, exact ppm
+    // — the split-balance audit a leakage-free pipeline runs before
+    // trusting its held-out metrics (the categorical sibling of q131's
+    // continuous KS drift).
+    "q245_tvd_drift" -> ((s, d) =>
+      Quality.tvdPpm(Tables.documents(s, d), col("lang"),
+        Curation.hashBucket(col("doc_id"), 100) < 70)),
 
     // epsilon-DP count release (two-sided geometric mechanism, eps=0.5):
     // per-(nation, segment) customer counts with md5-deterministic
@@ -61,6 +70,30 @@ object GovernanceQueries {
       s"WHEN uu < $cum THEN ($z)" }.mkString("CASE ", " ", " ELSE 8 END")
 
   val oracles: Map[String, String] = Map(
+    "q245_tvd_drift" ->
+      s"""WITH g AS (
+         |  SELECT lang AS cat,
+         |         (${OracleSql.bucketSql("doc_id", 100)} < 70) AS ia
+         |  FROM documents
+         |), per AS (
+         |  SELECT cat,
+         |         CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |         CAST(sum(CASE WHEN NOT ia THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS b
+         |  FROM g GROUP BY cat
+         |), tot AS (
+         |  SELECT CAST(sum(a) AS BIGINT) AS na,
+         |         CAST(sum(b) AS BIGINT) AS nb FROM per
+         |)
+         |SELECT tot.na AS n_a, tot.nb AS n_b,
+         |       count(*) AS n_categories,
+         |       CASE WHEN tot.na > 0 AND tot.nb > 0 THEN
+         |         CAST(sum(abs(per.a * tot.nb - per.b * tot.na)) * 1000000
+         |              // (2 * tot.na * tot.nb) AS BIGINT)
+         |       END AS tvd_ppm
+         |FROM per CROSS JOIN tot
+         |GROUP BY tot.na, tot.nb""".stripMargin,
+
     "q233_dp_counts" ->
       s"""WITH c AS (
          |  SELECT CAST(c_nationkey AS BIGINT) AS nation,

@@ -398,6 +398,23 @@ class EvalSpec extends SparkSpec {
       "distinct tags should draw distinct noise somewhere")
   }
 
+  test("tvdPpm: identical slices give 0, disjoint categories give 1e6, " +
+      "hand mixture is exact") {
+    import spark.implicits._
+    val same = Seq(("x", true), ("x", false), ("y", true), ("y", false))
+      .toDF("cat", "ia")
+    assert(Quality.tvdPpm(same, col("cat"), col("ia"))
+      .collect().head.getLong(3) == 0L)
+    val disjoint = Seq(("x", true), ("y", false)).toDF("cat", "ia")
+    assert(Quality.tvdPpm(disjoint, col("cat"), col("ia"))
+      .collect().head.getLong(3) == 1000000L)
+    // A: 3x,1y ; B: 1x,3y -> TVD = 1/2(|3/4-1/4| + |1/4-3/4|) = 1/2
+    val mix = (Seq.fill(3)(("x", true)) ++ Seq(("y", true)) ++
+      Seq(("x", false)) ++ Seq.fill(3)(("y", false))).toDF("cat", "ia")
+    assert(Quality.tvdPpm(mix, col("cat"), col("ia"))
+      .collect().head.getLong(3) == 500000L)
+  }
+
   // --------------------------------------------------------------- HITS
 
   test("hitsInt: authority ranking follows recursive hub quality, max==scale") {
