@@ -34,13 +34,41 @@ object Eval {
     * Scale shape: one keyed window pass (rank + tie size share the single
     * (group, score) sort exchange) and one aggregate — no self-join over
     * pos×neg pairs, which is the naive O(n²) formulation. Overflow
-    * headroom: `2R⁺ ≤ 2n²` stays below 2⁶³ for per-group n up to ~2·10⁹.
+    * headroom: the rank-sum accumulation `2R⁺ ≤ 2n²` stays below 2⁶³ for
+    * per-group n up to ~2·10⁹, and the ppm scaling never multiplies the
+    * raw numerator by 10⁶ in one step (that would cap n⁺·n⁻ at ~4.6·10¹²,
+    * i.e. ~4M balanced rows) — [[stagedPpmDiv]] applies ×10⁶ as six
+    * Horner ×10 steps on a (quotient, remainder) pair, so the largest
+    * intermediate is `10·(2 n⁺ n⁻)`, good to n⁺·n⁻ ≤ ~4.6·10¹⁷ (~1.3·10⁹
+    * balanced rows per group — the same order as the accumulation bound).
     *
     * @param df     input rows
     * @param group  grouping column (model variant / slice)
     * @param label  boolean-ish column, true = positive
     * @param score  integral score column (higher = predicted positive)
     */
+  /** `num·10⁶ div den` over BIGINT columns without ever forming
+    * `num·10⁶`: Horner's rule on the (quotient, remainder) pair — six
+    * rounds of `q ← 10q + (10r div den); r ← 10r mod den`. Exact (each
+    * round preserves `q·den + r = num·10^i`), and the largest
+    * intermediate is `10·r < 10·den`, so headroom is den ≤ 2⁶²/5
+    * (~9.2·10¹⁷) instead of 2⁶³/10⁶. The quotient itself is ≤ 10⁶
+    * whenever num ≤ den (every ppm ratio here). Row-local BIGINT
+    * arithmetic only — stays inside whole-stage codegen. A zero/NULL
+    * `den` propagates NULL through `div` (non-ANSI), matching the
+    * callers' `when` guards.
+    */
+  private def stagedPpmDiv(num: Column, den: Column): Column = {
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val init = struct(idiv(num, den).as("q"), (num % den).as("r"))
+    val stepped = (1 to 6).foldLeft(init) { (acc, _) =>
+      struct(
+        (acc("q") * lit(10L) + idiv(acc("r") * lit(10L), den)).as("q"),
+        ((acc("r") * lit(10L)) % den).as("r"))
+    }
+    stepped("q")
+  }
+
   def rocAucPpm(df: DataFrame, group: Column, label: Column,
       score: Column): DataFrame = {
     val g = df.select(group.as("grp"), label.cast("boolean").as("y"),
@@ -56,8 +84,8 @@ object Eval {
         count(lit(1)).as("n"))
       .select(col("grp"), col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
         when(col("n_pos") > 0 && col("n") > col("n_pos"),
-          expr("""(r2pos - n_pos * (n_pos + 1)) * 1000000
-                  div (2 * n_pos * (n - n_pos))"""))
+          stagedPpmDiv(expr("r2pos - n_pos * (n_pos + 1)"),
+            expr("2 * n_pos * (n - n_pos)")))
           .as("auc_ppm"))
   }
 
@@ -95,8 +123,8 @@ object Eval {
         sum(col("c")).as("n"))
       .select(col("grp"), col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
         when(col("n_pos") > 0 && col("n") > col("n_pos"),
-          expr("""(r2pos - n_pos * (n_pos + 1)) * 1000000
-                  div (2 * n_pos * (n - n_pos))"""))
+          stagedPpmDiv(expr("r2pos - n_pos * (n_pos + 1)"),
+            expr("2 * n_pos * (n - n_pos)")))
           .as("auc_ppm"))
   }
 
@@ -457,7 +485,9 @@ object Eval {
     * as `kappa_ppm = num·10⁶ div den` — BIGINT only, and both engines
     * truncate integral division toward zero, so the mirror is exact even
     * for negative κ (worse-than-chance raters). Degenerate groups where
-    * both raters are constant and identical (den = 0) yield NULL.
+    * both raters are constant and identical (den = 0) yield NULL; groups
+    * whose raters share no label at all (no marginal overlap, pe = 0,
+    * agree = 0) yield κ = 0 — kept via a left join, not dropped.
     *
     * Scale shape: one aggregate for (N, A), one per-rater marginal
     * aggregate each, and a join of the two marginals on (group, label) —
@@ -474,11 +504,17 @@ object Eval {
       .agg(count(lit(1)).as("na"))
     val margB = g.groupBy(col("grp"), col("b").as("lbl"))
       .agg(count(lit(1)).as("nb"))
-    // inner join: a label one rater never uses contributes nA·nB = 0
+    // inner join: a label one rater never uses contributes nA·nB = 0.
+    // A group where the raters share NO label at all then has no pe row —
+    // the left join + coalesce keeps it with pe_num = 0 rather than
+    // silently dropping the group; there agree = 0 too (disjoint labels
+    // can never agree), so κ = (0·n − 0)·10⁶ div (n² − 0) = 0, the
+    // correct "agreement exactly at chance level" answer.
     val pe = margA.join(margB, Seq("grp", "lbl"))
       .groupBy(col("grp"))
       .agg(sum(col("na") * col("nb")).as("pe_num"))
-    totals.join(pe, Seq("grp"))
+    totals.join(pe, Seq("grp"), "left")
+      .withColumn("pe_num", coalesce(col("pe_num"), lit(0L)))
       .select(col("grp"), col("n"), col("agree"),
         when(col("n") * col("n") =!= col("pe_num"),
           expr("(agree * n - pe_num) * 1000000 div (n * n - pe_num)"))

@@ -235,8 +235,14 @@ object Quality {
       releaseTag: String): DataFrame = {
     val counted = df.groupBy(keys: _*).agg(count(lit(1)).as("true_n"))
     val keyNames = counted.columns.dropRight(1)
+    // tableChecksum's coalesce convention: concat_ws SKIPS a null operand
+    // (separator and all), so without the coalesce a NULL key value would
+    // hash identically to the tuple with that key absent — two distinct
+    // key tuples drawing the same noise, and diverging from the oracle's
+    // null-propagating '||' rendering
     val u = conv(substring(md5(concat_ws("|",
-      keyNames.map(c => col(c).cast("string")) :+ lit(releaseTag): _*)),
+      keyNames.map(c => coalesce(col(c).cast("string"), lit("")))
+        :+ lit(releaseTag): _*)),
       1, 8), 16, 10).cast("long") % 1000000L
     val z = TwoSidedGeomPpm.reverse.foldLeft[Column](lit(8L)) {
       case (acc, (zv, cumPpm)) => when(u < cumPpm, zv).otherwise(acc)

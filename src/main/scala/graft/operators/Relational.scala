@@ -529,7 +529,12 @@ object Relational {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     val inst = df.select(col(groupCol).as("_g"),
       col(itemCol).cast("long").as("_it")).distinct()
-    val f2 = coOccurrence(df, groupCol, itemCol)
+    // cast BEFORE coOccurrence: its array_sort orders pairs by the column's
+    // natural type, and the candidate self-join below assumes numeric order
+    // — a raw string item column ('10' < '2' lexicographically) would
+    // silently miss triples
+    val longItems = df.withColumn(itemCol, col(itemCol).cast("long"))
+    val f2 = coOccurrence(longItems, groupCol, itemCol)
       .filter(col("n_groups") >= minSupport)
       .select(col("item_a").cast("long").as("pa"),
         col("item_b").cast("long").as("pb"))

@@ -310,11 +310,11 @@ object EvalQueries {
         |  GROUP BY ma.grp
         |)
         |SELECT t.grp AS lang, t.n, t.agree,
-        |       CASE WHEN t.n * t.n <> pe.pe_num THEN
-        |         CAST((t.agree * t.n - pe_num) * 1000000
-        |              // (t.n * t.n - pe_num) AS BIGINT)
+        |       CASE WHEN t.n * t.n <> coalesce(pe.pe_num, 0) THEN
+        |         CAST((t.agree * t.n - coalesce(pe_num, 0)) * 1000000
+        |              // (t.n * t.n - coalesce(pe_num, 0)) AS BIGINT)
         |       END AS kappa_ppm
-        |FROM t JOIN pe ON t.grp = pe.grp""".stripMargin,
+        |FROM t LEFT JOIN pe ON t.grp = pe.grp""".stripMargin,
 
     "q244_auc_bootstrap" ->
       s"""WITH g AS (

@@ -101,8 +101,9 @@ object GovernanceQueries {
          |  FROM customer GROUP BY 1, 2
          |), u AS (
          |  SELECT nation, segment, true_n,
-         |         (('0x' || substr(md5(CAST(nation AS VARCHAR) || '|'
-         |            || segment || '|' || 'release1'), 1, 8))::BIGINT
+         |         (('0x' || substr(md5(coalesce(CAST(nation AS VARCHAR), '')
+         |            || '|' || coalesce(segment, '') || '|' || 'release1'),
+         |            1, 8))::BIGINT
          |          % 1000000) AS uu
          |  FROM c
          |)

@@ -111,8 +111,16 @@ object StreamingIndex {
     * amplification. The compacted index is bit-identical to the
     * multi-segment view (exact-integer merges commute with the rewrite).
     */
-  def compact(spark: SparkSession, dir: String, intoDir: String): Unit =
+  def compact(spark: SparkSession, dir: String, intoDir: String): Unit = {
+    // intoDir == dir would have writeSegment overwrite postings/d=base
+    // WHILE loadIndex's lazy DataFrames still read those same parquet
+    // directories — the rewrite would consume partially-overwritten input
+    // and corrupt the index. Compact into a distinct dir (or stage + move).
+    require(new java.io.File(intoDir).getCanonicalPath !=
+      new java.io.File(dir).getCanonicalPath,
+      s"compact target must differ from the source index dir: $dir")
     writeSegment(intoDir, loadIndex(spark, dir), "base")
+  }
 
   /** Start the maintenance stream over tokenized documents (`idCol`,
     * `tokCol`): each micro-batch is probed against the pre-batch index —

@@ -76,6 +76,30 @@ class EvalSpec extends SparkSpec {
     assert(band.min > 600000L, "separable data: every replica must beat chance")
   }
 
+  test("rocAucWeightedPpm survives n_pos*n_neg beyond the single-step " +
+      "ppm-multiply overflow bound (~4.6e12)") {
+    // 3e6 pseudo-rows per side: n_pos*n_neg = 9e12, so the old
+    // `num * 1000000 div den` form would wrap 2^63 and go negative;
+    // the staged Horner scaling must still give the exact mid-rank AUC.
+    // neg at score 1 (3e6), pos at 2 (2e6), neg at 2 (1e6), pos at 3 (1e6):
+    // credit2 = 2*(2e6*3e6 + 1e6*(3e6+1e6)) + 2*(2e6*1e6)... compute in
+    // BigInt below instead of hand arithmetic.
+    val w = 1000000L
+    val rows = Seq((false, 1L, 3 * w), (true, 2L, 2 * w), (false, 2L, w),
+      (true, 3L, w))
+    val df = rows.map { case (y, s, ww) => ("g", y, s, ww) }
+      .toDF("grp", "y", "s", "w")
+    val got = Eval.rocAucWeightedPpm(df, col("grp"), col("y"), col("s"),
+      col("w")).collect().head.getLong(3)
+    val pos = rows.filter(_._1).map(r => (r._2, BigInt(r._3)))
+    val neg = rows.filterNot(_._1).map(r => (r._2, BigInt(r._3)))
+    val credit2 = (for ((ps, pw) <- pos; (ns, nw) <- neg) yield
+      pw * nw * (if (ps > ns) 2 else if (ps == ns) 1 else 0)).sum
+    val want = credit2 * 1000000 /
+      (2 * pos.map(_._2).sum * neg.map(_._2).sum)
+    assert(got == want.toLong && got >= 0L && got <= 1000000L)
+  }
+
   test("prCurvePpm: monotone recall, hand-checked operating points") {
     // scores desc: 5(pos), 4(neg), 3(pos), 2(pos), 1(neg)
     val df = Seq(("g", true, 5L), ("g", false, 4L), ("g", true, 3L),
@@ -146,6 +170,20 @@ class EvalSpec extends SparkSpec {
     val df = Seq(("g", "a", "a"), ("g", "a", "a")).toDF("grp", "ra", "rb")
     assert(Eval.cohenKappaPpm(df, col("grp"), col("ra"), col("rb"))
       .collect().head.isNullAt(3))
+  }
+
+  test("cohenKappaPpm: raters with disjoint label sets emit kappa=0, " +
+      "not a dropped group") {
+    // rater A only says {x, y}, rater B only says {p, q}: no marginal
+    // overlap, pe = 0, agree = 0 — exactly chance-level agreement
+    val df = Seq(("g", "x", "p"), ("g", "y", "q"), ("g", "x", "q"),
+      ("ok", "a", "a"), ("ok", "b", "b")).toDF("grp", "ra", "rb")
+    val out = Eval.cohenKappaPpm(df, col("grp"), col("ra"), col("rb"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out.contains("g"), "disjoint-label group must not vanish")
+    assert(out("g") == Some(0L))
+    assert(out("ok") == Some(1000000L)) // sibling group unaffected
   }
 
   // -------------------------------------------------------------- stump
@@ -335,6 +373,21 @@ class EvalSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("frequentTriples on STRING items whose lexicographic order breaks " +
+      "numeric order still finds every triple") {
+    // items '2' < '10' numerically but '10' < '2' lexicographically:
+    // without the internal cast-to-long before pair generation, the
+    // candidate self-join's order assumption silently misses this triple
+    val rows = (1 to 3).flatMap(g =>
+      Seq((g.toLong, "2"), (g.toLong, "10"), (g.toLong, "30")))
+    val df = rows.toDF("g", "it")
+    val got = graft.operators.Relational
+      .frequentTriples(df, "g", "it", minSupport = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set((2L, 10L, 30L, 3L)))
+  }
+
   // ------------------------------------------------------------ privacy
 
   test("lDiversityClasses flags exactly the under-l classes") {
@@ -396,6 +449,30 @@ class EvalSpec extends SparkSpec {
     val r2 = release("t2")
     assert(r1.keys.exists(k => r1(k)._2 != r2(k)._2),
       "distinct tags should draw distinct noise somewhere")
+  }
+
+  test("dpNoisyCounts: a NULL key value hashes via the coalesce-to-'' " +
+      "convention, not by vanishing from the concat") {
+    // two key columns; the (null, 'b') tuple must render as '|b|tag' —
+    // concat_ws would otherwise SKIP the null (rendering 'b|tag'),
+    // colliding with a hypothetical single-key tuple and diverging from a
+    // null-propagating '||' oracle
+    val df = Seq((Option.empty[String], "b"), (None, "b"), (Some("x"), "b"))
+      .toDF("k1", "k2")
+    val out = Quality.dpNoisyCounts(df, Seq(col("k1"), col("k2")), "t")
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    def refZ(canon: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.getBytes("UTF-8"))
+        .take(4).map(x => f"${x & 0xff}%02x").mkString
+      val u = java.lang.Long.parseLong(hex, 16) % 1000000L
+      Quality.TwoSidedGeomPpm.find(u < _._2).map(_._1).getOrElse(8L)
+    }
+    assert(out((None, "b"))._1 == 2L)
+    assert(out((None, "b"))._2 == refZ("|b|t"),
+      "null key must render as empty-with-separator")
+    assert(out((Some("x"), "b"))._2 == refZ("x|b|t"))
   }
 
   test("tvdPpm: identical slices give 0, disjoint categories give 1e6, " +

@@ -581,6 +581,16 @@ class ScaleSpec extends SparkSpec {
     val compacted = StreamingIndex.loadIndex(spark, cdir)
     assert(surface(compacted) == surface(rebuilt), "compaction changed postings")
     assert(scores(compacted) == scores(rebuilt), "compaction changed BM25")
+
+    // in-place compaction would read the very parquet dirs it overwrites
+    // (lazy loadIndex) — the guard must refuse, including the dot-relative
+    // spelling of the same path
+    intercept[IllegalArgumentException] {
+      StreamingIndex.compact(spark, dir, dir)
+    }
+    intercept[IllegalArgumentException] {
+      StreamingIndex.compact(spark, dir, dir + "/./")
+    }
   }
 
   // Streaming CUSUM: the q225 recurrence as live keyed state — killed
