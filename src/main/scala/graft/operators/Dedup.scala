@@ -133,6 +133,22 @@ object Dedup {
       .distinct()
   }
 
+  /** RETRACTION for the persisted per-document tables of the incremental
+    * dedup paths — the signature table behind [[incrementalCandidatePairs]]
+    * (q135) and the span-seed table behind [[incrementalMaximalSpans]]
+    * (q217): every row is keyed by the document that produced it and
+    * derived row-locally from that document alone (no cross-document
+    * aggregate to repair, unlike [[Retrieval.retractDocs]]'s df/stats), so
+    * a takedown IS a broadcast anti-join — one map-side pass, no shuffle,
+    * idempotent for absent ids, and the retracted table is bit-identical
+    * to rebuilding the seeds from (corpus ∖ deleted), which is the q249
+    * hash proof. After retraction a re-ingested doc appends fresh rows:
+    * retract-then-append upsert, same contract as the retrieval index.
+    */
+  def retractIds(table: DataFrame, idCol: String, ids: DataFrame): DataFrame =
+    table.join(broadcast(ids.select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+
   /** Exact Jaccard similarity of two shingle/token arrays (over distinct
     * elements). Single float division of exact integers — deterministic.
     */

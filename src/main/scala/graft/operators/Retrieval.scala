@@ -32,10 +32,11 @@ import org.apache.spark.sql.functions._
   * maintained tables alone.
   *
   * PRECONDITION (the append-only ingest contract): the delta batch's doc
-  * ids are disjoint from the indexed corpus. A re-ingested doc would need
-  * its old postings retracted first — that is a delete, not an append
-  * (retraction = anti-join the old doc ids out of postings/docs and
-  * subtract their term counts from terms/stats; same algebra, negated).
+  * ids are disjoint from the indexed corpus. A re-ingested doc needs its
+  * old postings retracted first — [[retractDocs]] implements exactly that
+  * negated algebra (anti-join the doc ids out of postings/docs, subtract
+  * their term counts from terms/stats, drop df=0 terms), and
+  * [[upsertDocs]] composes retract-then-append for the update path.
   */
 object Retrieval {
 
@@ -140,6 +141,66 @@ object Retrieval {
       index.docs.unionByName(delta.docs),
       stats)
   }
+
+  /** RETRACTION — the negated [[applyIndexDelta]] algebra, closing the
+    * append-only precondition: takedown/opt-out and re-ingest both need
+    * documents to LEAVE the index without a rebuild.
+    *
+    *   - postings/docs: anti-join the retracted ids out (a takedown set is
+    *     small ⇒ broadcast anti-join — one pass over the inverted lists,
+    *     no shuffle of the index);
+    *   - terms: subtract the retracted docs' per-term document counts —
+    *     computed from the retracted POSTINGS rows themselves, so the
+    *     subtraction is exactly the counts those docs contributed — and
+    *     drop terms whose df reaches 0 (buildIndex never emits a df=0
+    *     term, so keeping them would break the rebuild hash);
+    *   - stats: subtract the retracted docs' Σdl and doc count (1-row
+    *     broadcast cross join).
+    *
+    * Work is O(index scan) map-side + an aggregate over the RETRACTED
+    * postings only; the terms join broadcasts that (small) per-term
+    * subtraction. Ids absent from the index subtract nothing — retraction
+    * is idempotent, and `retract ∘ append == identity` over the index
+    * surface (property-tested in `GraftProperties`; q246/q247 carry the
+    * delta==rebuild hash proof against the (corpus ∖ deleted) ∪ updated
+    * rebuild through a disk round-trip).
+    */
+  def retractDocs(index: RetrievalIndex, docIds: DataFrame,
+      idCol: String): RetrievalIndex = {
+    val ids = broadcast(docIds.select(col(idCol).as("doc_id")).distinct())
+    val gone = index.postings.join(ids, Seq("doc_id"), "left_semi")
+    val dfGone = gone.groupBy(col("term")).agg(count(lit(1)).as("_df_gone"))
+    val terms = index.terms.join(broadcast(dfGone), Seq("term"), "left")
+      .select(col("term"),
+        (col("df") - coalesce(col("_df_gone"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    val statsGone = index.docs.join(ids, Seq("doc_id"), "left_semi")
+      .agg(coalesce(sum(col("dl")), lit(0L)).as("_s_gone"),
+        count(lit(1)).as("_n_gone"))
+    val stats = index.stats.crossJoin(broadcast(statsGone))
+      .select((col("s_total") - col("_s_gone")).as("s_total"),
+        (col("n_docs") - col("_n_gone")).as("n_docs"))
+    RetrievalIndex(
+      index.postings.join(ids, Seq("doc_id"), "left_anti")
+        .select(col("term_bucket"), col("term"), col("doc_id"), col("tf"),
+          col("positions")),
+      terms,
+      index.docs.join(ids, Seq("doc_id"), "left_anti"),
+      stats)
+  }
+
+  /** RE-INGEST (update in place, the one behavior of the reference's
+    * mutable store — `ingestService.js:128-134` — the append-only delta
+    * path couldn't reproduce): retract the batch's ids, then fold the
+    * batch's new content in. After the retract the ids are disjoint from
+    * the index again, so [[applyIndexDelta]]'s precondition holds by
+    * construction; docs NOT previously indexed retract nothing and simply
+    * append — upsert semantics, one code path.
+    */
+  def upsertDocs(index: RetrievalIndex, docs: DataFrame, idCol: String,
+      tokCol: String): RetrievalIndex =
+    applyIndexDelta(retractDocs(index, docs.select(col(idCol)), idCol),
+      docs, idCol, tokCol)
 
   /** The q132 inverted-index surface served FROM the index (token,
     * doc_freq, n_postings, deterministic "doc:pos" postings string) — the

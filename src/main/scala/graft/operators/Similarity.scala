@@ -1058,6 +1058,33 @@ object Similarity {
         assignToCentroids(newVecs, index.centroids)
           .select(col("vec_id"), col("vec"), col("nrm"), col("centroid_id"))))
 
+  /** RETRACTION — the negated [[applyIndexDelta]]: takedown/opt-out ids
+    * leave the inverted lists by a broadcast anti-join (a takedown set is
+    * small; one map-side pass over the assignments, no shuffle). Centroids
+    * are frozen state, not an aggregate of members, so nothing else needs
+    * maintenance — which is precisely why retraction here is exact:
+    * assignment is per-row against the same frozen centroids, hence
+    * retract == rebuild over (corpus ∖ deleted) bit-for-bit (the q248
+    * hash proof), and `retract ∘ append == identity`. Ids absent from the
+    * index retract nothing (idempotent). A cell emptied by retraction
+    * simply stops matching probes — same semantics as the rebuild.
+    */
+  def retractFromIvfIndex(index: IvfIndex, vecIds: DataFrame): IvfIndex =
+    IvfIndex(
+      index.centroids,
+      index.assignments.join(
+        broadcast(vecIds.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti"))
+
+  /** RE-INGEST for the IVF index (updated embeddings for existing ids):
+    * retract the batch's ids, then fold the new vectors in — after the
+    * retract the ids are disjoint again, so the [[applyIndexDelta]]
+    * precondition holds by construction. Unindexed ids just append.
+    */
+  def upsertIntoIvfIndex(index: IvfIndex, vecs: DataFrame): IvfIndex =
+    applyIndexDelta(retractFromIvfIndex(index, vecs.select(col("vec_id"))),
+      vecs)
+
   /** Index-health statistic, per cell: member count and mean
     * member→centroid cosine (rounded, deterministic). One broadcast join
     * against the centroid table + one partial-aggregated groupBy on

@@ -179,6 +179,30 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"), col("jac"))
     }),
 
+    // RETRACTION for the persisted signature table — q135's daily-ingest
+    // shape with a takedown first: doc_id % 10 == 3 LEAVES the historical
+    // signature table (broadcast anti-join; signatures are per-doc
+    // row-local state, no cross-doc aggregate to repair), then today's
+    // batch (% 10 == 7) joins the retracted table. Oracle = the full
+    // recompute restricted to new-involving pairs with NO retracted side:
+    // the hash match proves a takedown doc can never resurface as a
+    // dedup candidate — the opt-out guarantee.
+    "q249_dedup_retract" -> ((s, d) => {
+      val m = minhashed(s, d)
+        .withColumn("bands", Dedup.lshBands(col("sig"), 4, 2)).cache()
+      val hist = Dedup.retractIds(m.filter(col("doc_id") % 10 =!= 7),
+        "doc_id", m.filter(col("doc_id") % 10 === 3).select("doc_id"))
+      val cand = Dedup.incrementalCandidatePairs(hist,
+        m.filter(col("doc_id") % 10 === 7), "doc_id", "bands")
+      val sh = shingled(s, d).cache()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+        .withColumn("jac", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+    }),
+
     // Brute-force n-gram Jaccard over a deterministic subset — the
     // exact-similarity reference the LSH path approximates. The subset is
     // pinned to an ABSOLUTE bound (doc_id < 5000, i.e. at most 200 docs /
@@ -506,6 +530,29 @@ object DedupQueries {
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
          |  WHERE a.doc_id % 10 = 7 OR b.doc_id % 10 = 7
+         |)
+         |SELECT doc_a, doc_b,
+         |       len(list_distinct(list_intersect(x.shingles, y.shingles))) /
+         |       (len(list_distinct(x.shingles)) + len(list_distinct(y.shingles))
+         |        - len(list_distinct(list_intersect(x.shingles, y.shingles)))) AS jac
+         |FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+         |          JOIN sh y ON cand.doc_b = y.doc_id
+         |WHERE len(list_distinct(list_intersect(x.shingles, y.shingles))) /
+         |      (len(list_distinct(x.shingles)) + len(list_distinct(y.shingles))
+         |       - len(list_distinct(list_intersect(x.shingles, y.shingles)))) >= 0.5""".stripMargin,
+
+    // q135's oracle with the takedown restriction on BOTH sides: a pair
+    // touching a retracted doc must not exist.
+    "q249_dedup_retract" ->
+      s"""$MhCte, bands AS (
+         |  SELECT doc_id, i AS band, md5(sig[2*i+1] || sig[2*i+2]) AS bh
+         |  FROM mh, UNNEST(range(0, 4)) u(i)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |  WHERE (a.doc_id % 10 = 7 OR b.doc_id % 10 = 7)
+         |    AND a.doc_id % 10 <> 3 AND b.doc_id % 10 <> 3
          |)
          |SELECT doc_a, doc_b,
          |       len(list_distinct(list_intersect(x.shingles, y.shingles))) /

@@ -441,6 +441,30 @@ object SimilarityQueries {
       Similarity.ivfTopKFromIndex(updated, c.filter(col("vec_id") < 8), 4, 2)
     }),
 
+    // RETRACTION for the persisted ANN index — q142's save→load→delta
+    // chain, then the takedown set (vec_id % 10 == 3) LEAVES the inverted
+    // lists by broadcast anti-join (centroids are frozen state, not a
+    // member aggregate, so nothing else needs repair — every centroid id
+    // is % 40 == 0, never retracted). Serve the same search from the
+    // retracted index; queries include retracted ids (a deleted doc may
+    // still QUERY, it just can't be RETURNED). Oracle = the from-scratch
+    // rebuild over (corpus ∖ deleted): hash match ⇒ retract == rebuild.
+    "q248_ivf_retract" -> ((s, d) => {
+      val c = corpus(s, d)
+      val old = c.filter(col("vec_id") % 10 =!= 7)
+      val fresh = c.filter(col("vec_id") % 10 === 7)
+      val cents = old.filter(col("vec_id") % 40 === 0)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_q248_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Similarity.saveIvfIndex(Similarity.buildIvfIndex(old, cents), dir)
+      val updated = Similarity.applyIndexDelta(
+        Similarity.loadIvfIndex(s, dir), fresh)
+      val retracted = Similarity.retractFromIvfIndex(updated,
+        c.filter(col("vec_id") % 10 === 3).select("vec_id"))
+      Similarity.ivfTopKFromIndex(retracted, c.filter(col("vec_id") < 8),
+        4, 2)
+    }),
+
     // int8-quantized brute-force top-k: unit-normalize, symmetric scalar
     // quantization to [-127,127], integer dot x two scale multiplies —
     // the 4x-smaller-index memory path. Engine-exact (integer dot, IEEE
@@ -1033,6 +1057,43 @@ object SimilarityQueries {
          |             ORDER BY round(list_dot_product(n.vec, c.centvec)
          |               / (n.nrm * c.centnrm), 6) DESC, c.centroid_id ASC) AS crank
          |    FROM n, cents c) t
+         |  WHERE crank = 1
+         |), probes AS (
+         |  SELECT vec_id, vec, nrm, centroid_id FROM (
+         |    SELECT n.vec_id, n.vec, n.nrm, c.centroid_id,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.vec, c.centvec)
+         |               / (n.nrm * c.centnrm), 6) DESC, c.centroid_id ASC) AS crank
+         |    FROM n, cents c WHERE n.vec_id < 8) t
+         |  WHERE crank <= 2
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.vec, b.vec) / (q.nrm * b.nrm), 6) AS sim
+         |  FROM probes q JOIN assigned b ON q.centroid_id = b.centroid_id
+         |  WHERE b.vec_id <> q.vec_id
+         |)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 4""".stripMargin,
+
+    // q142's rebuild oracle minus the takedown set: assignment recomputed
+    // from scratch over (corpus ∖ deleted) against the same frozen
+    // centroids; queries unchanged (retracted ids may query, never
+    // return). Hash match == the retraction proof.
+    "q248_ivf_retract" ->
+      s"""$VCte, cents AS (
+         |  SELECT vec_id AS centroid_id, vec AS centvec, nrm AS centnrm
+         |  FROM n WHERE vec_id % 40 = 0
+         |), assigned AS (
+         |  SELECT vec_id, vec, nrm, centroid_id FROM (
+         |    SELECT n.vec_id, n.vec, n.nrm, c.centroid_id,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.vec, c.centvec)
+         |               / (n.nrm * c.centnrm), 6) DESC, c.centroid_id ASC) AS crank
+         |    FROM n, cents c WHERE n.vec_id % 10 <> 3) t
          |  WHERE crank = 1
          |), probes AS (
          |  SELECT vec_id, vec, nrm, centroid_id FROM (

@@ -535,6 +535,54 @@ object TextQueries {
         Retrieval.loadIndex(s, dir), fresh, "doc_id", "tok")
       Retrieval.bm25FromIndex(updated,
         Retrieval.topTermsFromIndex(updated, 3), 10)
+    }),
+
+    // RETRACTION closes the index's append-only precondition: build the
+    // index over the FULL corpus, save→load (real disk round-trip),
+    // RETRACT the takedown set (doc_id % 10 == 3 — anti-join postings/
+    // docs, SUBTRACT per-term df, drop df=0 terms, subtract the two
+    // scalars), then UPSERT the re-ingested set (doc_id % 10 == 5 returns
+    // with its first-half tokens: retract-then-append, one code path).
+    // Oracle = the from-scratch rebuild over (corpus ∖ deleted) ∪ updated
+    // — the hash match proves the negated algebra loses exactly the
+    // retracted postings and nothing else.
+    "q246_index_retract" -> ((s, d) => {
+      import graft.operators.Retrieval
+      val docs = toks(s, d)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_retr_index_q246_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Retrieval.saveIndex(Retrieval.buildIndex(docs, "doc_id", "tok"), dir)
+      val retracted = Retrieval.retractDocs(Retrieval.loadIndex(s, dir),
+        docs.filter(col("doc_id") % 10 === 3).select("doc_id"), "doc_id")
+      val updated = Retrieval.upsertDocs(retracted,
+        docs.filter(col("doc_id") % 10 === 5)
+          .withColumn("tok",
+            slice(col("tok"), lit(1), floor(size(col("tok")) / 2).cast("int"))),
+        "doc_id", "tok")
+      Retrieval.invertedIndexFromIndex(updated)
+    }),
+
+    // The df/dl/stats side of the retraction proof: same save→load→
+    // retract→upsert chain as q246, then BM25 served from the MAINTAINED
+    // tables alone (query terms re-derived from the maintained postings).
+    // The hash match against the rebuild's from-scratch BM25 proves the
+    // SUBTRACTED document frequencies, lengths, and corpus scalars are
+    // exact — a one-off error in any of them shifts a score.
+    "q247_bm25_after_retract" -> ((s, d) => {
+      import graft.operators.Retrieval
+      val docs = toks(s, d)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_retr_index_q247_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Retrieval.saveIndex(Retrieval.buildIndex(docs, "doc_id", "tok"), dir)
+      val retracted = Retrieval.retractDocs(Retrieval.loadIndex(s, dir),
+        docs.filter(col("doc_id") % 10 === 3).select("doc_id"), "doc_id")
+      val updated = Retrieval.upsertDocs(retracted,
+        docs.filter(col("doc_id") % 10 === 5)
+          .withColumn("tok",
+            slice(col("tok"), lit(1), floor(size(col("tok")) / 2).cast("int"))),
+        "doc_id", "tok")
+      Retrieval.bm25FromIndex(updated,
+        Retrieval.topTermsFromIndex(updated, 3), 10)
     }))
 
   /** The q153 hybrid-retrieval chain (BM25 lexical + exact semantic +
@@ -623,8 +671,8 @@ object TextQueries {
     * index's postings surface): the full-corpus inverted index IS the spec
     * the maintained index must hash-match.
     */
-  private val InvertedIndexSql: String =
-    s"""$TokCte, p AS (
+  private def invertedIndexSqlOver(tokCte: String): String =
+    s"""$tokCte, p AS (
        |  SELECT doc_id, unnest(tok) AS token,
        |         unnest(range(len(tok))) AS pos
        |  FROM t
@@ -644,8 +692,27 @@ object TextQueries {
     * verbatim by q149/q214 and the q235 retrieval-quality eval — ONE copy
     * of the BM25 arithmetic, per the OracleSql single-source rule.
     */
-  private val Bm25RankedCte: String =
-    s"""$TokCte, inst AS (
+  private val InvertedIndexSql: String = invertedIndexSqlOver(TokCte)
+
+  /** The q246/q247 corpus after governance maintenance: takedown ids
+    * (doc_id % 10 = 3) are GONE, re-ingested ids (doc_id % 10 = 5) carry
+    * their updated content — here the first half of their tokens, a
+    * deterministic truncation both engines express exactly. The retract /
+    * upsert queries must hash-match a from-scratch rebuild over THIS
+    * corpus.
+    */
+  private val RetractedTokCte: String =
+    """WITH t0 AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tok
+      |  FROM documents WHERE doc_id % 10 <> 3
+      |), t AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 10 = 5
+      |         THEN tok[1:(len(tok) // 2)] ELSE tok END AS tok
+      |  FROM t0
+      |)""".stripMargin
+
+  private def bm25RankedCteOver(tokCte: String): String =
+    s"""$tokCte, inst AS (
        |  SELECT doc_id, unnest(tok) AS term FROM t
        |), qterms AS (
        |  SELECT term FROM (
@@ -680,6 +747,8 @@ object TextQueries {
        |    FROM scored) x
        |  WHERE rank <= 10
        |)""".stripMargin
+
+  private val Bm25RankedCte: String = bm25RankedCteOver(TokCte)
 
   private val Bm25TopkSql: String =
     s"""$Bm25RankedCte
@@ -811,6 +880,14 @@ object TextQueries {
     // from-scratch computation IS the spec the delta path must hash-match.
     "q213_index_delta" -> InvertedIndexSql,
     "q214_bm25_from_index" -> Bm25TopkSql,
+
+    // The retraction proofs' oracles ARE the from-scratch rebuilds over
+    // the maintained corpus (deleted gone, re-ingested updated): same
+    // postings-surface / BM25 SQL as q132/q149, different `t` CTE.
+    "q246_index_retract" -> invertedIndexSqlOver(RetractedTokCte),
+    "q247_bm25_after_retract" ->
+      s"""${bm25RankedCteOver(RetractedTokCte)}
+         |SELECT term, doc_id, rank, score FROM ranked""".stripMargin,
 
     "q31_lang_stats" ->
       s"""$TokCte

@@ -619,4 +619,41 @@ object GraftProperties extends Properties("graft") {
       exact.forall { case (t, c) =>
         CountMin.estimate(sk.table, 3, 64, t) >= c } && sk.n == items.size
     }
+
+  property("retrieval index: retract . append == identity, retracting " +
+      "absent ids is a no-op") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 12L),
+        Gen.nonEmptyListOf(Gen.oneOf("w1", "w2", "w3", "w4", "w5")))),
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(101L, 108L),
+        Gen.listOf(Gen.oneOf("w1", "w2", "w6"))))) { (baseRaw, deltaRaw) =>
+      import graft.operators.Retrieval
+      val s = sq; import s.implicits._
+      // distinct ids; delta id range disjoint from base by construction
+      val base = baseRaw.distinctBy(_._1).toDF("doc_id", "tok")
+      val delta = deltaRaw.distinctBy(_._1).toDF("doc_id", "tok")
+      val idx = Retrieval.buildIndex(base, "doc_id", "tok")
+      // the full observable surface of an index (postings via the q132
+      // surface; terms/docs/stats tag-unioned into one canonical set so
+      // the whole check is two collects)
+      def surface(ix: Retrieval.RetrievalIndex): (Set[String], Set[String]) = (
+        Retrieval.invertedIndexFromIndex(ix)
+          .select(concat_ws("|", col("token"), col("doc_freq"),
+            col("n_postings"), col("postings")))
+          .as[String].collect().toSet,
+        ix.terms.select(concat_ws("|", lit("t"), col("term"), col("df"))
+            .as("row"))
+          .unionByName(ix.docs.select(
+            concat_ws("|", lit("d"), col("doc_id"), col("dl")).as("row")))
+          .unionByName(ix.stats.select(
+            concat_ws("|", lit("s"), col("s_total"), col("n_docs"))
+              .as("row")))
+          .as[String].collect().toSet)
+      val appended = Retrieval.applyIndexDelta(idx, delta, "doc_id", "tok")
+      val roundTrip = Retrieval.retractDocs(appended,
+        delta.select("doc_id"), "doc_id")
+      val absent = Retrieval.retractDocs(idx,
+        Seq(990L, 991L).toDF("doc_id"), "doc_id")
+      surface(roundTrip) == surface(idx) && surface(absent) == surface(idx)
+    }
 }
