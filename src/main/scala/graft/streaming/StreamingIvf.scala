@@ -97,6 +97,37 @@ object StreamingIvf {
     commit(dir, name)
   }
 
+  /** LSM COMPACTION for the inverted lists — [[StreamingIndex.compact]]'s
+    * contract ported to the ANN index: the fold path accumulates one
+    * `d=b<id>` directory per micro-batch forever, so read amplification
+    * (files opened per probe) grows without bound; compaction rewrites the
+    * committed view as a single fresh `base` delta in `intoDir`.
+    * Bit-identity is free here: assignments are plain rows (no aggregate
+    * to re-merge), so the compacted index is the same row set read back
+    * from one directory — asserted against the batch rebuild in
+    * `ScaleSpec`.
+    *
+    * Same crash protocol as the folds, commit-marker-LAST: a compaction
+    * killed mid-write leaves `intoDir` without a committed `base`, which
+    * [[loadIndex]] REFUSES to read (require fails) — the half-written
+    * target can never serve; re-running compact overwrites it with
+    * identical content (the source index is untouched throughout).
+    * The source/target must differ for exactly the reason documented at
+    * [[StreamingIndex.compact]]: an in-place rewrite would consume the
+    * parquet directories it is overwriting.
+    */
+  def compact(spark: SparkSession, dir: String, intoDir: String): Unit = {
+    require(new java.io.File(intoDir).getCanonicalPath !=
+      new java.io.File(dir).getCanonicalPath,
+      s"compact target must differ from the source index dir: $dir")
+    val idx = loadIndex(spark, dir)
+    idx.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$intoDir/centroids")
+    idx.assignments.write.mode("overwrite")
+      .parquet(s"$intoDir/assign/d=base")
+    commit(intoDir, "base")
+  }
+
   /** Start the maintenance stream: each micro-batch of prepared vectors is
     * probed against the pre-batch index (top-`k`, `nprobe` cells; results
     * land under `outDir/d=b<batchId>` with the same marker-last commit) and

@@ -464,6 +464,33 @@ class ScaleSpec extends SparkSpec {
       corpus.filter(col("vec_id") % 10 >= 7).select("vec_id")
         .as[Long].collect().toSet,
       "served query set != arriving vector set")
+
+    // ---- LSM compaction: rewrite the 4-delta index (base + 3 waves) as
+    // a single fresh base, with a KILL MID-COMPACTION first. Simulate the
+    // kill state exactly: data written, commit marker NOT yet placed, one
+    // parquet file truncated mid-flight.
+    val cdir = Files.createTempDirectory("graft-sivf-compact").toString
+    StreamingIvf.compact(spark, dir, cdir)
+    val marker = java.nio.file.Paths.get(s"$cdir/commits/base")
+    Files.delete(marker) // roll back to the pre-commit instant...
+    val dataFile = new java.io.File(s"$cdir/assign/d=base").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.write(dataFile.toPath,
+      Array[Byte](1, 2, 3)) // ...with a half-written file
+    // the half-written target must refuse to serve
+    intercept[IllegalArgumentException] {
+      StreamingIvf.loadIndex(spark, cdir)
+    }
+    // resume: re-run compact — deterministic overwrite, then marker
+    StreamingIvf.compact(spark, dir, cdir)
+    assert(StreamingIvf.committedDeltas(cdir) == Seq("base"))
+    val compacted = StreamingIvf.loadIndex(spark, cdir).assignments
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toSet
+    assert(compacted == want, "compacted index != batch rebuild")
+    // in-place compaction is refused (it would read what it overwrites)
+    intercept[IllegalArgumentException] {
+      StreamingIvf.compact(spark, dir, dir)
+    }
   }
 
   // The round-8 streaming-retrieval capstone: the q213/q214 delta-
