@@ -485,8 +485,10 @@ object Similarity {
     * fragments, while noise points survive dedup untouched.
     *
     * Every stage is a bounded relational op: ε-pairs from the exact
-    * [[blockGridPairs]] grid (swap in rhBands candidates at 100 TB — the
-    * downstream stages are candidate-source agnostic), degree = one count
+    * [[blockGridPairs]] grid (the EXACT baseline; the executed 100 TB
+    * swap is [[densityClustersGuarded]] over rhBands candidates — q250 —
+    * which needs a degree-confirm guard, because pruned candidates
+    * under-count and a demoted core shatters its cluster), degree = one count
     * on the symmetrized pairs, components via
     * [[Dedup.connectedComponentsStar]] (O(log n) rounds), border attach =
     * one join + min-aggregate. Deterministic: cluster id = smallest member
@@ -526,6 +528,95 @@ object Similarity {
       .join(coreClusters.select(col("vec_id").as("id_b"), col("cluster_id")),
         Seq("id_b"))
       .groupBy(col("id_a").as("vec_id"))
+      .agg(min(col("cluster_id")).as("cluster_id"))
+    coreClusters.withColumn("role", lit("core"))
+      .unionByName(border.withColumn("role", lit("border")))
+  }
+
+  /** [[densityClusters]] over PRUNED candidate pairs — the executed 100 TB
+    * swap (q250), with the guard the q215 measurement showed is REQUIRED.
+    *
+    * Why the naive swap fails (the q215 lesson, SCALE.md §5): LSH
+    * candidates UNDER-count — after exact verification no false pair
+    * survives, but a missed pair deflates a point's degree, demotes a true
+    * core below `minPts`, and a demoted core shatters its cluster (every
+    * component it bridged splits; its borders fall to noise). Candidate-
+    * only DBSCAN fails structurally, not just statistically: one missed
+    * edge can change O(cluster)-many labels.
+    *
+    * The guard — shortlist-then-exact-neighborhood: candidate degrees are
+    * used ONLY to shortlist possible cores (candidate degree + 1 ≥
+    * `minPts − confirmSlack`; slack absorbs near-threshold under-counts),
+    * then every shortlisted point's ε-neighborhood is recomputed EXACTLY
+    * against the full corpus — O(|shortlist| · n) LINEAR work, q215's
+    * re-rank economics, never the all-pairs quadratic. From there
+    * everything is exact GIVEN the shortlist: core status (exact
+    * degrees), core-core edges (a confirmed core's full neighborhood
+    * includes every core neighbor), hence cluster connectivity — no
+    * shattering among confirmed cores — and border attachment (every
+    * (core, border) pair appears in the core's exact neighborhood). The
+    * ONE residual error mode is a true core whose candidate degree fell
+    * below the shortlist line — measured as cluster pair-recall vs the
+    * exact build in `SimilaritySpec` (1.0 at the q250 geometry), with the
+    * failure mode of the UNGUARDED swap measured alongside it.
+    *
+    * Scale shape: candidate verification shuffles on pair ids; the exact
+    * confirm is one shortlist × corpus join (broadcast the shortlist when
+    * small; at 100 TB bound the scan per shortlisted point by its IVF
+    * probe cells); CC runs on core-core edges only.
+    */
+  def densityClustersGuarded(corpus: DataFrame, candPairs: DataFrame,
+      eps: Double, minPts: Int, confirmSlack: Int = 1): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    require(confirmSlack >= 0, s"confirmSlack must be >= 0, got $confirmSlack")
+    val v = corpus.select(col("vec_id"), col("vec"), col("nrm"))
+    // exact-verify candidates: false positives die here; only MISSES
+    // survive as an error mode, and the guard below absorbs those
+    val vp = candPairs
+      .join(v.select(col("vec_id").as("id_a"), col("vec").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(v.select(col("vec_id").as("id_b"), col("vec").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .filter(round(cosineWithNorms(col("va"), col("vb"), col("na"),
+        col("nb")), 6) >= eps)
+      .select(col("id_a"), col("id_b")).ckpt()
+    val csym = vp.unionByName(
+      vp.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val cdeg = csym.groupBy(col("id_a").as("vec_id"))
+      .agg(count(lit(1)).as("_cd"))
+    val shortlist = v.join(cdeg, Seq("vec_id"), "left")
+      .filter(coalesce(col("_cd"), lit(0L)) + 1 >= minPts - confirmSlack)
+      .select(col("vec_id"), col("vec"), col("nrm"))
+    // EXACT ε-neighborhood of every shortlisted point, over the full corpus
+    val nbr = shortlist.select(col("vec_id").as("sid"), col("vec").as("svec"),
+        col("nrm").as("snrm"))
+      .crossJoin(v.select(col("vec_id").as("oid"), col("vec").as("ovec"),
+        col("nrm").as("onrm")))
+      .filter(col("sid") =!= col("oid") &&
+        round(cosineWithNorms(col("svec"), col("ovec"), col("snrm"),
+          col("onrm")), 6) >= eps)
+      .select(col("sid"), col("oid")).ckpt()
+    val core = shortlist.select(col("vec_id"))
+      .join(nbr.groupBy(col("sid").as("vec_id")).agg(count(lit(1)).as("_nb")),
+        Seq("vec_id"), "left")
+      .filter(coalesce(col("_nb"), lit(0L)) + 1 >= minPts)
+      .select(col("vec_id"))
+    val coreEdges = nbr
+      .join(core.select(col("vec_id").as("sid")), Seq("sid"), "left_semi")
+      .join(core.select(col("vec_id").as("oid")), Seq("oid"), "left_semi")
+      .filter(col("sid") < col("oid"))
+      .select(col("sid").as("id_a"), col("oid").as("id_b"))
+    val linked = Dedup.connectedComponentsStar(coreEdges, "id_a", "id_b")
+      .select(col("node").as("vec_id"), col("cluster_id"))
+    val coreClusters = linked.unionByName(
+      core.join(linked, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("vec_id").as("cluster_id")))
+    val border = nbr
+      .join(core.select(col("vec_id").as("sid")), Seq("sid"), "left_semi")
+      .join(core.select(col("vec_id").as("oid")), Seq("oid"), "left_anti")
+      .join(coreClusters.select(col("vec_id").as("sid"), col("cluster_id")),
+        Seq("sid"))
+      .groupBy(col("oid").as("vec_id"))
       .agg(min(col("cluster_id")).as("cluster_id"))
     coreClusters.withColumn("role", lit("core"))
       .unionByName(border.withColumn("role", lit("border")))

