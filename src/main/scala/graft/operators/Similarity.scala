@@ -1202,6 +1202,132 @@ object Similarity {
         round(col("sum_sim_e6") / col("n_members") / 1e6, 6))
   }
 
+  /** The per-cell drift DECISION, exact: a cell is drifted when its mean
+    * member→centroid cosine is below `minMeanSimPpm` micro-units — tested
+    * as `sum_sim_e6 < minMeanSimPpm · n_members`, a pure BIGINT compare on
+    * [[driftStats]]' exact sums, so the drifted-cell set is bit-identical
+    * at any parallelism (a float mean would make the REBUILD SET itself
+    * nondeterministic).
+    */
+  def driftedCells(index: IvfIndex, minMeanSimPpm: Long): DataFrame =
+    driftStats(index)
+      .filter(col("sum_sim_e6") < lit(minMeanSimPpm) * col("n_members"))
+      .select(col("centroid_id"))
+
+  /** ACT on centroid drift — the consumer q146's statistic was missing:
+    * re-cluster ONLY the drifted cells, leave cold cells untouched.
+    *
+    *   1. drifted cells by the exact [[driftedCells]] ppm rule;
+    *   2. their members (and only theirs) come out of the inverted lists;
+    *   3. `newSeeds` new centroids come from the flagged cells'
+    *      POORLY-SERVED members — those whose member→centroid cosine sits
+    *      below their own cell's exact mean (`round(csim·10⁶)·n_members <
+    *      sum_sim_e6`, BIGINT compare) — picked WORST-SERVED-FIRST with a
+    *      diversity veto: ascending csim (tie: id), skipping any candidate
+    *      within cosine `diversityCos` of an already-picked seed. Both
+    *      halves of the rule earned their place by measurement
+    *      (`SimilaritySpec`, planted-topic corpus): plain cosine k-center
+    *      (q173) over the members chases the corpus's anti-aligned
+    *      extremes — negative-cosine base outliers beat the novel topic's
+    *      ≈0 cosines, and the topic NEVER receives a seed — while
+    *      worst-first without the veto would spend every seed inside one
+    *      tight drifted mass. Worst-first targets exactly the mass the
+    *      old centroid fails to explain; the veto spreads the seeds
+    *      across it. Each greedy round is one broadcast filter over the
+    *      subset + one TakeOrdered;
+    *   4. the centroid table swaps drifted → new seeds;
+    *   5. the members REASSIGN against the full updated centroid set
+    *      (map-side broadcast, O(|members| × k)) — a member may migrate
+    *      to a cold centroid, but cold cells' existing rows never move,
+    *      so work is ∝ drifted mass, never O(index) (the touched-set
+    *      bound asserted in `SimilaritySpec`).
+    *
+    * Cost at 100 TB: drift statistics are one map-side aggregate; the
+    * re-seed touches only drifted members; reassignment is map-side; the
+    * rewritten inverted-list directories are the drifted cells plus any
+    * cold cells that RECEIVED migrants — the economics of a partial
+    * rebuild, against [[driftTriggersRebuild]]'s full-rebuild fallback
+    * when most of the index has drifted. Recall recovery is measured
+    * (not argued) in `SimilaritySpec`: fresh / drifted / re-clustered
+    * recall@5 against the brute-force truth.
+    */
+  /** Greedy worst-served-first seed pick with a diversity veto (see
+    * [[reclusterDrifted]] step 3): ascending `csim_e6` (tie: id), each
+    * round skipping candidates within rounded cosine `diversityCos` of an
+    * already-picked seed. Bounded driver state (≤ k seeds); each round is
+    * one broadcast filter + TakeOrdered over the pool. Stops early when
+    * the veto exhausts the pool.
+    */
+  private def worstFirstSeeds(pool: DataFrame, k: Int,
+      diversityCos: Double): DataFrame = {
+    val spark = pool.sparkSession
+    import spark.implicits._
+    var seeds = Vector.empty[(Long, Seq[Double], Double)]
+    var exhausted = false
+    while (seeds.length < k && !exhausted) {
+      val cand =
+        if (seeds.isEmpty) pool
+        else {
+          val sel = broadcast(seeds.toDF("sid", "svec", "snrm"))
+          pool.filter(!col("vec_id").isInCollection(seeds.map(_._1)))
+            .crossJoin(sel)
+            .withColumn("sim", round(cosineWithNorms(col("vec"), col("svec"),
+              col("nrm"), col("snrm")), 6))
+            .groupBy(col("vec_id"), col("vec"), col("nrm"), col("csim_e6"))
+            .agg(max(col("sim")).as("msim"))
+            .filter(col("msim") < diversityCos)
+        }
+      val next = cand.orderBy(col("csim_e6").asc, col("vec_id").asc)
+        .limit(1).select(col("vec_id"), col("vec"), col("nrm")).collect()
+      if (next.isEmpty) exhausted = true
+      else {
+        val r = next(0)
+        seeds = seeds :+ ((r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      }
+    }
+    seeds.toDF("vec_id", "vec", "nrm")
+  }
+
+  def reclusterDrifted(index: IvfIndex, minMeanSimPpm: Long,
+      newSeeds: Int, diversityCos: Double = 0.7): IvfIndex = {
+    require(newSeeds >= 1, s"newSeeds must be >= 1, got $newSeeds")
+    val drifted = driftedCells(index, minMeanSimPpm).ckpt()
+    if (drifted.isEmpty) return index // nothing drifted — index untouched
+    val members = index.assignments
+      .join(drifted, Seq("centroid_id"), "left_semi")
+      .select(col("vec_id"), col("vec"), col("nrm"), col("centroid_id"))
+      .ckpt()
+    // the poorly-served subset: member→centroid cosine below the cell's
+    // exact mean (integer cross-multiply against driftStats' sums)
+    val c = index.centroids.select(col("vec_id").as("centroid_id"),
+      col("vec").as("centvec"), col("nrm").as("centnrm"))
+    val cellStats = driftStats(index)
+      .select(col("centroid_id"), col("n_members"), col("sum_sim_e6"))
+    val seedPool = members
+      .join(broadcast(c), Seq("centroid_id"))
+      .withColumn("csim_e6", round(round(cosineWithNorms(
+        col("vec"), col("centvec"), col("nrm"), col("centnrm")), 6) * 1e6)
+        .cast("long"))
+      .join(broadcast(cellStats), Seq("centroid_id"))
+      .filter(col("csim_e6") * col("n_members") < col("sum_sim_e6"))
+      .select(col("vec_id"), col("vec"), col("nrm"), col("csim_e6"))
+      .ckpt()
+    // degenerate: every flagged member exactly AT its cell mean — no
+    // signal about where the drift lives; leave the index unchanged
+    if (seedPool.isEmpty) return index
+    val seedVecs = worstFirstSeeds(seedPool, newSeeds, diversityCos)
+    val newCents = index.centroids
+      .join(drifted.select(col("centroid_id").as("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .unionByName(seedVecs)
+    val untouched = index.assignments
+      .join(drifted, Seq("centroid_id"), "left_anti")
+      .select(col("vec_id"), col("vec"), col("nrm"), col("centroid_id"))
+    val reassigned = assignToCentroids(members.drop("centroid_id"), newCents)
+      .select(col("vec_id"), col("vec"), col("nrm"), col("centroid_id"))
+    IvfIndex(newCents, untouched.unionByName(reassigned))
+  }
+
   /** Rebuild trigger: true when the index-wide mean member→centroid cosine
     * has fallen below `minMeanSim`. Collects ONE scalar (the per-cell
     * stats never leave the cluster); the division happens on two exact

@@ -527,6 +527,31 @@ object SimilarityQueries {
         .select(col("centroid_id"), col("n_members"), col("sum_sim_e6"))
     }),
 
+    // ACT on drift — the consumer q146's statistic lacked (round-8
+    // verdict item 4): build the q142 index (frozen old-corpus
+    // centroids), fold in the daily batch so cells drift, then
+    // RE-CLUSTER ONLY the drifted cells: drifted = exact ppm rule
+    // (cell mean below the floored index-wide mean — one collected
+    // BIGINT scalar), k-center re-seed (q173's greedy, 3 seeds) over
+    // exactly the drifted members, swap centroids, reassign only those
+    // members. Cold cells' rows never move (asserted in SimilaritySpec
+    // along with the recall recovery). Oracle mirrors every stage; the
+    // hash match proves the partial rebuild is deterministic.
+    "q251_ivf_recluster" -> ((s, d) => {
+      val c = corpus(s, d)
+      val old = c.filter(col("vec_id") % 10 =!= 7)
+      val fresh = c.filter(col("vec_id") % 10 === 7)
+      val cents = old.filter(col("vec_id") % 40 === 0)
+      val drifted = Similarity.applyIndexDelta(
+        Similarity.buildIvfIndex(old, cents), fresh)
+      val t = Similarity.driftStats(drifted)
+        .agg(sum(col("sum_sim_e6")).as("s"), sum(col("n_members")).as("n"))
+        .head
+      val thrPpm = t.getLong(0) / t.getLong(1)
+      Similarity.reclusterDrifted(drifted, thrPpm, 3)
+        .assignments.select(col("vec_id"), col("centroid_id"))
+    }),
+
     // Composed retrieval: metadata filter (lang='en') BEFORE the similarity
     // scan — the corpus shrinks at the join, not after scoring — then exact
     // top-5 per query, then the (cheap, post-top-k) metadata join back.
@@ -1182,6 +1207,84 @@ object SimilarityQueries {
          |           ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM scored) t
          |WHERE rank <= 4""".stripMargin,
+
+    // Mirrors reclusterDrifted stage for stage: q142's frozen-centroid
+    // assignment over old ∪ new, exact ppm drift rule against the
+    // floored global mean, q173's greedy k-center unrolled over the
+    // drifted members, reassignment of those members only.
+    "q251_ivf_recluster" -> {
+      def step(n: Int): String = {
+        val prev = (1 until n).map(i => s"SELECT vec_id FROM k$i")
+          .mkString(" UNION ALL ")
+        s"""k$n AS (
+           |  SELECT c.vec_id FROM seedpool c
+           |  JOIN seedpool s ON s.vec_id IN ($prev)
+           |  WHERE c.vec_id NOT IN ($prev)
+           |  GROUP BY c.vec_id, c.csim_e6
+           |  HAVING max(round(list_dot_product(c.vec, s.vec)
+           |             / (c.nrm * s.nrm), 6)) < 0.7
+           |  ORDER BY c.csim_e6 ASC, c.vec_id ASC LIMIT 1
+           |)""".stripMargin
+      }
+      s"""$VCte, cents0 AS (
+         |  SELECT vec_id AS centroid_id, vec AS centvec, nrm AS centnrm
+         |  FROM n WHERE vec_id % 40 = 0 AND vec_id % 10 <> 7
+         |), assigned AS (
+         |  SELECT vec_id, centroid_id, csim FROM (
+         |    SELECT n.vec_id, c.centroid_id,
+         |           round(list_dot_product(n.vec, c.centvec)
+         |             / (n.nrm * c.centnrm), 6) AS csim,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.vec, c.centvec)
+         |               / (n.nrm * c.centnrm), 6) DESC, c.centroid_id ASC)
+         |             AS crank
+         |    FROM n, cents0 c) t
+         |  WHERE crank = 1
+         |), stats AS (
+         |  SELECT centroid_id, count(*) AS nm,
+         |         CAST(sum(CAST(round(csim * 1000000) AS BIGINT)) AS BIGINT)
+         |           AS sum_e6
+         |  FROM assigned GROUP BY 1
+         |), thr AS (
+         |  SELECT CAST(sum(sum_e6) // sum(nm) AS BIGINT) AS t FROM stats
+         |), drifted AS (
+         |  SELECT centroid_id FROM stats, thr WHERE sum_e6 < t * nm
+         |), mem AS (
+         |  SELECT n.vec_id, n.vec, n.nrm, a.centroid_id, a.csim
+         |  FROM n JOIN assigned a ON n.vec_id = a.vec_id
+         |  WHERE a.centroid_id IN (SELECT centroid_id FROM drifted)
+         |), seedpool AS (
+         |  SELECT m.vec_id, m.vec, m.nrm,
+         |         CAST(round(m.csim * 1000000) AS BIGINT) AS csim_e6
+         |  FROM mem m JOIN stats s ON m.centroid_id = s.centroid_id
+         |  WHERE CAST(round(m.csim * 1000000) AS BIGINT) * s.nm < s.sum_e6
+         |), k1 AS (
+         |  SELECT vec_id FROM seedpool
+         |  ORDER BY csim_e6 ASC, vec_id ASC LIMIT 1
+         |), ${(2 to 3).map(step).mkString(", ")}, seeds AS (
+         |  SELECT vec_id FROM k1 UNION ALL SELECT vec_id FROM k2
+         |  UNION ALL SELECT vec_id FROM k3
+         |), newcents AS (
+         |  SELECT centroid_id, centvec, centnrm FROM cents0
+         |  WHERE centroid_id NOT IN (SELECT centroid_id FROM drifted)
+         |  UNION ALL
+         |  SELECT m.vec_id, m.vec, m.nrm
+         |  FROM mem m JOIN seeds s ON m.vec_id = s.vec_id
+         |), reassigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT m.vec_id, c.centroid_id,
+         |           row_number() OVER (PARTITION BY m.vec_id
+         |             ORDER BY round(list_dot_product(m.vec, c.centvec)
+         |               / (m.nrm * c.centnrm), 6) DESC, c.centroid_id ASC)
+         |             AS crank
+         |    FROM mem m, newcents c) t
+         |  WHERE crank = 1
+         |)
+         |SELECT vec_id, centroid_id FROM assigned
+         |WHERE centroid_id NOT IN (SELECT centroid_id FROM drifted)
+         |UNION ALL
+         |SELECT vec_id, centroid_id FROM reassigned""".stripMargin
+    },
 
     // Mirrors the quantization recipe expression-for-expression: the
     // quantized components are exact integers, so only the two scale

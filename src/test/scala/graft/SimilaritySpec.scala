@@ -366,6 +366,133 @@ class SimilaritySpec extends SparkSpec {
       f"hard-negative pair recall $pairRecall%.3f, strict-rank $tripleRecall%.3f")
   }
 
+  // Drift ACTED ON (round-9): the production drift story made concrete —
+  // a NEW TOPIC the frozen centroids never saw arrives as the %10==7
+  // batch: its direction is Gram-Schmidt-orthogonal to every pre-drift
+  // centroid, with a small alternating lean toward centroid 0 vs 1, so
+  // the topic STRADDLES two cells (the IVF failure mode: a query probes
+  // its half and misses the other half's neighbors) and drags both
+  // cells' mean member→centroid cosine down — exactly what driftStats
+  // measures. reclusterDrifted re-seeds only the flagged cells; the
+  // k-center seed lands inside the topic, the topic coheres into one
+  // cell, and recall recovers. Measures recall@5 fresh / drifted /
+  // re-clustered (topic queries and all queries) against brute-force
+  // truth, and asserts the TOUCHED-SET bound: every vector whose
+  // assignment changed was a flagged cell's member.
+  test("reclusterDrifted recovers fresh-index recall on a drifted corpus " +
+      "while touching only drifted cells' members (measured)") {
+    val base = corpus.filter(col("vec_id") % 10 =!= 7).cache()
+    val preCents = Similarity.kmeansCentroids(base, 12, 2).cache()
+
+    // ---- build the drifted topic in memory from the frozen centroids
+    val cents = preCents.orderBy("vec_id")
+      .select("vec").as[Seq[Double]].collect()
+      .map { v => val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n).toArray }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // u1, u2: a deterministic 2-D subspace orthogonalized against ALL
+    // centroids (two Gram-Schmidt passes) — a topic plane the index has
+    // never seen
+    def orthogonalize(seed: Int, against: Seq[Array[Double]]): Array[Double] = {
+      var u = Array.tabulate(64)(j => ((j * seed % 13) - 6) / 6.0)
+      // the centroid set is NOT mutually orthogonal, so sequential
+      // projection-subtraction is Gauss-Seidel — iterate to convergence
+      for (_ <- 1 to 25; c <- against) {
+        val p = dot(u, c) / dot(c, c)
+        u = u.zip(c).map { case (x, cj) => x - p * cj }
+      }
+      val un = math.sqrt(u.map(x => x * x).sum); u.map(_ / un)
+    }
+    val u1 = orthogonalize(37, cents.toSeq)
+    val u2 = orthogonalize(23, cents.toSeq :+ u1)
+    val topicIds = corpus.filter(col("vec_id") % 10 === 7)
+      .select("vec_id").as[Long].collect().sorted
+    // the topic is a smooth arc in span(u1, u2): TRUE neighbors are
+    // θ-adjacent ids. Each row also carries per-id hash noise in
+    // span(c0..c3) — invisible to topic-topic similarity (the arc term
+    // dominates) but the ONLY nonzero centroid projection, so it alone
+    // decides the cell: the topic SHATTERS across those 4 cells,
+    // decorrelated from who its neighbors are — the IVF drift failure
+    // mode (probing your own cell misses your θ-neighbors)
+    val topicRows = topicIds.zipWithIndex.map { case (id, r) =>
+      val theta = r * (math.Pi / 2) / topicIds.length
+      // positive weights over centroids 0..1 ONLY: the noise decides
+      // WHICH of the two cells (hash-random, decorrelated from θ) and
+      // guarantees the argmax stays inside {c0, c1} — every topic row
+      // lands in a cell the drift rule will flag
+      val mult = Array(2654435761L, 2246822519L)
+      val w = Array.tabulate(2)(m =>
+        ((id * mult(m)) % 1009) / 1009.0 * 0.008 + 0.002)
+      val v = Array.tabulate(64)(j =>
+        math.cos(theta) * u1(j) + math.sin(theta) * u2(j) +
+          (0 until 2).map(m => w(m) * cents(m)(j)).sum)
+      (id, v.toSeq, math.sqrt(v.map(x => x * x).sum))
+    }.toSeq
+    val topic = topicRows.toDF("vec_id", "vec", "nrm")
+    val drifted = base.unionByName(topic).cache()
+
+    val freshCents = Similarity.kmeansCentroids(drifted, 12, 2).cache()
+    val driftedIdx = Similarity.buildIvfIndex(drifted, preCents)
+    val freshIdx = Similarity.buildIvfIndex(drifted, freshCents)
+
+    val queries = drifted.filter(col("vec_id") < 200).cache()
+    val truth = Similarity.bruteForceTopK(queries, drifted, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val topicSet = topicIds.toSet
+    def recalls(idx: Similarity.IvfIndex): (Double, Double) = {
+      val got = Similarity.ivfTopKFromIndex(idx, queries, 5, 1)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val tTruth = truth.view.filterKeys(topicSet).toMap
+      (recallAt5(got, truth), recallAt5(got, tTruth))
+    }
+
+    val t = Similarity.driftStats(driftedIdx)
+      .agg(sum(col("sum_sim_e6")), sum(col("n_members"))).head
+    val thrPpm = t.getLong(0) / t.getLong(1)
+    val flagged = Similarity.driftedCells(driftedIdx, thrPpm)
+      .as[Long].collect().toSet
+    assert(flagged.nonEmpty, "no cell drifted - corpus recipe broken")
+    val re = Similarity.reclusterDrifted(driftedIdx, thrPpm, 10)
+
+    val (fAll, fTopic) = recalls(freshIdx)
+    val (dAll, dTopic) = recalls(driftedIdx)
+    val (pAll, pTopic) = recalls(re)
+    info(f"recall@5 all: fresh $fAll%.3f drifted $dAll%.3f post $pAll%.3f; " +
+      f"topic: fresh $fTopic%.3f drifted $dTopic%.3f post $pTopic%.3f " +
+      s"(${flagged.size} flagged cells)")
+    val topicCellsPost = re.assignments
+      .filter(col("vec_id").isInCollection(topicSet))
+      .select("centroid_id").as[Long].collect().groupBy(identity)
+      .view.mapValues(_.length).toMap
+    val seedIds = re.centroids.select("vec_id").as[Long].collect().toSet
+    info(s"topic cells post: $topicCellsPost; topic seeds: " +
+      s"${(seedIds & topicSet).toSeq.sorted}")
+    assert(dTopic < fTopic - 0.2,
+      s"drift did not hurt topic recall ($dTopic vs $fTopic)")
+    assert(pTopic >= fTopic - 0.1 && pTopic >= 0.9,
+      s"re-clustered topic recall $pTopic did not recover to fresh $fTopic")
+    assert(pTopic >= dTopic + 0.3,
+      s"re-clustering barely improved topic recall ($dTopic -> $pTopic)")
+    assert(pAll >= dAll - 0.02,
+      s"overall recall regressed after re-cluster ($pAll vs $dAll)")
+
+    // touched-set bound: assignment changes confined to flagged members
+    val before = driftedIdx.assignments.select("vec_id", "centroid_id")
+      .as[(Long, Long)].collect().toMap
+    val after = re.assignments.select("vec_id", "centroid_id")
+      .as[(Long, Long)].collect().toMap
+    val flaggedMembers = driftedIdx.assignments
+      .filter(col("centroid_id").isInCollection(flagged))
+      .select("vec_id").as[Long].collect().toSet
+    val changed = before.keySet.filter(id => before(id) != after(id))
+    assert(after.keySet == before.keySet, "re-cluster lost or grew rows")
+    assert(changed.subsetOf(flaggedMembers),
+      s"${(changed -- flaggedMembers).size} non-drifted vectors moved")
+  }
+
   // The round-8 verdict's one open 100 TB claim, executed: DBSCAN over
   // q145's multi-probe candidates. Measures (1) the GUARDED swap's
   // cluster recovery vs the exact q181 build — pair-recall AND
