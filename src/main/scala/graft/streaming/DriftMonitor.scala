@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Streaming CUSUM drift monitoring — [[graft.operators.EventTime.cusum]]'s
   * recurrence as LIVE keyed state instead of a batch window pass. The
@@ -48,5 +48,63 @@ object DriftMonitor {
           state.update(CusumState(s))
           out.iterator
       }
+  }
+
+  /** The same fold on Spark 4's `transformWithState` — the modern keyed-
+    * state API twin (typed state handle, native per-state TTL, RocksDB-
+    * backed), mirroring the [[StatusProcessorV2]]/[[StatusStateMachine]]
+    * pairing so both status tracking AND drift monitoring carry both
+    * APIs. Kill-and-resume parity with the batch recurrence is asserted
+    * for BOTH in `ScaleSpec`.
+    */
+  class DriftProcessorV2(mu: Long, k: Long, h: Long,
+      ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[String, Obs, Alarm] {
+
+    @transient private var sState: ValueState[CusumState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sState = getHandle.getValueState("cusum",
+        Encoders.product[CusumState], ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[Obs],
+        timerValues: TimerValues): Iterator[Alarm] = {
+      // a TTL-evicted key reads as null → the fold restarts at S = 0 (an
+      // idle metric's accumulated drift is stale evidence by definition)
+      var s = Option(sState.get()).map(_.s).getOrElse(0L)
+      val out = rows.toSeq.sortBy(_.t).map { e =>
+        s = math.max(0L, s + e.x - mu - k)
+        Alarm(key, e.t, e.x, s, s >= h)
+      }
+      sState.update(CusumState(s))
+      out.iterator
+    }
+  }
+
+  /** [[monitor]] on the transformWithState API (unbounded state). */
+  def monitorV2(events: Dataset[Obs], mu: Long, k: Long, h: Long)
+      : Dataset[Alarm] = {
+    require(h >= 1, s"alarm threshold h must be >= 1, got $h")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new DriftProcessorV2(mu, k, h),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Production form with BOUNDED state: native per-state TTL counted
+    * from each key's last update — an actively-monitored metric never
+    * expires; an idle one is dropped store-side without a per-key timer
+    * (requires `TimeMode.ProcessingTime`, same contract as
+    * [[StatusProcessorV2.trackWithTtl]]).
+    */
+  def monitorV2WithTtl(events: Dataset[Obs], mu: Long, k: Long, h: Long,
+      ttl: java.time.Duration): Dataset[Alarm] = {
+    require(h >= 1, s"alarm threshold h must be >= 1, got $h")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new DriftProcessorV2(mu, k, h, TTLConfig(ttl)),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 }

@@ -691,6 +691,85 @@ class ScaleSpec extends SparkSpec {
     assert(!got.exists { case ((k, _), (_, a)) => k == "B" && a })
   }
 
+  // The transformWithState twin of the test above (round-9): same waves,
+  // same kill boundary, RocksDB state store — the V2 API must continue
+  // the identical fold and match the same batch recurrence, so BOTH
+  // keyed-state APIs are asserted equal to the reference.
+  test("streaming drift monitor V2 (transformWithState, RocksDB) survives " +
+      "kill-and-resume, equal to the batch recurrence") {
+    import graft.streaming.DriftMonitor
+    import graft.streaming.DriftMonitor.{Alarm, Obs}
+    import org.apache.spark.sql.streaming.Trigger
+
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rnd = new scala.util.Random(23)
+      val series = (1L to 45L).map(t => Obs("A", t,
+        rnd.nextInt(4).toLong + (if (t > 30) 5L else 0L))) ++
+        (1L to 45L).map(t => Obs("B", t, rnd.nextInt(4).toLong))
+      val (w1, w2) = series.partition(_.t <= 25)
+
+      val streamDir = Files.createTempDirectory("graft-drift2-in")
+      def drop(tag: String, obs: Seq[Obs]): Unit = {
+        val tmp = Files.createTempDirectory(s"graft-drift2-$tag").toString
+        obs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, streamDir.resolve(s"$tag.parquet"))
+      }
+      val outDir = Files.createTempDirectory("graft-drift2-out").toString
+      val ckpt = Files.createTempDirectory("graft-drift2-ckpt").toString
+      val schema = Seq.empty[Obs].toDF().schema
+      def startStream() = DriftMonitor.monitorV2(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+            .as[Obs],
+          mu = 1L, k = 1L, h = 8L)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("200 milliseconds"))
+        .start()
+
+      drop("w1", w1)
+      val q1 = startStream()
+      try {
+        val deadline = System.currentTimeMillis() + 120000
+        while (spark.read.schema(Seq.empty[Alarm].toDF().schema)
+          .parquet(outDir).count() < w1.size &&
+          System.currentTimeMillis() < deadline) Thread.sleep(200)
+      } finally q1.stop() // KILL between waves
+      drop("w2", w2)
+      val q2 = startStream()
+      try {
+        val deadline = System.currentTimeMillis() + 180000
+        while (spark.read.parquet(outDir).count() < series.size &&
+          System.currentTimeMillis() < deadline) Thread.sleep(200)
+      } finally q2.stop()
+
+      val got = spark.read.parquet(outDir).as[Alarm].collect()
+        .map(a => (a.key, a.t) -> (a.s, a.alarm)).toMap
+      assert(got.size == series.size,
+        s"expected ${series.size} rows, got ${got.size}")
+      val ref = series.groupBy(_.key).flatMap { case (key, obs) =>
+        var s = 0L
+        obs.sortBy(_.t).map { e =>
+          s = math.max(0L, s + e.x - 1L - 1L)
+          (key, e.t) -> (s, s >= 8L)
+        }
+      }.toMap
+      assert(got == ref, "V2 streamed CUSUM diverged from the batch recurrence")
+      assert(got.exists { case ((k, t), (_, a)) => k == "A" && t > 30 && a })
+      assert(!got.exists { case ((k, _), (_, a)) => k == "B" && a })
+    } finally prior match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("pipeline state survives restart (versioned pointer recovery)") {
     val stateDir = Files.createTempDirectory("graft-state").toString
     val p1 = new IngestPipeline(spark, stateDir)

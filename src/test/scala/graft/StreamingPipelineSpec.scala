@@ -311,6 +311,51 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("drift monitor V2 TTL: an idle metric's CUSUM evicts; revival " +
+      "restarts the fold at S = 0 (transformWithState)") {
+    import graft.streaming.DriftMonitor
+    import graft.streaming.DriftMonitor.{Alarm, Obs}
+    implicit val sqlCtx = spark.sqlContext
+    val priorStore = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val input = MemoryStream[Obs]
+    val query = DriftMonitor
+      .monitorV2WithTtl(input.toDS(), mu = 1L, k = 1L, h = 100L,
+        java.time.Duration.ofMillis(1000))
+      .writeStream.format("memory").queryName("drift2_ttl")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    def rows: Seq[Alarm] = spark.table("drift2_ttl").as[Alarm].collect().toSeq
+    def await(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (rows.size < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+    }
+    try {
+      input.addData(Obs("A", 1L, 10L), Obs("A", 2L, 10L))
+      await(2)
+      // S folds 10-2 twice: 8, then 16
+      assert(rows.sortBy(_.t).map(_.s) == Seq(8L, 16L), s"got $rows")
+      Thread.sleep(3000) // processing-time TTL (1 s) expires A's state
+      input.addData(Obs("A", 3L, 10L))
+      await(3)
+      // evicted fold restarts at 0: 0 + 10 - 2 = 8, NOT 24
+      assert(rows.sortBy(_.t).last.s == 8L,
+        s"expired CUSUM state resurrected: $rows")
+    } finally {
+      query.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", priorParts)
+      priorStore match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState status machine tracks the rollup lattice") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[BatchEvent]
