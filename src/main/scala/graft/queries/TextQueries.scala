@@ -185,6 +185,41 @@ object TextQueries {
           expr("err_num * 1000000 div 2580480").as("err_ppm"))
     }),
 
+    // Average precision @10 per query term — the standard MAP building
+    // block q235's scorecard lacked. Unlike nDCG's log, AP is exactly
+    // rational: AP = Σ_{hits} P@i / n_rel with P@i = r/i (r = running
+    // hit count at rank i). Every 1/i for i ≤ 10 divides lcm(1..10) =
+    // 2520, so ap_num = Σ r·(2520 div i) is an exact BIGINT and
+    // ap_ppm = ap_num·10⁶ div (2520·n_rel) keeps the ppm discipline —
+    // no float ever forms. Query terms with no relevant doc in the
+    // top-10 drop (inner join), mirroring q243's hit semantics.
+    "q252_map" -> ((s, d) => {
+      val docs = toks(s, d)
+      val inst = TextAnalysis.tokenInstances(docs, "doc_id", "tok")
+      val qterms = inst.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(3)
+        .select(col("term"))
+      val ranked = TextAnalysis.bm25TopDocs(docs, "doc_id", "tok",
+        qterms, 10)
+      val rel = inst.join(broadcast(qterms), Seq("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf")).filter(col("tf") >= 3L)
+        .select(col("term"), col("doc_id"))
+      val relTot = rel.groupBy(col("term")).agg(count(lit(1)).as("n_rel"))
+      val hits = ranked.join(rel, Seq("term", "doc_id"))
+      val wRel = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term")).orderBy(col("rank"))
+      hits.withColumn("r", row_number().over(wRel))
+        .withColumn("contrib", expr("r * (2520 div rank)"))
+        .groupBy(col("term"))
+        .agg(sum(col("contrib")).as("ap_num"),
+          count(lit(1)).as("n_rel_top10"))
+        .join(relTot, Seq("term"))
+        .select(col("term"), col("n_rel"), col("n_rel_top10"),
+          col("ap_num"),
+          expr("ap_num * 1000000 div (2520 * n_rel)").as("ap_ppm"))
+    }),
+
     // Composed Gopher keep/reject verdict — integer-comparison flags only.
     "q76_gopher_filter" -> ((s, d) =>
       TextAnalysis.gopherFilter(toks(s, d), "doc_id", "tok")),
@@ -1130,6 +1165,31 @@ object TextQueries {
          |            THEN a.n_rel_top10 * 1000000 // t.n_rel ELSE 0 END
          |            AS BIGINT) AS recall10_ppm
          |FROM agg a LEFT JOIN reltot t USING (term)""".stripMargin,
+
+    // AP's rational identity mirrored exactly: running hit count via
+    // row_number over the hit ranks, lcm(1..10) common denominator.
+    "q252_map" ->
+      s"""$Bm25RankedCte, rel AS (
+         |  SELECT i.term, i.doc_id FROM inst i JOIN qterms USING (term)
+         |  GROUP BY 1, 2 HAVING count(*) >= 3
+         |), reltot AS (
+         |  SELECT term, count(*) AS n_rel FROM rel GROUP BY 1
+         |), hits AS (
+         |  SELECT r.term, r.rank,
+         |         row_number() OVER (PARTITION BY r.term ORDER BY r.rank)
+         |           AS rr
+         |  FROM ranked r JOIN rel ON r.term = rel.term AND r.doc_id = rel.doc_id
+         |), agg AS (
+         |  SELECT term,
+         |         CAST(sum(rr * (2520 // rank)) AS BIGINT) AS ap_num,
+         |         count(*) AS n_rel_top10
+         |  FROM hits GROUP BY term
+         |)
+         |SELECT a.term, CAST(t.n_rel AS BIGINT) AS n_rel,
+         |       CAST(a.n_rel_top10 AS BIGINT) AS n_rel_top10, a.ap_num,
+         |       CAST(a.ap_num * 1000000 // (2520 * t.n_rel) AS BIGINT)
+         |         AS ap_ppm
+         |FROM agg a JOIN reltot t USING (term)""".stripMargin,
 
     "q74_bigram_lm" ->
       s"""$TokCte, pairs AS (
