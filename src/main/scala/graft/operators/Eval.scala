@@ -520,4 +520,68 @@ object Eval {
           expr("(agree * n - pe_num) * 1000000 div (n * n - pe_num)"))
           .as("kappa_ppm"))
   }
+
+  /** Per-group KRIPPENDORFF'S ALPHA (nominal metric, complete design) —
+    * the multi-rater generalization [[cohenKappaPpm]] caps at two raters:
+    * m ≥ 2 interchangeable raters per unit, chance agreement from the
+    * POOLED value marginals with sampling-without-replacement correction.
+    *
+    * Exactly rational: with `N` complete units of `m` ratings each,
+    * pairwise observed agreement `A_o = P / (N·m·(m−1))` where
+    * `P = Σ_u Σ_c n_uc(n_uc−1)` (agreeing ordered rating pairs within
+    * units) and expected agreement `A_e = Q / (Nm·(Nm−1))` where
+    * `Q = Σ_c n_c(n_c−1)` (agreeing pairs from the pooled marginals), so
+    * `α = (A_o − A_e)/(1 − A_e) = (P·D₂ − Q·D₁) div (D₁·(D₂ − Q))` over
+    * `D₁ = Nm(m−1)`, `D₂ = Nm(Nm−1)` — BIGINT end to end, ×10⁶ via
+    * [[stagedPpmDiv]] (the numerator is already ≈ m⁴N³, so the staged
+    * form's headroom matters: good to per-group N ≈ 4·10⁵ at m = 3).
+    * Degenerate groups where every rating is one value (D₂ = Q) yield
+    * NULL (α undefined — no disagreement is even possible); α < 0
+    * (worse than chance) divides exactly (both engines truncate toward
+    * zero).
+    *
+    * Complete design: the group's rater count `m` is its max ratings per
+    * unit, and units with fewer ratings DROP (the general missing-data
+    * form needs per-unit 1/(m_u−1) weights — rational only over an lcm
+    * that defeats the integer discipline; planned annotation rounds are
+    * complete, and the drop is mirrored in the oracle).
+    *
+    * Scale shape: three keyed aggregates (unit sizes, per-unit-value
+    * counts, pooled marginals) + one group-level combine — no window, no
+    * join wider than the group key.
+    *
+    * @param df    one row PER RATING
+    * @param group slice column
+    * @param unit  the annotated unit's id
+    * @param value the assigned label
+    */
+  def krippendorffAlphaPpm(df: DataFrame, group: Column, unit: Column,
+      value: Column): DataFrame = {
+    val g = df.select(group.as("grp"), unit.as("u"),
+      value.cast("string").as("v"))
+    val mu = g.groupBy(col("grp"), col("u")).agg(count(lit(1)).as("m_u"))
+    val m = mu.groupBy(col("grp")).agg(max(col("m_u")).as("m"))
+    val complete = mu.join(m, Seq("grp")).filter(col("m_u") === col("m"))
+      .select(col("grp"), col("u"))
+    val gg = g.join(complete, Seq("grp", "u"), "left_semi")
+    val pAgg = gg.groupBy(col("grp"), col("u"), col("v"))
+      .agg(count(lit(1)).as("n_uc"))
+      .groupBy(col("grp"))
+      .agg(sum(col("n_uc") * (col("n_uc") - 1)).as("p_num"))
+    val nUnits = complete.groupBy(col("grp")).agg(count(lit(1)).as("n_units"))
+    val qAgg = gg.groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("n_c"))
+      .groupBy(col("grp"))
+      .agg(sum(col("n_c") * (col("n_c") - 1)).as("q_num"))
+    nUnits.join(m, Seq("grp")).join(pAgg, Seq("grp")).join(qAgg, Seq("grp"))
+      .withColumn("_d1", expr("n_units * m * (m - 1)"))
+      .withColumn("_d2", expr("n_units * m * (n_units * m - 1)"))
+      .filter(col("m") >= 2)
+      .select(col("grp"), col("n_units"), col("m"), col("p_num"),
+        col("q_num"),
+        when(col("_d2") =!= col("q_num"),
+          stagedPpmDiv(expr("p_num * _d2 - q_num * _d1"),
+            expr("_d1 * (_d2 - q_num)")))
+          .as("alpha_ppm"))
+  }
 }

@@ -298,6 +298,30 @@ object Retrieval {
         col("rank").cast("long").as("rank"), col("score"))
   }
 
+  /** Exact phrase search served from the MAINTAINED index — the positional
+    * payload earning its keep: slot i of the phrase reads term i's posting
+    * list (on a loaded index: partition-pruned to that term's bucket),
+    * explodes its positions re-keyed to `anchor = pos − i`, and the k-term
+    * phrase becomes k−1 equi-joins on (doc, anchor) —
+    * [[TextAnalysis.phraseSearch]]'s plan, but the corpus is NEVER
+    * rescanned: tf/df/dl aside, positions too survive delta, retraction,
+    * and upsert (q246 hash-proves the maintained positions byte-for-byte;
+    * q253 proves the phrase SERVE path over a retracted index against an
+    * independent string-space oracle).
+    */
+  def phraseFromIndex(index: RetrievalIndex, phrase: Seq[String])
+      : DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val slots = phrase.zipWithIndex.map { case (w, i) =>
+      index.postings.filter(col("term") === w)
+        .select(col("doc_id"), explode(col("positions")).as("pos"))
+        .select(col("doc_id"), (col("pos") - i).as("anchor"))
+    }
+    slots.reduce((a, b) => a.join(b, Seq("doc_id", "anchor")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Total-occurrence top terms from the index (the q149 query-derivation
     * served without touching the corpus): Σtf per term, (count desc, term
     * asc) total order.

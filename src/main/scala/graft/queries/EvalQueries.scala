@@ -52,6 +52,29 @@ object EvalQueries {
           col("kappa_ppm"))
     }),
 
+    // Krippendorff's alpha (nominal, complete design) over THREE
+    // deterministic annotators — q221's two length raters plus a token-
+    // count rater — per language: the multi-rater agreement gate kappa
+    // cannot express. Exactly rational (pairwise agreement over pooled-
+    // marginal chance with the without-replacement correction), BIGINT
+    // end to end via the staged ppm divide.
+    "q254_krippendorff" -> ((s, d) => {
+      import graft.operators.Dedup
+      val g = Tables.documents(s, d)
+        .withColumn("len_ns",
+          length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+        .withColumn("n_tok", size(Dedup.tokens(col("text"))).cast("long"))
+      val ratings = g.select(col("lang"), col("doc_id"),
+        explode(array(
+          expr("least(4, n_chars div 120)"),
+          expr("least(4, len_ns div 100)"),
+          expr("least(4, n_tok div 20)"))).as("v"))
+      Eval.krippendorffAlphaPpm(ratings, col("lang"), col("doc_id"),
+          col("v"))
+        .select(col("grp").as("lang"), col("n_units"), col("m"),
+          col("p_num"), col("q_num"), col("alpha_ppm"))
+    }),
+
     // Precision-recall curve of the length ranker per language-pair
     // slice: every distinct n_chars value is an operating point, one
     // keyed sort yields the whole curve — the PR companion to q219's
@@ -315,6 +338,41 @@ object EvalQueries {
         |              // (t.n * t.n - coalesce(pe_num, 0)) AS BIGINT)
         |       END AS kappa_ppm
         |FROM t LEFT JOIN pe ON t.grp = pe.grp""".stripMargin,
+
+    // Mirrors the rational identity over HUGEINT (the m⁴N³-scale
+    // numerator; the Spark side clears it with the staged ppm divide).
+    "q254_krippendorff" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |         unnest([least(4, n_chars // 120),
+        |                 least(4, length(regexp_replace(text, '\s', '', 'g')) // 100),
+        |                 least(4, len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) // 20)]) AS v
+        |  FROM documents
+        |), nuc AS (
+        |  SELECT lang, doc_id, v, count(*) AS n_uc FROM r GROUP BY 1, 2, 3
+        |), p AS (
+        |  SELECT lang, CAST(sum(n_uc * (n_uc - 1)) AS BIGINT) AS p_num
+        |  FROM nuc GROUP BY 1
+        |), nu AS (
+        |  SELECT lang, count(DISTINCT doc_id) AS n_units FROM r GROUP BY 1
+        |), q AS (
+        |  SELECT lang, CAST(sum(n_c * (n_c - 1)) AS BIGINT) AS q_num FROM (
+        |    SELECT lang, v, count(*) AS n_c FROM r GROUP BY 1, 2) z
+        |  GROUP BY 1
+        |)
+        |SELECT nu.lang, CAST(nu.n_units AS BIGINT) AS n_units,
+        |       CAST(3 AS BIGINT) AS m, p.p_num, q.q_num,
+        |       CASE WHEN nu.n_units * 3 * (nu.n_units * 3 - 1) <> q.q_num
+        |       THEN CAST(
+        |         (CAST(p.p_num AS HUGEINT)
+        |            * (nu.n_units * 3 * (nu.n_units * 3 - 1))
+        |          - CAST(q.q_num AS HUGEINT) * (nu.n_units * 3 * 2))
+        |         * 1000000 //
+        |         (CAST(nu.n_units * 3 * 2 AS HUGEINT)
+        |            * (nu.n_units * 3 * (nu.n_units * 3 - 1) - q.q_num))
+        |         AS BIGINT)
+        |       END AS alpha_ppm
+        |FROM nu JOIN p USING (lang) JOIN q USING (lang)""".stripMargin,
 
     "q244_auc_bootstrap" ->
       s"""WITH g AS (

@@ -572,6 +572,24 @@ object TextQueries {
         Retrieval.topTermsFromIndex(updated, 3), 10)
     }),
 
+    // Phrase search served from the MAINTAINED index after a retraction
+    // (build full corpus, save→load, retract doc_id % 10 == 3) — the
+    // positional payload's serve path: slot-anchored posting joins, the
+    // corpus never rescanned. Oracle = q158's INDEPENDENT string-space
+    // occurrence arithmetic restricted to the remaining corpus, so the
+    // hash match proves positions survive persistence + retraction and
+    // the index-served phrase plan equals string-space matching.
+    "q253_phrase_from_index" -> ((s, d) => {
+      import graft.operators.Retrieval
+      val docs = toks(s, d)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_retr_index_q253_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Retrieval.saveIndex(Retrieval.buildIndex(docs, "doc_id", "tok"), dir)
+      val retracted = Retrieval.retractDocs(Retrieval.loadIndex(s, dir),
+        docs.filter(col("doc_id") % 10 === 3).select("doc_id"), "doc_id")
+      Retrieval.phraseFromIndex(retracted, Seq("hash", "join"))
+    }),
+
     // RETRACTION closes the index's append-only precondition: build the
     // index over the FULL corpus, save→load (real disk round-trip),
     // RETRACT the takedown set (doc_id % 10 == 3 — anti-join postings/
@@ -915,6 +933,21 @@ object TextQueries {
     // from-scratch computation IS the spec the delta path must hash-match.
     "q213_index_delta" -> InvertedIndexSql,
     "q214_bm25_from_index" -> Bm25TopkSql,
+
+    // q158's independent string-space arithmetic over the post-retraction
+    // corpus: the index-served phrase plan must equal string matching.
+    "q253_phrase_from_index" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         replace(' ' || regexp_replace(trim(text), '\s+', ' ', 'g')
+        |                 || ' ', ' ', '  ') AS s2
+        |  FROM documents WHERE doc_id % 10 <> 3
+        |)
+        |SELECT doc_id,
+        |       CAST((len(s2) - len(replace(s2, ' hash  join ', ''))) // 12
+        |            AS BIGINT) AS n_occurrences
+        |FROM d
+        |WHERE len(s2) <> len(replace(s2, ' hash  join ', ''))""".stripMargin,
 
     // The retraction proofs' oracles ARE the from-scratch rebuilds over
     // the maintained corpus (deleted gone, re-ingested updated): same

@@ -186,6 +186,32 @@ class EvalSpec extends SparkSpec {
     assert(out("ok") == Some(1000000L)) // sibling group unaffected
   }
 
+  test("krippendorffAlphaPpm: hand case 128/240, perfect=1e6, " +
+      "degenerate constant group NULL, incomplete units drop") {
+    // g1: u1(a,a) u2(b,b) u3(a,b) u4(b,b): P=6, D1=8, Q=26, D2=56
+    // alpha = (6*56 - 26*8)/(8*(56-26)) = 128/240 -> 533333 ppm
+    val g1 = Seq(("g1", 1L, "a"), ("g1", 1L, "a"), ("g1", 2L, "b"),
+      ("g1", 2L, "b"), ("g1", 3L, "a"), ("g1", 3L, "b"), ("g1", 4L, "b"),
+      ("g1", 4L, "b"))
+    // g2: perfect 2-label agreement -> 1e6; g3: every rating 'x' -> NULL
+    val g2 = Seq(("g2", 1L, "a"), ("g2", 1L, "a"), ("g2", 2L, "b"),
+      ("g2", 2L, "b"))
+    val g3 = Seq(("g3", 1L, "x"), ("g3", 1L, "x"), ("g3", 2L, "x"),
+      ("g3", 2L, "x"))
+    // g4 = g1 plus a 1-rating unit that must DROP (complete design)
+    val g4 = g1.map { case (_, u, v) => ("g4", u, v) } :+ (("g4", 9L, "z"))
+    val df = (g1 ++ g2 ++ g3 ++ g4).toDF("grp", "u", "v")
+    val out = Eval.krippendorffAlphaPpm(df, col("grp"), col("u"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      .toMap
+    assert(out("g1") == ((4L, Some(533333L))))
+    assert(out("g2") == ((2L, Some(1000000L))))
+    assert(out("g3") == ((2L, None)))
+    assert(out("g4") == ((4L, Some(533333L))),
+      "the incomplete unit must drop without perturbing alpha")
+  }
+
   // -------------------------------------------------------------- stump
 
   test("giniStump: perfect split scores n*1e6 and picks the boundary; " +
