@@ -646,6 +646,58 @@ object Dedup {
         coalesce(col("merged"), col("lab")).as("cluster_id"))
   }
 
+  /** RETRACTION for the maintained component labeling — the negated
+    * sibling [[applyCcDelta]] cannot be: deleted edges can SPLIT a
+    * component, so label-granularity folding is impossible (a merge is
+    * determined by the labels alone; a split depends on which base edges
+    * remain). What IS possible is confining the recompute to the AFFECTED
+    * components:
+    *
+    *   1. affected labels = the components containing a removed node;
+    *   2. their surviving members' edges (component closure means one
+    *      semi-join on the source endpoint suffices) minus any edge
+    *      touching a removed node;
+    *   3. [[connectedComponentsStar]] over just that edge subset;
+    *      survivors isolated by the deletion fall back to self-labels;
+    *   4. untouched components — the overwhelming majority under a
+    *      takedown — pass through label-identical and never re-shuffle.
+    *
+    * Requires the BASE EDGE relation (dedup pipelines persist their
+    * verified-pair table; q135's signature-table economics already
+    * assume it). Work ∝ affected components' edges, never O(graph) —
+    * and `retract == rebuild over (graph ∖ removed)` bit-for-bit
+    * because star-contraction minima are a pure function of the
+    * surviving edge set (the q255 hash proof). Removing a component's
+    * minimum node relabels its survivors to the next minimum — exactly
+    * what the rebuild does.
+    */
+  def retractCcNodes(existing: DataFrame, edges: DataFrame,
+      srcCol: String, dstCol: String, removed: DataFrame,
+      idCol: String): DataFrame = {
+    val rem = broadcast(removed.select(col(idCol).cast("long").as("node"))
+      .distinct())
+    val lab = existing.select(col("node").cast("long").as("node"),
+      col("cluster_id").cast("long").as("cluster_id"))
+    val affected = lab.join(rem, Seq("node"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val affNodes = lab.join(broadcast(affected), Seq("cluster_id"),
+      "left_semi").select(col("node"))
+    val survivors = affNodes.join(rem, Seq("node"), "left_anti")
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val eClean = e
+      .join(affNodes.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(rem.select(col("node").as("a")), Seq("a"), "left_anti")
+      .join(rem.select(col("node").as("b")), Seq("b"), "left_anti")
+    val recomputed = connectedComponentsStar(eClean, "a", "b")
+    val relabeled = survivors.join(recomputed, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("cluster_id"), col("node")).as("cluster_id"))
+    lab.join(broadcast(affected), Seq("cluster_id"), "left_anti")
+      .select(col("node"), col("cluster_id"))
+      .unionByName(relabeled)
+  }
+
   /** Exact dedup: canonical row per duplicate group (min id wins —
     * deterministic, unlike dropDuplicates' arbitrary row). One shuffle on
     * the group hash.

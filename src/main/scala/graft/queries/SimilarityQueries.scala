@@ -402,6 +402,26 @@ object SimilarityQueries {
           (col("node") === col("cluster_id")).as("is_canonical"))
     }),
 
+    // RETRACTION for the maintained component labeling — deletions can
+    // SPLIT components, so unlike q184's label-granularity merge fold the
+    // recompute must touch edges — but ONLY the affected components':
+    // labels containing a removed node recompute over their surviving
+    // edges (isolated survivors fall back to self-labels), untouched
+    // components pass through label-identical. Oracle = the full CC
+    // rebuild over the remaining graph: the hash match proves the
+    // confined recompute == rebuild, the takedown path for near-dup
+    // cluster state.
+    "q255_cc_retract" -> ((s, d) => {
+      val pairs = embedPairs(s, d).cache()
+      val baseCc = graft.operators.Dedup.connectedComponentsStar(
+        pairs, "id_a", "id_b")
+      graft.operators.Dedup.retractCcNodes(baseCc, pairs, "id_a", "id_b",
+          corpus(s, d).filter(col("vec_id") % 10 === 3)
+            .select(col("vec_id")), "vec_id")
+        .select(col("node").as("vec_id"), col("cluster_id"),
+          (col("node") === col("cluster_id")).as("is_canonical"))
+    }),
+
     // SemDeDup: cluster (q29's every-50th centroids), then drop vectors with
     // a smaller-id cosine-near-dup in the SAME cell — quadratic work
     // confined within cells, candidates from the cell equi-join.
@@ -847,6 +867,37 @@ object SimilarityQueries {
          |SELECT node AS vec_id, min(r) AS cluster_id,
          |       node = min(r) AS is_canonical
          |FROM reach GROUP BY node""".stripMargin,
+
+    // Full rebuild over the remaining graph; the surviving node set is
+    // the ORIGINAL pair endpoints minus the takedown ids, so survivors
+    // isolated by the deletion keep self-labels.
+    "q255_cc_retract" ->
+      s"""${VCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM n a, n b
+         |  WHERE a.vec_id < b.vec_id
+         |    AND round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.4
+         |), clean AS (
+         |  SELECT id_a, id_b FROM pairs
+         |  WHERE id_a % 10 <> 3 AND id_b % 10 <> 3
+         |), edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM clean
+         |  UNION SELECT id_b, id_a FROM clean
+         |), reach AS (
+         |  SELECT DISTINCT s AS node, s AS r FROM edges
+         |  UNION
+         |  SELECT reach.node, edges.d FROM reach JOIN edges ON reach.r = edges.s
+         |), labels AS (
+         |  SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+         |), nodes AS (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT id_a AS node FROM pairs WHERE id_a % 10 <> 3
+         |    UNION ALL SELECT id_b FROM pairs WHERE id_b % 10 <> 3) z
+         |)
+         |SELECT nd.node AS vec_id,
+         |       coalesce(l.cluster_id, nd.node) AS cluster_id,
+         |       nd.node = coalesce(l.cluster_id, nd.node) AS is_canonical
+         |FROM nodes nd LEFT JOIN labels l ON nd.node = l.node""".stripMargin,
 
     "q177_hard_negatives" ->
       s"""$VCte, scored AS (

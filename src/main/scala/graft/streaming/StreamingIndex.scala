@@ -60,6 +60,40 @@ object StreamingIndex {
     Option(new java.io.File(commitDir(dir)).list())
       .map(_.toSeq.sorted).getOrElse(Seq.empty)
 
+  private def tombstoneCommitDir(dir: String) = s"$dir/tombstone_commits"
+
+  /** Names of fully-written tombstone batches. */
+  def committedTombstones(dir: String): Seq[String] =
+    Option(new java.io.File(tombstoneCommitDir(dir)).list())
+      .map(_.toSeq.sorted).getOrElse(Seq.empty)
+
+  /** LSM DELETE markers: takedown ids land as an O(|batch|) tombstone
+    * segment — no index body is touched at write time; [[loadIndex]]
+    * applies the accumulated tombstones on read through the EXACT
+    * [[Retrieval.retractDocs]] algebra (anti-join postings/docs, subtract
+    * df, drop df=0 terms, subtract the scalars — all lazy), and
+    * [[compact]] materializes the retraction and clears the markers.
+    * Same commit-marker-last crash protocol as the folds; idempotent per
+    * `name` and per id (retracting an absent or doubly-tombstoned id
+    * subtracts nothing).
+    *
+    * CONTRACT: a tombstone is terminal for its id in this index
+    * generation — it suppresses the id in EVERY segment, including ones
+    * folded later, so re-ingesting a tombstoned doc requires a
+    * [[compact]] first (which materializes the deletion and clears the
+    * markers). The maintenance stream's disjoint-ids contract already
+    * forbids blind re-folds; this makes the delete/re-ingest ordering
+    * explicit rather than order-dependent.
+    */
+  def tombstoneDocs(spark: SparkSession, dir: String, docIds: DataFrame,
+      name: String): Unit = {
+    docIds.select(col("doc_id")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/tombstones/d=$name")
+    Files.createDirectories(Paths.get(tombstoneCommitDir(dir)))
+    val marker = Paths.get(tombstoneCommitDir(dir), name)
+    if (!Files.exists(marker)) Files.createFile(marker)
+  }
+
   private def writeSegment(dir: String, idx: RetrievalIndex,
       name: String): Unit = {
     idx.postings.write.mode("overwrite").parquet(s"$dir/postings/d=$name")
@@ -88,13 +122,19 @@ object StreamingIndex {
     require(deltas.nonEmpty, s"no committed segments under $dir — run init()")
     def read(table: String) =
       spark.read.parquet(deltas.map(n => s"$dir/$table/d=$n"): _*)
-    RetrievalIndex(
+    val merged = RetrievalIndex(
       read("postings").select(col("term_bucket"), col("term"),
         col("doc_id"), col("tf"), col("positions")),
       read("terms").groupBy(col("term")).agg(sum(col("df")).as("df")),
       read("docs").select(col("doc_id"), col("dl")),
       read("stats").agg(sum(col("s_total")).as("s_total"),
         sum(col("n_docs")).as("n_docs")))
+    // committed tombstones apply on read via the exact retraction algebra
+    val tombs = committedTombstones(dir)
+    if (tombs.isEmpty) merged
+    else Retrieval.retractDocs(merged,
+      spark.read.parquet(tombs.map(n => s"$dir/tombstones/d=$n"): _*),
+      "doc_id")
   }
 
   /** Fold one tokenized document batch as segment `name` — O(|batch|)

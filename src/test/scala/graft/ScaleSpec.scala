@@ -618,6 +618,39 @@ class ScaleSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       StreamingIndex.compact(spark, dir, dir + "/./")
     }
+
+    // ---- LSM tombstones (round 9): a takedown batch lands as an
+    // O(|batch|) delete-marker segment; loadIndex applies the exact
+    // retraction algebra on read — the maintained view must equal the
+    // batch rebuild over (corpus ∖ takedown) on BOTH observables
+    val takedown = all.filter(col("doc_id") % 10 === 2).select("doc_id")
+    StreamingIndex.tombstoneDocs(spark, dir, takedown, "t0")
+    val kept = all.filter(col("doc_id") % 10 =!= 2)
+    val rebuiltKept = Retrieval.buildIndex(kept, "doc_id", "tok")
+    assert(surface(StreamingIndex.loadIndex(spark, dir)) ==
+      surface(rebuiltKept), "tombstoned view != rebuild over kept docs")
+    val qtKept = Retrieval.topTermsFromIndex(rebuiltKept, 8)
+    def keptScores(ix: Retrieval.RetrievalIndex) =
+      Retrieval.bm25FromIndex(ix, qtKept, k = 10)
+        .as[(String, Long, Long, Double)].collect().toSet
+    assert(keptScores(StreamingIndex.loadIndex(spark, dir)) ==
+      keptScores(rebuiltKept), "tombstoned BM25 != rebuild over kept docs")
+    // idempotent: the same takedown tombstoned twice subtracts nothing new
+    StreamingIndex.tombstoneDocs(spark, dir, takedown, "t1")
+    assert(surface(StreamingIndex.loadIndex(spark, dir)) ==
+      surface(rebuiltKept), "re-tombstoning the same ids changed the view")
+    // marker-last: an UNCOMMITTED tombstone batch is invisible
+    all.filter(col("doc_id") % 10 === 4).select("doc_id")
+      .write.mode("overwrite").parquet(s"$dir/tombstones/d=t9")
+    assert(surface(StreamingIndex.loadIndex(spark, dir)) ==
+      surface(rebuiltKept), "uncommitted tombstones leaked into the view")
+    // compaction MATERIALIZES the deletion and clears the markers
+    val cdir2 = Files.createTempDirectory("graft-sidx-compact2").toString
+    StreamingIndex.compact(spark, dir, cdir2)
+    assert(StreamingIndex.committedTombstones(cdir2).isEmpty,
+      "compaction must clear tombstone markers")
+    assert(surface(StreamingIndex.loadIndex(spark, cdir2)) ==
+      surface(rebuiltKept), "compacted tombstoned index != rebuild")
   }
 
   // Streaming CUSUM: the q225 recurrence as live keyed state — killed
