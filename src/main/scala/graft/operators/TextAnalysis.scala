@@ -362,15 +362,78 @@ object TextAnalysis {
     * computed once per DISTINCT term across all queries, not per query.
     */
   def bm25QueryScores(docs: DataFrame, idCol: String, tokCol: String,
-      queryTerms: DataFrame, scale: Long = 1000000L): DataFrame = {
+      queryTerms: DataFrame, scale: Long = 1000000L): DataFrame =
+    bm25TermScoresE6(docs, idCol, tokCol, queryTerms.select(col("term")),
+        scale)
+      .join(broadcast(queryTerms), Seq("term"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("score_e6")).as("lex_e6"))
+
+  /** ROCCHIO-STYLE pseudo-relevance feedback (PRF) query expansion
+    * (Rocchio 1971; the standard BM25 PRF shape, e.g. Büttcher et al.
+    * ch. 8): round 1 ranks each query term's BM25 top-`fbDocs`
+    * "pseudo-relevant" documents; the `fbTerms` most frequent OTHER terms
+    * inside that feedback set join the query; round 2 re-ranks the corpus
+    * against the expanded weighted query — the original term at integer
+    * weight `wOrig`, expansions at weight 1, per-(query, doc) score
+    * Σ w·score_e6 over [[bm25QueryScores]]' micro-unit-snapped term
+    * scores, so the weighted sum is BIGINT and summation-order-proof.
+    *
+    * Determinism: feedback docs are round 1's exact ranking (score desc,
+    * doc asc); expansion terms order by (feedback tf desc, term asc);
+    * every downstream number is integer.
+    *
+    * Scale shape: round 1 is [[bm25TopDocs]] (postings filtered to the
+    * query terms before any shuffle); the feedback join touches
+    * |queries|·fbDocs documents; round 2 is one more filtered-postings
+    * scoring pass over ≤ |queries|·(fbTerms+1) distinct terms — two
+    * bounded passes, never a corpus rescan beyond the token-instance
+    * reads.
+    */
+  def prfExpandedBm25(docs: DataFrame, idCol: String, tokCol: String,
+      queryTerms: DataFrame, fbDocs: Int, fbTerms: Int, wOrig: Long,
+      k: Int): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 1 && wOrig >= 1 && k >= 1,
+      s"fbDocs/fbTerms/wOrig/k must be positive")
+    val inst = tokenInstances(docs, idCol, tokCol)
+    val fb = bm25TopDocs(docs, idCol, tokCol, queryTerms, fbDocs)
+      .select(col("term").as("query_id"), col(idCol))
+    val expCand = inst.join(fb, Seq(idCol))
+      .filter(col("term") =!= col("query_id"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(count(lit(1)).as("ftf"))
+    val exp = Relational.topKPerGroup(expCand, Seq(col("query_id")),
+        Seq(col("ftf").desc, col("term").asc), fbTerms, "_rn")
+      .select(col("query_id"), col("term"))
+    val expanded = queryTerms
+      .select(col("term").as("query_id"), col("term"), lit(wOrig).as("w"))
+      .unionByName(exp.withColumn("w", lit(1L)))
+    val scored = bm25TermScoresE6(docs, idCol, tokCol,
+      expanded.select(col("term")).distinct())
+    val perDoc = scored.join(broadcast(expanded), Seq("term"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("w") * col("score_e6")).as("score_e6"))
+    Relational.topKPerGroup(perDoc, Seq(col("query_id")),
+        Seq(col("score_e6").desc, col(idCol).asc), k, "rank")
+      .select(col("query_id"), col(idCol),
+        col("rank").cast("long").as("rank"), col("score_e6"))
+  }
+
+  /** The micro-unit per-(term, doc) BM25 relation both multi-term serve
+    * paths sum over — factored from [[bm25QueryScores]] so the weighted
+    * PRF path cannot drift from the unweighted fusion path.
+    */
+  private def bm25TermScoresE6(docs: DataFrame, idCol: String,
+      tokCol: String, terms: DataFrame,
+      scale: Long = 1000000L): DataFrame = {
     val inst = tokenInstances(docs, idCol, tokCol)
     val dl = docs.filter(size(col(tokCol)) > 0)
       .select(col(idCol), size(col(tokCol)).cast("long").as("dl"))
     val stats = docs.agg(
       coalesce(sum(size(col(tokCol)).cast("long")), lit(0L)).as("s_total"),
       sum(when(size(col(tokCol)) > 0, 1L).otherwise(0L)).as("n_docs"))
-    val terms = queryTerms.select(col("term")).distinct()
-    val tf = inst.join(broadcast(terms), Seq("term"))
+    val tf = inst.join(broadcast(terms.select(col("term")).distinct()),
+        Seq("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
@@ -378,7 +441,7 @@ object TextAnalysis {
           (lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)) /
           (lit(2) * col("df") + lit(1))), lit(RarityCap))
         .cast("long").as("idf_scaled"))
-    val scored = tf.join(broadcast(idf), Seq("term"))
+    tf.join(broadcast(idf), Seq("term"))
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
       .withColumn("score_e6", round(
@@ -386,9 +449,7 @@ object TextAnalysis {
           (lit(44.0) * col("s_total") * col("tf")) /
           (lit(20.0) * col("s_total") * col("tf") + lit(6.0) * col("s_total")
             + lit(18.0) * col("dl") * col("n_docs"))).cast("long"))
-    scored.join(broadcast(queryTerms), Seq("term"))
-      .groupBy(col("query_id"), col(idCol))
-      .agg(sum(col("score_e6")).as("lex_e6"))
+      .select(col("term"), col(idCol), col("score_e6"))
   }
 
   /** Count-based bigram language model — the trainable artifact of the

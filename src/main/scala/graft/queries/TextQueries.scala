@@ -185,6 +185,26 @@ object TextQueries {
           expr("err_num * 1000000 div 2580480").as("err_ppm"))
     }),
 
+    // Rocchio pseudo-relevance-feedback expansion: each top-3 query
+    // term's BM25 top-5 docs donate their 3 most frequent other terms;
+    // round 2 re-ranks against the weighted expanded query (original
+    // term w=2, expansions w=1) with the per-(term,doc) scores snapped
+    // to micro-units BEFORE the weighted sum — integer, order-proof.
+    // The classic recall lever when literal term match misses relevant
+    // docs; both rounds are filtered-postings passes, never corpus
+    // rescans.
+    "q256_prf_expansion" -> ((s, d) => {
+      val docs = toks(s, d)
+      val inst = TextAnalysis.tokenInstances(docs, "doc_id", "tok")
+      val qterms = inst.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(3)
+        .select(col("term"))
+      TextAnalysis.prfExpandedBm25(docs, "doc_id", "tok", qterms,
+          fbDocs = 5, fbTerms = 3, wOrig = 2L, k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"),
+          col("score_e6"))
+    }),
+
     // Average precision @10 per query term — the standard MAP building
     // block q235's scorecard lacked. Unlike nDCG's log, AP is exactly
     // rational: AP = Σ_{hits} P@i / n_rel with P@i = r/i (r = running
@@ -1198,6 +1218,59 @@ object TextQueries {
          |            THEN a.n_rel_top10 * 1000000 // t.n_rel ELSE 0 END
          |            AS BIGINT) AS recall10_ppm
          |FROM agg a LEFT JOIN reltot t USING (term)""".stripMargin,
+
+    // Mirrors both PRF rounds: feedback docs from the shared ranked CTE
+    // (rank <= 5), expansion pick by (feedback tf desc, term asc), and
+    // the round-2 scoring recomputes df/idf over the EXPANDED term set
+    // with the same micro-unit snap before the weighted sum.
+    "q256_prf_expansion" ->
+      s"""$Bm25RankedCte, fb AS (
+         |  SELECT term AS query_id, doc_id FROM ranked WHERE rank <= 5
+         |), expcand AS (
+         |  SELECT f.query_id, i.term, count(*) AS ftf
+         |  FROM fb f JOIN inst i ON f.doc_id = i.doc_id
+         |  WHERE i.term <> f.query_id
+         |  GROUP BY 1, 2
+         |), exp AS (
+         |  SELECT query_id, term FROM (
+         |    SELECT query_id, term,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY ftf DESC, term ASC) AS rn
+         |    FROM expcand) z
+         |  WHERE rn <= 3
+         |), eq AS (
+         |  SELECT term AS query_id, term, CAST(2 AS BIGINT) AS w FROM qterms
+         |  UNION ALL
+         |  SELECT query_id, term, CAST(1 AS BIGINT) AS w FROM exp
+         |), terms2 AS (
+         |  SELECT DISTINCT term FROM eq
+         |), tf2 AS (
+         |  SELECT i.doc_id, i.term, count(*) AS tf
+         |  FROM inst i JOIN terms2 USING (term) GROUP BY 1, 2
+         |), idf2 AS (
+         |  SELECT d.term,
+         |         CAST(least(floor(1000000.0 * (2 * s.n_docs - 2 * d.df + 1)
+         |           / (2 * d.df + 1)), 1000000000000) AS BIGINT) AS idf_scaled
+         |  FROM (SELECT term, count(*) AS df FROM tf2 GROUP BY 1) d, stats s
+         |), sc2 AS (
+         |  SELECT tf2.doc_id, tf2.term,
+         |         CAST(round(idf2.idf_scaled * (44.0 * s.s_total * tf2.tf)
+         |           / (20.0 * s.s_total * tf2.tf + 6.0 * s.s_total
+         |              + 18.0 * dl.dl * s.n_docs)) AS BIGINT) AS score_e6
+         |  FROM tf2 JOIN idf2 USING (term) JOIN dl USING (doc_id), stats s
+         |), agg2 AS (
+         |  SELECT eq.query_id, sc2.doc_id,
+         |         CAST(sum(eq.w * sc2.score_e6) AS BIGINT) AS score_e6
+         |  FROM eq JOIN sc2 ON eq.term = sc2.term
+         |  GROUP BY 1, 2
+         |)
+         |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score_e6
+         |FROM (
+         |  SELECT query_id, doc_id, score_e6,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY score_e6 DESC, doc_id ASC) AS rank
+         |  FROM agg2) z
+         |WHERE rank <= 10""".stripMargin,
 
     // AP's rational identity mirrored exactly: running hit count via
     // row_number over the hit ranks, lcm(1..10) common denominator.

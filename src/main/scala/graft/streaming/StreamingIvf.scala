@@ -67,19 +67,49 @@ object StreamingIvf {
     commit(dir, "base")
   }
 
+  private def tombstoneCommitDir(dir: String) = s"$dir/tombstone_commits"
+
+  /** Names of fully-written tombstone batches. */
+  def committedTombstones(dir: String): Seq[String] =
+    Option(new java.io.File(tombstoneCommitDir(dir)).list())
+      .map(_.toSeq.sorted).getOrElse(Seq.empty)
+
+  /** LSM DELETE markers — [[StreamingIndex.tombstoneDocs]]'s contract on
+    * the ANN index: takedown vec_ids land as an O(|batch|) tombstone
+    * segment, [[loadIndex]] applies them on read through
+    * [[Similarity.retractFromIvfIndex]] (a broadcast anti-join — plain
+    * rows, nothing else to repair), [[compact]] materializes the deletion
+    * and clears the markers. Marker-last, idempotent; a tombstone is
+    * terminal for its id until a compact (see the StreamingIndex doc for
+    * the delete/re-ingest ordering rationale).
+    */
+  def tombstoneVectors(spark: SparkSession, dir: String, vecIds: DataFrame,
+      name: String): Unit = {
+    vecIds.select(col("vec_id")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/tombstones/d=$name")
+    Files.createDirectories(Paths.get(tombstoneCommitDir(dir)))
+    val marker = Paths.get(tombstoneCommitDir(dir), name)
+    if (!Files.exists(marker)) Files.createFile(marker)
+  }
+
   /** The index as of the committed deltas (optionally excluding one —
     * the probe path excludes the in-flight batch's own name so replays
-    * see the identical pre-batch state).
+    * see the identical pre-batch state), with committed tombstones
+    * applied on read.
     */
   def loadIndex(spark: SparkSession, dir: String,
       excluding: Option[String] = None): IvfIndex = {
     val deltas = committedDeltas(dir).filterNot(excluding.contains)
     require(deltas.nonEmpty, s"no committed deltas under $dir — run init()")
-    IvfIndex(
+    val merged = IvfIndex(
       spark.read.parquet(s"$dir/centroids")
         .select(col("vec_id"), col("vec"), col("nrm")),
       spark.read.parquet(deltas.map(n => s"$dir/assign/d=$n"): _*)
         .select(col("vec_id"), col("vec"), col("nrm"), col("centroid_id")))
+    val tombs = committedTombstones(dir)
+    if (tombs.isEmpty) merged
+    else Similarity.retractFromIvfIndex(merged,
+      spark.read.parquet(tombs.map(n => s"$dir/tombstones/d=$n"): _*))
   }
 
   /** Fold one batch of prepared vectors (vec_id, vec, nrm) into the

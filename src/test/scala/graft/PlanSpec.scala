@@ -286,4 +286,38 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(cal).size == 1,
       s"calibration should shuffle once, on <= 10 bin keys:\n$cal")
   }
+
+  test("q254 Krippendorff alpha: keyed aggregates only — no window, no " +
+      "cartesian, and the final combine stays partial-aggregated") {
+    val p = plan("q254_krippendorff")
+    assert(!p.contains("Window"), s"alpha grew a window pass:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"alpha planned a product join:\n$p")
+    assert(p.contains("partial_"), s"map-side partials lost:\n$p")
+  }
+
+  test("q248 IVF retraction: the takedown set anti-joins as a BROADCAST " +
+      "(the serve path's centroid-bucket shuffle is the ONLY sort-merge)") {
+    val p = plan("q248_ivf_retract")
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(p).isDefined,
+      s"takedown anti-join lost its broadcast:\n$p")
+    // exactly one sort-merge join is expected: the documented
+    // centroid_id bucket join of the serve path — the retraction itself
+    // must not add another index-body shuffle join
+    assert("SortMergeJoin \\[".r.findAllIn(p).size <= 1,
+      s"retraction added an index-body shuffle join:\n$p")
+  }
+
+  test("q252 MAP: the running-hit-count window rides the hit ranks; the " +
+      "only nested-loop products are 1-row stats broadcasts") {
+    val p = plan("q252_map")
+    assert(!p.contains("CartesianProduct"), s"MAP planned a cartesian:\n$p")
+    // BroadcastNestedLoopJoin appears ONLY as the BuildRight Cross of the
+    // 1-row corpus-stats frame (the established bm25 pattern)
+    val bnl = "BroadcastNestedLoopJoin [^\\n]*".r.findAllIn(p).toSeq
+    assert(bnl.forall(_.contains("BuildRight, Cross")),
+      s"MAP planned a non-stats nested loop:\n$bnl")
+    assert(p.contains("Window"), s"running-hit-count window missing:\n$p")
+  }
 }

@@ -491,6 +491,30 @@ class ScaleSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       StreamingIvf.compact(spark, dir, dir)
     }
+
+    // ---- LSM tombstones (round 9): takedown ids leave the inverted
+    // lists on read; the maintained view equals the batch rebuild over
+    // (corpus ∖ takedown); compaction materializes and clears
+    def assignSet(ix: Similarity.IvfIndex): Set[(Long, Long)] =
+      ix.assignments.select("vec_id", "centroid_id")
+        .as[(Long, Long)].collect().toSet
+    StreamingIvf.tombstoneVectors(spark, dir,
+      corpus.filter(col("vec_id") % 10 === 4).select("vec_id"), "t0")
+    val keptWant = assignSet(Similarity.buildIvfIndex(
+      corpus.filter(col("vec_id") % 10 =!= 4), cents))
+    assert(assignSet(StreamingIvf.loadIndex(spark, dir)) == keptWant,
+      "tombstoned IVF view != rebuild over kept vectors")
+    // marker-last: an uncommitted tombstone batch is invisible
+    corpus.filter(col("vec_id") % 10 === 5).select("vec_id")
+      .write.mode("overwrite").parquet(s"$dir/tombstones/d=t9")
+    assert(assignSet(StreamingIvf.loadIndex(spark, dir)) == keptWant,
+      "uncommitted tombstones leaked into the IVF view")
+    val cdir3 = Files.createTempDirectory("graft-sivf-compact3").toString
+    StreamingIvf.compact(spark, dir, cdir3)
+    assert(StreamingIvf.committedTombstones(cdir3).isEmpty,
+      "IVF compaction must clear tombstone markers")
+    assert(assignSet(StreamingIvf.loadIndex(spark, cdir3)) == keptWant,
+      "compacted tombstoned IVF index != rebuild")
   }
 
   // The round-8 streaming-retrieval capstone: the q213/q214 delta-
