@@ -356,6 +356,53 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("timeout watchdog (transformWithState TIMERS): a stuck job alerts " +
+      "once after its deadline; terminal and re-armed jobs never do") {
+    import graft.streaming.TimeoutMonitor
+    import graft.streaming.TimeoutMonitor.{Alert, WatchEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val priorStore = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val input = MemoryStream[WatchEvent]
+    val query = TimeoutMonitor.watch(input.toDS(), timeoutMs = 1500)
+      .writeStream.format("memory").queryName("watchdog")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    def alerts: Seq[Alert] = spark.table("watchdog").as[Alert].collect().toSeq
+    try {
+      // A: activity then silence -> must alert; B: terminal before the
+      // deadline -> never; C: re-armed twice then terminal -> never
+      input.addData(WatchEvent("A", 1L, terminal = false),
+        WatchEvent("B", 1L, terminal = false),
+        WatchEvent("C", 1L, terminal = false))
+      Thread.sleep(600)
+      input.addData(WatchEvent("B", 2L, terminal = true),
+        WatchEvent("C", 2L, terminal = false)) // C re-arms
+      Thread.sleep(600)
+      input.addData(WatchEvent("C", 3L, terminal = true)) // C finishes
+      val deadline = System.currentTimeMillis() + 60000
+      while (alerts.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      // give stragglers a chance to (wrongly) fire before asserting
+      Thread.sleep(2500)
+      val byKey = alerts.groupBy(_.key)
+      assert(byKey.keySet == Set("A"), s"expected only A to time out: $alerts")
+      assert(byKey("A").size == 1, s"A must alert exactly once: $alerts")
+      assert(byKey("A").head.last_t == 1L)
+    } finally {
+      query.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", priorParts)
+      priorStore match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState status machine tracks the rollup lattice") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[BatchEvent]
