@@ -477,6 +477,34 @@ object SimilarityQueries {
       Similarity.ivfTopKFromIndex(updated, c.filter(col("vec_id") < 8), 4, 2)
     }),
 
+    // UPSERT (re-ingest) for the persisted ANN index: q142's save→load→
+    // delta chain, then the %10==5 vectors RE-INGEST with updated
+    // embeddings (reversed — norm-preserving, direction-changing, and
+    // exactly expressible in both engines). upsertIntoIvfIndex =
+    // retract-then-append, so the precondition holds by construction;
+    // queries use the updated corpus. Oracle = the from-scratch rebuild
+    // over the updated corpus: hash match ⇒ re-ingest == rebuild — the
+    // mutable-store behavior of the reference (`ingestService.js:128`)
+    // reproduced on the immutable index.
+    "q257_ivf_upsert" -> ((s, d) => {
+      val c = corpus(s, d)
+      val old = c.filter(col("vec_id") % 10 =!= 7)
+      val fresh = c.filter(col("vec_id") % 10 === 7)
+      val cents = old.filter(col("vec_id") % 40 === 0)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_q257_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Similarity.saveIvfIndex(Similarity.buildIvfIndex(old, cents), dir)
+      val updatedVecs = c.filter(col("vec_id") % 10 === 5)
+        .withColumn("vec", reverse(col("vec")))
+      val idx = Similarity.upsertIntoIvfIndex(
+        Similarity.applyIndexDelta(Similarity.loadIvfIndex(s, dir), fresh),
+        updatedVecs)
+      val q = c.filter(col("vec_id") < 8)
+        .withColumn("vec", when(col("vec_id") % 10 === 5,
+          reverse(col("vec"))).otherwise(col("vec")))
+      Similarity.ivfTopKFromIndex(idx, q, 4, 2)
+    }),
+
     // RETRACTION for the persisted ANN index — q142's save→load→delta
     // chain, then the takedown set (vec_id % 10 == 3) LEAVES the inverted
     // lists by broadcast anti-join (centroids are frozen state, not a
@@ -1208,6 +1236,47 @@ object SimilarityQueries {
          |             ORDER BY round(list_dot_product(n.vec, c.centvec)
          |               / (n.nrm * c.centnrm), 6) DESC, c.centroid_id ASC) AS crank
          |    FROM n, cents c WHERE n.vec_id < 8) t
+         |  WHERE crank <= 2
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         round(list_dot_product(q.vec, b.vec) / (q.nrm * b.nrm), 6) AS sim
+         |  FROM probes q JOIN assigned b ON q.centroid_id = b.centroid_id
+         |  WHERE b.vec_id <> q.vec_id
+         |)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 4""".stripMargin,
+
+    // q142's rebuild oracle over the UPDATED corpus (reversed %10==5
+    // vectors): re-ingest == rebuild.
+    "q257_ivf_upsert" ->
+      s"""$VCte, n2 AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % 10 = 5 THEN list_reverse(vec)
+         |              ELSE vec END AS vec,
+         |         nrm
+         |  FROM n
+         |), cents AS (
+         |  SELECT vec_id AS centroid_id, vec AS centvec, nrm AS centnrm
+         |  FROM n2 WHERE vec_id % 40 = 0 AND vec_id % 10 <> 7
+         |), assigned AS (
+         |  SELECT vec_id, vec, nrm, centroid_id FROM (
+         |    SELECT n2.vec_id, n2.vec, n2.nrm, c.centroid_id,
+         |           row_number() OVER (PARTITION BY n2.vec_id
+         |             ORDER BY round(list_dot_product(n2.vec, c.centvec)
+         |               / (n2.nrm * c.centnrm), 6) DESC, c.centroid_id ASC) AS crank
+         |    FROM n2, cents c) t
+         |  WHERE crank = 1
+         |), probes AS (
+         |  SELECT vec_id, vec, nrm, centroid_id FROM (
+         |    SELECT n2.vec_id, n2.vec, n2.nrm, c.centroid_id,
+         |           row_number() OVER (PARTITION BY n2.vec_id
+         |             ORDER BY round(list_dot_product(n2.vec, c.centvec)
+         |               / (n2.nrm * c.centnrm), 6) DESC, c.centroid_id ASC) AS crank
+         |    FROM n2, cents c WHERE n2.vec_id < 8) t
          |  WHERE crank <= 2
          |), scored AS (
          |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,

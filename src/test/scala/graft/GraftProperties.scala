@@ -620,6 +620,38 @@ object GraftProperties extends Properties("graft") {
         CountMin.estimate(sk.table, 3, 64, t) >= c } && sk.n == items.size
     }
 
+  property("retractCcNodes == full CC rebuild over the remaining graph, " +
+      "on random graphs and random takedowns") =
+    forAll(Gen.listOf(Gen.zip(Gen.choose(1L, 14L), Gen.choose(1L, 14L))),
+      Gen.listOf(Gen.choose(1L, 14L))) { (rawEdges, removedRaw) =>
+      val s = sq; import s.implicits._
+      val edges = rawEdges.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      (edges.isEmpty) || {
+        val e = edges.toDF("a", "b")
+        val base = Dedup.connectedComponentsStar(e, "a", "b")
+        val removed = removedRaw.distinct
+        val got = Dedup.retractCcNodes(base, e, "a", "b",
+            removed.toDF("id"), "id")
+          .as[(Long, Long)].collect().toMap
+        // reference: CC over surviving edges, union-find in memory;
+        // surviving endpoints isolated by the deletion self-label
+        val keptEdges = edges.filterNot { case (a, b) =>
+          removed.contains(a) || removed.contains(b) }
+        val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct
+          .filterNot(removed.contains)
+        val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+        def find(x: Long): Long =
+          if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+        keptEdges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = nodes.map(n => n -> find(n)).toMap
+        got == want
+      }
+    }
+
   property("retrieval index: retract . append == identity, retracting " +
       "absent ids is a no-op") =
     forAll(

@@ -493,6 +493,26 @@ class SimilaritySpec extends SparkSpec {
       s"${(changed -- flaggedMembers).size} non-drifted vectors moved")
   }
 
+  // Identity check for the guard's "exact GIVEN the shortlist" claim:
+  // feed densityClustersGuarded the COMPLETE candidate set (every pair)
+  // and it must reproduce the exact build verbatim — members, labels,
+  // and roles. Any divergence would mean the guard machinery itself
+  // (shortlist, exact confirm, core edges, border attach) warps the
+  // semantics rather than only inheriting candidate misses.
+  test("densityClustersGuarded over ALL pairs == densityClusters exactly") {
+    val sub = corpus.filter(col("vec_id") < 250).cache()
+    val allPairs = sub.select(col("vec_id").as("id_a"))
+      .crossJoin(sub.select(col("vec_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val exact = Similarity.densityClusters(sub, 0.35, 3)
+      .as[(Long, Long, String)].collect().toSet
+    val guarded = Similarity
+      .densityClustersGuarded(sub, allPairs, 0.35, 3, confirmSlack = 1)
+      .as[(Long, Long, String)].collect().toSet
+    assert(guarded == exact,
+      s"diff g-e=${guarded -- exact} e-g=${exact -- guarded}")
+  }
+
   // The round-8 verdict's one open 100 TB claim, executed: DBSCAN over
   // q145's multi-probe candidates. Measures (1) the GUARDED swap's
   // cluster recovery vs the exact q181 build — pair-recall AND
