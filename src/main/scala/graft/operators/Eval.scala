@@ -19,6 +19,28 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** `num·10⁶ div den` over BIGINT columns without ever forming
+    * `num·10⁶`: Horner's rule on the (quotient, remainder) pair — six
+    * rounds of `q ← 10q + (10r div den); r ← 10r mod den`. Exact (each
+    * round preserves `q·den + r = num·10^i`), and the largest
+    * intermediate is `10·r < 10·den`, so headroom is den ≤ 2⁶²/5
+    * (~9.2·10¹⁷) instead of 2⁶³/10⁶. The quotient itself is ≤ 10⁶
+    * whenever num ≤ den (every ppm ratio here). Row-local BIGINT
+    * arithmetic only — stays inside whole-stage codegen. A zero/NULL
+    * `den` propagates NULL through `div` (non-ANSI), matching the
+    * callers' `when` guards.
+    */
+  private def stagedPpmDiv(num: Column, den: Column): Column = {
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val init = struct(idiv(num, den).as("q"), (num % den).as("r"))
+    val stepped = (1 to 6).foldLeft(init) { (acc, _) =>
+      struct(
+        (acc("q") * lit(10L) + idiv(acc("r") * lit(10L), den)).as("q"),
+        ((acc("r") * lit(10L)) % den).as("r"))
+    }
+    stepped("q")
+  }
+
   /** Per-group ROC-AUC via the Mann–Whitney rank-sum identity, exact to
     * 1e-6: `AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻)` where `R⁺` is the sum of
     * the AVERAGE ranks of the positives under ascending score order (ties
@@ -47,28 +69,6 @@ object Eval {
     * @param label  boolean-ish column, true = positive
     * @param score  integral score column (higher = predicted positive)
     */
-  /** `num·10⁶ div den` over BIGINT columns without ever forming
-    * `num·10⁶`: Horner's rule on the (quotient, remainder) pair — six
-    * rounds of `q ← 10q + (10r div den); r ← 10r mod den`. Exact (each
-    * round preserves `q·den + r = num·10^i`), and the largest
-    * intermediate is `10·r < 10·den`, so headroom is den ≤ 2⁶²/5
-    * (~9.2·10¹⁷) instead of 2⁶³/10⁶. The quotient itself is ≤ 10⁶
-    * whenever num ≤ den (every ppm ratio here). Row-local BIGINT
-    * arithmetic only — stays inside whole-stage codegen. A zero/NULL
-    * `den` propagates NULL through `div` (non-ANSI), matching the
-    * callers' `when` guards.
-    */
-  private def stagedPpmDiv(num: Column, den: Column): Column = {
-    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
-    val init = struct(idiv(num, den).as("q"), (num % den).as("r"))
-    val stepped = (1 to 6).foldLeft(init) { (acc, _) =>
-      struct(
-        (acc("q") * lit(10L) + idiv(acc("r") * lit(10L), den)).as("q"),
-        ((acc("r") * lit(10L)) % den).as("r"))
-    }
-    stepped("q")
-  }
-
   def rocAucPpm(df: DataFrame, group: Column, label: Column,
       score: Column): DataFrame = {
     val g = df.select(group.as("grp"), label.cast("boolean").as("y"),

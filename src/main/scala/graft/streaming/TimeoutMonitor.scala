@@ -55,7 +55,12 @@ object TimeoutMonitor {
       // disarm whatever was pending — the new batch decides what's next
       Option(st.get()).foreach(s => getHandle.deleteTimer(s.deadline))
       val evs = rows.toSeq.sortBy(_.t)
-      if (evs.exists(_.terminal)) {
+      // terminality is decided by the LAST event in event-time order: a
+      // job that finishes and is re-triggered within one micro-batch
+      // (terminal followed by a later non-terminal event) must keep its
+      // watch — an exists() here would clear the state and let the
+      // revived job hang silently until its next event
+      if (evs.last.terminal) {
         st.clear() // done: a finished job never alerts
       } else {
         val deadline = timerValues.getCurrentProcessingTimeInMs + timeoutMs

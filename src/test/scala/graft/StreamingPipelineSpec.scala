@@ -375,24 +375,35 @@ class StreamingPipelineSpec extends SparkSpec {
     def alerts: Seq[Alert] = spark.table("watchdog").as[Alert].collect().toSeq
     try {
       // A: activity then silence -> must alert; B: terminal before the
-      // deadline -> never; C: re-armed twice then terminal -> never
+      // deadline -> never; C: re-armed twice then terminal -> never;
+      // D: finishes AND re-triggers inside one micro-batch (terminal at
+      // t=1, later non-terminal at t=2) then silence -> the revived job
+      // must stay watched and alert (the round-9 advisor finding: an
+      // exists(terminal) would drop D's watch and let it hang silently)
       input.addData(WatchEvent("A", 1L, terminal = false),
         WatchEvent("B", 1L, terminal = false),
-        WatchEvent("C", 1L, terminal = false))
+        WatchEvent("C", 1L, terminal = false),
+        WatchEvent("D", 2L, terminal = false),
+        WatchEvent("D", 1L, terminal = true))
       Thread.sleep(600)
       input.addData(WatchEvent("B", 2L, terminal = true),
         WatchEvent("C", 2L, terminal = false)) // C re-arms
       Thread.sleep(600)
       input.addData(WatchEvent("C", 3L, terminal = true)) // C finishes
       val deadline = System.currentTimeMillis() + 60000
-      while (alerts.isEmpty && System.currentTimeMillis() < deadline)
+      while (alerts.map(_.key).toSet != Set("A", "D") &&
+          System.currentTimeMillis() < deadline)
         Thread.sleep(200)
       // give stragglers a chance to (wrongly) fire before asserting
       Thread.sleep(2500)
       val byKey = alerts.groupBy(_.key)
-      assert(byKey.keySet == Set("A"), s"expected only A to time out: $alerts")
+      assert(byKey.keySet == Set("A", "D"),
+        s"expected exactly A and D to time out: $alerts")
       assert(byKey("A").size == 1, s"A must alert exactly once: $alerts")
       assert(byKey("A").head.last_t == 1L)
+      assert(byKey("D").size == 1, s"D must alert exactly once: $alerts")
+      assert(byKey("D").head.last_t == 2L,
+        s"D's alert must carry the revival event's time: $alerts")
     } finally {
       query.stop()
       spark.conf.set("spark.sql.shuffle.partitions", priorParts)
