@@ -1362,6 +1362,194 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("sim"))
   }
 
+  // --------------------------------------------------- persisted PQ index
+
+  /** The PERSISTED product-quantization index — the [[IvfIndex]]
+    * maintenance discipline (save → load → delta → retract → upsert, each
+    * proven equal to the frozen-parameter rebuild) applied to the PQ
+    * family, closing the round-8/9 gap where `pqCodebook` retrained per
+    * run: at 100 TB, re-deriving codebooks on every serve run rescans the
+    * corpus the index exists to avoid.
+    *
+    * `codebook` is the FROZEN training artifact — one row per (subspace
+    * m, codeword c) holding the codeword's micro-unit components, all
+    * exact BIGINTs, so a saved + loaded codebook is bit-identical to the
+    * trained one and every downstream encode/ADC stays engine-exact.
+    * `codes` is the encoded corpus: (vec_id, vec, nrm, codes) — the
+    * `subspaces` code bytes the ADC scan reads, plus the full vector the
+    * exact re-rank fetches (the two-tier layout of [[pqRerankTopK]],
+    * now persistent). Like the IVF assignments, code rows are PLAIN rows:
+    * encoding is per-row against the frozen codebook, which is exactly
+    * what makes delta/retract/upsert exact —
+    * maintained == rebuild-with-frozen-codebook, bit for bit (q258).
+    */
+  final case class PqIndex(codebook: DataFrame, codes: DataFrame,
+      subspaces: Int, codewords: Int)
+
+  /** Codebook cb(m)(c)(j) → its row form (m, c, cw ARRAY<BIGINT>). */
+  private def codebookRows(spark: org.apache.spark.sql.SparkSession,
+      cb: Array[Array[Array[Long]]]): DataFrame = {
+    import spark.implicits._
+    cb.zipWithIndex.flatMap { case (codewords, m) =>
+      codewords.zipWithIndex.map { case (cw, c) => (m, c, cw.toSeq) }
+    }.toSeq.toDF("m", "c", "cw")
+  }
+
+  /** Row-form codebook → the driver array the native kernels take as a
+    * literal. O(subspaces × codewords) control rows — the same bounded
+    * collect as every centroid table in this file.
+    */
+  private def collectCodebook(codebook: DataFrame, subspaces: Int,
+      codewords: Int): Array[Array[Array[Long]]] = {
+    val byKey = codebook.select(col("m"), col("c"), col("cw")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toArray)
+      .toMap
+    require(byKey.size == subspaces * codewords,
+      s"codebook has ${byKey.size} rows, want ${subspaces * codewords}")
+    Array.tabulate(subspaces, codewords)((m, c) => byKey((m, c)))
+  }
+
+  /** Train the codebook on the corpus (md5-pivot, [[pqCodebook]]) and
+    * encode every vector against it — the one-time build whose artifact
+    * every later maintenance op treats as frozen.
+    */
+  def buildPqIndex(corpus: DataFrame, subspaces: Int, codewords: Int,
+      dims: Int): PqIndex = {
+    require(dims % subspaces == 0,
+      s"dims ($dims) must split evenly into $subspaces subspaces")
+    val corpusUq = microUnit(corpus).cache()
+    val cb = pqCodebook(corpusUq, subspaces, codewords, dims)
+    PqIndex(codebookRows(corpus.sparkSession, cb),
+      pqEncode(corpusUq, cb, dims / subspaces)
+        .select(col("vec_id"), col("vec"), col("nrm"), col("codes")),
+      subspaces, codewords)
+  }
+
+  /** Persist under `dir`: a single-file codebook (the serve-time
+    * broadcast artifact) and the codes table in bounded files. The ADC
+    * scan reads the whole codes table by design (PQ is a compressed FULL
+    * scan; [[ivfPqTopK]] is the pruned composition), so codes are laid
+    * out for scan bandwidth, not point lookup.
+    */
+  def savePqIndex(index: PqIndex, dir: String,
+      maxRecordsPerFile: Long = 1L << 20): Unit = {
+    index.codebook.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/codebook")
+    index.codes.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .parquet(s"$dir/codes")
+  }
+
+  /** Load a persisted index; geometry (subspaces, codewords) is read off
+    * the codebook itself, so the artifact is self-describing.
+    */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): PqIndex = {
+    val cb = spark.read.parquet(s"$dir/codebook")
+      .select(col("m"), col("c"), col("cw"))
+    val geo = cb.agg(max(col("m")), max(col("c"))).head()
+    PqIndex(cb,
+      spark.read.parquet(s"$dir/codes")
+        .select(col("vec_id"), col("vec"), col("nrm"), col("codes")),
+      geo.getInt(0) + 1, geo.getInt(1) + 1)
+  }
+
+  /** Fold new vectors in WITHOUT retraining: encode against the FROZEN
+    * codebook (row-local native kernel, zero shuffle) and append. Because
+    * encoding is per-row against the same codebook, delta-maintained
+    * codes are bit-identical to a frozen-codebook rebuild over old ∪ new
+    * — the q258 hash proof, [[applyIndexDelta]]'s argument verbatim.
+    * The codebook does NOT refit here (that is what makes it cheap);
+    * [[pqDriftStats]] says when the frozen codewords have decayed.
+    */
+  def applyPqDelta(index: PqIndex, newVecs: DataFrame): PqIndex = {
+    val cb = collectCodebook(index.codebook, index.subspaces, index.codewords)
+    val sub = cb.head.head.length
+    index.copy(codes = index.codes.unionByName(
+      pqEncode(microUnit(newVecs), cb, sub)
+        .select(col("vec_id"), col("vec"), col("nrm"), col("codes"))))
+  }
+
+  /** RETRACTION — takedown ids leave the codes table by broadcast
+    * anti-join. The codebook is frozen state, not an aggregate of its
+    * members, so nothing else needs repair — retract == rebuild over
+    * (corpus ∖ deleted) bit-for-bit, and `retract ∘ append == identity`
+    * (`GraftProperties`). Idempotent for absent ids.
+    */
+  def retractFromPqIndex(index: PqIndex, vecIds: DataFrame): PqIndex =
+    index.copy(codes = index.codes.join(
+      broadcast(vecIds.select(col("vec_id")).distinct()),
+      Seq("vec_id"), "left_anti"))
+
+  /** RE-INGEST (updated embeddings for existing ids): retract the batch's
+    * ids, then encode-and-append the new vectors — ids are disjoint again
+    * after the retract, so the delta precondition holds by construction.
+    */
+  def upsertIntoPqIndex(index: PqIndex, vecs: DataFrame): PqIndex =
+    applyPqDelta(retractFromPqIndex(index, vecs.select(col("vec_id"))), vecs)
+
+  /** PQ search served from a (possibly delta-maintained) index: the
+    * [[pqRerankTopK]] two-tier scan with BOTH tiers read from the
+    * persisted artifact — integer ADC over the stored codes for a
+    * `shortlist`, exact float re-rank from the stored vectors. The
+    * query-side distance tables broadcast; the codes table streams.
+    */
+  def pqTopKFromIndex(index: PqIndex, queries: DataFrame, shortlist: Int,
+      k: Int): DataFrame = {
+    val cb = collectCodebook(index.codebook, index.subspaces, index.codewords)
+    val sub = cb.head.head.length
+    val qtab = pqQueryTable(microUnit(queries), cb, sub)
+    val scored = broadcast(qtab.select(col("vec_id").as("query_id"),
+        col("qtab")))
+      .crossJoin(index.codes.select(col("vec_id").as("neighbor_id"),
+        col("codes")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", adcExpr(index.subspaces, index.codewords))
+      .select(col("query_id"), col("neighbor_id"), col("adc"))
+    val sl = Relational.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("adc").asc, col("neighbor_id").asc), shortlist, "srank")
+      .select(col("query_id"), col("neighbor_id"))
+    val rr = sl
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("vec").as("qvec"), col("nrm").as("qnrm")), Seq("query_id"))
+      .join(index.codes.select(col("vec_id").as("neighbor_id"),
+        col("vec").as("cvec"), col("nrm").as("cnrm")), Seq("neighbor_id"))
+      .withColumn("sim", round(
+        cosineWithNorms(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")), 6))
+    Relational.topKPerGroup(rr, Seq(col("query_id")),
+        Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("sim"))
+  }
+
+  /** Codebook-health statistic — [[driftStats]]' q146 recipe on the PQ
+    * artifact: per (subspace, codeword), the member count and the EXACT
+    * BIGINT sum of members' squared quantization error (micro-unit² —
+    * each row's distance to its OWN codeword, the quantity ADC
+    * approximates with). Both symptoms of codebook decay are visible in
+    * exact integers: `sum_qerr` rising against its build-time value means
+    * the codeword no longer sits in the middle of the vectors mapping to
+    * it (corpus drift); `n_members` collapsing onto few codewords means
+    * the subspace's quantizer degenerates. Row-local error computation
+    * (the native qtab kernel + one element_at), one partial-aggregated
+    * groupBy carrying subspaces × codewords rows — O(index) map work,
+    * O(1) shuffle.
+    */
+  def pqDriftStats(index: PqIndex): DataFrame = {
+    val cb = collectCodebook(index.codebook, index.subspaces, index.codewords)
+    val sub = cb.head.head.length
+    val k = index.codewords
+    pqQueryTable(microUnit(index.codes), cb, sub)
+      .select(col("vec_id"), col("codes"), col("qtab"))
+      .select(col("vec_id"),
+        posexplode(col("codes")).as(Seq("m", "code")),
+        col("qtab"))
+      .withColumn("qerr", element_at(col("qtab"),
+        (col("m") * k + col("code") + 1).cast("int")))
+      .groupBy(col("m"), col("code"))
+      .agg(count(lit(1)).as("n_members"), sum(col("qerr")).as("sum_qerr"))
+  }
+
   /** Deterministic ±1 sign for the Johnson–Lindenstrauss projection
     * matrix entry (input dim `i`, output dim `j`): parity of the first
     * 32 md5 bits of "i|j" — the same md5-derived-randomness convention

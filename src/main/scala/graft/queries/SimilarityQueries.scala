@@ -355,6 +355,52 @@ object SimilarityQueries {
       .select(col("id_a"), col("id_b"))
 
   val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PERSISTED PQ index, full maintenance chain (the round-9 verdict's
+    // one unfinished brief item): train the codebook on the OLD corpus
+    // (%10 != 7) and save it with the encoded codes; then load → delta
+    // (the %10 == 7 batch encodes against the FROZEN codebook) → retract
+    // (%10 == 3 leaves by anti-join) → upsert (%10 == 5 re-ingests with
+    // reversed embeddings: retract-then-encode-append) → serve q152's
+    // two-tier scan (integer ADC shortlist 100, exact re-rank top 10)
+    // entirely from the maintained artifact. Oracle = the frozen-codebook
+    // rebuild over (corpus ∖ deleted) ∪ updated: pivots from the ORIGINAL
+    // old corpus (the codebook never refits), encode/ADC/re-rank over the
+    // final corpus state. Hash match ⇒ maintained index == rebuild, bit
+    // for bit — the q248/q257 proof discipline on the PQ surface.
+    "q258_pq_persist" -> ((s, d) => {
+      val c = corpus(s, d)
+      val old = c.filter(col("vec_id") % 10 =!= 7)
+      val fresh = c.filter(col("vec_id") % 10 === 7)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_pq_index_q258_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Similarity.savePqIndex(Similarity.buildPqIndex(old, 16, 32, 64), dir)
+      val updatedVecs = c.filter(col("vec_id") % 10 === 5)
+        .withColumn("vec", reverse(col("vec")))
+      val idx = Similarity.upsertIntoPqIndex(
+        Similarity.retractFromPqIndex(
+          Similarity.applyPqDelta(Similarity.loadPqIndex(s, dir), fresh),
+          c.filter(col("vec_id") % 10 === 3).select("vec_id")),
+        updatedVecs)
+      val q = c.filter(col("vec_id") < 5)
+        .withColumn("vec", when(col("vec_id") % 10 === 5,
+          reverse(col("vec"))).otherwise(col("vec")))
+      Similarity.pqTopKFromIndex(idx, q, 100, 10)
+    }),
+
+    // Codebook-health drift statistic for the PQ artifact — q146's
+    // exact-integer recipe on the quantizer: per (subspace, codeword),
+    // member count and the EXACT BIGINT sum of members' squared
+    // quantization error (distance to their OWN codeword in micro-unit²,
+    // the quantity ADC approximates with). Rising sum_qerr against its
+    // build-time value = the codeword no longer describes its members
+    // (corpus drift); collapsing n_members = a degenerating subspace
+    // quantizer. All integers, oracled exactly.
+    "q259_pq_drift" -> ((s, d) =>
+      Similarity.pqDriftStats(Similarity.buildPqIndex(corpus(s, d), 16, 32, 64))
+        .select(col("m").cast("long").as("m"),
+          col("code").cast("long").as("code"),
+          col("n_members"), col("sum_qerr"))),
+
     // Johnson-Lindenstrauss ±1 random projection 64 -> 16, exact integer
     // arithmetic over round(x*1e6) quantized embeddings with md5-derived
     // signs — the dimensionality-reduction front end for ANN at scale,
@@ -616,6 +662,93 @@ object SimilarityQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // The frozen-codebook rebuild over (corpus ∖ deleted) ∪ updated:
+    // pivots trained on the ORIGINAL old corpus (the codebook never
+    // refits after save), micro-units/encode/ADC over the final corpus
+    // state (%10==5 reversed, %10==3 gone), queries (vec_id < 5, updated
+    // forms — a deleted id may query, never return) keep their distance
+    // tables via the `OR vec_id < 5` escape. Hash match == the PQ
+    // maintenance proof.
+    "q258_pq_persist" ->
+      s"""$VCte, n2 AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % 10 = 5 THEN list_reverse(vec)
+         |              ELSE vec END AS vec,
+         |         nrm
+         |  FROM n
+         |), u0 AS (
+         |  SELECT vec_id,
+         |         CASE WHEN nrm = 0 THEN vec
+         |              ELSE list_transform(vec, x -> x / nrm) END AS unit
+         |  FROM n WHERE vec_id % 10 <> 7
+         |), uq0 AS (
+         |  SELECT vec_id,
+         |         list_transform(unit, x -> CAST(round(x * 1000000) AS BIGINT)) AS uq
+         |  FROM u0
+         |), piv AS (
+         |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |           vec_id) - 1 AS c, uq
+         |  FROM uq0 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32
+         |), u2 AS (
+         |  SELECT vec_id,
+         |         CASE WHEN nrm = 0 THEN vec
+         |              ELSE list_transform(vec, x -> x / nrm) END AS unit
+         |  FROM n2
+         |), uq2 AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(unit, x -> CAST(round(x * 1000000) AS BIGINT)) AS uq
+         |  FROM u2 WHERE vec_id % 10 <> 3 OR vec_id < 5
+         |), dist AS MATERIALIZED (
+         |  SELECT x.vec_id, m.m, p.c,
+         |         CAST(list_sum([(x.uq[m.m*4+j+1] - p.uq[m.m*4+j+1])
+         |                        * (x.uq[m.m*4+j+1] - p.uq[m.m*4+j+1])
+         |                        FOR j IN range(0, 4)]) AS BIGINT) AS dist
+         |  FROM uq2 x, range(0, 16) m(m), piv p
+         |), enc AS (
+         |  SELECT vec_id, m, c AS code FROM (
+         |    SELECT vec_id, m, c,
+         |           row_number() OVER (PARTITION BY vec_id, m
+         |             ORDER BY dist ASC, c ASC) AS rn
+         |    FROM dist WHERE vec_id % 10 <> 3) z
+         |  WHERE rn = 1
+         |), adc AS (
+         |  SELECT qd.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |         CAST(sum(qd.dist) AS BIGINT) AS adc
+         |  FROM enc e JOIN dist qd ON qd.m = e.m AND qd.c = e.code
+         |  WHERE qd.vec_id < 5 AND e.vec_id <> qd.vec_id
+         |  GROUP BY 1, 2
+         |), shortlist AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY adc ASC, neighbor_id ASC) AS srank
+         |    FROM adc) z
+         |  WHERE srank <= 100
+         |), rr AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |         round(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm), 6) AS sim
+         |  FROM shortlist s JOIN n2 q ON s.query_id = q.vec_id
+         |                   JOIN n2 c ON s.neighbor_id = c.vec_id
+         |)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM rr) z
+         |WHERE rank <= 10""".stripMargin,
+
+    // q152's shared PQ CTEs, read off at the quantizer itself: each
+    // vector's distance to its OWN codeword (join enc back onto dist),
+    // summed exactly per (subspace, codeword).
+    "q259_pq_drift" ->
+      s"""$VCte, $PqCte
+         |SELECT e.m, CAST(e.code AS BIGINT) AS code,
+         |       CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(sum(d.dist) AS BIGINT) AS sum_qerr
+         |FROM enc e JOIN dist d
+         |  ON d.vec_id = e.vec_id AND d.m = e.m AND d.c = e.code
+         |GROUP BY 1, 2""".stripMargin,
+
     "q228_rproj" ->
       """WITH gs AS (SELECT unnest(generate_series(0, 63)) AS i),
         |js AS (SELECT unnest(generate_series(0, 15)) AS j),

@@ -688,4 +688,38 @@ object GraftProperties extends Properties("graft") {
         Seq(990L, 991L).toDF("doc_id"), "doc_id")
       surface(roundTrip) == surface(idx) && surface(absent) == surface(idx)
     }
+
+  property("pq index: retract . append == identity, retracting absent ids " +
+      "is a no-op, codebook frozen throughout") =
+    forAll(
+      Gen.listOfN(4, Gen.listOfN(4, Gen.choose(-5, 5))),
+      Gen.listOfN(3, Gen.listOfN(4, Gen.choose(-5, 5)))) {
+      (baseRaw, deltaRaw) =>
+      import graft.operators.Similarity
+      val s = sq; import s.implicits._
+      graft.functions.GraftFunctions.register(s) // native pq kernels
+      def prep(raw: List[List[Int]], base: Long) =
+        raw.zipWithIndex
+          .map { case (v, i) => (base + i, v.map(_.toDouble)) }
+          .toDF("vec_id", "vec")
+          .withColumn("nrm", Similarity.norm(col("vec")))
+      val baseDf = prep(baseRaw, 1L)
+      val delta = prep(deltaRaw, 101L)
+      val idx = Similarity.buildPqIndex(baseDf, 2, 2, 4)
+      // the full observable surface: every code row with its vector and
+      // codes, plus the codebook rows (which must never move)
+      def surface(ix: Similarity.PqIndex): Set[String] =
+        ix.codes.select(concat_ws("|", col("vec_id"),
+            col("codes").cast("string"), col("vec").cast("string"),
+            col("nrm")).as("row"))
+          .unionByName(ix.codebook.select(concat_ws("|", lit("cb"),
+            col("m"), col("c"), col("cw").cast("string")).as("row")))
+          .as[String].collect().toSet
+      val appended = Similarity.applyPqDelta(idx, delta)
+      val roundTrip = Similarity.retractFromPqIndex(appended,
+        delta.select("vec_id"))
+      val absent = Similarity.retractFromPqIndex(idx,
+        Seq(990L, 991L).toDF("vec_id"))
+      surface(roundTrip) == surface(idx) && surface(absent) == surface(idx)
+    }
 }

@@ -175,6 +175,41 @@ class SimilaritySpec extends SparkSpec {
       "re-ranking must not lose recall vs pure ADC")
   }
 
+  test("persisted PQ index: served-from-disk == in-session rerank, " +
+      "recall@10 floor re-asserted on the loaded artifact") {
+    val c = corpus
+    val queries = c.filter(col("vec_id") < 5)
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_pq_spec")
+      .toString
+    Similarity.savePqIndex(Similarity.buildPqIndex(c, 16, 32, 64), pqDir)
+    val idx = Similarity.loadPqIndex(spark, pqDir)
+    assert(idx.subspaces == 16 && idx.codewords == 32,
+      "loaded geometry must be read off the codebook artifact")
+    val served = Similarity.pqTopKFromIndex(idx, queries, 100, 10)
+      .select("query_id", "neighbor_id", "rank", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // the in-session path retrains the codebook from the same corpus with
+    // the same md5-pivot rule, so save -> load -> serve must be
+    // bit-identical to it: any drift here means the persisted artifact
+    // does not reproduce the trained quantizer
+    val inSession = Similarity.pqRerankTopK(queries, c, 16, 32, 64, 100, 10)
+      .select("query_id", "neighbor_id", "rank", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(served == inSession,
+      s"served-from-disk PQ != in-session PQ: ${served.diff(inSession)}")
+    // recall floor on the LOADED artifact (the q152 pinned number)
+    def topkMap(rows: Set[(Long, Long, Long, Double)]): Map[Long, Set[Long]] =
+      rows.groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2) }
+    val truth = Similarity.bruteForceTopK(queries, c, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val recall = truth.map { case (q, t) =>
+      (t & topkMap(served).getOrElse(q, Set.empty)).size / 10.0 }
+      .sum / truth.size
+    info(s"persisted-PQ rerank recall@10 = $recall")
+    assert(recall >= 0.8, s"recall collapsed on the loaded artifact: $recall")
+  }
+
   test("IVF-PQ compound recall and the pruning it buys (measured, pinned)") {
     val c = corpus
     val queries = c.filter(col("vec_id") < 5)
