@@ -524,12 +524,23 @@ object Curation {
       .filter(col("_n") > 0)
       .select(concat(md5(concat(lit(s"$salt|"), col("_id").cast("string"))),
         lit("|"), col("_id").cast("string")).as("ord"), col("_n").as("toks"))
-    EventTime.globalRunningSum(base, "ord", "toks")
-      .select(
-        split(col("ord"), "\\|").getItem(1).cast("long").as("doc_id"),
-        col("toks"),
-        (col("running_sum") + tapeOffset - col("toks")).as("tape_start"),
-        (col("running_sum") + tapeOffset).as("tape_end"))
+    spansOnTape(
+      EventTime.globalRunningSum(base, "ord", "toks")
+        .select(
+          split(col("ord"), "\\|").getItem(1).cast("long").as("doc_id"),
+          (col("running_sum") + tapeOffset - col("toks")).as("tape_start"),
+          (col("running_sum") + tapeOffset).as("tape_end")),
+      seqLen)
+  }
+
+  /** The row-local span arithmetic of [[packSequences]]: a doc occupying
+    * tape interval [tape_start, tape_end) becomes one manifest row per
+    * `seqLen`-sized sequence it touches. Pure function of the interval —
+    * shared by the builder and [[retractFromPack]] so the two can never
+    * drift.
+    */
+  private def spansOnTape(docs: DataFrame, seqLen: Long): DataFrame =
+    docs
       .select(col("doc_id"), col("tape_start"), col("tape_end"),
         explode(sequence(expr(s"tape_start div ${seqLen}L"),
           expr(s"(tape_end - 1) div ${seqLen}L"))).as("seq_id"))
@@ -539,6 +550,73 @@ object Curation {
         (least(col("tape_end"), (col("seq_id") + 1) * seqLen) -
           greatest(col("tape_start"), col("seq_id") * seqLen))
           .as("tokens_in_seq"))
+
+  /** RETRACTION for the packed training tape — the last persisted surface
+    * that was maintenance-one-way (round-9 verdict #2): a takedown doc's
+    * tokens sat inside packed sequences with no remedy short of a full
+    * repack, and the tape is the artifact that actually feeds training.
+    *
+    * Packing is a prefix sum over the md5 tape order, and deleting docs
+    * does not reorder the survivors — it only shifts every later doc LEFT
+    * by the deleted token mass before it. So the repack is incremental in
+    * the takedown:
+    *
+    *   1. per-doc tape intervals are recovered FROM the manifest itself
+    *      (toks = Σ tokens_in_seq; tape_start = min over the doc's rows of
+    *      seq_id·seqLen + offset_in_seq — exact, because the first span's
+    *      offset is the start and later spans only grow that expression);
+    *   2. docs starting before the FIRST deleted doc's tape position keep
+    *      their manifest rows verbatim (their intervals are untouched by
+    *      construction);
+    *   3. each later surviving doc shifts left by the deleted token mass
+    *      strictly before it (a broadcast non-equi join against the
+    *      takedown set — O(|suffix| × |takedown|) map-side comparisons,
+    *      no shuffle of the corpus), and its spans are recut by the same
+    *      [[spansOnTape]] arithmetic the builder uses.
+    *
+    * Result == `packSequences` over (corpus ∖ deleted), bit for bit (the
+    * q260 hash proof; `GraftProperties` fuzzes it), with work ∝ the
+    * affected suffix + |takedown|, never the full tape. Deleting ids
+    * absent from the manifest retracts nothing (idempotent).
+    *
+    * Scale shape: one groupBy(doc_id) over the manifest (the only
+    * shuffle), the O(|takedown|) interval table broadcast twice (the
+    * scalar `min` and the shift join), then row-local span math. At
+    * 100 TB the manifest groupBy partial-aggregates (a doc's rows are
+    * few), and the untouched-prefix rows pass through as a filter —
+    * a plan that reads the manifest twice but never re-reads the corpus.
+    */
+  def retractFromPack(manifest: DataFrame, deletedIds: DataFrame,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val docs = manifest.groupBy(col("doc_id"))
+      .agg(sum(col("tokens_in_seq")).as("toks"),
+        min(col("seq_id") * seqLen + col("offset_in_seq")).as("tape_start"))
+    val del = broadcast(docs.join(
+      deletedIds.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("tape_start").as("del_start"), col("toks").as("del_toks")))
+    // the first deleted tape position splits prefix (verbatim) from
+    // suffix (shifted); an empty takedown leaves firstDel at +inf and the
+    // whole manifest in the prefix
+    val firstDel = del.agg(coalesce(min(col("del_start")),
+      lit(Long.MaxValue)).as("first_del"))
+    val kept = docs.join(deletedIds.select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val prefixDocs = kept.crossJoin(broadcast(firstDel))
+      .filter(col("tape_start") < col("first_del"))
+      .select(col("doc_id"))
+    val untouched = manifest.join(prefixDocs, Seq("doc_id"), "left_semi")
+      .select(col("seq_id"), col("doc_id"), col("offset_in_seq"),
+        col("tokens_in_seq"))
+    val shifted = kept.crossJoin(broadcast(firstDel))
+      .filter(col("tape_start") >= col("first_del"))
+      .join(del, col("del_start") < col("tape_start"), "left")
+      .groupBy(col("doc_id"), col("toks"), col("tape_start"))
+      .agg(coalesce(sum(col("del_toks")), lit(0L)).as("shift"))
+      .select(col("doc_id"),
+        (col("tape_start") - col("shift")).as("tape_start"),
+        (col("tape_start") - col("shift") + col("toks")).as("tape_end"))
+    untouched.unionByName(spansOnTape(shifted, seqLen))
   }
 
   /** Execute a [[largestRemainderQuota]] apportionment: per group, the

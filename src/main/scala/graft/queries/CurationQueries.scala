@@ -263,6 +263,24 @@ object CurationQueries {
     // the oracle's FULL two-segment rebuild, proving packing is O(|delta|)
     // under append-at-end ordering (the q112/q135/q142 incremental
     // pattern applied to the training-batch layout).
+    // RETRACTION for the packed tape — the q208 manifest minus a takedown
+    // set (doc_id % 10 == 3), maintained incrementally: per-doc tape
+    // intervals recovered from the manifest itself, the prefix before the
+    // first deleted position passes through VERBATIM, and only the
+    // affected suffix is shifted left and recut. Oracle = the full repack
+    // over (corpus ∖ deleted): the hash match proves confined repack ==
+    // rebuild, closing the last one-way persisted surface (takedown now
+    // reaches the artifact that actually feeds training).
+    "q260_pack_retract" -> ((s, d) => {
+      val manifest = Curation.packSequences(
+        Tables.documents(s, d)
+          .withColumn("n_tok", size(Dedup.tokens(col("text"))).cast("long")),
+        "doc_id", col("n_tok"), seqLen = 2048L, salt = "ep1")
+      Curation.retractFromPack(manifest,
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 3)
+          .select(col("doc_id")), seqLen = 2048L)
+    }),
+
     "q211_pack_delta" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .withColumn("n_tok", size(Dedup.tokens(col("text"))).cast("long"))
@@ -753,6 +771,37 @@ object CurationQueries {
         |SELECT r.grp AS "group", r.doc_id, r.rnk, q.quota
         |FROM ranked r JOIN q ON r.grp = q.grp
         |WHERE r.rnk <= q.quota""".stripMargin,
+
+    // The FULL REPACK over (corpus ∖ deleted): survivors keep their md5
+    // tape order and close ranks; the suffix-confined Spark retraction
+    // hash-matching this proves confined repack == rebuild.
+    "q260_pack_retract" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(trim(text),
+        |              '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, n_tok,
+        |         md5('ep1|' || doc_id) || '|' || doc_id AS ord
+        |  FROM t WHERE n_tok > 0 AND doc_id % 10 <> 3
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |         CAST(sum(n_tok) OVER (ORDER BY ord
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS run
+        |  FROM o
+        |), s AS (
+        |  SELECT doc_id, run - n_tok AS ts, run AS te FROM c
+        |)
+        |SELECT u.seq AS seq_id, s.doc_id,
+        |       CAST(greatest(s.ts - u.seq * 2048, 0) AS BIGINT)
+        |         AS offset_in_seq,
+        |       CAST(least(s.te, (u.seq + 1) * 2048)
+        |            - greatest(s.ts, u.seq * 2048) AS BIGINT)
+        |         AS tokens_in_seq
+        |FROM s, UNNEST(generate_series(s.ts // 2048, (s.te - 1) // 2048))
+        |     u(seq)""".stripMargin,
 
     // The FULL REBUILD with the append-at-end two-segment order (old
     // docs' md5 order, then the new batch's): the delta-built Spark

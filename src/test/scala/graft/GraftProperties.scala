@@ -689,6 +689,29 @@ object GraftProperties extends Properties("graft") {
       surface(roundTrip) == surface(idx) && surface(absent) == surface(idx)
     }
 
+  property("retractFromPack == full repack over the remaining corpus, " +
+      "absent ids retract nothing") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 30L), Gen.choose(0L, 20L))),
+      Gen.listOf(Gen.choose(1L, 30L))) { (corpusRaw, delRaw) =>
+      import graft.operators.Curation
+      val s = sq; import s.implicits._
+      val corpus = corpusRaw.distinctBy(_._1).toDF("doc_id", "n_tok")
+      // 990 is never in the corpus — retracting it must change nothing
+      val del = (delRaw :+ 990L).distinct.toDF("doc_id")
+      // seqLen 7 so docs straddle sequence boundaries constantly
+      val manifest = Curation.packSequences(corpus, "doc_id",
+        col("n_tok"), 7L, "p")
+      def surface(df: org.apache.spark.sql.DataFrame) =
+        df.select("seq_id", "doc_id", "offset_in_seq", "tokens_in_seq")
+          .as[(Long, Long, Long, Long)].collect().toSet
+      val got = surface(Curation.retractFromPack(manifest, del, 7L))
+      val want = surface(Curation.packSequences(
+        corpus.join(del, Seq("doc_id"), "left_anti"), "doc_id",
+        col("n_tok"), 7L, "p"))
+      got == want
+    }
+
   property("pq index: retract . append == identity, retracting absent ids " +
       "is a no-op, codebook frozen throughout") =
     forAll(
