@@ -561,10 +561,40 @@ object Similarity {
     * failure mode of the UNGUARDED swap measured alongside it.
     *
     * Scale shape: candidate verification shuffles on pair ids; the exact
-    * confirm is one shortlist × corpus join (broadcast the shortlist when
-    * small; at 100 TB bound the scan per shortlisted point by its IVF
-    * probe cells); CC runs on core-core edges only.
+    * confirm is a CELL-CONFINED equi-join on the block grid's id-hash key
+    * (shortlist replicated across the B corpus cells — never a cartesian
+    * operator; |shortlist|·|cell| work per cell), so its cost collapses
+    * with the shortlist: the intended operating point is high similarity
+    * (q261, sim ≥ 0.9 — boilerplate/near-identical families), where the
+    * candidate degrees prune all but ~the duplicate mass and the confirm
+    * is marginal (prune rate measured in SimilaritySpec, SCALE.md). At
+    * the permissive q250 point (ε = 0.35) the shortlist approaches the
+    * corpus and the exact grid is the cheaper tool — measured, not
+    * assumed. CC runs on core-core edges only.
     */
+  /** The guarded confirm's exact ε-neighborhood stage, cell-confined:
+    * anchors (sid) × corpus (oid) as an EQUI-JOIN on the block grid's
+    * id-hash key — the anchor side replicates one row per corpus block,
+    * every (anchor, corpus) pair meets exactly once (in the corpus
+    * point's cell), and no cartesian/nested-loop operator ever plans
+    * (PlanSpec pins it). Emits (sid, oid) for pairs at cosine ≥ eps.
+    * Package-private so the plan pin can inspect this stage directly
+    * (inside [[densityClustersGuarded]] it sits behind a checkpoint).
+    */
+  private[graft] def cellConfinedNeighbors(anchors: DataFrame, v: DataFrame,
+      eps: Double, nBlocks: Int = 32): DataFrame =
+    anchors.select(col("vec_id").as("sid"), col("vec").as("svec"),
+        col("nrm").as("snrm"))
+      .withColumn("blk", explode(sequence(lit(0), lit(nBlocks - 1))))
+      .join(v.select(col("vec_id").as("oid"), col("vec").as("ovec"),
+        col("nrm").as("onrm"),
+        pmod(col("vec_id"), lit(nBlocks)).cast("int").as("blk")),
+        Seq("blk"))
+      .filter(col("sid") =!= col("oid") &&
+        round(cosineWithNorms(col("svec"), col("ovec"), col("snrm"),
+          col("onrm")), 6) >= eps)
+      .select(col("sid"), col("oid"))
+
   def densityClustersGuarded(corpus: DataFrame, candPairs: DataFrame,
       eps: Double, minPts: Int, confirmSlack: Int = 1): DataFrame = {
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
@@ -587,15 +617,20 @@ object Similarity {
     val shortlist = v.join(cdeg, Seq("vec_id"), "left")
       .filter(coalesce(col("_cd"), lit(0L)) + 1 >= minPts - confirmSlack)
       .select(col("vec_id"), col("vec"), col("nrm"))
-    // EXACT ε-neighborhood of every shortlisted point, over the full corpus
-    val nbr = shortlist.select(col("vec_id").as("sid"), col("vec").as("svec"),
-        col("nrm").as("snrm"))
-      .crossJoin(v.select(col("vec_id").as("oid"), col("vec").as("ovec"),
-        col("nrm").as("onrm")))
-      .filter(col("sid") =!= col("oid") &&
-        round(cosineWithNorms(col("svec"), col("ovec"), col("snrm"),
-          col("onrm")), 6) >= eps)
-      .select(col("sid"), col("oid")).ckpt()
+    // EXACT ε-neighborhood of every shortlisted point, CELL-CONFINED to
+    // the block grid (the q30/q53 geometry, round-10 fix): the corpus is
+    // keyed by its id-hash block, the shortlist replicates one row per
+    // block, and the confirm runs as a plain equi-join on blk — every
+    // (shortlisted, corpus) pair still meets exactly once (in the corpus
+    // point's cell), so the result is bit-identical to the old full
+    // crossJoin, but the plan is a hash join over B independent cells of
+    // O(|shortlist| · |cell|) work each (PlanSpec pins the cartesian
+    // away). Comparisons total |shortlist| · n either way — the guard's
+    // exactness demands that — but they now distribute and the cartesian
+    // operator is gone; at a high-τ operating point (q261) the shortlist
+    // itself collapses and the whole stage is marginal, the measured
+    // payoff regime documented in SCALE.md.
+    val nbr = cellConfinedNeighbors(shortlist, v, eps).ckpt()
     val core = shortlist.select(col("vec_id"))
       .join(nbr.groupBy(col("sid").as("vec_id")).agg(count(lit(1)).as("_nb")),
         Seq("vec_id"), "left")

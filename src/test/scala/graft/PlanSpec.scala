@@ -309,6 +309,28 @@ class PlanSpec extends SparkSpec {
       s"retraction added an index-body shuffle join:\n$p")
   }
 
+  test("q250/q261 guarded confirm: the exact neighborhood stage is a " +
+      "cell-confined EQUI-join on the block key — the cartesian is gone") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    // the confirm sits behind a checkpoint inside densityClustersGuarded,
+    // so the pin inspects the stage directly (worst case: every corpus
+    // point shortlisted — exactly the ε=0.35 regime the round-9 verdict
+    // flagged)
+    val c = Similarity.prepared(Tables.embeddings(spark, dir), "embedding")
+      .select(col("vec_id"), col("vec"), col("nrm"))
+    val p = Similarity.cellConfinedNeighbors(c, c, 0.35)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"guarded confirm planned a product join:\n$p")
+    assert(p.contains("Generate") && p.contains("explode"),
+      s"block replication (explode over cells) missing:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"confirm is not an equi-join on the block key:\n$p")
+  }
+
   test("q252 MAP: the running-hit-count window rides the hit ranks; the " +
       "only nested-loop products are 1-row stats broadcasts") {
     val p = plan("q252_map")

