@@ -36,7 +36,16 @@ import org.apache.spark.sql.SparkSession
   * from a cold cache and pays only its OWN caching cost.
   */
 object Bench {
+
+  /** 1/5/15-minute load averages, empty off-Linux. */
+  private def loadavg(): String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .trim.split(" ").take(3).mkString(",")
+    catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
+    val loadBefore = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
@@ -112,8 +121,22 @@ object Bench {
       case (k, (_, med, _)) if med > 0 && prev.getOrElse(k, -1.0) > 0 =>
         (k, prev(k), med, med / prev(k))
     }.sortBy(-_._4)
+    // LOAD-GUARDED regression adjudication (round-9 verdict: all 29
+    // flagged regressions that round were sandbox contention, and the
+    // artifact couldn't tell): every >1.5x query is RE-RUN once,
+    // serially, after the main passes. A regression that vanishes on the
+    // quiet re-run (recheck within 1.5x of the previous round) is
+    // labeled "contended", not "regression" — the committed artifact
+    // adjudicates itself instead of sending a reader chasing phantoms.
     val regressions = ratios.filter(_._4 > 1.5).map { case (k, p, c, r) =>
-      "\"" + k + f"""\":{"prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.2f}"""
+      spark.catalog.clearCache()
+      val recheck = runOnce(k)
+      val status =
+        if (recheck >= 0 && recheck <= p * 1.5) "contended" else "regression"
+      System.err.println(f"[bench]   recheck $k%-28s $p%8.3f -> $c%8.3f " +
+        f"recheck $recheck%8.3f  => $status")
+      "\"" + k + f"""\":{"prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.2f,""" +
+        f""""recheck":$recheck%.3f,"status":"$status"}"""
     }.mkString("{", ",", "}")
     if (ratios.nonEmpty) {
       System.err.println(f"[bench] vs ${prevPath.toString} (${ratios.size} " +
@@ -124,7 +147,14 @@ object Bench {
       }
     }
 
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"regressions":$regressions,"runs":$runs,"sf":"${esc(sfDir)}"}"""
+    // system-load context so a contended artifact is recognizable at a
+    // glance (1/5/15-min /proc/loadavg before and after, plus the JVM's
+    // processor count) — "load" sits AFTER "queries" so the flat-format
+    // prev parser above stays valid
+    val loadCtx = s""""load":{"before":"${esc(loadBefore)}","after":"${
+      esc(loadavg())}","cpus":${Runtime.getRuntime.availableProcessors}}"""
+
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"regressions":$regressions,$loadCtx,"runs":$runs,"sf":"${esc(sfDir)}"}"""
     // archive FIRST (the driver truncates stdout; the file is the record)
     java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
     println(json)
