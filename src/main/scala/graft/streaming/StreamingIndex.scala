@@ -77,13 +77,17 @@ object StreamingIndex {
     * `name` and per id (retracting an absent or doubly-tombstoned id
     * subtracts nothing).
     *
-    * CONTRACT: a tombstone is terminal for its id in this index
-    * generation — it suppresses the id in EVERY segment, including ones
-    * folded later, so re-ingesting a tombstoned doc requires a
-    * [[compact]] first (which materializes the deletion and clears the
-    * markers). The maintenance stream's disjoint-ids contract already
-    * forbids blind re-folds; this makes the delete/re-ingest ordering
-    * explicit rather than order-dependent.
+    * CONTRACT (ordered LSM, round 10): ops apply in name order — "base"
+    * pinned first, then lexicographic; at equal names the tombstone
+    * applies BEFORE the same-named segment ([[LsmOps]]). A tombstone
+    * therefore suppresses its ids in every EARLIER segment and leaves
+    * later folds alone — the standard LSM sequence rule, which is what
+    * makes the one-batch [[upsertBatch]] (tombstone + re-fold under one
+    * name) well-defined without an intervening [[compact]]. Callers in
+    * mixed delete/fold workloads must use names that sort in arrival
+    * order (zero-pad streaming batch names past 10 batches, or compact
+    * between — additive folds commute, so ordering only matters relative
+    * to tombstones).
     */
   def tombstoneDocs(spark: SparkSession, dir: String, docIds: DataFrame,
       name: String): Unit = {
@@ -120,21 +124,60 @@ object StreamingIndex {
       excluding: Option[String] = None): RetrievalIndex = {
     val deltas = committedDeltas(dir).filterNot(excluding.contains)
     require(deltas.nonEmpty, s"no committed segments under $dir — run init()")
-    def read(table: String) =
-      spark.read.parquet(deltas.map(n => s"$dir/$table/d=$n"): _*)
-    val merged = RetrievalIndex(
-      read("postings").select(col("term_bucket"), col("term"),
+    def read(table: String, names: Seq[String]) =
+      spark.read.parquet(names.map(n => s"$dir/$table/d=$n"): _*)
+    // segments of one run merge additively; each tombstone run then
+    // retracts via the exact algebra — ops in LSM name order (LsmOps),
+    // so the common all-tombstones-last history is one merge + one
+    // retract, and an upsert's re-fold lands AFTER its own tombstone
+    def mergeRun(names: Seq[String]): RetrievalIndex = RetrievalIndex(
+      read("postings", names).select(col("term_bucket"), col("term"),
         col("doc_id"), col("tf"), col("positions")),
-      read("terms").groupBy(col("term")).agg(sum(col("df")).as("df")),
-      read("docs").select(col("doc_id"), col("dl")),
-      read("stats").agg(sum(col("s_total")).as("s_total"),
+      read("terms", names).groupBy(col("term")).agg(sum(col("df")).as("df")),
+      read("docs", names).select(col("doc_id"), col("dl")),
+      read("stats", names).agg(sum(col("s_total")).as("s_total"),
         sum(col("n_docs")).as("n_docs")))
-    // committed tombstones apply on read via the exact retraction algebra
-    val tombs = committedTombstones(dir)
-    if (tombs.isEmpty) merged
-    else Retrieval.retractDocs(merged,
-      spark.read.parquet(tombs.map(n => s"$dir/tombstones/d=$n"): _*),
-      "doc_id")
+    def addRun(ix: RetrievalIndex, names: Seq[String]): RetrievalIndex =
+      RetrievalIndex(
+        ix.postings.unionByName(read("postings", names)
+          .select(col("term_bucket"), col("term"), col("doc_id"),
+            col("tf"), col("positions"))),
+        ix.terms.unionByName(read("terms", names)
+            .select(col("term"), col("df")))
+          .groupBy(col("term")).agg(sum(col("df")).as("df")),
+        ix.docs.unionByName(read("docs", names)
+          .select(col("doc_id"), col("dl"))),
+        ix.stats.unionByName(read("stats", names)
+            .select(col("s_total"), col("n_docs")))
+          .agg(sum(col("s_total")).as("s_total"),
+            sum(col("n_docs")).as("n_docs")))
+    LsmOps.runs(deltas, committedTombstones(dir))
+      .foldLeft(Option.empty[RetrievalIndex]) { (acc, run) =>
+        val names = run.map(_.name)
+        if (!run.head.tomb)
+          Some(acc.map(addRun(_, names)).getOrElse(mergeRun(names)))
+        else acc.map(ix => // tombstones before any segment: nothing yet
+          Retrieval.retractDocs(ix,
+            spark.read.parquet(names.map(n => s"$dir/tombstones/d=$n"): _*),
+            "doc_id"))
+      }.get // deltas nonEmpty ⇒ defined
+  }
+
+  /** RE-INGEST (upsert) through the LSM path, ONE batch — the
+    * [[StreamingIvf.upsertBatch]] contract on the lexical index: the
+    * batch's doc ids tombstone out (suppressing every earlier posting,
+    * df contribution, doc length, and stats share through the exact
+    * retraction algebra) and the re-tokenized docs fold in under the
+    * SAME name, which sorts after its own tombstone. View == rebuild
+    * over (corpus ∖ batch-ids) ∪ batch. Marker-last twice: killed
+    * between the commits the view serves the retraction only (valid
+    * intermediate); a replay overwrites both deterministically.
+    * Idempotent per `name` and per id.
+    */
+  def upsertBatch(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, tokCol: String, name: String): Unit = {
+    tombstoneDocs(spark, dir, batch.select(col(idCol).as("doc_id")), name)
+    foldBatch(spark, dir, batch, idCol, tokCol, name)
   }
 
   /** Fold one tokenized document batch as segment `name` — O(|batch|)

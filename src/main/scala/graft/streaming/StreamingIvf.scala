@@ -79,9 +79,18 @@ object StreamingIvf {
     * segment, [[loadIndex]] applies them on read through
     * [[Similarity.retractFromIvfIndex]] (a broadcast anti-join — plain
     * rows, nothing else to repair), [[compact]] materializes the deletion
-    * and clears the markers. Marker-last, idempotent; a tombstone is
-    * terminal for its id until a compact (see the StreamingIndex doc for
-    * the delete/re-ingest ordering rationale).
+    * and clears the markers. Marker-last, idempotent.
+    *
+    * ORDERED-LSM semantics (round 10): ops apply in name order ("base"
+    * pinned first; at equal names the tombstone applies BEFORE the
+    * same-named segment), so a tombstone suppresses its ids in every
+    * EARLIER segment and leaves later folds alone — the standard LSM
+    * sequence-number rule, and what makes the one-batch
+    * [[upsertBatch]] (tombstone + re-fold under one name) well-defined.
+    * Callers in mixed delete/fold workloads must use names that sort in
+    * arrival order (the streaming path's `b<batchId>` needs zero-padding
+    * past 10 batches, or a [[compact]] between — additive folds commute,
+    * so ordering only matters relative to tombstones).
     */
   def tombstoneVectors(spark: SparkSession, dir: String, vecIds: DataFrame,
       name: String): Unit = {
@@ -95,21 +104,32 @@ object StreamingIvf {
   /** The index as of the committed deltas (optionally excluding one —
     * the probe path excludes the in-flight batch's own name so replays
     * see the identical pre-batch state), with committed tombstones
-    * applied on read.
+    * applied on read in LSM name order (see [[tombstoneVectors]]):
+    * fold runs union in, tombstone runs anti-join out, each through the
+    * exact [[Similarity.retractFromIvfIndex]] algebra.
     */
   def loadIndex(spark: SparkSession, dir: String,
       excluding: Option[String] = None): IvfIndex = {
     val deltas = committedDeltas(dir).filterNot(excluding.contains)
     require(deltas.nonEmpty, s"no committed deltas under $dir — run init()")
-    val merged = IvfIndex(
-      spark.read.parquet(s"$dir/centroids")
-        .select(col("vec_id"), col("vec"), col("nrm")),
-      spark.read.parquet(deltas.map(n => s"$dir/assign/d=$n"): _*)
-        .select(col("vec_id"), col("vec"), col("nrm"), col("centroid_id")))
-    val tombs = committedTombstones(dir)
-    if (tombs.isEmpty) merged
-    else Similarity.retractFromIvfIndex(merged,
-      spark.read.parquet(tombs.map(n => s"$dir/tombstones/d=$n"): _*))
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("vec_id"), col("vec"), col("nrm"))
+    val assigns = LsmOps.runs(deltas, committedTombstones(dir))
+      .foldLeft(Option.empty[DataFrame]) { (acc, run) =>
+        if (!run.head.tomb) {
+          val segRows = spark.read
+            .parquet(run.map(o => s"$dir/assign/d=${o.name}"): _*)
+            .select(col("vec_id"), col("vec"), col("nrm"), col("centroid_id"))
+          Some(acc.map(_.unionByName(segRows)).getOrElse(segRows))
+        } else acc.map { a =>
+          // tombstones before any segment retract from nothing (acc None)
+          Similarity.retractFromIvfIndex(IvfIndex(cents, a),
+            spark.read.parquet(
+              run.map(o => s"$dir/tombstones/d=${o.name}"): _*))
+            .assignments
+        }
+      }
+    IvfIndex(cents, assigns.get) // deltas nonEmpty ⇒ defined
   }
 
   /** Fold one batch of prepared vectors (vec_id, vec, nrm) into the
@@ -125,6 +145,23 @@ object StreamingIvf {
       .select(col("vec_id"), col("vec"), col("nrm"), col("centroid_id"))
       .write.mode("overwrite").parquet(s"$dir/assign/d=$name")
     commit(dir, name)
+  }
+
+  /** RE-INGEST (upsert) through the LSM path, ONE batch: the batch's ids
+    * tombstone out (suppressing every earlier copy) and the new vectors
+    * fold in under the SAME name — the tombstone sorts before its
+    * same-named segment (see [[tombstoneVectors]]), so the maintained
+    * view equals the rebuild over (corpus ∖ batch-ids) ∪ batch, the
+    * q257 upsert algebra made streaming. Crash-safe in the established
+    * marker-last discipline: killed between the two commits, the view
+    * serves the retraction only (a valid intermediate); replaying the
+    * batch overwrites both segments deterministically and converges.
+    * Idempotent per `name` and per id.
+    */
+  def upsertBatch(spark: SparkSession, dir: String, batch: DataFrame,
+      name: String): Unit = {
+    tombstoneVectors(spark, dir, batch.select(col("vec_id")), name)
+    foldBatch(spark, dir, batch, name)
   }
 
   /** LSM COMPACTION for the inverted lists — [[StreamingIndex.compact]]'s

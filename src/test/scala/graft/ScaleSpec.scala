@@ -515,6 +515,38 @@ class ScaleSpec extends SparkSpec {
       "IVF compaction must clear tombstone markers")
     assert(assignSet(StreamingIvf.loadIndex(spark, cdir3)) == keptWant,
       "compacted tombstoned IVF index != rebuild")
+
+    // ---- LSM UPSERT (round 10): %10==6 re-ingests with reversed
+    // embeddings in ONE batch — tombstone + re-fold under one name
+    // ("u5" sorts after every committed op, and its tombstone applies
+    // before its own segment). View must equal the rebuild over
+    // ((corpus ∖ t0-takedown) ∖ upsert-ids) ∪ updated, with no compact
+    // in between — the ordered-LSM rule at work.
+    val updatedVecs = prep(raw.filter(col("vec_id") % 10 === 6)
+      .withColumn("embedding", reverse(col("embedding"))))
+    StreamingIvf.upsertBatch(spark, dir, updatedVecs, "u5")
+    val upsertWant = assignSet(Similarity.buildIvfIndex(
+      prep(raw.filter(col("vec_id") % 10 =!= 4)
+        .withColumn("embedding", when(col("vec_id") % 10 === 6,
+          reverse(col("embedding"))).otherwise(col("embedding")))), cents))
+    assert(assignSet(StreamingIvf.loadIndex(spark, dir)) == upsertWant,
+      "one-batch LSM upsert != rebuild over (corpus ∖ deleted) ∪ updated")
+    // idempotent under replay: re-applying the same upsert changes nothing
+    StreamingIvf.upsertBatch(spark, dir, updatedVecs, "u5")
+    assert(assignSet(StreamingIvf.loadIndex(spark, dir)) == upsertWant,
+      "upsert replay must be a no-op")
+    // kill MID-upsert (tombstone committed, fold not): the view serves
+    // the retraction-only intermediate; resuming the batch converges
+    val udir = Files.createTempDirectory("graft-sivf-upsert").toString
+    StreamingIvf.compact(spark, dir, udir) // fresh single-segment copy
+    StreamingIvf.tombstoneVectors(spark, udir,
+      updatedVecs.select("vec_id"), "u7")
+    assert(assignSet(StreamingIvf.loadIndex(spark, udir)) ==
+      upsertWant.filterNot(_._1 % 10 == 6),
+      "mid-upsert view must serve the retraction-only intermediate")
+    StreamingIvf.upsertBatch(spark, udir, updatedVecs, "u7")
+    assert(assignSet(StreamingIvf.loadIndex(spark, udir)) == upsertWant,
+      "resumed upsert did not converge to the rebuild")
   }
 
   // The round-8 streaming-retrieval capstone: the q213/q214 delta-
@@ -675,6 +707,31 @@ class ScaleSpec extends SparkSpec {
       "compaction must clear tombstone markers")
     assert(surface(StreamingIndex.loadIndex(spark, cdir2)) ==
       surface(rebuiltKept), "compacted tombstoned index != rebuild")
+
+    // ---- LSM UPSERT (round 10): %10==6 re-ingests with CHANGED tokens
+    // in ONE batch — tombstone + re-fold under one name, no compact in
+    // between (the ordered-LSM rule: the tombstone suppresses every
+    // earlier copy, its own same-named segment lands after). Postings,
+    // df, doc lengths, and the corpus stats must all equal the batch
+    // rebuild over (kept ∖ upsert-ids) ∪ updated.
+    val updated = all.filter(col("doc_id") % 10 === 6)
+      .withColumn("tok", concat(col("tok"), array(lit("upserted"))))
+    StreamingIndex.upsertBatch(spark, dir, updated, "doc_id", "tok", "u5")
+    val upWant = Retrieval.buildIndex(
+      kept.filter(col("doc_id") % 10 =!= 6).unionByName(updated),
+      "doc_id", "tok")
+    assert(surface(StreamingIndex.loadIndex(spark, dir)) == surface(upWant),
+      "one-batch LSM upsert != rebuild over (kept ∖ upserted) ∪ updated")
+    val qtUp = Retrieval.topTermsFromIndex(upWant, 8)
+    def upScores(ix: Retrieval.RetrievalIndex) =
+      Retrieval.bm25FromIndex(ix, qtUp, k = 10)
+        .as[(String, Long, Long, Double)].collect().toSet
+    assert(upScores(StreamingIndex.loadIndex(spark, dir)) == upScores(upWant),
+      "upserted BM25 != rebuild (df/dl/stats maintenance broke)")
+    // idempotent under replay: the same upsert re-applied changes nothing
+    StreamingIndex.upsertBatch(spark, dir, updated, "doc_id", "tok", "u5")
+    assert(surface(StreamingIndex.loadIndex(spark, dir)) == surface(upWant),
+      "upsert replay changed the view")
   }
 
   // Streaming CUSUM: the q225 recurrence as live keyed state — killed
