@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.IngestOps
-import graft.queries.{AnalyticsQueries, CoreQueries, CurationQueries, DedupQueries, EvalQueries, GovernanceQueries, SimilarityQueries, MultimodalQueries, TextQueries, WarehouseQueries, WindowQueries}
+import graft.queries.{AnalyticsQueries, CapstoneQueries, CoreQueries, CurationQueries, DedupQueries, EvalQueries, GovernanceQueries, SimilarityQueries, MultimodalQueries, TextQueries, WarehouseQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,8 +25,8 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ AnalyticsQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++ SimilarityQueries.extraQueries ++ TextQueries.queries ++ TextQueries.extraQueries ++ WindowQueries.queries ++ MultimodalQueries.queries ++ CurationQueries.queries ++ WarehouseQueries.queries ++ EvalQueries.queries ++ GovernanceQueries.queries
+    CoreQueries.queries ++ AnalyticsQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++ SimilarityQueries.extraQueries ++ TextQueries.queries ++ TextQueries.extraQueries ++ WindowQueries.queries ++ MultimodalQueries.queries ++ CurationQueries.queries ++ WarehouseQueries.queries ++ EvalQueries.queries ++ GovernanceQueries.queries ++ CapstoneQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ AnalyticsQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++ TextQueries.oracles ++ WindowQueries.oracles ++ MultimodalQueries.oracles ++ CurationQueries.oracles ++ WarehouseQueries.oracles ++ EvalQueries.oracles ++ GovernanceQueries.oracles
+    CoreQueries.oracles ++ AnalyticsQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++ TextQueries.oracles ++ WindowQueries.oracles ++ MultimodalQueries.oracles ++ CurationQueries.oracles ++ WarehouseQueries.oracles ++ EvalQueries.oracles ++ GovernanceQueries.oracles ++ CapstoneQueries.oracles
 }

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Quality, Relational}
+import graft.sources.Tables
+
+/** END-TO-END TAKEDOWN CAPSTONE (q262) — the GDPR story as one proof.
+  *
+  * One takedown set (ids ≡ 3 mod 10, the convention every per-surface
+  * retraction proof q246–q249/q255/q260 already uses) flows through EVERY
+  * persisted surface of the engine, and every serve path is then read
+  * from the MAINTAINED (retracted) state:
+  *
+  *   - the inverted index's postings surface (q246 chain),
+  *   - BM25 served from the maintained df/dl/stats tables (q247 chain),
+  *   - IVF ANN top-k from the retracted inverted lists (q248 chain),
+  *   - near-dup candidate pairs over retracted signatures (q249 chain),
+  *   - connected-component labels after confined recompute (q255 chain),
+  *   - the packed training tape after suffix repack (q260 chain),
+  *   - Merkle bucket checksums advanced by the deletion delta (q141's
+  *     algebra on the documents table).
+  *
+  * Each serve output reduces to ONE row: (surface, n_rows, fold,
+  * deleted_refs) where `fold` is the order-independent BIGINT sum of a
+  * 40-bit md5 prefix over the surface's canonical row string (the q136
+  * checksum recipe applied to query RESULTS — 40 bits × ≤10⁵ rows stays
+  * far from 2⁶³), and `deleted_refs` counts rows whose id-typed columns
+  * reference a takedown id. The DuckDB oracle computes the SAME reduction
+  * over the REBUILT-from-scratch serves (each per-surface oracle reused
+  * verbatim as a subquery — the capstone cannot drift from the
+  * per-surface proofs). Hash match ⇒ every serve over maintained state ==
+  * the serve over (corpus ∖ deleted) rebuilt state, AND deleted_refs == 0
+  * on both sides ⇒ the takedown ids are unfindable through every path.
+  */
+object CapstoneQueries {
+
+  /** The per-surface maintained-state serves, by query name — reusing the
+    * exact lambdas the per-surface proofs run, so the capstone and the
+    * individual proofs cannot diverge.
+    */
+  private def maintained(name: String): (SparkSession, String) => DataFrame =
+    (TextQueries.extraQueries ++ DedupQueries.queries ++
+      SimilarityQueries.extraQueries ++ CurationQueries.queries)(name)
+
+  private def perSurfaceOracle(name: String): String =
+    (TextQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles ++ CurationQueries.oracles)(name)
+
+  /** One surface folded to one row. `refCols` are the id-typed columns
+    * checked against the takedown set (empty ⇒ deleted_refs 0 by
+    * construction, e.g. the aggregated postings surface).
+    */
+  private def fold(df: DataFrame, surface: String, rowStr: Column,
+      refCols: Seq[Column]): DataFrame = {
+    val refHit =
+      if (refCols.isEmpty) lit(false)
+      else refCols.map(c => c % 10 === 3).reduce(_ || _)
+    df.agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(conv(substring(md5(rowStr), 1, 10), 16, 10)
+          .cast("long")), lit(0L)).as("fold"),
+        coalesce(sum(when(refHit, 1L).otherwise(0L)), lit(0L))
+          .as("deleted_refs"))
+      .select(lit(surface).as("surface"), col("n_rows"), col("fold"),
+        col("deleted_refs"))
+  }
+
+  /** DuckDB mirror of [[fold]], wrapping a per-surface oracle verbatim. */
+  private def foldSql(surface: String, sql: String, rowExpr: String,
+      refExpr: String): String =
+    s"""SELECT '$surface' AS surface, CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(coalesce(sum(('0x' || substr(md5($rowExpr), 1, 10))::BIGINT),
+       |         0) AS BIGINT) AS fold,
+       |       CAST(coalesce(sum(CASE WHEN $refExpr THEN 1 ELSE 0 END), 0)
+       |         AS BIGINT) AS deleted_refs
+       |FROM (
+       |$sql
+       |) t""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_takedown_capstone" -> ((s, d) => {
+      // surfaces 1-6: the maintained-state serves of the per-surface
+      // retraction proofs, reduced to canonical-row folds
+      val postings = fold(maintained("q246_index_retract")(s, d), "postings",
+        concat_ws("|", col("token"), col("doc_freq"), col("n_postings"),
+          col("postings")), Seq.empty)
+      val bm25 = fold(maintained("q247_bm25_after_retract")(s, d), "bm25",
+        concat_ws("|", col("term"), col("doc_id"), col("rank"),
+          round(col("score") * 1e6).cast("long")), Seq(col("doc_id")))
+      val ivf = fold(maintained("q248_ivf_retract")(s, d), "ivf",
+        concat_ws("|", col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim") * 1e6).cast("long")), Seq(col("neighbor_id")))
+      val dedup = fold(maintained("q249_dedup_retract")(s, d), "dedup",
+        concat_ws("|", col("doc_a"), col("doc_b"),
+          round(col("jac") * 1e6).cast("long")),
+        Seq(col("doc_a"), col("doc_b")))
+      val cc = fold(maintained("q255_cc_retract")(s, d), "cc",
+        concat_ws("|", col("vec_id"), col("cluster_id"),
+          col("is_canonical").cast("string")),
+        Seq(col("vec_id"), col("cluster_id")))
+      val tape = fold(maintained("q260_pack_retract")(s, d), "tape",
+        concat_ws("|", col("seq_id"), col("doc_id"), col("offset_in_seq"),
+          col("tokens_in_seq")), Seq(col("doc_id")))
+      // surface 7: Merkle bucket checksums of the documents table,
+      // advanced by the deletion delta (q141's signed-digest algebra) —
+      // never rescanning the kept rows. Buckets fully emptied by the
+      // takedown drop out (the rebuild never emits them).
+      val docsC = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("source"), col("n_chars"))
+      val ckCols = Seq(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"))
+      val diff = Relational.snapshotDiff(docsC,
+        docsC.filter(col("doc_id") % 10 =!= 3), Seq("doc_id"),
+        Seq("lang", "source", "n_chars"))
+      val ck = fold(
+        Quality.applyChecksumDelta(
+            Quality.tableChecksum(docsC, "doc_id", ckCols, 64), diff,
+            "doc_id", Seq("lang", "source", "n_chars"), 64)
+          .filter(col("n_rows") > 0),
+        "checksum",
+        concat_ws("|", col("bucket"), col("n_rows"), col("checksum")),
+        Seq.empty)
+      Seq(postings, bm25, ivf, dedup, cc, tape, ck)
+        .reduce(_ unionByName _)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q262_takedown_capstone" -> Seq(
+      foldSql("postings", perSurfaceOracle("q246_index_retract"),
+        "t.token || '|' || t.doc_freq || '|' || t.n_postings || '|' || " +
+          "t.postings",
+        "FALSE"),
+      foldSql("bm25", perSurfaceOracle("q247_bm25_after_retract"),
+        "t.term || '|' || t.doc_id || '|' || t.rank || '|' || " +
+          "CAST(round(t.score * 1000000) AS BIGINT)",
+        "t.doc_id % 10 = 3"),
+      foldSql("ivf", perSurfaceOracle("q248_ivf_retract"),
+        "t.query_id || '|' || t.neighbor_id || '|' || t.rank || '|' || " +
+          "CAST(round(t.sim * 1000000) AS BIGINT)",
+        "t.neighbor_id % 10 = 3"),
+      foldSql("dedup", perSurfaceOracle("q249_dedup_retract"),
+        "t.doc_a || '|' || t.doc_b || '|' || " +
+          "CAST(round(t.jac * 1000000) AS BIGINT)",
+        "t.doc_a % 10 = 3 OR t.doc_b % 10 = 3"),
+      foldSql("cc", perSurfaceOracle("q255_cc_retract"),
+        "t.vec_id || '|' || t.cluster_id || '|' || " +
+          "CAST(t.is_canonical AS VARCHAR)",
+        "t.vec_id % 10 = 3 OR t.cluster_id % 10 = 3"),
+      foldSql("tape", perSurfaceOracle("q260_pack_retract"),
+        "t.seq_id || '|' || t.doc_id || '|' || t.offset_in_seq || '|' || " +
+          "t.tokens_in_seq",
+        "t.doc_id % 10 = 3"),
+      foldSql("checksum",
+        """WITH dk AS (
+          |  SELECT doc_id, lang, source, n_chars FROM documents
+          |  WHERE doc_id % 10 <> 3
+          |)
+          |SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          |         % 64 AS bucket,
+          |       CAST(count(*) AS BIGINT) AS n_rows,
+          |       CAST(sum(('0x' || substr(md5(
+          |         coalesce(CAST(doc_id AS VARCHAR), '') || '|' ||
+          |         coalesce(lang, '') || '|' ||
+          |         coalesce(source, '') || '|' ||
+          |         coalesce(CAST(n_chars AS VARCHAR), '')), 1, 8))
+          |         ::BIGINT) AS BIGINT) AS checksum
+          |FROM dk GROUP BY 1""".stripMargin,
+        "t.bucket || '|' || t.n_rows || '|' || t.checksum",
+        "FALSE")
+    ).mkString("\nUNION ALL\n"))
+}
