@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SCALE REHEARSAL (round-10 verdict #5): measure the sf0.1 → sf1 scaling
+  * exponent of the hot query family, converting the 100 TB *arguments*
+  * into a measured curve. No driver-generated sf1 exists, so the main
+  * SYNTHESIZES one — 10 replicas of sf0.1's `documents`/`embeddings`
+  * with structure-preserving separation, under `tmp/sf1` (gitignored):
+  *
+  *   - documents: replica r offsets doc_id by r·10⁷ and suffixes every
+  *     whitespace token with `_r<r>` (r=0 keeps the original text), so
+  *     each replica is its own disjoint sub-corpus with IDENTICAL
+  *     internal statistics (same per-term df, same shingle families,
+  *     same near-dup clusters) and zero cross-replica token overlap —
+  *     dedup/index workloads scale their TRUE structure ×10 instead of
+  *     quadratically inflating cross-replica duplicate families;
+  *   - embeddings: replica r applies an ORTHOGONAL transform — rotate
+  *     dimensions by 7r mod 64, then md5-derived per-(r, dim) sign flips
+  *     — so every within-replica cosine is EXACTLY preserved (the
+  *     cluster/density structure replicates verbatim) while
+  *     cross-replica cosines concentrate near 0 in 64 dims and stay
+  *     below every operating threshold.
+  *
+  * Timing: each hot query warms once at sf0.1, then takes the MIN of
+  * `SPARK_GRAFT_CURVE_RUNS` (default 2) at sf0.1 and 1 run at sf1 (min
+  * is the standard contention-robust statistic for scaling curves; the
+  * load context is recorded like Bench's). Prints one JSON line with
+  * per-query (t_sf01, t_sf1, exponent = log10(t1/t01)) and writes it to
+  * `BENCH_SF1.json`. Exponent ≈ 1 ⇒ the plan's work scales with the
+  * data; the deliberately-quadratic exact baselines (block grid) are
+  * expected near 2 and named as such in SCALE.md.
+  */
+object ScaleCurve {
+
+  /** The verdict's hot family: index build+serve, MinHash, CC, RRF,
+    * density (exact grid + both guarded operating points), AUC.
+    */
+  private val hot = Seq(
+    "q213_index_delta", "q214_bm25_from_index", "q23_minhash_sig",
+    "q52_dedup_clusters", "q153_rrf_hybrid", "q219_auc",
+    "q181_density_clusters", "q250_density_clusters_lsh",
+    "q261_density_high_sim")
+
+  private def md5SignFlips(r: Int, dims: Int): Array[Float] =
+    Array.tabulate(dims) { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sf1:$r:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0f else -1.0f
+    }
+
+  private def synthesize(spark: SparkSession, src: String, out: String,
+      replicas: Int): Unit = {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    (0 until replicas).map { r =>
+      val text =
+        if (r == 0) col("text")
+        else array_join(transform(split(col("text"), "\\s+"),
+          w => concat(w, lit(s"_r$r"))), " ")
+      docs.select((col("doc_id") + r.toLong * 10000000L).as("doc_id"),
+          text.as("text"), col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val dims = 64
+    (0 until replicas).map { r =>
+      val rot = (r * 7) % dims
+      val rotated =
+        if (rot == 0) col("embedding")
+        else concat(slice(col("embedding"), rot + 1, dims - rot),
+          slice(col("embedding"), 1, rot))
+      val signed =
+        if (r == 0) col("embedding")
+        else zip_with(rotated, lit(md5SignFlips(r, dims)),
+          (x, s) => (x * s).cast("float"))
+      emb.select((col("vec_id") + r.toLong * 10000000L).as("vec_id"),
+        signed.as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_SRC", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "tmp/sf1")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_CURVE_RUNS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val names = if (args.nonEmpty) hot.filter(args.contains) else hot
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/embeddings.parquet"))) {
+      System.err.println(s"[curve] synthesizing sf1 ($replicas x $src) -> $out")
+      synthesize(spark, src, out, replicas)
+    }
+    val nDocs = spark.read.parquet(s"$out/documents.parquet").count()
+    val nVecs = spark.read.parquet(s"$out/embeddings.parquet").count()
+    System.err.println(s"[curve] sf1: $nDocs docs, $nVecs vectors")
+
+    def runOnce(name: String, dir: String): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val rows = names.map { n =>
+      runOnce(n, src) // warmup (JIT/codegen) at the small scale
+      val t01 = (1 to runs).map(_ => runOnce(n, src)).min
+      val t1 = runOnce(n, out)
+      // t ∝ n^e  ⇒  e = log(t1/t01) / log(scale ratio)
+      val exp = math.log(t1 / t01) / math.log(replicas.toDouble)
+      System.err.println(
+        f"[curve] $n%-28s sf0.1 $t01%8.2fs  sf1 $t1%8.2fs  exponent $exp%5.2f")
+      (n, t01, t1, exp)
+    }
+    val qs = rows.map { case (n, a, b, e) =>
+      "\"" + n + f"""\":{"t_sf01":$a%.3f,"t_sf1":$b%.3f,"exponent":$e%.2f}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"scale_curve","replicas":$replicas,""" +
+      s""""n_docs":$nDocs,"n_vecs":$nVecs,"queries":$qs}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SF1.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}
