@@ -1557,6 +1557,49 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("sim"))
   }
 
+  /** IVF-PQ served ENTIRELY from persisted artifacts — the [[ivfPqTopK]]
+    * production composition with both tiers read from disk: the IVF
+    * index prunes WORK (probes hit nprobe inverted-list cells), the PQ
+    * index prunes MEMORY (cells scan code bytes via integer ADC), and
+    * the exact re-rank reads full vectors from the PQ codes table for
+    * the shortlist only. Because BOTH artifacts carry the q248/q258
+    * retraction algebra, a takedown applies to each independently and
+    * the composed serve stays exact over the maintained state — the
+    * complete FAISS-IVFPQ-shaped serve path with maintenance, zero
+    * in-session training (q263).
+    */
+  def ivfPqTopKFromIndexes(ivf: IvfIndex, pq: PqIndex, queries: DataFrame,
+      nprobe: Int, shortlist: Int, k: Int): DataFrame = {
+    val cb = collectCodebook(pq.codebook, pq.subspaces, pq.codewords)
+    val sub = cb.head.head.length
+    val lists = ivf.assignments
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
+      .join(pq.codes.select(col("vec_id").as("neighbor_id"), col("codes")),
+        Seq("neighbor_id"))
+    val probes = probeCentroids(queries, ivf.centroids, nprobe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+      .join(pqQueryTable(microUnit(queries), cb, sub)
+        .select(col("vec_id").as("query_id"), col("qtab")), Seq("query_id"))
+    val scored = broadcast(probes).join(lists, Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", adcExpr(pq.subspaces, pq.codewords))
+      .select(col("query_id"), col("neighbor_id"), col("adc"))
+    val sl = Relational.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("adc").asc, col("neighbor_id").asc), shortlist, "srank")
+      .select(col("query_id"), col("neighbor_id"))
+    val rr = sl
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("vec").as("qvec"), col("nrm").as("qnrm")), Seq("query_id"))
+      .join(pq.codes.select(col("vec_id").as("neighbor_id"),
+        col("vec").as("cvec"), col("nrm").as("cnrm")), Seq("neighbor_id"))
+      .withColumn("sim", round(
+        cosineWithNorms(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")), 6))
+    Relational.topKPerGroup(rr, Seq(col("query_id")),
+        Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("sim"))
+  }
+
   /** Codebook-health statistic — [[driftStats]]' q146 recipe on the PQ
     * artifact: per (subspace, codeword), the member count and the EXACT
     * BIGINT sum of members' squared quantization error (micro-unit² —

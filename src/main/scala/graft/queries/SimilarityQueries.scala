@@ -401,6 +401,35 @@ object SimilarityQueries {
           col("code").cast("long").as("code"),
           col("n_members"), col("sum_qerr"))),
 
+    // The COMPLETE production ANN serve from disk (q263): both index
+    // artifacts persisted (IVF inverted lists + PQ codebook/codes over
+    // the full corpus), loaded back, the takedown set (%10==3) retracted
+    // from EACH through its own q248/q258 algebra, and the FAISS-IVFPQ
+    // composition served with zero in-session training — probes prune
+    // cells, integer ADC scans the cells' code bytes, exact re-rank
+    // reads shortlist vectors from the codes table. Oracle = the same
+    // composition computed from scratch over (corpus ∖ deleted) with the
+    // full-corpus-trained codebook/centroids (never retrained by a
+    // takedown). Hash match ⇒ the two maintained artifacts compose
+    // exactly.
+    "q263_ivfpq_from_disk" -> ((s, d) => {
+      val c = corpus(s, d)
+      val cents = c.filter(col("vec_id") % 40 === 0)
+      val dirI = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_q263_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val dirP = s"${sys.props("java.io.tmpdir")}/graft_pq_index_q263_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Similarity.saveIvfIndex(Similarity.buildIvfIndex(c, cents), dirI)
+      Similarity.savePqIndex(Similarity.buildPqIndex(c, 16, 32, 64), dirP)
+      val del = c.filter(col("vec_id") % 10 === 3).select("vec_id")
+      val ivf = Similarity.retractFromIvfIndex(
+        Similarity.loadIvfIndex(s, dirI), del)
+      val pq = Similarity.retractFromPqIndex(
+        Similarity.loadPqIndex(s, dirP), del)
+      Similarity.ivfPqTopKFromIndexes(ivf, pq,
+        c.filter(col("vec_id") < 5), nprobe = 2, shortlist = 50, k = 10)
+    }),
+
     // q250's guarded DBSCAN at the HIGH-SIMILARITY operating point the
     // guard's economics are designed for (sim >= 0.9 — boilerplate /
     // near-identical families — on THIS synthetic corpus pair similarity
@@ -1620,6 +1649,60 @@ object SimilarityQueries {
          |             ORDER BY adc ASC, neighbor_id ASC) AS srank
          |    FROM adc) z
          |  WHERE srank <= 100
+         |), rr AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |         round(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm), 6) AS sim
+         |  FROM shortlist s JOIN n q ON s.query_id = q.vec_id
+         |                   JOIN n c ON s.neighbor_id = c.vec_id
+         |)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM rr) z
+         |WHERE rank <= 10""".stripMargin,
+
+    // q154's composition computed from scratch over (corpus ∖ deleted):
+    // the codebook (PqCte pivots) and centroids stay full-corpus-trained
+    // (a takedown never retrains frozen artifacts); only the inverted
+    // lists / codes shed the deleted ids. Queries keep the deleted ids
+    // (they may query, never return).
+    "q263_ivfpq_from_disk" ->
+      s"""$VCte, $PqCte, cents AS (
+         |  SELECT vec_id AS centroid_id, vec AS centvec, nrm AS centnrm
+         |  FROM n WHERE vec_id % 40 = 0
+         |), assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT n.vec_id, c.centroid_id,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.vec, c.centvec)
+         |               / (n.nrm * c.centnrm), 6) DESC, c.centroid_id ASC) AS crank
+         |    FROM n, cents c WHERE n.vec_id % 10 <> 3) t
+         |  WHERE crank = 1
+         |), probes AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT n.vec_id, c.centroid_id,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.vec, c.centvec)
+         |               / (n.nrm * c.centnrm), 6) DESC, c.centroid_id ASC) AS crank
+         |    FROM n, cents c WHERE n.vec_id < 5) t
+         |  WHERE crank <= 2
+         |), adc AS (
+         |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |         CAST(sum(qd.dist) AS BIGINT) AS adc
+         |  FROM probes p
+         |  JOIN assigned a ON a.centroid_id = p.centroid_id
+         |                 AND a.vec_id <> p.vec_id
+         |  JOIN enc e ON e.vec_id = a.vec_id
+         |  JOIN dist qd ON qd.vec_id = p.vec_id AND qd.m = e.m AND qd.c = e.code
+         |  GROUP BY 1, 2
+         |), shortlist AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY adc ASC, neighbor_id ASC) AS srank
+         |    FROM adc) z
+         |  WHERE srank <= 50
          |), rr AS (
          |  SELECT s.query_id, s.neighbor_id,
          |         round(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm), 6) AS sim
