@@ -1628,6 +1628,70 @@ object Similarity {
       .agg(count(lit(1)).as("n_members"), sum(col("qerr")).as("sum_qerr"))
   }
 
+  /** ACT on PQ codebook drift — the consumer [[pqDriftStats]]' statistic
+    * feeds (the q251 `reclusterDrifted` discipline on the quantizer):
+    * re-train ONLY the drifted subspaces' codewords, leave cold
+    * subspaces' codewords untouched.
+    *
+    *   1. a subspace is DRIFTED when its total quantization error
+    *      exceeds the floored per-subspace mean — `qerr_m > (Σ qerr)
+    *      div subspaces`, a pure BIGINT compare on [[pqDriftStats]]'
+    *      exact sums, so the drifted set is bit-identical at any
+    *      parallelism (O(subspaces) control data collected);
+    *   2. CANDIDATE codewords come from the SAME md5-pivot rule the
+    *      build uses ([[pqCodebook]]), ranked over the CURRENT corpus,
+    *      and a drifted subspace swaps to them ONLY IF the retrain
+    *      VALIDATES — its exact total error under the candidate
+    *      codewords (BIGINT sum of per-row argmin distances) is
+    *      strictly lower than under the old ones. Validate-before-swap
+    *      is what makes the action monotone: no subspace's error can
+    *      ever increase (the md5-pivot rule alone does not refine, so
+    *      an unvalidated swap could regress — measured, and pinned
+    *      in `SimilaritySpec`);
+    *   3. rows re-encode against the merged codebook (row-local native
+    *      kernel). Unswapped subspaces keep identical codewords, hence
+    *      identical codes — the full re-encode is bit-equal to a
+    *      swapped-columns-only rewrite; at 100 TB write only the
+    *      refreshed code columns (same economics as q251's
+    *      drifted-cells-only directory rewrite).
+    *
+    * ADC-error recovery on the swapped subspaces is measured, not
+    * argued, in `SimilaritySpec`.
+    */
+  def recodeDriftedSubspaces(index: PqIndex): PqIndex = {
+    val bySub = pqDriftStats(index)
+      .groupBy(col("m")).agg(sum(col("sum_qerr")).as("qerr_m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val threshold = bySub.values.sum / index.subspaces
+    val drifted = bySub.filter(_._2 > threshold).keySet
+    if (drifted.isEmpty) return index
+    val cbOld = collectCodebook(index.codebook, index.subspaces,
+      index.codewords)
+    val sub = cbOld.head.head.length
+    val corpusUq = microUnit(index.codes).cache()
+    val cbNew = pqCodebook(corpusUq, index.subspaces, index.codewords,
+      index.subspaces * sub)
+    // exact per-subspace error under the CANDIDATE codewords: each row's
+    // min distance-table entry, summed as BIGINT (O(subspaces) control
+    // rows collected — the q251 decision-statistic discipline)
+    val k = index.codewords
+    val errNew = pqQueryTable(corpusUq, cbNew, sub)
+      .select(explode(expr(
+        s"transform(sequence(0, ${index.subspaces - 1}), " +
+          s"m -> struct(m as m, array_min(slice(qtab, m * $k + 1, $k)) as e))"))
+        .as("s"))
+      .groupBy(col("s.m")).agg(sum(col("s.e")).as("err"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val swapped = drifted.filter(m => errNew(m) < bySub(m))
+    if (swapped.isEmpty) return index
+    val merged = Array.tabulate(index.subspaces)(m =>
+      if (swapped(m)) cbNew(m) else cbOld(m))
+    PqIndex(codebookRows(index.codes.sparkSession, merged),
+      pqEncode(corpusUq, merged, sub)
+        .select(col("vec_id"), col("vec"), col("nrm"), col("codes")),
+      index.subspaces, index.codewords)
+  }
+
   /** Deterministic ±1 sign for the Johnson–Lindenstrauss projection
     * matrix entry (input dim `i`, output dim `j`): parity of the first
     * 32 md5 bits of "i|j" — the same md5-derived-randomness convention

@@ -401,6 +401,32 @@ object SimilarityQueries {
           col("code").cast("long").as("code"),
           col("n_members"), col("sum_qerr"))),
 
+    // ACT on PQ codebook drift (q264) — q259's statistic gets its
+    // consumer, the q251 discipline on the quantizer: build on the old
+    // corpus (%10 != 7), delta-fold the new batch with REVERSED
+    // embeddings (frozen codebook ⇒ their quantization error spikes),
+    // flag subspaces whose exact BIGINT error sum exceeds the floored
+    // per-subspace mean, retrain ONLY those subspaces' codewords
+    // (md5-pivot rule over the current corpus) and swap each in ONLY IF
+    // the retrain VALIDATES (its exact error is strictly lower — the
+    // monotone validate-before-swap rule; an unvalidated md5-pivot swap
+    // can regress, measured in SimilaritySpec), then re-encode.
+    // Unswapped subspaces keep bit-identical codewords and codes.
+    // Oracle mirrors every stage — two pivot tables, the integer drift
+    // rule, the exact validation compare, the per-subspace code select.
+    "q264_pq_recode" -> ((s, d) => {
+      val c = corpus(s, d)
+      val old = c.filter(col("vec_id") % 10 =!= 7)
+      val fresh = c.filter(col("vec_id") % 10 === 7)
+        .withColumn("vec", reverse(col("vec")))
+      val driftedIdx = Similarity.applyPqDelta(
+        Similarity.buildPqIndex(old, 16, 32, 64), fresh)
+      Similarity.recodeDriftedSubspaces(driftedIdx).codes
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+        .select(col("vec_id"), col("m").cast("long").as("m"),
+          col("code").cast("long").as("code"))
+    }),
+
     // The COMPLETE production ANN serve from disk (q263): both index
     // artifacts persisted (IVF inverted lists + PQ codebook/codes over
     // the full corpus), loaded back, the takedown set (%10==3) retracted
@@ -1661,6 +1687,92 @@ object SimilarityQueries {
          |           ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM rr) z
          |WHERE rank <= 10""".stripMargin,
+
+    // Mirrors recodeDriftedSubspaces stage for stage: OLD pivots from
+    // the original old corpus, the delta-state encode + per-subspace
+    // exact error sums, the floored-mean drift rule, NEW pivots over the
+    // current (reversed-batch) corpus, and the per-subspace code select
+    // (drifted → new encode, cold → old encode).
+    "q264_pq_recode" ->
+      s"""$VCte, n2 AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % 10 = 7 THEN list_reverse(vec)
+         |              ELSE vec END AS vec,
+         |         nrm
+         |  FROM n
+         |), u0 AS (
+         |  SELECT vec_id,
+         |         CASE WHEN nrm = 0 THEN vec
+         |              ELSE list_transform(vec, x -> x / nrm) END AS unit
+         |  FROM n WHERE vec_id % 10 <> 7
+         |), uq0 AS (
+         |  SELECT vec_id,
+         |         list_transform(unit, x -> CAST(round(x * 1000000) AS BIGINT)) AS uq
+         |  FROM u0
+         |), piv_old AS (
+         |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |           vec_id) - 1 AS c, uq
+         |  FROM uq0 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32
+         |), u2 AS (
+         |  SELECT vec_id,
+         |         CASE WHEN nrm = 0 THEN vec
+         |              ELSE list_transform(vec, x -> x / nrm) END AS unit
+         |  FROM n2
+         |), uq2 AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(unit, x -> CAST(round(x * 1000000) AS BIGINT)) AS uq
+         |  FROM u2
+         |), piv_new AS (
+         |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |           vec_id) - 1 AS c, uq
+         |  FROM uq2 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32
+         |), dist_old AS MATERIALIZED (
+         |  SELECT x.vec_id, m.m, p.c,
+         |         CAST(list_sum([(x.uq[m.m*4+j+1] - p.uq[m.m*4+j+1])
+         |                        * (x.uq[m.m*4+j+1] - p.uq[m.m*4+j+1])
+         |                        FOR j IN range(0, 4)]) AS BIGINT) AS dist
+         |  FROM uq2 x, range(0, 16) m(m), piv_old p
+         |), enc_old AS (
+         |  SELECT vec_id, m, c AS code, dist FROM (
+         |    SELECT vec_id, m, c, dist,
+         |           row_number() OVER (PARTITION BY vec_id, m
+         |             ORDER BY dist ASC, c ASC) AS rn
+         |    FROM dist_old) z
+         |  WHERE rn = 1
+         |), qerr AS (
+         |  SELECT m, CAST(sum(dist) AS BIGINT) AS qerr_m FROM enc_old
+         |  GROUP BY m
+         |), thr AS (
+         |  SELECT CAST(sum(qerr_m) // 16 AS BIGINT) AS t FROM qerr
+         |), drifted AS (
+         |  SELECT m FROM qerr, thr WHERE qerr_m > t
+         |), dist_new AS MATERIALIZED (
+         |  SELECT x.vec_id, m.m, p.c,
+         |         CAST(list_sum([(x.uq[m.m*4+j+1] - p.uq[m.m*4+j+1])
+         |                        * (x.uq[m.m*4+j+1] - p.uq[m.m*4+j+1])
+         |                        FOR j IN range(0, 4)]) AS BIGINT) AS dist
+         |  FROM uq2 x, range(0, 16) m(m), piv_new p
+         |  WHERE m.m IN (SELECT m FROM drifted)
+         |), enc_new AS (
+         |  SELECT vec_id, m, c AS code, dist FROM (
+         |    SELECT vec_id, m, c, dist,
+         |           row_number() OVER (PARTITION BY vec_id, m
+         |             ORDER BY dist ASC, c ASC) AS rn
+         |    FROM dist_new) z
+         |  WHERE rn = 1
+         |), qerr_new AS (
+         |  SELECT m, CAST(sum(dist) AS BIGINT) AS qerr_new_m FROM enc_new
+         |  GROUP BY m
+         |), swapped AS (
+         |  SELECT q.m FROM qerr q JOIN qerr_new nw ON q.m = nw.m
+         |  WHERE nw.qerr_new_m < q.qerr_m
+         |)
+         |SELECT e.vec_id, CAST(e.m AS BIGINT) AS m,
+         |       CAST(coalesce(nw.code, e.code) AS BIGINT) AS code
+         |FROM enc_old e LEFT JOIN (
+         |    SELECT vec_id, m, code FROM enc_new
+         |    WHERE m IN (SELECT m FROM swapped)) nw
+         |  ON nw.vec_id = e.vec_id AND nw.m = e.m""".stripMargin,
 
     // q154's composition computed from scratch over (corpus ∖ deleted):
     // the codebook (PqCte pivots) and centroids stay full-corpus-trained

@@ -210,6 +210,48 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall collapsed on the loaded artifact: $recall")
   }
 
+  test("recodeDriftedSubspaces: drifted-subspace quantization error drops " +
+      "(measured); cold subspaces bit-identical") {
+    val c = corpus
+    val old = c.filter(col("vec_id") % 10 =!= 7)
+    val fresh = c.filter(col("vec_id") % 10 === 7)
+      .withColumn("vec", reverse(col("vec")))
+    val driftedIdx = Similarity.applyPqDelta(
+      Similarity.buildPqIndex(old, 16, 32, 64), fresh)
+    def qerrBySub(ix: Similarity.PqIndex): Map[Int, Long] =
+      Similarity.pqDriftStats(ix).groupBy(col("m"))
+        .agg(sum(col("sum_qerr")).as("q")).as[(Int, Long)].collect().toMap
+    val before = qerrBySub(driftedIdx)
+    val threshold = before.values.sum / 16
+    val driftedSubs = before.filter(_._2 > threshold).keySet
+    assert(driftedSubs.nonEmpty && driftedSubs.size < 16,
+      s"drift rule degenerate: $driftedSubs")
+    val recoded = Similarity.recodeDriftedSubspaces(driftedIdx)
+    val after = qerrBySub(recoded)
+    // MONOTONE by construction (validate-before-swap): no subspace may
+    // ever regress — the guard this rule exists for, since the raw
+    // md5-pivot retrain DOES regress on some subspaces here
+    (0 until 16).foreach { m =>
+      assert(after(m) <= before(m),
+        s"subspace $m error increased: ${before(m)} -> ${after(m)}")
+    }
+    val swapped = (0 until 16).filter(m => after(m) < before(m))
+    assert(swapped.nonEmpty,
+      "no subspace validated its retrain — the drift scenario is vacuous")
+    assert(swapped.toSet.subsetOf(driftedSubs),
+      s"swapped $swapped outside the drifted set $driftedSubs")
+    info(s"drifted $driftedSubs, swapped $swapped: qerr over swapped " +
+      s"${swapped.map(before).sum} -> ${swapped.map(after).sum}")
+    // unswapped subspaces: codes bit-identical
+    def codesOf(ix: Similarity.PqIndex) =
+      ix.codes.select(col("vec_id"),
+          posexplode(col("codes")).as(Seq("m", "code")))
+        .filter(!col("m").isInCollection(swapped))
+        .as[(Long, Int, Int)].collect().toSet
+    assert(codesOf(recoded) == codesOf(driftedIdx),
+      "unswapped subspaces' codes changed under the partial retrain")
+  }
+
   test("IVF-PQ compound recall and the pruning it buys (measured, pinned)") {
     val c = corpus
     val queries = c.filter(col("vec_id") < 5)
