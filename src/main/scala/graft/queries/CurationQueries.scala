@@ -292,6 +292,31 @@ object CurationQueries {
       Curation.packSequences(old, "doc_id", col("n_tok"), 2048L, "ep1")
         .unionByName(Curation.packSequences(fresh, "doc_id", col("n_tok"),
           2048L, "ep1", tapeOffset = oldTotal))
+    }),
+
+    // The two maintenance directions COMPOSED on the tape (q265): q211's
+    // append-at-end delta (the %10==7 batch packs from the old tape
+    // total) followed by q260's takedown (%10==3 leaves, suffix-confined
+    // repack) — the maintained manifest must equal the two-segment
+    // rebuild of the FINAL corpus. Retraction recovers tape intervals
+    // from the manifest alone, so it composes over a delta-built tape
+    // with no special casing; survivors keep the append-order tape and
+    // close ranks. The takedown lives in the OLD segment, so the entire
+    // fresh segment is inside the shifted suffix — both directions'
+    // arithmetic is exercised in one proof.
+    "q265_pack_delta_retract" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tok", size(Dedup.tokens(col("text"))).cast("long"))
+      val old = docs.filter(col("doc_id") % 10 =!= 7)
+      val fresh = docs.filter(col("doc_id") % 10 === 7)
+      val oldTotal = old.filter(col("n_tok") > 0)
+        .agg(coalesce(sum(col("n_tok")), lit(0L))).first().getLong(0)
+      val maintained = Curation
+        .packSequences(old, "doc_id", col("n_tok"), 2048L, "ep1")
+        .unionByName(Curation.packSequences(fresh, "doc_id", col("n_tok"),
+          2048L, "ep1", tapeOffset = oldTotal))
+      Curation.retractFromPack(maintained,
+        docs.filter(col("doc_id") % 10 === 3).select(col("doc_id")), 2048L)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -784,6 +809,40 @@ object CurationQueries {
         |), o AS (
         |  SELECT doc_id, n_tok,
         |         md5('ep1|' || doc_id) || '|' || doc_id AS ord
+        |  FROM t WHERE n_tok > 0 AND doc_id % 10 <> 3
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |         CAST(sum(n_tok) OVER (ORDER BY ord
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS run
+        |  FROM o
+        |), s AS (
+        |  SELECT doc_id, run - n_tok AS ts, run AS te FROM c
+        |)
+        |SELECT u.seq AS seq_id, s.doc_id,
+        |       CAST(greatest(s.ts - u.seq * 2048, 0) AS BIGINT)
+        |         AS offset_in_seq,
+        |       CAST(least(s.te, (u.seq + 1) * 2048)
+        |            - greatest(s.ts, u.seq * 2048) AS BIGINT)
+        |         AS tokens_in_seq
+        |FROM s, UNNEST(generate_series(s.ts // 2048, (s.te - 1) // 2048))
+        |     u(seq)""".stripMargin,
+
+    // q211's two-segment rebuild minus the takedown set: survivors keep
+    // the append-order tape ('0'-prefixed old md5 order, then the
+    // '1'-prefixed fresh batch) and close ranks — the composed
+    // delta-then-retract Spark result hash-matching this proves the two
+    // maintenance directions commute with the rebuild.
+    "q265_pack_delta_retract" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(trim(text),
+        |              '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, n_tok,
+        |         CASE WHEN doc_id % 10 = 7 THEN '1' ELSE '0' END
+        |           || md5('ep1|' || doc_id) || '|' || doc_id AS ord
         |  FROM t WHERE n_tok > 0 AND doc_id % 10 <> 3
         |), c AS (
         |  SELECT doc_id, n_tok,
