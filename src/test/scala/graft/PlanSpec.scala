@@ -309,6 +309,34 @@ class PlanSpec extends SparkSpec {
       s"retraction added an index-body shuffle join:\n$p")
   }
 
+  test("q258 PQ maintenance: the takedown anti-join rides a BROADCAST; " +
+      "the ADC scan is the established broadcast-probe shape") {
+    val p = plan("q258_pq_persist")
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(p).isDefined,
+      s"PQ retraction lost its broadcast anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"PQ serve planned a cartesian:\n$p")
+    // the only nested-loop product is the deliberate broadcast of the
+    // tiny query-side distance tables against the streamed codes scan
+    val bnl = "BroadcastNestedLoopJoin [^\\n]*".r.findAllIn(p).toSeq
+    assert(bnl.forall(_.contains("BuildLeft")),
+      s"codes scan lost its broadcast build side:\n$bnl")
+  }
+
+  test("q263 IVF-PQ from disk: cell lists join probes by equi-join; " +
+      "both retractions broadcast; no cartesian anywhere") {
+    val p = plan("q263_ivfpq_from_disk")
+    assert(!p.contains("CartesianProduct"),
+      s"composed serve planned a cartesian:\n$p")
+    assert("BroadcastHashJoin.*LeftAnti".r.findAllIn(p).size >= 2,
+      s"expected both artifacts' takedown anti-joins as broadcasts:\n$p")
+    // nested-loop products appear ONLY as the tiny broadcast centroid
+    // crosses of the probe/assign ranking (the established q154 shape)
+    val bnl = "BroadcastNestedLoopJoin [^\\n]*".r.findAllIn(p).toSeq
+    assert(bnl.forall(_.contains("BuildRight, Cross")),
+      s"composed serve planned a non-centroid nested loop:\n$bnl")
+  }
+
   test("q250/q261 guarded confirm: the exact neighborhood stage is a " +
       "cell-confined EQUI-join on the block key — the cartesian is gone") {
     import graft.operators.Similarity
