@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persisted, incrementally-maintained RETRIEVAL INDEX — the q135/q142/q211
@@ -332,4 +333,78 @@ object Retrieval {
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)
       .select(col("term"))
+
+  /** QUERY-LIKELIHOOD retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty, SIGIR 2001) served from the maintained tables — the
+    * language-modeling counterpart to [[bm25FromIndex]], completing the
+    * classic probabilistic-retrieval pair. Per query term t and doc d:
+    *
+    *   p(t|d) = (tf + μ·cf_t/S) / (dl + μ)
+    *
+    * with cf_t the COLLECTION frequency (Σ tf over t's postings) and S
+    * the corpus token total — both read from the index, never the
+    * corpus. Smoothing means EVERY doc scores against every query term
+    * (a doc without the term still carries the background probability —
+    * that is the model's point), so the score relation is docs ×
+    * queryTerms with tf left-joined in.
+    *
+    * Engine-exact evaluation: the per-term value is the exact BIGINT
+    * rational `(tf·S + μ·cf)·1000` over `(dl + μ)·S` resolved by ONE
+    * IEEE division and rounded to 9 decimals (the bm25 discipline; the
+    * ×1000 keeps sub-1 probabilities meaningful at that rounding), and
+    * the query score is the term values' product in FIXED query-rank
+    * order `(v1·v2)·v3` — explicit parenthesization, because IEEE
+    * multiplication is commutative but not associative, and a partial
+    * aggregate's fold order would differ by partitioning. Rank order is
+    * identical to the log-space formulation (log is monotone; products
+    * of positives preserve order), with none of log's cross-engine
+    * last-ulp risk.
+    *
+    * Scale shape: cf is a pruned postings read (the query's terms only);
+    * the docs table crossJoins the tiny (term, cf) broadcast (nTerms
+    * rows) and left-joins tf on (term, doc_id); the global top-k is a
+    * TakeOrderedAndProject. Nothing rescans text.
+    */
+  def queryLikelihoodFromIndex(index: RetrievalIndex, nTerms: Int,
+      mu: Long, k: Int): DataFrame = {
+    require(nTerms >= 1 && nTerms <= 8, s"nTerms must be in [1,8]: $nTerms")
+    require(mu >= 1, s"mu must be positive, got $mu")
+    require(k >= 1, s"k must be positive, got $k")
+    val qterms = broadcast(
+      index.postings.groupBy(col("term"))
+        .agg(sum(col("tf")).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc)
+        .limit(nTerms)
+        .select(col("term"),
+          row_number().over(Window.orderBy(col("cnt").desc, col("term").asc))
+            .as("trank"))
+        .select(col("term"), col("trank")))
+    val cf = broadcast(index.postings
+      .join(qterms.select(col("term")), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(sum(col("tf")).as("cf")))
+    val tfs = index.postings
+      .join(qterms.select(col("term")), Seq("term"), "left_semi")
+      .select(col("term"), col("doc_id"), col("tf"))
+    val stats = broadcast(index.stats.select(col("s_total")))
+    val vals = index.docs
+      .crossJoin(qterms.join(cf, Seq("term")))
+      .join(tfs, Seq("term", "doc_id"), "left")
+      .withColumn("tf", coalesce(col("tf"), lit(0L)))
+      .crossJoin(stats)
+      .withColumn("v", round(
+        ((col("tf") * col("s_total") + lit(mu) * col("cf")) * lit(1000L))
+          / ((col("dl") + lit(mu)) * col("s_total")), 9))
+    val pivots = (1 to nTerms).map(r =>
+      max(when(col("trank") === r, col("v"))).as(s"v$r"))
+    val scored = vals.groupBy(col("doc_id"))
+      .agg(pivots.head, pivots.tail: _*)
+      .withColumn("score", round(
+        (2 to nTerms).foldLeft(col("v1"))((acc, r) => acc * col(s"v$r")), 6))
+      .select(col("doc_id"), col("score"))
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc,
+          col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("rank"), col("score"))
+  }
 }

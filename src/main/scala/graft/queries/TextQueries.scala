@@ -318,6 +318,24 @@ object TextQueries {
   }
 
   val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // QUERY-LIKELIHOOD retrieval with Dirichlet smoothing (q266, Zhai &
+    // Lafferty) served from the maintained index tables — the
+    // language-modeling counterpart to q149's BM25: the query is the 3
+    // globally most-frequent terms (q149's convention), every doc scores
+    // p(t|d) = (tf + μ·cf/S)/(dl + μ) for each (smoothing means a doc
+    // WITHOUT the term still carries background mass — short docs rank
+    // above long ones on absent terms, the model's point), and the doc
+    // score is the product in fixed term-rank order. Per-term values are
+    // exact BIGINT rationals resolved by one IEEE division (the bm25
+    // discipline, ×1000 scaled, round 9); the product's parenthesization
+    // is pinned (v1·v2)·v3 so no aggregate fold order exists. μ = 2000.
+    "q266_query_likelihood" -> ((s, d) => {
+      import graft.operators.Retrieval
+      Retrieval.queryLikelihoodFromIndex(
+        Retrieval.buildIndex(toks(s, d), "doc_id", "tok"),
+        nTerms = 3, mu = 2000L, k = 10)
+    }),
+
     // Inverted index build (the search/retrieval primitive): token ->
     // sorted posting list of doc:position pairs, document frequency, and
     // total occurrences. Postings serialize to one deterministic string
@@ -947,6 +965,48 @@ object TextQueries {
         |  AND contains(s2, ' scan ')""".stripMargin,
 
     "q132_inverted_index" -> InvertedIndexSql,
+
+    // Mirrors queryLikelihoodFromIndex expression for expression: the
+    // same top-3 query terms, exact BIGINT numerators/denominators, one
+    // float division per (doc, term) rounded to 9, the pinned
+    // ((v1·v2)·v3) product rounded to 6.
+    "q266_query_likelihood" ->
+      s"""$TokCte, inst AS (
+         |  SELECT doc_id, unnest(tok) AS term FROM t
+         |), tfall AS MATERIALIZED (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM inst GROUP BY 1, 2
+         |), qterms AS (
+         |  SELECT term,
+         |         row_number() OVER (ORDER BY cnt DESC, term ASC) AS trank
+         |  FROM (SELECT term, count(*) AS cnt FROM inst GROUP BY 1) z
+         |  ORDER BY cnt DESC, term ASC LIMIT 3
+         |), cf AS (
+         |  SELECT q.trank, q.term, CAST(sum(tfall.tf) AS BIGINT) AS cf
+         |  FROM qterms q JOIN tfall USING (term) GROUP BY 1, 2
+         |), docs AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |  FROM inst GROUP BY 1
+         |), stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS s FROM inst
+         |), vals AS (
+         |  SELECT d.doc_id, c.trank,
+         |         round(((coalesce(tf.tf, 0) * st.s + 2000 * c.cf) * 1000)
+         |               / ((d.dl + 2000) * st.s), 9) AS v
+         |  FROM docs d CROSS JOIN cf c CROSS JOIN stats st
+         |  LEFT JOIN tfall tf ON tf.doc_id = d.doc_id AND tf.term = c.term
+         |), sc AS (
+         |  SELECT doc_id,
+         |         round((max(CASE WHEN trank = 1 THEN v END)
+         |                * max(CASE WHEN trank = 2 THEN v END))
+         |               * max(CASE WHEN trank = 3 THEN v END), 6) AS score
+         |  FROM vals GROUP BY 1
+         |)
+         |SELECT doc_id, rank, score FROM (
+         |  SELECT doc_id, score,
+         |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM sc) z
+         |WHERE rank <= 10""".stripMargin,
 
     // The maintained-index surfaces must equal the FULL-CORPUS rebuild —
     // q213/q214's oracles are therefore exactly q132's/q149's SQL: the

@@ -54,6 +54,38 @@ class RetrievalSpec extends SparkSpec {
     assert(sortedRows(fromIndex) == sortedRows(scratch))
   }
 
+  test("queryLikelihoodFromIndex: Dirichlet semantics on a hand-built " +
+      "corpus — term-bearing docs outrank, short beats long on absent " +
+      "terms, every doc scores") {
+    import spark.implicits._
+    // query terms (by collection frequency, rank order): a > b > c.
+    // d1 holds all three; d2 holds a only, same length as d1;
+    // d3/d4 hold none — d3 short, d4 long (padded with filler)
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "a")),
+      (2L, Seq("a", "x", "x", "x")),
+      (3L, Seq("y", "y")),
+      (4L, Seq("y", "y", "y", "y", "y", "y", "y", "y", "y", "y")),
+      (5L, Seq("a", "a", "b", "b", "c"))).toDF("doc_id", "tok")
+    val idx = Retrieval.buildIndex(docs, "doc_id", "tok")
+    val got = Retrieval.queryLikelihoodFromIndex(idx, 3, 2000L, 10)
+      .select("doc_id", "rank", "score")
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    // smoothing: EVERY doc gets a positive score
+    assert(got.length == 5, s"expected all 5 docs scored: ${got.toSeq}")
+    assert(got.forall(_._3 > 0), s"nonpositive QL score: ${got.toSeq}")
+    val rankOf = got.map(r => r._1 -> r._2).toMap
+    // docs holding query terms beat docs holding none
+    assert(rankOf(1L) < rankOf(3L) && rankOf(5L) < rankOf(3L),
+      s"term-bearing docs must outrank term-free docs: ${got.toSeq}")
+    // all-terms doc beats same-length single-term doc
+    assert(rankOf(1L) < rankOf(2L),
+      s"d1 (a,b,c) must outrank d2 (a only, same dl): ${got.toSeq}")
+    // among term-free docs the SHORT one wins (Dirichlet length prior)
+    assert(rankOf(3L) < rankOf(4L),
+      s"short term-free doc must outrank long one: ${got.toSeq}")
+  }
+
   test("topTermsFromIndex matches the corpus's total-occurrence top terms") {
     val docs = toks
     val idx = Retrieval.buildIndex(docs, "doc_id", "tok")
