@@ -334,6 +334,43 @@ object Retrieval {
       .limit(k)
       .select(col("term"))
 
+  /** SNIPPET extraction from the positions lists — the serve step after
+    * ranking: for every (term, doc) in the BM25 top-`k`, the best
+    * `windowTokens`-token window — the one holding the MOST occurrences
+    * of the term, earliest start on ties — exactly what a result page
+    * highlights. This gives the positions column its post-ranking
+    * consumer (phrase/NEAR consume it pre-ranking).
+    *
+    * All integers: occurrence counting is a `RANGE BETWEEN CURRENT ROW
+    * AND w−1 FOLLOWING` count over each posting's sorted positions (the
+    * per-(term, doc) window rides one keyed exchange), and best-window
+    * selection is rank pushdown. The postings read prunes to the query's
+    * terms and the ranked docs before positions ever explode.
+    */
+  def snippetsFromIndex(index: RetrievalIndex, queryTerms: DataFrame,
+      k: Int, windowTokens: Int): DataFrame = {
+    require(windowTokens >= 1,
+      s"windowTokens must be positive, got $windowTokens")
+    val ranked = bm25FromIndex(index, queryTerms, k)
+      .select(col("term"), col("doc_id"), col("rank"))
+    val pos = index.postings
+      .join(broadcast(queryTerms.select(col("term")).distinct()),
+        Seq("term"), "left_semi")
+      .join(ranked.select(col("term"), col("doc_id")),
+        Seq("term", "doc_id"), "left_semi")
+      .select(col("term"), col("doc_id"),
+        explode(col("positions")).as("pos"))
+    val w = Window.partitionBy(col("term"), col("doc_id"))
+      .orderBy(col("pos"))
+      .rangeBetween(Window.currentRow, windowTokens - 1)
+    val hits = pos.withColumn("n_hits", count(lit(1)).over(w))
+    Relational.topKPerGroup(hits, Seq(col("term"), col("doc_id")),
+        Seq(col("n_hits").desc, col("pos").asc), 1, "wrank")
+      .join(ranked, Seq("term", "doc_id"))
+      .select(col("term"), col("doc_id"), col("rank"),
+        col("pos").as("window_start"), col("n_hits"))
+  }
+
   /** QUERY-LIKELIHOOD retrieval with Dirichlet smoothing (Zhai &
     * Lafferty, SIGIR 2001) served from the maintained tables — the
     * language-modeling counterpart to [[bm25FromIndex]], completing the

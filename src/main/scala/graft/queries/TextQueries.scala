@@ -336,6 +336,20 @@ object TextQueries {
         nTerms = 3, mu = 2000L, k = 10)
     }),
 
+    // SNIPPET extraction (q267): for each (term, doc) of q149's BM25
+    // top-10, the 10-token window holding the most occurrences of the
+    // term (earliest on ties) — the result-page highlight, served from
+    // the positions lists the index already maintains (their
+    // post-ranking consumer; phrase/NEAR consume them pre-ranking).
+    // Integer window counting over sorted positions; oracle mirrors the
+    // ranking CTE and the RANGE window.
+    "q267_snippets" -> ((s, d) => {
+      import graft.operators.Retrieval
+      val idx = Retrieval.buildIndex(toks(s, d), "doc_id", "tok")
+      Retrieval.snippetsFromIndex(idx,
+        Retrieval.topTermsFromIndex(idx, 3), k = 10, windowTokens = 10)
+    }),
+
     // Inverted index build (the search/retrieval primitive): token ->
     // sorted posting list of doc:position pairs, document frequency, and
     // total occurrences. Postings serialize to one deterministic string
@@ -965,6 +979,32 @@ object TextQueries {
         |  AND contains(s2, ' scan ')""".stripMargin,
 
     "q132_inverted_index" -> InvertedIndexSql,
+
+    // q149's ranking CTE + positions via unnest WITH ORDINALITY (0-based
+    // like posexplode), the RANGE window occurrence count, best window by
+    // (n_hits desc, pos asc).
+    "q267_snippets" ->
+      s"""$Bm25RankedCte, ipos AS (
+         |  SELECT doc_id, unnest(tok) AS term,
+         |         CAST(unnest(range(len(tok))) AS BIGINT) AS pos
+         |  FROM t
+         |), qpos AS (
+         |  SELECT r.term, r.doc_id, r.rank, p.pos
+         |  FROM ranked r
+         |  JOIN ipos p ON p.term = r.term AND p.doc_id = r.doc_id
+         |), hits AS (
+         |  SELECT term, doc_id, rank, pos,
+         |         CAST(count(*) OVER (PARTITION BY term, doc_id ORDER BY pos
+         |           RANGE BETWEEN CURRENT ROW AND 9 FOLLOWING) AS BIGINT)
+         |           AS n_hits
+         |  FROM qpos
+         |)
+         |SELECT term, doc_id, rank, window_start, n_hits FROM (
+         |  SELECT term, doc_id, rank, pos AS window_start, n_hits,
+         |         row_number() OVER (PARTITION BY term, doc_id
+         |           ORDER BY n_hits DESC, pos ASC) AS wr
+         |  FROM hits) z
+         |WHERE wr = 1""".stripMargin,
 
     // Mirrors queryLikelihoodFromIndex expression for expression: the
     // same top-3 query terms, exact BIGINT numerators/denominators, one
