@@ -820,4 +820,58 @@ object TextAnalysis {
         s"i -> substring($wordColName, i, 1))")
     merges.foldLeft(charSyms) { case (syms, (a, b)) => mergeFold(syms, a, b) }
   }
+
+  /** RAKE keyphrase extraction (Rose et al., "Automatic Keyword
+    * Extraction from Individual Documents", 2010) — the unsupervised
+    * keyphrase miner of a curation pipeline (topic inventories, index
+    * vocabularies, tag suggestions), exact-integer end to end:
+    *
+    *   - candidate phrases are maximal runs of non-stopword tokens
+    *     (stopwords are the delimiters; the classic gaps-and-islands
+    *     grouping `pos − row_number` over each doc), capped at `maxLen`
+    *     words;
+    *   - word statistics over candidate occurrences: freq(w) = how many
+    *     phrase slots w fills, deg(w) = Σ length of the phrases those
+    *     slots sit in (co-occurrence degree, self included);
+    *   - word score = deg·10⁶ div freq (exact ppm — RAKE's
+    *     degree-to-frequency ratio favors words that live in long
+    *     phrases), phrase score = Σ its words' scores with multiplicity;
+    *   - output: the global top-`k` DISTINCT phrases by (score desc,
+    *     phrase asc) with occurrence counts — identical phrase strings
+    *     always score identically (word scores are corpus-global), so
+    *     the dedup loses nothing.
+    *
+    * Scale shape: one keyed window (doc, pos) for the islands, one
+    * phrase aggregate, two word-keyed aggregates (partial map-side), a
+    * global TakeOrderedAndProject for the k selection. All BIGINT.
+    */
+  def rakeKeyphrases(docs: DataFrame, idCol: String, tokCol: String,
+      maxLen: Int, k: Int): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be positive, got $maxLen")
+    require(k >= 1, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grouped = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(col(tokCol)).as(Seq("pos", "term")))
+      .filter(!col("term").isInCollection(Stopwords))
+      .withColumn("grp", col("pos") - row_number().over(w))
+    val phr = grouped.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("len"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"),
+          col("term")))), s => s.getField("term")), " ").as("phrase"))
+      .filter(col("len") <= maxLen)
+    val occ = grouped.join(phr, Seq("doc_id", "grp"))
+    val ws = occ.groupBy(col("term"))
+      .agg(expr("(sum(len) * 1000000L) div count(1)").as("wscore"))
+    val ps = occ.join(ws, Seq("term"))
+      .groupBy(col("doc_id"), col("grp"), col("phrase"))
+      .agg(sum(col("wscore")).as("score_ppm"))
+    ps.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        max(col("score_ppm")).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("phrase").asc)
+      .limit(k)
+      .select(col("phrase"), col("score_ppm"), col("n_occurrences"))
+  }
 }

@@ -336,6 +336,16 @@ object TextQueries {
         nTerms = 3, mu = 2000L, k = 10)
     }),
 
+    // RAKE keyphrase extraction (q268, Rose et al. 2010): candidate
+    // phrases = maximal non-stopword runs (stopwords delimit, classic
+    // gaps-and-islands), word score = co-occurrence degree over
+    // frequency in exact ppm, phrase score = Σ word scores — the
+    // unsupervised keyphrase miner for topic inventories, all-BIGINT and
+    // hash-oracled. Top 50 distinct phrases, ≤ 4 words.
+    "q268_rake_keyphrases" -> ((s, d) =>
+      TextAnalysis.rakeKeyphrases(toks(s, d), "doc_id", "tok",
+        maxLen = 4, k = 50)),
+
     // SNIPPET extraction (q267): for each (term, doc) of q149's BM25
     // top-10, the 10-token window holding the most occurrences of the
     // term (earliest on ties) — the result-page highlight, served from
@@ -979,6 +989,41 @@ object TextQueries {
         |  AND contains(s2, ' scan ')""".stripMargin,
 
     "q132_inverted_index" -> InvertedIndexSql,
+
+    // Mirrors rakeKeyphrases stage for stage: same islands grouping,
+    // same ppm word scores, same distinct-phrase fold and tie order.
+    "q268_rake_keyphrases" ->
+      s"""$TokCte, toks AS (
+         |  SELECT doc_id, unnest(tok) AS term,
+         |         CAST(unnest(range(len(tok))) AS BIGINT) AS pos
+         |  FROM t
+         |), ns AS (
+         |  SELECT doc_id, term, pos,
+         |         pos - row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY pos) AS grp
+         |  FROM toks WHERE term NOT IN $StopIn
+         |), phr AS (
+         |  SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS len,
+         |         string_agg(term, ' ' ORDER BY pos) AS phrase
+         |  FROM ns GROUP BY 1, 2
+         |  HAVING count(*) <= 4
+         |), occ AS (
+         |  SELECT ns.doc_id, ns.grp, ns.term, p.len, p.phrase
+         |  FROM ns JOIN phr p ON ns.doc_id = p.doc_id AND ns.grp = p.grp
+         |), ws AS (
+         |  SELECT term,
+         |         CAST((sum(len) * 1000000) // count(*) AS BIGINT) AS wscore
+         |  FROM occ GROUP BY 1
+         |), ps AS (
+         |  SELECT o.doc_id, o.grp, o.phrase,
+         |         CAST(sum(w.wscore) AS BIGINT) AS score_ppm
+         |  FROM occ o JOIN ws w USING (term) GROUP BY 1, 2, 3
+         |)
+         |SELECT phrase, score_ppm, n_occurrences FROM (
+         |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+         |         CAST(max(score_ppm) AS BIGINT) AS score_ppm
+         |  FROM ps GROUP BY 1)
+         |ORDER BY score_ppm DESC, phrase ASC LIMIT 50""".stripMargin,
 
     // q149's ranking CTE + positions via unnest WITH ORDINALITY (0-based
     // like posexplode), the RANGE window occurrence count, best window by
