@@ -336,6 +336,40 @@ object TextQueries {
         nTerms = 3, mu = 2000L, k = 10)
     }),
 
+    // TextRank keywords (q269, Mihalcea & Tarau 2004): weighted PageRank
+    // over the word co-occurrence graph — non-stopword token sequences
+    // (row-local filter), edges between words within a ±2 window of the
+    // FILTERED sequence (row-local struct explode, no self-join), weights
+    // = corpus co-occurrence counts, words keyed by md5-derived 60-bit
+    // ids so q197's exact-integer weighted PageRank runs unchanged.
+    // Top-30 keywords by (score desc, term asc). Two classic keyword
+    // miners now cross-check each other: q268's RAKE is phrase-local
+    // statistics, this is global graph centrality — same corpus, same
+    // stopword set, different signal.
+    "q269_textrank" -> ((s, d) => {
+      import graft.operators.Graph
+      val fsDocs = toks(s, d).select(col("doc_id"),
+        filter(col("tok"),
+          t => !t.isInCollection(TextAnalysis.Stopwords)).as("fs"))
+      def pairsAt(o: Int) = fsDocs.select(explode(expr(
+        s"CASE WHEN size(fs) > $o THEN transform(sequence(1, size(fs) - $o), " +
+          s"i -> struct(element_at(fs, i) AS wa, " +
+          s"element_at(fs, i + $o) AS wb)) ELSE array() END")).as("p"))
+        .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      val pairs = pairsAt(1).unionByName(pairsAt(2))
+        .filter(col("wa") =!= col("wb"))
+      def wid(c: org.apache.spark.sql.Column) = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val edges = pairs.groupBy(col("wa"), col("wb"))
+        .agg(count(lit(1)).as("w"))
+        .select(wid(col("wa")).as("src"), wid(col("wb")).as("dst"), col("w"))
+      val mapping = fsDocs.select(explode(col("fs")).as("term")).distinct()
+        .select(col("term"), wid(col("term")).as("node"))
+      Graph.pageRankWeightedInt(edges, "src", "dst", "w", iterations = 3)
+        .join(mapping, Seq("node"))
+        .orderBy(col("score").desc, col("term").asc).limit(30)
+        .select(col("term"), col("score"))
+    }),
+
     // RAKE keyphrase extraction (q268, Rose et al. 2010): candidate
     // phrases = maximal non-stopword runs (stopwords delimit, classic
     // gaps-and-islands), word score = co-occurrence degree over
@@ -989,6 +1023,63 @@ object TextQueries {
         |  AND contains(s2, ' scan ')""".stripMargin,
 
     "q132_inverted_index" -> InvertedIndexSql,
+
+    // Mirrors the TextRank chain: filtered sequences, ±2-window pairs by
+    // list indexing, md5-derived 60-bit word ids, q197's exact weighted
+    // PageRank iterations verbatim, the id→term join-back.
+    "q269_textrank" -> {
+      def iter(cur: String, prev: String): String =
+        s"""$cur AS (
+           |  SELECT d.src AS node,
+           |         CAST(150000 + (coalesce(m.in_mass, 0) * 85) // 100 AS BIGINT) AS score
+           |  FROM wdeg d LEFT JOIN (
+           |    SELECT s.dst AS node,
+           |           CAST(sum((r.score * s.w) // g.wdeg) AS BIGINT) AS in_mass
+           |    FROM wsym s JOIN $prev r ON s.src = r.node
+           |                JOIN wdeg g ON s.src = g.src
+           |    GROUP BY s.dst) m ON d.src = m.node
+           |)""".stripMargin
+      s"""$TokCte, fs AS (
+         |  SELECT doc_id, list_filter(tok, x -> x NOT IN $StopIn) AS fs
+         |  FROM t
+         |), p1 AS (
+         |  SELECT fs[i+1] AS wa, fs[i+2] AS wb
+         |  FROM fs, unnest(range(greatest(len(fs) - 1, 0))) t2(i)
+         |), p2 AS (
+         |  SELECT fs[i+1] AS wa, fs[i+3] AS wb
+         |  FROM fs, unnest(range(greatest(len(fs) - 2, 0))) t2(i)
+         |), pairs AS (
+         |  SELECT wa, wb FROM (SELECT wa, wb FROM p1
+         |                      UNION ALL SELECT wa, wb FROM p2) z
+         |  WHERE wa <> wb
+         |), grp AS (
+         |  SELECT wa, wb, CAST(count(*) AS BIGINT) AS w
+         |  FROM pairs GROUP BY 1, 2
+         |), ids AS (
+         |  SELECT ('0x' || substr(md5(wa), 1, 15))::BIGINT AS s,
+         |         ('0x' || substr(md5(wb), 1, 15))::BIGINT AS d2, w
+         |  FROM grp
+         |), canon AS (
+         |  SELECT least(s, d2) AS u, greatest(s, d2) AS v,
+         |         CAST(sum(w) AS BIGINT) AS w
+         |  FROM ids WHERE s <> d2 GROUP BY 1, 2
+         |), wsym AS (
+         |  SELECT u AS src, v AS dst, w FROM canon
+         |  UNION ALL SELECT v, u, w FROM canon
+         |), wdeg AS (
+         |  SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM wsym GROUP BY 1
+         |), r0 AS (
+         |  SELECT src AS node, CAST(1000000 AS BIGINT) AS score FROM wdeg
+         |), ${iter("r1", "r0")},
+         |${iter("r2", "r1")},
+         |${iter("r3", "r2")}, map AS (
+         |  SELECT DISTINCT term,
+         |         ('0x' || substr(md5(term), 1, 15))::BIGINT AS id
+         |  FROM (SELECT unnest(fs) AS term FROM fs) z
+         |)
+         |SELECT m.term, r.score FROM r3 r JOIN map m ON m.id = r.node
+         |ORDER BY r.score DESC, m.term ASC LIMIT 30""".stripMargin
+    },
 
     // Mirrors rakeKeyphrases stage for stage: same islands grouping,
     // same ppm word scores, same distinct-phrase fold and tie order.
