@@ -437,6 +437,9 @@ object Retrieval {
       .agg(pivots.head, pivots.tail: _*)
       .withColumn("score", round(
         (2 to nTerms).foldLeft(col("v1"))((acc, r) => acc * col(s"v$r")), 6))
+      // a corpus with fewer than nTerms distinct terms leaves pivot
+      // columns null — emit nothing rather than null-scored ranks
+      .filter(col("score").isNotNull)
       .select(col("doc_id"), col("score"))
     val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
     top.withColumn("rank",

@@ -689,6 +689,81 @@ object GraftProperties extends Properties("graft") {
       surface(roundTrip) == surface(idx) && surface(absent) == surface(idx)
     }
 
+  property("queryLikelihoodFromIndex == the Dirichlet model computed " +
+      "in memory, on random corpora") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 10L),
+      Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e"))))) { corpusRaw =>
+      import graft.operators.Retrieval
+      val s = sq; import s.implicits._
+      val corpus = corpusRaw.distinctBy(_._1)
+      val docs = corpus.toDF("doc_id", "tok")
+      val idx = Retrieval.buildIndex(docs, "doc_id", "tok")
+      val mu = 7L // small mu so smoothing and tf both matter
+      val got = Retrieval.queryLikelihoodFromIndex(idx, 2, mu, 100)
+        .select("doc_id", "rank", "score")
+        .as[(Long, Long, Double)].collect().toSet
+      // in-memory reference: same term selection, same exact rationals,
+      // same rounding and product order
+      val nonEmpty = corpus.filter(_._2.nonEmpty)
+      val sTotal = corpus.map(_._2.size.toLong).sum
+      val want: Set[(Long, Long, Double)] =
+        if (nonEmpty.isEmpty || sTotal == 0) Set.empty
+        else {
+          val cnt = nonEmpty.flatMap(_._2).groupBy(identity)
+            .map { case (t, xs) => t -> xs.size.toLong }
+          val qts = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(2)
+          if (qts.size < 2) Set.empty // score needs both pivots non-null
+          else {
+            def rnd(x: Double, p: Int) = BigDecimal(x)
+              .setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+            val scored = nonEmpty.map { case (id, toks) =>
+              val dl = toks.size.toLong
+              val vs = qts.map { case (t, cf) =>
+                val tf = toks.count(_ == t).toLong
+                rnd(((tf * sTotal + mu * cf) * 1000L).toDouble /
+                  ((dl + mu) * sTotal).toDouble, 9)
+              }
+              (id, rnd(vs.reduceLeft(_ * _), 6))
+            }
+            scored.sortBy { case (id, sc) => (-sc, id) }.zipWithIndex
+              .map { case ((id, sc), i) => (id, i + 1L, sc) }.toSet
+          }
+        }
+      got == want
+    }
+
+  property("snippetsFromIndex picks the max-occurrence earliest window, " +
+      "vs brute force on random token arrays") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 8L),
+      Gen.nonEmptyListOf(Gen.oneOf("x", "y", "z"))))) { corpusRaw =>
+      import graft.operators.Retrieval
+      val s = sq; import s.implicits._
+      val corpus = corpusRaw.distinctBy(_._1)
+      val docs = corpus.toDF("doc_id", "tok")
+      val idx = Retrieval.buildIndex(docs, "doc_id", "tok")
+      val qterms = Retrieval.topTermsFromIndex(idx, 1)
+      val win = 3
+      val got = Retrieval.snippetsFromIndex(idx, qterms, k = 100, win)
+        .select("term", "doc_id", "window_start", "n_hits")
+        .as[(String, Long, Long, Long)].collect().toSet
+      val q = qterms.as[String].collect().head
+      // brute force: for the ranked docs (any doc containing q — k covers
+      // all), the window [p, p+win) over q's positions with most hits,
+      // earliest on ties
+      val want = corpus.flatMap { case (id, toks) =>
+        val ps = toks.zipWithIndex.collect { case (t, i) if t == q =>
+          i.toLong }
+        if (ps.isEmpty) None
+        else {
+          val best = ps.map(p =>
+              (p, ps.count(o => o >= p && o < p + win).toLong))
+            .maxBy { case (p, n) => (n, -p) }
+          Some((q, id, best._1, best._2))
+        }
+      }.toSet
+      got == want
+    }
+
   property("retractFromPack == full repack over the remaining corpus, " +
       "absent ids retract nothing") =
     forAll(
