@@ -401,6 +401,36 @@ object SimilarityQueries {
           col("code").cast("long").as("code"),
           col("n_members"), col("sum_qerr"))),
 
+    // MATRYOSHKA truncation sweep (q270, Kusupati et al. 2022): how much
+    // top-10 recall survives keeping only the first d dimensions of the
+    // embedding — the dimension-budget diagnostic behind MRL-style
+    // serving tiers (short prefixes for the hot path, full vectors for
+    // re-rank). For d ∈ {8, 16, 32, 64}: exact cosine top-10 over the
+    // d-prefix (norms recomputed over the prefix) intersected with the
+    // full-dim truth, per query. Deterministic end to end — the oracle
+    // mirrors each tier's slice/norm/rank.
+    "q270_matryoshka_recall" -> ((s, d) => {
+      val c = corpus(s, d)
+      val q = c.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(q, c, 10)
+        .select(col("query_id"), col("neighbor_id"))
+      Seq(8, 16, 32, 64).map { dim =>
+        def trunc(df: DataFrame) = {
+          val v = slice(col("vec"), 1, dim)
+          df.select(col("vec_id"), v.as("vec"), Similarity.norm(v).as("nrm"))
+        }
+        // left join (not semi) so a zero-overlap query still emits a row
+        Similarity.bruteForceTopK(trunc(q), trunc(c), 10)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(truth.withColumn("hit", lit(1L)),
+            Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+          .select(lit(dim.toLong).as("dim"), col("query_id"),
+            col("n_overlap"))
+      }.reduce(_ unionByName _)
+    }),
+
     // ACT on PQ codebook drift (q264) — q259's statistic gets its
     // consumer, the q251 discipline on the quantizer: build on the old
     // corpus (%10 != 7), delta-fold the new batch with REVERSED
@@ -1687,6 +1717,46 @@ object SimilarityQueries {
          |           ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM rr) z
          |WHERE rank <= 10""".stripMargin,
+
+    // Per tier: slice, re-norm, q28's exact ranking, left-join overlap
+    // count against the full-dim truth (zero-overlap queries keep rows).
+    "q270_matryoshka_recall" -> {
+      def tier(d: Int): String =
+        s"""t$d AS (
+           |  SELECT vec_id, vec[1:$d] AS v,
+           |         sqrt(list_dot_product(vec[1:$d], vec[1:$d])) AS nr
+           |  FROM n
+           |), top$d AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |           row_number() OVER (PARTITION BY q.vec_id
+           |             ORDER BY round(list_dot_product(q.v, c.v)
+           |               / (q.nr * c.nr), 6) DESC, c.vec_id ASC) AS rank
+           |    FROM t$d q, t$d c
+           |    WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) z
+           |  WHERE rank <= 10
+           |), ov$d AS (
+           |  SELECT CAST($d AS BIGINT) AS dim, t.query_id,
+           |         CAST(sum(CASE WHEN tr.neighbor_id IS NOT NULL
+           |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+           |  FROM top$d t LEFT JOIN truth tr
+           |    ON t.query_id = tr.query_id AND t.neighbor_id = tr.neighbor_id
+           |  GROUP BY 1, 2
+           |)""".stripMargin
+      s"""$VCte, truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY round(list_dot_product(q.vec, c.vec)
+         |               / (q.nrm * c.nrm), 6) DESC, c.vec_id ASC) AS rank
+         |    FROM n q, n c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) z
+         |  WHERE rank <= 10
+         |), ${Seq(8, 16, 32, 64).map(tier).mkString(", ")}
+         |SELECT dim, query_id, n_overlap FROM ov8
+         |UNION ALL SELECT dim, query_id, n_overlap FROM ov16
+         |UNION ALL SELECT dim, query_id, n_overlap FROM ov32
+         |UNION ALL SELECT dim, query_id, n_overlap FROM ov64""".stripMargin
+    },
 
     // Mirrors recodeDriftedSubspaces stage for stage: OLD pivots from
     // the original old corpus, the delta-state encode + per-subspace
