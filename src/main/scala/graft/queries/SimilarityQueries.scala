@@ -431,6 +431,38 @@ object SimilarityQueries {
       }.reduce(_ unionByName _)
     }),
 
+    // The MRL TIERED SERVE executed (q271): q270 measured what each
+    // prefix keeps; this runs the serving pattern those numbers justify
+    // — shortlist-50 by exact cosine over the 32-dim PREFIX (half the
+    // memory bandwidth on the hot scan), exact full-dim re-rank of the
+    // shortlist only, top-10. The pqRerankTopK two-tier economics with
+    // dimension truncation instead of quantization as the compressor.
+    // These synthetic embeddings are NOT MRL-trained (information is not
+    // front-loaded), so the safe tier is deeper than a trained model
+    // would need — q270's sweep is precisely the diagnostic that picks
+    // it; recall vs the full-dim truth measured in SimilaritySpec.
+    "q271_matryoshka_rerank" -> ((s, d) => {
+      val c = corpus(s, d)
+      val q = c.filter(col("vec_id") < 5)
+      def trunc(df: DataFrame) = {
+        val v = slice(col("vec"), 1, 32)
+        df.select(col("vec_id"), v.as("vec"), Similarity.norm(v).as("nrm"))
+      }
+      val sl = Similarity.bruteForceTopK(trunc(q), trunc(c), 50)
+        .select(col("query_id"), col("neighbor_id"))
+      val rr = sl
+        .join(q.select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+          col("nrm").as("qnrm")), Seq("query_id"))
+        .join(c.select(col("vec_id").as("neighbor_id"),
+          col("vec").as("cvec"), col("nrm").as("cnrm")), Seq("neighbor_id"))
+        .withColumn("sim", round(Similarity.cosineWithNorms(col("qvec"),
+          col("cvec"), col("qnrm"), col("cnrm")), 6))
+      Relational.topKPerGroup(rr, Seq(col("query_id")),
+          Seq(col("sim").desc, col("neighbor_id").asc), 10, "rank")
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), col("sim"))
+    }),
+
     // ACT on PQ codebook drift (q264) — q259's statistic gets its
     // consumer, the q251 discipline on the quantizer: build on the old
     // corpus (%10 != 7), delta-fold the new batch with REVERSED
@@ -1710,6 +1742,35 @@ object SimilarityQueries {
          |         round(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm), 6) AS sim
          |  FROM shortlist s JOIN n q ON s.query_id = q.vec_id
          |                   JOIN n c ON s.neighbor_id = c.vec_id
+         |)
+         |SELECT query_id, neighbor_id, rank, sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM rr) z
+         |WHERE rank <= 10""".stripMargin,
+
+    // The 32-dim tier CTE (q270's shape) widened to shortlist 50, then
+    // the exact full-dim re-rank of the shortlist, top 10.
+    "q271_matryoshka_rerank" ->
+      s"""$VCte, t32 AS (
+         |  SELECT vec_id, vec[1:32] AS v,
+         |         sqrt(list_dot_product(vec[1:32], vec[1:32])) AS nr
+         |  FROM n
+         |), sl AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY round(list_dot_product(q.v, c.v)
+         |               / (q.nr * c.nr), 6) DESC, c.vec_id ASC) AS srank
+         |    FROM t32 q, t32 c
+         |    WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) z
+         |  WHERE srank <= 50
+         |), rr AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |         round(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm), 6) AS sim
+         |  FROM sl s JOIN n q ON s.query_id = q.vec_id
+         |            JOIN n c ON s.neighbor_id = c.vec_id
          |)
          |SELECT query_id, neighbor_id, rank, sim FROM (
          |  SELECT query_id, neighbor_id, sim,

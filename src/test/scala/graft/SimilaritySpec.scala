@@ -210,6 +210,47 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall collapsed on the loaded artifact: $recall")
   }
 
+  test("matryoshka tiered serve: 16-dim shortlist + full re-rank recall " +
+      "(measured, pinned); deeper prefixes never lose recall") {
+    val c = corpus
+    val queries = c.filter(col("vec_id") < 5)
+    def topkMap(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val truth = topkMap(Similarity.bruteForceTopK(queries, c, 10))
+    def trunc(df: org.apache.spark.sql.DataFrame, d: Int) = {
+      val v = slice(col("vec"), 1, d)
+      df.select(col("vec_id"), v.as("vec"), Similarity.norm(v).as("nrm"))
+    }
+    def rerankRecall(d: Int): Double = {
+      val sl = Similarity.bruteForceTopK(trunc(queries, d), trunc(c, d), 50)
+        .select(col("query_id"), col("neighbor_id"))
+      val rr = sl
+        .join(queries.select(col("vec_id").as("query_id"),
+          col("vec").as("qvec"), col("nrm").as("qnrm")), Seq("query_id"))
+        .join(c.select(col("vec_id").as("neighbor_id"),
+          col("vec").as("cvec"), col("nrm").as("cnrm")), Seq("neighbor_id"))
+        .withColumn("sim", round(Similarity.cosineWithNorms(col("qvec"),
+          col("cvec"), col("qnrm"), col("cnrm")), 6))
+      val top = topkMap(graft.operators.Relational.topKPerGroup(rr,
+        Seq(col("query_id")),
+        Seq(col("sim").desc, col("neighbor_id").asc), 10, "rank"))
+      truth.map { case (q, t) =>
+        (t & top.getOrElse(q, Set.empty)).size / 10.0 }.sum / truth.size
+    }
+    // measured on this corpus: 16-dim 0.48, 32-dim 0.72. These synthetic
+    // embeddings are NOT MRL-trained — information is spread evenly
+    // across dimensions, so truncation costs more than a trained model
+    // would pay (front-loaded prefixes). The pins hold the measured
+    // floor and the monotone improvement; q271 serves the 32-dim tier.
+    val r16 = rerankRecall(16)
+    val r32 = rerankRecall(32)
+    info(f"matryoshka rerank recall@10: 16-dim $r16%.2f, 32-dim $r32%.2f")
+    assert(r16 >= 0.4, s"16-dim shortlist recall collapsed: $r16")
+    assert(r32 >= r16 - 1e-9, "a deeper prefix lost recall vs a shallower one")
+    assert(r32 >= 0.65, s"32-dim shortlist recall collapsed: $r32")
+  }
+
   test("recodeDriftedSubspaces: drifted-subspace quantization error drops " +
       "(measured); cold subspaces bit-identical") {
     val c = corpus
