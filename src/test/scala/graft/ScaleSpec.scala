@@ -738,6 +738,109 @@ class ScaleSpec extends SparkSpec {
   // between waves, resumed from the checkpoint, and the full emitted
   // series must equal the in-memory sequential recurrence over the
   // concatenated waves (state really survived; nothing double-counted).
+  test("streaming Misra-Gries heavy hitters: bounded keyed state survives " +
+      "kill-and-resume; sketch equals the sequential fold and keeps the " +
+      "MG guarantee") {
+    import graft.streaming.StreamingHeavyHitters
+    import graft.streaming.StreamingHeavyHitters.{Estimate, ItemEvent}
+    import org.apache.spark.sql.streaming.Trigger
+    val priorStore =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val capacity = 4
+      // group A: one genuine heavy hitter over a churning tail — "hot"
+      // (30 of 54 = well past N/(cap+1) = 10.8) must survive; group B:
+      // uniform churn, nothing must dominate
+      val w1 = Seq.fill(18)(ItemEvent("A", "hot")) ++
+        (1 to 6).flatMap(i => Seq.fill(2)(ItemEvent("A", s"t$i"))) ++
+        (1 to 8).map(i => ItemEvent("B", s"b$i"))
+      val w2 = Seq.fill(12)(ItemEvent("A", "hot")) ++
+        (7 to 12).flatMap(i => Seq.fill(2)(ItemEvent("A", s"t$i"))) ++
+        (1 to 8).map(i => ItemEvent("B", s"b$i"))
+      val streamDir = Files.createTempDirectory("graft-mg-in")
+      def drop(tag: String, evs: Seq[ItemEvent]): Unit = {
+        val tmp = Files.createTempDirectory(s"graft-mg-$tag").toString
+        evs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, streamDir.resolve(s"$tag.parquet"))
+      }
+      val outDir = Files.createTempDirectory("graft-mg-out").toString
+      val ckpt = Files.createTempDirectory("graft-mg-ckpt").toString
+      val schema = Seq.empty[ItemEvent].toDF().schema
+      def startStream() = StreamingHeavyHitters.track(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+            .as[ItemEvent], capacity)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("200 milliseconds"))
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Estimate],
+            id: Long) =>
+          // replayed/empty triggers emit nothing - don't leave
+          // schema-less parquet dirs behind
+          if (!df.isEmpty)
+            df.write.mode("overwrite").parquet(s"$outDir/d=b$id")
+        }
+        .start()
+      drop("w1", w1)
+      val q1 = startStream()
+      try {
+        val deadline = System.currentTimeMillis() + 120000
+        while (!new java.io.File(s"$outDir/d=b0").exists() &&
+          System.currentTimeMillis() < deadline) Thread.sleep(200)
+        Thread.sleep(500)
+      } finally q1.stop() // KILL between waves
+      drop("w2", w2) // arrives while the sketch is down
+      def dataDirs(): Seq[String] =
+        Option(new java.io.File(outDir).list()).map(_.toSeq)
+          .getOrElse(Seq.empty).filter(_.startsWith("d=b")).sorted
+      val q2 = startStream()
+      try {
+        val deadline = System.currentTimeMillis() + 180000
+        while (dataDirs().size < 2 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(200)
+        Thread.sleep(500)
+      } finally q2.stop()
+      // the LAST written batch's emission per group is the final sketch
+      val lastDir = dataDirs().maxBy(n => n.stripPrefix("d=b").toInt)
+      val got = spark.read.parquet(s"$outDir/$lastDir").as[Estimate]
+        .collect()
+        .groupBy(_.group)
+        .map { case (g, es) => g -> es.map(e => e.item -> e.est).toMap }
+      // reference: the shared sequential fold, wave by wave, sorted
+      // within each wave exactly as the processor folds each batch
+      val ref = (w1 ++ Nil).groupBy(_.group).keySet.map { g =>
+        val s1 = w1.filter(_.group == g).map(_.item).sorted
+          .foldLeft(Map.empty[String, Long])(
+            (m, it) => StreamingHeavyHitters.mgFold(m, it, capacity))
+        val s2 = w2.filter(_.group == g).map(_.item).sorted
+          .foldLeft(s1)(
+            (m, it) => StreamingHeavyHitters.mgFold(m, it, capacity))
+        g -> s2
+      }.toMap
+      assert(got == ref,
+        s"streamed MG sketch != sequential fold: got $got want $ref")
+      // the MG guarantee on the full stream: true(hot)=30, N=54 for A,
+      // error <= N/(cap+1) = 10.8
+      val hotEst = got("A").getOrElse("hot", 0L)
+      assert(hotEst >= 30L - 54L / (capacity + 1) - 1,
+        s"heavy hitter undercounted past the MG bound: $hotEst")
+      assert(got("A").size <= capacity && got("B").size <= capacity,
+        "sketch exceeded its capacity bound")
+    } finally {
+      priorStore match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming drift monitor continues the CUSUM fold across " +
       "kill-and-resume, equal to the batch recurrence") {
     import graft.streaming.DriftMonitor
