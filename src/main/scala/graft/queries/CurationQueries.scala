@@ -263,6 +263,26 @@ object CurationQueries {
     // the oracle's FULL two-segment rebuild, proving packing is O(|delta|)
     // under append-at-end ordering (the q112/q135/q142 incremental
     // pattern applied to the training-batch layout).
+    // TEMPERATURE-flattened mixture quotas (q272): the standard
+    // multilingual/LLM corpus-mixing move (sample p^α, α = 0.5) executed
+    // as integers — per source, token mass n, temperature weight
+    // floor(sqrt(n)) (IEEE sqrt is correctly rounded and n < 2^52 is
+    // exact in double, so the floor is engine-identical), then q205's
+    // largest-remainder apportionment of a 1000-seat budget over the
+    // FLATTENED weights. Head sources give up seats to the tail exactly
+    // as the α-temperature intends; Σ quota == 1000 always.
+    "q272_temperature_mixture" -> ((s, d) => {
+      val mass = Tables.documents(s, d)
+        .withColumn("n_tok", size(Dedup.tokens(col("text"))).cast("long"))
+        .groupBy(col("source")).agg(sum(col("n_tok")).as("n_tokens"))
+        .withColumn("weight", floor(sqrt(col("n_tokens"))).cast("long"))
+      Curation.largestRemainderQuota(mass, col("source"), col("weight"),
+          seats = 1000L)
+        .join(mass.select(col("source").as("group"), col("n_tokens")),
+          Seq("group"))
+        .select(col("group"), col("n_tokens"), col("weight"), col("quota"))
+    }),
+
     // RETRACTION for the packed tape — the q208 manifest minus a takedown
     // set (doc_id % 10 == 3), maintained incrementally: per-doc tape
     // intervals recovered from the manifest itself, the prefix before the
@@ -827,6 +847,35 @@ object CurationQueries {
         |         AS tokens_in_seq
         |FROM s, UNNEST(generate_series(s.ts // 2048, (s.te - 1) // 2048))
         |     u(seq)""".stripMargin,
+
+    // The q209 apportionment chain over floor(sqrt(token-mass)) weights.
+    "q272_temperature_mixture" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CAST(len(list_filter(string_split_regex(trim(text),
+        |              '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), mass AS (
+        |  SELECT source AS grp, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY 1
+        |), wt AS (
+        |  SELECT grp, n_tokens,
+        |         CAST(floor(sqrt(n_tokens)) AS BIGINT) AS weight
+        |  FROM mass
+        |), tot AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM wt),
+        |based AS (
+        |  SELECT grp, n_tokens, weight,
+        |         CAST((1000 * weight) // w_total AS BIGINT) AS base,
+        |         CAST((1000 * weight) % w_total AS BIGINT) AS rem
+        |  FROM wt CROSS JOIN tot
+        |),
+        |ex AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS extra FROM based)
+        |SELECT grp AS "group", n_tokens, weight,
+        |       CAST(base + CASE WHEN r <= ex.extra THEN 1 ELSE 0 END
+        |            AS BIGINT) AS quota
+        |FROM (SELECT grp, n_tokens, weight, base, rem,
+        |             row_number() OVER (ORDER BY rem DESC, grp ASC) AS r
+        |      FROM based) z CROSS JOIN ex""".stripMargin,
 
     // q211's two-segment rebuild minus the takedown set: survivors keep
     // the append-order tape ('0'-prefixed old md5 order, then the
