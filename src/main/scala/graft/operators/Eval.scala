@@ -521,6 +521,167 @@ object Eval {
           .as("kappa_ppm"))
   }
 
+  /** Per-group pair-concordance family between two QUANTIZED orderings —
+    * Kendall-style rank correlation in exact integers. With concordant
+    * pairs `C`, discordant `D`, and per-ordering tie pairs, emits
+    * `tau_a = (C−D)/(n(n−1)/2)` (tie-blind), Goodman–Kruskal
+    * `gamma = (C−D)/(C+D)` (tie-excluding), and Somers'
+    * `D_vu = (C−D)/(pairs untied in u)` (the asymmetric form with `v` as
+    * the response) — the three tie conventions that stay RATIONAL.
+    * Kendall's tau-b does not (its denominator is a square root), which
+    * is why the family ships without it; gamma and Somers' D bracket it.
+    *
+    * Exactness: all pair counts come from the CONTINGENCY CELLS
+    * `(u-value, v-value, count)`, not row pairs — `C` and `D` are sums of
+    * `n₁·n₂` over cell pairs with `u₁ < u₂`, counted once per unordered
+    * row pair. The ppm divisions go through [[stagedPpmDiv]] (numerators
+    * reach n², so direct ×10⁶ would cap n at ~3·10⁶; staged form is good
+    * to n ≈ 2·10⁹ per group).
+    *
+    * Scale shape: the cell self-join is O(V_u·V_v)² per group where V is
+    * the DISTINCT-VALUE count — the operator's contract is quantized or
+    * categorical scores (quantile buckets, star ratings, relevance
+    * grades), where V is a small constant and the join is a few thousand
+    * cell pairs regardless of row count. Row count only enters through
+    * the two keyed aggregates (cells + group sizes). Feeding it raw
+    * continuous scores degrades to the O(n²) pair join the quantized
+    * contract exists to avoid — quantize first ([[footruleAgreementPpm]]
+    * is the window-only alternative when you can't).
+    *
+    * Groups where one ordering is constant (no untied-u pairs) yield
+    * NULL gamma/somers (undefined); n ≤ 1 yields NULL tau_a.
+    */
+  def rankConcordancePpm(df: DataFrame, group: Column, u: Column,
+      v: Column): DataFrame = {
+    val g = df.select(group.as("grp"), u.cast("long").as("a"),
+      v.cast("long").as("b"))
+    val cells = g.groupBy(col("grp"), col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"))
+    val totals = g.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val tieA = g.groupBy(col("grp"), col("a")).agg(count(lit(1)).as("na"))
+      .groupBy(col("grp")).agg(sum(col("na") * (col("na") - 1)).as("ta2"))
+    val lhs = cells.select(col("grp"), col("a").as("a1"),
+      col("b").as("b1"), col("cn").as("n1"))
+    val rhs = cells.select(col("grp").as("grp_r"), col("a").as("a2"),
+      col("b").as("b2"), col("cn").as("n2"))
+    val cd = lhs.join(rhs,
+        col("grp") === col("grp_r") && col("a1") < col("a2"))
+      .groupBy(col("grp"))
+      .agg(
+        sum(when(col("b1") < col("b2"), col("n1") * col("n2"))
+          .otherwise(0L)).as("c_pairs"),
+        sum(when(col("b1") > col("b2"), col("n1") * col("n2"))
+          .otherwise(0L)).as("d_pairs"))
+    totals.join(tieA, Seq("grp"))
+      .join(cd, Seq("grp"), "left")
+      .withColumn("c_pairs", coalesce(col("c_pairs"), lit(0L)))
+      .withColumn("d_pairs", coalesce(col("d_pairs"), lit(0L)))
+      .select(col("grp"), col("n"), col("c_pairs"), col("d_pairs"),
+        when(col("n") > 1,
+          stagedPpmDiv(lit(2L) * (col("c_pairs") - col("d_pairs")),
+            col("n") * (col("n") - 1))).as("tau_a_ppm"),
+        when(col("c_pairs") + col("d_pairs") > 0,
+          stagedPpmDiv(col("c_pairs") - col("d_pairs"),
+            col("c_pairs") + col("d_pairs"))).as("gamma_ppm"),
+        when(col("n") * (col("n") - 1) > col("ta2"),
+          stagedPpmDiv(lit(2L) * (col("c_pairs") - col("d_pairs")),
+            col("n") * (col("n") - 1) - col("ta2"))).as("somers_d_ppm"))
+  }
+
+  /** Per-group BRIER SCORE with the Murphy (1973) decomposition
+    * `brier = reliability − resolution + uncertainty`, binned like
+    * [[calibrationBins]] and exact-integer end to end. Probabilities are
+    * ppm (`p ∈ [0, 10⁶]`); the squared error `(p − y·10⁶)²` is reduced to
+    * ppm scale per ROW (`div 10⁶` before summation), so each term is
+    * ≤ 10⁶ and the per-group accumulator holds to ~9·10¹² rows — the
+    * row-level truncation biases the sum by < 1 ppm total (each term
+    * loses < 1 unit, the mean re-divides by n). Reliability/resolution
+    * use the same trick on the per-bin mean gaps.
+    *
+    * The decomposition identity is exact only when forecasts are
+    * CONSTANT within each bin; otherwise the binned form carries a
+    * residual (the within-bin forecast variance minus twice the
+    * within-bin forecast/outcome covariance — Stephenson et al. 2008's
+    * generalized decomposition), bounded by the squared bin width
+    * (≤ 2500 ppm at 10 bins). That residual — plus the few-ppm integer
+    * truncation — ships as `decomp_gap_ppm` rather than being silently
+    * absorbed: near-zero means within-bin-constant forecasts, ~10³ ppm
+    * is the expected binning residual, anything larger is a bug.
+    *
+    * Scale shape: one map-side bin assign + row-local squared error, a
+    * (group, bin) aggregate (≤ `bins` rows per group), a group aggregate,
+    * and a broadcast-sized join of the two — no window, no shuffle wider
+    * than the group key.
+    */
+  def brierDecompPpm(df: DataFrame, group: Column, probPpm: Column,
+      label: Column, bins: Int = 10): DataFrame = {
+    require(bins > 1, s"bins must be > 1, got $bins")
+    val g = df.select(group.as("grp"), probPpm.cast("long").as("p"),
+        label.cast("boolean").as("y"))
+      .withColumn("yv", when(col("y"), 1000000L).otherwise(0L))
+      .withColumn("bin", expr(s"least(${bins - 1}, p * $bins div 1000000)"))
+      .withColumn("sq", expr("((p - yv) * (p - yv)) div 1000000"))
+    val binAgg = g.groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).as("n_k"), sum(col("p")).as("sp"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("sy"),
+        sum(col("sq")).as("sbr"))
+    val grpAgg = binAgg.groupBy(col("grp"))
+      .agg(sum(col("n_k")).as("n"), sum(col("sy")).as("pos"),
+        sum(col("sbr")).as("brier_num"))
+    val terms = binAgg.join(grpAgg, Seq("grp"))
+      .withColumn("conf_ppm", expr("sp div n_k"))
+      .withColumn("ybin_ppm", expr("sy * 1000000 div n_k"))
+      .withColumn("ybar_ppm", expr("pos * 1000000 div n"))
+      .withColumn("rel_t", expr(
+        "n_k * (((ybin_ppm - conf_ppm) * (ybin_ppm - conf_ppm)) div 1000000)"))
+      .withColumn("res_t", expr(
+        "n_k * (((ybin_ppm - ybar_ppm) * (ybin_ppm - ybar_ppm)) div 1000000)"))
+    terms.groupBy(col("grp"))
+      .agg(max(col("n")).as("n"), max(col("pos")).as("pos"),
+        count(lit(1)).as("n_bins_used"),
+        expr("max(brier_num) div max(n)").as("brier_ppm"),
+        expr("sum(rel_t) div max(n)").as("reliability_ppm"),
+        expr("sum(res_t) div max(n)").as("resolution_ppm"))
+      .withColumn("uncertainty_ppm",
+        stagedPpmDiv(col("pos") * (col("n") - col("pos")),
+          col("n") * col("n")))
+      .withColumn("decomp_gap_ppm",
+        col("brier_ppm") - (col("reliability_ppm") - col("resolution_ppm")
+          + col("uncertainty_ppm")))
+  }
+
+  /** Per-group McNEMAR TEST for paired classifiers — the right
+    * significance test when two models are scored on the SAME rows (the
+    * marginal-accuracy chi-square ignores the pairing and overstates
+    * variance). Counts the discordant cells `b` (A right, B wrong) and
+    * `c` (A wrong, B right); the statistic `(b−c)²/(b+c)` is χ²₁ under
+    * H₀: equal error rates. Exact rational → ppm via [[stagedPpmDiv]]
+    * ((b−c)² ≤ n² keeps headroom at n ≈ 2·10⁹ per group). The classical
+    * continuity correction `(|b−c|−1)²` is deliberately NOT applied — it
+    * is a normal-approximation patch, and the uncorrected form is the one
+    * with the exact-integer identity; callers wanting the corrected value
+    * have `b` and `c` in the output. `b + c = 0` (never-discordant pair)
+    * yields NULL, not a vacuous 0.
+    *
+    * Scale shape: one keyed aggregate — row-local correctness bits, four
+    * conditional counts, no join, no window.
+    */
+  def mcnemarPpm(df: DataFrame, group: Column, predA: Column,
+      predB: Column, label: Column): DataFrame = {
+    val g = df.select(group.as("grp"),
+      (predA.cast("boolean") === label.cast("boolean")).as("ra"),
+      (predB.cast("boolean") === label.cast("boolean")).as("rb"))
+    g.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("both_ok"),
+        sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("c"))
+      .select(col("grp"), col("n"), col("both_ok"), col("b"), col("c"),
+        when(col("b") + col("c") > 0,
+          stagedPpmDiv((col("b") - col("c")) * (col("b") - col("c")),
+            col("b") + col("c"))).as("mcnemar_ppm"))
+  }
+
   /** Per-group KRIPPENDORFF'S ALPHA (nominal metric, complete design) —
     * the multi-rater generalization [[cohenKappaPpm]] caps at two raters:
     * m ≥ 2 interchangeable raters per unit, chance agreement from the

@@ -199,6 +199,53 @@ object EvalQueries {
           col("agreement_ppm"))
     }),
 
+    // Kendall-family rank concordance per language between q221's two
+    // quantized length raters: concordant/discordant pair counts from
+    // the CONTINGENCY CELLS (never row pairs), emitting the three tie
+    // conventions that stay rational — tau-a, Goodman-Kruskal gamma,
+    // Somers' D. (tau-b's denominator is a square root; gamma and
+    // Somers' D bracket it.) The oracle spells the same cell-pair sums.
+    "q273_rank_concordance" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .withColumn("len_ns",
+          length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+      Eval.rankConcordancePpm(g, col("lang"),
+        expr("least(4, n_chars div 120)"),
+        expr("least(4, len_ns div 100)"))
+        .select(col("grp").as("lang"), col("n"), col("c_pairs"),
+          col("d_pairs"), col("tau_a_ppm"), col("gamma_ppm"),
+          col("somers_d_ppm"))
+    }),
+
+    // Brier score + Murphy decomposition of q220's pseudo-probability
+    // per source: brier = reliability - resolution + uncertainty, each
+    // term exact ppm over the same 10 calibration bins; the integer-
+    // truncation residual ships as decomp_gap_ppm instead of being
+    // absorbed. The proper-scoring-rule companion to q220's ECE bins.
+    "q274_brier_decomp" -> ((s, d) =>
+      Eval.brierDecompPpm(Tables.documents(s, d), col("source"),
+        least(lit(1000000L), col("n_chars") * 1800L),
+        col("lang") === "en", bins = 10)
+        .select(col("grp").as("source"), col("n"), col("pos"),
+          col("n_bins_used"), col("brier_ppm"), col("reliability_ppm"),
+          col("resolution_ppm"), col("uncertainty_ppm"),
+          col("decomp_gap_ppm"))),
+
+    // McNemar's paired test per source between two deterministic
+    // lang='en' classifiers (raw length >= 600 vs whitespace-stripped
+    // length >= 500): the significance test that respects the pairing —
+    // only the discordant cells b and c carry evidence. Exact ppm;
+    // b + c = 0 yields NULL, not a vacuous 0.
+    "q275_mcnemar" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .withColumn("len_ns",
+          length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+      Eval.mcnemarPpm(g, col("source"), col("n_chars") >= 600,
+        col("len_ns") >= 500, col("lang") === "en")
+        .select(col("grp").as("source"), col("n"), col("both_ok"),
+          col("b"), col("c"), col("mcnemar_ppm"))
+    }),
+
     // Two-sided CUSUM over the same per-user daily counts: the mirrored
     // chart catches DROPS (traffic loss) that q225's upward chart never
     // sees — four frames, still one keyed sort exchange.
@@ -273,6 +320,128 @@ object EvalQueries {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same cell-pair concordance sums; HUGEINT aggregates cast back to
+    // BIGINT so the driver's typed hash sees integers on both sides.
+    "q273_rank_concordance" ->
+      """WITH g AS (
+        |  SELECT lang AS grp,
+        |         least(4, n_chars // 120) AS a,
+        |         least(4, length(regexp_replace(text, '\s', '', 'g')) // 100)
+        |           AS b
+        |  FROM documents
+        |), cells AS (
+        |  SELECT grp, a, b, count(*) AS cn FROM g GROUP BY 1, 2, 3
+        |), totals AS (SELECT grp, count(*) AS n FROM g GROUP BY 1),
+        |ta AS (
+        |  SELECT grp, CAST(sum(na * (na - 1)) AS BIGINT) AS ta2
+        |  FROM (SELECT grp, a, count(*) AS na FROM g GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), cd AS (
+        |  SELECT c1.grp,
+        |         CAST(sum(CASE WHEN c1.b < c2.b THEN c1.cn * c2.cn
+        |                       ELSE 0 END) AS BIGINT) AS c_pairs,
+        |         CAST(sum(CASE WHEN c1.b > c2.b THEN c1.cn * c2.cn
+        |                       ELSE 0 END) AS BIGINT) AS d_pairs
+        |  FROM cells c1 JOIN cells c2
+        |    ON c1.grp = c2.grp AND c1.a < c2.a
+        |  GROUP BY 1
+        |)
+        |SELECT t.grp AS lang, t.n,
+        |       coalesce(cd.c_pairs, 0) AS c_pairs,
+        |       coalesce(cd.d_pairs, 0) AS d_pairs,
+        |       CASE WHEN t.n > 1 THEN
+        |         CAST(2 * (coalesce(cd.c_pairs, 0) - coalesce(cd.d_pairs, 0))
+        |              * 1000000 // (t.n * (t.n - 1)) AS BIGINT)
+        |       END AS tau_a_ppm,
+        |       CASE WHEN coalesce(cd.c_pairs, 0) + coalesce(cd.d_pairs, 0) > 0
+        |       THEN
+        |         CAST((cd.c_pairs - cd.d_pairs) * 1000000
+        |              // (cd.c_pairs + cd.d_pairs) AS BIGINT)
+        |       END AS gamma_ppm,
+        |       CASE WHEN t.n * (t.n - 1) > ta.ta2 THEN
+        |         CAST(2 * (coalesce(cd.c_pairs, 0) - coalesce(cd.d_pairs, 0))
+        |              * 1000000 // (t.n * (t.n - 1) - ta.ta2) AS BIGINT)
+        |       END AS somers_d_ppm
+        |FROM totals t JOIN ta ON t.grp = ta.grp
+        |LEFT JOIN cd ON t.grp = cd.grp""".stripMargin,
+
+    // Murphy decomposition mirrored bin by bin: row-level sq // 1e6,
+    // per-bin gap terms // 1e6, group means // n — every truncation in
+    // the same place as the Spark side.
+    "q274_brier_decomp" ->
+      """WITH g AS (
+        |  SELECT source AS grp, least(1000000, n_chars * 1800) AS p,
+        |         (lang = 'en') AS y
+        |  FROM documents
+        |), r AS (
+        |  SELECT grp, p, y,
+        |         least(9, p * 10 // 1000000) AS bin,
+        |         ((p - CASE WHEN y THEN 1000000 ELSE 0 END)
+        |          * (p - CASE WHEN y THEN 1000000 ELSE 0 END)) // 1000000
+        |           AS sq
+        |  FROM g
+        |), ba AS (
+        |  SELECT grp, bin, count(*) AS n_k,
+        |         CAST(sum(p) AS BIGINT) AS sp,
+        |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS sy,
+        |         CAST(sum(sq) AS BIGINT) AS sbr
+        |  FROM r GROUP BY 1, 2
+        |), ga AS (
+        |  SELECT grp, CAST(sum(n_k) AS BIGINT) AS n,
+        |         CAST(sum(sy) AS BIGINT) AS pos,
+        |         CAST(sum(sbr) AS BIGINT) AS brier_num
+        |  FROM ba GROUP BY 1
+        |), t AS (
+        |  SELECT ba.grp, ba.n_k,
+        |         sp // n_k AS conf_ppm,
+        |         sy * 1000000 // n_k AS ybin_ppm,
+        |         pos * 1000000 // n AS ybar_ppm
+        |  FROM ba JOIN ga ON ba.grp = ga.grp
+        |), t2 AS (
+        |  SELECT grp, count(*) AS n_bins_used,
+        |         CAST(sum(n_k * (((ybin_ppm - conf_ppm)
+        |                          * (ybin_ppm - conf_ppm)) // 1000000))
+        |           AS BIGINT) AS rel_num,
+        |         CAST(sum(n_k * (((ybin_ppm - ybar_ppm)
+        |                          * (ybin_ppm - ybar_ppm)) // 1000000))
+        |           AS BIGINT) AS res_num
+        |  FROM t GROUP BY 1
+        |)
+        |SELECT ga.grp AS source, ga.n, ga.pos, t2.n_bins_used,
+        |       CAST(brier_num // n AS BIGINT) AS brier_ppm,
+        |       CAST(rel_num // n AS BIGINT) AS reliability_ppm,
+        |       CAST(res_num // n AS BIGINT) AS resolution_ppm,
+        |       CAST(pos * (n - pos) * 1000000 // (n * n) AS BIGINT)
+        |         AS uncertainty_ppm,
+        |       CAST(brier_num // n
+        |            - (rel_num // n - res_num // n
+        |               + pos * (n - pos) * 1000000 // (n * n)) AS BIGINT)
+        |         AS decomp_gap_ppm
+        |FROM ga JOIN t2 ON ga.grp = t2.grp""".stripMargin,
+
+    "q275_mcnemar" ->
+      """WITH g AS (
+        |  SELECT source AS grp,
+        |         (n_chars >= 600) = (lang = 'en') AS ra,
+        |         (length(regexp_replace(text, '\s', '', 'g')) >= 500)
+        |           = (lang = 'en') AS rb
+        |  FROM documents
+        |), a AS (
+        |  SELECT grp, count(*) AS n,
+        |         CAST(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS both_ok,
+        |         CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS b,
+        |         CAST(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS c
+        |  FROM g GROUP BY 1
+        |)
+        |SELECT grp AS source, n, both_ok, b, c,
+        |       CASE WHEN b + c > 0 THEN
+        |         CAST((b - c) * (b - c) * 1000000 // (b + c) AS BIGINT)
+        |       END AS mcnemar_ppm
+        |FROM a""".stripMargin,
+
     "q219_auc" ->
       """WITH g AS (
         |  SELECT source AS grp, (lang = 'en') AS y, n_chars AS s

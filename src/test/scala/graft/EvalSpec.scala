@@ -212,6 +212,160 @@ class EvalSpec extends SparkSpec {
       "the incomplete unit must drop without perturbing alpha")
   }
 
+  // ------------------------------------------------------- concordance
+
+  test("rankConcordancePpm: perfect=1e6, reversed=-1e6, constant-u NULLs") {
+    val df = Seq(
+      ("up", 1L, 10L), ("up", 2L, 20L), ("up", 3L, 30L),
+      ("dn", 1L, 30L), ("dn", 2L, 20L), ("dn", 3L, 10L),
+      ("flat", 5L, 1L), ("flat", 5L, 2L), ("flat", 5L, 3L))
+      .toDF("grp", "u", "v")
+    val out = Eval.rankConcordancePpm(df, col("grp"), col("u"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("up").getLong(4) == 1000000L)   // tau_a
+    assert(out("up").getLong(5) == 1000000L)   // gamma
+    assert(out("up").getLong(6) == 1000000L)   // somers
+    assert(out("dn").getLong(4) == -1000000L)
+    assert(out("dn").getLong(5) == -1000000L)
+    // constant u: no untied-u pairs -> gamma and somers undefined
+    assert(out("flat").getLong(2) == 0L && out("flat").getLong(3) == 0L)
+    assert(out("flat").getLong(4) == 0L)       // tau_a = 0 (all tied)
+    assert(out("flat").isNullAt(5) && out("flat").isNullAt(6))
+  }
+
+  test("rankConcordancePpm hand case with ties: C=4 D=1 Ta=1") {
+    // rows (u,v): (1,1) (1,2) (2,1) (3,3): pairs
+    //   (r1,r2): u tied        -> neither C nor D (Ta pair)
+    //   (r1,r3): u<, v=        -> tie in v only
+    //   (r1,r4): u<, v<        -> C
+    //   (r2,r3): u<, v>        -> D
+    //   (r2,r4): u<, v<        -> C
+    //   (r3,r4): u<, v<        -> C
+    // C=3 D=1, n=4: tau_a=(3-1)/6=333333, gamma=2/4=500000,
+    // somers=(3-1)/(6-1)=400000
+    val df = Seq(("g", 1L, 1L), ("g", 1L, 2L), ("g", 2L, 1L),
+      ("g", 3L, 3L)).toDF("grp", "u", "v")
+    val r = Eval.rankConcordancePpm(df, col("grp"), col("u"), col("v"))
+      .collect().head
+    assert((r.getLong(2), r.getLong(3)) == ((3L, 1L)))
+    assert(r.getLong(4) == 333333L)
+    assert(r.getLong(5) == 500000L)
+    assert(r.getLong(6) == 400000L)
+  }
+
+  test("rankConcordancePpm equals brute-force pair counting on a seeded sample") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 80).map { _ =>
+      ("g", rnd.nextInt(6).toLong, rnd.nextInt(6).toLong) }
+    val r = Eval.rankConcordancePpm(rows.toDF("grp", "u", "v"),
+      col("grp"), col("u"), col("v")).collect().head
+    var c = 0L; var d = 0L; var ta = 0L
+    for (i <- rows.indices; j <- rows.indices if i < j) {
+      val (_, u1, v1) = rows(i); val (_, u2, v2) = rows(j)
+      if (u1 != u2) {
+        if ((u1 < u2) == (v1 < v2) && v1 != v2) c += 1
+        else if (v1 != v2) d += 1
+      } else ta += 1
+    }
+    val n = rows.size.toLong
+    assert((r.getLong(2), r.getLong(3)) == ((c, d)))
+    assert(r.getLong(4) == 2L * (c - d) * 1000000L / (n * (n - 1)))
+    assert(r.getLong(5) == (c - d) * 1000000L / (c + d))
+    assert(r.getLong(6) ==
+      2L * (c - d) * 1000000L / (n * (n - 1) - 2L * ta))
+  }
+
+  // ------------------------------------------------------------- brier
+
+  test("brierDecompPpm: perfect forecast has brier=0 and gap=0") {
+    val df = Seq(("g", 1000000L, true), ("g", 0L, false))
+      .toDF("grp", "p", "y")
+    val r = Eval.brierDecompPpm(df, col("grp"), col("p"), col("y"))
+      .collect().head
+    assert(r.getAs[Long]("brier_ppm") == 0L)
+    assert(r.getAs[Long]("reliability_ppm") == 0L)
+    // resolution == uncertainty == 250000 (ybar=1/2), identity exact here
+    assert(r.getAs[Long]("resolution_ppm") == 250000L)
+    assert(r.getAs[Long]("uncertainty_ppm") == 250000L)
+    assert(r.getAs[Long]("decomp_gap_ppm") == 0L)
+  }
+
+  test("brierDecompPpm: constant p=ybar forecast has resolution 0, " +
+      "brier ~= uncertainty") {
+    // p = 500000 on 2 pos + 2 neg: brier = (5e5)^2/1e12 = 250000 ppm,
+    // reliability 0 (bin mean == bin outcome rate), resolution 0
+    val df = Seq(("g", 500000L, true), ("g", 500000L, true),
+      ("g", 500000L, false), ("g", 500000L, false)).toDF("grp", "p", "y")
+    val r = Eval.brierDecompPpm(df, col("grp"), col("p"), col("y"))
+      .collect().head
+    assert(r.getAs[Long]("brier_ppm") == 250000L)
+    assert(r.getAs[Long]("reliability_ppm") == 0L)
+    assert(r.getAs[Long]("resolution_ppm") == 0L)
+    assert(r.getAs[Long]("uncertainty_ppm") == 250000L)
+    assert(r.getAs[Long]("decomp_gap_ppm") == 0L)
+  }
+
+  test("brierDecompPpm matches a scalar replay of the integer arithmetic " +
+      "and the binning residual stays within its theoretical envelope") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 400).map { _ =>
+      val p = rnd.nextInt(1000001).toLong
+      ("g", p, rnd.nextInt(1000000) < p) // calibrated-ish
+    }
+    val r = Eval.brierDecompPpm(rows.toDF("grp", "p", "y"),
+      col("grp"), col("p"), col("y")).collect().head
+    // scalar replay with identical truncation points
+    val n = rows.size.toLong
+    val pos = rows.count(_._3).toLong
+    val brier = rows.map { case (_, p, y) =>
+      val yv = if (y) 1000000L else 0L; ((p - yv) * (p - yv)) / 1000000L
+    }.sum / n
+    val bins = rows.groupBy { case (_, p, _) =>
+      math.min(9L, p * 10L / 1000000L) }
+    val ybar = pos * 1000000L / n
+    val rel = bins.values.map { g =>
+      val nk = g.size.toLong
+      val conf = g.map(_._2).sum / nk
+      val ybin = g.count(_._3).toLong * 1000000L / nk
+      nk * (((ybin - conf) * (ybin - conf)) / 1000000L)
+    }.sum / n
+    val res = bins.values.map { g =>
+      val nk = g.size.toLong
+      val ybin = g.count(_._3).toLong * 1000000L / nk
+      nk * (((ybin - ybar) * (ybin - ybar)) / 1000000L)
+    }.sum / n
+    val unc = pos * (n - pos) * 1000000L / (n * n)
+    assert(r.getAs[Long]("brier_ppm") == brier)
+    assert(r.getAs[Long]("reliability_ppm") == rel)
+    assert(r.getAs[Long]("resolution_ppm") == res)
+    assert(r.getAs[Long]("uncertainty_ppm") == unc)
+    assert(r.getAs[Long]("decomp_gap_ppm") == brier - (rel - res + unc))
+    // Stephenson residual: |gap| is bounded by the within-bin forecast
+    // variance scale — bin width 1e5 => variance <= width^2/4 = 2500 ppm,
+    // covariance can at most double it (plus ppm truncation slack).
+    assert(math.abs(r.getAs[Long]("decomp_gap_ppm")) <= 5000L,
+      "binning residual must stay within the bin-width envelope")
+  }
+
+  // ----------------------------------------------------------- mcnemar
+
+  test("mcnemarPpm: hand case b=3 c=1 -> 1e6; never-discordant -> NULL") {
+    // label always true; A predicts true except 1 row, B true except 3
+    // other rows => b = |A right, B wrong| = 3, c = 1
+    val df = Seq(
+      ("g", true, true, true),   // both right
+      ("g", false, true, true),  // c: A wrong B right
+      ("g", true, false, true), ("g", true, false, true),
+      ("g", true, false, true),  // b x3
+      ("same", true, true, true), ("same", false, false, true))
+      .toDF("grp", "a", "b", "y")
+    val out = Eval.mcnemarPpm(df, col("grp"), col("a"), col("b"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g").getLong(3) == 3L && out("g").getLong(4) == 1L)
+    assert(out("g").getLong(5) == 1000000L) // (3-1)^2/(3+1) = 1
+    assert(out("same").isNullAt(5))
+  }
+
   // -------------------------------------------------------------- stump
 
   test("giniStump: perfect split scores n*1e6 and picks the boundary; " +
