@@ -716,4 +716,70 @@ object Curation {
           .as("chunk"))
       .withColumn("chunk_len", length(col("chunk")).cast("long"))
   }
+
+  /** DSIR-style data selection via hashed-n-gram importance weights (Xie
+    * et al. 2023, arXiv:2302.03169): score every document by how much its
+    * hashed BIGRAM features look like the `target` slice relative to the
+    * raw corpus, so a top-quota selection shifts the mixture toward the
+    * target domain without a trained classifier. DSIR's weight is the
+    * log-likelihood ratio `Σ_f c_f·(log p_tgt(f) − log p_raw(f))`; logs
+    * are irrational, so this is the engine's exact-integer analogue —
+    * the length-normalized mean RATE RATIO: per feature,
+    * `ratio_ppm = (tc·10⁹ div TT)·10⁶ div (rc·10⁹ div RT)` (target rate
+    * over raw rate, both in parts-per-billion first so neither side
+    * multiplies two corpus-scale counts), and per document
+    * `score_ppm = Σ ratio_ppm(f_i) div n_feat` — 10⁶ means "looks
+    * exactly as target-like as the average raw token", higher means
+    * target-shifted. Monotone in the same direction as DSIR's ratio on
+    * every feature, and bit-stable across engines/partitionings, which
+    * the log form is not.
+    *
+    * Features a document shares with NO target doc contribute 0 — raw
+    * unsmoothed rates (DSIR smooths because it exponentiates; a mean of
+    * ratios needs no smoothing to stay finite). Buckets so rare that
+    * `rc·10⁹ < RT` (raw rate rounds to 0 ppb) yield NULL ratios and are
+    * dropped defensively — unreachable while `buckets ≪ 10⁹` because
+    * hashing makes every nonempty bucket carry ≥ RT/10⁹ mass long
+    * before corpora reach that size.
+    *
+    * Scale shape: bigram instances are row-local (`transform` over the
+    * token array); the feature table is two keyed aggregates down to
+    * `buckets` rows; scoring joins instances to that BROADCAST table and
+    * aggregates per doc — one doc-keyed shuffle, nothing wider.
+    * Overflow: `tc·10⁹` caps a bucket's target count at ~9·10⁹
+    * instances; with 2⁷–2¹⁰ buckets that is a multi-trillion-token
+    * corpus per selection group.
+    *
+    * @param docs   tokenized documents
+    * @param target boolean column over `docs`: the domain to upweight
+    * @return (idCol, n_feat, score_ppm), one row per doc with ≥ 1 bigram
+    */
+  def dsirImportance(docs: DataFrame, idCol: String, tokCol: String,
+      target: Column, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val inst = docs
+      .select(col(idCol), target.as("_tgt"), col(tokCol).as("_tok"))
+      .filter(size(col("_tok")) >= 2)
+      .select(col(idCol), col("_tgt"),
+        explode(transform(sequence(lit(0), size(col("_tok")) - 2),
+          i => concat_ws(" ", col("_tok")(i), col("_tok")(i + 1))))
+          .as("_bg"))
+      .select(col(idCol), col("_tgt"),
+        (conv(substring(md5(col("_bg")), 1, 8), 16, 10).cast("long")
+          % buckets).as("bucket"))
+    val rates = inst.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("rc"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("tc"))
+    val totals = rates.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
+    val ratio = rates.crossJoin(broadcast(totals))
+      .withColumn("rr_ppb", expr("rc * 1000000000 div rt"))
+      .withColumn("tr_ppb", expr("tc * 1000000000 div tt"))
+      .filter(col("rr_ppb") > 0)
+      .select(col("bucket"), expr("tr_ppb * 1000000 div rr_ppb").as("ratio_ppm"))
+    inst.join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feat"), sum(col("ratio_ppm")).as("_s"))
+      .select(col(idCol), col("n_feat"),
+        expr("_s div n_feat").as("score_ppm"))
+  }
 }

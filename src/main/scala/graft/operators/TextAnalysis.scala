@@ -874,4 +874,54 @@ object TextAnalysis {
       .limit(k)
       .select(col("phrase"), col("score_ppm"), col("n_occurrences"))
   }
+
+  /** Cluster LABELING by term lift (the c-TF-IDF idea behind topic "data
+    * maps": BERTopic, Grootendorst 2022, arXiv:2203.05794 — re-expressed
+    * without the log): for each cluster, the top-`topK` terms whose
+    * in-cluster rate most exceeds their corpus rate. Lift is the exact
+    * rate ratio in the [[graft.operators.Curation.dsirImportance]]
+    * discipline — both rates pass through parts-per-billion so no
+    * corpus-scale product ever forms:
+    * `lift_ppm = (cnt_cell·10⁹ div tot_cell)·10⁶ div (cnt_corp·10⁹ div tot_corp)`.
+    * 10⁶ = "exactly at corpus rate"; a cluster's label terms run 10-100×.
+    * `minCount` suppresses hapax noise (a term seen once in a tiny cell
+    * has huge lift and zero descriptive value). Ties break (lift desc,
+    * cnt_cell desc, term asc) — fully deterministic.
+    *
+    * Scale shape: token instances join the (id → cluster) assignment on
+    * the doc key (one doc-keyed shuffle), then two keyed aggregates —
+    * (cluster, term) and term — and a broadcast of the 1-row corpus
+    * total; ranking is one window over the (cluster, term) aggregate,
+    * which is vocabulary-sized, not corpus-sized.
+    *
+    * @param assign  (idCol, clusterCol) one row per doc
+    * @param docs    tokenized documents
+    * @return (clusterCol, rank, term, cnt_cell, lift_ppm)
+    */
+  def clusterTermLift(assign: DataFrame, docs: DataFrame, idCol: String,
+      tokCol: String, clusterCol: String, topK: Int,
+      minCount: Long): DataFrame = {
+    val inst = tokenInstances(docs, idCol, tokCol)
+      .join(assign.select(col(idCol), col(clusterCol)), Seq(idCol))
+    val cellTerm = inst.groupBy(col(clusterCol), col("term"))
+      .agg(count(lit(1)).as("cnt_cell"))
+    val cellTot = cellTerm.groupBy(col(clusterCol))
+      .agg(sum(col("cnt_cell")).as("tot_cell"))
+    val corpTerm = inst.groupBy(col("term")).agg(count(lit(1)).as("cnt_corp"))
+    val corpTot = corpTerm.agg(sum(col("cnt_corp")).as("tot_corp"))
+    val scored = cellTerm
+      .filter(col("cnt_cell") >= minCount)
+      .join(cellTot, Seq(clusterCol))
+      .join(corpTerm, Seq("term"))
+      .crossJoin(broadcast(corpTot))
+      .withColumn("cell_ppb", expr("cnt_cell * 1000000000 div tot_cell"))
+      .withColumn("corp_ppb", expr("cnt_corp * 1000000000 div tot_corp"))
+      .filter(col("corp_ppb") > 0)
+      .withColumn("lift_ppm", expr("cell_ppb * 1000000 div corp_ppb"))
+    graft.operators.Relational.topKPerGroup(scored, Seq(col(clusterCol)),
+        Seq(col("lift_ppm").desc, col("cnt_cell").desc, col("term").asc),
+        topK, "rank")
+      .select(col(clusterCol), col("rank").cast("long").as("rank"),
+        col("term"), col("cnt_cell"), col("lift_ppm"))
+  }
 }

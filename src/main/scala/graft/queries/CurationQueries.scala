@@ -271,6 +271,25 @@ object CurationQueries {
     // largest-remainder apportionment of a 1000-seat budget over the
     // FLATTENED weights. Head sources give up seats to the tail exactly
     // as the α-temperature intends; Σ quota == 1000 always.
+    // DSIR-style importance selection (Xie et al. 2023): score every doc
+    // by its hashed-bigram rate ratio against the lang='en' target slice
+    // and keep the top 100 — domain-targeted data selection with no
+    // trained classifier, exact integers end to end (the log-likelihood
+    // ratio's monotone no-log analogue; see Curation.dsirImportance).
+    // The 128-bucket ratio table broadcasts; en docs should dominate the
+    // selection (asserted in CurationSpec).
+    "q276_dsir_importance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("tok", Dedup.tokens(col("text")))
+      Curation.dsirImportance(docs, "doc_id", "tok",
+          col("lang") === "en", buckets = 128)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .orderBy(col("score_ppm").desc, col("doc_id").asc)
+        .limit(100)
+        .select(col("doc_id"), col("lang"), col("n_feat"), col("score_ppm"))
+    }),
+
     "q272_temperature_mixture" -> ((s, d) => {
       val mass = Tables.documents(s, d)
         .withColumn("n_tok", size(Dedup.tokens(col("text"))).cast("long"))
@@ -340,6 +359,46 @@ object CurationQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // Same hashed-bigram features (md5 first-8-hex mod 128), same
+    // ppb-rate ratio truncation points, same top-100 total order.
+    "q276_dsir_importance" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split_regex(trim(text), '\s+'),
+        |                     x -> x <> '') AS tok
+        |  FROM documents
+        |), inst AS (
+        |  SELECT doc_id, (lang = 'en') AS tgt,
+        |         ('0x' || substr(md5(bg), 1, 8))::BIGINT % 128 AS bucket
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |           unnest(list_transform(range(1, len(tok)),
+        |             i -> tok[i] || ' ' || tok[i + 1])) AS bg
+        |    FROM t WHERE len(tok) >= 2)
+        |), rates AS (
+        |  SELECT bucket, count(*) AS rc,
+        |         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc
+        |  FROM inst GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(rc) AS BIGINT) AS rt,
+        |         CAST(sum(tc) AS BIGINT) AS tt
+        |  FROM rates
+        |), ratio AS (
+        |  SELECT bucket,
+        |         CAST((tc * 1000000000 // tt) * 1000000
+        |              // (rc * 1000000000 // rt) AS BIGINT) AS ratio_ppm
+        |  FROM rates, tot
+        |  WHERE rc * 1000000000 // rt > 0
+        |), sc AS (
+        |  SELECT i.doc_id, count(*) AS n_feat,
+        |         CAST(sum(ratio_ppm) AS BIGINT) AS s
+        |  FROM inst i JOIN ratio USING (bucket) GROUP BY 1
+        |)
+        |SELECT sc.doc_id, d.lang, n_feat,
+        |       CAST(s // n_feat AS BIGINT) AS score_ppm
+        |FROM sc JOIN documents d USING (doc_id)
+        |ORDER BY score_ppm DESC, sc.doc_id ASC LIMIT 100""".stripMargin,
+
     "q226_chunk_overlap" ->
       """WITH d AS (
         |  SELECT doc_id, text, length(text) AS len FROM documents

@@ -149,6 +149,23 @@ object SimilarityQueries {
           col("rank").cast("long").as("rank"), col("sim"))
     }),
 
+    // Cluster LABELING — the "data map" readout over the IVF cells: for
+    // every q29 cell, the 5 terms whose in-cell rate most exceeds their
+    // corpus rate (c-TF-IDF without the log; exact ppb-rate lift).
+    // Embeddings cluster the docs, text names the clusters — the
+    // cross-modal join is vec_id == doc_id. minCount=3 suppresses hapax
+    // noise.
+    "q277_cluster_labels" -> ((s, d) => {
+      val c = corpus(s, d)
+      val cents = c.filter(col("vec_id") % 50 === 0)
+      val assign = Similarity.assignToCentroids(c, cents)
+        .select(col("vec_id").as("doc_id"), col("centroid_id"))
+      val docs = Tables.documents(s, d)
+        .withColumn("tok", graft.operators.Dedup.tokens(col("text")))
+      graft.operators.TextAnalysis.clusterTermLift(assign, docs,
+        "doc_id", "tok", "centroid_id", topK = 5, minCount = 3L)
+    }),
+
     // IVF with k-means centroids (the production centroid path). No SQL
     // oracle (iterative float means aren't cross-engine stable); driver
     // rows-only + recall comparison in SimilaritySpec.
@@ -1360,6 +1377,54 @@ object SimilarityQueries {
          |         row_number() OVER (PARTITION BY query_id
          |           ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM scored) t
+         |WHERE rank <= 5""".stripMargin,
+
+    // q29's assignment CTE + the ppb-rate lift arithmetic, truncation
+    // point for truncation point.
+    "q277_cluster_labels" ->
+      s"""$VCte, cents AS (
+         |  SELECT vec_id AS centroid_id, vec AS centvec, nrm AS centnrm
+         |  FROM n WHERE vec_id % 50 = 0
+         |), assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT n.vec_id, c.centroid_id,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY round(list_dot_product(n.vec, c.centvec)
+         |               / (n.nrm * c.centnrm), 6) DESC, c.centroid_id ASC) AS crank
+         |    FROM n, cents c) t
+         |  WHERE crank = 1
+         |), tk AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(trim(text), '\\s+'),
+         |                     x -> x <> '') AS tok
+         |  FROM documents
+         |), inst AS (
+         |  SELECT a.centroid_id, i.term
+         |  FROM (SELECT doc_id, unnest(tok) AS term FROM tk) i
+         |  JOIN assigned a ON i.doc_id = a.vec_id
+         |), cell AS (
+         |  SELECT centroid_id, term, count(*) AS cnt_cell
+         |  FROM inst GROUP BY 1, 2
+         |), ctot AS (
+         |  SELECT centroid_id, CAST(sum(cnt_cell) AS BIGINT) AS tot_cell
+         |  FROM cell GROUP BY 1
+         |), corp AS (SELECT term, count(*) AS cnt_corp FROM inst GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt_corp) AS BIGINT) AS tot_corp FROM corp),
+         |scored AS (
+         |  SELECT c.centroid_id, c.term, c.cnt_cell,
+         |         CAST((c.cnt_cell * 1000000000 // ct.tot_cell) * 1000000
+         |              // (co.cnt_corp * 1000000000 // t2.tot_corp)
+         |           AS BIGINT) AS lift_ppm
+         |  FROM cell c JOIN ctot ct USING (centroid_id)
+         |  JOIN corp co USING (term), tot t2
+         |  WHERE c.cnt_cell >= 3
+         |    AND co.cnt_corp * 1000000000 // t2.tot_corp > 0
+         |)
+         |SELECT centroid_id, rank, term, cnt_cell, lift_ppm FROM (
+         |  SELECT centroid_id, term, cnt_cell, lift_ppm,
+         |         row_number() OVER (PARTITION BY centroid_id
+         |           ORDER BY lift_ppm DESC, cnt_cell DESC, term ASC) AS rank
+         |  FROM scored) z
          |WHERE rank <= 5""".stripMargin,
 
     "q30_embed_near_dup" ->

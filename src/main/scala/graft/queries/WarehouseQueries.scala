@@ -545,6 +545,16 @@ object WarehouseQueries {
         .select(col("node").as("partkey"), col("n_triangles"))
     }),
 
+    // Per-node local clustering coefficient over the same co-occurrence
+    // graph: 2T(v)/(deg(v)(deg(v)-1)) in exact ppm — clique-like pockets
+    // vs hub-and-spoke stars. Triangles ride q116's degree-ordered
+    // orientation; the oracle recounts them from the u<v<w triple join,
+    // so the hash match re-proves the orientation AND the ratio.
+    "q278_clustering_coeff" -> ((s, d) =>
+      Graph.clusteringCoefficients(coEdges(s, d), "item_a", "item_b")
+        .select(col("node").as("partkey"), col("degree"),
+          col("n_triangles"), col("ccoef_ppm"))),
+
     // Multi-source BFS: minimum hop distance (<= 3) from the seed set
     // (partkeys ending in 00) over the co-occurrence graph — reachability /
     // blast-radius analysis. Level-synchronous frontier joins; the oracle
@@ -1113,6 +1123,31 @@ object WarehouseQueries {
          |SELECT node AS partkey, count(*) AS n_triangles
          |FROM (SELECT unnest([x, y, z]) AS node FROM tri)
          |GROUP BY 1""".stripMargin,
+
+    // Triangles from the triple join + degrees from the canonical edge
+    // list; the ppm ratio with NULL below degree 2.
+    "q278_clustering_coeff" ->
+      s"""WITH $CoocEdgesCte,
+         |tri AS (
+         |  SELECT a.p1 AS x, a.p2 AS y, b.p2 AS z
+         |  FROM edges a JOIN edges b ON a.p2 = b.p1
+         |  JOIN edges c ON c.p1 = a.p1 AND c.p2 = b.p2
+         |), tcnt AS (
+         |  SELECT node, count(*) AS n_tri
+         |  FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+         |  GROUP BY 1
+         |), deg AS (
+         |  SELECT node, count(*) AS degree
+         |  FROM (SELECT unnest([p1, p2]) AS node FROM edges)
+         |  GROUP BY 1
+         |)
+         |SELECT d.node AS partkey, CAST(d.degree AS BIGINT) AS degree,
+         |       CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+         |       CASE WHEN d.degree >= 2 THEN
+         |         CAST(2 * coalesce(t.n_tri, 0) * 1000000
+         |              // (d.degree * (d.degree - 1)) AS BIGINT)
+         |       END AS ccoef_ppm
+         |FROM deg d LEFT JOIN tcnt t USING (node)""".stripMargin,
 
     // The declarative fixpoint the frontier iteration must equal.
     "q117_bfs_hops" ->

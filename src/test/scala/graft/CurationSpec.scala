@@ -293,4 +293,54 @@ class CurationSpec extends SparkSpec {
       assert(covered.toSet == (1L to len).toSet, s"doc $id coverage")
     }
   }
+
+  test("dsirImportance hand case: pure-target bigram scores 2e6, " +
+      "pure-raw-exclusive scores 0") {
+    // tc(alpha beta)=2 rc=2, tc(gamma delta)=0 rc=2, TT=2 RT=4:
+    // ratio(ab) = (2e9 div 2)*1e6 div (2e9 div 4) = 2e6; ratio(gd) = 0
+    val docs = Seq(
+      (1L, true, Seq("alpha", "beta")), (2L, true, Seq("alpha", "beta")),
+      (3L, false, Seq("gamma", "delta")), (4L, false, Seq("gamma", "delta")))
+      .toDF("doc_id", "tgt", "tok")
+    val got = Curation.dsirImportance(docs, "doc_id", "tok", col("tgt"), 128)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((1L, 2000000L)) && got(2L) == ((1L, 2000000L)))
+    assert(got(3L) == ((1L, 0L)) && got(4L) == ((1L, 0L)))
+  }
+
+  test("dsirImportance is invariant under uniform corpus duplication " +
+      "(rates cancel exactly, including truncation)") {
+    val docs = Tables.documents(spark, dir).limit(120)
+      .withColumn("tok", graft.operators.Dedup.tokens(col("text")))
+      .select(col("doc_id"), col("lang"), col("tok"))
+    val base = Curation.dsirImportance(docs, "doc_id", "tok",
+        col("lang") === "en", 128)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val doubled = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + 100000L))
+    val dup = Curation.dsirImportance(doubled, "doc_id", "tok",
+        col("lang") === "en", 128)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(base.forall { case (id, s) => dup(id) == s && dup(id + 100000L) == s },
+      "doubling every doc must not move any score by even 1 ppm")
+  }
+
+  test("dsirImportance shifts the selection toward the target domain " +
+      "on the real corpus") {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("tok", graft.operators.Dedup.tokens(col("text")))
+    val scored = Curation.dsirImportance(docs, "doc_id", "tok",
+        col("lang") === "en", 128)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+    val top = scored.orderBy(col("score_ppm").desc, col("doc_id").asc)
+      .limit(100).collect()
+    val enTop = top.count(_.getAs[String]("lang") == "en")
+    val enAll = docs.filter(col("lang") === "en").count()
+    val frac = docs.count()
+    // en is ~1/5 of the corpus; the top-100 selection must be en-heavier
+    assert(enTop * frac > 100L * enAll * 3 / 2,
+      s"top-100 en share ($enTop/100) must beat the corpus share " +
+        s"($enAll/$frac) by >= 1.5x")
+  }
 }

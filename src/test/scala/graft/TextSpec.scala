@@ -399,4 +399,29 @@ class TextSpec extends SparkSpec {
     assert((1 to 10).forall(i => 2580480L % (i.toLong * (1L << i)) == 0L),
       "every cascade term must divide the scaling constant exactly")
   }
+
+  test("clusterTermLift hand case: over-represented terms rank first, " +
+      "minCount suppresses rare terms") {
+    // cluster 10 tokens {x,x,x,y}, cluster 20 {y,y,y,z}; corpus
+    // x:3 y:4 z:1 of 8. lift(10,x) = (3e9 div 4)*1e6 div (3e9 div 8)
+    // = 2e6; lift(10,y) = 5e5; lift(20,y) = 1.5e6; lift(20,z) = 2e6.
+    val assign = Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "cell")
+    val docs = Seq(
+      (1L, Seq("x", "x", "x", "y")), (2L, Seq("y", "y", "y", "z")))
+      .toDF("doc_id", "tok")
+    val got = TextAnalysis.clusterTermLift(assign, docs, "doc_id", "tok",
+        "cell", topK = 2, minCount = 1L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got((10L, 1L)) == (("x", 3L, 2000000L)))
+    assert(got((10L, 2L)) == (("y", 1L, 500000L)))
+    assert(got((20L, 1L)) == (("z", 1L, 2000000L)))
+    assert(got((20L, 2L)) == (("y", 3L, 1500000L)))
+    // minCount = 3 drops the hapax terms entirely
+    val pruned = TextAnalysis.clusterTermLift(assign, docs, "doc_id",
+        "tok", "cell", topK = 2, minCount = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(pruned == Set((10L, "x"), (20L, "y")))
+  }
 }

@@ -680,6 +680,22 @@ class WarehouseSpec extends SparkSpec {
       s"K4 per-node triangle counts, got $got")
   }
 
+  test("clusteringCoefficients: triangle=1e6, junction=1/3, pendant NULL") {
+    // triangle {1,2,3} + pendant edge 3-4: nodes 1,2 have deg 2 and one
+    // triangle -> 2*1*1e6/2 = 1e6; node 3 has deg 3, one triangle ->
+    // 2e6/6 = 333333; node 4 has deg 1 -> undefined (NULL, not 0)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "d")
+    val got = Graph.clusteringCoefficients(edges, "s", "d").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 1L, Some(1000000L))))
+    assert(got(2L) == ((2L, 1L, Some(1000000L))))
+    assert(got(3L) == ((3L, 1L, Some(333333L))))
+    assert(got(4L) == ((1L, 0L, None)))
+    assert(got.size == 4, "every node in the edge set must appear")
+  }
+
   test("kCore: peels to the maximal subgraph, throws when not converged") {
     // 4-clique {1,2,3,4} + chain 4-5-6 + triangle {7,8,9}:
     // 3-core = the clique only (the triangle's nodes have degree 2)
