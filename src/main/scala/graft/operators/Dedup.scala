@@ -894,4 +894,39 @@ object Dedup {
           s => s("span_text")), " ").as("dedup_text"),
         count(lit(1)).as("n_spans_kept"))
   }
+
+  /** Per-document CROSS-CORPUS duplicate n-gram share (the RefinedWeb /
+    * Gopher-style "how much of this doc exists elsewhere" quality signal
+    * — Penedo et al. 2023, arXiv:2306.01116 §4.2 use it to grade dedup
+    * aggressiveness): of a doc's DISTINCT n-gram shingles, the fraction
+    * appearing in at least one OTHER document, in exact ppm. Complements
+    * [[graft.operators.TextAnalysis.repetitionStats]] (within-doc
+    * repetition) and the span dedup family (which rewrites; this only
+    * scores — the gentler knob when takedown-grade removal is too blunt).
+    *
+    * Set semantics (distinct grams per doc) so a doc repeating its own
+    * boilerplate paragraph doesn't inflate its own cross-doc share.
+    * Grams travel as md5 hashes — the shuffle key is 32 bytes regardless
+    * of n, the q63 decontamination discipline.
+    *
+    * Scale shape: one (doc, gram) distinct aggregate, one gram-keyed
+    * count aggregate, one gram-keyed join back, one doc aggregate — all
+    * bucketed by gram hash, never doc×doc. Docs with < n tokens have no
+    * grams and emit no row (mirrored in the oracle).
+    */
+  def crossDocGramShare(docs: DataFrame, idCol: String, tokCol: String,
+      n: Int): DataFrame = {
+    val grams = docs
+      .select(col(idCol), explode(shingles(col(tokCol), n)).as("_g"))
+      .select(col(idCol), md5(col("_g")).as("gram_h"))
+      .distinct()
+    val df = grams.groupBy(col("gram_h"))
+      .agg(count(lit(1)).as("n_docs"))
+    grams.join(df, Seq("gram_h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col(idCol), col("n_grams"), col("n_shared"),
+        expr("n_shared * 1000000 div n_grams").as("dup_share_ppm"))
+  }
 }

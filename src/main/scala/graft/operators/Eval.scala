@@ -30,7 +30,7 @@ object Eval {
     * `den` propagates NULL through `div` (non-ANSI), matching the
     * callers' `when` guards.
     */
-  private def stagedPpmDiv(num: Column, den: Column): Column = {
+  private[graft] def stagedPpmDiv(num: Column, den: Column): Column = {
     def idiv(a: Column, b: Column): Column = call_function("div", a, b)
     val init = struct(idiv(num, den).as("q"), (num % den).as("r"))
     val stepped = (1 to 6).foldLeft(init) { (acc, _) =>

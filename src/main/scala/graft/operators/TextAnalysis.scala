@@ -924,4 +924,36 @@ object TextAnalysis {
       .select(col(clusterCol), col("rank").cast("long").as("rank"),
         col("term"), col("cnt_cell"), col("lift_ppm"))
   }
+
+  /** Per-document LEXICAL DIVERSITY in exact ppm — the vocabulary-richness
+    * leg of quality filtering ([[repetitionStats]] catches looped text;
+    * this catches templated/boilerplate text whose tokens are individually
+    * common but whose vocabulary never grows): type-token ratio, hapax
+    * share (types seen exactly once — low for keyword-stuffed spam), and
+    * the Simpson repeat index `Σ n_t(n_t−1) / (n(n−1))` — the probability
+    * two random token draws collide, 0 for all-distinct text, 10⁶ for a
+    * single repeated token, and exactly rational where Shannon entropy
+    * (the usual diversity number) is not.
+    *
+    * Scale shape: one (doc, term) aggregate then one doc aggregate — both
+    * partial-aggregated map-side; no join, no window. Single-token docs
+    * yield NULL simpson (0/0); zero-token docs don't emit a row.
+    */
+  def lexicalDiversity(docs: DataFrame, idCol: String,
+      tokCol: String): DataFrame = {
+    tokenInstances(docs, idCol, tokCol)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("c") * (col("c") - 1)).as("_rep2"))
+      .select(col(idCol), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+        expr("n_hapax * 1000000 div n_types").as("hapax_ppm"),
+        when(col("n_tokens") > 1,
+          expr("_rep2 * 1000000 div (n_tokens * (n_tokens - 1))"))
+          .as("simpson_ppm"))
+  }
 }

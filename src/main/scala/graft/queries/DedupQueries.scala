@@ -79,6 +79,16 @@ object DedupQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Cross-corpus duplicate 5-gram share per doc (the RefinedWeb "how
+    // much of this doc exists elsewhere" grade): distinct-gram set
+    // semantics, md5 shuffle keys, exact ppm. The SCORING knob between
+    // "keep" and "takedown" — q88's span dedup rewrites, this measures.
+    "q280_dup_gram_share" -> ((s, d) =>
+      Dedup.crossDocGramShare(
+        Tables.documents(s, d)
+          .select(col("doc_id"), Dedup.tokens(col("text")).as("tok")),
+        "doc_id", "tok", n = 5)),
+
     // E1: exact dedup with deterministic canonical selection (min doc_id).
     "q22_dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(
@@ -430,6 +440,29 @@ object DedupQueries {
       |FROM spans s JOIN base t ON s.doc_a = t.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Distinct 5-gram sets as md5 hashes; doc-frequency >= 2 marks a
+    // gram shared with at least one other doc.
+    "q280_dup_gram_share" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'),
+        |                     x -> x <> '') AS tok
+        |  FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         md5(array_to_string(tok[i+1:i+5], ' ')) AS gram_h
+        |  FROM tok, UNNEST(range(0, greatest(len(tok) - 4, 0))) u(i)
+        |), df AS (
+        |  SELECT gram_h, count(*) AS n_docs FROM grams GROUP BY 1
+        |)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_shared,
+        |       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 1000000
+        |            // count(*) AS BIGINT) AS dup_share_ppm
+        |FROM grams g JOIN df USING (gram_h)
+        |GROUP BY 1""".stripMargin,
+
     "q22_dedup_exact" ->
       """SELECT doc_id, md5(text) AS text_hash,
         |       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

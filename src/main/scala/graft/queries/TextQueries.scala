@@ -94,6 +94,13 @@ object TextQueries {
     "q72_rarity_score" -> ((s, d) =>
       TextAnalysis.rarityScore(toks(s, d), "doc_id", "tok")),
 
+    // Lexical diversity per doc: type-token ratio, hapax share, Simpson
+    // repeat index — the vocabulary-richness quality leg (q70 catches
+    // looping; this catches templated text), exactly rational where
+    // Shannon entropy is not.
+    "q279_lexical_diversity" -> ((s, d) =>
+      TextAnalysis.lexicalDiversity(toks(s, d), "doc_id", "tok")),
+
     // TF-IDF keyword extraction: top-3 terms per doc, integral scores.
     "q73_tfidf_topk" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(toks(s, d), "doc_id", "tok", 3)),
@@ -1379,6 +1386,28 @@ object TextQueries {
          |             / 1000000.0, 6) AS rarity
          |FROM inst i JOIN scaled s USING (term)
          |GROUP BY i.doc_id""".stripMargin,
+
+    "q279_lexical_diversity" ->
+      s"""$TokCte, per AS (
+         |  SELECT doc_id, term, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(tok) AS term FROM t)
+         |  GROUP BY 1, 2
+         |), a AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |         count(*) AS n_types,
+         |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_hapax,
+         |         CAST(sum(c * (c - 1)) AS BIGINT) AS rep2
+         |  FROM per GROUP BY 1
+         |)
+         |SELECT doc_id, n_tokens, n_types, n_hapax,
+         |       CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+         |       CAST(n_hapax * 1000000 // n_types AS BIGINT) AS hapax_ppm,
+         |       CASE WHEN n_tokens > 1 THEN
+         |         CAST(rep2 * 1000000 // (n_tokens * (n_tokens - 1))
+         |           AS BIGINT)
+         |       END AS simpson_ppm
+         |FROM a""".stripMargin,
 
     "q73_tfidf_topk" ->
       s"""$TokCte, inst AS (

@@ -730,6 +730,40 @@ object WarehouseQueries {
             col("running_c_b") * col("n_a"))).as("d_num"))
     }),
 
+    // Cramer-von Mises two-sample drift over the SAME train/test setup
+    // as q131's KS: where KS takes the sup of the ECDF gap (one bad
+    // quantile decides), CvM integrates the SQUARED gap over the pooled
+    // sample — sensitive to broad, low-amplitude drift KS underweights.
+    // Exactly rational: with D_k = cumA_k*n_b - cumB_k*n_a at each
+    // distinct value (weight w_k = its pooled multiplicity),
+    // T = sum w_k*D_k^2 / (N^2*n_a*n_b), emitted ppm via the staged
+    // divide (the numerator reaches N*(n_a*n_b)^2 — fine to sf0.1-scale
+    // 15k distinct cents; at larger corpora quantize the value first,
+    // same knob as q131). Under H0, T_ppm ~= 166667 ((N+1)/6N).
+    "q281_cvm_drift" -> ((s, d) => {
+      val split = Curation.hashSplit(
+        Tables.orders(s, d).select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents")),
+        "o_orderkey", Seq(("train", 90), ("val", 5), ("test", 5)))
+      val counts = split.filter(col("split").isin("train", "test"))
+        .groupBy(col("cents"))
+        .agg(count(when(col("split") === "train", 1)).as("c_a"),
+          count(when(col("split") === "test", 1)).as("c_b"))
+      val runs = graft.operators.EventTime.globalRunningSums(
+        counts, "cents", Seq("c_a", "c_b"))
+      val tot = counts.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+      runs.crossJoin(broadcast(tot))
+        .withColumn("dterm",
+          col("running_c_a") * col("n_b") - col("running_c_b") * col("n_a"))
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          sum((col("c_a") + col("c_b")) * col("dterm") * col("dterm"))
+            .as("cvm_num"))
+        .select(col("n_a"), col("n_b"), col("cvm_num"),
+          graft.operators.Eval.stagedPpmDiv(col("cvm_num"),
+            (col("n_a") + col("n_b")) * (col("n_a") + col("n_b"))
+              * col("n_a") * col("n_b")).as("cvm_ppm"))
+    }),
+
     // 2-D skyline (Pareto frontier) of parts on (price, size): the rows no
     // other part beats on both dimensions. The oracle is the O(n²)
     // NOT EXISTS self-join; the engine form is linear — per-price-group
@@ -1082,6 +1116,42 @@ object WarehouseQueries {
          |SELECT max(n_a) AS n_a, max(n_b) AS n_b,
          |       CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num
          |FROM runs, tot""".stripMargin,
+
+    // Same CTE chain as q131 with the squared-gap integral in place of
+    // the sup; the ppm division runs in HUGEINT (the numerator times 1e6
+    // exceeds BIGINT), truncating like the staged divide.
+    "q281_cvm_drift" ->
+      s"""WITH split AS (
+         |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         |         ${OracleSql.splitCaseSql("o_orderkey")} AS split
+         |  FROM orders
+         |), counts AS (
+         |  SELECT cents,
+         |         count(CASE WHEN split = 'train' THEN 1 END) AS c_a,
+         |         count(CASE WHEN split = 'test' THEN 1 END) AS c_b
+         |  FROM split WHERE split IN ('train', 'test') GROUP BY cents
+         |), runs AS (
+         |  SELECT cents, c_a, c_b,
+         |         sum(c_a) OVER w AS cum_a, sum(c_b) OVER w AS cum_b
+         |  FROM counts
+         |  WINDOW w AS (ORDER BY cents
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), tot AS (
+         |  SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+         |         CAST(sum(c_b) AS BIGINT) AS n_b
+         |  FROM counts
+         |), agg AS (
+         |  SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+         |         CAST(sum((c_a + c_b)
+         |              * (cum_a * n_b - cum_b * n_a)
+         |              * (cum_a * n_b - cum_b * n_a)) AS BIGINT) AS cvm_num
+         |  FROM runs, tot
+         |)
+         |SELECT n_a, n_b, cvm_num,
+         |       CAST(CAST(cvm_num AS HUGEINT) * 1000000
+         |            // (CAST(n_a + n_b AS HUGEINT) * (n_a + n_b)
+         |                * n_a * n_b) AS BIGINT) AS cvm_ppm
+         |FROM agg""".stripMargin,
 
     "q174_scc" ->
       """WITH RECURSIVE e AS (

@@ -313,4 +313,25 @@ class DedupSpec extends SparkSpec {
       .count() == 0, "old×old pair leaked into the incremental build")
     assert(inc.count() > 0, "fixture produced no new-involving spans")
   }
+
+  test("crossDocGramShare: shared grams counted once per doc, " +
+      "self-repetition never counts as cross-doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("a", "b", "c")),      // grams {a b, b c}
+      (2L, Seq("b", "c", "d")),      // grams {b c, c d} — shares "b c"
+      (3L, Seq("x", "y")),           // gram {x y} — unique
+      (4L, Seq("p", "q", "p", "q"))) // {p q, q p, p q} -> distinct, unique
+      .toDF("doc_id", "tok")
+    val got = graft.operators.Dedup.crossDocGramShare(docs, "doc_id",
+        "tok", n = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 500000L)))
+    assert(got(2L) == ((2L, 1L, 500000L)))
+    assert(got(3L) == ((1L, 0L, 0L)))
+    assert(got(4L) == ((2L, 0L, 0L)),
+      "a doc repeating its own bigram must not count as shared")
+  }
 }

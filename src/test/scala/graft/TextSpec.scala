@@ -424,4 +424,20 @@ class TextSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(2))).toSet
     assert(pruned == Set((10L, "x"), (20L, "y")))
   }
+
+  test("lexicalDiversity hand case: ttr/hapax/simpson exact, " +
+      "single-token doc yields NULL simpson") {
+    val docs = Seq((1L, Seq("a", "a", "b")), (2L, Seq("x")))
+      .toDF("doc_id", "tok")
+    val got = TextAnalysis.lexicalDiversity(docs, "doc_id", "tok")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = got(1L)
+    assert((d1.getLong(1), d1.getLong(2), d1.getLong(3)) == ((3L, 2L, 1L)))
+    assert(d1.getLong(4) == 666666L) // ttr 2/3
+    assert(d1.getLong(5) == 500000L) // hapax 1/2
+    assert(d1.getLong(6) == 333333L) // simpson 2/6
+    val d2 = got(2L)
+    assert(d2.getLong(4) == 1000000L && d2.getLong(5) == 1000000L)
+    assert(d2.isNullAt(6), "simpson is 0/0 on a single token")
+  }
 }
