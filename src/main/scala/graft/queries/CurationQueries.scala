@@ -271,6 +271,51 @@ object CurationQueries {
     // largest-remainder apportionment of a 1000-seat budget over the
     // FLATTENED weights. Head sources give up seats to the tail exactly
     // as the α-temperature intends; Σ quota == 1000 always.
+    // Data-constrained epoch schedule (Muennighoff et al. 2023,
+    // arXiv:2305.16264: repeated data helps up to ~4 epochs): per
+    // source, fit a 5000-token budget as full_epochs = min(4,
+    // budget div tokens) whole passes plus a PARTIAL epoch — the
+    // md5-ordered prefix of docs whose cumulative tokens fit the
+    // remainder (the q179 prefix rule, so the partial set is a stable
+    // function of content, and corpus growth never reshuffles it).
+    // Exact integers; the partial epoch is a concrete doc set, not a
+    // fraction.
+    "q283_epoch_schedule" -> ((s, d) => {
+      val budget = 5000L
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(Dedup.tokens(col("text"))).cast("long").as("n_tok"))
+      val tot = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .withColumn("full_epochs",
+          least(lit(4L), expr(s"$budget div n_tokens")))
+        .withColumn("rem_budget",
+          when(col("full_epochs") < 4,
+            lit(budget) - col("full_epochs") * col("n_tokens"))
+            .otherwise(0L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val partial = docs.withColumn("cum", sum(col("n_tok")).over(w))
+        .join(broadcast(tot.select(col("source"), col("rem_budget"))),
+          Seq("source"))
+        .filter(col("cum") <= col("rem_budget"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("partial_docs"),
+          sum(col("n_tok")).as("partial_tokens"))
+      tot.join(partial, Seq("source"), "left")
+        .withColumn("partial_docs", coalesce(col("partial_docs"), lit(0L)))
+        .withColumn("partial_tokens",
+          coalesce(col("partial_tokens"), lit(0L)))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("full_epochs"), col("rem_budget"), col("partial_docs"),
+          col("partial_tokens"),
+          (col("full_epochs") * col("n_tokens") + col("partial_tokens"))
+            .as("scheduled_tokens"))
+    }),
+
     // DSIR-style importance selection (Xie et al. 2023): score every doc
     // by its hashed-bigram rate ratio against the lang='en' target slice
     // and keep the top 100 — domain-targeted data selection with no
@@ -359,6 +404,47 @@ object CurationQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // Same prefix rule: md5-ordered cumulative window against the
+    // per-source remainder budget.
+    "q283_epoch_schedule" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                              x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), tot AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY 1
+        |), sch AS (
+        |  SELECT source, n_docs, n_tokens,
+        |         CAST(least(4, 5000 // n_tokens) AS BIGINT) AS full_epochs,
+        |         CAST(CASE WHEN least(4, 5000 // n_tokens) < 4
+        |              THEN 5000 - least(4, 5000 // n_tokens) * n_tokens
+        |              ELSE 0 END AS BIGINT) AS rem_budget
+        |  FROM tot
+        |), cum AS (
+        |  SELECT source, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d
+        |), part AS (
+        |  SELECT c.source, count(*) AS partial_docs,
+        |         CAST(sum(c.n_tok) AS BIGINT) AS partial_tokens
+        |  FROM cum c JOIN sch USING (source)
+        |  WHERE c.cum <= sch.rem_budget
+        |  GROUP BY 1
+        |)
+        |SELECT s.source, s.n_docs, s.n_tokens, s.full_epochs, s.rem_budget,
+        |       CAST(coalesce(p.partial_docs, 0) AS BIGINT) AS partial_docs,
+        |       CAST(coalesce(p.partial_tokens, 0) AS BIGINT)
+        |         AS partial_tokens,
+        |       CAST(s.full_epochs * s.n_tokens
+        |            + coalesce(p.partial_tokens, 0) AS BIGINT)
+        |         AS scheduled_tokens
+        |FROM sch s LEFT JOIN part p USING (source)""".stripMargin,
+
     // Same hashed-bigram features (md5 first-8-hex mod 128), same
     // ppb-rate ratio truncation points, same top-100 total order.
     "q276_dsir_importance" ->

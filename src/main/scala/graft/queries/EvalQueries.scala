@@ -94,6 +94,28 @@ object EvalQueries {
       Eval.rocAucBootstrapPpm(Tables.documents(s, d), col("doc_id"),
         col("lang") === "en", col("n_chars"), replicas = 16)),
 
+    // PAIRED bootstrap of the AUC DIFFERENCE between two rankers (raw
+    // length vs whitespace-stripped length): both AUCs score every
+    // replica under the SAME md5-derived Poisson weights (they depend
+    // only on (doc_id, b)), so the per-replica diff is the paired
+    // statistic — the "is ranker A actually better" significance read,
+    // where unpaired bands overlap long after the paired sign settles.
+    // The sign-stability count is asserted in EvalSpec.
+    "q282_auc_diff" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .withColumn("len_ns",
+          length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+      val a = Eval.rocAucBootstrapPpm(g, col("doc_id"),
+          col("lang") === "en", col("n_chars"), replicas = 16)
+        .select(col("b"), col("auc_ppm").as("auc_a_ppm"))
+      val b2 = Eval.rocAucBootstrapPpm(g, col("doc_id"),
+          col("lang") === "en", col("len_ns"), replicas = 16)
+        .select(col("b"), col("auc_ppm").as("auc_b_ppm"))
+      a.join(b2, Seq("b"))
+        .select(col("b"), col("auc_a_ppm"), col("auc_b_ppm"),
+          (col("auc_a_ppm") - col("auc_b_ppm")).as("diff_ppm"))
+    }),
+
     // Bagged stumps: 8 Poisson resamples each train their own exact
     // stump in one pass — the threshold SPREAD across replicas is the
     // stability diagnostic (a jumpy threshold is noise, not signal).
@@ -542,6 +564,68 @@ object EvalQueries {
         |         AS BIGINT)
         |       END AS alpha_ppm
         |FROM nu JOIN p USING (lang) JOIN q USING (lang)""".stripMargin,
+
+    // q244's weight chain computed ONCE (weights depend only on (id, b)),
+    // then two rank-sum branches — one per ranker — joined on the replica.
+    "q282_auc_diff" ->
+      s"""WITH g AS (
+         |  SELECT doc_id AS id, (lang = 'en') AS y, n_chars AS sa,
+         |         length(regexp_replace(text, '\\s', '', 'g')) AS sb
+         |  FROM documents
+         |), r AS (
+         |  SELECT id, y, sa, sb, unnest(generate_series(0, 3)) AS blk FROM g
+         |), h AS (
+         |  SELECT y, sa, sb, blk,
+         |         md5(CAST(id AS VARCHAR) || '|' || CAST(blk AS VARCHAR))
+         |           AS hex
+         |  FROM r
+         |), u AS (
+         |  SELECT y, sa, sb, blk * 4 + win AS b,
+         |         (('0x' || substr(hex, CAST(win AS INT) * 8 + 1, 8))::BIGINT
+         |          % 1000000) AS uu
+         |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS win) ws
+         |), wt AS (
+         |  SELECT b, y, sa, sb, $PoissonCaseSql AS w FROM u
+         |), pera AS (
+         |  SELECT b, sa AS s, CAST(sum(w) AS BIGINT) AS c,
+         |         CAST(sum(CASE WHEN y THEN w ELSE 0 END) AS BIGINT) AS p
+         |  FROM wt WHERE w > 0 GROUP BY 1, 2
+         |), cuma AS (
+         |  SELECT b, s, c, p,
+         |         CAST(sum(c) OVER (PARTITION BY b ORDER BY s
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+         |           AS BIGINT) AS cumb
+         |  FROM pera
+         |), aa AS (
+         |  SELECT b,
+         |         CASE WHEN sum(p) > 0 AND sum(c) > sum(p) THEN
+         |           CAST((sum(p * (2 * cumb + c + 1)) - sum(p) * (sum(p) + 1))
+         |                * 1000000
+         |                // (2 * sum(p) * (sum(c) - sum(p))) AS BIGINT)
+         |         END AS auc_a_ppm
+         |  FROM cuma GROUP BY b
+         |), perb AS (
+         |  SELECT b, sb AS s, CAST(sum(w) AS BIGINT) AS c,
+         |         CAST(sum(CASE WHEN y THEN w ELSE 0 END) AS BIGINT) AS p
+         |  FROM wt WHERE w > 0 GROUP BY 1, 2
+         |), cumbb AS (
+         |  SELECT b, s, c, p,
+         |         CAST(sum(c) OVER (PARTITION BY b ORDER BY s
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+         |           AS BIGINT) AS cumb
+         |  FROM perb
+         |), ab AS (
+         |  SELECT b,
+         |         CASE WHEN sum(p) > 0 AND sum(c) > sum(p) THEN
+         |           CAST((sum(p * (2 * cumb + c + 1)) - sum(p) * (sum(p) + 1))
+         |                * 1000000
+         |                // (2 * sum(p) * (sum(c) - sum(p))) AS BIGINT)
+         |         END AS auc_b_ppm
+         |  FROM cumbb GROUP BY b
+         |)
+         |SELECT CAST(aa.b AS BIGINT) AS b, auc_a_ppm, auc_b_ppm,
+         |       auc_a_ppm - auc_b_ppm AS diff_ppm
+         |FROM aa JOIN ab ON aa.b = ab.b""".stripMargin,
 
     "q244_auc_bootstrap" ->
       s"""WITH g AS (

@@ -343,4 +343,18 @@ class CurationSpec extends SparkSpec {
       s"top-100 en share ($enTop/100) must beat the corpus share " +
         s"($enAll/$frac) by >= 1.5x")
   }
+
+  test("epoch schedule never exceeds its budget and caps at 4 epochs") {
+    val out = graft.SparkEntry.queries("q283_epoch_schedule")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (toks, epochs, rem, ptoks, sched) = (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(6), r.getLong(7))
+      assert(epochs <= 4L && epochs >= 0L)
+      assert(sched == epochs * toks + ptoks)
+      assert(sched <= 5000L, s"schedule $sched exceeds the 5000 budget")
+      assert(ptoks <= rem, "partial epoch must fit the remainder")
+    }
+  }
 }

@@ -692,4 +692,16 @@ class EvalSpec extends SparkSpec {
     assert(out.keys.count(_._1 == "auth") == 3)
     assert(out.keys.count(_._1 == "hub") == 3)
   }
+
+  test("paired bootstrap: identical rankers diff to exactly 0 in every " +
+      "replica (weights are a pure function of (id, b))") {
+    val rows = (1 to 200).map(i => (i.toLong, i % 3 == 0, (i * 7 % 50).toLong))
+    val df = rows.toDF("id", "y", "s")
+    val a = Eval.rocAucBootstrapPpm(df, col("id"), col("y"), col("s"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val b = Eval.rocAucBootstrapPpm(df, col("id"), col("y"), col("s"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(a == b && a.size == 8,
+      "same ranker under the same ids must replay identically per replica")
+  }
 }
