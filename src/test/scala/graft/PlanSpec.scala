@@ -370,4 +370,51 @@ class PlanSpec extends SparkSpec {
       s"MAP planned a non-stats nested loop:\n$bnl")
     assert(p.contains("Window"), s"running-hit-count window missing:\n$p")
   }
+
+  test("q276 DSIR: the 128-row ratio table joins instances as a " +
+      "BROADCAST; the selection is TakeOrdered, never a global sort") {
+    val p = plan("q276_dsir_importance")
+    assert(!p.contains("CartesianProduct"),
+      s"DSIR planned a cartesian:\n$p")
+    assert("BroadcastHashJoin".r.findFirstIn(p).isDefined,
+      s"ratio/lookup joins lost their broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 selection must be a bounded TakeOrdered, not a sort:\n$p")
+    // the only nested-loop product is the 1-row totals frame
+    val bnl = "BroadcastNestedLoopJoin [^\\n]*".r.findAllIn(p).toSeq
+    assert(bnl.size <= 1, s"unexpected nested loops:\n$bnl")
+  }
+
+  test("q273/q274/q275: the new eval metrics stay keyed aggregates — " +
+      "no cartesian, no corpus-wide window") {
+    for (q <- Seq("q274_brier_decomp", "q275_mcnemar")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+      assert(!p.contains("Window"), s"$q planned a window pass:\n$p")
+    }
+    // q273's cell self-join must be an equi-join on the group key (the
+    // inequality rides as a post-join condition), never a product
+    val p = plan("q273_rank_concordance")
+    assert(!p.contains("CartesianProduct"),
+      s"concordance planned a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"cell pairs must equi-join on grp:\n$p")
+  }
+
+  test("q280 gram share: everything rides the gram-hash key — no " +
+      "product join, no doc x doc anywhere") {
+    val p = plan("q280_dup_gram_share")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"gram share planned a product join:\n$p")
+  }
+
+  test("q283 epoch schedule: the remainder budget joins docs as a " +
+      "BROADCAST; one keyed window for the prefix rule") {
+    val p = plan("q283_epoch_schedule")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert("BroadcastHashJoin".r.findFirstIn(p).isDefined,
+      s"per-source budget frame lost its broadcast:\n$p")
+    assert(p.contains("Window"), s"prefix-rule window missing:\n$p")
+  }
 }
