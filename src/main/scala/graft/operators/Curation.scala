@@ -755,9 +755,18 @@ object Curation {
     * @return (idCol, n_feat, score_ppm), one row per doc with ≥ 1 bigram
     */
   def dsirImportance(docs: DataFrame, idCol: String, tokCol: String,
+      target: Column, buckets: Int): DataFrame =
+    dsirImportanceFrom(docs, idCol, tokCol, buckets,
+      dsirRates(docs, idCol, tokCol, target, buckets))
+
+  /** Hashed-bigram feature instances: one row per bigram occurrence with
+    * its bucket — the shared front half of [[dsirRates]] and
+    * [[dsirImportanceFrom]].
+    */
+  private def dsirInstances(docs: DataFrame, idCol: String, tokCol: String,
       target: Column, buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val inst = docs
+    docs
       .select(col(idCol), target.as("_tgt"), col(tokCol).as("_tok"))
       .filter(size(col("_tok")) >= 2)
       .select(col(idCol), col("_tgt"),
@@ -767,16 +776,46 @@ object Curation {
       .select(col(idCol), col("_tgt"),
         (conv(substring(md5(col("_bg")), 1, 8), 16, 10).cast("long")
           % buckets).as("bucket"))
-    val rates = inst.groupBy(col("bucket"))
+  }
+
+  /** The DSIR feature-count table: per bucket, raw occurrences `rc` and
+    * target-slice occurrences `tc`. PURELY ADDITIVE — counts from
+    * disjoint corpus slices combine by [[dsirCombineRates]] into exactly
+    * the full-corpus table, which is what makes the ratio table a
+    * maintainable artifact (ingest a batch = fold its rates in; retract
+    * = subtract them) rather than a per-run rescan. Proven delta==rebuild
+    * by q285's hash match.
+    */
+  def dsirRates(docs: DataFrame, idCol: String, tokCol: String,
+      target: Column, buckets: Int): DataFrame =
+    dsirInstances(docs, idCol, tokCol, target, buckets)
+      .groupBy(col("bucket"))
       .agg(count(lit(1)).as("rc"),
         sum(when(col("_tgt"), 1L).otherwise(0L)).as("tc"))
+
+  /** Fold two bucket-count tables (the maintenance combine — addition,
+    * so append order never matters and retraction is the same fold with
+    * negated counts).
+    */
+  def dsirCombineRates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("bucket"))
+      .agg(sum(col("rc")).as("rc"), sum(col("tc")).as("tc"))
+      .filter(col("rc") > 0)
+
+  /** Score documents against a (possibly maintained) rates table — the
+    * serve half of [[dsirImportance]].
+    */
+  def dsirImportanceFrom(docs: DataFrame, idCol: String, tokCol: String,
+      buckets: Int, rates: DataFrame): DataFrame = {
     val totals = rates.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
     val ratio = rates.crossJoin(broadcast(totals))
       .withColumn("rr_ppb", expr("rc * 1000000000 div rt"))
       .withColumn("tr_ppb", expr("tc * 1000000000 div tt"))
       .filter(col("rr_ppb") > 0)
       .select(col("bucket"), expr("tr_ppb * 1000000 div rr_ppb").as("ratio_ppm"))
-    inst.join(broadcast(ratio), Seq("bucket"))
+    dsirInstances(docs, idCol, tokCol, lit(false), buckets)
+      .join(broadcast(ratio), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feat"), sum(col("ratio_ppm")).as("_s"))
       .select(col(idCol), col("n_feat"),

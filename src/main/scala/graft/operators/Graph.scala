@@ -275,12 +275,28 @@ object Graph {
     * Shape: degree aggregate (one shuffle), two node-keyed equi-joins for
     * wedges + closure, one final count — no iteration, no driver data.
     */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = edges
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    orientedTriangles(canonicalUndirected(edges, srcCol, dstCol))
+      .select(explode(array(col("a"), col("w1"), col("w2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+
+  /** Canonical undirected edge set: (min, max) pairs, self-loops and
+    * duplicate/reversed edges dropped.
+    */
+  private def canonicalUndirected(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+
+  /** Every triangle of the canonical edge set `e`, exactly once, as
+    * (a, w1, w2) with π(a) < π(w1) < π(w2) under the degree-ordered
+    * orientation (see [[triangleCounts]] — this is its enumeration core,
+    * shared with [[kTruss]]'s per-edge support).
+    */
+  private def orientedTriangles(e: DataFrame): DataFrame = {
     val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     // orient u–v toward the (deg, id)-larger endpoint; carry the head's
@@ -298,12 +314,64 @@ object Graph {
     val wedges = oriented.select(col("a"), col("b").as("w1"), col("db").as("d1"))
       .join(oriented.select(col("a"), col("b").as("w2"), col("db").as("d2")), Seq("a"))
       .filter(col("d1") < col("d2") || (col("d1") === col("d2") && col("w1") < col("w2")))
-    val triangles = wedges
+    wedges
       .join(oriented.select(col("a").as("w1"), col("b").as("w2")), Seq("w1", "w2"))
       .select(col("a"), col("w1"), col("w2"))
-    triangles
-      .select(explode(array(col("a"), col("w1"), col("w2"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** k-TRUSS: the maximal subgraph whose every edge closes ≥ k−2
+    * triangles WITHIN the subgraph (Cohen 2008) — the edge-level
+    * cohesion primitive a notch stronger than [[kCore]]'s node degree
+    * (every k-truss sits inside the (k−1)-core, but a hub-and-spoke
+    * star that survives coring dissolves instantly here). Iterative
+    * peeling: recompute per-edge triangle support on the surviving
+    * edges, drop edges under k−2, repeat to fixpoint.
+    *
+    * Support rides [[orientedTriangles]] (degree-ordered, O(|E|^1.5)
+    * wedge fan-out), each triangle crediting its three canonical edges —
+    * so a peel round is the triangle plan plus one edge-keyed join, on a
+    * monotonically shrinking set, `ckpt`ed per round like [[kCore]].
+    * Convergence is detected by edge count (peeling is monotone) and
+    * NOT converging in `maxIter` throws — a partial truss is a
+    * plausible-but-wrong answer, and the unrolled-CTE oracle is only
+    * valid at the fixpoint. Returns the surviving canonical edges with
+    * their in-truss support.
+    */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIter: Int = 20): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (the 2-truss is every edge), got $k")
+    def support(e: DataFrame): DataFrame =
+      orientedTriangles(e)
+        .select(explode(array(
+          struct(least(col("a"), col("w1")).as("u"),
+            greatest(col("a"), col("w1")).as("v")),
+          struct(least(col("a"), col("w2")).as("u"),
+            greatest(col("a"), col("w2")).as("v")),
+          struct(least(col("w1"), col("w2")).as("u"),
+            greatest(col("w1"), col("w2")).as("v")))).as("t"))
+        .select(col("t.u").as("u"), col("t.v").as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+    var cur = canonicalUndirected(edges, srcCol, dstCol).ckpt()
+    var curCount = cur.count()
+    var converged = curCount == 0
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = cur.join(support(cur), Seq("u", "v"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= k - 2)
+        .select(col("u"), col("v")).ckpt()
+      val nextCount = next.count()
+      converged = nextCount == curCount
+      cur = next
+      curCount = nextCount
+      i += 1
+    }
+    if (!converged && curCount > 0)
+      throw new IllegalStateException(
+        s"kTruss(k=$k) did not converge in $maxIter rounds " +
+          s"($curCount edges remain) — raise maxIter")
+    cur.join(support(cur), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
   }
 
   /** k-core decomposition for a fixed k: the maximal subgraph in which

@@ -271,6 +271,29 @@ object CurationQueries {
     // largest-remainder apportionment of a 1000-seat budget over the
     // FLATTENED weights. Head sources give up seats to the tail exactly
     // as the α-temperature intends; Σ quota == 1000 always.
+    // DSIR rates as a MAINTAINED artifact: the bucket-count table is
+    // purely additive, so ingesting a batch folds its counts in instead
+    // of rescanning the corpus. Proof in the house style: rates(old) ⊕
+    // rates(delta batch, doc_id % 10 == 7) serves the full corpus and
+    // must hash-match q276's from-scratch pipeline (full scores, no
+    // top-k, so the match is total). Retraction is the same fold with
+    // negated counts (property-tested in GraftProperties).
+    "q285_dsir_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("tok", Dedup.tokens(col("text")))
+      val old = docs.filter(col("doc_id") % 10 =!= 7)
+      val delta = docs.filter(col("doc_id") % 10 === 7)
+      val maintained = Curation.dsirCombineRates(
+        Curation.dsirRates(old, "doc_id", "tok",
+          col("lang") === "en", 128),
+        Curation.dsirRates(delta, "doc_id", "tok",
+          col("lang") === "en", 128))
+      Curation.dsirImportanceFrom(docs, "doc_id", "tok", 128, maintained)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_feat"), col("score_ppm"))
+    }),
+
     // Data-constrained epoch schedule (Muennighoff et al. 2023,
     // arXiv:2305.16264: repeated data helps up to ~4 epochs): per
     // source, fit a 5000-token budget as full_epochs = min(4,
@@ -444,6 +467,45 @@ object CurationQueries {
         |            + coalesce(p.partial_tokens, 0) AS BIGINT)
         |         AS scheduled_tokens
         |FROM sch s LEFT JOIN part p USING (source)""".stripMargin,
+
+    // The from-scratch pipeline (q276 without the top-k): the maintained
+    // fold must land on exactly these full-corpus scores.
+    "q285_dsir_delta" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split_regex(trim(text), '\s+'),
+        |                     x -> x <> '') AS tok
+        |  FROM documents
+        |), inst AS (
+        |  SELECT doc_id, (lang = 'en') AS tgt,
+        |         ('0x' || substr(md5(bg), 1, 8))::BIGINT % 128 AS bucket
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |           unnest(list_transform(range(1, len(tok)),
+        |             i -> tok[i] || ' ' || tok[i + 1])) AS bg
+        |    FROM t WHERE len(tok) >= 2)
+        |), rates AS (
+        |  SELECT bucket, count(*) AS rc,
+        |         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc
+        |  FROM inst GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(rc) AS BIGINT) AS rt,
+        |         CAST(sum(tc) AS BIGINT) AS tt
+        |  FROM rates
+        |), ratio AS (
+        |  SELECT bucket,
+        |         CAST((tc * 1000000000 // tt) * 1000000
+        |              // (rc * 1000000000 // rt) AS BIGINT) AS ratio_ppm
+        |  FROM rates, tot
+        |  WHERE rc * 1000000000 // rt > 0
+        |), sc AS (
+        |  SELECT i.doc_id, count(*) AS n_feat,
+        |         CAST(sum(ratio_ppm) AS BIGINT) AS s
+        |  FROM inst i JOIN ratio USING (bucket) GROUP BY 1
+        |)
+        |SELECT sc.doc_id, d.lang, n_feat,
+        |       CAST(s // n_feat AS BIGINT) AS score_ppm
+        |FROM sc JOIN documents d USING (doc_id)""".stripMargin,
 
     // Same hashed-bigram features (md5 first-8-hex mod 128), same
     // ppb-rate ratio truncation points, same top-100 total order.

@@ -545,6 +545,18 @@ object WarehouseQueries {
         .select(col("node").as("partkey"), col("n_triangles"))
     }),
 
+    // 3-truss of the co-occurrence graph: the maximal subgraph whose
+    // every edge closes a triangle INSIDE it — edge-level cohesion one
+    // notch above q129's k-core (a star survives coring, dissolves
+    // here). Iterative support-peel to fixpoint over the shared
+    // oriented-triangle core; the oracle unrolls 8 peel rounds of the
+    // u<v<w triple join, so the hash match proves the orientation, the
+    // peel, AND the fixpoint at once.
+    "q284_ktruss" -> ((s, d) =>
+      Graph.kTruss(coEdges(s, d), "item_a", "item_b", k = 3)
+        .select(col("u").as("part_a"), col("v").as("part_b"),
+          col("support"))),
+
     // Per-node local clustering coefficient over the same co-occurrence
     // graph: 2T(v)/(deg(v)(deg(v)-1)) in exact ppm — clique-like pockets
     // vs hub-and-spoke stars. Triangles ride q116's degree-ordered
@@ -1193,6 +1205,34 @@ object WarehouseQueries {
          |SELECT node AS partkey, count(*) AS n_triangles
          |FROM (SELECT unnest([x, y, z]) AS node FROM tri)
          |GROUP BY 1""".stripMargin,
+
+    // Eight unrolled peel rounds (fixpoint reached long before), then
+    // the final in-truss support recount.
+    "q284_ktruss" -> {
+      def round(r: Int, prev: String): String =
+        s"""tri$r AS MATERIALIZED (
+           |  SELECT a.u AS x, a.v AS y, b.v AS z
+           |  FROM $prev a JOIN $prev b ON a.u = b.u AND a.v < b.v
+           |  JOIN $prev c ON c.u = a.v AND c.v = b.v
+           |), sup$r AS MATERIALIZED (
+           |  SELECT u, v, count(*) AS sup FROM (
+           |    SELECT x AS u, y AS v FROM tri$r
+           |    UNION ALL SELECT x AS u, z AS v FROM tri$r
+           |    UNION ALL SELECT y AS u, z AS v FROM tri$r)
+           |  GROUP BY 1, 2
+           |), e$r AS MATERIALIZED (
+           |  SELECT e.u, e.v FROM $prev e JOIN sup$r s
+           |    ON e.u = s.u AND e.v = s.v
+           |  WHERE s.sup >= 1
+           |)""".stripMargin
+      s"""WITH $CoocEdgesCte,
+         |e0 AS (SELECT p1 AS u, p2 AS v FROM edges),
+         |${(1 to 8).map(r => round(r, s"e${r - 1}")).mkString(", ")},
+         |${round(9, "e8")}
+         |SELECT e.u AS part_a, e.v AS part_b,
+         |       CAST(s.sup AS BIGINT) AS support
+         |FROM e8 e JOIN sup9 s ON e.u = s.u AND e.v = s.v""".stripMargin
+    },
 
     // Triangles from the triple join + degrees from the canonical edge
     // list; the ppm ratio with NULL below degree 2.

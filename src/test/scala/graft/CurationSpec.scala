@@ -357,4 +357,24 @@ class CurationSpec extends SparkSpec {
       assert(ptoks <= rem, "partial epoch must fit the remainder")
     }
   }
+
+  test("dsirRates: retract o append == identity (the fold is a group)") {
+    val docs = Tables.documents(spark, dir).limit(150)
+      .withColumn("tok", graft.operators.Dedup.tokens(col("text")))
+    val old = docs.filter(col("doc_id") % 10 =!= 7)
+    val delta = docs.filter(col("doc_id") % 10 === 7)
+    val tgt = col("lang") === "en"
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    val full = Curation.dsirCombineRates(
+      Curation.dsirRates(old, "doc_id", "tok", tgt, 128),
+      Curation.dsirRates(delta, "doc_id", "tok", tgt, 128))
+    // subtracting the delta's counts must land exactly on rates(old)
+    val negated = Curation.dsirRates(delta, "doc_id", "tok", tgt, 128)
+      .select(col("bucket"), (-col("rc")).as("rc"), (-col("tc")).as("tc"))
+    val back = Curation.dsirCombineRates(full, negated)
+    assert(m(back) == m(Curation.dsirRates(old, "doc_id", "tok", tgt, 128)))
+    assert(m(full) == m(Curation.dsirRates(docs, "doc_id", "tok", tgt, 128)))
+  }
 }

@@ -374,6 +374,40 @@ object GraftProperties extends Properties("graft") {
       got == want
     }
 
+  property("kTruss matches the naive peel-to-fixpoint reference") =
+    forAll(Gen.listOf(Gen.zip(Gen.choose(1L, 10L), Gen.choose(1L, 10L))),
+      Gen.choose(3, 5)) { (raw, k) =>
+      val s = spark
+      import s.implicits._
+      val edges = raw.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      // naive reference: recompute per-edge support, peel, repeat
+      def supportOf(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+        val tris = for {
+          a <- nodes; b <- nodes if a < b && es((a, b))
+          c <- nodes if b < c && es((b, c)) && es((a, c))
+        } yield (a, b, c)
+        tris.flatMap { case (a, b, c) => Seq((a, b), (a, c), (b, c)) }
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      }
+      var es = edges.toSet
+      var done = false
+      while (!done) {
+        val sup = supportOf(es)
+        val next = es.filter(e => sup.getOrElse(e, 0L) >= k - 2)
+        done = next == es
+        es = next
+      }
+      val want = supportOf(es).filter { case (e, _) => es(e) }
+        .map { case ((u, v), c) => (u, v, c) }.toSet
+      val got =
+        if (edges.isEmpty) Set.empty[(Long, Long, Long)]
+        else graft.operators.Graph.kTruss(edges.toDF("s", "d"), "s", "d", k)
+          .as[(Long, Long, Long)].collect().toSet
+      got == want
+    }
+
   property("Misra-Gries merge tree: superset of n/(m+1)-heavy items, ≤ m " +
     "counters, bounded undercount") =
     forAll(Gen.nonEmptyListOf(Gen.choose(0, 12)), Gen.choose(1, 8),

@@ -909,4 +909,26 @@ class WarehouseSpec extends SparkSpec {
       (4L, 0L, 1L))) == ((24L, 375000L)))
     assert(cvm(Seq((1L, 1L, 1L), (2L, 1L, 1L))) == ((0L, 0L)))
   }
+
+  test("kTruss: K4 survives the 4-truss, pendant and glued-triangle " +
+      "edges peel, the diamond chain cascades to empty") {
+    import graft.operators.Graph
+    // K4 {1,2,3,4} (every edge closes 2 triangles) + pendant 4-5 +
+    // triangle {3,4,6} glued onto a K4 edge
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (3L, 6L), (4L, 6L)).toDF("s", "d")
+    val t4 = Graph.kTruss(edges, "s", "d", k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t4.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)), s"4-truss must be exactly K4, got $t4")
+    assert(t4.values.forall(_ == 2L), "every K4 edge closes 2 triangles")
+    // diamond chain T(1,2,3)+T(2,3,4)+T(3,4,5): the 4-truss peel needs a
+    // CASCADE (round 1 leaves (2,3),(3,4); round 2 drops them) -> empty
+    val chain = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L)).toDF("s", "d")
+    assert(Graph.kTruss(chain, "s", "d", k = 4).count() == 0L,
+      "the cascade must peel the chain to empty")
+    // ...while its 3-truss keeps every edge (each closes one triangle)
+    assert(Graph.kTruss(chain, "s", "d", k = 3).count() == 7L)
+  }
 }
