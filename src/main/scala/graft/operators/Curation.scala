@@ -821,4 +821,29 @@ object Curation {
       .select(col(idCol), col("n_feat"),
         expr("_s div n_feat").as("score_ppm"))
   }
+
+  /** RENDEZVOUS (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar 1998): a key lands on the shard with the largest
+    * `md5(shard|key)` — the shard-planning rule whose REBALANCE story is
+    * provable, not probabilistic folklore: adding a shard can only STEAL
+    * keys (a new maximum appears), never move a key between surviving
+    * shards (their hashes didn't change), so a K→K+1 expansion moves
+    * exactly the keys whose new hash wins — ~1/(K+1) of them — and
+    * nothing else. The transition matrix of q286 proves the "nothing
+    * else" exactly, and is why this beats mod-K sharding (where a +1
+    * reshuffles almost everything).
+    *
+    * Row-local: the argmax rides an array_max over a K-element struct
+    * array (md5 first — struct ordering does the argmax); no shuffle, no
+    * state, deterministic across engines.
+    */
+  def rendezvousShard(df: DataFrame, idCol: String,
+      shards: Seq[String]): DataFrame = {
+    require(shards.nonEmpty && shards.distinct.size == shards.size,
+      s"shards must be non-empty and distinct, got $shards")
+    val hs = shards.map(sh => struct(
+      md5(concat(lit(sh + "|"), col(idCol).cast("string"))).as("h"),
+      lit(sh).as("s")))
+    df.withColumn("shard", array_max(array(hs: _*)).getField("s"))
+  }
 }

@@ -271,6 +271,25 @@ object CurationQueries {
     // largest-remainder apportionment of a 1000-seat budget over the
     // FLATTENED weights. Head sources give up seats to the tail exactly
     // as the α-temperature intends; Σ quota == 1000 always.
+    // Rendezvous shard rebalance proof: assign every doc under 4 shards
+    // and under 5, emit the (old, new) transition counts. The rendezvous
+    // property makes minimal disruption EXACT, not expected: every
+    // off-diagonal row must land on the new shard 'E' (surviving shards'
+    // hashes didn't change, so keys can only be stolen by the newcomer)
+    // — asserted in CurationSpec; the moved mass is ~1/5.
+    "q286_rendezvous" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val before = Curation.rendezvousShard(ids, "doc_id",
+        Seq("A", "B", "C", "D")).select(col("doc_id"),
+        col("shard").as("old_shard"))
+      val after = Curation.rendezvousShard(ids, "doc_id",
+        Seq("A", "B", "C", "D", "E")).select(col("doc_id"),
+        col("shard").as("new_shard"))
+      before.join(after, Seq("doc_id"))
+        .groupBy(col("old_shard"), col("new_shard"))
+        .agg(count(lit(1)).as("n_keys"))
+    }),
+
     // DSIR rates as a MAINTAINED artifact: the bucket-count table is
     // purely additive, so ingesting a batch folds its counts in instead
     // of rescanning the corpus. Proof in the house style: rates(old) ⊕
@@ -467,6 +486,23 @@ object CurationQueries {
         |            + coalesce(p.partial_tokens, 0) AS BIGINT)
         |         AS scheduled_tokens
         |FROM sch s LEFT JOIN part p USING (source)""".stripMargin,
+
+    // arg_max over the same md5(shard|key) weights, both shard lists.
+    "q286_rendezvous" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |h4 AS (
+        |  SELECT doc_id, s, md5(s || '|' || CAST(doc_id AS VARCHAR)) AS hv
+        |  FROM ids, (SELECT unnest(['A', 'B', 'C', 'D']) AS s)
+        |), b AS (SELECT doc_id, arg_max(s, hv) AS old_shard
+        |         FROM h4 GROUP BY 1),
+        |h5 AS (
+        |  SELECT doc_id, s, md5(s || '|' || CAST(doc_id AS VARCHAR)) AS hv
+        |  FROM ids, (SELECT unnest(['A', 'B', 'C', 'D', 'E']) AS s)
+        |), a AS (SELECT doc_id, arg_max(s, hv) AS new_shard
+        |         FROM h5 GROUP BY 1)
+        |SELECT old_shard, new_shard, count(*) AS n_keys
+        |FROM b JOIN a USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     // The from-scratch pipeline (q276 without the top-k): the maintained
     // fold must land on exactly these full-corpus scores.

@@ -89,6 +89,43 @@ object DedupQueries {
           .select(col("doc_id"), Dedup.tokens(col("text")).as("tok")),
         "doc_id", "tok", n = 5)),
 
+    // MinHash ESTIMATOR CALIBRATION: for every q24 LSH candidate pair,
+    // the signature-agreement estimate (matches/8 in ppm) against the
+    // exact shingle Jaccard (inter*1e6 div union) — how honest is the
+    // sketch the dedup pipeline trusts? abs_err_ppm is the per-pair
+    // answer; the 8-hash quantization (multiples of 125000) is visible
+    // by construction.
+    "q288_minhash_calibration" -> ((s, d) => {
+      val m = minhashed(s, d)
+        .withColumn("bands", Dedup.lshBands(col("sig"), 4, 2)).cache()
+      val cand = Dedup.candidatePairs(m, "doc_id", "bands")
+      val sig = m.select(col("doc_id"), col("sig"))
+      val sh = shingled(s, d)
+      cand
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+          Seq("doc_a"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+          Seq("doc_b"))
+        .join(sh.select(col("doc_id").as("doc_a"),
+          col("shingles").as("sh_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"),
+          col("shingles").as("sh_b")), Seq("doc_b"))
+        .withColumn("n_match",
+          expr("size(filter(arrays_zip(sig_a, sig_b), p -> p.sig_a = p.sig_b))")
+            .cast("long"))
+        .withColumn("inter",
+          size(array_intersect(array_distinct(col("sh_a")),
+            array_distinct(col("sh_b")))).cast("long"))
+        .withColumn("uni",
+          size(array_distinct(col("sh_a"))).cast("long")
+            + size(array_distinct(col("sh_b"))).cast("long") - col("inter"))
+        .select(col("doc_a"), col("doc_b"), col("n_match"),
+          (col("n_match") * 125000L).as("est_ppm"),
+          expr("inter * 1000000 div uni").as("exact_ppm"),
+          abs(col("n_match") * 125000L - expr("inter * 1000000 div uni"))
+            .as("abs_err_ppm"))
+    }),
+
     // E1: exact dedup with deterministic canonical selection (min doc_id).
     "q22_dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(
@@ -440,6 +477,39 @@ object DedupQueries {
       |FROM spans s JOIN base t ON s.doc_a = t.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q24's candidate CTE + component-agreement count + integer Jaccard.
+    "q288_minhash_calibration" ->
+      s"""$MhCte, bands AS (
+         |  SELECT doc_id, i AS band, md5(sig[2*i+1] || sig[2*i+2]) AS bh
+         |  FROM mh, UNNEST(range(0, 4)) u(i)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |), matched AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST((SELECT count(*) FROM UNNEST(range(0, 8)) v(i)
+         |               WHERE x.sig[CAST(i AS INT) + 1]
+         |                     = y.sig[CAST(i AS INT) + 1]) AS BIGINT)
+         |           AS n_match,
+         |         CAST(len(list_distinct(list_intersect(sx.shingles,
+         |               sy.shingles))) AS BIGINT) AS inter,
+         |         CAST(len(list_distinct(sx.shingles))
+         |              + len(list_distinct(sy.shingles))
+         |              - len(list_distinct(list_intersect(sx.shingles,
+         |                  sy.shingles))) AS BIGINT) AS uni
+         |  FROM cand JOIN mh x ON cand.doc_a = x.doc_id
+         |            JOIN mh y ON cand.doc_b = y.doc_id
+         |            JOIN sh sx ON cand.doc_a = sx.doc_id
+         |            JOIN sh sy ON cand.doc_b = sy.doc_id
+         |)
+         |SELECT doc_a, doc_b, n_match,
+         |       n_match * 125000 AS est_ppm,
+         |       CAST(inter * 1000000 // uni AS BIGINT) AS exact_ppm,
+         |       abs(n_match * 125000 - inter * 1000000 // uni)
+         |         AS abs_err_ppm
+         |FROM matched""".stripMargin,
+
     // Distinct 5-gram sets as md5 hashes; doc-frequency >= 2 marks a
     // gram shared with at least one other doc.
     "q280_dup_gram_share" ->

@@ -16,6 +16,31 @@ object WindowQueries {
   private val Ts = "yyyy-MM-dd HH:mm:ss"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Inter-arrival BURSTINESS per user: CV² of the gap distribution in
+    // exact ppm — CV² = n·Σd²/(Σd)² − 1 is ≥ 0 by Cauchy-Schwarz, 0 for
+    // a metronome, ~1e6 for Poisson arrivals, larger = bursty (bot-vs-
+    // human traffic triage; the q225 CUSUM's stationary-side companion).
+    // Ties in the per-second timestamps contribute d = 0 regardless of
+    // their internal order, so the gap MULTISET — and every aggregate —
+    // is deterministic even though lag() over ties is not.
+    "q287_burstiness" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("t_s"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t_s"))
+      ev.withColumn("d", col("t_s") - lag(col("t_s"), 1).over(w))
+        .filter(col("d").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("d")).as("sum_d"),
+          sum(col("d") * col("d")).as("sum_d2"))
+        .filter(col("n_gaps") >= 2)
+        .select(col("user_id"), col("n_gaps"), col("sum_d"),
+          expr("sum_d div n_gaps").as("mean_gap_s"),
+          when(col("sum_d") > 0,
+            graft.operators.Eval.stagedPpmDiv(col("n_gaps") * col("sum_d2"),
+              col("sum_d") * col("sum_d")) - lit(1000000L))
+            .as("cv2_ppm"))
+    }),
+
     // Cohort retention matrix: users grouped by first-activity week,
     // counted per week offset — both engines truncate weeks to ISO Monday,
     // so offsets are exact multiples of 7 days (the /7 division is
@@ -230,6 +255,32 @@ object WindowQueries {
           col("run_start").as("run_start_us"))))
 
   val oracles: Map[String, String] = Map(
+    // lag over (user, second); the tie order differs between engines but
+    // the gap multiset does not.
+    "q287_burstiness" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS t_s
+        |  FROM events WHERE user_id IS NOT NULL
+        |), g AS (
+        |  SELECT user_id,
+        |         t_s - lag(t_s) OVER (PARTITION BY user_id ORDER BY t_s)
+        |           AS d
+        |  FROM e
+        |), a AS (
+        |  SELECT user_id, count(*) AS n_gaps,
+        |         CAST(sum(d) AS BIGINT) AS sum_d,
+        |         CAST(sum(d * d) AS BIGINT) AS sum_d2
+        |  FROM g WHERE d IS NOT NULL GROUP BY 1
+        |)
+        |SELECT user_id, n_gaps, sum_d,
+        |       CAST(sum_d // n_gaps AS BIGINT) AS mean_gap_s,
+        |       CASE WHEN sum_d > 0 THEN
+        |         CAST(CAST(n_gaps * sum_d2 AS HUGEINT) * 1000000
+        |              // (CAST(sum_d AS HUGEINT) * sum_d) - 1000000
+        |           AS BIGINT)
+        |       END AS cv2_ppm
+        |FROM a WHERE n_gaps >= 2""".stripMargin,
+
     "q86_conversion_latency" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events

@@ -374,4 +374,25 @@ class AnalyticsSpec extends SparkSpec {
       assert(med2x == expect, s"k=$k seq=$seq: $med2x != $expect (frame $frame)")
     }
   }
+
+  test("burstiness CV^2: metronome gaps -> 0, bursty gaps -> hand value") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // metronome u1: gaps 10,10,10; bursty u2: gaps 1,1,98 ->
+    // 3*9606*1e6/10000 - 1e6 = 1881800
+    val ev = Seq((1L, 0L), (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 0L), (2L, 1L), (2L, 2L), (2L, 100L)).toDF("user_id", "t_s")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_s"))
+    val got = ev.withColumn("d", col("t_s") - lag(col("t_s"), 1).over(w))
+      .filter(col("d").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+        sum(col("d") * col("d")).as("sd2"))
+      .select(col("user_id"),
+        (graft.operators.Eval.stagedPpmDiv(col("n") * col("sd2"),
+          col("sd") * col("sd")) - lit(1000000L)).as("cv2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 0L)
+    assert(got(2L) == 1881800L)
+  }
 }

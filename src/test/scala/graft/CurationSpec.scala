@@ -377,4 +377,28 @@ class CurationSpec extends SparkSpec {
     assert(m(back) == m(Curation.dsirRates(old, "doc_id", "tok", tgt, 128)))
     assert(m(full) == m(Curation.dsirRates(docs, "doc_id", "tok", tgt, 128)))
   }
+
+  test("rendezvousShard: adding a shard only STEALS keys — no key moves " +
+      "between surviving shards, and the stolen share is ~1/K+1") {
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+    val before = Curation.rendezvousShard(ids, "doc_id",
+      Seq("A", "B", "C", "D"))
+      .select(col("doc_id"), col("shard").as("o"))
+    val after = Curation.rendezvousShard(ids, "doc_id",
+      Seq("A", "B", "C", "D", "E"))
+      .select(col("doc_id"), col("shard").as("n"))
+    val moved = before.join(after, Seq("doc_id"))
+      .filter(col("o") =!= col("n"))
+    assert(moved.filter(col("n") =!= "E").count() == 0L,
+      "a surviving shard must never gain a key on expansion")
+    val total = ids.count()
+    val m = moved.count()
+    assert(m * 10 > total && m * 3 < total,
+      s"stolen share $m/$total should be near 1/5")
+    // determinism: the assignment is a pure function of the key
+    val again = Curation.rendezvousShard(ids, "doc_id",
+      Seq("A", "B", "C", "D")).select(col("doc_id"), col("shard").as("o2"))
+    assert(before.join(again, Seq("doc_id"))
+      .filter(col("o") =!= col("o2")).count() == 0L)
+  }
 }

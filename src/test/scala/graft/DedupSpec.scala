@@ -334,4 +334,18 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((2L, 0L, 0L)),
       "a doc repeating its own bigram must not count as shared")
   }
+
+  test("minhash agreement estimates Jaccard: identical sets agree on " +
+      "all 8 components, disjoint sets on none") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("a b c", "b c d")), (2L, Seq("a b c", "b c d")),
+      (3L, Seq("x y z", "y z w"))).toDF("doc_id", "shingles")
+    val sigs = docs.select(col("doc_id"),
+        graft.operators.Dedup.minhashSignature(col("shingles"), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sigs(1L) == sigs(2L), "identical shingle sets => identical sigs")
+    assert(sigs(1L).zip(sigs(3L)).count { case (x, y) => x == y } == 0,
+      "disjoint small sets should agree nowhere (md5 collisions aside)")
+  }
 }
