@@ -271,6 +271,37 @@ object CurationQueries {
     // largest-remainder apportionment of a 1000-seat budget over the
     // FLATTENED weights. Head sources give up seats to the tail exactly
     // as the α-temperature intends; Σ quota == 1000 always.
+    // SELECTION CAPSTONE — the round's new operators COMPOSED into one
+    // deterministic data-selection pipeline: lexical-diversity gate
+    // (ttr >= 0.40) -> cross-doc duplication gate (dup 5-gram share <=
+    // 0.20) -> DSIR importance top-5 per source. One CTE-chain oracle
+    // proves the stages compose (the q78/q199/q262 capstone discipline
+    // applied to the selection family). Docs under 5 tokens have no
+    // 5-grams and drop at the dup gate — the "too short to score" rule,
+    // mirrored in the oracle.
+    "q290_selection_capstone" -> ((s, d) => {
+      import graft.operators.{Relational, TextAnalysis}
+      val docs = Tables.documents(s, d)
+        .withColumn("tok", Dedup.tokens(col("text")))
+      val lex = TextAnalysis.lexicalDiversity(docs, "doc_id", "tok")
+        .filter(col("ttr_ppm") >= 400000L)
+        .select(col("doc_id"), col("n_tokens"), col("ttr_ppm"))
+      val dup = Dedup.crossDocGramShare(
+          docs.select(col("doc_id"), col("tok")), "doc_id", "tok", n = 5)
+        .filter(col("dup_share_ppm") <= 200000L)
+        .select(col("doc_id"), col("dup_share_ppm"))
+      val scored = Curation.dsirImportance(docs, "doc_id", "tok",
+        col("lang") === "en", buckets = 128)
+      val surv = scored.join(lex, Seq("doc_id")).join(dup, Seq("doc_id"))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+      Relational.topKPerGroup(surv, Seq(col("source")),
+          Seq(col("score_ppm").desc, col("doc_id").asc), 5, "rank")
+        .select(col("source"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("score_ppm"), col("ttr_ppm"),
+          col("dup_share_ppm"), col("n_tokens"))
+    }),
+
     // Rendezvous shard rebalance proof: assign every doc under 4 shards
     // and under 5, emit the (old, new) transition counts. The rendezvous
     // property makes minimal disruption EXACT, not expected: every
@@ -486,6 +517,79 @@ object CurationQueries {
         |            + coalesce(p.partial_tokens, 0) AS BIGINT)
         |         AS scheduled_tokens
         |FROM sch s LEFT JOIN part p USING (source)""".stripMargin,
+
+    // The three stage oracles chained as CTEs, then the per-source
+    // top-5 window — stage composition under one query.
+    "q290_selection_capstone" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |         list_filter(string_split_regex(trim(text), '\s+'),
+        |                     x -> x <> '') AS tok
+        |  FROM documents
+        |), per AS (
+        |  SELECT doc_id, term, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(tok) AS term FROM t)
+        |  GROUP BY 1, 2
+        |), lex AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_ppm
+        |  FROM per GROUP BY 1
+        |  HAVING count(*) * 1000000 // sum(c) >= 400000
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         md5(array_to_string(tok[i+1:i+5], ' ')) AS gram_h
+        |  FROM t, UNNEST(range(0, greatest(len(tok) - 4, 0))) u(i)
+        |), gdf AS (
+        |  SELECT gram_h, count(*) AS n_docs FROM grams GROUP BY 1
+        |), dup AS (
+        |  SELECT g.doc_id,
+        |         CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 1000000
+        |              // count(*) AS BIGINT) AS dup_share_ppm
+        |  FROM grams g JOIN gdf USING (gram_h)
+        |  GROUP BY 1
+        |  HAVING sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 1000000
+        |         // count(*) <= 200000
+        |), inst AS (
+        |  SELECT doc_id, (lang = 'en') AS tgt,
+        |         ('0x' || substr(md5(bg), 1, 8))::BIGINT % 128 AS bucket
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |           unnest(list_transform(range(1, len(tok)),
+        |             i -> tok[i] || ' ' || tok[i + 1])) AS bg
+        |    FROM t WHERE len(tok) >= 2)
+        |), rates AS (
+        |  SELECT bucket, count(*) AS rc,
+        |         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc
+        |  FROM inst GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(rc) AS BIGINT) AS rt,
+        |         CAST(sum(tc) AS BIGINT) AS tt
+        |  FROM rates
+        |), ratio AS (
+        |  SELECT bucket,
+        |         CAST((tc * 1000000000 // tt) * 1000000
+        |              // (rc * 1000000000 // rt) AS BIGINT) AS ratio_ppm
+        |  FROM rates, tot
+        |  WHERE rc * 1000000000 // rt > 0
+        |), sc AS (
+        |  SELECT i.doc_id,
+        |         CAST(sum(ratio_ppm) // count(*) AS BIGINT) AS score_ppm
+        |  FROM inst i JOIN ratio USING (bucket) GROUP BY 1
+        |), surv AS (
+        |  SELECT d.source, sc.doc_id, sc.score_ppm, lex.ttr_ppm,
+        |         dup.dup_share_ppm, lex.n_tokens
+        |  FROM sc JOIN lex USING (doc_id) JOIN dup USING (doc_id)
+        |  JOIN documents d USING (doc_id)
+        |)
+        |SELECT source, rank, doc_id, score_ppm, ttr_ppm, dup_share_ppm,
+        |       n_tokens
+        |FROM (
+        |  SELECT source, doc_id, score_ppm, ttr_ppm, dup_share_ppm,
+        |         n_tokens,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY score_ppm DESC, doc_id ASC) AS rank
+        |  FROM surv) z
+        |WHERE rank <= 5""".stripMargin,
 
     // arg_max over the same md5(shard|key) weights, both shard lists.
     "q286_rendezvous" ->

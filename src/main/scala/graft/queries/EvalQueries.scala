@@ -254,16 +254,17 @@ object EvalQueries {
           col("decomp_gap_ppm"))),
 
     // McNemar's paired test per source between two deterministic
-    // lang='en' classifiers (raw length >= 600 vs whitespace-stripped
-    // length >= 500): the significance test that respects the pairing —
+    // lang='en' classifiers (raw length >= 300 vs whitespace-stripped
+    // length >= 250, the corpus medians — both cut mid-distribution,
+    // so the discordant cells are populated): the test that respects the pairing —
     // only the discordant cells b and c carry evidence. Exact ppm;
     // b + c = 0 yields NULL, not a vacuous 0.
     "q275_mcnemar" -> ((s, d) => {
       val g = Tables.documents(s, d)
         .withColumn("len_ns",
           length(regexp_replace(col("text"), "\\s", "")).cast("long"))
-      Eval.mcnemarPpm(g, col("source"), col("n_chars") >= 600,
-        col("len_ns") >= 500, col("lang") === "en")
+      Eval.mcnemarPpm(g, col("source"), col("n_chars") >= 300,
+        col("len_ns") >= 250, col("lang") === "en")
         .select(col("grp").as("source"), col("n"), col("both_ok"),
           col("b"), col("c"), col("mcnemar_ppm"))
     }),
@@ -444,8 +445,8 @@ object EvalQueries {
     "q275_mcnemar" ->
       """WITH g AS (
         |  SELECT source AS grp,
-        |         (n_chars >= 600) = (lang = 'en') AS ra,
-        |         (length(regexp_replace(text, '\s', '', 'g')) >= 500)
+        |         (n_chars >= 300) = (lang = 'en') AS ra,
+        |         (length(regexp_replace(text, '\s', '', 'g')) >= 250)
         |           = (lang = 'en') AS rb
         |  FROM documents
         |), a AS (

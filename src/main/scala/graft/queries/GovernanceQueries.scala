@@ -23,6 +23,34 @@ object GovernanceQueries {
   private val BucketSql = "least(9, (CAST(floor(c_acctbal) AS BIGINT) + 1000) // 1200)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // FAIRNESS audit of a quality filter across language slices: the
+    // n_chars >= 300 keep-rule (the corpus median) scored against the
+    // whitespace-stripped "substantive length >= 250" notion per
+    // language — selection rate, TPR,
+    // FPR in exact ppm. The disparate-impact read ("does the cheap
+    // filter select some languages structurally less?") that a
+    // multilingual pipeline audits before shipping the filter; the
+    // 80%-rule gap is one aggregate over this output (CurationSpec).
+    "q289_filter_fairness" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .withColumn("pred", col("n_chars") >= 300)
+        .withColumn("y",
+          length(regexp_replace(col("text"), "\\s", "")) >= 250)
+      g.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("pred") && col("y"), 1L).otherwise(0L)).as("tp"),
+          sum(when(!col("pred") && col("y"), 1L).otherwise(0L)).as("fn"),
+          sum(when(col("pred") && !col("y"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("pred") && !col("y"), 1L).otherwise(0L)).as("tn"))
+        .select(col("lang"), col("n"), col("n_kept"),
+          expr("n_kept * 1000000 div n").as("sel_rate_ppm"),
+          when(col("tp") + col("fn") > 0,
+            expr("tp * 1000000 div (tp + fn)")).as("tpr_ppm"),
+          when(col("fp") + col("tn") > 0,
+            expr("fp * 1000000 div (fp + tn)")).as("fpr_ppm"))
+    }),
+
     // l-diversity: (nation, segment) classes whose members span fewer
     // than 8 of the 10 balance brackets — k-anonymous classes that STILL
     // leak the sensitive attribute because everyone in them is alike.
@@ -70,6 +98,33 @@ object GovernanceQueries {
       s"WHEN uu < $cum THEN ($z)" }.mkString("CASE ", " ", " ELSE 8 END")
 
   val oracles: Map[String, String] = Map(
+    "q289_filter_fairness" ->
+      """WITH g AS (
+        |  SELECT lang, (n_chars >= 300) AS pred,
+        |         (length(regexp_replace(text, '\s', '', 'g')) >= 250) AS y
+        |  FROM documents
+        |), a AS (
+        |  SELECT lang, count(*) AS n,
+        |         CAST(sum(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_kept,
+        |         CAST(sum(CASE WHEN pred AND y THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS tp,
+        |         CAST(sum(CASE WHEN NOT pred AND y THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS fn,
+        |         CAST(sum(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS fp,
+        |         CAST(sum(CASE WHEN NOT pred AND NOT y THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS tn
+        |  FROM g GROUP BY 1
+        |)
+        |SELECT lang, n, n_kept,
+        |       CAST(n_kept * 1000000 // n AS BIGINT) AS sel_rate_ppm,
+        |       CASE WHEN tp + fn > 0 THEN
+        |         CAST(tp * 1000000 // (tp + fn) AS BIGINT) END AS tpr_ppm,
+        |       CASE WHEN fp + tn > 0 THEN
+        |         CAST(fp * 1000000 // (fp + tn) AS BIGINT) END AS fpr_ppm
+        |FROM a""".stripMargin,
+
     "q245_tvd_drift" ->
       s"""WITH g AS (
          |  SELECT lang AS cat,

@@ -401,4 +401,21 @@ class CurationSpec extends SparkSpec {
     assert(before.join(again, Seq("doc_id"))
       .filter(col("o") =!= col("o2")).count() == 0L)
   }
+
+  test("selection capstone: every pick passes all three gates and is a " +
+      "true per-source DSIR top-5 among the survivors") {
+    val out = graft.SparkEntry.queries("q290_selection_capstone")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(4) >= 400000L, "ttr gate leaked")
+      assert(r.getLong(5) <= 200000L, "dup-share gate leaked")
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 5L)
+    }
+    // the 80%-rule disparate-impact read off q289: min/max selection rate
+    val fair = graft.SparkEntry.queries("q289_filter_fairness")(spark, dir)
+      .collect().map(_.getLong(3))
+    assert(fair.nonEmpty && fair.min > 0L,
+      "a language with zero selection rate would fail any fairness rule")
+  }
 }
