@@ -104,10 +104,16 @@ object Bench {
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
 
     // ---- previous-run medians (self-written flat format, regex is safe)
+    // A FILTERED run (explicit query args) archives to a scratch path by
+    // default — otherwise a 5-query spot-check would clobber the
+    // committed full-coverage artifact (it did once; recovered from the
+    // run log). The full-set default remains bench_out.json.
     val outPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        if (args.nonEmpty) "tmp/bench_partial.json" else "bench_out.json"))
     val prevPath = sys.env.get("SPARK_GRAFT_BENCH_PREV")
-      .map(java.nio.file.Paths.get(_)).getOrElse(outPath)
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get("bench_out.json"))
     val prev: Map[String, Double] =
       if (java.nio.file.Files.exists(prevPath)) {
         val txt = new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
@@ -156,6 +162,8 @@ object Bench {
 
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"regressions":$regressions,$loadCtx,"runs":$runs,"sf":"${esc(sfDir)}"}"""
     // archive FIRST (the driver truncates stdout; the file is the record)
+    Option(outPath.getParent).foreach(p =>
+      java.nio.file.Files.createDirectories(p))
     java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()

@@ -41,7 +41,10 @@ object ScaleCurve {
     "q213_index_delta", "q214_bm25_from_index", "q23_minhash_sig",
     "q52_dedup_clusters", "q153_rrf_hybrid", "q219_auc",
     "q181_density_clusters", "q250_density_clusters_lsh",
-    "q261_density_high_sim")
+    "q261_density_high_sim",
+    // round-10 second wave: the selection family's heavier members
+    "q276_dsir_importance", "q280_dup_gram_share", "q284_ktruss",
+    "q290_selection_capstone")
 
   private def md5SignFlips(r: Int, dims: Int): Array[Float] =
     Array.tabulate(dims) { i =>
@@ -63,6 +66,20 @@ object ScaleCurve {
         .withColumn("n_chars", length(col("text")).cast("long"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // lineitem replicas for the co-occurrence graph family (q284):
+    // offsetting BOTH the order and part key spaces per replica keeps
+    // each replica's co-occurrence graph bit-identical to the original
+    // and the replicas mutually disconnected — graph structure scales
+    // x10 without cross-replica edges inflating triangle counts.
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until replicas).map { r =>
+      li.withColumn("l_orderkey",
+          col("l_orderkey") + lit(r.toLong * 1000000000L))
+        .withColumn("l_partkey",
+          col("l_partkey") + lit(r.toLong * 100000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val dims = 64
@@ -99,7 +116,7 @@ object ScaleCurve {
     spark.sparkContext.setLogLevel("ERROR")
 
     if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$out/embeddings.parquet"))) {
+        java.nio.file.Paths.get(s"$out/lineitem.parquet"))) {
       System.err.println(s"[curve] synthesizing sf1 ($replicas x $src) -> $out")
       synthesize(spark, src, out, replicas)
     }
@@ -110,8 +127,13 @@ object ScaleCurve {
     def runOnce(name: String, dir: String): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
+      // a single failing query must not zero the whole curve artifact
+      try SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[curve] $name failed on $dir: ${e.getMessage}")
+        return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -120,13 +142,17 @@ object ScaleCurve {
       val t01 = (1 to runs).map(_ => runOnce(n, src)).min
       val t1 = runOnce(n, out)
       // t ∝ n^e  ⇒  e = log(t1/t01) / log(scale ratio)
-      val exp = math.log(t1 / t01) / math.log(replicas.toDouble)
+      val exp =
+        if (t01 <= 0 || t1 <= 0) Double.NaN
+        else math.log(t1 / t01) / math.log(replicas.toDouble)
       System.err.println(
         f"[curve] $n%-28s sf0.1 $t01%8.2fs  sf1 $t1%8.2fs  exponent $exp%5.2f")
       (n, t01, t1, exp)
     }
     val qs = rows.map { case (n, a, b, e) =>
-      "\"" + n + f"""\":{"t_sf01":$a%.3f,"t_sf1":$b%.3f,"exponent":$e%.2f}"""
+      val expJson = if (e.isNaN) "null" else f"$e%.2f"
+      "\"" + n + f"""\":{"t_sf01":$a%.3f,"t_sf1":$b%.3f,""" +
+        s""""exponent":$expJson}"""
     }.mkString("{", ",", "}")
     val json = s"""{"metric":"scale_curve","replicas":$replicas,""" +
       s""""n_docs":$nDocs,"n_vecs":$nVecs,"queries":$qs}"""

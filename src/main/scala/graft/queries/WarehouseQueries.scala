@@ -746,12 +746,15 @@ object WarehouseQueries {
     // as q131's KS: where KS takes the sup of the ECDF gap (one bad
     // quantile decides), CvM integrates the SQUARED gap over the pooled
     // sample — sensitive to broad, low-amplitude drift KS underweights.
-    // Exactly rational: with D_k = cumA_k*n_b - cumB_k*n_a at each
-    // distinct value (weight w_k = its pooled multiplicity),
-    // T = sum w_k*D_k^2 / (N^2*n_a*n_b), emitted ppm via the staged
-    // divide (the numerator reaches N*(n_a*n_b)^2 — fine to sf0.1-scale
-    // 15k distinct cents; at larger corpora quantize the value first,
-    // same knob as q131). Under H0, T_ppm ~= 166667 ((N+1)/6N).
+    // Arithmetic discipline (the q274 Brier shape): the ECDF gap is
+    // reduced to ppm PER VALUE first — d_ppm = D_k*1e6 div (n_a*n_b)
+    // via the staged divide, with D_k = cumA_k*n_b - cumB_k*n_a — then
+    // T_ppm = sum w_k*(d_ppm^2 div 1e6) div N. The naive
+    // sum w*D^2 / (N^2*n_a*n_b) overflows BIGINT already at sf0.1
+    // (den = N^2*n_a*n_b ~ 2e19); the staged-gap form holds to ~9e12
+    // pooled rows, trading <=1ppm truncation per value (mirrored in the
+    // oracle — both engines truncate toward zero, negatives included).
+    // Under H0, T_ppm ~= 166667 ((N+1)/6N).
     "q281_cvm_drift" -> ((s, d) => {
       val split = Curation.hashSplit(
         Tables.orders(s, d).select(col("o_orderkey"),
@@ -765,15 +768,14 @@ object WarehouseQueries {
         counts, "cents", Seq("c_a", "c_b"))
       val tot = counts.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
       runs.crossJoin(broadcast(tot))
-        .withColumn("dterm",
-          col("running_c_a") * col("n_b") - col("running_c_b") * col("n_a"))
+        .withColumn("d_ppm", graft.operators.Eval.stagedPpmDiv(
+          col("running_c_a") * col("n_b") - col("running_c_b") * col("n_a"),
+          col("n_a") * col("n_b")))
         .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-          sum((col("c_a") + col("c_b")) * col("dterm") * col("dterm"))
-            .as("cvm_num"))
+          sum((col("c_a") + col("c_b"))
+            * expr("(d_ppm * d_ppm) div 1000000")).as("cvm_num"))
         .select(col("n_a"), col("n_b"), col("cvm_num"),
-          graft.operators.Eval.stagedPpmDiv(col("cvm_num"),
-            (col("n_a") + col("n_b")) * (col("n_a") + col("n_b"))
-              * col("n_a") * col("n_b")).as("cvm_ppm"))
+          expr("cvm_num div (n_a + n_b)").as("cvm_ppm"))
     }),
 
     // 2-D skyline (Pareto frontier) of parts on (price, size): the rows no
@@ -1130,8 +1132,8 @@ object WarehouseQueries {
          |FROM runs, tot""".stripMargin,
 
     // Same CTE chain as q131 with the squared-gap integral in place of
-    // the sup; the ppm division runs in HUGEINT (the numerator times 1e6
-    // exceeds BIGINT), truncating like the staged divide.
+    // the sup, staged exactly like the Spark side: per-value ppm gap
+    // first, then the weighted mean of its reduced square.
     "q281_cvm_drift" ->
       s"""WITH split AS (
          |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
@@ -1152,17 +1154,19 @@ object WarehouseQueries {
          |  SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
          |         CAST(sum(c_b) AS BIGINT) AS n_b
          |  FROM counts
+         |), gap AS (
+         |  SELECT c_a, c_b, n_a, n_b,
+         |         (cum_a * n_b - cum_b * n_a) * 1000000 // (n_a * n_b)
+         |           AS d_ppm
+         |  FROM runs, tot
          |), agg AS (
          |  SELECT max(n_a) AS n_a, max(n_b) AS n_b,
-         |         CAST(sum((c_a + c_b)
-         |              * (cum_a * n_b - cum_b * n_a)
-         |              * (cum_a * n_b - cum_b * n_a)) AS BIGINT) AS cvm_num
-         |  FROM runs, tot
+         |         CAST(sum((c_a + c_b) * ((d_ppm * d_ppm) // 1000000))
+         |           AS BIGINT) AS cvm_num
+         |  FROM gap
          |)
          |SELECT n_a, n_b, cvm_num,
-         |       CAST(CAST(cvm_num AS HUGEINT) * 1000000
-         |            // (CAST(n_a + n_b AS HUGEINT) * (n_a + n_b)
-         |                * n_a * n_b) AS BIGINT) AS cvm_ppm
+         |       CAST(cvm_num // (n_a + n_b) AS BIGINT) AS cvm_ppm
          |FROM agg""".stripMargin,
 
     "q174_scc" ->

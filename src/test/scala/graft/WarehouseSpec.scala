@@ -885,28 +885,28 @@ class WarehouseSpec extends SparkSpec {
 
   test("CvM drift arithmetic: identical samples -> 0, disjoint -> 375000") {
     // the q281 statistic replayed on hand counts through the same ops:
-    // A={1,2} B={3,4}: D over pooled values = 2,4,2,0 -> sum w*D^2 = 24,
-    // den = (4^2)*(2*2) = 64 -> 375000 ppm; A == B -> D == 0 everywhere
+    // A={1,2} B={3,4} -> 375000 ppm; A == B -> gap 0 everywhere
     def cvm(counts: Seq[(Long, Long, Long)]): (Long, Long) = {
       val df = counts.toDF("v", "c_a", "c_b")
       val runs = graft.operators.EventTime.globalRunningSums(
         df, "v", Seq("c_a", "c_b"))
       val tot = df.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
       val r = runs.crossJoin(broadcast(tot))
-        .withColumn("dterm",
-          col("running_c_a") * col("n_b") - col("running_c_b") * col("n_a"))
+        .withColumn("d_ppm", graft.operators.Eval.stagedPpmDiv(
+          col("running_c_a") * col("n_b") - col("running_c_b") * col("n_a"),
+          col("n_a") * col("n_b")))
         .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-          sum((col("c_a") + col("c_b")) * col("dterm") * col("dterm"))
-            .as("cvm_num"))
+          sum((col("c_a") + col("c_b"))
+            * expr("(d_ppm * d_ppm) div 1000000")).as("cvm_num"))
         .select(col("cvm_num"),
-          graft.operators.Eval.stagedPpmDiv(col("cvm_num"),
-            (col("n_a") + col("n_b")) * (col("n_a") + col("n_b"))
-              * col("n_a") * col("n_b")).as("cvm_ppm"))
+          expr("cvm_num div (n_a + n_b)").as("cvm_ppm"))
         .collect().head
       (r.getLong(0), r.getLong(1))
     }
+    // d_ppm over pooled values = 500000, 1000000, 500000, 0 ->
+    // reduced squares 250000, 1000000, 250000, 0 -> num 1500000, /4
     assert(cvm(Seq((1L, 1L, 0L), (2L, 1L, 0L), (3L, 0L, 1L),
-      (4L, 0L, 1L))) == ((24L, 375000L)))
+      (4L, 0L, 1L))) == ((1500000L, 375000L)))
     assert(cvm(Seq((1L, 1L, 1L), (2L, 1L, 1L))) == ((0L, 0L)))
   }
 
