@@ -822,6 +822,64 @@ object Curation {
         expr("_s div n_feat").as("score_ppm"))
   }
 
+  /** MAX-MIN FAIR budget allocation across groups — WATER-FILLING
+    * (Bertsekas & Gallager 1992 §6.5.2): cap every group's allocation at
+    * the common level L where `Σ min(supply_i, L) = budget`, so small
+    * suppliers keep everything and the budget shortfall is borne
+    * entirely by the largest suppliers — the mixture-balancing rule when
+    * proportional quotas (q77/q272) would let one giant source crowd out
+    * the tail. Exact integers: sort supplies ascending; the level group
+    * starts at the FIRST row where `(budget − cum_before) div m < s_i`
+    * (m = this row and everything after); rows before it keep their full
+    * supply, rows from it on get `L = (budget − cum_before) div m`, and
+    * the integer remainder `budget − Σ alloc` (< m) is REPORTED, not
+    * silently smeared — distributing it would break the "pure function
+    * of (supply multiset, budget)" determinism contract.
+    *
+    * Scale shape: one group aggregate, one global-sort window over the
+    * GROUP table (sources/languages — dozens of rows, never the data),
+    * one broadcast of the 1-row level frame.
+    *
+    * @return one row per group: (groupCol, supply, alloc) plus the
+    *         global `level` (NULL when the budget covers every supply —
+    *         no cap binds) and `remainder`
+    */
+  def waterFill(supplies: DataFrame, groupCol: String, supplyCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val w = Window.orderBy(col("supply").asc, col(groupCol).asc)
+    val ranked = supplies
+      .select(col(groupCol), col(supplyCol).cast("long").as("supply"))
+      .withColumn("idx", row_number().over(w))
+      .withColumn("cum_before",
+        coalesce(sum(col("supply")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("m", col("n") - col("idx") + 1)
+      .withColumn("l_here",
+        expr(s"($budget - cum_before) div m"))
+    val levelRow = ranked.filter(col("l_here") < col("supply"))
+      .orderBy(col("idx").asc).limit(1)
+      .select(col("idx").as("level_idx"), col("l_here").as("level"))
+    // the sentinel row only wins the limit(1) when no cap binds: the
+    // orderBy makes the pick deterministic (a bare union+limit is not)
+    val out = ranked.crossJoin(broadcast(
+        levelRow.unionByName(
+          ranked.sparkSession.range(1).select(
+            lit(Long.MaxValue).as("level_idx"),
+            lit(null).cast("long").as("level")))
+          .orderBy(col("level_idx").asc).limit(1)))
+      .withColumn("alloc",
+        when(col("idx") < col("level_idx"), col("supply"))
+          .otherwise(coalesce(col("level"), col("supply"))))
+    val rem = out.agg((lit(budget) - sum(col("alloc"))).as("remainder"))
+    out.crossJoin(broadcast(rem))
+      .select(col(groupCol), col("supply"), col("alloc"), col("level"),
+        col("remainder"))
+  }
+
   /** RENDEZVOUS (highest-random-weight) shard assignment (Thaler &
     * Ravishankar 1998): a key lands on the shard with the largest
     * `md5(shard|key)` — the shard-planning rule whose REBALANCE story is

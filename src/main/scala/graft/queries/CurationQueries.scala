@@ -271,6 +271,39 @@ object CurationQueries {
     // largest-remainder apportionment of a 1000-seat budget over the
     // FLATTENED weights. Head sources give up seats to the tail exactly
     // as the α-temperature intends; Σ quota == 1000 always.
+    // Max-min fair token-budget allocation across sources: water-fill a
+    // 20k budget over the per-source token supplies — small sources keep
+    // everything, the shortfall lands entirely on the largest (the
+    // anti-crowding mixture rule proportional quotas can't express).
+    // Exact integers, remainder REPORTED not smeared.
+    "q291_waterfill" -> ((s, d) => {
+      val supplies = Tables.documents(s, d)
+        .withColumn("n_tok", size(Dedup.tokens(col("text"))).cast("long"))
+        .groupBy(col("source")).agg(sum(col("n_tok")).as("supply"))
+      Curation.waterFill(supplies, "source", "supply", budget = 20000L)
+    }),
+
+    // Gini coefficient of token mass across sources, exact ppm: the
+    // corpus-concentration audit (0 = perfectly even mixture, ->1e6 =
+    // one source owns everything) — the one-number summary behind
+    // q77/q272/q291's rebalancing knobs. Discrete formula
+    // (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending mass:
+    // rational end to end, tie-order invariant (equal masses commute).
+    "q292_source_gini" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .withColumn("n_tok", size(Dedup.tokens(col("text"))).cast("long"))
+        .groupBy(col("source")).agg(sum(col("n_tok")).as("x"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("x").asc, col("source").asc)
+      t.withColumn("i", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n_sources"), sum(col("x")).as("total_tokens"),
+          sum(col("i") * col("x")).as("_six"))
+        .select(col("n_sources"), col("total_tokens"),
+          graft.operators.Eval.stagedPpmDiv(
+            lit(2L) * col("_six") - (col("n_sources") + 1) * col("total_tokens"),
+            col("n_sources") * col("total_tokens")).as("gini_ppm"))
+    }),
+
     // SELECTION CAPSTONE — the round's new operators COMPOSED into one
     // deterministic data-selection pipeline: lexical-diversity gate
     // (ttr >= 0.40) -> cross-doc duplication gate (dup 5-gram share <=
@@ -517,6 +550,71 @@ object CurationQueries {
         |            + coalesce(p.partial_tokens, 0) AS BIGINT)
         |         AS scheduled_tokens
         |FROM sch s LEFT JOIN part p USING (source)""".stripMargin,
+
+    // The same ascending-supply window; the empty-level case collapses
+    // to a sentinel via aggregate-over-empty (NULL level, max idx).
+    "q291_waterfill" ->
+      """WITH d AS (
+        |  SELECT source,
+        |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                              x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), tot AS (
+        |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS supply
+        |  FROM d GROUP BY 1
+        |), r AS (
+        |  SELECT source, supply,
+        |         row_number() OVER w AS idx,
+        |         CAST(coalesce(sum(supply) OVER (w ROWS BETWEEN
+        |           UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |           AS cum_before,
+        |         count(*) OVER () AS n
+        |  FROM tot
+        |  WINDOW w AS (ORDER BY supply ASC, source ASC)
+        |), r2 AS (
+        |  SELECT source, supply, idx,
+        |         (20000 - cum_before) // (n - idx + 1) AS l_here
+        |  FROM r
+        |), lvl AS (
+        |  SELECT coalesce(min(level_idx), 9223372036854775807) AS level_idx,
+        |         min(level) AS level
+        |  FROM (SELECT idx AS level_idx, l_here AS level FROM r2
+        |        WHERE l_here < supply ORDER BY idx LIMIT 1)
+        |), o AS (
+        |  SELECT source, supply,
+        |         CASE WHEN idx < level_idx THEN supply
+        |              ELSE coalesce(level, supply) END AS alloc,
+        |         level
+        |  FROM r2, lvl
+        |), rem AS (
+        |  SELECT CAST(20000 - sum(alloc) AS BIGINT) AS remainder FROM o
+        |)
+        |SELECT source, supply, CAST(alloc AS BIGINT) AS alloc,
+        |       CAST(level AS BIGINT) AS level, remainder
+        |FROM o, rem""".stripMargin,
+
+    "q292_source_gini" ->
+      """WITH d AS (
+        |  SELECT source,
+        |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                              x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), t AS (
+        |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS x
+        |  FROM d GROUP BY 1
+        |), r AS (
+        |  SELECT x, CAST(row_number() OVER (ORDER BY x ASC, source ASC)
+        |           AS BIGINT) AS i
+        |  FROM t
+        |), a AS (
+        |  SELECT count(*) AS n_sources, CAST(sum(x) AS BIGINT) AS total_tokens,
+        |         CAST(sum(i * x) AS BIGINT) AS six
+        |  FROM r
+        |)
+        |SELECT n_sources, total_tokens,
+        |       CAST((2 * six - (n_sources + 1) * total_tokens) * 1000000
+        |            // (n_sources * total_tokens) AS BIGINT) AS gini_ppm
+        |FROM a""".stripMargin,
 
     // The three stage oracles chained as CTEs, then the per-source
     // top-5 window — stage composition under one query.

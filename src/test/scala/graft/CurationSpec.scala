@@ -418,4 +418,48 @@ class CurationSpec extends SparkSpec {
     assert(fair.nonEmpty && fair.min > 0L,
       "a language with zero selection rate would fail any fairness rule")
   }
+
+  test("waterFill hand cases: level binds, full-coverage sentinel, " +
+      "integer remainder reported") {
+    import spark.implicits._
+    def run(b: Long) = Curation.waterFill(
+      Seq(("a", 1L), ("b", 5L), ("c", 10L)).toDF("src", "supply"),
+      "src", "supply", b)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getLong(4))).toMap
+    // budget 9: level (9-1)/2 = 4 -> alloc [1,4,4], remainder 0
+    val m9 = run(9L)
+    assert(m9("a") == ((1L, 1L, Some(4L), 0L)))
+    assert(m9("b") == ((5L, 4L, Some(4L), 0L)))
+    assert(m9("c") == ((10L, 4L, Some(4L), 0L)))
+    // budget 20 covers every supply: no cap binds, level NULL, rem 4
+    val m20 = run(20L)
+    assert(m20.values.forall(v => v._1 == v._2 && v._3.isEmpty && v._4 == 4L))
+    // budget 10: level 4 again but one unit left over — REPORTED
+    val m10 = run(10L)
+    assert(m10("b") == ((5L, 4L, Some(4L), 1L)))
+    assert(m10.values.map(_._2).sum + 1L == 10L)
+  }
+
+  test("source gini: equal masses -> 0, [1,2,3] -> 2/9") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def gini(xs: Seq[Long]): Long = {
+      val t = xs.zipWithIndex.map { case (x, i) => (s"s$i", x) }
+        .toDF("source", "x")
+      val w = Window.orderBy(col("x").asc, col("source").asc)
+      t.withColumn("i", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum(col("i") * col("x")).as("six"))
+        .select(graft.operators.Eval.stagedPpmDiv(
+          lit(2L) * col("six") - (col("n") + 1) * col("s"),
+          col("n") * col("s")))
+        .collect().head.getLong(0)
+    }
+    assert(gini(Seq(7L, 7L, 7L, 7L)) == 0L)
+    assert(gini(Seq(1L, 2L, 3L)) == 222222L)
+    assert(gini(Seq(1L, 1L, 1L, 97L)) > 700000L, "one dominant source")
+  }
 }

@@ -374,6 +374,32 @@ object GraftProperties extends Properties("graft") {
       got == want
     }
 
+  property("waterFill == min(supply, L*) for the max feasible integer " +
+    "level, full supplies when no cap binds") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 40L)), Gen.choose(0L, 300L)) {
+      (xs, budget) =>
+      val s = spark
+      import s.implicits._
+      val supplies = xs.zipWithIndex.map { case (x, i) => (s"g$i", x) }
+      val got = graft.operators.Curation.waterFill(
+        supplies.toDF("g", "supply"), "g", "supply", budget)
+        .collect().map(r => r.getString(0) -> (r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      val total = xs.sum
+      if (total <= budget) {
+        // no cap binds: everyone keeps their supply, level is NULL
+        supplies.forall { case (g, x) =>
+          got(g) == ((x, None)) }
+      } else {
+        // naive reference: the largest integer level whose capped sum fits
+        val lStar = (0L to xs.max).takeWhile(l =>
+          xs.map(math.min(_, l)).sum <= budget).last
+        supplies.forall { case (g, x) =>
+          got(g)._1 == math.min(x, lStar) } &&
+          got.values.forall(_._2.contains(lStar))
+      }
+    }
+
   property("kTruss matches the naive peel-to-fixpoint reference") =
     forAll(Gen.listOf(Gen.zip(Gen.choose(1L, 10L), Gen.choose(1L, 10L))),
       Gen.choose(3, 5)) { (raw, k) =>
