@@ -85,6 +85,45 @@ object EvalQueries {
         .select(col("grp").as("source"), col("threshold"), col("tp"),
           col("n_pred"), col("precision_ppm"), col("recall_ppm"))),
 
+    // OPERATING-POINT selection from q242's PR curve: the threshold
+    // maximizing F1 per source (F1 in exact ppm via 2tp*1e6 div
+    // (n_pred + pos); ties break toward the smaller threshold —
+    // deterministic, mirrored). pos_total is recovered in-plan as the
+    // curve's max tp (full recall at the loosest threshold). Candidates
+    // are the observed score values — exactly the curve's points.
+    "q293_best_f1" -> ((s, d) => {
+      val curve = Eval.prCurvePpm(Tables.documents(s, d), col("source"),
+        col("lang") === "en", col("n_chars"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+      val scored = curve
+        .withColumn("pos_total", max(col("tp")).over(w))
+        .withColumn("f1_ppm",
+          expr("2 * tp * 1000000 div (n_pred + pos_total)"))
+      graft.operators.Relational.topKPerGroup(scored, Seq(col("grp")),
+          Seq(col("f1_ppm").desc, col("threshold").asc), 1, "rank")
+        .select(col("grp").as("source"), col("threshold"), col("tp"),
+          col("n_pred"), col("pos_total"), col("f1_ppm"))
+    }),
+
+    // The COST-SENSITIVE sibling: minimize fp + 4*fn per source (a
+    // miss costs 4x a false alarm — the asymmetric regime of filtering
+    // for rare high-value data). Pure integer argmin over the same
+    // curve, no ppm truncation anywhere.
+    "q294_cost_threshold" -> ((s, d) => {
+      val curve = Eval.prCurvePpm(Tables.documents(s, d), col("source"),
+        col("lang") === "en", col("n_chars"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+      val scored = curve
+        .withColumn("pos_total", max(col("tp")).over(w))
+        .withColumn("fp", col("n_pred") - col("tp"))
+        .withColumn("fn", col("pos_total") - col("tp"))
+        .withColumn("cost", col("fp") + lit(4L) * col("fn"))
+      graft.operators.Relational.topKPerGroup(scored, Seq(col("grp")),
+          Seq(col("cost").asc, col("threshold").asc), 1, "rank")
+        .select(col("grp").as("source"), col("threshold"), col("fp"),
+          col("fn"), col("cost"))
+    }),
+
     // Bootstrap confidence band for the AUC itself: 16 Poisson
     // resamples, each scored by the WEIGHTED rank-sum AUC (multiplicity
     // folds into the per-score aggregate — resampled rows never
@@ -670,6 +709,69 @@ object EvalQueries {
          |              // (2 * n_pos * (n - n_pos)) AS BIGINT)
          |       END AS auc_ppm
          |FROM a""".stripMargin,
+
+    // q242's curve CTEs + the per-group argmax/argmin pick.
+    "q293_best_f1" ->
+      """WITH g AS (
+        |  SELECT source AS grp, (lang = 'en') AS y, n_chars AS s
+        |  FROM documents
+        |), per AS (
+        |  SELECT grp, s, count(*) AS c,
+        |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM g GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT grp, s,
+        |         CAST(sum(p) OVER w AS BIGINT) AS tp,
+        |         CAST(sum(c) OVER w AS BIGINT) AS n_pred,
+        |         CAST(sum(p) OVER (PARTITION BY grp) AS BIGINT)
+        |           AS pos_total
+        |  FROM per
+        |  WINDOW w AS (PARTITION BY grp ORDER BY s DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), f AS (
+        |  SELECT grp, s AS threshold, tp, n_pred, pos_total,
+        |         CAST(2 * tp * 1000000 // (n_pred + pos_total) AS BIGINT)
+        |           AS f1_ppm
+        |  FROM cum
+        |)
+        |SELECT grp AS source, threshold, tp, n_pred, pos_total, f1_ppm
+        |FROM (
+        |  SELECT grp, threshold, tp, n_pred, pos_total, f1_ppm,
+        |         row_number() OVER (PARTITION BY grp
+        |           ORDER BY f1_ppm DESC, threshold ASC) AS rnk
+        |  FROM f) z
+        |WHERE rnk = 1""".stripMargin,
+
+    "q294_cost_threshold" ->
+      """WITH g AS (
+        |  SELECT source AS grp, (lang = 'en') AS y, n_chars AS s
+        |  FROM documents
+        |), per AS (
+        |  SELECT grp, s, count(*) AS c,
+        |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM g GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT grp, s,
+        |         CAST(sum(p) OVER w AS BIGINT) AS tp,
+        |         CAST(sum(c) OVER w AS BIGINT) AS n_pred,
+        |         CAST(sum(p) OVER (PARTITION BY grp) AS BIGINT)
+        |           AS pos_total
+        |  FROM per
+        |  WINDOW w AS (PARTITION BY grp ORDER BY s DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), f AS (
+        |  SELECT grp, s AS threshold, n_pred - tp AS fp,
+        |         pos_total - tp AS fn,
+        |         (n_pred - tp) + 4 * (pos_total - tp) AS cost
+        |  FROM cum
+        |)
+        |SELECT grp AS source, threshold, fp, fn, cost
+        |FROM (
+        |  SELECT grp, threshold, fp, fn, cost,
+        |         row_number() OVER (PARTITION BY grp
+        |           ORDER BY cost ASC, threshold ASC) AS rnk
+        |  FROM f) z
+        |WHERE rnk = 1""".stripMargin,
 
     "q242_pr_curve" ->
       """WITH g AS (
