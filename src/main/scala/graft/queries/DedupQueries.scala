@@ -302,6 +302,28 @@ object DedupQueries {
         .select(col("node").as("doc_id"), col("cluster_id"),
           (col("node") === col("cluster_id")).as("is_canonical"))),
 
+    // QUALITY-AWARE canonical selection: q52's near-dup clusters keep
+    // their LONGEST-substantive member (whitespace-stripped length,
+    // tie -> smaller doc_id) instead of the min-id — the "keep the best
+    // copy, not the first copy" dedup policy real pipelines want once a
+    // quality signal exists. One window over the cluster assignment.
+    "q295_quality_canonical" -> ((s, d) => {
+      val cc = Dedup.connectedComponents(verifiedPairs(s, d),
+          "doc_a", "doc_b", maxIter = 50)
+        .select(col("node").as("doc_id"), col("cluster_id"))
+      val len = Tables.documents(s, d).select(col("doc_id"),
+        length(regexp_replace(col("text"), "\\s", ""))
+          .cast("long").as("len_ns"))
+      val j = cc.join(len, Seq("doc_id"))
+        .withColumn("n_members", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cluster_id"))))
+      graft.operators.Relational.topKPerGroup(j, Seq(col("cluster_id")),
+          Seq(col("len_ns").desc, col("doc_id").asc), 1)
+        .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
+          col("n_members"), col("len_ns").as("rep_len_ns"))
+    }),
+
     // The SAME clusters via alternating large-star/small-star contraction
     // (Kiveris et al. 2014): O(log n) rounds regardless of component
     // diameter, where q52's neighbor-min propagation pays O(diameter).
@@ -706,6 +728,31 @@ object DedupQueries {
          |        / len(list_distinct(a.shingles)) >= 0.7""".stripMargin,
 
     "q52_dedup_clusters" -> ClusterOracle,
+
+    // ClusterOracle's CC CTEs with the argmax-by-quality tail swapped in.
+    "q295_quality_canonical" -> {
+      val prefix = ClusterOracle.substring(0,
+        ClusterOracle.indexOf("SELECT node AS doc_id"))
+      prefix + ", " +
+        """cc AS (
+          |  SELECT node AS doc_id, min(r) AS cluster_id
+          |  FROM reach GROUP BY node
+          |), ln AS (
+          |  SELECT doc_id,
+          |         CAST(length(regexp_replace(text, '\s', '', 'g'))
+          |           AS BIGINT) AS len_ns
+          |  FROM documents
+          |)
+          |SELECT cluster_id, doc_id AS rep_doc_id, n_members,
+          |       len_ns AS rep_len_ns
+          |FROM (
+          |  SELECT cc.cluster_id, cc.doc_id, ln.len_ns,
+          |         count(*) OVER (PARTITION BY cc.cluster_id) AS n_members,
+          |         row_number() OVER (PARTITION BY cc.cluster_id
+          |           ORDER BY ln.len_ns DESC, cc.doc_id ASC) AS rnk
+          |  FROM cc JOIN ln USING (doc_id)) z
+          |WHERE rnk = 1""".stripMargin
+    },
 
     // Brute-force weighted-Jaccard over all ordered pairs: the weighted
     // prefix filter must lose nothing against this.

@@ -348,4 +348,28 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L).zip(sigs(3L)).count { case (x, y) => x == y } == 0,
       "disjoint small sets should agree nowhere (md5 collisions aside)")
   }
+
+  test("quality canonical: every representative is its cluster's length " +
+      "argmax, and the policy actually diverges from min-id somewhere") {
+    val dir = "/root/testdata/sf0.01"
+    val reps = graft.SparkEntry.queries("q295_quality_canonical")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val clusters = graft.SparkEntry.queries("q52_dedup_clusters")(spark, dir)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lens = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = clusters.groupBy(_._2)
+    assert(reps.keySet == byCluster.keySet)
+    reps.foreach { case (c, (rep, repLen)) =>
+      val members = byCluster(c).map(_._1)
+      val best = members.map(d => (lens(d), -d)).max
+      assert((repLen, -rep) == best,
+        s"cluster $c rep $rep is not the length argmax")
+    }
+    assert(reps.exists { case (c, (rep, _)) => rep != c },
+      "fixture must contain a cluster where best-quality != min-id")
+  }
 }
