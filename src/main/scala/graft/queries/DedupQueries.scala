@@ -126,6 +126,67 @@ object DedupQueries {
             .as("abs_err_ppm"))
     }),
 
+    // SimHash CALIBRATION (q288's discipline for the OTHER sketch): for
+    // every band candidate within hamming <= 8, the bit-agreement
+    // estimate (60-h)/60 in ppm against the exact distinct-token
+    // Jaccard. The two sketches now carry the same honesty audit —
+    // MinHash estimates Jaccard directly, SimHash's agreement tracks
+    // the cosine angle, and the bias between the columns is visible.
+    "q296_simhash_calibration" -> ((s, d) => {
+      val sim = simhashed(s, d)
+        .withColumn("bands", Dedup.simhashBands(col("simhash"))).cache()
+      val cand = Dedup.candidatePairs(sim, "doc_id", "bands")
+      val tok = Tables.documents(s, d).select(col("doc_id"),
+        array_distinct(Dedup.tokens(col("text"))).as("ts"))
+      cand
+        .join(sim.select(col("doc_id").as("doc_a"),
+          col("simhash").as("sim_a")), Seq("doc_a"))
+        .join(sim.select(col("doc_id").as("doc_b"),
+          col("simhash").as("sim_b")), Seq("doc_b"))
+        .withColumn("hamming", Dedup.hamming(col("sim_a"), col("sim_b"))
+          .cast("long"))
+        .filter(col("hamming") <= 8)
+        .join(tok.select(col("doc_id").as("doc_a"), col("ts").as("ts_a")),
+          Seq("doc_a"))
+        .join(tok.select(col("doc_id").as("doc_b"), col("ts").as("ts_b")),
+          Seq("doc_b"))
+        .withColumn("inter",
+          size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+        .withColumn("uni",
+          size(col("ts_a")).cast("long") + size(col("ts_b")).cast("long")
+            - col("inter"))
+        .select(col("doc_a"), col("doc_b"), col("hamming"),
+          expr("(60 - hamming) * 1000000 div 60").as("agree_ppm"),
+          expr("inter * 1000000 div uni").as("jaccard_ppm"))
+    }),
+
+    // TRANSITIVITY audit of the near-dup clusters: how much of each
+    // cluster's pair mass is DIRECT evidence (a verified Jaccard >= 0.5
+    // pair) vs transitive closure? n_direct*1e6 div C(n,2) — 1e6 means
+    // a verified clique (safe to collapse), a low value flags a
+    // boilerplate CHAIN where the closure glued documents no verifier
+    // ever compared — exactly the clusters a takedown/canonical policy
+    // should treat with suspicion.
+    "q297_cluster_transitivity" -> ((s, d) => {
+      val pairs = verifiedPairs(s, d).cache()
+      val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+          maxIter = 50)
+        .select(col("node").as("doc_id"), col("cluster_id"))
+      val sizes = cc.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+      val direct = pairs
+        .join(cc.select(col("doc_id").as("doc_a"), col("cluster_id")),
+          Seq("doc_a"))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_direct"))
+      sizes.join(direct, Seq("cluster_id"))
+        .withColumn("n_implied",
+          expr("n_members * (n_members - 1) div 2"))
+        .select(col("cluster_id"), col("n_members"), col("n_direct"),
+          col("n_implied"),
+          expr("n_direct * 1000000 div n_implied")
+            .as("transitivity_ppm"))
+    }),
+
     // E1: exact dedup with deterministic canonical selection (min doc_id).
     "q22_dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(
@@ -802,6 +863,67 @@ object DedupQueries {
          |FROM cand JOIN sim x ON cand.doc_a = x.doc_id
          |          JOIN sim y ON cand.doc_b = y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2""".stripMargin,
+
+    // q27's band candidates at the wider hamming bound, joined to the
+    // exact distinct-token Jaccard.
+    "q296_simhash_calibration" ->
+      s"""$SimCte, sbands AS (
+         |  SELECT doc_id, i AS band, (simhash >> (i*15)) & 32767 AS bh
+         |  FROM sim, UNNEST(range(0, 4)) u(i)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sbands a JOIN sbands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |), h AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT)
+         |           AS hamming
+         |  FROM cand JOIN sim x ON cand.doc_a = x.doc_id
+         |            JOIN sim y ON cand.doc_b = y.doc_id
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+         |), tok AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_filter(
+         |           string_split_regex(trim(text), '\\s+'),
+         |           x -> x <> '')) AS ts
+         |  FROM documents
+         |), j AS (
+         |  SELECT doc_a, doc_b, hamming,
+         |         CAST(len(list_intersect(ta.ts, tb.ts)) AS BIGINT) AS inter,
+         |         CAST(len(ta.ts) + len(tb.ts)
+         |              - len(list_intersect(ta.ts, tb.ts)) AS BIGINT) AS uni
+         |  FROM h JOIN tok ta ON h.doc_a = ta.doc_id
+         |         JOIN tok tb ON h.doc_b = tb.doc_id
+         |)
+         |SELECT doc_a, doc_b, hamming,
+         |       CAST((60 - hamming) * 1000000 // 60 AS BIGINT) AS agree_ppm,
+         |       CAST(inter * 1000000 // uni AS BIGINT) AS jaccard_ppm
+         |FROM j""".stripMargin,
+
+    // ClusterOracle's chain again: verified pairs per cluster over the
+    // implied pair count.
+    "q297_cluster_transitivity" -> {
+      val prefix = ClusterOracle.substring(0,
+        ClusterOracle.indexOf("SELECT node AS doc_id"))
+      prefix + ", " +
+        """cc AS (
+          |  SELECT node AS doc_id, min(r) AS cluster_id
+          |  FROM reach GROUP BY node
+          |), sizes AS (
+          |  SELECT cluster_id, count(*) AS n_members FROM cc GROUP BY 1
+          |), direct AS (
+          |  SELECT cc.cluster_id, count(*) AS n_direct
+          |  FROM verified v JOIN cc ON v.doc_a = cc.doc_id
+          |  GROUP BY 1
+          |)
+          |SELECT s.cluster_id, s.n_members, d.n_direct,
+          |       CAST(s.n_members * (s.n_members - 1) // 2 AS BIGINT)
+          |         AS n_implied,
+          |       CAST(d.n_direct * 1000000
+          |            // (s.n_members * (s.n_members - 1) // 2) AS BIGINT)
+          |         AS transitivity_ppm
+          |FROM sizes s JOIN direct d USING (cluster_id)""".stripMargin
+    },
 
     "q88_span_dedup" ->
       """WITH base AS (

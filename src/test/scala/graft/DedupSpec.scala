@@ -372,4 +372,42 @@ class DedupSpec extends SparkSpec {
     assert(reps.exists { case (c, (rep, _)) => rep != c },
       "fixture must contain a cluster where best-quality != min-id")
   }
+
+  test("cluster transitivity: a verified chain scores 2/3, a clique 1.0") {
+    import spark.implicits._
+    // chain 1~2~3 (no 1~3 evidence) + clique {10,11,12} fully verified
+    val pairs = Seq((1L, 2L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b", maxIter = 20)
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val sizes = cc.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    val direct = pairs
+      .join(cc.select(col("doc_id").as("doc_a"), col("cluster_id")),
+        Seq("doc_a"))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_direct"))
+    val got = sizes.join(direct, Seq("cluster_id"))
+      .select(col("cluster_id"),
+        expr("n_direct * 1000000 div (n_members * (n_members - 1) div 2)"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 666666L, "the chain must be flagged below 1e6")
+    assert(got(10L) == 1000000L, "the clique is fully evidenced")
+  }
+
+  test("simhash calibration is monotone: mean exact Jaccard decreases " +
+      "as hamming grows on the real corpus") {
+    val out = graft.SparkEntry.queries("q296_simhash_calibration")(
+        spark, "/root/testdata/sf0.01")
+      .groupBy(col("hamming")).agg(avg(col("jaccard_ppm")).as("mj"))
+      .orderBy(col("hamming")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.length >= 5)
+    // identical docs collide on all bands with hamming 0 and near-1 jac
+    assert(out.head._1 == 0L && out.head._2 > 950000.0)
+    // weak monotone: each step down by at least -2% tolerance
+    out.sliding(2).foreach { case Array((h1, j1), (h2, j2)) =>
+      assert(j2 <= j1 + 20000.0,
+        s"calibration not monotone at hamming $h1 -> $h2: $j1 -> $j2")
+    }
+  }
 }
