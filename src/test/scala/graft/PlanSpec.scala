@@ -417,4 +417,14 @@ class PlanSpec extends SparkSpec {
       s"per-source budget frame lost its broadcast:\n$p")
     assert(p.contains("Window"), s"prefix-rule window missing:\n$p")
   }
+
+  test("q296/q297 sketch-audit queries: band/cluster equi-joins only — " +
+      "no product join anywhere") {
+    for (q <- Seq("q296_simhash_calibration", "q297_cluster_transitivity")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q planned a nested-loop product:\n$p")
+    }
+  }
 }
