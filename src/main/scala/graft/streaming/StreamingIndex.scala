@@ -78,16 +78,18 @@ object StreamingIndex {
     * subtracts nothing).
     *
     * CONTRACT (ordered LSM, round 10): ops apply in name order — "base"
-    * pinned first, then lexicographic; at equal names the tombstone
-    * applies BEFORE the same-named segment ([[LsmOps]]). A tombstone
-    * therefore suppresses its ids in every EARLIER segment and leaves
-    * later folds alone — the standard LSM sequence rule, which is what
-    * makes the one-batch [[upsertBatch]] (tombstone + re-fold under one
-    * name) well-defined without an intervening [[compact]]. Callers in
-    * mixed delete/fold workloads must use names that sort in arrival
-    * order (zero-pad streaming batch names past 10 batches, or compact
-    * between — additive folds commute, so ordering only matters relative
-    * to tombstones).
+    * pinned first, then NATURAL order ([[LsmOps.naturalOrder]]: digit
+    * runs compare numerically, so the streaming path's unpadded
+    * `b<batchId>` names sort in arrival order past 10 batches); at equal
+    * names the tombstone applies BEFORE the same-named segment
+    * ([[LsmOps]]). A tombstone therefore suppresses its ids in every
+    * EARLIER segment and leaves later folds alone — the standard LSM
+    * sequence rule, which is what makes the one-batch [[upsertBatch]]
+    * (tombstone + re-fold under one name) well-defined without an
+    * intervening [[compact]]. Callers in mixed delete/fold workloads
+    * must still pick names whose natural order matches arrival order
+    * (additive folds commute, so ordering only matters relative to
+    * tombstones).
     */
   def tombstoneDocs(spark: SparkSession, dir: String, docIds: DataFrame,
       name: String): Unit = {

@@ -87,10 +87,12 @@ object StreamingIvf {
     * EARLIER segment and leaves later folds alone — the standard LSM
     * sequence-number rule, and what makes the one-batch
     * [[upsertBatch]] (tombstone + re-fold under one name) well-defined.
-    * Callers in mixed delete/fold workloads must use names that sort in
-    * arrival order (the streaming path's `b<batchId>` needs zero-padding
-    * past 10 batches, or a [[compact]] between — additive folds commute,
-    * so ordering only matters relative to tombstones).
+    * Name order is NATURAL ([[LsmOps.naturalOrder]]): digit runs compare
+    * numerically, so the streaming path's unpadded `b<batchId>` names
+    * sort in arrival order past 10 batches with no padding discipline.
+    * Callers in mixed delete/fold workloads must still pick names whose
+    * natural order matches arrival order (additive folds commute, so
+    * ordering only matters relative to tombstones).
     */
   def tombstoneVectors(spark: SparkSession, dir: String, vecIds: DataFrame,
       name: String): Unit = {
