@@ -134,15 +134,28 @@ object Bench {
     // quiet re-run (recheck within 1.5x of the previous round) is
     // labeled "contended", not "regression" — the committed artifact
     // adjudicates itself instead of sending a reader chasing phantoms.
+    // ABSOLUTE NOISE FLOOR (round-10 verdict): a >1.5x ratio on a
+    // 0.2-second query measures JVM/GC jitter, not code — both entries
+    // the round-10 guard labeled "regression" were sub-second and an
+    // idle-machine re-run cleared them. Flagged entries with cur < 0.5 s
+    // or an absolute delta < 0.3 s are labeled "noise" without a serial
+    // recheck; only above-floor entries earn the recheck adjudication.
     val regressions = ratios.filter(_._4 > 1.5).map { case (k, p, c, r) =>
-      spark.catalog.clearCache()
-      val recheck = runOnce(k)
-      val status =
-        if (recheck >= 0 && recheck <= p * 1.5) "contended" else "regression"
-      System.err.println(f"[bench]   recheck $k%-28s $p%8.3f -> $c%8.3f " +
-        f"recheck $recheck%8.3f  => $status")
-      "\"" + k + f"""\":{"prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.2f,""" +
-        f""""recheck":$recheck%.3f,"status":"$status"}"""
+      if (c < 0.5 || c - p < 0.3) {
+        System.err.println(f"[bench]   noise   $k%-28s $p%8.3f -> $c%8.3f " +
+          "(below absolute floor)")
+        "\"" + k + f"""\":{"prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.2f,""" +
+          """"status":"noise"}"""
+      } else {
+        spark.catalog.clearCache()
+        val recheck = runOnce(k)
+        val status =
+          if (recheck >= 0 && recheck <= p * 1.5) "contended" else "regression"
+        System.err.println(f"[bench]   recheck $k%-28s $p%8.3f -> $c%8.3f " +
+          f"recheck $recheck%8.3f  => $status")
+        "\"" + k + f"""\":{"prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.2f,""" +
+          f""""recheck":$recheck%.3f,"status":"$status"}"""
+      }
     }.mkString("{", ",", "}")
     if (ratios.nonEmpty) {
       System.err.println(f"[bench] vs ${prevPath.toString} (${ratios.size} " +

@@ -808,7 +808,13 @@ object Curation {
     */
   def dsirImportanceFrom(docs: DataFrame, idCol: String, tokCol: String,
       buckets: Int, rates: DataFrame): DataFrame = {
+    // an empty target slice (tt = 0) would make tr_ppb NULL everywhere
+    // and every score silently NULL — fail loud like the other guards
     val totals = rates.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
+    val Array(tgtTotal) = totals.select(col("tt")).collect().map(r =>
+      if (r.isNullAt(0)) 0L else r.getLong(0))
+    require(tgtTotal > 0,
+      s"dsirImportanceFrom: rates table has an empty target slice (tt=$tgtTotal)")
     val ratio = rates.crossJoin(broadcast(totals))
       .withColumn("rr_ppb", expr("rc * 1000000000 div rt"))
       .withColumn("tr_ppb", expr("tc * 1000000000 div tt"))

@@ -354,14 +354,21 @@ object Graph {
     var cur = canonicalUndirected(edges, srcCol, dstCol).ckpt()
     var curCount = cur.count()
     var converged = curCount == 0
+    // carries the converged round's (u, v, support) out of the loop: in
+    // the round that detects the fixpoint nothing was dropped, so the
+    // supports it computed ARE the in-truss supports — recomputing them
+    // after the loop would re-run the triangle enumeration (the most
+    // expensive stage) once more for nothing
+    var supported = cur.withColumn("support", lit(0L))
     var i = 0
     while (!converged && i < maxIter) {
-      val next = cur.join(support(cur), Seq("u", "v"), "left")
-        .filter(coalesce(col("support"), lit(0L)) >= k - 2)
-        .select(col("u"), col("v")).ckpt()
-      val nextCount = next.count()
+      supported = cur.join(support(cur), Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          coalesce(col("support"), lit(0L)).as("support"))
+        .filter(col("support") >= k - 2).ckpt()
+      val nextCount = supported.count()
       converged = nextCount == curCount
-      cur = next
+      cur = supported.select(col("u"), col("v"))
       curCount = nextCount
       i += 1
     }
@@ -369,9 +376,7 @@ object Graph {
       throw new IllegalStateException(
         s"kTruss(k=$k) did not converge in $maxIter rounds " +
           s"($curCount edges remain) — raise maxIter")
-    cur.join(support(cur), Seq("u", "v"), "left")
-      .select(col("u"), col("v"),
-        coalesce(col("support"), lit(0L)).as("support"))
+    supported
   }
 
   /** k-core decomposition for a fixed k: the maximal subgraph in which

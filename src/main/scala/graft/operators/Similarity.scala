@@ -1657,13 +1657,24 @@ object Similarity {
     *
     * ADC-error recovery on the swapped subspaces is measured, not
     * argued, in `SimilaritySpec`.
+    *
+    * The default drift statistic is RELATIVE (floored mean of
+    * per-subspace error), so a UNIFORMLY decayed codebook — every
+    * subspace just under the mean — never triggers. `evalAll = true`
+    * makes absolute decay actionable: every subspace is a retrain
+    * candidate and each one swaps iff its validation compare strictly
+    * improves — the same monotone validate-before-swap gate, just
+    * without the relative pre-filter (costs the candidate-error pass on
+    * all subspaces instead of the drifted few).
     */
-  def recodeDriftedSubspaces(index: PqIndex): PqIndex = {
+  def recodeDriftedSubspaces(index: PqIndex,
+      evalAll: Boolean = false): PqIndex = {
     val bySub = pqDriftStats(index)
       .groupBy(col("m")).agg(sum(col("sum_qerr")).as("qerr_m"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val threshold = bySub.values.sum / index.subspaces
-    val drifted = bySub.filter(_._2 > threshold).keySet
+    val drifted =
+      if (evalAll) bySub.keySet else bySub.filter(_._2 > threshold).keySet
     if (drifted.isEmpty) return index
     val cbOld = collectCodebook(index.codebook, index.subspaces,
       index.codewords)

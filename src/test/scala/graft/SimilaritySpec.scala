@@ -291,6 +291,20 @@ class SimilaritySpec extends SparkSpec {
         .as[(Long, Int, Int)].collect().toSet
     assert(codesOf(recoded) == codesOf(driftedIdx),
       "unswapped subspaces' codes changed under the partial retrain")
+    // evalAll: absolute decay is actionable — every subspace is a
+    // candidate, the validate-before-swap gate keeps it monotone, and
+    // it can only swap MORE than the relative rule, never less
+    val afterAll = qerrBySub(
+      Similarity.recodeDriftedSubspaces(driftedIdx, evalAll = true))
+    (0 until 16).foreach { m =>
+      assert(afterAll(m) <= before(m),
+        s"evalAll: subspace $m error increased: ${before(m)} -> ${afterAll(m)}")
+      assert(afterAll(m) <= after(m),
+        s"evalAll swapped less than the relative rule on subspace $m")
+    }
+    val swappedAll = (0 until 16).filter(m => afterAll(m) < before(m))
+    assert(swapped.toSet.subsetOf(swappedAll.toSet),
+      s"evalAll swapped $swappedAll, missing relative-rule swaps $swapped")
   }
 
   test("IVF-PQ compound recall and the pruning it buys (measured, pinned)") {
