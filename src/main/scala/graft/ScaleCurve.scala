@@ -44,7 +44,12 @@ object ScaleCurve {
     "q261_density_high_sim",
     // round-10 second wave: the selection family's heavier members
     "q276_dsir_importance", "q280_dup_gram_share", "q284_ktruss",
-    "q290_selection_capstone")
+    "q290_selection_capstone",
+    // round-11 (verdict #2): the expensive capstones — the suite's
+    // slowest query and the calibration/audit family — were the only
+    // heavy queries with no scale measurement
+    "q262_takedown_capstone", "q296_simhash_calibration",
+    "q234_dedup_eval")
 
   private def md5SignFlips(r: Int, dims: Int): Array[Float] =
     Array.tabulate(dims) { i =>
@@ -154,8 +159,20 @@ object ScaleCurve {
       "\"" + n + f"""\":{"t_sf01":$a%.3f,"t_sf1":$b%.3f,""" +
         s""""exponent":$expJson}"""
     }.mkString("{", ",", "}")
+    // candidate-pair volume at BOTH scales (round-10 verdict #1): the
+    // band-geometry dial's claim is that candidates track the
+    // LSH-optimal n^(1+ρ) instead of n² — record n, the dialed
+    // (bits, bands), and the measured candidate-pair count per scale
+    // so the claim is a number, not an argument
+    val cand = Seq("sf01" -> src, "sf1" -> out).map { case (tag, dir) =>
+      val (n, bits, bands, pairs) =
+        graft.queries.SimilarityQueries.dialedCandidateStats(spark, dir)
+      System.err.println(
+        s"[curve] cand $tag: n=$n bits=$bits bands=$bands pairs=$pairs")
+      s""""$tag":{"n":$n,"bits":$bits,"bands":$bands,"pairs":$pairs}"""
+    }.mkString("{", ",", "}")
     val json = s"""{"metric":"scale_curve","replicas":$replicas,""" +
-      s""""n_docs":$nDocs,"n_vecs":$nVecs,"queries":$qs}"""
+      s""""n_docs":$nDocs,"n_vecs":$nVecs,"cand":$cand,"queries":$qs}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SF1.json"),
       (json + "\n").getBytes("UTF-8"))
     println(json)

@@ -1880,4 +1880,60 @@ object Similarity {
     }
     s
   }
+
+  /** The multi-probe BAND-GEOMETRY DIAL (round-10 verdict #1): choose
+    * `(bands, bits)` for [[rhBands]] + `Dedup.multiProbeCandidatePairs`
+    * as a function of CORPUS SIZE, so candidate volume stays near the
+    * LSH-theoretic optimum instead of growing quadratically at a fixed
+    * geometry (the one measured super-linear path in SCALE.md §17:
+    * fixed 8-bit bands ⇒ per-bucket occupancy — hence verified-pair
+    * volume — grows with n).
+    *
+    * Two rules, both derivable by any engine from (n) alone:
+    *
+    *   1. BITS from occupancy: `bits = max(8, ceil(log2(n / 8)))` —
+    *      per-band bucket count 2^bits tracks n/8, so expected bucket
+    *      occupancy (hence per-band random collisions per row) stays
+    *      ~constant as the corpus grows. The floor 8 keeps the verify
+    *      scales (sf0.01 n=500, sf0.1 n=2000) on EXACTLY the pinned
+    *      q145 geometry, so the q250/q261/q215/q216 oracles (which
+    *      hardcode 16 bands × 8 bits in SQL) stay exact where the
+    *      driver checks them.
+    *   2. BANDS from recall: hold the MODELED multi-probe recall at the
+    *      design operating point — pair similarity s* = 0.45 (the
+    *      corpus's near-dup zone; pair cosines top out ≈0.5 here),
+    *      target R* = 0.94. Per-band Hamming≤1 collision probability is
+    *      `c(b) = p^b + b·p^(b−1)·(1−p)` with `p = 1 − acos(s*)/π`
+    *      (Goemans–Williamson sign-agreement), so
+    *      `bands = ceil(ln(1−R*) / ln(1−c(bits)))`. R* is CALIBRATED so
+    *      the formula reproduces the pinned geometry at the floor:
+    *      bits=8 ⇒ bands=16, i.e. the dial is a strict generalization
+    *      of q145's hand-picked 128-plane setting, not a second
+    *      geometry to keep in sync.
+    *
+    * At n=20,000 (the synthesized sf1) this yields 67 bands × 12 bits
+    * (804 planes): bucket count ×16 cuts the random-collision candidate
+    * mass ≈2.3× while the extra bands hold modeled recall ≥0.94 at s*.
+    * That 2.3× — not 16× — is the honest LSH bound: at fixed recall and
+    * threshold, candidate volume grows as n^(1+ρ) with
+    * ρ = ln(1/p₁)/ln(1/p₂) ≈ 0.66 for (s*=0.45 vs orthogonal
+    * background), and the dial tracks that optimum (measured in
+    * BENCH_SF1.json's `cand` block). Past n ≈ 10⁷ the Hamming radius
+    * must grow too (≤2, ≤3 — `multiProbeCandidatePairs` takes the probe
+    * set from the band value, so that is a caller-side explode change),
+    * which is why `bits` is capped at 24 here rather than silently
+    * extrapolated.
+    */
+  def dialedBandGeometry(n: Long): (Int, Int) = {
+    require(n > 0, s"corpus size must be positive, got $n")
+    val bits = math.max(8,
+      math.ceil(math.log(n / 8.0) / math.log(2.0)).toInt)
+    require(bits <= 24,
+      s"n=$n needs $bits-bit bands: beyond 24 bits widen the Hamming " +
+        "probe radius instead of the band width (see scaladoc)")
+    val p = 1.0 - math.acos(0.45) / math.Pi
+    val c = math.pow(p, bits) + bits * math.pow(p, bits - 1) * (1.0 - p)
+    val bands = math.ceil(math.log(1.0 - 0.94) / math.log(1.0 - c)).toInt
+    (bands, bits)
+  }
 }

@@ -27,18 +27,47 @@ object SimilarityQueries {
       |  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v
       |)""".stripMargin
 
-  /** The q145 multi-probe geometry (128 planes → 16 bands × 8 bits),
-    * shared by q215/q216 so the Spark side cannot drift from q145 either.
+  /** DIALED multi-probe banding, shared by q250/q261/q215/q216: the
+    * geometry comes from `Similarity.dialedBandGeometry(n)` — per-bucket
+    * occupancy held constant by growing band width with log n, modeled
+    * recall held at the s*=0.45 design point by growing the band count.
+    * The dial's FLOOR output (n ≤ 2048) is exactly the pinned q145
+    * geometry (16 bands × 8 bits), so at the oracle-checked scales
+    * (sf0.01, sf0.1) these queries run the same 128 planes their DuckDB
+    * mirrors hardcode; at the synthesized sf1 (n = 20,000) the dial
+    * widens to 67 × 12 and the candidate mass stays near the LSH
+    * optimum (SCALE.md §17, BENCH_SF1.json `cand`). q145 itself keeps
+    * the fixed geometry — it is the calibration pin the dial's floor is
+    * calibrated against.
     */
-  private def bandedCorpus(s: SparkSession, d: String): DataFrame =
-    corpus(s, d)
-      .withColumn("bands", Similarity.rhBands(col("vec"), 128, 8, 64))
-      .cache()
+  private def dialedBanded(s: SparkSession, d: String): (DataFrame, Int) = {
+    val c = corpus(s, d)
+    val (bands, bits) = Similarity.dialedBandGeometry(c.count())
+    (c.withColumn("bands",
+        Similarity.rhBands(col("vec"), bands * bits, bits, 64)).cache(),
+      bits)
+  }
 
-  private def multiProbeCand(banded: DataFrame): DataFrame =
+  private def multiProbeCand(banded: DataFrame, bits: Int): DataFrame =
     graft.operators.Dedup.multiProbeCandidatePairs(
-        banded, "vec_id", "bands", 8)
+        banded, "vec_id", "bands", bits)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+
+  /** Dialed candidate-generation stats for the scaling curve
+    * ([[graft.ScaleCurve]]): (n, bits, bands, candidate pairs) at `d`'s
+    * scale — the dial's claim is the last column tracks the LSH-optimal
+    * n^(1+ρ), not n², and this measures it at both curve points.
+    */
+  def dialedCandidateStats(s: SparkSession, d: String): (Long, Int, Int, Long) = {
+    val c = corpus(s, d)
+    val n = c.count()
+    val (bands, bits) = Similarity.dialedBandGeometry(n)
+    val banded = c.withColumn("bands",
+      Similarity.rhBands(col("vec"), bands * bits, bits, 64))
+    (n, bits, bands,
+      graft.operators.Dedup.multiProbeCandidatePairs(
+        banded, "vec_id", "bands", bits).count())
+  }
 
   /** DuckDB mirror of the q145 multi-probe candidate generator (128 md5
     * planes → 16 bands × 8 sign bits, probe set = band value + its 8
@@ -204,10 +233,12 @@ object SimilarityQueries {
     // q145/q215/q216, same guard); cluster recovery vs the exact q181
     // build is measured in SimilaritySpec (pair-recall 1.0 here, with the
     // unguarded swap's failure measured alongside).
-    "q250_density_clusters_lsh" -> ((s, d) =>
+    "q250_density_clusters_lsh" -> ((s, d) => {
+      val (banded, bits) = dialedBanded(s, d)
       Similarity.densityClustersGuarded(corpus(s, d),
-        multiProbeCand(bandedCorpus(s, d)), eps = 0.35, minPts = 3,
-        confirmSlack = 1)),
+        multiProbeCand(banded, bits), eps = 0.35, minPts = 3,
+        confirmSlack = 1)
+    }),
 
     // Nearest-class-mean confusion matrix: every vector vs the exact
     // integer-sum prototypes of each label (cosine is scale-invariant,
@@ -247,9 +278,10 @@ object SimilarityQueries {
     // recall vs the exact q210 set measured in SimilaritySpec (1.00 on
     // this corpus vs 0.60 candidate-only).
     "q215_knn_outliers_lsh" -> ((s, d) => {
-      val c = bandedCorpus(s, d)
+      val (c, bits) = dialedBanded(s, d)
       Similarity.knnOutliersRerank(c.select(col("vec_id"), col("vec"),
-        col("nrm")), multiProbeCand(c), k = 5, m = 50, shortlistFactor = 3)
+        col("nrm")), multiProbeCand(c, bits), k = 5, m = 50,
+        shortlistFactor = 3)
     }),
 
     // q177 with the same executed swap: hard negatives mined from the
@@ -258,10 +290,10 @@ object SimilarityQueries {
     // a fact rather than an argument). Pair recall vs the exact grid is
     // measured in SimilaritySpec.
     "q216_hard_negatives_lsh" -> ((s, d) => {
-      val c = bandedCorpus(s, d)
+      val (c, bits) = dialedBanded(s, d)
       Similarity.hardNegativesFrom(c,
         Tables.embeddings(s, d).select(col("vec_id"), col("label")),
-        multiProbeCand(c), k = 5, minSim = 0.2)
+        multiProbeCand(c, bits), k = 5, minSim = 0.2)
     }),
 
     // Mutual (reciprocal) nearest neighbors: pairs where each is the
@@ -546,10 +578,12 @@ object SimilarityQueries {
     // measured in SimilaritySpec, documented in SCALE.md). Same
     // algorithm, same oracle text, different τ — parameterized so the
     // two operating points cannot drift.
-    "q261_density_high_sim" -> ((s, d) =>
+    "q261_density_high_sim" -> ((s, d) => {
+      val (banded, bits) = dialedBanded(s, d)
       Similarity.densityClustersGuarded(corpus(s, d),
-        multiProbeCand(bandedCorpus(s, d)), eps = 0.42, minPts = 3,
-        confirmSlack = 1)),
+        multiProbeCand(banded, bits), eps = 0.42, minPts = 3,
+        confirmSlack = 1)
+    }),
 
     // Johnson-Lindenstrauss ±1 random projection 64 -> 16, exact integer
     // arithmetic over round(x*1e6) quantized embeddings with md5-derived

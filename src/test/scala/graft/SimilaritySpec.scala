@@ -437,6 +437,49 @@ class SimilaritySpec extends SparkSpec {
       s"single-probe recall ${recall(single)} already >= 0.9 - geometry too easy")
   }
 
+  // The band-geometry dial (round-10 verdict #1). Floor calibration:
+  // at the oracle-checked scales the dial must reproduce the pinned
+  // q145 geometry EXACTLY (the q250/q261/q215/q216 DuckDB mirrors
+  // hardcode 16 bands x 8 bits); at the synthesized sf1 it widens.
+  test("dialedBandGeometry: floor == pinned q145 geometry; widens with n") {
+    assert(Similarity.dialedBandGeometry(500L) == (16, 8))   // sf0.01
+    assert(Similarity.dialedBandGeometry(2000L) == (16, 8))  // sf0.1
+    assert(Similarity.dialedBandGeometry(2048L) == (16, 8))  // floor edge
+    assert(Similarity.dialedBandGeometry(20000L) == (67, 12)) // synth sf1
+    // bits grows with log n; bucket count tracks n/8 within a factor 2
+    val ns = Seq(4097L, 20000L, 100000L, 1000000L)
+    ns.foreach { n =>
+      val (_, bits) = Similarity.dialedBandGeometry(n)
+      val buckets = 1L << bits
+      assert(buckets >= n / 8 && buckets <= n / 8 * 2,
+        s"n=$n: 2^$bits buckets misses the n/8 occupancy target")
+    }
+    intercept[IllegalArgumentException](
+      Similarity.dialedBandGeometry(1L << 40)) // radius, not width, past 24 bits
+  }
+
+  // Recall of the DIALED sf1 geometry (67 bands x 12 bits), measured on
+  // this corpus against the exact block-grid pairs at the q145
+  // operating threshold: recall depends on pair similarity and geometry,
+  // never on n, so measuring the large-n geometry on the test corpus is
+  // the honest check that the dial's band-count rule actually holds the
+  // q145 recall floor while the bucket count grows 16x.
+  test("dialed sf1 geometry (67x12) holds the q145 recall floor (0.93)") {
+    val (bands, bits) = Similarity.dialedBandGeometry(20000L)
+    val c = corpus.withColumn("bands",
+      Similarity.rhBands(col("vec"), bands * bits, bits, 64)).cache()
+    val exact = Similarity.blockGridPairs(corpus, 0.4 - 1e-6)
+      .withColumn("sim", round(col("sim_raw"), 6))
+      .filter(col("sim") >= 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val cand = Dedup.multiProbeCandidatePairs(c, "vec_id", "bands", bits)
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & cand).size.toDouble / exact.size
+    info(f"dialed ($bands x $bits) recall at sim>=0.4: $recall%.3f " +
+      s"(${cand.size} candidates)")
+    assert(recall >= 0.93, s"dialed-geometry recall $recall < 0.93")
+  }
+
   // The EXECUTED candidate swap (q215/q216): the kNN-outlier and
   // hard-negative operators run over the multi-probe LSH candidates
   // instead of the exact grid, and the recall of each END RESULT —
