@@ -929,4 +929,172 @@ object Dedup {
       .select(col(idCol), col("n_grams"), col("n_shared"),
         expr("n_shared * 1000000 div n_grams").as("dup_share_ppm"))
   }
+
+  // ------------------- distributed suffix ordering (prefix doubling, r11)
+
+  /** One row per CHARACTER position of every document: `(id, pos, ch)`
+    * with `pos` 0-based — the unit of the suffix-ordering family below.
+    * Row-local (sequence + substring), no shuffle; empty docs emit
+    * nothing.
+    */
+  private def charPositions(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), col(textCol).as("_t"))
+      .filter(length(col("_t")) > 0)
+      .select(col("id"), col("_t"),
+        explode(sequence(lit(0L), length(col("_t")).cast("long") - 1L))
+          .as("pos"))
+      .select(col("id"), col("pos"),
+        expr("substring(_t, pos + 1, 1)").as("ch"))
+
+  /** One PREFIX-DOUBLING round plus the initial character ranking —
+    * shared by [[suffixRanks]] and [[exactSubstrMarks]]. `cur` is
+    * `(id, pos, rank)` where equal rank ⟺ equal `min(m, remaining)`-
+    * prefix for the round's prefix length m; the step to 2m keys every
+    * position by `(rank(pos), rank(pos + m))` with sentinel 0 for
+    * past-the-end (every real rank is ≥ 1, so a shorter suffix sorts
+    * before its extensions — the suffix-array convention), range-sorts
+    * ONCE on that pair (`IngestOps.globalSequence` — distributed, never
+    * a single-partition window), and re-densifies via min-sequence per
+    * key group so ties stay ties. One keyed self-join (the shift) + one
+    * global range sort + one bounded window per round.
+    */
+  private def doubleRank(cur: DataFrame, offset: Long): DataFrame = {
+    val shifted = cur.select(col("id"), (col("pos") - offset).as("pos"),
+      col("rank").as("_r2"))
+    val paired = cur.join(shifted, Seq("id", "pos"), "left")
+      .select(col("id"), col("pos"), col("rank").as("_r1"),
+        coalesce(col("_r2"), lit(0L)).as("_r2"))
+    val seqd = IngestOps.globalSequence(paired,
+      Seq(col("_r1"), col("_r2"), col("id"), col("pos")), "_seq")
+    seqd.withColumn("rank",
+        min(col("_seq")).over(Window.partitionBy(col("_r1"), col("_r2"))))
+      .select(col("id"), col("pos"), col("rank")).ckpt()
+  }
+
+  /** Initial ranking: rank positions by their single character (same
+    * min-sequence densification as [[doubleRank]], so equal chars share
+    * a rank).
+    */
+  private def charRanks(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val chars = charPositions(docs, idCol, textCol)
+    val seqd = IngestOps.globalSequence(chars,
+      Seq(col("ch"), col("id"), col("pos")), "_seq")
+    seqd.withColumn("rank",
+        min(col("_seq")).over(Window.partitionBy(col("ch"))))
+      .select(col("id"), col("pos"), col("rank")).ckpt()
+  }
+
+  /** DISTRIBUTED SUFFIX ORDERING over the whole corpus — the classic
+    * prefix-doubling suffix-array construction (Manber & Myers 1990)
+    * re-expressed as O(log maxlen) rounds of one keyed sort each, the
+    * mechanism behind full ExactSubstr dedup (Lee et al. 2021,
+    * arXiv:2107.06499: dedup at ANY alignment and ANY length, where the
+    * seed-and-extend [[maximalSpans]] works at token granularity).
+    *
+    * Returns `(id, pos, rank)`: `rank` is the 1-based position of the
+    * suffix `text[pos:]` in the corpus-wide lexicographic order of ALL
+    * suffixes of ALL documents. EQUAL suffix strings (identical docs,
+    * repeated tails) share the rank of their first occurrence in
+    * `(suffix, id, pos)` order — ties are semantic, not an artifact.
+    * The alphabet order is Spark's string order on single characters;
+    * any total alphabet order yields the same equal-prefix adjacency,
+    * which is all the dedup consumers read.
+    *
+    * Scale shape: the row unit is the CHARACTER, so this is the
+    * heavyweight of the dedup family by design (Lee et al. build a
+    * ~600 GB suffix array for C4) — rounds = ceil(log2(maxlen)) with
+    * early exit once ranks are all-distinct (most corpora diverge
+    * within a few rounds), each round one distributed range-sort of the
+    * position table + one shift-join + one per-key window, `ckpt`ed so
+    * round N never replays round N−1's lineage. At 100 TB: run it on
+    * the [[crossDocGramShare]]-prefiltered sub-corpus, or at token
+    * granularity (8× fewer rows) when byte exactness is not required.
+    */
+  def suffixRanks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val maxLen = docs.agg(max(length(col(textCol)))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.get(0).asInstanceOf[Number].longValue()
+    }
+    var cur = charRanks(docs, idCol, textCol)
+    if (maxLen == 0L) return cur
+    val n = cur.count()
+    var offset = 1L
+    var distinct = cur.select(col("rank")).distinct().count()
+    while (offset < maxLen && distinct < n) {
+      cur = doubleRank(cur, offset)
+      offset *= 2
+      distinct = cur.select(col("rank")).distinct().count()
+    }
+    cur.select(col("id"), col("pos"), col("rank"))
+  }
+
+  /** Positions whose `minLen`-char substring occurs ≥ 2 times in the
+    * corpus (any document, any alignment, self-overlaps included) — the
+    * Lee et al. ExactSubstr duplication marks. Built on the suffix
+    * ordering's intermediate tables via the sparse-table trick: after
+    * doubling to the largest power of two m ≤ minLen, the minLen-prefix
+    * at `pos` is exactly the pair of (possibly overlapping) m-blocks at
+    * `pos` and `pos + minLen − m`, so two positions share a
+    * minLen-prefix ⟺ they share the key
+    * `(rank_m(pos), rank_m(pos + minLen − m))` — one groupBy-count on
+    * that key replaces any LCP chain. Only positions with ≥ minLen
+    * chars remaining participate. Returns `(id, pos)`.
+    */
+  def exactSubstrMarks(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    var m = 1L
+    while (m * 2 <= minLen) m *= 2
+    var cur = charRanks(docs, idCol, textCol)
+    var offset = 1L
+    while (offset < m) {
+      cur = doubleRank(cur, offset)
+      offset *= 2
+    }
+    // suffix length at pos = doc length − pos: keep remaining ≥ minLen
+    val lens = docs.select(col(idCol).as("id"),
+      length(col(textCol)).cast("long").as("_len"))
+    val second = cur.select(col("id"),
+      (col("pos") - (minLen - m)).as("pos"), col("rank").as("_rb"))
+    val keyed = cur.join(second, Seq("id", "pos"))
+      .join(lens, Seq("id"))
+      .filter(col("_len") - col("pos") >= minLen)
+      .select(col("id"), col("pos"), col("rank").as("_ra"), col("_rb"))
+    val dupKeys = keyed.groupBy(col("_ra"), col("_rb"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2)
+      .select(col("_ra"), col("_rb"))
+    keyed.join(dupKeys, Seq("_ra", "_rb"), "left_semi")
+      .select(col("id"), col("pos"))
+  }
+
+  /** Per-document ExactSubstr REMOVAL COVERAGE at `minLen` — the
+    * statistic the Lee et al. pipeline acts on: every marked position
+    * ([[exactSubstrMarks]]) contributes the interval
+    * `[pos, pos + minLen)`, and a document's duplicated coverage is the
+    * total length of the UNION of its intervals (gaps-and-islands per
+    * doc: a new island starts when the gap to the previous mark exceeds
+    * minLen; island cover = last − first + minLen). Output one row per
+    * document with ≥ 1 mark: `(id, n_dup_starts, covered_chars)`.
+    * Everything after the marks is one per-doc window + one aggregate.
+    */
+  def exactSubstrCoverage(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    val marks = exactSubstrMarks(docs, idCol, textCol, minLen)
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    marks
+      .withColumn("_brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= minLen, 0L)
+          .otherwise(1L))
+      .withColumn("_isl", sum(col("_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("_isl"))
+      .agg(count(lit(1)).as("_nst"),
+        (max(col("pos")) - min(col("pos")) + minLen).as("_cov"))
+      .groupBy(col("id"))
+      .agg(sum(col("_nst")).as("n_dup_starts"),
+        sum(col("_cov")).as("covered_chars"))
+  }
 }

@@ -187,6 +187,27 @@ object DedupQueries {
             .as("transitivity_ppm"))
     }),
 
+    // FULL ExactSubstr dedup coverage (Lee et al. 2021 §4.1, the
+    // any-alignment any-length semantics q88/q143's token-window family
+    // approximates): per document, the positions whose 30-char
+    // substring occurs >= 2 times ANYWHERE in the corpus (any doc, any
+    // alignment, self-repeats included) and the char length of the
+    // union of their [pos, pos+30) intervals — the exact text a
+    // removal pass would cut. The Spark side builds it from the
+    // DISTRIBUTED SUFFIX ORDERING (prefix doubling over (doc, pos)
+    // keys — O(log 30) rounds of one keyed sort each — then the
+    // sparse-table pair (rank_16(pos), rank_16(pos+14)) keys the exact
+    // 30-char prefix); the oracle is the brute-force 30-gram
+    // substring-join. Hash match proves the suffix machinery's
+    // equal-prefix adjacency is EXACT, doc by doc, position by
+    // position. suffixRanks itself is property-tested against an
+    // in-memory suffix sort in GraftProperties.
+    "q298_exact_substr_coverage" -> ((s, d) =>
+      Dedup.exactSubstrCoverage(Tables.documents(s, d), "doc_id", "text",
+          minLen = 30)
+        .select(col("id").as("doc_id"), col("n_dup_starts"),
+          col("covered_chars"))),
+
     // E1: exact dedup with deterministic canonical selection (min doc_id).
     "q22_dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(
@@ -924,6 +945,38 @@ object DedupQueries {
           |         AS transitivity_ppm
           |FROM sizes s JOIN direct d USING (cluster_id)""".stripMargin
     },
+
+    // Brute-force 30-gram substring join: a position is marked iff its
+    // exact 30-char substring occurs >= 2 times corpus-wide; coverage is
+    // the per-doc gaps-and-islands union of [pos, pos+30) (an island
+    // breaks when the gap to the previous mark exceeds 30). The Spark
+    // side computes the SAME marks from the prefix-doubled suffix
+    // ordering — the hash match is the suffix machinery's proof.
+    "q298_exact_substr_coverage" ->
+      """WITH g AS (
+        |  SELECT doc_id, i AS pos, substr(text, CAST(i AS INT) + 1, 30) AS gram
+        |  FROM documents,
+        |       LATERAL unnest(range(0, greatest(length(text) - 29, 0))) t(i)
+        |), marked AS (
+        |  SELECT doc_id, pos FROM g
+        |  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2)
+        |), brk AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+        |                                        ORDER BY pos) <= 30
+        |              THEN 0 ELSE 1 END AS b
+        |  FROM marked
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM brk
+        |), cov AS (
+        |  SELECT doc_id, g, count(*) AS nst, max(pos) - min(pos) + 30 AS clen
+        |  FROM isl GROUP BY doc_id, g
+        |)
+        |SELECT doc_id, CAST(sum(nst) AS BIGINT) AS n_dup_starts,
+        |       CAST(sum(clen) AS BIGINT) AS covered_chars
+        |FROM cov GROUP BY doc_id""".stripMargin,
 
     "q88_span_dedup" ->
       """WITH base AS (

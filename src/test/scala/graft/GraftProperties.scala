@@ -880,4 +880,51 @@ object GraftProperties extends Properties("graft") {
         Seq(990L, 991L).toDF("vec_id"))
       surface(roundTrip) == surface(idx) && surface(absent) == surface(idx)
     }
+
+  // Small alphabet + repeated docs force heavy suffix ties and shared
+  // prefixes — the regimes where prefix doubling can go wrong. Reference
+  // rank: 1 + index of the FIRST occurrence of the suffix string in the
+  // (suffix, id, pos)-sorted order (equal suffixes share a rank), which
+  // is exactly suffixRanks' min-sequence contract.
+  property("suffixRanks matches the in-memory suffix sort (ties shared)") =
+    forAll(Gen.nonEmptyListOf(Gen.listOfN(2, Gen.oneOf('a', 'b'))
+        .flatMap(pad => Gen.choose(0, 24).map(n =>
+          (pad.mkString * 13).take(n))))) { texts =>
+      val s = sq; import s.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.suffixRanks(docs.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, pos, r) => (id, pos) -> r }.toMap
+      val suffixes = docs.flatMap { case (id, t) =>
+        (0 until t.length).map(p => (t.substring(p), id, p.toLong)) }
+        .sortBy(identity)
+      val firstRank = suffixes.zipWithIndex
+        .groupBy(_._1._1).map { case (suf, xs) =>
+          suf -> (xs.map(_._2).min + 1L) }
+      val want = suffixes.map { case (suf, id, pos) =>
+        (id, pos) -> firstRank(suf) }.toMap
+      got == want
+    }
+
+  // ExactSubstr marks against the brute-force gram join (the q298
+  // semantics at arbitrary minLen on adversarial strings).
+  property("exactSubstrMarks == brute-force duplicated-gram positions") =
+    forAll(Gen.nonEmptyListOf(Gen.listOfN(3, Gen.oneOf('a', 'b', 'c'))
+        .flatMap(pad => Gen.choose(0, 30).map(n =>
+          (pad.mkString * 11).take(n)))),
+      Gen.choose(2, 7)) { (texts, minLen) =>
+      val s = sq; import s.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.exactSubstrMarks(docs.toDF("doc_id", "text"),
+          "doc_id", "text", minLen)
+        .as[(Long, Long)].collect().toSet
+      val grams = docs.flatMap { case (id, t) =>
+        (0 to t.length - minLen).map(p =>
+          (t.substring(p, p + minLen), id, p.toLong)) }
+      val dup = grams.groupBy(_._1).filter(_._2.size >= 2).keySet
+      val want = grams.collect {
+        case (g, id, p) if dup(g) => (id, p) }.toSet
+      got == want
+    }
 }
