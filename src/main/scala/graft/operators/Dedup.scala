@@ -96,20 +96,28 @@ object Dedup {
     * the dominant miss mode at high band width) probing recovers the
     * collision that exact banding loses, so recall rises at a FIXED
     * pruning geometry. Same canonical output as [[candidatePairs]].
+    *
+    * `dedup = false` skips the closing `distinct()` and returns the raw
+    * canonicalized collision stream (each pair once PER colliding probe)
+    * — for consumers that verify pairs through a cheap map-side stage
+    * anyway (the q250/q261 broadcast verify), deduplicating the large
+    * pre-verify stream is a pure shuffle tax: dedup AFTER the filter
+    * touches only the tiny surviving set, and the result SET is
+    * identical because distinct commutes with a per-row filter.
     */
   def multiProbeCandidatePairs(docs: DataFrame, idCol: String,
-      bandsCol: String, bits: Int): DataFrame = {
+      bandsCol: String, bits: Int, dedup: Boolean = true): DataFrame = {
     require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
     val exact = explodeBands(docs, idCol, bandsCol, "doc_x")
     val probes = explodeBands(docs, idCol, bandsCol, "doc_n")
       .select(col("doc_n"), col("band"), explode(array(
         col("bh") +: (0 until bits).map(i =>
           col("bh").bitwiseXOR(lit(1L << i))): _*)).as("bh"))
-    probes.join(exact, Seq("band", "bh"))
+    val canon = probes.join(exact, Seq("band", "bh"))
       .filter(col("doc_n") =!= col("doc_x"))
       .select(least(col("doc_n"), col("doc_x")).as("doc_a"),
         greatest(col("doc_n"), col("doc_x")).as("doc_b"))
-      .distinct()
+    if (dedup) canon.distinct() else canon
   }
 
   /** Incremental LSH candidates: pairs where at least one side comes from

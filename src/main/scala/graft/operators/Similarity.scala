@@ -255,11 +255,12 @@ object Similarity {
       nBlocks: Int = 16): DataFrame = {
     require(nBlocks >= 1, s"nBlocks must be positive, got $nBlocks")
     val spark = corpus.sparkSession
-    val grid = spark.range(nBlocks.toLong)
-      .select(col("id").cast("int").as("blk_a"))
-      .crossJoin(spark.range(nBlocks.toLong)
-        .select(col("id").cast("int").as("blk_b")))
-      .filter(col("blk_a") <= col("blk_b"))
+    import spark.implicits._
+    // the B(B+1)/2 cell list is driver-side literal data — building it
+    // as a range crossJoin would plan a (harmless but pin-visible)
+    // nested-loop product
+    val grid = (for { i <- 0 until nBlocks; j <- i until nBlocks }
+      yield (i, j)).toDF("blk_a", "blk_b")
     val a = corpus
       .select(col("vec_id").as("id_a"), col("vec").as("vec_a"),
         col("nrm").as("nrm_a"),
@@ -573,43 +574,86 @@ object Similarity {
     * assumed. CC runs on core-core edges only.
     */
   /** The guarded confirm's exact ε-neighborhood stage, cell-confined:
-    * anchors (sid) × corpus (oid) as an EQUI-JOIN on the block grid's
-    * id-hash key — the anchor side replicates one row per corpus block,
-    * every (anchor, corpus) pair meets exactly once (in the corpus
-    * point's cell), and no cartesian/nested-loop operator ever plans
-    * (PlanSpec pins it). Emits (sid, oid) for pairs at cosine ≥ eps.
-    * Package-private so the plan pin can inspect this stage directly
-    * (inside [[densityClustersGuarded]] it sits behind a checkpoint).
+    * every (anchor, corpus) pair meets exactly once through EQUI-joins
+    * on block keys — no cartesian/nested-loop operator ever plans
+    * (PlanSpec pins it). Emits (sid, oid) for pairs at cosine ≥ eps,
+    * both directions per unordered anchor-anchor pair.
+    *
+    * The pair space splits by membership (round-11, the measured sf1
+    * confirm wall): anchor×anchor runs ONCE per unordered pair through
+    * [[blockGridPairs]]' half grid and symmetrizes — so when the
+    * shortlist approaches the corpus (the permissive-ε regime, and the
+    * regime the synthesized sf1's cross-replica cosine tail pushes even
+    * high-τ points into) the confirm degrades gracefully into exactly
+    * the q181 exact-grid economics instead of a 2×-redundant
+    * anchors×corpus sweep; anchor×non-anchor replicates the anchor row
+    * across the corpus cells and meets each non-anchor point once in
+    * its id-hash cell. Package-private so the plan pin can inspect this
+    * stage directly (inside [[densityClustersGuarded]] it sits behind a
+    * checkpoint).
     */
   private[graft] def cellConfinedNeighbors(anchors: DataFrame, v: DataFrame,
-      eps: Double, nBlocks: Int = 32): DataFrame =
-    anchors.select(col("vec_id").as("sid"), col("vec").as("svec"),
+      eps: Double, nBlocks: Int = 32): DataFrame = {
+    val a = anchors.select(col("vec_id"), col("vec"), col("nrm")).ckpt()
+    val aa = blockGridPairs(a, eps - 1e-6, nBlocks)
+      .withColumn("_s", round(col("sim_raw"), 6))
+      .filter(col("_s") >= eps)
+      .select(col("id_a").as("sid"), col("id_b").as("oid"))
+    val aaSym = aa.unionByName(
+      aa.select(col("oid").as("sid"), col("sid").as("oid")))
+    val rest = v.join(a.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val av = a.select(col("vec_id").as("sid"), col("vec").as("svec"),
         col("nrm").as("snrm"))
       .withColumn("blk", explode(sequence(lit(0), lit(nBlocks - 1))))
-      .join(v.select(col("vec_id").as("oid"), col("vec").as("ovec"),
+      .join(rest.select(col("vec_id").as("oid"), col("vec").as("ovec"),
         col("nrm").as("onrm"),
         pmod(col("vec_id"), lit(nBlocks)).cast("int").as("blk")),
         Seq("blk"))
-      .filter(col("sid") =!= col("oid") &&
-        round(cosineWithNorms(col("svec"), col("ovec"), col("snrm"),
-          col("onrm")), 6) >= eps)
+      .filter(round(cosineWithNorms(col("svec"), col("ovec"), col("snrm"),
+        col("onrm")), 6) >= eps)
       .select(col("sid"), col("oid"))
+    aaSym.unionByName(av)
+  }
 
   def densityClustersGuarded(corpus: DataFrame, candPairs: DataFrame,
-      eps: Double, minPts: Int, confirmSlack: Int = 1): DataFrame = {
+      eps: Double, minPts: Int, confirmSlack: Int = 1,
+      broadcastVerifyRows: Long = 250000L): DataFrame = {
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
     require(confirmSlack >= 0, s"confirmSlack must be >= 0, got $confirmSlack")
     val v = corpus.select(col("vec_id"), col("vec"), col("nrm"))
     // exact-verify candidates: false positives die here; only MISSES
-    // survive as an error mode, and the guard below absorbs those
+    // survive as an error mode, and the guard below absorbs those.
+    //
+    // JOIN SHAPE (round-11, the measured sf1 wall): the candidate side
+    // is the BIG side — at the LSH-optimal dial it still carries
+    // n^(1+ρ) pair rows (45M at the synthesized sf1) — while the vector
+    // side is n rows. As sort-merge joins, join #1's output (every pair
+    // row widened by a 64-double vector) re-shuffles for join #2: tens
+    // of GB of intermediate for a filter that keeps almost nothing.
+    // Below the broadcast bound (~140 MB at the default 250k rows ×
+    // ~550 B/row), hint BOTH vector fetches broadcast: the pair stream
+    // then flows through two map-side hash joins straight into the
+    // codegen'd cosine filter — no pair row ever shuffles and the wide
+    // intermediate never materializes. Past the bound (true 100 TB
+    // corpora) the hint is withheld and the verify falls back to the
+    // shuffled equi-join, the right plan once the vector table itself
+    // is executor-breaking.
+    val vn = v.count()
+    def fetch(side: DataFrame): DataFrame =
+      if (vn <= broadcastVerifyRows) broadcast(side) else side
     val vp = candPairs
-      .join(v.select(col("vec_id").as("id_a"), col("vec").as("va"),
-        col("nrm").as("na")), Seq("id_a"))
-      .join(v.select(col("vec_id").as("id_b"), col("vec").as("vb"),
-        col("nrm").as("nb")), Seq("id_b"))
+      .join(fetch(v.select(col("vec_id").as("id_a"), col("vec").as("va"),
+        col("nrm").as("na"))), Seq("id_a"))
+      .join(fetch(v.select(col("vec_id").as("id_b"), col("vec").as("vb"),
+        col("nrm").as("nb"))), Seq("id_b"))
       .filter(round(cosineWithNorms(col("va"), col("vb"), col("na"),
         col("nb")), 6) >= eps)
-      .select(col("id_a"), col("id_b")).ckpt()
+      // distinct AFTER the ε-filter: candidates may arrive as the raw
+      // multi-probe collision stream (one row per colliding probe —
+      // deduplicating 45M pre-verify rows is a pure shuffle tax when the
+      // verify is map-side anyway), and the degree counts below need
+      // each surviving pair exactly once
+      .select(col("id_a"), col("id_b")).distinct().ckpt()
     val csym = vp.unionByName(
       vp.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val cdeg = csym.groupBy(col("id_a").as("vec_id"))

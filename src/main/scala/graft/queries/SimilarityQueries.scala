@@ -53,6 +53,15 @@ object SimilarityQueries {
         banded, "vec_id", "bands", bits)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
 
+  /** The raw (pre-distinct) collision stream for consumers whose verify
+    * is map-side anyway (q250/q261's broadcast verify dedups AFTER its
+    * ε-filter): same pair SET, no 45M-row distinct shuffle.
+    */
+  private def multiProbeCandRaw(banded: DataFrame, bits: Int): DataFrame =
+    graft.operators.Dedup.multiProbeCandidatePairs(
+        banded, "vec_id", "bands", bits, dedup = false)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+
   /** Dialed candidate-generation stats for the scaling curve
     * ([[graft.ScaleCurve]]): (n, bits, bands, candidate pairs) at `d`'s
     * scale — the dial's claim is the last column tracks the LSH-optimal
@@ -236,7 +245,7 @@ object SimilarityQueries {
     "q250_density_clusters_lsh" -> ((s, d) => {
       val (banded, bits) = dialedBanded(s, d)
       Similarity.densityClustersGuarded(corpus(s, d),
-        multiProbeCand(banded, bits), eps = 0.35, minPts = 3,
+        multiProbeCandRaw(banded, bits), eps = 0.35, minPts = 3,
         confirmSlack = 1)
     }),
 
@@ -581,7 +590,7 @@ object SimilarityQueries {
     "q261_density_high_sim" -> ((s, d) => {
       val (banded, bits) = dialedBanded(s, d)
       Similarity.densityClustersGuarded(corpus(s, d),
-        multiProbeCand(banded, bits), eps = 0.42, minPts = 3,
+        multiProbeCandRaw(banded, bits), eps = 0.42, minPts = 3,
         confirmSlack = 1)
     }),
 
