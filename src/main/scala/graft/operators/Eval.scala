@@ -745,4 +745,98 @@ object Eval {
             expr("_d1 * (_d2 - q_num)")))
           .as("alpha_ppm"))
   }
+
+  // -------------- multinomial Naive Bayes quality classifier (round 11)
+
+  /** The ADDITIVE count table behind the Naive Bayes quality filter —
+    * the fastText-shaped classifier every curation pipeline ships as its
+    * cheap learned filter (Joulin et al. 2016's bag-of-hashed-tokens
+    * recipe, trained here as pure counting). One row per
+    * (class, feature): `h ∈ [0, buckets)` rows carry token-OCCURRENCE
+    * counts (multinomial: a token counts once per occurrence) hashed by
+    * the engine-portable md5 bucket ([[Curation.hashBucket]]); the
+    * `h = −1` row per class carries the DOC count (the prior), so the
+    * whole model is ONE additive artifact. Append = [[nbCombineCounts]];
+    * retraction = the same fold with negated counts (the q285
+    * additive-table algebra, property-tested in `GraftProperties`).
+    * One explode + one map-side-combined groupBy; output ≤
+    * 2·(buckets+1) rows regardless of corpus size.
+    */
+  def nbCounts(docs: DataFrame, idCol: String, tokCol: String,
+      target: Column, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val base = docs.select(col(idCol), target.as("y"),
+      col(tokCol).as("_toks"))
+    val tokCnt = base
+      .select(col("y"), explode(col("_toks")).as("_t"))
+      .select(col("y"), Curation.hashBucket(col("_t"), buckets).as("h"))
+      .groupBy(col("y"), col("h")).agg(count(lit(1)).as("cnt"))
+    val docCnt = base.groupBy(col("y")).agg(count(lit(1)).as("cnt"))
+      .select(col("y"), lit(-1L).as("h"), col("cnt"))
+    tokCnt.unionByName(docCnt)
+  }
+
+  /** Fold two NB count tables (append order never matters; retraction is
+    * the same fold with negated counts — zeroed rows drop so the
+    * retracted table is bit-identical to a rebuild from the remaining
+    * corpus).
+    */
+  def nbCombineCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("y"), col("h"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0)
+
+  /** SERVE the Naive Bayes model from a (possibly maintained) count
+    * table: per document, the Laplace-smoothed posterior ODDS
+    * `P(pos|doc)/P(neg|doc) = prior · Π_t P(t|pos)/P(t|neg)` and the
+    * decision `odds > 1`.
+    *
+    * Exactness discipline (the q266 recipe — no logs, no order-dependent
+    * float sums): the model is BOUNDED (≤ 2·(buckets+1) rows), so the
+    * per-bucket odds ratios are computed DRIVER-side as one IEEE
+    * division of exact BIGINT cross-products each —
+    * `((c_pos+1)·(N_neg+B)) / ((c_neg+1)·(N_pos+B))`, rounded to 9
+    * decimals — and shipped as a LITERAL array. Scoring is then a pure
+    * row-local fold: `aggregate(tokens, prior, (acc, t) ⇒
+    * acc · ratio[h(t)])` — left-to-right in DOCUMENT order, so the
+    * product order is pinned and any engine reproduces it bit-for-bit
+    * (the DuckDB mirror folds the same list in the same order). Final
+    * odds round to 6. Zero joins, zero shuffle: classification is a map
+    * over the corpus, exactly the economics that let a learned filter
+    * run inline with ingest at 100 TB.
+    */
+  def nbClassify(docs: DataFrame, idCol: String, tokCol: String,
+      counts: DataFrame, buckets: Int): DataFrame = {
+    val rows = counts.collect()
+    def tot(pos: Boolean, doc: Boolean): Long = rows.iterator
+      .filter(r => r.getBoolean(0) == pos &&
+        (if (doc) r.getLong(1) == -1L else r.getLong(1) >= 0L))
+      .map(_.getLong(2)).sum
+    val (dp, dn) = (tot(pos = true, doc = true), tot(pos = false, doc = true))
+    require(dp > 0 && dn > 0,
+      s"nbClassify: both classes need training docs (pos=$dp, neg=$dn)")
+    val (np, nn) = (tot(pos = true, doc = false), tot(pos = false, doc = false))
+    val byH = rows.filter(_.getLong(1) >= 0L)
+      .groupBy(_.getLong(1))
+      .map { case (h, rs) =>
+        h -> (rs.filter(_.getBoolean(0)).map(_.getLong(2)).sum,
+          rs.filter(!_.getBoolean(0)).map(_.getLong(2)).sum)
+      }
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ratios = Array.tabulate(buckets) { h =>
+      val (cp, cn) = byH.getOrElse(h.toLong, (0L, 0L))
+      round9(((cp + 1L) * (nn + buckets)).toDouble /
+        ((cn + 1L) * (np + buckets)).toDouble)
+    }
+    val prior = round9(dp.toDouble / dn.toDouble)
+    docs.select(col(idCol), col(tokCol).as("_toks"))
+      .withColumn("n_toks", size(col("_toks")).cast("long"))
+      .withColumn("odds", round(aggregate(col("_toks"), lit(prior),
+        (acc, t) => acc * element_at(lit(ratios),
+          (Curation.hashBucket(t, buckets) + 1L).cast("int"))), 6))
+      .select(col(idCol), col("n_toks"), col("odds"),
+        (col("odds") > 1.0d).as("pred"))
+  }
 }

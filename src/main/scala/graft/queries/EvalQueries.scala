@@ -197,6 +197,67 @@ object EvalQueries {
             expr("tp * 1000000 div (tp + fn)")).as("rec_ppm"))
     }),
 
+    // Multinomial NAIVE BAYES quality classifier (the fastText-shaped
+    // learned filter, Joulin et al. 2016): token-occurrence counts
+    // hashed into 64 md5 buckets, trained as pure counting on the md5
+    // train split (<70), served on the held-out 30 as posterior ODDS —
+    // prior x a pinned-order product of per-token Laplace-smoothed
+    // ratio factors (each one IEEE division of exact BIGINT
+    // cross-products, rounded to 9; the q266 no-log discipline).
+    // Per-doc scored rows: the apply stage, position by position.
+    // The count table is ONE additive artifact (doc priors ride h=-1),
+    // so maintenance is the q285 algebra: append = fold, retraction =
+    // negated fold (property-tested); q300 proves fold == rebuild on
+    // the served decisions.
+    "q299_nb_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), (col("lang") === "en").as("y"),
+          graft.operators.Dedup.tokens(col("text")).as("tok"))
+        .withColumn("bkt",
+          graft.operators.Curation.hashBucket(col("doc_id"), 100))
+      val counts = Eval.nbCounts(docs.filter(col("bkt") < 70),
+        "doc_id", "tok", col("y"), 64)
+      Eval.nbClassify(docs.filter(col("bkt") >= 70), "doc_id", "tok",
+          counts, 64)
+        .join(docs.select(col("doc_id"), col("y")), Seq("doc_id"))
+        .select(col("doc_id"), col("n_toks"), col("odds"), col("pred"),
+          col("y"))
+    }),
+
+    // q299's REPORT stage served from a MAINTAINED count table: the
+    // training counts arrive as counts(train minus delta) folded with
+    // counts(delta batch, doc_id % 10 == 7) — the oracle rebuilds the
+    // model from the full train split, so the hash match proves the
+    // additive fold IS the rebuild all the way through the served
+    // confusion matrix (the q285 proof shape, carried to decisions).
+    "q300_nb_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), (col("lang") === "en").as("y"),
+          graft.operators.Dedup.tokens(col("text")).as("tok"))
+        .withColumn("bkt",
+          graft.operators.Curation.hashBucket(col("doc_id"), 100))
+      val train = docs.filter(col("bkt") < 70)
+      val counts = Eval.nbCombineCounts(
+        Eval.nbCounts(train.filter(col("doc_id") % 10 =!= 7),
+          "doc_id", "tok", col("y"), 64),
+        Eval.nbCounts(train.filter(col("doc_id") % 10 === 7),
+          "doc_id", "tok", col("y"), 64))
+      Eval.nbClassify(docs.filter(col("bkt") >= 70), "doc_id", "tok",
+          counts, 64)
+        .join(docs.select(col("doc_id"), col("y")), Seq("doc_id"))
+        .agg(
+          sum(when(col("pred") && col("y"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred") && !col("y"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("pred") && col("y"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("pred") && !col("y"), 1L).otherwise(0L)).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("(tp + tn) * 1000000 div (tp + fp + fn + tn)").as("acc_ppm"),
+          when(col("tp") + col("fp") > 0,
+            expr("tp * 1000000 div (tp + fp)")).as("prec_ppm"),
+          when(col("tp") + col("fn") > 0,
+            expr("tp * 1000000 div (tp + fn)")).as("rec_ppm"))
+    }),
+
     // Exact Gini decision stump per source: the n_chars threshold best
     // separating lang='en' — stump training as a pure rational argmax
     // over the cumulative-count sweep, no floats, deterministic
@@ -380,6 +441,48 @@ object EvalQueries {
        |           AS score_ppm
        |  FROM cum WHERE n_left < n
        |)""".stripMargin
+
+  /** Shared NB-model oracle CTEs (q299/q300): tokenized docs with the
+    * md5 split bucket, per-class doc-prior odds, hashed token-occurrence
+    * counts, token totals, and the 64-entry ratio list — each ratio one
+    * DOUBLE division of exact BIGINT cross-products rounded to 9,
+    * mirroring `Eval.nbClassify`'s driver-built literal array entry for
+    * entry. `tail` either continues the WITH (", applied AS (...") or
+    * closes it ("SELECT ...").
+    */
+  private def nbSql(tail: String): String =
+    s"""WITH d0 AS (
+       |  SELECT doc_id, (lang = 'en') AS y,
+       |         list_filter(string_split_regex(trim(text), '\\s+'),
+       |                     x -> x <> '') AS toks,
+       |         ${OracleSql.bucketSql("doc_id", 100)} AS bkt
+       |  FROM documents
+       |), trn AS (
+       |  SELECT * FROM d0 WHERE bkt < 70
+       |), p AS (
+       |  SELECT round(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS DOUBLE),
+       |           9) AS prior
+       |  FROM trn
+       |), tk AS (
+       |  SELECT y, ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS h
+       |  FROM trn, LATERAL unnest(toks) u(t)
+       |), cn AS (
+       |  SELECT h, CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+       |         CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS cnn
+       |  FROM tk GROUP BY h
+       |), tot AS (
+       |  SELECT CAST(coalesce(sum(cp), 0) AS BIGINT) AS np,
+       |         CAST(coalesce(sum(cnn), 0) AS BIGINT) AS nn
+       |  FROM cn
+       |), rl AS (
+       |  SELECT array_agg(
+       |           round(CAST((coalesce(cn.cp, 0) + 1) * (tot.nn + 64) AS DOUBLE)
+       |               / CAST((coalesce(cn.cnn, 0) + 1) * (tot.np + 64) AS DOUBLE),
+       |             9) ORDER BY hh.h) AS rs
+       |  FROM range(0, 64) hh(h) LEFT JOIN cn ON cn.h = hh.h CROSS JOIN tot
+       |)
+       |$tail""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Same cell-pair concordance sums; HUGEINT aggregates cast back to
@@ -843,6 +946,54 @@ object EvalQueries {
          |FROM (SELECT *, row_number() OVER (PARTITION BY b
          |        ORDER BY score_ppm DESC, f ASC) AS rk FROM sc) z
          |WHERE rk = 1""".stripMargin,
+
+    // Shared NB model CTEs: tokenized split docs, per-class doc priors,
+    // hashed token-occurrence counts, the 64-entry rounded ratio list,
+    // the prior odds — mirrored factor for factor (round 9 per ratio,
+    // left fold in document order, round 6 final) against nbClassify's
+    // literal-array fold.
+    "q299_nb_classifier" -> nbSql(
+      """SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
+        |       round(list_reduce(
+        |         list_prepend(p.prior, list_transform(t.toks, tok ->
+        |           rl.rs[CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT
+        |                      % 64 AS INT) + 1])),
+        |         (a, b) -> a * b), 6) AS odds,
+        |       round(list_reduce(
+        |         list_prepend(p.prior, list_transform(t.toks, tok ->
+        |           rl.rs[CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT
+        |                      % 64 AS INT) + 1])),
+        |         (a, b) -> a * b), 6) > 1.0 AS pred,
+        |       t.y
+        |FROM d0 t CROSS JOIN rl CROSS JOIN p WHERE t.bkt >= 70""".stripMargin),
+
+    "q300_nb_report" -> nbSql(
+      """, applied AS (
+        |  SELECT t.y,
+        |         round(list_reduce(
+        |           list_prepend(p.prior, list_transform(t.toks, tok ->
+        |             rl.rs[CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT
+        |                        % 64 AS INT) + 1])),
+        |           (a, b) -> a * b), 6) > 1.0 AS pred
+        |  FROM d0 t CROSS JOIN rl CROSS JOIN p WHERE t.bkt >= 70
+        |), cf AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN NOT pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN NOT pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM applied
+        |)
+        |SELECT tp, fp, fn, tn,
+        |       CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT)
+        |         AS acc_ppm,
+        |       CASE WHEN tp + fp > 0
+        |            THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT)
+        |       END AS prec_ppm,
+        |       CASE WHEN tp + fn > 0
+        |            THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT)
+        |       END AS rec_ppm
+        |FROM cf""".stripMargin),
 
     "q241_train_eval" ->
       s"""WITH d0 AS (

@@ -881,6 +881,33 @@ object GraftProperties extends Properties("graft") {
       surface(roundTrip) == surface(idx) && surface(absent) == surface(idx)
     }
 
+  // The NB count table is ADDITIVE: counts(a) ⊕ counts(b) == counts(a∪b)
+  // and retraction is the same fold with negated counts — the q285
+  // algebra carried to the classifier's whole model artifact (doc
+  // priors ride h = -1, so the property covers them too).
+  property("nbCounts additive; retract == negated fold (q285 algebra)") =
+    forAll(Gen.nonEmptyListOf(Gen.listOfN(4,
+        Gen.oneOf("aa", "bb", "cc", "dd", "ee"))),
+      Gen.nonEmptyListOf(Gen.listOfN(4,
+        Gen.oneOf("aa", "bb", "cc", "ff")))) { (aDocs, bDocs) =>
+      import graft.operators.Eval
+      val s = sq; import s.implicits._
+      def df(docs: List[List[String]], base: Long) =
+        docs.zipWithIndex.map { case (t, i) =>
+          (base + i, (base + i) % 2 == 0, t) }.toDF("doc_id", "y", "tok")
+      val a = df(aDocs, 0L)
+      val b = df(bDocs, 1000L)
+      def cnt(d: org.apache.spark.sql.DataFrame) =
+        Eval.nbCounts(d, "doc_id", "tok", col("y"), 8)
+      def set(d: org.apache.spark.sql.DataFrame) =
+        d.as[(Boolean, Long, Long)].collect().toSet
+      val folded = Eval.nbCombineCounts(cnt(a), cnt(b))
+      val full = cnt(a.unionByName(b))
+      val retracted = Eval.nbCombineCounts(folded,
+        cnt(b).withColumn("cnt", -col("cnt")))
+      set(folded) == set(full) && set(retracted) == set(cnt(a))
+    }
+
   // Small alphabet + repeated docs force heavy suffix ties and shared
   // prefixes — the regimes where prefix doubling can go wrong. Reference
   // rank: 1 + index of the FIRST occurrence of the suffix string in the
