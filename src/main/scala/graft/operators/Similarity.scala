@@ -1980,4 +1980,78 @@ object Similarity {
     val bands = math.ceil(math.log(1.0 - 0.94) / math.log(1.0 - c)).toInt
     (bands, bits)
   }
+
+  // ------------------ persisted Matryoshka prefix tier (round 11, q301)
+
+  /** The MRL HOT TIER as a maintained artifact: (vec_id, pvec, pnrm) —
+    * the first `dims` dimensions of each embedding with the prefix norm
+    * precomputed (q271's shortlist scans exactly this shape; persisting
+    * it is what makes the tiered serve an INDEX rather than a
+    * per-query recompute of the whole corpus's prefixes). The tier is a
+    * pure per-row PROJECTION, which pins its whole maintenance algebra:
+    * delta = project-and-append (row-local, bit-identical to rebuilding
+    * over old ∪ new — the q258 frozen-artifact argument is trivial
+    * here since there is no trained state at all), retraction = the
+    * plain broadcast anti-join, upsert = retract ∘ append. Rows write
+    * id-bucketed so a takedown touches only its buckets.
+    */
+  def buildMrlTier(corpus: DataFrame, dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val p = slice(col("vec"), 1, dims)
+    corpus.select(col("vec_id"), p.as("pvec"), norm(p).as("pnrm"))
+  }
+
+  def saveMrlTier(tier: DataFrame, dir: String,
+      maxRecordsPerFile: Long = 1L << 20): Unit =
+    Curation.writeShards(
+      tier.withColumn("bucket", pmod(col("vec_id"), lit(64)).cast("int")),
+      dir, Seq("bucket"), maxRecordsPerFile, Seq(col("vec_id")))
+
+  def loadMrlTier(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(dir).select(col("vec_id"), col("pvec"), col("pnrm"))
+
+  def applyMrlDelta(tier: DataFrame, newVecs: DataFrame,
+      dims: Int): DataFrame =
+    tier.unionByName(buildMrlTier(newVecs, dims))
+
+  def retractFromMrlTier(tier: DataFrame, ids: DataFrame): DataFrame =
+    tier.join(broadcast(ids.select(col("vec_id")).distinct()),
+      Seq("vec_id"), "left_anti")
+
+  /** q271's tiered serve FROM the maintained tier: shortlist by exact
+    * prefix cosine over the (persisted, possibly delta-folded/retracted)
+    * hot tier, then exact full-dimension re-rank of the shortlist only —
+    * the same two-tier economics as [[pqRerankTopK]] with truncation as
+    * the compressor. Queries come in full-dimension; their prefixes are
+    * derived row-locally here, so the caller never maintains query-side
+    * state.
+    */
+  def mrlRerankTopK(tier: DataFrame, corpus: DataFrame, queries: DataFrame,
+      dims: Int, shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val qp = buildMrlTier(queries, dims)
+      .select(col("vec_id").as("query_id"), col("pvec").as("qp"),
+        col("pnrm").as("qn"))
+    val scored = broadcast(qp)
+      .crossJoin(tier.select(col("vec_id").as("neighbor_id"),
+        col("pvec"), col("pnrm")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("psim", round(
+        cosineWithNorms(col("qp"), col("pvec"), col("qn"), col("pnrm")), 6))
+    val sl = Relational.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("psim").desc, col("neighbor_id").asc), shortlist, "prank")
+      .select(col("query_id"), col("neighbor_id"))
+    val rr = sl
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("vec").as("qvec"), col("nrm").as("qnrm")), Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("vec").as("cvec"), col("nrm").as("cnrm")), Seq("neighbor_id"))
+      .withColumn("sim", round(cosineWithNorms(col("qvec"), col("cvec"),
+        col("qnrm"), col("cnrm")), 6))
+    Relational.topKPerGroup(rr, Seq(col("query_id")),
+        Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("sim"))
+  }
 }

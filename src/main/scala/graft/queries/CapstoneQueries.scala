@@ -20,7 +20,9 @@ import graft.sources.Tables
   *   - connected-component labels after confined recompute (q255 chain),
   *   - the packed training tape after suffix repack (q260 chain),
   *   - Merkle bucket checksums advanced by the deletion delta (q141's
-  *     algebra on the documents table).
+  *     algebra on the documents table),
+  *   - the persisted MRL hot tier after anti-join retraction, served
+  *     through q271's tiered shortlist+re-rank (q301 chain, round 11).
   *
   * Each serve output reduces to ONE row: (surface, n_rows, fold,
   * deleted_refs) where `fold` is the order-independent BIGINT sum of a
@@ -122,7 +124,27 @@ object CapstoneQueries {
         "checksum",
         concat_ws("|", col("bucket"), col("n_rows"), col("checksum")),
         Seq.empty)
-      Seq(postings, bm25, ivf, dedup, cc, tape, ck)
+      // surface 8 (round 11): the persisted MRL hot tier (q301) after
+      // takedown — the tier is a projection, so retraction is the plain
+      // anti-join; the serve runs q271's shortlist+re-rank from the
+      // RETRACTED tier against the retracted full-vector store, and the
+      // oracle rebuilds the whole tiered serve from (corpus ∖ deleted)
+      import graft.operators.Similarity
+      graft.functions.GraftFunctions.register(s)
+      val emb = Similarity.prepared(Tables.embeddings(s, d), "embedding")
+        .select(col("vec_id"), col("vec"), col("nrm")).cache()
+      val kept = emb.filter(col("vec_id") % 10 =!= 3)
+      val tier = Similarity.retractFromMrlTier(
+        Similarity.buildMrlTier(emb, 32),
+        emb.filter(col("vec_id") % 10 === 3).select(col("vec_id")))
+      val mrl = fold(
+        Similarity.mrlRerankTopK(tier, kept, kept.filter(col("vec_id") < 5),
+          dims = 32, shortlist = 50, k = 10),
+        "mrl",
+        concat_ws("|", col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("sim") * 1e6).cast("long")),
+        Seq(col("query_id"), col("neighbor_id")))
+      Seq(postings, bm25, ivf, dedup, cc, tape, ck, mrl)
         .reduce(_ unionByName _)
     }))
 
@@ -168,6 +190,43 @@ object CapstoneQueries {
           |         ::BIGINT) AS BIGINT) AS checksum
           |FROM dk GROUP BY 1""".stripMargin,
         "t.bucket || '|' || t.n_rows || '|' || t.checksum",
-        "FALSE")
+        "FALSE"),
+      foldSql("mrl",
+        """WITH v AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+          |  FROM embeddings WHERE vec_id % 10 <> 3
+          |), n AS (
+          |  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm
+          |  FROM v
+          |), t32 AS (
+          |  SELECT vec_id, vec[1:32] AS v,
+          |         sqrt(list_dot_product(vec[1:32], vec[1:32])) AS nr
+          |  FROM n
+          |), sl AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |           row_number() OVER (PARTITION BY q.vec_id
+          |             ORDER BY round(list_dot_product(q.v, c.v)
+          |               / (q.nr * c.nr), 6) DESC, c.vec_id ASC) AS srank
+          |    FROM t32 q, t32 c
+          |    WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) z
+          |  WHERE srank <= 50
+          |), rr AS (
+          |  SELECT s.query_id, s.neighbor_id,
+          |         round(list_dot_product(q.vec, c.vec)
+          |           / (q.nrm * c.nrm), 6) AS sim
+          |  FROM sl s JOIN n q ON s.query_id = q.vec_id
+          |            JOIN n c ON s.neighbor_id = c.vec_id
+          |)
+          |SELECT query_id, neighbor_id, rank, sim FROM (
+          |  SELECT query_id, neighbor_id, sim,
+          |         row_number() OVER (PARTITION BY query_id
+          |           ORDER BY sim DESC, neighbor_id ASC) AS rank
+          |  FROM rr) z
+          |WHERE rank <= 10""".stripMargin,
+        "t.query_id || '|' || t.neighbor_id || '|' || t.rank || '|' || " +
+          "CAST(round(t.sim * 1000000) AS BIGINT)",
+        "t.query_id % 10 = 3 OR t.neighbor_id % 10 = 3")
     ).mkString("\nUNION ALL\n"))
 }

@@ -78,6 +78,37 @@ object SimilarityQueries {
         banded, "vec_id", "bands", bits).count())
   }
 
+  /** The q271/q301 tiered-serve oracle: 32-dim prefix shortlist-50 over
+    * the FULL corpus (q301's maintained tier must equal this rebuild),
+    * exact full-dim re-rank, top 10.
+    */
+  private lazy val MrlRerankSql: String =
+    s"""$VCte, t32 AS (
+       |  SELECT vec_id, vec[1:32] AS v,
+       |         sqrt(list_dot_product(vec[1:32], vec[1:32])) AS nr
+       |  FROM n
+       |), sl AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY round(list_dot_product(q.v, c.v)
+       |               / (q.nr * c.nr), 6) DESC, c.vec_id ASC) AS srank
+       |    FROM t32 q, t32 c
+       |    WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) z
+       |  WHERE srank <= 50
+       |), rr AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         round(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm), 6) AS sim
+       |  FROM sl s JOIN n q ON s.query_id = q.vec_id
+       |            JOIN n c ON s.neighbor_id = c.vec_id
+       |)
+       |SELECT query_id, neighbor_id, rank, sim FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM rr) z
+       |WHERE rank <= 10""".stripMargin
+
   /** DuckDB mirror of the q145 multi-probe candidate generator (128 md5
     * planes → 16 bands × 8 sign bits, probe set = band value + its 8
     * single-bit flips, probe-vs-exact equi-join). Shared by q145/q215/
@@ -519,6 +550,30 @@ object SimilarityQueries {
           Seq(col("sim").desc, col("neighbor_id").asc), 10, "rank")
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), col("sim"))
+    }),
+
+    // The MRL hot tier PERSISTED (q301): q271's 32-dim prefix shortlist
+    // recomputed the projection from the corpus every run — here the
+    // prefix table is an ARTIFACT with the full q258 maintenance
+    // algebra: build on the old corpus (%10 != 7), save (id-bucketed
+    // shards), load, fold the delta batch in (a projection is row-local,
+    // so delta == rebuild trivially and exactly), then serve the tiered
+    // shortlist+re-rank FROM the maintained artifact. The oracle is
+    // q271's full-corpus rebuild — the hash match IS the
+    // save/load/delta == in-session-build proof. Retraction is the
+    // plain anti-join (projection ⇒ no cross-row state), proven in
+    // SimilaritySpec and composed into q262's capstone as surface #8.
+    "q301_mrl_tier_persisted" -> ((s, d) => {
+      val c = corpus(s, d)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_mrl_tier_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val old = c.filter(col("vec_id") % 10 =!= 7)
+      val delta = c.filter(col("vec_id") % 10 === 7)
+      Similarity.saveMrlTier(Similarity.buildMrlTier(old, 32), dir)
+      val tier = Similarity.applyMrlDelta(
+        Similarity.loadMrlTier(s, dir), delta, 32)
+      Similarity.mrlRerankTopK(tier, c, c.filter(col("vec_id") < 5),
+        dims = 32, shortlist = 50, k = 10)
     }),
 
     // ACT on PQ codebook drift (q264) — q259's statistic gets its
@@ -1860,32 +1915,12 @@ object SimilarityQueries {
 
     // The 32-dim tier CTE (q270's shape) widened to shortlist 50, then
     // the exact full-dim re-rank of the shortlist, top 10.
-    "q271_matryoshka_rerank" ->
-      s"""$VCte, t32 AS (
-         |  SELECT vec_id, vec[1:32] AS v,
-         |         sqrt(list_dot_product(vec[1:32], vec[1:32])) AS nr
-         |  FROM n
-         |), sl AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |           row_number() OVER (PARTITION BY q.vec_id
-         |             ORDER BY round(list_dot_product(q.v, c.v)
-         |               / (q.nr * c.nr), 6) DESC, c.vec_id ASC) AS srank
-         |    FROM t32 q, t32 c
-         |    WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) z
-         |  WHERE srank <= 50
-         |), rr AS (
-         |  SELECT s.query_id, s.neighbor_id,
-         |         round(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm), 6) AS sim
-         |  FROM sl s JOIN n q ON s.query_id = q.vec_id
-         |            JOIN n c ON s.neighbor_id = c.vec_id
-         |)
-         |SELECT query_id, neighbor_id, rank, sim FROM (
-         |  SELECT query_id, neighbor_id, sim,
-         |         row_number() OVER (PARTITION BY query_id
-         |           ORDER BY sim DESC, neighbor_id ASC) AS rank
-         |  FROM rr) z
-         |WHERE rank <= 10""".stripMargin,
+    "q271_matryoshka_rerank" -> MrlRerankSql,
+
+    // SAME oracle as q271 by construction: q301 serves from the
+    // persisted save→load→delta tier, the oracle rebuilds from the full
+    // corpus — the hash match is the maintenance proof.
+    "q301_mrl_tier_persisted" -> MrlRerankSql,
 
     // Per tier: slice, re-norm, q28's exact ranking, left-join overlap
     // count against the full-dim truth (zero-overlap queries keep rows).

@@ -251,6 +251,31 @@ class SimilaritySpec extends SparkSpec {
     assert(r32 >= 0.65, s"32-dim shortlist recall collapsed: $r32")
   }
 
+  // The MRL tier is a pure projection: save -> load roundtrips
+  // bit-identically, retraction == rebuilding from the remaining corpus,
+  // and retract ∘ delta == identity (the q301/q262-surface-8 algebra).
+  test("MRL tier: save/load roundtrip; retract == rebuild; " +
+      "retract ∘ delta == identity") {
+    val c = corpus
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mrl-spec").toString
+    val tier = Similarity.buildMrlTier(c, 32)
+    Similarity.saveMrlTier(tier, dir)
+    val loaded = Similarity.loadMrlTier(spark, dir)
+    def set(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(concat_ws("|", col("vec_id"), col("pvec").cast("string"),
+        col("pnrm"))).as[String].collect().toSet
+    assert(set(loaded) == set(tier), "save/load did not roundtrip")
+    val del = c.filter(col("vec_id") % 10 === 3).select("vec_id")
+    val retracted = Similarity.retractFromMrlTier(loaded, del)
+    val rebuilt = Similarity.buildMrlTier(
+      c.filter(col("vec_id") % 10 =!= 3), 32)
+    assert(set(retracted) == set(rebuilt), "retract != rebuild")
+    val back = Similarity.applyMrlDelta(retracted,
+      c.filter(col("vec_id") % 10 === 3), 32)
+    assert(set(back) == set(tier), "retract ∘ delta lost rows")
+  }
+
   test("recodeDriftedSubspaces: drifted-subspace quantization error drops " +
       "(measured); cold subspaces bit-identical") {
     val c = corpus
