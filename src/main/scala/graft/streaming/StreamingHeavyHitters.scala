@@ -77,4 +77,32 @@ object StreamingHeavyHitters {
       .transformWithState(new MgProcessor(capacity),
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** The legacy-API twin (`flatMapGroupsWithState`) — the same sorted
+    * per-batch [[mgFold]] against the same `MgState`, so the two APIs
+    * cannot drift (parity asserted in ScaleSpec, like the status machine
+    * and drift monitor twins). MG needs no TTL or timers (bounded state
+    * is the algorithm's own guarantee), so `NoTimeout` loses nothing —
+    * the only semantics the new API adds here is its TTLConfig plumbing,
+    * which [[track]] also leaves off.
+    */
+  def trackLegacy(events: Dataset[ItemEvent],
+      capacity: Int): Dataset[Estimate] = {
+    require(capacity >= 1, s"capacity must be positive, got $capacity")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[ItemEvent],
+            state: GroupState[MgState]) => {
+          val start = state.getOption.map(_.items).getOrElse(Map.empty)
+          val folded = rows.map(_.item).toSeq.sorted
+            .foldLeft(start)((m, it) => mgFold(m, it, capacity))
+          state.update(MgState(folded))
+          folded.toSeq.sortBy(_._1)
+            .map { case (it, c) => Estimate(key, it, c) }.iterator
+        })
+  }
 }

@@ -841,6 +841,65 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries parity: flatMapGroupsWithState twin == " +
+      "transformWithState == the sequential fold") {
+    import graft.streaming.StreamingHeavyHitters
+    import graft.streaming.StreamingHeavyHitters.{Estimate, ItemEvent}
+    import org.apache.spark.sql.streaming.Trigger
+    val capacity = 3
+    val wave = Seq.fill(9)(ItemEvent("A", "hot")) ++
+      (1 to 5).flatMap(i => Seq.fill(2)(ItemEvent("A", s"t$i"))) ++
+      (1 to 6).map(i => ItemEvent("B", s"b$i"))
+    val ref = wave.groupBy(_.group).map { case (g, evs) =>
+      g -> evs.map(_.item).sorted.foldLeft(Map.empty[String, Long])(
+        (m, it) => StreamingHeavyHitters.mgFold(m, it, capacity))
+    }
+    def run(api: String): Map[String, Map[String, Long]] = {
+      val inDir = Files.createTempDirectory(s"graft-mgp-in-$api")
+      wave.toDF().coalesce(1).write.mode("overwrite")
+        .parquet(inDir.resolve("w.parquet").toString)
+      val outDir = Files.createTempDirectory(s"graft-mgp-out-$api").toString
+      val ckpt = Files.createTempDirectory(s"graft-mgp-ck-$api").toString
+      val schema = Seq.empty[ItemEvent].toDF().schema
+      val src = spark.readStream.schema(schema)
+        .parquet(inDir.resolve("w.parquet").toString).as[ItemEvent]
+      val sk =
+        if (api == "legacy") StreamingHeavyHitters.trackLegacy(src, capacity)
+        else StreamingHeavyHitters.track(src, capacity)
+      val q = sk.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Estimate],
+            id: Long) =>
+          if (!df.isEmpty)
+            df.write.mode("overwrite").parquet(s"$outDir/d=b$id")
+        }
+        .start()
+      q.awaitTermination(120000)
+      spark.read.parquet(s"$outDir/d=b0").as[Estimate].collect()
+        .groupBy(_.group)
+        .map { case (g, es) => g -> es.map(e => e.item -> e.est).toMap }
+    }
+    // legacy runs on the default HDFS-backed store (its own parity
+    // point); transformWithState requires RocksDB (column families)
+    val legacy = run("legacy")
+    val priorStore =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val tws =
+      try run("tws")
+      finally priorStore match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    assert(legacy == ref, s"legacy twin != fold: $legacy vs $ref")
+    assert(tws == ref, s"transformWithState != fold: $tws vs $ref")
+  }
+
   test("streaming drift monitor continues the CUSUM fold across " +
       "kill-and-resume, equal to the batch recurrence") {
     import graft.streaming.DriftMonitor
