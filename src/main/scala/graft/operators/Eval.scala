@@ -839,4 +839,85 @@ object Eval {
       .select(col(idCol), col("n_toks"), col("odds"),
         (col("odds") > 1.0d).as("pred"))
   }
+
+  /** Per-document bigram hashed positions `(id, pos, h1, h2)` — shared
+    * by [[bigramLmCounts]] and [[bigramLmScore]] so train and serve
+    * hash identically. Row-local; docs with < 2 tokens emit nothing.
+    */
+  private def bigramPositions(docs: DataFrame, idCol: String,
+      tokCol: String, vocab: Int): DataFrame =
+    docs.select(col(idCol).as("id"), col(tokCol).as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+      .select(col("id"), posexplode(expr(
+        "transform(sequence(1, size(_toks) - 1), " +
+          "i -> struct(element_at(_toks, i) AS w1, " +
+          "element_at(_toks, i + 1) AS w2))")).as(Seq("pos", "bg")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        Curation.hashBucket(col("bg.w1"), vocab).as("h1"),
+        Curation.hashBucket(col("bg.w2"), vocab).as("h2"))
+
+  /** BIGRAM LANGUAGE-MODEL counts over a hashed vocabulary — the
+    * training half of the CCNet-style perplexity quality filter
+    * (Wenzek et al. 2020 score documents with a reference LM and keep
+    * the low-perplexity stratum; here the LM is an exact-count bigram
+    * model the engine trains itself). One row per (h1, h2) bigram plus
+    * the context marginal as (h1, −1) — context counts are the sums the
+    * conditionals divide by, so the whole model is again ONE additive
+    * table: append = unionByName + sum, retraction = the same fold
+    * negated ([[nbCombineCounts]]' algebra applies verbatim — the
+    * shapes are identical by design).
+    */
+  def bigramLmCounts(docs: DataFrame, idCol: String, tokCol: String,
+      vocab: Int): DataFrame = {
+    require(vocab >= 2, s"vocab must be >= 2, got $vocab")
+    val bg = bigramPositions(docs, idCol, tokCol, vocab)
+    bg.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("cnt"))
+      .unionByName(bg.groupBy(col("h1")).agg(count(lit(1)).as("cnt"))
+        .select(col("h1"), lit(-1L).as("h2"), col("cnt")))
+  }
+
+  /** SERVE the bigram LM as a per-document fluency score: each bigram
+    * contributes the Laplace-smoothed conditional scaled ×1000 (the
+    * q266 near-unity scaling that keeps a pinned-order product of
+    * hundreds of factors inside double range without logs) —
+    * `f = round(1000·(c(h1,h2)+1) / (c(h1,·)+V), 9)` — and the document
+    * score is the position-ordered product, rounded to 6. Unseen
+    * bigrams/contexts coalesce to 0 counts, so out-of-domain text
+    * scores low — exactly the filter's job. Docs with < 2 tokens score
+    * the empty product 1.0 with n_bigrams 0.
+    *
+    * Shape: bigrams equi-join the count table on (h1, h2) then (h1) —
+    * both bounded by vocab², broadcastable at any corpus size since the
+    * model is count-bounded by V² rows; the per-doc fold re-pins
+    * position order via array_sort(struct(pos, f)) before the
+    * left-to-right product, so the score is a pure function of the
+    * document, independent of partitioning. Double-range headroom: ~250
+    * tokens/doc at the ×1000 scaling — past that, score windows of the
+    * doc separately (the same discipline CCNet applies per paragraph).
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, tokCol: String,
+      counts: DataFrame, vocab: Int): DataFrame = {
+    val bg = bigramPositions(docs, idCol, tokCol, vocab)
+    val c2 = counts.filter(col("h2") >= 0)
+      .select(col("h1"), col("h2"), col("cnt").as("_c2"))
+    val c1 = counts.filter(col("h2") === -1L)
+      .select(col("h1"), col("cnt").as("_c1"))
+    val scored = bg
+      .join(broadcast(c2), Seq("h1", "h2"), "left")
+      .join(broadcast(c1), Seq("h1"), "left")
+      .withColumn("_f", round(
+        ((coalesce(col("_c2"), lit(0L)) + 1L) * 1000L).cast("double") /
+          (coalesce(col("_c1"), lit(0L)) + vocab).cast("double"), 9))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        collect_list(struct(col("pos"), col("_f"))).as("_fs"))
+      .withColumn("score", round(aggregate(
+        array_sort(col("_fs")), lit(1.0d),
+        (acc, x) => acc * x.getField("_f")), 6))
+      .select(col("id"), col("n_bigrams"), col("score"))
+    docs.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score"), lit(1.0d)).as("score"))
+  }
 }

@@ -258,6 +258,27 @@ object EvalQueries {
             expr("tp * 1000000 div (tp + fn)")).as("rec_ppm"))
     }),
 
+    // CCNet-style BIGRAM-LM fluency score (q302, Wenzek et al. 2020):
+    // train exact bigram counts over a 4096-bucket hashed vocabulary on
+    // the md5 train split, score every held-out doc as the
+    // position-ordered product of x1000-scaled Laplace conditionals
+    // (round 9 per factor, round 6 final — the q266 no-log product
+    // discipline; unseen bigrams pull the score down, which is the
+    // filter's job). The count table is one additive artifact (context
+    // marginals ride h2 = -1), same maintenance algebra as q285/q299.
+    "q302_bigram_lm_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.operators.Dedup.tokens(col("text")).as("tok"))
+        .withColumn("bkt",
+          graft.operators.Curation.hashBucket(col("doc_id"), 100))
+      val counts = Eval.bigramLmCounts(docs.filter(col("bkt") < 70),
+        "doc_id", "tok", 4096)
+      Eval.bigramLmScore(docs.filter(col("bkt") >= 70), "doc_id", "tok",
+          counts, 4096)
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("score"))
+    }),
+
     // Exact Gini decision stump per source: the n_chars threshold best
     // separating lang='en' — stump training as a pure rational argmax
     // over the cumulative-count sweep, no floats, deterministic
@@ -994,6 +1015,50 @@ object EvalQueries {
         |            THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT)
         |       END AS rec_ppm
         |FROM cf""".stripMargin),
+
+    // Bigram positions via unnest(range), hashed like the Spark side;
+    // the fold is array_agg(ORDER BY pos) + list_reduce — the same
+    // left-to-right product the engine pins with array_sort + aggregate.
+    "q302_bigram_lm_score" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(trim(text), '\\s+'),
+         |                     x -> x <> '') AS toks,
+         |         ${OracleSql.bucketSql("doc_id", 100)} AS bkt
+         |  FROM documents
+         |), bg AS (
+         |  SELECT doc_id, bkt, i AS pos,
+         |         ('0x' || substr(md5(toks[CAST(i AS INT)]), 1, 8))::BIGINT
+         |           % 4096 AS h1,
+         |         ('0x' || substr(md5(toks[CAST(i AS INT) + 1]), 1, 8))::BIGINT
+         |           % 4096 AS h2
+         |  FROM d0, LATERAL unnest(range(1, greatest(len(toks), 1))) t(i)
+         |), c2 AS (
+         |  SELECT h1, h2, CAST(count(*) AS BIGINT) AS c2
+         |  FROM bg WHERE bkt < 70 GROUP BY 1, 2
+         |), c1 AS (
+         |  SELECT h1, CAST(count(*) AS BIGINT) AS c1
+         |  FROM bg WHERE bkt < 70 GROUP BY 1
+         |), f AS (
+         |  SELECT b.doc_id, b.pos,
+         |         round(CAST((coalesce(c2.c2, 0) + 1) * 1000 AS DOUBLE)
+         |             / CAST(coalesce(c1.c1, 0) + 4096 AS DOUBLE), 9) AS f
+         |  FROM bg b LEFT JOIN c2 ON b.h1 = c2.h1 AND b.h2 = c2.h2
+         |            LEFT JOIN c1 ON b.h1 = c1.h1
+         |  WHERE b.bkt >= 70
+         |), folded AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |         round(list_reduce(
+         |           list_prepend(CAST(1.0 AS DOUBLE),
+         |             array_agg(f ORDER BY pos)),
+         |           (a, b) -> a * b), 6) AS score
+         |  FROM f GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(fo.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |       coalesce(fo.score, 1.0) AS score
+         |FROM d0 d LEFT JOIN folded fo ON d.doc_id = fo.doc_id
+         |WHERE d.bkt >= 70""".stripMargin,
 
     "q241_train_eval" ->
       s"""WITH d0 AS (
