@@ -1089,7 +1089,18 @@ object Dedup {
     * Everything after the marks is one per-doc window + one aggregate.
     */
   def exactSubstrCoverage(docs: DataFrame, idCol: String, textCol: String,
-      minLen: Int): DataFrame = {
+      minLen: Int): DataFrame =
+    exactSubstrIslands(docs, idCol, textCol, minLen)
+      .groupBy(col("id"))
+      .agg(sum(col("_nst")).as("n_dup_starts"),
+        sum(col("_e") - col("_s")).as("covered_chars"))
+
+  /** The merged duplicated intervals behind [[exactSubstrCoverage]] and
+    * [[exactSubstrRemove]]: one row per maximal covered char interval
+    * `[_s, _e)` (0-based) per doc, with its mark count `_nst`.
+    */
+  private def exactSubstrIslands(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int): DataFrame = {
     val marks = exactSubstrMarks(docs, idCol, textCol, minLen)
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     marks
@@ -1099,10 +1110,43 @@ object Dedup {
       .withColumn("_isl", sum(col("_brk")).over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("id"), col("_isl"))
-      .agg(count(lit(1)).as("_nst"),
-        (max(col("pos")) - min(col("pos")) + minLen).as("_cov"))
+      .agg(count(lit(1)).as("_nst"), min(col("pos")).as("_s"),
+        (max(col("pos")) + minLen).as("_e"))
+      .select(col("id"), col("_nst"), col("_s"), col("_e"))
+  }
+
+  /** ExactSubstr REMOVAL — the Lee et al. 2021 action itself: every
+    * duplicated ≥ `minLen`-char interval is CUT from every document
+    * (the paper removes ALL occurrences; canonical-copy policies live a
+    * level up, e.g. q295). The kept text is the concatenation of the
+    * gaps between a doc's merged islands, rebuilt per doc from its
+    * (bounded) sorted interval list — one collect_list per doc, then a
+    * row-local transform/substring stitch, so reconstruction is a map
+    * over docs after the marks machinery. Docs without marks pass
+    * through verbatim. Returns `(id, clean_text, removed_chars)`.
+    */
+  def exactSubstrRemove(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    val islands = exactSubstrIslands(docs, idCol, textCol, minLen)
       .groupBy(col("id"))
-      .agg(sum(col("_nst")).as("n_dup_starts"),
-        sum(col("_cov")).as("covered_chars"))
+      .agg(collect_list(struct(col("_s"), col("_e"))).as("_iv"))
+    docs.select(col(idCol).as("id"), col(textCol).as("_t"))
+      .join(islands, Seq("id"), "left")
+      .withColumn("_iv", coalesce(col("_iv"),
+        array().cast("array<struct<_s:long,_e:long>>")))
+      // kept segments: [0, s1), [e1, s2), …, [eK, len) — built from the
+      // sorted islands plus a synthetic terminator at (len, len)
+      .withColumn("_sorted", array_sort(col("_iv")))
+      .withColumn("_bounds", concat(col("_sorted"),
+        array(struct(length(col("_t")).cast("long").as("_s"),
+          length(col("_t")).cast("long").as("_e")))))
+      .withColumn("clean_text", concat_ws("",
+        expr("transform(_bounds, (b, i) -> substring(_t, " +
+          "CASE WHEN i = 0 THEN 1 ELSE element_at(_sorted, i)._e + 1 END, " +
+          "CASE WHEN i = 0 THEN b._s " +
+          "ELSE b._s - element_at(_sorted, i)._e END))")))
+      .withColumn("removed_chars", coalesce(expr(
+        "aggregate(_sorted, 0L, (acc, x) -> acc + x._e - x._s)"), lit(0L)))
+      .select(col("id"), col("clean_text"), col("removed_chars"))
   }
 }

@@ -208,6 +208,20 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("n_dup_starts"),
           col("covered_chars"))),
 
+    // q298's ACTION (q303): the Lee et al. removal pass itself — every
+    // duplicated >= 30-char interval is CUT from every document and the
+    // kept text re-stitched from the island gaps (a bounded per-doc
+    // interval list + row-local substring transform). Docs without
+    // duplicated spans pass through verbatim. The oracle rebuilds each
+    // document character-for-character from the brute-force gram marks,
+    // so the hash match proves interval merging AND reconstruction,
+    // byte by byte.
+    "q303_exact_substr_remove" -> ((s, d) =>
+      Dedup.exactSubstrRemove(Tables.documents(s, d), "doc_id", "text",
+          minLen = 30)
+        .select(col("id").as("doc_id"), col("clean_text"),
+          col("removed_chars"))),
+
     // E1: exact dedup with deterministic canonical selection (min doc_id).
     "q22_dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(
@@ -977,6 +991,56 @@ object DedupQueries {
         |SELECT doc_id, CAST(sum(nst) AS BIGINT) AS n_dup_starts,
         |       CAST(sum(clen) AS BIGINT) AS covered_chars
         |FROM cov GROUP BY doc_id""".stripMargin,
+
+    // Same marks/islands as q298, then the kept text re-stitched as
+    // string_agg over the gap segments (before each island + the tail),
+    // ordered by segment start.
+    "q303_exact_substr_remove" ->
+      """WITH g AS (
+        |  SELECT doc_id, i AS pos, substr(text, CAST(i AS INT) + 1, 30) AS gram
+        |  FROM documents,
+        |       LATERAL unnest(range(0, greatest(length(text) - 29, 0))) t(i)
+        |), marked AS (
+        |  SELECT doc_id, pos FROM g
+        |  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2)
+        |), brk AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+        |                                        ORDER BY pos) <= 30
+        |              THEN 0 ELSE 1 END AS b
+        |  FROM marked
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM brk
+        |), iv AS (
+        |  SELECT doc_id, g, min(pos) AS s, max(pos) + 30 AS e
+        |  FROM isl GROUP BY doc_id, g
+        |), segs AS (
+        |  SELECT doc_id,
+        |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+        |           AS sp,
+        |         s AS ep
+        |  FROM iv
+        |  UNION ALL
+        |  SELECT v.doc_id, v.me AS sp, length(d.text) AS ep
+        |  FROM (SELECT doc_id, max(e) AS me FROM iv GROUP BY doc_id) v
+        |  JOIN documents d USING (doc_id)
+        |), rebuilt AS (
+        |  SELECT s.doc_id,
+        |         string_agg(substr(d.text, CAST(s.sp AS INT) + 1,
+        |           CAST(s.ep - s.sp AS INT)), '' ORDER BY s.sp) AS clean_text
+        |  FROM segs s JOIN documents d USING (doc_id)
+        |  GROUP BY s.doc_id
+        |), rem AS (
+        |  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS removed_chars
+        |  FROM iv GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(r.clean_text, d.text) AS clean_text,
+        |       CAST(coalesce(m.removed_chars, 0) AS BIGINT) AS removed_chars
+        |FROM documents d
+        |LEFT JOIN rebuilt r USING (doc_id)
+        |LEFT JOIN rem m USING (doc_id)""".stripMargin,
 
     "q88_span_dedup" ->
       """WITH base AS (

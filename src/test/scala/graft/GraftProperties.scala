@@ -934,6 +934,37 @@ object GraftProperties extends Properties("graft") {
       got == want
     }
 
+  // Removal reconstruction: cutting the union of duplicated >=minLen
+  // intervals must equal the in-memory cut, byte for byte (q303's
+  // semantics — covers island merging, touching intervals, fully-covered
+  // docs, and verbatim pass-through).
+  property("exactSubstrRemove rebuilds exactly the uncovered bytes") =
+    forAll(Gen.nonEmptyListOf(Gen.listOfN(3, Gen.oneOf('a', 'b'))
+        .flatMap(pad => Gen.choose(0, 30).map(n =>
+          (pad.mkString * 11).take(n)))),
+      Gen.choose(2, 6)) { (texts, minLen) =>
+      val s = sq; import s.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.exactSubstrRemove(docs.toDF("doc_id", "text"),
+          "doc_id", "text", minLen)
+        .as[(Long, String, Long)].collect()
+        .map { case (id, ct, rm) => id -> (ct, rm) }.toMap
+      val grams = docs.flatMap { case (id, t) =>
+        (0 to t.length - minLen).map(p =>
+          (t.substring(p, p + minLen), id, p)) }
+      val dup = grams.groupBy(_._1).filter(_._2.size >= 2).keySet
+      val want = docs.map { case (id, t) =>
+        val covered = Array.fill(t.length)(false)
+        grams.foreach { case (g, gid, p) =>
+          if (gid == id && dup(g))
+            (p until p + minLen).foreach(covered(_) = true) }
+        val kept = t.zipWithIndex.collect {
+          case (c, i) if !covered(i) => c }.mkString
+        id -> (kept, covered.count(identity).toLong)
+      }.toMap
+      got == want
+    }
+
   // ExactSubstr marks against the brute-force gram join (the q298
   // semantics at arbitrary minLen on adversarial strings).
   property("exactSubstrMarks == brute-force duplicated-gram positions") =
