@@ -331,15 +331,24 @@ object Similarity {
     * any LSH/IVF pipeline; the pair frame is the small side at any scale
     * where pruning works, so this never re-shuffles the corpus by pair.
     */
-  def scoredPairs(corpus: DataFrame, candidates: DataFrame): DataFrame =
+  def scoredPairs(corpus: DataFrame, candidates: DataFrame,
+      broadcastVerifyRows: Long = 250000L): DataFrame = {
+    // same verify JOIN SHAPE as densityClustersGuarded (round 11): the
+    // candidate side is the big side, so below the broadcast bound both
+    // vector fetches hint broadcast and no pair row ever shuffles; past
+    // it the shuffled equi-join is the right plan
+    val vn = corpus.count()
+    def fetch(side: DataFrame): DataFrame =
+      if (vn <= broadcastVerifyRows) broadcast(side) else side
     candidates
-      .join(corpus.select(col("vec_id").as("id_a"), col("vec").as("vec_a"),
-        col("nrm").as("nrm_a")), Seq("id_a"))
-      .join(corpus.select(col("vec_id").as("id_b"), col("vec").as("vec_b"),
-        col("nrm").as("nrm_b")), Seq("id_b"))
+      .join(fetch(corpus.select(col("vec_id").as("id_a"),
+        col("vec").as("vec_a"), col("nrm").as("nrm_a"))), Seq("id_a"))
+      .join(fetch(corpus.select(col("vec_id").as("id_b"),
+        col("vec").as("vec_b"), col("nrm").as("nrm_b"))), Seq("id_b"))
       .withColumn("sim", round(cosineWithNorms(
         col("vec_a"), col("vec_b"), col("nrm_a"), col("nrm_b")), 6))
       .select(col("id_a"), col("id_b"), col("sim"))
+  }
 
   /** [[knnOutliers]] over an EXPLICIT candidate source — the executed
     * 100 TB swap (q215 runs it over q145's multi-probe LSH candidates;

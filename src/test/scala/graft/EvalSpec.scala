@@ -742,4 +742,51 @@ class EvalSpec extends SparkSpec {
     assert(bestF1._1 == 2L, s"F1 optimum should include all positives: $bestF1")
     assert(bestCost._1 == 2L, s"fn-heavy cost also drains misses: $bestCost")
   }
+
+  // The NB serve is a pure row-local map (literal model array + pinned
+  // fold), so it runs UNCHANGED on a streaming frame — the learned
+  // quality filter gates documents inline with ingest, no state store,
+  // no shuffle. Parity: streamed scores == batch scores, row for row.
+  test("nbClassify gates a STREAM identically to the batch serve") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val train = Seq(
+      (1L, true, Seq("good", "clean", "prose", "good")),
+      (2L, true, Seq("clean", "text", "prose")),
+      (3L, false, Seq("spam", "spam", "buy", "now")),
+      (4L, false, Seq("buy", "spam", "click"))
+    ).toDF("doc_id", "y", "tok")
+    val counts = graft.operators.Eval.nbCounts(train, "doc_id", "tok",
+      col("y"), 16)
+    val incoming = Seq(
+      (10L, Seq("clean", "good", "prose")),
+      (11L, Seq("buy", "spam", "now")),
+      (12L, Seq.empty[String])
+    ).toDF("doc_id", "tok")
+    val batch = graft.operators.Eval.nbClassify(incoming, "doc_id", "tok",
+        counts, 16)
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    val inDir = java.nio.file.Files.createTempDirectory("graft-nbq-in")
+    incoming.coalesce(1).write.mode("overwrite")
+      .parquet(inDir.resolve("b.parquet").toString)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-nbq-out").toString
+    val q = graft.operators.Eval.nbClassify(
+        spark.readStream.schema(incoming.schema)
+          .parquet(inDir.resolve("b.parquet").toString),
+        "doc_id", "tok", counts, 16)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-nbq-ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir)
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(streamed == batch,
+      s"streamed NB gate != batch serve: $streamed vs $batch")
+    assert(batch.exists(_._4) && batch.exists(!_._4),
+      "toy gate should pass one doc and reject another")
+  }
 }
