@@ -1050,7 +1050,14 @@ object Dedup {
     * that key replaces any LCP chain. Only positions with ≥ minLen
     * chars remaining participate. Returns `(id, pos)`.
     */
-  def exactSubstrMarks(docs: DataFrame, idCol: String, textCol: String,
+  /** The minLen-prefix KEY of every position with ≥ minLen chars
+    * remaining: `(id, pos, _ra, _rb)` where the pair (_ra, _rb) equals
+    * another position's pair ⟺ the two minLen-char substrings are equal
+    * — the sparse-table trick over the prefix-doubling tables, shared by
+    * [[exactSubstrMarks]] (within-corpus) and
+    * [[crossCorpusSubstrMarks]] (decontamination).
+    */
+  private def substrKeys(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     var m = 1L
@@ -1066,10 +1073,15 @@ object Dedup {
       length(col(textCol)).cast("long").as("_len"))
     val second = cur.select(col("id"),
       (col("pos") - (minLen - m)).as("pos"), col("rank").as("_rb"))
-    val keyed = cur.join(second, Seq("id", "pos"))
+    cur.join(second, Seq("id", "pos"))
       .join(lens, Seq("id"))
       .filter(col("_len") - col("pos") >= minLen)
       .select(col("id"), col("pos"), col("rank").as("_ra"), col("_rb"))
+  }
+
+  def exactSubstrMarks(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    val keyed = substrKeys(docs, idCol, textCol, minLen)
     val dupKeys = keyed.groupBy(col("_ra"), col("_rb"))
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= 2)
@@ -1077,6 +1089,45 @@ object Dedup {
     keyed.join(dupKeys, Seq("_ra", "_rb"), "left_semi")
       .select(col("id"), col("pos"))
   }
+
+  /** CHAR-LEVEL DECONTAMINATION marks — the q63 gram family upgraded to
+    * ExactSubstr semantics: every position of `test` whose minLen-char
+    * substring occurs ANYWHERE in `bench` (any benchmark doc, any
+    * alignment — token boundaries and gram grids can't hide a
+    * contaminated span from this one). Both corpora rank TOGETHER in one
+    * prefix-doubling pass, so cross-side key equality is exact; the
+    * benchmark's key set then semi-joins the test keys (the bench side
+    * is benchmark-sized — small — so that join broadcasts). Ids must be
+    * unique across the two frames (they share the doc_id space here).
+    * Returns test-side `(id, pos)`.
+    */
+  def crossCorpusSubstrMarks(test: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, minLen: Int): DataFrame = {
+    val union = test.select(col(idCol), col(textCol))
+      .unionByName(bench.select(col(idCol), col(textCol)))
+    val keys = substrKeys(union, idCol, textCol, minLen)
+    val benchKeys = keys
+      .join(bench.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .select(col("_ra"), col("_rb")).distinct()
+    keys.join(test.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .join(broadcast(benchKeys), Seq("_ra", "_rb"), "left_semi")
+      .select(col("id"), col("pos"))
+  }
+
+  /** Per-test-doc contaminated coverage at `minLen` — the
+    * [[exactSubstrCoverage]] interval-union fold over
+    * [[crossCorpusSubstrMarks]]: `(id, n_hits, contaminated_chars)`,
+    * one row per test doc with ≥ 1 contaminated position. The
+    * decontamination DECISION (drop/trim) composes downstream exactly
+    * like q63's gram rule, with char-exact spans instead of token grams.
+    */
+  def crossCorpusSubstrCoverage(test: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, minLen: Int): DataFrame =
+    islandsFromMarks(
+        crossCorpusSubstrMarks(test, bench, idCol, textCol, minLen), minLen)
+      .groupBy(col("id"))
+      .agg(sum(col("_nst")).as("n_hits"),
+        sum(col("_e") - col("_s")).as("contaminated_chars"))
 
   /** Per-document ExactSubstr REMOVAL COVERAGE at `minLen` — the
     * statistic the Lee et al. pipeline acts on: every marked position
@@ -1100,8 +1151,14 @@ object Dedup {
     * `[_s, _e)` (0-based) per doc, with its mark count `_nst`.
     */
   private def exactSubstrIslands(docs: DataFrame, idCol: String,
-      textCol: String, minLen: Int): DataFrame = {
-    val marks = exactSubstrMarks(docs, idCol, textCol, minLen)
+      textCol: String, minLen: Int): DataFrame =
+    islandsFromMarks(exactSubstrMarks(docs, idCol, textCol, minLen), minLen)
+
+  /** Gaps-and-islands interval union over any `(id, pos)` mark relation
+    * (each mark covers `[pos, pos + minLen)`; islands merge while the
+    * gap to the previous mark is ≤ minLen).
+    */
+  private def islandsFromMarks(marks: DataFrame, minLen: Int): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     marks
       .withColumn("_brk",

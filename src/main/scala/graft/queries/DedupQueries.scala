@@ -208,6 +208,24 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("n_dup_starts"),
           col("covered_chars"))),
 
+    // CHAR-LEVEL DECONTAMINATION (q304): q63's benchmark rule at
+    // ExactSubstr semantics — every test-doc position whose 20-char
+    // substring occurs ANYWHERE in the benchmark slice (doc_id % 97 ==
+    // 0), at any alignment; token grids can't hide a contaminated span
+    // from this one. Both corpora rank together in one prefix-doubling
+    // pass; the benchmark key set broadcasts into a semi-join. Output:
+    // per-test-doc contaminated coverage (interval union), brute-force
+    // gram-join oracled.
+    "q304_char_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.crossCorpusSubstrCoverage(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", minLen = 20)
+        .select(col("id").as("doc_id"), col("n_hits"),
+          col("contaminated_chars"))
+    }),
+
     // q298's ACTION (q303): the Lee et al. removal pass itself — every
     // duplicated >= 30-char interval is CUT from every document and the
     // kept text re-stitched from the island gaps (a bounded per-doc
@@ -990,6 +1008,36 @@ object DedupQueries {
         |)
         |SELECT doc_id, CAST(sum(nst) AS BIGINT) AS n_dup_starts,
         |       CAST(sum(clen) AS BIGINT) AS covered_chars
+        |FROM cov GROUP BY doc_id""".stripMargin,
+
+    // Brute-force cross-corpus 20-gram join: test positions whose gram
+    // exists in the benchmark slice, folded to per-doc interval-union
+    // coverage exactly like q298.
+    "q304_char_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id, i AS pos, substr(text, CAST(i AS INT) + 1, 20) AS gram
+        |  FROM documents,
+        |       LATERAL unnest(range(0, greatest(length(text) - 19, 0))) t(i)
+        |), marked AS (
+        |  SELECT doc_id, pos FROM g
+        |  WHERE doc_id % 97 <> 0
+        |    AND gram IN (SELECT gram FROM g WHERE doc_id % 97 = 0)
+        |), brk AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+        |                                        ORDER BY pos) <= 20
+        |              THEN 0 ELSE 1 END AS b
+        |  FROM marked
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM brk
+        |), cov AS (
+        |  SELECT doc_id, g, count(*) AS nh, max(pos) - min(pos) + 20 AS clen
+        |  FROM isl GROUP BY doc_id, g
+        |)
+        |SELECT doc_id, CAST(sum(nh) AS BIGINT) AS n_hits,
+        |       CAST(sum(clen) AS BIGINT) AS contaminated_chars
         |FROM cov GROUP BY doc_id""".stripMargin,
 
     // Same marks/islands as q298, then the kept text re-stitched as

@@ -934,6 +934,33 @@ object GraftProperties extends Properties("graft") {
       got == want
     }
 
+  // Cross-corpus decontamination marks == the brute-force cross gram
+  // join (q304's semantics): a test position marks iff its gram exists
+  // anywhere in the bench side — never from test-side-only duplicates.
+  property("crossCorpusSubstrMarks == brute-force cross-side gram hits") =
+    forAll(Gen.nonEmptyListOf(Gen.listOfN(3, Gen.oneOf('a', 'b'))
+        .flatMap(pad => Gen.choose(0, 24).map(n =>
+          (pad.mkString * 9).take(n)))),
+      Gen.nonEmptyListOf(Gen.listOfN(3, Gen.oneOf('a', 'b'))
+        .flatMap(pad => Gen.choose(0, 24).map(n =>
+          (pad.mkString * 9).take(n)))),
+      Gen.choose(2, 5)) { (testTexts, benchTexts, minLen) =>
+      val s = sq; import s.implicits._
+      val test = testTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val bench = benchTexts.zipWithIndex.map { case (t, i) =>
+        (1000L + i, t) }
+      val got = Dedup.crossCorpusSubstrMarks(test.toDF("doc_id", "text"),
+          bench.toDF("doc_id", "text"), "doc_id", "text", minLen)
+        .as[(Long, Long)].collect().toSet
+      val benchGrams = bench.flatMap { case (_, t) =>
+        (0 to t.length - minLen).map(p => t.substring(p, p + minLen)) }.toSet
+      val want = test.flatMap { case (id, t) =>
+        (0 to t.length - minLen).collect {
+          case p if benchGrams(t.substring(p, p + minLen)) => (id, p.toLong)
+        } }.toSet
+      got == want
+    }
+
   // Removal reconstruction: cutting the union of duplicated >=minLen
   // intervals must equal the in-memory cut, byte for byte (q303's
   // semantics — covers island merging, touching intervals, fully-covered
