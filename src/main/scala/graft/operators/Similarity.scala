@@ -324,6 +324,42 @@ object Similarity {
       .limit(m)
   }
 
+  /** k-OCCURRENCE HUBNESS audit (Radovanović et al., JMLR 2010): how
+    * often each vector appears in OTHER vectors' exact top-`k` neighbor
+    * lists — the in-degree of the kNN digraph. In high dimensions this
+    * distribution skews hard: a few "hub" points show up in everyone's
+    * neighbor list (inflating their apparent duplicate/retrieval mass)
+    * while antihubs (in-degree 0) vanish from every list — the classic
+    * embedding pathology that corrupts kNN labels, mutual-NN mining
+    * (q182's mutuality is exactly the hub filter), and SemDeDup-style
+    * pruning. Emits every vector with its in-degree `n_in_top_k` (0 for
+    * antihubs) — the full distribution, so the consumer reads skew, top
+    * hubs, and the antihub mass from one relation.
+    *
+    * Shape: the exact kNN digraph from the block grid (one grid pass,
+    * q210's plan), one in-degree aggregate, one left join to keep
+    * zeroes. Ties break (sim desc, neighbor id asc), the q28
+    * convention, so the digraph — hence every in-degree — is exact and
+    * deterministic.
+    */
+  def knnHubness(corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = blockGridPairs(corpus, -1.0)
+      .withColumn("sim", round(col("sim_raw"), 6))
+    val directed = pairs
+      .select(col("id_a").as("vec_id"), col("id_b").as("nbr"), col("sim"))
+      .unionByName(pairs
+        .select(col("id_b").as("vec_id"), col("id_a").as("nbr"), col("sim")))
+    val indeg = Relational.topKPerGroup(directed, Seq(col("vec_id")),
+        Seq(col("sim").desc, col("nbr").asc), k, "rn")
+      .groupBy(col("nbr").as("vec_id"))
+      .agg(count(lit(1)).as("n_in_top_k"))
+    corpus.select(col("vec_id"))
+      .join(indeg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_in_top_k"), lit(0L)).as("n_in_top_k"))
+  }
+
   /** Join a canonical candidate-pair frame (`id_a` < `id_b` — the shape
     * every candidate generator in this engine emits) back to its vectors
     * and score it: (id_a, id_b, sim) with the rounded-cosine q28

@@ -552,6 +552,16 @@ object SimilarityQueries {
           col("rank").cast("long").as("rank"), col("sim"))
     }),
 
+    // k-OCCURRENCE HUBNESS audit (q305, Radovanović et al. 2010): the
+    // in-degree of the exact top-5 kNN digraph, zeroes (antihubs) kept —
+    // the high-dimensional pathology read that tells you whether kNN
+    // labels, mutual-NN mining, and SemDeDup pruning can be trusted on
+    // this embedding space. Exact digraph from the block grid, q28 tie
+    // convention, so every in-degree is deterministic and the oracle
+    // mirrors it rank for rank.
+    "q305_knn_hubness" -> ((s, d) =>
+      Similarity.knnHubness(corpus(s, d), k = 5)),
+
     // The MRL hot tier PERSISTED (q301): q271's 32-dim prefix shortlist
     // recomputed the projection from the corpus every run — here the
     // prefix table is an ARTIFACT with the full q258 maintenance
@@ -1921,6 +1931,23 @@ object SimilarityQueries {
     // persisted save→load→delta tier, the oracle rebuilds from the full
     // corpus — the hash match is the maintenance proof.
     "q301_mrl_tier_persisted" -> MrlRerankSql,
+
+    // Exact top-5 digraph per vector (rounded-cosine rank, q28 ties),
+    // in-degree per neighbor, zeroes kept via the left join.
+    "q305_knn_hubness" ->
+      s"""$VCte, ranked AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |           ORDER BY round(list_dot_product(a.vec, b.vec)
+         |             / (a.nrm * b.nrm), 6) DESC, b.vec_id ASC) AS rn
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+         |), indeg AS (
+         |  SELECT nbr AS vec_id, CAST(count(*) AS BIGINT) AS n_in_top_k
+         |  FROM ranked WHERE rn <= 5 GROUP BY nbr
+         |)
+         |SELECT v.vec_id,
+         |       CAST(coalesce(i.n_in_top_k, 0) AS BIGINT) AS n_in_top_k
+         |FROM n v LEFT JOIN indeg i ON v.vec_id = i.vec_id""".stripMargin,
 
     // Per tier: slice, re-norm, q28's exact ranking, left-join overlap
     // count against the full-dim truth (zero-overlap queries keep rows).
