@@ -1129,6 +1129,86 @@ object Dedup {
       .agg(sum(col("_nst")).as("n_hits"),
         sum(col("_e") - col("_s")).as("contaminated_chars"))
 
+  /** EXACT LCP of every adjacent suffix pair in the corpus-wide suffix
+    * order, for pairs with LCP ≥ `minLcp` — the suffix array's flagship
+    * read: the longest duplicated substrings in the corpus, with exact
+    * length and BOTH locations (adjacent-pair LCPs majorize all pair
+    * LCPs, so the global maximum duplicated substring is here by the
+    * min-over-range property). Returns
+    * `(id_a, pos_a, id_b, pos_b, lcp)` with the pair ordered by suffix
+    * order (a before b).
+    *
+    * Mechanism: keep every prefix-doubling table and DESCEND (the
+    * sparse-table LCP walk turned into log(maxlen) batch joins): from
+    * the largest prefix length m down, probe both suffixes' ranks at
+    * their current `lcp` offset — equal ranks mean the next
+    * `min(m, remaining)` chars agree (equal rank at a truncated level
+    * forces equal remainders, so the partial advance is exact), advance
+    * and continue. Each level is two keyed left joins over the
+    * adjacent-pairs relation (n rows), `ckpt`ed; no per-row loops, no
+    * LCP recursion.
+    */
+  def lcpAdjacentPairs(docs: DataFrame, idCol: String, textCol: String,
+      minLcp: Int): DataFrame = {
+    require(minLcp >= 1, s"minLcp must be >= 1, got $minLcp")
+    val maxLen = docs.agg(max(length(col(textCol)))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.get(0).asInstanceOf[Number].longValue()
+    }
+    val spark = docs.sparkSession
+    if (maxLen == 0L)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("id_a"), lit(0L).as("pos_a"),
+          lit(0L).as("id_b"), lit(0L).as("pos_b"), lit(0L).as("lcp"))
+        .limit(0)
+    var cur = charRanks(docs, idCol, textCol)
+    var tables = List((1L, cur))
+    var offset = 1L
+    while (offset < maxLen) {
+      cur = doubleRank(cur, offset)
+      offset *= 2
+      tables ::= (offset, cur)
+    }
+    // adjacent pairs in (rank, id, pos) total order — equal suffixes
+    // share a rank, so this IS (suffix string, id, pos) order
+    val seqd = IngestOps.globalSequence(cur,
+      Seq(col("rank"), col("id"), col("pos")), "_seq").cache()
+    val lens = docs.select(col(idCol).as("id"),
+      length(col(textCol)).cast("long").as("_len"))
+    var pairs = seqd
+      .select(col("id").as("id_a"), col("pos").as("pos_a"),
+        (col("_seq") + 1L).as("_seq"))
+      .join(seqd.select(col("id").as("id_b"), col("pos").as("pos_b"),
+        col("_seq")), Seq("_seq"))
+      .join(lens.select(col("id").as("id_a"), col("_len").as("_la")),
+        Seq("id_a"))
+      .join(lens.select(col("id").as("id_b"), col("_len").as("_lb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("pos_a"), col("id_b"), col("pos_b"),
+        col("_la"), col("_lb"), lit(0L).as("lcp")).ckpt()
+    tables.foreach { case (m, t) =>
+      val ta = t.select(col("id").as("id_a"), col("pos").as("_qa"),
+        col("rank").as("_ra"))
+      val tb = t.select(col("id").as("id_b"), col("pos").as("_qb"),
+        col("rank").as("_rb"))
+      pairs = pairs
+        .join(ta, pairs("id_a") === ta("id_a") &&
+          ta("_qa") === pairs("pos_a") + pairs("lcp"), "left")
+        .drop(ta("id_a")).drop("_qa")
+        .join(tb, pairs("id_b") === tb("id_b") &&
+          tb("_qb") === pairs("pos_b") + pairs("lcp"), "left")
+        .drop(tb("id_b")).drop("_qb")
+        .withColumn("lcp",
+          when(col("_ra").isNotNull && col("_ra") === col("_rb"),
+            col("lcp") + least(lit(m), col("_la") - col("pos_a") - col("lcp")))
+            .otherwise(col("lcp")))
+        .drop("_ra", "_rb").ckpt()
+    }
+    pairs.filter(col("lcp") >= minLcp)
+      .select(col("id_a"), col("pos_a"), col("id_b"), col("pos_b"),
+        col("lcp"))
+  }
+
   /** Per-document ExactSubstr REMOVAL COVERAGE at `minLen` — the
     * statistic the Lee et al. pipeline acts on: every marked position
     * ([[exactSubstrMarks]]) contributes the interval

@@ -226,6 +226,26 @@ object DedupQueries {
           col("contaminated_chars"))
     }),
 
+    // THE SUFFIX ARRAY'S FLAGSHIP READ (q306): the corpus's longest
+    // duplicated substrings with EXACT length and both locations —
+    // adjacent-pair LCPs majorize all pair LCPs (min-over-range), so
+    // the top-20 adjacent LCPs >= 20 are the global answer. LCP comes
+    // from the rank-table descent (log maxlen batch joins, no
+    // recursion); the oracle sorts raw suffixes, lags, and brute-forces
+    // the common prefix on the (few) adjacent pairs sharing 20 chars.
+    "q306_longest_dup_substrings" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.lcpAdjacentPairs(docs, "doc_id", "text", minLcp = 20)
+        .join(docs.select(col("doc_id").as("id_a"), col("text")),
+          Seq("id_a"))
+        .withColumn("dup_text", expr("substring(text, pos_a + 1, lcp)"))
+        .orderBy(col("lcp").desc, col("id_a").asc, col("pos_a").asc,
+          col("id_b").asc, col("pos_b").asc)
+        .limit(20)
+        .select(col("id_a"), col("pos_a"), col("id_b"), col("pos_b"),
+          col("lcp"), col("dup_text"))
+    }),
+
     // q298's ACTION (q303): the Lee et al. removal pass itself — every
     // duplicated >= 30-char interval is CUT from every document and the
     // kept text re-stitched from the island gaps (a bounded per-doc
@@ -1009,6 +1029,41 @@ object DedupQueries {
         |SELECT doc_id, CAST(sum(nst) AS BIGINT) AS n_dup_starts,
         |       CAST(sum(clen) AS BIGINT) AS covered_chars
         |FROM cov GROUP BY doc_id""".stripMargin,
+
+    // Raw suffix sort + lag; exact LCP brute-forced only on adjacent
+    // pairs already sharing a 20-char prefix (exactly the pairs that
+    // can reach the >= 20 cut), common prefix monotone so max(k) is
+    // the LCP.
+    "q306_longest_dup_substrings" ->
+      """WITH sfx AS (
+        |  SELECT doc_id, i AS pos, substr(text, CAST(i AS INT) + 1) AS s,
+        |         length(text) - i AS rem
+        |  FROM documents, LATERAL unnest(range(0, length(text))) t(i)
+        |), ord AS (
+        |  SELECT doc_id, pos, s, rem,
+        |         lag(doc_id) OVER w AS pid, lag(pos) OVER w AS ppos,
+        |         lag(s) OVER w AS ps, lag(rem) OVER w AS prem
+        |  FROM sfx WINDOW w AS (ORDER BY s, doc_id, pos)
+        |), cand AS (
+        |  SELECT pid AS id_a, ppos AS pos_a, doc_id AS id_b, pos AS pos_b,
+        |         ps, s, least(prem, rem) AS mx
+        |  FROM ord
+        |  WHERE pid IS NOT NULL AND substr(ps, 1, 20) = substr(s, 1, 20)
+        |), lc AS (
+        |  SELECT id_a, pos_a, id_b, pos_b, s,
+        |         (SELECT coalesce(max(k), 0)
+        |          FROM unnest(range(20, CAST(c.mx AS INT) + 1)) t(k)
+        |          WHERE substr(c.ps, 1, CAST(k AS INT))
+        |              = substr(c.s, 1, CAST(k AS INT))) AS lcp
+        |  FROM cand c
+        |)
+        |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(pos_a AS BIGINT) AS pos_a,
+        |       CAST(id_b AS BIGINT) AS id_b, CAST(pos_b AS BIGINT) AS pos_b,
+        |       CAST(lcp AS BIGINT) AS lcp,
+        |       substr(s, 1, CAST(lcp AS INT)) AS dup_text
+        |FROM lc WHERE lcp >= 20
+        |ORDER BY lcp DESC, id_a ASC, pos_a ASC, id_b ASC, pos_b ASC
+        |LIMIT 20""".stripMargin,
 
     // Brute-force cross-corpus 20-gram join: test positions whose gram
     // exists in the benchmark slice, folded to per-doc interval-union

@@ -934,6 +934,30 @@ object GraftProperties extends Properties("graft") {
       got == want
     }
 
+  // Adjacent-suffix LCP from the rank-table descent == the in-memory
+  // adjacent LCP over the (suffix, id, pos)-sorted order — including
+  // fully-equal suffixes (lcp = remaining length) and partial advances
+  // at truncated levels.
+  property("lcpAdjacentPairs == in-memory adjacent-suffix LCP") =
+    forAll(Gen.nonEmptyListOf(Gen.listOfN(2, Gen.oneOf('a', 'b'))
+        .flatMap(pad => Gen.choose(0, 24).map(n =>
+          (pad.mkString * 13).take(n))))) { texts =>
+      val s = sq; import s.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.lcpAdjacentPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", minLcp = 1)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val suffixes = docs.flatMap { case (id, t) =>
+        (0 until t.length).map(p => (t.substring(p), id, p.toLong)) }
+        .sortBy(identity)
+      val want = suffixes.sliding(2).collect {
+        case Seq((sa, ia, pa), (sb, ib, pb)) =>
+          val lcp = sa.zip(sb).takeWhile { case (x, y) => x == y }.size.toLong
+          (ia, pa, ib, pb, lcp)
+      }.filter(_._5 >= 1).toSet
+      got == want
+    }
+
   // Cross-corpus decontamination marks == the brute-force cross gram
   // join (q304's semantics): a test position marks iff its gram exists
   // anywhere in the bench side — never from test-side-only duplicates.
