@@ -134,28 +134,57 @@ object Bench {
     // quiet re-run (recheck within 1.5x of the previous round) is
     // labeled "contended", not "regression" — the committed artifact
     // adjudicates itself instead of sending a reader chasing phantoms.
+    //
+    // DEFERRED, LOAD-GATED rechecks (round-11 verdict: all 15
+    // "regression" labels that round were contention — the recheck ran
+    // immediately after the contended pass and INHERITED its load):
+    // before each recheck the guard now polls /proc/loadavg until the
+    // 1-minute average drops under SPARK_GRAFT_RECHECK_LOAD (default
+    // cpus/4 — a serial recheck uses few cores, so sustained load above
+    // that is foreign) or the SPARK_GRAFT_RECHECK_WAIT cap (default
+    // 120 s) expires. The load AT recheck time is recorded per entry,
+    // and a recheck that still ran above the gate can only CLEAR a flag
+    // ("contended"), never confirm one — a slow recheck under foreign
+    // load adjudicates nothing and is labeled "unadjudicated" so the
+    // artifact sends the reader to an idle re-run instead of a phantom.
+    //
     // ABSOLUTE NOISE FLOOR (round-10 verdict): a >1.5x ratio on a
-    // 0.2-second query measures JVM/GC jitter, not code — both entries
-    // the round-10 guard labeled "regression" were sub-second and an
-    // idle-machine re-run cleared them. Flagged entries with cur < 0.5 s
-    // or an absolute delta < 0.3 s are labeled "noise" without a serial
-    // recheck; only above-floor entries earn the recheck adjudication.
-    val regressions = ratios.filter(_._4 > 1.5).map { case (k, p, c, r) =>
-      if (c < 0.5 || c - p < 0.3) {
-        System.err.println(f"[bench]   noise   $k%-28s $p%8.3f -> $c%8.3f " +
-          "(below absolute floor)")
-        "\"" + k + f"""\":{"prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.2f,""" +
-          """"status":"noise"}"""
-      } else {
-        spark.catalog.clearCache()
-        val recheck = runOnce(k)
-        val status =
-          if (recheck >= 0 && recheck <= p * 1.5) "contended" else "regression"
-        System.err.println(f"[bench]   recheck $k%-28s $p%8.3f -> $c%8.3f " +
-          f"recheck $recheck%8.3f  => $status")
-        "\"" + k + f"""\":{"prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.2f,""" +
-          f""""recheck":$recheck%.3f,"status":"$status"}"""
+    // 0.2-second query measures JVM/GC jitter, not code. Flagged entries
+    // with cur < 0.5 s or an absolute delta < 0.3 s are presumed noise —
+    // but (round-12, advisor) they still get the cheap recheck and the
+    // result is recorded: "noise" only when the recheck also clears
+    // (or re-lands under the floor), so a genuine sustained regression
+    // on a sub-half-second query is adjudicated, not auto-dismissed.
+    def loadavg1(): Double =
+      try loadavg().split(",")(0).toDouble catch { case _: Throwable => 0.0 }
+    val loadGate = sys.env.get("SPARK_GRAFT_RECHECK_LOAD").map(_.toDouble)
+      .getOrElse(Runtime.getRuntime.availableProcessors / 4.0)
+    val waitCapMs = sys.env.get("SPARK_GRAFT_RECHECK_WAIT").map(_.toLong)
+      .getOrElse(120L) * 1000L
+    def awaitQuiet(): Double = {
+      val t0 = System.nanoTime()
+      var l = loadavg1()
+      while (l > loadGate && (System.nanoTime() - t0) / 1e6 < waitCapMs) {
+        Thread.sleep(5000); l = loadavg1()
       }
+      l
+    }
+    val regressions = ratios.filter(_._4 > 1.5).map { case (k, p, c, r) =>
+      val belowFloor = c < 0.5 || c - p < 0.3
+      val loadAt = awaitQuiet()
+      spark.catalog.clearCache()
+      val recheck = runOnce(k)
+      val cleared = recheck >= 0 &&
+        (recheck <= p * 1.5 || (belowFloor && (recheck < 0.5 || recheck - p < 0.3)))
+      val status =
+        if (cleared) { if (belowFloor) "noise" else "contended" }
+        else if (loadAt > loadGate) "unadjudicated"
+        else "regression"
+      System.err.println(f"[bench]   recheck $k%-28s $p%8.3f -> $c%8.3f " +
+        f"recheck $recheck%8.3f load $loadAt%.2f  => $status")
+      "\"" + k + f"""\":{"prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.2f,""" +
+        f""""recheck":$recheck%.3f,"load_at_recheck":$loadAt%.2f,""" +
+        f""""status":"$status"}"""
     }.mkString("{", ",", "}")
     if (ratios.nonEmpty) {
       System.err.println(f"[bench] vs ${prevPath.toString} (${ratios.size} " +

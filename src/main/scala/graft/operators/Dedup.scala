@@ -1145,8 +1145,12 @@ object Dedup {
     * `min(m, remaining)` chars agree (equal rank at a truncated level
     * forces equal remainders, so the partial advance is exact), advance
     * and continue. Each level is two keyed left joins over the
-    * adjacent-pairs relation (n rows), `ckpt`ed; no per-row loops, no
-    * LCP recursion.
+    * adjacent-pairs relation, `ckpt`ed; no per-row loops, no LCP
+    * recursion. Before the descent, a one-join PRUNE (round 12) drops
+    * every pair that provably cannot reach `minLcp` — remainder too
+    * short on either side, or rank mismatch at the largest retained
+    * level ≤ minLcp — so the log(maxlen) join rounds run over only the
+    * qualifying pairs, bit-identically to the unpruned descent.
     */
   def lcpAdjacentPairs(docs: DataFrame, idCol: String, textCol: String,
       minLcp: Int): DataFrame = {
@@ -1186,6 +1190,29 @@ object Dedup {
         Seq("id_b"))
       .select(col("id_a"), col("pos_a"), col("id_b"), col("pos_b"),
         col("_la"), col("_lb"), lit(0L).as("lcp")).ckpt()
+    // minLcp PRUNE (round 12): a qualifying pair (lcp >= minLcp) must
+    // (a) have >= minLcp chars remaining on BOTH sides and (b) share its
+    // rank at the largest retained level m0 <= minLcp — with both
+    // remainders >= m0, equal rank at m0 is exactly "first m0 chars
+    // equal", which lcp >= minLcp >= m0 implies. Both are necessary
+    // conditions, so dropping the failures BEFORE the descent is
+    // bit-identical to the final `lcp >= minLcp` filter deciding alone —
+    // but the descent's working set collapses from ALL n adjacent pairs
+    // (each paying every remaining log(maxlen) join round) to the few
+    // qualifying pairs after ONE filter + one semi-shaped join
+    // (round-11 verdict: the no-prune descent was most of q306's 38 s).
+    val m0 = tables.map(_._1).filter(_ <= math.max(1L, minLcp.toLong)).max
+    val t0 = tables.find(_._1 == m0).get._2
+    var pruned = pairs
+      .filter(col("_la") - col("pos_a") >= minLcp &&
+        col("_lb") - col("pos_b") >= minLcp)
+      .join(t0.select(col("id").as("id_a"), col("pos").as("pos_a"),
+        col("rank").as("_pa")), Seq("id_a", "pos_a"))
+      .join(t0.select(col("id").as("id_b"), col("pos").as("pos_b"),
+        col("rank").as("_pb")), Seq("id_b", "pos_b"))
+      .filter(col("_pa") === col("_pb"))
+      .drop("_pa", "_pb").ckpt()
+    pairs = pruned
     tables.foreach { case (m, t) =>
       val ta = t.select(col("id").as("id_a"), col("pos").as("_qa"),
         col("rank").as("_ra"))

@@ -808,7 +808,11 @@ object Eval {
     */
   def nbClassify(docs: DataFrame, idCol: String, tokCol: String,
       counts: DataFrame, buckets: Int): DataFrame = {
-    val rows = counts.collect()
+    // select by NAME before collecting: a user-built or re-projected
+    // counts frame with a different column order must not silently
+    // flip classes through the positional reads below
+    val rows = counts.select(col("y").cast("boolean"),
+      col("h").cast("long"), col("cnt").cast("long")).collect()
     def tot(pos: Boolean, doc: Boolean): Long = rows.iterator
       .filter(r => r.getBoolean(0) == pos &&
         (if (doc) r.getLong(1) == -1L else r.getLong(1) >= 0L))

@@ -309,7 +309,10 @@ object Similarity {
   def knnOutliers(corpus: DataFrame, k: Int, m: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(m >= 1, s"m must be >= 1, got $m")
-    val pairs = blockGridPairs(corpus, -1.0)
+    // -2.0, not -1.0: blockGridPairs prunes on the RAW (unrounded)
+    // cosine, and float error can put a near-antipodal pair epsilon
+    // below -1.0 — the slack bound guarantees "all pairs" means all
+    val pairs = blockGridPairs(corpus, -2.0)
       .withColumn("sim", round(col("sim_raw"), 6))
     val directed = pairs
       .select(col("id_a").as("vec_id"), col("id_b").as("nbr"), col("sim"))
@@ -344,7 +347,8 @@ object Similarity {
     */
   def knnHubness(corpus: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val pairs = blockGridPairs(corpus, -1.0)
+    // slack bound (see knnOutliers): no pair may drop to float epsilon
+    val pairs = blockGridPairs(corpus, -2.0)
       .withColumn("sim", round(col("sim_raw"), 6))
     val directed = pairs
       .select(col("id_a").as("vec_id"), col("id_b").as("nbr"), col("sim"))
@@ -360,12 +364,38 @@ object Similarity {
         coalesce(col("n_in_top_k"), lit(0L)).as("n_in_top_k"))
   }
 
+  /** The broadcast-verify gate shared by [[scoredPairs]] and
+    * [[densityClustersGuarded]] (round-12 fix): the row threshold alone
+    * was a byte-size proxy calibrated to ~550 B/row at 64 double dims,
+    * and a wider embedding table could pass the row gate while breaking
+    * driver/executor memory. The gate now also ESTIMATES bytes from the
+    * measured vector width — one aggregate computes (rows, max dims) —
+    * and broadcasts only when rows ≤ `rowGate` AND
+    * rows · (8·dims + 40) ≤ ~140 MB (the byte cost the 250k default was
+    * calibrated against: 8-byte elements + id/nrm/struct overhead).
+    * Both conditions are per-invocation measurements, never cached —
+    * the corpora these verify stages see are already materialized
+    * upstream, so the extra aggregate is one cheap scan.
+    */
+  private def vectorSideBroadcastable(corpus: DataFrame, rowGate: Long,
+      byteBudget: Long = 140L << 20): Boolean = {
+    val r = corpus.agg(count(lit(1)), max(size(col("vec")))).collect()(0)
+    val n = r.getLong(0)
+    val dims = if (r.isNullAt(1)) 0L else r.getInt(1).toLong
+    n <= rowGate && n * (8L * dims + 40L) <= byteBudget
+  }
+
   /** Join a canonical candidate-pair frame (`id_a` < `id_b` — the shape
     * every candidate generator in this engine emits) back to its vectors
     * and score it: (id_a, id_b, sim) with the rounded-cosine q28
     * convention. The two id-keyed joins are the standard verify step of
     * any LSH/IVF pipeline; the pair frame is the small side at any scale
     * where pruning works, so this never re-shuffles the corpus by pair.
+    *
+    * `broadcastVerifyRows` is a ROW gate backed by a byte gate
+    * ([[vectorSideBroadcastable]]): the 250k default assumes ~64-dim
+    * vectors, and wider embeddings fall back to the shuffled join via
+    * the byte estimate even below the row gate.
     */
   def scoredPairs(corpus: DataFrame, candidates: DataFrame,
       broadcastVerifyRows: Long = 250000L): DataFrame = {
@@ -373,9 +403,9 @@ object Similarity {
     // candidate side is the big side, so below the broadcast bound both
     // vector fetches hint broadcast and no pair row ever shuffles; past
     // it the shuffled equi-join is the right plan
-    val vn = corpus.count()
+    val bc = vectorSideBroadcastable(corpus, broadcastVerifyRows)
     def fetch(side: DataFrame): DataFrame =
-      if (vn <= broadcastVerifyRows) broadcast(side) else side
+      if (bc) broadcast(side) else side
     candidates
       .join(fetch(corpus.select(col("vec_id").as("id_a"),
         col("vec").as("vec_a"), col("nrm").as("nrm_a"))), Seq("id_a"))
@@ -682,10 +712,12 @@ object Similarity {
     // intermediate never materializes. Past the bound (true 100 TB
     // corpora) the hint is withheld and the verify falls back to the
     // shuffled equi-join, the right plan once the vector table itself
-    // is executor-breaking.
-    val vn = v.count()
+    // is executor-breaking. The row gate is backed by the measured-width
+    // byte gate (vectorSideBroadcastable) so wide embeddings can never
+    // broadcast a memory-breaking vector table through the row check.
+    val bc = vectorSideBroadcastable(v, broadcastVerifyRows)
     def fetch(side: DataFrame): DataFrame =
-      if (vn <= broadcastVerifyRows) broadcast(side) else side
+      if (bc) broadcast(side) else side
     val vp = candPairs
       .join(fetch(v.select(col("vec_id").as("id_a"), col("vec").as("va"),
         col("nrm").as("na"))), Seq("id_a"))

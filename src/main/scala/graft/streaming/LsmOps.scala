@@ -11,6 +11,15 @@ package graft.streaming
   * one name) well-defined. Consecutive same-kind ops coalesce into runs
   * so the common all-tombstones-last history plans exactly one union +
   * one anti-join.
+  *
+  * UPGRADE NOTE (lexicographic → natural, round 11): an index persisted
+  * under the old lexicographic rule whose names mixed padded and
+  * unpadded numbers past ten batches (`b2` vs `b10`) replays in a
+  * DIFFERENT order under natural order — served results can change
+  * silently, since there is no on-disk ordering-version marker. Run
+  * `compact()` on any existing mixed-name index BEFORE upgrading (a
+  * compacted index is a single "base" segment, ordering-rule-proof);
+  * new installs are strictly safer under natural order.
   */
 private[streaming] object LsmOps {
 
