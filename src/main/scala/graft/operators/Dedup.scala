@@ -1313,4 +1313,42 @@ object Dedup {
         "aggregate(_sorted, 0L, (acc, x) -> acc + x._e - x._s)"), lit(0L)))
       .select(col("id"), col("clean_text"), col("removed_chars"))
   }
+
+  /** LOSSLESS gram prefilter for the ExactSubstr family — the executed
+    * 100 TB escape the suffix machinery's scaladoc promises: ids of
+    * every document containing at least one `minLen`-char substring
+    * whose hash occurs ≥ 2 times in the corpus (ALL alignments, ALL
+    * occurrences counted — within-doc self-repeats included, which is
+    * what a cross-doc token-gram rule misses and why this one is
+    * lossless). One position explode + one hash groupBy + one semi-join:
+    * no suffix ordering, no doubling rounds.
+    *
+    * SUPERSET GUARANTEE (the q307 set-identity proof): a position
+    * [[exactSubstrMarks]] would mark carries a minLen-substring with
+    * ≥ 2 corpus occurrences; that substring IS a duplicated gram, so
+    * the marked doc and every witness-occurrence doc are all flagged.
+    * Hence running marks → islands → removal on the FLAGGED SUB-CORPUS
+    * alone reproduces the full-corpus marks exactly (sub ⊆ full can
+    * only lose occurrences, but every witness is inside sub), and
+    * unflagged docs provably carry zero marks — they pass through any
+    * downstream removal verbatim. Hash collisions (xxhash64) only ever
+    * WIDEN the flagged set, so the guarantee survives them. At 100 TB
+    * the flagged fraction is the corpus's duplication rate — the
+    * heavyweight char-level machinery then runs on that slice only.
+    */
+  def exactSubstrPrefilterIds(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val grams = docs.select(col(idCol).as("id"), col(textCol).as("_t"))
+      .filter(length(col("_t")) >= minLen)
+      .select(col("id"),
+        explode(sequence(lit(0L),
+          length(col("_t")).cast("long") - minLen)).as("pos"),
+        col("_t"))
+      .select(col("id"),
+        xxhash64(expr(s"substring(_t, pos + 1, $minLen)")).as("_g"))
+    val dup = grams.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2).select(col("_g"))
+    grams.join(dup, Seq("_g"), "left_semi").select(col("id")).distinct()
+  }
 }

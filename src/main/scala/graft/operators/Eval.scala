@@ -924,4 +924,49 @@ object Eval {
       .select(col("id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("score"), lit(1.0d)).as("score"))
   }
+
+  // ---- persisted learned-filter artifacts (round 12): the NB and
+  // bigram-LM count tables get the same save/load/delta/retract surface
+  // as every other model artifact (IVF, PQ, inverted index, MRL tier).
+  // Both tables are BOUNDED — NB ≤ 2·(buckets+1) rows, bigram ≤ V²+V —
+  // so each persists as one parquet shard; maintenance never rescans a
+  // corpus, only folds additive deltas ([[nbCombineCounts]] /
+  // [[bigramLmCombineCounts]]), and retraction is the negated fold
+  // (zeroed rows drop, so retract ∘ append == identity bit-for-bit —
+  // property-tested in GraftProperties). At 100 TB the artifact is the
+  // same handful of rows; only the one-pass COUNTING jobs that produce
+  // deltas scale with data, and those are single map-side-combined
+  // aggregates.
+
+  /** Fold two bigram-LM count tables — [[nbCombineCounts]]' algebra on
+    * the (h1, h2) key (context marginals ride h2 = −1 and fold the same
+    * way). Retraction = the same fold with negated counts.
+    */
+  def bigramLmCombineCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("h1"), col("h2"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0)
+
+  /** Negate a count table's `cnt` — the retraction delta for either
+    * additive model table (feed through the matching combine).
+    */
+  def negateCounts(counts: DataFrame): DataFrame =
+    counts.withColumn("cnt", -col("cnt"))
+
+  def saveNbCounts(counts: DataFrame, dir: String): Unit =
+    counts.select(col("y"), col("h"), col("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+  def loadNbCounts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(dir).select(col("y"), col("h"), col("cnt"))
+
+  def saveBigramLmCounts(counts: DataFrame, dir: String): Unit =
+    counts.select(col("h1"), col("h2"), col("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+  def loadBigramLmCounts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(dir).select(col("h1"), col("h2"), col("cnt"))
 }

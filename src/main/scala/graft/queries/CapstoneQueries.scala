@@ -144,7 +144,48 @@ object CapstoneQueries {
         concat_ws("|", col("query_id"), col("neighbor_id"), col("rank"),
           round(col("sim") * 1e6).cast("long")),
         Seq(col("query_id"), col("neighbor_id")))
-      Seq(postings, bm25, ivf, dedup, cc, tape, ck, mrl)
+      // surfaces 9-10 (round 12): the persisted learned filters
+      // (q308/q309's NB and bigram-LM count tables) after takedown —
+      // the takedown docs' counts leave via the NEGATED FOLD (the
+      // additive-table retraction, property-tested) and decisions are
+      // served on the KEPT held-out slice; the oracle rebuilds both
+      // models from (train ∖ deleted). Float outputs fold through
+      // floor(fmod(x, 2^20)·10⁶): fmod and floor are IEEE-exact on the
+      // already-hash-proven served doubles, engine-independently —
+      // round() tie conventions and float-to-string formats are not.
+      import graft.operators.Eval
+      val docsT = Tables.documents(s, d)
+        .select(col("doc_id"), (col("lang") === "en").as("y"),
+          graft.operators.Dedup.tokens(col("text")).as("tok"))
+        .withColumn("bkt",
+          graft.operators.Curation.hashBucket(col("doc_id"), 100))
+      val trainT = docsT.filter(col("bkt") < 70)
+      val servT = docsT.filter(col("bkt") >= 70 && col("doc_id") % 10 =!= 3)
+      val nbCnt = Eval.nbCombineCounts(
+        Eval.nbCounts(trainT, "doc_id", "tok", col("y"), 64),
+        Eval.negateCounts(Eval.nbCounts(
+          trainT.filter(col("doc_id") % 10 === 3),
+          "doc_id", "tok", col("y"), 64)))
+      val nb = fold(
+        Eval.nbClassify(servT, "doc_id", "tok", nbCnt, 64)
+          .join(docsT.select(col("doc_id"), col("y")), Seq("doc_id")),
+        "nb",
+        concat_ws("|", col("doc_id"), col("n_toks"),
+          floor((col("odds") % 1048576.0d) * 1e6).cast("long"),
+          col("pred").cast("string"), col("y").cast("string")),
+        Seq(col("doc_id")))
+      val lmCnt = Eval.bigramLmCombineCounts(
+        Eval.bigramLmCounts(trainT, "doc_id", "tok", 4096),
+        Eval.negateCounts(Eval.bigramLmCounts(
+          trainT.filter(col("doc_id") % 10 === 3),
+          "doc_id", "tok", 4096)))
+      val lm = fold(
+        Eval.bigramLmScore(servT, "doc_id", "tok", lmCnt, 4096),
+        "lm",
+        concat_ws("|", col("id"), col("n_bigrams"),
+          floor((col("score") % 1048576.0d) * 1e6).cast("long")),
+        Seq(col("id")))
+      Seq(postings, bm25, ivf, dedup, cc, tape, ck, mrl, nb, lm)
         .reduce(_ unionByName _)
     }))
 
@@ -227,6 +268,15 @@ object CapstoneQueries {
           |WHERE rank <= 10""".stripMargin,
         "t.query_id || '|' || t.neighbor_id || '|' || t.rank || '|' || " +
           "CAST(round(t.sim * 1000000) AS BIGINT)",
-        "t.query_id % 10 = 3 OR t.neighbor_id % 10 = 3")
+        "t.query_id % 10 = 3 OR t.neighbor_id % 10 = 3"),
+      foldSql("nb", EvalQueries.NbTakedownSql,
+        "t.doc_id || '|' || t.n_toks || '|' || " +
+          "CAST(floor(fmod(t.odds, 1048576.0) * 1000000) AS BIGINT) || " +
+          "'|' || CAST(t.pred AS VARCHAR) || '|' || CAST(t.y AS VARCHAR)",
+        "t.doc_id % 10 = 3"),
+      foldSql("lm", EvalQueries.BigramLmTakedownSql,
+        "t.doc_id || '|' || t.n_bigrams || '|' || " +
+          "CAST(floor(fmod(t.score, 1048576.0) * 1000000) AS BIGINT)",
+        "t.doc_id % 10 = 3")
     ).mkString("\nUNION ALL\n"))
 }

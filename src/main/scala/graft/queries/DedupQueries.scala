@@ -260,6 +260,30 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("clean_text"),
           col("removed_chars"))),
 
+    // THE EXECUTED 100 TB ESCAPE for q303 (q307): the lossless gram
+    // prefilter (one hash groupBy, no suffix machinery) flags every doc
+    // that could carry a duplicated >= 30-char span — within-doc
+    // self-repeats included — then the full suffix-ordering removal runs
+    // on THAT SUB-CORPUS only, and unflagged docs pass through verbatim.
+    // The prefilter's superset guarantee (every mark AND all its witness
+    // occurrences live in flagged docs) makes the composition
+    // SET-IDENTICAL to q303's full-corpus run, so q307 shares q303's
+    // oracle: the hash match is the proof, and the runtime gap between
+    // the two queries is the measured value of the escape (the suffix
+    // rounds' input shrinks from the corpus to its duplication slice).
+    "q307_prefiltered_substr_remove" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val flagged = Dedup.exactSubstrPrefilterIds(docs, "doc_id", "text",
+        minLen = 30).select(col("id").as("doc_id"))
+      val sub = docs.join(flagged, Seq("doc_id"), "left_semi")
+      val rest = docs.join(flagged, Seq("doc_id"), "left_anti")
+      Dedup.exactSubstrRemove(sub, "doc_id", "text", minLen = 30)
+        .select(col("id").as("doc_id"), col("clean_text"),
+          col("removed_chars"))
+        .unionByName(rest.select(col("doc_id"),
+          col("text").as("clean_text"), lit(0L).as("removed_chars")))
+    }),
+
     // E1: exact dedup with deterministic canonical selection (min doc_id).
     "q22_dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(
@@ -631,6 +655,58 @@ object DedupQueries {
       |       array_to_string(t.toks[(s.start_a+1):(s.start_a+s.span_len)], ' ')
       |         AS span_text
       |FROM spans s JOIN base t ON s.doc_a = t.doc_id""".stripMargin
+
+  /** The ExactSubstr removal oracle (q303), shared verbatim by q307:
+    * the prefiltered composition claims SET-IDENTITY with the full
+    * removal pass, so the strongest possible check is hashing both
+    * against the SAME brute-force-reconstructed text.
+    */
+  private val ExactSubstrRemoveSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, i AS pos, substr(text, CAST(i AS INT) + 1, 30) AS gram
+      |  FROM documents,
+      |       LATERAL unnest(range(0, greatest(length(text) - 29, 0))) t(i)
+      |), marked AS (
+      |  SELECT doc_id, pos FROM g
+      |  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2)
+      |), brk AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+      |                                        ORDER BY pos) <= 30
+      |              THEN 0 ELSE 1 END AS b
+      |  FROM marked
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      |  FROM brk
+      |), iv AS (
+      |  SELECT doc_id, g, min(pos) AS s, max(pos) + 30 AS e
+      |  FROM isl GROUP BY doc_id, g
+      |), segs AS (
+      |  SELECT doc_id,
+      |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+      |           AS sp,
+      |         s AS ep
+      |  FROM iv
+      |  UNION ALL
+      |  SELECT v.doc_id, v.me AS sp, length(d.text) AS ep
+      |  FROM (SELECT doc_id, max(e) AS me FROM iv GROUP BY doc_id) v
+      |  JOIN documents d USING (doc_id)
+      |), rebuilt AS (
+      |  SELECT s.doc_id,
+      |         string_agg(substr(d.text, CAST(s.sp AS INT) + 1,
+      |           CAST(s.ep - s.sp AS INT)), '' ORDER BY s.sp) AS clean_text
+      |  FROM segs s JOIN documents d USING (doc_id)
+      |  GROUP BY s.doc_id
+      |), rem AS (
+      |  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS removed_chars
+      |  FROM iv GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, coalesce(r.clean_text, d.text) AS clean_text,
+      |       CAST(coalesce(m.removed_chars, 0) AS BIGINT) AS removed_chars
+      |FROM documents d
+      |LEFT JOIN rebuilt r USING (doc_id)
+      |LEFT JOIN rem m USING (doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // q24's candidate CTE + component-agreement count + integer Jaccard.
@@ -1098,52 +1174,13 @@ object DedupQueries {
     // Same marks/islands as q298, then the kept text re-stitched as
     // string_agg over the gap segments (before each island + the tail),
     // ordered by segment start.
-    "q303_exact_substr_remove" ->
-      """WITH g AS (
-        |  SELECT doc_id, i AS pos, substr(text, CAST(i AS INT) + 1, 30) AS gram
-        |  FROM documents,
-        |       LATERAL unnest(range(0, greatest(length(text) - 29, 0))) t(i)
-        |), marked AS (
-        |  SELECT doc_id, pos FROM g
-        |  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2)
-        |), brk AS (
-        |  SELECT doc_id, pos,
-        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
-        |                                        ORDER BY pos) <= 30
-        |              THEN 0 ELSE 1 END AS b
-        |  FROM marked
-        |), isl AS (
-        |  SELECT doc_id, pos,
-        |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
-        |  FROM brk
-        |), iv AS (
-        |  SELECT doc_id, g, min(pos) AS s, max(pos) + 30 AS e
-        |  FROM isl GROUP BY doc_id, g
-        |), segs AS (
-        |  SELECT doc_id,
-        |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
-        |           AS sp,
-        |         s AS ep
-        |  FROM iv
-        |  UNION ALL
-        |  SELECT v.doc_id, v.me AS sp, length(d.text) AS ep
-        |  FROM (SELECT doc_id, max(e) AS me FROM iv GROUP BY doc_id) v
-        |  JOIN documents d USING (doc_id)
-        |), rebuilt AS (
-        |  SELECT s.doc_id,
-        |         string_agg(substr(d.text, CAST(s.sp AS INT) + 1,
-        |           CAST(s.ep - s.sp AS INT)), '' ORDER BY s.sp) AS clean_text
-        |  FROM segs s JOIN documents d USING (doc_id)
-        |  GROUP BY s.doc_id
-        |), rem AS (
-        |  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS removed_chars
-        |  FROM iv GROUP BY doc_id
-        |)
-        |SELECT d.doc_id, coalesce(r.clean_text, d.text) AS clean_text,
-        |       CAST(coalesce(m.removed_chars, 0) AS BIGINT) AS removed_chars
-        |FROM documents d
-        |LEFT JOIN rebuilt r USING (doc_id)
-        |LEFT JOIN rem m USING (doc_id)""".stripMargin,
+    "q303_exact_substr_remove" -> ExactSubstrRemoveSql,
+
+    // SAME oracle as q303 BY DESIGN: q307 runs the identical removal on
+    // the gram-prefiltered sub-corpus only (unflagged docs pass through
+    // verbatim), and the prefilter's superset guarantee makes the two
+    // outputs set-identical — the shared-oracle hash match IS the proof.
+    "q307_prefiltered_substr_remove" -> ExactSubstrRemoveSql,
 
     "q88_span_dedup" ->
       """WITH base AS (

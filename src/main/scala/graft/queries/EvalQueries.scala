@@ -279,6 +279,58 @@ object EvalQueries {
         .select(col("id").as("doc_id"), col("n_bigrams"), col("score"))
     }),
 
+    // The NB count table PERSISTED (q308, round 12): q299's model gets
+    // the q301 treatment — build on the %10 != 7 train slice, SAVE the
+    // additive table (one bounded parquet shard), LOAD it, fold the
+    // %10 == 7 delta batch in, serve from the maintained artifact. The
+    // oracle rebuilds from the full train split, so the hash match IS
+    // the save/load/delta == rebuild proof, carried through every served
+    // odds value. Retraction = the negated fold (GraftProperties), and
+    // the artifact joins q262's takedown capstone as surface 9.
+    "q308_nb_model_persisted" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), (col("lang") === "en").as("y"),
+          graft.operators.Dedup.tokens(col("text")).as("tok"))
+        .withColumn("bkt",
+          graft.operators.Curation.hashBucket(col("doc_id"), 100))
+      val train = docs.filter(col("bkt") < 70)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_nb_counts_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Eval.saveNbCounts(Eval.nbCounts(train.filter(col("doc_id") % 10 =!= 7),
+        "doc_id", "tok", col("y"), 64), dir)
+      val counts = Eval.nbCombineCounts(Eval.loadNbCounts(s, dir),
+        Eval.nbCounts(train.filter(col("doc_id") % 10 === 7),
+          "doc_id", "tok", col("y"), 64))
+      Eval.nbClassify(docs.filter(col("bkt") >= 70), "doc_id", "tok",
+          counts, 64)
+        .join(docs.select(col("doc_id"), col("y")), Seq("doc_id"))
+        .select(col("doc_id"), col("n_toks"), col("odds"), col("pred"),
+          col("y"))
+    }),
+
+    // The bigram-LM count table PERSISTED (q309, round 12): q308's
+    // save → load → delta proof shape on q302's model; the oracle is
+    // q302's full-train rebuild. Capstone surface 10.
+    "q309_bigram_lm_persisted" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.operators.Dedup.tokens(col("text")).as("tok"))
+        .withColumn("bkt",
+          graft.operators.Curation.hashBucket(col("doc_id"), 100))
+      val train = docs.filter(col("bkt") < 70)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_lm_counts_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Eval.saveBigramLmCounts(
+        Eval.bigramLmCounts(train.filter(col("doc_id") % 10 =!= 7),
+          "doc_id", "tok", 4096), dir)
+      val counts = Eval.bigramLmCombineCounts(Eval.loadBigramLmCounts(s, dir),
+        Eval.bigramLmCounts(train.filter(col("doc_id") % 10 === 7),
+          "doc_id", "tok", 4096))
+      Eval.bigramLmScore(docs.filter(col("bkt") >= 70), "doc_id", "tok",
+          counts, 4096)
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("score"))
+    }),
+
     // Exact Gini decision stump per source: the n_chars threshold best
     // separating lang='en' — stump training as a pure rational argmax
     // over the cumulative-count sweep, no floats, deterministic
@@ -471,7 +523,7 @@ object EvalQueries {
     * entry. `tail` either continues the WITH (", applied AS (...") or
     * closes it ("SELECT ...").
     */
-  private def nbSql(tail: String): String =
+  private def nbSql(tail: String, trnExtra: String = ""): String =
     s"""WITH d0 AS (
        |  SELECT doc_id, (lang = 'en') AS y,
        |         list_filter(string_split_regex(trim(text), '\\s+'),
@@ -479,7 +531,7 @@ object EvalQueries {
        |         ${OracleSql.bucketSql("doc_id", 100)} AS bkt
        |  FROM documents
        |), trn AS (
-       |  SELECT * FROM d0 WHERE bkt < 70
+       |  SELECT * FROM d0 WHERE bkt < 70$trnExtra
        |), p AS (
        |  SELECT round(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
        |             / CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS DOUBLE),
@@ -504,6 +556,88 @@ object EvalQueries {
        |  FROM range(0, 64) hh(h) LEFT JOIN cn ON cn.h = hh.h CROSS JOIN tot
        |)
        |$tail""".stripMargin
+
+  /** q299's serve tail — shared verbatim by q308: the persisted-model
+    * serve must hash-match the in-session rebuild (the q301 proof
+    * shape), so both queries read the same oracle.
+    */
+  private val NbClassifyTail: String =
+    """SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
+      |       round(list_reduce(
+      |         list_prepend(p.prior, list_transform(t.toks, tok ->
+      |           rl.rs[CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT
+      |                      % 64 AS INT) + 1])),
+      |         (a, b) -> a * b), 6) AS odds,
+      |       round(list_reduce(
+      |         list_prepend(p.prior, list_transform(t.toks, tok ->
+      |           rl.rs[CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT
+      |                      % 64 AS INT) + 1])),
+      |         (a, b) -> a * b), 6) > 1.0 AS pred,
+      |       t.y
+      |FROM d0 t CROSS JOIN rl CROSS JOIN p WHERE t.bkt >= 70""".stripMargin
+
+  /** q302's oracle, parametrized (round 12) so the q262 capstone can
+    * rebuild the model over (train ∖ takedown) and serve the kept
+    * held-out slice with the SAME SQL: `trnExtra` narrows the count
+    * CTEs (bare `doc_id` in scope), `servExtra`/`servDocExtra` narrow
+    * the two serve-side filters (`b.`/`d.` qualified).
+    */
+  private def bigramLmSql(trnExtra: String = "", servExtra: String = "",
+      servDocExtra: String = ""): String =
+    s"""WITH d0 AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(trim(text), '\\s+'),
+       |                     x -> x <> '') AS toks,
+       |         ${OracleSql.bucketSql("doc_id", 100)} AS bkt
+       |  FROM documents
+       |), bg AS (
+       |  SELECT doc_id, bkt, i AS pos,
+       |         ('0x' || substr(md5(toks[CAST(i AS INT)]), 1, 8))::BIGINT
+       |           % 4096 AS h1,
+       |         ('0x' || substr(md5(toks[CAST(i AS INT) + 1]), 1, 8))::BIGINT
+       |           % 4096 AS h2
+       |  FROM d0, LATERAL unnest(range(1, greatest(len(toks), 1))) t(i)
+       |), c2 AS (
+       |  SELECT h1, h2, CAST(count(*) AS BIGINT) AS c2
+       |  FROM bg WHERE bkt < 70$trnExtra GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT h1, CAST(count(*) AS BIGINT) AS c1
+       |  FROM bg WHERE bkt < 70$trnExtra GROUP BY 1
+       |), f AS (
+       |  SELECT b.doc_id, b.pos,
+       |         round(CAST((coalesce(c2.c2, 0) + 1) * 1000 AS DOUBLE)
+       |             / CAST(coalesce(c1.c1, 0) + 4096 AS DOUBLE), 9) AS f
+       |  FROM bg b LEFT JOIN c2 ON b.h1 = c2.h1 AND b.h2 = c2.h2
+       |            LEFT JOIN c1 ON b.h1 = c1.h1
+       |  WHERE b.bkt >= 70$servExtra
+       |), folded AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |         round(list_reduce(
+       |           list_prepend(CAST(1.0 AS DOUBLE),
+       |             array_agg(f ORDER BY pos)),
+       |           (a, b) -> a * b), 6) AS score
+       |  FROM f GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(fo.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |       coalesce(fo.score, 1.0) AS score
+       |FROM d0 d LEFT JOIN folded fo ON d.doc_id = fo.doc_id
+       |WHERE d.bkt >= 70$servDocExtra""".stripMargin
+
+  /** q302's full oracle — shared verbatim by q309 (same proof shape). */
+  private val BigramLmScoreSql: String = bigramLmSql()
+
+  /** q262 surface-9/10 oracles (round 12): both learned filters rebuilt
+    * from (train ∖ takedown) and served on the KEPT held-out slice —
+    * what the capstone's retracted maintained artifacts must reproduce.
+    */
+  private[queries] val NbTakedownSql: String =
+    nbSql(NbClassifyTail + " AND t.doc_id % 10 <> 3",
+      " AND doc_id % 10 <> 3")
+
+  private[queries] val BigramLmTakedownSql: String =
+    bigramLmSql(" AND doc_id % 10 <> 3", " AND b.doc_id % 10 <> 3",
+      " AND d.doc_id % 10 <> 3")
 
   val oracles: Map[String, String] = Map(
     // Same cell-pair concordance sums; HUGEINT aggregates cast back to
@@ -973,20 +1107,15 @@ object EvalQueries {
     // the prior odds — mirrored factor for factor (round 9 per ratio,
     // left fold in document order, round 6 final) against nbClassify's
     // literal-array fold.
-    "q299_nb_classifier" -> nbSql(
-      """SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
-        |       round(list_reduce(
-        |         list_prepend(p.prior, list_transform(t.toks, tok ->
-        |           rl.rs[CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT
-        |                      % 64 AS INT) + 1])),
-        |         (a, b) -> a * b), 6) AS odds,
-        |       round(list_reduce(
-        |         list_prepend(p.prior, list_transform(t.toks, tok ->
-        |           rl.rs[CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT
-        |                      % 64 AS INT) + 1])),
-        |         (a, b) -> a * b), 6) > 1.0 AS pred,
-        |       t.y
-        |FROM d0 t CROSS JOIN rl CROSS JOIN p WHERE t.bkt >= 70""".stripMargin),
+    "q299_nb_classifier" -> nbSql(NbClassifyTail),
+
+    // SAME oracle as q299 BY DESIGN (q308): the Spark side builds the
+    // count table on the %10 != 7 train slice, SAVES it, LOADS it, folds
+    // the %10 == 7 delta in, and serves from the maintained artifact —
+    // the oracle rebuilds the model from the full train split, so the
+    // hash match proves save → load → delta == in-session rebuild all
+    // the way through the served per-document odds.
+    "q308_nb_model_persisted" -> nbSql(NbClassifyTail),
 
     "q300_nb_report" -> nbSql(
       """, applied AS (
@@ -1019,46 +1148,12 @@ object EvalQueries {
     // Bigram positions via unnest(range), hashed like the Spark side;
     // the fold is array_agg(ORDER BY pos) + list_reduce — the same
     // left-to-right product the engine pins with array_sort + aggregate.
-    "q302_bigram_lm_score" ->
-      s"""WITH d0 AS (
-         |  SELECT doc_id,
-         |         list_filter(string_split_regex(trim(text), '\\s+'),
-         |                     x -> x <> '') AS toks,
-         |         ${OracleSql.bucketSql("doc_id", 100)} AS bkt
-         |  FROM documents
-         |), bg AS (
-         |  SELECT doc_id, bkt, i AS pos,
-         |         ('0x' || substr(md5(toks[CAST(i AS INT)]), 1, 8))::BIGINT
-         |           % 4096 AS h1,
-         |         ('0x' || substr(md5(toks[CAST(i AS INT) + 1]), 1, 8))::BIGINT
-         |           % 4096 AS h2
-         |  FROM d0, LATERAL unnest(range(1, greatest(len(toks), 1))) t(i)
-         |), c2 AS (
-         |  SELECT h1, h2, CAST(count(*) AS BIGINT) AS c2
-         |  FROM bg WHERE bkt < 70 GROUP BY 1, 2
-         |), c1 AS (
-         |  SELECT h1, CAST(count(*) AS BIGINT) AS c1
-         |  FROM bg WHERE bkt < 70 GROUP BY 1
-         |), f AS (
-         |  SELECT b.doc_id, b.pos,
-         |         round(CAST((coalesce(c2.c2, 0) + 1) * 1000 AS DOUBLE)
-         |             / CAST(coalesce(c1.c1, 0) + 4096 AS DOUBLE), 9) AS f
-         |  FROM bg b LEFT JOIN c2 ON b.h1 = c2.h1 AND b.h2 = c2.h2
-         |            LEFT JOIN c1 ON b.h1 = c1.h1
-         |  WHERE b.bkt >= 70
-         |), folded AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |         round(list_reduce(
-         |           list_prepend(CAST(1.0 AS DOUBLE),
-         |             array_agg(f ORDER BY pos)),
-         |           (a, b) -> a * b), 6) AS score
-         |  FROM f GROUP BY doc_id
-         |)
-         |SELECT d.doc_id,
-         |       CAST(coalesce(fo.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-         |       coalesce(fo.score, 1.0) AS score
-         |FROM d0 d LEFT JOIN folded fo ON d.doc_id = fo.doc_id
-         |WHERE d.bkt >= 70""".stripMargin,
+    "q302_bigram_lm_score" -> BigramLmScoreSql,
+
+    // SAME oracle as q302 BY DESIGN (q309): save → load → delta-fold on
+    // the Spark side vs the oracle's full-train rebuild (q308's shape
+    // on the bigram table).
+    "q309_bigram_lm_persisted" -> BigramLmScoreSql,
 
     "q241_train_eval" ->
       s"""WITH d0 AS (

@@ -908,6 +908,32 @@ object GraftProperties extends Properties("graft") {
       set(folded) == set(full) && set(retracted) == set(cnt(a))
     }
 
+  // Same algebra on the bigram-LM table (round 12, the persisted q309
+  // artifact): append = fold, retract ∘ append == identity via the
+  // negated fold (context marginals ride h2 = -1 and fold identically).
+  property("bigramLmCounts additive; retract == negated fold") =
+    forAll(Gen.nonEmptyListOf(Gen.listOfN(5,
+        Gen.oneOf("aa", "bb", "cc", "dd"))),
+      Gen.nonEmptyListOf(Gen.listOfN(5,
+        Gen.oneOf("aa", "bb", "cc", "ee")))) { (aDocs, bDocs) =>
+      import graft.operators.Eval
+      val s = sq; import s.implicits._
+      def df(docs: List[List[String]], base: Long) =
+        docs.zipWithIndex.map { case (t, i) => (base + i, t) }
+          .toDF("doc_id", "tok")
+      val a = df(aDocs, 0L)
+      val b = df(bDocs, 1000L)
+      def cnt(d: org.apache.spark.sql.DataFrame) =
+        Eval.bigramLmCounts(d, "doc_id", "tok", 16)
+      def set(d: org.apache.spark.sql.DataFrame) =
+        d.as[(Long, Long, Long)].collect().toSet
+      val folded = Eval.bigramLmCombineCounts(cnt(a), cnt(b))
+      val full = cnt(a.unionByName(b))
+      val retracted = Eval.bigramLmCombineCounts(folded,
+        Eval.negateCounts(cnt(b)))
+      set(folded) == set(full) && set(retracted) == set(cnt(a))
+    }
+
   // Small alphabet + repeated docs force heavy suffix ties and shared
   // prefixes — the regimes where prefix doubling can go wrong. Reference
   // rank: 1 + index of the FIRST occurrence of the suffix string in the
