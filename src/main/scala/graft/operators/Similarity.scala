@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Iterate._
 
@@ -2130,5 +2131,63 @@ object Similarity {
         Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), col("sim"))
+  }
+
+  // ------------------ hub-corrected kNN (round 12, q310)
+
+  /** MUTUAL-PROXIMITY kNN — the ACTION [[knnHubness]]'s audit calls for
+    * (Schnitzer, Flexer, Schedl & Widmer, JMLR 2012: local scaling /
+    * mutual proximity are the standard hubness corrections). A hub's raw
+    * similarity column is high against EVERYONE, so it crowds real
+    * neighbors out of every top-k list; mutual proximity re-scores each
+    * pair by how unusual the similarity is FOR BOTH ENDPOINTS' own
+    * similarity distributions — the empirical-rank form stays exact
+    * integers (no distribution fit, no floats beyond the q28 rounded
+    * cosine the ranks read):
+    *
+    *   mp(a, b) = cnt_a(b) · cnt_b(a),   cnt_x(y) = #{z ≠ x : s(x,z) < s(x,y)}
+    *
+    * A hub scores high s(h, ·) against everyone, so FROM the hub's side
+    * almost nothing ranks above anything (its distribution is uniformly
+    * high) — cnt_h stays middling for all partners and the hub stops
+    * outranking genuinely mutual neighbors, while an antihub's few high
+    * sims get full credit from its own side. Top-k then ranks by
+    * (mp desc, sim desc, id asc), so raw similarity only tie-breaks.
+    *
+    * Shape: one exact grid pass ([[blockGridPairs]] at the −2.0 slack
+    * bound — every pair), one per-anchor window for the strictly-less
+    * count (count(≥) via a RANGE frame, subtracted from the anchor's
+    * list size — ties handled exactly, both engines agree), one
+    * symmetric self-equi-join on (a, b) for the reverse count. The
+    * counts are CANDIDATE-SOURCE-AGNOSTIC: they read only each anchor's
+    * own scored list, so at 100 TB the same correction runs over any
+    * pruned candidate relation (LSH/IVF shortlists) — cnt_x is then the
+    * rank within the candidate list, and the exact grid here is the
+    * audit-scale reference the pruned swap is measured against (the
+    * q215/q250 discipline).
+    */
+  def mutualProximityKnn(corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = blockGridPairs(corpus, -2.0)
+      .withColumn("sim", round(col("sim_raw"), 6))
+    val directed = pairs
+      .select(col("id_a").as("vec_id"), col("id_b").as("nbr"), col("sim"))
+      .unionByName(pairs
+        .select(col("id_b").as("vec_id"), col("id_a").as("nbr"), col("sim")))
+    val wGe = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val counted = directed
+      .withColumn("_ge", count(lit(1)).over(wGe))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("vec_id"))))
+      .withColumn("_cl", (col("_n") - col("_ge")).cast("long"))
+      .select(col("vec_id"), col("nbr"), col("sim"), col("_cl"))
+    val mp = counted
+      .join(counted.select(col("nbr").as("vec_id"), col("vec_id").as("nbr"),
+        col("_cl").as("_clr")), Seq("vec_id", "nbr"))
+      .withColumn("mp", col("_cl") * col("_clr"))
+    Relational.topKPerGroup(mp, Seq(col("vec_id")),
+        Seq(col("mp").desc, col("sim").desc, col("nbr").asc), k, "rank")
+      .select(col("vec_id"), col("nbr").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("mp"), col("sim"))
   }
 }

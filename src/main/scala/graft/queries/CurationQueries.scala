@@ -75,6 +75,39 @@ object CurationQueries {
         "quality", budget = 10000L)
     }),
 
+    // Curation v3 (q311, round 12): q199's chain upgraded to the
+    // STRONGEST dedup the engine has — the Lee et al. ExactSubstr
+    // removal pass (q303) runs FIRST (the order the paper prescribes:
+    // cut duplicated spans, then filter/score the cleaned text), and the
+    // fingerprint dedup → novelty → quality → budget stages consume the
+    // REBUILT text. One CTE-chain oracle extends q199's with the removal
+    // stage as its head, so the composition is proven end to end, byte
+    // for byte through the reconstruction.
+    "q311_curation_v3" -> ((s, d) => {
+      import graft.operators.TextAnalysis
+      val raw = Tables.documents(s, d)
+      val cleaned = Dedup.exactSubstrRemove(raw, "doc_id", "text", 30)
+        .select(col("id").as("doc_id"), col("clean_text").as("text"))
+        .join(raw.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val canon = Dedup.exactDedup(
+          cleaned.withColumn("fp", TextAnalysis.fingerprint(col("text"))),
+          Seq(col("fp")), "doc_id")
+        .filter(col("is_canonical"))
+        .select(col("doc_id"), col("text"), col("source"))
+      val novel = canon.join(
+        Curation.noveltyScores(canon, "doc_id", "text", 3)
+          .select(col("doc_id"), col("seen_ppm")),
+        Seq("doc_id"), "left")
+        .filter(coalesce(col("seen_ppm"), lit(0L)) <= 500000)
+        .drop("seen_ppm")
+      val scored = novel.withColumn("tok", Dedup.tokens(col("text")))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("tok")).as("n_tokens"),
+          TextAnalysis.qualityScore(col("text"), col("tok")).as("quality"))
+      Curation.tokenBudgetSelect(scored, "source", "doc_id", "n_tokens",
+        "quality", budget = 10000L)
+    }),
+
     // n-gram novelty: per doc, the share of its distinct 3-grams already
     // introduced by a smaller-id doc (parts-per-million, integer div) —
     // the soft-redundancy score between exact span dedup and whole-doc
@@ -822,6 +855,56 @@ object CurationQueries {
          |         md5(trim(regexp_replace(regexp_replace(lower(text),
          |             '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
          |  FROM documents
+         |), canon AS (
+         |  SELECT doc_id, text, source FROM (
+         |    SELECT doc_id, text, source,
+         |           min(doc_id) OVER (PARTITION BY fp) AS cid
+         |    FROM fp) z
+         |  WHERE doc_id = cid
+         |), ct AS (
+         |  SELECT doc_id, text, source,
+         |         list_filter(string_split_regex(trim(text), '\\s+'),
+         |                     x -> x <> '') AS tok
+         |  FROM canon
+         |), grams AS (
+         |  SELECT DISTINCT doc_id,
+         |         md5(array_to_string(tok[i+1:i+3], ' ')) AS gram_h
+         |  FROM ct, UNNEST(range(0, greatest(len(tok) - 2, 0))) u(i)
+         |), fg AS (SELECT gram_h, min(doc_id) AS f FROM grams GROUP BY 1),
+         |nov AS (
+         |  SELECT g.doc_id, count(*) AS n_grams,
+         |         sum(CASE WHEN fg.f < g.doc_id THEN 1 ELSE 0 END) AS n_seen
+         |  FROM grams g JOIN fg USING (gram_h) GROUP BY 1
+         |), scored AS (
+         |  SELECT ct.doc_id, ct.source, CAST(len(tok) AS BIGINT) AS n_tokens,
+         |         $quality AS quality
+         |  FROM ct LEFT JOIN nov USING (doc_id)
+         |  WHERE coalesce(nov.n_seen * 1000000 // nov.n_grams, 0) <= 500000
+         |)
+         |SELECT doc_id, source, n_tokens, quality, cum_tokens
+         |FROM (
+         |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY quality DESC, doc_id ASC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM scored)
+         |WHERE cum_tokens <= 10000""".stripMargin
+    },
+
+    // q199's CTE chain with the ExactSubstr removal stage (q303's oracle
+    // verbatim, as a nested-WITH subquery) prepended: every later stage
+    // reads the byte-for-byte rebuilt clean text.
+    "q311_curation_v3" -> {
+      val quality = OracleSql.qualitySql
+      s"""WITH removed AS (
+         |${DedupQueries.ExactSubstrRemoveSql}
+         |), docs2 AS (
+         |  SELECT r.doc_id, r.clean_text AS text, d.source
+         |  FROM removed r JOIN documents d USING (doc_id)
+         |), fp AS (
+         |  SELECT doc_id, text, source,
+         |         md5(trim(regexp_replace(regexp_replace(lower(text),
+         |             '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+         |  FROM docs2
          |), canon AS (
          |  SELECT doc_id, text, source FROM (
          |    SELECT doc_id, text, source,

@@ -661,7 +661,7 @@ object DedupQueries {
     * removal pass, so the strongest possible check is hashing both
     * against the SAME brute-force-reconstructed text.
     */
-  private val ExactSubstrRemoveSql: String =
+  private[queries] val ExactSubstrRemoveSql: String =
     """WITH g AS (
       |  SELECT doc_id, i AS pos, substr(text, CAST(i AS INT) + 1, 30) AS gram
       |  FROM documents,

@@ -562,6 +562,16 @@ object SimilarityQueries {
     "q305_knn_hubness" -> ((s, d) =>
       Similarity.knnHubness(corpus(s, d), k = 5)),
 
+    // ACT on the hubness audit (q310, round 12): q305 measured the
+    // k-occurrence skew; mutual-proximity kNN is the correction —
+    // re-rank every neighbor list by the exact-integer empirical MP
+    // score (how unusual the similarity is for BOTH endpoints' own
+    // distributions), so hubs stop crowding out genuinely mutual
+    // neighbors. Before/after in-degree skew and the label-agreement
+    // readout on the hub-heavy slice are measured in SimilaritySpec.
+    "q310_mutual_proximity_knn" -> ((s, d) =>
+      Similarity.mutualProximityKnn(corpus(s, d), k = 5)),
+
     // The MRL hot tier PERSISTED (q301): q271's 32-dim prefix shortlist
     // recomputed the projection from the corpus every run — here the
     // prefix table is an ARTIFACT with the full q258 maintenance
@@ -1931,6 +1941,34 @@ object SimilarityQueries {
     // persisted save→load→delta tier, the oracle rebuilds from the full
     // corpus — the hash match is the maintenance proof.
     "q301_mrl_tier_persisted" -> MrlRerankSql,
+
+    // The directed exact sims, per-anchor strictly-less counts via the
+    // same RANGE frame (ties counted identically), the symmetric
+    // self-join for the reverse count, MP = the exact integer product,
+    // rank (mp desc, sim desc, id asc).
+    "q310_mutual_proximity_knn" ->
+      s"""$VCte, sims AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+         |         round(list_dot_product(a.vec, b.vec)
+         |           / (a.nrm * b.nrm), 6) AS sim
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+         |), cnts AS (
+         |  SELECT vec_id, nbr, sim,
+         |         CAST(count(*) OVER (PARTITION BY vec_id)
+         |            - count(*) OVER (PARTITION BY vec_id ORDER BY sim DESC
+         |                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cl
+         |  FROM sims
+         |), mp AS (
+         |  SELECT x.vec_id, x.nbr, x.sim, x.cl * y.cl AS mp
+         |  FROM cnts x JOIN cnts y ON x.vec_id = y.nbr AND x.nbr = y.vec_id
+         |)
+         |SELECT vec_id, neighbor_id, rank, mp, sim FROM (
+         |  SELECT vec_id, nbr AS neighbor_id, sim, mp,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY mp DESC, sim DESC, nbr ASC) AS rank
+         |  FROM mp) z
+         |WHERE rank <= 5""".stripMargin,
 
     // Exact top-5 digraph per vector (rounded-cosine rank, q28 ties),
     // in-degree per neighbor, zeroes kept via the left join.

@@ -1201,4 +1201,74 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(covPc) < 0.05 * math.sqrt(vars(0) * vars(1)) + 1e-6,
       s"pc0/pc1 covariance $covPc")
   }
+
+  // The q305 audit's ACTION (round 12): mutual proximity must (a) demote
+  // a PLANTED hub — a vector riding the global mean direction, the
+  // classic high-dimensional hub geometry — out of the lists it
+  // pollutes, (b) strictly improve the q92-style label-agreement readout
+  // on exactly the hub-heavy slice (anchors whose raw top-k contains the
+  // hub), and (c) on the REAL corpus, flatten the in-degree distribution
+  // (skewness and max in-degree do not increase — measured, not
+  // claimed; the audit-to-action loop the IVF/PQ drift family already
+  // follows).
+  test("mutualProximityKnn demotes a planted hub; agreement improves") {
+    val rnd = new scala.util.Random(42)
+    val dims = 16
+    def pt(center: Array[Double], noise: Double): Seq[Double] =
+      center.map(x => x + noise * rnd.nextGaussian()).toSeq
+    val c1 = Array.tabulate(dims)(i => if (i < 8) 1.0 else 0.0)
+    val c2 = Array.tabulate(dims)(i => if (i >= 8) 1.0 else 0.0)
+    val rows =
+      (0 until 30).map(i => (i.toLong, pt(c1, 1.2), "A")) ++
+        (30 until 60).map(i => (i.toLong, pt(c2, 1.2), "B")) ++
+        // the hub: the (normalized) global mean direction — cosine ~0.7
+        // to EVERY point of both clusters, so it outranks the noisy
+        // within-cluster tail in many raw top-3 lists
+        Seq((99L, c1.zip(c2).map { case (a, b) => a + b }.toSeq, "C"))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val c = Similarity.prepared(df, "embedding")
+      .select(col("vec_id"), col("vec"), col("nrm"))
+    val labels = rows.map(r => r._1 -> r._3).toMap
+
+    val raw = Similarity.bruteForceTopK(c, c, 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect()
+    val mp = Similarity.mutualProximityKnn(c, 3)
+      .select(col("vec_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect()
+    def inDeg(pairs: Array[(Long, Long)], id: Long): Int =
+      pairs.count(_._2 == id)
+    val rawHub = inDeg(raw, 99L)
+    val mpHub = inDeg(mp, 99L)
+    assert(rawHub >= 5, s"plant failed: raw hub in-degree $rawHub")
+    assert(mpHub < rawHub,
+      s"hub not demoted: raw $rawHub -> mp $mpHub")
+    // hub-heavy slice: anchors whose RAW top-3 contains the hub
+    val polluted = raw.filter(_._2 == 99L).map(_._1).toSet
+    def agreement(pairs: Array[(Long, Long)]): Double = {
+      val slice = pairs.filter(p => polluted.contains(p._1))
+      slice.count(p => labels(p._1) == labels(p._2)).toDouble / slice.length
+    }
+    val (aRaw, aMp) = (agreement(raw), agreement(mp))
+    assert(aMp > aRaw,
+      s"agreement on the hub-heavy slice: raw $aRaw -> mp $aMp")
+
+    // real corpus: the correction flattens the in-degree distribution
+    def skew(xs: Array[Double]): Double = {
+      val m = xs.sum / xs.length
+      val sd = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.length)
+      xs.map(x => math.pow((x - m) / sd, 3)).sum / xs.length
+    }
+    val realRaw = Similarity.knnHubness(corpus, 5)
+      .as[(Long, Long)].collect().map(_._2.toDouble)
+    val mpDeg = Similarity.mutualProximityKnn(corpus, 5)
+      .groupBy(col("neighbor_id")).agg(count(lit(1)).as("d"))
+      .as[(Long, Long)].collect().toMap
+    val realMp = corpus.select(col("vec_id")).as[Long].collect()
+      .map(id => mpDeg.getOrElse(id, 0L).toDouble)
+    assert(realMp.max <= realRaw.max,
+      s"max in-degree grew: raw ${realRaw.max} -> mp ${realMp.max}")
+    assert(skew(realMp) <= skew(realRaw),
+      s"skewness grew: raw ${skew(realRaw)} -> mp ${skew(realMp)}")
+  }
 }
