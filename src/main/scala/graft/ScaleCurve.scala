@@ -49,7 +49,15 @@ object ScaleCurve {
     // slowest query and the calibration/audit family — were the only
     // heavy queries with no scale measurement
     "q262_takedown_capstone", "q296_simhash_calibration",
-    "q234_dedup_eval")
+    "q234_dedup_eval",
+    // round-12 (verdict #1): the ExactSubstr suffix-ordering family —
+    // the suite's heaviest compute (char-row unit, O(log maxlen) keyed
+    // sort rounds) joins the curve, plus the executed gram-prefilter
+    // escape (q307) whose exponent vs q303's is the escape's measured
+    // value
+    "q298_exact_substr_coverage", "q303_exact_substr_remove",
+    "q304_char_decontaminate", "q306_longest_dup_substrings",
+    "q307_prefiltered_substr_remove")
 
   private def md5SignFlips(r: Int, dims: Int): Array[Float] =
     Array.tabulate(dims) { i =>
@@ -86,6 +94,11 @@ object ScaleCurve {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
+    synthesizeEmbeddings(spark, src, out, replicas)
+  }
+
+  private def synthesizeEmbeddings(spark: SparkSession, src: String,
+      out: String, replicas: Int): Unit = {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val dims = 64
     (0 until replicas).map { r =>
@@ -104,6 +117,84 @@ object ScaleCurve {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
+  /** THE PROBE-RADIUS LEG EXECUTED (round-12 verdict #6): n ≈ 200k (one
+    * more decade than the sf1 curve point), the dialed radius-1 geometry
+    * vs the past-cap SHAPE — 3 more bits than the dial (what radius 1
+    * cannot afford: its band count grows ×(1/p)³ ≈ 3.6) with Hamming
+    * radius 2 restoring the band count via the binomial-tail model
+    * ([[graft.operators.Similarity.bandsAtRadius]]). Measured per
+    * geometry, query-side probing over the %97 anchor slice (the serve
+    * shape where radius probing lives at 100 TB — the corpus index keeps
+    * ONE key per (vector, band); probes multiply only query rows):
+    * recall vs the exact ≥ 0.45 ground truth, candidate rows per anchor,
+    * probe keys per anchor, and the corpus-side index size. The
+    * SELF-join wall is also written down as numbers: total probe rows =
+    * n · bands · probeKeys if the whole corpus probes — the measured
+    * reason corpus self-dedup stays at radius 1 and serves go wide.
+    * One JSON line → `PROBE_LEG.json`.
+    */
+  private def probeLeg(spark: SparkSession, src: String): Unit = {
+    import graft.operators.{Dedup, Similarity}
+    val out = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "tmp/probe200k")
+    val replicas = 100
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/embeddings.parquet"))) {
+      System.err.println(s"[probe] synthesizing $replicas x $src -> $out")
+      synthesizeEmbeddings(spark, src, out, replicas)
+    }
+    val c = Similarity.prepared(
+        graft.sources.Tables.embeddings(spark, out), "embedding")
+      .select(col("vec_id"), col("vec"), col("nrm")).cache()
+    val n = c.count()
+    val anchors = c.filter(col("vec_id") % 97 === 0).cache()
+    val nAnchors = anchors.count()
+    System.err.println(s"[probe] n=$n anchors=$nAnchors")
+    val truth = broadcast(anchors.select(col("vec_id").as("query_id"),
+        col("vec").as("qv"), col("nrm").as("qn")))
+      .crossJoin(c.select(col("vec_id").as("cand_id"), col("vec").as("cv"),
+        col("nrm").as("cn")))
+      .filter(col("query_id") =!= col("cand_id"))
+      .filter(round(Similarity.cosineWithNorms(col("qv"), col("cv"),
+        col("qn"), col("cn")), 6) >= 0.45)
+      .select(col("query_id"), col("cand_id")).cache()
+    val nTruth = truth.count()
+    System.err.println(s"[probe] exact >=0.45 truth pairs: $nTruth")
+    val (bandsDial, bitsDial) = Similarity.dialedBandGeometry(n)
+    val geoms = Seq(
+      ("dial_r1", bitsDial, 1, bandsDial),
+      ("pastcap_r2", bitsDial + 3, 2,
+        Similarity.bandsAtRadius(bitsDial + 3, 2)))
+    val rows = geoms.map { case (tag, bits, radius, bands) =>
+      val banded = c.withColumn("bands",
+        Similarity.rhBands(col("vec"), bands * bits, bits, 64))
+      val qb = banded.join(anchors.select(col("vec_id")), Seq("vec_id"),
+        "left_semi")
+      val cand = Dedup.multiProbeCandidatesFor(qb, banded, "vec_id",
+        "bands", bits, radius).cache()
+      val nCand = cand.count()
+      val hits = cand.join(truth, Seq("query_id", "cand_id"), "left_semi")
+        .count()
+      val recall = hits.toDouble / nTruth
+      val probeKeys = bands.toLong * Dedup.probeMasks(bits, radius).size
+      cand.unpersist()
+      System.err.println(f"[probe] $tag%-12s bits=$bits radius=$radius " +
+        f"bands=$bands cand/anchor=${nCand / nAnchors}%d " +
+        f"probeKeys/anchor=$probeKeys%d recall=$recall%.3f " +
+        f"selfJoinProbeRows=${n * probeKeys}%d")
+      s""""$tag":{"bits":$bits,"radius":$radius,"bands":$bands,""" +
+        s""""cand":$nCand,"cand_per_anchor":${nCand / nAnchors},""" +
+        s""""probe_keys_per_anchor":$probeKeys,""" +
+        f""""recall":$recall%.4f,""" +
+        s""""self_join_probe_rows":${n * probeKeys},""" +
+        s""""index_rows":${n * bands}}"""
+    }
+    val json = s"""{"metric":"probe_leg","n":$n,"anchors":$nAnchors,""" +
+      s""""truth_pairs":$nTruth,"geometries":{${rows.mkString(",")}}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("PROBE_LEG.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_SRC", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "tmp/sf1")
@@ -119,6 +210,12 @@ object ScaleCurve {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if (sys.env.get("SPARK_GRAFT_PROBE_LEG").contains("1")) {
+      probeLeg(spark, src)
+      spark.stop()
+      return
+    }
 
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$out/lineitem.parquet"))) {

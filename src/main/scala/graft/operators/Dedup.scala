@@ -105,19 +105,64 @@ object Dedup {
     * touches only the tiny surviving set, and the result SET is
     * identical because distinct commutes with a per-row filter.
     */
+  /** All XOR masks of Hamming weight ≤ `radius` over `bits` positions —
+    * the probe set of multi-probe LSH at that radius (Lv et al. 2007).
+    * Sizes: 1 + bits at radius 1, + C(bits,2) at radius 2, + C(bits,3)
+    * at radius 3 — generated combinatorially, never by scanning 2^bits.
+    */
+  private[graft] def probeMasks(bits: Int, radius: Int): Seq[Long] = {
+    require(radius >= 1 && radius <= 3, s"radius must be in [1,3], got $radius")
+    val r1 = (0 until bits).map(i => 1L << i)
+    val r2 = if (radius < 2) Seq.empty else
+      for { i <- 0 until bits; j <- i + 1 until bits }
+        yield (1L << i) | (1L << j)
+    val r3 = if (radius < 3) Seq.empty else
+      for { i <- 0 until bits; j <- i + 1 until bits; k <- j + 1 until bits }
+        yield (1L << i) | (1L << j) | (1L << k)
+    0L +: (r1 ++ r2 ++ r3)
+  }
+
   def multiProbeCandidatePairs(docs: DataFrame, idCol: String,
-      bandsCol: String, bits: Int, dedup: Boolean = true): DataFrame = {
+      bandsCol: String, bits: Int, dedup: Boolean = true,
+      radius: Int = 1): DataFrame = {
     require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
     val exact = explodeBands(docs, idCol, bandsCol, "doc_x")
     val probes = explodeBands(docs, idCol, bandsCol, "doc_n")
       .select(col("doc_n"), col("band"), explode(array(
-        col("bh") +: (0 until bits).map(i =>
-          col("bh").bitwiseXOR(lit(1L << i))): _*)).as("bh"))
+        probeMasks(bits, radius).map(m =>
+          col("bh").bitwiseXOR(lit(m))): _*)).as("bh"))
     val canon = probes.join(exact, Seq("band", "bh"))
       .filter(col("doc_n") =!= col("doc_x"))
       .select(least(col("doc_n"), col("doc_x")).as("doc_a"),
         greatest(col("doc_n"), col("doc_x")).as("doc_b"))
     if (dedup) canon.distinct() else canon
+  }
+
+  /** QUERY-SIDE multi-probe candidates — the 100 TB SERVE shape of the
+    * probe-radius leg: only the `queries` side explodes its probe set
+    * (1 + bits + C(bits,2) + … keys per band at `radius`), the corpus
+    * side keeps one exact key per band, and candidates fall out of the
+    * same (band, bh) equi-join. This is where Hamming radius > 1 earns
+    * its keep past the band dial's 24-bit cap: probe volume multiplies
+    * the QUERY rows only (per-query work), while the corpus-side index
+    * stays one row per (vector, band) and its buckets keep shrinking as
+    * bits grow — the self-join form ([[multiProbeCandidatePairs]]) pays
+    * the probe replication on the whole corpus, the measured wall
+    * documented in SCALE.md. Emits distinct `(query_id, cand_id)`,
+    * self-matches removed.
+    */
+  def multiProbeCandidatesFor(queries: DataFrame, corpus: DataFrame,
+      idCol: String, bandsCol: String, bits: Int, radius: Int): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+    val exact = explodeBands(corpus, idCol, bandsCol, "doc_x")
+    val probes = explodeBands(queries, idCol, bandsCol, "doc_n")
+      .select(col("doc_n"), col("band"), explode(array(
+        probeMasks(bits, radius).map(m =>
+          col("bh").bitwiseXOR(lit(m))): _*)).as("bh"))
+    probes.join(exact, Seq("band", "bh"))
+      .filter(col("doc_n") =!= col("doc_x"))
+      .select(col("doc_n").as("query_id"), col("doc_x").as("cand_id"))
+      .distinct()
   }
 
   /** Incremental LSH candidates: pairs where at least one side comes from

@@ -2052,11 +2052,49 @@ object Similarity {
       math.ceil(math.log(n / 8.0) / math.log(2.0)).toInt)
     require(bits <= 24,
       s"n=$n needs $bits-bit bands: beyond 24 bits widen the Hamming " +
-        "probe radius instead of the band width (see scaladoc)")
+        "probe radius instead of the band width — bandsAtRadius gives " +
+        "the band count and Dedup.multiProbeCandidatesFor the serve " +
+        "shape (measured: SimilaritySpec radius-2 recall, PROBE_LEG.json)")
     val p = 1.0 - math.acos(0.45) / math.Pi
     val c = math.pow(p, bits) + bits * math.pow(p, bits - 1) * (1.0 - p)
     val bands = math.ceil(math.log(1.0 - 0.94) / math.log(1.0 - c)).toInt
     (bands, bits)
+  }
+
+  /** The PROBE-RADIUS leg of the band dial (round 12 — the past-24-bit
+    * regime executed, not just documented): the band count that holds
+    * the same modeled recall (0.94 at s* = 0.45) when each band of
+    * `bits` sign planes is probed at Hamming radius `radius`. Per-band
+    * collision probability at radius r is the binomial tail
+    * `c_r = Σ_{i=0..r} C(bits, i) · p^(bits−i) · (1−p)^i`, and
+    * `bands = ceil(log(1 − 0.94) / log(1 − c_r))` — radius 1 at the
+    * dialed width reproduces [[dialedBandGeometry]]'s band rule exactly.
+    *
+    * Why this is the continuation past the cap: at fixed radius 1,
+    * every extra bit multiplies the required band count by ~1/p ≈ 1.53
+    * (p^bits collapses), so occupancy gains stop being affordable —
+    * that is the 24-bit refusal. Widening the radius instead restores
+    * c_r (hence the band count) while the corpus-side bucket occupancy
+    * keeps halving per bit: at bits+3/radius-2 the band count comes
+    * back to ~the dialed level and the probe multiplier
+    * (1 + bits + C(bits,2)) lands on the QUERY side only in the
+    * [[graft.operators.Dedup.multiProbeCandidatesFor]] serve shape.
+    * Recall at the radius-2 geometry is MEASURED (SimilaritySpec on the
+    * oracle corpus; ScaleCurve's probe leg at n = 200k), not modeled
+    * only.
+    */
+  def bandsAtRadius(bits: Int, radius: Int, targetRecall: Double = 0.94,
+      s: Double = 0.45): Int = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+    require(radius >= 1 && radius <= 3, s"radius must be in [1,3], got $radius")
+    require(targetRecall > 0 && targetRecall < 1, s"bad recall $targetRecall")
+    val p = 1.0 - math.acos(s) / math.Pi
+    def choose(n: Int, k: Int): Double =
+      (0 until k).map(i => (n - i).toDouble / (i + 1)).product
+    val c = (0 to radius).map(i =>
+      choose(bits, i) * math.pow(p, bits - i) *
+        math.pow(1.0 - p, i)).sum
+    math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - c)).toInt
   }
 
   // ------------------ persisted Matryoshka prefix tier (round 11, q301)

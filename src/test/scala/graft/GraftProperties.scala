@@ -934,6 +934,28 @@ object GraftProperties extends Properties("graft") {
       set(folded) == set(full) && set(retracted) == set(cnt(a))
     }
 
+  // The probe-radius leg (round 12): at every radius, the multi-probe
+  // candidate set must equal the brute-force "some band within Hamming
+  // <= radius" pair set — the probe-mask explode + equi-join is an
+  // implementation of that definition, not an approximation of it.
+  property("multiProbeCandidatePairs == brute-force band Hamming <= radius") =
+    forAll(Gen.nonEmptyListOf(Gen.listOfN(2, Gen.choose(0L, 31L))),
+      Gen.choose(1, 3)) { (sigs, radius) =>
+      val s = sq; import s.implicits._
+      val docs = sigs.zipWithIndex.map { case (bands, i) =>
+        (i.toLong, bands) }
+      val df = docs.toDF("doc_id", "bands")
+      val got = Dedup.multiProbeCandidatePairs(df, "doc_id", "bands",
+          bits = 5, radius = radius)
+        .as[(Long, Long)].collect().toSet
+      val expect = (for {
+        (a, ba) <- docs; (b, bb) <- docs if a < b
+        if ba.zip(bb).exists { case (x, y) =>
+          java.lang.Long.bitCount(x ^ y) <= radius }
+      } yield (a, b)).toSet
+      got == expect
+    }
+
   // Small alphabet + repeated docs force heavy suffix ties and shared
   // prefixes — the regimes where prefix doubling can go wrong. Reference
   // rank: 1 + index of the FIRST occurrence of the suffix string in the

@@ -505,6 +505,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.93, s"dialed-geometry recall $recall < 0.93")
   }
 
+  // The probe-radius leg (round 12, verdict #6): the PAST-CAP shape —
+  // 3 more bits than the dial affords at radius 1, Hamming radius 2
+  // restoring the band count via the binomial-tail model — must hold
+  // the same recall floor. Recall depends on geometry and pair
+  // similarity, never on n (the dialed-geometry test's argument), so
+  // the oracle corpus measures it honestly; candidate volume at
+  // n = 200k is ScaleCurve's probe leg (PROBE_LEG.json).
+  test("radius-2 past-cap geometry holds the 0.93 recall floor") {
+    // model consistency: radius 1 at the dialed width reproduces the
+    // dial's own band rule
+    assert(Similarity.bandsAtRadius(12, 1) ==
+      Similarity.dialedBandGeometry(20000L)._1)
+    val bits = 15 // dial(20k) gives 12; +3 bits, radius 2
+    val bands = Similarity.bandsAtRadius(bits, 2)
+    // fewer bands than radius 1 would need at this width — the whole
+    // point of the radius escalation
+    assert(bands < Similarity.bandsAtRadius(bits, 1),
+      s"radius 2 saved no bands at $bits bits")
+    val c = corpus.withColumn("bands",
+      Similarity.rhBands(col("vec"), bands * bits, bits, 64)).cache()
+    val exact = Similarity.blockGridPairs(corpus, 0.4 - 1e-6)
+      .withColumn("sim", round(col("sim_raw"), 6))
+      .filter(col("sim") >= 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val cand = Dedup.multiProbeCandidatePairs(c, "vec_id", "bands", bits,
+        radius = 2)
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & cand).size.toDouble / exact.size
+    info(f"past-cap ($bands x $bits, radius 2) recall at sim>=0.4: " +
+      f"$recall%.3f (${cand.size} candidates)")
+    assert(recall >= 0.93, s"radius-2 geometry recall $recall < 0.93")
+  }
+
   // The EXECUTED candidate swap (q215/q216): the kNN-outlier and
   // hard-negative operators run over the multi-probe LSH candidates
   // instead of the exact grid, and the recall of each END RESULT —
