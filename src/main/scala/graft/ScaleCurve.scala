@@ -135,6 +135,7 @@ object ScaleCurve {
     */
   private def probeLeg(spark: SparkSession, src: String): Unit = {
     import graft.operators.{Dedup, Similarity}
+    graft.functions.GraftFunctions.register(spark)
     val out = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "tmp/probe200k")
     val replicas = 100
     if (!java.nio.file.Files.exists(
@@ -164,9 +165,30 @@ object ScaleCurve {
       ("dial_r1", bitsDial, 1, bandsDial),
       ("pastcap_r2", bitsDial + 3, 2,
         Similarity.bandsAtRadius(bitsDial + 3, 2)))
+    // build the banded column in ~40-band projection chunks with a
+    // localCheckpoint barrier between them: one expression for
+    // 190 x 15 = 2850 planes overflows janino's codegen heap (measured
+    // — the single-expression form OOM'd here), while each chunk
+    // compiles like the shipped geometries
+    def bandedChunked(bits: Int, bands: Int): DataFrame = {
+      import graft.operators.Iterate._
+      val chunk = 40
+      var out = c
+      var done = 0
+      var idx = 0
+      while (done < bands) {
+        val nb = math.min(chunk, bands - done)
+        out = out.withColumn(s"_b$idx", Similarity.rhBands(col("vec"),
+          nb * bits, bits, 64, planeOffset = done * bits)).ckpt()
+        done += nb
+        idx += 1
+      }
+      out.withColumn("bands",
+          concat((0 until idx).map(i => col(s"_b$i")): _*))
+        .select(col("vec_id"), col("bands"))
+    }
     val rows = geoms.map { case (tag, bits, radius, bands) =>
-      val banded = c.withColumn("bands",
-        Similarity.rhBands(col("vec"), bands * bits, bits, 64))
+      val banded = bandedChunked(bits, bands)
       val qb = banded.join(anchors.select(col("vec_id")), Seq("vec_id"),
         "left_semi")
       val cand = Dedup.multiProbeCandidatesFor(qb, banded, "vec_id",

@@ -1134,13 +1134,20 @@ object Similarity {
     * weaker pruning. This is an APPROXIMATE path — pairs can be missed;
     * `blockGridPairs` is the exact one.
     */
-  def rhBands(vec: Column, nPlanes: Int, bits: Int, dim: Int): Column = {
+  def rhBands(vec: Column, nPlanes: Int, bits: Int, dim: Int,
+      planeOffset: Int = 0): Column = {
     require(nPlanes > 0 && bits > 0 && nPlanes % bits == 0,
       s"nPlanes ($nPlanes) must be a positive multiple of bits ($bits)")
     require(bits <= 62, s"band value must fit a long, got $bits bits")
+    require(planeOffset >= 0, s"planeOffset must be >= 0, got $planeOffset")
+    // planeOffset lets callers build a WIDE geometry in chunked
+    // projection stages (the same global plane sequence, windowed):
+    // a single expression for thousands of planes overflows janino's
+    // codegen heap, while ~40-band chunks with a barrier between
+    // stages compile like the shipped q145/q250 geometries.
     array((0 until nPlanes / bits).map { g =>
       (0 until bits).map { i =>
-        when(dot(vec, lit(rhPlane(g * bits + i, dim))) > 0,
+        when(dot(vec, lit(rhPlane(planeOffset + g * bits + i, dim))) > 0,
           lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
