@@ -57,7 +57,7 @@ object ScaleCurve {
     // value
     "q298_exact_substr_coverage", "q303_exact_substr_remove",
     "q304_char_decontaminate", "q306_longest_dup_substrings",
-    "q307_prefiltered_substr_remove")
+    "q307_prefiltered_substr_remove", "q312_token_substr_coverage")
 
   private def md5SignFlips(r: Int, dims: Int): Array[Float] =
     Array.tabulate(dims) { i =>

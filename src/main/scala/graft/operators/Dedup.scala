@@ -1103,19 +1103,30 @@ object Dedup {
     * [[crossCorpusSubstrMarks]] (decontamination).
     */
   private def substrKeys(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame =
+    substrKeysFrom(charRanks(docs, idCol, textCol),
+      docs.select(col(idCol).as("id"),
+        length(col(textCol)).cast("long").as("_len")),
+      minLen)
+
+  /** [[substrKeys]] generalized over the sequence UNIT: `ranks0` is any
+    * initial `(id, pos, rank)` single-unit ranking (chars via
+    * [[charRanks]], tokens via [[tokenRanks]] — prefix doubling never
+    * looks at the unit itself, only at rank equality), `lens` the
+    * per-doc sequence length in the same unit.
+    */
+  private def substrKeysFrom(ranks0: DataFrame, lens: DataFrame,
       minLen: Int): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     var m = 1L
     while (m * 2 <= minLen) m *= 2
-    var cur = charRanks(docs, idCol, textCol)
+    var cur = ranks0
     var offset = 1L
     while (offset < m) {
       cur = doubleRank(cur, offset)
       offset *= 2
     }
     // suffix length at pos = doc length − pos: keep remaining ≥ minLen
-    val lens = docs.select(col(idCol).as("id"),
-      length(col(textCol)).cast("long").as("_len"))
     val second = cur.select(col("id"),
       (col("pos") - (minLen - m)).as("pos"), col("rank").as("_rb"))
     cur.join(second, Seq("id", "pos"))
@@ -1358,6 +1369,60 @@ object Dedup {
         "aggregate(_sorted, 0L, (acc, x) -> acc + x._e - x._s)"), lit(0L)))
       .select(col("id"), col("clean_text"), col("removed_chars"))
   }
+
+  /** Initial ranking at TOKEN granularity: rank token positions by the
+    * token string (same min-sequence densification as [[charRanks]], so
+    * equal tokens share a rank). `tokCol` is an array column.
+    */
+  private def tokenRanks(docs: DataFrame, idCol: String,
+      tokCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        posexplode(col(tokCol)).as(Seq("pos", "tok")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("tok"))
+    val seqd = IngestOps.globalSequence(toks,
+      Seq(col("tok"), col("id"), col("pos")), "_seq")
+    seqd.withColumn("rank",
+        min(col("_seq")).over(Window.partitionBy(col("tok"))))
+      .select(col("id"), col("pos"), col("rank")).ckpt()
+  }
+
+  /** [[exactSubstrMarks]] at TOKEN granularity — the documented ~8×
+    * cheaper escape of the suffix family, EXECUTED (q312): positions
+    * whose `minLen`-TOKEN run occurs ≥ 2 times in the corpus (any doc,
+    * any token alignment, self-overlaps included). The row unit drops
+    * from the character to the token (the median English token carries
+    * ~5 chars + a separator), so every doubling round's sort moves ~8×
+    * fewer rows for the same corpus; what token granularity gives up is
+    * byte exactness — a duplicated span that starts or ends mid-token,
+    * or differs only in whitespace, can hide from it (why the char path
+    * remains the decontamination tool). Returns `(id, pos)` in token
+    * units.
+    */
+  def exactSubstrMarksTokens(docs: DataFrame, idCol: String,
+      tokCol: String, minLen: Int): DataFrame = {
+    val keyed = substrKeysFrom(tokenRanks(docs, idCol, tokCol),
+      docs.select(col(idCol).as("id"),
+        size(col(tokCol)).cast("long").as("_len")),
+      minLen)
+    val dupKeys = keyed.groupBy(col("_ra"), col("_rb"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2)
+      .select(col("_ra"), col("_rb"))
+    keyed.join(dupKeys, Seq("_ra", "_rb"), "left_semi")
+      .select(col("id"), col("pos"))
+  }
+
+  /** Per-doc duplicated coverage in TOKEN units over
+    * [[exactSubstrMarksTokens]] — q298's interval-union fold with the
+    * token as the unit: `(id, n_dup_starts, covered_tokens)`.
+    */
+  def exactSubstrCoverageTokens(docs: DataFrame, idCol: String,
+      tokCol: String, minLen: Int): DataFrame =
+    islandsFromMarks(
+        exactSubstrMarksTokens(docs, idCol, tokCol, minLen), minLen)
+      .groupBy(col("id"))
+      .agg(sum(col("_nst")).as("n_dup_starts"),
+        sum(col("_e") - col("_s")).as("covered_tokens"))
 
   /** LOSSLESS gram prefilter for the ExactSubstr family — the executed
     * 100 TB escape the suffix machinery's scaladoc promises: ids of

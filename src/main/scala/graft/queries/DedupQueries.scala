@@ -208,6 +208,24 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("n_dup_starts"),
           col("covered_chars"))),
 
+    // TOKEN-GRANULARITY ExactSubstr coverage (q312, round 12): the
+    // suffix family's second documented escape EXECUTED — the same
+    // prefix-doubling machinery with the TOKEN as the sequence unit
+    // (~8x fewer rows per doubling sort than q298's char rows on this
+    // corpus; measured next to q298 in the bench). Duplicated >= 5-token
+    // runs at any token alignment, self-overlaps included; oracle =
+    // the brute-force 5-token-gram join + the same islands fold in
+    // token units. What it gives up vs q298 is byte exactness
+    // (mid-token boundaries, whitespace variants) — documented, which
+    // is why the char path remains the decontamination tool.
+    "q312_token_substr_coverage" -> ((s, d) =>
+      Dedup.exactSubstrCoverageTokens(
+          Tables.documents(s, d)
+            .select(col("doc_id"), Dedup.tokens(col("text")).as("tok")),
+          "doc_id", "tok", minLen = 5)
+        .select(col("id").as("doc_id"), col("n_dup_starts"),
+          col("covered_tokens"))),
+
     // CHAR-LEVEL DECONTAMINATION (q304): q63's benchmark rule at
     // ExactSubstr semantics — every test-doc position whose 20-char
     // substring occurs ANYWHERE in the benchmark slice (doc_id % 97 ==
@@ -1104,6 +1122,42 @@ object DedupQueries {
         |)
         |SELECT doc_id, CAST(sum(nst) AS BIGINT) AS n_dup_starts,
         |       CAST(sum(clen) AS BIGINT) AS covered_chars
+        |FROM cov GROUP BY doc_id""".stripMargin,
+
+    // q298's oracle shape with the token as the unit: brute-force
+    // 5-token grams (space-joined), >= 2 occurrences, islands in token
+    // units.
+    "q312_token_substr_coverage" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'),
+        |                     x -> x <> '') AS tok
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, i AS pos,
+        |         array_to_string(tok[CAST(i AS INT) + 1:CAST(i AS INT) + 5],
+        |           ' ') AS gram
+        |  FROM tk,
+        |       LATERAL unnest(range(0, greatest(len(tok) - 4, 0))) t(i)
+        |), marked AS (
+        |  SELECT doc_id, pos FROM g
+        |  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2)
+        |), brk AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+        |                                        ORDER BY pos) <= 5
+        |              THEN 0 ELSE 1 END AS b
+        |  FROM marked
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM brk
+        |), cov AS (
+        |  SELECT doc_id, g, count(*) AS nst, max(pos) - min(pos) + 5 AS clen
+        |  FROM isl GROUP BY doc_id, g
+        |)
+        |SELECT doc_id, CAST(sum(nst) AS BIGINT) AS n_dup_starts,
+        |       CAST(sum(clen) AS BIGINT) AS covered_tokens
         |FROM cov GROUP BY doc_id""".stripMargin,
 
     // Raw suffix sort + lag; exact LCP brute-forced only on adjacent
