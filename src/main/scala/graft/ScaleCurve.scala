@@ -283,12 +283,23 @@ object ScaleCurve {
     // LSH-optimal n^(1+ρ) instead of n² — record n, the dialed
     // (bits, bands), and the measured candidate-pair count per scale
     // so the claim is a number, not an argument
+    // the cand stats must not zero the whole artifact when a heavy
+    // query killed the context upstream (round 12: q306 at sf1 OOM'd an
+    // 8g driver and the artifact write never ran — set
+    // SPARK_DRIVER_MEM=24g for the suffix family); any failure here
+    // yields an empty cand block and the per-query rows still persist
     val cand = Seq("sf01" -> src, "sf1" -> out).map { case (tag, dir) =>
-      val (n, bits, bands, pairs) =
-        graft.queries.SimilarityQueries.dialedCandidateStats(spark, dir)
-      System.err.println(
-        s"[curve] cand $tag: n=$n bits=$bits bands=$bands pairs=$pairs")
-      s""""$tag":{"n":$n,"bits":$bits,"bands":$bands,"pairs":$pairs}"""
+      try {
+        val (n, bits, bands, pairs) =
+          graft.queries.SimilarityQueries.dialedCandidateStats(spark, dir)
+        System.err.println(
+          s"[curve] cand $tag: n=$n bits=$bits bands=$bands pairs=$pairs")
+        s""""$tag":{"n":$n,"bits":$bits,"bands":$bands,"pairs":$pairs}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[curve] cand $tag failed: ${e.getMessage}")
+          s""""$tag":null"""
+      }
     }.mkString("{", ",", "}")
     val json = s"""{"metric":"scale_curve","replicas":$replicas,""" +
       s""""n_docs":$nDocs,"n_vecs":$nVecs,"cand":$cand,"queries":$qs}"""
