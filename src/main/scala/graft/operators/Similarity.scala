@@ -2215,6 +2215,45 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     val pairs = blockGridPairs(corpus, -2.0)
       .withColumn("sim", round(col("sim_raw"), 6))
+      .select(col("id_a"), col("id_b"), col("sim"))
+    mpTopKFromScored(pairs, k)
+  }
+
+  /** [[mutualProximityKnn]] over an EXPLICIT candidate source — the
+    * executed candidate swap (q313, the q215/q216 discipline), with the
+    * normalization pruning FORCES. Under a pruned relation the counts
+    * are ranks within each anchor's CANDIDATE list, and list lengths
+    * vary: the raw product `cnt_a(b) · cnt_b(a)` then systematically
+    * favors neighbors with LONG lists (a heavy LSH collider's reverse
+    * count has more headroom), so the naive swap re-creates hubs from
+    * collision-graph degree — MEASURED in `SimilaritySpec`: raw-product
+    * MP over LSH candidates took the in-degree skew 0.37 → 1.08. The
+    * fix is the scale-free empirical-probability form (Schnitzer et
+    * al.'s P(X < s) with the list as the sample): the reverse count
+    * normalizes by its own list size as exact integer ppm —
+    * `mp = cnt_a(b) · (cnt_b(a) · 10⁶ div |list(b)|)` — anchor-side
+    * normalization is a constant within the anchor's ranking and drops
+    * out. On the exact grid every list has the same length, which is
+    * why [[mutualProximityKnn]] keeps the plain product. Overlap with
+    * exact-grid MP and the skew-flattening are measured in
+    * `SimilaritySpec`, not claimed.
+    */
+  def mutualProximityKnnFrom(corpus: DataFrame, candidates: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    mpTopKFromScored(scoredPairs(corpus, candidates), k, normalize = true)
+  }
+
+  /** Shared MP core: canonical scored pairs → symmetrized lists →
+    * per-anchor strictly-less counts (count(≥) via a RANGE frame,
+    * subtracted from the list size — tie-exact in any engine) → the
+    * reverse count via one symmetric equi-join → top-k by
+    * (mp desc, sim desc, id asc). `normalize` divides the reverse count
+    * by its list size (exact integer ppm) — required for
+    * variable-length (pruned) lists, a constant rescale on the grid.
+    */
+  private def mpTopKFromScored(pairs: DataFrame, k: Int,
+      normalize: Boolean = false): DataFrame = {
     val directed = pairs
       .select(col("id_a").as("vec_id"), col("id_b").as("nbr"), col("sim"))
       .unionByName(pairs
@@ -2225,11 +2264,13 @@ object Similarity {
       .withColumn("_ge", count(lit(1)).over(wGe))
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("vec_id"))))
       .withColumn("_cl", (col("_n") - col("_ge")).cast("long"))
-      .select(col("vec_id"), col("nbr"), col("sim"), col("_cl"))
+      .select(col("vec_id"), col("nbr"), col("sim"), col("_cl"), col("_n"))
     val mp = counted
       .join(counted.select(col("nbr").as("vec_id"), col("vec_id").as("nbr"),
-        col("_cl").as("_clr")), Seq("vec_id", "nbr"))
-      .withColumn("mp", col("_cl") * col("_clr"))
+        col("_cl").as("_clr"), col("_n").as("_nr")), Seq("vec_id", "nbr"))
+      .withColumn("mp",
+        if (normalize) col("_cl") * expr("_clr * 1000000L div _nr")
+        else col("_cl") * col("_clr"))
     Relational.topKPerGroup(mp, Seq(col("vec_id")),
         Seq(col("mp").desc, col("sim").desc, col("nbr").asc), k, "rank")
       .select(col("vec_id"), col("nbr").as("neighbor_id"),

@@ -572,6 +572,23 @@ object SimilarityQueries {
     "q310_mutual_proximity_knn" -> ((s, d) =>
       Similarity.mutualProximityKnn(corpus(s, d), k = 5)),
 
+    // q310 over the multi-probe LSH candidates (q313) — the executed
+    // candidate swap in the q215/q216 discipline, WITH the
+    // normalization pruning forces: variable-length candidate lists
+    // made the raw count product favor heavy LSH colliders (measured in
+    // SimilaritySpec — naive pruned MP took in-degree skew 0.37 → 1.08,
+    // re-creating hubs from collision degree), so the reverse count
+    // normalizes by its list size as exact integer ppm. The oracle
+    // mirrors the candidate generator (the shared MultiProbeCandCte, so
+    // q145/q215/q216/q313 cannot drift) and the same normalized window
+    // counts over candidate lists.
+    "q313_mp_knn_lsh" -> ((s, d) => {
+      val (c, bits) = dialedBanded(s, d)
+      Similarity.mutualProximityKnnFrom(
+        c.select(col("vec_id"), col("vec"), col("nrm")),
+        multiProbeCand(c, bits), k = 5)
+    }),
+
     // The MRL hot tier PERSISTED (q301): q271's 32-dim prefix shortlist
     // recomputed the projection from the corpus every run — here the
     // prefix table is an ARTIFACT with the full q258 maintenance
@@ -1941,6 +1958,39 @@ object SimilarityQueries {
     // persisted save→load→delta tier, the oracle rebuilds from the full
     // corpus — the hash match is the maintenance proof.
     "q301_mrl_tier_persisted" -> MrlRerankSql,
+
+    // q310's count/rank machinery over the SHARED LSH candidate CTE:
+    // scored candidate pairs, symmetrized, strictly-less counts within
+    // each anchor's candidate list, MP product, rank <= 5.
+    "q313_mp_knn_lsh" ->
+      s"""$VCte, $MultiProbeCandCte, scored AS (
+         |  SELECT c.id_a, c.id_b,
+         |         round(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6)
+         |           AS sim
+         |  FROM cand c JOIN n x ON c.id_a = x.vec_id
+         |              JOIN n y ON c.id_b = y.vec_id
+         |), directed AS (
+         |  SELECT id_a AS vec_id, id_b AS nbr, sim FROM scored
+         |  UNION ALL SELECT id_b, id_a, sim FROM scored
+         |), cnts AS (
+         |  SELECT vec_id, nbr, sim,
+         |         CAST(count(*) OVER (PARTITION BY vec_id)
+         |            - count(*) OVER (PARTITION BY vec_id ORDER BY sim DESC
+         |                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cl,
+         |         CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT) AS nn
+         |  FROM directed
+         |), mp AS (
+         |  SELECT x.vec_id, x.nbr, x.sim,
+         |         x.cl * (y.cl * 1000000 // y.nn) AS mp
+         |  FROM cnts x JOIN cnts y ON x.vec_id = y.nbr AND x.nbr = y.vec_id
+         |)
+         |SELECT vec_id, neighbor_id, rank, mp, sim FROM (
+         |  SELECT vec_id, nbr AS neighbor_id, sim, mp,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY mp DESC, sim DESC, nbr ASC) AS rank
+         |  FROM mp) z
+         |WHERE rank <= 5""".stripMargin,
 
     // The directed exact sims, per-anchor strictly-less counts via the
     // same RANGE frame (ties counted identically), the symmetric

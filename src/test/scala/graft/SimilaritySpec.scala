@@ -1304,4 +1304,63 @@ class SimilaritySpec extends SparkSpec {
     assert(skew(realMp) <= skew(realRaw),
       s"skewness grew: raw ${skew(realRaw)} -> mp ${skew(realMp)}")
   }
+
+  // The executed candidate swap for MP (q313, the q215/q216 discipline).
+  // The naive swap FAILED measurably: with raw count products over
+  // variable-length candidate lists, heavy LSH colliders' reverse
+  // counts have more headroom, so pruned MP re-created hubs from
+  // collision degree (in-degree skew 0.37 → 1.08, exact-MP overlap
+  // 0.49 — the measured reason mutualProximityKnnFrom normalizes).
+  // With the ppm list-size normalization the same swap measures
+  // overlap 0.82 with exact-grid MP and skew 0.37 → 0.05 — asserted:
+  // (1) MP must flatten the in-degree distribution vs raw-sim ranking
+  // of the SAME candidates (the property the hub fix exists for,
+  // candidate source held fixed), (2) overlap with exact MP stays
+  // high (it is a re-ranking of the candidate lists, so equality is
+  // not expected).
+  test("mutualProximityKnnFrom over LSH candidates: re-ranks and flattens hubs") {
+    val c = corpus.withColumn("bands",
+      Similarity.rhBands(col("vec"), 128, 8, 64)).cache()
+    val cand = Dedup.multiProbeCandidatePairs(c, "vec_id", "bands", 8)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")).cache()
+    val cv = corpus.select(col("vec_id"), col("vec"), col("nrm"))
+    def lists(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("vec_id"), col("neighbor_id")).as[(Long, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = lists(Similarity.mutualProximityKnn(corpus, 5))
+    val mpLsh = lists(Similarity.mutualProximityKnnFrom(cv, cand, 5))
+    val overlap = exact.map { case (q, t) =>
+      (t & mpLsh.getOrElse(q, Set.empty)).size.toDouble / t.size
+    }.sum / exact.size
+    info(f"MP-from-LSH top-5 overlap with exact-grid MP: $overlap%.3f " +
+      "(re-ranking, not approximation — see comment)")
+    // raw-sim top-5 over the SAME candidates
+    val scored = Similarity.scoredPairs(cv, cand)
+    val directed = scored
+      .select(col("id_a").as("vec_id"), col("id_b").as("nbr"), col("sim"))
+      .unionByName(scored
+        .select(col("id_b").as("vec_id"), col("id_a").as("nbr"), col("sim")))
+    val rawLsh = graft.operators.Relational.topKPerGroup(directed,
+        Seq(col("vec_id")), Seq(col("sim").desc, col("nbr").asc), 5, "rn")
+      .select(col("vec_id"), col("nbr").as("neighbor_id"))
+    def degs(lists: Map[Long, Set[Long]]): Array[Double] = {
+      val d = lists.toSeq.flatMap(_._2).groupBy(identity)
+        .view.mapValues(_.size.toDouble).toMap
+      corpus.select(col("vec_id")).as[Long].collect()
+        .map(id => d.getOrElse(id, 0.0))
+    }
+    def skew(xs: Array[Double]): Double = {
+      val m = xs.sum / xs.length
+      val sd = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.length)
+      xs.map(x => math.pow((x - m) / sd, 3)).sum / xs.length
+    }
+    val rawDegs = degs(lists(rawLsh))
+    val mpDegs = degs(mpLsh)
+    info(f"in-degree skew on LSH candidates: raw ${skew(rawDegs)}%.3f " +
+      f"-> mp ${skew(mpDegs)}%.3f; max ${rawDegs.max}%.0f -> ${mpDegs.max}%.0f")
+    assert(skew(mpDegs) <= skew(rawDegs),
+      s"MP did not flatten skew on the candidate source: " +
+        s"${skew(rawDegs)} -> ${skew(mpDegs)}")
+    assert(overlap >= 0.7, s"MP-from-LSH diverged from exact MP: $overlap")
+  }
 }
