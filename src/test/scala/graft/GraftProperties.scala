@@ -956,6 +956,30 @@ object GraftProperties extends Properties("graft") {
       got == expect
     }
 
+  // Token-granularity marks (q312): same definition as the char-level
+  // property, with the token as the unit — every position whose
+  // minLen-token run occurs >= 2 times anywhere (self-overlaps
+  // included), brute-forced in memory over small repeated vocabularies.
+  property("exactSubstrMarksTokens == brute-force duplicated token runs") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 8).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc")))),
+      Gen.choose(1, 3)) { (docs, minLen) =>
+      val s = sq; import s.implicits._
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "tok")
+      val got = Dedup.exactSubstrMarksTokens(df, "doc_id", "tok", minLen)
+        .as[(Long, Long)].collect().toSet
+      val runs = for {
+        (t, i) <- docs.zipWithIndex
+        p <- 0 to t.length - minLen
+      } yield ((i.toLong, p.toLong), t.slice(p, p + minLen))
+      val counts = runs.groupBy(_._2).view.mapValues(_.size).toMap
+      val expect = runs.collect {
+        case (pos, run) if counts(run) >= 2 => pos
+      }.toSet
+      got == expect
+    }
+
   // Small alphabet + repeated docs force heavy suffix ties and shared
   // prefixes — the regimes where prefix doubling can go wrong. Reference
   // rank: 1 + index of the FIRST occurrence of the suffix string in the
