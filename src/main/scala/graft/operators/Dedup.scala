@@ -1461,4 +1461,69 @@ object Dedup {
       .filter(col("_n") >= 2).select(col("_g"))
     grams.join(dup, Seq("_g"), "left_semi").select(col("id")).distinct()
   }
+
+  /** The gram relation behind the MAINTAINED prefilter (q314):
+    * `(id, g)` — one row per alignment, `g` the md5-int of the
+    * `minLen`-char gram (the engine-portable 32-bit idiom, so the
+    * DuckDB oracle hashes identically — collisions only ever widen the
+    * flag set, and identically on both engines).
+    */
+  private def gramRows(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame =
+    docs.select(col(idCol).as("id"), col(textCol).as("_t"))
+      .filter(length(col("_t")) >= minLen)
+      .select(col("id"),
+        explode(sequence(lit(0L),
+          length(col("_t")).cast("long") - minLen)).as("pos"),
+        col("_t"))
+      .select(col("id"),
+        conv(substring(md5(expr(s"substring(_t, pos + 1, $minLen)")),
+          1, 8), 16, 10).cast("long").as("g"))
+
+  /** The ExactSubstr prefilter as a MAINTAINED ARTIFACT (q314): the
+    * duplicated-gram COUNT TABLE `(g, cnt)` — gram-hash occurrence
+    * counts over all alignments. The table is ADDITIVE (the q285/q308
+    * algebra): append = [[combineGramCounts]], retraction = the same
+    * fold with negated counts, so the daily batch folds its own
+    * one-pass counts in and the historical corpus is NEVER rescanned —
+    * the q307 prefilter's 100 TB ingest story. Serving
+    * ([[dupGramStats]]) reads only `cnt ≥ 2` rows, which at a
+    * production duplication rate is a small fraction of the table.
+    */
+  def dupGramCounts(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    gramRows(docs, idCol, textCol, minLen)
+      .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fold two gram-count tables (append order never matters; retraction
+    * = the same fold with negated counts, zeroed rows drop).
+    */
+  def combineGramCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("g")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0)
+
+  def saveGramCounts(counts: DataFrame, dir: String): Unit =
+    Curation.writeShards(
+      counts.withColumn("bucket", pmod(col("g"), lit(64)).cast("int")),
+      dir, Seq("bucket"), 1L << 20, Seq(col("g")))
+
+  def loadGramCounts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(dir).select(col("g"), col("cnt"))
+
+  /** SERVE the prefilter from a (possibly maintained) gram-count table:
+    * per doc, the number of gram positions whose gram occurs ≥ 2 times
+    * corpus-wide — `(id, n_dup_gram_positions)`, flagged docs only. The
+    * duplicated-gram set (`cnt ≥ 2`) joins the doc's gram stream as a
+    * semi-join; nothing rescans the counts' source corpora.
+    */
+  def dupGramStats(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, counts: DataFrame): DataFrame =
+    gramRows(docs, idCol, textCol, minLen)
+      .join(counts.filter(col("cnt") >= 2).select(col("g")), Seq("g"),
+        "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_gram_positions"))
 }

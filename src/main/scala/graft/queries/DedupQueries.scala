@@ -278,6 +278,31 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("clean_text"),
           col("removed_chars"))),
 
+    // THE PREFILTER AS A MAINTAINED ARTIFACT (q314, round 12): q307's
+    // duplicated-gram table gets the full q308 treatment — counts built
+    // on the old corpus (%10 != 7), SAVED (g-bucketed shards), LOADED,
+    // the delta batch's one-pass counts FOLDED in (the additive q285
+    // algebra; the historical corpus is never rescanned), then the
+    // prefilter served from the maintained table: per doc, the number
+    // of gram positions whose 30-gram occurs >= 2 times corpus-wide.
+    // The oracle rebuilds the counts from the FULL corpus with the same
+    // md5-int gram hash, so the hash match proves save -> load -> delta
+    // == rebuild through the served flag counts (collisions hash
+    // identically on both engines).
+    "q314_prefilter_maintained" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_gram_counts_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Dedup.saveGramCounts(
+        Dedup.dupGramCounts(docs.filter(col("doc_id") % 10 =!= 7),
+          "doc_id", "text", 30), dir)
+      val counts = Dedup.combineGramCounts(Dedup.loadGramCounts(s, dir),
+        Dedup.dupGramCounts(docs.filter(col("doc_id") % 10 === 7),
+          "doc_id", "text", 30))
+      Dedup.dupGramStats(docs, "doc_id", "text", 30, counts)
+        .select(col("id").as("doc_id"), col("n_dup_gram_positions"))
+    }),
+
     // THE EXECUTED 100 TB ESCAPE for q303 (q307): the lossless gram
     // prefilter (one hash groupBy, no suffix machinery) flags every doc
     // that could carry a duplicated >= 30-char span — within-doc
@@ -1235,6 +1260,24 @@ object DedupQueries {
     // verbatim), and the prefilter's superset guarantee makes the two
     // outputs set-identical — the shared-oracle hash match IS the proof.
     "q307_prefiltered_substr_remove" -> ExactSubstrRemoveSql,
+
+    // Full-corpus rebuild of the gram-count table with the identical
+    // md5-int hash, then the same served per-doc flag counts — what the
+    // maintained (save -> load -> delta) artifact must reproduce.
+    "q314_prefilter_maintained" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(substr(text, CAST(i AS INT) + 1, 30)),
+        |           1, 8))::BIGINT AS g
+        |  FROM documents,
+        |       LATERAL unnest(range(0, greatest(length(text) - 29, 0))) t(i)
+        |), dup AS (
+        |  SELECT g FROM g GROUP BY g HAVING count(*) >= 2
+        |)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_dup_gram_positions
+        |FROM g WHERE g IN (SELECT g FROM dup)
+        |GROUP BY doc_id""".stripMargin,
 
     "q88_span_dedup" ->
       """WITH base AS (

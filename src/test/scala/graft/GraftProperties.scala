@@ -956,6 +956,31 @@ object GraftProperties extends Properties("graft") {
       got == expect
     }
 
+  // The maintained prefilter's gram-count table (q314): same additive
+  // algebra as the NB/bigram tables — append = fold, retract == negated
+  // fold, bit-for-bit against a rebuild from the remaining docs.
+  property("dupGramCounts additive; retract == negated fold") =
+    forAll(Gen.nonEmptyListOf(Gen.listOfN(6, Gen.oneOf('a', 'b'))
+        .map(_.mkString)),
+      Gen.nonEmptyListOf(Gen.listOfN(6, Gen.oneOf('a', 'c'))
+        .map(_.mkString))) { (aTexts, bTexts) =>
+      val s = sq; import s.implicits._
+      def df(ts: List[String], base: Long) =
+        ts.zipWithIndex.map { case (t, i) => (base + i, t) }
+          .toDF("doc_id", "text")
+      val a = df(aTexts, 0L)
+      val b = df(bTexts, 1000L)
+      def cnt(d: org.apache.spark.sql.DataFrame) =
+        Dedup.dupGramCounts(d, "doc_id", "text", 3)
+      def set(d: org.apache.spark.sql.DataFrame) =
+        d.as[(Long, Long)].collect().toSet
+      val folded = Dedup.combineGramCounts(cnt(a), cnt(b))
+      val full = cnt(a.unionByName(b))
+      val retracted = Dedup.combineGramCounts(folded,
+        cnt(b).withColumn("cnt", -col("cnt")))
+      set(folded) == set(full) && set(retracted) == set(cnt(a))
+    }
+
   // Token-granularity marks (q312): same definition as the char-level
   // property, with the token as the unit — every position whose
   // minLen-token run occurs >= 2 times anywhere (self-overlaps
