@@ -57,7 +57,10 @@ object ScaleCurve {
     // value
     "q298_exact_substr_coverage", "q303_exact_substr_remove",
     "q304_char_decontaminate", "q306_longest_dup_substrings",
-    "q307_prefiltered_substr_remove", "q312_token_substr_coverage")
+    "q307_prefiltered_substr_remove", "q312_token_substr_coverage",
+    // round-12 second wave: MP re-ranking of the LSH candidate lists —
+    // the hubness correction's deployment shape at scale
+    "q313_mp_knn_lsh")
 
   private def md5SignFlips(r: Int, dims: Int): Array[Float] =
     Array.tabulate(dims) { i =>

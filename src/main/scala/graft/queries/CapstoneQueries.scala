@@ -22,7 +22,14 @@ import graft.sources.Tables
   *   - Merkle bucket checksums advanced by the deletion delta (q141's
   *     algebra on the documents table),
   *   - the persisted MRL hot tier after anti-join retraction, served
-  *     through q271's tiered shortlist+re-rank (q301 chain, round 11).
+  *     through q271's tiered shortlist+re-rank (q301 chain, round 11),
+  *   - the NB quality classifier's count table after the negated fold,
+  *     decisions served on the kept held-out slice (q308 chain, round 12),
+  *   - the bigram-LM count table, same retraction algebra, fluency
+  *     scores served on the kept slice (q309 chain, round 12),
+  *   - the dedup prefilter's gram-count table after the negated fold,
+  *     per-doc duplicated-gram counts served over the kept corpus
+  *     (q314 chain, round 12).
   *
   * Each serve output reduces to ONE row: (surface, n_rows, fold,
   * deleted_refs) where `fold` is the order-independent BIGINT sum of a
@@ -185,7 +192,25 @@ object CapstoneQueries {
         concat_ws("|", col("id"), col("n_bigrams"),
           floor((col("score") % 1048576.0d) * 1e6).cast("long")),
         Seq(col("id")))
-      Seq(postings, bm25, ivf, dedup, cc, tape, ck, mrl, nb, lm)
+      // surface 11 (round 12): the dedup prefilter's gram-count table
+      // (q314) after takedown — the deleted docs' one-pass counts leave
+      // via the negated fold (counts(full) ⊖ counts(deleted) ==
+      // counts(kept) by additivity, never rescanning the kept corpus),
+      // and the prefilter is served over the kept docs from the
+      // retracted table; the oracle rebuilds from (docs ∖ deleted).
+      import graft.operators.Dedup
+      val docsRaw = Tables.documents(s, d)
+      val keptDocs = docsRaw.filter(col("doc_id") % 10 =!= 3)
+      val gramCnt = Dedup.combineGramCounts(
+        Dedup.dupGramCounts(docsRaw, "doc_id", "text", 30),
+        Dedup.dupGramCounts(docsRaw.filter(col("doc_id") % 10 === 3),
+          "doc_id", "text", 30).withColumn("cnt", -col("cnt")))
+      val gram = fold(
+        Dedup.dupGramStats(keptDocs, "doc_id", "text", 30, gramCnt),
+        "gram",
+        concat_ws("|", col("id"), col("n_dup_gram_positions")),
+        Seq(col("id")))
+      Seq(postings, bm25, ivf, dedup, cc, tape, ck, mrl, nb, lm, gram)
         .reduce(_ unionByName _)
     }))
 
@@ -277,6 +302,24 @@ object CapstoneQueries {
       foldSql("lm", EvalQueries.BigramLmTakedownSql,
         "t.doc_id || '|' || t.n_bigrams || '|' || " +
           "CAST(floor(fmod(t.score, 1048576.0) * 1000000) AS BIGINT)",
+        "t.doc_id % 10 = 3"),
+      foldSql("gram",
+        """WITH dk AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3
+          |), g AS (
+          |  SELECT doc_id,
+          |         ('0x' || substr(md5(substr(text, CAST(i AS INT) + 1, 30)),
+          |           1, 8))::BIGINT AS g
+          |  FROM dk,
+          |       LATERAL unnest(range(0, greatest(length(text) - 29, 0))) t(i)
+          |), dup AS (
+          |  SELECT g FROM g GROUP BY g HAVING count(*) >= 2
+          |)
+          |SELECT doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_dup_gram_positions
+          |FROM g WHERE g IN (SELECT g FROM dup)
+          |GROUP BY doc_id""".stripMargin,
+        "t.doc_id || '|' || t.n_dup_gram_positions",
         "t.doc_id % 10 = 3")
     ).mkString("\nUNION ALL\n"))
 }
