@@ -114,18 +114,28 @@ object Bench {
     val prevPath = sys.env.get("SPARK_GRAFT_BENCH_PREV")
       .map(java.nio.file.Paths.get(_))
       .getOrElse(java.nio.file.Paths.get("bench_out.json"))
-    val prev: Map[String, Double] =
-      if (java.nio.file.Files.exists(prevPath)) {
-        val txt = new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
-        val qseg = txt.indexOf("\"queries\":")
-        if (qseg < 0) Map.empty
-        else "\"(q[^\"]+)\":(-?[0-9.]+)".r
-          .findAllMatchIn(txt.substring(qseg, txt.indexOf('}', qseg) + 1))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } else Map.empty
+    val prevTxt: String =
+      if (java.nio.file.Files.exists(prevPath))
+        new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
+      else ""
+    val prev: Map[String, Double] = {
+      val qseg = prevTxt.indexOf("\"queries\":")
+      if (qseg < 0) Map.empty
+      else "\"(q[^\"]+)\":(-?[0-9.]+)".r
+        .findAllMatchIn(prevTxt.substring(qseg, prevTxt.indexOf('}', qseg) + 1))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    // the previous run's per-query MAX (from its recorded spread) — the
+    // round-12 q267 lesson: a median-vs-median ratio flags a regression
+    // when the PREV run was a lucky-fast outlier just as readily as when
+    // the current run is slow; the spreads tell the two apart
+    val prevMax: Map[String, Double] =
+      """"(q[^"]+)":\{"min":-?[0-9.]+,"med":-?[0-9.]+,"max":(-?[0-9.]+)\}""".r
+        .findAllMatchIn(prevTxt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val ratios = results.collect {
-      case (k, (_, med, _)) if med > 0 && prev.getOrElse(k, -1.0) > 0 =>
-        (k, prev(k), med, med / prev(k))
+      case (k, (min, med, _)) if med > 0 && prev.getOrElse(k, -1.0) > 0 =>
+        (k, prev(k), med, med / prev(k), min)
     }.sortBy(-_._4)
     // LOAD-GUARDED regression adjudication (round-9 verdict: all 29
     // flagged regressions that round were sandbox contention, and the
@@ -169,27 +179,38 @@ object Bench {
       }
       l
     }
-    val regressions = ratios.filter(_._4 > 1.5).map { case (k, p, c, r) =>
+    val regressions = ratios.filter(_._4 > 1.5).map { case (k, p, c, r, cMin) =>
       val belowFloor = c < 0.5 || c - p < 0.3
       val loadAt = awaitQuiet()
       spark.catalog.clearCache()
       val recheck = runOnce(k)
       val cleared = recheck >= 0 &&
         (recheck <= p * 1.5 || (belowFloor && (recheck < 0.5 || recheck - p < 0.3)))
+      // SPREAD OVERLAP (round-12 q267 post-mortem): the median ratio
+      // fires just as readily when the PREV run was a lucky-fast
+      // outlier as when this run is slow. If this run's fastest sample
+      // still lands within 1.2x of the previous run's SLOWEST sample,
+      // the two runs' distributions overlap — that is run-to-run
+      // variance, labeled as such, not a regression.
+      val pMax = prevMax.getOrElse(k, -1.0)
+      val overlaps = pMax > 0 && cMin <= pMax * 1.2
       val status =
         if (cleared) { if (belowFloor) "noise" else "contended" }
+        else if (overlaps) "overlap"
         else if (loadAt > loadGate) "unadjudicated"
         else "regression"
       System.err.println(f"[bench]   recheck $k%-28s $p%8.3f -> $c%8.3f " +
-        f"recheck $recheck%8.3f load $loadAt%.2f  => $status")
+        f"recheck $recheck%8.3f load $loadAt%.2f prevMax $pMax%8.3f " +
+        f"curMin $cMin%8.3f => $status")
       "\"" + k + f"""\":{"prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.2f,""" +
         f""""recheck":$recheck%.3f,"load_at_recheck":$loadAt%.2f,""" +
+        f""""prev_max":$pMax%.3f,"cur_min":$cMin%.3f,""" +
         f""""status":"$status"}"""
     }.mkString("{", ",", "}")
     if (ratios.nonEmpty) {
       System.err.println(f"[bench] vs ${prevPath.toString} (${ratios.size} " +
         "shared queries), slowest ratios first; >1.50 flags a regression:")
-      ratios.take(15).foreach { case (k, p, c, r) =>
+      ratios.take(15).foreach { case (k, p, c, r, _) =>
         System.err.println(f"[bench]   $k%-32s $p%8.3f -> $c%8.3f  x$r%.2f" +
           (if (r > 1.5) "  REGRESSION" else ""))
       }
