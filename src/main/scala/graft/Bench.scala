@@ -165,8 +165,17 @@ object Bench {
     // result is recorded: "noise" only when the recheck also clears
     // (or re-lands under the floor), so a genuine sustained regression
     // on a sub-half-second query is adjudicated, not auto-dismissed.
+    // Unreadable/unparsable /proc/loadavg yields a sentinel ABOVE any
+    // plausible gate (round-12 advisor): 0.0 here silently passed the
+    // gate, so a recheck under UNMEASURABLE load could confirm
+    // "regression" — exactly what the gate exists to prevent. With the
+    // sentinel, a non-clearing recheck under unknown load falls through
+    // to "unadjudicated". 9999 (not Double.MaxValue) keeps the
+    // "load_at_recheck" JSON field readable.
+    val loadUnknown = 9999.0
     def loadavg1(): Double =
-      try loadavg().split(",")(0).toDouble catch { case _: Throwable => 0.0 }
+      try loadavg().split(",")(0).toDouble
+      catch { case _: Throwable => loadUnknown }
     val loadGate = sys.env.get("SPARK_GRAFT_RECHECK_LOAD").map(_.toDouble)
       .getOrElse(Runtime.getRuntime.availableProcessors / 4.0)
     val waitCapMs = sys.env.get("SPARK_GRAFT_RECHECK_WAIT").map(_.toLong)
@@ -174,7 +183,10 @@ object Bench {
     def awaitQuiet(): Double = {
       val t0 = System.nanoTime()
       var l = loadavg1()
-      while (l > loadGate && (System.nanoTime() - t0) / 1e6 < waitCapMs) {
+      // waiting can't improve an UNREADABLE load reading — break straight
+      // to the recheck; the sentinel still blocks "regression" below
+      while (l > loadGate && l != loadUnknown &&
+          (System.nanoTime() - t0) / 1e6 < waitCapMs) {
         Thread.sleep(5000); l = loadavg1()
       }
       l

@@ -199,7 +199,13 @@ object ScaleCurve {
       val nCand = cand.count()
       val hits = cand.join(truth, Seq("query_id", "cand_id"), "left_semi")
         .count()
-      val recall = hits.toDouble / nTruth
+      // nTruth == 0 would make this NaN and f"%.4f" would write the bare
+      // token NaN into PROBE_LEG.json — invalid JSON (round-12 advisor).
+      // An empty truth set means recall is undefined, not zero; emit
+      // null and let the reader see the truth_pairs count alongside.
+      val recallJson = if (nTruth == 0) "null"
+        else f"${hits.toDouble / nTruth}%.4f"
+      val recall = if (nTruth == 0) Double.NaN else hits.toDouble / nTruth
       val probeKeys = bands.toLong * Dedup.probeMasks(bits, radius).size
       cand.unpersist()
       System.err.println(f"[probe] $tag%-12s bits=$bits radius=$radius " +
@@ -209,7 +215,7 @@ object ScaleCurve {
       s""""$tag":{"bits":$bits,"radius":$radius,"bands":$bands,""" +
         s""""cand":$nCand,"cand_per_anchor":${nCand / nAnchors},""" +
         s""""probe_keys_per_anchor":$probeKeys,""" +
-        f""""recall":$recall%.4f,""" +
+        s""""recall":$recallJson,""" +
         s""""self_join_probe_rows":${n * probeKeys},""" +
         s""""index_rows":${n * bands}}"""
     }

@@ -291,8 +291,7 @@ object DedupQueries {
     // identically on both engines).
     "q314_prefilter_maintained" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_gram_counts_" +
-        java.lang.Integer.toHexString(d.hashCode)
+      val dir = Tables.artifactDir("gram_counts", d)
       Dedup.saveGramCounts(
         Dedup.dupGramCounts(docs.filter(col("doc_id") % 10 =!= 7),
           "doc_id", "text", 30), dir)

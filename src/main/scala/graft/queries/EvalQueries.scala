@@ -294,8 +294,7 @@ object EvalQueries {
         .withColumn("bkt",
           graft.operators.Curation.hashBucket(col("doc_id"), 100))
       val train = docs.filter(col("bkt") < 70)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_nb_counts_" +
-        java.lang.Integer.toHexString(d.hashCode)
+      val dir = Tables.artifactDir("nb_counts", d)
       Eval.saveNbCounts(Eval.nbCounts(train.filter(col("doc_id") % 10 =!= 7),
         "doc_id", "tok", col("y"), 64), dir)
       val counts = Eval.nbCombineCounts(Eval.loadNbCounts(s, dir),
@@ -318,8 +317,7 @@ object EvalQueries {
         .withColumn("bkt",
           graft.operators.Curation.hashBucket(col("doc_id"), 100))
       val train = docs.filter(col("bkt") < 70)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_lm_counts_" +
-        java.lang.Integer.toHexString(d.hashCode)
+      val dir = Tables.artifactDir("lm_counts", d)
       Eval.saveBigramLmCounts(
         Eval.bigramLmCounts(train.filter(col("doc_id") % 10 =!= 7),
           "doc_id", "tok", 4096), dir)

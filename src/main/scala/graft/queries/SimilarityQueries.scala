@@ -460,8 +460,7 @@ object SimilarityQueries {
       val c = corpus(s, d)
       val old = c.filter(col("vec_id") % 10 =!= 7)
       val fresh = c.filter(col("vec_id") % 10 === 7)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_pq_index_q258_" +
-        java.lang.Integer.toHexString(d.hashCode)
+      val dir = Tables.artifactDir("pq_index_q258", d)
       Similarity.savePqIndex(Similarity.buildPqIndex(old, 16, 32, 64), dir)
       val updatedVecs = c.filter(col("vec_id") % 10 === 5)
         .withColumn("vec", reverse(col("vec")))
@@ -602,8 +601,7 @@ object SimilarityQueries {
     // SimilaritySpec and composed into q262's capstone as surface #8.
     "q301_mrl_tier_persisted" -> ((s, d) => {
       val c = corpus(s, d)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_mrl_tier_" +
-        java.lang.Integer.toHexString(d.hashCode)
+      val dir = Tables.artifactDir("mrl_tier", d)
       val old = c.filter(col("vec_id") % 10 =!= 7)
       val delta = c.filter(col("vec_id") % 10 === 7)
       Similarity.saveMrlTier(Similarity.buildMrlTier(old, 32), dir)
@@ -653,10 +651,8 @@ object SimilarityQueries {
     "q263_ivfpq_from_disk" -> ((s, d) => {
       val c = corpus(s, d)
       val cents = c.filter(col("vec_id") % 40 === 0)
-      val dirI = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_q263_" +
-        java.lang.Integer.toHexString(d.hashCode)
-      val dirP = s"${sys.props("java.io.tmpdir")}/graft_pq_index_q263_" +
-        java.lang.Integer.toHexString(d.hashCode)
+      val dirI = Tables.artifactDir("ivf_index_q263", d)
+      val dirP = Tables.artifactDir("pq_index_q263", d)
       Similarity.saveIvfIndex(Similarity.buildIvfIndex(c, cents), dirI)
       Similarity.savePqIndex(Similarity.buildPqIndex(c, 16, 32, 64), dirP)
       val del = c.filter(col("vec_id") % 10 === 3).select("vec_id")
@@ -800,8 +796,7 @@ object SimilarityQueries {
       val old = c.filter(col("vec_id") % 10 =!= 7)
       val fresh = c.filter(col("vec_id") % 10 === 7)
       val cents = old.filter(col("vec_id") % 40 === 0)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
-        java.lang.Integer.toHexString(d.hashCode)
+      val dir = Tables.artifactDir("ivf_index", d)
       Similarity.saveIvfIndex(Similarity.buildIvfIndex(old, cents), dir)
       val updated = Similarity.applyIndexDelta(
         Similarity.loadIvfIndex(s, dir), fresh)
@@ -822,8 +817,7 @@ object SimilarityQueries {
       val old = c.filter(col("vec_id") % 10 =!= 7)
       val fresh = c.filter(col("vec_id") % 10 === 7)
       val cents = old.filter(col("vec_id") % 40 === 0)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_q257_" +
-        java.lang.Integer.toHexString(d.hashCode)
+      val dir = Tables.artifactDir("ivf_index_q257", d)
       Similarity.saveIvfIndex(Similarity.buildIvfIndex(old, cents), dir)
       val updatedVecs = c.filter(col("vec_id") % 10 === 5)
         .withColumn("vec", reverse(col("vec")))
@@ -849,8 +843,7 @@ object SimilarityQueries {
       val old = c.filter(col("vec_id") % 10 =!= 7)
       val fresh = c.filter(col("vec_id") % 10 === 7)
       val cents = old.filter(col("vec_id") % 40 === 0)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_q248_" +
-        java.lang.Integer.toHexString(d.hashCode)
+      val dir = Tables.artifactDir("ivf_index_q248", d)
       Similarity.saveIvfIndex(Similarity.buildIvfIndex(old, cents), dir)
       val updated = Similarity.applyIndexDelta(
         Similarity.loadIvfIndex(s, dir), fresh)

@@ -646,8 +646,7 @@ object TextQueries {
       val docs = toks(s, d)
       val old = docs.filter(col("doc_id") % 10 =!= 7)
       val fresh = docs.filter(col("doc_id") % 10 === 7)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_retr_index_q213_" +
-        java.lang.Integer.toHexString(d.hashCode)
+      val dir = Tables.artifactDir("retr_index_q213", d)
       Retrieval.saveIndex(Retrieval.buildIndex(old, "doc_id", "tok"), dir)
       val updated = Retrieval.applyIndexDelta(
         Retrieval.loadIndex(s, dir), fresh, "doc_id", "tok")
@@ -666,8 +665,7 @@ object TextQueries {
       val docs = toks(s, d)
       val old = docs.filter(col("doc_id") % 10 =!= 7)
       val fresh = docs.filter(col("doc_id") % 10 === 7)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_retr_index_q214_" +
-        java.lang.Integer.toHexString(d.hashCode)
+      val dir = Tables.artifactDir("retr_index_q214", d)
       Retrieval.saveIndex(Retrieval.buildIndex(old, "doc_id", "tok"), dir)
       val updated = Retrieval.applyIndexDelta(
         Retrieval.loadIndex(s, dir), fresh, "doc_id", "tok")
@@ -685,8 +683,7 @@ object TextQueries {
     "q253_phrase_from_index" -> ((s, d) => {
       import graft.operators.Retrieval
       val docs = toks(s, d)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_retr_index_q253_" +
-        java.lang.Integer.toHexString(d.hashCode)
+      val dir = Tables.artifactDir("retr_index_q253", d)
       Retrieval.saveIndex(Retrieval.buildIndex(docs, "doc_id", "tok"), dir)
       val retracted = Retrieval.retractDocs(Retrieval.loadIndex(s, dir),
         docs.filter(col("doc_id") % 10 === 3).select("doc_id"), "doc_id")
@@ -705,8 +702,7 @@ object TextQueries {
     "q246_index_retract" -> ((s, d) => {
       import graft.operators.Retrieval
       val docs = toks(s, d)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_retr_index_q246_" +
-        java.lang.Integer.toHexString(d.hashCode)
+      val dir = Tables.artifactDir("retr_index_q246", d)
       Retrieval.saveIndex(Retrieval.buildIndex(docs, "doc_id", "tok"), dir)
       val retracted = Retrieval.retractDocs(Retrieval.loadIndex(s, dir),
         docs.filter(col("doc_id") % 10 === 3).select("doc_id"), "doc_id")
@@ -727,8 +723,7 @@ object TextQueries {
     "q247_bm25_after_retract" -> ((s, d) => {
       import graft.operators.Retrieval
       val docs = toks(s, d)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_retr_index_q247_" +
-        java.lang.Integer.toHexString(d.hashCode)
+      val dir = Tables.artifactDir("retr_index_q247", d)
       Retrieval.saveIndex(Retrieval.buildIndex(docs, "doc_id", "tok"), dir)
       val retracted = Retrieval.retractDocs(Retrieval.loadIndex(s, dir),
         docs.filter(col("doc_id") % 10 === 3).select("doc_id"), "doc_id")

@@ -75,4 +75,19 @@ object Tables {
     }
     events(spark, dir).createOrReplaceTempView("events")
   }
+
+  /** Scratch directory for a query's persisted artifact (the save → load
+    * → delta proof shape). The dataset path keys the name so sf0.01 and
+    * sf0.1 runs never collide; the PID keys it so two drivers on the
+    * SAME dataset — bench and verify concurrently, a documented
+    * contention mode on this box — don't race mode-overwrite writes
+    * against loads of one parquet dir (round-12 advisor). Each proof
+    * query builds, saves, loads, and serves within one process, so a
+    * per-process name costs nothing and removes the only cross-process
+    * sharing these paths ever had.
+    */
+  def artifactDir(tag: String, datasetDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
+      java.lang.Integer.toHexString(datasetDir.hashCode) +
+      "_p" + ProcessHandle.current().pid()
 }

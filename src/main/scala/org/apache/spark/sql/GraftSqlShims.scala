@@ -51,4 +51,21 @@ object GraftSqlShims {
       case _ => ck // not a plain checkpoint plan — keep Spark's behavior
     }
   }
+
+  /** Release a local checkpoint's block-manager storage once its contents
+    * are persisted elsewhere (e.g. spilled to parquet) or provably never
+    * read again. A locally-checkpointed RDD has TRUNCATED lineage — after
+    * this call any attempt to compute from the wrapped DataFrame fails —
+    * so callers must only drop checkpoints they own and have finished
+    * with. Motivation (round-12 verdict, q306): an iterative builder that
+    * checkpoints every round keeps O(rounds) full-width tables live in
+    * the block manager simultaneously; eviction churn under that
+    * footprint was the measured superlinearity. No-op on non-checkpoint
+    * plans.
+    */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed match {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
