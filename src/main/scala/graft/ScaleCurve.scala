@@ -163,9 +163,13 @@ object ScaleCurve {
       .select(col("query_id"), col("cand_id")).cache()
     val nTruth = truth.count()
     System.err.println(s"[probe] exact >=0.45 truth pairs: $nTruth")
-    val (bandsDial, bitsDial) = Similarity.dialedBandGeometry(n)
+    // the dialed row comes THROUGH the unified entry point (round-13
+    // verdict #3): at this n it resolves to radius 1 and exactly
+    // dialedBandGeometry's bits/bands, so the row doubles as the
+    // continuity witness for the dial's radius-1 regime
+    val (bitsDial, bandsDial, radiusDial) = Similarity.dialedGeometry(n)
     val geoms = Seq(
-      ("dial_r1", bitsDial, 1, bandsDial),
+      ("dialed_unified", bitsDial, radiusDial, bandsDial),
       ("pastcap_r2", bitsDial + 3, 2,
         Similarity.bandsAtRadius(bitsDial + 3, 2)))
     // build the banded column in ~40-band projection chunks with a

@@ -1603,4 +1603,113 @@ object Dedup {
         "left_semi")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_dup_gram_positions"))
+
+  /** Doc-level gram POSTINGS `(g, id, n)` — the maintained count table's
+    * ([[dupGramCounts]]) refinement to gram → document, with per-doc
+    * occurrence counts (within-doc repeats preserved: `sum(n) GROUP BY
+    * g` IS the count table, so one artifact serves both reads). The
+    * postings exist because the INCREMENTAL removal
+    * ([[exactSubstrRemoveIncremental]]) must resolve WITNESSES — "which
+    * documents hold this duplicated gram" — and a bare count table can
+    * only answer that by rescanning the historical corpus; the posting
+    * is the same trade the retrieval inverted index already makes
+    * (gram-keyed shards, O(batch) folds, corpus never rescanned).
+    * Additive on `(g, id)`: append = [[combineGramPostings]], retract =
+    * the same fold with negated `n`.
+    */
+  def gramPostings(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    gramRows(docs, idCol, textCol, minLen)
+      .groupBy(col("g"), col("id")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Fold two gram-posting tables (order never matters; retraction =
+    * the same fold with negated counts, zeroed rows drop).
+    */
+  def combineGramPostings(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("g"), col("id"))
+      .agg(sum(col("n")).as("n"))
+      .filter(col("n") =!= 0)
+
+  def saveGramPostings(postings: DataFrame, dir: String): Unit =
+    Curation.writeShards(
+      postings.withColumn("bucket", pmod(col("g"), lit(64)).cast("int")),
+      dir, Seq("bucket"), 1L << 20, Seq(col("g"), col("id")))
+
+  def loadGramPostings(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(dir).select(col("g"), col("id"), col("n"))
+
+  /** INCREMENTAL ExactSubstr removal — q217's daily-ingest discipline
+    * lifted to the suffix family (round-12 verdict item 2): after the
+    * batch's postings fold into the maintained table, the heavyweight
+    * marks → islands → removal machinery runs ONLY over the documents
+    * the batch could have touched, never the whole duplication slice.
+    *
+    * `postings` is the maintained FULL-corpus gram-posting table (the
+    * day's batch already folded in); `newIds` the batch's doc ids.
+    * Emits `(id, clean_text, removed_chars)` for exactly the CHANGED
+    * docs — the batch plus every old doc whose removal output may
+    * differ from yesterday's — matching the full-corpus
+    * [[exactSubstrRemove]] restricted to that set row for row.
+    *
+    * CHANGED SET. A document's marks change only when some
+    * `minLen`-substring of it crosses occurrence count 1 → ≥ 2, and the
+    * crossing occurrence is by definition in the batch. So changed ⊆
+    * newIds ∪ {docs posting on a RELEVANT gram}, where relevant =
+    * batch-held grams that are duplicated corpus-wide. Deliberately
+    * WIDER than the count table's 1→2 transitions: the oracle-portable
+    * gram hash is 32-bit, and a colliding gram can hide a true 1→2
+    * transition behind a pre-inflated hash count (under-inclusion would
+    * break bit-identity); batch-membership ∧ duplicated is monotone
+    * under collisions — they only widen the set — and the width only
+    * costs re-emitting docs whose recomputed output equals yesterday's.
+    *
+    * WITNESS RESTRICTION (the q307 superset argument, one level up):
+    * every full-corpus mark of a changed doc names a substring with
+    * ≥ 2 occurrences; all of those occurrences' docs post on that
+    * substring's gram, which is duplicated and changed-held, so the
+    * witness sub-corpus — docs posting on any duplicated gram of a
+    * changed doc — contains every occurrence. Marks over the
+    * sub-corpus therefore equal full-corpus marks on changed docs
+    * (sub ⊆ full can only lose occurrences, and it loses none that
+    * matter; collisions again only widen). Changed docs OUTSIDE the
+    * witness set hold no duplicated gram at all, hence provably zero
+    * marks: they pass through verbatim.
+    *
+    * 100 TB shape: the suffix machinery's input is the batch's
+    * duplication NEIGHBORHOOD (changed ∪ witnesses), proportional to
+    * batch size × duplication rate; the historical corpus contributes
+    * keyed posting reads and one id-semi-join for witness texts, never
+    * a rescan.
+    */
+  def exactSubstrRemoveIncremental(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int, postings: DataFrame,
+      newIds: DataFrame): DataFrame = {
+    val ids = newIds.select(col(idCol).as("id"))
+    val dup = postings.groupBy(col("g")).agg(sum(col("n")).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("g"))
+    val rel = postings.join(ids, Seq("id"), "left_semi")
+      .select(col("g")).distinct()
+      .join(dup, Seq("g"), "left_semi")
+    val changed = ids.unionByName(
+        postings.join(rel, Seq("g"), "left_semi").select(col("id")))
+      .distinct().ckpt()
+    val cGrams = postings.join(changed, Seq("id"), "left_semi")
+      .select(col("g")).distinct()
+      .join(dup, Seq("g"), "left_semi")
+    val wit = postings.join(cGrams, Seq("g"), "left_semi")
+      .select(col("id")).distinct().ckpt()
+    val sub = docs.join(wit.select(col("id").as(idCol)), Seq(idCol),
+      "left_semi")
+    val removed = exactSubstrRemove(sub, idCol, textCol, minLen)
+      .join(changed, Seq("id"), "left_semi")
+    val verbatim = docs.select(col(idCol).as("id"),
+        col(textCol).as("clean_text"))
+      .join(changed, Seq("id"), "left_semi")
+      .join(wit, Seq("id"), "left_anti")
+      .withColumn("removed_chars", lit(0L))
+    removed.unionByName(verbatim)
+  }
 }

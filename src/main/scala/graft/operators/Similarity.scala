@@ -2104,6 +2104,42 @@ object Similarity {
     math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - c)).toInt
   }
 
+  /** THE UNIFIED DIAL (round-12 verdict #3): `(bits, bands, radius)`
+    * from corpus size alone, defined at EVERY n — the single entry
+    * point that makes the measured probe-radius leg the actual serving
+    * path instead of an exception message.
+    *
+    * Below the 24-bit cap this IS [[dialedBandGeometry]] at radius 1
+    * (identical bits and bands, so the pinned q145 floor — 16 bands ×
+    * 8 bits for n ≤ 2048 — and the q250/q261 operating geometries are
+    * untouched). Past the cap the occupancy rule keeps growing the band
+    * width (bucket occupancy keeps halving per bit — the whole point of
+    * dialing) while the radius steps to 2 and [[bandsAtRadius]] re-holds
+    * the modeled 0.94 recall at s* = 0.45 via the binomial-tail
+    * collision probability; serving goes through
+    * `Dedup.multiProbeCandidatesFor`, where the (1 + bits + C(bits,2))
+    * probe multiplier lands on the query side only (PROBE_LEG.json:
+    * radius-2 recall 0.964 measured at n = 200k, 40% smaller index).
+    * Radius stops at 2: radius-2 probe sets stay under the codegen
+    * bound through the full 62-bit width (1954 masks at 62 bits),
+    * whereas radius 3 overflows it past 23 bits — and 62 bits of
+    * occupancy covers n ≈ 3.7e19 vectors, beyond any real corpus, so
+    * `bits` simply saturates there (recall is still held by the band
+    * rule; only the occupancy optimum is left behind).
+    */
+  def dialedGeometry(n: Long): (Int, Int, Int) = {
+    require(n > 0, s"corpus size must be positive, got $n")
+    val occBits = math.max(8,
+      math.ceil(math.log(n / 8.0) / math.log(2.0)).toInt)
+    if (occBits <= 24) {
+      val (bands, bits) = dialedBandGeometry(n)
+      (bits, bands, 1)
+    } else {
+      val bits = math.min(62, occBits)
+      (bits, bandsAtRadius(bits, 2), 2)
+    }
+  }
+
   // ------------------ persisted Matryoshka prefix tier (round 11, q301)
 
   /** The MRL HOT TIER as a maintained artifact: (vec_id, pvec, pnrm) —

@@ -302,6 +302,34 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("n_dup_gram_positions"))
     }),
 
+    // INCREMENTAL ExactSubstr removal (q315, round 13): q217's
+    // daily-ingest discipline lifted to the suffix family. The old
+    // corpus's gram POSTINGS (%10 != 7) are built, SAVED (g-bucketed
+    // shards), LOADED, the batch's postings FOLDED in (additive algebra;
+    // the historical corpus is never rescanned) — then the suffix
+    // machinery runs only over the batch's duplication NEIGHBORHOOD:
+    // the changed docs (batch + old docs posting on a batch-held
+    // duplicated gram) and their witnesses. The oracle runs the FULL
+    // q303 removal and restricts it to the same changed set, so the
+    // hash match proves the incremental composition == the full rebuild
+    // on every emitted row — through the persisted artifact.
+    "q315_incremental_substr_remove" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val newIds = docs.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"))
+      val dir = Tables.artifactDir("gram_postings", d)
+      Dedup.saveGramPostings(
+        Dedup.gramPostings(docs.filter(col("doc_id") % 10 =!= 7),
+          "doc_id", "text", 30), dir)
+      val full = Dedup.combineGramPostings(Dedup.loadGramPostings(s, dir),
+        Dedup.gramPostings(docs.filter(col("doc_id") % 10 === 7),
+          "doc_id", "text", 30))
+      Dedup.exactSubstrRemoveIncremental(docs, "doc_id", "text", 30,
+          full, newIds)
+        .select(col("id").as("doc_id"), col("clean_text"),
+          col("removed_chars"))
+    }),
+
     // THE EXECUTED 100 TB ESCAPE for q303 (q307): the lossless gram
     // prefilter (one hash groupBy, no suffix machinery) flags every doc
     // that could carry a duplicated >= 30-char span — within-doc
@@ -1277,6 +1305,71 @@ object DedupQueries {
         |       CAST(count(*) AS BIGINT) AS n_dup_gram_positions
         |FROM g WHERE g IN (SELECT g FROM dup)
         |GROUP BY doc_id""".stripMargin,
+
+    // q303's FULL removal restricted to the CHANGED set — exactly what
+    // the incremental composition claims to emit: the batch (%10 = 7)
+    // plus every old doc holding a gram (q314's md5-int hash) that the
+    // batch also holds and that is duplicated corpus-wide. The hash
+    // match proves incremental == rebuild on every emitted row.
+    "q315_incremental_substr_remove" ->
+      """WITH g AS (
+        |  SELECT doc_id, i AS pos, substr(text, CAST(i AS INT) + 1, 30) AS gram
+        |  FROM documents,
+        |       LATERAL unnest(range(0, greatest(length(text) - 29, 0))) t(i)
+        |), ghash AS (
+        |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS g
+        |  FROM g
+        |), dupg AS (
+        |  SELECT g FROM ghash GROUP BY g HAVING count(*) >= 2
+        |), rel AS (
+        |  SELECT DISTINCT g FROM ghash
+        |  WHERE doc_id % 10 = 7 AND g IN (SELECT g FROM dupg)
+        |), changed AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 10 = 7
+        |  UNION
+        |  SELECT DISTINCT doc_id FROM ghash WHERE g IN (SELECT g FROM rel)
+        |), marked AS (
+        |  SELECT doc_id, pos FROM g
+        |  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2)
+        |), brk AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+        |                                        ORDER BY pos) <= 30
+        |              THEN 0 ELSE 1 END AS b
+        |  FROM marked
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM brk
+        |), iv AS (
+        |  SELECT doc_id, grp, min(pos) AS s, max(pos) + 30 AS e
+        |  FROM isl GROUP BY doc_id, grp
+        |), segs AS (
+        |  SELECT doc_id,
+        |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+        |           AS sp,
+        |         s AS ep
+        |  FROM iv
+        |  UNION ALL
+        |  SELECT v.doc_id, v.me AS sp, length(d.text) AS ep
+        |  FROM (SELECT doc_id, max(e) AS me FROM iv GROUP BY doc_id) v
+        |  JOIN documents d USING (doc_id)
+        |), rebuilt AS (
+        |  SELECT s.doc_id,
+        |         string_agg(substr(d.text, CAST(s.sp AS INT) + 1,
+        |           CAST(s.ep - s.sp AS INT)), '' ORDER BY s.sp) AS clean_text
+        |  FROM segs s JOIN documents d USING (doc_id)
+        |  GROUP BY s.doc_id
+        |), rem AS (
+        |  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS removed_chars
+        |  FROM iv GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(r.clean_text, d.text) AS clean_text,
+        |       CAST(coalesce(m.removed_chars, 0) AS BIGINT) AS removed_chars
+        |FROM documents d
+        |LEFT JOIN rebuilt r USING (doc_id)
+        |LEFT JOIN rem m USING (doc_id)
+        |WHERE d.doc_id IN (SELECT doc_id FROM changed)""".stripMargin,
 
     "q88_span_dedup" ->
       """WITH base AS (

@@ -28,7 +28,8 @@ object SimilarityQueries {
       |)""".stripMargin
 
   /** DIALED multi-probe banding, shared by q250/q261/q215/q216: the
-    * geometry comes from `Similarity.dialedBandGeometry(n)` — per-bucket
+    * geometry comes from `Similarity.dialedGeometry(n)` (the unified
+    * bits/bands/radius entry point, round 13) — per-bucket
     * occupancy held constant by growing band width with log n, modeled
     * recall held at the s*=0.45 design point by growing the band count.
     * The dial's FLOOR output (n ≤ 2048) is exactly the pinned q145
@@ -40,26 +41,33 @@ object SimilarityQueries {
     * the fixed geometry — it is the calibration pin the dial's floor is
     * calibrated against.
     */
-  private def dialedBanded(s: SparkSession, d: String): (DataFrame, Int) = {
+  private def dialedBanded(s: SparkSession, d: String): (DataFrame, Int, Int) = {
     val c = corpus(s, d)
-    val (bands, bits) = Similarity.dialedBandGeometry(c.count())
+    // the UNIFIED entry (round 13): radius 1 at these scales — identical
+    // geometry to dialedBandGeometry, so every pinned oracle is
+    // untouched — but the serve path no longer hits the 24-bit refusal:
+    // past the cap the same call hands back (wider bits, radius 2) and
+    // the probe explode below carries it
+    val (bits, bands, radius) = Similarity.dialedGeometry(c.count())
     (c.withColumn("bands",
         Similarity.rhBands(col("vec"), bands * bits, bits, 64)).cache(),
-      bits)
+      bits, radius)
   }
 
-  private def multiProbeCand(banded: DataFrame, bits: Int): DataFrame =
+  private def multiProbeCand(banded: DataFrame, bits: Int,
+      radius: Int): DataFrame =
     graft.operators.Dedup.multiProbeCandidatePairs(
-        banded, "vec_id", "bands", bits)
+        banded, "vec_id", "bands", bits, radius = radius)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
 
   /** The raw (pre-distinct) collision stream for consumers whose verify
     * is map-side anyway (q250/q261's broadcast verify dedups AFTER its
     * ε-filter): same pair SET, no 45M-row distinct shuffle.
     */
-  private def multiProbeCandRaw(banded: DataFrame, bits: Int): DataFrame =
+  private def multiProbeCandRaw(banded: DataFrame, bits: Int,
+      radius: Int): DataFrame =
     graft.operators.Dedup.multiProbeCandidatePairs(
-        banded, "vec_id", "bands", bits, dedup = false)
+        banded, "vec_id", "bands", bits, dedup = false, radius = radius)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
 
   /** Dialed candidate-generation stats for the scaling curve
@@ -70,12 +78,12 @@ object SimilarityQueries {
   def dialedCandidateStats(s: SparkSession, d: String): (Long, Int, Int, Long) = {
     val c = corpus(s, d)
     val n = c.count()
-    val (bands, bits) = Similarity.dialedBandGeometry(n)
+    val (bits, bands, radius) = Similarity.dialedGeometry(n)
     val banded = c.withColumn("bands",
       Similarity.rhBands(col("vec"), bands * bits, bits, 64))
     (n, bits, bands,
       graft.operators.Dedup.multiProbeCandidatePairs(
-        banded, "vec_id", "bands", bits).count())
+        banded, "vec_id", "bands", bits, radius = radius).count())
   }
 
   /** The q271/q301 tiered-serve oracle: 32-dim prefix shortlist-50 over
@@ -274,9 +282,9 @@ object SimilarityQueries {
     // build is measured in SimilaritySpec (pair-recall 1.0 here, with the
     // unguarded swap's failure measured alongside).
     "q250_density_clusters_lsh" -> ((s, d) => {
-      val (banded, bits) = dialedBanded(s, d)
+      val (banded, bits, radius) = dialedBanded(s, d)
       Similarity.densityClustersGuarded(corpus(s, d),
-        multiProbeCandRaw(banded, bits), eps = 0.35, minPts = 3,
+        multiProbeCandRaw(banded, bits, radius), eps = 0.35, minPts = 3,
         confirmSlack = 1)
     }),
 
@@ -318,9 +326,9 @@ object SimilarityQueries {
     // recall vs the exact q210 set measured in SimilaritySpec (1.00 on
     // this corpus vs 0.60 candidate-only).
     "q215_knn_outliers_lsh" -> ((s, d) => {
-      val (c, bits) = dialedBanded(s, d)
+      val (c, bits, radius) = dialedBanded(s, d)
       Similarity.knnOutliersRerank(c.select(col("vec_id"), col("vec"),
-        col("nrm")), multiProbeCand(c, bits), k = 5, m = 50,
+        col("nrm")), multiProbeCand(c, bits, radius), k = 5, m = 50,
         shortlistFactor = 3)
     }),
 
@@ -330,10 +338,10 @@ object SimilarityQueries {
     // a fact rather than an argument). Pair recall vs the exact grid is
     // measured in SimilaritySpec.
     "q216_hard_negatives_lsh" -> ((s, d) => {
-      val (c, bits) = dialedBanded(s, d)
+      val (c, bits, radius) = dialedBanded(s, d)
       Similarity.hardNegativesFrom(c,
         Tables.embeddings(s, d).select(col("vec_id"), col("label")),
-        multiProbeCand(c, bits), k = 5, minSim = 0.2)
+        multiProbeCand(c, bits, radius), k = 5, minSim = 0.2)
     }),
 
     // Mutual (reciprocal) nearest neighbors: pairs where each is the
@@ -582,10 +590,10 @@ object SimilarityQueries {
     // q145/q215/q216/q313 cannot drift) and the same normalized window
     // counts over candidate lists.
     "q313_mp_knn_lsh" -> ((s, d) => {
-      val (c, bits) = dialedBanded(s, d)
+      val (c, bits, radius) = dialedBanded(s, d)
       Similarity.mutualProximityKnnFrom(
         c.select(col("vec_id"), col("vec"), col("nrm")),
-        multiProbeCand(c, bits), k = 5)
+        multiProbeCand(c, bits, radius), k = 5)
     }),
 
     // The MRL hot tier PERSISTED (q301): q271's 32-dim prefix shortlist
@@ -676,9 +684,9 @@ object SimilarityQueries {
     // algorithm, same oracle text, different τ — parameterized so the
     // two operating points cannot drift.
     "q261_density_high_sim" -> ((s, d) => {
-      val (banded, bits) = dialedBanded(s, d)
+      val (banded, bits, radius) = dialedBanded(s, d)
       Similarity.densityClustersGuarded(corpus(s, d),
-        multiProbeCandRaw(banded, bits), eps = 0.42, minPts = 3,
+        multiProbeCandRaw(banded, bits, radius), eps = 0.42, minPts = 3,
         confirmSlack = 1)
     }),
 

@@ -6,7 +6,7 @@ import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
 import graft.model.{Priority, Status}
-import graft.operators.{AsofJoin, Dedup, IngestOps, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, IngestOps, Similarity, TextAnalysis}
 
 /** ScalaCheck properties for the algebraic operators (SURVEY.md §5):
   * chunking is a partition of the input, the rollup lattice matches its
@@ -1132,5 +1132,101 @@ object GraftProperties extends Properties("graft") {
       val want = grams.collect {
         case (g, id, p) if dup(g) => (id, p) }.toSet
       got == want
+    }
+
+  // The incremental removal's maintained artifact (q315): doc-level
+  // gram postings under the same additive algebra as the count table —
+  // append = fold, retract == negated fold, bit-for-bit against a
+  // rebuild from the remaining docs; and sum(n) GROUP BY g reproduces
+  // dupGramCounts exactly (one artifact serves both reads).
+  property("gramPostings additive; retract == negated fold") =
+    forAll(Gen.nonEmptyListOf(Gen.listOfN(6, Gen.oneOf('a', 'b'))
+        .map(_.mkString)),
+      Gen.nonEmptyListOf(Gen.listOfN(6, Gen.oneOf('a', 'c'))
+        .map(_.mkString))) { (aTexts, bTexts) =>
+      val s = sq; import s.implicits._
+      def df(ts: List[String], base: Long) =
+        ts.zipWithIndex.map { case (t, i) => (base + i, t) }
+          .toDF("doc_id", "text")
+      val a = df(aTexts, 0L)
+      val b = df(bTexts, 1000L)
+      def post(d: org.apache.spark.sql.DataFrame) =
+        Dedup.gramPostings(d, "doc_id", "text", 3)
+      def set(d: org.apache.spark.sql.DataFrame) =
+        d.as[(Long, Long, Long)].collect().toSet
+      val folded = Dedup.combineGramPostings(post(a), post(b))
+      val full = post(a.unionByName(b))
+      val retracted = Dedup.combineGramPostings(folded,
+        post(b).withColumn("n", -col("n")))
+      val countsFromPostings = full.groupBy(col("g"))
+        .agg(sum(col("n")).as("cnt")).as[(Long, Long)].collect().toSet
+      val counts = Dedup.dupGramCounts(a.unionByName(b), "doc_id",
+        "text", 3).as[(Long, Long)].collect().toSet
+      set(folded) == set(full) && set(retracted) == set(post(a)) &&
+        countsFromPostings == counts
+    }
+
+  // The incremental removal itself (q315): every emitted row equals the
+  // FULL-corpus removal's row for that doc, and the batch is fully
+  // covered. Small alphabets force cross-doc AND within-doc duplicated
+  // spans, old-old duplications the batch must not disturb, and
+  // batch-created 1 -> 2 transitions on old docs.
+  property("exactSubstrRemoveIncremental rows == full removal; batch covered") =
+    forAll(Gen.nonEmptyListOf(Gen.listOfN(2, Gen.oneOf('a', 'b'))
+        .flatMap(pad => Gen.choose(0, 16).map(n =>
+          (pad.mkString * 9).take(n))))) { texts =>
+      val s = sq; import s.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val newIds = docs.filter(col("doc_id") % 2 === 1).select("doc_id")
+      val postings = Dedup.combineGramPostings(
+        Dedup.gramPostings(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", 3),
+        Dedup.gramPostings(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", 3))
+      val inc = Dedup.exactSubstrRemoveIncremental(docs, "doc_id",
+          "text", 3, postings, newIds)
+        .as[(Long, String, Long)].collect()
+        .map { case (id, ct, rc) => id -> ((ct, rc)) }.toMap
+      val full = Dedup.exactSubstrRemove(docs, "doc_id", "text", 3)
+        .as[(Long, String, Long)].collect()
+        .map { case (id, ct, rc) => id -> ((ct, rc)) }.toMap
+      val batch = newIds.as[Long].collect().toSet
+      inc.forall { case (id, row) => full(id) == row } &&
+        batch.subsetOf(inc.keySet)
+    }
+
+  // The unified dial (round 13): defined at EVERY n (log-uniform up to
+  // 2^48 — no exception anywhere), modeled recall at the returned
+  // geometry >= the 0.94 design target on both sides of the 24-bit cap,
+  // radius exactly tracks the cap, the radius-1 regime IS
+  // dialedBandGeometry (so the pinned q145/q250/q261 geometries can't
+  // drift), and band width is monotone in n (the occupancy rule never
+  // un-widens).
+  property("dialedGeometry: recall held at every n; radius tracks the cap") =
+    forAll(Gen.choose(0, 47).flatMap(e =>
+        Gen.choose(1L << e, 2L << e)),
+      Gen.choose(0, 47).flatMap(e =>
+        Gen.choose(1L << e, 2L << e))) { (nA, nB) =>
+      val (n1, n2) = (math.min(nA, nB), math.max(nA, nB))
+      val p = 1.0 - math.acos(0.45) / math.Pi
+      def chs(nn: Int, k: Int): Double =
+        (0 until k).map(i => (nn - i).toDouble / (i + 1)).product
+      def recall(bits: Int, bands: Int, radius: Int): Double = {
+        val c = (0 to radius).map(i =>
+          chs(bits, i) * math.pow(p, bits - i) * math.pow(1.0 - p, i)).sum
+        1.0 - math.pow(1.0 - c, bands)
+      }
+      val (bits1, bands1, r1) = Similarity.dialedGeometry(n1)
+      val (bits2, bands2, r2) = Similarity.dialedGeometry(n2)
+      val occ1 = math.max(8,
+        math.ceil(math.log(n1 / 8.0) / math.log(2.0)).toInt)
+      val legacyOk = occ1 > 24 || {
+        val (lb, lbits) = Similarity.dialedBandGeometry(n1)
+        bits1 == lbits && bands1 == lb
+      }
+      recall(bits1, bands1, r1) >= 0.94 &&
+        recall(bits2, bands2, r2) >= 0.94 &&
+        (r1 == 1) == (occ1 <= 24) && legacyOk && bits1 <= bits2
     }
 }

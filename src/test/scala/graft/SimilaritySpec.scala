@@ -483,6 +483,40 @@ class SimilaritySpec extends SparkSpec {
       Similarity.dialedBandGeometry(1L << 40)) // radius, not width, past 24 bits
   }
 
+  // The UNIFIED dial (round-13 verdict #3): one entry point across the
+  // 24-bit cap. Below it: dialedBandGeometry verbatim at radius 1
+  // (floor pinned). At the boundary (n = 8·2^24 vs +1): radius steps
+  // 1 -> 2, the corpus-side index SHRINKS (fewer bands — the measured
+  // 40%-smaller-index trade), and the modeled background candidate
+  // mass per query moves by a bounded factor, not a discontinuity.
+  // And no n throws — the refusal the old dial hard-required is gone.
+  test("dialedGeometry: continuous across the 24-bit cap; floor pinned") {
+    assert(Similarity.dialedGeometry(500L) == ((8, 16, 1)))
+    assert(Similarity.dialedGeometry(2048L) == ((8, 16, 1)))
+    assert(Similarity.dialedGeometry(20000L) == ((12, 67, 1)))
+    val nCap = 8L << 24 // largest n the occupancy rule maps to 24 bits
+    val (bits1, bands1, r1) = Similarity.dialedGeometry(nCap)
+    val (bits2, bands2, r2) = Similarity.dialedGeometry(nCap + 1)
+    assert((bits1, r1) == ((24, 1)) && (bits2, r2) == ((25, 2)))
+    assert(bands2 < bands1, "the radius step must shrink the index")
+    def chs(nn: Int, k: Int): Double =
+      (0 until k).map(i => (nn - i).toDouble / (i + 1)).product
+    def mass(n: Long, bits: Int, bands: Int, radius: Int): Double = {
+      val probedBuckets = (0 to radius).map(chs(bits, _)).sum
+      n.toDouble * bands * probedBuckets / math.pow(2.0, bits)
+    }
+    val m1 = mass(nCap, bits1, bands1, r1)
+    val m2 = mass(nCap + 1, bits2, bands2, r2)
+    info(f"boundary candidate mass per query: $m1%.0f -> $m2%.0f " +
+      f"(x${m2 / m1}%.2f); index bands $bands1 -> $bands2")
+    assert(m2 < m1 * 4 && m2 > m1 / 4,
+      s"candidate mass discontinuity at the cap: $m1 -> $m2")
+    // way past the cap: still defined, still radius 2, width saturates
+    // at 62 (probe set stays codegen-safe: radius-2 masks cap at 1954)
+    val (bitsBig, _, rBig) = Similarity.dialedGeometry(Long.MaxValue)
+    assert(bitsBig == 62 && rBig == 2)
+  }
+
   // Recall of the DIALED sf1 geometry (67 bands x 12 bits), measured on
   // this corpus against the exact block-grid pairs at the q145
   // operating threshold: recall depends on pair similarity and geometry,
