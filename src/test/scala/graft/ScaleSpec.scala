@@ -1064,4 +1064,105 @@ class ScaleSpec extends SparkSpec {
       Map("R" -> Status.Completed))
     assert(p2.processedState.count() == 4)
   }
+
+  // The streaming twin of the maintained gram prefilter (round-12
+  // verdict #6): arriving docs are gated against the committed count
+  // table, their counts fold in as additive segments, the stream is
+  // KILLED between waves and resumed from the checkpoint — and every
+  // observable equals the batch q314 serve: the maintained table equals
+  // dupGramCounts over everything ingested, the served flags equal the
+  // batch dupGramStats, the pre-kill gate output equals the batch serve
+  // against the base-only table, and a negated-count retraction segment
+  // equals the rebuild over the remaining docs.
+  test("streaming dedup gate: gram-count prefilter survives kill-and-resume " +
+      "and equals the batch dupGramStats") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedupGate
+    import org.apache.spark.sql.streaming.Trigger
+
+    val raw = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text"))
+    val base = raw.filter(col("doc_id") % 10 < 7)
+    val dir = Files.createTempDirectory("graft-sgate").toString
+    StreamingDedupGate.init(spark, dir, base, "doc_id", "text", 30)
+    assert(StreamingDedupGate.committedSegments(dir) == Seq("base"))
+
+    val streamDir = Files.createTempDirectory("graft-sgate-in")
+    def dropWave(tag: Int): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-sgate-w$tag").toString
+      raw.filter(col("doc_id") % 10 === tag).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, streamDir.resolve(s"wave$tag.parquet"))
+    }
+    val outDir = Files.createTempDirectory("graft-sgate-out").toString
+    val ckpt = Files.createTempDirectory("graft-sgate-ckpt").toString
+    def startStream() = StreamingDedupGate.start(spark, dir,
+      spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir.toString),
+      "doc_id", "text", 30, outDir, ckpt,
+      Trigger.ProcessingTime("200 milliseconds"))
+
+    // ---- phase 1: wave 7 arrives, gets gated + folded; then KILL
+    dropWave(7)
+    val q1 = startStream()
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (!StreamingDedupGate.committedSegments(dir).contains("b0") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q1.stop()
+    assert(StreamingDedupGate.committedSegments(dir).contains("b0"),
+      "wave 7 never folded before the kill")
+
+    // wave 8 arrives while the stream is DOWN; wave 9 after the resume
+    dropWave(8)
+    val q2 = startStream()
+    try {
+      dropWave(9)
+      val deadline = System.currentTimeMillis() + 180000
+      while (StreamingDedupGate.committedSegments(dir).size < 4 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(300)
+      assert(StreamingDedupGate.committedSegments(dir).size == 4,
+        "waves 8/9 never folded after resume: " +
+          StreamingDedupGate.committedSegments(dir))
+    } finally q2.stop()
+
+    def cset(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long)].collect().toSet
+
+    // ---- equality 1: the maintained table == the batch rebuild
+    val maintained = StreamingDedupGate.loadCounts(spark, dir)
+    assert(cset(maintained) ==
+      cset(Dedup.dupGramCounts(raw, "doc_id", "text", 30)),
+      "maintained gram counts != batch dupGramCounts over everything")
+
+    // ---- equality 2: the SERVED flags == the batch q314 serve
+    assert(cset(Dedup.dupGramStats(raw, "doc_id", "text", 30, maintained)
+        .select(col("id"), col("n_dup_gram_positions"))) ==
+      cset(Dedup.dupGramStats(raw, "doc_id", "text", 30,
+          Dedup.dupGramCounts(raw, "doc_id", "text", 30))
+        .select(col("id"), col("n_dup_gram_positions"))),
+      "served flags from the maintained table != batch serve")
+
+    // ---- pre-kill gate output: wave 7 (batch 0) must equal the batch
+    // serve of those docs against the BASE-only table
+    val g0 = spark.read.parquet(s"$outDir/d=b0")
+      .select(col("id"), col("n_dup_gram_positions"))
+    val w7 = raw.filter(col("doc_id") % 10 === 7)
+    assert(cset(g0) == cset(
+      Dedup.dupGramStats(w7, "doc_id", "text", 30,
+          Dedup.dupGramCounts(base, "doc_id", "text", 30))
+        .select(col("id"), col("n_dup_gram_positions"))),
+      "wave-7 gate output != batch serve against the pre-batch table")
+
+    // ---- retraction: wave 9 takes down as one negated-count segment;
+    // the view must equal the rebuild over base + waves 7/8
+    StreamingDedupGate.retractBatch(spark, dir,
+      raw.filter(col("doc_id") % 10 === 9), "doc_id", "text", 30, "t0")
+    assert(cset(StreamingDedupGate.loadCounts(spark, dir)) ==
+      cset(Dedup.dupGramCounts(raw.filter(col("doc_id") % 10 =!= 9),
+        "doc_id", "text", 30)),
+      "negated-segment retraction != rebuild over remaining docs")
+  }
 }
