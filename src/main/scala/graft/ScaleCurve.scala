@@ -60,7 +60,11 @@ object ScaleCurve {
     "q307_prefiltered_substr_remove", "q312_token_substr_coverage",
     // round-12 second wave: MP re-ranking of the LSH candidate lists —
     // the hubness correction's deployment shape at scale
-    "q313_mp_knn_lsh")
+    "q313_mp_knn_lsh",
+    // round 13: the incremental removal — its claim IS a scale claim
+    // (work ∝ the batch's duplication neighborhood, not the corpus), so
+    // its exponent vs q307's full-slice rerun is the measured value
+    "q315_incremental_substr_remove")
 
   private def md5SignFlips(r: Int, dims: Int): Array[Float] =
     Array.tabulate(dims) { i =>

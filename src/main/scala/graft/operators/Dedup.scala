@@ -1032,7 +1032,8 @@ object Dedup {
     * key group so ties stay ties. One keyed self-join (the shift) + one
     * global range sort + one bounded window per round.
     */
-  private def doubleRank(cur: DataFrame, offset: Long): DataFrame = {
+  private def doubleRank(cur: DataFrame, offset: Long,
+      mat: DataFrame => DataFrame = _.ckpt()): DataFrame = {
     val shifted = cur.select(col("id"), (col("pos") - offset).as("pos"),
       col("rank").as("_r2"))
     val paired = cur.join(shifted, Seq("id", "pos"), "left")
@@ -1040,9 +1041,9 @@ object Dedup {
         coalesce(col("_r2"), lit(0L)).as("_r2"))
     val seqd = IngestOps.globalSequence(paired,
       Seq(col("_r1"), col("_r2"), col("id"), col("pos")), "_seq")
-    seqd.withColumn("rank",
+    mat(seqd.withColumn("rank",
         min(col("_seq")).over(Window.partitionBy(col("_r1"), col("_r2"))))
-      .select(col("id"), col("pos"), col("rank")).ckpt()
+      .select(col("id"), col("pos"), col("rank")))
   }
 
   /** Initial ranking: rank positions by their single character (same
@@ -1050,13 +1051,14 @@ object Dedup {
     * a rank).
     */
   private def charRanks(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      mat: DataFrame => DataFrame = _.ckpt()): DataFrame = {
     val chars = charPositions(docs, idCol, textCol)
     val seqd = IngestOps.globalSequence(chars,
       Seq(col("ch"), col("id"), col("pos")), "_seq")
-    seqd.withColumn("rank",
+    mat(seqd.withColumn("rank",
         min(col("_seq")).over(Window.partitionBy(col("ch"))))
-      .select(col("id"), col("pos"), col("rank")).ckpt()
+      .select(col("id"), col("pos"), col("rank")))
   }
 
   /** DISTRIBUTED SUFFIX ORDERING over the whole corpus — the classic
@@ -1233,11 +1235,14 @@ object Dedup {
     * ~12 full-width (id, pos, rank) tables — 15 M rows EACH at sf1 —
     * coexisting in the block manager; the measured sf1 exponent of 1.14
     * was eviction/spill churn under that footprint, and the run needed a
-    * 24 g driver. Levels now SPILL TO PARQUET as they are built (each
-    * round's checkpoint is dropped the moment the next level and its
-    * spill exist), so at any instant the block manager holds ONE level
-    * plus the pruned pairs. The descent reads each level back from disk
-    * and immediately semi-joins it down to the pruned pairs' PROBE SET —
+    * 24 g driver. Past a ~4 M char-row bar, levels now SPILL TO PARQUET
+    * as they are built (each round's checkpoint is dropped the moment
+    * the next level and its spill exist), so at any instant the block
+    * manager holds ONE level plus the pruned pairs; below the bar the
+    * checkpoints comfortably fit and the write-out would be pure
+    * overhead, so they stay resident — the two paths differ only in
+    * where a level's rows live. The descent then semi-joins each level
+    * down to the pruned pairs' PROBE SET —
     * the (id, pos + lcp) rows on both sides, the only rows the round's
     * left joins can ever match (a probe past a suffix's end is absent
     * from the level AND from the probe-restricted level alike, so the
@@ -1249,35 +1254,69 @@ object Dedup {
   def lcpAdjacentPairs(docs: DataFrame, idCol: String, textCol: String,
       minLcp: Int): DataFrame = {
     require(minLcp >= 1, s"minLcp must be >= 1, got $minLcp")
-    val maxLen = docs.agg(max(length(col(textCol)))).collect()(0) match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.get(0).asInstanceOf[Number].longValue()
-    }
+    val aggRow = docs.agg(max(length(col(textCol))),
+      sum(length(col(textCol)).cast("long"))).collect()(0)
+    val maxLen =
+      if (aggRow.isNullAt(0)) 0L
+      else aggRow.get(0).asInstanceOf[Number].longValue()
+    val totalChars =
+      if (aggRow.isNullAt(1)) 0L
+      else aggRow.get(1).asInstanceOf[Number].longValue()
     val spark = docs.sparkSession
     if (maxLen == 0L)
       return spark.emptyDataFrame
         .select(lit(0L).as("id_a"), lit(0L).as("pos_a"),
           lit(0L).as("id_b"), lit(0L).as("pos_b"), lit(0L).as("lcp"))
         .limit(0)
+    // Spill levels to parquet only when the corpus is big enough that
+    // log(maxlen) live checkpoints would pressure the block manager
+    // (~12 levels × 50 B/row: 4 M char rows ≈ 2.4 GB — comfortable; the
+    // sf1-scale 15 M-row corpus is not). Below the bar the levels stay
+    // as checkpoints and the descent is identical — the two paths differ
+    // only in where a level's rows live.
+    val spillLevels = totalChars > 4000000L
     // per-invocation level spill dir (pid + nanotime: concurrent drivers
     // AND concurrent same-process calls never share a path)
     val levelDir = s"${sys.props("java.io.tmpdir")}/graft_lcp_levels_p" +
       ProcessHandle.current().pid() + "_" + java.lang.Long.toHexString(
         System.nanoTime())
-    var cur = charRanks(docs, idCol, textCol)
-    cur.write.mode("overwrite").parquet(s"$levelDir/m1")
-    var tables = List((1L, s"$levelDir/m1"))
+    def persistLevel(df: DataFrame, m: Long): DataFrame =
+      if (!spillLevels) df.ckpt()
+      else {
+        df.write.mode("overwrite").parquet(s"$levelDir/m$m")
+        spark.read.parquet(s"$levelDir/m$m")
+      }
+    // On the spill path EVERY materialization goes via parquet, not the
+    // block manager: on this duplication-fat corpus the qualifying-pair
+    // set itself runs to millions of rows, and holding even two rounds
+    // of pair checkpoints as storage blocks starved the 32-way sorts'
+    // execution memory into an OOM death spiral (measured at 8 g:
+    // MemoryStore puts first, then UnsafeExternalSorter spill-reader
+    // allocation). Disk-backed intermediates pin ZERO unified memory.
+    var matIdx = 0
+    def materialize(df: DataFrame): DataFrame =
+      if (!spillLevels) df.ckpt()
+      else {
+        matIdx += 1
+        val p = s"$levelDir/mat$matIdx"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+    // on the spill path the level materializer writes STRAIGHT to
+    // parquet — the builder itself was the last OOM site at 8 g (two
+    // 15 M-row deserialized checkpoints coexist during every doubling
+    // round when charRanks/doubleRank checkpoint internally); with
+    // parquet levels the builder pins zero block-manager memory and the
+    // next round's sort reads the spill like any other scan
+    def levelMat(m: Long): DataFrame => DataFrame = df =>
+      persistLevel(df, m)
+    var cur = charRanks(docs, idCol, textCol, levelMat(1L))
+    var tables = List((1L, cur))
     var offset = 1L
     while (offset < maxLen) {
-      val next = doubleRank(cur, offset)
+      cur = doubleRank(cur, offset, levelMat(offset * 2))
       offset *= 2
-      next.write.mode("overwrite").parquet(s"$levelDir/m$offset")
-      // the previous level lives on in its parquet spill; its checkpoint
-      // blocks are dead weight from here — drop them before the next
-      // round so one full-width level is resident at a time
-      org.apache.spark.sql.GraftSqlShims.unpersistCheckpoint(cur)
-      cur = next
-      tables ::= (offset, s"$levelDir/m$offset")
+      tables ::= (offset, cur)
     }
     // adjacent pairs in (rank, id, pos) total order — equal suffixes
     // share a rank, so this IS (suffix string, id, pos) order
@@ -1314,20 +1353,28 @@ object Dedup {
     // qualifying pairs after ONE filter + one semi-shaped join
     // (round-11 verdict: the no-prune descent was most of q306's 38 s).
     val m0 = tables.map(_._1).filter(_ <= math.max(1L, minLcp.toLong)).max
-    val t0 = spark.read.parquet(tables.find(_._1 == m0).get._2)
-    var pairs = pairsAll
+    val t0 = tables.find(_._1 == m0).get._2
+    var pairs: DataFrame = pairsAll
       .join(t0.select(col("id").as("id_a"), col("pos").as("pos_a"),
         col("rank").as("_pa")), Seq("id_a", "pos_a"))
       .join(t0.select(col("id").as("id_b"), col("pos").as("pos_b"),
         col("rank").as("_pb")), Seq("id_b", "pos_b"))
       .filter(col("_pa") === col("_pb"))
-      .drop("_pa", "_pb").ckpt()
-    // the pruned pairs are materialized; the sequence cache and the
-    // largest level's checkpoint (already spilled) have no readers left
+      .drop("_pa", "_pb")
+    pairs = materialize(pairs)
+    // the pruned pairs are materialized; the sequence cache has no
+    // readers left (levels live as checkpoints below the spill bar and
+    // as parquet above it — neither needs dropping here)
     seqd.unpersist()
-    org.apache.spark.sql.GraftSqlShims.unpersistCheckpoint(cur)
-    tables.foreach { case (m, path) =>
-      val t = spark.read.parquet(path)
+    // broadcast the per-round probe/slim relations only when the pruned
+    // set is provably small — a FORCED broadcast hint at a corpus whose
+    // qualifying-pair set runs to millions (this deliberately
+    // duplication-fat test corpus at sf1) is a driver OOM, exactly the
+    // failure the memory discipline exists to prevent; past the guard,
+    // AQE still picks broadcast from measured sizes when it fits
+    val maybeBroadcast: DataFrame => DataFrame =
+      if (pairs.count() <= 250000L) broadcast else identity
+    tables.foreach { case (m, t) =>
       // the round's left joins can only match level rows at the pruned
       // pairs' current probe positions (id, pos + lcp) — restrict the
       // full-width level to exactly that set before joining, so the
@@ -1337,30 +1384,34 @@ object Dedup {
         .unionByName(pairs.select(col("id_b").as("id"),
           (col("pos_b") + col("lcp")).as("pos")))
         .distinct()
-      val slim = t.join(broadcast(probeSet), Seq("id", "pos"), "left_semi")
-        .ckpt()
+      val slim = materialize(t.join(maybeBroadcast(probeSet),
+        Seq("id", "pos"), "left_semi"))
       val ta = slim.select(col("id").as("id_a"), col("pos").as("_qa"),
         col("rank").as("_ra"))
       val tb = slim.select(col("id").as("id_b"), col("pos").as("_qb"),
         col("rank").as("_rb"))
-      pairs = pairs
-        .join(broadcast(ta), pairs("id_a") === ta("id_a") &&
+      val next = pairs
+        .join(maybeBroadcast(ta), pairs("id_a") === ta("id_a") &&
           ta("_qa") === pairs("pos_a") + pairs("lcp"), "left")
         .drop(ta("id_a")).drop("_qa")
-        .join(broadcast(tb), pairs("id_b") === tb("id_b") &&
+        .join(maybeBroadcast(tb), pairs("id_b") === tb("id_b") &&
           tb("_qb") === pairs("pos_b") + pairs("lcp"), "left")
         .drop(tb("id_b")).drop("_qb")
         .withColumn("lcp",
           when(col("_ra").isNotNull && col("_ra") === col("_rb"),
             col("lcp") + least(lit(m), col("_la") - col("pos_a") - col("lcp")))
             .otherwise(col("lcp")))
-        .drop("_ra", "_rb").ckpt()
+        .drop("_ra", "_rb")
+      pairs = materialize(next)
     }
-    // pairs is checkpointed — nothing downstream reads the level spills
-    deleteRecursively(new java.io.File(levelDir))
-    pairs.filter(col("lcp") >= minLcp)
+    // materialize the final qualifying set OFF the scratch dir (on the
+    // spill path `pairs` reads parquet under levelDir) so the whole
+    // per-invocation dir can be deleted before returning
+    val result = pairs.filter(col("lcp") >= minLcp)
       .select(col("id_a"), col("pos_a"), col("id_b"), col("pos_b"),
-        col("lcp"))
+        col("lcp")).ckpt()
+    deleteRecursively(new java.io.File(levelDir))
+    result
   }
 
   /** Best-effort recursive delete for per-invocation spill dirs. */

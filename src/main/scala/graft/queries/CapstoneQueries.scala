@@ -29,7 +29,10 @@ import graft.sources.Tables
   *     scores served on the kept slice (q309 chain, round 12),
   *   - the dedup prefilter's gram-count table after the negated fold,
   *     per-doc duplicated-gram counts served over the kept corpus
-  *     (q314 chain, round 12).
+  *     (q314 chain, round 12),
+  *   - the incremental removal's gram POSTINGS table after the negated
+  *     fold, per-doc distinct dup-partner counts served from the
+  *     retracted postings (q315 chain, round 13).
   *
   * Each serve output reduces to ONE row: (surface, n_rows, fold,
   * deleted_refs) where `fold` is the order-independent BIGINT sum of a
@@ -210,7 +213,30 @@ object CapstoneQueries {
         "gram",
         concat_ws("|", col("id"), col("n_dup_gram_positions")),
         Seq(col("id")))
-      Seq(postings, bm25, ivf, dedup, cc, tape, ck, mrl, nb, lm, gram)
+      // surface 12 (round 13): the incremental removal's gram POSTINGS
+      // table (q315) after takedown — the deleted docs' doc-level
+      // postings leave via the same negated fold (additivity zeroes
+      // exactly their (g, id) rows, so the retracted table references no
+      // deleted id at all), and the serve is the read only postings can
+      // answer: per kept doc, the number of DISTINCT partner docs
+      // sharing at least one duplicated 30-gram — the witness-resolution
+      // surface q315's changed-set machinery is built on. The oracle
+      // rebuilds the partner counts from (docs ∖ deleted).
+      val postT = Dedup.combineGramPostings(
+        Dedup.gramPostings(docsRaw, "doc_id", "text", 30),
+        Dedup.gramPostings(docsRaw.filter(col("doc_id") % 10 === 3),
+          "doc_id", "text", 30).withColumn("n", -col("n")))
+      val pd = postT.select(col("g"), col("id"))
+      val gpost = fold(
+        pd.join(pd.select(col("g"), col("id").as("id2")), Seq("g"))
+          .filter(col("id") =!= col("id2"))
+          .groupBy(col("id"))
+          .agg(count_distinct(col("id2")).as("n_dup_partners")),
+        "gpost",
+        concat_ws("|", col("id"), col("n_dup_partners")),
+        Seq(col("id")))
+      Seq(postings, bm25, ivf, dedup, cc, tape, ck, mrl, nb, lm, gram,
+          gpost)
         .reduce(_ unionByName _)
     }))
 
@@ -320,6 +346,24 @@ object CapstoneQueries {
           |FROM g WHERE g IN (SELECT g FROM dup)
           |GROUP BY doc_id""".stripMargin,
         "t.doc_id || '|' || t.n_dup_gram_positions",
+        "t.doc_id % 10 = 3"),
+      foldSql("gpost",
+        """WITH dk AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3
+          |), g AS (
+          |  SELECT doc_id,
+          |         ('0x' || substr(md5(substr(text, CAST(i AS INT) + 1, 30)),
+          |           1, 8))::BIGINT AS g
+          |  FROM dk,
+          |       LATERAL unnest(range(0, greatest(length(text) - 29, 0))) t(i)
+          |), pd AS (
+          |  SELECT DISTINCT doc_id, g FROM g
+          |)
+          |SELECT a.doc_id,
+          |       CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_dup_partners
+          |FROM pd a JOIN pd b ON a.g = b.g AND a.doc_id <> b.doc_id
+          |GROUP BY a.doc_id""".stripMargin,
+        "t.doc_id || '|' || t.n_dup_partners",
         "t.doc_id % 10 = 3")
     ).mkString("\nUNION ALL\n"))
 }
