@@ -2121,11 +2121,12 @@ object Similarity {
     * probe multiplier lands on the query side only (PROBE_LEG.json:
     * radius-2 recall 0.964 measured at n = 200k, 40% smaller index).
     * Radius stops at 2: radius-2 probe sets stay under the codegen
-    * bound through the full 62-bit width (1954 masks at 62 bits),
-    * whereas radius 3 overflows it past 23 bits — and 62 bits of
-    * occupancy covers n ≈ 3.7e19 vectors, beyond any real corpus, so
-    * `bits` simply saturates there (recall is still held by the band
-    * rule; only the occupancy optimum is left behind).
+    * bound through the full band-hash width (1954 masks at 62 bits),
+    * whereas radius 3 overflows it past 23 bits. The occupancy rule
+    * itself tops out at 60 bits for any Long corpus size
+    * (ceil(log2(n/8)) ≤ 60 at n = 2⁶³ − 1, probe set 1831 masks), so
+    * the 62-bit saturation below is a defensive bound, not a reachable
+    * regime.
     */
   def dialedGeometry(n: Long): (Int, Int, Int) = {
     require(n > 0, s"corpus size must be positive, got $n")

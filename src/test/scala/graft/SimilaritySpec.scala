@@ -511,10 +511,13 @@ class SimilaritySpec extends SparkSpec {
       f"(x${m2 / m1}%.2f); index bands $bands1 -> $bands2")
     assert(m2 < m1 * 4 && m2 > m1 / 4,
       s"candidate mass discontinuity at the cap: $m1 -> $m2")
-    // way past the cap: still defined, still radius 2, width saturates
-    // at 62 (probe set stays codegen-safe: radius-2 masks cap at 1954)
+    // way past the cap: still defined, still radius 2. The occupancy
+    // rule tops out at 60 bits for ANY Long n (ceil(log2(n/8)) ≤ 60 at
+    // n = 2^63 − 1), so the 62-bit saturation guard is defensive and
+    // unreachable — and the largest reachable probe set (radius 2 at
+    // 60 bits = 1831 masks) stays under the 2048 codegen bound
     val (bitsBig, _, rBig) = Similarity.dialedGeometry(Long.MaxValue)
-    assert(bitsBig == 62 && rBig == 2)
+    assert(bitsBig == 60 && rBig == 2)
   }
 
   // Recall of the DIALED sf1 geometry (67 bands x 12 bits), measured on
