@@ -1039,11 +1039,14 @@ object Dedup {
     val paired = cur.join(shifted, Seq("id", "pos"), "left")
       .select(col("id"), col("pos"), col("rank").as("_r1"),
         coalesce(col("_r2"), lit(0L)).as("_r2"))
-    val seqd = IngestOps.globalSequence(paired,
+    val (seqd, dropInterim) = IngestOps.globalSequenceCleanable(paired,
       Seq(col("_r1"), col("_r2"), col("id"), col("pos")), "_seq")
-    mat(seqd.withColumn("rank",
+    val out = mat(seqd.withColumn("rank",
         min(col("_seq")).over(Window.partitionBy(col("_r1"), col("_r2"))))
       .select(col("id"), col("pos"), col("rank")))
+    // mat() is eager (checkpoint or parquet) — the sort interim is dead
+    dropInterim()
+    out
   }
 
   /** Initial ranking: rank positions by their single character (same
@@ -1054,11 +1057,13 @@ object Dedup {
       textCol: String,
       mat: DataFrame => DataFrame = _.ckpt()): DataFrame = {
     val chars = charPositions(docs, idCol, textCol)
-    val seqd = IngestOps.globalSequence(chars,
+    val (seqd, dropInterim) = IngestOps.globalSequenceCleanable(chars,
       Seq(col("ch"), col("id"), col("pos")), "_seq")
-    mat(seqd.withColumn("rank",
+    val out = mat(seqd.withColumn("rank",
         min(col("_seq")).over(Window.partitionBy(col("ch"))))
       .select(col("id"), col("pos"), col("rank")))
+    dropInterim()
+    out
   }
 
   /** DISTRIBUTED SUFFIX ORDERING over the whole corpus — the classic
@@ -1274,12 +1279,17 @@ object Dedup {
     // sf1-scale 15 M-row corpus is not). Below the bar the levels stay
     // as checkpoints and the descent is identical — the two paths differ
     // only in where a level's rows live.
-    val spillLevels = totalChars > 4000000L
+    // bar overridable via system property so the test suite can force
+    // the parquet path on a small fixture (the spill branch must not be
+    // bench-only coverage)
+    val spillLevels = totalChars > sys.props
+      .get("graft.lcp.spillCharBar").map(_.toLong).getOrElse(4000000L)
     // per-invocation level spill dir (pid + nanotime: concurrent drivers
     // AND concurrent same-process calls never share a path)
     val levelDir = s"${sys.props("java.io.tmpdir")}/graft_lcp_levels_p" +
       ProcessHandle.current().pid() + "_" + java.lang.Long.toHexString(
         System.nanoTime())
+    try {
     def persistLevel(df: DataFrame, m: Long): DataFrame =
       if (!spillLevels) df.ckpt()
       else {
@@ -1404,14 +1414,25 @@ object Dedup {
         .drop("_ra", "_rb")
       pairs = materialize(next)
     }
-    // materialize the final qualifying set OFF the scratch dir (on the
-    // spill path `pairs` reads parquet under levelDir) so the whole
-    // per-invocation dir can be deleted before returning
-    val result = pairs.filter(col("lcp") >= minLcp)
+    val finished = pairs.filter(col("lcp") >= minLcp)
       .select(col("id_a"), col("pos_a"), col("id_b"), col("pos_b"),
-        col("lcp")).ckpt()
-    deleteRecursively(new java.io.File(levelDir))
-    result
+        col("lcp"))
+    if (!spillLevels) finished // everything is checkpoint-backed; lazy
+    else {
+      // materialize the final qualifying set OFF the scratch dir (on the
+      // spill path `pairs` reads parquet under levelDir) so the whole
+      // per-invocation dir can be deleted before returning
+      val result = finished.ckpt()
+      deleteRecursively(new java.io.File(levelDir))
+      result
+    }
+    } catch { case t: Throwable =>
+      // a mid-descent failure must not leak the (multi-GB at scale)
+      // spill tree — the nanotime-keyed name means no later invocation
+      // could ever reclaim it
+      deleteRecursively(new java.io.File(levelDir))
+      throw t
+    }
   }
 
   /** Best-effort recursive delete for per-invocation spill dirs. */
@@ -1756,8 +1777,11 @@ object Dedup {
       "left_semi")
     val removed = exactSubstrRemove(sub, idCol, textCol, minLen)
       .join(changed, Seq("id"), "left_semi")
+    // coalesce to "" so a null-text doc matches exactSubstrRemove's
+    // output for the same doc (concat_ws never returns null) — the
+    // row-for-row contract must hold on null-text corpora too
     val verbatim = docs.select(col(idCol).as("id"),
-        col(textCol).as("clean_text"))
+        coalesce(col(textCol), lit("")).as("clean_text"))
       .join(changed, Seq("id"), "left_semi")
       .join(wit, Seq("id"), "left_anti")
       .withColumn("removed_chars", lit(0L))

@@ -148,7 +148,26 @@ object IngestOps {
     * tie-break) for determinism.
     */
   def globalSequence(df: DataFrame, sortCols: Seq[Column],
-      outCol: String = "admission_seq"): DataFrame = {
+      outCol: String = "admission_seq"): DataFrame =
+    globalSequenceCleanable(df, sortCols, outCol)._1
+
+  /** [[globalSequence]] plus a cleanup thunk that drops the INTERIM
+    * sorted checkpoint's block-manager storage. The interim is an
+    * implementation detail (the sort is materialized once so
+    * zipWithIndex's count job and the downstream action don't each
+    * re-sort), but it is FULL-WIDTH — for iterative callers like the
+    * suffix-array builder, one hidden full-width checkpoint per round
+    * accumulates until GC gets around to it, a nondeterministic
+    * footprint under exactly the memory pressure those callers manage
+    * deliberately (round 13). Call the thunk ONLY after the returned
+    * frame has been materialized somewhere independent (an eager
+    * checkpoint or a parquet write): the frame computes THROUGH the
+    * interim, whose lineage is truncated, so a post-cleanup recompute
+    * would fail rather than silently redo work.
+    */
+  private[operators] def globalSequenceCleanable(df: DataFrame,
+      sortCols: Seq[Column],
+      outCol: String = "admission_seq"): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     // localCheckpoint materializes the sort once: zipWithIndex's internal
     // count job and the downstream action would otherwise each run the full
@@ -158,7 +177,8 @@ object IngestOps {
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }
-    spark.createDataFrame(rdd, schema)
+    (spark.createDataFrame(rdd, schema),
+      () => org.apache.spark.sql.GraftSqlShims.unpersistCheckpoint(sorted))
   }
 
   // ---------------------------------------------------------------- O11

@@ -86,8 +86,28 @@ object Tables {
     * per-process name costs nothing and removes the only cross-process
     * sharing these paths ever had.
     */
-  def artifactDir(tag: String, datasetDir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
-      java.lang.Integer.toHexString(datasetDir.hashCode) +
-      "_p" + ProcessHandle.current().pid()
+  def artifactDir(tag: String, datasetDir: String): String = {
+    val prefix = s"graft_${tag}_" +
+      java.lang.Integer.toHexString(datasetDir.hashCode) + "_p"
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    // Per-process names would otherwise grow /tmp without bound (every
+    // bench/verify/test process leaves its generation behind): reap
+    // SAME-prefix dirs from other pids once they are old enough that no
+    // live proof query can still be reading them. The 6 h bar keeps the
+    // reaper from racing a concurrent driver — the exact hazard the pid
+    // suffix exists to prevent.
+    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    val mine = prefix + ProcessHandle.current().pid()
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.startsWith(prefix) && f.getName != mine &&
+          f.lastModified() < cutoff) {
+        def rm(g: java.io.File): Unit = {
+          if (g.isDirectory) Option(g.listFiles()).foreach(_.foreach(rm))
+          g.delete(): Unit
+        }
+        try rm(f) catch { case _: Throwable => () }
+      }
+    }
+    s"${tmp.getPath}/$mine"
+  }
 }

@@ -60,11 +60,18 @@ object StreamingDedupGate {
     Option(new java.io.File(commitDir(dir)).list())
       .map(_.toSeq.sorted).getOrElse(Seq.empty)
 
+  /** Marker-last, and SKIP-IF-COMMITTED: a replayed batch whose segment
+    * already carries a commit marker writes nothing — its contents are
+    * deterministic, so skipping equals rewriting, and the skip closes
+    * the double-kill window where an overwrite-in-progress briefly
+    * leaves a valid marker pointing at a half-deleted parquet dir.
+    */
   private def writeSegment(counts: DataFrame, dir: String,
-      name: String): Unit = {
-    counts.write.mode("overwrite").parquet(s"$dir/counts/d=$name")
-    commit(dir, name)
-  }
+      name: String): Unit =
+    if (!Files.exists(Paths.get(commitDir(dir), name))) {
+      counts.write.mode("overwrite").parquet(s"$dir/counts/d=$name")
+      commit(dir, name)
+    }
 
   /** One-time bootstrap: the historical corpus's counts as `base`. */
   def init(spark: SparkSession, dir: String, corpus: DataFrame,
@@ -112,10 +119,13 @@ object StreamingDedupGate {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val name = s"b$batchId"
-          val pre = loadCounts(spark, dir, excluding = Some(name))
-          Dedup.dupGramStats(batch, idCol, textCol, minLen, pre)
-            .write.mode("overwrite").parquet(s"$outDir/d=$name")
-          commit(outDir, name)
+          // same skip-if-committed discipline for the gate output
+          if (!Files.exists(Paths.get(commitDir(outDir), name))) {
+            val pre = loadCounts(spark, dir, excluding = Some(name))
+            Dedup.dupGramStats(batch, idCol, textCol, minLen, pre)
+              .write.mode("overwrite").parquet(s"$outDir/d=$name")
+            commit(outDir, name)
+          }
           writeSegment(
             Dedup.dupGramCounts(batch, idCol, textCol, minLen), dir, name)
         }

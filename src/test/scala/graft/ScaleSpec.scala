@@ -1065,6 +1065,27 @@ class ScaleSpec extends SparkSpec {
     assert(p2.processedState.count() == 4)
   }
 
+  // The LCP descent's parquet spill path (round 13) must be covered by
+  // the suite, not only by bench-scale runs: force the char-row bar to
+  // 0 so a small fixture takes the disk-backed branch (levels, pruned
+  // pairs, and per-round tables all via scratch parquet), and assert
+  // the result is row-identical to the below-bar checkpoint branch —
+  // the two paths claim to differ only in where a level's rows live.
+  test("lcpAdjacentPairs: spill path == checkpoint path, row for row") {
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    def run() = Dedup.lcpAdjacentPairs(docs, "doc_id", "text", minLcp = 20)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val viaCkpt = run()
+    assert(viaCkpt.nonEmpty, "fixture has no qualifying pairs — vacuous")
+    val key = "graft.lcp.spillCharBar"
+    sys.props(key) = "0"
+    try assert(run() == viaCkpt,
+      "spill-path LCP pairs != checkpoint-path LCP pairs")
+    finally { sys.props.remove(key); () }
+  }
+
   // The streaming twin of the maintained gram prefilter (round-12
   // verdict #6): arriving docs are gated against the committed count
   // table, their counts fold in as additive segments, the stream is
