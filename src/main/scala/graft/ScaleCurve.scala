@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SCALE REHEARSAL (round-10 verdict #5): measure the sf0.1 → sf1 scaling
@@ -73,14 +73,47 @@ object ScaleCurve {
       if ((h(0) & 1) == 0) 1.0f else -1.0f
     }
 
+  /** CHAR-GRANULAR perturbation (round-14 verdict #1): the token-suffix
+    * transform de-duplicates replicas at TOKEN granularity only — a
+    * ≥ 30-char window fully inside one long token is byte-identical
+    * across replicas, so char-gram neighborhoods on the sf1 corpus were
+    * corpus-sized (76–92 % of docs for a 1–10 % batch) and every sf1
+    * number for the ExactSubstr family was measured ONLY on that
+    * adversarial corpus. With `charSalt` on, every ≥ 20-char token also
+    * gets its char at positions 10, 20, 30, … replaced by a salt char
+    * that is a pure function of (replica, position) from a 16-letter
+    * alphabet: replicas (≤ 10 < 16) get DISTINCT chars at every salted
+    * position, so no ≥ 20-char window inside a token survives across
+    * replicas (any 20 consecutive chars contain ≥ 2 multiples of 10),
+    * while within-replica duplicate families are preserved exactly (the
+    * salt depends on token content only through position — equal tokens
+    * stay equal) and token lengths/counts are unchanged. Windows
+    * SPANNING tokens already differ via the `_r<r>` suffix, which is
+    * appended after salting so token-level replica disjointness is
+    * untouched. The unsalted corpus remains the stress case (it caught
+    * three OOMs); this mode measures the family at production
+    * duplication rates.
+    */
+  private def charSaltToken(w: Column, r: Int): Column =
+    when(length(w) >= 20,
+      aggregate(
+        sequence(lit(1), (length(w) / lit(10)).cast("int")),
+        w,
+        (acc, k) => overlay(acc,
+          substring(lit("abcdefghijklmnop"),
+            (pmod(k * lit(7) + lit(r), lit(16)) + 1).cast("int"), lit(1)),
+          (k * lit(10)).cast("int"))))
+      .otherwise(w)
+
   private def synthesize(spark: SparkSession, src: String, out: String,
-      replicas: Int): Unit = {
+      replicas: Int, charSalt: Boolean): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     (0 until replicas).map { r =>
       val text =
         if (r == 0) col("text")
         else array_join(transform(split(col("text"), "\\s+"),
-          w => concat(w, lit(s"_r$r"))), " ")
+          w => concat(if (charSalt) charSaltToken(w, r) else w,
+            lit(s"_r$r"))), " ")
       docs.select((col("doc_id") + r.toLong * 10000000L).as("doc_id"),
           text.as("text"), col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))
@@ -251,7 +284,7 @@ object ScaleCurve {
     * `INC_LEG.json`.
     */
   private def incLeg(spark: SparkSession, dirs: Seq[(String, String)],
-      runs: Int): Unit = {
+      runs: Int, outFile: String): Unit = {
     import graft.operators.Dedup
     // two batch shapes per scale: the oracle-convention 10 % batch
     // (comparable to q315's proof query) and a PRODUCTION-shaped ~1 %
@@ -271,6 +304,7 @@ object ScaleCurve {
       val batch = docs.filter(inBatch(col("doc_id")))
       val pdir = s"${sys.props("java.io.tmpdir")}/graft_incleg_" +
         ProcessHandle.current().pid() + "_" + tag
+      try {
       // UNTIMED bootstrap: the maintained artifact, as it would already
       // exist on day N
       Dedup.saveGramPostings(
@@ -306,6 +340,13 @@ object ScaleCurve {
       spark.catalog.clearCache()
       System.gc(); Thread.sleep(2000); System.gc(); Thread.sleep(1000)
       (tag, nDocs, nChanged, tInc, tFull)
+      } finally {
+        // the bootstrap dir is multi-GB at sf1 and its graft_incleg_
+        // prefix sits OUTSIDE Tables.artifactDir's reaper — without this
+        // each leg leaks four parquet trees into java.io.tmpdir
+        // permanently (round-13 advisor)
+        Dedup.deleteRecursively(new java.io.File(pdir))
+      }
     }
     val qs = rows.map { case (tag, n, c, ti, tf) =>
       s""""$tag":{"n_docs":$n,"n_changed":$c,""" +
@@ -321,16 +362,30 @@ object ScaleCurve {
         f""""full":${math.log(b._5 / a._5) / math.log(r)}%.2f}"""
     }).getOrElse("null")
     val json = s"""{"metric":"inc_leg","scales":$qs,"exponents":$exps}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("INC_LEG.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     println(json)
   }
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_SRC", "/root/testdata/sf0.1")
-    val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "tmp/sf1")
+    // char-salted corpus mode (round-14 verdict #1): SPARK_GRAFT_CHAR_SALT=1
+    // synthesizes with [[charSaltToken]] and defaults the corpus dir and
+    // the artifacts' names apart from the adversarial ones, so both
+    // regimes coexist on disk and in the committed JSON
+    val charSalt = sys.env.get("SPARK_GRAFT_CHAR_SALT").contains("1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+      if (charSalt) "tmp/sf1c" else "tmp/sf1")
+    val curveOut = sys.env.getOrElse("SPARK_GRAFT_CURVE_OUT",
+      if (charSalt) "BENCH_SF1_CHAR.json" else "BENCH_SF1.json")
+    val incOut = sys.env.getOrElse("SPARK_GRAFT_INC_OUT",
+      if (charSalt) "INC_LEG_CHAR.json" else "INC_LEG.json")
     val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_CURVE_RUNS", "2").toInt
+    // 0 would run the expensive untimed bootstraps and then die computing
+    // ts.tail.min on an empty sequence (round-13 advisor; Bench.scala has
+    // the same guard on its env var)
+    require(runs >= 1, s"SPARK_GRAFT_CURVE_RUNS must be >= 1, got $runs")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val names = if (args.nonEmpty) hot.filter(args.contains) else hot
     val spark = SparkSession.builder()
@@ -352,16 +407,17 @@ object ScaleCurve {
       // needs the synthesized sf1 (falls through to build it if absent)
       if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$out/lineitem.parquet")))
-        synthesize(spark, src, out, replicas)
-      incLeg(spark, Seq("sf01" -> src, "sf1" -> out), runs)
+        synthesize(spark, src, out, replicas, charSalt)
+      incLeg(spark, Seq("sf01" -> src, "sf1" -> out), runs, incOut)
       spark.stop()
       return
     }
 
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$out/lineitem.parquet"))) {
-      System.err.println(s"[curve] synthesizing sf1 ($replicas x $src) -> $out")
-      synthesize(spark, src, out, replicas)
+      System.err.println(s"[curve] synthesizing sf1 ($replicas x $src) -> $out" +
+        (if (charSalt) " (char-salted)" else ""))
+      synthesize(spark, src, out, replicas, charSalt)
     }
     val nDocs = spark.read.parquet(s"$out/documents.parquet").count()
     val nVecs = spark.read.parquet(s"$out/embeddings.parquet").count()
@@ -421,8 +477,9 @@ object ScaleCurve {
       }
     }.mkString("{", ",", "}")
     val json = s"""{"metric":"scale_curve","replicas":$replicas,""" +
+      s""""char_salt":$charSalt,""" +
       s""""n_docs":$nDocs,"n_vecs":$nVecs,"cand":$cand,"queries":$qs}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SF1.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(curveOut),
       (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()

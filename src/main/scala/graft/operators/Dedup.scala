@@ -1388,23 +1388,43 @@ object Dedup {
       // the round's left joins can only match level rows at the pruned
       // pairs' current probe positions (id, pos + lcp) — restrict the
       // full-width level to exactly that set before joining, so the
-      // level never re-enters memory wider than the pair count
-      val probeSet = pairs
-        .select(col("id_a").as("id"), (col("pos_a") + col("lcp")).as("pos"))
-        .unionByName(pairs.select(col("id_b").as("id"),
-          (col("pos_b") + col("lcp")).as("pos")))
-        .distinct()
-      val slim = materialize(t.join(maybeBroadcast(probeSet),
-        Seq("id", "pos"), "left_semi"))
-      val ta = slim.select(col("id").as("id_a"), col("pos").as("_qa"),
-        col("rank").as("_ra"))
-      val tb = slim.select(col("id").as("id_b"), col("pos").as("_qb"),
-        col("rank").as("_rb"))
+      // level never re-enters memory wider than the pair count.
+      // GATED ON THE SPILL BAR (round-13 verdict adjudication): the
+      // restriction exists for the above-bar regime, where a full-width
+      // level re-entering memory is the OOM site it closes; below the
+      // bar the levels are resident checkpoints the joins read in place,
+      // and the extra semi-join + materialization per round is pure rent
+      // (measured at sf0.1: it was most of q306's 34.8 → 40.0 s growth).
+      // Identical output either way: the semi-join only drops level rows
+      // the left joins could never match (a probe past a suffix's end is
+      // absent from level and restricted level alike).
+      val (ta, tb, hint) =
+        if (!spillLevels)
+          (t.select(col("id").as("id_a"), col("pos").as("_qa"),
+             col("rank").as("_ra")),
+           t.select(col("id").as("id_b"), col("pos").as("_qb"),
+             col("rank").as("_rb")),
+           identity[DataFrame] _)
+        else {
+          val probeSet = pairs
+            .select(col("id_a").as("id"),
+              (col("pos_a") + col("lcp")).as("pos"))
+            .unionByName(pairs.select(col("id_b").as("id"),
+              (col("pos_b") + col("lcp")).as("pos")))
+            .distinct()
+          val slim = materialize(t.join(maybeBroadcast(probeSet),
+            Seq("id", "pos"), "left_semi"))
+          (slim.select(col("id").as("id_a"), col("pos").as("_qa"),
+             col("rank").as("_ra")),
+           slim.select(col("id").as("id_b"), col("pos").as("_qb"),
+             col("rank").as("_rb")),
+           maybeBroadcast)
+        }
       val next = pairs
-        .join(maybeBroadcast(ta), pairs("id_a") === ta("id_a") &&
+        .join(hint(ta), pairs("id_a") === ta("id_a") &&
           ta("_qa") === pairs("pos_a") + pairs("lcp"), "left")
         .drop(ta("id_a")).drop("_qa")
-        .join(maybeBroadcast(tb), pairs("id_b") === tb("id_b") &&
+        .join(hint(tb), pairs("id_b") === tb("id_b") &&
           tb("_qb") === pairs("pos_b") + pairs("lcp"), "left")
         .drop(tb("id_b")).drop("_qb")
         .withColumn("lcp",
@@ -1421,7 +1441,15 @@ object Dedup {
     else {
       // materialize the final qualifying set OFF the scratch dir (on the
       // spill path `pairs` reads parquet under levelDir) so the whole
-      // per-invocation dir can be deleted before returning
+      // per-invocation dir can be deleted before returning.
+      // CLUSTER CAVEAT (round-13 advisor): a localCheckpoint lives in
+      // ephemeral, non-replicated executor storage and the backing
+      // parquet is deleted on the next line — on a multi-executor
+      // deployment an executor loss after return makes the result
+      // irrecoverable (block gone, lineage truncated). Correct for the
+      // single-JVM bench topology this spill bar targets; a cluster
+      // deployment should instead return the parquet-backed frame and
+      // defer levelDir deletion to the caller or a JVM-exit hook.
       val result = finished.ckpt()
       deleteRecursively(new java.io.File(levelDir))
       result
@@ -1435,8 +1463,11 @@ object Dedup {
     }
   }
 
-  /** Best-effort recursive delete for per-invocation spill dirs. */
-  private def deleteRecursively(f: java.io.File): Unit = {
+  /** Best-effort recursive delete for per-invocation spill dirs.
+    * `private[graft]`: the measurement mains (ScaleCurve's incremental
+    * leg) reuse it for their bootstrap-artifact scratch dirs.
+    */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }

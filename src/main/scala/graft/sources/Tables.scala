@@ -98,9 +98,18 @@ object Tables {
     // suffix exists to prevent.
     val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
     val mine = prefix + ProcessHandle.current().pid()
+    // a directory's mtime does not update on READS, so age alone can
+    // reap a >6h-old dir a still-live process is re-scanning (cache
+    // eviction, repeated bench runs without re-save) — the name already
+    // embeds the owning pid, so skip any dir whose owner is still alive
+    // and keep the age bar only as the dead-owner fallback
+    def ownerAlive(name: String): Boolean =
+      try ProcessHandle.of(name.substring(prefix.length).toLong)
+        .isPresent
+      catch { case _: Throwable => false }
     Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
       if (f.getName.startsWith(prefix) && f.getName != mine &&
-          f.lastModified() < cutoff) {
+          f.lastModified() < cutoff && !ownerAlive(f.getName)) {
         def rm(g: java.io.File): Unit = {
           if (g.isDirectory) Option(g.listFiles()).foreach(_.foreach(rm))
           g.delete(): Unit
