@@ -73,37 +73,45 @@ object ScaleCurve {
       if ((h(0) & 1) == 0) 1.0f else -1.0f
     }
 
-  /** CHAR-GRANULAR perturbation (round-14 verdict #1): the token-suffix
-    * transform de-duplicates replicas at TOKEN granularity only — a
-    * ≥ 30-char window fully inside one long token is byte-identical
-    * across replicas, so char-gram neighborhoods on the sf1 corpus were
-    * corpus-sized (76–92 % of docs for a 1–10 % batch) and every sf1
-    * number for the ExactSubstr family was measured ONLY on that
-    * adversarial corpus. With `charSalt` on, every ≥ 20-char token also
-    * gets its char at positions 10, 20, 30, … replaced by a salt char
-    * that is a pure function of (replica, position) from a 16-letter
-    * alphabet: replicas (≤ 10 < 16) get DISTINCT chars at every salted
-    * position, so no ≥ 20-char window inside a token survives across
-    * replicas (any 20 consecutive chars contain ≥ 2 multiples of 10),
-    * while within-replica duplicate families are preserved exactly (the
-    * salt depends on token content only through position — equal tokens
-    * stay equal) and token lengths/counts are unchanged. Windows
-    * SPANNING tokens already differ via the `_r<r>` suffix, which is
-    * appended after salting so token-level replica disjointness is
-    * untouched. The unsalted corpus remains the stress case (it caught
-    * three OOMs); this mode measures the family at production
-    * duplication rates.
+  /** CHAR-GRANULAR replica separation (round-14 verdict #1) — a
+    * per-replica SUBSTITUTION CIPHER over the letter alphabet, applied
+    * with one native `translate`. The round-13 measurement outgrew the
+    * token-suffix transform for the ExactSubstr family, but NOT for the
+    * reason first suspected: a direct measurement this round showed
+    * ZERO duplicated 30-char grams span replicas on the suffixed
+    * corpus — the 76–92 % changed-set blowup is entirely WITHIN-replica,
+    * because `_r<r>` suffixes lengthen every token (~4 → ~7 chars), so a
+    * 30-char window covers ~4 tokens instead of ~6 and short-phrase
+    * collisions over this 31-word vocabulary explode (replica 0, left
+    * verbatim, contributes ~73 changed docs for a 1 % batch; each
+    * suffixed replica ~4,170 — 73 + 9×4170 ≈ the measured 37,731). A
+    * substitution cipher fixes the mechanism itself: it is a
+    * character-level ISOMORPHISM, so every replica's internal char-gram
+    * equality structure — window lengths, phrase collision rates,
+    * duplicate families — is EXACTLY the original corpus's (equal
+    * windows stay equal, unequal stay unequal, every length unchanged),
+    * while a 30-char window can only match across replicas if every
+    * token in it maps onto a real token sequence under the other
+    * replica's random permutation (probability ~0; replica 0 keeps the
+    * identity cipher). Token-level stats survive verbatim for the same
+    * reason. The suffixed corpus remains the STRESS case — its
+    * corpus-sized neighborhoods caught three OOMs — and this mode is
+    * the production-duplication (1–5 %) regime the incremental
+    * removal's daily-ingest claim is measured on.
     */
-  private def charSaltToken(w: Column, r: Int): Column =
-    when(length(w) >= 20,
-      aggregate(
-        sequence(lit(1), (length(w) / lit(10)).cast("int")),
-        w,
-        (acc, k) => overlay(acc,
-          substring(lit("abcdefghijklmnop"),
-            (pmod(k * lit(7) + lit(r), lit(16)) + 1).cast("int"), lit(1)),
-          (k * lit(10)).cast("int"))))
-      .otherwise(w)
+  private def replicaCipher(r: Int): String = {
+    val a = ('a' to 'z').toArray
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft-cipher:$r".getBytes("UTF-8"))
+    val rng = new java.util.Random(java.nio.ByteBuffer.wrap(h).getLong)
+    var i = a.length - 1
+    while (i >= 1) {
+      val j = rng.nextInt(i + 1)
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    new String(a)
+  }
 
   private def synthesize(spark: SparkSession, src: String, out: String,
       replicas: Int, charSalt: Boolean): Unit = {
@@ -111,9 +119,11 @@ object ScaleCurve {
     (0 until replicas).map { r =>
       val text =
         if (r == 0) col("text")
+        else if (charSalt)
+          translate(col("text"), "abcdefghijklmnopqrstuvwxyz",
+            replicaCipher(r))
         else array_join(transform(split(col("text"), "\\s+"),
-          w => concat(if (charSalt) charSaltToken(w, r) else w,
-            lit(s"_r$r"))), " ")
+          w => concat(w, lit(s"_r$r"))), " ")
       docs.select((col("doc_id") + r.toLong * 10000000L).as("doc_id"),
           text.as("text"), col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))

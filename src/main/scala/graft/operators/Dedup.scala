@@ -1685,13 +1685,16 @@ object Dedup {
       .filter(col("cnt") =!= 0)
 
   def saveGramCounts(counts: DataFrame, dir: String): Unit =
-    Curation.writeShards(
-      counts.withColumn("bucket", pmod(col("g"), lit(64)).cast("int")),
-      dir, Seq("bucket"), 1L << 20, Seq(col("g")))
+    graft.sources.Generations.save(dir) { g =>
+      Curation.writeShards(
+        counts.withColumn("bucket", pmod(col("g"), lit(64)).cast("int")),
+        g, Seq("bucket"), 1L << 20, Seq(col("g")))
+    }: Unit
 
   def loadGramCounts(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    spark.read.parquet(dir).select(col("g"), col("cnt"))
+    spark.read.parquet(graft.sources.Generations.loadPath(dir))
+      .select(col("g"), col("cnt"))
 
   /** SERVE the prefilter from a (possibly maintained) gram-count table:
     * per doc, the number of gram positions whose gram occurs ≥ 2 times
@@ -1736,13 +1739,16 @@ object Dedup {
       .filter(col("n") =!= 0)
 
   def saveGramPostings(postings: DataFrame, dir: String): Unit =
-    Curation.writeShards(
-      postings.withColumn("bucket", pmod(col("g"), lit(64)).cast("int")),
-      dir, Seq("bucket"), 1L << 20, Seq(col("g"), col("id")))
+    graft.sources.Generations.save(dir) { g =>
+      Curation.writeShards(
+        postings.withColumn("bucket", pmod(col("g"), lit(64)).cast("int")),
+        g, Seq("bucket"), 1L << 20, Seq(col("g"), col("id")))
+    }: Unit
 
   def loadGramPostings(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    spark.read.parquet(dir).select(col("g"), col("id"), col("n"))
+    spark.read.parquet(graft.sources.Generations.loadPath(dir))
+      .select(col("g"), col("id"), col("n"))
 
   /** INCREMENTAL ExactSubstr removal — q217's daily-ingest discipline
     * lifted to the suffix family (round-12 verdict item 2): after the

@@ -955,18 +955,24 @@ object Eval {
     counts.withColumn("cnt", -col("cnt"))
 
   def saveNbCounts(counts: DataFrame, dir: String): Unit =
-    counts.select(col("y"), col("h"), col("cnt"))
-      .coalesce(1).write.mode("overwrite").parquet(dir)
+    graft.sources.Generations.save(dir) { g =>
+      counts.select(col("y"), col("h"), col("cnt"))
+        .coalesce(1).write.mode("overwrite").parquet(g)
+    }: Unit
 
   def loadNbCounts(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    spark.read.parquet(dir).select(col("y"), col("h"), col("cnt"))
+    spark.read.parquet(graft.sources.Generations.loadPath(dir))
+      .select(col("y"), col("h"), col("cnt"))
 
   def saveBigramLmCounts(counts: DataFrame, dir: String): Unit =
-    counts.select(col("h1"), col("h2"), col("cnt"))
-      .coalesce(1).write.mode("overwrite").parquet(dir)
+    graft.sources.Generations.save(dir) { g =>
+      counts.select(col("h1"), col("h2"), col("cnt"))
+        .coalesce(1).write.mode("overwrite").parquet(g)
+    }: Unit
 
   def loadBigramLmCounts(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    spark.read.parquet(dir).select(col("h1"), col("h2"), col("cnt"))
+    spark.read.parquet(graft.sources.Generations.loadPath(dir))
+      .select(col("h1"), col("h2"), col("cnt"))
 }

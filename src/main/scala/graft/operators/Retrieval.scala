@@ -88,26 +88,29 @@ object Retrieval {
     * small tables coalesce to single files.
     */
   def saveIndex(index: RetrievalIndex, dir: String,
-      maxRecordsPerFile: Long = 1L << 20): Unit = {
-    Curation.writeShards(index.postings, s"$dir/postings",
-      Seq("term_bucket"), maxRecordsPerFile,
-      Seq(col("term"), col("doc_id")))
-    index.terms.coalesce(1).write.mode("overwrite").parquet(s"$dir/terms")
-    index.docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/docs")
-    index.stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
-  }
+      maxRecordsPerFile: Long = 1L << 20): Unit =
+    graft.sources.Generations.save(dir) { g =>
+      Curation.writeShards(index.postings, s"$g/postings",
+        Seq("term_bucket"), maxRecordsPerFile,
+        Seq(col("term"), col("doc_id")))
+      index.terms.coalesce(1).write.mode("overwrite").parquet(s"$g/terms")
+      index.docs.coalesce(1).write.mode("overwrite").parquet(s"$g/docs")
+      index.stats.coalesce(1).write.mode("overwrite").parquet(s"$g/stats")
+    }: Unit
 
   /** Load a persisted index; column order re-pinned (partitionBy moved
     * term_bucket to the directory level).
     */
-  def loadIndex(spark: SparkSession, dir: String): RetrievalIndex =
+  def loadIndex(spark: SparkSession, dir: String): RetrievalIndex = {
+    val g = graft.sources.Generations.loadPath(dir)
     RetrievalIndex(
-      spark.read.parquet(s"$dir/postings")
+      spark.read.parquet(s"$g/postings")
         .select(col("term_bucket").cast("long").as("term_bucket"),
           col("term"), col("doc_id"), col("tf"), col("positions")),
-      spark.read.parquet(s"$dir/terms").select(col("term"), col("df")),
-      spark.read.parquet(s"$dir/docs").select(col("doc_id"), col("dl")),
-      spark.read.parquet(s"$dir/stats").select(col("s_total"), col("n_docs")))
+      spark.read.parquet(s"$g/terms").select(col("term"), col("df")),
+      spark.read.parquet(s"$g/docs").select(col("doc_id"), col("dl")),
+      spark.read.parquet(s"$g/stats").select(col("s_total"), col("n_docs")))
+  }
 
   /** Fold a new document batch into the index WITHOUT rebuilding — work is
     * O(|delta| postings), never O(corpus):

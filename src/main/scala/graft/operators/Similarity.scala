@@ -1279,23 +1279,26 @@ object Similarity {
     * rows are contiguous, vec_id-sorted files.
     */
   def saveIvfIndex(index: IvfIndex, dir: String,
-      maxRecordsPerFile: Long = 1L << 20): Unit = {
-    index.centroids.coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/centroids")
-    Curation.writeShards(index.assignments, s"$dir/assignments",
-      Seq("centroid_id"), maxRecordsPerFile, Seq(col("vec_id")))
-  }
+      maxRecordsPerFile: Long = 1L << 20): Unit =
+    graft.sources.Generations.save(dir) { g =>
+      index.centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$g/centroids")
+      Curation.writeShards(index.assignments, s"$g/assignments",
+        Seq("centroid_id"), maxRecordsPerFile, Seq(col("vec_id")))
+    }: Unit
 
   /** Load a persisted index. Column order is re-pinned (partitionBy moved
     * centroid_id to the directory level).
     */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): IvfIndex =
+      dir: String): IvfIndex = {
+    val g = graft.sources.Generations.loadPath(dir)
     IvfIndex(
-      spark.read.parquet(s"$dir/centroids")
+      spark.read.parquet(s"$g/centroids")
         .select(col("vec_id"), col("vec"), col("nrm")),
-      spark.read.parquet(s"$dir/assignments")
+      spark.read.parquet(s"$g/assignments")
         .select(col("vec_id"), col("vec"), col("nrm"), col("centroid_id")))
+  }
 
   /** Fold a batch of new vectors into an existing index WITHOUT rebuilding:
     * the new vectors broadcast-assign to the FROZEN centroid set (map-side,
@@ -1596,24 +1599,26 @@ object Similarity {
     * out for scan bandwidth, not point lookup.
     */
   def savePqIndex(index: PqIndex, dir: String,
-      maxRecordsPerFile: Long = 1L << 20): Unit = {
-    index.codebook.coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/codebook")
-    index.codes.write.mode("overwrite")
-      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
-      .parquet(s"$dir/codes")
-  }
+      maxRecordsPerFile: Long = 1L << 20): Unit =
+    graft.sources.Generations.save(dir) { g =>
+      index.codebook.coalesce(1).write.mode("overwrite")
+        .parquet(s"$g/codebook")
+      index.codes.write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+        .parquet(s"$g/codes")
+    }: Unit
 
   /** Load a persisted index; geometry (subspaces, codewords) is read off
     * the codebook itself, so the artifact is self-describing.
     */
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): PqIndex = {
-    val cb = spark.read.parquet(s"$dir/codebook")
+    val g = graft.sources.Generations.loadPath(dir)
+    val cb = spark.read.parquet(s"$g/codebook")
       .select(col("m"), col("c"), col("cw"))
     val geo = cb.agg(max(col("m")), max(col("c"))).head()
     PqIndex(cb,
-      spark.read.parquet(s"$dir/codes")
+      spark.read.parquet(s"$g/codes")
         .select(col("vec_id"), col("vec"), col("nrm"), col("codes")),
       geo.getInt(0) + 1, geo.getInt(1) + 1)
   }
@@ -2163,13 +2168,16 @@ object Similarity {
 
   def saveMrlTier(tier: DataFrame, dir: String,
       maxRecordsPerFile: Long = 1L << 20): Unit =
-    Curation.writeShards(
-      tier.withColumn("bucket", pmod(col("vec_id"), lit(64)).cast("int")),
-      dir, Seq("bucket"), maxRecordsPerFile, Seq(col("vec_id")))
+    graft.sources.Generations.save(dir) { g =>
+      Curation.writeShards(
+        tier.withColumn("bucket", pmod(col("vec_id"), lit(64)).cast("int")),
+        g, Seq("bucket"), maxRecordsPerFile, Seq(col("vec_id")))
+    }: Unit
 
   def loadMrlTier(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    spark.read.parquet(dir).select(col("vec_id"), col("pvec"), col("pnrm"))
+    spark.read.parquet(graft.sources.Generations.loadPath(dir))
+      .select(col("vec_id"), col("pvec"), col("pnrm"))
 
   def applyMrlDelta(tier: DataFrame, newVecs: DataFrame,
       dims: Int): DataFrame =

@@ -1186,4 +1186,94 @@ class ScaleSpec extends SparkSpec {
         "doc_id", "text", 30)),
       "negated-segment retraction != rebuild over remaining docs")
   }
+
+  test("generation-flip: kill mid-save leaves the previous generation serving (gram postings)") {
+    import graft.operators.Dedup
+    import graft.sources.Generations
+    val dir = Files.createTempDirectory("graft-genflip-post").toString
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (3L, "a completely different document body with no shared gram runs"))
+      .toDF("doc_id", "text")
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    // generation 1: the day-N artifact
+    Dedup.saveGramPostings(Dedup.gramPostings(docs, "doc_id", "text", 20), dir)
+    val gen1 = pset(Dedup.loadGramPostings(spark, dir))
+    assert(gen1.nonEmpty, "gen1 postings must be non-empty")
+
+    // CRASH mid-save of generation 2: the payload writer dies after
+    // part of the payload is on disk (the state an OS kill leaves —
+    // data written, marker absent)
+    val crash = intercept[RuntimeException] {
+      Generations.save(dir) { g =>
+        Dedup.gramPostings(docs.limit(1), "doc_id", "text", 20)
+          .write.parquet(s"$g/partial")
+        throw new RuntimeException("simulated crash before commit")
+      }
+    }
+    assert(crash.getMessage.contains("simulated crash"))
+    // the loader still serves generation 1, bit-identically
+    assert(pset(Dedup.loadGramPostings(spark, dir)) == gen1,
+      "previous generation must keep serving after a crashed save")
+    // and the crashed generation's dir exists on disk but is UNCOMMITTED
+    val genDirs = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(genDirs.exists(_ != "gen_1"), "crash debris dir should exist")
+    assert(Generations.latestCommitted(dir).exists(_.endsWith("gen_1")))
+
+    // a successful save commits generation 3 and the loader flips to it;
+    // the crash debris is reaped, the immediate predecessor retained
+    val docs2 = docs.unionByName(Seq((4L,
+      "the quick brown fox jumps over the lazy dog tonight again"))
+      .toDF("doc_id", "text"))
+    Dedup.saveGramPostings(
+      Dedup.gramPostings(docs2, "doc_id", "text", 20), dir)
+    assert(pset(Dedup.loadGramPostings(spark, dir)) ==
+      pset(Dedup.gramPostings(docs2, "doc_id", "text", 20)),
+      "post-flip load must serve the new generation")
+    val after = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(after.contains("gen_1"), "one committed predecessor retained")
+    assert(!after.contains("gen_2"), "uncommitted crash debris reaped")
+
+    // a directory holding ONLY uncommitted generations refuses to load
+    val empty = Files.createTempDirectory("graft-genflip-none").toString
+    new java.io.File(s"$empty/gen_1").mkdirs()
+    val refuse = intercept[IllegalStateException] {
+      Dedup.loadGramPostings(spark, empty)
+    }
+    assert(refuse.getMessage.contains("no committed generation"))
+  }
+
+  test("generation-flip: kill mid-save on the multi-table IVF artifact") {
+    import graft.operators.Similarity
+    import graft.sources.Generations
+    val dir = Files.createTempDirectory("graft-genflip-ivf").toString
+    val vecs = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val prep = Similarity.prepared(vecs, "embedding")
+      .select(col("vec_id"), col("vec"), col("nrm"))
+    val cents = prep.filter(col("vec_id") % 16 === 0)
+    def iset(i: Similarity.IvfIndex) =
+      (i.centroids.count(), i.assignments
+        .select(col("vec_id"), col("centroid_id"))
+        .as[(Long, Long)].collect().toSet)
+    Similarity.saveIvfIndex(Similarity.buildIvfIndex(prep, cents), dir)
+    val gen1 = iset(Similarity.loadIvfIndex(spark, dir))
+
+    // crash AFTER the centroids table is durable but BEFORE the
+    // assignments table — in-place overwrite would have left a torn
+    // two-table artifact (new centroids, old/absent assignments); the
+    // generation flip makes the multi-table write atomic
+    intercept[RuntimeException] {
+      Generations.save(dir) { g =>
+        cents.limit(1).write.parquet(s"$g/centroids")
+        throw new RuntimeException("crash between tables")
+      }
+    }
+    assert(iset(Similarity.loadIvfIndex(spark, dir)) == gen1,
+      "IVF loader must keep serving the committed generation")
+    assert(Generations.latestCommitted(dir).exists(_.endsWith("gen_1")))
+  }
 }
