@@ -215,18 +215,44 @@ object ScaleCurve {
     // dialedBandGeometry's bits/bands, so the row doubles as the
     // continuity witness for the dial's radius-1 regime
     val (bitsDial, bandsDial, radiusDial) = Similarity.dialedGeometry(n)
+    // the PAST-CAP row now also comes through the dial VERBATIM
+    // (round-14 verdict #6; r12 pinned bits+3 by hand): the smallest
+    // past-cap corpus size resolves to the radius-2 regime — 25 bits,
+    // bandsAtRadius(25, 2) — and that exact geometry is SERVED here.
+    // The dial's recall model is per-pair (a function of bits, bands,
+    // radius and the similarity threshold alone, never of n), so the
+    // measured recall on this corpus is the model's end-to-end check
+    // even though the geometry was dialed for 2²⁷+1 vectors. The probe
+    // volume at 326 masks/band is ~21x the radius-1 row's, so this row
+    // serves the 1-in-971 anchor slice — queries are the side radius
+    // probing is ALLOWED to widen (the corpus index keeps one key per
+    // (vector, band)); the slice only narrows the recall estimate's
+    // sample, not its expectation.
+    val nPastCap = 8L * (1L << 24) + 1L
+    val (bitsPC, bandsPC, radiusPC) = Similarity.dialedGeometry(nPastCap)
+    val narrow = anchors.filter(col("vec_id") % 971 === 0).cache()
+    val nNarrow = narrow.count()
+    val truthNarrow = truth.filter(col("query_id") % 971 === 0).cache()
+    val nTruthNarrow = truthNarrow.count()
+    System.err.println(s"[probe] narrow anchors=$nNarrow " +
+      s"truth=$nTruthNarrow; pastcap dial n=$nPastCap -> " +
+      s"(bits=$bitsPC, bands=$bandsPC, radius=$radiusPC)")
     val geoms = Seq(
-      ("dialed_unified", bitsDial, radiusDial, bandsDial),
+      ("dialed_unified", bitsDial, radiusDial, bandsDial, false),
       ("pastcap_r2", bitsDial + 3, 2,
-        Similarity.bandsAtRadius(bitsDial + 3, 2)))
-    // build the banded column in ~40-band projection chunks with a
-    // localCheckpoint barrier between them: one expression for
+        Similarity.bandsAtRadius(bitsDial + 3, 2), false),
+      ("dialed_pastcap", bitsPC, radiusPC, bandsPC, true))
+    // build the banded column in codegen-bounded projection chunks with
+    // a localCheckpoint barrier between them: one expression for
     // 190 x 15 = 2850 planes overflows janino's codegen heap (measured
     // — the single-expression form OOM'd here), while each chunk
-    // compiles like the shipped geometries
+    // compiles like the shipped geometries. Chunk size adapts to the
+    // bit width so every chunk stays near the measured-safe ~800
+    // planes (40 bands was tuned for 15-18 bits; 25-bit geometries
+    // need fewer bands per chunk, not fewer planes).
     def bandedChunked(bits: Int, bands: Int): DataFrame = {
       import graft.operators.Iterate._
-      val chunk = 40
+      val chunk = math.max(1, 800 / bits)
       var out = c
       var done = 0
       var idx = 0
@@ -241,30 +267,34 @@ object ScaleCurve {
           concat((0 until idx).map(i => col(s"_b$i")): _*))
         .select(col("vec_id"), col("bands"))
     }
-    val rows = geoms.map { case (tag, bits, radius, bands) =>
+    val rows = geoms.map { case (tag, bits, radius, bands, useNarrow) =>
+      val (anch, tru, nTru, nAnch) =
+        if (useNarrow) (narrow, truthNarrow, nTruthNarrow, nNarrow)
+        else (anchors, truth, nTruth, nAnchors)
       val banded = bandedChunked(bits, bands)
-      val qb = banded.join(anchors.select(col("vec_id")), Seq("vec_id"),
+      val qb = banded.join(anch.select(col("vec_id")), Seq("vec_id"),
         "left_semi")
       val cand = Dedup.multiProbeCandidatesFor(qb, banded, "vec_id",
         "bands", bits, radius).cache()
       val nCand = cand.count()
-      val hits = cand.join(truth, Seq("query_id", "cand_id"), "left_semi")
+      val hits = cand.join(tru, Seq("query_id", "cand_id"), "left_semi")
         .count()
-      // nTruth == 0 would make this NaN and f"%.4f" would write the bare
+      // nTru == 0 would make this NaN and f"%.4f" would write the bare
       // token NaN into PROBE_LEG.json — invalid JSON (round-12 advisor).
       // An empty truth set means recall is undefined, not zero; emit
       // null and let the reader see the truth_pairs count alongside.
-      val recallJson = if (nTruth == 0) "null"
-        else f"${hits.toDouble / nTruth}%.4f"
-      val recall = if (nTruth == 0) Double.NaN else hits.toDouble / nTruth
+      val recallJson = if (nTru == 0) "null"
+        else f"${hits.toDouble / nTru}%.4f"
+      val recall = if (nTru == 0) Double.NaN else hits.toDouble / nTru
       val probeKeys = bands.toLong * Dedup.probeMasks(bits, radius).size
       cand.unpersist()
-      System.err.println(f"[probe] $tag%-12s bits=$bits radius=$radius " +
-        f"bands=$bands cand/anchor=${nCand / nAnchors}%d " +
+      System.err.println(f"[probe] $tag%-14s bits=$bits radius=$radius " +
+        f"bands=$bands cand/anchor=${nCand / nAnch}%d " +
         f"probeKeys/anchor=$probeKeys%d recall=$recall%.3f " +
         f"selfJoinProbeRows=${n * probeKeys}%d")
       s""""$tag":{"bits":$bits,"radius":$radius,"bands":$bands,""" +
-        s""""cand":$nCand,"cand_per_anchor":${nCand / nAnchors},""" +
+        s""""anchors":$nAnch,"truth_pairs":$nTru,""" +
+        s""""cand":$nCand,"cand_per_anchor":${nCand / nAnch},""" +
         s""""probe_keys_per_anchor":$probeKeys,""" +
         s""""recall":$recallJson,""" +
         s""""self_join_probe_rows":${n * probeKeys},""" +

@@ -1276,4 +1276,113 @@ class ScaleSpec extends SparkSpec {
       "IVF loader must keep serving the committed generation")
     assert(Generations.latestCommitted(dir).exists(_.endsWith("gen_1")))
   }
+
+  // The streaming twin of the INCREMENTAL removal (round-13 verdict #3):
+  // StreamingDedupGate maintains counts; q315 needs POSTINGS. Arriving
+  // batches serve exactSubstrRemoveIncremental at ingest time, then fold
+  // their postings + docs in as additive segments; the stream is KILLED
+  // between waves and resumed — and every observable equals the batch
+  // q315 shape: the maintained postings equal gramPostings over
+  // everything ingested, the pre-kill served removal equals the batch
+  // incremental serve on the identical state, and a negated-postings
+  // retraction equals the rebuild over the remaining docs.
+  test("streaming gram postings: incremental removal survives kill-and-resume " +
+      "and equals the batch q315 serve") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamingGramPostings
+    import org.apache.spark.sql.streaming.Trigger
+
+    val raw = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text"))
+    val base = raw.filter(col("doc_id") % 10 < 7)
+    val dir = Files.createTempDirectory("graft-spost").toString
+    StreamingGramPostings.init(spark, dir, base, "doc_id", "text", 30)
+    assert(StreamingGramPostings.committedSegments(dir) == Seq("base"))
+
+    val streamDir = Files.createTempDirectory("graft-spost-in")
+    def dropWave(tag: Int): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-spost-w$tag").toString
+      raw.filter(col("doc_id") % 10 === tag).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, streamDir.resolve(s"wave$tag.parquet"))
+    }
+    val outDir = Files.createTempDirectory("graft-spost-out").toString
+    val ckpt = Files.createTempDirectory("graft-spost-ckpt").toString
+    def startStream() = StreamingGramPostings.start(spark, dir,
+      spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir.toString),
+      "doc_id", "text", 30, outDir, ckpt,
+      Trigger.ProcessingTime("200 milliseconds"))
+
+    // ---- phase 1: wave 7 arrives, gets served + folded; then KILL
+    dropWave(7)
+    val q1 = startStream()
+    try {
+      val deadline = System.currentTimeMillis() + 180000
+      while (!StreamingGramPostings.committedSegments(dir).contains("b0") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q1.stop()
+    assert(StreamingGramPostings.committedSegments(dir).contains("b0"),
+      "wave 7 never folded before the kill")
+
+    // wave 8 arrives while the stream is DOWN; resume folds it
+    dropWave(8)
+    val q2 = startStream()
+    try {
+      val deadline = System.currentTimeMillis() + 180000
+      while (StreamingGramPostings.committedSegments(dir).size < 3 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(300)
+      assert(StreamingGramPostings.committedSegments(dir).size == 3,
+        "wave 8 never folded after resume: " +
+          StreamingGramPostings.committedSegments(dir))
+    } finally q2.stop()
+
+    def pset(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Long)].collect().toSet
+    def rset(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("id"), col("clean_text"), col("removed_chars"))
+        .as[(Long, String, Long)].collect().toSet
+
+    val ingested = raw.filter(col("doc_id") % 10 <= 8)
+
+    // ---- equality 1: maintained postings == the batch rebuild
+    assert(pset(StreamingGramPostings.loadPostings(spark, dir)) ==
+      pset(Dedup.gramPostings(ingested, "doc_id", "text", 30)),
+      "maintained postings != batch gramPostings over everything ingested")
+
+    // ---- equality 2: the doc store == everything ingested
+    assert(StreamingGramPostings.loadDocs(spark, dir)
+        .as[(Long, String)].collect().toSet ==
+      ingested.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSet,
+      "doc store != ingested docs")
+
+    // ---- equality 3: the PRE-KILL served removal (wave 7, batch 0)
+    // equals the batch q315 serve on the identical state: corpus =
+    // base + wave 7, postings = that corpus's own table, ids = wave 7
+    val w7 = raw.filter(col("doc_id") % 10 === 7)
+    val c7 = base.unionByName(w7)
+    assert(rset(spark.read.parquet(s"$outDir/d=b0")) ==
+      rset(Dedup.exactSubstrRemoveIncremental(c7, "doc_id", "text", 30,
+        Dedup.gramPostings(c7, "doc_id", "text", 30),
+        w7.select(col("doc_id")))),
+      "wave-7 served removal != batch incremental serve on the same state")
+
+    // ---- retraction: wave 8 takes down as one negated-postings
+    // segment; postings and doc store must equal the rebuild over the
+    // remaining docs
+    StreamingGramPostings.retractBatch(spark, dir,
+      raw.filter(col("doc_id") % 10 === 8), "doc_id", "text", 30, "t0")
+    val remaining = raw.filter(col("doc_id") % 10 <= 7)
+    assert(pset(StreamingGramPostings.loadPostings(spark, dir)) ==
+      pset(Dedup.gramPostings(remaining, "doc_id", "text", 30)),
+      "negated-postings retraction != rebuild over remaining docs")
+    assert(StreamingGramPostings.loadDocs(spark, dir)
+        .as[(Long, String)].collect().toSet ==
+      remaining.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSet,
+      "doc store after retraction != remaining docs")
+  }
 }
