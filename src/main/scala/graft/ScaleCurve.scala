@@ -486,6 +486,16 @@ object ScaleCurve {
         else math.log(t1 / t01) / math.log(replicas.toDouble)
       System.err.println(
         f"[curve] $n%-28s sf0.1 $t01%8.2fs  sf1 $t1%8.2fs  exponent $exp%5.2f")
+      // the suffix machinery checkpoints internally and relies on
+      // ContextCleaner (GC-driven) to reclaim; seven back-to-back family
+      // members in one JVM accumulate dead checkpoint blocks faster than
+      // GC volunteers and the later sf1 rows inherit the debris (the r14
+      // char-salt run died exactly this way: q303's sf1 row fell over and
+      // every subsequent runOnce failed fast on the dead context) — force
+      // the cleanup at the row boundary, as incLeg already does at its
+      // scenario boundary
+      spark.catalog.clearCache()
+      System.gc(); Thread.sleep(2000); System.gc(); Thread.sleep(1000)
       (n, t01, t1, exp)
     }
     val qs = rows.map { case (n, a, b, e) =>

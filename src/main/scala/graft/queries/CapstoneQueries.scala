@@ -32,7 +32,12 @@ import graft.sources.Tables
   *     (q314 chain, round 12),
   *   - the incremental removal's gram POSTINGS table after the negated
   *     fold, per-doc distinct dup-partner counts served from the
-  *     retracted postings (q315 chain, round 13).
+  *     retracted postings (q315 chain, round 13),
+  *   - the STREAMING postings store's merge-on-read state after the
+  *     takedown enters as one negated-postings segment — the same
+  *     partner-count serve read through `StreamingGramPostings`'s
+  *     additive-segment algebra instead of the batch combine
+  *     (round 14; the streaming twin joins the oracled gate).
   *
   * Each serve output reduces to ONE row: (surface, n_rows, fold,
   * deleted_refs) where `fold` is the order-independent BIGINT sum of a
@@ -235,8 +240,35 @@ object CapstoneQueries {
         "gpost",
         concat_ws("|", col("id"), col("n_dup_partners")),
         Seq(col("id")))
+      // surface 13 (round 14): the STREAMING postings store — the same
+      // postings state reached through StreamingGramPostings' additive
+      // segment algebra (bootstrap = one base segment over the full
+      // corpus, takedown = one negated-postings segment) instead of the
+      // in-memory batch combine above. loadPostings' merge-on-read fold
+      // over the commit-marker-last segments must be bit-identical to
+      // the rebuild, so the serve is surface 12's partner-count read and
+      // the ORACLE is surface 12's rebuilt SQL verbatim — the streaming
+      // twin's equality claim lands in the DuckDB-oracled gate instead
+      // of only ScalaTest. Both writes are skip-if-committed, so the
+      // bench's repeat runs re-serve without re-folding.
+      import graft.streaming.StreamingGramPostings
+      val segDir = Tables.artifactDir("capsegs", d)
+      StreamingGramPostings.init(s, segDir, docsRaw, "doc_id", "text", 30)
+      StreamingGramPostings.retractBatch(s, segDir,
+        docsRaw.filter(col("doc_id") % 10 === 3), "doc_id", "text", 30,
+        "takedown")
+      val segPd = StreamingGramPostings.loadPostings(s, segDir)
+        .select(col("g"), col("id"))
+      val segs = fold(
+        segPd.join(segPd.select(col("g"), col("id").as("id2")), Seq("g"))
+          .filter(col("id") =!= col("id2"))
+          .groupBy(col("id"))
+          .agg(count_distinct(col("id2")).as("n_dup_partners")),
+        "segs",
+        concat_ws("|", col("id"), col("n_dup_partners")),
+        Seq(col("id")))
       Seq(postings, bm25, ivf, dedup, cc, tape, ck, mrl, nb, lm, gram,
-          gpost)
+          gpost, segs)
         .reduce(_ unionByName _)
     }))
 
@@ -347,23 +379,38 @@ object CapstoneQueries {
           |GROUP BY doc_id""".stripMargin,
         "t.doc_id || '|' || t.n_dup_gram_positions",
         "t.doc_id % 10 = 3"),
-      foldSql("gpost",
-        """WITH dk AS (
-          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3
-          |), g AS (
-          |  SELECT doc_id,
-          |         ('0x' || substr(md5(substr(text, CAST(i AS INT) + 1, 30)),
-          |           1, 8))::BIGINT AS g
-          |  FROM dk,
-          |       LATERAL unnest(range(0, greatest(length(text) - 29, 0))) t(i)
-          |), pd AS (
-          |  SELECT DISTINCT doc_id, g FROM g
-          |)
-          |SELECT a.doc_id,
-          |       CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_dup_partners
-          |FROM pd a JOIN pd b ON a.g = b.g AND a.doc_id <> b.doc_id
-          |GROUP BY a.doc_id""".stripMargin,
+      foldSql("gpost", GpostRebuildSql,
+        "t.doc_id || '|' || t.n_dup_partners",
+        "t.doc_id % 10 = 3"),
+      // surface 13: the streaming postings store serves the SAME state
+      // the batch combine reaches, so its rebuilt oracle is surface 12's
+      // verbatim — only the surface tag differs. A Spark-side divergence
+      // between the segment fold and the batch combine would hash-split
+      // the two rows.
+      foldSql("segs", GpostRebuildSql,
         "t.doc_id || '|' || t.n_dup_partners",
         "t.doc_id % 10 = 3")
     ).mkString("\nUNION ALL\n"))
+
+  /** Surface 12's rebuilt partner counts over (docs ∖ deleted) — shared
+    * with surface 13, whose claim is exactly that the streaming segment
+    * algebra reaches this same state. (`lazy`: referenced from the
+    * `oracles` val defined ABOVE — eager order would capture null.)
+    */
+  private lazy val GpostRebuildSql =
+    """WITH dk AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3
+      |), g AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(substr(text, CAST(i AS INT) + 1, 30)),
+      |           1, 8))::BIGINT AS g
+      |  FROM dk,
+      |       LATERAL unnest(range(0, greatest(length(text) - 29, 0))) t(i)
+      |), pd AS (
+      |  SELECT DISTINCT doc_id, g FROM g
+      |)
+      |SELECT a.doc_id,
+      |       CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_dup_partners
+      |FROM pd a JOIN pd b ON a.g = b.g AND a.doc_id <> b.doc_id
+      |GROUP BY a.doc_id""".stripMargin
 }

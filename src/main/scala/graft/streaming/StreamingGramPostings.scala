@@ -91,6 +91,16 @@ object StreamingGramPostings {
       idCol: String, textCol: String, minLen: Int): Unit =
     writeSegment(dir, "base", corpus, idCol, textCol, minLen)
 
+  /** Batch-side fold: the day's docs enter as ONE additive segment
+    * without a stream — exactly [[start]]'s per-micro-batch segment
+    * write, callable from a batch maintenance job (the
+    * [[StreamingIvf.foldBatch]] shape). Marker-last, skip-if-committed,
+    * O(|docs| postings), history untouched.
+    */
+  def foldBatch(dir: String, docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int, name: String): Unit =
+    writeSegment(dir, name, docs, idCol, textCol, minLen)
+
   /** The maintained postings table as of the committed segments
     * ([[Dedup.combineGramPostings]]'s fold over all of them at once —
     * one keyed sum, zeroed rows drop). `excluding` lets an in-flight
@@ -141,6 +151,35 @@ object StreamingGramPostings {
         .write.mode("overwrite").parquet(s"$dir/retracted/d=$name")
       commit(dir, name)
     }
+
+  /** LSM COMPACTION — [[StreamingIvf.compact]]'s contract for the
+    * postings store: the committed view is rewritten as a single fresh
+    * `base` segment in `intoDir`, reclaiming the per-segment read
+    * amplification the fold path accumulates (one `d=b<id>` directory
+    * per micro-batch forever). The merged postings table IS a valid
+    * segment — folding an already-merged table is the identity on the
+    * keyed sums — and retractions MATERIALIZE: zeroed `(g, id)` rows
+    * have already dropped in the merge-on-read sum and retracted docs
+    * leave the doc store through the anti-join, so the compacted store
+    * carries no `retracted/` segments at all. Crash protocol is the
+    * folds' commit-marker-LAST: a compaction killed mid-write leaves
+    * `intoDir` without a committed segment, which [[loadPostings]] /
+    * [[loadDocs]] REFUSE to read (their `require` fails); re-running
+    * compact overwrites it with identical content — the source store is
+    * untouched throughout, which is why the target must differ from it
+    * (an in-place rewrite would consume the parquet directories it is
+    * overwriting).
+    */
+  def compact(spark: SparkSession, dir: String, intoDir: String): Unit = {
+    require(new java.io.File(intoDir).getCanonicalPath !=
+      new java.io.File(dir).getCanonicalPath,
+      s"compact target must differ from the source store dir: $dir")
+    loadPostings(spark, dir).write.mode("overwrite")
+      .parquet(s"$intoDir/postings/d=base")
+    loadDocs(spark, dir).write.mode("overwrite")
+      .parquet(s"$intoDir/docs/d=base")
+    commit(intoDir, "base")
+  }
 
   /** Start the ingest stream: each micro-batch folds its postings/docs
     * in as segment `b<batchId>` AFTER serving the incremental removal

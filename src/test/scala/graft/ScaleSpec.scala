@@ -1385,4 +1385,84 @@ class ScaleSpec extends SparkSpec {
         .as[(Long, String)].collect().toSet,
       "doc store after retraction != remaining docs")
   }
+
+  // Compaction for the postings store (round 14): the scaladoc's claim —
+  // "the merged table IS a valid single segment" — executed. A
+  // multi-segment store with a retraction compacts into ONE base segment
+  // that serves bit-identically (postings, docs, AND the incremental
+  // removal built on them), and the crash protocol is the folds':
+  // payload-without-marker cannot serve, re-running compact recovers.
+  test("streaming gram postings: compaction preserves every serve; " +
+      "kill-mid-compaction cannot serve and re-compacting recovers") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamingGramPostings
+
+    val raw = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("graft-spost-csrc").toString
+    StreamingGramPostings.init(spark, dir,
+      raw.filter(col("doc_id") % 10 < 6), "doc_id", "text", 30)
+    StreamingGramPostings.foldBatch(dir,
+      raw.filter(col("doc_id") % 10 === 6), "doc_id", "text", 30, "b0")
+    StreamingGramPostings.foldBatch(dir,
+      raw.filter(col("doc_id") % 10 === 7), "doc_id", "text", 30, "b1")
+    StreamingGramPostings.retractBatch(spark, dir,
+      raw.filter(col("doc_id") % 10 === 6), "doc_id", "text", 30, "t0")
+    assert(StreamingGramPostings.committedSegments(dir).size == 4)
+
+    def pset(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("g"), col("id"), col("n"))
+        .as[(Long, Long, Long)].collect().toSet
+    def dset(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("id"), col("text")).as[(Long, String)].collect().toSet
+    def serve(store: String) = {
+      val docs = StreamingGramPostings.loadDocs(spark, store)
+        .select(col("id").as("doc_id"), col("text"))
+      Dedup.exactSubstrRemoveIncremental(docs, "doc_id", "text", 30,
+          StreamingGramPostings.loadPostings(spark, store)
+            .select(col("g"), col("id"), col("n")),
+          raw.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
+        .select(col("id"), col("clean_text"), col("removed_chars"))
+        .as[(Long, String, Long)].collect().toSet
+    }
+    val srcPostings = pset(StreamingGramPostings.loadPostings(spark, dir))
+    val srcDocs = dset(StreamingGramPostings.loadDocs(spark, dir))
+    val srcServe = serve(dir)
+
+    // in-place compaction would consume its own inputs — refused
+    intercept[IllegalArgumentException] {
+      StreamingGramPostings.compact(spark, dir, dir)
+    }
+
+    val dir2 = Files.createTempDirectory("graft-spost-cdst").toString
+    StreamingGramPostings.compact(spark, dir, dir2)
+    assert(StreamingGramPostings.committedSegments(dir2) == Seq("base"),
+      "compacted store must hold exactly one committed segment")
+    assert(pset(StreamingGramPostings.loadPostings(spark, dir2)) ==
+      srcPostings, "compacted postings != source postings")
+    assert(dset(StreamingGramPostings.loadDocs(spark, dir2)) == srcDocs,
+      "compacted doc store != source doc store")
+    assert(serve(dir2) == srcServe,
+      "incremental removal over the compacted store != over the source")
+
+    // kill-mid-compaction: payload lands, the marker does not — the
+    // target REFUSES to serve (both loaders), while the source is intact
+    val dir3 = Files.createTempDirectory("graft-spost-ckill").toString
+    StreamingGramPostings.loadPostings(spark, dir)
+      .write.parquet(s"$dir3/postings/d=base")
+    intercept[IllegalArgumentException] {
+      StreamingGramPostings.loadPostings(spark, dir3)
+    }
+    intercept[IllegalArgumentException] {
+      StreamingGramPostings.loadDocs(spark, dir3)
+    }
+    assert(pset(StreamingGramPostings.loadPostings(spark, dir)) ==
+      srcPostings, "source store must be untouched by the dead compaction")
+
+    // recovery = re-running compact over the debris
+    StreamingGramPostings.compact(spark, dir, dir3)
+    assert(pset(StreamingGramPostings.loadPostings(spark, dir3)) ==
+      srcPostings, "re-compaction over debris must serve identically")
+    assert(serve(dir3) == srcServe)
+  }
 }
