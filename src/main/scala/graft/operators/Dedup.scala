@@ -1821,6 +1821,15 @@ object Dedup {
       .join(dup, Seq("g"), "left_semi")
     val wit = postingsM.join(cGrams, Seq("g"), "left_semi")
       .select(col("id")).distinct().ckpt()
+    // `wit` is the LAST consumer of the corpus-sized postings checkpoint
+    // (the returned plan reads only the neighborhood-sized `changed`/
+    // `wit` checkpoints plus `docs`), and ckpt() is eager, so its blocks
+    // are dead weight from here on. Release them NOW rather than waiting
+    // for GC-driven ContextCleaner: a daily serve loop (incLeg's repeated
+    // runs, the streaming twin's per-micro-batch calls) would otherwise
+    // stack O(calls) corpus-postings copies in the block manager — the
+    // exact storage-starvation mode q306's discipline closed.
+    org.apache.spark.sql.GraftSqlShims.unpersistCheckpoint(postingsM)
     val sub = docs.join(wit.select(col("id").as(idCol)), Seq(idCol),
       "left_semi")
     val removed = exactSubstrRemove(sub, idCol, textCol, minLen)

@@ -68,32 +68,91 @@ object Generations {
       s"no committed generation under $dir " +
         s"(uncommitted: ${gens(dir).map(_._2.getName).sorted.mkString(",")})"))
 
-  /** Write the next generation via `writePayload(genPath)`, commit it
+  /** Write the next generation via `writePayload(stagePath)`, publish it
     * marker-LAST, then reap everything except the new generation and its
     * newest committed predecessor. Returns the committed path.
+    *
+    * CONCURRENT-SAVER safe: the payload lands in a pid+nanos-unique
+    * `_tmp_*` staging dir (invisible to [[genNumber]], so loaders and
+    * the reap loop never see it), then an ATOMIC rename claims the next
+    * `gen_<N>` slot — two racing savers cannot interleave writes into
+    * one generation, because each writes only its own staging dir and
+    * exactly one rename per slot succeeds; the loser re-reads the max
+    * and claims N+1. In-repo callers are already single-writer per dir
+    * (`Tables.artifactDir` pid-keys the paths), but the module is the
+    * general crash-safety layer and must not assume that. Staging debris
+    * from crashed savers is reaped here once its owning pid is dead.
     */
   def save(dir: String)(writePayload: String => Unit): String = {
     val d = new java.io.File(dir)
     d.mkdirs()
-    val before = gens(dir)
-    val next = (0L +: before.map(_._1)).max + 1
-    val gdir = new java.io.File(d, s"gen_$next")
-    writePayload(gdir.getPath)
+    val stage = new java.io.File(d,
+      s"_tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+    stage.mkdirs()
+    var gdir: java.io.File = null
+    try {
+      writePayload(stage.getPath)
+      var attempts = 0
+      var lastErr: Throwable = null
+      while (gdir == null) {
+        attempts += 1
+        if (attempts > 1000) throw new IllegalStateException(
+          s"could not claim a generation slot under $dir after 1000 tries",
+          lastErr)
+        val next = (0L +: gens(dir).map(_._1)).max + 1
+        val cand = new java.io.File(d, s"gen_$next")
+        try {
+          java.nio.file.Files.move(stage.toPath, cand.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          gdir = cand
+        } catch {
+          // a lost claim race leaves the STAGE intact (rename is
+          // all-or-nothing) — re-list and take the next number; checking
+          // the target instead would race the winners' reaps. Anything
+          // that consumed the stage (cross-device move half-applied,
+          // permissions) cannot converge: rethrow.
+          case e: java.nio.file.FileSystemException =>
+            lastErr = e
+            if (!stage.isDirectory) throw e
+        }
+      }
+    } catch {
+      // a failed save must not leave its own staging debris (a killed
+      // PROCESS can't run this — its debris is reaped by pid-death
+      // below, in a later save); if the rename already succeeded the
+      // stage path no longer exists and this is a no-op, leaving the
+      // claimed-but-unmarked generation as ordinary uncommitted debris
+      case e: Throwable =>
+        graft.operators.Dedup.deleteRecursively(stage)
+        throw e
+    }
     // marker LAST: a crash anywhere above leaves this generation
     // uncommitted and the previous committed one still serving
     java.nio.file.Files.write(new java.io.File(gdir, Marker).toPath,
       Array.emptyByteArray)
-    val keepPrev = before.filter(p => committed(p._2)).sortBy(-_._1)
-      .headOption.map(_._1)
-    before.foreach { case (n, f) =>
-      if (!keepPrev.contains(n)) deleteRecursively(f)
+    // reap only OLDER generations (a concurrent saver may already have
+    // claimed a newer slot — its generation is never ours to delete),
+    // keeping the newest committed predecessor for in-flight readers
+    val mine = genNumber(gdir.getName).get
+    val older = gens(dir).filter(_._1 < mine)
+    val keepPrev = older.filter(p => committed(p._2))
+      .sortBy(-_._1).headOption.map(_._1)
+    older.foreach { case (n, f) =>
+      if (!keepPrev.contains(n)) graft.operators.Dedup.deleteRecursively(f)
+    }
+    // killed savers' staging debris: reap once the owning pid is gone
+    // (a LIVE pid — including ours — may be a concurrent saver whose
+    // stage is in flight; exception-path cleanup above bounds same-
+    // process debris, pid-death bounds cross-process debris)
+    Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.startsWith("_tmp_")) {
+        val pid = f.getName.stripPrefix("_tmp_").takeWhile(_.isDigit)
+        val alive = pid.toLongOption.exists(p =>
+          try ProcessHandle.of(p).isPresent
+          catch { case _: Throwable => false })
+        if (!alive) graft.operators.Dedup.deleteRecursively(f)
+      }
     }
     gdir.getPath
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
   }
 }

@@ -102,19 +102,24 @@ object Tables {
     // reap a >6h-old dir a still-live process is re-scanning (cache
     // eviction, repeated bench runs without re-save) — the name already
     // embeds the owning pid, so skip any dir whose owner is still alive
-    // and keep the age bar only as the dead-owner fallback
-    def ownerAlive(name: String): Boolean =
-      try ProcessHandle.of(name.substring(prefix.length).toLong)
+    // and keep the age bar only as the dead-owner fallback. "Alive" must
+    // also survive PID RECYCLING: a live process that STARTED AFTER the
+    // dir's last write cannot be its owner (the owner wrote the dir, so
+    // owner.start <= dir.mtime; recycling implies the owner died first),
+    // so a long-lived squatter on a recycled pid doesn't pin the dir
+    // forever. Unknown start time keeps the dir (conservative).
+    def ownerAlive(f: java.io.File): Boolean =
+      try ProcessHandle.of(f.getName.substring(prefix.length).toLong)
+        .filter(h => h.info().startInstant()
+          .map[java.lang.Boolean](s => s.toEpochMilli <= f.lastModified())
+          .orElse(true))
         .isPresent
       catch { case _: Throwable => false }
     Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
       if (f.getName.startsWith(prefix) && f.getName != mine &&
-          f.lastModified() < cutoff && !ownerAlive(f.getName)) {
-        def rm(g: java.io.File): Unit = {
-          if (g.isDirectory) Option(g.listFiles()).foreach(_.foreach(rm))
-          g.delete(): Unit
-        }
-        try rm(f) catch { case _: Throwable => () }
+          f.lastModified() < cutoff && !ownerAlive(f)) {
+        try graft.operators.Dedup.deleteRecursively(f)
+        catch { case _: Throwable => () }
       }
     }
     s"${tmp.getPath}/$mine"

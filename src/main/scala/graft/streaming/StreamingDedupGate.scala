@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -45,20 +44,12 @@ import graft.operators.Dedup
   */
 object StreamingDedupGate {
 
-  private def commitDir(dir: String) = s"$dir/commits"
-
-  private def commit(dir: String, name: String): Unit = {
-    Files.createDirectories(Paths.get(commitDir(dir)))
-    val marker = Paths.get(commitDir(dir), name)
-    if (!Files.exists(marker)) Files.createFile(marker)
-  }
-
   /** Names of fully-written segments, sorted for deterministic plans
-    * (order is cosmetic — additive segments commute).
+    * (order is cosmetic — additive segments commute). Protocol:
+    * [[SegmentCommits]].
     */
   def committedSegments(dir: String): Seq[String] =
-    Option(new java.io.File(commitDir(dir)).list())
-      .map(_.toSeq.sorted).getOrElse(Seq.empty)
+    SegmentCommits.committed(dir)
 
   /** Marker-last, and SKIP-IF-COMMITTED: a replayed batch whose segment
     * already carries a commit marker writes nothing — its contents are
@@ -68,9 +59,9 @@ object StreamingDedupGate {
     */
   private def writeSegment(counts: DataFrame, dir: String,
       name: String): Unit =
-    if (!Files.exists(Paths.get(commitDir(dir), name))) {
+    if (!SegmentCommits.isCommitted(dir, name)) {
       counts.write.mode("overwrite").parquet(s"$dir/counts/d=$name")
-      commit(dir, name)
+      SegmentCommits.commit(dir, name)
     }
 
   /** One-time bootstrap: the historical corpus's counts as `base`. */
@@ -120,11 +111,11 @@ object StreamingDedupGate {
         if (!batch.isEmpty) {
           val name = s"b$batchId"
           // same skip-if-committed discipline for the gate output
-          if (!Files.exists(Paths.get(commitDir(outDir), name))) {
+          if (!SegmentCommits.isCommitted(outDir, name)) {
             val pre = loadCounts(spark, dir, excluding = Some(name))
             Dedup.dupGramStats(batch, idCol, textCol, minLen, pre)
               .write.mode("overwrite").parquet(s"$outDir/d=$name")
-            commit(outDir, name)
+            SegmentCommits.commit(outDir, name)
           }
           writeSegment(
             Dedup.dupGramCounts(batch, idCol, textCol, minLen), dir, name)

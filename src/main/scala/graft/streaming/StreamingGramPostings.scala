@@ -53,23 +53,12 @@ import graft.operators.Dedup
   */
 object StreamingGramPostings {
 
-  private def commitDir(dir: String) = s"$dir/commits"
-
-  private def commit(dir: String, name: String): Unit = {
-    Files.createDirectories(Paths.get(commitDir(dir)))
-    val marker = Paths.get(commitDir(dir), name)
-    if (!Files.exists(marker)) Files.createFile(marker)
-  }
-
-  private def committed(dir: String, name: String): Boolean =
-    Files.exists(Paths.get(commitDir(dir), name))
-
   /** Names of fully-written segments, sorted for deterministic plans
-    * (order is cosmetic — additive segments commute).
+    * (order is cosmetic — additive segments commute). Protocol:
+    * [[SegmentCommits]].
     */
   def committedSegments(dir: String): Seq[String] =
-    Option(new java.io.File(commitDir(dir)).list())
-      .map(_.toSeq.sorted).getOrElse(Seq.empty)
+    SegmentCommits.committed(dir)
 
   /** Marker-last ingest segment: postings AND the batch's docs, then the
     * marker. Skip-if-committed — a replay's contents are deterministic,
@@ -77,13 +66,13 @@ object StreamingGramPostings {
     */
   private def writeSegment(dir: String, name: String, docs: DataFrame,
       idCol: String, textCol: String, minLen: Int): Unit =
-    if (!committed(dir, name)) {
+    if (!SegmentCommits.isCommitted(dir, name)) {
       Dedup.gramPostings(docs, idCol, textCol, minLen)
         .write.mode("overwrite").parquet(s"$dir/postings/d=$name")
       docs.select(col(idCol).as("id"),
           col(textCol).cast("string").as("text"))
         .write.mode("overwrite").parquet(s"$dir/docs/d=$name")
-      commit(dir, name)
+      SegmentCommits.commit(dir, name)
     }
 
   /** One-time bootstrap: the historical corpus as segment `base`. */
@@ -143,13 +132,13 @@ object StreamingGramPostings {
     */
   def retractBatch(spark: SparkSession, dir: String, docs: DataFrame,
       idCol: String, textCol: String, minLen: Int, name: String): Unit =
-    if (!committed(dir, name)) {
+    if (!SegmentCommits.isCommitted(dir, name)) {
       Dedup.gramPostings(docs, idCol, textCol, minLen)
         .withColumn("n", -col("n"))
         .write.mode("overwrite").parquet(s"$dir/postings/d=$name")
       docs.select(col(idCol).cast("long").as("id")).distinct()
         .write.mode("overwrite").parquet(s"$dir/retracted/d=$name")
-      commit(dir, name)
+      SegmentCommits.commit(dir, name)
     }
 
   /** LSM COMPACTION — [[StreamingIvf.compact]]'s contract for the
@@ -178,7 +167,7 @@ object StreamingGramPostings {
       .parquet(s"$intoDir/postings/d=base")
     loadDocs(spark, dir).write.mode("overwrite")
       .parquet(s"$intoDir/docs/d=base")
-    commit(intoDir, "base")
+    SegmentCommits.commit(intoDir, "base")
   }
 
   /** Start the ingest stream: each micro-batch folds its postings/docs
@@ -201,7 +190,7 @@ object StreamingGramPostings {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val name = s"b$batchId"
-          if (!Files.exists(Paths.get(commitDir(outDir), name))) {
+          if (!SegmentCommits.isCommitted(outDir, name)) {
             val pre = loadPostings(spark, dir, excluding = Some(name))
             val folded = Dedup.combineGramPostings(pre,
               Dedup.gramPostings(batch, idCol, textCol, minLen))
@@ -211,7 +200,7 @@ object StreamingGramPostings {
             Dedup.exactSubstrRemoveIncremental(corpus, idCol, textCol,
                 minLen, folded, batch.select(col(idCol)))
               .write.mode("overwrite").parquet(s"$outDir/d=$name")
-            commit(outDir, name)
+            SegmentCommits.commit(outDir, name)
           }
           writeSegment(dir, name, batch, idCol, textCol, minLen)
         }

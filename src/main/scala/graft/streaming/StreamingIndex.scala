@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -47,25 +46,17 @@ import graft.operators.Retrieval.RetrievalIndex
   */
 object StreamingIndex {
 
-  private def commitDir(dir: String) = s"$dir/commits"
-
-  private def commit(dir: String, name: String): Unit = {
-    Files.createDirectories(Paths.get(commitDir(dir)))
-    val marker = Paths.get(commitDir(dir), name)
-    if (!Files.exists(marker)) Files.createFile(marker)
-  }
-
-  /** Names of fully-written segments, sorted for deterministic plans. */
+  /** Names of fully-written segments, sorted for deterministic plans.
+    * Protocol: [[SegmentCommits]].
+    */
   def committedDeltas(dir: String): Seq[String] =
-    Option(new java.io.File(commitDir(dir)).list())
-      .map(_.toSeq.sorted).getOrElse(Seq.empty)
+    SegmentCommits.committed(dir)
 
-  private def tombstoneCommitDir(dir: String) = s"$dir/tombstone_commits"
+  private val TombstoneNs = "tombstone_commits"
 
   /** Names of fully-written tombstone batches. */
   def committedTombstones(dir: String): Seq[String] =
-    Option(new java.io.File(tombstoneCommitDir(dir)).list())
-      .map(_.toSeq.sorted).getOrElse(Seq.empty)
+    SegmentCommits.committed(dir, TombstoneNs)
 
   /** LSM DELETE markers: takedown ids land as an O(|batch|) tombstone
     * segment — no index body is touched at write time; [[loadIndex]]
@@ -95,9 +86,7 @@ object StreamingIndex {
       name: String): Unit = {
     docIds.select(col("doc_id")).distinct()
       .write.mode("overwrite").parquet(s"$dir/tombstones/d=$name")
-    Files.createDirectories(Paths.get(tombstoneCommitDir(dir)))
-    val marker = Paths.get(tombstoneCommitDir(dir), name)
-    if (!Files.exists(marker)) Files.createFile(marker)
+    SegmentCommits.commit(dir, name, TombstoneNs)
   }
 
   private def writeSegment(dir: String, idx: RetrievalIndex,
@@ -108,7 +97,7 @@ object StreamingIndex {
     idx.docs.write.mode("overwrite").parquet(s"$dir/docs/d=$name")
     idx.stats.coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/stats/d=$name")
-    commit(dir, name)
+    SegmentCommits.commit(dir, name)
   }
 
   /** One-time bootstrap: index the historical corpus as segment `base`. */
@@ -229,7 +218,7 @@ object StreamingIndex {
             explode(col(tokCol)).as("term"))
           Retrieval.bm25QueriesFromIndex(idx, queryTerms, "query_doc", k)
             .write.mode("overwrite").parquet(s"$outDir/d=$name")
-          commit(outDir, name)
+          SegmentCommits.commit(outDir, name)
           foldBatch(spark, dir, batch, idCol, tokCol, name)
         }
       }

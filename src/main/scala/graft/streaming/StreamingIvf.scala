@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -42,18 +41,11 @@ import graft.operators.Similarity.IvfIndex
   */
 object StreamingIvf {
 
-  private def commitDir(dir: String) = s"$dir/commits"
-
-  private def commit(dir: String, name: String): Unit = {
-    Files.createDirectories(Paths.get(commitDir(dir)))
-    val marker = Paths.get(commitDir(dir), name)
-    if (!Files.exists(marker)) Files.createFile(marker)
-  }
-
-  /** Names of fully-written deltas, sorted for deterministic plans. */
+  /** Names of fully-written deltas, sorted for deterministic plans.
+    * Protocol: [[SegmentCommits]].
+    */
   def committedDeltas(dir: String): Seq[String] =
-    Option(new java.io.File(commitDir(dir)).list())
-      .map(_.toSeq.sorted).getOrElse(Seq.empty)
+    SegmentCommits.committed(dir)
 
   /** One-time index bootstrap: freeze the centroids, assign the historical
     * corpus, commit it as the `base` delta.
@@ -64,15 +56,14 @@ object StreamingIvf {
     idx.centroids.coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/centroids")
     idx.assignments.write.mode("overwrite").parquet(s"$dir/assign/d=base")
-    commit(dir, "base")
+    SegmentCommits.commit(dir, "base")
   }
 
-  private def tombstoneCommitDir(dir: String) = s"$dir/tombstone_commits"
+  private val TombstoneNs = "tombstone_commits"
 
   /** Names of fully-written tombstone batches. */
   def committedTombstones(dir: String): Seq[String] =
-    Option(new java.io.File(tombstoneCommitDir(dir)).list())
-      .map(_.toSeq.sorted).getOrElse(Seq.empty)
+    SegmentCommits.committed(dir, TombstoneNs)
 
   /** LSM DELETE markers — [[StreamingIndex.tombstoneDocs]]'s contract on
     * the ANN index: takedown vec_ids land as an O(|batch|) tombstone
@@ -98,9 +89,7 @@ object StreamingIvf {
       name: String): Unit = {
     vecIds.select(col("vec_id")).distinct()
       .write.mode("overwrite").parquet(s"$dir/tombstones/d=$name")
-    Files.createDirectories(Paths.get(tombstoneCommitDir(dir)))
-    val marker = Paths.get(tombstoneCommitDir(dir), name)
-    if (!Files.exists(marker)) Files.createFile(marker)
+    SegmentCommits.commit(dir, name, TombstoneNs)
   }
 
   /** The index as of the committed deltas (optionally excluding one —
@@ -146,7 +135,7 @@ object StreamingIvf {
     Similarity.assignToCentroids(batch, cents)
       .select(col("vec_id"), col("vec"), col("nrm"), col("centroid_id"))
       .write.mode("overwrite").parquet(s"$dir/assign/d=$name")
-    commit(dir, name)
+    SegmentCommits.commit(dir, name)
   }
 
   /** RE-INGEST (upsert) through the LSM path, ONE batch: the batch's ids
@@ -194,7 +183,7 @@ object StreamingIvf {
       .parquet(s"$intoDir/centroids")
     idx.assignments.write.mode("overwrite")
       .parquet(s"$intoDir/assign/d=base")
-    commit(intoDir, "base")
+    SegmentCommits.commit(intoDir, "base")
   }
 
   /** Start the maintenance stream: each micro-batch of prepared vectors is
@@ -215,7 +204,7 @@ object StreamingIvf {
         val idx = loadIndex(spark, dir, excluding = Some(name))
         Similarity.ivfTopKFromIndex(idx, batch, k, nprobe)
           .write.mode("overwrite").parquet(s"$outDir/d=$name")
-        commit(outDir, name)
+        SegmentCommits.commit(outDir, name)
         foldBatch(spark, dir, batch, name)
       }
       .start()

@@ -1203,9 +1203,9 @@ class ScaleSpec extends SparkSpec {
     val gen1 = pset(Dedup.loadGramPostings(spark, dir))
     assert(gen1.nonEmpty, "gen1 postings must be non-empty")
 
-    // CRASH mid-save of generation 2: the payload writer dies after
-    // part of the payload is on disk (the state an OS kill leaves —
-    // data written, marker absent)
+    // CRASH mid-save: the payload writer dies after part of the payload
+    // is on disk. A failing WRITER (exception) cleans its own staging
+    // dir; the loader keeps serving generation 1 either way.
     val crash = intercept[RuntimeException] {
       Generations.save(dir) { g =>
         Dedup.gramPostings(docs.limit(1), "doc_id", "text", 20)
@@ -1217,13 +1217,19 @@ class ScaleSpec extends SparkSpec {
     // the loader still serves generation 1, bit-identically
     assert(pset(Dedup.loadGramPostings(spark, dir)) == gen1,
       "previous generation must keep serving after a crashed save")
-    // and the crashed generation's dir exists on disk but is UNCOMMITTED
     val genDirs = new java.io.File(dir).listFiles().map(_.getName).toSet
-    assert(genDirs.exists(_ != "gen_1"), "crash debris dir should exist")
+    assert(!genDirs.exists(_.startsWith("_tmp_")),
+      "exception-path save must clean its own staging dir")
     assert(Generations.latestCommitted(dir).exists(_.endsWith("gen_1")))
+    // the state an OS KILL leaves — a claimed generation with its data
+    // written but no marker (no cleanup code ran): loaders must refuse it
+    new java.io.File(s"$dir/gen_5").mkdirs()
+    assert(Generations.latestCommitted(dir).exists(_.endsWith("gen_1")),
+      "an unmarked (killed) generation must never serve")
 
-    // a successful save commits generation 3 and the loader flips to it;
-    // the crash debris is reaped, the immediate predecessor retained
+    // a successful save claims the next slot ABOVE the kill debris
+    // (gen_6), the loader flips to it, the debris is reaped, and the
+    // immediate committed predecessor is retained
     val docs2 = docs.unionByName(Seq((4L,
       "the quick brown fox jumps over the lazy dog tonight again"))
       .toDF("doc_id", "text"))
@@ -1233,8 +1239,9 @@ class ScaleSpec extends SparkSpec {
       pset(Dedup.gramPostings(docs2, "doc_id", "text", 20)),
       "post-flip load must serve the new generation")
     val after = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(after.contains("gen_6"), "new save claims the next free slot")
     assert(after.contains("gen_1"), "one committed predecessor retained")
-    assert(!after.contains("gen_2"), "uncommitted crash debris reaped")
+    assert(!after.contains("gen_5"), "uncommitted kill debris reaped")
 
     // a directory holding ONLY uncommitted generations refuses to load
     val empty = Files.createTempDirectory("graft-genflip-none").toString
@@ -1275,6 +1282,65 @@ class ScaleSpec extends SparkSpec {
     assert(iset(Similarity.loadIvfIndex(spark, dir)) == gen1,
       "IVF loader must keep serving the committed generation")
     assert(Generations.latestCommitted(dir).exists(_.endsWith("gen_1")))
+  }
+
+  // Two savers racing the same artifact dir must never interleave
+  // writes into one generation: each stages in its own pid+nanos temp
+  // dir and an ATOMIC rename claims a slot, so the loser re-claims the
+  // next number — every committed generation is exactly one saver's
+  // complete payload. (In-repo callers are single-writer per dir via
+  // Tables.artifactDir's pid keying; Generations is the general layer
+  // and must hold without that.)
+  test("generation-flip: concurrent savers each commit a complete generation") {
+    import graft.sources.Generations
+    val dir = Files.createTempDirectory("graft-genflip-race").toString
+    val n = 8
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        barrier.await()
+        val p = Generations.save(dir) { g =>
+          // multi-file payload with a window between the files, the
+          // shape whose interleaving a shared gen dir could tear
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$g/who"), s"saver$i".getBytes)
+          Thread.sleep(5)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$g/who2"), s"saver$i".getBytes)
+        }
+        done.add(p): Unit
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    val paths = {
+      import scala.jdk.CollectionConverters._
+      done.asScala.toSeq
+    }
+    assert(paths.size == n, s"all $n savers must commit (got ${paths.size})")
+    assert(paths.toSet.size == n,
+      "each saver must claim a DISTINCT generation slot")
+    // slots are claimed monotonically (reaps only ever remove gens BELOW
+    // the reaper's own), so the n racers land exactly on gen_1..gen_n
+    assert(paths.map(_.split("gen_").last.toInt).sorted == (1 to n),
+      s"slots must be gen_1..gen_$n: $paths")
+    // every SURVIVING generation is internally consistent — one saver's
+    // complete payload, both files from the same writer (earlier gens
+    // were legitimately reaped by later commits)
+    val surviving = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("gen_"))
+    assert(surviving.nonEmpty)
+    surviving.foreach { g =>
+      val a = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$g/who")))
+      val b = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$g/who2")))
+      assert(a == b, s"torn generation at $g: $a vs $b")
+    }
+    // the loader resolves the highest committed slot
+    val latest = Generations.loadPath(dir)
+    assert(latest.endsWith(s"gen_$n"), s"highest slot must be gen_$n: $latest")
   }
 
   // The streaming twin of the INCREMENTAL removal (round-13 verdict #3):
