@@ -44,50 +44,9 @@ object Bench {
       .trim.split(" ").take(3).mkString(",")
     catch { case _: Throwable => "" }
 
-  /** BOX CALIBRATION: a deterministic CPU microbenchmark (xorshift64*
-    * over a fixed iteration count), single-thread and all-cores, so the
-    * artifact can separate "the code got slower" from "the box got
-    * slower" WITHOUT a bisect. Round-14 lesson: unchanged round-12
-    * bytecode measured q306 at 34.8 s on its own round's boot and
-    * 49.0 s on round-14's — a 40 % box-state swing that took three
-    * worktree builds and back-to-back solo reruns to adjudicate; with
-    * this probe in both artifacts it is one division. The single-thread
-    * leg tracks per-core speed (turbo/thermal/steal); the all-cores leg
-    * additionally folds in SMT contention and hypervisor pressure — the
-    * regime the 32-thread suite actually runs in. The loop is JIT-warmed
-    * untimed first, and every result feeds an accumulator the final
-    * guard reads, so the JIT cannot elide the work.
-    */
-  private def calibrate(): (Double, Double) = {
-    val iters = 200000000L
-    def burn(seed: Long): Long = {
-      var x = seed | 1L
-      var i = 0L
-      while (i < iters) {
-        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
-        x *= 0x2545F4914F6CDD1DL
-        i += 1
-      }
-      x
-    }
-    val acc = new java.util.concurrent.atomic.AtomicLong(burn(42)) // warmup
-    val t0 = System.nanoTime()
-    acc.addAndGet(burn(acc.get()))
-    val st = (System.nanoTime() - t0) / 1e6
-    val n = Runtime.getRuntime.availableProcessors
-    val t1 = System.nanoTime()
-    val threads = (0 until n).map(i =>
-      new Thread(() => { acc.addAndGet(burn(i + 7)): Unit }))
-    threads.foreach(_.start())
-    threads.foreach(_.join())
-    val mt = (System.nanoTime() - t1) / 1e6
-    if (acc.get() == 0) System.err.println("[bench] calib sink hit zero")
-    (st, mt)
-  }
-
   def main(args: Array[String]): Unit = {
     val loadBefore = loadavg()
-    val (calibStBefore, calibMtBefore) = calibrate()
+    val (calibStBefore, calibMtBefore) = BoxCalib.measure()
     System.err.println(f"[bench] box calib: single-thread $calibStBefore%.0f ms, " +
       f"all-cores $calibMtBefore%.0f ms")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -285,7 +244,7 @@ object Bench {
     // one — >1 means this boot's cores are slower than the boot being
     // compared against, and a fleet of "regressions" at ~that ratio is
     // the box, not the code
-    val (calibStAfter, calibMtAfter) = calibrate()
+    val (calibStAfter, calibMtAfter) = BoxCalib.measure()
     val prevCalibSt = """"calib":\{"st_ms":(-?[0-9.]+)""".r
       .findFirstMatchIn(prevTxt).map(_.group(1).toDouble)
     val boxVsPrev = prevCalibSt.filter(_ > 0)

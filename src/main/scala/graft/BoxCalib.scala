@@ -1,0 +1,56 @@
+package graft
+
+/** BOX CALIBRATION shared by every measurement main (`Bench`,
+  * `ScaleCurve`'s curve/incremental/probe legs): a deterministic CPU
+  * microbenchmark whose readings travel INSIDE each JSON artifact, so
+  * two artifacts from different boots can be compared with their box
+  * speeds in hand instead of re-bisected (round-14 lesson: unchanged
+  * round-12 bytecode measured q306 at 34.8 s on its own round's boot
+  * and 49.0 s on round-14's — a 40 % box-state swing that took three
+  * worktree builds to adjudicate; with probes in both artifacts it is
+  * one division).
+  *
+  * The single-thread leg tracks per-core speed (turbo/thermal/steal);
+  * the all-cores leg runs the same fixed work on every available
+  * processor concurrently, folding in SMT contention and hypervisor
+  * pressure — the regime a `local[32]` suite actually executes in. The
+  * loop is JIT-warmed untimed first and every result feeds an
+  * accumulator the final guard reads, so the JIT cannot elide the work.
+  */
+object BoxCalib {
+
+  /** (singleThreadMs, allCoresMs) for the fixed xorshift64* workload. */
+  def measure(): (Double, Double) = {
+    val iters = 200000000L
+    def burn(seed: Long): Long = {
+      var x = seed | 1L
+      var i = 0L
+      while (i < iters) {
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        x *= 0x2545F4914F6CDD1DL
+        i += 1
+      }
+      x
+    }
+    val acc = new java.util.concurrent.atomic.AtomicLong(burn(42)) // warmup
+    val t0 = System.nanoTime()
+    acc.addAndGet(burn(acc.get()))
+    val st = (System.nanoTime() - t0) / 1e6
+    val n = Runtime.getRuntime.availableProcessors
+    val t1 = System.nanoTime()
+    val threads = (0 until n).map(i =>
+      new Thread(() => { acc.addAndGet(burn(i + 7)): Unit }))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val mt = (System.nanoTime() - t1) / 1e6
+    if (acc.get() == 0) System.err.println("[calib] sink hit zero")
+    (st, mt)
+  }
+
+  /** The probe as a ready JSON fragment: `"calib":{"st_ms":…,"mt_ms":…}`. */
+  def jsonField(): String = {
+    val (st, mt) = measure()
+    System.err.println(f"[calib] single-thread $st%.0f ms, all-cores $mt%.0f ms")
+    f""""calib":{"st_ms":$st%.1f,"mt_ms":$mt%.1f}"""
+  }
+}

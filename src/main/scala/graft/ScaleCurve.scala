@@ -300,7 +300,8 @@ object ScaleCurve {
         s""""self_join_probe_rows":${n * probeKeys},""" +
         s""""index_rows":${n * bands}}"""
     }
-    val json = s"""{"metric":"probe_leg","n":$n,"anchors":$nAnchors,""" +
+    val json = s"""{"metric":"probe_leg",${BoxCalib.jsonField()},""" +
+      s""""n":$n,"anchors":$nAnchors,""" +
       s""""truth_pairs":$nTruth,"geometries":{${rows.mkString(",")}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("PROBE_LEG.json"),
       (json + "\n").getBytes("UTF-8"))
@@ -401,7 +402,9 @@ object ScaleCurve {
       f"""{"inc":${math.log(b._4 / a._4) / math.log(r)}%.2f,""" +
         f""""full":${math.log(b._5 / a._5) / math.log(r)}%.2f}"""
     }).getOrElse("null")
-    val json = s"""{"metric":"inc_leg","scales":$qs,"exponents":$exps}"""
+    val json =
+      s"""{"metric":"inc_leg",${BoxCalib.jsonField()},"scales":$qs,""" +
+        s""""exponents":$exps}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     println(json)
@@ -526,7 +529,8 @@ object ScaleCurve {
           s""""$tag":null"""
       }
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"scale_curve","replicas":$replicas,""" +
+    val json = s"""{"metric":"scale_curve",${BoxCalib.jsonField()},""" +
+      s""""replicas":$replicas,""" +
       s""""char_salt":$charSalt,""" +
       s""""n_docs":$nDocs,"n_vecs":$nVecs,"cand":$cand,"queries":$qs}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(curveOut),
