@@ -19,17 +19,35 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * continues the SAME accumulation (asserted against the batch recurrence
   * in `ScaleSpec`).
   *
-  * Ordering: observations are folded in event-time order WITHIN a
-  * micro-batch; across batches the fold follows arrival order (exactly
-  * the state-store contract every keyed stateful operator has). An
-  * upstream watermark+sort stage tightens this when out-of-order arrival
-  * matters.
+  * Ordering: observations are folded in (t, x) order WITHIN a
+  * micro-batch — a TOTAL order, because the `max(0, ·)` clamp makes the
+  * recurrence order-sensitive and a sort on t alone leaves equal-t ties
+  * to nondeterministic shuffle arrival order, which would break the
+  * asserted kill-and-resume replay parity (equal (t, x) duplicates
+  * commute through the fold, so the pair suffices). Across batches the
+  * fold follows arrival order (exactly the state-store contract every
+  * keyed stateful operator has). An upstream watermark+sort stage
+  * tightens this when out-of-order arrival matters.
   */
 object DriftMonitor {
 
   case class Obs(key: String, t: Long, x: Long)
   case class CusumState(s: Long)
   case class Alarm(key: String, t: Long, x: Long, s: Long, alarm: Boolean)
+
+  /** The sequential CUSUM fold over one micro-batch — ONE copy shared by
+    * both API twins, so the correctness-critical recurrence (and the
+    * deterministic (t, x) fold order above) cannot drift between them.
+    */
+  private def cusumFold(key: String, s0: Long, rows: Iterator[Obs],
+      mu: Long, k: Long, h: Long): (Long, Seq[Alarm]) = {
+    var s = s0
+    val out = rows.toSeq.sortBy(e => (e.t, e.x)).map { e =>
+      s = math.max(0L, s + e.x - mu - k)
+      Alarm(key, e.t, e.x, s, s >= h)
+    }
+    (s, out)
+  }
 
   def monitor(events: Dataset[Obs], mu: Long, k: Long, h: Long)
       : Dataset[Alarm] = {
@@ -40,11 +58,8 @@ object DriftMonitor {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
         (key: String, it: Iterator[Obs], state: GroupState[CusumState]) =>
-          var s = state.getOption.map(_.s).getOrElse(0L)
-          val out = it.toSeq.sortBy(_.t).map { e =>
-            s = math.max(0L, s + e.x - mu - k)
-            Alarm(key, e.t, e.x, s, s >= h)
-          }
+          val (s, out) = cusumFold(key,
+            state.getOption.map(_.s).getOrElse(0L), it, mu, k, h)
           state.update(CusumState(s))
           out.iterator
       }
@@ -71,11 +86,8 @@ object DriftMonitor {
         timerValues: TimerValues): Iterator[Alarm] = {
       // a TTL-evicted key reads as null → the fold restarts at S = 0 (an
       // idle metric's accumulated drift is stale evidence by definition)
-      var s = Option(sState.get()).map(_.s).getOrElse(0L)
-      val out = rows.toSeq.sortBy(_.t).map { e =>
-        s = math.max(0L, s + e.x - mu - k)
-        Alarm(key, e.t, e.x, s, s >= h)
-      }
+      val (s, out) = cusumFold(key,
+        Option(sState.get()).map(_.s).getOrElse(0L), rows, mu, k, h)
       sState.update(CusumState(s))
       out.iterator
     }

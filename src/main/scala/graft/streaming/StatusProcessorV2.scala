@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
-import graft.model.Status
 
 /** The status state machine on Spark 4's `transformWithState` API — the
   * modern successor to mapGroupsWithState (typed per-key state handles,

@@ -40,23 +40,44 @@ final case class IngestionStatus(
   */
 object StatusStateMachine {
 
-  private[streaming] type BatchMap = Map[String, (String, Long)]
+  private[graft] type BatchMap = Map[String, (String, Long)]
+
+  /** Forward order of the status lattice, injective so any two distinct
+    * statuses compare decisively: a transition whose timestamp TIES the
+    * recorded one (common under coarse scheduler clocks — triggered and
+    * completed can share a millisecond) must still advance, and the
+    * winner must not depend on shuffle arrival order.
+    */
+  private[graft] def statusRank(s: String): Int = s match {
+    case Status.YetToStart => 0
+    case Status.Triggered  => 1
+    case Status.Completed  => 2
+    case Status.Failed     => 3 // terminal tiebreak: failure outranks
+    case _                 => -1 // unknown never beats a known status
+  }
 
   /** Merge new events into per-batch state. A late or redelivered OLDER
     * event (normal under at-least-once sources) cannot regress an already
-    * advanced status — only strictly newer events win.
+    * advanced status; at EQUAL timestamps the lattice-forward status wins.
+    * The winner per batch_id is the (ts, rank)-lexicographic maximum, so
+    * the fold converges to the same state in ANY arrival order — the
+    * property kill-and-resume replay parity rests on (a stable sort alone
+    * left equal-ts winners to nondeterministic shuffle order). A
+    * redelivered identical event ties on both keys and is a no-op.
     */
-  private[streaming] def merge(prior: BatchMap, evs: Seq[BatchEvent]): BatchMap =
-    evs.sortBy(_.ts.getTime).foldLeft(prior) { (acc, e) =>
+  private[graft] def merge(prior: BatchMap, evs: Seq[BatchEvent]): BatchMap =
+    evs.foldLeft(prior) { (acc, e) =>
+      val ts = e.ts.getTime
       acc.get(e.batch_id) match {
-        case Some((_, seenTs)) if seenTs >= e.ts.getTime => acc
-        case _ => acc + (e.batch_id -> (e.status, e.ts.getTime))
+        case Some((seenSt, seenTs)) if seenTs > ts ||
+          (seenTs == ts && statusRank(seenSt) >= statusRank(e.status)) => acc
+        case _ => acc + (e.batch_id -> (e.status, ts))
       }
     }
 
   /** The rollup lattice over merged per-batch state
     * (`/root/reference/src/services/ingestService.js:15-35`). */
-  private[streaming] def rollup(id: String, merged: BatchMap): IngestionStatus = {
+  private[graft] def rollup(id: String, merged: BatchMap): IngestionStatus = {
     val st = merged.values.map(_._1).toSeq
     val overall =
       if (st.isEmpty || st.forall(_ == Status.YetToStart)) Status.YetToStart

@@ -20,8 +20,12 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   *
   * State is one ValueState row per group holding ≤ `capacity` (item,
   * count) pairs — O(groups · capacity), RocksDB-resident at scale; the
-  * emitted rows are the full sketch per touched group (Update mode), so
-  * downstream sinks always hold the latest summary.
+  * emitted rows are the full sketch per touched group PLUS a zero-
+  * estimate RETRACTION for every item the batch's decrements evicted
+  * (Update mode): an upsert sink keyed (group, item) would otherwise pin
+  * evicted items at their stale estimates forever, and `est = 0` is
+  * exactly MG's statement that the item left the summary. With the
+  * retractions, downstream sinks really do hold the latest summary.
   */
 object StreamingHeavyHitters {
 
@@ -46,6 +50,25 @@ object StreamingHeavyHitters {
         state.view.mapValues(_ - 1).filter(_._2 > 0).toMap
     }
 
+  /** One micro-batch through the sketch — ONE copy shared by both API
+    * twins so the sorted-fold determinism AND the emit discipline cannot
+    * drift between them: sorted fold (the sketch is a pure function of
+    * the batch sequence, not of partition-internal row order), then the
+    * live sketch rows plus zero-estimate retractions for the items this
+    * batch's decrements evicted (see the object scaladoc).
+    */
+  private def mgBatch(key: String, start: Map[String, Long],
+      rows: Iterator[ItemEvent], capacity: Int)
+      : (Map[String, Long], Iterator[Estimate]) = {
+    val folded = rows.map(_.item).toSeq.sorted
+      .foldLeft(start)((m, it) => mgFold(m, it, capacity))
+    val live = folded.toSeq.sortBy(_._1)
+      .map { case (it, c) => Estimate(key, it, c) }
+    val evicted = (start.keySet -- folded.keySet).toSeq.sorted
+      .map(it => Estimate(key, it, 0L))
+    (folded, (live ++ evicted).iterator)
+  }
+
   class MgProcessor(capacity: Int)
       extends StatefulProcessor[String, ItemEvent, Estimate] {
 
@@ -58,13 +81,9 @@ object StreamingHeavyHitters {
     override def handleInputRows(key: String, rows: Iterator[ItemEvent],
         timerValues: TimerValues): Iterator[Estimate] = {
       val start = Option(st.get()).map(_.items).getOrElse(Map.empty)
-      // sorted fold => the sketch is a pure function of the batch
-      // sequence, not of partition-internal row order
-      val folded = rows.map(_.item).toSeq.sorted
-        .foldLeft(start)((m, it) => mgFold(m, it, capacity))
+      val (folded, out) = mgBatch(key, start, rows, capacity)
       st.update(MgState(folded))
-      folded.toSeq.sortBy(_._1)
-        .map { case (it, c) => Estimate(key, it, c) }.iterator
+      out
     }
   }
 
@@ -98,11 +117,9 @@ object StreamingHeavyHitters {
         (key: String, rows: Iterator[ItemEvent],
             state: GroupState[MgState]) => {
           val start = state.getOption.map(_.items).getOrElse(Map.empty)
-          val folded = rows.map(_.item).toSeq.sorted
-            .foldLeft(start)((m, it) => mgFold(m, it, capacity))
+          val (folded, out) = mgBatch(key, start, rows, capacity)
           state.update(MgState(folded))
-          folded.toSeq.sortBy(_._1)
-            .map { case (it, c) => Estimate(key, it, c) }.iterator
+          out
         })
   }
 }

@@ -14,16 +14,31 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * timeout branch at all). This processor closes that gap with the
   * state-store-native mechanism:
   *
-  *   - every NON-terminal event (re)arms a processing-time timer at
+  *   - the per-key decision is the (t, terminal)-LEXICOGRAPHIC MAXIMUM
+  *     over the prior state and the batch's events — deterministic in
+  *     any arrival order (a stable sort alone left equal-t winners to
+  *     shuffle order), with the terminal event winning a timestamp tie,
+  *     so a revival must carry a STRICTLY newer t than the finish it
+  *     revives past;
+  *   - a winning NON-terminal event (re)arms a processing-time timer at
   *     `now + timeoutMs`, deleting the previously armed one — exactly
-  *     one live timer per key, O(1) state (last event time + armed
-  *     deadline);
-  *   - a terminal event disarms the timer and clears the state — a
-  *     completed job can never alert;
-  *   - an EXPIRED timer fires [[TimeoutMonitor.Alert]] once, carrying
-  *     the last observed activity and the deadline that passed, and
-  *     clears the state — so a later revival of the key starts a fresh
-  *     watch rather than resurrecting the old one.
+  *     one live timer per key, O(1) state; a LOSING batch (pure
+  *     redeliveries of events older than the recorded decision — normal
+  *     under at-least-once sources) changes nothing, and in particular
+  *     does not extend a live deadline;
+  *   - a winning terminal event leaves a TOMBSTONE (state kept, timer
+  *     re-pointed at `now + timeoutMs` as a cleanup deadline): a
+  *     finished job never alerts, and a redelivered OLDER non-terminal
+  *     event cannot resurrect the watch and fire a false alert for a
+  *     completed job — the hole plain clear-on-terminal leaves open.
+  *     The tombstone holds for one timeout window (which also bounds
+  *     state): a source replaying events older than that window needs a
+  *     proportionally larger `timeoutMs`;
+  *   - an EXPIRED timer on a live watch fires [[TimeoutMonitor.Alert]]
+  *     once, carrying the last observed activity and the deadline that
+  *     passed, and clears the state — so a later revival of the key
+  *     starts a fresh watch rather than resurrecting the old one; an
+  *     expired tombstone clears silently.
   *
   * Timers live in the state store (RocksDB at scale) and survive
   * restarts with the checkpoint — the watchdog keeps its promises across
@@ -36,8 +51,11 @@ object TimeoutMonitor {
   /** One row per observed job event; `terminal` ends the watch. */
   case class WatchEvent(key: String, t: Long, terminal: Boolean)
 
-  /** (last activity, armed deadline) — the whole per-key state. */
-  case class WatchState(lastT: Long, deadline: Long)
+  /** (last activity, armed deadline, terminal tombstone?) — the whole
+    * per-key state. `done = true` means the deadline is a tombstone
+    * cleanup, not a watch.
+    */
+  case class WatchState(lastT: Long, deadline: Long, done: Boolean)
 
   case class Alert(key: String, last_t: Long, deadline_ms: Long)
 
@@ -52,27 +70,36 @@ object TimeoutMonitor {
 
     override def handleInputRows(key: String, rows: Iterator[WatchEvent],
         timerValues: TimerValues): Iterator[Alert] = {
-      // disarm whatever was pending — the new batch decides what's next
-      Option(st.get()).foreach(s => getHandle.deleteTimer(s.deadline))
-      val evs = rows.toSeq.sortBy(_.t)
-      // terminality is decided by the LAST event in event-time order: a
-      // job that finishes and is re-triggered within one micro-batch
-      // (terminal followed by a later non-terminal event) must keep its
-      // watch — an exists() here would clear the state and let the
-      // revived job hang silently until its next event
-      if (evs.last.terminal) {
-        st.clear() // done: a finished job never alerts
-      } else {
+      // the winner is the (t, terminal)-lexicographic max over prior
+      // state and batch — see the object scaladoc: deterministic in any
+      // arrival order; terminal wins a timestamp tie; a job that
+      // finishes and is re-triggered within one micro-batch (terminal,
+      // then a LATER non-terminal event) keeps its watch — an exists()
+      // here would clear the state and let the revived job hang silently
+      def rank(term: Boolean) = if (term) 1 else 0
+      val win = rows.maxBy(e => (e.t, rank(e.terminal)))
+      val prior = Option(st.get())
+      val priorHolds = prior.exists(s =>
+        Ordering[(Long, Int)].gteq(
+          (s.lastT, rank(s.done)), (win.t, rank(win.terminal))))
+      if (!priorHolds) {
+        // the batch advances the decision: the old timer (watch or
+        // tombstone cleanup) is obsolete either way
+        prior.foreach(s => getHandle.deleteTimer(s.deadline))
         val deadline = timerValues.getCurrentProcessingTimeInMs + timeoutMs
         getHandle.registerTimer(deadline)
-        st.update(WatchState(evs.last.t, deadline))
+        st.update(WatchState(win.t, deadline, win.terminal))
       }
+      // else: pure redeliveries of already-decided events — nothing
+      // changes, and in particular a stale event neither extends a live
+      // deadline nor resurrects a tombstoned watch
       Iterator.empty
     }
 
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[Alert] = {
-      val out = Option(st.get()).map(s =>
+      // a tombstone expiry is silent cleanup; only a live watch alerts
+      val out = Option(st.get()).filter(!_.done).map(s =>
         Alert(key, s.lastT, expiredTimerInfo.getExpiryTimeInMs)).iterator
       st.clear()
       out

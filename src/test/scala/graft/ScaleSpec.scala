@@ -807,8 +807,11 @@ class ScaleSpec extends SparkSpec {
       } finally q2.stop()
       // the LAST written batch's emission per group is the final sketch
       val lastDir = dataDirs().maxBy(n => n.stripPrefix("d=b").toInt)
-      val got = spark.read.parquet(s"$outDir/$lastDir").as[Estimate]
+      val all = spark.read.parquet(s"$outDir/$lastDir").as[Estimate]
         .collect()
+      // live sketch rows only — est=0 rows are the batch's eviction
+      // RETRACTIONS (asserted below), not sketch content
+      val got = all.filter(_.est > 0)
         .groupBy(_.group)
         .map { case (g, es) => g -> es.map(e => e.item -> e.est).toMap }
       // reference: the shared sequential fold, wave by wave, sorted
@@ -831,6 +834,27 @@ class ScaleSpec extends SparkSpec {
         s"heavy hitter undercounted past the MG bound: $hotEst")
       assert(got("A").size <= capacity && got("B").size <= capacity,
         "sketch exceeded its capacity bound")
+      // eviction retractions: every item the last batch's decrements
+      // dropped from the carried-over sketch must emit an est=0 row, so
+      // an upsert sink keyed (group, item) cannot pin stale estimates —
+      // and no item may be both live and retracted in one emission
+      val zeros = all.filter(_.est == 0L)
+        .groupBy(_.group)
+        .map { case (g, es) => g -> es.map(_.item).toSet }
+      val prevRef = (w1 ++ Nil).groupBy(_.group).keySet.map { g =>
+        g -> w1.filter(_.group == g).map(_.item).sorted
+          .foldLeft(Map.empty[String, Long])(
+            (m, it) => StreamingHeavyHitters.mgFold(m, it, capacity))
+      }.toMap
+      val wantZeros = prevRef.map { case (g, before) =>
+        g -> (before.keySet -- ref(g).keySet)
+      }.filter(_._2.nonEmpty)
+      assert(zeros == wantZeros,
+        s"eviction retractions mismatch: got $zeros want $wantZeros")
+      zeros.foreach { case (g, its) =>
+        assert(its.intersect(got.getOrElse(g, Map.empty).keySet).isEmpty,
+          s"item both live and retracted in one emission: $g $its")
+      }
     } finally {
       priorStore match {
         case Some(v) => spark.conf.set(
@@ -876,7 +900,11 @@ class ScaleSpec extends SparkSpec {
         }
         .start()
       q.awaitTermination(120000)
+      // first batch starts from empty state: nothing can be evicted-
+      // with-retraction below a positive estimate, but filter anyway so
+      // the comparison reads sketch content only
       spark.read.parquet(s"$outDir/d=b0").as[Estimate].collect()
+        .filter(_.est > 0)
         .groupBy(_.group)
         .map { case (g, es) => g -> es.map(e => e.item -> e.est).toMap }
     }

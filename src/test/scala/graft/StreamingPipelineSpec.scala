@@ -380,14 +380,26 @@ class StreamingPipelineSpec extends SparkSpec {
       // t=1, later non-terminal at t=2) then silence -> the revived job
       // must stay watched and alert (the round-9 advisor finding: an
       // exists(terminal) would drop D's watch and let it hang silently)
+      // E: finishes in batch 1, then an OLDER non-terminal event is
+      // REDELIVERED in batch 2 (at-least-once source) -> the terminal
+      // tombstone must hold and E never alerts (before the tombstone, a
+      // redelivery after clear-on-terminal re-armed a watch and fired a
+      // false alert for a completed job); F: terminal and non-terminal
+      // share t=1 in ONE batch -> the terminal event wins the tie
+      // DETERMINISTICALLY (a revival must carry a strictly newer t), so
+      // F never alerts regardless of shuffle arrival order
       input.addData(WatchEvent("A", 1L, terminal = false),
         WatchEvent("B", 1L, terminal = false),
         WatchEvent("C", 1L, terminal = false),
         WatchEvent("D", 2L, terminal = false),
-        WatchEvent("D", 1L, terminal = true))
+        WatchEvent("D", 1L, terminal = true),
+        WatchEvent("E", 2L, terminal = true),
+        WatchEvent("F", 1L, terminal = false),
+        WatchEvent("F", 1L, terminal = true))
       Thread.sleep(600)
       input.addData(WatchEvent("B", 2L, terminal = true),
-        WatchEvent("C", 2L, terminal = false)) // C re-arms
+        WatchEvent("C", 2L, terminal = false), // C re-arms
+        WatchEvent("E", 1L, terminal = false)) // E: stale redelivery
       Thread.sleep(600)
       input.addData(WatchEvent("C", 3L, terminal = true)) // C finishes
       val deadline = System.currentTimeMillis() + 60000
@@ -398,7 +410,8 @@ class StreamingPipelineSpec extends SparkSpec {
       Thread.sleep(2500)
       val byKey = alerts.groupBy(_.key)
       assert(byKey.keySet == Set("A", "D"),
-        s"expected exactly A and D to time out: $alerts")
+        s"expected exactly A and D to time out (E's redelivery and F's " +
+          s"equal-t tie must both stay silent): $alerts")
       assert(byKey("A").size == 1, s"A must alert exactly once: $alerts")
       assert(byKey("A").head.last_t == 1L)
       assert(byKey("D").size == 1, s"D must alert exactly once: $alerts")
@@ -412,6 +425,41 @@ class StreamingPipelineSpec extends SparkSpec {
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
+  }
+
+  test("status merge: equal-timestamp transitions advance by lattice rank, " +
+      "regressions drop, and the fold is arrival-order independent") {
+    import graft.streaming.StatusStateMachine.merge
+    def ev(b: String, st: String, t: Long) =
+      BatchEvent("A", b, st, new java.sql.Timestamp(t))
+    // a coarse scheduler clock stamps triggered and completed with the
+    // SAME millisecond: the forward transition must still land (the old
+    // strictly-newer rule dropped it forever)
+    val sameTs = Seq(ev("b0", Status.Triggered, 1000L),
+      ev("b0", Status.Completed, 1000L))
+    assert(merge(Map.empty, sameTs)("b0")._1 == Status.Completed,
+      "equal-ts forward transition must advance")
+    // ...but a redelivered equal-ts OLDER status cannot regress it
+    assert(merge(Map("b0" -> (Status.Completed, 1000L)),
+      Seq(ev("b0", Status.Triggered, 1000L)))("b0")._1 == Status.Completed,
+      "equal-ts regression must drop")
+    // and a strictly older event never wins, whatever its status
+    assert(merge(Map("b0" -> (Status.Triggered, 2000L)),
+      Seq(ev("b0", Status.Completed, 1000L)))("b0")._1 == Status.Triggered,
+      "older event must not regress newer state")
+    // arrival-order independence: the winner is the (ts, rank)-lex max,
+    // so every permutation of a batch converges to the same state —
+    // what kill-and-resume replay parity rests on
+    val evs = Seq(ev("b0", Status.YetToStart, 1000L),
+      ev("b0", Status.Completed, 2000L),
+      ev("b0", Status.Triggered, 2000L),
+      ev("b1", Status.Failed, 1000L),
+      ev("b1", Status.Completed, 1000L))
+    val states = evs.permutations.take(60).map(p => merge(Map.empty, p)).toSeq
+    assert(states.distinct.size == 1,
+      s"merge must be arrival-order independent: ${states.distinct}")
+    assert(states.head == Map("b0" -> (Status.Completed, 2000L),
+      "b1" -> (Status.Failed, 1000L)))
   }
 
   test("mapGroupsWithState status machine tracks the rollup lattice") {
