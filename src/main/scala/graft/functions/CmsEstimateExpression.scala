@@ -40,7 +40,29 @@ case class CmsEstimate(item: Expression, table: Expression,
         s"$prettyName table/d/w must be foldable (the sketch is plan-time data)")
     else if (d.dataType != IntegerType || w.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure(s"$prettyName d and w must be INT")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // geometry must match the sketch: with a SMALLER claimed d*w every
+      // index stays in bounds, the min is taken over wrong slots, and
+      // the estimate can fall BELOW the true count — silently breaking
+      // the never-undercount invariant the lossless prefilter (q227)
+      // rests on; larger d*w would throw mid-query instead. All three
+      // args are foldable (checked above), so fail at PLAN time.
+      val tv = table.eval()
+      val dv = d.eval()
+      val wv = w.eval()
+      if (tv == null || dv == null || wv == null)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName table/d/w must be non-null")
+      else {
+        val len = tv.asInstanceOf[ArrayData].numElements()
+        val need = dv.asInstanceOf[Int].toLong * wv.asInstanceOf[Int]
+        if (len.toLong != need)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName sketch geometry mismatch: table has $len " +
+              s"counters but d*w = $need")
+        else TypeCheckResult.TypeCheckSuccess
+      }
+    }
   }
 
   override def dataType: DataType = LongType

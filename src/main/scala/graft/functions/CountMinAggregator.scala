@@ -60,6 +60,10 @@ class CountMinAggregator(d: Int, w: Int)
   override def zero: CmsSketch = CmsSketch(new Array[Long](d * w), 0L)
 
   override def reduce(acc: CmsSketch, item: String): CmsSketch = {
+    // a null item is absent, not a key: skip it rather than NPE inside
+    // the hash — the query side (CmsEstimate) maps null to NULL, and the
+    // MG aggregator tolerates the same input, so the build side must too
+    if (item == null) return acc
     var r = 0
     while (r < d) {
       acc.table(r * w + CountMin.slot(item, r, w)) += 1L

@@ -229,16 +229,28 @@ object PqExpressions {
         s"got ${exprs.length}")
     require(exprs.tail.forall(_.foldable),
       s"$name: cbflat/subspaces/codewords must be literals")
-    // SQL-surface integer literals arrive as ARRAY<INT>; widen to long
+    // SQL-surface integer literals arrive as ARRAY<INT>; widen to long.
+    // A NULL literal is foldable and evals to null — name it in the
+    // error instead of NPE-ing out of the analyzer (or, for cbflat,
+    // reporting "must be ARRAY<BIGINT>, got array<bigint>")
     val cb = (exprs(1).eval(), exprs(1).dataType) match {
+      case (null, _) => throw new IllegalArgumentException(
+        s"$name: cbflat must not be NULL")
       case (a: ArrayData, ArrayType(LongType, _)) => a.toLongArray()
       case (a: ArrayData, ArrayType(IntegerType, _)) =>
         a.toIntArray().map(_.toLong)
       case (_, dt) => throw new IllegalArgumentException(
         s"$name: cbflat must be ARRAY<BIGINT>, got ${dt.catalogString}")
     }
-    val subspaces = exprs(2).eval().asInstanceOf[Number].intValue()
-    val codewords = exprs(3).eval().asInstanceOf[Number].intValue()
+    def intArg(i: Int, arg: String): Int = exprs(i).eval() match {
+      case null => throw new IllegalArgumentException(
+        s"$name: $arg must not be NULL")
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$name: $arg must be INT, got $other")
+    }
+    val subspaces = intArg(2, "subspaces")
+    val codewords = intArg(3, "codewords")
     require(subspaces > 0 && codewords > 0,
       s"$name: subspaces/codewords must be positive")
     (exprs.head, cb, subspaces, codewords)

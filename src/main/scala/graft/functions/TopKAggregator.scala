@@ -50,20 +50,11 @@ class TopKAggregator(k: Int)
 
   override def zero: List[RankedEntry] = Nil
 
-  /** Insert into a ≤k sorted list: O(k) per row, no allocation beyond the
-    * list cell — the accumulator is the bounded "heap".
-    */
   override def reduce(acc: List[RankedEntry], e: RankedEntry): List[RankedEntry] =
-    insert(acc, e)
+    BoundedInsert(acc, e, k)(ord)
 
   override def merge(a: List[RankedEntry], b: List[RankedEntry]): List[RankedEntry] =
-    b.foldLeft(a)(insert)
-
-  private def insert(acc: List[RankedEntry], e: RankedEntry): List[RankedEntry] = {
-    val (before, after) = acc.span(x => ord.lt(x, e))
-    val merged = before ::: (e :: after)
-    if (merged.lengthCompare(k) > 0) merged.take(k) else merged
-  }
+    b.foldLeft(a)(BoundedInsert(_, _, k)(ord))
 
   override def finish(acc: List[RankedEntry]): Seq[RankedEntry] = acc
 
@@ -71,4 +62,18 @@ class TopKAggregator(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[RankedEntry]]()
   override def outputEncoder: Encoder[Seq[RankedEntry]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[RankedEntry]]()
+}
+
+/** Insert into a ≤k sorted list: O(k) per row, no allocation beyond the
+  * list cells — the accumulator is the bounded "heap". ONE copy shared
+  * by [[TopKAggregator]] and [[WeightedSampleAggregator]] (they differed
+  * only in the Ordering), so a future improvement — e.g. an early-exit
+  * compare against a full accumulator's tail — lands in both.
+  */
+private[functions] object BoundedInsert {
+  def apply[A](acc: List[A], e: A, k: Int)(ord: Ordering[A]): List[A] = {
+    val (before, after) = acc.span(x => ord.lt(x, e))
+    val merged = before ::: (e :: after)
+    if (merged.lengthCompare(k) > 0) merged.take(k) else merged
+  }
 }

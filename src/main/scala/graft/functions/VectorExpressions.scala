@@ -200,6 +200,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case "graft_jaro_winkler" => classOf[JaroWinklerSimilarity].getName
         case "graft_pq_encode" => classOf[PqEncodeCodes].getName
         case "graft_pq_qtab" => classOf[PqQueryTable].getName
+        case "graft_cms_estimate" => classOf[CmsEstimate].getName
+        case "graft_bloom_agg" => classOf[org.apache.spark.sql.catalyst
+          .expressions.aggregate.BloomFilterAggregate].getName
+        case "graft_might_contain" => classOf[org.apache.spark.sql.catalyst
+          .expressions.BloomFilterMightContain].getName
         case _ => GraftFunctions.getClass.getName
       }
       ext.injectFunction((FunctionIdentifier(name),

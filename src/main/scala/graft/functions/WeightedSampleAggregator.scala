@@ -62,17 +62,11 @@ class WeightedSampleAggregator(k: Int)
     // loudly rather than silently rank it as "sample me first"
     require(e.w > 0 && e.h >= 0,
       s"weighted sample needs w > 0 and h >= 0, got w=${e.w} h=${e.h} id=${e.id}")
-    insert(acc, e)
+    BoundedInsert(acc, e, k)(ord)
   }
 
   override def merge(a: List[WeightedItem], b: List[WeightedItem]): List[WeightedItem] =
-    b.foldLeft(a)(insert)
-
-  private def insert(acc: List[WeightedItem], e: WeightedItem): List[WeightedItem] = {
-    val (before, after) = acc.span(x => ord.lt(x, e))
-    val merged = before ::: (e :: after)
-    if (merged.lengthCompare(k) > 0) merged.take(k) else merged
-  }
+    b.foldLeft(a)(BoundedInsert(_, _, k)(ord))
 
   override def finish(acc: List[WeightedItem]): Seq[WeightedItem] = acc
 

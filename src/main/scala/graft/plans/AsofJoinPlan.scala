@@ -190,6 +190,11 @@ object NativeAsof {
       forward: Boolean): DataFrame = {
     val spark = left.sparkSession
     register(spark)
+    // a keyless (global) as-of would reach EnsureRequirements as
+    // ClusteredDistribution(Nil) and die in a require deep inside Spark;
+    // every other precondition here fails loudly — so must this one
+    require(on.nonEmpty, "as-of join needs at least one key column " +
+      "(for a global as-of, add a constant key to both sides)")
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String, side: String): Attribute =

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Abs, And, Expression, GreaterThanOrEqual, Length, LessThan, LessThanOrEqual, Levenshtein, Literal, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Abs, And, Expression, GreaterThan, GreaterThanOrEqual, Length, LessThan, LessThanOrEqual, Levenshtein, Literal, Subtract}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -29,18 +29,29 @@ import org.apache.spark.sql.types.IntegerType
   */
 object LevenshteinBandRule extends Rule[LogicalPlan] {
 
+  private def banded(a: Expression, b: Expression,
+      cut: Literal): Expression =
+    And(
+      LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), cut),
+      GreaterThanOrEqual(Levenshtein(a, b, Some(cut)), Literal(0)))
+
+  // both comparison directions per operator: no optimizer rule
+  // canonicalizes `k >= levenshtein(a, b)` into the left-hand spelling,
+  // so without the commuted cases those semantically identical
+  // predicates silently kept the full O(n²) DP
   private def rewrite(cond: Expression): Expression = cond.transformUp {
     case LessThanOrEqual(Levenshtein(a, b, None), lit @ Literal(k: Int, IntegerType))
         if k >= 0 =>
-      And(
-        LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), lit),
-        GreaterThanOrEqual(Levenshtein(a, b, Some(lit)), Literal(0)))
+      banded(a, b, lit)
+    case GreaterThanOrEqual(lit @ Literal(k: Int, IntegerType), Levenshtein(a, b, None))
+        if k >= 0 =>
+      banded(a, b, lit)
     case LessThan(Levenshtein(a, b, None), Literal(k: Int, IntegerType))
         if k >= 1 =>
-      val cut = Literal(k - 1)
-      And(
-        LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), cut),
-        GreaterThanOrEqual(Levenshtein(a, b, Some(cut)), Literal(0)))
+      banded(a, b, Literal(k - 1))
+    case GreaterThan(Literal(k: Int, IntegerType), Levenshtein(a, b, None))
+        if k >= 1 =>
+      banded(a, b, Literal(k - 1))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

@@ -222,5 +222,33 @@ class FunctionsSpec extends SparkSpec {
           lit(1), lit(1))).collect()
     }
     assert(bad.getMessage.toLowerCase.contains("foldable"))
+    // GEOMETRY must match the sketch at PLAN time: a smaller claimed d*w
+    // keeps every index in bounds and silently reads wrong slots — the
+    // min can fall BELOW the true count, breaking never-undercount (the
+    // q227 lossless-prefilter invariant); a bigger one would throw
+    // mid-query. Both shapes must fail analysis with the mismatch named.
+    val mismatch = intercept[Exception] {
+      probe.select(call_function("graft_cms_estimate", col("t"),
+        typedLit(sk.table.toSeq), lit(3), lit(16))).collect()
+    }
+    assert(mismatch.getMessage.contains("geometry mismatch"),
+      s"wrong error for undersized d*w: ${mismatch.getMessage}")
+    val oversize = intercept[Exception] {
+      probe.select(call_function("graft_cms_estimate", col("t"),
+        typedLit(sk.table.toSeq), lit(4), lit(32))).collect()
+    }
+    assert(oversize.getMessage.contains("geometry mismatch"),
+      s"wrong error for oversized d*w: ${oversize.getMessage}")
+    // the build side skips null items instead of NPE-ing in the hash —
+    // the sketch over (items + nulls) equals the sketch over items, and
+    // n counts only real items (MG and the query side already tolerate
+    // the same input)
+    val withNulls = (items :+ null.asInstanceOf[String]).toDF("t")
+      .as[String].groupByKey(_ => 0)
+      .agg(new CountMinAggregator(3, 32).toColumn.name("sk"))
+      .collect().head._2
+    assert(withNulls.table.toSeq == sk.table.toSeq,
+      "null items must not touch the counter grid")
+    assert(withNulls.n == sk.n, "null items must not count toward n")
   }
 }

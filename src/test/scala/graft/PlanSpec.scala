@@ -179,6 +179,47 @@ class PlanSpec extends SparkSpec {
       s"thresholded (early-exit) levenshtein missing:\n$p")
   }
 
+  test("levenshtein band rule also rewrites the commuted spellings " +
+      "(k >= lev, k > lev) — no optimizer pass canonicalizes direction") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    graft.plans.GraftRules.register(spark)
+    // parquet-backed: a LocalRelation would be constant-folded wholesale
+    // (ConvertToLocalRelation) and no Filter would survive to inspect
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-levplan").toString
+    Seq(("kitten", "sitting"), ("abc", "abd")).toDF("a", "b")
+      .write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    def planOf(cond: String): String =
+      df.filter(expr(cond)).queryExecution.executedPlan.toString
+    for (cond <- Seq("levenshtein(a, b) <= 2", "2 >= levenshtein(a, b)",
+        "levenshtein(a, b) < 3", "3 > levenshtein(a, b)")) {
+      val p = planOf(cond)
+      assert(p.contains("abs((length("),
+        s"band prefilter missing for `$cond`:\n$p")
+      assert(p.contains(", Some(2)) >= 0"),
+        s"thresholded DP missing for `$cond`:\n$p")
+    }
+    // all four spellings are one predicate: identical surviving rows
+    val want = df.filter(expr("levenshtein(a, b) <= 2")).collect().toSeq
+    for (cond <- Seq("2 >= levenshtein(a, b)", "levenshtein(a, b) < 3",
+        "3 > levenshtein(a, b)"))
+      assert(df.filter(expr(cond)).collect().toSeq == want,
+        s"rewritten `$cond` changed the result")
+  }
+
+  test("native as-of rejects empty join keys loudly at build time") {
+    import spark.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "ts")
+    val r = Seq((1L, 9L, "x")).toDF("k2", "ts2", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.NativeAsof.backward(l, r, Seq(), "ts", "ts2", Seq("v"))
+    }
+    assert(e.getMessage.contains("at least one key"),
+      s"keyless as-of must fail in build(), not inside Spark: ${e.getMessage}")
+  }
+
   test("q126 plans the native AsofJoin exec, one exchange+sort per side") {
     val p = plan("q126_asof_native")
     assert(p.contains("AsofJoin"), s"custom exec not planned:\n$p")
