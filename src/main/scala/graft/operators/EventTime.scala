@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate._
 
 /** Event-time windowing operators — tumbling/sliding/session over an
   * event-time column. These are thin, typed wrappers over Spark's native
@@ -17,12 +18,14 @@ object EventTime {
     * duration/slide windows (generated row-locally before the shuffle).
     */
   def windowedAgg(df: DataFrame, ts: String, duration: String, slide: String,
-      keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+      keys: Seq[Column], aggs: Seq[Column]): DataFrame = {
+    require(aggs.nonEmpty, "windowedAgg needs at least one aggregate")
     df.groupBy(window(col(ts), duration, slide).as("w") +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("window_start", col("w.start"))
       .withColumn("window_end", col("w.end"))
       .drop("w")
+  }
 
   /** EXACT distinct-key count over a trailing `windowDays`-day window, for
     * every day that has activity. Spark's window functions cannot express
@@ -104,12 +107,14 @@ object EventTime {
     * partitions; in streaming it runs on the session-window state store.
     */
   def sessionize(df: DataFrame, ts: String, gap: String,
-      keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+      keys: Seq[Column], aggs: Seq[Column]): DataFrame = {
+    require(aggs.nonEmpty, "sessionize needs at least one aggregate")
     df.groupBy(session_window(col(ts), gap).as("w") +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("session_start", col("w.start"))
       .withColumn("session_end", col("w.end"))
       .drop("w")
+  }
 
   /** Ordered funnel conversion: how many users performed the steps IN
     * ORDER, each strictly after the previous one. Greedy min-time
@@ -156,8 +161,13 @@ object EventTime {
             .filter(inWindow)
             .groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
         }
-      prev = cur
-      cur.agg(count(lit(1)).cast("long").as("n_users"))
+      // materialize each stage's anchors ONCE: every stage is read twice
+      // (its own count + the next stage's join), so a lazy chain re-runs
+      // stages 1..i-1 inside stage i — O(k²) joins over the full event
+      // table for a k-step funnel; the checkpoint makes it O(k), each
+      // stage one join deep over the |users|-sized anchor frame
+      prev = if (i == steps.size - 1) cur else cur.ckpt()
+      prev.agg(count(lit(1)).cast("long").as("n_users"))
         .select(lit((i + 1).toLong).as("step"), lit(st).as("stage"),
           col("n_users"))
     }
@@ -284,10 +294,18 @@ object EventTime {
     require(valueCols.nonEmpty, "valueCols must not be empty")
     val spark = df.sparkSession
     val k = valueCols.size
+    // a null order value or a value that casts('long') to null would NPE
+    // in the per-partition getLong far from the cause — fail loudly with
+    // the column named, the sibling peak-concurrency guard
+    val guarded = df.filter(coalesce(assert_true(
+      col(orderCol).isNotNull &&
+        valueCols.map(c => col(c).cast("long").isNotNull).reduce(_ && _),
+      lit(s"globalRunningSums: null/non-numeric value in " +
+        s"($orderCol, ${valueCols.mkString(", ")})")), lit(true)))
     // positional working aliases (_v0, _v1, …): deriving them from value
     // column NAMES would collide with the _t order alias for a column
     // literally named "t"
-    val ranged = df
+    val ranged = guarded
       .select(col(orderCol).as("_t") +:
         valueCols.zipWithIndex.map { case (c, i) =>
           col(c).cast("long").as(s"_v$i")

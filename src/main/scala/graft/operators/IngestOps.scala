@@ -97,7 +97,13 @@ object IngestOps {
       idCol: String, batchSize: Int): DataFrame = {
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     require(orderCols.nonEmpty, "orderCols must be non-empty")
-    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    // idCol joins the ordering as the FINAL tiebreaker: rows tying on all
+    // orderCols would otherwise land in different batches run to run
+    // (row_number over a non-total order is decided by shuffle arrival),
+    // making batch contents irreproducible at the boundary — with the id
+    // appended the order is total and membership deterministic
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols :+ col(idCol): _*)
     df.withColumn("_rn", row_number().over(w))
       .withColumn("batch_idx", floor((col("_rn") - 1) / batchSize).cast(IntegerType))
       .groupBy(col(keyCol), col("batch_idx"))

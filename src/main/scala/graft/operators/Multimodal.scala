@@ -119,29 +119,34 @@ object Multimodal {
     bos.toByteArray
   }
 
-  def resizeImagePng(content: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
-    require(dstW > 0 && dstH > 0, s"bad target ${dstW}x$dstH")
+  /** Decode→resample→encode core shared by every resize path — one
+    * decode, target dims a function of the decoded frame, absent or
+    * undecodable content → None. The per-path dims formulas stay at the
+    * call sites; the guard/decode/catch plumbing lives once here.
+    */
+  private def resampleWith(content: Array[Byte])(
+      dims: java.awt.image.BufferedImage => (Int, Int)): Option[Array[Byte]] = {
     if (content == null || content.isEmpty) return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      if (img == null) None else Some(resampleToPng(img, dstW, dstH))
+      if (img == null) None
+      else { val (w, h) = dims(img); Some(resampleToPng(img, w, h)) }
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  def resizeImagePng(content: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
+    require(dstW > 0 && dstH > 0, s"bad target ${dstW}x$dstH")
+    resampleWith(content)(_ => (dstW, dstH))
   }
 
   /** Ratio resize with ONE decode: target dims come from the already-
     * decoded image (no separate decodeImageMeta pass, whose mean scan
     * would be discarded anyway). */
   private def resizeImageByRatio(content: Array[Byte], num: Int,
-      den: Int): Option[Array[Byte]] = {
-    if (content == null || content.isEmpty) return None
-    try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      if (img == null) None
-      else Some(resampleToPng(img,
-        math.max(1, (img.getWidth.toLong * num / den).toInt),
-        math.max(1, (img.getHeight.toLong * num / den).toInt)))
-    } catch { case scala.util.control.NonFatal(_) => None }
-  }
+      den: Int): Option[Array[Byte]] =
+    resampleWith(content)(img => (
+      math.max(1, (img.getWidth.toLong * num / den).toInt),
+      math.max(1, (img.getHeight.toLong * num / den).toInt)))
 
   /** Batched REAL resize for image payloads: each image is rescaled to
     * (max(1, w·num/den), max(1, h·num/den)) of its own decoded dimensions —
@@ -518,15 +523,10 @@ object Multimodal {
   private def resizeContent(kind: String, content: Array[Byte],
       scale: Double): Array[Byte] = {
     val real =
-      if (kind != "image" || content == null || content.isEmpty) None
-      else try {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(content))
-        if (img == null) None
-        else Some(resampleToPng(img,
-          math.max(1, (img.getWidth * scale).toInt),
-          math.max(1, (img.getHeight * scale).toInt)))
-      } catch { case scala.util.control.NonFatal(_) => None }
+      if (kind != "image") None
+      else resampleWith(content)(img => (
+        math.max(1, (img.getWidth * scale).toInt),
+        math.max(1, (img.getHeight * scale).toInt)))
     real.getOrElse(resizeStub(content, scale * scale))
   }
 
@@ -534,12 +534,17 @@ object Multimodal {
     batchedStage(media, Seq("media_id", "kind", "content", "meta"),
       MediaSchema) { r =>
       val meta = r.getStruct(3)
+      // the same max(1, ...) clamp the content resample applies: a tiny
+      // positive dim must not round meta to 0x0 while the payload is a
+      // 1x1 PNG (a zero/absent source dim stays as computed — the clamp
+      // is for shrinking real geometry, not for inventing it)
+      def dim(i: Int): Any = Option(meta.get(i)).map { v =>
+        val d = v.asInstanceOf[Int]
+        if (d > 0) math.max(1, (d * scale).toInt) else (d * scale).toInt
+      }.orNull
       val newMeta =
         if (meta == null) null
-        else Row(meta.get(0),
-          Option(meta.get(1)).map(w => (w.asInstanceOf[Int] * scale).toInt).orNull,
-          Option(meta.get(2)).map(h => (h.asInstanceOf[Int] * scale).toInt).orNull,
-          meta.get(3), meta.get(4))
+        else Row(meta.get(0), dim(1), dim(2), meta.get(3), meta.get(4))
       Some(Row(r.getLong(0), r.getString(1),
         resizeContent(r.getString(1), r.getAs[Array[Byte]](2), scale), newMeta))
     }

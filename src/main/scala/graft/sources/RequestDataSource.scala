@@ -184,24 +184,52 @@ private[sources] class RequestFileReader(file: String, fields: Array[String],
 
   private val mapper = new ObjectMapper()
   private val zone = java.time.ZoneId.of(sessionTz)
-  private val lines = java.nio.file.Files.lines(java.nio.file.Paths.get(file))
-  private val it = lines.iterator()
+  // PER-LINE strict decoding: Files.lines' stream-wide strict decoder
+  // throws UncheckedIOException out of hasNext/next on the first
+  // malformed byte and kills the whole scan, while a REPLACE decoder
+  // would turn a bad byte into U+FFFD — which inside a string literal is
+  // still VALID JSON, so the damaged row would materialize as data
+  // where the V1 path (Jackson decoding bytes itself) nulls the record.
+  // Reading byte-lines and decoding each one strictly contains the
+  // failure to exactly its line AND keeps V1 parity: a coding error is
+  // that line's malformed-JSON null-field row.
+  private val in = new java.io.BufferedInputStream(
+    java.nio.file.Files.newInputStream(java.nio.file.Paths.get(file)))
+  private val decoder = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
   private var row: InternalRow = _
+
+  /** Next line's raw bytes (LF-terminated; a trailing CR is stripped so
+    * CRLF files read like Files.lines), or null at EOF. */
+  private def nextLineBytes(): Array[Byte] = {
+    var b = in.read()
+    if (b == -1) return null
+    val buf = new java.io.ByteArrayOutputStream()
+    while (b != -1 && b != '\n') { buf.write(b); b = in.read() }
+    val arr = buf.toByteArray
+    if (arr.nonEmpty && arr(arr.length - 1) == '\r') arr.dropRight(1) else arr
+  }
 
   override def next(): Boolean = {
     row = null
-    while (row == null && it.hasNext) {
-      val line = it.next()
-      if (line.trim.nonEmpty) {
+    var bytes = nextLineBytes()
+    while (row == null && bytes != null) {
+      val line =
+        try decoder.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+        catch { case _: java.nio.charset.CharacterCodingException => null }
+      if (line == null) {
+        // undecodable bytes: the line's null-field row (V1 parity)
+        if (passes(null)) row = materialize(null)
+      } else if (line.trim.nonEmpty) {
         val node = try mapper.readTree(line) catch { case _: Exception => null }
         if (passes(node)) row = materialize(node)
       }
+      if (row == null) bytes = nextLineBytes()
     }
     row != null
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = lines.close()
+  override def close(): Unit = in.close()
 
   private def text(node: JsonNode, field: String): String = {
     if (node == null) return null
@@ -210,21 +238,26 @@ private[sources] class RequestFileReader(file: String, fields: Array[String],
   }
 
   /** ids as a long array, or null — whole-field null on a non-array value
-    * or ANY non-integral element (matching the PERMISSIVE schema-enforced
-    * `spark.read.json` path, which nulls the field rather than coercing
-    * `"x"`/`true`/`1.5` to a long).
+    * or any non-integral NON-NULL element (matching the PERMISSIVE
+    * schema-enforced `spark.read.json` path, which nulls the field rather
+    * than coercing `"x"`/`true`/`1.5` to a long). A NULL element is KEPT
+    * as a null element: file sources force the user schema `asNullable`
+    * (containsNull=true at the scan), so the V1 path materializes
+    * `[1,null,2]` verbatim — measured — and whole-field nulling here
+    * would let a pushed `IsNotNull(ids)` silently drop a row V1 keeps.
     */
-  private def idsValue(node: JsonNode): Array[Long] = {
+  private def idsValue(node: JsonNode): Array[Any] = {
     if (node == null) return null
     val v = node.get("ids")
     if (v == null || !v.isArray) return null
-    val out = new Array[Long](v.size())
+    val out = new Array[Any](v.size())
     var i = 0
     val elems = v.elements()
     while (elems.hasNext) {
       val e = elems.next()
-      if (!e.isIntegralNumber || !e.canConvertToLong) return null
-      out(i) = e.asLong()
+      if (e.isNull) out(i) = null
+      else if (!e.isIntegralNumber || !e.canConvertToLong) return null
+      else out(i) = java.lang.Long.valueOf(e.asLong())
       i += 1
     }
     out

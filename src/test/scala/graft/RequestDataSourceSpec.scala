@@ -38,6 +38,44 @@ class RequestDataSourceSpec extends SparkSpec {
       s"V2 rows ${a.toSeq} differ from JSON-source rows ${b.toSeq}")
   }
 
+  test("a null ids ELEMENT keeps V1 parity ([1,null,2] stays an array) " +
+      "and a non-UTF-8 byte is contained to its own line") {
+    val dir = Files.createTempDirectory("graft-dsv2-nul").toFile
+    Files.writeString(new java.io.File(dir, "a.jsonl").toPath,
+      """{"ingestion_id":"N1","ids":[1,null,2],"priority":"HIGH","created_at":"2024-01-01T00:00:00.000Z"}""" + "\n" +
+      """{"ingestion_id":"N2","ids":[7],"priority":"LOW","created_at":"2024-01-01T00:00:01.000Z"}""" + "\n")
+    // one line carrying a raw Latin-1 byte (0xE9): Files.lines' strict
+    // decoder would throw out of the iterator and kill the whole scan;
+    // the lenient reader must contain it as that line's null-field row
+    val latin1 = ("""{"ingestion_id":"caf""" + "é" +
+      """","ids":[9],"priority":"LOW","created_at":"2024-01-01T00:00:02.000Z"}""" + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    Files.write(new java.io.File(dir, "b.jsonl").toPath, latin1)
+    val path = dir.getAbsolutePath
+    val v2 = spark.read.format("graft-requests").load(path)
+    val v1 = graft.sources.RequestSource.jsonBatch(spark, path)
+    // the whole scan survives; N1's array keeps its null ELEMENT — the
+    // V1 file-source scan forces the schema asNullable (containsNull
+    // true), so [1,null,2] materializes verbatim there, and whole-field
+    // nulling here would let a pushed IsNotNull(ids) drop a row V1 keeps
+    val n1 = v2.filter(col("ingestion_id") === "N1")
+      .select(col("ids")).collect()
+    assert(n1.length == 1)
+    assert(n1.head.getSeq[Any](0) == Seq(1L, null, 2L),
+      s"null element must survive: ${n1.head.getSeq[Any](0)}")
+    val v1n1 = v1.filter(col("ingestion_id") === "N1")
+      .select(col("ids")).collect()
+    assert(v1n1.head.getSeq[Any](0) == n1.head.getSeq[Any](0),
+      "V1/V2 must agree on the null-element array")
+    // IsNotNull(ids) (pushed) keeps the row, like V1's post-filter would
+    assert(v2.filter(col("ids").isNotNull)
+      .filter(col("ingestion_id") === "N1").count() == 1)
+    // the malformed-byte line is a null-field row on BOTH paths, and the
+    // other rows are unaffected
+    assert(v2.filter(col("ingestion_id").isNotNull).count() == 2)
+    assert(v1.filter(col("ingestion_id").isNotNull).count() == 2)
+  }
+
   test("string-equality filter is pushed into the scan and answers correctly") {
     val dir = writeFixture()
     val q = spark.read.format("graft-requests").load(dir)
