@@ -125,7 +125,12 @@ object Graph {
     * Σ_in (score(src)·w div wdeg(src))`, where wdeg is the node's total
     * outgoing weight. [[pageRankInt]] is the w≡1 special case; the same
     * one-shuffle-per-round shape and the same bit-identical-at-any-
-    * parallelism argument (BIGINT +, *, div only).
+    * parallelism argument (BIGINT +, *, div only). "Special case" holds
+    * for a DEDUPED, self-loop-free edge list: this canon SUMS parallel /
+    * reversed-duplicate weights (so (a,b,1)+(b,a,1) becomes weight 2
+    * where pageRankInt's distinct() keeps weight-1 semantics) and drops
+    * self-loops (pageRankInt keeps them carrying mass) — on raw directed
+    * exports the two deliberately differ.
     *
     * Overflow: the per-edge product score·w must clear 2⁶³ — with total
     * mass n·scale and weights ≤ wMax that is n·scale·wMax ≲ 9·10¹⁸;
@@ -1121,14 +1126,17 @@ object Graph {
     */
   def clusteringCoefficients(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val e = edges
-      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+    // canonicalize ONCE and checkpoint: the edge set feeds both the
+    // degree aggregate and the triangle enumeration, and calling
+    // triangleCounts(edges, ...) here would re-run canonicalUndirected's
+    // corpus-scale distinct shuffle a second time on identical input
+    val e = canonicalUndirected(edges, srcCol, dstCol).ckpt()
     val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    deg.join(triangleCounts(edges, srcCol, dstCol), Seq("node"), "left")
+    val tri = orientedTriangles(e)
+      .select(explode(array(col("a"), col("w1"), col("w2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(tri, Seq("node"), "left")
       .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
       .select(col("node"), col("degree"), col("n_triangles"),
         when(col("degree") >= 2,

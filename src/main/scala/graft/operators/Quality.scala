@@ -44,15 +44,25 @@ object Quality {
       .join(pk, Seq(childKey), "left")
       .select(
         lit(name).as("check_name"),
-        count(when(col("_present").isNull, lit(1))).as("n_violations"),
+        // SQL referential integrity (MATCH SIMPLE): a NULL child key
+        // SATISFIES the constraint — only a non-null key with no parent
+        // is an orphan. Counting nulls as violations would flag every
+        // optional reference on a nullable FK column.
+        count(when(col("_present").isNull && col(childKey).isNotNull,
+          lit(1))).as("n_violations"),
         count(lit(1)).as("n_checked"))
   }
 
-  /** Key-uniqueness check: duplicate keys count as violations. */
+  /** Key-uniqueness check: duplicate keys count as violations. NULL keys
+    * are UNCHECKED (SQL UNIQUE semantics: nulls are distinct) — counting
+    * them via count(*) − count_distinct would report every null row as a
+    * violation on a duplicate-free table, since count_distinct skips
+    * nulls while count(*) does not.
+    */
   def uniqueCheck(name: String, df: DataFrame, key: String): DataFrame =
     df.select(
       lit(name).as("check_name"),
-      (count(lit(1)) - count_distinct(col(key))).as("n_violations"),
+      (count(col(key)) - count_distinct(col(key))).as("n_violations"),
       count(lit(1)).as("n_checked"))
 
   /** A report is the union of one-row checks. */
@@ -71,7 +81,12 @@ object Quality {
   def fdCheck(name: String, df: DataFrame, det: Seq[Column],
       dep: Column): DataFrame =
     df.groupBy(det: _*)
-      .agg(count_distinct(dep).as("_nd"))
+      // count_distinct skips NULLs, so a {NULL, 'x'} group would pass
+      // clean although the determinant maps to two different dependents —
+      // exactly the dirty-join-key fan-out this audit exists to catch.
+      // A present NULL counts as one more distinct dependent value.
+      .agg((count_distinct(dep) +
+        when(count(lit(1)) > count(dep), 1L).otherwise(0L)).as("_nd"))
       .select(
         lit(name).as("check_name"),
         count(when(col("_nd") > 1, lit(1))).as("n_violations"),
@@ -189,12 +204,22 @@ object Quality {
     val tot = per.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
     per.crossJoin(broadcast(tot))
       .groupBy(col("na"), col("nb"))
-      .agg(sum(abs(col("a") * col("nb") - col("b") * col("na")))
+      // per-category products in DECIMAL too: a·nb itself wraps BIGINT
+      // past ~3e9-row slices
+      .agg(sum(abs(expr("CAST(a AS DECIMAL(38,0)) * nb") -
+          expr("CAST(b AS DECIMAL(38,0)) * na")))
         .as("num"), count(lit(1)).as("n_categories"))
       .select(col("na").as("n_a"), col("nb").as("n_b"),
         col("n_categories"),
+        // DECIMAL(38,0) intermediates: num ≤ 2·na·nb, so num·10⁶ passes
+        // Long.MaxValue once tvd·na·nb > ~4.6e12 (10 % drift at ~7M
+        // rows/slice — routine at scale) and the BIGINT multiply would
+        // wrap silently; 38 digits hold the product exactly and the
+        // integral divide returns the same BIGINT value wherever the
+        // long path didn't overflow
         when(col("na") > 0 && col("nb") > 0,
-          expr("num * 1000000 div (2 * na * nb)")).as("tvd_ppm"))
+          expr("CAST(num AS DECIMAL(38,0)) * 1000000" +
+            " div (CAST(na AS DECIMAL(38,0)) * 2 * nb)")).as("tvd_ppm"))
   }
 
   /** Cumulative ppm thresholds of the TWO-SIDED GEOMETRIC distribution

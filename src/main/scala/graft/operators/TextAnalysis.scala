@@ -328,7 +328,12 @@ object TextAnalysis {
     val stats = docs.agg(
       coalesce(sum(size(col(tokCol)).cast("long")), lit(0L)).as("s_total"),
       sum(when(size(col(tokCol)) > 0, 1L).otherwise(0L)).as("n_docs"))
-    val tf = inst.join(broadcast(queryTerms.select(col("term"))), Seq("term"))
+    // distinct: a duplicated query-term row would fan every matching
+    // instance out and DOUBLE tf while df/dl/S stay correct — the
+    // saturation term is jointly nonlinear in (tf, dl), so rankings flip
+    // (bm25TermScoresE6 already guards the same way)
+    val tf = inst
+      .join(broadcast(queryTerms.select(col("term")).distinct()), Seq("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
@@ -839,7 +844,13 @@ object TextAnalysis {
     *   - output: the global top-`k` DISTINCT phrases by (score desc,
     *     phrase asc) with occurrence counts — identical phrase strings
     *     always score identically (word scores are corpus-global), so
-    *     the dedup loses nothing.
+    *     the dedup loses nothing. PRECONDITION: tokens must not contain
+    *     whitespace (true of every tokenizer in this repo — they split
+    *     on whitespace); a whitespace-bearing token could make distinct
+    *     word sequences collide on one space-joined phrase string, and
+    *     the dedup would then merge phrases with different word
+    *     multisets (gramCountStats keeps grams ARRAY-typed for exactly
+    *     this reason — here the phrase STRING is the output contract).
     *
     * Scale shape: one keyed window (doc, pos) for the islands, one
     * phrase aggregate, two word-keyed aggregates (partial map-side), a
@@ -915,8 +926,13 @@ object TextAnalysis {
       .join(corpTerm, Seq("term"))
       .crossJoin(broadcast(corpTot))
       .withColumn("cell_ppb", expr("cnt_cell * 1000000000 div tot_cell"))
-      .withColumn("corp_ppb", expr("cnt_corp * 1000000000 div tot_corp"))
-      .filter(col("corp_ppb") > 0)
+      // corp_ppb floors to 0 once the corpus passes 1e9 tokens — exactly
+      // the rarest (highest-lift) terms; a filter(> 0) would silently
+      // DROP a cluster's most distinctive labels at the scale this
+      // operator advertises. Saturate instead (the RarityCap convention):
+      // ppb 0 clamps to 1, the term keeps max measurable lift.
+      .withColumn("corp_ppb",
+        expr("greatest(cnt_corp * 1000000000 div tot_corp, 1)"))
       .withColumn("lift_ppm", expr("cell_ppb * 1000000 div corp_ppb"))
     graft.operators.Relational.topKPerGroup(scored, Seq(col(clusterCol)),
         Seq(col("lift_ppm").desc, col("cnt_cell").desc, col("term").asc),
@@ -952,8 +968,14 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("n_types"), col("n_hapax"),
         expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
         expr("n_hapax * 1000000 div n_types").as("hapax_ppm"),
+        // DECIMAL(38,0): _rep2 ≈ n² for the repetitive docs this filter
+        // exists to catch, so _rep2·10⁶ wraps BIGINT past ~3M tokens/doc
+        // (non-ANSI: a silently NEGATIVE simpson that passes any
+        // "too high" reject gate); 38 digits are exact and the integral
+        // divide returns the identical BIGINT wherever longs sufficed
         when(col("n_tokens") > 1,
-          expr("_rep2 * 1000000 div (n_tokens * (n_tokens - 1))"))
+          expr("CAST(_rep2 AS DECIMAL(38,0)) * 1000000" +
+            " div (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))"))
           .as("simpson_ppm"))
   }
 }

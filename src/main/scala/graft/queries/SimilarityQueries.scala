@@ -1549,12 +1549,11 @@ object SimilarityQueries {
          |scored AS (
          |  SELECT c.centroid_id, c.term, c.cnt_cell,
          |         CAST((c.cnt_cell * 1000000000 // ct.tot_cell) * 1000000
-         |              // (co.cnt_corp * 1000000000 // t2.tot_corp)
+         |              // greatest(co.cnt_corp * 1000000000 // t2.tot_corp, 1)
          |           AS BIGINT) AS lift_ppm
          |  FROM cell c JOIN ctot ct USING (centroid_id)
          |  JOIN corp co USING (term), tot t2
          |  WHERE c.cnt_cell >= 3
-         |    AND co.cnt_corp * 1000000000 // t2.tot_corp > 0
          |)
          |SELECT centroid_id, rank, term, cnt_cell, lift_ppm FROM (
          |  SELECT centroid_id, term, cnt_cell, lift_ppm,

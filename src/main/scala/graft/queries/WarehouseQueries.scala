@@ -1966,13 +1966,19 @@ object WarehouseQueries {
 
     "q194_fd_kanon" ->
       """WITH f1 AS (
-        |  SELECT count(DISTINCT n_regionkey) AS nd FROM nation
+        |  SELECT count(DISTINCT n_regionkey)
+        |         + CASE WHEN count(*) > count(n_regionkey) THEN 1 ELSE 0 END
+        |         AS nd FROM nation
         |  GROUP BY n_nationkey
         |), f2 AS (
-        |  SELECT count(DISTINCT o_orderpriority) AS nd FROM orders
+        |  SELECT count(DISTINCT o_orderpriority)
+        |         + CASE WHEN count(*) > count(o_orderpriority) THEN 1 ELSE 0 END
+        |         AS nd FROM orders
         |  GROUP BY o_custkey
         |), f3 AS (
-        |  SELECT count(DISTINCT o_orderstatus) AS nd FROM orders
+        |  SELECT count(DISTINCT o_orderstatus)
+        |         + CASE WHEN count(*) > count(o_orderstatus) THEN 1 ELSE 0 END
+        |         AS nd FROM orders
         |  GROUP BY o_orderkey
         |), ka AS (
         |  SELECT count(*) AS n FROM customer
@@ -2005,7 +2011,8 @@ object WarehouseQueries {
         |UNION ALL
         |SELECT 'l_orderkey_fk',
         |       (SELECT count(*) FROM lineitem l
-        |        WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |        WHERE l.l_orderkey IS NOT NULL
+        |          AND NOT EXISTS (SELECT 1 FROM orders o
         |                          WHERE o.o_orderkey = l.l_orderkey)),
         |       (SELECT count(*) FROM lineitem)
         |UNION ALL
@@ -2014,7 +2021,7 @@ object WarehouseQueries {
         |FROM orders
         |UNION ALL
         |SELECT 'o_orderkey_unique',
-        |       count(*) - count(DISTINCT o_orderkey), count(*)
+        |       count(o_orderkey) - count(DISTINCT o_orderkey), count(*)
         |FROM orders""".stripMargin,
 
     "q100_stratified_sample" ->
