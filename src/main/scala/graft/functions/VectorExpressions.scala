@@ -172,7 +172,31 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         exprs(0), exprs(1))
     }, "graft_might_contain(bloom, xxhash64_value) - probe a bloom filter " +
-      "sketch; false means definitely absent"))
+      "sketch; false means definitely absent"),
+    ("graft_rh_bands", exprs => {
+      require(exprs.length == 4,
+        s"graft_rh_bands requires exactly 4 arguments, got ${exprs.length}")
+      val Seq(vec, planesE, bitsE, dimE) = exprs
+      require(planesE.foldable && bitsE.foldable && dimE.foldable,
+        "graft_rh_bands: planes, bits and dim must be literals — they " +
+          "shape the plane table shipped in the codegen references")
+      val planes = planesE.eval() match {
+        case a: ArrayData => a.toDoubleArray()
+        case other => throw new IllegalArgumentException(
+          s"graft_rh_bands: planes must be ARRAY<DOUBLE>, got $other")
+      }
+      val bits = bitsE.eval().asInstanceOf[Number].intValue()
+      val dim = dimE.eval().asInstanceOf[Number].intValue()
+      require(dim >= 1 && bits >= 1 && bits <= 62,
+        s"graft_rh_bands: need dim >= 1 and bits in [1,62], got $dim/$bits")
+      require(planes.length % (bits * dim) == 0 && planes.length > 0,
+        s"graft_rh_bands: plane table length ${planes.length} is not a " +
+          s"positive multiple of bits*dim (${bits * dim})")
+      RhBandsExpr(vec, planes, planes.length / (bits * dim), bits, dim)
+    }, "graft_rh_bands(vec, planes, bits, dim) - random-hyperplane LSH " +
+      "band keys (ARRAY<BIGINT>) of an ARRAY<DOUBLE> vector against a " +
+      "foldable flattened plane table, one loop-based codegen expression " +
+      "at any geometry"))
 
   /** Session-scoped registration (temp functions) — used by the query layer
     * and tests. Idempotent.
@@ -205,6 +229,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .expressions.aggregate.BloomFilterAggregate].getName
         case "graft_might_contain" => classOf[org.apache.spark.sql.catalyst
           .expressions.BloomFilterMightContain].getName
+        case "graft_rh_bands" => classOf[RhBandsExpr].getName
         case _ => GraftFunctions.getClass.getName
       }
       ext.injectFunction((FunctionIdentifier(name),

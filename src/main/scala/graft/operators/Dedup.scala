@@ -122,21 +122,23 @@ object Dedup {
     0L +: (r1 ++ r2 ++ r3)
   }
 
-  /** Guard shared by the multi-probe entry points: every probe mask
-    * becomes one child of a SINGLE codegen'd `explode(array(...))`
-    * expression, and past ~2k children janino's 64 KB method limit blows
-    * up — the same wall `rhBands` chunks around at wide geometries
-    * (ScaleCurve.bandedChunked). Extreme-but-permitted parameters
-    * (bits=62 at radius 3 is ~39k masks) must fail fast with the fix in
-    * the message, not die inside codegen. 2048 admits every radius-2
-    * geometry up to the 62-bit cap (1954 masks at 62 bits) and radius 3
-    * through 23 bits (exactly 2048).
+  /** Guard shared by the multi-probe entry points. The probe set now
+    * explodes a single ARRAY<BIGINT> mask LITERAL (one codegen reference,
+    * O(1) generated source at any radius — the per-mask
+    * `array(bh ^ lit(m), …)` expression this replaced hit janino's 64 KB
+    * method wall past ~2k children), so the bound is no longer about
+    * codegen: it caps probe VOLUME. Every input row multiplies by
+    * |masks| before the candidate join; extreme-but-permitted parameters
+    * (bits=62 at radius 3 is ~39k masks — a 39,000× row blowup per band)
+    * must fail fast with the fix in the message, not melt the shuffle.
+    * 2048 admits every radius-2 geometry up to the 62-bit cap (1954
+    * masks at 62 bits) and radius 3 through 23 bits (exactly 2048).
     */
   private def requireCodegenableProbeSet(masks: Seq[Long], bits: Int,
       radius: Int): Unit =
     require(masks.size <= 2048,
       s"probe set of ${masks.size} masks (bits=$bits, radius=$radius) " +
-        "exceeds the 2048-expression codegen bound; lower radius or bits")
+        "exceeds the 2048-mask probe-volume bound; lower radius or bits")
 
   def multiProbeCandidatePairs(docs: DataFrame, idCol: String,
       bandsCol: String, bits: Int, dedup: Boolean = true,
@@ -145,10 +147,13 @@ object Dedup {
     val masks = probeMasks(bits, radius)
     requireCodegenableProbeSet(masks, bits, radius)
     val exact = explodeBands(docs, idCol, bandsCol, "doc_x")
+    // masks as ONE array literal (a codegen reference), exploded then
+    // XORed — not |masks| inlined expressions (see the guard's scaladoc)
     val probes = explodeBands(docs, idCol, bandsCol, "doc_n")
-      .select(col("doc_n"), col("band"), explode(array(
-        masks.map(m =>
-          col("bh").bitwiseXOR(lit(m))): _*)).as("bh"))
+      .select(col("doc_n"), col("band"), col("bh"),
+        explode(typedLit(masks)).as("_m"))
+      .select(col("doc_n"), col("band"),
+        col("bh").bitwiseXOR(col("_m")).as("bh"))
     val canon = probes.join(exact, Seq("band", "bh"))
       .filter(col("doc_n") =!= col("doc_x"))
       .select(least(col("doc_n"), col("doc_x")).as("doc_a"),
@@ -176,9 +181,10 @@ object Dedup {
     requireCodegenableProbeSet(masks, bits, radius)
     val exact = explodeBands(corpus, idCol, bandsCol, "doc_x")
     val probes = explodeBands(queries, idCol, bandsCol, "doc_n")
-      .select(col("doc_n"), col("band"), explode(array(
-        masks.map(m =>
-          col("bh").bitwiseXOR(lit(m))): _*)).as("bh"))
+      .select(col("doc_n"), col("band"), col("bh"),
+        explode(typedLit(masks)).as("_m"))
+      .select(col("doc_n"), col("band"),
+        col("bh").bitwiseXOR(col("_m")).as("bh"))
     probes.join(exact, Seq("band", "bh"))
       .filter(col("doc_n") =!= col("doc_x"))
       .select(col("doc_n").as("query_id"), col("doc_x").as("cand_id"))
@@ -1829,6 +1835,29 @@ object Dedup {
     // runs, the streaming twin's per-micro-batch calls) would otherwise
     // stack O(calls) corpus-postings copies in the block manager — the
     // exact storage-starvation mode q306's discipline closed.
+    //
+    // SAFETY PROOF (round-14 verdict #2). Frames reading postingsM are
+    // exactly {dup, rel, changed's union arm, cGrams, wit's outer join};
+    // each is consumed ONLY inside the two eager ckpt() jobs above
+    // (changed's materialization evaluates dup+rel, wit's evaluates
+    // dup+cGrams), both of which have returned before this line. The
+    // frame returned below references ONLY the changed/wit checkpoints
+    // and the caller's `docs` — re-evaluating it (or any derivative) any
+    // number of times after this release never touches postingsM
+    // (regression-pinned in ScaleSpec: the returned plan is evaluated
+    // repeatedly post-release). The one thing that CAN still read
+    // postingsM afterwards is an ABANDONED AQE broadcast-exchange
+    // future: AQE launches broadcast futures for small subtrees (rel,
+    // dup) speculatively during the ckpt jobs, and one it replans away
+    // is not awaited — it may outlive the job, hit the released blocks,
+    // and abort its own orphan job (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in
+    // the log). That failure is unobservable by construction: every
+    // future the EXECUTED plan uses is awaited before its job completes,
+    // so a post-release reader is by definition one no query result
+    // depends on — log noise, not a correctness or job-failure risk, on
+    // local and cluster deployments alike. unpersistCheckpoint
+    // additionally DRAINS active jobs (bounded) before releasing, so
+    // even that noise is gone: the orphan finishes against live blocks.
     org.apache.spark.sql.GraftSqlShims.unpersistCheckpoint(postingsM)
     val sub = docs.join(wit.select(col("id").as(idCol)), Seq(idCol),
       "left_semi")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShims}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Iterate._
@@ -137,8 +137,11 @@ object EventTime {
     // caller columns (a caller-owned "_t" would make the join ambiguous)
     val e = ev.select(col(userCol).as("_u"), col(typeCol).as("_k"),
       col(tsCol).as("_ts"))
+    val spark = ev.sparkSession
+    import spark.implicits._
     var prev: DataFrame = null
-    val stages = steps.zipWithIndex.map { case (st, i) =>
+    var prevCkpt: DataFrame = null
+    val rows = steps.zipWithIndex.map { case (st, i) =>
       val cur =
         if (i == 0)
           e.filter(col("_k") === st)
@@ -165,13 +168,25 @@ object EventTime {
       // (its own count + the next stage's join), so a lazy chain re-runs
       // stages 1..i-1 inside stage i — O(k²) joins over the full event
       // table for a k-step funnel; the checkpoint makes it O(k), each
-      // stage one join deep over the |users|-sized anchor frame
+      // stage one join deep over the |users|-sized anchor frame. The
+      // final stage has no successor join, so its count runs the (one)
+      // join directly instead of paying a checkpoint write.
       prev = if (i == steps.size - 1) cur else cur.ckpt()
-      prev.agg(count(lit(1)).cast("long").as("n_users"))
-        .select(lit((i + 1).toLong).as("step"), lit(st).as("stage"),
-          col("n_users"))
+      val n = prev.agg(count(lit(1)).cast("long")).as[Long].head()
+      // stage i-1's checkpoint is now dead: its successor (stage i's
+      // anchors) is materialized and its own count is taken — release
+      // it so a repeated serve loop doesn't accumulate O(calls·k)
+      // anchor frames in the block manager (round-14 advisor; the same
+      // ContextCleaner-starvation mode exactSubstrRemoveIncremental
+      // fixed). Counts are therefore taken EAGERLY here and the result
+      // assembled from literals: a lazy plan reading a released
+      // checkpoint would fail with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+      if (prevCkpt != null) GraftSqlShims.unpersistCheckpoint(prevCkpt)
+      prevCkpt = if (i == steps.size - 1) null else prev
+      ((i + 1).toLong, st, n)
     }
-    stages.reduce(_.unionByName(_))
+    if (prevCkpt != null) GraftSqlShims.unpersistCheckpoint(prevCkpt)
+    rows.toDF("step", "stage", "n_users")
   }
 
   /** Stream-stream interval join: a left row matches right rows with the

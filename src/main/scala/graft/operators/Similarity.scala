@@ -1133,6 +1133,20 @@ object Similarity {
     * is tunable via (nPlanes, bits): more/shorter bands = higher recall,
     * weaker pruning. This is an APPROXIMATE path — pairs can be missed;
     * `blockGridPairs` is the exact one.
+    *
+    * Compiles to ONE native loop expression (`graft_rh_bands`) with the
+    * whole plane table shipped as a single codegen reference — O(1)
+    * generated source at any geometry. The previous per-plane
+    * `when(graft_dot(vec, lit(plane)) > 0, …)` sum blew janino's limits
+    * at the dialed sf1 geometry (804 planes → InternalCompilerException →
+    * silent interpreted fallback; round-14 verdict #3) and forced wide
+    * geometries through chunked projection stages. Bit-identical output
+    * (same plane constants, same left-to-right dot fold, same
+    * NULL-dot ⇒ cleared-bit rule).
+    *
+    * `planeOffset` windows into the same global plane sequence — kept
+    * for callers that assemble a geometry in stages, though the loop
+    * form no longer needs chunking for codegen's sake.
     */
   def rhBands(vec: Column, nPlanes: Int, bits: Int, dim: Int,
       planeOffset: Int = 0): Column = {
@@ -1140,17 +1154,14 @@ object Similarity {
       s"nPlanes ($nPlanes) must be a positive multiple of bits ($bits)")
     require(bits <= 62, s"band value must fit a long, got $bits bits")
     require(planeOffset >= 0, s"planeOffset must be >= 0, got $planeOffset")
-    // planeOffset lets callers build a WIDE geometry in chunked
-    // projection stages (the same global plane sequence, windowed):
-    // a single expression for thousands of planes overflows janino's
-    // codegen heap, while ~40-band chunks with a barrier between
-    // stages compile like the shipped q145/q250 geometries.
-    array((0 until nPlanes / bits).map { g =>
-      (0 until bits).map { i =>
-        when(dot(vec, lit(rhPlane(planeOffset + g * bits + i, dim))) > 0,
-          lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
+    val flat = new Array[Double](nPlanes * dim)
+    var p = 0
+    while (p < nPlanes) {
+      System.arraycopy(rhPlane(planeOffset + p, dim), 0, flat, p * dim, dim)
+      p += 1
+    }
+    call_function("graft_rh_bands", vec, typedLit(flat.toSeq),
+      lit(bits), lit(dim))
   }
 
   /** For each vector, its `nprobe` nearest centroids (broadcast centroids,

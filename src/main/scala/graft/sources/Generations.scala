@@ -68,8 +68,9 @@ object Generations {
       s"no committed generation under $dir " +
         s"(uncommitted: ${gens(dir).map(_._2.getName).sorted.mkString(",")})"))
 
-  /** Write the next generation via `writePayload(stagePath)`, publish it
-    * marker-LAST, then reap everything except the new generation and its
+  /** Write the next generation via `writePayload(stagePath)`, stamp the
+    * commit marker INSIDE the staging dir, then publish with one atomic
+    * rename; finally reap everything except the new generation and its
     * newest committed predecessor. Returns the committed path.
     *
     * CONCURRENT-SAVER safe: the payload lands in a pid+nanos-unique
@@ -82,6 +83,19 @@ object Generations {
     * (`Tables.artifactDir` pid-keys the paths), but the module is the
     * general crash-safety layer and must not assume that. Staging debris
     * from crashed savers is reaped here once its owning pid is dead.
+    *
+    * The marker is written BEFORE the rename (round-14 advisor, medium):
+    * an earlier draft renamed first and marked second, which opened a
+    * claimed-but-unmarked window — a faster concurrent saver committing
+    * gen_N+1 would see the racer's freshly claimed gen_N as "uncommitted
+    * older debris" and reap it out from under the racer's marker write,
+    * either failing the racer's save spuriously or (File.delete silently
+    * skips non-empty dirs) leaving a MARKED generation with a partially
+    * deleted payload that [[latestCommitted]] would serve. With the
+    * marker inside the stage, publish == the one atomic rename: a live
+    * generation is committed from the instant it exists, so every
+    * unmarked `gen_<N>` on disk is provably dead kill-debris and the
+    * post-commit reap can never hit an in-flight saver.
     */
   def save(dir: String)(writePayload: String => Unit): String = {
     val d = new java.io.File(dir)
@@ -92,6 +106,11 @@ object Generations {
     var gdir: java.io.File = null
     try {
       writePayload(stage.getPath)
+      // marker into the STAGE, pre-rename: the rename below is then the
+      // single atomic publish — no claimed-but-unmarked window for a
+      // concurrent saver's reap to race (scaladoc above)
+      java.nio.file.Files.write(new java.io.File(stage, Marker).toPath,
+        Array.emptyByteArray)
       var attempts = 0
       var lastErr: Throwable = null
       while (gdir == null) {
@@ -126,13 +145,14 @@ object Generations {
         graft.operators.Dedup.deleteRecursively(stage)
         throw e
     }
-    // marker LAST: a crash anywhere above leaves this generation
-    // uncommitted and the previous committed one still serving
-    java.nio.file.Files.write(new java.io.File(gdir, Marker).toPath,
-      Array.emptyByteArray)
-    // reap only OLDER generations (a concurrent saver may already have
+    // the rename WAS the publish (marker travelled inside the stage);
+    // a crash anywhere before it leaves only an invisible _tmp_ dir and
+    // the previous committed generation still serving.
+    // Reap only OLDER generations (a concurrent saver may already have
     // claimed a newer slot — its generation is never ours to delete),
-    // keeping the newest committed predecessor for in-flight readers
+    // keeping the newest committed predecessor for in-flight readers;
+    // any unmarked older gen_<N> is dead kill-debris by construction
+    // (live savers publish committed), so deleting it races nobody.
     val mine = genNumber(gdir.getName).get
     val older = gens(dir).filter(_._1 < mine)
     val keepPrev = older.filter(p => committed(p._2))

@@ -198,15 +198,23 @@ private[sources] class RequestFileReader(file: String, fields: Array[String],
   private val decoder = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
   private var row: InternalRow = _
 
-  /** Next line's raw bytes (LF-terminated; a trailing CR is stripped so
-    * CRLF files read like Files.lines), or null at EOF. */
+  /** Next line's raw bytes, or null at EOF. Terminators match
+    * Files.lines / BufferedReader.readLine AND Hadoop's LineReader (the
+    * V1 `spark.read.json` scanner): `\n`, bare `\r`, and `\r\n` (as ONE
+    * terminator) all end a line — an LF-only rule would collapse a
+    * CR-terminated file into one giant malformed line where V1 yields
+    * per-line rows (round-14 advisor). */
   private def nextLineBytes(): Array[Byte] = {
     var b = in.read()
     if (b == -1) return null
     val buf = new java.io.ByteArrayOutputStream()
-    while (b != -1 && b != '\n') { buf.write(b); b = in.read() }
-    val arr = buf.toByteArray
-    if (arr.nonEmpty && arr(arr.length - 1) == '\r') arr.dropRight(1) else arr
+    while (b != -1 && b != '\n' && b != '\r') { buf.write(b); b = in.read() }
+    if (b == '\r') {
+      // CRLF is one terminator: swallow the LF half if it follows
+      in.mark(1)
+      if (in.read() != '\n') in.reset()
+    }
+    buf.toByteArray
   }
 
   override def next(): Boolean = {

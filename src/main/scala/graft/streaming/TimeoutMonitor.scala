@@ -22,10 +22,18 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   *     revives past;
   *   - a winning NON-terminal event (re)arms a processing-time timer at
   *     `now + timeoutMs`, deleting the previously armed one — exactly
-  *     one live timer per key, O(1) state; a LOSING batch (pure
-  *     redeliveries of events older than the recorded decision — normal
-  *     under at-least-once sources) changes nothing, and in particular
-  *     does not extend a live deadline;
+  *     one live timer per key, O(1) state; a LOSING batch of events
+  *     STRICTLY older than the recorded decision (pure redeliveries —
+  *     normal under at-least-once sources) changes nothing, and in
+  *     particular does not extend a live deadline. A non-terminal event
+  *     that TIES a live watch's lastT is the one ambiguous case (a
+  *     coarse clock can stamp a genuinely new heartbeat with the same
+  *     millisecond as the recorded one, indistinguishable from a
+  *     redelivery): it EXTENDS the deadline — wrongly extending on a
+  *     redelivered liveness signal is harmless, while ignoring a real
+  *     heartbeat fires a false alert on an active job (round-14
+  *     advisor). Tombstones ignore the tie: resurrection still needs a
+  *     strictly newer t;
   *   - a winning terminal event leaves a TOMBSTONE (state kept, timer
   *     re-pointed at `now + timeoutMs` as a cleanup deadline): a
   *     finished job never alerts, and a redelivered OLDER non-terminal
@@ -89,10 +97,20 @@ object TimeoutMonitor {
         val deadline = timerValues.getCurrentProcessingTimeInMs + timeoutMs
         getHandle.registerTimer(deadline)
         st.update(WatchState(win.t, deadline, win.terminal))
+      } else prior.foreach { s =>
+        // losing batch. STRICTLY older events are pure redeliveries and
+        // change nothing; but a non-terminal event TYING a live watch's
+        // lastT may be a genuinely new heartbeat under a coarse clock
+        // (see scaladoc) — extend the deadline rather than risk a false
+        // alert on an active job. A tombstone stays untouched either
+        // way: resurrection needs a strictly newer t.
+        if (!s.done && !win.terminal && win.t == s.lastT) {
+          getHandle.deleteTimer(s.deadline)
+          val deadline = timerValues.getCurrentProcessingTimeInMs + timeoutMs
+          getHandle.registerTimer(deadline)
+          st.update(WatchState(s.lastT, deadline, done = false))
+        }
       }
-      // else: pure redeliveries of already-decided events — nothing
-      // changes, and in particular a stale event neither extends a live
-      // deadline nor resurrects a tombstoned watch
       Iterator.empty
     }
 

@@ -62,10 +62,33 @@ object GraftSqlShims {
     * the block manager simultaneously; eviction churn under that
     * footprint was the measured superlinearity. No-op on non-checkpoint
     * plans.
+    *
+    * BOUNDED JOB DRAIN before the unpersist (round-14 verdict #2's
+    * residual): even when every frame the RESULT depends on is
+    * materialized before the release, AQE can leave an ABANDONED async
+    * computation behind — a broadcast-exchange future or an eagerly
+    * submitted query stage that a runtime replan stopped awaiting. Such
+    * an orphan holds the checkpoint in its task DAG, and releasing under
+    * it makes the orphan's job abort with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — harmless by construction
+    * (anything the caller's results need was awaited before its action
+    * returned; reproduced in the test suite as aborted jobs inside
+    * PASSING properties) but indistinguishable in the logs from a real
+    * read-after-release. Draining active jobs first (bounded, so a
+    * concurrent-driver deployment can't wedge the release) lets the
+    * orphan finish against live blocks and turns the noisy near-miss
+    * into silence. At the release points the caller's own jobs have just
+    * completed, so the common case polls once and sleeps zero.
     */
   def unpersistCheckpoint(df: DataFrame): Unit =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed match {
-      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case lr: execution.LogicalRDD =>
+        val tracker = df.sparkSession.sparkContext.statusTracker
+        val deadline = System.currentTimeMillis() + 2000L
+        while (tracker.getActiveJobIds().nonEmpty &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(20L)
+        lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
 }

@@ -316,6 +316,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), s"projection fell out of codegen:\n$p")
   }
 
+  // Round-14 verdict #3: the dialed sf1 geometry (67 bands x 12 bits =
+  // 804 planes) tripped janino (InternalCompilerException) in the old
+  // per-plane rhBands form and SILENTLY fell back to interpreted eval.
+  // rhBands is now one loop-based native expression (plane table in the
+  // codegen references); with the fallback DISABLED a codegen failure
+  // throws, so this pins the production banding geometries — including
+  // the past-cap dial row's — inside whole-stage codegen, and the
+  // probe-mask explode (now one array literal, not |masks| inlined
+  // XORs) alongside them.
+  test("rhBands + multi-probe serve compile in whole-stage codegen at " +
+      "dialed and past-cap geometries (codegen fallback disabled)") {
+    import org.apache.spark.sql.functions.{col, size, sum}
+    import graft.operators.{Dedup, Similarity}
+    val prior = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val c = Similarity.prepared(
+          graft.sources.Tables.embeddings(spark, dir), "embedding")
+        .select(col("vec_id"), col("vec"))
+      for ((bits, bands, radius) <- Seq(
+          (12, 67, 1),        // dialed sf1 — the measured janino trip
+          (25, 172, 2))) {    // past-cap width at a bench-scale band count
+        val banded = c.withColumn("bands",
+          Similarity.rhBands(col("vec"), bands * bits, bits, 64))
+        val p = banded.queryExecution.executedPlan.toString
+        assert(p.contains("*("),
+          s"rhBands fell out of codegen at $bits bits:\n$p")
+        // force actual janino compilation and evaluation
+        assert(banded.agg(sum(size(col("bands")))).head().getLong(0) > 0)
+        Dedup.multiProbeCandidatesFor(banded.limit(4), banded,
+          "vec_id", "bands", bits, radius).count(): Unit
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prior)
+  }
+
   test("q227 CMS exact-confirm broadcasts the candidate set; q220 " +
       "calibration aggregates straight to the bin space") {
     val cms = plan("q227_cms_heavy")

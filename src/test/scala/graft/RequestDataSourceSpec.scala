@@ -76,6 +76,27 @@ class RequestDataSourceSpec extends SparkSpec {
     assert(v1.filter(col("ingestion_id").isNotNull).count() == 2)
   }
 
+  test("CR and CRLF line terminators keep V1 parity (round-14 advisor)") {
+    // Files.lines / Hadoop's LineReader treat \n, \r\n AND a bare \r as
+    // line breaks; an LF-only reader collapses a CR-terminated file into
+    // one giant malformed line where V1 yields per-line rows
+    val dir = Files.createTempDirectory("graft-dsv2-cr").toFile
+    val l1 = """{"ingestion_id":"C1","ids":[1],"priority":"HIGH","created_at":"2024-01-01T00:00:00.000Z"}"""
+    val l2 = """{"ingestion_id":"C2","ids":[2],"priority":"LOW","created_at":"2024-01-01T00:00:01.000Z"}"""
+    val l3 = """{"ingestion_id":"C3","ids":[3],"priority":"LOW","created_at":"2024-01-01T00:00:02.000Z"}"""
+    // mixed terminators in one file: CR, CRLF, LF (and no trailing break)
+    Files.writeString(new java.io.File(dir, "a.jsonl").toPath,
+      l1 + "\r" + l2 + "\r\n" + l3)
+    val path = dir.getAbsolutePath
+    val v2 = spark.read.format("graft-requests").load(path)
+      .orderBy("ingestion_id").collect().map(_.toSeq)
+    val v1 = graft.sources.RequestSource.jsonBatch(spark, path)
+      .orderBy("ingestion_id").collect().map(_.toSeq)
+    assert(v2.length == 3, s"CR/CRLF/LF must each end a line: ${v2.toSeq}")
+    assert(v2.toSeq == v1.toSeq,
+      s"V2 rows ${v2.toSeq} differ from JSON-source rows ${v1.toSeq}")
+  }
+
   test("string-equality filter is pushed into the scan and answers correctly") {
     val dir = writeFixture()
     val q = spark.read.format("graft-requests").load(dir)

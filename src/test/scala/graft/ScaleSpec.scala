@@ -1249,8 +1249,10 @@ class ScaleSpec extends SparkSpec {
     assert(!genDirs.exists(_.startsWith("_tmp_")),
       "exception-path save must clean its own staging dir")
     assert(Generations.latestCommitted(dir).exists(_.endsWith("gen_1")))
-    // the state an OS KILL leaves — a claimed generation with its data
-    // written but no marker (no cleanup code ran): loaders must refuse it
+    // an unmarked claimed generation — impossible for a LIVE saver now
+    // that the marker travels inside the stage (publish == the atomic
+    // rename), but still reachable as debris (legacy protocol, a reap
+    // that deleted the marker before the dir): loaders must refuse it
     new java.io.File(s"$dir/gen_5").mkdirs()
     assert(Generations.latestCommitted(dir).exists(_.endsWith("gen_1")),
       "an unmarked (killed) generation must never serve")
@@ -1310,6 +1312,51 @@ class ScaleSpec extends SparkSpec {
     assert(iset(Similarity.loadIvfIndex(spark, dir)) == gen1,
       "IVF loader must keep serving the committed generation")
     assert(Generations.latestCommitted(dir).exists(_.endsWith("gen_1")))
+  }
+
+  // Round-14 advisor (medium): publish must be the ONE atomic rename,
+  // marker already inside — a claimed-but-unmarked gen_<N> window would
+  // let a faster concurrent saver's reap destroy an in-flight racer's
+  // payload. Invariant checked directly: a poller that races a slow
+  // saver may never observe an unmarked generation (fresh dir, single
+  // saver, so no reap can be mid-delete).
+  test("generation-flip: a visible generation is committed from birth") {
+    import graft.sources.Generations
+    val dir = Files.createTempDirectory("graft-genflip-atomic").toString
+    @volatile var stop = false
+    @volatile var violation: Option[String] = None
+    val poller = new Thread(() => {
+      while (!stop) {
+        // only the MAX-numbered generation is checked: an OLDER gen may
+        // legitimately appear unmarked mid-reap (deleteRecursively can
+        // remove the marker before the dir), but reaps run strictly
+        // after a newer committed gen exists, so the newest visible gen
+        // being unmarked is exactly the raced window this guards
+        val gens = Option(new java.io.File(dir).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("gen_"))
+          .flatMap(f => f.getName.stripPrefix("gen_").toLongOption
+            .map(n => (n, f)))
+        if (gens.nonEmpty) {
+          val (_, newest) = gens.maxBy(_._1)
+          if (!new java.io.File(newest, "_COMMITTED").isFile)
+            violation = Some(newest.getName)
+        }
+      }
+    })
+    poller.start()
+    (1 to 5).foreach { i =>
+      Generations.save(dir) { g =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$g/payload"), s"v$i".getBytes)
+        Thread.sleep(20)
+      }
+    }
+    stop = true
+    poller.join(10000)
+    assert(violation.isEmpty,
+      s"observed an unmarked live generation: ${violation.getOrElse("")}")
+    assert(Generations.loadPath(dir).endsWith("gen_5"))
   }
 
   // Two savers racing the same artifact dir must never interleave
@@ -1558,5 +1605,45 @@ class ScaleSpec extends SparkSpec {
     assert(pset(StreamingGramPostings.loadPostings(spark, dir3)) ==
       srcPostings, "re-compaction over debris must serve identically")
     assert(serve(dir3) == srcServe)
+  }
+
+  // Round-14 verdict #2: the early release of the corpus-postings
+  // checkpoint inside exactSubstrRemoveIncremental must leave the
+  // RETURNED plan fully re-evaluable — repeated actions, including
+  // derivatives that replan the frame (filter + aggregate), may never
+  // reach the released blocks (which would abort with
+  // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). The safety argument lives at
+  // the release site in Dedup.scala; this pins it behaviorally.
+  test("incremental removal: returned plan survives repeated evaluation " +
+      "after the postings-checkpoint release") {
+    import graft.operators.Dedup
+    val raw = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val newIds = raw.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+    val postings = Dedup.combineGramPostings(
+      Dedup.gramPostings(raw.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", 30),
+      Dedup.gramPostings(raw.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", 30))
+    val out = Dedup.exactSubstrRemoveIncremental(raw, "doc_id", "text", 30,
+      postings, newIds)
+    def rset(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("id"), col("clean_text"), col("removed_chars"))
+        .as[(Long, String, Long)].collect().toSet
+    // by the time the first action runs, the postings checkpoint has
+    // been released (release happens inside the builder, pre-return)
+    val first = rset(out)
+    assert(first.nonEmpty, "fixture must produce changed docs")
+    // second full evaluation of the SAME plan object
+    assert(rset(out) == first,
+      "re-evaluating the returned plan after release must be identical")
+    // derivatives force a fresh analysis/planning pass over the same
+    // checkpointed leaves — the shapes an AQE re-plan or a caller-side
+    // second read would take
+    val removedDocs = out.filter(col("removed_chars") > 0)
+      .agg(count(lit(1))).as[Long].head()
+    assert(removedDocs == first.count(_._3 > 0).toLong)
+    val totalRemoved = out.agg(sum(col("removed_chars"))).as[Long].head()
+    assert(totalRemoved == first.toSeq.map(_._3).sum)
   }
 }

@@ -387,7 +387,14 @@ class StreamingPipelineSpec extends SparkSpec {
       // false alert for a completed job); F: terminal and non-terminal
       // share t=1 in ONE batch -> the terminal event wins the tie
       // DETERMINISTICALLY (a revival must carry a strictly newer t), so
-      // F never alerts regardless of shuffle arrival order
+      // F never alerts regardless of shuffle arrival order;
+      // G: a COARSE CLOCK stamps every heartbeat t=1 — genuinely new
+      // liveness signals indistinguishable from redeliveries. The
+      // equal-t heartbeats must EXTEND the live deadline (round-14
+      // advisor: ignoring them fired a false alert on an active job,
+      // whose state-clear then let the next heartbeat re-arm and alert
+      // AGAIN); G finishes after the original deadline would have
+      // passed, so G never alerts
       input.addData(WatchEvent("A", 1L, terminal = false),
         WatchEvent("B", 1L, terminal = false),
         WatchEvent("C", 1L, terminal = false),
@@ -395,13 +402,21 @@ class StreamingPipelineSpec extends SparkSpec {
         WatchEvent("D", 1L, terminal = true),
         WatchEvent("E", 2L, terminal = true),
         WatchEvent("F", 1L, terminal = false),
-        WatchEvent("F", 1L, terminal = true))
+        WatchEvent("F", 1L, terminal = true),
+        WatchEvent("G", 1L, terminal = false))
       Thread.sleep(600)
       input.addData(WatchEvent("B", 2L, terminal = true),
         WatchEvent("C", 2L, terminal = false), // C re-arms
-        WatchEvent("E", 1L, terminal = false)) // E: stale redelivery
+        WatchEvent("E", 1L, terminal = false), // E: stale redelivery
+        WatchEvent("G", 1L, terminal = false)) // G: equal-t heartbeat
       Thread.sleep(600)
-      input.addData(WatchEvent("C", 3L, terminal = true)) // C finishes
+      input.addData(WatchEvent("C", 3L, terminal = true), // C finishes
+        WatchEvent("G", 1L, terminal = false)) // G: still heartbeating
+      Thread.sleep(600)
+      input.addData(WatchEvent("G", 2L, terminal = true)) // G finishes
+      // G's original (unextended) deadline passed at ~1.5 s while its
+      // equal-t heartbeats were still flowing — only the extension
+      // keeps it silent
       val deadline = System.currentTimeMillis() + 60000
       while (alerts.map(_.key).toSet != Set("A", "D") &&
           System.currentTimeMillis() < deadline)
