@@ -1650,9 +1650,28 @@ object Dedup {
 
   /** The gram relation behind the MAINTAINED prefilter (q314):
     * `(id, g)` — one row per alignment, `g` the md5-int of the
-    * `minLen`-char gram (the engine-portable 32-bit idiom, so the
-    * DuckDB oracle hashes identically — collisions only ever widen the
-    * flag set, and identically on both engines).
+    * `minLen`-char gram (the engine-portable idiom: DuckDB computes
+    * `('0x' || substr(md5(gram), 1, 15))::BIGINT` bit-identically, so
+    * every oracle reproduces the exact keyspace — collisions only ever
+    * widen the flag set, and identically on both engines).
+    *
+    * WIDTH (round 15, measured): this key was 32-bit (8 hex chars)
+    * until the 30× corpus leg exposed the birthday arithmetic. The
+    * incremental removal's changed set is `batch ∪ {docs posting on a
+    * batch-held DUPLICATED gram}`; with m distinct grams in a w-bit
+    * space, ~m²/2^(w+1) phantom-duplicated keys exist, each pulling a
+    * stranger document into the changed set. At 32 bits the measured
+    * changed set was 5,927 docs where the true gram-level neighborhood
+    * is 2,243 (sf30 cipher corpus — per-replica counts 67–82, exactly
+    * the sf0.1 structure; the excess was collisions: ~66 M occurrences
+    * against 4.3 G buckets). At 100 TB (~10¹³ grams) a 32-bit space is
+    * EXHAUSTED — every key "duplicated", the witness restriction
+    * degenerates to the whole corpus, and the incremental serve becomes
+    * the full rerun it exists to avoid. 15 hex chars = 60 bits keeps
+    * the portable-md5-prefix idiom (fits a signed BIGINT on both
+    * engines: max 2⁶⁰) and puts the phantom fraction at 10¹³ grams
+    * near 4 × 10⁻⁶ — the widening-only correctness argument unchanged,
+    * the neighborhood now scale-free.
     */
   private def gramRows(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame =
@@ -1664,7 +1683,7 @@ object Dedup {
         col("_t"))
       .select(col("id"),
         conv(substring(md5(expr(s"substring(_t, pos + 1, $minLen)")),
-          1, 8), 16, 10).cast("long").as("g"))
+          1, 15), 16, 10).cast("long").as("g"))
 
   /** The ExactSubstr prefilter as a MAINTAINED ARTIFACT (q314): the
     * duplicated-gram COUNT TABLE `(g, cnt)` — gram-hash occurrence
@@ -1775,11 +1794,17 @@ object Dedup {
     * newIds ∪ {docs posting on a RELEVANT gram}, where relevant =
     * batch-held grams that are duplicated corpus-wide. Deliberately
     * WIDER than the count table's 1→2 transitions: the oracle-portable
-    * gram hash is 32-bit, and a colliding gram can hide a true 1→2
-    * transition behind a pre-inflated hash count (under-inclusion would
-    * break bit-identity); batch-membership ∧ duplicated is monotone
-    * under collisions — they only widen the set — and the width only
-    * costs re-emitting docs whose recomputed output equals yesterday's.
+    * gram hash is finite (60-bit md5 prefix — see [[gramRows]] for the
+    * measured reason it is not 32), and a colliding gram can hide a
+    * true 1→2 transition behind a pre-inflated hash count
+    * (under-inclusion would break bit-identity); batch-membership ∧
+    * duplicated is monotone under collisions — they only widen the
+    * set — and the width only costs re-emitting docs whose recomputed
+    * output equals yesterday's. The width keeps that cost honest: at
+    * 32 bits the collision term grew ∝ corpus² and measurably dominated
+    * the changed set at 30× sf0.1 (5,927 emitted vs the true 2,243-doc
+    * neighborhood); at 60 bits it is negligible at any corpus this
+    * side of 10¹² grams.
     *
     * WITNESS RESTRICTION (the q307 superset argument, one level up):
     * every full-corpus mark of a changed doc names a substring with

@@ -367,7 +367,7 @@ object CapstoneQueries {
           |), g AS (
           |  SELECT doc_id,
           |         ('0x' || substr(md5(substr(text, CAST(i AS INT) + 1, 30)),
-          |           1, 8))::BIGINT AS g
+          |           1, 15))::BIGINT AS g
           |  FROM dk,
           |       LATERAL unnest(range(0, greatest(length(text) - 29, 0))) t(i)
           |), dup AS (
@@ -403,7 +403,7 @@ object CapstoneQueries {
       |), g AS (
       |  SELECT doc_id,
       |         ('0x' || substr(md5(substr(text, CAST(i AS INT) + 1, 30)),
-      |           1, 8))::BIGINT AS g
+      |           1, 15))::BIGINT AS g
       |  FROM dk,
       |       LATERAL unnest(range(0, greatest(length(text) - 29, 0))) t(i)
       |), pd AS (

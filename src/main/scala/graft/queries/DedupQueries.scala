@@ -1295,7 +1295,7 @@ object DedupQueries {
       """WITH g AS (
         |  SELECT doc_id,
         |         ('0x' || substr(md5(substr(text, CAST(i AS INT) + 1, 30)),
-        |           1, 8))::BIGINT AS g
+        |           1, 15))::BIGINT AS g
         |  FROM documents,
         |       LATERAL unnest(range(0, greatest(length(text) - 29, 0))) t(i)
         |), dup AS (
@@ -1317,7 +1317,7 @@ object DedupQueries {
         |  FROM documents,
         |       LATERAL unnest(range(0, greatest(length(text) - 29, 0))) t(i)
         |), ghash AS (
-        |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS g
+        |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g
         |  FROM g
         |), dupg AS (
         |  SELECT g FROM ghash GROUP BY g HAVING count(*) >= 2
