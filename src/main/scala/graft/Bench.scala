@@ -24,8 +24,33 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_BENCH_PREV` points at one), a per-query ratio table
   * prints to stderr and queries regressing > 1.5× land in the JSON's
   * own `"regressions"` field, so round-over-round drift is visible
-  * INSIDE the committed artifact. stdout stays exactly one JSON line —
-  * the driver contract.
+  * INSIDE the committed artifact. After the full line, a COMPACT
+  * summary JSON (totals + calibration, no per-query maps) prints as the
+  * LAST stdout line (round-15 verdict #5): fifteen rounds of driver
+  * artifacts carried `parsed: null` with only a truncated 2000-char
+  * tail, so any consumer that keeps a tail or parses the final line now
+  * gets a complete machine-readable record; the full per-query data
+  * stays in `bench_out.json` and in the full line above it.
+  *
+  * TRANSIENT-WINDOW SELF-ADJUDICATION (round-15 verdict #2): this host
+  * shows recurring ~35–45-min degraded windows — a contiguous query
+  * range where ALL samples run 2–7× slow while the before/after
+  * calibration probes are clean, which previously forced a separate
+  * post-hoc recheck artifact every round. The timed pass now INTERLEAVES
+  * the ~1 s single-thread [[BoxCalib.measureSt]] probe every
+  * `SPARK_GRAFT_CALIB_EVERY` queries (default 15) and records the probe
+  * series in the artifact (`"calib_probes"`). A query whose bracketing
+  * probes BOTH exceed `SPARK_GRAFT_WINDOW_RATIO` (default 1.5) × the
+  * run's fastest probe ran entirely inside a degraded window: it is
+  * auto-requeued for an end-of-suite re-measure (full median-of-N,
+  * behind the same load gate the regression rechecks use, with its OWN
+  * bracketing probes). If the re-measure's window is clean, its spread
+  * REPLACES the degraded one in `"queries"`/`"spread"` and the original
+  * is preserved under `"window_rechecks"` — the committed artifact is
+  * idle-sourced throughout and adjudicates itself; if the re-measure is
+  * also degraded, the original stands and the entry says
+  * `"unadjudicated"`. Regression entries carry the window verdict of
+  * the samples they flag.
   *
   * Isolation: `spark.catalog.clearCache()` runs between queries. Several
   * queries `.cache()` intermediate frames (q52/q60's signature tables,
@@ -53,6 +78,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
+    val probeEvery = sys.env.getOrElse("SPARK_GRAFT_CALIB_EVERY", "15").toInt
+    require(probeEvery >= 1,
+      s"SPARK_GRAFT_CALIB_EVERY must be >= 1, got $probeEvery")
+    val windowRatio = sys.env.getOrElse("SPARK_GRAFT_WINDOW_RATIO", "1.5")
+      .toDouble
+    require(windowRatio > 1.0,
+      s"SPARK_GRAFT_WINDOW_RATIO must exceed 1, got $windowRatio")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -94,7 +126,93 @@ object Bench {
     }
 
     names.foreach { n => spark.catalog.clearCache(); runOnce(n) } // warmup
-    val results = names.map(n => n -> spreadOf(n))
+
+    // ---- timed pass with INTERLEAVED calibration probes (scaladoc):
+    // probes[k] = (queries completed when the probe ran, st_ms)
+    val probes = scala.collection.mutable.ArrayBuffer[(Int, Double)](
+      (0, calibStBefore))
+    val measured =
+      scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
+    names.zipWithIndex.foreach { case (n, i) =>
+      if (i > 0 && i % probeEvery == 0) {
+        val p = BoxCalib.measureSt()
+        System.err.println(f"[bench] calib probe after $i queries: $p%.0f ms")
+        probes += ((i, p))
+      }
+      measured(n) = spreadOf(n)
+    }
+    probes += ((names.size, BoxCalib.measureSt()))
+
+    // window verdict per query position: both bracketing probes degraded
+    // => the query's whole sample set ran inside a transient window
+    val baseSt = probes.map(_._2).min
+    def probeWindow(before: Double, after: Double): String = {
+      val db = before > baseSt * windowRatio
+      val da = after > baseSt * windowRatio
+      if (db && da) "degraded" else if (db || da) "edge" else "clean"
+    }
+    def windowOf(i: Int): String = probeWindow(
+      probes.filter(_._1 <= i).last._2,
+      probes.find(_._1 > i).map(_._2).getOrElse(probes.last._2))
+    val window0 = names.zipWithIndex.map { case (n, i) => n -> windowOf(i) }
+      .toMap
+
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+
+    // ---- load gate shared by window re-measures and regression rechecks.
+    // Unreadable/unparsable /proc/loadavg yields a sentinel ABOVE any
+    // plausible gate (round-12 advisor): 0.0 here silently passed the
+    // gate, so a recheck under UNMEASURABLE load could confirm
+    // "regression" — exactly what the gate exists to prevent. 9999 (not
+    // Double.MaxValue) keeps the JSON field readable.
+    val loadUnknown = 9999.0
+    def loadavg1(): Double =
+      try loadavg().split(",")(0).toDouble
+      catch { case _: Throwable => loadUnknown }
+    val loadGate = sys.env.get("SPARK_GRAFT_RECHECK_LOAD").map(_.toDouble)
+      .getOrElse(Runtime.getRuntime.availableProcessors / 4.0)
+    val waitCapMs = sys.env.get("SPARK_GRAFT_RECHECK_WAIT").map(_.toLong)
+      .getOrElse(120L) * 1000L
+    def awaitQuiet(): Double = {
+      val t0 = System.nanoTime()
+      var l = loadavg1()
+      // waiting can't improve an UNREADABLE load reading — break straight
+      // to the recheck; the sentinel still blocks "regression" below
+      while (l > loadGate && l != loadUnknown &&
+          (System.nanoTime() - t0) / 1e6 < waitCapMs) {
+        Thread.sleep(5000); l = loadavg1()
+      }
+      l
+    }
+
+    // ---- AUTO-REQUEUE of degraded-window queries (scaladoc): a clean
+    // re-measure replaces the committed spread; a degraded one leaves
+    // the original standing, labeled unadjudicated
+    val windowRechecks = names.collect {
+      case n if window0(n) == "degraded" =>
+        val loadAt = awaitQuiet()
+        val pB = BoxCalib.measureSt()
+        val re = spreadOf(n)
+        val pA = BoxCalib.measureSt()
+        val reWindow = probeWindow(pB, pA)
+        val orig = measured(n)
+        val replaced = reWindow == "clean" && re._2 >= 0
+        if (replaced) measured(n) = re
+        System.err.println(f"[bench]   window re-measure $n%-28s " +
+          f"${orig._2}%8.3f -> ${re._2}%8.3f probes $pB%.0f/$pA%.0f ms " +
+          f"load $loadAt%.2f => ${if (replaced) "replaced" else "unadjudicated"}")
+        "\"" + n + "\":{" +
+          f""""orig_med":${orig._2}%.3f,"re_med":${re._2}%.3f,""" +
+          f""""probe_before_ms":$pB%.1f,"probe_after_ms":$pA%.1f,""" +
+          f""""load":$loadAt%.2f,""" +
+          s""""status":"${if (replaced) "replaced" else "unadjudicated"}"}"""
+    }
+    if (windowRechecks.nonEmpty)
+      System.err.println(s"[bench] ${windowRechecks.size} queries ran " +
+        "inside a probe-degraded window and were re-measured")
+
+    val results = names.map(n => n -> measured(n))
     val qs = results.map { case (k, (_, med, _)) => "\"" + k + f"\":$med%.3f" }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, (min, med, max)) =>
@@ -103,8 +221,6 @@ object Bench {
     val total = results.map(_._2._2).filter(_ >= 0).sum
     val failed = results.filter(_._2._2 < 0).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
-    def esc(s: String): String =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
 
     // ---- previous-run medians (self-written flat format, regex is safe)
     // A FILTERED run (explicit query args) archives to a scratch path by
@@ -151,7 +267,7 @@ object Bench {
     // DEFERRED, LOAD-GATED rechecks (round-11 verdict: all 15
     // "regression" labels that round were contention — the recheck ran
     // immediately after the contended pass and INHERITED its load):
-    // before each recheck the guard now polls /proc/loadavg until the
+    // before each recheck the guard polls /proc/loadavg until the
     // 1-minute average drops under SPARK_GRAFT_RECHECK_LOAD (default
     // cpus/4 — a serial recheck uses few cores, so sustained load above
     // that is foreign) or the SPARK_GRAFT_RECHECK_WAIT cap (default
@@ -168,32 +284,6 @@ object Bench {
     // result is recorded: "noise" only when the recheck also clears
     // (or re-lands under the floor), so a genuine sustained regression
     // on a sub-half-second query is adjudicated, not auto-dismissed.
-    // Unreadable/unparsable /proc/loadavg yields a sentinel ABOVE any
-    // plausible gate (round-12 advisor): 0.0 here silently passed the
-    // gate, so a recheck under UNMEASURABLE load could confirm
-    // "regression" — exactly what the gate exists to prevent. With the
-    // sentinel, a non-clearing recheck under unknown load falls through
-    // to "unadjudicated". 9999 (not Double.MaxValue) keeps the
-    // "load_at_recheck" JSON field readable.
-    val loadUnknown = 9999.0
-    def loadavg1(): Double =
-      try loadavg().split(",")(0).toDouble
-      catch { case _: Throwable => loadUnknown }
-    val loadGate = sys.env.get("SPARK_GRAFT_RECHECK_LOAD").map(_.toDouble)
-      .getOrElse(Runtime.getRuntime.availableProcessors / 4.0)
-    val waitCapMs = sys.env.get("SPARK_GRAFT_RECHECK_WAIT").map(_.toLong)
-      .getOrElse(120L) * 1000L
-    def awaitQuiet(): Double = {
-      val t0 = System.nanoTime()
-      var l = loadavg1()
-      // waiting can't improve an UNREADABLE load reading — break straight
-      // to the recheck; the sentinel still blocks "regression" below
-      while (l > loadGate && l != loadUnknown &&
-          (System.nanoTime() - t0) / 1e6 < waitCapMs) {
-        Thread.sleep(5000); l = loadavg1()
-      }
-      l
-    }
     val regressions = ratios.filter(_._4 > 1.5).map { case (k, p, c, r, cMin) =>
       val belowFloor = c < 0.5 || c - p < 0.3
       val loadAt = awaitQuiet()
@@ -214,13 +304,14 @@ object Bench {
         else if (overlaps) "overlap"
         else if (loadAt > loadGate) "unadjudicated"
         else "regression"
+      val win = window0(k)
       System.err.println(f"[bench]   recheck $k%-28s $p%8.3f -> $c%8.3f " +
         f"recheck $recheck%8.3f load $loadAt%.2f prevMax $pMax%8.3f " +
-        f"curMin $cMin%8.3f => $status")
+        f"curMin $cMin%8.3f window $win => $status")
       "\"" + k + f"""\":{"prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.2f,""" +
         f""""recheck":$recheck%.3f,"load_at_recheck":$loadAt%.2f,""" +
         f""""prev_max":$pMax%.3f,"cur_min":$cMin%.3f,""" +
-        f""""status":"$status"}"""
+        f""""window":"$win","status":"$status"}"""
     }.mkString("{", ",", "}")
     if (ratios.nonEmpty) {
       System.err.println(f"[bench] vs ${prevPath.toString} (${ratios.size} " +
@@ -250,13 +341,27 @@ object Bench {
     val boxVsPrev = prevCalibSt.filter(_ > 0)
       .map(p => f""","box_vs_prev":${calibStBefore / p}%.2f""").getOrElse("")
     val calibCtx = f""""calib":{"st_ms":$calibStBefore%.1f,"mt_ms":$calibMtBefore%.1f,"st_ms_after":$calibStAfter%.1f,"mt_ms_after":$calibMtAfter%.1f$boxVsPrev}"""
+    val probesJson = probes.map { case (i, p) =>
+      f"""{"at":$i,"st_ms":$p%.1f}"""
+    }.mkString("[", ",", "]")
+    val windowCtx = s""""calib_probes":$probesJson,""" +
+      s""""window_rechecks":${windowRechecks.mkString("{", ",", "}")}"""
 
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"regressions":$regressions,$loadCtx,$calibCtx,"runs":$runs,"sf":"${esc(sfDir)}"}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"regressions":$regressions,$windowCtx,$loadCtx,$calibCtx,"runs":$runs,"sf":"${esc(sfDir)}"}"""
     // archive FIRST (the driver truncates stdout; the file is the record)
     Option(outPath.getParent).foreach(p =>
       java.nio.file.Files.createDirectories(p))
     java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
     println(json)
+    // COMPACT machine-readable trailer, LAST on stdout (round-15 verdict
+    // #5): short enough to survive a truncated tail, valid JSON on its
+    // own line for a last-line parser; per-query data lives in the full
+    // line above and in the archived file
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      s""""n_queries":${results.size},"failed":$failed,""" +
+      s""""queries_file":"${esc(outPath.toString)}",$calibCtx,""" +
+      s""""runs":$runs,"sf":"${esc(sfDir)}"}"""
+    println(compact)
     spark.stop()
   }
 }

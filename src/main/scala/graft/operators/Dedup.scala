@@ -1685,6 +1685,71 @@ object Dedup {
         conv(substring(md5(expr(s"substring(_t, pos + 1, $minLen)")),
           1, 15), 16, 10).cast("long").as("g"))
 
+  /** On-disk GRAM-KEY FORMAT stamp (round-15 advisor, medium). Round 15
+    * widened the gram key from a 32-bit to a 60-bit md5 prefix; a
+    * maintained store written at one width, folded with batch grams
+    * computed at another, yields DISJOINT key spaces — every
+    * changed-set/witness join silently under-includes and the
+    * incremental removal stops matching the full rerun (the exact
+    * bit-identity guarantee the module documents), with no error raised
+    * anywhere. So every persisted gram surface (the generation
+    * artifacts below; the LSM segment stores in
+    * [[graft.streaming.StreamingGramPostings]] and
+    * [[graft.streaming.StreamingDedupGate]]) stamps the format id it
+    * was written at, and every load of — and every FOLD into — an
+    * existing store fails fast on mismatch. An ABSENT stamp means a
+    * store of unknown width (anything persisted before the stamp
+    * existed) and fails the same way: rebuilding is the only safe
+    * answer, and a loud error at load time beats a silent wrong answer
+    * at serve time. The marker file starts with `_`, which Spark's
+    * parquet reader skips (the `_SUCCESS` convention), so a stamp
+    * inside a generation payload is invisible to the data read.
+    */
+  private[graft] val GramKeyFormatId = "md5prefix60"
+  private val GramKeyMarker = "_GRAM_KEY_FORMAT"
+
+  /** Stamp `dir` with the current gram-key format id — or, if it is
+    * already stamped, verify the stamp (a fold INTO a foreign-width
+    * store is as fatal as a read from one). Idempotent; the marker
+    * lands via temp-file + atomic rename so a crash can't leave a torn
+    * stamp that bricks an otherwise healthy store.
+    */
+  private[graft] def stampGramKeyFormat(dir: String): Unit = {
+    val f = new java.io.File(dir, GramKeyMarker)
+    if (f.isFile) checkGramKeyFormat(dir, "gram store")
+    else {
+      f.getParentFile.mkdirs()
+      val tmp = new java.io.File(dir,
+        s".${GramKeyMarker}_${ProcessHandle.current().pid()}")
+      java.nio.file.Files.write(tmp.toPath,
+        GramKeyFormatId.getBytes("UTF-8"))
+      try java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // a concurrent stamper won the rename: verify we agree with it
+        case _: java.nio.file.FileSystemException =>
+          java.nio.file.Files.deleteIfExists(tmp.toPath)
+          checkGramKeyFormat(dir, "gram store")
+      }
+    }
+  }
+
+  /** Fail fast unless `dir` carries the CURRENT gram-key format stamp
+    * (absent counts as a mismatch — see [[stampGramKeyFormat]]).
+    */
+  private[graft] def checkGramKeyFormat(dir: String, what: String): Unit = {
+    val f = new java.io.File(dir, GramKeyMarker)
+    val found =
+      if (f.isFile)
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+      else "<absent>"
+    require(found == GramKeyFormatId,
+      s"$what at $dir carries gram-key format '$found' but this build " +
+        s"reads/writes '$GramKeyFormatId' — mixing widths makes the key " +
+        "spaces disjoint and the witness/changed-set joins silently " +
+        "under-include; rebuild the store at the current format")
+  }
+
   /** The ExactSubstr prefilter as a MAINTAINED ARTIFACT (q314): the
     * duplicated-gram COUNT TABLE `(g, cnt)` — gram-hash occurrence
     * counts over all alignments. The table is ADDITIVE (the q285/q308
@@ -1714,12 +1779,18 @@ object Dedup {
       Curation.writeShards(
         counts.withColumn("bucket", pmod(col("g"), lit(64)).cast("int")),
         g, Seq("bucket"), 1L << 20, Seq(col("g")))
+      // AFTER the payload (writeShards' overwrite mode replaces the dir);
+      // still inside the staged generation, so stamp + payload commit
+      // atomically with the generation flip
+      stampGramKeyFormat(g)
     }: Unit
 
   def loadGramCounts(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame =
-    spark.read.parquet(graft.sources.Generations.loadPath(dir))
-      .select(col("g"), col("cnt"))
+      dir: String): DataFrame = {
+    val g = graft.sources.Generations.loadPath(dir)
+    checkGramKeyFormat(g, "gram-count artifact")
+    spark.read.parquet(g).select(col("g"), col("cnt"))
+  }
 
   /** SERVE the prefilter from a (possibly maintained) gram-count table:
     * per doc, the number of gram positions whose gram occurs ≥ 2 times
@@ -1768,12 +1839,18 @@ object Dedup {
       Curation.writeShards(
         postings.withColumn("bucket", pmod(col("g"), lit(64)).cast("int")),
         g, Seq("bucket"), 1L << 20, Seq(col("g"), col("id")))
+      // AFTER the payload (writeShards' overwrite mode replaces the dir);
+      // still inside the staged generation, so stamp + payload commit
+      // atomically with the generation flip
+      stampGramKeyFormat(g)
     }: Unit
 
   def loadGramPostings(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame =
-    spark.read.parquet(graft.sources.Generations.loadPath(dir))
-      .select(col("g"), col("id"), col("n"))
+      dir: String): DataFrame = {
+    val g = graft.sources.Generations.loadPath(dir)
+    checkGramKeyFormat(g, "gram-posting artifact")
+    spark.read.parquet(g).select(col("g"), col("id"), col("n"))
+  }
 
   /** INCREMENTAL ExactSubstr removal — q217's daily-ingest discipline
     * lifted to the suffix family (round-12 verdict item 2): after the
@@ -1837,21 +1914,34 @@ object Dedup {
     // lands in the generation artifact anyway — this checkpoint is that
     // materialization, one table for the whole serve. Bit-identical
     // (same rows, same algebra).
-    val postingsM = postings.ckpt()
+    // the three eager ckpt() jobs below run under a per-invocation job
+    // group so the release drain waits ONLY on this serve's own
+    // (possibly orphaned) jobs — a concurrent stream in the same session
+    // otherwise kept getActiveJobIds() non-empty and made every
+    // micro-batch serve sit out the full 2 s drain bound (round-15
+    // verdict #3)
+    val releaseGroup = s"graft-esri-${System.nanoTime()}-" +
+      ProcessHandle.current().pid()
     val ids = newIds.select(col(idCol).as("id"))
-    val dup = postingsM.groupBy(col("g")).agg(sum(col("n")).as("cnt"))
-      .filter(col("cnt") >= 2).select(col("g"))
-    val rel = postingsM.join(ids, Seq("id"), "left_semi")
-      .select(col("g")).distinct()
-      .join(dup, Seq("g"), "left_semi")
-    val changed = ids.unionByName(
-        postingsM.join(rel, Seq("g"), "left_semi").select(col("id")))
-      .distinct().ckpt()
-    val cGrams = postingsM.join(changed, Seq("id"), "left_semi")
-      .select(col("g")).distinct()
-      .join(dup, Seq("g"), "left_semi")
-    val wit = postingsM.join(cGrams, Seq("g"), "left_semi")
-      .select(col("id")).distinct().ckpt()
+    val (postingsM, changed, wit) =
+      org.apache.spark.sql.GraftSqlShims.withJobGroup(
+          postings.sparkSession, releaseGroup) {
+        val postingsM = postings.ckpt()
+        val dup = postingsM.groupBy(col("g")).agg(sum(col("n")).as("cnt"))
+          .filter(col("cnt") >= 2).select(col("g"))
+        val rel = postingsM.join(ids, Seq("id"), "left_semi")
+          .select(col("g")).distinct()
+          .join(dup, Seq("g"), "left_semi")
+        val changed = ids.unionByName(
+            postingsM.join(rel, Seq("g"), "left_semi").select(col("id")))
+          .distinct().ckpt()
+        val cGrams = postingsM.join(changed, Seq("id"), "left_semi")
+          .select(col("g")).distinct()
+          .join(dup, Seq("g"), "left_semi")
+        val wit = postingsM.join(cGrams, Seq("g"), "left_semi")
+          .select(col("id")).distinct().ckpt()
+        (postingsM, changed, wit)
+      }
     // `wit` is the LAST consumer of the corpus-sized postings checkpoint
     // (the returned plan reads only the neighborhood-sized `changed`/
     // `wit` checkpoints plus `docs`), and ckpt() is eager, so its blocks
@@ -1881,9 +1971,12 @@ object Dedup {
     // so a post-release reader is by definition one no query result
     // depends on — log noise, not a correctness or job-failure risk, on
     // local and cluster deployments alike. unpersistCheckpoint
-    // additionally DRAINS active jobs (bounded) before releasing, so
-    // even that noise is gone: the orphan finishes against live blocks.
-    org.apache.spark.sql.GraftSqlShims.unpersistCheckpoint(postingsM)
+    // additionally DRAINS this serve's own jobs (bounded, SCOPED to the
+    // release group above) before releasing, so even that noise is gone:
+    // the orphan finishes against live blocks — while a concurrent
+    // stream's unrelated jobs no longer stall the release.
+    org.apache.spark.sql.GraftSqlShims.unpersistCheckpoint(postingsM,
+      Some(releaseGroup))
     val sub = docs.join(wit.select(col("id").as(idCol)), Seq(idCol),
       "left_semi")
     val removed = exactSubstrRemove(sub, idCol, textCol, minLen)

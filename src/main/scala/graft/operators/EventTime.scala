@@ -141,7 +141,14 @@ object EventTime {
     import spark.implicits._
     var prev: DataFrame = null
     var prevCkpt: DataFrame = null
-    val rows = steps.zipWithIndex.map { case (st, i) =>
+    // per-invocation job group: the per-stage checkpoint releases below
+    // drain only THIS funnel's own jobs, so a concurrent stream in the
+    // same session can't stall every stage the full 2 s drain bound
+    // (round-15 verdict #3)
+    val releaseGroup = s"graft-funnel-${System.nanoTime()}-" +
+      ProcessHandle.current().pid()
+    val rows = GraftSqlShims.withJobGroup(spark, releaseGroup) {
+      steps.zipWithIndex.map { case (st, i) =>
       val cur =
         if (i == 0)
           e.filter(col("_k") === st)
@@ -181,11 +188,14 @@ object EventTime {
       // fixed). Counts are therefore taken EAGERLY here and the result
       // assembled from literals: a lazy plan reading a released
       // checkpoint would fail with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
-      if (prevCkpt != null) GraftSqlShims.unpersistCheckpoint(prevCkpt)
+      if (prevCkpt != null)
+        GraftSqlShims.unpersistCheckpoint(prevCkpt, Some(releaseGroup))
       prevCkpt = if (i == steps.size - 1) null else prev
       ((i + 1).toLong, st, n)
+      }
     }
-    if (prevCkpt != null) GraftSqlShims.unpersistCheckpoint(prevCkpt)
+    if (prevCkpt != null)
+      GraftSqlShims.unpersistCheckpoint(prevCkpt, Some(releaseGroup))
     rows.toDF("step", "stage", "n_users")
   }
 

@@ -60,6 +60,9 @@ object StreamingDedupGate {
   private def writeSegment(counts: DataFrame, dir: String,
       name: String): Unit =
     if (!SegmentCommits.isCommitted(dir, name)) {
+      // gram-key format stamp (round-15 advisor): marks a fresh store,
+      // fails fast on a fold into one written at a different key width
+      Dedup.stampGramKeyFormat(dir)
       counts.write.mode("overwrite").parquet(s"$dir/counts/d=$name")
       SegmentCommits.commit(dir, name)
     }
@@ -78,6 +81,7 @@ object StreamingDedupGate {
       excluding: Option[String] = None): DataFrame = {
     val names = committedSegments(dir).filterNot(excluding.contains)
     require(names.nonEmpty, s"no committed segments under $dir — run init()")
+    Dedup.checkGramKeyFormat(dir, "streaming gram-count store")
     spark.read.parquet(names.map(n => s"$dir/counts/d=$n"): _*)
       .groupBy(col("g")).agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") =!= 0)

@@ -49,31 +49,104 @@ import graft.operators.Dedup
   * rescan. Segment-count growth is bounded operationally by compacting:
   * the merged table IS a valid single segment, so a compaction is one
   * read-merge-write under a fresh name — the same observation
-  * [[StreamingIndex]] acts on.
+  * [[StreamingIndex]] acts on — and [[start]] now ENFORCES the measured
+  * cadence itself (round-15 verdict #4): `STREAM_AMP.json` derived
+  * `policy_max_segments = 65` (the largest segment count whose serve
+  * stays within 25 % of the single-segment wall), but nothing acted on
+  * it — a long-running pipeline had to remember to call [[compact]].
+  * `start(maxSegments = …)` auto-compacts in `foreachBatch` once the
+  * committed segment count reaches the policy.
+  *
+  * IN-PLACE compaction needs one more mechanism, because [[compact]]'s
+  * contract (target ≠ source: the overwrite would consume the parquet
+  * dirs it reads) collides with a stream whose store path is fixed.
+  * [[compactInPlace]] adds EPOCH INDIRECTION, the LevelDB CURRENT-file
+  * pattern: the live payload lives in `dir` itself (epoch 0) or in
+  * `dir/epoch_<n>`, named by the one-line `dir/CURRENT` file; every
+  * reader/writer resolves through it. A compaction writes the merged
+  * store into the NEXT epoch dir (an ordinary [[compact]] — marker-last,
+  * source untouched) and publishes with one ATOMIC rename of CURRENT:
+  * a crash anywhere before the flip leaves debris the next attempt
+  * ignores (fresh epoch number), a crash after it leaves a fully
+  * compacted store. The flip keeps its immediate predecessor epoch on
+  * disk for in-flight readers (the [[graft.sources.Generations]]
+  * retention rule) and reaps everything older.
+  *
+  * REPLAY across a compaction is the subtle case: skip-if-committed
+  * used to gate on the segment's commit marker, but a compaction MERGES
+  * segment b's rows into the new epoch's base and the new epoch has no
+  * `b` marker — a crash between the flip and the stream's own
+  * checkpoint commit would replay batch b and double-fold it. So every
+  * fold additionally records its segment name in a `folded` namespace
+  * that compaction CARRIES into the new epoch before the flip: the
+  * skip gate is "name present in `folded` (or `commits`)", which
+  * survives any number of compactions. Marker order per fold is
+  * payload → commits → folded; a crash between the last two replays
+  * into a deterministic overwrite plus idempotent re-commit, so the
+  * gate converges without ever hiding a torn payload.
   */
 object StreamingGramPostings {
+
+  /** The measured compaction cadence (`STREAM_AMP.json`, round 15): the
+    * largest segment count whose merge-on-read serve stayed within 25 %
+    * of the single-segment wall on the sf0.1 corpus. [[start]]'s
+    * default; override per deployment where the serve floor differs.
+    */
+  val PolicyMaxSegments = 65
+
+  private val FoldedNs = "folded"
+
+  /** Resolve the live payload root: `dir/CURRENT` names the active
+    * epoch subdir when present (a store that has been compacted in
+    * place at least once); a fresh store IS its own root — full layout
+    * back-compat until the first [[compactInPlace]].
+    */
+  private def root(dir: String): String = {
+    val cur = Paths.get(dir, "CURRENT")
+    if (Files.isRegularFile(cur))
+      s"$dir/${new String(Files.readAllBytes(cur), "UTF-8").trim}"
+    else dir
+  }
+
+  /** Has `name` ever been folded into this store? Survives compaction
+    * (the `folded` namespace is carried into each new epoch); the
+    * plain-commits fallback keeps stores written before the namespace
+    * existed readable.
+    */
+  private def isFolded(r: String, name: String): Boolean =
+    SegmentCommits.isCommitted(r, name, FoldedNs) ||
+      SegmentCommits.isCommitted(r, name)
 
   /** Names of fully-written segments, sorted for deterministic plans
     * (order is cosmetic — additive segments commute). Protocol:
     * [[SegmentCommits]].
     */
   def committedSegments(dir: String): Seq[String] =
-    SegmentCommits.committed(dir)
+    SegmentCommits.committed(root(dir))
 
   /** Marker-last ingest segment: postings AND the batch's docs, then the
     * marker. Skip-if-committed — a replay's contents are deterministic,
     * so skipping equals rewriting and closes the double-kill window.
+    * The store carries a gram-key format stamp ([[Dedup.GramKeyFormatId]],
+    * round-15 advisor): stamping here — BEFORE the payload — both marks a
+    * fresh store and fails fast on a fold into a store written at a
+    * different key width, whose segments would otherwise merge into
+    * disjoint key spaces silently.
     */
   private def writeSegment(dir: String, name: String, docs: DataFrame,
-      idCol: String, textCol: String, minLen: Int): Unit =
-    if (!SegmentCommits.isCommitted(dir, name)) {
+      idCol: String, textCol: String, minLen: Int): Unit = {
+    val r = root(dir)
+    if (!isFolded(r, name)) {
+      Dedup.stampGramKeyFormat(r)
       Dedup.gramPostings(docs, idCol, textCol, minLen)
-        .write.mode("overwrite").parquet(s"$dir/postings/d=$name")
+        .write.mode("overwrite").parquet(s"$r/postings/d=$name")
       docs.select(col(idCol).as("id"),
           col(textCol).cast("string").as("text"))
-        .write.mode("overwrite").parquet(s"$dir/docs/d=$name")
-      SegmentCommits.commit(dir, name)
+        .write.mode("overwrite").parquet(s"$r/docs/d=$name")
+      SegmentCommits.commit(r, name)
+      SegmentCommits.commit(r, name, FoldedNs) // LAST: the replay gate
     }
+  }
 
   /** One-time bootstrap: the historical corpus as segment `base`. */
   def init(spark: SparkSession, dir: String, corpus: DataFrame,
@@ -97,9 +170,11 @@ object StreamingGramPostings {
     */
   def loadPostings(spark: SparkSession, dir: String,
       excluding: Option[String] = None): DataFrame = {
-    val names = committedSegments(dir).filterNot(excluding.contains)
+    val r = root(dir)
+    val names = SegmentCommits.committed(r).filterNot(excluding.contains)
     require(names.nonEmpty, s"no committed segments under $dir — run init()")
-    spark.read.parquet(names.map(n => s"$dir/postings/d=$n"): _*)
+    Dedup.checkGramKeyFormat(r, "streaming gram-postings store")
+    spark.read.parquet(names.map(n => s"$r/postings/d=$n"): _*)
       .groupBy(col("g"), col("id")).agg(sum(col("n")).as("n"))
       .filter(col("n") =!= 0)
   }
@@ -110,17 +185,19 @@ object StreamingGramPostings {
     */
   def loadDocs(spark: SparkSession, dir: String,
       excluding: Option[String] = None): DataFrame = {
-    val names = committedSegments(dir).filterNot(excluding.contains)
+    val r = root(dir)
+    val names = SegmentCommits.committed(r).filterNot(excluding.contains)
     require(names.nonEmpty, s"no committed segments under $dir — run init()")
+    Dedup.checkGramKeyFormat(r, "streaming gram-postings store")
     val docSegs = names.filter(n =>
-      Files.exists(Paths.get(s"$dir/docs/d=$n")))
-    val docs = spark.read.parquet(docSegs.map(n => s"$dir/docs/d=$n"): _*)
+      Files.exists(Paths.get(s"$r/docs/d=$n")))
+    val docs = spark.read.parquet(docSegs.map(n => s"$r/docs/d=$n"): _*)
     val retracted = names.filter(n =>
-      Files.exists(Paths.get(s"$dir/retracted/d=$n")))
+      Files.exists(Paths.get(s"$r/retracted/d=$n")))
     if (retracted.isEmpty) docs
     else docs.join(
       broadcast(spark.read
-        .parquet(retracted.map(n => s"$dir/retracted/d=$n"): _*)
+        .parquet(retracted.map(n => s"$r/retracted/d=$n"): _*)
         .select(col("id")).distinct()),
       Seq("id"), "left_anti")
   }
@@ -131,15 +208,19 @@ object StreamingGramPostings {
     * touched.
     */
   def retractBatch(spark: SparkSession, dir: String, docs: DataFrame,
-      idCol: String, textCol: String, minLen: Int, name: String): Unit =
-    if (!SegmentCommits.isCommitted(dir, name)) {
+      idCol: String, textCol: String, minLen: Int, name: String): Unit = {
+    val r = root(dir)
+    if (!isFolded(r, name)) {
+      Dedup.stampGramKeyFormat(r)
       Dedup.gramPostings(docs, idCol, textCol, minLen)
         .withColumn("n", -col("n"))
-        .write.mode("overwrite").parquet(s"$dir/postings/d=$name")
+        .write.mode("overwrite").parquet(s"$r/postings/d=$name")
       docs.select(col(idCol).cast("long").as("id")).distinct()
-        .write.mode("overwrite").parquet(s"$dir/retracted/d=$name")
-      SegmentCommits.commit(dir, name)
+        .write.mode("overwrite").parquet(s"$r/retracted/d=$name")
+      SegmentCommits.commit(r, name)
+      SegmentCommits.commit(r, name, FoldedNs) // LAST: the replay gate
     }
+  }
 
   /** LSM COMPACTION — [[StreamingIvf.compact]]'s contract for the
     * postings store: the committed view is rewritten as a single fresh
@@ -160,14 +241,67 @@ object StreamingGramPostings {
     * overwriting).
     */
   def compact(spark: SparkSession, dir: String, intoDir: String): Unit = {
+    val srcRoot = root(dir)
     require(new java.io.File(intoDir).getCanonicalPath !=
-      new java.io.File(dir).getCanonicalPath,
+      new java.io.File(dir).getCanonicalPath &&
+      new java.io.File(intoDir).getCanonicalPath !=
+      new java.io.File(srcRoot).getCanonicalPath,
       s"compact target must differ from the source store dir: $dir")
+    Dedup.stampGramKeyFormat(intoDir) // source checked by loadPostings
     loadPostings(spark, dir).write.mode("overwrite")
       .parquet(s"$intoDir/postings/d=base")
     loadDocs(spark, dir).write.mode("overwrite")
       .parquet(s"$intoDir/docs/d=base")
     SegmentCommits.commit(intoDir, "base")
+    // carry the fold-name memory: a batch merged into this base must
+    // still be recognized as folded by a post-compaction replay (see
+    // object scaladoc) — markers are cheap empty files, one per name
+    // ever folded
+    (SegmentCommits.committed(srcRoot) ++
+        SegmentCommits.committed(srcRoot, FoldedNs) :+ "base")
+      .distinct.foreach(n => SegmentCommits.commit(intoDir, n, FoldedNs))
+  }
+
+  /** Compact the store IN PLACE via epoch indirection (object scaladoc):
+    * merge the live payload into the next `epoch_<n>` subdir with an
+    * ordinary [[compact]], publish with one atomic rename of
+    * `dir/CURRENT`, keep the immediate predecessor epoch for in-flight
+    * readers, and reap everything older. Crash-safe at every point: the
+    * source epoch is never mutated, an unpublished target epoch is
+    * invisible debris, and the flip is a single rename.
+    */
+  def compactInPlace(spark: SparkSession, dir: String): Unit = {
+    val cur = root(dir)
+    val d = new java.io.File(dir)
+    val epochNums = Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("epoch_"))
+      .flatMap(_.stripPrefix("epoch_").toLongOption)
+    val next = (0L +: epochNums).max + 1
+    compact(spark, dir, s"$dir/epoch_$next")
+    // the atomic publish: CURRENT flips to the new epoch or not at all
+    val tmp = Paths.get(dir,
+      s".CURRENT_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+    Files.write(tmp, s"epoch_$next".getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(dir, "CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // reap: keep the predecessor (`cur`) for in-flight readers, delete
+    // older epoch dirs (published-and-superseded or crash debris alike);
+    // once the ROOT layout (epoch 0) is no longer the predecessor, its
+    // payload dirs go too
+    val curName = new java.io.File(cur).getCanonicalPath
+    Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.isDirectory && f.getName.startsWith("epoch_") &&
+          f.getName.stripPrefix("epoch_").toLongOption.exists(_ < next) &&
+          f.getCanonicalPath != curName)
+        graft.operators.Dedup.deleteRecursively(f)
+    }
+    if (curName != d.getCanonicalPath)
+      Seq("postings", "docs", "retracted", "commits", FoldedNs,
+          "_GRAM_KEY_FORMAT")
+        .foreach(n => graft.operators.Dedup.deleteRecursively(
+          new java.io.File(d, n)))
   }
 
   /** Start the ingest stream: each micro-batch folds its postings/docs
@@ -178,12 +312,19 @@ object StreamingGramPostings {
     * excluded, so replays are deterministic) with the batch's own rows
     * in memory, matching q315's "batch already folded in" contract
     * without requiring the segment write to land first.
+    *
+    * `maxSegments` (round-15 verdict #4) enforces the MEASURED
+    * compaction cadence: once the committed segment count reaches it,
+    * the batch's fold is followed by [[compactInPlace]] — bounding the
+    * per-serve merge-on-read amplification at the `STREAM_AMP.json`
+    * policy point (serve ≤ 1.25× the single-segment wall) instead of
+    * leaving the compaction to operator memory. 0 disables.
     */
   def start(spark: SparkSession, dir: String, stream: DataFrame,
       idCol: String, textCol: String, minLen: Int, outDir: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("200 milliseconds"))
-      : StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("200 milliseconds"),
+      maxSegments: Int = PolicyMaxSegments): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -203,6 +344,13 @@ object StreamingGramPostings {
             SegmentCommits.commit(outDir, name)
           }
           writeSegment(dir, name, batch, idCol, textCol, minLen)
+          // the measured cadence, enforced: one read-merge-write + one
+          // atomic CURRENT flip per `maxSegments` folds; a crash
+          // anywhere inside it leaves the pre-compaction store serving
+          // and the next trigger retries with a fresh epoch number
+          if (maxSegments > 0 &&
+              SegmentCommits.committed(root(dir)).size >= maxSegments)
+            compactInPlace(spark, dir)
         }
       }
       .start()

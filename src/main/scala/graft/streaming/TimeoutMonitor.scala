@@ -32,8 +32,18 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   *     redelivery): it EXTENDS the deadline — wrongly extending on a
   *     redelivered liveness signal is harmless, while ignoring a real
   *     heartbeat fires a false alert on an active job (round-14
-  *     advisor). Tombstones ignore the tie: resurrection still needs a
-  *     strictly newer t;
+  *     advisor) — but the extension is BOUNDED (round-15 advisor): the
+  *     deadline never passes `armAt + 2·timeoutMs`, where `armAt` is
+  *     when the recorded t FIRST won. Unbounded tie extension let a
+  *     source that perpetually replays the same (key, t) heartbeat
+  *     suppress a hung job's alert forever; with the cap, replay buys
+  *     at most one extra timeout window past the last genuine progress,
+  *     after which the watch fires. The residual tradeoff is explicit:
+  *     a live job whose event clock stands still for TWO full timeout
+  *     windows is indistinguishable from replay and will alert — a
+  *     heartbeat mechanism must advance its timestamp at least that
+  *     often. Tombstones ignore the tie either way: resurrection still
+  *     needs a strictly newer t;
   *   - a winning terminal event leaves a TOMBSTONE (state kept, timer
   *     re-pointed at `now + timeoutMs` as a cleanup deadline): a
   *     finished job never alerts, and a redelivered OLDER non-terminal
@@ -59,11 +69,15 @@ object TimeoutMonitor {
   /** One row per observed job event; `terminal` ends the watch. */
   case class WatchEvent(key: String, t: Long, terminal: Boolean)
 
-  /** (last activity, armed deadline, terminal tombstone?) — the whole
-    * per-key state. `done = true` means the deadline is a tombstone
-    * cleanup, not a watch.
+  /** (last activity, armed deadline, terminal tombstone?, first-arm
+    * processing time) — the whole per-key state. `done = true` means the
+    * deadline is a tombstone cleanup, not a watch. `armAt` is the
+    * processing time at which `lastT` first won the decision: it anchors
+    * the tie-extension cap (deadline ≤ armAt + 2·timeoutMs) and resets
+    * only on a STRICTLY newer event — replayed ties cannot move it.
     */
-  case class WatchState(lastT: Long, deadline: Long, done: Boolean)
+  case class WatchState(lastT: Long, deadline: Long, done: Boolean,
+    armAt: Long)
 
   case class Alert(key: String, last_t: Long, deadline_ms: Long)
 
@@ -92,23 +106,33 @@ object TimeoutMonitor {
           (s.lastT, rank(s.done)), (win.t, rank(win.terminal))))
       if (!priorHolds) {
         // the batch advances the decision: the old timer (watch or
-        // tombstone cleanup) is obsolete either way
+        // tombstone cleanup) is obsolete either way. A strictly newer
+        // winner also re-anchors armAt — genuine progress resets the
+        // tie-extension budget.
         prior.foreach(s => getHandle.deleteTimer(s.deadline))
-        val deadline = timerValues.getCurrentProcessingTimeInMs + timeoutMs
+        val now = timerValues.getCurrentProcessingTimeInMs
+        val deadline = now + timeoutMs
         getHandle.registerTimer(deadline)
-        st.update(WatchState(win.t, deadline, win.terminal))
+        st.update(WatchState(win.t, deadline, win.terminal, now))
       } else prior.foreach { s =>
         // losing batch. STRICTLY older events are pure redeliveries and
         // change nothing; but a non-terminal event TYING a live watch's
         // lastT may be a genuinely new heartbeat under a coarse clock
         // (see scaladoc) — extend the deadline rather than risk a false
-        // alert on an active job. A tombstone stays untouched either
-        // way: resurrection needs a strictly newer t.
+        // alert on an active job, CAPPED at armAt + 2·timeoutMs so a
+        // perpetually-replayed heartbeat cannot suppress the alert
+        // forever (round-15 advisor). armAt is NOT re-anchored: only a
+        // strictly newer t is progress. A tombstone stays untouched
+        // either way: resurrection needs a strictly newer t.
         if (!s.done && !win.terminal && win.t == s.lastT) {
-          getHandle.deleteTimer(s.deadline)
-          val deadline = timerValues.getCurrentProcessingTimeInMs + timeoutMs
-          getHandle.registerTimer(deadline)
-          st.update(WatchState(s.lastT, deadline, done = false))
+          val now = timerValues.getCurrentProcessingTimeInMs
+          val deadline =
+            math.min(now + timeoutMs, s.armAt + 2L * timeoutMs)
+          if (deadline > s.deadline) {
+            getHandle.deleteTimer(s.deadline)
+            getHandle.registerTimer(deadline)
+            st.update(WatchState(s.lastT, deadline, done = false, s.armAt))
+          }
         }
       }
       Iterator.empty

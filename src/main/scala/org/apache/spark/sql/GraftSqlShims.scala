@@ -79,16 +79,66 @@ object GraftSqlShims {
     * orphan finish against live blocks and turns the noisy near-miss
     * into silence. At the release points the caller's own jobs have just
     * completed, so the common case polls once and sleeps zero.
+    *
+    * SCOPED drain (round-15 verdict #3): the orphans worth draining are
+    * by construction jobs the CALLER's queries launched — only those can
+    * hold the checkpoint in a task DAG. Polling `getActiveJobIds()`
+    * globally therefore over-waits: in a session with a CONCURRENT
+    * streaming query (the streaming-twin deployment this code targets),
+    * some unrelated job is active essentially continuously, so every
+    * release sat out the full 2 s bound — ~2 s of hidden latency per
+    * micro-batch in `StreamingGramPostings.start`'s serve. The drain now
+    * waits only on RUNNING jobs in `jobGroup` when given; when not
+    * given, it falls back to the calling THREAD's current job group
+    * (Spark tags every job with the submitting thread's group property,
+    * and AQE's speculative broadcast/stage submissions capture the
+    * submitting thread's local properties, so a caller's orphans carry
+    * the caller's group — on a streaming micro-batch thread that is the
+    * stream's own run group, exactly the right scope); only a caller
+    * with no group at all pays the global poll. Tag batch callers with
+    * [[withJobGroup]].
     */
-  def unpersistCheckpoint(df: DataFrame): Unit =
+  def unpersistCheckpoint(df: DataFrame,
+      jobGroup: Option[String] = None): Unit =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed match {
       case lr: execution.LogicalRDD =>
-        val tracker = df.sparkSession.sparkContext.statusTracker
+        val sc = df.sparkSession.sparkContext
+        val tracker = sc.statusTracker
+        val group = jobGroup.orElse(
+          Option(sc.getLocalProperty("spark.jobGroup.id")))
+        def pending(): Boolean = group match {
+          case Some(g) => tracker.getJobIdsForGroup(g).exists(id =>
+            tracker.getJobInfo(id).exists(_.status() ==
+              org.apache.spark.JobExecutionStatus.RUNNING))
+          case None => tracker.getActiveJobIds().nonEmpty
+        }
         val deadline = System.currentTimeMillis() + 2000L
-        while (tracker.getActiveJobIds().nonEmpty &&
-            System.currentTimeMillis() < deadline)
+        while (pending() && System.currentTimeMillis() < deadline)
           Thread.sleep(20L)
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Run `f` with the current thread's Spark job group set to `group`,
+    * RESTORING the previous group afterwards — a streaming micro-batch
+    * thread already carries the stream's run group (query cancellation
+    * targets it), so a plain `clearJobGroup()` on exit would break
+    * `query.stop()` for the rest of that micro-batch. Jobs submitted
+    * inside `f` — including AQE's speculatively launched broadcast
+    * futures, which capture the submitting thread's local properties —
+    * are tagged with `group`, which is what makes a scoped
+    * [[unpersistCheckpoint]] drain precise.
+    */
+  def withJobGroup[T](spark: SparkSession, group: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    val prevInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
+    sc.setJobGroup(group, s"graft:$group", interruptOnCancel = false)
+    try f finally {
+      sc.setLocalProperty("spark.jobGroup.id", prevGroup)
+      sc.setLocalProperty("spark.job.description", prevDesc)
+      sc.setLocalProperty("spark.job.interruptOnCancel", prevInterrupt)
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
 
@@ -1282,6 +1282,81 @@ class ScaleSpec extends SparkSpec {
     assert(refuse.getMessage.contains("no committed generation"))
   }
 
+  // Round-15 advisor (medium): the 32→60-bit gram-key widening changed
+  // the on-disk keyspace of every persisted gram store with no version
+  // marker — a pre-widening store folded with new-width batch grams
+  // yields DISJOINT key spaces, the witness/changed-set joins silently
+  // under-include, and the incremental removal stops matching the full
+  // rerun with NO error raised. Every gram surface now stamps its format
+  // and every load/fold fails fast on mismatch (absent == unknown width
+  // == rebuild).
+  test("gram-key format stamp: mismatched or unstamped gram stores are " +
+      "refused on load AND on fold, across all three persisted surfaces") {
+    import graft.operators.Dedup
+    import graft.streaming.{StreamingDedupGate, StreamingGramPostings}
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (3L, "a completely different document body with no shared gram runs"))
+      .toDF("doc_id", "text")
+
+    // ---- generation artifact: save stamps, load verifies
+    val gdir = Files.createTempDirectory("graft-gramfmt-gen").toString
+    Dedup.saveGramPostings(
+      Dedup.gramPostings(docs, "doc_id", "text", 20), gdir)
+    assert(Dedup.loadGramPostings(spark, gdir).count() > 0)
+    // a FOREIGN-width stamp (a store written by a different build) must
+    // refuse to load, naming both formats
+    val genPath = graft.sources.Generations.loadPath(gdir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(genPath, "_GRAM_KEY_FORMAT"),
+      "md5prefix32".getBytes("UTF-8"))
+    val badLoad = intercept[IllegalArgumentException] {
+      Dedup.loadGramPostings(spark, gdir)
+    }
+    assert(badLoad.getMessage.contains("md5prefix32") &&
+      badLoad.getMessage.contains("md5prefix60"), badLoad.getMessage)
+    // an UNSTAMPED generation (anything persisted before the stamp
+    // existed — width unknown) is refused the same way
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(genPath, "_GRAM_KEY_FORMAT"))
+    val absent = intercept[IllegalArgumentException] {
+      Dedup.loadGramCounts(spark, gdir)
+    }
+    assert(absent.getMessage.contains("<absent>"), absent.getMessage)
+
+    // ---- streaming postings store: a fold INTO a foreign-width store
+    // is as fatal as a read from one
+    val sdir = Files.createTempDirectory("graft-gramfmt-post").toString
+    StreamingGramPostings.init(spark, sdir, docs, "doc_id", "text", 20)
+    assert(StreamingGramPostings.loadPostings(spark, sdir).count() > 0)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sdir, "_GRAM_KEY_FORMAT"),
+      "md5prefix32".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      StreamingGramPostings.loadPostings(spark, sdir)
+    }
+    intercept[IllegalArgumentException] {
+      StreamingGramPostings.foldBatch(sdir, docs, "doc_id", "text", 20, "b0")
+    }
+    // restore the true stamp: everything serves again (the refusal is
+    // the marker, not store damage)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sdir, "_GRAM_KEY_FORMAT"),
+      Dedup.GramKeyFormatId.getBytes("UTF-8"))
+    assert(StreamingGramPostings.loadPostings(spark, sdir).count() > 0)
+
+    // ---- streaming count store (the gate): same contract
+    val cdir = Files.createTempDirectory("graft-gramfmt-cnt").toString
+    StreamingDedupGate.init(spark, cdir, docs, "doc_id", "text", 20)
+    assert(StreamingDedupGate.loadCounts(spark, cdir).count() > 0)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(cdir, "_GRAM_KEY_FORMAT"))
+    intercept[IllegalArgumentException] {
+      StreamingDedupGate.loadCounts(spark, cdir)
+    }
+  }
+
   test("generation-flip: kill mid-save on the multi-table IVF artifact") {
     import graft.operators.Similarity
     import graft.sources.Generations
@@ -1607,6 +1682,143 @@ class ScaleSpec extends SparkSpec {
     assert(serve(dir3) == srcServe)
   }
 
+  // Round-15 verdict #4: STREAM_AMP.json derived policy_max_segments=65
+  // but nothing enforced it — a long-running pipeline had to remember to
+  // call compact, and compact's target-must-differ contract collides
+  // with a stream whose store path is fixed. compactInPlace adds epoch
+  // indirection (one atomic CURRENT rename per compaction) and start()
+  // auto-compacts at the policy. This pins the whole protocol: flip
+  // atomicity, the carried fold-name gate (a replayed batch merged into
+  // the compacted base must NOT double-fold), kill-mid-compaction
+  // recovery with debris reaping, and the auto path end-to-end through
+  // a kill-and-resume.
+  test("streaming gram postings: in-place auto-compaction — atomic flip, " +
+      "replay cannot double-fold across it, kill-mid-compaction recovers") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamingGramPostings
+    import org.apache.spark.sql.streaming.Trigger
+
+    val raw = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text"))
+    def pset(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("g"), col("id"), col("n"))
+        .as[(Long, Long, Long)].collect().toSet
+    def dset(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("id"), col("text")).as[(Long, String)].collect().toSet
+
+    val dir = Files.createTempDirectory("graft-spost-auto").toString
+    StreamingGramPostings.init(spark, dir,
+      raw.filter(col("doc_id") % 10 < 6), "doc_id", "text", 30)
+    StreamingGramPostings.foldBatch(dir,
+      raw.filter(col("doc_id") % 10 === 6), "doc_id", "text", 30, "b0")
+    StreamingGramPostings.foldBatch(dir,
+      raw.filter(col("doc_id") % 10 === 7), "doc_id", "text", 30, "b1")
+    StreamingGramPostings.retractBatch(spark, dir,
+      raw.filter(col("doc_id") % 10 === 6), "doc_id", "text", 30, "t0")
+    val srcP = pset(StreamingGramPostings.loadPostings(spark, dir))
+    val srcD = dset(StreamingGramPostings.loadDocs(spark, dir))
+
+    // ---- first in-place compaction: same path, one committed segment,
+    // bit-identical serves, CURRENT published, predecessor retained
+    StreamingGramPostings.compactInPlace(spark, dir)
+    assert(Files.isRegularFile(Paths.get(dir, "CURRENT")))
+    assert(StreamingGramPostings.committedSegments(dir) == Seq("base"),
+      "in-place compaction must leave exactly one committed segment")
+    assert(pset(StreamingGramPostings.loadPostings(spark, dir)) == srcP)
+    assert(dset(StreamingGramPostings.loadDocs(spark, dir)) == srcD)
+    assert(Files.exists(Paths.get(dir, "commits")),
+      "predecessor (root-layout) epoch must be retained for in-flight readers")
+
+    // ---- the carried fold-name gate: b1's rows were MERGED into the
+    // compacted base; a post-compaction replay of the same segment name
+    // (the crash window between the flip and the stream's own checkpoint
+    // commit) must be a no-op, not a double fold
+    StreamingGramPostings.foldBatch(dir,
+      raw.filter(col("doc_id") % 10 === 7), "doc_id", "text", 30, "b1")
+    assert(StreamingGramPostings.committedSegments(dir) == Seq("base"),
+      "replayed fold after compaction must be skipped by the folded gate")
+    assert(pset(StreamingGramPostings.loadPostings(spark, dir)) == srcP,
+      "replayed fold after compaction double-folded")
+
+    // ---- kill mid in-place compaction: torn target epoch (payload, no
+    // marker, CURRENT unflipped) is invisible; the next compaction picks
+    // a FRESH epoch number, publishes, and reaps the debris
+    StreamingGramPostings.loadPostings(spark, dir)
+      .write.parquet(s"$dir/epoch_99/postings/d=base")
+    assert(pset(StreamingGramPostings.loadPostings(spark, dir)) == srcP,
+      "torn epoch must not serve (CURRENT never flipped)")
+    StreamingGramPostings.foldBatch(dir,
+      raw.filter(col("doc_id") % 10 === 8), "doc_id", "text", 30, "b2")
+    StreamingGramPostings.compactInPlace(spark, dir)
+    val want = pset(Dedup.gramPostings(
+      raw.filter(col("doc_id") % 10 < 6 || col("doc_id") % 10 === 7 ||
+        col("doc_id") % 10 === 8),
+      "doc_id", "text", 30))
+    assert(pset(StreamingGramPostings.loadPostings(spark, dir)) == want,
+      "post-recovery compacted store != batch rebuild over remaining docs")
+    assert(!Files.exists(Paths.get(dir, "epoch_99")),
+      "crash debris epoch must be reaped by the next successful compaction")
+    assert(!Files.exists(Paths.get(dir, "postings")),
+      "root-layout payload must be reaped once it is no longer the predecessor")
+
+    // ---- the AUTO path end-to-end: maxSegments=2 compacts after every
+    // fold; kill the stream between waves and resume ACROSS a compaction
+    val dir2 = Files.createTempDirectory("graft-spost-auto2").toString
+    StreamingGramPostings.init(spark, dir2,
+      raw.filter(col("doc_id") % 10 < 7), "doc_id", "text", 30)
+    val streamDir = Files.createTempDirectory("graft-spost-auto-in")
+    def dropWave(tag: Int): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-spost-aw$tag").toString
+      raw.filter(col("doc_id") % 10 === tag).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, streamDir.resolve(s"wave$tag.parquet"))
+    }
+    val outDir = Files.createTempDirectory("graft-spost-auto-out").toString
+    val ckpt = Files.createTempDirectory("graft-spost-auto-ck").toString
+    def startStream() = StreamingGramPostings.start(spark, dir2,
+      spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir.toString),
+      "doc_id", "text", 30, outDir, ckpt,
+      Trigger.ProcessingTime("200 milliseconds"), maxSegments = 2)
+    // resolve through CURRENT like the store does: the fold marker for a
+    // batch lands in whichever epoch is live when it folds
+    def root2() = {
+      val cur = Paths.get(dir2, "CURRENT")
+      if (Files.isRegularFile(cur))
+        s"$dir2/${new String(Files.readAllBytes(cur), "UTF-8").trim}"
+      else dir2
+    }
+    def folded(name: String) =
+      Files.exists(Paths.get(root2(), "folded", name))
+    dropWave(7)
+    val q1 = startStream()
+    try {
+      val deadline = System.currentTimeMillis() + 180000
+      while (!Files.isRegularFile(Paths.get(dir2, "CURRENT")) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q1.stop()
+    assert(Files.isRegularFile(Paths.get(dir2, "CURRENT")),
+      "auto-compaction never fired at maxSegments=2")
+    dropWave(8) // arrives while the stream is DOWN; resume folds + compacts
+    val q2 = startStream()
+    try {
+      // wait for b1's FOLD (its marker is written after the segment
+      // commits), not just its serve output — stopping on the serve
+      // commit raced the fold and asserted against a store missing wave 8
+      val deadline = System.currentTimeMillis() + 180000
+      while (!folded("b1") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q2.stop()
+    assert(pset(StreamingGramPostings.loadPostings(spark, dir2)) ==
+      pset(Dedup.gramPostings(raw.filter(col("doc_id") % 10 <= 8),
+        "doc_id", "text", 30)),
+      "auto-compacted store != batch rebuild over everything ingested")
+    assert(StreamingGramPostings.committedSegments(dir2).size <= 2,
+      "segment count must stay at the policy bound")
+  }
+
   // Round-14 verdict #2: the early release of the corpus-postings
   // checkpoint inside exactSubstrRemoveIncremental must leave the
   // RETURNED plan fully re-evaluable — repeated actions, including
@@ -1645,5 +1857,103 @@ class ScaleSpec extends SparkSpec {
     assert(removedDocs == first.count(_._3 > 0).toLong)
     val totalRemoved = out.agg(sum(col("removed_chars"))).as[Long].head()
     assert(totalRemoved == first.toSeq.map(_._3).sum)
+  }
+
+  // Round-15 verdict #3: the pre-release drain used to poll
+  // getActiveJobIds() GLOBALLY, so in a session with a concurrent
+  // stream (the streaming-twin deployment) every checkpoint release sat
+  // out the full 2 s bound — ~2 s of hidden latency per micro-batch in
+  // StreamingGramPostings.start's serve. The drain is now scoped to the
+  // caller's own job group: with a foreign long-running job active, a
+  // scoped release must return in milliseconds, the full serve must stay
+  // correct, and no job anywhere may abort on released checkpoint blocks.
+  test("scoped checkpoint release: a concurrent busy job does not stall " +
+      "the drain; the serve stays correct with zero checkpoint-block events") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.GraftSqlShims
+    import scala.jdk.CollectionConverters._
+
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        e.jobResult match {
+          case org.apache.spark.scheduler.JobFailed(ex) =>
+            failures.add(String.valueOf(ex))
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    val raw = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val newIds = raw.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+    def serve() = Dedup.exactSubstrRemoveIncremental(raw, "doc_id", "text",
+        30, Dedup.gramPostings(raw, "doc_id", "text", 30), newIds)
+      .select(col("id"), col("clean_text"), col("removed_chars"))
+      .as[(Long, String, Long)].collect().toSet
+    val solo = serve()
+    assert(solo.nonEmpty)
+
+    // the foreign workload: an UNGROUPED driver thread that keeps a job
+    // running continuously (the shape of a concurrent streaming query's
+    // micro-batches in the same session)
+    val busyStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val busy = new Thread(() => {
+      // ONE single-partition job that stays RUNNING for the whole test:
+      // the global-drain poll sees it continuously (no between-jobs gap
+      // to race) while it occupies only one of local[4]'s task slots —
+      // a busy fixture that hogged every slot starved the serve under
+      // test outright (FIFO gives the earlier job's tasks priority)
+      while (!busyStop.get()) {
+        try spark.range(1).repartition(1)
+          .foreachPartition { (_: Iterator[java.lang.Long]) =>
+            var slept = 0
+            while (!busyStop.get() && slept < 300000) {
+              Thread.sleep(100); slept += 100
+            }
+          }
+        catch { case _: Throwable => () } // stop() mid-job is fine
+      }
+    }, "graft-busy-foreign")
+    busy.setDaemon(true)
+    try {
+      busy.start()
+      val tracker = spark.sparkContext.statusTracker
+      def awaitBusy(): Unit = {
+        val deadline = System.currentTimeMillis() + 30000
+        while (tracker.getActiveJobIds().isEmpty &&
+            System.currentTimeMillis() < deadline) Thread.sleep(20)
+        assert(tracker.getActiveJobIds().nonEmpty,
+          "busy fixture has no running job")
+      }
+      awaitBusy()
+
+      // direct release-latency claim: a checkpoint whose OWN group is
+      // drained releases immediately even though foreign jobs are active
+      val ck = GraftSqlShims.withJobGroup(spark, "graft-own-release") {
+        GraftSqlShims.statsTruncatedLocalCheckpoint(
+          raw.limit(100).select(col("doc_id")))
+      }
+      awaitBusy()
+      val t0 = System.nanoTime()
+      GraftSqlShims.unpersistCheckpoint(ck, Some("graft-own-release"))
+      val releaseMs = (System.nanoTime() - t0) / 1e6
+      assert(releaseMs < 1000.0,
+        f"scoped release stalled $releaseMs%.0f ms under a foreign job " +
+          "(the global-drain behavior this test pins out)")
+
+      // the real serve under the same contention: bit-identical output
+      // (its internal releases are scoped per invocation)
+      assert(serve() == solo,
+        "serve under a concurrent busy job must match the solo serve")
+    } finally {
+      busyStop.set(true)
+      busy.join(15000)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    val ckptNoise = failures.asScala.filter(_.contains("CHECKPOINT"))
+    assert(ckptNoise.isEmpty,
+      s"released checkpoint blocks were read by a live job: $ckptNoise")
   }
 }

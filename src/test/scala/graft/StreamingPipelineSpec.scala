@@ -432,6 +432,31 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(byKey("D").size == 1, s"D must alert exactly once: $alerts")
       assert(byKey("D").head.last_t == 2L,
         s"D's alert must carry the revival event's time: $alerts")
+
+      // ---- replay storm (round-15 advisor): H is a HUNG job whose last
+      // heartbeat (key, t=1) is redelivered perpetually by an
+      // at-least-once source. Unbounded tie extension would re-arm H's
+      // deadline on every redelivery and the alert would never fire
+      // while the storm flows; the armAt + 2·timeoutMs cap guarantees it
+      // fires at most one extra timeout window past the first arm. Keep
+      // redelivering until the alert appears — the loop condition itself
+      // is the proof that the alert fired WHILE replays were flowing.
+      input.addData(WatchEvent("H", 1L, terminal = false))
+      val stormDeadline = System.currentTimeMillis() + 60000
+      while (!alerts.exists(_.key == "H") &&
+          System.currentTimeMillis() < stormDeadline) {
+        input.addData(WatchEvent("H", 1L, terminal = false))
+        Thread.sleep(300)
+      }
+      val hAlerts = alerts.filter(_.key == "H")
+      assert(hAlerts.nonEmpty,
+        s"perpetual equal-t replay suppressed H's alert forever: $alerts")
+      assert(hAlerts.head.last_t == 1L)
+      // quiesce H: a post-alert redelivery arms a FRESH watch (state was
+      // cleared by the alert) — tombstone it so it can't fire during
+      // other suites
+      input.addData(WatchEvent("H", 2L, terminal = true))
+      Thread.sleep(600)
     } finally {
       query.stop()
       spark.conf.set("spark.sql.shuffle.partitions", priorParts)
