@@ -52,6 +52,20 @@ import org.apache.spark.sql.SparkSession
   * `"unadjudicated"`. Regression entries carry the window verdict of
   * the samples they flag.
   *
+  * Round 16 closed the two gaps the first self-adjudicated run exposed:
+  * (a) the regression recheck was a SINGLE `runOnce` — one sample on a
+  * box whose single-run timings swing 4x adjudicates nothing, and it
+  * twice labeled noise "regression" — it is now the same load-gated
+  * median-of-N re-measure with bracketing probes the window path uses;
+  * (b) a probe window that is merely "edge" (one degraded bracket, the
+  * inevitable shape when a short spike lands between two probes) never
+  * triggered the auto-requeue, so a spike sitting on the heavy q25x-q26x
+  * range left a 46 s med standing for a 33 s capstone. An edge-window
+  * query that flags against the previous round and whose CLEAN
+  * re-measure disagrees by >20% now has its spread replaced too — and
+  * the artifact is serialized AFTER adjudication so the committed
+  * medians are the adjudicated ones.
+  *
   * Isolation: `spark.catalog.clearCache()` runs between queries. Several
   * queries `.cache()` intermediate frames (q52/q60's signature tables,
   * the shared embedding corpus) and Spark's cache manager would otherwise
@@ -186,41 +200,46 @@ object Bench {
       l
     }
 
+    // ---- shared re-measure: load-gated, full median-of-N with its OWN
+    // bracketing probes so the re-measure carries its own window verdict.
+    // (Round-16: the regression recheck was previously a SINGLE runOnce —
+    // on a box whose single-run timings swing up to 4x, a one-sample
+    // recheck adjudicated nothing and twice labeled noise "regression".)
+    case class ReMeasure(spread: (Double, Double, Double), probeBefore: Double,
+        probeAfter: Double, loadAt: Double) {
+      def window: String = probeWindow(probeBefore, probeAfter)
+      def clean: Boolean = window == "clean" && spread._2 >= 0
+    }
+    def reMeasure(n: String): ReMeasure = {
+      val loadAt = awaitQuiet()
+      val pB = BoxCalib.measureSt()
+      val re = spreadOf(n)
+      val pA = BoxCalib.measureSt()
+      ReMeasure(re, pB, pA, loadAt)
+    }
+
     // ---- AUTO-REQUEUE of degraded-window queries (scaladoc): a clean
     // re-measure replaces the committed spread; a degraded one leaves
     // the original standing, labeled unadjudicated
     val windowRechecks = names.collect {
       case n if window0(n) == "degraded" =>
-        val loadAt = awaitQuiet()
-        val pB = BoxCalib.measureSt()
-        val re = spreadOf(n)
-        val pA = BoxCalib.measureSt()
-        val reWindow = probeWindow(pB, pA)
+        val rm = reMeasure(n)
         val orig = measured(n)
-        val replaced = reWindow == "clean" && re._2 >= 0
-        if (replaced) measured(n) = re
+        val replaced = rm.clean
+        if (replaced) measured(n) = rm.spread
         System.err.println(f"[bench]   window re-measure $n%-28s " +
-          f"${orig._2}%8.3f -> ${re._2}%8.3f probes $pB%.0f/$pA%.0f ms " +
-          f"load $loadAt%.2f => ${if (replaced) "replaced" else "unadjudicated"}")
+          f"${orig._2}%8.3f -> ${rm.spread._2}%8.3f probes " +
+          f"${rm.probeBefore}%.0f/${rm.probeAfter}%.0f ms " +
+          f"load ${rm.loadAt}%.2f => ${if (replaced) "replaced" else "unadjudicated"}")
         "\"" + n + "\":{" +
-          f""""orig_med":${orig._2}%.3f,"re_med":${re._2}%.3f,""" +
-          f""""probe_before_ms":$pB%.1f,"probe_after_ms":$pA%.1f,""" +
-          f""""load":$loadAt%.2f,""" +
+          f""""orig_med":${orig._2}%.3f,"re_med":${rm.spread._2}%.3f,""" +
+          f""""probe_before_ms":${rm.probeBefore}%.1f,"probe_after_ms":${rm.probeAfter}%.1f,""" +
+          f""""load":${rm.loadAt}%.2f,""" +
           s""""status":"${if (replaced) "replaced" else "unadjudicated"}"}"""
     }
     if (windowRechecks.nonEmpty)
       System.err.println(s"[bench] ${windowRechecks.size} queries ran " +
         "inside a probe-degraded window and were re-measured")
-
-    val results = names.map(n => n -> measured(n))
-    val qs = results.map { case (k, (_, med, _)) => "\"" + k + f"\":$med%.3f" }
-      .mkString("{", ",", "}")
-    val spread = results.map { case (k, (min, med, max)) =>
-      "\"" + k + f"""\":{"min":$min%.3f,"med":$med%.3f,"max":$max%.3f}"""
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2._2).filter(_ >= 0).sum
-    val failed = results.filter(_._2._2 < 0).map(r => "\"" + r._1 + "\"")
-      .mkString("[", ",", "]")
 
     // ---- previous-run medians (self-written flat format, regex is safe)
     // A FILTERED run (explicit query args) archives to a scratch path by
@@ -252,9 +271,9 @@ object Bench {
       """"(q[^"]+)":\{"min":-?[0-9.]+,"med":-?[0-9.]+,"max":(-?[0-9.]+)\}""".r
         .findAllMatchIn(prevTxt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    val ratios = results.collect {
-      case (k, (min, med, _)) if med > 0 && prev.getOrElse(k, -1.0) > 0 =>
-        (k, prev(k), med, med / prev(k), min)
+    val ratios = names.collect {
+      case k if measured(k)._2 > 0 && prev.getOrElse(k, -1.0) > 0 =>
+        (k, prev(k), measured(k)._2, measured(k)._2 / prev(k), measured(k)._1)
     }.sortBy(-_._4)
     // LOAD-GUARDED regression adjudication (round-9 verdict: all 29
     // flagged regressions that round were sandbox contention, and the
@@ -286,9 +305,8 @@ object Bench {
     // on a sub-half-second query is adjudicated, not auto-dismissed.
     val regressions = ratios.filter(_._4 > 1.5).map { case (k, p, c, r, cMin) =>
       val belowFloor = c < 0.5 || c - p < 0.3
-      val loadAt = awaitQuiet()
-      spark.catalog.clearCache()
-      val recheck = runOnce(k)
+      val rm = reMeasure(k)
+      val recheck = rm.spread._2
       val cleared = recheck >= 0 &&
         (recheck <= p * 1.5 || (belowFloor && (recheck < 0.5 || recheck - p < 0.3)))
       // SPREAD OVERLAP (round-12 q267 post-mortem): the median ratio
@@ -296,22 +314,40 @@ object Bench {
       // outlier as when this run is slow. If this run's fastest sample
       // still lands within 1.2x of the previous run's SLOWEST sample,
       // the two runs' distributions overlap — that is run-to-run
-      // variance, labeled as such, not a regression.
+      // variance, labeled as such, not a regression. The clean
+      // re-measure's fastest sample gets the same test.
       val pMax = prevMax.getOrElse(k, -1.0)
-      val overlaps = pMax > 0 && cMin <= pMax * 1.2
+      val overlaps = pMax > 0 &&
+        (cMin <= pMax * 1.2 || (rm.clean && rm.spread._1 <= pMax * 1.2))
+      // A flagged query whose in-run samples sat in a NON-clean probe
+      // window and whose clean re-measure disagrees by >20% was
+      // measuring the window, not the code: the re-measure replaces the
+      // committed spread — same contract as the window auto-requeue
+      // above, extended to "edge" windows that only surface once the
+      // prev-round ratio flags them (round 16: an edge window sat
+      // exactly on the q25x-q26x heavies and the artifact carried a
+      // 46 s med for a 33 s capstone).
+      val replaced = window0(k) != "clean" && rm.clean && recheck < c / 1.2
+      if (replaced) measured(k) = rm.spread
       val status =
-        if (cleared) { if (belowFloor) "noise" else "contended" }
+        if (cleared) { if (belowFloor) "noise" else if (replaced) "window" else "contended" }
         else if (overlaps) "overlap"
-        else if (loadAt > loadGate) "unadjudicated"
+        else if (rm.loadAt > loadGate || !rm.clean) "unadjudicated"
         else "regression"
       val win = window0(k)
       System.err.println(f"[bench]   recheck $k%-28s $p%8.3f -> $c%8.3f " +
-        f"recheck $recheck%8.3f load $loadAt%.2f prevMax $pMax%8.3f " +
-        f"curMin $cMin%8.3f window $win => $status")
+        f"recheck $recheck%8.3f load ${rm.loadAt}%.2f prevMax $pMax%8.3f " +
+        f"curMin $cMin%8.3f window $win rewindow ${rm.window} " +
+        f"replaced $replaced => $status")
       "\"" + k + f"""\":{"prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.2f,""" +
-        f""""recheck":$recheck%.3f,"load_at_recheck":$loadAt%.2f,""" +
+        f""""recheck":$recheck%.3f,"recheck_min":${rm.spread._1}%.3f,""" +
+        f""""recheck_max":${rm.spread._3}%.3f,""" +
+        f""""load_at_recheck":${rm.loadAt}%.2f,""" +
+        f""""probe_before_ms":${rm.probeBefore}%.1f,""" +
+        f""""probe_after_ms":${rm.probeAfter}%.1f,""" +
         f""""prev_max":$pMax%.3f,"cur_min":$cMin%.3f,""" +
-        f""""window":"$win","status":"$status"}"""
+        f""""window":"$win","re_window":"${rm.window}",""" +
+        s""""replaced":$replaced,"status":"$status"}"""
     }.mkString("{", ",", "}")
     if (ratios.nonEmpty) {
       System.err.println(f"[bench] vs ${prevPath.toString} (${ratios.size} " +
@@ -321,6 +357,20 @@ object Bench {
           (if (r > 1.5) "  REGRESSION" else ""))
       }
     }
+
+    // serialized AFTER adjudication: a replaced spread (window
+    // auto-requeue or flagged-edge re-measure) is what the artifact
+    // commits — idle-sourced throughout, with the original preserved in
+    // the window_rechecks/regressions records
+    val results = names.map(n => n -> measured(n))
+    val qs = results.map { case (k, (_, med, _)) => "\"" + k + f"\":$med%.3f" }
+      .mkString("{", ",", "}")
+    val spread = results.map { case (k, (min, med, max)) =>
+      "\"" + k + f"""\":{"min":$min%.3f,"med":$med%.3f,"max":$max%.3f}"""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2._2).filter(_ >= 0).sum
+    val failed = results.filter(_._2._2 < 0).map(r => "\"" + r._1 + "\"")
+      .mkString("[", ",", "]")
 
     // system-load context so a contended artifact is recognizable at a
     // glance (1/5/15-min /proc/loadavg before and after, plus the JVM's
