@@ -66,6 +66,18 @@ import org.apache.spark.sql.SparkSession
   * the artifact is serialized AFTER adjudication so the committed
   * medians are the adjudicated ones.
   *
+  * The same round's q262 floor decomposition (`BENCH_Q262_FLOOR_r16
+  * .json`) then showed the interleave was probing the WRONG regime:
+  * the host's window family is ALL-CORES-ONLY — all-cores calib
+  * 906–1021 ms against a ~640–680 clean floor while the single-thread
+  * probe stayed flat at ~590 ms — which is exactly the regime a
+  * `local[32]` query executes in. Probes now run BOTH legs
+  * ([[BoxCalib.measureSt]] + [[BoxCalib.measureMt]]); a probe is
+  * degraded when either leg exceeds its own run-floor ratio
+  * (`SPARK_GRAFT_WINDOW_RATIO` for st, default 1.5;
+  * `SPARK_GRAFT_WINDOW_RATIO_MT` for mt, default 1.3 — clean in-run mt
+  * spread is ≤7 % while observed windows sit 33–60 % high).
+  *
   * Isolation: `spark.catalog.clearCache()` runs between queries. Several
   * queries `.cache()` intermediate frames (q52/q60's signature tables,
   * the shared embedding corpus) and Spark's cache manager would otherwise
@@ -142,32 +154,50 @@ object Bench {
     names.foreach { n => spark.catalog.clearCache(); runOnce(n) } // warmup
 
     // ---- timed pass with INTERLEAVED calibration probes (scaladoc):
-    // probes[k] = (queries completed when the probe ran, st_ms)
-    val probes = scala.collection.mutable.ArrayBuffer[(Int, Double)](
-      (0, calibStBefore))
+    // probes[k] = (queries completed when the probe ran, st_ms, mt_ms).
+    // BOTH legs since round 16: the host's observed window family is
+    // ALL-CORES-ONLY (mt calib 906-1021 ms while st stayed flat at
+    // ~590), so an st-only interleave was blind to exactly the
+    // degradation the queries execute under. The mt ratio is tighter
+    // (default 1.3 vs st's 1.5): clean in-run mt spread is <=7% while
+    // the observed degraded windows sit 33-60% high.
+    val mtRatio = sys.env.getOrElse("SPARK_GRAFT_WINDOW_RATIO_MT", "1.3")
+      .toDouble
+    require(mtRatio > 1.0,
+      s"SPARK_GRAFT_WINDOW_RATIO_MT must exceed 1, got $mtRatio")
+    case class Probe(at: Int, st: Double, mt: Double)
+    def probe(at: Int): Probe = Probe(at, BoxCalib.measureSt(),
+      BoxCalib.measureMt())
+    val probes = scala.collection.mutable.ArrayBuffer[Probe](
+      Probe(0, calibStBefore, calibMtBefore))
     val measured =
       scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
     names.zipWithIndex.foreach { case (n, i) =>
       if (i > 0 && i % probeEvery == 0) {
-        val p = BoxCalib.measureSt()
-        System.err.println(f"[bench] calib probe after $i queries: $p%.0f ms")
-        probes += ((i, p))
+        val p = probe(i)
+        System.err.println(f"[bench] calib probe after $i queries: " +
+          f"st ${p.st}%.0f ms, mt ${p.mt}%.0f ms")
+        probes += p
       }
       measured(n) = spreadOf(n)
     }
-    probes += ((names.size, BoxCalib.measureSt()))
+    probes += probe(names.size)
 
     // window verdict per query position: both bracketing probes degraded
-    // => the query's whole sample set ran inside a transient window
-    val baseSt = probes.map(_._2).min
-    def probeWindow(before: Double, after: Double): String = {
-      val db = before > baseSt * windowRatio
-      val da = after > baseSt * windowRatio
+    // => the query's whole sample set ran inside a transient window.
+    // A probe is degraded when EITHER leg exceeds its run-floor ratio.
+    val baseSt = probes.map(_.st).min
+    val baseMt = probes.map(_.mt).min
+    def degraded(p: Probe): Boolean =
+      p.st > baseSt * windowRatio || p.mt > baseMt * mtRatio
+    def probeWindow(before: Probe, after: Probe): String = {
+      val db = degraded(before)
+      val da = degraded(after)
       if (db && da) "degraded" else if (db || da) "edge" else "clean"
     }
     def windowOf(i: Int): String = probeWindow(
-      probes.filter(_._1 <= i).last._2,
-      probes.find(_._1 > i).map(_._2).getOrElse(probes.last._2))
+      probes.filter(_.at <= i).last,
+      probes.find(_.at > i).getOrElse(probes.last))
     val window0 = names.zipWithIndex.map { case (n, i) => n -> windowOf(i) }
       .toMap
 
@@ -205,16 +235,16 @@ object Bench {
     // (Round-16: the regression recheck was previously a SINGLE runOnce —
     // on a box whose single-run timings swing up to 4x, a one-sample
     // recheck adjudicated nothing and twice labeled noise "regression".)
-    case class ReMeasure(spread: (Double, Double, Double), probeBefore: Double,
-        probeAfter: Double, loadAt: Double) {
+    case class ReMeasure(spread: (Double, Double, Double), probeBefore: Probe,
+        probeAfter: Probe, loadAt: Double) {
       def window: String = probeWindow(probeBefore, probeAfter)
       def clean: Boolean = window == "clean" && spread._2 >= 0
     }
     def reMeasure(n: String): ReMeasure = {
       val loadAt = awaitQuiet()
-      val pB = BoxCalib.measureSt()
+      val pB = probe(-1)
       val re = spreadOf(n)
-      val pA = BoxCalib.measureSt()
+      val pA = probe(-1)
       ReMeasure(re, pB, pA, loadAt)
     }
 
@@ -229,11 +259,13 @@ object Bench {
         if (replaced) measured(n) = rm.spread
         System.err.println(f"[bench]   window re-measure $n%-28s " +
           f"${orig._2}%8.3f -> ${rm.spread._2}%8.3f probes " +
-          f"${rm.probeBefore}%.0f/${rm.probeAfter}%.0f ms " +
+          f"${rm.probeBefore.st}%.0f+${rm.probeBefore.mt}%.0f/" +
+          f"${rm.probeAfter.st}%.0f+${rm.probeAfter.mt}%.0f ms " +
           f"load ${rm.loadAt}%.2f => ${if (replaced) "replaced" else "unadjudicated"}")
         "\"" + n + "\":{" +
           f""""orig_med":${orig._2}%.3f,"re_med":${rm.spread._2}%.3f,""" +
-          f""""probe_before_ms":${rm.probeBefore}%.1f,"probe_after_ms":${rm.probeAfter}%.1f,""" +
+          f""""probe_before_ms":${rm.probeBefore.st}%.1f,"probe_after_ms":${rm.probeAfter.st}%.1f,""" +
+          f""""probe_before_mt_ms":${rm.probeBefore.mt}%.1f,"probe_after_mt_ms":${rm.probeAfter.mt}%.1f,""" +
           f""""load":${rm.loadAt}%.2f,""" +
           s""""status":"${if (replaced) "replaced" else "unadjudicated"}"}"""
     }
@@ -343,8 +375,10 @@ object Bench {
         f""""recheck":$recheck%.3f,"recheck_min":${rm.spread._1}%.3f,""" +
         f""""recheck_max":${rm.spread._3}%.3f,""" +
         f""""load_at_recheck":${rm.loadAt}%.2f,""" +
-        f""""probe_before_ms":${rm.probeBefore}%.1f,""" +
-        f""""probe_after_ms":${rm.probeAfter}%.1f,""" +
+        f""""probe_before_ms":${rm.probeBefore.st}%.1f,""" +
+        f""""probe_after_ms":${rm.probeAfter.st}%.1f,""" +
+        f""""probe_before_mt_ms":${rm.probeBefore.mt}%.1f,""" +
+        f""""probe_after_mt_ms":${rm.probeAfter.mt}%.1f,""" +
         f""""prev_max":$pMax%.3f,"cur_min":$cMin%.3f,""" +
         f""""window":"$win","re_window":"${rm.window}",""" +
         s""""replaced":$replaced,"status":"$status"}"""
@@ -391,8 +425,8 @@ object Bench {
     val boxVsPrev = prevCalibSt.filter(_ > 0)
       .map(p => f""","box_vs_prev":${calibStBefore / p}%.2f""").getOrElse("")
     val calibCtx = f""""calib":{"st_ms":$calibStBefore%.1f,"mt_ms":$calibMtBefore%.1f,"st_ms_after":$calibStAfter%.1f,"mt_ms_after":$calibMtAfter%.1f$boxVsPrev}"""
-    val probesJson = probes.map { case (i, p) =>
-      f"""{"at":$i,"st_ms":$p%.1f}"""
+    val probesJson = probes.map { p =>
+      f"""{"at":${p.at},"st_ms":${p.st}%.1f,"mt_ms":${p.mt}%.1f}"""
     }.mkString("[", ",", "]")
     val windowCtx = s""""calib_probes":$probesJson,""" +
       s""""window_rechecks":${windowRechecks.mkString("{", ",", "}")}"""

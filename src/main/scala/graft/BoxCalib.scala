@@ -66,6 +66,30 @@ object BoxCalib {
     (System.nanoTime() - t0) / 1e6
   }
 
+  /** The all-cores leg alone (~1 s): the fixed workload on every
+    * available processor concurrently. Added in round 16 after the
+    * bench's single-thread probe interleave proved BLIND to this host's
+    * actual window family: a standalone q262 re-measure at committed
+    * bytecode caught all-cores calib at 906–1021 ms (clean runs sit at
+    * ~640–680) while the single-thread probe stayed flat at ~590 ms —
+    * the degradation lives entirely in the multi-core regime (SMT
+    * contention / hypervisor pressure), which is also the regime every
+    * `local[32]` query executes in. `Bench` now interleaves BOTH legs
+    * and a window is degraded when EITHER exceeds its own run-floor
+    * ratio.
+    */
+  def measureMt(): Double = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(1L)
+    val n = Runtime.getRuntime.availableProcessors
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map(i =>
+      new Thread(() => { acc.addAndGet(burn(i + 7)): Unit }))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    if (acc.get() == 0) System.err.println("[calib] sink hit zero")
+    (System.nanoTime() - t0) / 1e6
+  }
+
   /** The probe as a ready JSON fragment: `"calib":{"st_ms":…,"mt_ms":…}`. */
   def jsonField(): String = {
     val (st, mt) = measure()
