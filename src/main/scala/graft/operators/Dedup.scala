@@ -1018,7 +1018,7 @@ object Dedup {
     */
   private def charPositions(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), col(textCol).as("_t"))
+    spread(docs.select(col(idCol).as("id"), col(textCol).as("_t")))
       .filter(length(col("_t")) > 0)
       .select(col("id"), col("_t"),
         explode(sequence(lit(0L), length(col("_t")).cast("long") - 1L))
@@ -1116,66 +1116,80 @@ object Dedup {
     cur.select(col("id"), col("pos"), col("rank"))
   }
 
-  /** Positions whose `minLen`-char substring occurs ≥ 2 times in the
-    * corpus (any document, any alignment, self-overlaps included) — the
-    * Lee et al. ExactSubstr duplication marks. Built on the suffix
-    * ordering's intermediate tables via the sparse-table trick: after
-    * doubling to the largest power of two m ≤ minLen, the minLen-prefix
-    * at `pos` is exactly the pair of (possibly overlapping) m-blocks at
-    * `pos` and `pos + minLen − m`, so two positions share a
-    * minLen-prefix ⟺ they share the key
-    * `(rank_m(pos), rank_m(pos + minLen − m))` — one groupBy-count on
-    * that key replaces any LCP chain. Only positions with ≥ minLen
-    * chars remaining participate. Returns `(id, pos)`.
+  /** Round-robin spread of a doc-sized frame to the session's core
+    * count BEFORE a row-multiplying explode (optimization round 16,
+    * guide §2.5 "input skew"). Scan parallelism is the FILE layout's —
+    * a single-row-group parquet fixture is ONE task no matter the
+    * session's cores — and a position explode multiplies rows
+    * ×avg_len INSIDE that task, so the whole row-local pipeline
+    * (explode, substring, partial aggregation) would run
+    * single-threaded on a 32-core session (measured: most of q298's
+    * post-rewrite 8 s). Applied only when the plan's scan parallelism
+    * sits below the session default, so a production corpus whose scan
+    * already carries ≥ cores splits NEVER pays a corpus-wide shuffle
+    * for it — the spread moves doc rows (pre-fan-out, 1/avg_len of the
+    * exploded stream), not gram rows.
     */
-  /** The minLen-prefix KEY of every position with ≥ minLen chars
-    * remaining: `(id, pos, _ra, _rb)` where the pair (_ra, _rb) equals
-    * another position's pair ⟺ the two minLen-char substrings are equal
-    * — the sparse-table trick over the prefix-doubling tables, shared by
-    * [[exactSubstrMarks]] (within-corpus) and
-    * [[crossCorpusSubstrMarks]] (decontamination).
-    */
-  private def substrKeys(docs: DataFrame, idCol: String, textCol: String,
-      minLen: Int): DataFrame =
-    substrKeysFrom(charRanks(docs, idCol, textCol),
-      docs.select(col(idCol).as("id"),
-        length(col(textCol)).cast("long").as("_len")),
-      minLen)
-
-  /** [[substrKeys]] generalized over the sequence UNIT: `ranks0` is any
-    * initial `(id, pos, rank)` single-unit ranking (chars via
-    * [[charRanks]], tokens via [[tokenRanks]] — prefix doubling never
-    * looks at the unit itself, only at rank equality), `lens` the
-    * per-doc sequence length in the same unit.
-    */
-  private def substrKeysFrom(ranks0: DataFrame, lens: DataFrame,
-      minLen: Int): DataFrame = {
-    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
-    var m = 1L
-    while (m * 2 <= minLen) m *= 2
-    var cur = ranks0
-    var offset = 1L
-    while (offset < m) {
-      cur = doubleRank(cur, offset)
-      offset *= 2
-    }
-    // suffix length at pos = doc length − pos: keep remaining ≥ minLen
-    val second = cur.select(col("id"),
-      (col("pos") - (minLen - m)).as("pos"), col("rank").as("_rb"))
-    cur.join(second, Seq("id", "pos"))
-      .join(lens, Seq("id"))
-      .filter(col("_len") - col("pos") >= minLen)
-      .select(col("id"), col("pos"), col("rank").as("_ra"), col("_rb"))
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
+  /** The minLen-char GRAM at every position with ≥ minLen chars
+    * remaining: `(id, pos, _g)` where `_g` IS the exact substring
+    * `text[pos, pos+minLen)` — two positions share `_g` ⟺ their
+    * minLen-char substrings are equal, which is the only relation the
+    * fixed-length ExactSubstr marks ever read. Row-local (explode +
+    * substring) over the [[spread]] doc rows, no shuffle of the gram
+    * stream itself; shared by [[exactSubstrMarks]] (within-corpus) and
+    * [[crossCorpusSubstrMarks]] (decontamination).
+    */
+  private def gramStartRows(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    spread(docs.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .filter(length(col("_t")) >= minLen)
+      .select(col("id"),
+        explode(sequence(lit(0L),
+          length(col("_t")).cast("long") - minLen)).as("pos"),
+        col("_t"))
+      .select(col("id"), col("pos"),
+        expr(s"substring(_t, pos + 1, $minLen)").as("_g"))
+  }
+
+  /** Positions whose `minLen`-char substring occurs ≥ 2 times in the
+    * corpus (any document, any alignment, self-overlaps included) — the
+    * Lee et al. ExactSubstr duplication marks. Returns `(id, pos)`.
+    *
+    * FIXED-length substring equality needs no suffix machinery: keying
+    * every position by its exact minLen-char gram ([[gramStartRows]])
+    * and counting key occurrences is the same relation the
+    * prefix-doubling sparse-table key `(rank_m(pos), rank_m(pos+minLen−m))`
+    * encoded, computed in ONE map-side-combined aggregate plus one
+    * semi-join (optimization round 16; guide §1.2/§2.4). The previous
+    * shape — [[charRanks]] plus ⌈log₂ minLen⌉ [[doubleRank]] rounds,
+    * each a shift join + a global range-sort + a re-densification
+    * window + an eager checkpoint, with a non-codegen RDD zipWithIndex
+    * pass inside every sort — paid ~5 materialized shuffle rounds over
+    * the full char-position table to establish what the gram key states
+    * directly. Measured at sf0.1 (q298): 16.5 s → ~1 s, plan 15+
+    * exchanges → 3. The gram bytes (minLen × corpus positions) ride a
+    * single exchange whose map side partially aggregates; at production
+    * duplication rates the surviving duplicated-key set broadcasts into
+    * the semi-join, so corpus rows are never shuffled at all. The
+    * unbounded-length reads (q306's adjacent-LCP) keep the suffix
+    * machinery ([[suffixRanks]], [[lcpAdjacentPairsByDoubling]]); the
+    * 100 TB composition for the heavyweight paths stays the
+    * prefilter/neighborhood escape (q307/q315).
+    */
   def exactSubstrMarks(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
-    val keyed = substrKeys(docs, idCol, textCol, minLen)
-    val dupKeys = keyed.groupBy(col("_ra"), col("_rb"))
+    val keyed = gramStartRows(docs, idCol, textCol, minLen)
+    val dupKeys = keyed.groupBy(col("_g"))
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= 2)
-      .select(col("_ra"), col("_rb"))
-    keyed.join(dupKeys, Seq("_ra", "_rb"), "left_semi")
+      .select(col("_g"))
+    keyed.join(dupKeys, Seq("_g"), "left_semi")
       .select(col("id"), col("pos"))
   }
 
@@ -1183,23 +1197,22 @@ object Dedup {
     * ExactSubstr semantics: every position of `test` whose minLen-char
     * substring occurs ANYWHERE in `bench` (any benchmark doc, any
     * alignment — token boundaries and gram grids can't hide a
-    * contaminated span from this one). Both corpora rank TOGETHER in one
-    * prefix-doubling pass, so cross-side key equality is exact; the
-    * benchmark's key set then semi-joins the test keys (the bench side
-    * is benchmark-sized — small — so that join broadcasts). Ids must be
-    * unique across the two frames (they share the doc_id space here).
-    * Returns test-side `(id, pos)`.
+    * contaminated span from this one). Cross-side equality of
+    * FIXED-length substrings is gram-key equality ([[gramStartRows]];
+    * same round-16 rewrite as [[exactSubstrMarks]] — the previous shape
+    * ranked both corpora together through the prefix-doubling rounds to
+    * state the same relation): the benchmark's distinct gram set —
+    * benchmark-sized, small — broadcasts into one semi-join against the
+    * test side's gram stream, so the test corpus is never shuffled at
+    * all (measured at sf0.1, q304: 14.6 s → ~1 s). Returns test-side
+    * `(id, pos)`.
     */
   def crossCorpusSubstrMarks(test: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, minLen: Int): DataFrame = {
-    val union = test.select(col(idCol), col(textCol))
-      .unionByName(bench.select(col(idCol), col(textCol)))
-    val keys = substrKeys(union, idCol, textCol, minLen)
-    val benchKeys = keys
-      .join(bench.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .select(col("_ra"), col("_rb")).distinct()
-    keys.join(test.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .join(broadcast(benchKeys), Seq("_ra", "_rb"), "left_semi")
+    val benchKeys = gramStartRows(bench, idCol, textCol, minLen)
+      .select(col("_g")).distinct()
+    gramStartRows(test, idCol, textCol, minLen)
+      .join(broadcast(benchKeys), Seq("_g"), "left_semi")
       .select(col("id"), col("pos"))
   }
 
@@ -1226,6 +1239,88 @@ object Dedup {
     * min-over-range property). Returns
     * `(id_a, pos_a, id_b, pos_b, lcp)` with the pair ordered by suffix
     * order (a before b).
+    *
+    * DIRECT MECHANISM (optimization round 16; guide §1.2 — the
+    * distributed algorithm first). A qualifying pair shares its first
+    * minLcp chars, so both endpoints carry the same duplicated
+    * minLcp-gram — and so does every suffix BETWEEN them in the order
+    * (any string between two strings agreeing on a 20-char prefix
+    * agrees on it too, and a suffix shorter than minLcp sorts before
+    * its extensions, never between them). Hence (a) only positions
+    * whose minLcp-gram occurs ≥ 2 times can touch a qualifying pair,
+    * and (b) WITHIN one gram group, adjacency in (suffix, id, pos)
+    * order IS global suffix-order adjacency. The whole read therefore
+    * collapses to: one gram aggregate to find the duplicated
+    * minLcp-grams, one window per gram group ordering its members by
+    * their suffix remainder (materialized only for this duplicated
+    * slice — bounded by dup positions × remainder length), `lag` for
+    * the neighbor, and a row-local common-prefix fold for the exact
+    * LCP. Two exchanges end to end, no driver-side length collect, no
+    * checkpoints. Equal suffixes order by (id, pos) exactly as the
+    * rank-table path's shared-rank tiebreak did, so the emitted pair
+    * set is bit-identical (property-tested against the in-memory
+    * suffix sort, and pinned against [[lcpAdjacentPairsByDoubling]] in
+    * ScaleSpec). Measured at sf0.1 (q306): 47.5 s → ~2 s; plan: the
+    * log(maxlen) doubling rounds + log(maxlen) descent joins (30+
+    * jobs) → one 2-exchange pipeline.
+    *
+    * Regime note: the duplicated-slice remainder materialization moves
+    * dup_positions × avg remainder bytes — at a production duplication
+    * rate orders of magnitude below the doubling path's
+    * log(maxlen) × 3 exchanges over EVERY char position. The
+    * adversarial exception (a corpus that is mostly one repeated
+    * document, where dup_positions ≈ all positions and remainders are
+    * long) is the regime [[lcpAdjacentPairsByDoubling]] remains for:
+    * its working set stays O(positions) per round at any duplication
+    * rate.
+    */
+  def lcpAdjacentPairs(docs: DataFrame, idCol: String, textCol: String,
+      minLcp: Int): DataFrame = {
+    require(minLcp >= 1, s"minLcp must be >= 1, got $minLcp")
+    val starts = spread(
+        docs.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .filter(length(col("_t")) >= minLcp)
+      .select(col("id"),
+        explode(sequence(lit(0L),
+          length(col("_t")).cast("long") - minLcp)).as("pos"),
+        col("_t"))
+      .select(col("id"), col("pos"),
+        expr(s"substring(_t, pos + 1, $minLcp)").as("_g"), col("_t"))
+    val dupKeys = starts.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2)
+      .select(col("_g"))
+    // suffix remainders materialize ONLY for the duplicated-gram slice
+    val dupPos = starts.join(dupKeys, Seq("_g"), "left_semi")
+      .select(col("id"), col("pos"), col("_g"),
+        expr("substring(_t, pos + 1)").as("_s"))
+    val w = Window.partitionBy(col("_g"))
+      .orderBy(col("_s").asc, col("id").asc, col("pos").asc)
+    val paired = dupPos
+      .withColumn("_pid", lag(col("id"), 1).over(w))
+      .withColumn("_ppos", lag(col("pos"), 1).over(w))
+      .withColumn("_ps", lag(col("_s"), 1).over(w))
+      .filter(col("_pid").isNotNull)
+    // exact LCP of the two remainders: first differing char index − 1,
+    // else the shorter length (the pair shares ≥ minLcp chars by group
+    // construction, so the fold can never come in under minLcp)
+    paired
+      .withColumn("lcp", expr(
+        // try_element_at: ANSI-safe on the fully-equal-remainder case,
+        // where the differing-char filter yields an empty array
+        "coalesce(CAST(try_element_at(filter(sequence(1, " +
+          "CAST(least(length(_ps), length(_s)) AS INT)), " +
+          "i -> substring(_ps, i, 1) <> substring(_s, i, 1)), 1) - 1 " +
+          "AS BIGINT), CAST(least(length(_ps), length(_s)) AS BIGINT))"))
+      .filter(col("lcp") >= minLcp)
+      .select(col("_pid").as("id_a"), col("_ppos").as("pos_a"),
+        col("id").as("id_b"), col("pos").as("pos_b"), col("lcp"))
+  }
+
+  /** The prefix-doubling + rank-table-descent form of
+    * [[lcpAdjacentPairs]] — kept as the documented alternative for the
+    * adversarial all-duplicate regime (see the regime note above) and
+    * exercised by the ScaleSpec spill-path and equivalence pins.
     *
     * Mechanism: keep every prefix-doubling table and DESCEND (the
     * sparse-table LCP walk turned into log(maxlen) batch joins): from
@@ -1262,8 +1357,8 @@ object Dedup {
     * the cost is one linear parquet scan + broadcast-size joins, and no
     * full-width table survives its round.
     */
-  def lcpAdjacentPairs(docs: DataFrame, idCol: String, textCol: String,
-      minLcp: Int): DataFrame = {
+  private[graft] def lcpAdjacentPairsByDoubling(docs: DataFrame,
+      idCol: String, textCol: String, minLcp: Int): DataFrame = {
     require(minLcp >= 1, s"minLcp must be >= 1, got $minLcp")
     val aggRow = docs.agg(max(length(col(textCol))),
       sum(length(col(textCol)).cast("long"))).collect()(0)
@@ -1556,45 +1651,43 @@ object Dedup {
       .select(col("id"), col("clean_text"), col("removed_chars"))
   }
 
-  /** Initial ranking at TOKEN granularity: rank token positions by the
-    * token string (same min-sequence densification as [[charRanks]], so
-    * equal tokens share a rank). `tokCol` is an array column.
-    */
-  private def tokenRanks(docs: DataFrame, idCol: String,
-      tokCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-        posexplode(col(tokCol)).as(Seq("pos", "tok")))
-      .select(col("id"), col("pos").cast("long").as("pos"), col("tok"))
-    val seqd = IngestOps.globalSequence(toks,
-      Seq(col("tok"), col("id"), col("pos")), "_seq")
-    seqd.withColumn("rank",
-        min(col("_seq")).over(Window.partitionBy(col("tok"))))
-      .select(col("id"), col("pos"), col("rank")).ckpt()
-  }
-
   /** [[exactSubstrMarks]] at TOKEN granularity — the documented ~8×
     * cheaper escape of the suffix family, EXECUTED (q312): positions
     * whose `minLen`-TOKEN run occurs ≥ 2 times in the corpus (any doc,
     * any token alignment, self-overlaps included). The row unit drops
     * from the character to the token (the median English token carries
-    * ~5 chars + a separator), so every doubling round's sort moves ~8×
-    * fewer rows for the same corpus; what token granularity gives up is
+    * ~5 chars + a separator), so the gram aggregate moves ~8× fewer
+    * rows for the same corpus; what token granularity gives up is
     * byte exactness — a duplicated span that starts or ends mid-token,
     * or differs only in whitespace, can hide from it (why the char path
     * remains the decontamination tool). Returns `(id, pos)` in token
     * units.
+    *
+    * The gram key is the space-joined minLen-token slice: tokens come
+    * from a `\s+` split so they contain no whitespace, making the
+    * single-space join injective — key equality ⟺ token-run equality,
+    * the same relation the prefix-doubling sparse-table key stated
+    * before the round-16 rewrite (see [[exactSubstrMarks]]).
     */
   def exactSubstrMarksTokens(docs: DataFrame, idCol: String,
       tokCol: String, minLen: Int): DataFrame = {
-    val keyed = substrKeysFrom(tokenRanks(docs, idCol, tokCol),
-      docs.select(col(idCol).as("id"),
-        size(col(tokCol)).cast("long").as("_len")),
-      minLen)
-    val dupKeys = keyed.groupBy(col("_ra"), col("_rb"))
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val keyed = spread(
+        docs.select(col(idCol).as("id"), col(tokCol).as("_tok")))
+      .filter(size(col("_tok")) >= minLen)
+      .select(col("id"),
+        explode(sequence(lit(0L),
+          size(col("_tok")).cast("long") - minLen)).as("pos"),
+        col("_tok"))
+      .select(col("id"), col("pos"),
+        concat_ws(" ",
+          slice(col("_tok"), (col("pos") + 1).cast("int"), lit(minLen)))
+          .as("_g"))
+    val dupKeys = keyed.groupBy(col("_g"))
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= 2)
-      .select(col("_ra"), col("_rb"))
-    keyed.join(dupKeys, Seq("_ra", "_rb"), "left_semi")
+      .select(col("_g"))
+    keyed.join(dupKeys, Seq("_g"), "left_semi")
       .select(col("id"), col("pos"))
   }
 
@@ -1635,7 +1728,8 @@ object Dedup {
   def exactSubstrPrefilterIds(docs: DataFrame, idCol: String,
       textCol: String, minLen: Int): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
-    val grams = docs.select(col(idCol).as("id"), col(textCol).as("_t"))
+    val grams = spread(
+        docs.select(col(idCol).as("id"), col(textCol).as("_t")))
       .filter(length(col("_t")) >= minLen)
       .select(col("id"),
         explode(sequence(lit(0L),
@@ -1675,7 +1769,7 @@ object Dedup {
     */
   private def gramRows(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame =
-    docs.select(col(idCol).as("id"), col(textCol).as("_t"))
+    spread(docs.select(col(idCol).as("id"), col(textCol).as("_t")))
       .filter(length(col("_t")) >= minLen)
       .select(col("id"),
         explode(sequence(lit(0L),

@@ -1099,14 +1099,24 @@ class ScaleSpec extends SparkSpec {
   // pairs, and per-round tables all via scratch parquet), and assert
   // the result is row-identical to the below-bar checkpoint branch —
   // the two paths claim to differ only in where a level's rows live.
-  test("lcpAdjacentPairs: spill path == checkpoint path, row for row") {
+  // Round 16 made the DIRECT dup-gram form the query path
+  // (lcpAdjacentPairs) and kept the doubling form for the adversarial
+  // all-duplicate regime: the same run now also pins direct == doubling
+  // pair for pair, the equivalence the rewrite's scaladoc argues.
+  test("lcpAdjacentPairs: direct == doubling, spill == checkpoint, " +
+      "row for row") {
     import graft.operators.Dedup
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
-    def run() = Dedup.lcpAdjacentPairs(docs, "doc_id", "text", minLcp = 20)
+    def run() = Dedup.lcpAdjacentPairsByDoubling(docs, "doc_id", "text",
+        minLcp = 20)
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     val viaCkpt = run()
     assert(viaCkpt.nonEmpty, "fixture has no qualifying pairs — vacuous")
+    val direct = Dedup.lcpAdjacentPairs(docs, "doc_id", "text", minLcp = 20)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(direct == viaCkpt,
+      "direct dup-gram LCP pairs != prefix-doubling LCP pairs")
     val key = "graft.lcp.spillCharBar"
     sys.props(key) = "0"
     try assert(run() == viaCkpt,
