@@ -659,7 +659,11 @@ object Dedup {
           .union(mSmall.select(col("a"), col("m").as("b"))))
         .ckpt()
       // fixpoint: a full round changed nothing (set equality via counts +
-      // one-sided except — both sets are distinct canonical rows)
+      // one-sided except — both sets are distinct canonical rows; the
+      // cheap count comparison short-circuits the except on every
+      // non-final round, so don't "simplify" this into one symmetric-
+      // difference aggregate — measured in round 16, that paid a full
+      // shuffle per round and slowed the loop ~1.5×)
       converged = small.count() == edges.count() &&
         small.except(edges).isEmpty
       edges = small

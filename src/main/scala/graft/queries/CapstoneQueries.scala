@@ -98,28 +98,45 @@ object CapstoneQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q262_takedown_capstone" -> ((s, d) => {
+      // The 13 surfaces are INDEPENDENT pipelines, so each builds as a
+      // Future on a small pool (optimization round 16, guide §2.6
+      // "overlap independent jobs"): the eager per-surface work —
+      // generation saves, checkpoint jobs, star-contraction loops, the
+      // streaming store's segment writes — overlaps instead of running
+      // strictly serially on the driver, whose per-surface jobs left
+      // the 32-way executor mostly idle (measured at sf0.1: serial
+      // construction was most of the capstone's 39 s). Job submission
+      // from driver threads is Spark's documented concurrency model;
+      // artifact dirs are per-surface; the awaited union preserves
+      // surface order, so the output is bit-identical to the serial
+      // build.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      def sFut(df: => DataFrame): scala.concurrent.Future[DataFrame] =
+        scala.concurrent.Future(df)
       // surfaces 1-6: the maintained-state serves of the per-surface
       // retraction proofs, reduced to canonical-row folds
-      val postings = fold(maintained("q246_index_retract")(s, d), "postings",
+      val postings = sFut(fold(maintained("q246_index_retract")(s, d), "postings",
         concat_ws("|", col("token"), col("doc_freq"), col("n_postings"),
-          col("postings")), Seq.empty)
-      val bm25 = fold(maintained("q247_bm25_after_retract")(s, d), "bm25",
+          col("postings")), Seq.empty))
+      val bm25 = sFut(fold(maintained("q247_bm25_after_retract")(s, d), "bm25",
         concat_ws("|", col("term"), col("doc_id"), col("rank"),
-          round(col("score") * 1e6).cast("long")), Seq(col("doc_id")))
-      val ivf = fold(maintained("q248_ivf_retract")(s, d), "ivf",
+          round(col("score") * 1e6).cast("long")), Seq(col("doc_id"))))
+      val ivf = sFut(fold(maintained("q248_ivf_retract")(s, d), "ivf",
         concat_ws("|", col("query_id"), col("neighbor_id"), col("rank"),
-          round(col("sim") * 1e6).cast("long")), Seq(col("neighbor_id")))
-      val dedup = fold(maintained("q249_dedup_retract")(s, d), "dedup",
+          round(col("sim") * 1e6).cast("long")), Seq(col("neighbor_id"))))
+      val dedup = sFut(fold(maintained("q249_dedup_retract")(s, d), "dedup",
         concat_ws("|", col("doc_a"), col("doc_b"),
           round(col("jac") * 1e6).cast("long")),
-        Seq(col("doc_a"), col("doc_b")))
-      val cc = fold(maintained("q255_cc_retract")(s, d), "cc",
+        Seq(col("doc_a"), col("doc_b"))))
+      val cc = sFut(fold(maintained("q255_cc_retract")(s, d), "cc",
         concat_ws("|", col("vec_id"), col("cluster_id"),
           col("is_canonical").cast("string")),
-        Seq(col("vec_id"), col("cluster_id")))
-      val tape = fold(maintained("q260_pack_retract")(s, d), "tape",
+        Seq(col("vec_id"), col("cluster_id"))))
+      val tape = sFut(fold(maintained("q260_pack_retract")(s, d), "tape",
         concat_ws("|", col("seq_id"), col("doc_id"), col("offset_in_seq"),
-          col("tokens_in_seq")), Seq(col("doc_id")))
+          col("tokens_in_seq")), Seq(col("doc_id"))))
       // surface 7: Merkle bucket checksums of the documents table,
       // advanced by the deletion delta (q141's signed-digest algebra) —
       // never rescanning the kept rows. Buckets fully emptied by the
@@ -131,14 +148,14 @@ object CapstoneQueries {
       val diff = Relational.snapshotDiff(docsC,
         docsC.filter(col("doc_id") % 10 =!= 3), Seq("doc_id"),
         Seq("lang", "source", "n_chars"))
-      val ck = fold(
+      val ck = sFut(fold(
         Quality.applyChecksumDelta(
             Quality.tableChecksum(docsC, "doc_id", ckCols, 64), diff,
             "doc_id", Seq("lang", "source", "n_chars"), 64)
           .filter(col("n_rows") > 0),
         "checksum",
         concat_ws("|", col("bucket"), col("n_rows"), col("checksum")),
-        Seq.empty)
+        Seq.empty))
       // surface 8 (round 11): the persisted MRL hot tier (q301) after
       // takedown — the tier is a projection, so retraction is the plain
       // anti-join; the serve runs q271's shortlist+re-rank from the
@@ -152,13 +169,13 @@ object CapstoneQueries {
       val tier = Similarity.retractFromMrlTier(
         Similarity.buildMrlTier(emb, 32),
         emb.filter(col("vec_id") % 10 === 3).select(col("vec_id")))
-      val mrl = fold(
+      val mrl = sFut(fold(
         Similarity.mrlRerankTopK(tier, kept, kept.filter(col("vec_id") < 5),
           dims = 32, shortlist = 50, k = 10),
         "mrl",
         concat_ws("|", col("query_id"), col("neighbor_id"), col("rank"),
           round(col("sim") * 1e6).cast("long")),
-        Seq(col("query_id"), col("neighbor_id")))
+        Seq(col("query_id"), col("neighbor_id"))))
       // surfaces 9-10 (round 12): the persisted learned filters
       // (q308/q309's NB and bigram-LM count tables) after takedown —
       // the takedown docs' counts leave via the NEGATED FOLD (the
@@ -181,25 +198,25 @@ object CapstoneQueries {
         Eval.negateCounts(Eval.nbCounts(
           trainT.filter(col("doc_id") % 10 === 3),
           "doc_id", "tok", col("y"), 64)))
-      val nb = fold(
+      val nb = sFut(fold(
         Eval.nbClassify(servT, "doc_id", "tok", nbCnt, 64)
           .join(docsT.select(col("doc_id"), col("y")), Seq("doc_id")),
         "nb",
         concat_ws("|", col("doc_id"), col("n_toks"),
           floor((col("odds") % 1048576.0d) * 1e6).cast("long"),
           col("pred").cast("string"), col("y").cast("string")),
-        Seq(col("doc_id")))
+        Seq(col("doc_id"))))
       val lmCnt = Eval.bigramLmCombineCounts(
         Eval.bigramLmCounts(trainT, "doc_id", "tok", 4096),
         Eval.negateCounts(Eval.bigramLmCounts(
           trainT.filter(col("doc_id") % 10 === 3),
           "doc_id", "tok", 4096)))
-      val lm = fold(
+      val lm = sFut(fold(
         Eval.bigramLmScore(servT, "doc_id", "tok", lmCnt, 4096),
         "lm",
         concat_ws("|", col("id"), col("n_bigrams"),
           floor((col("score") % 1048576.0d) * 1e6).cast("long")),
-        Seq(col("id")))
+        Seq(col("id"))))
       // surface 11 (round 12): the dedup prefilter's gram-count table
       // (q314) after takedown — the deleted docs' one-pass counts leave
       // via the negated fold (counts(full) ⊖ counts(deleted) ==
@@ -213,11 +230,11 @@ object CapstoneQueries {
         Dedup.dupGramCounts(docsRaw, "doc_id", "text", 30),
         Dedup.dupGramCounts(docsRaw.filter(col("doc_id") % 10 === 3),
           "doc_id", "text", 30).withColumn("cnt", -col("cnt")))
-      val gram = fold(
+      val gram = sFut(fold(
         Dedup.dupGramStats(keptDocs, "doc_id", "text", 30, gramCnt),
         "gram",
         concat_ws("|", col("id"), col("n_dup_gram_positions")),
-        Seq(col("id")))
+        Seq(col("id"))))
       // surface 12 (round 13): the incremental removal's gram POSTINGS
       // table (q315) after takedown — the deleted docs' doc-level
       // postings leave via the same negated fold (additivity zeroes
@@ -231,15 +248,11 @@ object CapstoneQueries {
         Dedup.gramPostings(docsRaw, "doc_id", "text", 30),
         Dedup.gramPostings(docsRaw.filter(col("doc_id") % 10 === 3),
           "doc_id", "text", 30).withColumn("n", -col("n")))
-      val pd = postT.select(col("g"), col("id"))
-      val gpost = fold(
-        pd.join(pd.select(col("g"), col("id").as("id2")), Seq("g"))
-          .filter(col("id") =!= col("id2"))
-          .groupBy(col("id"))
-          .agg(count_distinct(col("id2")).as("n_dup_partners")),
+      val gpost = sFut(fold(
+        partnerCounts(postT.select(col("g"), col("id"))),
         "gpost",
         concat_ws("|", col("id"), col("n_dup_partners")),
-        Seq(col("id")))
+        Seq(col("id"))))
       // surface 13 (round 14): the STREAMING postings store — the same
       // postings state reached through StreamingGramPostings' additive
       // segment algebra (bootstrap = one base segment over the full
@@ -252,25 +265,45 @@ object CapstoneQueries {
       // of only ScalaTest. Both writes are skip-if-committed, so the
       // bench's repeat runs re-serve without re-folding.
       import graft.streaming.StreamingGramPostings
-      val segDir = Tables.artifactDir("capsegs", d)
-      StreamingGramPostings.init(s, segDir, docsRaw, "doc_id", "text", 30)
-      StreamingGramPostings.retractBatch(s, segDir,
-        docsRaw.filter(col("doc_id") % 10 === 3), "doc_id", "text", 30,
-        "takedown")
-      val segPd = StreamingGramPostings.loadPostings(s, segDir)
-        .select(col("g"), col("id"))
-      val segs = fold(
-        segPd.join(segPd.select(col("g"), col("id").as("id2")), Seq("g"))
-          .filter(col("id") =!= col("id2"))
-          .groupBy(col("id"))
-          .agg(count_distinct(col("id2")).as("n_dup_partners")),
-        "segs",
-        concat_ws("|", col("id"), col("n_dup_partners")),
-        Seq(col("id")))
-      Seq(postings, bm25, ivf, dedup, cc, tape, ck, mrl, nb, lm, gram,
-          gpost, segs)
+      val segs = sFut {
+        val segDir = Tables.artifactDir("capsegs", d)
+        StreamingGramPostings.init(s, segDir, docsRaw, "doc_id", "text", 30)
+        StreamingGramPostings.retractBatch(s, segDir,
+          docsRaw.filter(col("doc_id") % 10 === 3), "doc_id", "text", 30,
+          "takedown")
+        fold(
+          partnerCounts(StreamingGramPostings.loadPostings(s, segDir)
+            .select(col("g"), col("id"))),
+          "segs",
+          concat_ws("|", col("id"), col("n_dup_partners")),
+          Seq(col("id")))
+      }
+      try Seq(postings, bm25, ivf, dedup, cc, tape, ck, mrl, nb, lm,
+          gram, gpost, segs)
+        .map(scala.concurrent.Await.result(_,
+          scala.concurrent.duration.Duration.Inf))
         .reduce(_ unionByName _)
+      finally { pool.shutdown(); () }
     }))
+
+  /** Per-doc DISTINCT dup-partner counts over a `(g, id)` posting
+    * relation — the witness-resolution serve of capstone surfaces 12
+    * and 13. Both join sides first restrict to grams with ≥ 2 posting
+    * rows (optimization round 16): a single-posting gram can only
+    * produce the self-pair the `id ≠ id2` filter drops, so the
+    * restriction is output-identical while the self-join's input falls
+    * from every posting row to the duplicated slice (guide §3.2 —
+    * pre-filter the big side of a join when the filter is selective).
+    */
+  private def partnerCounts(pd: DataFrame): DataFrame = {
+    val dupG = pd.groupBy(col("g")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= 2).select(col("g"))
+    val slim = pd.join(dupG, Seq("g"), "left_semi")
+    slim.join(slim.select(col("g"), col("id").as("id2")), Seq("g"))
+      .filter(col("id") =!= col("id2"))
+      .groupBy(col("id"))
+      .agg(count_distinct(col("id2")).as("n_dup_partners"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q262_takedown_capstone" -> Seq(
